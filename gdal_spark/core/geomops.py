@@ -1,0 +1,490 @@
+"""Vectorized 2-D geometry operations in pure numpy.
+
+This is the compute kernel library behind every ST_ pandas UDF. It supplies
+the same scalar surface OGR exposes (predicates + constructive ops, see
+/root/reference/ogr/ogrgeometry.cpp — Intersects :579, Within :5842,
+Contains :5915, Distance :3562, Centroid :6106, Simplify :6360,
+ConvexHull :4186, Buffer :4526, Area/Length via OGR_G_Area/Length) but is a
+fresh numpy implementation of the classical computational-geometry algorithms
+(ray casting, shoelace, Douglas–Peucker, monotone chain, Sutherland–Hodgman)
+— NOT a port of GEOS.
+
+Conventions:
+- geometries arrive as WKB ``bytes`` (see core.wkb);
+- batch entry points take sequences of WKB and return numpy arrays;
+- the envelope prefilter mirrors OGR's short-circuit pattern
+  (ogrgeometry.cpp:585-592): callers should compare envelope columns BEFORE
+  invoking exact kernels — the kernels here are the exact part.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from . import wkb
+from .wkb import Geom, decode, encode
+
+# ---------------------------------------------------------------------------
+# envelopes
+# ---------------------------------------------------------------------------
+
+def envelopes(wkbs: Sequence[Optional[bytes]]) -> np.ndarray:
+    """(n,4) [xmin,ymin,xmax,ymax]; NaN rows for null geometries."""
+    out = np.full((len(wkbs), 4), np.nan, dtype=np.float64)
+    for i, b in enumerate(wkbs):
+        if b is None:
+            continue
+        e = decode(bytes(b)).envelope()
+        if e is not None:
+            out[i] = e
+    return out
+
+
+def env_intersects(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Row-wise envelope intersection test on (n,4) arrays."""
+    return ~((a[:, 0] > b[:, 2]) | (b[:, 0] > a[:, 2]) |
+             (a[:, 1] > b[:, 3]) | (b[:, 1] > a[:, 3]))
+
+
+def env_contains(outer: np.ndarray, inner: np.ndarray) -> np.ndarray:
+    return ((outer[:, 0] <= inner[:, 0]) & (outer[:, 1] <= inner[:, 1]) &
+            (outer[:, 2] >= inner[:, 2]) & (outer[:, 3] >= inner[:, 3]))
+
+
+# ---------------------------------------------------------------------------
+# point-in-polygon (ray casting, even-odd) — fully vectorized
+# ---------------------------------------------------------------------------
+
+def points_in_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Even-odd crossing test of many points against one ring.
+
+    Vectorized over points AND edges: O(P*E) boolean algebra, no Python loop.
+    Half-open edge rule (y0 <= y < y1 crossing) — standard ray casting; the
+    exact test OGR delegates to GEOS (ogrgeometry.cpp:5842 Within).
+    """
+    x0 = ring[:-1, 0]; y0 = ring[:-1, 1]
+    x1 = ring[1:, 0]; y1 = ring[1:, 1]
+    px = px[:, None]; py = py[:, None]
+    cond = (y0 > py) != (y1 > py)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = x0 + (py - y0) * (x1 - x0) / (y1 - y0)
+    cross = cond & (px < xint)
+    return (cross.sum(axis=1) % 2).astype(bool)
+
+
+def points_in_polygon(px, py, rings: List[np.ndarray]) -> np.ndarray:
+    """Many points vs one polygon-with-holes."""
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    if not rings:
+        return np.zeros(px.shape, dtype=bool)
+    inside = points_in_ring(px, py, rings[0])
+    for hole in rings[1:]:
+        inside &= ~points_in_ring(px, py, hole)
+    return inside
+
+
+def points_in_geom(px, py, g: Geom) -> np.ndarray:
+    """Many points vs one (multi)polygon."""
+    px = np.asarray(px, dtype=np.float64)
+    res = np.zeros(len(px), dtype=bool)
+    for rings in g.polygons():
+        res |= points_in_polygon(px, py, rings)
+    return res
+
+
+# ---------------------------------------------------------------------------
+# segment intersection — vectorized all-pairs
+# ---------------------------------------------------------------------------
+
+def _segments(rings: List[np.ndarray]):
+    a, b = [], []
+    for r in rings:
+        if len(r) >= 2:
+            a.append(r[:-1]); b.append(r[1:])
+    if not a:
+        return np.empty((0, 2)), np.empty((0, 2))
+    return np.concatenate(a), np.concatenate(b)
+
+
+def segments_intersect_any(p1, p2, q1, q2) -> bool:
+    """Do any of segments (p1[i],p2[i]) intersect any of (q1[j],q2[j])?
+    Orientation-based test, vectorized over the full i×j grid."""
+    if len(p1) == 0 or len(q1) == 0:
+        return False
+    P1 = p1[:, None, :]; P2 = p2[:, None, :]
+    Q1 = q1[None, :, :]; Q2 = q2[None, :, :]
+
+    def orient(a, b, c):
+        return ((b[..., 0] - a[..., 0]) * (c[..., 1] - a[..., 1]) -
+                (b[..., 1] - a[..., 1]) * (c[..., 0] - a[..., 0]))
+
+    d1 = orient(Q1, Q2, P1); d2 = orient(Q1, Q2, P2)
+    d3 = orient(P1, P2, Q1); d4 = orient(P1, P2, Q2)
+    proper = ((d1 * d2) < 0) & ((d3 * d4) < 0)
+    if proper.any():
+        return True
+
+    def on_seg(a, b, c, d):  # collinear c on segment ab (d = orient value)
+        return (d == 0) & (np.minimum(a[..., 0], b[..., 0]) <= c[..., 0]) & \
+               (c[..., 0] <= np.maximum(a[..., 0], b[..., 0])) & \
+               (np.minimum(a[..., 1], b[..., 1]) <= c[..., 1]) & \
+               (c[..., 1] <= np.maximum(a[..., 1], b[..., 1]))
+
+    touch = (on_seg(Q1, Q2, P1, d1) | on_seg(Q1, Q2, P2, d2) |
+             on_seg(P1, P2, Q1, d3) | on_seg(P1, P2, Q2, d4))
+    return bool(touch.any())
+
+
+# ---------------------------------------------------------------------------
+# binary predicates on decoded geoms
+# ---------------------------------------------------------------------------
+
+def geom_intersects(a: Geom, b: Geom) -> bool:
+    """Exact intersects for point/line/polygon combinations."""
+    ea, eb = a.envelope(), b.envelope()
+    if ea is None or eb is None:
+        return False
+    if ea[0] > eb[2] or eb[0] > ea[2] or ea[1] > eb[3] or eb[1] > ea[3]:
+        return False
+    apoly = a.polygons(); bpoly = b.polygons()
+    apts = a.points() if a.gtype in (wkb.POINT, wkb.MULTIPOINT) else np.empty((0, 2))
+    bpts = b.points() if b.gtype in (wkb.POINT, wkb.MULTIPOINT) else np.empty((0, 2))
+    arings = _all_line_rings(a); brings = _all_line_rings(b)
+
+    # point vs polygon / point vs point / point vs line
+    if len(apts):
+        if bpoly and any(points_in_polygon(apts[:, 0], apts[:, 1], r).any() for r in bpoly):
+            return True
+        if len(bpts) and _points_coincide(apts, bpts):
+            return True
+        if brings and _points_on_lines(apts, brings):
+            return True
+        if not bpoly and not len(bpts) and not brings:
+            return False
+    if len(bpts):
+        if apoly and any(points_in_polygon(bpts[:, 0], bpts[:, 1], r).any() for r in apoly):
+            return True
+        if arings and _points_on_lines(bpts, arings):
+            return True
+    # edge-edge crossing
+    a1, a2 = _segments(arings)
+    b1, b2 = _segments(brings)
+    if segments_intersect_any(a1, a2, b1, b2):
+        return True
+    # containment without edge crossing (one inside the other)
+    if apoly and brings:
+        for rings in apoly:
+            for br in brings:
+                if len(br) and points_in_polygon(br[:1, 0], br[:1, 1], rings)[0]:
+                    return True
+    if bpoly and arings:
+        for rings in bpoly:
+            for ar in arings:
+                if len(ar) and points_in_polygon(ar[:1, 0], ar[:1, 1], rings)[0]:
+                    return True
+    return False
+
+
+def geom_contains(a: Geom, b: Geom) -> bool:
+    """a contains b (interior-to-interior, no b point outside a).
+    Exact for point/polygon; conservative (vertex-based + no edge crossing)
+    for line/polygon-in-polygon — sufficient for non-degenerate inputs."""
+    apoly = a.polygons()
+    if not apoly:
+        return False
+    bpts = _all_vertices(b)
+    if not len(bpts):
+        return False
+    inside = np.zeros(len(bpts), dtype=bool)
+    for rings in apoly:
+        inside |= points_in_polygon(bpts[:, 0], bpts[:, 1], rings)
+    if not inside.all():
+        return False
+    if b.gtype not in (wkb.POINT, wkb.MULTIPOINT):
+        a1, a2 = _segments(_all_line_rings(a))
+        b1, b2 = _segments(_all_line_rings(b))
+        if segments_intersect_any(a1, a2, b1, b2):
+            return False
+    return True
+
+
+def geom_within(a: Geom, b: Geom) -> bool:
+    return geom_contains(b, a)
+
+
+def geom_disjoint(a: Geom, b: Geom) -> bool:
+    return not geom_intersects(a, b)
+
+
+def _all_line_rings(g: Geom) -> List[np.ndarray]:
+    """All linework (rings of polygons + linestrings)."""
+    out = []
+    if g.gtype in (wkb.LINESTRING, wkb.POLYGON):
+        out.extend(g.rings)
+    for p in g.parts:
+        out.extend(_all_line_rings(p))
+    return out
+
+
+def _all_vertices(g: Geom) -> np.ndarray:
+    arrs = [r for r in g.rings if len(r)]
+    for p in g.parts:
+        v = _all_vertices(p)
+        if len(v):
+            arrs.append(v)
+    return np.concatenate(arrs) if arrs else np.empty((0, 2))
+
+
+def _points_coincide(a: np.ndarray, b: np.ndarray) -> bool:
+    return bool((np.abs(a[:, None, :] - b[None, :, :]).sum(axis=2) == 0).any())
+
+
+def _points_on_lines(pts: np.ndarray, rings: List[np.ndarray]) -> bool:
+    a, b = _segments(rings)
+    if not len(a):
+        return False
+    P = pts[:, None, :]
+    A = a[None, :, :]; B = b[None, :, :]
+    cross = ((B[..., 0] - A[..., 0]) * (P[..., 1] - A[..., 1]) -
+             (B[..., 1] - A[..., 1]) * (P[..., 0] - A[..., 0]))
+    on = (cross == 0) & \
+         (np.minimum(A[..., 0], B[..., 0]) <= P[..., 0]) & (P[..., 0] <= np.maximum(A[..., 0], B[..., 0])) & \
+         (np.minimum(A[..., 1], B[..., 1]) <= P[..., 1]) & (P[..., 1] <= np.maximum(A[..., 1], B[..., 1]))
+    return bool(on.any())
+
+
+# ---------------------------------------------------------------------------
+# measures
+# ---------------------------------------------------------------------------
+
+def ring_area(r: np.ndarray) -> float:
+    """Signed shoelace area (positive = counter-clockwise)."""
+    if len(r) < 3:
+        return 0.0
+    x = r[:, 0]; y = r[:, 1]
+    return 0.5 * float(np.dot(x[:-1], y[1:]) - np.dot(x[1:], y[:-1]))
+
+
+def geom_area(g: Geom) -> float:
+    """Planar area; holes subtract (matches OGR_G_Area semantics)."""
+    total = 0.0
+    if g.gtype == wkb.POLYGON:
+        total += abs(ring_area(g.rings[0]))
+        for h in g.rings[1:]:
+            total -= abs(ring_area(h))
+    for p in g.parts:
+        total += geom_area(p)
+    return total
+
+
+def geom_length(g: Geom) -> float:
+    total = 0.0
+    rings = g.rings if g.gtype in (wkb.LINESTRING, wkb.POLYGON) else []
+    for r in rings:
+        d = np.diff(r, axis=0)
+        total += float(np.hypot(d[:, 0], d[:, 1]).sum())
+    for p in g.parts:
+        total += geom_length(p)
+    return total
+
+
+def geom_centroid(g: Geom):
+    """Area-weighted centroid for polygons; vertex mean for points/lines."""
+    polys = g.polygons()
+    if polys:
+        cx = cy = asum = 0.0
+        for rings in polys:
+            for k, r in enumerate(rings):
+                a = ring_area(r)
+                if k > 0:
+                    a = -abs(a)
+                else:
+                    a = abs(a)
+                if len(r) < 3 or a == 0:
+                    continue
+                x = r[:-1, 0]; y = r[:-1, 1]
+                x1 = r[1:, 0]; y1 = r[1:, 1]
+                cross = x * y1 - x1 * y
+                sgn = 1.0 if ring_area(r) >= 0 else -1.0
+                cx += sgn * a * float(((x + x1) * cross).sum()) / (6.0 * abs(ring_area(r)))
+                cy += sgn * a * float(((y + y1) * cross).sum()) / (6.0 * abs(ring_area(r)))
+                asum += a
+        if asum != 0:
+            return cx / asum, cy / asum
+    v = _all_vertices(g)
+    if not len(v):
+        return None
+    return float(v[:, 0].mean()), float(v[:, 1].mean())
+
+
+def point_segment_distance(px, py, a, b) -> np.ndarray:
+    """Distance of points (px,py) to segments (a[j],b[j]) — full grid, returns
+    (P,S) matrix."""
+    P = np.stack([np.asarray(px, dtype=np.float64), np.asarray(py, dtype=np.float64)], axis=1)[:, None, :]
+    A = a[None, :, :]; B = b[None, :, :]
+    AB = B - A
+    denom = (AB ** 2).sum(axis=2)
+    t = ((P - A) * AB).sum(axis=2) / np.where(denom == 0, 1.0, denom)
+    t = np.clip(t, 0.0, 1.0)
+    proj = A + t[..., None] * AB
+    return np.sqrt(((P - proj) ** 2).sum(axis=2))
+
+
+def geom_distance(a: Geom, b: Geom) -> float:
+    """Min cartesian distance (0 if intersecting) — OGRGeometry::Distance
+    semantics (ogrgeometry.cpp:3562)."""
+    if geom_intersects(a, b):
+        return 0.0
+    av = _all_vertices(a); bv = _all_vertices(b)
+    best = np.inf
+    a1, a2 = _segments(_all_line_rings(a))
+    b1, b2 = _segments(_all_line_rings(b))
+    if len(bv) and len(a1):
+        best = min(best, float(point_segment_distance(bv[:, 0], bv[:, 1], a1, a2).min()))
+    if len(av) and len(b1):
+        best = min(best, float(point_segment_distance(av[:, 0], av[:, 1], b1, b2).min()))
+    if len(av) and len(bv):
+        d = np.sqrt(((av[:, None, :] - bv[None, :, :]) ** 2).sum(axis=2))
+        best = min(best, float(d.min()))
+    return best
+
+
+# ---------------------------------------------------------------------------
+# constructive ops
+# ---------------------------------------------------------------------------
+
+def clip_ring_rect(ring: np.ndarray, xmin, ymin, xmax, ymax) -> np.ndarray:
+    """Sutherland–Hodgman clip of one ring against a rectangle."""
+    def clip_edge(pts, inside, intersect):
+        if len(pts) == 0:
+            return pts
+        out = []
+        prev = pts[-1]
+        prev_in = inside(prev)
+        for cur in pts:
+            cur_in = inside(cur)
+            if cur_in:
+                if not prev_in:
+                    out.append(intersect(prev, cur))
+                out.append(cur)
+            elif prev_in:
+                out.append(intersect(prev, cur))
+            prev, prev_in = cur, cur_in
+        return np.array(out) if out else np.empty((0, 2))
+
+    def ix(p, q, x):
+        t = (x - p[0]) / (q[0] - p[0])
+        return np.array([x, p[1] + t * (q[1] - p[1])])
+
+    def iy(p, q, y):
+        t = (y - p[1]) / (q[1] - p[1])
+        return np.array([p[0] + t * (q[0] - p[0]), y])
+
+    pts = ring[:-1] if len(ring) and np.array_equal(ring[0], ring[-1]) else ring
+    pts = clip_edge(pts, lambda p: p[0] >= xmin, lambda p, q: ix(p, q, xmin))
+    pts = clip_edge(pts, lambda p: p[0] <= xmax, lambda p, q: ix(p, q, xmax))
+    pts = clip_edge(pts, lambda p: p[1] >= ymin, lambda p, q: iy(p, q, ymin))
+    pts = clip_edge(pts, lambda p: p[1] <= ymax, lambda p, q: iy(p, q, ymax))
+    if len(pts) >= 3:
+        return np.vstack([pts, pts[:1]])
+    return np.empty((0, 2))
+
+
+def clip_geom_rect(g: Geom, xmin, ymin, xmax, ymax) -> Optional[Geom]:
+    """Clip polygons to rect (the -clipsrc/-clipdst fast path of ogr2ogr,
+    apps/ogr2ogr_lib.cpp:6745-6790). Points: drop outside. Lines: v1 keeps
+    only fully-inside segments' vertices (documented)."""
+    if g.gtype in (wkb.POINT, wkb.MULTIPOINT):
+        pts = g.points()
+        keep = (pts[:, 0] >= xmin) & (pts[:, 0] <= xmax) & (pts[:, 1] >= ymin) & (pts[:, 1] <= ymax)
+        pts = pts[keep]
+        if not len(pts):
+            return None
+        if len(pts) == 1:
+            return Geom(wkb.POINT, [pts[:1]])
+        return Geom(wkb.MULTIPOINT, parts=[Geom(wkb.POINT, [pts[i:i + 1]]) for i in range(len(pts))])
+    polys = g.polygons()
+    out = []
+    for rings in polys:
+        ext = clip_ring_rect(rings[0], xmin, ymin, xmax, ymax)
+        if not len(ext):
+            continue
+        holes = [h for h in (clip_ring_rect(r, xmin, ymin, xmax, ymax) for r in rings[1:]) if len(h)]
+        out.append(Geom(wkb.POLYGON, [ext] + holes))
+    if not out:
+        return None
+    if len(out) == 1:
+        return out[0]
+    return Geom(wkb.MULTIPOLYGON, parts=out)
+
+
+def simplify_ring(r: np.ndarray, tol: float) -> np.ndarray:
+    """Douglas–Peucker (OGRGeometry::Simplify semantics, tolerance in units)."""
+    if len(r) <= 2:
+        return r
+    keep = np.zeros(len(r), dtype=bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, len(r) - 1)]
+    while stack:
+        i0, i1 = stack.pop()
+        if i1 <= i0 + 1:
+            continue
+        seg_a = r[i0][None, :]; seg_b = r[i1][None, :]
+        mid = r[i0 + 1:i1]
+        d = point_segment_distance(mid[:, 0], mid[:, 1], seg_a, seg_b)[:, 0]
+        imax = int(np.argmax(d))
+        if d[imax] > tol:
+            k = i0 + 1 + imax
+            keep[k] = True
+            stack.append((i0, k)); stack.append((k, i1))
+    return r[keep]
+
+
+def convex_hull(pts: np.ndarray) -> np.ndarray:
+    """Andrew's monotone chain; returns closed ring CCW."""
+    pts = np.unique(pts, axis=0)
+    if len(pts) <= 2:
+        return pts
+    pts = pts[np.lexsort((pts[:, 1], pts[:, 0]))]
+
+    def half(points):
+        out = []
+        for p in points:
+            while len(out) >= 2 and np.cross(out[-1] - out[-2], p - out[-2]) <= 0:
+                out.pop()
+            out.append(p)
+        return out
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    ring = np.array(lower[:-1] + upper[:-1] + [lower[0]])
+    return ring
+
+
+def buffer_point(x, y, dist, quadsegs: int = 30) -> np.ndarray:
+    """Circle ring approximating a point buffer (GEOS default 30 segs/quadrant
+    — what OGRGeometry::Buffer (ogrgeometry.cpp:4526) delegates to)."""
+    n = 4 * quadsegs
+    ang = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    ring = np.stack([x + dist * np.cos(ang), y + dist * np.sin(ang)], axis=1)
+    return np.vstack([ring, ring[:1]])
+
+
+def segmentize_ring(r: np.ndarray, max_len: float) -> np.ndarray:
+    """Insert vertices so no segment exceeds max_len (OGRGeometry::segmentize,
+    ogrgeometry.cpp:890)."""
+    if len(r) < 2:
+        return r
+    out = [r[0]]
+    for i in range(1, len(r)):
+        a, b = r[i - 1], r[i]
+        d = float(np.hypot(*(b - a)))
+        if d > max_len:
+            n = int(np.ceil(d / max_len))
+            for k in range(1, n):
+                out.append(a + (b - a) * (k / n))
+        out.append(b)
+    return np.array(out)

@@ -1,0 +1,303 @@
+"""Tile / cell math: Web-Mercator and Geodetic TMS pyramids, quadkeys, Hilbert.
+
+Numerically replicates the reference formulas (public knowledge, spherical
+mercator / TMS spec):
+
+- ``GlobalMercator``  — /root/reference/swig/python/gdal-utils/osgeo_utils/gdal2tiles.py:328-545
+- ``GlobalGeodetic``  — gdal2tiles.py:547-620
+- ``QuadTree`` quadkey — gdal2tiles.py:524-543
+- Hilbert curve (public-domain rawrunprotected/hilbert_curves variant used by
+  FlatGeobuf) — /root/reference/ogr/ogrsf_frmts/flatgeobuf/packedrtree.cpp:73-130
+
+Everything here is pure numpy (vectorized over arrays) so it can run inside
+Arrow-batched pandas UDFs with no per-row Python. For the hot path we ALSO
+provide Catalyst column-expression builders (``mercator_tile_cols`` etc.) so
+tile assignment of billions of rows stays JVM-side inside whole-stage codegen
+— the numpy versions are the oracle used in tests.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+EARTH_RADIUS = 6378137.0
+ORIGIN_SHIFT = 2 * math.pi * EARTH_RADIUS / 2.0  # 20037508.342789244
+TILE_SIZE = 256
+INITIAL_RESOLUTION = 2 * math.pi * EARTH_RADIUS / TILE_SIZE  # 156543.03392804062
+MAX_ZOOM = 32
+MERC_MAX_LAT = 85.05112877980659
+
+
+# ---------------------------------------------------------------------------
+# numpy (vectorized) implementations — the in-UDF / test-oracle path
+# ---------------------------------------------------------------------------
+
+def latlon_to_meters(lat, lon):
+    """WGS84 lat/lon -> spherical-mercator meters (EPSG:3857)."""
+    lat = np.asarray(lat, dtype=np.float64)
+    lon = np.asarray(lon, dtype=np.float64)
+    mx = lon * ORIGIN_SHIFT / 180.0
+    my = np.log(np.tan((90.0 + lat) * math.pi / 360.0)) / (math.pi / 180.0)
+    my = my * ORIGIN_SHIFT / 180.0
+    return mx, my
+
+
+def meters_to_latlon(mx, my):
+    mx = np.asarray(mx, dtype=np.float64)
+    my = np.asarray(my, dtype=np.float64)
+    lon = (mx / ORIGIN_SHIFT) * 180.0
+    lat = (my / ORIGIN_SHIFT) * 180.0
+    lat = 180.0 / math.pi * (2.0 * np.arctan(np.exp(lat * math.pi / 180.0)) - math.pi / 2.0)
+    return lat, lon
+
+
+def resolution(zoom):
+    return INITIAL_RESOLUTION / (2 ** zoom)
+
+
+def meters_to_pixels(mx, my, zoom):
+    res = resolution(zoom)
+    px = (np.asarray(mx, dtype=np.float64) + ORIGIN_SHIFT) / res
+    py = (np.asarray(my, dtype=np.float64) + ORIGIN_SHIFT) / res
+    return px, py
+
+
+def pixels_to_meters(px, py, zoom):
+    res = resolution(zoom)
+    mx = np.asarray(px, dtype=np.float64) * res - ORIGIN_SHIFT
+    my = np.asarray(py, dtype=np.float64) * res - ORIGIN_SHIFT
+    return mx, my
+
+
+def pixels_to_tile(px, py):
+    """tile covering pixel coords; TMS convention (tx = ceil(px/256)-1)."""
+    tx = np.ceil(np.asarray(px, dtype=np.float64) / float(TILE_SIZE)).astype(np.int64) - 1
+    ty = np.ceil(np.asarray(py, dtype=np.float64) / float(TILE_SIZE)).astype(np.int64) - 1
+    return tx, ty
+
+
+def meters_to_tile(mx, my, zoom):
+    px, py = meters_to_pixels(mx, my, zoom)
+    return pixels_to_tile(px, py)
+
+
+def latlon_to_tile_tms(lat, lon, zoom):
+    mx, my = latlon_to_meters(lat, lon)
+    return meters_to_tile(mx, my, zoom)
+
+
+def tms_to_google(tx, ty, zoom):
+    """TMS -> XYZ/Google: flip y origin from bottom-left to top-left."""
+    return np.asarray(tx), (2 ** zoom - 1) - np.asarray(ty)
+
+
+def latlon_to_tile_xyz(lat, lon, zoom):
+    tx, ty = latlon_to_tile_tms(lat, lon, zoom)
+    return tms_to_google(tx, ty, zoom)
+
+
+def tile_bounds_meters(tx, ty, zoom):
+    """EPSG:3857 bounds (minx,miny,maxx,maxy) of a TMS tile."""
+    tx = np.asarray(tx, dtype=np.int64)
+    ty = np.asarray(ty, dtype=np.int64)
+    minx, miny = pixels_to_meters(tx * TILE_SIZE, ty * TILE_SIZE, zoom)
+    maxx, maxy = pixels_to_meters((tx + 1) * TILE_SIZE, (ty + 1) * TILE_SIZE, zoom)
+    return minx, miny, maxx, maxy
+
+
+def zoom_for_pixel_size(pixel_size: float) -> int:
+    for i in range(MAX_ZOOM):
+        if pixel_size > resolution(i):
+            return max(0, i - 1)
+    return MAX_ZOOM - 1
+
+
+def quadkey(tx, ty, zoom):
+    """Microsoft quadkey of a TMS tile (string), vectorized.
+
+    Matches gdal2tiles.py:524-543 (QuadTree): y is first flipped to XYZ.
+    """
+    tx = np.atleast_1d(np.asarray(tx, dtype=np.int64))
+    ty = np.atleast_1d(np.asarray(ty, dtype=np.int64))
+    ty = (2 ** zoom - 1) - ty
+    out = np.full(tx.shape, "", dtype=object)
+    for i in range(zoom, 0, -1):
+        mask = 1 << (i - 1)
+        digit = ((tx & mask) != 0).astype(np.int64) + 2 * ((ty & mask) != 0).astype(np.int64)
+        out = out + digit.astype(str).astype(object)
+    return out
+
+
+def quadkey_int(tx_xyz, ty_xyz, zoom):
+    """Integer cell id: interleave bits of XYZ tile coords (Z-order/quadkey
+    as base-4 integer) plus zoom tag. This is the engine's canonical cell id:
+    cell = (zoom << 58) | morton(tx, ty). Fits zoom<=28 in int64."""
+    tx = np.asarray(tx_xyz, dtype=np.uint64)
+    ty = np.asarray(ty_xyz, dtype=np.uint64)
+    m = _interleave2(tx) | (_interleave2(ty) << np.uint64(1))
+    return (np.uint64(zoom) << np.uint64(58) | m).astype(np.int64)
+
+
+def _interleave2(v):
+    """Spread bits of 29-bit ints: b -> b with zeros interleaved."""
+    v = v.astype(np.uint64)
+    v = (v | (v << np.uint64(16))) & np.uint64(0x0000FFFF0000FFFF)
+    v = (v | (v << np.uint64(8))) & np.uint64(0x00FF00FF00FF00FF)
+    v = (v | (v << np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    v = (v | (v << np.uint64(2))) & np.uint64(0x3333333333333333)
+    v = (v | (v << np.uint64(1))) & np.uint64(0x5555555555555555)
+    return v
+
+
+def hilbert_u32(x, y):
+    """16-bit-per-axis Hilbert index (matches FlatGeobuf packedrtree.cpp:73-130,
+    itself public-domain rawrunprotected/hilbert_curves)."""
+    x = np.asarray(x, dtype=np.uint32)
+    y = np.asarray(y, dtype=np.uint32)
+    F = np.uint32(0xFFFF)
+    a = x ^ y
+    b = F ^ a
+    c = F ^ (x | y)
+    d = x & (y ^ F)
+    A = a | (b >> 1)
+    B = (a >> 1) ^ a
+    C = ((c >> 1) ^ (b & (d >> 1))) ^ c
+    D = ((a & (c >> 1)) ^ (d >> 1)) ^ d
+    a, b, c, d = A, B, C, D
+    A = (a & (a >> 2)) ^ (b & (b >> 2))
+    B = (a & (b >> 2)) ^ (b & ((a ^ b) >> 2))
+    C = c ^ ((a & (c >> 2)) ^ (b & (d >> 2)))
+    D = d ^ ((b & (c >> 2)) ^ ((a ^ b) & (d >> 2)))
+    a, b, c, d = A, B, C, D
+    A = (a & (a >> 4)) ^ (b & (b >> 4))
+    B = (a & (b >> 4)) ^ (b & ((a ^ b) >> 4))
+    C = c ^ ((a & (c >> 4)) ^ (b & (d >> 4)))
+    D = d ^ ((b & (c >> 4)) ^ ((a ^ b) & (d >> 4)))
+    a, b, c, d = A, B, C, D
+    C = c ^ ((a & (c >> 8)) ^ (b & (d >> 8)))
+    D = d ^ ((b & (c >> 8)) ^ ((a ^ b) & (d >> 8)))
+    a = C ^ (C >> 1)
+    b = D ^ (D >> 1)
+    i0 = x ^ y
+    i1 = b | (F ^ (i0 | a))
+    i0 = (i0 | (i0 << 8)) & np.uint32(0x00FF00FF)
+    i0 = (i0 | (i0 << 4)) & np.uint32(0x0F0F0F0F)
+    i0 = (i0 | (i0 << 2)) & np.uint32(0x33333333)
+    i0 = (i0 | (i0 << 1)) & np.uint32(0x55555555)
+    i1 = (i1 | (i1 << 8)) & np.uint32(0x00FF00FF)
+    i1 = (i1 | (i1 << 4)) & np.uint32(0x0F0F0F0F)
+    i1 = (i1 | (i1 << 2)) & np.uint32(0x33333333)
+    i1 = (i1 | (i1 << 1)) & np.uint32(0x55555555)
+    return (i1 << 1) | i0
+
+
+def hilbert_of_envelope(cx, cy, minx, miny, width, height):
+    """Hilbert value of envelope centers scaled into the 16-bit grid
+    (packedrtree.cpp hilbert(NodeItem,...))."""
+    hmax = float((1 << 16) - 1)
+    cx = np.asarray(cx, dtype=np.float64)
+    cy = np.asarray(cy, dtype=np.float64)
+    x = np.zeros(cx.shape, dtype=np.uint32)
+    y = np.zeros(cy.shape, dtype=np.uint32)
+    if width != 0.0:
+        x = np.floor(hmax * (cx - minx) / width).astype(np.uint32)
+    if height != 0.0:
+        y = np.floor(hmax * (cy - miny) / height).astype(np.uint32)
+    return hilbert_u32(x, y)
+
+
+# ---------------------------------------------------------------------------
+# cell covers (geometry -> list of covering cells) — used by the spatial join
+# ---------------------------------------------------------------------------
+
+def cover_envelope_xyz(xmin, ymin, xmax, ymax, zoom):
+    """All XYZ (google) tiles intersecting a lat/lon envelope, as a python
+    list of (tx, ty). Scalar envelope in lon/lat degrees."""
+    ymin = max(ymin, -MERC_MAX_LAT)
+    ymax = min(ymax, MERC_MAX_LAT)
+    tx0, ty0 = latlon_to_tile_xyz(np.float64(ymax), np.float64(xmin), zoom)  # top-left
+    tx1, ty1 = latlon_to_tile_xyz(np.float64(ymin), np.float64(xmax), zoom)  # bottom-right
+    n = 2 ** zoom
+    tx0 = int(np.clip(tx0, 0, n - 1)); tx1 = int(np.clip(tx1, 0, n - 1))
+    ty0 = int(np.clip(ty0, 0, n - 1)); ty1 = int(np.clip(ty1, 0, n - 1))
+    return [(tx, ty) for ty in range(min(ty0, ty1), max(ty0, ty1) + 1)
+            for tx in range(min(tx0, tx1), max(tx0, tx1) + 1)]
+
+
+def cover_envelopes_cellids(xmins, ymins, xmaxs, ymaxs, zoom):
+    """Vector-of-lists: int64 cell ids covering each envelope (lon/lat degrees).
+    Returns a list of numpy arrays (ragged)."""
+    out = []
+    for xmin, ymin, xmax, ymax in zip(xmins, ymins, xmaxs, ymaxs):
+        tiles = cover_envelope_xyz(float(xmin), float(ymin), float(xmax), float(ymax), zoom)
+        txs = np.array([t[0] for t in tiles], dtype=np.int64)
+        tys = np.array([t[1] for t in tiles], dtype=np.int64)
+        out.append(quadkey_int(txs, tys, zoom))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Catalyst column-expression builders — the JVM-side hot path
+# ---------------------------------------------------------------------------
+
+def mercator_meters_cols(lon_col, lat_col):
+    """(mx, my) Columns from lon/lat Columns. Pure built-in functions —
+    stays inside whole-stage codegen."""
+    from pyspark.sql import functions as F
+    mx = lon_col * ORIGIN_SHIFT / 180.0
+    my = (F.log(F.tan((F.lit(90.0) + lat_col) * math.pi / 360.0))
+          / (math.pi / 180.0)) * ORIGIN_SHIFT / 180.0
+    return mx, my
+
+
+def mercator_tile_cols(lon_col, lat_col, zoom):
+    """(tile_x, tile_y) XYZ/google tile Columns at `zoom` from lon/lat Columns.
+
+    Mirrors latlon_to_tile_xyz exactly (same double-precision operations in
+    the same order), so JVM results match the numpy oracle bit-for-bit.
+    """
+    from pyspark.sql import functions as F
+    mx, my = mercator_meters_cols(lon_col, lat_col)
+    res = resolution(zoom)
+    px = (mx + ORIGIN_SHIFT) / res
+    py = (my + ORIGIN_SHIFT) / res
+    tx = F.ceil(px / float(TILE_SIZE)).cast("long") - 1
+    ty_tms = F.ceil(py / float(TILE_SIZE)).cast("long") - 1
+    ty = F.lit(2 ** zoom - 1) - ty_tms
+    return tx, ty
+
+
+def mercator_tile_sql(lon_expr: str, lat_expr: str, zoom: int):
+    """Equivalent ANSI-SQL (DuckDB-compatible) expressions for the XYZ tile —
+    the oracle-side twin of mercator_tile_cols."""
+    res = resolution(zoom)
+    mx = f"(({lon_expr}) * {ORIGIN_SHIFT!r} / 180.0)"
+    my = (f"(ln(tan((90.0 + ({lat_expr})) * pi() / 360.0)) / (pi() / 180.0)"
+          f" * {ORIGIN_SHIFT!r} / 180.0)")
+    px = f"(({mx} + {ORIGIN_SHIFT!r}) / {res!r})"
+    py = f"(({my} + {ORIGIN_SHIFT!r}) / {res!r})"
+    tx = f"(CAST(ceil({px} / 256.0) AS BIGINT) - 1)"
+    ty = f"({2 ** zoom - 1} - (CAST(ceil({py} / 256.0) AS BIGINT) - 1))"
+    return tx, ty
+
+
+def cell_id_col(tx_col, ty_col, zoom):
+    """int64 cell id Column = (zoom<<58) | morton(tx,ty) via bit ops only.
+
+    Mirrors quadkey_int. Uses shiftleft/bitwise ops — JVM-side.
+    """
+    from pyspark.sql import functions as F
+
+    def spread(c):
+        v = c.cast("long")
+        v = (v.bitwiseOR(F.shiftleft(v, 16))).bitwiseAND(F.lit(0x0000FFFF0000FFFF))
+        v = (v.bitwiseOR(F.shiftleft(v, 8))).bitwiseAND(F.lit(0x00FF00FF00FF00FF))
+        v = (v.bitwiseOR(F.shiftleft(v, 4))).bitwiseAND(F.lit(0x0F0F0F0F0F0F0F0F))
+        v = (v.bitwiseOR(F.shiftleft(v, 2))).bitwiseAND(F.lit(0x3333333333333333))
+        v = (v.bitwiseOR(F.shiftleft(v, 1))).bitwiseAND(F.lit(0x5555555555555555))
+        return v
+
+    m = spread(tx_col).bitwiseOR(F.shiftleft(spread(ty_col), 1))
+    return F.lit(zoom << 58).bitwiseOR(m)

@@ -1,0 +1,290 @@
+"""Minimal ISO WKB codec (2-D) in pure numpy / struct.
+
+The engine-wide geometry representation is a WKB ``bytes`` column (exactly the
+encoding OGR's Arrow interface uses for geometry columns —
+/root/reference/ogr/ogrsf_frmts/generic/ogrlayerarrow.cpp encodes geometry as
+WKB binary arrays; import/export semantics follow
+/root/reference/ogr/ogrgeometry.cpp:1515 (importFromWkb) / :1610 (exportToWkb)).
+
+Supported: Point, LineString, Polygon, MultiPoint, MultiLineString,
+MultiPolygon, GeometryCollection — 2-D, little-endian. Curve/TIN types are
+linearized or rejected on ingest (documented v1 scope cut, mirroring
+ogr2ogr's forceTo linearization, /root/reference/apps/ogr2ogr_lib.cpp:6817-6833).
+
+Internal decoded form: ``Geom`` — a lightweight struct of numpy arrays chosen
+for vectorized math, NOT a port of OGRGeometry's class hierarchy.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+from typing import List
+
+import numpy as np
+
+POINT = 1
+LINESTRING = 2
+POLYGON = 3
+MULTIPOINT = 4
+MULTILINESTRING = 5
+MULTIPOLYGON = 6
+GEOMETRYCOLLECTION = 7
+
+TYPE_NAMES = {
+    POINT: "POINT", LINESTRING: "LINESTRING", POLYGON: "POLYGON",
+    MULTIPOINT: "MULTIPOINT", MULTILINESTRING: "MULTILINESTRING",
+    MULTIPOLYGON: "MULTIPOLYGON", GEOMETRYCOLLECTION: "GEOMETRYCOLLECTION",
+}
+
+_HDR = struct.Struct("<BI")
+_U32 = struct.Struct("<I")
+_PT = struct.Struct("<2d")
+
+
+@dataclass
+class Geom:
+    """Decoded 2-D geometry.
+
+    ``rings`` is a list of (n,2) float64 arrays:
+      - POINT: one (1,2); LINESTRING: one (n,2)
+      - POLYGON: one array per ring (first = exterior, rest = holes)
+    ``parts`` (multi/collection): list of child Geom.
+    """
+    gtype: int
+    rings: List[np.ndarray] = field(default_factory=list)
+    parts: List["Geom"] = field(default_factory=list)
+
+    # -- convenience ------------------------------------------------------
+    def envelope(self):
+        xs, ys = [], []
+        for r in self.rings:
+            if len(r):
+                xs.append(r[:, 0]); ys.append(r[:, 1])
+        for p in self.parts:
+            e = p.envelope()
+            if e is not None:
+                xs.append(np.array([e[0], e[2]])); ys.append(np.array([e[1], e[3]]))
+        if not xs:
+            return None
+        x = np.concatenate(xs); y = np.concatenate(ys)
+        return (float(x.min()), float(y.min()), float(x.max()), float(y.max()))
+
+    def polygons(self) -> List[List[np.ndarray]]:
+        """Flatten to list of polygons (each a list of rings)."""
+        if self.gtype == POLYGON:
+            return [self.rings]
+        out = []
+        for p in self.parts:
+            out.extend(p.polygons())
+        return out
+
+    def points(self) -> np.ndarray:
+        """All point coordinates as (n,2) (for POINT/MULTIPOINT)."""
+        arrs = [r for r in self.rings if len(r)]
+        for p in self.parts:
+            sub = p.points()
+            if len(sub):
+                arrs.append(sub)
+        return np.concatenate(arrs) if arrs else np.empty((0, 2))
+
+
+# ---------------------------------------------------------------------------
+# decode
+# ---------------------------------------------------------------------------
+
+def decode(buf: bytes) -> Geom:
+    g, _ = _decode_at(buf, 0)
+    return g
+
+
+def _decode_at(buf: bytes, off: int):
+    byte_order, wkb_type = _HDR.unpack_from(buf, off)
+    off += 5
+    if byte_order != 1:
+        raise ValueError("big-endian WKB not supported (write little-endian)")
+    # strip ISO Z/M/SRID decorations: 1001/2001/3001 -> 1; EWKB flags rejected
+    base = wkb_type % 1000
+    has_z = wkb_type >= 1000 and wkb_type < 4000
+    dim = 3 if (has_z and (wkb_type // 1000) in (1, 3)) else 2
+    if wkb_type & 0x80000000 or wkb_type & 0x40000000 or wkb_type & 0x20000000:
+        raise ValueError("EWKB flag bits not supported; use ISO WKB")
+    if base == POINT:
+        n = dim
+        pt = np.frombuffer(buf, dtype="<f8", count=n, offset=off)[:2].reshape(1, 2)
+        return Geom(POINT, [pt.astype(np.float64)]), off + 8 * n
+    if base == LINESTRING:
+        (npts,) = _U32.unpack_from(buf, off); off += 4
+        arr = np.frombuffer(buf, dtype="<f8", count=npts * dim, offset=off).reshape(npts, dim)
+        return Geom(LINESTRING, [np.ascontiguousarray(arr[:, :2], dtype=np.float64)]), off + 8 * dim * npts
+    if base == POLYGON:
+        (nrings,) = _U32.unpack_from(buf, off); off += 4
+        rings = []
+        for _ in range(nrings):
+            (npts,) = _U32.unpack_from(buf, off); off += 4
+            arr = np.frombuffer(buf, dtype="<f8", count=npts * dim, offset=off).reshape(npts, dim)
+            rings.append(np.ascontiguousarray(arr[:, :2], dtype=np.float64))
+            off += 8 * dim * npts
+        return Geom(POLYGON, rings), off
+    if base in (MULTIPOINT, MULTILINESTRING, MULTIPOLYGON, GEOMETRYCOLLECTION):
+        (nparts,) = _U32.unpack_from(buf, off); off += 4
+        parts = []
+        for _ in range(nparts):
+            g, off = _decode_at(buf, off)
+            parts.append(g)
+        return Geom(base, parts=parts), off
+    raise ValueError(f"unsupported WKB type {wkb_type}")
+
+
+# ---------------------------------------------------------------------------
+# encode
+# ---------------------------------------------------------------------------
+
+def encode(g: Geom) -> bytes:
+    out = bytearray()
+    _encode_into(g, out)
+    return bytes(out)
+
+
+def _encode_into(g: Geom, out: bytearray):
+    out += _HDR.pack(1, g.gtype)
+    if g.gtype == POINT:
+        out += _PT.pack(float(g.rings[0][0, 0]), float(g.rings[0][0, 1]))
+    elif g.gtype == LINESTRING:
+        arr = np.ascontiguousarray(g.rings[0], dtype="<f8")
+        out += _U32.pack(len(arr))
+        out += arr.tobytes()
+    elif g.gtype == POLYGON:
+        out += _U32.pack(len(g.rings))
+        for r in g.rings:
+            arr = np.ascontiguousarray(r, dtype="<f8")
+            out += _U32.pack(len(arr))
+            out += arr.tobytes()
+    else:
+        out += _U32.pack(len(g.parts))
+        for p in g.parts:
+            _encode_into(p, out)
+
+
+# -- constructors -----------------------------------------------------------
+
+def point(x: float, y: float) -> bytes:
+    return encode(Geom(POINT, [np.array([[x, y]], dtype=np.float64)]))
+
+
+def linestring(coords) -> bytes:
+    return encode(Geom(LINESTRING, [np.asarray(coords, dtype=np.float64)]))
+
+
+def polygon(exterior, holes=()) -> bytes:
+    rings = [_close_ring(np.asarray(exterior, dtype=np.float64))]
+    rings += [_close_ring(np.asarray(h, dtype=np.float64)) for h in holes]
+    return encode(Geom(POLYGON, rings))
+
+
+def box(xmin, ymin, xmax, ymax) -> bytes:
+    return polygon([(xmin, ymin), (xmax, ymin), (xmax, ymax), (xmin, ymax), (xmin, ymin)])
+
+
+def multipolygon(polys) -> bytes:
+    parts = [decode(p) if isinstance(p, (bytes, bytearray)) else
+             Geom(POLYGON, [_close_ring(np.asarray(r, dtype=np.float64)) for r in p])
+             for p in polys]
+    return encode(Geom(MULTIPOLYGON, parts=parts))
+
+
+def _close_ring(r: np.ndarray) -> np.ndarray:
+    if len(r) and not np.array_equal(r[0], r[-1]):
+        r = np.vstack([r, r[:1]])
+    return r
+
+
+# -- WKT (tests / debugging, matching ogrgeometry.cpp:1983 exportToWkt) -----
+
+def to_wkt(buf: bytes, ndigits: int = 8) -> str:
+    g = decode(buf)
+    return _wkt(g, ndigits)
+
+
+def _fmt(v, nd):
+    s = f"{v:.{nd}f}".rstrip("0").rstrip(".")
+    return s if s not in ("-0", "") else "0"
+
+
+def _coords_wkt(arr, nd):
+    return ",".join(f"{_fmt(x, nd)} {_fmt(y, nd)}" for x, y in arr)
+
+
+def _wkt(g: Geom, nd) -> str:
+    t = TYPE_NAMES[g.gtype]
+    if g.gtype == POINT:
+        return f"POINT ({_coords_wkt(g.rings[0], nd)})"
+    if g.gtype == LINESTRING:
+        return f"LINESTRING ({_coords_wkt(g.rings[0], nd)})"
+    if g.gtype == POLYGON:
+        inner = ",".join(f"({_coords_wkt(r, nd)})" for r in g.rings)
+        return f"POLYGON ({inner})"
+    if g.gtype == GEOMETRYCOLLECTION:
+        return f"GEOMETRYCOLLECTION ({','.join(_wkt(p, nd) for p in g.parts)})"
+    bodies = []
+    for p in g.parts:
+        b = _wkt(p, nd)
+        bodies.append(b[b.index("("):])
+    return f"{t} ({','.join(bodies)})"
+
+
+def from_wkt(wkt: str) -> bytes:
+    """Parse a (simple, 2-D) WKT string. Test/fixture helper."""
+    wkt = wkt.strip()
+    name = wkt.split("(", 1)[0].strip().upper().replace(" Z", "")
+    body = wkt[wkt.index("("):] if "(" in wkt else "EMPTY"
+    inv = {v: k for k, v in TYPE_NAMES.items()}
+    t = inv[name]
+    toks = _parse_nested(body)
+    if t == POINT:
+        return encode(Geom(POINT, [np.asarray(toks, dtype=np.float64).reshape(1, 2)]))
+    if t == LINESTRING:
+        return encode(Geom(LINESTRING, [np.asarray(toks, dtype=np.float64)]))
+    if t == POLYGON:
+        return encode(Geom(POLYGON, [np.asarray(r, dtype=np.float64) for r in toks]))
+    if t == MULTIPOINT:
+        pts = [Geom(POINT, [np.asarray(p, dtype=np.float64).reshape(1, 2)])
+               for p in (toks if isinstance(toks[0][0], (list, tuple)) is False else toks)]
+        return encode(Geom(MULTIPOINT, parts=pts))
+    if t == MULTILINESTRING:
+        parts = [Geom(LINESTRING, [np.asarray(ls, dtype=np.float64)]) for ls in toks]
+        return encode(Geom(MULTILINESTRING, parts=parts))
+    if t == MULTIPOLYGON:
+        parts = [Geom(POLYGON, [np.asarray(r, dtype=np.float64) for r in poly]) for poly in toks]
+        return encode(Geom(MULTIPOLYGON, parts=parts))
+    raise ValueError(f"from_wkt: unsupported {name}")
+
+
+def _parse_nested(s: str):
+    """Parse nested parenthesized coordinate lists into nested python lists."""
+    s = s.strip()
+    if not s.startswith("("):
+        raise ValueError(s)
+    stack = [[]]
+    i = 0
+    n = len(s)
+    while i < n:
+        ch = s[i]
+        if ch == "(":
+            stack.append([])
+            i += 1
+        elif ch == ")":
+            done = stack.pop()
+            stack[-1].append(done)
+            i += 1
+        elif ch == ",":
+            i += 1
+        else:
+            j = i
+            while j < n and s[j] not in "(),":
+                j += 1
+            coord = [float(v) for v in s[i:j].split()]
+            stack[-1].append(tuple(coord))
+            i = j
+    result = stack[0][0]
+    return result

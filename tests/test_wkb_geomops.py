@@ -1,0 +1,149 @@
+"""WKB codec round-trips + geometry-kernel unit tests.
+
+WKT cases follow the shape of the reference's ogr_geom.py / ogr_geos.py
+suites (area/centroid/contains/intersects/distance on small fixtures)."""
+
+import numpy as np
+import pytest
+
+from gdal_spark.core import geomops as G
+from gdal_spark.core import wkb
+
+
+def test_wkb_point_roundtrip():
+    b = wkb.point(1.5, -2.25)
+    g = wkb.decode(b)
+    assert g.gtype == wkb.POINT
+    assert g.rings[0].tolist() == [[1.5, -2.25]]
+    assert wkb.encode(g) == b
+
+
+def test_wkt_roundtrip():
+    cases = [
+        "POINT (1 2)",
+        "LINESTRING (0 0,1 1,2 0)",
+        "POLYGON ((0 0,10 0,10 10,0 10,0 0))",
+        "POLYGON ((0 0,10 0,10 10,0 10,0 0),(2 2,4 2,4 4,2 4,2 2))",
+        "MULTIPOLYGON (((0 0,1 0,1 1,0 1,0 0)),((5 5,6 5,6 6,5 6,5 5)))",
+        "MULTILINESTRING ((0 0,1 1),(2 2,3 3))",
+    ]
+    for w in cases:
+        b = wkb.from_wkt(w)
+        assert wkb.to_wkt(b) == w
+
+
+def test_area_with_hole():
+    b = wkb.from_wkt("POLYGON ((0 0,10 0,10 10,0 10,0 0),(2 2,4 2,4 4,2 4,2 2))")
+    assert G.geom_area(wkb.decode(b)) == pytest.approx(100 - 4)
+
+
+def test_length():
+    b = wkb.from_wkt("LINESTRING (0 0,3 4)")
+    assert G.geom_length(wkb.decode(b)) == pytest.approx(5.0)
+
+
+def test_centroid_square():
+    b = wkb.from_wkt("POLYGON ((0 0,2 0,2 2,0 2,0 0))")
+    cx, cy = G.geom_centroid(wkb.decode(b))
+    assert (cx, cy) == (pytest.approx(1.0), pytest.approx(1.0))
+
+
+def test_pip_basic():
+    ring = np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]], dtype=float)
+    px = np.array([5.0, 15.0, -1.0, 9.99])
+    py = np.array([5.0, 5.0, 5.0, 9.99])
+    res = G.points_in_ring(px, py, ring)
+    assert res.tolist() == [True, False, False, True]
+
+
+def test_pip_hole():
+    rings = [np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]], dtype=float),
+             np.array([[2, 2], [4, 2], [4, 4], [2, 4], [2, 2]], dtype=float)]
+    res = G.points_in_polygon([3.0, 5.0], [3.0, 5.0], rings)
+    assert res.tolist() == [False, True]
+
+
+def test_pip_concave():
+    # concave "L" polygon
+    ring = np.array([[0, 0], [4, 0], [4, 1], [1, 1], [1, 4], [0, 4], [0, 0]], dtype=float)
+    res = G.points_in_ring(np.array([0.5, 2.0, 2.0]), np.array([2.0, 0.5, 2.0]), ring)
+    assert res.tolist() == [True, True, False]
+
+
+def test_intersects_polygons():
+    a = wkb.decode(wkb.from_wkt("POLYGON ((0 0,5 0,5 5,0 5,0 0))"))
+    b = wkb.decode(wkb.from_wkt("POLYGON ((4 4,8 4,8 8,4 8,4 4))"))
+    c = wkb.decode(wkb.from_wkt("POLYGON ((6 0,8 0,8 2,6 2,6 0))"))
+    inner = wkb.decode(wkb.from_wkt("POLYGON ((1 1,2 1,2 2,1 2,1 1))"))
+    assert G.geom_intersects(a, b)
+    assert not G.geom_intersects(a, c)
+    assert G.geom_intersects(a, inner)  # containment, no edge crossing
+    assert G.geom_contains(a, inner)
+    assert G.geom_within(inner, a)
+    assert not G.geom_contains(a, b)
+
+
+def test_intersects_point_poly_line():
+    poly = wkb.decode(wkb.from_wkt("POLYGON ((0 0,5 0,5 5,0 5,0 0))"))
+    pt_in = wkb.decode(wkb.from_wkt("POINT (1 1)"))
+    pt_out = wkb.decode(wkb.from_wkt("POINT (9 9)"))
+    line_cross = wkb.decode(wkb.from_wkt("LINESTRING (-1 2,6 2)"))
+    line_out = wkb.decode(wkb.from_wkt("LINESTRING (6 6,9 9)"))
+    assert G.geom_intersects(poly, pt_in)
+    assert not G.geom_intersects(poly, pt_out)
+    assert G.geom_intersects(poly, line_cross)
+    assert not G.geom_intersects(poly, line_out)
+    assert G.geom_contains(poly, pt_in)
+
+
+def test_distance():
+    a = wkb.decode(wkb.from_wkt("POINT (0 0)"))
+    b = wkb.decode(wkb.from_wkt("POINT (3 4)"))
+    assert G.geom_distance(a, b) == pytest.approx(5.0)
+    poly = wkb.decode(wkb.from_wkt("POLYGON ((2 0,4 0,4 2,2 2,2 0))"))
+    assert G.geom_distance(a, poly) == pytest.approx(2.0)
+    assert G.geom_distance(b, poly) == pytest.approx(2.0)  # (3,4) above edge y=2
+
+
+def test_clip_rect():
+    g = wkb.decode(wkb.from_wkt("POLYGON ((0 0,10 0,10 10,0 10,0 0))"))
+    c = G.clip_geom_rect(g, 5, 5, 15, 15)
+    assert c is not None
+    assert G.geom_area(c) == pytest.approx(25.0)
+    assert G.clip_geom_rect(g, 20, 20, 30, 30) is None
+
+
+def test_simplify():
+    r = np.array([[0, 0], [1, 0.01], [2, 0], [3, 0.01], [4, 0]], dtype=float)
+    s = G.simplify_ring(r, 0.1)
+    assert len(s) == 2
+    s2 = G.simplify_ring(r, 0.001)
+    assert len(s2) == 5
+
+
+def test_convex_hull():
+    pts = np.array([[0, 0], [2, 0], [2, 2], [0, 2], [1, 1], [0.5, 0.5]], dtype=float)
+    h = G.convex_hull(pts)
+    assert abs(G.ring_area(h)) == pytest.approx(4.0)
+
+
+def test_envelopes_batch():
+    wkbs = [wkb.from_wkt("POLYGON ((0 0,4 0,4 2,0 2,0 0))"), None, wkb.point(7, 8)]
+    e = G.envelopes(wkbs)
+    assert e[0].tolist() == [0, 0, 4, 2]
+    assert np.isnan(e[1]).all()
+    assert e[2].tolist() == [7, 8, 7, 8]
+
+
+def test_buffer_point_area():
+    ring = G.buffer_point(0, 0, 1.0)
+    # area of 120-gon approximates pi
+    assert abs(G.ring_area(ring)) == pytest.approx(np.pi, rel=1e-3)
+
+
+def test_segmentize():
+    r = np.array([[0, 0], [10, 0]], dtype=float)
+    s = G.segmentize_ring(r, 3.0)
+    assert len(s) == 5
+    d = np.hypot(*np.diff(s, axis=0).T)
+    assert (d <= 3.0 + 1e-9).all()
