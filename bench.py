@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+`value` = total wall seconds over the headline set (lower is better).
+Also reports pages/sec for the flagship spatial join (the north-star
+throughput metric) inside the JSON payload.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from gdal_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "pip_grid",          # flagship: spatial join via cell cover + exact PIP
+    "pip_convex",
+    "tile_assign",
+    "rasterize_z1",
+    "knn_centroids",
+    "dwithin",
+    "minhash_band",
+    "simhash",
+    "dedup_exact",
+    "ann_topk",
+    "extract_text",
+    "ogr_groupby_pricing",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark = get_spark("gdal-spark-bench", cores=cores)
+
+    from gdal_spark.queries import Q
+    n_pages = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+
+    times = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        df = Q[name](spark, sf_dir)
+        n = df.count()  # force full execution
+        times[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(times.values()), 3)
+    flagship = times["pip_grid"]
+    print(json.dumps({
+        "metric": "headline-suite wall time (12 queries: spatial join, "
+                  "tiling, rasterize, knn, dedup, minhash, simhash, ann, "
+                  "extract, relational agg)",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "pages": n_pages,
+        "pip_pages_per_sec": round(n_pages / flagship, 1) if flagship else None,
+        "cores": cores,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -283,6 +283,31 @@ def mercator_tile_sql(lon_expr: str, lat_expr: str, zoom: int):
     return tx, ty
 
 
+def mercator_pixel_cols(lon_col, lat_col, zoom):
+    """(gpx, gpy) global integer pixel Columns at `zoom`, XYZ orientation
+    (y down from the top), 256 px tiles. gpx in [0, 256*2^zoom)."""
+    from pyspark.sql import functions as F
+    mx, my = mercator_meters_cols(lon_col, lat_col)
+    res = resolution(zoom)
+    world = TILE_SIZE * (2 ** zoom)
+    gpx = F.floor((mx + ORIGIN_SHIFT) / res)
+    gpy = F.lit(world - 1) - F.floor((my + ORIGIN_SHIFT) / res)
+    return gpx, gpy
+
+
+def mercator_pixel_sql(lon_expr: str, lat_expr: str, zoom: int):
+    """DuckDB twin of mercator_pixel_cols."""
+    res = resolution(zoom)
+    world = TILE_SIZE * (2 ** zoom)
+    mx = f"(({lon_expr}) * {ORIGIN_SHIFT!r} / 180.0)"
+    my = (f"(ln(tan((90.0 + ({lat_expr})) * pi() / 360.0)) / (pi() / 180.0)"
+          f" * {ORIGIN_SHIFT!r} / 180.0)")
+    gpx = f"CAST(floor(({mx} + {ORIGIN_SHIFT!r}) / {res!r}) AS BIGINT)"
+    gpy = (f"({world - 1} - CAST(floor(({my} + {ORIGIN_SHIFT!r}) / {res!r})"
+           f" AS BIGINT))")
+    return gpx, gpy
+
+
 def cell_id_col(tx_col, ty_col, zoom):
     """int64 cell id Column = (zoom<<58) | morton(tx,ty) via bit ops only.
 

@@ -1,0 +1,102 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the correctness baseline, plus an LSH
+(random-hyperplane / SimHash-for-vectors) bucketing as the scale path:
+at 100 TB the brute-force cross join is O(Q*N) — LSH buckets turn it into an
+equi-join on bucket id, shuffling each side once; brute force remains the
+in-bucket refinement.
+
+All arithmetic is built-in column math (zip_with/aggregate fold — JVM-side,
+deterministic left-to-right summation so the DuckDB oracle matches).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+N_HYPERPLANES = 8
+EMBED_DIM = 64
+
+
+def as_double(col) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product — same association as the oracle's
+    list_dot_product."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def brute_topk(emb: DataFrame, n_queries: int = 10, k: int = 3) -> DataFrame:
+    """Top-k cosine neighbors for the first `n_queries` vectors.
+
+    Queries are broadcast (small side); ranking is a bounded per-key top-k
+    (Catalyst plans WindowExec after a hash repartition on q_id — with
+    broadcast queries the big side is scanned exactly once).
+    """
+    e = emb.select("vec_id", as_double("embedding").alias("v"))
+    q = (e.where(F.col("vec_id") < n_queries)
+         .select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv")))
+    pairs = (e.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+             .withColumn("cos", cosine(F.col("qv"), F.col("v"))))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(),
+                                           F.col("vec_id").asc())
+    return (pairs.withColumn("rank", F.row_number().over(w).cast("int"))
+            .where(F.col("rank") <= k)
+            .select("q_id", "rank", "vec_id"))
+
+
+def hyperplanes(n: int = N_HYPERPLANES, dim: int = EMBED_DIM) -> np.ndarray:
+    """Deterministic random hyperplanes, rounded so their decimal literals
+    round-trip identically in every engine."""
+    rng = np.random.RandomState(7)
+    return rng.normal(size=(n, dim)).round(6)
+
+
+def lsh_bucket_col(vec: Column, planes: np.ndarray) -> Column:
+    """Integer LSH bucket: bit i = sign(dot(v, plane_i))."""
+    bucket = F.lit(0)
+    for i, p in enumerate(planes):
+        lit = F.array(*[F.lit(float(x)) for x in p])
+        bucket = bucket + F.when(dot(vec, lit) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket.cast("int")
+
+
+def lsh_histogram(emb: DataFrame) -> DataFrame:
+    """(bucket, n) — occupancy of the hyperplane-LSH buckets."""
+    e = emb.select(as_double("embedding").alias("v"))
+    planes = hyperplanes()
+    return (e.select(lsh_bucket_col(F.col("v"), planes).alias("bucket"))
+            .groupBy("bucket").agg(F.count("*").alias("n")))
+
+
+def lsh_topk(emb: DataFrame, n_queries: int = 10, k: int = 3) -> DataFrame:
+    """ANN via LSH bucket equi-join + in-bucket exact cosine re-rank.
+
+    The scale path: no cross join — candidates are rows sharing the query's
+    bucket. Recall < 1 by construction (documented); increase bands or probe
+    neighboring buckets (Hamming distance 1) to raise recall.
+    """
+    planes = hyperplanes()
+    e = emb.select("vec_id", as_double("embedding").alias("v"))
+    e = e.withColumn("bucket", lsh_bucket_col(F.col("v"), planes))
+    q = (e.where(F.col("vec_id") < n_queries)
+         .select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
+                 F.col("bucket")))
+    pairs = (e.join(F.broadcast(q), "bucket")
+             .where(F.col("vec_id") != F.col("q_id"))
+             .withColumn("cos", cosine(F.col("qv"), F.col("v"))))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(),
+                                           F.col("vec_id").asc())
+    return (pairs.withColumn("rank", F.row_number().over(w).cast("int"))
+            .where(F.col("rank") <= k)
+            .select("q_id", "rank", "vec_id"))

@@ -1,0 +1,165 @@
+"""Training-data text operators over the documents/pages tables.
+
+All pure built-in column expressions (whole-stage codegen; zero Python in the
+hot path) — deduplication fingerprints, MinHash/LSH, SimHash, n-gram Jaccard,
+token/quality stats, language-ID heuristic, rolling-hash fingerprints.
+
+Scale notes (100 TB):
+  * every op here is map-side until its final groupBy — shingle explosion is
+    a flatMap fused into the scan, and the MinHash groupBy is a partial-agg
+    (min/sum combine map-side) so the shuffle carries one row per document,
+    not one per shingle;
+  * hashing uses md5 (deterministic, engine-portable) — fingerprints computed
+    here are reproducible in any ANSI SQL engine, which is what the DuckDB
+    oracle checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MINHASH_PERMS = 4
+SHINGLE_K = 3
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+# language marker words for the n-gram/stopword language-ID heuristic
+LANG_MARKERS = {
+    "en": ("the", "a", "of"),
+    "de": ("der", "die", "und"),
+    "fr": ("le", "la", "et"),
+    "es": ("el", "la", "y"),
+    "zh": ("de", "le", "he"),
+}
+
+
+def words_col(text="text"):
+    return F.split(F.col(text), " ")
+
+
+def exact_fingerprint(docs: DataFrame) -> DataFrame:
+    """Exact-dup fingerprint groups: md5 of full text (hash-groupBy dedup)."""
+    return (docs.select(F.md5(F.col("text")).alias("fp"), "doc_id")
+            .groupBy("fp")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.min("doc_id").alias("keeper")))
+
+
+def norm_fingerprint(docs: DataFrame) -> DataFrame:
+    """Near-dup fingerprint on a normalized prefix (cheap canonicalization)."""
+    norm = F.md5(F.substring(F.lower(F.col("text")), 1, 40))
+    return (docs.select(norm.alias("fp"), "doc_id")
+            .groupBy("fp")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.min("doc_id").alias("keeper")))
+
+
+def shingles(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
+    """(doc_id, sh) — word k-shingles. flatMap fused into the scan."""
+    d = docs.select("doc_id", words_col().alias("ws")).where(F.size("ws") >= k)
+    i = F.explode(F.sequence(F.lit(1), F.size("ws") - (k - 1))).alias("i")
+    d = d.select("doc_id", "ws", i)
+    parts = [F.element_at("ws", F.col("i") + j) for j in range(k)]
+    return d.select("doc_id", F.concat_ws(" ", *parts).alias("sh"))
+
+
+def minhash_bands(docs: DataFrame, perms: int = MINHASH_PERMS) -> DataFrame:
+    """(doc_id, band) — MinHash signature folded into one LSH band key.
+
+    Permutation j = md5("{j}:" + shingle); signature = min per doc;
+    band = md5(sig_0 | ... | sig_{p-1}). Docs sharing the band are near-dup
+    candidates. The groupBy is partial-aggregated (min combines map-side).
+    """
+    sh = shingles(docs)
+    sigs = sh.groupBy("doc_id").agg(*[
+        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("sh")))).alias(f"sig{j}")
+        for j in range(perms)])
+    band = F.md5(F.concat_ws("|", *[f"sig{j}" for j in range(perms)]))
+    return sigs.select("doc_id", band.alias("band"))
+
+
+def minhash_clusters(docs: DataFrame) -> DataFrame:
+    return (minhash_bands(docs).groupBy("band")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.min("doc_id").alias("keeper")))
+
+
+def simhash16(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash) — 16-bit SimHash over word hashes (majority vote per
+    bit). h(word) = first 16 bits of md5; bit b of the fingerprint is set when
+    sum over words of (bit_b(h) ? +1 : -1) > 0."""
+    w = docs.select("doc_id", F.explode(words_col()).alias("w"))
+    h = F.conv(F.substring(F.md5("w"), 1, 4), 16, 10).cast("long")
+    w = w.select("doc_id", h.alias("h"))
+    aggs = [F.sum((F.shiftright("h", b).bitwiseAND(F.lit(1))) * 2 - 1).alias(f"s{b}")
+            for b in range(16)]
+    s = w.groupBy("doc_id").agg(*aggs)
+    fp = None
+    for b in range(16):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return s.select("doc_id", fp.cast("long").alias("simhash"))
+
+
+def consecutive_jaccard(docs: DataFrame) -> DataFrame:
+    """(doc_id, jacc) — word-set Jaccard of doc i vs doc i+1 (rounded 6dp).
+
+    The self-join is an equi-join on doc_id (shuffle-free if the source is
+    bucketed by doc_id; partial-agg distinct counts otherwise)."""
+    w = docs.select("doc_id",
+                    F.explode(F.array_distinct(words_col())).alias("w"))
+    sizes = w.groupBy("doc_id").agg(F.count("*").cast("long").alias("nd"))
+    nxt = w.select((F.col("doc_id") - 1).alias("doc_id"), "w")
+    inter = (w.join(nxt, ["doc_id", "w"]).groupBy("doc_id")
+             .agg(F.count("*").cast("long").alias("ni")))
+    a = sizes.alias("a")
+    b = sizes.select((F.col("doc_id") - 1).alias("doc_id"),
+                     F.col("nd").alias("nd_b"))
+    j = (a.join(b, "doc_id").join(inter, "doc_id", "left")
+         .withColumn("ni", F.coalesce("ni", F.lit(0))))
+    jacc = F.round(F.col("ni").cast("double")
+                   / (F.col("nd") + F.col("nd_b") - F.col("ni")), 6)
+    return j.select("doc_id", jacc.alias("jacc"))
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Per-doc token count, char count, mean token length, stopword ratio."""
+    ws = words_col()
+    n_tok = F.size(ws).cast("long")
+    stop = F.size(F.filter(ws, lambda w: w.isin(*STOPWORDS))).cast("long")
+    avg_wlen = F.round((F.length("text") - (n_tok - 1)).cast("double") / n_tok, 6)
+    return docs.select(
+        "doc_id", n_tok.alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_t"),
+        avg_wlen.alias("avg_wlen"),
+        stop.alias("n_stop"),
+        F.round(stop.cast("double") / n_tok, 6).alias("stop_ratio"))
+
+
+def langid(docs: DataFrame) -> DataFrame:
+    """Marker-word language scores -> predicted lang; confusion counts vs the
+    labeled `lang` column."""
+    def _score(markers):
+        # NB: the filter lambda must be unary — PySpark treats a second
+        # parameter as the element index.
+        return F.size(F.filter(words_col(), lambda w: w.isin(*markers)))
+
+    scores = {lang: _score(markers) for lang, markers in LANG_MARKERS.items()}
+    langs = sorted(LANG_MARKERS)  # deterministic tie-break: alphabetical
+    pred = F.lit(langs[0])
+    best = scores[langs[0]]
+    for lang in langs[1:]:
+        pred = F.when(scores[lang] > best, F.lit(lang)).otherwise(pred)
+        best = F.when(scores[lang] > best, scores[lang]).otherwise(best)
+    d = docs.select("lang", pred.alias("pred"))
+    return d.groupBy("lang", "pred").agg(F.count("*").cast("long").alias("n"))
+
+
+def rolling_fingerprint(docs: DataFrame) -> DataFrame:
+    """(doc_id, fp) — position-weighted polynomial rolling hash mod p."""
+    P = 1000000007
+    w = docs.select("doc_id", F.posexplode(words_col()).alias("pos", "w"))
+    h = F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long") % P
+    term = ((F.col("pos") + 1) * h) % P
+    return (w.select("doc_id", term.alias("t"))
+            .groupBy("doc_id").agg((F.sum("t") % P).alias("fp")))

@@ -1,0 +1,724 @@
+"""Query registry: every implemented operator as (Spark callable, DuckDB oracle).
+
+Each entry is one row of SURVEY.md §2's operator inventory re-expressed
+Spark-first, paired with an independent ANSI-SQL formulation DuckDB runs on
+the same parquet tables. The driver compares row count + schema + value hash,
+so every computed column is aliased identically on both sides and every
+floating aggregate goes through the same deterministic arithmetic
+(decimal-exact sums, fixed association, explicit ROUND).
+
+Naming: q_* functions take (spark, sf_dir) and return a DataFrame.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import datagen
+from .core import tilemath
+from .functions import st
+from .operators import simsearch, spatial_join, textops
+
+Q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def _reg(name: str, sql: str | None = None):
+    def deco(fn):
+        Q[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+    return deco
+
+
+def _t(spark, sf_dir, name):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# -- deterministic decimal aggregation helpers (Spark side) -------------------
+
+def _dsum(col, scale=2):
+    """Exact decimal sum then round→double; twin of
+    CAST(ROUND(SUM(CAST(x AS DECIMAL(18,4))), s) AS DOUBLE)."""
+    return F.round(F.sum(col.cast("decimal(18,4)")), scale).cast("double")
+
+
+def _davg(col, scale=6):
+    return F.round(F.sum(col.cast("decimal(18,4)")).cast("double")
+                   / F.count(col), scale)
+
+
+# =============================================================================
+# §2.5 aggregations — OGR SQL SUMMARY_RECORD (whole table -> one row)
+# =============================================================================
+
+@_reg("ogr_summary", """
+SELECT CAST(count(*) AS BIGINT)                       AS cnt,
+       CAST(count(DISTINCT l_returnflag) AS BIGINT)   AS n_flags,
+       min(l_quantity)                                AS min_qty,
+       max(l_quantity)                                AS max_qty,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+             / count(l_quantity), 6)                  AS avg_qty,
+       ROUND(sqrt((CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))
+                            * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                   - (CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                      * CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE))
+                     / count(*))
+                  / (count(*) - 1)), 6)               AS std_qty
+FROM lineitem
+""")
+def q_ogr_summary(spark, sf_dir):
+    """OGR aggregate-to-one-summary-record (SWQM_SUMMARY_RECORD,
+    ogr_swq.h:315): COUNT/COUNT DISTINCT/MIN/MAX/SUM/AVG/STDDEV_SAMP.
+    Kahan-compensated SUM (ogr_swq.h:367-372) matched via exact decimal."""
+    li = _t(spark, sf_dir, "lineitem")
+    qd = F.col("l_quantity").cast("decimal(18,4)")
+    s1 = F.sum(qd).cast("double")
+    s2 = F.sum(qd * qd).cast("double")
+    n = F.count("*")
+    return li.agg(
+        F.count("*").alias("cnt"),
+        F.countDistinct("l_returnflag").alias("n_flags"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        _dsum(F.col("l_quantity")).alias("sum_qty"),
+        _davg(F.col("l_quantity")).alias("avg_qty"),
+        F.round(F.sqrt((s2 - s1 * s1 / n) / (n - F.lit(1))), 6).alias("std_qty"),
+    )
+
+
+@_reg("ogr_groupby_pricing", """
+SELECT l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT) AS cnt,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                      * (CAST(1 AS DECIMAL(18,4))
+                         - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+           AS sum_disc_price,
+       ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
+             / count(l_discount), 6) AS avg_disc
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""")
+def q_ogr_groupby_pricing(spark, sf_dir):
+    """TPC-H-q1-shaped grouped aggregation (beyond OGR, which lacks GROUP BY —
+    SURVEY.md §2.5 'grouping sets: none'; Spark built-in)."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc = (F.col("l_extendedprice").cast("decimal(18,4)")
+            * (F.lit(1).cast("decimal(18,4)")
+               - F.col("l_discount").cast("decimal(18,4)")))
+    return (li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.count("*").alias("cnt"),
+                 _dsum(F.col("l_quantity")).alias("sum_qty"),
+                 F.round(F.sum(disc), 2).cast("double").alias("sum_disc_price"),
+                 _davg(F.col("l_discount")).alias("avg_disc")))
+
+
+# =============================================================================
+# §2.2 filters / predicates, §2.7 sort/limit/union, §2.8 scalar functions
+# =============================================================================
+
+@_reg("ogr_filter_predicates", """
+SELECT o_orderkey, o_totalprice, o_orderpriority
+FROM orders
+WHERE o_orderstatus IN ('O', 'F')
+  AND o_totalprice BETWEEN 1000.0 AND 50000.0
+  AND o_orderpriority LIKE '1%'
+""")
+def q_ogr_filter_predicates(spark, sf_dir):
+    """WHERE with IN / BETWEEN / LIKE (swq_op_general.cpp:432-470, :1089-1127).
+    Catalyst pushes all three to the parquet scan (PushedFilters)."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.where(F.col("o_orderstatus").isin("O", "F")
+                    & F.col("o_totalprice").between(1000.0, 50000.0)
+                    & F.col("o_orderpriority").like("1%"))
+            .select("o_orderkey", "o_totalprice", "o_orderpriority"))
+
+
+@_reg("ogr_distinct", """
+SELECT DISTINCT lang, source FROM documents
+""")
+def q_ogr_distinct(spark, sf_dir):
+    """SELECT DISTINCT (SWQM_DISTINCT_LIST, ogr_swq.h:317)."""
+    return _t(spark, sf_dir, "documents").select("lang", "source").distinct()
+
+
+@_reg("ogr_orderby_limit", """
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+LIMIT 100 OFFSET 10
+""")
+def q_ogr_orderby_limit(spark, sf_dir):
+    """ORDER BY multi-key + LIMIT/OFFSET (ogr_gensql.cpp:2192-2435, :1864-1874).
+    Catalyst plans TakeOrderedAndProject — no full sort materialization."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+            .orderBy(F.col("l_extendedprice").desc(), F.col("l_orderkey").asc(),
+                     F.col("l_linenumber").asc())
+            .offset(10).limit(100))
+
+
+@_reg("ogr_union_all", """
+SELECT 'hi' AS grp, o_orderkey AS key, o_totalprice AS val
+FROM orders WHERE o_totalprice > 40000.0
+UNION ALL
+SELECT 'lo' AS grp, o_orderkey AS key, o_totalprice AS val
+FROM orders WHERE o_totalprice < 1500.0
+""")
+def q_ogr_union_all(spark, sf_dir):
+    """UNION ALL -> OGRUnionLayer (swq_parser.y:622, gdaldataset.cpp:7009)."""
+    o = _t(spark, sf_dir, "orders")
+    hi = o.where(F.col("o_totalprice") > 40000.0).select(
+        F.lit("hi").alias("grp"), F.col("o_orderkey").alias("key"),
+        F.col("o_totalprice").alias("val"))
+    lo = o.where(F.col("o_totalprice") < 1500.0).select(
+        F.lit("lo").alias("grp"), F.col("o_orderkey").alias("key"),
+        F.col("o_totalprice").alias("val"))
+    return hi.unionAll(lo)
+
+
+@_reg("ogr_cast_substr", """
+SELECT n_nationkey, n_name, r_name,
+       CAST(n_nationkey AS VARCHAR)            AS key_str,
+       substr(n_name, 1, 5)                    AS name_c5,
+       substr(n_name, length(n_name) - 2, 3)   AS last3,
+       n_name || '_' || r_name                 AS label
+FROM nation JOIN region ON n_regionkey = r_regionkey
+""")
+def q_ogr_cast_substr(spark, sf_dir):
+    """CAST + CHARACTER(n) width truncation (swq_op_general.cpp:1819-1821),
+    SUBSTR negative-offset rule (:1152-1200, expressed as length-relative),
+    CONCAT (:1133-1151); broadcast equi-join on the dim table."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    j = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    return j.select(
+        "n_nationkey", "n_name", "r_name",
+        F.col("n_nationkey").cast("string").alias("key_str"),
+        F.substring("n_name", 1, 5).alias("name_c5"),
+        F.expr("substring(n_name, length(n_name) - 2, 3)").alias("last3"),
+        F.concat(F.col("n_name"), F.lit("_"), F.col("r_name")).alias("label"))
+
+
+@_reg("ogr_arith", """
+SELECT l_orderkey, l_linenumber,
+       CAST(l_quantity AS BIGINT)            AS qty_i,
+       CAST(l_quantity AS BIGINT) // 7       AS qdiv,
+       CAST(l_quantity AS BIGINT) % 7        AS qmod,
+       l_partkey * 3 - 1                     AS pk_expr
+FROM lineitem WHERE l_linenumber = 1
+""")
+def q_ogr_arith(spark, sf_dir):
+    """Arithmetic incl. truncating integer division (swq_op_general.cpp:474-540)."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_linenumber") == 1)
+    qi = F.col("l_quantity").cast("long")
+    return li.select(
+        "l_orderkey", "l_linenumber", qi.alias("qty_i"),
+        F.expr("div(CAST(l_quantity AS BIGINT), 7)").alias("qdiv"),
+        (qi % 7).alias("qmod"),
+        (F.col("l_partkey") * 3 - 1).alias("pk_expr"))
+
+
+# =============================================================================
+# §2.3 joins — first-match semantics + semi/anti
+# =============================================================================
+
+@_reg("ogr_join_first_match", """
+SELECT o.o_orderkey, o.o_totalprice, l.l_partkey, l.l_quantity, l.l_linenumber
+FROM orders o
+LEFT JOIN (
+  SELECT * FROM (
+    SELECT l_orderkey, l_partkey, l_quantity, l_linenumber,
+           row_number() OVER (PARTITION BY l_orderkey
+                              ORDER BY l_linenumber ASC, l_partkey ASC,
+                                       l_suppkey ASC) AS rn
+    FROM lineitem) WHERE rn = 1
+) l ON o.o_orderkey = l.l_orderkey
+""")
+def q_ogr_join_first_match(spark, sf_dir):
+    """OGR SQL JOIN keeps only the FIRST matching secondary row per primary
+    row (ogr_gensql.cpp:1505-1535); 'first' pinned to the full unique
+    secondary key (linenumber, partkey, suppkey) so it is deterministic."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_partkey", "l_quantity", "l_linenumber", "l_suppkey")
+    out = spatial_join.first_match_join(
+        o.select("o_orderkey", "o_totalprice"), li,
+        on="o_orderkey", order_col=["l_linenumber", "l_partkey", "l_suppkey"])
+    return out.select("o_orderkey", "o_totalprice", "l_partkey",
+                      "l_quantity", "l_linenumber")
+
+
+@_reg("ogr_semi_anti", """
+SELECT 'semi' AS mode, c_custkey AS key FROM customer
+ WHERE c_custkey IN (SELECT o_custkey FROM orders)
+UNION ALL
+SELECT 'anti' AS mode, c_custkey AS key FROM customer
+ WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
+""")
+def q_ogr_semi_anti(spark, sf_dir):
+    """left_semi / left_anti (the SQLITE dialect's IN (SELECT ...) forms,
+    ogrsqliteexecutesql.cpp)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    semi = c.join(o, "c_custkey", "left_semi").select(
+        F.lit("semi").alias("mode"), F.col("c_custkey").alias("key"))
+    anti = c.join(o, "c_custkey", "left_anti").select(
+        F.lit("anti").alias("mode"), F.col("c_custkey").alias("key"))
+    return semi.unionAll(anti)
+
+
+# =============================================================================
+# events: windowed aggregation + hstore/JSON property access (§2.8)
+# =============================================================================
+
+@_reg("events_window", """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_val
+FROM events
+GROUP BY 1, 2
+""")
+def q_events_window(spark, sf_dir):
+    """Tumbling 1h window aggregation over the event stream table (batch
+    form; the Structured Streaming twin shares this transformation)."""
+    e = _t(spark, sf_dir, "events")
+    return (e.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("win"),
+        "event_type")
+        .agg(F.count("*").alias("n"), _dsum(F.col("value")).alias("sum_val")))
+
+
+@_reg("events_props", """
+SELECT event_id, TRY_CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k_val
+FROM events
+""")
+def q_events_props(spark, sf_dir):
+    """Property-map access — hstore_get_value analog (ogr_swq.h:65,516-517)
+    over the JSON props column."""
+    e = _t(spark, sf_dir, "events")
+    return e.select("event_id",
+                    F.regexp_extract("props", '"k": (\\d+)', 1)
+                    .cast("long").alias("k_val"))
+
+
+# =============================================================================
+# spatial: tile assignment, PIP join, kNN, distance join, geometry measures
+# =============================================================================
+
+def _pts_cte():
+    return f"WITH pts AS ({datagen.POINTS_SQL})"
+
+
+@_reg("tile_assign", f"""
+{_pts_cte()},
+t AS (SELECT {tilemath.mercator_tile_sql('lon', 'lat', 6)[0]} AS tile_x,
+             {tilemath.mercator_tile_sql('lon', 'lat', 6)[1]} AS tile_y
+      FROM pts)
+SELECT tile_x, tile_y,
+       CAST(((tile_x >> 5) & 1) + 2 * ((tile_y >> 5) & 1) AS VARCHAR)
+    || CAST(((tile_x >> 4) & 1) + 2 * ((tile_y >> 4) & 1) AS VARCHAR)
+    || CAST(((tile_x >> 3) & 1) + 2 * ((tile_y >> 3) & 1) AS VARCHAR)
+    || CAST(((tile_x >> 2) & 1) + 2 * ((tile_y >> 2) & 1) AS VARCHAR)
+    || CAST(((tile_x >> 1) & 1) + 2 * ((tile_y >> 1) & 1) AS VARCHAR)
+    || CAST(((tile_x >> 0) & 1) + 2 * ((tile_y >> 0) & 1) AS VARCHAR) AS qk,
+       CAST(count(*) AS BIGINT) AS n_pages
+FROM t GROUP BY tile_x, tile_y
+""")
+def q_tile_assign(spark, sf_dir):
+    """Web-mercator XYZ tile assignment + quadkey (gdal2tiles.py:328-545
+    GlobalMercator / :524 QuadTree) as pure whole-stage-codegen column math."""
+    p = datagen.points(spark, sf_dir)
+    tx, ty = tilemath.mercator_tile_cols(F.col("lon"), F.col("lat"), 6)
+    p = p.select(tx.alias("tile_x"), ty.alias("tile_y"))
+    digits = [
+        ((F.shiftright("tile_x", b).bitwiseAND(F.lit(1)))
+         + (F.shiftright("tile_y", b).bitwiseAND(F.lit(1))) * 2).cast("string")
+        for b in range(5, -1, -1)]
+    return (p.groupBy("tile_x", "tile_y")
+            .agg(F.count("*").alias("n_pages"))
+            .select("tile_x", "tile_y", F.concat(*digits).alias("qk"), "n_pages"))
+
+
+@_reg("pip_grid", f"""
+{_pts_cte()}
+SELECT (CAST(floor((lon + 180.0) / 10.0) AS BIGINT) * {datagen.N_GRID_Y}
+        + CAST(floor((lat + 90.0) / 5.0) AS BIGINT)) AS region_id,
+       CAST(count(*) AS BIGINT) AS n_pages
+FROM pts GROUP BY 1
+""")
+def q_pip_grid(spark, sf_dir):
+    """FLAGSHIP: point-in-polygon join pages x admin grid via the full engine
+    path — cell-cover explode -> broadcast equi-join on cell -> exact ray-cast
+    PIP pandas UDF (OGR SetSpatialFilter+Within semantics,
+    ogrlayer.cpp:1750-1822, ogrgeometry.cpp:5842). The oracle derives the
+    region analytically — agreement validates cover, join and exact test."""
+    p = datagen.points(spark, sf_dir)
+    r = datagen.regions(spark).where(F.col("kind") == "grid") \
+        .select("region_id", "geom", "cells")
+    hits = spatial_join.pip_join(p, r, zoom=datagen.PIP_ZOOM)
+    return hits.groupBy("region_id").agg(F.count("*").alias("n_pages"))
+
+
+@_reg("pip_convex", f"""
+{_pts_cte()}
+SELECT region_id, n_pages FROM {datagen.convex_pip_oracle_sql('pts')} u
+WHERE n_pages > 0
+""")
+def q_pip_convex(spark, sf_dir):
+    """PIP against irregular convex polygons — Spark side ray-casts (even-odd),
+    oracle side uses half-plane conjunctions: two independent formulations."""
+    p = datagen.points(spark, sf_dir)
+    r = datagen.regions(spark).where(F.col("kind") == "convex") \
+        .select("region_id", "geom", "cells")
+    hits = spatial_join.pip_join(p, r, zoom=datagen.PIP_ZOOM)
+    return hits.groupBy("region_id").agg(F.count("*").alias("n_pages"))
+
+
+@_reg("knn_centroids", f"""
+{_pts_cte()},
+s AS (SELECT * FROM pts WHERE doc_id % 17 = 0),
+d AS (SELECT s.doc_id, CAST(c.region_id AS BIGINT) AS region_id,
+             sqrt((lon - cx) * (lon - cx) + (lat - cy) * (lat - cy)) AS dist
+      FROM s, {datagen.convex_centroids_values_sql()}),
+r AS (SELECT doc_id, region_id, dist,
+             CAST(row_number() OVER (PARTITION BY doc_id
+                  ORDER BY dist ASC, region_id ASC) AS INTEGER) AS rank
+      FROM d)
+SELECT doc_id, rank, region_id, ROUND(dist, 6) AS dist_r
+FROM r WHERE rank <= 3
+""")
+def q_knn_centroids(spark, sf_dir):
+    """kNN (k=3) to region centroids — broadcast + window top-k
+    (SURVEY.md §2.3 kNN row; reference has Distance ogrgeometry.cpp:3562
+    but no layer-level kNN operator)."""
+    p = datagen.points(spark, sf_dir).where(F.col("doc_id") % 17 == 0)
+    c = p.sparkSession.createDataFrame(datagen.convex_centroids_pdf())
+    out = spatial_join.knn_join(p, c, k=3, point_key="doc_id")
+    return out.select("doc_id", F.col("rank").cast("int").alias("rank"),
+                      "region_id", F.round("dist", 6).alias("dist_r"))
+
+
+@_reg("dwithin", f"""
+{_pts_cte()}
+SELECT CAST(c.region_id AS BIGINT) AS region_id, CAST(count(*) AS BIGINT) AS n_pages
+FROM pts, {datagen.convex_centroids_values_sql()}
+WHERE lon >= cx - 8.0 AND lon <= cx + 8.0
+  AND lat >= cy - 8.0 AND lat <= cy + 8.0
+  AND sqrt((lon - cx) * (lon - cx) + (lat - cy) * (lat - cy)) <= 8.0
+GROUP BY 1
+""")
+def q_dwithin(spark, sf_dir):
+    """Distance-within join (range join): bbox prefilter inside the broadcast
+    hash join condition + exact circle test (envelope-prefilter pattern of
+    ogrgeometry.cpp:585-592)."""
+    p = datagen.points(spark, sf_dir)
+    c = p.sparkSession.createDataFrame(datagen.convex_centroids_pdf())
+    out = spatial_join.distance_join(p, c, 8.0)
+    return out.groupBy("region_id").agg(F.count("*").alias("n_pages"))
+
+
+@_reg("st_measures_grid", f"""
+SELECT CAST(gx * {datagen.N_GRID_Y} + gy AS BIGINT) AS region_id,
+       CAST(50.0 AS DOUBLE)               AS area,
+       CAST(30.0 AS DOUBLE)               AS perim,
+       CAST(-175.0 + 10 * gx AS DOUBLE)   AS cx,
+       CAST(-87.5 + 5 * gy AS DOUBLE)     AS cy
+FROM range(36) a(gx), range(36) b(gy)
+""")
+def q_st_measures_grid(spark, sf_dir):
+    """ST_Area / ST_Length(perimeter) / ST_Centroid over WKB polygons via the
+    vectorized pUDF library (OGR_G_Area; Centroid ogrgeometry.cpp:6106) —
+    integer-coordinate grid makes the oracle analytic and exact."""
+    r = datagen.regions(spark).where(F.col("kind") == "grid")
+    return r.select(
+        "region_id",
+        st.st_area("geom").alias("area"),
+        st.st_length("geom").alias("perim"),
+        st.st_centroid_x("geom").alias("cx"),
+        st.st_centroid_y("geom").alias("cy"))
+
+
+# =============================================================================
+# raster: point rasterization (MERGE_ALG=ADD) + overview pyramid reduce
+# =============================================================================
+
+_GPX1, _GPY1 = tilemath.mercator_pixel_sql("lon", "lat", 1)
+
+
+@_reg("rasterize_z1", f"""
+{_pts_cte()},
+g AS (SELECT {_GPX1} AS gpx, {_GPY1} AS gpy FROM pts)
+SELECT (gpx >> 8) AS tile_x, (gpy >> 8) AS tile_y,
+       (gpx & 255) AS px, (gpy & 255) AS py,
+       CAST(count(*) AS BIGINT) AS burn
+FROM g GROUP BY 1, 2, 3, 4
+""")
+def q_rasterize_z1(spark, sf_dir):
+    """Rasterize points into the zoom-1 pixel grid, MERGE_ALG=ADD semantics
+    (gdalrasterize.cpp:743-781): burn = additive count per pixel; tiles are
+    256x256 XYZ. Pure column math -> groupBy: the Spark-native form of
+    'rasterize as groupBy-tile aggregation'."""
+    p = datagen.points(spark, sf_dir)
+    gpx, gpy = tilemath.mercator_pixel_cols(F.col("lon"), F.col("lat"), 1)
+    g = p.select(gpx.alias("gpx"), gpy.alias("gpy"))
+    return (g.select(
+        F.shiftright("gpx", 8).alias("tile_x"),
+        F.shiftright("gpy", 8).alias("tile_y"),
+        F.col("gpx").bitwiseAND(F.lit(255)).alias("px"),
+        F.col("gpy").bitwiseAND(F.lit(255)).alias("py"))
+        .groupBy("tile_x", "tile_y", "px", "py")
+        .agg(F.count("*").alias("burn")))
+
+
+@_reg("pyramid_z0", f"""
+{_pts_cte()},
+g AS (SELECT {_GPX1} AS gpx, {_GPY1} AS gpy FROM pts)
+SELECT (gpx >> 1) AS px0, (gpy >> 1) AS py0, CAST(count(*) AS BIGINT) AS burn
+FROM g GROUP BY 1, 2
+""")
+def q_pyramid_z0(spark, sf_dir):
+    """Overview pyramid: z0 tile from its 4 z1 children by 2x2 reduce
+    (gdal2tiles.py:1515 create_overview_tile; overview.cpp sum/average) —
+    expressed as a second groupBy over the rasterized table (the oracle
+    computes z0 directly; floor(floor(x)/2) == floor(x/2) makes them equal)."""
+    z1 = q_rasterize_z1(spark, sf_dir)
+    gpx1 = F.shiftleft("tile_x", 8) + F.col("px")
+    gpy1 = F.shiftleft("tile_y", 8) + F.col("py")
+    return (z1.select(F.shiftright(gpx1, 1).alias("px0"),
+                      F.shiftright(gpy1, 1).alias("py0"), "burn")
+            .groupBy("px0", "py0")
+            .agg(F.sum("burn").cast("long").alias("burn")))
+
+
+# =============================================================================
+# pages pipeline: extraction invariant + multimodal metadata
+# =============================================================================
+
+@_reg("extract_text", f"""
+WITH pg AS ({datagen.PAGES_SQL})
+SELECT url, md5(regexp_extract(html, '<p>(.*)</p>', 1)) AS text_md5 FROM pg
+""")
+def q_extract_text(spark, sf_dir):
+    """The per-row invariant of BASELINE.json input_hint: text extracted from
+    html must be byte-identical per url — checked as md5 over every row."""
+    pg = datagen.pages(spark, sf_dir)
+    extracted = F.regexp_extract(F.decode("html", "UTF-8"), "<p>(.*)</p>", 1)
+    return pg.select("url", F.md5(extracted).alias("text_md5"))
+
+
+@_reg("multimodal_meta", f"""
+WITH pg AS ({datagen.PAGES_SQL})
+SELECT url, CAST(strlen(html) AS BIGINT) AS n_bytes, md5(html) AS payload_md5
+FROM pg
+""")
+def q_multimodal_meta(spark, sf_dir):
+    """Opaque-binary-column metadata pass (the multimodal pattern): byte
+    length + content hash of the binary payload via mapInPandas (Arrow
+    batches; the decode step proper is stubbed — see operators.multimodal)."""
+    from .operators import multimodal
+    pg = datagen.pages(spark, sf_dir)
+    return multimodal.binary_meta(pg, payload_col="html", key_col="url")
+
+
+# =============================================================================
+# training-data ops: dedup / minhash / simhash / jaccard / text stats / langid
+# =============================================================================
+
+@_reg("dedup_exact", """
+SELECT md5(text) AS fp, CAST(count(*) AS BIGINT) AS n_docs,
+       min(doc_id) AS keeper
+FROM documents GROUP BY 1
+""")
+def q_dedup_exact(spark, sf_dir):
+    return textops.exact_fingerprint(_t(spark, sf_dir, "documents"))
+
+
+@_reg("dedup_norm", """
+SELECT md5(substr(lower(text), 1, 40)) AS fp, CAST(count(*) AS BIGINT) AS n_docs,
+       min(doc_id) AS keeper
+FROM documents GROUP BY 1
+""")
+def q_dedup_norm(spark, sf_dir):
+    return textops.norm_fingerprint(_t(spark, sf_dir, "documents"))
+
+
+_MINHASH_SQL_BODY = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+d2 AS (SELECT doc_id, ws FROM d WHERE len(ws) >= 3),
+ix AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM d2),
+sh AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh FROM ix),
+sig AS (SELECT doc_id,
+               min(md5('0:' || sh)) AS sig0, min(md5('1:' || sh)) AS sig1,
+               min(md5('2:' || sh)) AS sig2, min(md5('3:' || sh)) AS sig3
+        FROM sh GROUP BY doc_id)
+SELECT doc_id, md5(sig0 || '|' || sig1 || '|' || sig2 || '|' || sig3) AS band
+FROM sig
+"""
+
+
+@_reg("minhash_band", _MINHASH_SQL_BODY)
+def q_minhash_band(spark, sf_dir):
+    """MinHash(4 perms) over word 3-shingles folded to one LSH band per doc."""
+    return textops.minhash_bands(_t(spark, sf_dir, "documents"))
+
+
+@_reg("minhash_clusters", f"""
+WITH bands AS ({_MINHASH_SQL_BODY})
+SELECT band, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS keeper
+FROM bands GROUP BY band
+""")
+def q_minhash_clusters(spark, sf_dir):
+    return textops.minhash_clusters(_t(spark, sf_dir, "documents"))
+
+
+def _simhash_sql():
+    sums = ", ".join(
+        f"SUM((((h >> {b}) & 1) * 2 - 1)) AS s{b}" for b in range(16))
+    fp = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16))
+    return f"""
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+h AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 4))::BIGINT AS h FROM w),
+s AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id)
+SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM s
+"""
+
+
+@_reg("simhash", _simhash_sql())
+def q_simhash(spark, sf_dir):
+    return textops.simhash16(_t(spark, sf_dir, "documents"))
+
+
+@_reg("ngram_jaccard", """
+WITH w0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+w AS (SELECT DISTINCT doc_id, w FROM w0),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nd FROM w GROUP BY doc_id),
+inter AS (SELECT a.doc_id, CAST(count(*) AS BIGINT) AS ni
+          FROM w a JOIN (SELECT doc_id - 1 AS doc_id, w FROM w) b
+          USING (doc_id, w) GROUP BY a.doc_id),
+j AS (SELECT a.doc_id, a.nd, b2.nd AS nd_b, COALESCE(i.ni, 0) AS ni
+      FROM sizes a
+      JOIN (SELECT doc_id - 1 AS doc_id, nd FROM sizes) b2 USING (doc_id)
+      LEFT JOIN inter i USING (doc_id))
+SELECT doc_id, ROUND(CAST(ni AS DOUBLE) / (nd + nd_b - ni), 6) AS jacc FROM j
+""")
+def q_ngram_jaccard(spark, sf_dir):
+    return textops.consecutive_jaccard(_t(spark, sf_dir, "documents"))
+
+
+_STOP_SQL = "('" + "', '".join(textops.STOPWORDS) + "')"
+
+
+@_reg("token_stats", f"""
+WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+s AS (SELECT doc_id,
+             CAST(len(ws) AS BIGINT) AS n_tokens,
+             CAST(length(text) AS BIGINT) AS n_chars_t,
+             CAST(len(list_filter(ws, w -> w IN {_STOP_SQL})) AS BIGINT) AS n_stop
+      FROM d)
+SELECT doc_id, n_tokens, n_chars_t,
+       ROUND(CAST(n_chars_t - (n_tokens - 1) AS DOUBLE) / n_tokens, 6) AS avg_wlen,
+       n_stop,
+       ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stop_ratio
+FROM s
+""")
+def q_token_stats(spark, sf_dir):
+    return textops.token_stats(_t(spark, sf_dir, "documents"))
+
+
+def _langid_sql():
+    langs = sorted(textops.LANG_MARKERS)
+    score = {
+        lang: ("len(list_filter(ws, w -> w IN ('"
+               + "', '".join(textops.LANG_MARKERS[lang]) + "')))")
+        for lang in langs}
+    cols = ", ".join(f"{score[lang]} AS s_{lang}" for lang in langs)
+    m = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    pred = "CASE " + " ".join(
+        f"WHEN s_{lang} = {m} THEN '{lang}'" for lang in langs) + " END"
+    return f"""
+WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+s AS (SELECT doc_id, lang, {cols} FROM d)
+SELECT lang, {pred} AS pred, CAST(count(*) AS BIGINT) AS n
+FROM s GROUP BY 1, 2
+"""
+
+
+@_reg("langid", _langid_sql())
+def q_langid(spark, sf_dir):
+    return textops.langid(_t(spark, sf_dir, "documents"))
+
+
+@_reg("doc_fingerprint", """
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                  generate_subscripts(string_split(text, ' '), 1) AS pos
+           FROM documents),
+t AS (SELECT doc_id,
+             (pos * (('0x' || substr(md5(w), 1, 8))::BIGINT % 1000000007))
+              % 1000000007 AS t
+      FROM w)
+SELECT doc_id, CAST(SUM(t) % 1000000007 AS BIGINT) AS fp FROM t GROUP BY doc_id
+""")
+def q_doc_fingerprint(spark, sf_dir):
+    return textops.rolling_fingerprint(_t(spark, sf_dir, "documents"))
+
+
+# =============================================================================
+# similarity search over embeddings
+# =============================================================================
+
+@_reg("ann_topk", """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+             list_dot_product(q.v, e.v)
+              / (sqrt(list_dot_product(q.v, q.v))
+                 * sqrt(list_dot_product(e.v, e.v))) AS cos
+      FROM e q, e WHERE q.vec_id < 10 AND e.vec_id != q.vec_id)
+SELECT q_id, rank, vec_id FROM (
+  SELECT q_id, vec_id,
+         CAST(row_number() OVER (PARTITION BY q_id
+              ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rank
+  FROM p) WHERE rank <= 3
+""")
+def q_ann_topk(spark, sf_dir):
+    """Brute-force cosine top-k (the ANN correctness baseline)."""
+    return simsearch.brute_topk(_t(spark, sf_dir, "embeddings"))
+
+
+def _lsh_hist_sql():
+    planes = simsearch.hyperplanes()
+    terms = []
+    for i, p in enumerate(planes):
+        lit = "[" + ", ".join(repr(float(x)) for x in p) + "]"
+        terms.append(f"(CASE WHEN list_dot_product(v, {lit}) > 0"
+                     f" THEN {1 << i} ELSE 0 END)")
+    bucket = " + ".join(terms)
+    return f"""
+WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings)
+SELECT CAST({bucket} AS INTEGER) AS bucket, CAST(count(*) AS BIGINT) AS n
+FROM e GROUP BY 1
+"""
+
+
+@_reg("ann_lsh_hist", _lsh_hist_sql())
+def q_ann_lsh_hist(spark, sf_dir):
+    """Random-hyperplane LSH bucketing (the ANN scale path) — bucket
+    occupancy histogram pins the bucketing bit-for-bit."""
+    return simsearch.lsh_histogram(_t(spark, sf_dir, "embeddings"))
+
+
+# ann via LSH buckets: recall<1 by construction — rows-only check (no oracle)
+@_reg("ann_lsh_topk")
+def q_ann_lsh_topk(spark, sf_dir):
+    return simsearch.lsh_topk(_t(spark, sf_dir, "embeddings"))
