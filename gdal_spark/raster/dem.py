@@ -1,0 +1,179 @@
+"""DEM operators: hillshade / slope / aspect / TRI / TPI / roughness.
+
+Re-expresses gdaldem (/root/reference/apps/gdaldem_lib.cpp:24-75 algorithm
+refs; Horn hillshade formula :754-760) as a 3x3 stencil over the tile table
+with a ONE-PIXEL HALO EXCHANGE:
+
+  1. every tile emits 9 messages — itself plus 8 edge/corner strips — keyed
+     by the neighbor tile that needs them (shuffle volume ~= tiles + edges,
+     NOT 9x the raster);
+  2. groupBy(target tile) assembles a (T+2)x(T+2) padded array (edge
+     replication at raster borders = gdaldem -compute_edges semantics);
+  3. numpy evaluates the kernel for all T*T pixels at once.
+
+This is the generic halo pattern for all neighborhood raster ops
+(proximity/fillnodata/sieve share it).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .tiles import encode_px
+
+_HALO_SCHEMA = T.StructType([
+    T.StructField("band", T.IntegerType()),
+    T.StructField("zoom", T.IntegerType()),
+    T.StructField("tile_x", T.LongType()),
+    T.StructField("tile_y", T.LongType()),
+    T.StructField("dx", T.IntegerType()),
+    T.StructField("dy", T.IntegerType()),
+    T.StructField("dtype", T.StringType()),
+    T.StructField("px", T.BinaryType()),
+])
+
+
+def _emit_halo(pdf_iter, tile: int):
+    for pdf in pdf_iter:
+        out = []
+        for row in pdf.itertuples():
+            arr = np.frombuffer(row.px, dtype=np.dtype(row.dtype)) \
+                .reshape(tile, tile)
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    if dx == 0 and dy == 0:
+                        strip = arr
+                    else:
+                        ys = slice(None) if dy == 0 else (
+                            slice(-1, None) if dy == 1 else slice(0, 1))
+                        xs = slice(None) if dx == 0 else (
+                            slice(-1, None) if dx == 1 else slice(0, 1))
+                        strip = arr[ys, xs]
+                    out.append({
+                        "band": row.band, "zoom": row.zoom,
+                        "tile_x": row.tile_x + dx, "tile_y": row.tile_y + dy,
+                        "dx": dx, "dy": dy,
+                        "dtype": row.dtype, "px": strip.tobytes()})
+        yield pd.DataFrame(out) if out else pd.DataFrame(
+            {f.name: pd.Series(dtype="object") for f in _HALO_SCHEMA.fields})
+
+
+def _assemble_padded(pdf: pd.DataFrame, tile: int) -> np.ndarray | None:
+    """(tile+2)^2 array from the center tile + neighbor strips; edge
+    replication where neighbors are absent. None if no center tile (the
+    group exists only because of neighbor spill — skip)."""
+    center = pdf[(pdf.dx == 0) & (pdf.dy == 0)]
+    if center.empty:
+        return None
+    dtype = np.dtype(center.iloc[0]["dtype"])
+    pad = np.zeros((tile + 2, tile + 2), dtype=np.float64)
+    got = set()
+    for row in pdf.itertuples():
+        # a strip sent by neighbor (dx,dy) lands on OUR side (-dx,-dy)
+        sdx, sdy = -int(row.dx), -int(row.dy)
+        h = tile if sdy == 0 else 1
+        w = tile if sdx == 0 else 1
+        arr = np.frombuffer(row.px, dtype=dtype).reshape(h, w)
+        ys = slice(1, tile + 1) if sdy == 0 else (
+            slice(0, 1) if sdy == -1 else slice(tile + 1, tile + 2))
+        xs = slice(1, tile + 1) if sdx == 0 else (
+            slice(0, 1) if sdx == -1 else slice(tile + 1, tile + 2))
+        pad[ys, xs] = arr
+        got.add((sdx, sdy))
+    # replicate edges where no neighbor exists (raster border)
+    if (0, -1) not in got:
+        pad[0, 1:-1] = pad[1, 1:-1]
+    if (0, 1) not in got:
+        pad[-1, 1:-1] = pad[-2, 1:-1]
+    if (-1, 0) not in got:
+        pad[1:-1, 0] = pad[1:-1, 1]
+    if (1, 0) not in got:
+        pad[1:-1, -1] = pad[1:-1, -2]
+    # corners: clamp each axis independently toward an available cell, so a
+    # missing diagonal at a raster border replicates exactly like np.pad(edge)
+    for cx in (-1, 1):
+        for cy in (-1, 1):
+            if (cx, cy) in got:
+                continue
+            r0 = 0 if cy == -1 else tile + 1
+            c0 = 0 if cx == -1 else tile + 1
+            rs = r0 if (0, cy) in got else (1 if cy == -1 else tile)
+            cs = c0 if (cx, 0) in got else (1 if cx == -1 else tile)
+            if rs == r0 and cs == c0:  # both side strips exist, only the
+                cs = 1 if cx == -1 else tile  # diagonal is a hole: clamp x
+            pad[r0, c0] = pad[rs, cs]
+    return pad
+
+
+def _horn_gradients(pad: np.ndarray, ewres: float, nsres: float):
+    """Horn 3x3 gradient (gdaldem_lib.cpp hillshade/slope; window
+    [[0 1 2],[3 4 5],[6 7 8]]):
+      dz/dx = ((2+2*5+8) - (0+2*3+6)) / (8*ewres)
+      dz/dy = ((6+2*7+8) - (0+2*1+2)) / (8*nsres)
+    """
+    z = [pad[i:i + pad.shape[0] - 2, j:j + pad.shape[1] - 2]
+         for i in range(3) for j in range(3)]
+    dzdx = ((z[2] + 2 * z[5] + z[8]) - (z[0] + 2 * z[3] + z[6])) / (8.0 * ewres)
+    dzdy = ((z[6] + 2 * z[7] + z[8]) - (z[0] + 2 * z[1] + z[2])) / (8.0 * nsres)
+    return dzdx, dzdy
+
+
+def _kernel_outputs(pad, op, ewres, nsres, z_factor, alt_deg, az_deg):
+    if op in ("hillshade", "slope", "aspect"):
+        dzdx, dzdy = _horn_gradients(pad, ewres / z_factor, nsres / z_factor)
+        if op == "slope":
+            return np.degrees(np.arctan(np.hypot(dzdx, dzdy)))
+        if op == "aspect":
+            asp = np.degrees(np.arctan2(dzdy, -dzdx))
+            asp = np.where(asp < 0, 90.0 - asp,
+                           np.where(asp > 90.0, 360.0 - asp + 90.0, 90.0 - asp))
+            return asp
+        alt, az = math.radians(alt_deg), math.radians(az_deg)
+        slope_r = np.arctan(np.hypot(dzdx, dzdy))
+        aspect_r = np.arctan2(dzdy, -dzdx)
+        shade = (math.sin(alt) * np.cos(slope_r)
+                 + math.cos(alt) * np.sin(slope_r)
+                 * np.cos(az - math.pi / 2.0 - aspect_r))
+        return np.clip(np.round(254.0 * shade) + 1.0, 1.0, 255.0)
+    c = pad[1:-1, 1:-1]
+    neigh = np.stack([pad[i:i + c.shape[0], j:j + c.shape[1]]
+                      for i in range(3) for j in range(3) if not (i == 1 and j == 1)])
+    if op == "tri":          # Riley: mean |center - neighbor|
+        return np.abs(neigh - c).mean(axis=0)
+    if op == "tpi":          # center - mean(neighbors)
+        return c - neigh.mean(axis=0)
+    if op == "roughness":    # max - min of 3x3 window
+        return np.maximum(neigh.max(axis=0), c) - np.minimum(neigh.min(axis=0), c)
+    raise ValueError(op)
+
+
+def dem_op(tiles_df: DataFrame, op: str, tile: int = 256,
+           ewres: float = 1.0, nsres: float = 1.0, z_factor: float = 1.0,
+           altitude: float = 45.0, azimuth: float = 315.0,
+           out_dtype: str = "float64") -> DataFrame:
+    """Run one DEM operator over the tile table. Result tile schema matches
+    the input (dtype=out_dtype)."""
+    from .tiles import TILE_SCHEMA
+
+    halo = tiles_df.mapInPandas(lambda it: _emit_halo(it, tile),
+                                schema=_HALO_SCHEMA)
+
+    def compute(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        band, zoom, tx, ty = (int(key[0]), int(key[1]), int(key[2]), int(key[3]))
+        pad = _assemble_padded(pdf, tile)
+        if pad is None:
+            return pd.DataFrame(columns=[f.name for f in TILE_SCHEMA.fields])
+        out = _kernel_outputs(pad, op, ewres, nsres, z_factor,
+                              altitude, azimuth).astype(np.dtype(out_dtype))
+        return pd.DataFrame([{
+            "band": band, "zoom": zoom, "tile_x": tx, "tile_y": ty,
+            "dtype": out_dtype, "nodata": None, "px": encode_px(out)}])
+
+    return (halo.groupBy("band", "zoom", "tile_x", "tile_y")
+            .applyInPandas(compute, schema=TILE_SCHEMA))

@@ -1,0 +1,98 @@
+"""Raster tile model: 'raster as a groupBy-tile relation'.
+
+The reference's GDALDataset/GDALRasterBand (W x H array, blocked into cached
+tiles — /root/reference/gcore/gdalrasterband.cpp, gcore/gdal_priv.h:1635) maps
+to one DataFrame row per (band, zoom, tile_y, tile_x):
+
+    band int, zoom int, tile_x long, tile_y long,
+    dtype string, nodata double (nullable),
+    px binary   -- row-major packed pixels, TILE x TILE, numpy dtype `dtype`
+
+Pixels stay packed bytes (BinaryType) because Spark has no unsigned/complex
+primitives (gcore/gdal.h:48-64 cell types); numpy inside each Arrow batch
+interprets them. Tile size is a parameter (tests use small tiles; production
+256) — partition sizing then follows spark.sql.files.maxPartitionBytes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+TILE = 256
+
+TILE_SCHEMA = T.StructType([
+    T.StructField("band", T.IntegerType()),
+    T.StructField("zoom", T.IntegerType()),
+    T.StructField("tile_x", T.LongType()),
+    T.StructField("tile_y", T.LongType()),
+    T.StructField("dtype", T.StringType()),
+    T.StructField("nodata", T.DoubleType()),
+    T.StructField("px", T.BinaryType()),
+])
+
+
+def decode_px(row_px: bytes, dtype: str, tile: int) -> np.ndarray:
+    return np.frombuffer(row_px, dtype=np.dtype(dtype)).reshape(tile, tile)
+
+
+def encode_px(arr: np.ndarray) -> bytes:
+    return np.ascontiguousarray(arr).tobytes()
+
+
+def raster_to_tiles(spark: SparkSession, arr: np.ndarray, zoom: int = 0,
+                    band: int = 1, tile: int = TILE,
+                    nodata: float | None = None) -> DataFrame:
+    """Split a full in-memory raster into a tile DataFrame (fixture/ingest
+    helper; pads the right/bottom edge tiles with 0 or nodata)."""
+    h, w = arr.shape
+    fill = 0 if nodata is None else nodata
+    rows = []
+    for ty in range(0, -(-h // tile)):
+        for tx in range(0, -(-w // tile)):
+            block = np.full((tile, tile), fill, dtype=arr.dtype)
+            ys, xs = ty * tile, tx * tile
+            sub = arr[ys:ys + tile, xs:xs + tile]
+            block[:sub.shape[0], :sub.shape[1]] = sub
+            rows.append((band, zoom, tx, ty, str(arr.dtype),
+                         float(nodata) if nodata is not None else None,
+                         encode_px(block)))
+    pdf = pd.DataFrame(rows, columns=[f.name for f in TILE_SCHEMA.fields])
+    return spark.createDataFrame(pdf, schema=TILE_SCHEMA)
+
+
+def tiles_to_raster(df: DataFrame, tile: int = TILE) -> np.ndarray:
+    """Assemble a (small) tile DataFrame back into one numpy array —
+    test/debug helper only; never used in the distributed path."""
+    rows = df.collect()
+    if not rows:
+        return np.zeros((0, 0))
+    max_tx = max(r.tile_x for r in rows)
+    max_ty = max(r.tile_y for r in rows)
+    dtype = rows[0].dtype
+    out = np.zeros(((max_ty + 1) * tile, (max_tx + 1) * tile),
+                   dtype=np.dtype(dtype))
+    for r in rows:
+        out[r.tile_y * tile:(r.tile_y + 1) * tile,
+            r.tile_x * tile:(r.tile_x + 1) * tile] = decode_px(r.px, r.dtype, tile)
+    return out
+
+
+def checksum_tiles(df: DataFrame, tile: int = TILE) -> DataFrame:
+    """Per-tile GDAL checksum (alg/gdalchecksum.cpp semantics, reimplemented
+    bit-exactly in core.checksum) — the raster correctness oracle."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    from ..core.checksum import gdal_checksum
+
+    @pandas_udf(LongType())
+    def _ck(px: pd.Series, dtype: pd.Series) -> pd.Series:
+        return pd.Series([
+            gdal_checksum(np.frombuffer(b, dtype=np.dtype(dt)))
+            for b, dt in zip(px, dtype)], dtype="int64")
+
+    return df.withColumn("checksum", _ck(F.col("px"), F.col("dtype")))

@@ -1,0 +1,157 @@
+"""Raster tile pipeline tests — every operator checked against a pure-numpy
+single-array oracle computed on the assembled raster (so the distributed
+tiling + halo machinery must reproduce the whole-array result exactly)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from gdal_spark.core import wkb
+from gdal_spark.core.checksum import gdal_checksum
+from gdal_spark.core.geomops import points_in_polygon
+from gdal_spark.raster import dem, pyramid, rasterize, tiles
+
+TILE = 16  # small tiles so multi-tile paths are exercised
+
+
+@pytest.fixture(scope="module")
+def dem_tiles(spark):
+    rng = np.random.RandomState(3)
+    arr = np.cumsum(np.cumsum(rng.rand(3 * TILE, 4 * TILE), 0), 1)
+    df = tiles.raster_to_tiles(spark, arr, tile=TILE).cache()
+    return arr, df
+
+
+def test_tiles_roundtrip(spark):
+    rng = np.random.RandomState(0)
+    arr = (rng.rand(40, 55) * 255).astype(np.uint8)
+    df = tiles.raster_to_tiles(spark, arr, tile=TILE)
+    back = tiles.tiles_to_raster(df, tile=TILE)
+    assert back.shape == (3 * TILE, 4 * TILE)
+    np.testing.assert_array_equal(back[:40, :55], arr)
+
+
+def test_checksum_tiles(spark):
+    rng = np.random.RandomState(1)
+    arr = (rng.rand(TILE, TILE) * 255).astype(np.uint8)
+    df = tiles.raster_to_tiles(spark, arr, tile=TILE)
+    row = tiles.checksum_tiles(df, tile=TILE).collect()[0]
+    assert row.checksum == gdal_checksum(arr)
+
+
+def _oracle_burn(grid, geoms_burns, merge_add=False):
+    """Whole-array numpy oracle for rasterize (polygon center rule)."""
+    h, w = grid.height, grid.width
+    arr = np.zeros((h, w))
+    jj, ii = np.meshgrid(np.arange(w), np.arange(h))
+    cx = grid.x0 + (jj + 0.5) * grid.dx
+    cy = grid.y0 + (ii + 0.5) * grid.dy
+    for g_wkb, burn in geoms_burns:
+        g = wkb.decode(g_wkb)
+        inside = np.zeros((h, w), dtype=bool)
+        for rings in g.polygons():
+            inside |= points_in_polygon(
+                cx.ravel(), cy.ravel(), rings).reshape(h, w)
+        if merge_add:
+            arr[inside] += burn
+        else:
+            arr[inside] = burn
+    return arr
+
+
+def _mk_geoms_df(spark, geoms_burns):
+    import pandas as pd
+    pdf = pd.DataFrame(
+        [(g, float(b), i) for i, (g, b) in enumerate(geoms_burns)],
+        columns=["geom", "burn", "seq"])
+    return spark.createDataFrame(pdf)
+
+
+@pytest.mark.parametrize("merge_alg", ["replace", "add"])
+def test_rasterize_polygons(spark, merge_alg):
+    grid = rasterize.GridSpec(x0=0.0, y0=48.0, dx=1.0, dy=-1.0,
+                              width=3 * TILE, height=3 * TILE, tile=TILE)
+    geoms = [
+        (wkb.box(2.2, 5.1, 30.7, 40.2), 10.0),
+        (wkb.box(20.0, 10.0, 44.5, 30.5), 5.0),       # overlaps first
+        (wkb.polygon([(5, 42), (40, 44), (22, 47)]), 7.0),  # triangle
+    ]
+    df = _mk_geoms_df(spark, geoms)
+    # geotransform: y0=48 at top, dy=-1 → world y maps to py=(y-48)/-1
+    out = rasterize.rasterize(df, grid, merge_alg=merge_alg)
+    got = tiles.tiles_to_raster(out, tile=TILE)
+    want = _oracle_burn(grid, geoms, merge_add=(merge_alg == "add"))
+    # got only covers touched tiles; pad to full grid
+    full = np.zeros_like(want)
+    full[:got.shape[0], :got.shape[1]] = got
+    np.testing.assert_array_equal(full, want)
+
+
+def test_rasterize_points_and_checksum(spark):
+    grid = rasterize.GridSpec(x0=0.0, y0=float(TILE), dx=1.0, dy=-1.0,
+                              width=TILE, height=TILE, tile=TILE)
+    pts = [(wkb.point(3.5, 12.5), 9.0), (wkb.point(3.2, 12.1), 4.0)]
+    df = _mk_geoms_df(spark, pts)
+    out = rasterize.rasterize(df, grid, merge_alg="add")
+    arr = tiles.tiles_to_raster(out, tile=TILE)
+    # both points land in pixel (px=3, py = (12.x-16)/-1 = 3.x → row 3)
+    assert arr[3, 3] == 13.0
+    assert arr.sum() == 13.0
+    row = tiles.checksum_tiles(out, tile=TILE).collect()[0]
+    assert row.checksum == gdal_checksum(arr)
+
+
+@pytest.mark.parametrize("resampling", ["average", "near", "sum", "min", "max"])
+def test_overview_level(spark, resampling):
+    rng = np.random.RandomState(7)
+    arr = (rng.rand(2 * TILE, 2 * TILE) * 255).astype(np.uint8)
+    df = tiles.raster_to_tiles(spark, arr, zoom=3, tile=TILE)
+    up = pyramid.overview_level(df, resampling=resampling, tile=TILE)
+    rows = up.collect()
+    assert len(rows) == 1 and rows[0].zoom == 2
+    got = np.frombuffer(rows[0].px, dtype=np.dtype(rows[0].dtype)) \
+        .reshape(TILE, TILE)
+    b = arr.reshape(TILE, 2, TILE, 2)
+    if resampling == "average":
+        want = np.floor(b.mean(axis=(1, 3)) + 0.5).astype(np.uint8)
+    elif resampling == "near":
+        want = b[:, 0, :, 0]
+    elif resampling == "sum":
+        want = b.astype(np.float64).sum(axis=(1, 3))
+    elif resampling == "min":
+        want = b.min(axis=(1, 3))
+    else:
+        want = b.max(axis=(1, 3))
+    np.testing.assert_allclose(got, want)
+
+
+def test_build_pyramid_levels(spark):
+    arr = np.arange(4 * TILE * 4 * TILE, dtype=np.float64) \
+        .reshape(4 * TILE, 4 * TILE)
+    df = tiles.raster_to_tiles(spark, arr, zoom=5, tile=TILE)
+    pyr = pyramid.build_pyramid(df, levels=2, resampling="average", tile=TILE)
+    counts = {r["zoom"]: r["count"] for r in
+              pyr.groupBy("zoom").count().collect()}
+    assert counts == {5: 16, 4: 4, 3: 1}
+
+
+def _dem_oracle(arr, op, **kw):
+    pad = np.pad(arr, 1, mode="edge")
+    return dem._kernel_outputs(pad.astype(np.float64), op,
+                               kw.get("ewres", 1.0), kw.get("nsres", 1.0),
+                               kw.get("z_factor", 1.0),
+                               kw.get("altitude", 45.0),
+                               kw.get("azimuth", 315.0))
+
+
+@pytest.mark.parametrize("op", ["hillshade", "slope", "aspect",
+                                "tri", "tpi", "roughness"])
+def test_dem_ops_match_whole_array(spark, dem_tiles, op):
+    """Halo-exchange result must equal the kernel run on the full array —
+    this is the cross-tile-correctness proof for the stencil machinery."""
+    arr, df = dem_tiles
+    out = dem.dem_op(df, op, tile=TILE)
+    got = tiles.tiles_to_raster(out, tile=TILE)
+    want = _dem_oracle(arr, op)
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
