@@ -226,15 +226,38 @@ def cover_envelope_xyz(xmin, ymin, xmax, ymax, zoom):
             for tx in range(min(tx0, tx1), max(tx0, tx1) + 1)]
 
 
+def packed_cell_id(tx_xyz, ty_xyz, zoom):
+    """JOIN-key cell id: (zoom << 58) | (ty << 29) | tx — flat packing, NOT
+    Morton. Equality semantics are identical to quadkey_int (bijective per
+    zoom); we use this for equi-join keys because its column-expression twin
+    is a 3-op chain, while the Morton spread's bit-twiddling repeats every
+    subexpression and blows whole-stage codegen out of the JIT (measured
+    ~2000x slower per row). quadkey_int stays the STORAGE/sort-order id where
+    Z-order locality matters (Iceberg sort, §2.13)."""
+    tx = np.asarray(tx_xyz, dtype=np.int64)
+    ty = np.asarray(ty_xyz, dtype=np.int64)
+    return (np.int64(zoom) << np.int64(58)) | (ty << np.int64(29)) | tx
+
+
+def tile_bounds_latlon_xyz(tx, ty, zoom):
+    """(lon_min, lat_min, lon_max, lat_max) of an XYZ tile."""
+    n = 2 ** zoom
+    ty_tms = (n - 1) - ty
+    minx, miny, maxx, maxy = tile_bounds_meters(tx, ty_tms, zoom)
+    lat0, lon0 = meters_to_latlon(minx, miny)
+    lat1, lon1 = meters_to_latlon(maxx, maxy)
+    return float(lon0), float(lat0), float(lon1), float(lat1)
+
+
 def cover_envelopes_cellids(xmins, ymins, xmaxs, ymaxs, zoom):
-    """Vector-of-lists: int64 cell ids covering each envelope (lon/lat degrees).
-    Returns a list of numpy arrays (ragged)."""
+    """Vector-of-lists: int64 JOIN-key cell ids (packed_cell_id) covering each
+    envelope (lon/lat degrees). Returns a list of numpy arrays (ragged)."""
     out = []
     for xmin, ymin, xmax, ymax in zip(xmins, ymins, xmaxs, ymaxs):
         tiles = cover_envelope_xyz(float(xmin), float(ymin), float(xmax), float(ymax), zoom)
         txs = np.array([t[0] for t in tiles], dtype=np.int64)
         tys = np.array([t[1] for t in tiles], dtype=np.int64)
-        out.append(quadkey_int(txs, tys, zoom))
+        out.append(packed_cell_id(txs, tys, zoom))
     return out
 
 
@@ -306,6 +329,15 @@ def mercator_pixel_sql(lon_expr: str, lat_expr: str, zoom: int):
     gpy = (f"({world - 1} - CAST(floor(({my} + {ORIGIN_SHIFT!r}) / {res!r})"
            f" AS BIGINT))")
     return gpx, gpy
+
+
+def packed_cell_id_col(tx_col, ty_col, zoom):
+    """Column twin of packed_cell_id — single-reference op chain that stays
+    inside one whole-stage-codegen method (the join-key hot path)."""
+    from pyspark.sql import functions as F
+    return (F.lit(zoom << 58)
+            .bitwiseOR(F.shiftleft(ty_col.cast("long"), 29))
+            .bitwiseOR(tx_col.cast("long")))
 
 
 def cell_id_col(tx_col, ty_col, zoom):

@@ -30,7 +30,9 @@ from .core import geomops, tilemath, wkb
 # -- derivation constants (shared by Spark columns and oracle SQL) -----------
 LON_MULT, LON_MOD = 9973, 36000
 LAT_MULT, LAT_MOD = 7919, 17000
-PIP_ZOOM = 6          # cell-cover prefilter resolution for the spatial join
+PIP_ZOOM = 8          # cell-cover prefilter resolution for the spatial join
+                      # (z8 tile ~ 1.4 deg: fine enough that most cover cells
+                      # are fully interior -> fast-accept skips the exact UDF)
 N_GRID_X, N_GRID_Y = 36, 36   # 10 deg x 5 deg admin grid
 N_CONVEX = 24
 CONVEX_ID_BASE = 2000
@@ -136,9 +138,38 @@ def _convex_rings() -> list[tuple[int, np.ndarray]]:
     return out
 
 
+def _cover_with_full(geom_bytes: bytes, zoom: int):
+    """(cells, fulls): cover cell ids + per-cell 'fully inside the region'
+    flags. A cell marked full needs NO exact PIP test for its points — the
+    reference's envelope fast-accept (ogrlayer.cpp:1784-1790) lifted to the
+    cell level. Conservative: full only when all 4 cell corners are inside
+    AND no boundary segment's bbox overlaps the cell."""
+    g = wkb.decode(geom_bytes)
+    env = g.envelope()
+    tiles = tilemath.cover_envelope_xyz(env[0], env[1], env[2], env[3], zoom)
+    a, b = geomops._segments(geomops._all_line_rings(g))
+    seg_minx = np.minimum(a[:, 0], b[:, 0]) if len(a) else np.empty(0)
+    seg_maxx = np.maximum(a[:, 0], b[:, 0]) if len(a) else np.empty(0)
+    seg_miny = np.minimum(a[:, 1], b[:, 1]) if len(a) else np.empty(0)
+    seg_maxy = np.maximum(a[:, 1], b[:, 1]) if len(a) else np.empty(0)
+    cells, fulls = [], []
+    for tx, ty in tiles:
+        cells.append(int(tilemath.packed_cell_id(tx, ty, zoom)))
+        lon0, lat0, lon1, lat1 = tilemath.tile_bounds_latlon_xyz(tx, ty, zoom)
+        cx = np.array([lon0, lon1, lon1, lon0])
+        cy = np.array([lat0, lat0, lat1, lat1])
+        inside = geomops.points_in_geom(cx, cy, g).all()
+        touches = bool(((seg_maxx >= lon0) & (seg_minx <= lon1)
+                        & (seg_maxy >= lat0) & (seg_miny <= lat1)).any()) \
+            if len(a) else False
+        fulls.append(bool(inside and not touches))
+    return cells, fulls
+
+
 def regions_pdf() -> pd.DataFrame:
     """All regions as pandas: region_id, name, kind, geom(WKB), envelope,
-    cells (int64 cover at PIP_ZOOM). ~1,320 rows — a broadcast-sized dim."""
+    cells (int64 cover at PIP_ZOOM) + fulls (fast-accept flags).
+    ~1,320 rows — a broadcast-sized dim."""
     rows = []
     for gx in range(N_GRID_X):
         for gy in range(N_GRID_Y):
@@ -154,10 +185,9 @@ def regions_pdf() -> pd.DataFrame:
                      g, xmin, ymin, xmax, ymax))
     pdf = pd.DataFrame(rows, columns=[
         "region_id", "name", "kind", "geom", "xmin", "ymin", "xmax", "ymax"])
-    covers = tilemath.cover_envelopes_cellids(
-        pdf["xmin"].values, pdf["ymin"].values,
-        pdf["xmax"].values, pdf["ymax"].values, PIP_ZOOM)
-    pdf["cells"] = [c.tolist() for c in covers]
+    covers = [_cover_with_full(g, PIP_ZOOM) for g in pdf["geom"]]
+    pdf["cells"] = [c for c, _ in covers]
+    pdf["fulls"] = [f for _, f in covers]
     return pdf
 
 
@@ -169,6 +199,7 @@ _REGION_SCHEMA = T.StructType([
     T.StructField("xmin", T.DoubleType()), T.StructField("ymin", T.DoubleType()),
     T.StructField("xmax", T.DoubleType()), T.StructField("ymax", T.DoubleType()),
     T.StructField("cells", T.ArrayType(T.LongType())),
+    T.StructField("fulls", T.ArrayType(T.BooleanType())),
 ])
 
 

@@ -1,0 +1,51 @@
+"""StageRunner: lineage manifests, per-partition counts, crash-resume."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from gdal_spark.pipeline import run_canonical_job
+from gdal_spark.plans.lineage import StageRunner
+
+
+def test_canonical_job_and_manifests(spark, tmp_path):
+    wd = str(tmp_path / "job")
+    metrics = run_canonical_job(spark, n_pages=20000, workdir=wd)
+    assert set(metrics) == {"pages", "pip_counts", "tile_density", "overview"}
+    assert metrics["pages"]["rows"] == 20000
+    # per-partition lineage present and sums to the stage total
+    parts = metrics["pages"]["partitions"]
+    assert parts and sum(p["rows"] for p in parts) == 20000
+    # every page lands in exactly one grid cell; convex polys add extras
+    with open(os.path.join(wd, "pip_counts", "_MANIFEST.json")) as f:
+        m = json.load(f)
+    assert m["rows"] >= 400  # regions hit
+    assert m["upstream"].keys() == {"pages"}
+
+
+def test_resume_skips_completed_stages(spark, tmp_path):
+    wd = str(tmp_path / "job2")
+    m1 = run_canonical_job(spark, n_pages=5000, workdir=wd)
+    assert all(not v["resumed"] for v in m1.values())
+
+    # simulate crash after 'pages': wipe everything downstream
+    for st in ("pip_counts", "tile_density", "overview"):
+        shutil.rmtree(os.path.join(wd, st))
+    m2 = run_canonical_job(spark, n_pages=5000, workdir=wd)
+    assert m2["pages"]["resumed"] is True
+    assert m2["pip_counts"]["resumed"] is False
+
+    # full rerun: everything resumes, nothing recomputed
+    m3 = run_canonical_job(spark, n_pages=5000, workdir=wd)
+    assert all(v["resumed"] for v in m3.values())
+
+
+def test_incomplete_upstream_raises(spark, tmp_path):
+    runner = StageRunner(spark, str(tmp_path / "job3"))
+    try:
+        runner.stage("b", lambda r: r.load("a"), upstream=["a"])
+        raise AssertionError("expected RuntimeError")
+    except RuntimeError as e:
+        assert "upstream" in str(e)

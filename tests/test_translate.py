@@ -1,0 +1,77 @@
+"""ogr2ogr-chain tests: stage ORDER is the contract (ogr2ogr_lib.cpp:6287)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from gdal_spark.core import wkb
+from gdal_spark.operators import translate as tr
+
+
+def test_explode_collections():
+    mp = wkb.multipolygon([
+        [[(0, 0), (4, 0), (4, 4), (0, 4), (0, 0)]],
+        [[(10, 10), (12, 10), (12, 12), (10, 12), (10, 10)]],
+    ])
+    outs = tr.translate_geom(mp, tr.TranslateOptions(explode_collections=True))
+    assert len(outs) == 2
+    assert all(wkb.decode(o).gtype == wkb.POLYGON for o in outs)
+
+
+def test_makevalid_closes_rings():
+    g = wkb.Geom(wkb.POLYGON, [np.array([(0, 0), (4, 0), (4, 4), (0, 4)],
+                                        dtype=np.float64)])  # unclosed
+    out = tr.translate_geom(wkb.encode(g), tr.TranslateOptions(make_valid=True))
+    ring = wkb.decode(out[0]).rings[0]
+    assert np.array_equal(ring[0], ring[-1])
+
+
+def test_clip_before_reproject_order():
+    """clip_src applies in SOURCE coords, clip_dst in DEST coords — wrong
+    stage order would clip with the wrong units."""
+    sq = wkb.box(10.0, 10.0, 20.0, 20.0)  # degrees
+    opts = tr.TranslateOptions(
+        clip_src=(0.0, 0.0, 15.0, 15.0),           # degrees (src CRS)
+        src_crs="EPSG:4326", dst_crs="EPSG:3857",
+    )
+    out = tr.translate_geom(sq, opts)
+    g = wkb.decode(out[0])
+    env = g.envelope()
+    # clipped to 10..15 deg, then projected: 15 deg -> ~1669792 m
+    assert abs(env[2] - 1669792.36) < 1.0
+    assert abs(env[0] - 1113194.91) < 1.0
+
+
+def test_simplify_and_segmentize():
+    line = wkb.linestring([(0, 0), (1, 0.001), (2, 0), (10, 0)])
+    out = tr.translate_geom(line, tr.TranslateOptions(simplify=0.01))
+    assert len(wkb.decode(out[0]).rings[0]) == 2  # collinear-ish dropped
+    out2 = tr.translate_geom(line, tr.TranslateOptions(segmentize=1.0))
+    r = wkb.decode(out2[0]).rings[0]
+    d = np.hypot(*np.diff(r, axis=0).T)
+    assert d.max() <= 1.0 + 1e-9
+
+
+def test_promote_to_multi_and_clip_dst():
+    sq = wkb.box(0.0, 0.0, 10.0, 10.0)
+    opts = tr.TranslateOptions(
+        src_crs="EPSG:4326", dst_crs="EPSG:3857",
+        clip_dst=(0.0, 0.0, 600000.0, 600000.0),   # meters (dst CRS)
+        promote_to_multi=True)
+    out = tr.translate_geom(sq, opts)
+    g = wkb.decode(out[0])
+    assert g.gtype == wkb.MULTIPOLYGON
+    env = g.envelope()
+    assert env[2] <= 600000.0 + 1e-6 and env[3] <= 600000.0 + 1e-6
+
+
+def test_translate_dataframe_passthrough(spark):
+    import pandas as pd
+    rows = [(1, wkb.multipolygon([
+        [[(0, 0), (4, 0), (4, 4), (0, 4), (0, 0)]],
+        [[(8, 8), (9, 8), (9, 9), (8, 9), (8, 8)]]]), "a"),
+        (2, wkb.box(1, 1, 2, 2), "b")]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["fid", "geom", "tag"]))
+    out = tr.translate(df, tr.TranslateOptions(explode_collections=True))
+    got = sorted((r.fid, r.tag) for r in out.collect())
+    assert got == [(1, "a"), (1, "a"), (2, "b")]  # fid 1 exploded into 2 rows
