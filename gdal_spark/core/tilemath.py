@@ -226,6 +226,28 @@ def cover_envelope_xyz(xmin, ymin, xmax, ymax, zoom):
             for tx in range(min(tx0, tx1), max(tx0, tx1) + 1)]
 
 
+SUB_BITS = 3  # hierarchical-cover refinement: 2^3 x 2^3 = 64 subcells/cell,
+              # one int64 bitmask per (region, cell) classifies every subcell
+
+
+def tile_lon_edges_xyz(txs, zoom):
+    """Longitude of the WEST edge of XYZ column tx, via the same
+    meters->degrees path as tile_bounds_meters (bit-consistent)."""
+    txs = np.asarray(txs, dtype=np.float64)
+    mx = txs * TILE_SIZE * resolution(zoom) - ORIGIN_SHIFT
+    return (mx / ORIGIN_SHIFT) * 180.0
+
+
+def tile_lat_edges_xyz(tys, zoom):
+    """Latitude of the NORTH edge of XYZ row ty (strictly decreasing in ty)."""
+    tys = np.asarray(tys, dtype=np.float64)
+    world = TILE_SIZE * (2 ** zoom)
+    my = (world - tys * TILE_SIZE) * resolution(zoom) - ORIGIN_SHIFT
+    lat_deg = (my / ORIGIN_SHIFT) * 180.0
+    return 180.0 / math.pi * (
+        2.0 * np.arctan(np.exp(lat_deg * math.pi / 180.0)) - math.pi / 2.0)
+
+
 def packed_cell_id(tx_xyz, ty_xyz, zoom):
     """JOIN-key cell id: (zoom << 58) | (ty << 29) | tx — flat packing, NOT
     Morton. Equality semantics are identical to quadkey_int (bijective per
@@ -329,6 +351,27 @@ def mercator_pixel_sql(lon_expr: str, lat_expr: str, zoom: int):
     gpy = (f"({world - 1} - CAST(floor(({my} + {ORIGIN_SHIFT!r}) / {res!r})"
            f" AS BIGINT))")
     return gpx, gpy
+
+
+def tile_lon_edge_col(tx_col, zoom):
+    """Column twin of tile_lon_edges_xyz: longitude of the WEST edge of XYZ
+    column tx."""
+    from pyspark.sql import functions as F
+    res = resolution(zoom)
+    mx = tx_col.cast("double") * float(TILE_SIZE) * res - ORIGIN_SHIFT
+    return mx / ORIGIN_SHIFT * 180.0
+
+
+def tile_lat_edge_col(ty_col, zoom):
+    """Column twin of tile_lat_edges_xyz: latitude of the NORTH edge of XYZ
+    row ty."""
+    from pyspark.sql import functions as F
+    world = float(TILE_SIZE * (2 ** zoom))
+    my = (F.lit(world) - ty_col.cast("double") * float(TILE_SIZE)) \
+        * resolution(zoom) - ORIGIN_SHIFT
+    lat_deg = my / ORIGIN_SHIFT * 180.0
+    return F.degrees(F.lit(2.0) * F.atan(F.exp(F.radians(lat_deg)))
+                     - F.lit(math.pi / 2.0))
 
 
 def packed_cell_id_col(tx_col, ty_col, zoom):

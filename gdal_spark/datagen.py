@@ -138,38 +138,92 @@ def _convex_rings() -> list[tuple[int, np.ndarray]]:
     return out
 
 
-def _cover_with_full(geom_bytes: bytes, zoom: int):
-    """(cells, fulls): cover cell ids + per-cell 'fully inside the region'
-    flags. A cell marked full needs NO exact PIP test for its points — the
-    reference's envelope fast-accept (ogrlayer.cpp:1784-1790) lifted to the
-    cell level. Conservative: full only when all 4 cell corners are inside
-    AND no boundary segment's bbox overlaps the cell."""
+def _pack_mask(blk: np.ndarray) -> int:
+    """8x8 bool block -> signed int64 bitmask; bit (i<<3)|j = blk[i, j]."""
+    v = int.from_bytes(
+        np.packbits(blk.ravel(), bitorder="little").tobytes(), "little")
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def _cover_with_masks(geom_bytes: bytes, zoom: int):
+    """Hierarchical cell cover: (cells, in_masks, out_masks).
+
+    For each cover cell at `zoom`, two int64 bitmasks classify its 8x8
+    subgrid at zoom+SUB_BITS: bit set in in_mask -> subcell fully inside the
+    region (fast-accept, no exact test); bit set in out_mask -> fully outside
+    (fast-reject). Partial subcells (neither bit) go to the exact PIP UDF.
+    This is the reference's envelope fast-accept (ogrlayer.cpp:1784-1790)
+    lifted to a 2-level cell hierarchy, S2-covering style: the exact
+    (Python/Arrow) path only ever sees the O(perimeter) boundary sliver, so
+    its share of work falls ~8x per extra SUB_BIT while the accept/reject
+    decision stays pure JVM bit math. Cells whose 64 subcells are all
+    fully-outside are dropped from the cover entirely.
+
+    Conservative classification: a subcell is 'full' only when its 4 corners
+    agree AND no boundary segment's bbox overlaps it — correctness never
+    depends on the masks, only the Python-work fraction does.
+    """
     g = wkb.decode(geom_bytes)
     env = g.envelope()
     tiles = tilemath.cover_envelope_xyz(env[0], env[1], env[2], env[3], zoom)
+    txs = np.array([t[0] for t in tiles], dtype=np.int64)
+    tys = np.array([t[1] for t in tiles], dtype=np.int64)
+    tx0, ty0 = int(txs.min()), int(tys.min())
+    sub = 1 << tilemath.SUB_BITS
+    sz = zoom + tilemath.SUB_BITS
+    sx0, sx1 = tx0 * sub, (int(txs.max()) + 1) * sub      # subcell col range
+    sy0, sy1 = ty0 * sub, (int(tys.max()) + 1) * sub
+    nx, ny = sx1 - sx0, sy1 - sy0
+    lon_edges = tilemath.tile_lon_edges_xyz(np.arange(sx0, sx1 + 1), sz)
+    lat_edges = tilemath.tile_lat_edges_xyz(np.arange(sy0, sy1 + 1), sz)
+    # one vectorized corner classification for the whole region
+    LON, LAT = np.meshgrid(lon_edges, lat_edges)          # (ny+1, nx+1)
+    corner_in = geomops.points_in_geom(
+        LON.ravel(), LAT.ravel(), g).reshape(ny + 1, nx + 1)
+    all_in = (corner_in[:-1, :-1] & corner_in[:-1, 1:]
+              & corner_in[1:, :-1] & corner_in[1:, 1:])
+    all_out = ~(corner_in[:-1, :-1] | corner_in[:-1, 1:]
+                | corner_in[1:, :-1] | corner_in[1:, 1:])
+    # subcells any boundary segment's bbox overlaps -> partial
+    overlap = np.zeros((ny, nx), dtype=bool)
     a, b = geomops._segments(geomops._all_line_rings(g))
-    seg_minx = np.minimum(a[:, 0], b[:, 0]) if len(a) else np.empty(0)
-    seg_maxx = np.maximum(a[:, 0], b[:, 0]) if len(a) else np.empty(0)
-    seg_miny = np.minimum(a[:, 1], b[:, 1]) if len(a) else np.empty(0)
-    seg_maxy = np.maximum(a[:, 1], b[:, 1]) if len(a) else np.empty(0)
-    cells, fulls = [], []
+    neg_lat = -lat_edges                                   # ascending
+    for s in range(len(a)):
+        mnx, mxx = sorted((a[s, 0], b[s, 0]))
+        mny, mxy = sorted((a[s, 1], b[s, 1]))
+        j0 = max(0, int(np.searchsorted(lon_edges, mnx, "left")) - 1)
+        j1 = min(nx, int(np.searchsorted(lon_edges, mxx, "right")))
+        i0 = max(0, int(np.searchsorted(neg_lat, -mxy, "left")) - 1)
+        i1 = min(ny, int(np.searchsorted(neg_lat, -mny, "right")))
+        overlap[i0:i1, j0:j1] = True
+    full_in = all_in & ~overlap
+    full_out = all_out & ~overlap
+    cells, in_masks, out_masks = [], [], []
     for tx, ty in tiles:
+        bi, bj = (int(ty) - ty0) * sub, (int(tx) - tx0) * sub
+        blk_out = full_out[bi:bi + sub, bj:bj + sub]
+        if blk_out.all():
+            continue                    # cell contributes no candidates
         cells.append(int(tilemath.packed_cell_id(tx, ty, zoom)))
-        lon0, lat0, lon1, lat1 = tilemath.tile_bounds_latlon_xyz(tx, ty, zoom)
-        cx = np.array([lon0, lon1, lon1, lon0])
-        cy = np.array([lat0, lat0, lat1, lat1])
-        inside = geomops.points_in_geom(cx, cy, g).all()
-        touches = bool(((seg_maxx >= lon0) & (seg_minx <= lon1)
-                        & (seg_maxy >= lat0) & (seg_miny <= lat1)).any()) \
-            if len(a) else False
-        fulls.append(bool(inside and not touches))
-    return cells, fulls
+        in_masks.append(_pack_mask(full_in[bi:bi + sub, bj:bj + sub]))
+        out_masks.append(_pack_mask(blk_out))
+    return cells, in_masks, out_masks
+
+
+_REGIONS_PDF_CACHE: pd.DataFrame | None = None
 
 
 def regions_pdf() -> pd.DataFrame:
     """All regions as pandas: region_id, name, kind, geom(WKB), envelope,
-    cells (int64 cover at PIP_ZOOM) + fulls (fast-accept flags).
-    ~1,320 rows — a broadcast-sized dim."""
+    cells (int64 cover at PIP_ZOOM) + in_masks/out_masks (subcell
+    classification bitmasks). ~1,320 rows — a broadcast-sized dim.
+
+    Memoized: on a real deployment this is a dimension TABLE built once and
+    read by every job; recomputing the cover per query would put a serial
+    driver-side cost on the critical path."""
+    global _REGIONS_PDF_CACHE
+    if _REGIONS_PDF_CACHE is not None:
+        return _REGIONS_PDF_CACHE
     rows = []
     for gx in range(N_GRID_X):
         for gy in range(N_GRID_Y):
@@ -185,9 +239,11 @@ def regions_pdf() -> pd.DataFrame:
                      g, xmin, ymin, xmax, ymax))
     pdf = pd.DataFrame(rows, columns=[
         "region_id", "name", "kind", "geom", "xmin", "ymin", "xmax", "ymax"])
-    covers = [_cover_with_full(g, PIP_ZOOM) for g in pdf["geom"]]
-    pdf["cells"] = [c for c, _ in covers]
-    pdf["fulls"] = [f for _, f in covers]
+    covers = [_cover_with_masks(g, PIP_ZOOM) for g in pdf["geom"]]
+    pdf["cells"] = [c for c, _, _ in covers]
+    pdf["in_masks"] = [m for _, m, _ in covers]
+    pdf["out_masks"] = [m for _, _, m in covers]
+    _REGIONS_PDF_CACHE = pdf
     return pdf
 
 
@@ -199,12 +255,23 @@ _REGION_SCHEMA = T.StructType([
     T.StructField("xmin", T.DoubleType()), T.StructField("ymin", T.DoubleType()),
     T.StructField("xmax", T.DoubleType()), T.StructField("ymax", T.DoubleType()),
     T.StructField("cells", T.ArrayType(T.LongType())),
-    T.StructField("fulls", T.ArrayType(T.BooleanType())),
+    T.StructField("in_masks", T.ArrayType(T.LongType())),
+    T.StructField("out_masks", T.ArrayType(T.LongType())),
 ])
 
 
+_REGIONS_DF_CACHE: dict = {}
+
+
 def regions(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(regions_pdf(), schema=_REGION_SCHEMA)
+    """Region dim as a DataFrame, memoized per session — a stand-in for the
+    dimension table a production deployment would read from the catalog."""
+    key = id(spark)
+    df = _REGIONS_DF_CACHE.get(key)
+    if df is None:
+        df = spark.createDataFrame(regions_pdf(), schema=_REGION_SCHEMA)
+        _REGIONS_DF_CACHE[key] = df
+    return df
 
 
 # -- oracle-side twins --------------------------------------------------------
@@ -241,6 +308,29 @@ def convex_centroids_pdf() -> pd.DataFrame:
         cx, cy = geomops.geom_centroid(wkb.Geom(wkb.POLYGON, [ring]))
         rows.append((rid, float(cx), float(cy)))
     return pd.DataFrame(rows, columns=["region_id", "cx", "cy"])
+
+
+def grid_centroids_pdf() -> pd.DataFrame:
+    """Center point of every grid region — a 1,296-row center table for the
+    cell-ring kNN (big-center-set path). Same float64 arithmetic as the
+    DuckDB twin grid_centroids_sql()."""
+    gx, gy = np.meshgrid(np.arange(N_GRID_X), np.arange(N_GRID_Y),
+                         indexing="ij")
+    gx = gx.ravel().astype(np.int64)
+    gy = gy.ravel().astype(np.int64)
+    return pd.DataFrame({
+        "region_id": gx * N_GRID_Y + gy,
+        "cx": -180.0 + 10.0 * gx + 5.0,
+        "cy": -90.0 + 5.0 * gy + 2.5,
+    })
+
+
+def grid_centroids_sql() -> str:
+    """DuckDB table expression computing the same center table."""
+    return (f"(SELECT gx.range * {N_GRID_Y} + gy.range AS region_id, "
+            " -180.0 + 10.0 * gx.range + 5.0 AS cx, "
+            " -90.0 + 5.0 * gy.range + 2.5 AS cy "
+            f"FROM range({N_GRID_X}) gx, range({N_GRID_Y}) gy) AS c")
 
 
 def convex_centroids_values_sql() -> str:

@@ -66,26 +66,21 @@ def _group_runs(rid: np.ndarray):
 
 
 def make_pip_exact_by_id(bc):
-    """pandas UDF (lon, lat, region_id, full) -> inside?, geometries resolved
-    from the broadcast {region_id: wkb} dict. No geometry bytes cross Arrow;
-    rows whose cell is fully inside the region (`full`) are accepted without
-    any geometry work — the fast-accept evaluated inside the single Arrow
-    pass, so the candidate join is scanned exactly once."""
+    """pandas UDF (lon, lat, region_id) -> inside?, geometries resolved from
+    the broadcast {region_id: wkb} dict. No geometry bytes cross Arrow; the
+    caller has already mask-filtered, so every row here is a genuine boundary
+    candidate."""
     @pandas_udf(BooleanType())
-    def _pip(lon: pd.Series, lat: pd.Series, rid: pd.Series,
-             full: pd.Series) -> pd.Series:
-        out = full.values.astype(bool).copy()
-        todo = np.flatnonzero(~out)
-        if len(todo):
-            lons = lon.values[todo]
-            lats = lat.values[todo]
-            rids = rid.values[todo].astype(np.int64)
-            for r, idx in _group_runs(rids):
-                key = (id(bc), r)
-                g = _GEOM_CACHE.get(key)
-                if g is None:
-                    g = _GEOM_CACHE[key] = wkb.decode(bytes(bc.value[r]))
-                out[todo[idx]] = geomops.points_in_geom(lons[idx], lats[idx], g)
+    def _pip(lon: pd.Series, lat: pd.Series, rid: pd.Series) -> pd.Series:
+        lons = lon.values
+        lats = lat.values
+        out = np.zeros(len(lons), dtype=bool)
+        for r, idx in _group_runs(rid.values.astype(np.int64)):
+            key = (id(bc), r)
+            g = _GEOM_CACHE.get(key)
+            if g is None:
+                g = _GEOM_CACHE[key] = wkb.decode(bytes(bc.value[r]))
+            out[idx] = geomops.points_in_geom(lons[idx], lats[idx], g)
         return pd.Series(out)
     return _pip
 
@@ -118,36 +113,45 @@ def pip_join(points: DataFrame, regions: DataFrame, zoom: int = 6,
     Returns points columns + region columns (geom/cells dropped) for every
     (point, region) pair where the point is exactly inside the region.
     """
-    p = points.withColumn("_cell", point_cell_col(F.col("lon"), F.col("lat"), zoom))
-    extra = [c for c in regions.columns
-             if c not in ("geom", "cells", "fulls", "region_id")]
-    has_full = "fulls" in regions.columns
+    # ONE tile-math evaluation at zoom+SUB_BITS; the join cell at `zoom` and
+    # the 8x8 subcell index both derive from it with pure bit ops.
+    stx, sty = tilemath.mercator_tile_cols(
+        F.col("lon"), F.col("lat"), zoom + tilemath.SUB_BITS)
+    p = (points.withColumn("_stx", stx).withColumn("_sty", sty)
+         .withColumn("_cell", tilemath.packed_cell_id_col(
+             F.shiftrightunsigned("_stx", tilemath.SUB_BITS),
+             F.shiftrightunsigned("_sty", tilemath.SUB_BITS), zoom))
+         .withColumn("_sub", F.shiftleft(
+             F.col("_sty").bitwiseAND(F.lit(7)), 3)
+             .bitwiseOR(F.col("_stx").bitwiseAND(F.lit(7))))
+         .drop("_stx", "_sty"))
+    internal = ("geom", "cells", "fulls", "in_masks", "out_masks", "region_id")
+    extra = [c for c in regions.columns if c not in internal]
+    has_masks = "in_masks" in regions.columns
+    # join-side build is pure Spark (explode in the JVM): the only
+    # driver-side work is collecting the (region_id, geom) pairs for the
+    # broadcast-variable dict — O(regions), never O(regions x cells).
+    z = F.explode(F.arrays_zip(
+        F.col("cells").alias("c"),
+        (F.col("in_masks") if has_masks
+         else F.transform("cells", lambda _: F.lit(0).cast("long"))).alias("i"),
+        (F.col("out_masks") if has_masks
+         else F.transform("cells", lambda _: F.lit(0).cast("long"))).alias("o"),
+    )).alias("_z")
+    geom_cols = [] if broadcast_regions else ["geom"]
+    r = (regions.select("region_id", *geom_cols, *extra, z)
+         .select("region_id", *geom_cols, *extra,
+                 F.col("_z.c").alias("_cell"), F.col("_z.i").alias("_im"),
+                 F.col("_z.o").alias("_om")))
     if broadcast_regions:
         # geometry bytes go to workers ONCE via a broadcast variable; the
-        # join side carries only (region_id, cell, full) — no WKB over Arrow.
-        cols = ["region_id", "geom", "cells"] + (["fulls"] if has_full else []) + extra
-        rows = regions.select(*cols).collect()
+        # join side carries only (region_id, cell, masks) — no WKB over Arrow.
         bc = points.sparkSession.sparkContext.broadcast(
-            {int(r.region_id): bytes(r.geom) for r in rows})
-        rtuples = []
-        for row in rows:
-            fl = row.fulls if has_full else [False] * len(row.cells)
-            for c, f in zip(row.cells, fl):
-                rtuples.append((int(row.region_id), *[row[c2] for c2 in extra],
-                                int(c), bool(f)))
-        r = points.sparkSession.createDataFrame(
-            rtuples, ["region_id", *extra, "_cell", "_full"])
+            {int(row.region_id): bytes(row.geom)
+             for row in regions.select("region_id", "geom").collect()})
         exact = make_pip_exact_by_id(bc)(
-            F.col("lon"), F.col("lat"), F.col("region_id"), F.col("_full"))
+            F.col("lon"), F.col("lat"), F.col("region_id"))
     else:
-        z = F.explode(F.arrays_zip(
-            F.col("cells").alias("c"),
-            (F.col("fulls") if has_full
-             else F.transform("cells", lambda _: F.lit(False))).alias("f")
-        )).alias("_z")
-        r = (regions.select("region_id", "geom", *extra, z)
-             .select("region_id", "geom", *extra,
-                     F.col("_z.c").alias("_cell"), F.col("_z.f").alias("_full")))
         exact = pip_exact(F.col("lon"), F.col("lat"),
                           F.col("region_id"), F.col("geom"))
     if salt > 1:
@@ -162,15 +166,18 @@ def pip_join(points: DataFrame, regions: DataFrame, zoom: int = 6,
         join_keys = ["_cell"]
     rj = F.broadcast(r) if broadcast_regions else r
     cand = p.join(rj, join_keys)
-    # fast-accept split (ogrlayer.cpp:1784-1790 lifted to cell level):
-    # full-cell rows never enter the Arrow round-trip at all. The join is
+    # mask-based accept/reject (ogrlayer.cpp:1784-1790 lifted to a 2-level
+    # cell hierarchy): fully-inside subcells accept and fully-outside ones
+    # reject with two JVM bit ops; only genuine boundary slivers (~1/8 of
+    # candidates per SUB_BIT) cross into Python. The candidate join is
     # scanned twice, but a broadcast-hash probe costs far less per row than
-    # Arrow serialization, so the split wins at every parallelism level
-    # (measured: ~25% faster than a single-pass UDF that skips internally).
-    accepted = cand.where(F.col("_full"))
-    verified = cand.where(~F.col("_full")).where(exact)
+    # Arrow serialization, so the split wins at every parallelism level.
+    in_bit = F.expr("(shiftrightunsigned(_im, _sub) & 1) = 1")
+    out_bit = F.expr("(shiftrightunsigned(_om, _sub) & 1) = 1")
+    accepted = cand.where(in_bit)
+    verified = cand.where(~in_bit & ~out_bit).where(exact)
     out = accepted.unionByName(verified)
-    return out.drop("_cell", "_salt", "_full", "geom")
+    return out.drop("_cell", "_sub", "_salt", "_im", "_om", "geom")
 
 
 def knn_join(points: DataFrame, centers: DataFrame, k: int,
@@ -193,6 +200,109 @@ def knn_join(points: DataFrame, centers: DataFrame, k: int,
     return (d.withColumn("rank", F.row_number().over(w))
              .where(F.col("rank") <= k)
              .drop("cx", "cy"))
+
+
+def ring_knn_join(points: DataFrame, centers: DataFrame, k: int, zoom: int,
+                  point_key: str = "doc_id", str_buckets: int = 64) -> DataFrame:
+    """kNN for center sets too large to broadcast: cell-ring expansion with a
+    sort-tile-recursive fallback (SURVEY §2.3; the reference has no layer
+    kNN — ogrgeometry.cpp:3562 Distance is the scalar it composes from).
+
+    Round 1 (ring): both sides map to cells at `zoom` (pure column math);
+    each point probes its 3x3 cell neighborhood via a 9-way explode +
+    equi-join, takes top-k by planar degree distance. A point is RESOLVED iff
+    it found k candidates and its kth distance fits inside the ring's
+    guaranteed radius (distance to the nearest excluded cell edge) — then no
+    center outside the ring can beat the kth.
+
+    Round 2 (STR fallback, only unresolved points — the sparse tail): centers
+    are packed into `str_buckets` spatial buckets of ~equal count by sorting
+    on row-major cell id and cutting at approximate quantiles (the classic
+    sort-tile-recursive packing at cell granularity). Per-bucket bboxes are
+    broadcast; an unresolved point scans exactly the buckets whose bbox
+    min-distance is <= its round-1 upper bound (kth found dist, or inf), then
+    windows top-k. Any true neighbor has dist <= ub, hence lives in a scanned
+    bucket, so the fallback is exact.
+
+    Scale: round 1 shuffles 9x the per-cell center density per point; round 2
+    touches only boundary/sparse points and is bounded by bucket fan-out.
+    Distance is planar degrees (no antimeridian wrap), matching knn_join and
+    the DuckDB oracle.
+    """
+    from pyspark.sql import Window
+
+    ptx, pty = tilemath.mercator_tile_cols(F.col("lon"), F.col("lat"), zoom)
+    p = points.withColumn("_tx", ptx).withColumn("_ty", pty)
+    ctx, cty = tilemath.mercator_tile_cols(F.col("cx"), F.col("cy"), zoom)
+    c = centers.withColumn("_ckey", tilemath.packed_cell_id_col(ctx, cty, zoom))
+
+    off = F.explode(F.array(*[
+        F.struct(F.lit(dx).alias("x"), F.lit(dy).alias("y"))
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)])).alias("_o")
+    pc = (p.select("*", off)
+          .withColumn("_ckey", tilemath.packed_cell_id_col(
+              F.col("_tx") + F.col("_o.x"), F.col("_ty") + F.col("_o.y"), zoom))
+          .drop("_o"))
+
+    dx = F.col("lon") - F.col("cx")
+    dy = F.col("lat") - F.col("cy")
+    dist = F.sqrt(dx * dx + dy * dy)
+    cand = pc.join(c, "_ckey").withColumn("dist", dist)
+    wk = Window.partitionBy(point_key).orderBy(F.col("dist").asc(),
+                                               F.col("region_id").asc())
+    top = (cand.withColumn("rank", F.row_number().over(wk))
+           .where(F.col("rank") <= k))
+
+    # ring guard: distance to the nearest cell edge beyond the 3x3 block
+    guard = F.least(
+        F.col("lon") - tilemath.tile_lon_edge_col(F.col("_tx") - 1, zoom),
+        tilemath.tile_lon_edge_col(F.col("_tx") + 2, zoom) - F.col("lon"),
+        tilemath.tile_lat_edge_col(F.col("_ty") - 1, zoom) - F.col("lat"),
+        F.col("lat") - tilemath.tile_lat_edge_col(F.col("_ty") + 2, zoom))
+    wp = Window.partitionBy(point_key)
+    top = (top.withColumn("_cnt", F.count("*").over(wp))
+           .withColumn("_kth", F.max("dist").over(wp))
+           .withColumn("_ok", (F.col("_cnt") == k) & (F.col("_kth") <= guard)))
+    resolved = top.where(F.col("_ok"))
+
+    # upper bound for the fallback search per point
+    pstats = (top.groupBy(point_key)
+              .agg(F.max("_cnt").alias("_cnt"), F.max("_kth").alias("_kth"),
+                   F.max(F.col("_ok").cast("int")).alias("_okk")))
+    unres = (p.join(pstats, point_key, "left")
+             .where(F.coalesce(F.col("_okk"), F.lit(0)) == 0)
+             .withColumn("_ub", F.when(F.col("_cnt") == k, F.col("_kth"))
+                         .otherwise(F.lit(float("inf"))))
+             .drop("_cnt", "_kth", "_okk"))
+
+    # STR packing: equal-count spatial buckets from approx quantiles of the
+    # row-major cell id (one lightweight pass over centers)
+    fracs = [i / str_buckets for i in range(1, str_buckets)]
+    cuts = c.approxQuantile("_ckey", fracs, 0.01) if fracs else []
+    cut_arr = F.array(*[F.lit(float(q)) for q in cuts])
+    # bucket index = number of quantile cuts <= cell id (a JVM fold, no UDF)
+    cb = c.withColumn("_bkt", F.aggregate(
+        cut_arr, F.lit(0),
+        lambda acc, q: acc + F.when(
+            q <= F.col("_ckey").cast("double"), 1).otherwise(0)))
+    bboxes = (cb.groupBy("_bkt")
+              .agg(F.min("cx").alias("_bxmin"), F.max("cx").alias("_bxmax"),
+                   F.min("cy").alias("_bymin"), F.max("cy").alias("_bymax")))
+    mdx = F.greatest(F.lit(0.0), F.col("_bxmin") - F.col("lon"),
+                     F.col("lon") - F.col("_bxmax"))
+    mdy = F.greatest(F.lit(0.0), F.col("_bymin") - F.col("lat"),
+                     F.col("lat") - F.col("_bymax"))
+    cand2 = (unres.join(F.broadcast(bboxes),
+                        F.sqrt(mdx * mdx + mdy * mdy) <= F.col("_ub"))
+             .join(cb.drop("_ckey"), "_bkt")
+             .withColumn("dist", dist)
+             .where(F.col("dist") <= F.col("_ub")))
+    fallback = (cand2.withColumn("rank", F.row_number().over(wk))
+                .where(F.col("rank") <= k))
+
+    drop_cols = ["_tx", "_ty", "_ckey", "_cnt", "_kth", "_ok", "_ub", "_bkt",
+                 "_bxmin", "_bxmax", "_bymin", "_bymax", "cx", "cy"]
+    return resolved.drop(*drop_cols).unionByName(fallback.drop(*drop_cols))
 
 
 def distance_join(points: DataFrame, centers: DataFrame, radius: float) -> DataFrame:

@@ -35,35 +35,78 @@ def synth_pages(spark: SparkSession, n: int,
         datagen.lat_col().alias("lat"))
 
 
+def prepare_pages(spark: SparkSession, n: int, path: str,
+                  partitions: int | None = None, sort: bool = True) -> None:
+    """Materialize the page table once, sorted by fine-grained cell id —
+    the Iceberg sort-order layout the measurement protocol prescribes
+    (BASELINE.md step 1: 'write to Iceberg sorted by cell id').
+
+    The sort key is the packed cell at PIP_ZOOM+SUB_BITS, which coincides
+    exactly with the z-3 global pixel the density stage groups by, so a
+    sorted table gives the downstream aggregation near-perfect map-side
+    combine: the shuffle carries ~#distinct-pixels rows instead of ~#pages.
+    At 100 TB this is the difference between shuffling gigabytes and
+    shuffling the dataset.
+    """
+    df = synth_pages(spark, n, partitions)
+    if sort:
+        key = spatial_join.point_cell_col(
+            F.col("lon"), F.col("lat"), datagen.PIP_ZOOM + tilemath.SUB_BITS)
+        df = (df.withColumn("_k", key)
+              .repartitionByRange(partitions or 32, "_k")
+              .sortWithinPartitions("_k")
+              .drop("_k"))
+    df.write.mode("overwrite").parquet(path)
+
+
 def run_canonical_job(spark: SparkSession, n_pages: int, workdir: str,
-                      salt: int = 1, partitions: int | None = None) -> dict:
-    """Run the staged job; returns the per-stage metrics dict."""
+                      salt: int = 1, partitions: int | None = None,
+                      pages_path: str | None = None) -> dict:
+    """Run the staged job; returns the per-stage metrics dict.
+
+    If `pages_path` is given, the job reads the pre-materialized page table
+    from there (the production shape: input is an existing catalog table);
+    otherwise a synthesis stage generates it inside the workdir first.
+    """
     runner = StageRunner(spark, workdir)
 
-    runner.stage("pages", lambda r: synth_pages(spark, n_pages, partitions))
+    if pages_path is None:
+        runner.stage("pages", lambda r: synth_pages(spark, n_pages, partitions))
+        load_pages = lambda r: r.load("pages")          # noqa: E731
+        pip_upstream = ["pages"]
+    else:
+        load_pages = lambda r: spark.read.parquet(pages_path)  # noqa: E731
+        pip_upstream = []
 
     def build_pip(r: StageRunner) -> DataFrame:
-        pages = r.load("pages")
-        regions = datagen.regions(spark).select("region_id", "geom", "cells")
+        pages = load_pages(r)
+        regions = datagen.regions(spark).select(
+            "region_id", "geom", "cells", "in_masks", "out_masks")
         hits = spatial_join.pip_join(pages, regions,
                                      zoom=datagen.PIP_ZOOM, salt=salt)
         return hits.groupBy("region_id").agg(F.count("*").alias("n_pages"))
 
-    runner.stage("pip_counts", build_pip, upstream=["pages"])
+    runner.stage("pip_counts", build_pip, upstream=pip_upstream)
 
     def build_tiles(r: StageRunner) -> DataFrame:
-        pages = r.load("pages")
+        pages = load_pages(r)
         gpx, gpy = tilemath.mercator_pixel_cols(
             F.col("lon"), F.col("lat"), 3)
-        return (pages.select(gpx.alias("gpx"), gpy.alias("gpy"))
-                .select(F.shiftright("gpx", 8).alias("tile_x"),
-                        F.shiftright("gpy", 8).alias("tile_y"),
-                        F.col("gpx").bitwiseAND(F.lit(255)).alias("px"),
-                        F.col("gpy").bitwiseAND(F.lit(255)).alias("py"))
-                .groupBy("tile_x", "tile_y", "px", "py")
-                .agg(F.count("*").alias("burn")))
+        # group on ONE packed long (gpx<<32 | gpy), not a 4-column key: the
+        # hash-agg probe is a single-word compare, and with cell-sorted input
+        # the partial agg collapses the shuffle to ~#distinct-pixels rows
+        key = F.shiftleft(gpx, 32).bitwiseOR(gpy)
+        agg = (pages.select(key.alias("pxk"))
+               .groupBy("pxk").agg(F.count("*").alias("burn")))
+        ux = F.shiftrightunsigned(F.col("pxk"), 32)
+        uy = F.col("pxk").bitwiseAND(F.lit((1 << 32) - 1))
+        return agg.select(F.shiftright(ux, 8).alias("tile_x"),
+                          F.shiftright(uy, 8).alias("tile_y"),
+                          ux.bitwiseAND(F.lit(255)).alias("px"),
+                          uy.bitwiseAND(F.lit(255)).alias("py"),
+                          "burn")
 
-    runner.stage("tile_density", build_tiles, upstream=["pages"])
+    runner.stage("tile_density", build_tiles, upstream=pip_upstream)
 
     def build_overview(r: StageRunner) -> DataFrame:
         z = r.load("tile_density")

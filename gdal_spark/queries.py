@@ -365,7 +365,7 @@ def q_pip_grid(spark, sf_dir):
     region analytically — agreement validates cover, join and exact test."""
     p = datagen.points(spark, sf_dir)
     r = datagen.regions(spark).where(F.col("kind") == "grid") \
-        .select("region_id", "geom", "cells")
+        .select("region_id", "geom", "cells", "in_masks", "out_masks")
     hits = spatial_join.pip_join(p, r, zoom=datagen.PIP_ZOOM)
     return hits.groupBy("region_id").agg(F.count("*").alias("n_pages"))
 
@@ -380,7 +380,7 @@ def q_pip_convex(spark, sf_dir):
     oracle side uses half-plane conjunctions: two independent formulations."""
     p = datagen.points(spark, sf_dir)
     r = datagen.regions(spark).where(F.col("kind") == "convex") \
-        .select("region_id", "geom", "cells")
+        .select("region_id", "geom", "cells", "in_masks", "out_masks")
     hits = spatial_join.pip_join(p, r, zoom=datagen.PIP_ZOOM)
     return hits.groupBy("region_id").agg(F.count("*").alias("n_pages"))
 
@@ -405,6 +405,31 @@ def q_knn_centroids(spark, sf_dir):
     p = datagen.points(spark, sf_dir).where(F.col("doc_id") % 17 == 0)
     c = p.sparkSession.createDataFrame(datagen.convex_centroids_pdf())
     out = spatial_join.knn_join(p, c, k=3, point_key="doc_id")
+    return out.select("doc_id", F.col("rank").cast("int").alias("rank"),
+                      "region_id", F.round("dist", 6).alias("dist_r"))
+
+
+@_reg("knn_ring", f"""
+{_pts_cte()},
+d AS (SELECT pts.doc_id, CAST(c.region_id AS BIGINT) AS region_id,
+             sqrt((lon - cx) * (lon - cx) + (lat - cy) * (lat - cy)) AS dist
+      FROM pts, {datagen.grid_centroids_sql()}),
+r AS (SELECT doc_id, region_id, dist,
+             CAST(row_number() OVER (PARTITION BY doc_id
+                  ORDER BY dist ASC, region_id ASC) AS INTEGER) AS rank
+      FROM d)
+SELECT doc_id, rank, region_id, ROUND(dist, 6) AS dist_r
+FROM r WHERE rank <= 3
+""")
+def q_knn_ring(spark, sf_dir):
+    """kNN (k=3) against the 1,296-center grid table via cell-ring expansion
+    + sort-tile-recursive fallback (SURVEY.md §2.3 kNN row: 'cell-ring
+    expansion join ... sort-tile-recursive fallback'; the oracle is the
+    brute-force cross-join window — two independent formulations)."""
+    p = datagen.points(spark, sf_dir)
+    c = spark.createDataFrame(datagen.grid_centroids_pdf())
+    out = spatial_join.ring_knn_join(p, c, k=3, zoom=5, point_key="doc_id",
+                                     str_buckets=32)
     return out.select("doc_id", F.col("rank").cast("int").alias("rank"),
                       "region_id", F.round("dist", 6).alias("dist_r"))
 
@@ -479,6 +504,59 @@ def q_rasterize_z1(spark, sf_dir):
         F.col("gpy").bitwiseAND(F.lit(255)).alias("py"))
         .groupBy("tile_x", "tile_y", "px", "py")
         .agg(F.count("*").alias("burn")))
+
+
+@_reg("polygonize_density", f"""
+WITH RECURSIVE pts AS ({datagen.POINTS_SQL}),
+c AS (SELECT CAST(floor((lon + 180.0) / 5.625) AS BIGINT) AS x,
+             CAST(floor((lat + 90.0) / 2.8125) AS BIGINT) AS y,
+             count(*) AS v
+      FROM pts GROUP BY 1, 2),
+ids AS (SELECT x, y, v, y * 64 + x AS id FROM c),
+adj AS (SELECT a.id AS s, b.id AS d FROM ids a, ids b
+        WHERE a.v = b.v AND ((abs(a.x - b.x) = 1 AND a.y = b.y)
+                             OR (a.x = b.x AND abs(a.y - b.y) = 1))),
+reach AS (SELECT id AS s, id AS d FROM ids
+          UNION
+          SELECT r.s, a.d FROM reach r JOIN adj a ON r.d = a.s),
+comp AS (SELECT s AS id, min(d) AS comp FROM reach GROUP BY s)
+SELECT CAST(v AS DOUBLE) AS value, CAST(count(*) AS BIGINT) AS n_pixels,
+       min(x) AS px_xmin, min(y) AS px_ymin,
+       max(x) AS px_xmax, max(y) AS px_ymax
+FROM ids JOIN comp USING (id) GROUP BY comp.comp, v
+""")
+def q_polygonize_density(spark, sf_dir):
+    """Raster -> vector: polygonize connected equal-valued regions of a
+    64x64 density raster (GDALPolygonize, alg/polygonize.cpp:170 — per-tile
+    labeling + cross-tile component merge re-expressed as applyInPandas +
+    iterative min-label propagation). The oracle is an independent
+    formulation: DuckDB recursive-CTE transitive closure over the pixel
+    adjacency graph. Output drops the internal comp_id (an engine-specific
+    min-node id) and compares the component multiset (value, size, bbox)."""
+    import numpy as np
+    import pandas as pd
+    from .raster.polygonize import polygonize
+    from .raster.tiles import TILE_SCHEMA, encode_px
+
+    p = datagen.points(spark, sf_dir)
+    x = F.floor((F.col("lon") + 180.0) / 5.625).cast("long")
+    y = F.floor((F.col("lat") + 90.0) / 2.8125).cast("long")
+    cnt = (p.select(x.alias("x"), y.alias("y"))
+           .groupBy("x", "y").agg(F.count("*").alias("v"))
+           .withColumn("tile_x", F.shiftright("x", 3))
+           .withColumn("tile_y", F.shiftright("y", 3)))
+
+    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        arr = np.zeros((8, 8), np.int64)
+        arr[pdf["y"].values & 7, pdf["x"].values & 7] = pdf["v"].values
+        return pd.DataFrame([(1, 0, int(key[0]), int(key[1]), "int64", 0.0,
+                              encode_px(arr))],
+                            columns=[f.name for f in TILE_SCHEMA.fields])
+
+    tiles = cnt.groupBy("tile_x", "tile_y").applyInPandas(build, TILE_SCHEMA)
+    out = polygonize(tiles, tile=8)
+    return out.select("value", "n_pixels",
+                      "px_xmin", "px_ymin", "px_xmax", "px_ymax")
 
 
 @_reg("pyramid_z0", f"""
