@@ -421,6 +421,116 @@ def clip_geom_rect(g: Geom, xmin, ymin, xmax, ymax) -> Optional[Geom]:
     return Geom(wkb.MULTIPOLYGON, parts=out)
 
 
+def _clip_ring_halfplane(pts: np.ndarray, a, b) -> np.ndarray:
+    """Sutherland–Hodgman step: keep the side LEFT of directed edge a->b
+    (the interior of a CCW convex ring). pts is an OPEN ring (no closing
+    vertex); returns an open ring."""
+    if len(pts) == 0:
+        return pts
+    ex, ey = b[0] - a[0], b[1] - a[1]
+    s = ex * (pts[:, 1] - a[1]) - ey * (pts[:, 0] - a[0])   # >=0 -> inside
+    out = []
+    n = len(pts)
+    for i in range(n):
+        j = (i - 1) % n
+        cur_in, prev_in = s[i] >= 0.0, s[j] >= 0.0
+        if cur_in != prev_in:
+            t = s[j] / (s[j] - s[i])
+            out.append(pts[j] + t * (pts[i] - pts[j]))
+        if cur_in:
+            out.append(pts[i])
+    return np.array(out) if out else np.empty((0, 2))
+
+
+def _open(ring: np.ndarray) -> np.ndarray:
+    return ring[:-1] if len(ring) and np.array_equal(ring[0], ring[-1]) \
+        else ring
+
+
+def _close(pts: np.ndarray) -> np.ndarray:
+    return np.vstack([pts, pts[:1]]) if len(pts) >= 3 else np.empty((0, 2))
+
+
+def _ccw_edges(convex_ring: np.ndarray):
+    """Directed CCW edge list of a convex ring (auto-reorients CW input)."""
+    r = _open(np.asarray(convex_ring, dtype=np.float64))
+    if ring_area(np.vstack([r, r[:1]])) < 0:
+        r = r[::-1]
+    return [(r[i], r[(i + 1) % len(r)]) for i in range(len(r))]
+
+
+def clip_ring_convex(ring: np.ndarray, convex_ring: np.ndarray) -> np.ndarray:
+    """Clip one ring against a convex polygon ring (closed output)."""
+    pts = _open(ring)
+    for a, b in _ccw_edges(convex_ring):
+        pts = _clip_ring_halfplane(pts, a, b)
+        if len(pts) < 3:
+            return np.empty((0, 2))
+    return _close(pts)
+
+
+def clip_geom_convex(g: Geom, convex_ring: np.ndarray) -> Optional[Geom]:
+    """Polygon/multipolygon intersection with a CONVEX polygon — exact
+    (Sutherland–Hodgman per ring). The convex restriction is what lets the
+    overlay layer ops (ogrlayer.cpp:2633 Intersection etc.) run as pure
+    numpy inside Arrow batches; concave method polygons must be
+    pre-decomposed."""
+    polys = g.polygons()
+    out = []
+    for rings in polys:
+        ext = clip_ring_convex(rings[0], convex_ring)
+        if not len(ext):
+            continue
+        holes = [h for h in (clip_ring_convex(r, convex_ring)
+                             for r in rings[1:]) if len(h)]
+        out.append(Geom(wkb.POLYGON, [ext] + holes))
+    if not out:
+        return None
+    return out[0] if len(out) == 1 else Geom(wkb.MULTIPOLYGON, parts=out)
+
+
+def erase_geom_convex(g: Geom, convex_ring: np.ndarray) -> Optional[Geom]:
+    """Polygon difference g \\ convex — exact via wedge decomposition: the
+    plane outside a convex k-gon partitions into k disjoint wedges
+    W_i = inside(e_1..e_{i-1}) ∩ outside(e_i); each piece g ∩ W_i needs
+    half-plane clips only, and the pieces are disjoint, so their collection
+    IS the difference (no union/dissolve step needed — the trick that keeps
+    OGRLayer::Erase semantics, ogrlayer.cpp:5094, numpy-only)."""
+    edges = _ccw_edges(convex_ring)
+    pieces = []
+    for rings in g.polygons():
+        for i in range(len(edges)):
+            pts = _open(rings[0])
+            # outside of edge i: left of the REVERSED edge
+            a, b = edges[i]
+            pts = _clip_ring_halfplane(pts, b, a)
+            for j in range(i):
+                aj, bj = edges[j]
+                if len(pts) < 3:
+                    break
+                pts = _clip_ring_halfplane(pts, aj, bj)
+            ext = _close(pts)
+            if not len(ext):
+                continue
+            holes = []
+            for r in rings[1:]:
+                hp = _open(r)
+                hp = _clip_ring_halfplane(hp, b, a)
+                for j in range(i):
+                    aj, bj = edges[j]
+                    if len(hp) < 3:
+                        break
+                    hp = _clip_ring_halfplane(hp, aj, bj)
+                hc = _close(hp)
+                if len(hc):
+                    holes.append(hc)
+            pieces.append(Geom(wkb.POLYGON, [ext] + holes))
+    if not pieces:
+        return None
+    return pieces[0] if len(pieces) == 1 else Geom(wkb.MULTIPOLYGON,
+                                                   parts=pieces)
+
+
 def simplify_ring(r: np.ndarray, tol: float) -> np.ndarray:
     """Douglas–Peucker (OGRGeometry::Simplify semantics, tolerance in units)."""
     if len(r) <= 2:

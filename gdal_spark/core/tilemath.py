@@ -340,6 +340,31 @@ def mercator_pixel_cols(lon_col, lat_col, zoom):
     return gpx, gpy
 
 
+def mercator_pixel_float_cols(lon_col, lat_col, zoom):
+    """(xc, yc) CONTINUOUS global pixel Columns at `zoom`, XYZ orientation —
+    the coordinate space of InterpolateAtPoint (pixel centers at i+0.5;
+    floor(xc/yc) equals mercator_pixel_cols for non-integer coords)."""
+    from pyspark.sql import functions as F
+    mx, my = mercator_meters_cols(lon_col, lat_col)
+    res = resolution(zoom)
+    world = float(TILE_SIZE * (2 ** zoom))
+    xc = (mx + ORIGIN_SHIFT) / res
+    yc = F.lit(world) - (my + ORIGIN_SHIFT) / res
+    return xc, yc
+
+
+def mercator_pixel_float_sql(lon_expr: str, lat_expr: str, zoom: int):
+    """DuckDB twin of mercator_pixel_float_cols."""
+    res = resolution(zoom)
+    world = float(TILE_SIZE * (2 ** zoom))
+    mx = f"(({lon_expr}) * {ORIGIN_SHIFT!r} / 180.0)"
+    my = (f"(ln(tan((90.0 + ({lat_expr})) * pi() / 360.0)) / (pi() / 180.0)"
+          f" * {ORIGIN_SHIFT!r} / 180.0)")
+    xc = f"(({mx} + {ORIGIN_SHIFT!r}) / {res!r})"
+    yc = f"({world!r} - (({my} + {ORIGIN_SHIFT!r}) / {res!r}))"
+    return xc, yc
+
+
 def mercator_pixel_sql(lon_expr: str, lat_expr: str, zoom: int):
     """DuckDB twin of mercator_pixel_cols."""
     res = resolution(zoom)

@@ -559,6 +559,156 @@ def q_polygonize_density(spark, sf_dir):
                       "px_xmin", "px_ymin", "px_xmax", "px_ymax")
 
 
+_OVERLAY_RECTS = [(200 + i,
+                   -170.0 + 28.0 * i, -60.0 + 10.0 * (i % 5),
+                   -151.0 + 28.0 * i, -46.0 + 10.0 * (i % 5))
+                  for i in range(12)]          # disjoint (x-spacing > width)
+
+_OVERLAY_RECTS_SQL = ("(VALUES " + ", ".join(
+    f"({m}, {x0!r}, {y0!r}, {x1!r}, {y1!r})"
+    for m, x0, y0, x1, y1 in _OVERLAY_RECTS)
+    + ") AS m(mid, mx0, my0, mx1, my1)")
+
+_GRID_RECTS_SQL = (f"(SELECT gx.range * {datagen.N_GRID_Y} + gy.range"
+                   " AS region_id,"
+                   " -180.0 + 10.0 * gx.range AS gx0,"
+                   " -90.0 + 5.0 * gy.range AS gy0,"
+                   " -170.0 + 10.0 * gx.range AS gx1,"
+                   " -85.0 + 5.0 * gy.range AS gy1"
+                   f" FROM range({datagen.N_GRID_X}) gx,"
+                   f" range({datagen.N_GRID_Y}) gy) AS g")
+
+
+def _overlay_inputs(spark):
+    import pandas as pd
+    from .core import wkb as _wkb
+    subject = datagen.regions(spark).where(F.col("kind") == "grid") \
+        .select("region_id", "geom")
+    mrows = [(m, _wkb.box(x0, y0, x1, y1))
+             for m, x0, y0, x1, y1 in _OVERLAY_RECTS]
+    from pyspark.sql import types as T
+    method = spark.createDataFrame(
+        pd.DataFrame(mrows, columns=["mid", "geom"]),
+        schema=T.StructType([T.StructField("mid", T.LongType()),
+                             T.StructField("geom", T.BinaryType())]))
+    return subject, method
+
+
+@_reg("overlay_clip_area", f"""
+SELECT g.region_id, CAST(m.mid AS BIGINT) AS mid,
+       ROUND((least(gx1, mx1) - greatest(gx0, mx0))
+             * (least(gy1, my1) - greatest(gy0, my0)), 6) AS area_r
+FROM {_GRID_RECTS_SQL}, {_OVERLAY_RECTS_SQL}
+WHERE least(gx1, mx1) > greatest(gx0, mx0)
+  AND least(gy1, my1) > greatest(gy0, my0)
+""")
+def q_overlay_clip_area(spark, sf_dir):
+    """Layer x layer Intersection (OGRLayer::Intersection,
+    ogrlayer.cpp:2633): grid regions x a disjoint rect layer, one row per
+    intersecting pair with the piece's shoelace area. The oracle computes
+    the same areas ANALYTICALLY (rect-overlap formula) — an independent
+    check of the whole overlay path (envelope prefilter + Sutherland-
+    Hodgman clip + area)."""
+    from .operators.overlay import overlay
+    subject, method = _overlay_inputs(spark)
+    out = overlay(subject, method, "intersection")
+    return out.select("region_id", "mid",
+                      F.round(st.st_area("geom"), 6).alias("area_r")) \
+        .where(F.col("area_r") > 0)
+
+
+@_reg("overlay_erase_area", f"""
+WITH ov AS (
+  SELECT g.region_id,
+         (least(gx1, mx1) - greatest(gx0, mx0))
+         * (least(gy1, my1) - greatest(gy0, my0)) AS a
+  FROM {_GRID_RECTS_SQL}, {_OVERLAY_RECTS_SQL}
+  WHERE least(gx1, mx1) > greatest(gx0, mx0)
+    AND least(gy1, my1) > greatest(gy0, my0))
+SELECT region_id, ROUND(50.0 - sum(a), 6) AS area_r
+FROM ov GROUP BY region_id HAVING ROUND(50.0 - sum(a), 6) > 0
+""")
+def q_overlay_erase_area(spark, sf_dir):
+    """Layer x layer Erase (OGRLayer::Erase, ogrlayer.cpp:5094): each grid
+    region minus the rect layer, via exact wedge-decomposition difference.
+    Oracle: 50 deg^2 minus the analytic overlap sum (methods disjoint).
+    Regions fully covered by a method drop out on both sides."""
+    from .operators.overlay import overlay
+    subject, method = _overlay_inputs(spark)
+    touched = overlay(subject, method, "intersection") \
+        .where(st.st_area("geom") > 0).select("region_id").distinct()
+    out = overlay(subject.join(touched, "region_id"), method, "erase")
+    return out.select("region_id",
+                      F.round(st.st_area("geom"), 6).alias("area_r")) \
+        .where(F.col("area_r") > 0)
+
+
+@_reg("grid_invdist", f"""
+{_pts_cte()},
+p AS (SELECT lon, lat, CAST(doc_id % 97 AS DOUBLE) AS z FROM pts),
+g AS (SELECT gi.range AS i, gj.range AS j,
+             -180.0 + (gi.range + 0.5) * 10.0 AS cx,
+             -90.0 + (gj.range + 0.5) * 10.0 AS cy
+      FROM range(36) gi, range(18) gj),
+d AS (SELECT i, j, z,
+             sqrt((lon - cx) * (lon - cx) + (lat - cy) * (lat - cy)) AS d
+      FROM p, g
+      WHERE sqrt((lon - cx) * (lon - cx) + (lat - cy) * (lat - cy)) <= 6.0)
+SELECT i, j, ROUND(sum(z / (d * d)) / sum(1.0 / (d * d)), 6) AS val_r
+FROM d GROUP BY i, j
+""")
+def q_grid_invdist(spark, sf_dir):
+    """gdal_grid inverse-distance interpolation (alg/gdalgrid.cpp
+    GDALGridInverseDistanceToAPower, radius-bounded variant) of a derived
+    per-page score onto a 36x18 world grid — the explode-join-aggregate
+    form; the oracle is the brute-force cross join."""
+    from .raster.gridding import grid_interpolate
+    p = datagen.points(spark, sf_dir).select(
+        F.col("lon").alias("x"), F.col("lat").alias("y"),
+        (F.col("doc_id") % 97).cast("double").alias("z"))
+    out = grid_interpolate(p, x0=-180.0, y0=-90.0, dx=10.0, dy=10.0,
+                           nx=36, ny=18, radius=6.0, algorithm="invdist",
+                           power=2.0)
+    return out.select("i", "j", F.round("value", 6).alias("val_r"))
+
+
+_XC1, _YC1 = tilemath.mercator_pixel_float_sql("lon", "lat", 1)
+
+
+@_reg("interp_at_point", f"""
+{_pts_cte()},
+g AS (SELECT {_GPX1} AS gpx, {_GPY1} AS gpy,
+             CAST(count(*) AS DOUBLE) AS value
+      FROM pts GROUP BY 1, 2),
+p AS (SELECT doc_id, {_XC1} - 0.5 AS xs, {_YC1} - 0.5 AS ys FROM pts),
+q AS (SELECT doc_id, CAST(floor(xs) AS BIGINT) AS x0,
+             CAST(floor(ys) AS BIGINT) AS y0,
+             xs - floor(xs) AS fx, ys - floor(ys) AS fy FROM p),
+c(dx, dy) AS (VALUES (0, 0), (1, 0), (0, 1), (1, 1)),
+k AS (SELECT doc_id, x0 + dx AS jx, y0 + dy AS jy,
+             (CASE WHEN dx = 1 THEN fx ELSE 1.0 - fx END)
+             * (CASE WHEN dy = 1 THEN fy ELSE 1.0 - fy END) AS w
+      FROM q, c)
+SELECT k.doc_id, ROUND(sum(COALESCE(g.value, 0.0) * k.w), 6) AS val_r
+FROM k LEFT JOIN g ON k.jx = g.gpx AND k.jy = g.gpy
+GROUP BY k.doc_id
+""")
+def q_interp_at_point(spark, sf_dir):
+    """Raster -> vector enrichment: bilinear InterpolateAtPoint
+    (alg/gdal_interpolateatpoint.cpp:394-397, pixel centers at i+0.5) of the
+    z1 density raster at every page's own location — expressed as a 4-corner
+    explode + equi-join + weighted-sum aggregation, pure JVM column math (no
+    gather UDF), so it scales as an ordinary join."""
+    from .raster.sample import interpolate_at_points, pixels_from_density
+    p = datagen.points(spark, sf_dir)
+    pixels = pixels_from_density(q_rasterize_z1(spark, sf_dir))
+    xc, yc = tilemath.mercator_pixel_float_cols(F.col("lon"), F.col("lat"), 1)
+    pts = p.select("doc_id", xc.alias("_xc"), yc.alias("_yc"))
+    out = interpolate_at_points(pixels, pts, "_xc", "_yc", mode="bilinear",
+                                out_col="val")
+    return out.select("doc_id", F.round("val", 6).alias("val_r"))
+
+
 @_reg("pyramid_z0", f"""
 {_pts_cte()},
 g AS (SELECT {_GPX1} AS gpx, {_GPY1} AS gpy FROM pts)

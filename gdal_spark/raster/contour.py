@@ -1,0 +1,134 @@
+"""Contour lines from a DEM tile table (gdal_contour).
+
+Re-expresses GDALContourGenerate (/root/reference/alg/contour.cpp +
+alg/marching_squares/*.h — per-cell marching squares with linear
+interpolation) as a halo-exchange tile job:
+
+    tiles -> 1-px halo exchange (shared with the DEM stencils)
+          -> per-tile marching squares over cells whose TOP-LEFT pixel is
+             local (each cell computed exactly once across the cluster)
+          -> segment table (level, x0, y0, x1, y1) in global pixel coords
+
+Cross-tile polyline ASSEMBLY (the reference's ring builder,
+alg/marching_squares/polygon_ring_appender.h) is inherently sequential per
+ring; the distributed contract is the segment set — deterministic,
+tiling-invariant, and sufficient for length/count analytics or a bounded
+driver-side assembly. Saddle cells resolve by the cell-center mean, the
+reference's default.
+
+Coordinates: pixel CENTERS at integer (x, y) = (tile_x*tile + i,
+tile_y*tile + j); a segment endpoint interpolates between two adjacent
+centers.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .dem import _HALO_SCHEMA, _assemble_padded, _emit_halo
+
+_SEG_SCHEMA = T.StructType([
+    T.StructField("band", T.IntegerType()),
+    T.StructField("zoom", T.IntegerType()),
+    T.StructField("level", T.DoubleType()),
+    T.StructField("x0", T.DoubleType()),
+    T.StructField("y0", T.DoubleType()),
+    T.StructField("x1", T.DoubleType()),
+    T.StructField("y1", T.DoubleType()),
+])
+
+
+def _cell_segments(v00, v01, v10, v11, level):
+    """Marching-squares segments for one cell; corners: v00=(x,y),
+    v01=(x+1,y), v10=(x,y+1), v11=(x+1,y+1). Local coords within the cell;
+    returns list of ((ax, ay), (bx, by))."""
+    b00, b01, b10, b11 = (v00 >= level), (v01 >= level), \
+        (v10 >= level), (v11 >= level)
+    idx = (b00 << 3) | (b01 << 2) | (b11 << 1) | b10
+    if idx in (0, 15):
+        return []
+
+    def t(a, b):
+        # edges are computed eagerly for the table lookup; a same-class edge
+        # (a == b possible) is never SELECTED by a case, value irrelevant
+        return (level - a) / (b - a) if b != a else 0.5
+
+    top = (t(v00, v01), 0.0)
+    bot = (t(v10, v11), 1.0)
+    left = (0.0, t(v00, v10))
+    right = (1.0, t(v01, v11))
+    table = {
+        1: [(left, bot)], 14: [(left, bot)],
+        2: [(bot, right)], 13: [(bot, right)],
+        3: [(left, right)], 12: [(left, right)],
+        4: [(top, right)], 11: [(top, right)],
+        6: [(top, bot)], 9: [(top, bot)],
+        7: [(left, top)], 8: [(left, top)],
+    }
+    if idx in table:
+        return table[idx]
+    # saddles: disambiguate via center mean (bit layout
+    # idx = TL<<3 | TR<<2 | BR<<1 | BL)
+    center_hi = (v00 + v01 + v10 + v11) / 4.0 >= level
+    if idx == 10:       # TL and BR high
+        return [(left, top), (bot, right)] if not center_hi \
+            else [(left, bot), (top, right)]
+    if idx == 5:        # TR and BL high
+        return [(left, bot), (top, right)] if not center_hi \
+            else [(left, top), (bot, right)]
+    return []
+
+
+def contour_segments(tiles_df: DataFrame, levels: list[float],
+                     tile: int = 256) -> DataFrame:
+    """-> segment DataFrame (band, zoom, level, x0, y0, x1, y1)."""
+    halo = tiles_df.mapInPandas(lambda it: _emit_halo(it, tile), _HALO_SCHEMA)
+
+    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pad = _assemble_padded(pdf, tile)
+        if pad is None:
+            return pd.DataFrame(columns=[f.name for f in _SEG_SCHEMA.fields])
+        got = {(-int(r.dx), -int(r.dy)) for r in pdf.itertuples()}
+        band, zoom, tx, ty = int(key[0]), int(key[1]), int(key[2]), int(key[3])
+        # cells with top-left pixel local: padded coords (1..tile, 1..tile);
+        # the last column/row of cells needs the right/bottom neighbor — if
+        # absent (raster edge), those cells do not exist globally
+        nx = tile if (1, 0) in got else tile - 1
+        ny = tile if (0, 1) in got else tile - 1
+        out = []
+        core = pad[1:ny + 2, 1:nx + 2]
+        for level in levels:
+            hi = core >= level
+            mixed = (hi[:-1, :-1] | hi[:-1, 1:] | hi[1:, :-1] | hi[1:, 1:]) \
+                & ~(hi[:-1, :-1] & hi[:-1, 1:] & hi[1:, :-1] & hi[1:, 1:])
+            ys, xs = np.nonzero(mixed)
+            for j, i in zip(ys, xs):
+                segs = _cell_segments(
+                    float(core[j, i]), float(core[j, i + 1]),
+                    float(core[j + 1, i]), float(core[j + 1, i + 1]),
+                    float(level))
+                gx = tx * tile + i
+                gy = ty * tile + j
+                for (ax, ay), (bx, by) in segs:
+                    out.append((band, zoom, float(level),
+                                gx + ax, gy + ay, gx + bx, gy + by))
+        return pd.DataFrame(out, columns=[f.name for f in _SEG_SCHEMA.fields])
+
+    return halo.groupBy("band", "zoom", "tile_x", "tile_y") \
+        .applyInPandas(build, _SEG_SCHEMA)
+
+
+def contour_stats(tiles_df: DataFrame, levels: list[float],
+                  tile: int = 256) -> DataFrame:
+    """Per-level segment count + total length (the aggregate analytics a
+    100 TB DEM run would persist)."""
+    seg = contour_segments(tiles_df, levels, tile)
+    dx = F.col("x1") - F.col("x0")
+    dy = F.col("y1") - F.col("y0")
+    return (seg.groupBy("band", "zoom", "level")
+            .agg(F.count("*").alias("n_segments"),
+                 F.sum(F.sqrt(dx * dx + dy * dy)).alias("total_len")))

@@ -77,6 +77,10 @@ _COMP_SCHEMA = T.StructType([
     T.StructField("px_ymin", T.LongType()),
     T.StructField("px_xmax", T.LongType()),
     T.StructField("px_ymax", T.LongType()),
+    # canonical order key: (global_y << 32) | global_x of the component's
+    # topmost-leftmost pixel — an id-scheme-independent row-major rank used
+    # by consumers (sieve) for deterministic, reference-comparable tie-breaks
+    T.StructField("canon", T.LongType()),
 ])
 
 _EDGE_SCHEMA = T.StructType([
@@ -116,14 +120,18 @@ def tile_components(tiles_df: DataFrame, tile: int = 256):
                 bounds = np.flatnonzero(np.r_[True, sl[1:] != sl[:-1], True])
                 for s, e in zip(bounds[:-1], bounds[1:]):
                     vy, vx = sy[s:e], sx[s:e]
+                    lab = int(sl[s])
+                    gy0 = int(r.tile_y) * tile + lab // tile
+                    gx0 = int(r.tile_x) * tile + lab % tile
                     comps.append((
                         int(r.band), int(r.zoom), int(r.tile_x),
-                        int(r.tile_y), int(sl[s]),
+                        int(r.tile_y), lab,
                         float(arr[vy[0], vx[0]]), int(e - s),
                         int(r.tile_x * tile + vx.min()),
                         int(r.tile_y * tile + vy.min()),
                         int(r.tile_x * tile + vx.max()),
-                        int(r.tile_y * tile + vy.max())))
+                        int(r.tile_y * tile + vy.max()),
+                        (gy0 << 32) | gx0))
             # boundary strips: east column and south row (once per pair)
             for side, idx in (("E", (slice(None), tile - 1)),
                               ("S", (tile - 1, slice(None)))):

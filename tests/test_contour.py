@@ -1,0 +1,70 @@
+"""Contour (marching squares) vs analytic and tiling-invariance checks.
+
+Reference: GDALContourGenerate, /root/reference/alg/contour.cpp +
+alg/marching_squares/*.h (linear interpolation on cell edges).
+"""
+
+import numpy as np
+import pytest
+
+from gdal_spark.raster.contour import contour_segments, contour_stats
+from gdal_spark.raster.tiles import raster_to_tiles
+
+
+def _segset(rows):
+    out = set()
+    for r in rows:
+        a = (round(r.x0, 9), round(r.y0, 9))
+        b = (round(r.x1, 9), round(r.y1, 9))
+        out.add((r.level, min(a, b), max(a, b)))
+    return out
+
+
+def test_linear_ramp_isolines(spark):
+    """z = x on a 16x16 ramp: the level-L isoline is the vertical line
+    x = L, one segment per cell row it crosses, total length = rows - 1."""
+    x = np.arange(16, dtype=np.float64)
+    arr = np.tile(x, (16, 1))
+    tiles = raster_to_tiles(spark, arr, zoom=0, tile=8)
+    segs = contour_segments(tiles, levels=[5.5], tile=8).collect()
+    assert len(segs) == 15                     # 15 cell rows
+    for s in segs:
+        assert s.x0 == pytest.approx(5.5) and s.x1 == pytest.approx(5.5)
+    stats = contour_stats(tiles, levels=[5.5], tile=8).collect()[0]
+    assert stats.n_segments == 15
+    assert stats.total_len == pytest.approx(15.0)
+
+
+def test_tiling_invariance(spark):
+    """Same raster through 8-px tiles and through one 32-px tile must give
+    the identical segment set — the halo/ownership logic adds or drops
+    nothing at seams."""
+    rng = np.random.default_rng(6)
+    arr = rng.random((32, 32)) * 10
+    levels = [2.5, 5.0, 7.5]
+    small = raster_to_tiles(spark, arr, zoom=0, tile=8)
+    big = raster_to_tiles(spark, arr, zoom=0, tile=32)
+    s1 = _segset(contour_segments(small, levels, tile=8).collect())
+    s2 = _segset(contour_segments(big, levels, tile=32).collect())
+    assert s1 == s2
+    assert len(s1) > 100
+
+
+def test_closed_contour_total_length(spark):
+    """A radial cone's isoline approximates a circle; marching-squares
+    length converges to the circumference within the cell-size error."""
+    n = 64
+    yy, xx = np.mgrid[0:n, 0:n].astype(np.float64)
+    r = np.hypot(xx - 31.5, yy - 31.5)
+    tiles = raster_to_tiles(spark, r, zoom=0, tile=16)
+    st = contour_stats(tiles, levels=[20.0], tile=16).collect()[0]
+    circumference = 2 * np.pi * 20.0
+    assert st.total_len == pytest.approx(circumference, rel=0.02)
+    # the segment set forms closed loops: every endpoint appears twice
+    segs = contour_segments(tiles, [20.0], tile=16).collect()
+    from collections import Counter
+    ends = Counter()
+    for s in segs:
+        ends[(round(s.x0, 9), round(s.y0, 9))] += 1
+        ends[(round(s.x1, 9), round(s.y1, 9))] += 1
+    assert all(c == 2 for c in ends.values())

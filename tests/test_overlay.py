@@ -1,0 +1,108 @@
+"""Layer x layer overlay ops vs the reference's cardinality/area contracts.
+
+Reference: OGRLayer Intersection (ogrlayer.cpp:2633), Clip (:4785), Erase
+(:5094), Identity (:4018), Update (:4436). Checks are independent of the
+clipping code path: partition-of-area identities and Monte-Carlo point
+membership against the PIP kernel.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import types as T
+
+from gdal_spark.core import geomops, wkb
+from gdal_spark.operators.overlay import overlay
+
+BIN_SCHEMA = T.StructType([T.StructField("sid", T.LongType()),
+                           T.StructField("geom", T.BinaryType())])
+MID_SCHEMA = T.StructType([T.StructField("mid", T.LongType()),
+                           T.StructField("geom", T.BinaryType())])
+
+
+@pytest.fixture(scope="module")
+def layers(spark):
+    subs = [(i * 3 + j, wkb.box(i * 10.0, j * 10.0, i * 10.0 + 10,
+                                j * 10.0 + 10))
+            for i in range(3) for j in range(3)]
+    subject = spark.createDataFrame(
+        pd.DataFrame(subs, columns=["sid", "geom"]), schema=BIN_SCHEMA)
+    hull1 = geomops.convex_hull(np.array(
+        [[5., 5.], [22., 7.], [18., 24.], [3., 18.]]))
+    hull2 = geomops.convex_hull(np.array(
+        [[12., 12.], [28., 14.], [25., 28.]]))
+    method = spark.createDataFrame(
+        pd.DataFrame([(100, wkb.encode(wkb.Geom(wkb.POLYGON, [hull1]))),
+                      (101, wkb.encode(wkb.Geom(wkb.POLYGON, [hull2])))],
+                     columns=["mid", "geom"]), schema=MID_SCHEMA)
+    return subject, method, [hull1, hull2]
+
+
+def _area(rows):
+    return sum(geomops.geom_area(wkb.decode(bytes(r.geom))) for r in rows)
+
+
+def test_erase_partitions_subject(spark, layers):
+    """area(subject) == area(erase) + area(subject ∩ union(methods));
+    the second term comes from erasing the erase result from the subject
+    implicitly: identity's NULL-mid rows ARE the erase rows."""
+    subject, method, hulls = layers
+    er = overlay(subject, method, "erase").collect()
+    # subject ∩ union(methods) via sequential per-subject computation
+    inter_area = 0.0
+    for r in subject.collect():
+        g = wkb.decode(bytes(r.geom))
+        rest = g
+        for h in hulls:
+            if rest is None:
+                break
+            rest = geomops.erase_geom_convex(rest, h)
+        rest_a = geomops.geom_area(rest) if rest else 0.0
+        inter_area += geomops.geom_area(g) - rest_a
+    assert _area(er) + inter_area == pytest.approx(900.0, abs=1e-6)
+
+
+def test_identity_is_pairs_plus_erase(spark, layers):
+    subject, method, _ = layers
+    ident = overlay(subject, method, "identity").collect()
+    pairs = overlay(subject, method, "intersection").collect()
+    erase = overlay(subject, method, "erase").collect()
+    assert len(ident) == len(pairs) + len(erase)
+    assert _area(ident) == pytest.approx(_area(pairs) + _area(erase), 1e-9)
+    assert sum(1 for r in ident if r.mid is None) == len(erase)
+
+
+def test_update_covers_subject_and_method(spark, layers):
+    subject, method, hulls = layers
+    upd = overlay(subject, method, "update").collect()
+    m_area = sum(abs(geomops.ring_area(h)) for h in hulls)
+    # method hulls overlap each other: union < sum; update keeps method rows
+    # verbatim (both), so total = erase + sum(method areas)
+    erase = overlay(subject, method, "erase").collect()
+    assert _area(upd) == pytest.approx(_area(erase) + m_area, 1e-9)
+    assert sum(1 for r in upd if r.sid is None) == 2
+
+
+def test_membership_sampling(spark, layers):
+    """Random points classify identically under (subject, hulls) membership
+    and under the overlay outputs — the geometry pieces are spatially
+    exact, not just area-consistent."""
+    subject, method, hulls = layers
+    pairs = overlay(subject, method, "intersection").collect()
+    rng = np.random.default_rng(4)
+    px = rng.uniform(-2, 32, 800)
+    py = rng.uniform(-2, 32, 800)
+    in_subj = np.zeros(800, bool)
+    for r in subject.collect():
+        in_subj |= geomops.points_in_geom(px, py, wkb.decode(bytes(r.geom)))
+    got = np.zeros(800, bool)
+    for r in pairs:
+        got |= geomops.points_in_geom(px, py, wkb.decode(bytes(r.geom)))
+    want = in_subj.copy()
+    hit_any = np.zeros(800, bool)
+    for h in hulls:
+        hull_geom = wkb.Geom(wkb.POLYGON, [h])
+        hit_any |= geomops.points_in_geom(px, py, hull_geom)
+    want &= hit_any
+    # tolerate ulp-boundary disagreements only
+    assert (got != want).sum() <= 2

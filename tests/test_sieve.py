@@ -1,0 +1,108 @@
+"""Sieve filter vs a whole-raster reference of the same spec.
+
+Reference semantics: GDALSieveFilter (alg/gdalsievefilter.cpp) — regions
+below the pixel threshold merge into their largest neighbour, repeatedly,
+until none remain. Tie-break pinned to smallest component id (documented
+divergence from GDAL's scan order). The local oracle recomputes that spec
+with BFS components over the unsplit raster; the distributed result must
+reproduce the pixel array exactly, for any tiling.
+"""
+
+import numpy as np
+import pytest
+
+from gdal_spark.raster.sieve import sieve
+from gdal_spark.raster.tiles import raster_to_tiles, tiles_to_raster
+
+
+def ref_sieve(arr, nodata, threshold):
+    from collections import deque
+    h, w = arr.shape
+    valid = arr != nodata
+    comp = -np.ones(arr.shape, np.int64)
+    sizes, values, order = {}, {}, []
+    for y in range(h):
+        for x in range(w):
+            if valid[y, x] and comp[y, x] < 0:
+                cid = y * w + x
+                q = deque([(y, x)])
+                comp[y, x] = cid
+                n = 0
+                while q:
+                    cy, cx = q.popleft()
+                    n += 1
+                    for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                        ny, nx = cy + dy, cx + dx
+                        if 0 <= ny < h and 0 <= nx < w and valid[ny, nx] \
+                           and comp[ny, nx] < 0 \
+                           and arr[ny, nx] == arr[cy, cx]:
+                            comp[ny, nx] = cid
+                            q.append((ny, nx))
+                sizes[cid] = n
+                values[cid] = float(arr[y, x])
+                order.append(cid)
+    nbrs = {}
+    for y in range(h):
+        for x in range(w):
+            if not valid[y, x]:
+                continue
+            for dy, dx in ((1, 0), (0, 1)):
+                ny, nx = y + dy, x + dx
+                if 0 <= ny < h and 0 <= nx < w and valid[ny, nx] \
+                   and comp[ny, nx] != comp[y, x]:
+                    nbrs.setdefault(comp[y, x], set()).add(comp[ny, nx])
+                    nbrs.setdefault(comp[ny, nx], set()).add(comp[y, x])
+    merged = {}
+
+    def resolve(c):
+        while c in merged:
+            c = merged[c]
+        return c
+
+    changed = True
+    while changed:
+        changed = False
+        for c in sorted(sizes, key=lambda k: (sizes[k], k)):
+            if c in merged or sizes[c] >= threshold:
+                continue
+            cand = {resolve(n) for n in nbrs.get(c, ())} - {c}
+            if not cand:
+                continue
+            target = max(cand, key=lambda k: (sizes[k], -k))
+            merged[c] = target
+            sizes[target] += sizes[c]
+            nbrs.setdefault(target, set()).update(nbrs.get(c, ()))
+            changed = True
+    out = arr.copy()
+    for y in range(h):
+        for x in range(w):
+            if valid[y, x]:
+                out[y, x] = np.array(values[resolve(comp[y, x])],
+                                     dtype=arr.dtype)
+    return out
+
+
+@pytest.mark.parametrize("seed,shape,threshold", [
+    (7, (24, 24), 4),
+    (2, (40, 32), 9),
+])
+def test_sieve_matches_reference(spark, seed, shape, threshold):
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 3, size=shape).astype(np.int32)
+    tiles = raster_to_tiles(spark, arr, zoom=0, tile=8, nodata=0.0)
+    out = sieve(tiles, threshold=threshold, tile=8)
+    got = tiles_to_raster(out, tile=8)[:shape[0], :shape[1]]
+    assert np.array_equal(got.astype(np.int32),
+                          ref_sieve(arr, 0, threshold))
+
+
+def test_sieve_keeps_large_regions(spark):
+    arr = np.zeros((16, 16), np.int32)
+    arr[:, :8] = 1
+    arr[:, 8:] = 2
+    arr[4:6, 4:6] = 3          # 4-px island inside the 1-region
+    tiles = raster_to_tiles(spark, arr, zoom=0, tile=8, nodata=-1.0)
+    got = tiles_to_raster(sieve(tiles, threshold=5, tile=8), tile=8)
+    want = arr.copy()
+    want[4:6, 4:6] = 1          # island merges into its only neighbour
+    assert np.array_equal(got.astype(np.int32), want)

@@ -147,3 +147,34 @@ def test_segmentize():
     assert len(s) == 5
     d = np.hypot(*np.diff(s, axis=0).T)
     assert (d <= 3.0 + 1e-9).all()
+
+
+def test_clip_and_erase_convex_partition_property():
+    """clip_geom_convex + erase_geom_convex partition the subject exactly:
+    areas sum, and sampled points land in the piece that their (subject,
+    hull) membership dictates (the OGRLayer Intersection/Erase kernels,
+    ogrlayer.cpp:2633/:5094)."""
+    rng = np.random.default_rng(12)
+    for _ in range(50):
+        x0, y0 = rng.uniform(-50, 50, 2)
+        w, h = rng.uniform(1, 30, 2)
+        subj = wkb.decode(wkb.box(x0, y0, x0 + w, y0 + h))
+        pts = rng.normal(size=(rng.integers(5, 12), 2)) \
+            * rng.uniform(2, 20) + rng.uniform(-40, 40, 2)
+        hull = G.convex_hull(pts)
+        inter = G.clip_geom_convex(subj, hull)
+        erase = G.erase_geom_convex(subj, hull)
+        a_s = G.geom_area(subj)
+        a_i = G.geom_area(inter) if inter else 0.0
+        a_e = G.geom_area(erase) if erase else 0.0
+        assert a_i + a_e == pytest.approx(a_s, abs=1e-6 * max(a_s, 1))
+        sx = rng.uniform(x0 - 2, x0 + w + 2, 200)
+        sy = rng.uniform(y0 - 2, y0 + h + 2, 200)
+        in_subj = G.points_in_geom(sx, sy, subj)
+        in_hull = G.points_in_geom(sx, sy, wkb.Geom(wkb.POLYGON, [hull]))
+        in_int = G.points_in_geom(sx, sy, inter) if inter \
+            else np.zeros(200, bool)
+        in_er = G.points_in_geom(sx, sy, erase) if erase \
+            else np.zeros(200, bool)
+        assert (in_int != (in_subj & in_hull)).sum() <= 2
+        assert (in_er != (in_subj & ~in_hull)).sum() <= 2
