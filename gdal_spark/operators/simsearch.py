@@ -100,3 +100,42 @@ def lsh_topk(emb: DataFrame, n_queries: int = 10, k: int = 3) -> DataFrame:
     return (pairs.withColumn("rank", F.row_number().over(w).cast("int"))
             .where(F.col("rank") <= k)
             .select("q_id", "rank", "vec_id"))
+
+
+def neardup_pairs(emb: DataFrame, threshold: float) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs (a_id < b_id, cos >=
+    threshold) — the correctness baseline of dedup-by-embedding.
+
+    Brute force (block-nested cross join): quadratic, the oracle-able
+    reference semantics. At corpus scale run neardup_lsh (bucket prefilter,
+    identical verify arithmetic) and treat this as the audit path on
+    samples.
+    """
+    a = emb.select(F.col("vec_id").alias("a_id"),
+                   as_double("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("b_id"),
+                   as_double("embedding").alias("vb"))
+    return (a.join(b, F.col("a_id") < F.col("b_id"))
+            .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+            .where(F.col("cos") >= threshold)
+            .select("a_id", "b_id", "cos"))
+
+
+def neardup_lsh(emb: DataFrame, threshold: float) -> DataFrame:
+    """LSH-prefiltered near-dup pairs: candidates share a hyperplane-sign
+    bucket, then the exact cosine verify. Deterministic (seeded planes) but
+    recall < 1 by construction — pairs split across buckets are missed; add
+    band rotations to raise recall. The shuffle is keyed by bucket, so the
+    quadratic blowup is bounded per bucket (hot buckets: salt or split)."""
+    planes = hyperplanes()
+    e = emb.select("vec_id", as_double("embedding").alias("v")) \
+        .withColumn("bucket", lsh_bucket_col(F.col("v"), planes))
+    a = e.select(F.col("vec_id").alias("a_id"), F.col("v").alias("va"),
+                 "bucket")
+    b = e.select(F.col("vec_id").alias("b_id"), F.col("v").alias("vb"),
+                 "bucket")
+    return (a.join(b, "bucket")
+            .where(F.col("a_id") < F.col("b_id"))
+            .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+            .where(F.col("cos") >= threshold)
+            .select("a_id", "b_id", "cos"))

@@ -939,6 +939,56 @@ FROM e GROUP BY 1
 """
 
 
+_NEARDUP_COS = ("list_dot_product(a.v, b.v)"
+                " / (sqrt(list_dot_product(a.v, a.v))"
+                " * sqrt(list_dot_product(b.v, b.v)))")
+
+
+@_reg("embed_neardup", f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       ROUND({_NEARDUP_COS}, 6) AS cos_r
+FROM e a, e b
+WHERE a.vec_id < b.vec_id AND {_NEARDUP_COS} >= 0.35
+""")
+def q_embed_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate detection, exact baseline: all pairs
+    with cosine >= 0.35. The training-data dedup primitive; oracle is the
+    brute-force cross join."""
+    out = simsearch.neardup_pairs(_t(spark, sf_dir, "embeddings"),
+                                  threshold=0.35)
+    return out.select("a_id", "b_id", F.round("cos", 6).alias("cos_r"))
+
+
+def _neardup_lsh_sql():
+    planes = simsearch.hyperplanes()
+    terms = []
+    for i, p in enumerate(planes):
+        lit = "[" + ", ".join(repr(float(x)) for x in p) + "]"
+        terms.append(f"(CASE WHEN list_dot_product(v, {lit}) > 0"
+                     f" THEN {1 << i} ELSE 0 END)")
+    bucket = " + ".join(terms)
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                  {bucket} AS bucket FROM embeddings)
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       ROUND({_NEARDUP_COS}, 6) AS cos_r
+FROM e a, e b
+WHERE a.vec_id < b.vec_id AND a.bucket = b.bucket
+  AND {_NEARDUP_COS} >= 0.2
+"""
+
+
+@_reg("embed_neardup_lsh", _neardup_lsh_sql())
+def q_embed_neardup_lsh(spark, sf_dir):
+    """Near-dup via the scale path: LSH bucket prefilter + exact cosine
+    verify. The oracle replicates the hyperplane bucketing bit-for-bit, so
+    the approximate candidate set itself is pinned, not just the verify."""
+    out = simsearch.neardup_lsh(_t(spark, sf_dir, "embeddings"),
+                                threshold=0.2)
+    return out.select("a_id", "b_id", F.round("cos", 6).alias("cos_r"))
+
+
 @_reg("ann_lsh_hist", _lsh_hist_sql())
 def q_ann_lsh_hist(spark, sf_dir):
     """Random-hyperplane LSH bucketing (the ANN scale path) — bucket
