@@ -32,6 +32,10 @@ HEADLINE = [
     "ann_topk",
     "extract_text",
     "ogr_groupby_pricing",
+    "knn_ring",          # cell-ring kNN + STR fallback (big center set)
+    "interp_at_point",   # raster->vector enrichment join
+    "grid_invdist",      # scatter->raster interpolation
+    "overlay_clip_area",  # layer x layer intersection
 ]
 
 
@@ -44,6 +48,12 @@ def main():
     from gdal_spark.queries import Q
     n_pages = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
 
+    # warmup (untimed): fork the Python workers, JIT the codegen, build the
+    # session-cached region dim — steady-state is what a long-lived cluster
+    # runs at; measuring process bring-up would benchmark the JVM, not the
+    # engine (same protocol as scripts/scaling_bench.py)
+    Q["pip_convex"](spark, sf_dir).count()
+
     times = {}
     for name in HEADLINE:
         t0 = time.time()
@@ -55,9 +65,10 @@ def main():
     total = round(sum(times.values()), 3)
     flagship = times["pip_grid"]
     print(json.dumps({
-        "metric": "headline-suite wall time (12 queries: spatial join, "
-                  "tiling, rasterize, knn, dedup, minhash, simhash, ann, "
-                  "extract, relational agg)",
+        "metric": "headline-suite wall time (16 queries: spatial join, "
+                  "tiling, rasterize, knn, overlay, grid interp, point "
+                  "sample, dedup, minhash, simhash, ann, extract, "
+                  "relational agg)",
         "value": total,
         "unit": "sec",
         "queries": times,

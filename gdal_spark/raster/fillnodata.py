@@ -1,0 +1,137 @@
+"""Fill nodata holes by directional inverse-distance interpolation.
+
+Re-expresses GDALFillNodata (/root/reference/alg/rasterfill.cpp — for each
+nodata pixel, find the nearest valid pixel along compass directions within
+max_search_dist, blend by inverse distance, then run smoothing iterations
+over the filled pixels) as a full-neighbor-exchange tile job:
+
+    1. every tile replicates itself to its 8 neighbors (one round — valid
+       because max_search_dist <= tile, the practical regime; larger radii
+       would chain rounds like proximity does);
+    2. each task assembles the 3x3 tile neighborhood and, for its center
+       tile, walks the 8 compass rays with vectorized shifts: first valid
+       hit per direction within max_search_dist, IDW blend (weight 1/d);
+    3. `smoothing_iterations` of a 3x3 mean restricted to FILLED pixels
+       (original valid pixels never change — rasterfill.cpp's contract).
+
+Divergence note: the reference searches 4 rays in two scan passes and
+blends with a quadratic distance falloff; we search 8 rays with 1/d
+weights — same structure, slightly different blend, pinned by tests
+against a same-spec numpy reference.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from .tiles import TILE_SCHEMA, decode_px, encode_px
+
+_NBR_SCHEMA = T.StructType([
+    T.StructField("band", T.IntegerType()),
+    T.StructField("zoom", T.IntegerType()),
+    T.StructField("tile_x", T.LongType()),
+    T.StructField("tile_y", T.LongType()),
+    T.StructField("dx", T.IntegerType()),
+    T.StructField("dy", T.IntegerType()),
+    T.StructField("dtype", T.StringType()),
+    T.StructField("nodata", T.DoubleType()),
+    T.StructField("px", T.BinaryType()),
+])
+
+_DIRS = [(-1, 0), (1, 0), (0, -1), (0, 1),
+         (-1, -1), (1, -1), (-1, 1), (1, 1)]
+
+
+def fill_region(big: np.ndarray, valid: np.ndarray, lo: int, hi: int,
+                max_dist: int, smoothing: int):
+    """Fill nodata inside big[lo:hi, lo:hi] from the whole array; returns
+    the filled center block. Vectorized ray walk, no per-pixel Python."""
+    num = np.zeros_like(big, dtype=np.float64)
+    den = np.zeros_like(big, dtype=np.float64)
+    for dy, dx in _DIRS:
+        step = np.hypot(dx, dy)
+        hit = np.zeros_like(valid)           # ray already found a value
+        for k in range(1, max_dist + 1):
+            oy, ox = dy * k, dx * k
+            shifted_v = np.zeros_like(valid)
+            shifted_a = np.zeros_like(big, dtype=np.float64)
+            ys = slice(max(0, -oy), big.shape[0] - max(0, oy))
+            xs = slice(max(0, -ox), big.shape[1] - max(0, ox))
+            ys_src = slice(max(0, oy), big.shape[0] + min(0, oy))
+            xs_src = slice(max(0, ox), big.shape[1] + min(0, ox))
+            shifted_v[ys, xs] = valid[ys_src, xs_src]
+            shifted_a[ys, xs] = big[ys_src, xs_src]
+            first = shifted_v & ~hit & ~valid
+            d = step * k
+            num[first] += shifted_a[first] / d
+            den[first] += 1.0 / d
+            hit |= shifted_v
+    out = big.astype(np.float64).copy()
+    fillable = (~valid) & (den > 0)
+    out[fillable] = num[fillable] / den[fillable]
+    filled_mask = valid | fillable
+    for _ in range(smoothing):
+        acc = np.zeros_like(out)
+        cnt = np.zeros_like(out)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                ys = slice(max(0, -dy), out.shape[0] - max(0, dy))
+                xs = slice(max(0, -dx), out.shape[1] - max(0, dx))
+                ys_src = slice(max(0, dy), out.shape[0] + min(0, dy))
+                xs_src = slice(max(0, dx), out.shape[1] + min(0, dx))
+                m = filled_mask[ys_src, xs_src]
+                a = np.zeros_like(out)
+                c = np.zeros_like(out)
+                a[ys, xs] = np.where(m, out[ys_src, xs_src], 0.0)
+                c[ys, xs] = m
+                acc += a
+                cnt += c
+        sm = np.where(cnt > 0, acc / np.maximum(cnt, 1), out)
+        out = np.where(fillable, sm, out)     # originals never change
+    return out[lo:hi, lo:hi], filled_mask[lo:hi, lo:hi]
+
+
+def fillnodata(tiles_df: DataFrame, max_dist: int, smoothing: int = 0,
+               tile: int = 256) -> DataFrame:
+    """Fill nodata pixels (max_dist <= tile) -> float64 tile table."""
+    if max_dist > tile:
+        raise ValueError("max_dist must be <= tile (chain rounds otherwise)")
+    keys = ["band", "zoom", "tile_x", "tile_y"]
+
+    def replicate(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples():
+                for dy in (-1, 0, 1):
+                    for dx in (-1, 0, 1):
+                        out.append((r.band, r.zoom, r.tile_x + dx,
+                                    r.tile_y + dy, dx, dy, r.dtype,
+                                    r.nodata, r.px))
+            yield pd.DataFrame(out, columns=[f.name for f in
+                                             _NBR_SCHEMA.fields])
+
+    nbrs = tiles_df.mapInPandas(replicate, _NBR_SCHEMA)
+
+    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        center = pdf[(pdf.dx == 0) & (pdf.dy == 0)]
+        if center.empty:
+            return pd.DataFrame(columns=[f.name for f in TILE_SCHEMA.fields])
+        r0 = center.iloc[0]
+        nod = float(r0.nodata) if r0.nodata is not None else np.nan
+        big = np.full((3 * tile, 3 * tile), nod, dtype=np.float64)
+        for r in pdf.itertuples():
+            # a copy sent by neighbor (dx,dy) sits at OUR offset (-dx,-dy)
+            oy, ox = (1 - int(r.dy)) * tile, (1 - int(r.dx)) * tile
+            big[oy:oy + tile, ox:ox + tile] = \
+                decode_px(r.px, r.dtype, tile).astype(np.float64)
+        valid = ~np.isnan(big) if np.isnan(nod) else big != nod
+        out, _ = fill_region(big, valid, tile, 2 * tile, max_dist, smoothing)
+        return pd.DataFrame(
+            [(int(key[0]), int(key[1]), int(key[2]), int(key[3]),
+              "float64", nod, encode_px(out.astype(np.float64)))],
+            columns=[f.name for f in TILE_SCHEMA.fields])
+
+    return nbrs.groupBy(*keys).applyInPandas(build, TILE_SCHEMA)
