@@ -230,6 +230,44 @@ SUB_BITS = 3  # hierarchical-cover refinement: 2^3 x 2^3 = 64 subcells/cell,
               # one int64 bitmask per (region, cell) classifies every subcell
 
 
+# ---------------------------------------------------------------------------
+# Geodetic (EPSG:4326) TMS profile — GlobalGeodetic, gdal2tiles.py:547-620
+# (2x1 tiles at zoom 0, resolution 180/tile/2^z, origin bottom-left)
+# ---------------------------------------------------------------------------
+
+def geodetic_resolution(zoom):
+    return 180.0 / TILE_SIZE / (2 ** zoom)
+
+
+def latlon_to_tile_geodetic(lat, lon, zoom):
+    """TMS tile of a lon/lat point in the geodetic profile (numpy)."""
+    res = geodetic_resolution(zoom)
+    px = (180.0 + np.asarray(lon, dtype=np.float64)) / res
+    py = (90.0 + np.asarray(lat, dtype=np.float64)) / res
+    return pixels_to_tile(px, py)
+
+
+def geodetic_tile_cols(lon_col, lat_col, zoom):
+    """Column twin of latlon_to_tile_geodetic (TMS orientation)."""
+    from pyspark.sql import functions as F
+    res = geodetic_resolution(zoom)
+    px = (lon_col + 180.0) / res
+    py = (lat_col + 90.0) / res
+    tx = F.ceil(px / float(TILE_SIZE)).cast("long") - 1
+    ty = F.ceil(py / float(TILE_SIZE)).cast("long") - 1
+    return tx, ty
+
+
+def geodetic_tile_sql(lon_expr: str, lat_expr: str, zoom: int):
+    """DuckDB twin of geodetic_tile_cols."""
+    res = geodetic_resolution(zoom)
+    px = f"((({lon_expr}) + 180.0) / {res!r})"
+    py = f"((({lat_expr}) + 90.0) / {res!r})"
+    tx = f"(CAST(ceil({px} / 256.0) AS BIGINT) - 1)"
+    ty = f"(CAST(ceil({py} / 256.0) AS BIGINT) - 1)"
+    return tx, ty
+
+
 def tile_lon_edges_xyz(txs, zoom):
     """Longitude of the WEST edge of XYZ column tx, via the same
     meters->degrees path as tile_bounds_meters (bit-consistent)."""

@@ -434,6 +434,50 @@ def q_knn_ring(spark, sf_dir):
                       "region_id", F.round("dist", 6).alias("dist_r"))
 
 
+_GTX, _GTY = tilemath.geodetic_tile_sql("lon", "lat", 3)
+
+
+@_reg("geodetic_tile_assign", f"""
+{_pts_cte()}
+SELECT {_GTX} AS tile_x, {_GTY} AS tile_y, CAST(count(*) AS BIGINT) AS n
+FROM pts GROUP BY 1, 2
+""")
+def q_geodetic_tile_assign(spark, sf_dir):
+    """Geodetic (EPSG:4326) TMS profile tile assignment — GlobalGeodetic,
+    gdal2tiles.py:547-620 (2x1 tiles at z0, res 180/256/2^z). Pure column
+    math like the mercator profile."""
+    p = datagen.points(spark, sf_dir)
+    tx, ty = tilemath.geodetic_tile_cols(F.col("lon"), F.col("lat"), 3)
+    return (p.select(tx.alias("tile_x"), ty.alias("tile_y"))
+            .groupBy("tile_x", "tile_y").agg(F.count("*").alias("n")))
+
+
+@_reg("st_sql_surface", f"""
+{_pts_cte()}
+SELECT doc_id, {datagen.grid_pip_oracle_predicate()} AS region_id,
+       50.0 AS area_r
+FROM pts WHERE doc_id % 29 = 0
+""")
+def q_st_sql_surface(spark, sf_dir):
+    """The registered SQL surface (SQLITE-dialect parity: ST_* functions
+    usable from spark.sql — ogrsqlitesqlfunctions.cpp:875-1206): point-in-
+    region via ST_Contains(geom, ST_GeomFromText(...)) plus ST_Area, all
+    inside a SQL string. The oracle derives region + area analytically."""
+    st.register_all(spark)
+    datagen.regions(spark).where(F.col("kind") == "grid") \
+        .createOrReplaceTempView("regions_v")
+    datagen.points(spark, sf_dir).createOrReplaceTempView("pts_v")
+    return spark.sql("""
+        SELECT p.doc_id, r.region_id, ROUND(ST_Area(r.geom), 6) AS area_r
+        FROM pts_v p JOIN regions_v r
+          ON p.lon >= r.xmin AND p.lon < r.xmax
+         AND p.lat >= r.ymin AND p.lat < r.ymax
+        WHERE p.doc_id % 29 = 0
+          AND ST_Contains(r.geom, ST_GeomFromText(
+                CONCAT('POINT (', p.lon, ' ', p.lat, ')')))
+    """)
+
+
 @_reg("dwithin", f"""
 {_pts_cte()}
 SELECT CAST(c.region_id AS BIGINT) AS region_id, CAST(count(*) AS BIGINT) AS n_pages
