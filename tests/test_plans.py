@@ -1,0 +1,95 @@
+"""Physical-plan contracts: the shapes that keep the engine fast at 100 TB.
+
+These tests pin Catalyst OUTPUT, not implementation details: broadcast
+instead of shuffle on the dimension side, column pruning down to the scan,
+filter pushdown into parquet, map-side partial aggregation, and whole-stage
+codegen on the hot paths. A regression here is a scale regression even when
+results stay correct.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from gdal_spark import datagen
+from gdal_spark.operators import spatial_join
+from tests.conftest import SF_DIR
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+
+
+def test_pip_join_broadcasts_regions(spark):
+    p = datagen.points(spark, SF_DIR)
+    r = datagen.regions(spark).select(
+        "region_id", "geom", "cells", "in_masks", "out_masks")
+    hits = spatial_join.pip_join(p, r, zoom=datagen.PIP_ZOOM)
+    plan = plan_of(hits)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the page side must not be exchanged for the join (broadcast = no
+    # shuffle of the big side)
+    pre_join = plan.split("BroadcastHashJoin")[0]
+    assert "Exchange hashpartitioning" not in pre_join
+
+
+def test_points_projection_prunes_to_doc_id(spark):
+    """points() derives url/lon/lat from doc_id only — the parquet scan
+    must read ONE column, not the documents table."""
+    p = datagen.points(spark, SF_DIR)
+    plan = plan_of(p)
+    assert "ReadSchema: struct<doc_id:bigint>" in plan
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    d = datagen.documents(spark, SF_DIR).where(F.col("lang") == "en") \
+        .select("doc_id")
+    plan = plan_of(d)
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan
+
+
+def test_density_agg_is_partial(spark):
+    """groupBy over pages must partial-aggregate map-side: two
+    HashAggregate nodes around one Exchange."""
+    from gdal_spark.queries import Q
+    df = Q["rasterize_z1"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_count" in plan
+
+
+def test_hot_paths_are_codegen(spark):
+    """With AQE disabled (it defers physical planning), the hot-path
+    operators must sit inside WholeStageCodegen spans."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        from gdal_spark.queries import Q
+        for q in ("tile_assign", "ogr_groupby_pricing"):
+            plan = plan_of(Q[q](spark, SF_DIR))
+            # '*' prefixes mark operators inside a WholeStageCodegen span
+            assert "* HashAggregate" in plan, q
+            assert "* Project" in plan or "* ColumnarToRow" in plan, q
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_knn_is_topk_not_global_sort(spark):
+    """knn row_number window must not trigger a global sort of all pairs
+    beyond the per-key window sort."""
+    from gdal_spark.queries import Q
+    plan = plan_of(Q["knn_centroids"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_salted_pip_join_same_result(spark):
+    """Hot-cell salting (skew mitigation) must not change the result set."""
+    p = datagen.points(spark, SF_DIR).where(F.col("doc_id") % 7 == 0)
+    r = datagen.regions(spark).select(
+        "region_id", "geom", "cells", "in_masks", "out_masks")
+    base = spatial_join.pip_join(p, r, zoom=datagen.PIP_ZOOM, salt=1) \
+        .groupBy("region_id").count().collect()
+    salted = spatial_join.pip_join(p, r, zoom=datagen.PIP_ZOOM, salt=4) \
+        .groupBy("region_id").count().collect()
+    assert sorted(map(tuple, base)) == sorted(map(tuple, salted))
