@@ -716,6 +716,42 @@ def q_grid_invdist(spark, sf_dir):
     return out.select("i", "j", F.round("value", 6).alias("val_r"))
 
 
+@_reg("ogr_hstore_like", """
+SELECT doc_id,
+       lang AS hs_lang,
+       CAST(length(text) AS VARCHAR) AS hs_len,
+       ('pfx_' || lang || '%' || CAST(doc_id AS VARCHAR))
+         LIKE 'pfx\\_e%\\%%' ESCAPE '\\' AS m_esc,
+       upper(lang) LIKE 'E%' AS m_ilike
+FROM documents WHERE doc_id % 13 = 0
+""")
+def q_ogr_hstore_like(spark, sf_dir):
+    """§2.8 scalar surface: hstore_get_value (ogr_swq.h:65 — parsed with
+    str_to_map per the SURVEY mapping) + LIKE with ESCAPE
+    (swq_op_general.cpp:35-160) + the ILIKE case-insensitivity rule
+    (:1100-1101, here via upper()). The hstore string is CONSTRUCTED from
+    row values, so the oracle knows the expected extraction analytically."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 13 == 0)
+    hstore = F.concat(F.lit('lang=>"'), F.col("lang"),
+                      F.lit('", len=>"'), F.length("text").cast("string"),
+                      F.lit('"'))
+    like_src = F.concat(F.lit("pfx_"), F.col("lang"), F.lit("%"),
+                        F.col("doc_id").cast("string"))
+    d = (d.withColumn("_hs", hstore)
+         .withColumn("_m", F.expr("str_to_map(_hs, ', ', '=>')"))
+         .withColumn("_ls", like_src))
+
+    def unq(c):
+        return F.regexp_replace(c, '"', "")
+
+    return d.select(
+        "doc_id",
+        unq(F.col("_m")["lang"]).alias("hs_lang"),
+        unq(F.col("_m")["len"]).alias("hs_len"),
+        F.expr(r"_ls LIKE 'pfx\\_e%\\%%' ESCAPE '\\'").alias("m_esc"),
+        F.upper("lang").like("E%").alias("m_ilike"))
+
+
 _XC1, _YC1 = tilemath.mercator_pixel_float_sql("lon", "lat", 1)
 
 
@@ -751,6 +787,68 @@ def q_interp_at_point(spark, sf_dir):
     out = interpolate_at_points(pixels, pts, "_xc", "_yc", mode="bilinear",
                                 out_col="val")
     return out.select("doc_id", F.round("val", 6).alias("val_r"))
+
+
+@_reg("proximity_density", f"""
+{_pts_cte()},
+c AS (SELECT DISTINCT CAST(floor((lon + 180.0) / 5.625) AS BIGINT) AS x,
+                      CAST(floor((lat + 90.0) / 2.8125) AS BIGINT) AS y
+      FROM pts),
+t AS (SELECT DISTINCT (x >> 3) AS tx, (y >> 3) AS ty FROM c),
+g AS (SELECT t.tx * 8 + i.range AS x, t.ty * 8 + j.range AS y
+      FROM t, range(8) i, range(8) j),
+d AS (SELECT g.x, g.y,
+             min((g.x - c.x) * (g.x - c.x)
+                 + (g.y - c.y) * (g.y - c.y)) AS md
+      FROM g, c GROUP BY g.x, g.y)
+SELECT x, y, ROUND(sqrt(CAST(md AS DOUBLE)), 6) AS dist_r FROM d
+""")
+def q_proximity_density(spark, sf_dir):
+    """Proximity raster (GDALComputeProximity, alg/gdalproximity.cpp):
+    distance from every pixel of the occupied tiles to the nearest occupied
+    cell of the 64x64 density mask, via the iterative halo-exchange vector
+    distance transform. Oracle: brute-force min over all occupied cells —
+    an independent global formulation of the distributed wavefront."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+    from .raster.proximity import proximity
+    from .raster.tiles import TILE_SCHEMA, decode_px, encode_px
+
+    p = datagen.points(spark, sf_dir)
+    x = F.floor((F.col("lon") + 180.0) / 5.625).cast("long")
+    y = F.floor((F.col("lat") + 90.0) / 2.8125).cast("long")
+    cnt = (p.select(x.alias("x"), y.alias("y")).distinct()
+           .withColumn("tile_x", F.shiftright("x", 3))
+           .withColumn("tile_y", F.shiftright("y", 3)))
+
+    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        arr = np.zeros((8, 8), np.int64)
+        arr[pdf["y"].values & 7, pdf["x"].values & 7] = 1
+        return pd.DataFrame([(1, 0, int(key[0]), int(key[1]), "int64", None,
+                              encode_px(arr))],
+                            columns=[f.name for f in TILE_SCHEMA.fields])
+
+    tiles = cnt.groupBy("tile_x", "tile_y").applyInPandas(build, TILE_SCHEMA)
+    prox = proximity(tiles, tile=8)
+
+    _PX = T.StructType([T.StructField("x", T.LongType()),
+                        T.StructField("y", T.LongType()),
+                        T.StructField("dist_r", T.DoubleType())])
+
+    def explode_px(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples():
+                d = decode_px(r.px, "float64", 8)
+                for j in range(8):
+                    for i in range(8):
+                        out.append((int(r.tile_x) * 8 + i,
+                                    int(r.tile_y) * 8 + j,
+                                    round(float(d[j, i]), 6)))
+            yield pd.DataFrame(out, columns=["x", "y", "dist_r"])
+
+    return prox.mapInPandas(explode_px, _PX)
 
 
 @_reg("pyramid_z0", f"""

@@ -26,3 +26,34 @@ def test_stream_matches_batch(spark, tmp_path):
            for r in spark.sql("SELECT * FROM evt_counts").collect()}
     q.stop()
     assert got == want
+
+
+def test_streaming_pip_join_matches_batch(spark, tmp_path):
+    """Stream-static spatial join: pages stream x broadcast region dim ->
+    watermarked windowed per-region counts == the batch run (the canonical
+    job's streaming twin, gdal_spark/streaming/geo.py)."""
+    from pyspark.sql import functions as F
+
+    from gdal_spark import datagen
+    from gdal_spark.streaming import geo as sgeo
+
+    pages = datagen.pages(spark, SF_DIR).select("warc_ts", "lon", "lat")
+    regions = datagen.regions(spark).where(F.col("kind") == "grid") \
+        .select("region_id", "geom", "cells", "in_masks", "out_masks")
+    want = {(r.win_start, r.region_id): r.n_pages
+            for r in sgeo.streaming_pip_counts(
+                pages, regions, zoom=datagen.PIP_ZOOM).collect()}
+    assert want
+
+    src = tmp_path / "pages_src"
+    src.mkdir()
+    pages.write.parquet(str(src / "drop1"))
+    stream = spark.readStream.schema(pages.schema) \
+        .option("maxFilesPerTrigger", 4).parquet(str(src / "drop1"))
+    agg = sgeo.streaming_pip_counts(stream, regions, zoom=datagen.PIP_ZOOM)
+    q = sev.run_available_now(agg, "pip_counts_stream",
+                              str(tmp_path / "ckpt2"))
+    got = {(r.win_start, r.region_id): r.n_pages
+           for r in spark.sql("SELECT * FROM pip_counts_stream").collect()}
+    q.stop()
+    assert got == want
