@@ -61,3 +61,56 @@ def decode_image_stub(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             })
 
     return df.select(payload_col).mapInPandas(gen, schema=schema)
+
+
+def resize_image_stub(df: DataFrame, payload_col: str = "payload",
+                      key_col: str = "url",
+                      target: tuple[int, int] = (224, 224)) -> DataFrame:
+    """STUB resize: (key, resized binary, out_w, out_h). Real impl would
+    decode+resample inside this same generator (Pillow/libvips); here the
+    'resized' payload is a deterministic fake — a tag + truncated digest of
+    the source bytes — so the Spark plumbing (binary in, binary out, Arrow
+    batch shapes, partition-preserving map) is fully exercised and tested.
+    """
+    schema = f"{key_col} string, resized binary, out_w int, out_h int"
+    w, h = target
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payload = pdf[payload_col]
+            fake = payload.map(lambda b: b"RSZ%dx%d:" % (w, h)
+                               + hashlib.sha1(bytes(b)).digest())
+            yield pd.DataFrame({
+                key_col: pdf[key_col],
+                "resized": fake,
+                "out_w": pd.Series(w, index=pdf.index, dtype="int32"),
+                "out_h": pd.Series(h, index=pdf.index, dtype="int32"),
+            })
+
+    return df.select(key_col, payload_col).mapInPandas(gen, schema=schema)
+
+
+def frame_sample_stub(df: DataFrame, payload_col: str = "payload",
+                      key_col: str = "url", fps_every: int = 10,
+                      max_frames: int = 4) -> DataFrame:
+    """STUB video frame sampling: one output ROW per sampled frame
+    (key, frame_idx, frame binary) — the 1->N exploding shape a real
+    ffmpeg-based sampler has. Frame count derives deterministically from
+    the payload length; frame bytes are tagged slices of the source."""
+    schema = f"{key_col} string, frame_idx int, frame binary"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keys, idxs, frames = [], [], []
+            for k, b in zip(pdf[key_col], pdf[payload_col]):
+                b = bytes(b)
+                n_frames = min(max_frames, max(1, len(b) // (fps_every * 64)))
+                for i in range(n_frames):
+                    keys.append(k)
+                    idxs.append(i)
+                    frames.append(b"FRM%d:" % i + b[i::max(1, n_frames)][:64])
+            yield pd.DataFrame({key_col: pd.Series(keys, dtype="object"),
+                                "frame_idx": pd.Series(idxs, dtype="int32"),
+                                "frame": pd.Series(frames, dtype="object")})
+
+    return df.select(key_col, payload_col).mapInPandas(gen, schema=schema)

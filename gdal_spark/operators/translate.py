@@ -41,6 +41,7 @@ class TranslateOptions:
     src_crs: str | None = None
     dst_crs: str | None = None
     clip_dst: tuple | None = None
+    wrapdateline: bool = False          # split at the antimeridian
     promote_to_multi: bool = False
 
 
@@ -97,6 +98,32 @@ def _clip(g: wkb.Geom, rect) -> wkb.Geom | None:
     return geomops.clip_geom_rect(g, xmin, ymin, xmax, ymax)
 
 
+def _wrapdateline(g: wkb.Geom) -> wkb.Geom:
+    """Split a geometry that crosses the antimeridian into parts within
+    [-180, 180] (OGRGeometryFactory::transformWithOptions WRAPDATELINE,
+    ogr/ogrgeometryfactory.cpp:3952-4032, heuristic: lon span > 180 means
+    the ring crosses the seam). Works on lon/lat geometries only."""
+    env = g.envelope()
+    if env[2] - env[0] <= 180.0:
+        return g
+    # move to [0, 360): the seam becomes the continuous meridian 180
+    shifted = _map_rings(g, lambda r: np.column_stack(
+        [np.where(r[:, 0] < 0.0, r[:, 0] + 360.0, r[:, 0]), r[:, 1]]))
+    east = geomops.clip_geom_rect(shifted, 0.0, -90.0, 180.0, 90.0)
+    west = geomops.clip_geom_rect(shifted, 180.0, -90.0, 360.0, 90.0)
+    parts = []
+    if east is not None:
+        parts += east.parts if east.gtype == wkb.MULTIPOLYGON else [east]
+    if west is not None:
+        west = _map_rings(west, lambda r: np.column_stack(
+            [r[:, 0] - 360.0, r[:, 1]]))
+        parts += west.parts if west.gtype == wkb.MULTIPOLYGON else [west]
+    if not parts:
+        return g
+    return parts[0] if len(parts) == 1 else wkb.Geom(wkb.MULTIPOLYGON,
+                                                     parts=parts)
+
+
 def _coerce_multi(g: wkb.Geom) -> wkb.Geom:
     up = {wkb.POINT: wkb.MULTIPOINT, wkb.LINESTRING: wkb.MULTILINESTRING,
           wkb.POLYGON: wkb.MULTIPOLYGON}
@@ -124,6 +151,8 @@ def translate_geom(b: bytes, opts: TranslateOptions) -> list[bytes]:
                 continue
         if opts.src_crs and opts.dst_crs and opts.src_crs != opts.dst_crs:
             g = _reproject(g, opts.src_crs, opts.dst_crs)
+        if opts.wrapdateline:
+            g = _wrapdateline(g)
         if opts.clip_dst:
             g = _clip(g, opts.clip_dst)
             if g is None:

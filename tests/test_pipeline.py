@@ -7,6 +7,8 @@ import os
 import shutil
 
 from gdal_spark.pipeline import run_canonical_job
+
+SF_DIR = "/root/testdata/sf0.001"
 from gdal_spark.plans.lineage import StageRunner
 
 
@@ -49,3 +51,27 @@ def test_incomplete_upstream_raises(spark, tmp_path):
         raise AssertionError("expected RuntimeError")
     except RuntimeError as e:
         assert "upstream" in str(e)
+
+
+def test_multimodal_resize_and_frame_sample(spark):
+    """Multimodal plumbing: binary->binary resize map and the 1->N frame
+    explode both run Arrow-batched with stable schemas (decode itself is
+    stubbed — no imaging libs in this container)."""
+    from gdal_spark import datagen
+    from gdal_spark.operators import multimodal as mm
+
+    pages = datagen.pages(spark, SF_DIR).select("url", "html").limit(50)
+    rs = mm.resize_image_stub(pages, payload_col="html", key_col="url")
+    rows = rs.collect()
+    assert len(rows) == 50
+    assert all(bytes(r.resized).startswith(b"RSZ224x224:") for r in rows)
+    assert {(r.out_w, r.out_h) for r in rows} == {(224, 224)}
+
+    fr = mm.frame_sample_stub(pages, payload_col="html", key_col="url")
+    frows = fr.collect()
+    assert len(frows) >= 50                      # >=1 frame per page
+    by_key = {}
+    for r in frows:
+        by_key.setdefault(r.url, []).append(r.frame_idx)
+    for idxs in by_key.values():
+        assert sorted(idxs) == list(range(len(idxs)))   # dense frame idx

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pytest
 
 from gdal_spark.core import wkb
 from gdal_spark.operators import translate as tr
@@ -75,3 +76,36 @@ def test_translate_dataframe_passthrough(spark):
     out = tr.translate(df, tr.TranslateOptions(explode_collections=True))
     got = sorted((r.fid, r.tag) for r in out.collect())
     assert got == [(1, "a"), (1, "a"), (2, "b")]  # fid 1 exploded into 2 rows
+
+
+def test_wrapdateline_splits_crossing_polygon():
+    """A polygon spanning the antimeridian (lon 170..-170 expressed as
+    170..190 wrapped) splits into two parts within [-180, 180]
+    (OGRGeometryFactory WRAPDATELINE, ogrgeometryfactory.cpp:4022)."""
+    import numpy as np
+
+    from gdal_spark.core import geomops, wkb
+    from gdal_spark.operators.translate import TranslateOptions, translate_geom
+
+    ring = np.array([[170.0, 10.0], [-170.0, 10.0], [-170.0, 20.0],
+                     [170.0, 20.0], [170.0, 10.0]])
+    g = wkb.encode(wkb.Geom(wkb.POLYGON, [ring]))
+    out = translate_geom(g, TranslateOptions(wrapdateline=True))
+    assert len(out) == 1
+    parts = wkb.decode(out[0])
+    assert parts.gtype == wkb.MULTIPOLYGON and len(parts.parts) == 2
+    total = geomops.geom_area(parts)
+    assert total == pytest.approx(20.0 * 10.0)          # 20 deg x 10 deg
+    for p in parts.parts:
+        env = p.envelope()
+        assert env[0] >= -180.0 and env[2] <= 180.0
+        assert env[2] - env[0] <= 180.0
+
+
+def test_wrapdateline_leaves_normal_geometry_alone():
+    from gdal_spark.core import wkb
+    from gdal_spark.operators.translate import TranslateOptions, translate_geom
+
+    g = wkb.box(-10.0, -5.0, 10.0, 5.0)
+    out = translate_geom(g, TranslateOptions(wrapdateline=True))
+    assert out == [wkb.encode(wkb.decode(g))]
