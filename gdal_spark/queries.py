@@ -716,6 +716,20 @@ def q_grid_invdist(spark, sf_dir):
     return out.select("i", "j", F.round("value", 6).alias("val_r"))
 
 
+@_reg("ogr_fid_access", """
+SELECT doc_id, lang, length(text) AS text_len
+FROM documents WHERE doc_id IN (7, 42, 199, 255)
+""")
+def q_ogr_fid_access(spark, sf_dir):
+    """Random access by FID (GetFeature(fid) / SetNextByIndex,
+    ogrlayer.cpp — SURVEY §2.1): an IN-list point lookup whose predicate
+    pushes into the parquet scan (In(doc_id) in PushedFilters)."""
+    d = _t(spark, sf_dir, "documents")
+    return (d.where(F.col("doc_id").isin(7, 42, 199, 255))
+            .select("doc_id", "lang",
+                    F.length("text").cast("long").alias("text_len")))
+
+
 @_reg("ogr_hstore_like", """
 SELECT doc_id,
        lang AS hs_lang,

@@ -96,3 +96,65 @@ def checksum_tiles(df: DataFrame, tile: int = TILE) -> DataFrame:
             for b, dt in zip(px, dtype)], dtype="int64")
 
     return df.withColumn("checksum", _ck(F.col("px"), F.col("dtype")))
+
+
+def retile(df: DataFrame, src_tile: int, dst_tile: int) -> DataFrame:
+    """gdal_retile: re-block the tile table to a different tile size
+    (osgeo_utils/gdal_retile.py). Each src tile emits its sub-blocks (or
+    its contribution to a larger block), then groupBy(dst tile) assembles —
+    the repartition-by-tile-id shape of SURVEY §2.12."""
+    import pandas as pd
+    from pyspark.sql import functions as F  # noqa: F401
+
+    if dst_tile == src_tile:
+        return df
+    keys = ["band", "zoom", "tile_x", "tile_y"]
+
+    def emit(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples():
+                arr = decode_px(r.px, r.dtype, src_tile)
+                gx0 = int(r.tile_x) * src_tile
+                gy0 = int(r.tile_y) * src_tile
+                tx0, tx1 = gx0 // dst_tile, (gx0 + src_tile - 1) // dst_tile
+                ty0, ty1 = gy0 // dst_tile, (gy0 + src_tile - 1) // dst_tile
+                for ty in range(ty0, ty1 + 1):
+                    for tx in range(tx0, tx1 + 1):
+                        # overlap of src block with dst block, global px
+                        x0 = max(gx0, tx * dst_tile)
+                        x1 = min(gx0 + src_tile, (tx + 1) * dst_tile)
+                        y0 = max(gy0, ty * dst_tile)
+                        y1 = min(gy0 + src_tile, (ty + 1) * dst_tile)
+                        sub = arr[y0 - gy0:y1 - gy0, x0 - gx0:x1 - gx0]
+                        out.append((r.band, r.zoom, tx, ty, r.dtype,
+                                    r.nodata, sub.tobytes(),
+                                    x0 - tx * dst_tile, y0 - ty * dst_tile,
+                                    x1 - x0, y1 - y0))
+            yield pd.DataFrame(out, columns=[
+                "band", "zoom", "tile_x", "tile_y", "dtype", "nodata",
+                "px", "ox", "oy", "w", "h"])
+
+    frag_schema = ("band int, zoom int, tile_x long, tile_y long, "
+                   "dtype string, nodata double, px binary, "
+                   "ox int, oy int, w int, h int")
+    frags = df.mapInPandas(emit, frag_schema)
+
+    def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        # r0["dtype"], not r0.dtype — attribute access hits the pandas
+        # Series dtype, not the column
+        dt = str(pdf.iloc[0]["dtype"])
+        nod = pdf.iloc[0]["nodata"]
+        fill = 0.0 if nod is None or pd.isna(nod) else nod
+        arr = np.full((dst_tile, dst_tile), fill, dtype=np.dtype(dt))
+        for r in pdf.itertuples():
+            blk = np.frombuffer(r.px, dtype=np.dtype(r.dtype)) \
+                .reshape(r.h, r.w)
+            arr[r.oy:r.oy + r.h, r.ox:r.ox + r.w] = blk
+        nod_out = None if nod is None or pd.isna(nod) else float(nod)
+        return pd.DataFrame(
+            [(int(key[0]), int(key[1]), int(key[2]), int(key[3]),
+              dt, nod_out, encode_px(arr))],
+            columns=[f.name for f in TILE_SCHEMA.fields])
+
+    return frags.groupBy(*keys).applyInPandas(assemble, TILE_SCHEMA)

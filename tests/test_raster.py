@@ -155,3 +155,19 @@ def test_dem_ops_match_whole_array(spark, dem_tiles, op):
     got = tiles.tiles_to_raster(out, tile=TILE)
     want = _dem_oracle(arr, op)
     np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+
+
+def test_retile_roundtrip(spark):
+    """retile 8 -> 16 -> 8 preserves every pixel (gdal_retile re-blocking)."""
+    import numpy as np
+
+    from gdal_spark.raster.tiles import raster_to_tiles, retile, \
+        tiles_to_raster
+
+    rng = np.random.default_rng(13)
+    arr = rng.integers(0, 100, size=(32, 48)).astype(np.int32)
+    t8 = raster_to_tiles(spark, arr, zoom=0, tile=8)
+    t16 = retile(t8, 8, 16)
+    back = retile(t16, 16, 8)
+    assert np.array_equal(tiles_to_raster(back, tile=8), arr)
+    assert np.array_equal(tiles_to_raster(t16, tile=16), arr)
