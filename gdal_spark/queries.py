@@ -716,6 +716,31 @@ def q_grid_invdist(spark, sf_dir):
     return out.select("i", "j", F.round("value", 6).alias("val_r"))
 
 
+@_reg("events_sessions", """
+WITH l AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
+                                                 ORDER BY ts)) > 1800.0
+         THEN 1 ELSE 0 END AS is_new
+  FROM events),
+s AS (
+  SELECT user_id, ts, value,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sess
+  FROM l)
+SELECT user_id, min(ts) AS sess_start, CAST(count(*) AS BIGINT) AS n_events,
+       ROUND(sum(value), 6) AS sum_val
+FROM s GROUP BY user_id, sess
+""")
+def q_events_sessions(spark, sf_dir):
+    """Gap-based sessionization (30-min timeout) — the batch anchor of the
+    custom stateful streaming operator (streaming/sessions.py twin via
+    applyInPandasWithState). Window-function formulation, SQL-oracled."""
+    from .streaming.sessions import sessionize_batch
+    return sessionize_batch(_t(spark, sf_dir, "events"), gap_minutes=30.0)
+
+
 @_reg("ogr_fid_access", """
 SELECT doc_id, lang, length(text) AS text_len
 FROM documents WHERE doc_id IN (7, 42, 199, 255)

@@ -44,14 +44,14 @@ def stream_events_from_dir(spark: SparkSession, src_dir: str,
 
 
 def run_available_now(stream_df: DataFrame, query_name: str,
-                      checkpoint_dir: str):
+                      checkpoint_dir: str, output_mode: str = "complete"):
     """Drain everything currently in the source into a memory sink
     (Trigger.AvailableNow) — the test/CI harness; production would use a
     parquet/Iceberg sink with the same checkpoint contract."""
     q = (stream_df.writeStream
          .format("memory")
          .queryName(query_name)
-         .outputMode("complete")
+         .outputMode(output_mode)
          .option("checkpointLocation", checkpoint_dir)
          .trigger(availableNow=True)
          .start())

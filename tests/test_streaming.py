@@ -57,3 +57,44 @@ def test_streaming_pip_join_matches_batch(spark, tmp_path):
            for r in spark.sql("SELECT * FROM pip_counts_stream").collect()}
     q.stop()
     assert got == want
+
+
+def test_stateful_sessionization_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionizer == the batch window-function
+    anchor, for every session CLOSED by a later event (the final open
+    session per user stays in state — documented)."""
+    from pyspark.sql import functions as F
+
+    from gdal_spark.streaming import sessions as ss
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    batch = ss.sessionize_batch(events, gap_minutes=30.0)
+    # drop each user's LAST session (stream side can't close it)
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy(F.col("sess_start").desc())
+    closed_batch = batch.withColumn("_rn", F.row_number().over(w)) \
+        .where(F.col("_rn") > 1).drop("_rn")
+    want = {(r.user_id, r.sess_start): (r.n_events, r.sum_val)
+            for r in closed_batch.collect()}
+    assert want
+
+    src = tmp_path / "ev_src"
+    src.mkdir()
+    # two chronological drops -> two triggers -> state must carry sessions
+    # across the trigger boundary
+    e = events.orderBy("ts")
+    n = e.count()
+    e1 = e.limit(n // 2)
+    e2 = e.subtract(e1)
+    e1.coalesce(1).write.parquet(str(src / "d1"))
+    stream = spark.readStream.schema(events.schema) \
+        .option("maxFilesPerTrigger", 1).parquet(str(src) + "/d*/")
+    e2.coalesce(1).write.parquet(str(src / "d2"))
+    agg = ss.sessionize_stateful(stream, gap_minutes=30.0)
+    q = sev.run_available_now(agg, "sessions_stream",
+                              str(tmp_path / "ckpt3"),
+                              output_mode="append")
+    got = {(r.user_id, r.sess_start): (r.n_events, r.sum_val)
+           for r in spark.sql("SELECT * FROM sessions_stream").collect()}
+    q.stop()
+    assert got == want
