@@ -459,6 +459,65 @@ def _ccw_edges(convex_ring: np.ndarray):
     return [(r[i], r[(i + 1) % len(r)]) for i in range(len(r))]
 
 
+def is_convex_ring(ring: np.ndarray) -> bool:
+    """True if the (closed or open) ring is convex (no reflex vertex)."""
+    r = _open(np.asarray(ring, dtype=np.float64))
+    if len(r) < 3:
+        return False
+    a = r
+    b = np.roll(r, -1, axis=0)
+    c = np.roll(r, -2, axis=0)
+    cross = (b[:, 0] - a[:, 0]) * (c[:, 1] - a[:, 1]) \
+        - (b[:, 1] - a[:, 1]) * (c[:, 0] - a[:, 0])
+    return bool((cross >= -1e-12).all() or (cross <= 1e-12).all())
+
+
+def triangulate_ring(ring: np.ndarray) -> list:
+    """Ear-clipping triangulation of a SIMPLE polygon ring (no holes) —
+    returns a list of closed triangle rings whose union is the polygon and
+    whose interiors are disjoint. O(n^2); method/clip layers are small, so
+    this runs once per geometry on the driver. This is what lifts the
+    overlay ops' convex-method restriction: any boolean op against a simple
+    polygon factors exactly through its triangles (difference folds
+    sequentially; intersection pieces are disjoint by construction)."""
+    r = _open(np.asarray(ring, dtype=np.float64))
+    if ring_area(np.vstack([r, r[:1]])) < 0:
+        r = r[::-1]
+    idx = list(range(len(r)))
+    tris = []
+    guard = 0
+    while len(idx) > 3 and guard < 10000:
+        guard += 1
+        n = len(idx)
+        clipped = False
+        for k in range(n):
+            i0, i1, i2 = idx[(k - 1) % n], idx[k], idx[(k + 1) % n]
+            a, b, c = r[i0], r[i1], r[i2]
+            cross = (b[0] - a[0]) * (c[1] - a[1]) \
+                - (b[1] - a[1]) * (c[0] - a[0])
+            if cross <= 1e-14:
+                continue                      # reflex or degenerate corner
+            others = [j for j in idx if j not in (i0, i1, i2)]
+            if others:
+                pts = r[others]
+                inside = points_in_ring(
+                    pts[:, 0], pts[:, 1],
+                    np.vstack([a, b, c, a]))
+                if inside.any():
+                    continue                  # not an ear
+            tris.append(np.vstack([a, b, c, a]))
+            idx.pop(k)
+            clipped = True
+            break
+        if not clipped:
+            break                             # numeric dead end: emit rest
+    if len(idx) >= 3:
+        rest = r[idx]
+        tris.append(np.vstack([rest, rest[:1]]) if len(idx) == 3
+                    else _close(rest))
+    return tris
+
+
 def clip_ring_convex(ring: np.ndarray, convex_ring: np.ndarray) -> np.ndarray:
     """Clip one ring against a convex polygon ring (closed output)."""
     pts = _open(ring)

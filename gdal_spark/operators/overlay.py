@@ -13,9 +13,11 @@ exact GEOS op) as a Spark map-only stage:
   * each subject Arrow batch prefilters method candidates with a vectorized
     envelope intersect (the :2695 envelope skip), then applies the exact
     numpy kernel (clip_geom_convex / erase_geom_convex);
-  * method geometries must be CONVEX (grid cells, bboxes, hulls — the
-    common clip shapes); erase against several methods folds sequentially,
-    which is exact because each step is a true difference.
+  * method geometries are simple rings without holes; concave rings are
+    ear-clipped into triangles once on the driver (exact for every mode —
+    difference folds over parts, intersection parts are interior-disjoint);
+    erase against several methods folds sequentially, which is exact
+    because each step is a true difference.
 
 Cardinality contracts (matching the reference):
   intersection  one row per intersecting (subject, method) pair,
@@ -46,23 +48,30 @@ _MODES = ("intersection", "clip", "erase", "identity", "update")
 
 
 def _method_rows(method: DataFrame, mid_col: str):
+    """Collect the method layer as (mid, [convex rings], envelope) — concave
+    rings decompose into ear-clipped triangles (geomops.triangulate_ring),
+    which is exact for every overlay mode: difference folds over the parts
+    and intersection parts have disjoint interiors."""
     rows = method.select(mid_col, "geom").collect()
-    mids, rings, envs = [], [], []
+    mids, parts, envs = [], [], []
     for r in rows:
         g = wkb.decode(bytes(r.geom))
         polys = g.polygons()
         if len(polys) != 1 or len(polys[0]) != 1:
-            raise ValueError("method geometries must be single convex rings")
+            raise ValueError(
+                "method geometries must be single rings without holes")
+        ring = polys[0][0]
         mids.append(int(r[mid_col]))
-        rings.append(polys[0][0])
+        parts.append([ring] if geomops.is_convex_ring(ring)
+                     else geomops.triangulate_ring(ring))
         envs.append(g.envelope())
-    return mids, rings, np.array(envs, dtype=np.float64).reshape(-1, 4)
+    return mids, parts, np.array(envs, dtype=np.float64).reshape(-1, 4)
 
 
 def overlay(subject: DataFrame, method: DataFrame, mode: str,
             mid_col: str = "mid") -> DataFrame:
     """Overlay `subject` (any DF with a `geom` WKB column) against a small
-    convex `method` layer (mid_col + geom). Returns subject columns with
+    `method` layer (mid_col + geom; simple rings, concave allowed). Returns subject columns with
     `geom` replaced by the result piece, plus `mid_col` (NULL where the
     contract says so). Distribution: map-only over subject — no shuffle."""
     if mode not in _MODES:
@@ -95,17 +104,28 @@ def overlay(subject: DataFrame, method: DataFrame, mode: str,
                 clip_parts = []
                 rest = g
                 for k in hit:
-                    piece = geomops.clip_geom_convex(g, m_rings[k])
+                    pieces = []
+                    for conv in m_rings[k]:
+                        p_ = geomops.clip_geom_convex(g, conv)
+                        if p_ is not None:
+                            pieces.extend(
+                                p_.parts if p_.gtype == wkb.MULTIPOLYGON
+                                else [p_])
+                    piece = None if not pieces else (
+                        pieces[0] if len(pieces) == 1
+                        else wkb.Geom(wkb.MULTIPOLYGON, parts=pieces))
                     if piece is None:
+                        # envelope hit but no true overlap: nothing to do
                         continue
                     if want_pairs:
                         out.append(attrs + (m_ids[k], wkb.encode(piece)))
                     if want_clip:
-                        clip_parts.extend(
-                            piece.parts if piece.gtype == wkb.MULTIPOLYGON
-                            else [piece])
+                        clip_parts.extend(pieces)
                     if want_rest and rest is not None:
-                        rest = geomops.erase_geom_convex(rest, m_rings[k])
+                        for conv in m_rings[k]:
+                            if rest is None:
+                                break
+                            rest = geomops.erase_geom_convex(rest, conv)
                 if want_clip and clip_parts:
                     merged = clip_parts[0] if len(clip_parts) == 1 else \
                         wkb.Geom(wkb.MULTIPOLYGON, parts=clip_parts)

@@ -106,3 +106,36 @@ def test_membership_sampling(spark, layers):
     want &= hit_any
     # tolerate ulp-boundary disagreements only
     assert (got != want).sum() <= 2
+
+
+def test_concave_method_polygon(spark, layers):
+    """Concave (L-shaped) method polygon: triangulated internally; the
+    partition property area(int)+area(erase)=area(subject) and point
+    membership must hold exactly as for convex methods."""
+    subject, _, _ = layers
+    l_ring = np.array([[2.0, 2.0], [26.0, 2.0], [26.0, 10.0], [10.0, 10.0],
+                       [10.0, 26.0], [2.0, 26.0], [2.0, 2.0]])
+    assert not geomops.is_convex_ring(l_ring)
+    method = spark.createDataFrame(
+        pd.DataFrame([(300, wkb.encode(wkb.Geom(wkb.POLYGON, [l_ring])))],
+                     columns=["mid", "geom"]), schema=MID_SCHEMA)
+    inter = overlay(subject, method, "intersection").collect()
+    erase = overlay(subject, method, "erase").collect()
+    assert _area(inter) + _area(erase) == pytest.approx(900.0, abs=1e-6)
+    # membership sampling against the L-shape
+    rng = np.random.default_rng(7)
+    px = rng.uniform(-1, 31, 600)
+    py = rng.uniform(-1, 31, 600)
+    lgeom = wkb.Geom(wkb.POLYGON, [l_ring])
+    in_subj = np.zeros(600, bool)
+    for r in subject.collect():
+        in_subj |= geomops.points_in_geom(px, py, wkb.decode(bytes(r.geom)))
+    in_l = geomops.points_in_geom(px, py, lgeom)
+    got_i = np.zeros(600, bool)
+    for r in inter:
+        got_i |= geomops.points_in_geom(px, py, wkb.decode(bytes(r.geom)))
+    got_e = np.zeros(600, bool)
+    for r in erase:
+        got_e |= geomops.points_in_geom(px, py, wkb.decode(bytes(r.geom)))
+    assert (got_i != (in_subj & in_l)).sum() <= 3    # ulp/edge slack
+    assert (got_e != (in_subj & ~in_l)).sum() <= 3

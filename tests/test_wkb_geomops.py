@@ -178,3 +178,32 @@ def test_clip_and_erase_convex_partition_property():
             else np.zeros(200, bool)
         assert (in_int != (in_subj & in_hull)).sum() <= 2
         assert (in_er != (in_subj & ~in_hull)).sum() <= 2
+
+
+def test_triangulate_ring_partitions_polygon():
+    """Ear-clipping (overlay's concave-method decomposition): triangle
+    areas sum to the polygon area and membership matches, for random
+    star-shaped simple polygons."""
+    rng = np.random.default_rng(21)
+    for _ in range(40):
+        n = rng.integers(4, 14)
+        # full-sweep star polygon about the origin => simple by construction
+        steps = rng.uniform(0.1, 1.0, n)
+        ang = np.cumsum(steps) / steps.sum() * 2 * np.pi
+        rad = rng.uniform(1.0, 10.0, n)
+        ring = np.column_stack([np.cos(ang) * rad, np.sin(ang) * rad])
+        ring = np.vstack([ring, ring[:1]])
+        tris = G.triangulate_ring(ring)
+        area = abs(G.ring_area(ring))
+        tri_area = sum(abs(G.ring_area(t)) for t in tris)
+        assert tri_area == pytest.approx(area, rel=1e-9)
+        # membership: a point is in the polygon iff in exactly one triangle
+        px = rng.uniform(-10, 10, 300)
+        py = rng.uniform(-10, 10, 300)
+        in_poly = G.points_in_ring(px, py, ring)
+        cnt = np.zeros(300, int)
+        for t in tris:
+            cnt += G.points_in_ring(px, py, t).astype(int)
+        # interior points: count==1; boundary/shared-edge points may differ
+        mism = (in_poly != (cnt > 0)).sum()
+        assert mism <= 3
