@@ -32,8 +32,10 @@ from pyspark.sql import types as T
 from .tiles import decode_px
 
 
-def _label_tile(arr: np.ndarray, valid: np.ndarray) -> np.ndarray:
-    """4-connected components of equal-valued valid pixels.
+def _label_tile(arr: np.ndarray, valid: np.ndarray,
+                connect: int = 4) -> np.ndarray:
+    """4- or 8-connected components of equal-valued valid pixels
+    (alg/polygonize.cpp:485 CONNECTED=8 option).
 
     Vectorized min-label propagation with pointer jumping — O(log diameter)
     rounds of whole-array numpy ops, no per-pixel Python. Returns int64
@@ -45,8 +47,13 @@ def _label_tile(arr: np.ndarray, valid: np.ndarray) -> np.ndarray:
     while True:
         new = lbl.copy()
         # neighbor minima where the neighbor holds the same value
-        pairs = (((slice(0, h - 1), slice(None)), (slice(1, h), slice(None))),
-                 ((slice(None), slice(0, w - 1)), (slice(None), slice(1, w))))
+        pairs = [((slice(0, h - 1), slice(None)), (slice(1, h), slice(None))),
+                 ((slice(None), slice(0, w - 1)), (slice(None), slice(1, w)))]
+        if connect == 8:
+            pairs += [((slice(0, h - 1), slice(0, w - 1)),
+                       (slice(1, h), slice(1, w))),
+                      ((slice(0, h - 1), slice(1, w)),
+                       (slice(1, h), slice(0, w - 1)))]
         for a, b in pairs:
             same = valid[a] & valid[b] & (arr[a] == arr[b])
             m = np.minimum(new[a], new[b])
@@ -101,7 +108,8 @@ def _node_id(tile_x, tile_y, label, tile: int):
     return (tile_x * F.lit(1 << 24) + tile_y) * F.lit(per_tile) + label
 
 
-def tile_components(tiles_df: DataFrame, tile: int = 256):
+def tile_components(tiles_df: DataFrame, tile: int = 256,
+                    connect: int = 4):
     """Stage 1: per-tile labeling. Returns (components, boundary_strips)."""
 
     def emit(key, pdf: pd.DataFrame):
@@ -110,7 +118,7 @@ def tile_components(tiles_df: DataFrame, tile: int = 256):
             arr = decode_px(r.px, r.dtype, tile)
             valid = np.ones_like(arr, dtype=bool) if r.nodata is None or \
                 np.isnan(r.nodata) else arr != np.array(r.nodata, arr.dtype)
-            lbl = _label_tile(arr, valid)
+            lbl = _label_tile(arr, valid, connect)
             ok = lbl >= 0
             if ok.any():
                 flat_lbl = lbl[ok]
@@ -174,8 +182,11 @@ def tile_components(tiles_df: DataFrame, tile: int = 256):
     return comp.withColumn("node", nid), strips
 
 
-def adjacency_pairs(strips: DataFrame, tile: int = 256) -> DataFrame:
-    """Stage 2a: (node, node2) component-graph edges across tile seams."""
+def adjacency_pairs(strips: DataFrame, tile: int = 256,
+                    connect: int = 4) -> DataFrame:
+    """Stage 2a: (node, node2) component-graph edges across tile seams.
+    connect=8 also matches diagonal neighbors across the seam (offset +-1)
+    and the four tile-corner diagonals."""
     nid = _node_id(F.col("tile_x"), F.col("tile_y"), F.col("label"), tile)
     # cross-tile adjacency: my E strip meets the +x neighbor's W strip at the
     # same offset & value; my S strip meets the +y neighbor's N strip.
@@ -192,9 +203,34 @@ def adjacency_pairs(strips: DataFrame, tile: int = 256) -> DataFrame:
                 (F.col("tile_y") - 1).alias("tile_y"),
                 "offset", "value", F.col("node").alias("node2"))
     jk = ["band", "zoom", "tile_x", "tile_y", "offset", "value"]
-    return (e.join(w, jk).select("node", "node2")
-            .unionByName(s.join(n, jk).select("node", "node2"))
-            .distinct())
+    if connect == 4:
+        pairs = (e.join(w, jk).select("node", "node2")
+                 .unionByName(s.join(n, jk).select("node", "node2")))
+    else:
+        # straight seams with offset slack +-1 (diagonal pixel adjacency)
+        off3 = F.explode(F.array(F.col("offset") - 1, F.col("offset"),
+                                 F.col("offset") + 1)).alias("_o3")
+        e3 = e.select("*", off3).drop("offset") \
+            .withColumnRenamed("_o3", "offset")
+        s3 = s.select("*", off3).drop("offset") \
+            .withColumnRenamed("_o3", "offset")
+        pairs = (e3.join(w, jk).select("node", "node2")
+                 .unionByName(s3.join(n, jk).select("node", "node2")))
+        # tile-corner diagonals: SE corner <-> NW corner of (tx+1, ty+1),
+        # NE corner <-> SW corner of (tx+1, ty-1)
+        ec = strips.where((F.col("side") == "E")
+                          & (F.col("offset") == tile - 1))             .withColumn("node", nid)
+        wc = strips.where((F.col("side") == "W") & (F.col("offset") == 0))             .withColumn("node", nid)             .select("band", "zoom", (F.col("tile_x") - 1).alias("tile_x"),
+                    (F.col("tile_y") - 1).alias("tile_y"), "value",
+                    F.col("node").alias("node2"))
+        en = strips.where((F.col("side") == "E") & (F.col("offset") == 0))             .withColumn("node", nid)
+        ws = strips.where((F.col("side") == "W")
+                          & (F.col("offset") == tile - 1))             .withColumn("node", nid)             .select("band", "zoom", (F.col("tile_x") - 1).alias("tile_x"),
+                    (F.col("tile_y") + 1).alias("tile_y"), "value",
+                    F.col("node").alias("node2"))
+        ck = ["band", "zoom", "tile_x", "tile_y", "value"]
+        pairs = pairs             .unionByName(ec.join(wc, ck).select("node", "node2"))             .unionByName(en.join(ws, ck).select("node", "node2"))
+    return pairs.distinct()
 
 
 def _union_find_pdf(edges) -> "pd.DataFrame":
@@ -220,7 +256,8 @@ def _union_find_pdf(edges) -> "pd.DataFrame":
 
 def polygonize(tiles_df: DataFrame, tile: int = 256,
                max_rounds: int = 64,
-               driver_merge_threshold: int = 4_000_000) -> DataFrame:
+               driver_merge_threshold: int = 4_000_000,
+               connect: int = 4) -> DataFrame:
     """tile table -> (comp_id, value, n_pixels, px_xmin..px_ymax).
 
     comp_id is the min node id over the component — deterministic, so output
@@ -233,8 +270,8 @@ def polygonize(tiles_df: DataFrame, tile: int = 256,
     distributed min-label propagation loop takes over.
     """
     spark = tiles_df.sparkSession
-    comp, strips = tile_components(tiles_df, tile)
-    pairs = adjacency_pairs(strips, tile).localCheckpoint()
+    comp, strips = tile_components(tiles_df, tile, connect)
+    pairs = adjacency_pairs(strips, tile, connect).localCheckpoint()
 
     if pairs.count() <= driver_merge_threshold:
         edges = [(r.node, r.node2) for r in pairs.toLocalIterator()]

@@ -95,3 +95,59 @@ def test_polygonize_single_component_spanning_tiles(spark):
     r = rows[0]
     assert (r.n_pixels, r.px_xmin, r.px_ymin, r.px_xmax, r.px_ymax) == \
         (24 * 24, 0, 0, 23, 23)
+
+
+def ref_components8(arr, nodata):
+    valid = arr != nodata
+    seen = np.zeros(arr.shape, bool)
+    comps = []
+    for y in range(arr.shape[0]):
+        for x in range(arr.shape[1]):
+            if valid[y, x] and not seen[y, x]:
+                q = deque([(y, x)])
+                seen[y, x] = True
+                px = []
+                v = arr[y, x]
+                while q:
+                    cy, cx = q.popleft()
+                    px.append((cy, cx))
+                    for dy in (-1, 0, 1):
+                        for dx in (-1, 0, 1):
+                            if dy == 0 and dx == 0:
+                                continue
+                            ny, nx = cy + dy, cx + dx
+                            if 0 <= ny < arr.shape[0] \
+                               and 0 <= nx < arr.shape[1] \
+                               and valid[ny, nx] and not seen[ny, nx] \
+                               and arr[ny, nx] == v:
+                                seen[ny, nx] = True
+                                q.append((ny, nx))
+                comps.append((float(v), len(px),
+                              min(p[1] for p in px), min(p[0] for p in px),
+                              max(p[1] for p in px), max(p[0] for p in px)))
+    return sorted(comps)
+
+
+@pytest.mark.parametrize("seed,shape", [(3, (40, 56)), (8, (25, 18))])
+def test_polygonize_8connect_matches_bfs(spark, seed, shape):
+    """CONNECTED=8 (alg/polygonize.cpp:485): diagonal adjacency inside
+    tiles, across straight seams (offset +-1) and across tile corners."""
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 3, size=shape).astype(np.int32)
+    tiles = raster_to_tiles(spark, arr, zoom=0, tile=8, nodata=0.0)
+    out = polygonize(tiles, tile=8, connect=8).collect()
+    got = sorted((float(r.value), int(r.n_pixels),
+                  int(r.px_xmin), int(r.px_ymin),
+                  int(r.px_xmax), int(r.px_ymax)) for r in out)
+    assert got == ref_components8(arr, 0)
+
+
+def test_polygonize_8connect_corner_merge(spark):
+    """Two pixels touching ONLY at a tile-corner diagonal must merge under
+    8-connectivity and stay separate under 4."""
+    arr = np.zeros((16, 16), np.int32)
+    arr[7, 7] = 5     # SE corner of tile (0,0)
+    arr[8, 8] = 5     # NW corner of tile (1,1)
+    tiles = raster_to_tiles(spark, arr, zoom=0, tile=8, nodata=0.0)
+    assert polygonize(tiles, tile=8, connect=8).count() == 1
+    assert polygonize(tiles, tile=8, connect=4).count() == 2
