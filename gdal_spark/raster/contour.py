@@ -132,3 +132,56 @@ def contour_stats(tiles_df: DataFrame, levels: list[float],
     return (seg.groupBy("band", "zoom", "level")
             .agg(F.count("*").alias("n_segments"),
                  F.sum(F.sqrt(dx * dx + dy * dy)).alias("total_len")))
+
+
+def assemble_polylines(segments, digits: int = 9):
+    """Driver-side bounded post-pass: link a level's segment set into
+    polylines/rings (the reference's ring builder,
+    alg/marching_squares/polygon_ring_appender.h, run once per level over
+    the COLLECTED segments — appropriate when the per-level segment count
+    is bounded; the distributed contract remains the segment set).
+
+    segments: iterable of (x0, y0, x1, y1). Returns a list of vertex lists;
+    a closed ring repeats its first vertex at the end.
+    """
+    from collections import defaultdict
+
+    def key(x, y):
+        return (round(x, digits), round(y, digits))
+
+    adj = defaultdict(list)
+    segs = []
+    for x0, y0, x1, y1 in segments:
+        i = len(segs)
+        segs.append(((x0, y0), (x1, y1)))
+        adj[key(x0, y0)].append(i)
+        adj[key(x1, y1)].append(i)
+    used = [False] * len(segs)
+    out = []
+    # open chains first (endpoints of degree 1), then remaining cycles
+    starts = [k for k, v in adj.items() if len(v) == 1]
+    for phase in (0, 1):
+        seeds = starts if phase == 0 else list(adj.keys())
+        for seed in seeds:
+            nxt = [i for i in adj[seed] if not used[i]]
+            if not nxt:
+                continue
+            i = nxt[0]
+            used[i] = True
+            a, b = segs[i]
+            if key(*a) != seed:
+                a, b = b, a
+            line = [a, b]
+            while True:
+                k = key(*line[-1])
+                cand = [j for j in adj[k] if not used[j]]
+                if not cand:
+                    break
+                j = cand[0]
+                used[j] = True
+                p, q = segs[j]
+                line.append(q if key(*p) == k else p)
+                if key(*line[-1]) == key(*line[0]):
+                    break
+            out.append(line)
+    return out

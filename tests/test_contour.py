@@ -68,3 +68,37 @@ def test_closed_contour_total_length(spark):
         ends[(round(s.x0, 9), round(s.y0, 9))] += 1
         ends[(round(s.x1, 9), round(s.y1, 9))] += 1
     assert all(c == 2 for c in ends.values())
+
+
+def test_assemble_polylines_closed_ring(spark):
+    """The cone's level-20 segments assemble into exactly ONE closed ring
+    whose length matches the segment-set total."""
+    from gdal_spark.raster.contour import assemble_polylines
+    n = 64
+    yy, xx = np.mgrid[0:n, 0:n].astype(np.float64)
+    r = np.hypot(xx - 31.5, yy - 31.5)
+    tiles = raster_to_tiles(spark, r, zoom=0, tile=16)
+    segs = [(s.x0, s.y0, s.x1, s.y1)
+            for s in contour_segments(tiles, [20.0], tile=16).collect()]
+    lines = assemble_polylines(segs)
+    assert len(lines) == 1
+    ring = lines[0]
+    assert ring[0] == ring[-1]                  # closed
+    length = sum(np.hypot(ring[i + 1][0] - ring[i][0],
+                          ring[i + 1][1] - ring[i][1])
+                 for i in range(len(ring) - 1))
+    assert length == pytest.approx(2 * np.pi * 20.0, rel=0.02)
+
+
+def test_assemble_polylines_open_chain(spark):
+    """The linear ramp's isoline crosses the raster edge: one OPEN chain."""
+    from gdal_spark.raster.contour import assemble_polylines
+    x = np.arange(16, dtype=np.float64)
+    arr = np.tile(x, (16, 1))
+    tiles = raster_to_tiles(spark, arr, zoom=0, tile=8)
+    segs = [(s.x0, s.y0, s.x1, s.y1)
+            for s in contour_segments(tiles, [5.5], tile=8).collect()]
+    lines = assemble_polylines(segs)
+    assert len(lines) == 1
+    assert lines[0][0] != lines[0][-1]          # open
+    assert len(lines[0]) == 16                  # 15 segments -> 16 vertices
