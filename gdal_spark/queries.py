@@ -890,6 +890,38 @@ def q_proximity_density(spark, sf_dir):
     return prox.mapInPandas(explode_px, _PX)
 
 
+@_reg("contour_density")           # no SQL oracle (iterative/geometric op)
+def q_contour_density(spark, sf_dir):
+    """Contour stats of the 64x64 density mask at level 0.5 — the occupied-
+    region outlines (GDALContourGenerate, alg/contour.cpp). Marching
+    squares is not SQL-expressible (the driver records the rows-only
+    check); the operator itself is pinned by tests/test_contour.py
+    (analytic isolines, tiling invariance, ring closure)."""
+    import numpy as np
+    import pandas as pd
+    from .raster.contour import contour_stats
+    from .raster.tiles import TILE_SCHEMA, encode_px
+
+    p = datagen.points(spark, sf_dir)
+    x = F.floor((F.col("lon") + 180.0) / 5.625).cast("long")
+    y = F.floor((F.col("lat") + 90.0) / 2.8125).cast("long")
+    cnt = (p.select(x.alias("x"), y.alias("y")).distinct()
+           .withColumn("tile_x", F.shiftright("x", 3))
+           .withColumn("tile_y", F.shiftright("y", 3)))
+
+    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        arr = np.zeros((8, 8), np.float64)
+        arr[pdf["y"].values & 7, pdf["x"].values & 7] = 1.0
+        return pd.DataFrame([(1, 0, int(key[0]), int(key[1]), "float64",
+                              None, encode_px(arr))],
+                            columns=[f.name for f in TILE_SCHEMA.fields])
+
+    tiles = cnt.groupBy("tile_x", "tile_y").applyInPandas(build, TILE_SCHEMA)
+    out = contour_stats(tiles, levels=[0.5], tile=8)
+    return out.select("level", "n_segments",
+                      F.round("total_len", 6).alias("total_len_r"))
+
+
 @_reg("pyramid_z0", f"""
 {_pts_cte()},
 g AS (SELECT {_GPX1} AS gpx, {_GPY1} AS gpy FROM pts)
