@@ -102,10 +102,37 @@ _EDGE_SCHEMA = T.StructType([
 ])
 
 
+def _label_bits(tile: int) -> int:
+    """Bits needed for a tile-local label (a flat pixel index < tile^2)."""
+    return max(int(tile * tile - 1).bit_length(), 1)
+
+
+def _tile_bits(tile: int) -> int:
+    """Bits per tile coordinate in a node id (fixed-width packing)."""
+    return (63 - _label_bits(tile)) // 2
+
+
+def _node_base(tile_x: int, tile_y: int, tile: int) -> int:
+    """Scalar node-id base for a tile — asserts coords fit the packing.
+
+    Fixed-width fields (tile_y | tile_x | label) stay inside int64: for
+    tile=256 each tile coord gets 23 bits (zoom <= 23 web-mercator), the
+    label 16. Overflow raises instead of silently colliding.
+    """
+    lb, tb = _label_bits(tile), _tile_bits(tile)
+    if not (0 <= tile_x < (1 << tb) and 0 <= tile_y < (1 << tb)):
+        raise ValueError(
+            f"tile coords ({tile_x},{tile_y}) exceed {tb}-bit node-id "
+            f"packing for tile={tile}")
+    return ((tile_y << tb) | tile_x) << lb
+
+
 def _node_id(tile_x, tile_y, label, tile: int):
-    """Globally-unique int64 node id for a tile-local component."""
-    per_tile = tile * tile
-    return (tile_x * F.lit(1 << 24) + tile_y) * F.lit(per_tile) + label
+    """Globally-unique int64 node id for a tile-local component.
+
+    Works on both Spark Columns and python ints (same arithmetic)."""
+    lb, tb = _label_bits(tile), _tile_bits(tile)
+    return (tile_y * (1 << tb) + tile_x) * (1 << lb) + label
 
 
 def tile_components(tiles_df: DataFrame, tile: int = 256,

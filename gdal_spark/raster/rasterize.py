@@ -77,12 +77,18 @@ def _burn_geom_into(arr, g, burn, grid: GridSpec, tx, ty,
     t = grid.tile
     ox, oy = tx * t, ty * t  # tile origin in global pixels
 
-    def put(pxs, pys):
+    def put(pxs, pys, dedupe=False):
         m = (pxs >= ox) & (pxs < ox + t) & (pys >= oy) & (pys < oy + t)
         if not m.any():
             return
         xs, ys = pxs[m] - ox, pys[m] - oy
         if merge_add:
+            if dedupe:
+                # gv_rasterize_one_shape adds the burn exactly once per pixel
+                # per shape; the supercover walk samples ~3 pts/pixel, so
+                # collapse duplicates before accumulating
+                key = np.unique(ys * np.int64(t) + xs)
+                ys, xs = key // t, key % t
             np.add.at(arr, (ys, xs), burn)
         else:
             arr[ys, xs] = burn
@@ -100,11 +106,18 @@ def _burn_geom_into(arr, g, burn, grid: GridSpec, tx, ty,
         if p.gtype == wkb.LINESTRING:
             rings_for_lines.extend(p.rings)
 
-    for r in rings_for_lines:
-        px, py = grid.world_to_px(r[:, 0], r[:, 1])
-        for i in range(len(r) - 1):
-            xs, ys = _supercover_px(px[i], py[i], px[i + 1], py[i + 1])
-            put(xs, ys)
+    if rings_for_lines:
+        # gather every pixel the line shape crosses, then burn once per
+        # pixel (dedupe across segments too — a vertex shared by two
+        # segments must not double-add under MERGE_ALG=ADD)
+        lxs, lys = [], []
+        for r in rings_for_lines:
+            px, py = grid.world_to_px(r[:, 0], r[:, 1])
+            for i in range(len(r) - 1):
+                xs, ys = _supercover_px(px[i], py[i], px[i + 1], py[i + 1])
+                lxs.append(xs)
+                lys.append(ys)
+        put(np.concatenate(lxs), np.concatenate(lys), dedupe=True)
 
     polys = g.polygons()
     if not polys:

@@ -30,7 +30,13 @@ def interpolate_at_points(pixels: DataFrame, points: DataFrame,
                           out_col: str = "value") -> DataFrame:
     """points + continuous pixel coords (x_col, y_col; pixel centers at
     i+0.5) -> points with `out_col` sampled from the (gpx, gpy, value)
-    pixel table. mode: 'near' or 'bilinear'."""
+    pixel table. mode: 'near' or 'bilinear'.
+
+    Rows identical in every column stay distinct: an internal unique row id
+    is attached before the corner explode so the final aggregation is
+    per-input-row, not per-distinct-value."""
+    out_cols = list(points.columns)
+    points = points.withColumn("_rid", F.monotonically_increasing_id())
     x = F.col(x_col)
     y = F.col(y_col)
     if mode == "near":
@@ -69,6 +75,6 @@ def interpolate_at_points(pixels: DataFrame, points: DataFrame,
                        "value")
     joined = keys.join(px, ["_jx", "_jy"], "left") \
         .withColumn("_v", F.coalesce(F.col("value"), F.lit(fill)) * F.col("_w"))
-    group_cols = [c for c in points.columns]
-    return (joined.groupBy(*group_cols)
-            .agg(F.sum("_v").alias(out_col)))
+    return (joined.groupBy("_rid", *out_cols)
+            .agg(F.sum("_v").alias(out_col))
+            .drop("_rid"))

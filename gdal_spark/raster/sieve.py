@@ -26,8 +26,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .polygonize import (_label_tile, _node_id, _union_find_pdf,
-                         adjacency_pairs, tile_components)
+from .polygonize import (_label_tile, _node_base, _node_id,
+                         _union_find_pdf, adjacency_pairs, tile_components)
 from .tiles import TILE_SCHEMA, decode_px, encode_px
 
 _NBR_SCHEMA = T.StructType([
@@ -36,7 +36,8 @@ _NBR_SCHEMA = T.StructType([
 ])
 
 
-def _neighbor_pairs(tiles_df: DataFrame, tile: int) -> DataFrame:
+def _neighbor_pairs(tiles_df: DataFrame, tile: int,
+                    connect: int = 4) -> DataFrame:
     """Adjacent same-tile components with DIFFERENT labels (any values) —
     the intra-tile part of the sieve neighbour graph."""
 
@@ -46,12 +47,19 @@ def _neighbor_pairs(tiles_df: DataFrame, tile: int) -> DataFrame:
             arr = decode_px(r.px, r.dtype, tile)
             valid = np.ones_like(arr, dtype=bool) if r.nodata is None or \
                 np.isnan(r.nodata) else arr != np.array(r.nodata, arr.dtype)
-            lbl = _label_tile(arr, valid)
-            base = (int(r.tile_x) * (1 << 24) + int(r.tile_y)) * (tile * tile)
-            for a, b in (((slice(0, -1), slice(None)),
-                          (slice(1, None), slice(None))),
-                         ((slice(None), slice(0, -1)),
-                          (slice(None), slice(1, None)))):
+            lbl = _label_tile(arr, valid, connect)
+            base = _node_base(int(r.tile_x), int(r.tile_y), tile)
+            h, w = arr.shape
+            pairs = [((slice(0, -1), slice(None)),
+                      (slice(1, None), slice(None))),
+                     ((slice(None), slice(0, -1)),
+                      (slice(None), slice(1, None)))]
+            if connect == 8:
+                pairs += [((slice(0, h - 1), slice(0, w - 1)),
+                           (slice(1, h), slice(1, w))),
+                          ((slice(0, h - 1), slice(1, w)),
+                           (slice(1, h), slice(0, w - 1)))]
+            for a, b in pairs:
                 la, lb = lbl[a], lbl[b]
                 ok = (la >= 0) & (lb >= 0) & (la != lb)
                 for x, y in zip(la[ok].ravel(), lb[ok].ravel()):
@@ -64,9 +72,11 @@ def _neighbor_pairs(tiles_df: DataFrame, tile: int) -> DataFrame:
         .applyInPandas(emit, _NBR_SCHEMA)
 
 
-def _cross_tile_any_value(strips: DataFrame, tile: int) -> DataFrame:
+def _cross_tile_any_value(strips: DataFrame, tile: int,
+                          connect: int = 4) -> DataFrame:
     """Cross-tile adjacency WITHOUT the value-equality constraint — facing
-    valid pixels of different components are sieve neighbours too."""
+    valid pixels of different components are sieve neighbours too.
+    connect=8 also pairs diagonal neighbours across the seam (offset +-1)."""
     nid = _node_id(F.col("tile_x"), F.col("tile_y"), F.col("label"), tile)
     e = strips.where(F.col("side") == "E").withColumn("node", nid)
     w = strips.where(F.col("side") == "W").withColumn("node", nid) \
@@ -76,6 +86,11 @@ def _cross_tile_any_value(strips: DataFrame, tile: int) -> DataFrame:
     n = strips.where(F.col("side") == "N").withColumn("node", nid) \
         .select("band", "zoom", "tile_x", (F.col("tile_y") - 1).alias("tile_y"),
                 "offset", F.col("node").alias("node2"))
+    if connect == 8:
+        off3 = F.explode(F.array(F.col("offset") - 1, F.col("offset"),
+                                 F.col("offset") + 1)).alias("_o3")
+        e = e.select("*", off3).drop("offset").withColumnRenamed("_o3", "offset")
+        s = s.select("*", off3).drop("offset").withColumnRenamed("_o3", "offset")
     jk = ["band", "zoom", "tile_x", "tile_y", "offset"]
     return (e.join(w, jk).select("node", "node2")
             .unionByName(s.join(n, jk).select("node", "node2"))
@@ -83,12 +98,15 @@ def _cross_tile_any_value(strips: DataFrame, tile: int) -> DataFrame:
             .distinct())
 
 
-def sieve(tiles_df: DataFrame, threshold: int, tile: int = 256) -> DataFrame:
+def sieve(tiles_df: DataFrame, threshold: int, tile: int = 256,
+          connect: int = 4) -> DataFrame:
     """Return a new tile table with every connected region smaller than
-    `threshold` pixels merged into its largest neighbour's value."""
+    `threshold` pixels merged into its largest neighbour's value.
+    connect=4|8 mirrors GDALSieveFilter's CONNECTED option
+    (/root/reference/alg/gdalsievefilter.cpp)."""
     spark = tiles_df.sparkSession
-    comp, strips = tile_components(tiles_df, tile)
-    same_pairs = adjacency_pairs(strips, tile)
+    comp, strips = tile_components(tiles_df, tile, connect)
+    same_pairs = adjacency_pairs(strips, tile, connect)
 
     # resolve global components (same machinery as polygonize)
     mapping = _union_find_pdf(
@@ -114,8 +132,8 @@ def sieve(tiles_df: DataFrame, threshold: int, tile: int = 256) -> DataFrame:
 
     # component neighbour graph (nodes -> resolved comps, dedup)
     nbr_edges = set()
-    for df in (_neighbor_pairs(tiles_df, tile),
-               _cross_tile_any_value(strips, tile)):
+    for df in (_neighbor_pairs(tiles_df, tile, connect),
+               _cross_tile_any_value(strips, tile, connect)):
         for r in df.toLocalIterator():
             a = node2comp.get(int(r.node), int(r.node))
             b = node2comp.get(int(r.node2), int(r.node2))
@@ -162,8 +180,8 @@ def sieve(tiles_df: DataFrame, threshold: int, tile: int = 256) -> DataFrame:
             arr = decode_px(r.px, r.dtype, tile).copy()
             valid = np.ones_like(arr, dtype=bool) if r.nodata is None or \
                 np.isnan(r.nodata) else arr != np.array(r.nodata, arr.dtype)
-            lbl = _label_tile(arr, valid)
-            base = (int(r.tile_x) * (1 << 24) + int(r.tile_y)) * (tile * tile)
+            lbl = _label_tile(arr, valid, connect)
+            base = _node_base(int(r.tile_x), int(r.tile_y), tile)
             for lab in np.unique(lbl[lbl >= 0]):
                 v = nv.get(base + int(lab))
                 if v is not None:

@@ -15,7 +15,7 @@ from gdal_spark.raster.sieve import sieve
 from gdal_spark.raster.tiles import raster_to_tiles, tiles_to_raster
 
 
-def ref_sieve(arr, nodata, threshold):
+def ref_sieve(arr, nodata, threshold, connect=4):
     from collections import deque
     h, w = arr.shape
     valid = arr != nodata
@@ -28,10 +28,13 @@ def ref_sieve(arr, nodata, threshold):
                 q = deque([(y, x)])
                 comp[y, x] = cid
                 n = 0
+                steps = ((1, 0), (-1, 0), (0, 1), (0, -1)) if connect == 4 \
+                    else ((1, 0), (-1, 0), (0, 1), (0, -1),
+                          (1, 1), (1, -1), (-1, 1), (-1, -1))
                 while q:
                     cy, cx = q.popleft()
                     n += 1
-                    for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                    for dy, dx in steps:
                         ny, nx = cy + dy, cx + dx
                         if 0 <= ny < h and 0 <= nx < w and valid[ny, nx] \
                            and comp[ny, nx] < 0 \
@@ -46,7 +49,9 @@ def ref_sieve(arr, nodata, threshold):
         for x in range(w):
             if not valid[y, x]:
                 continue
-            for dy, dx in ((1, 0), (0, 1)):
+            nsteps = ((1, 0), (0, 1)) if connect == 4 \
+                else ((1, 0), (0, 1), (1, 1), (1, -1))
+            for dy, dx in nsteps:
                 ny, nx = y + dy, x + dx
                 if 0 <= ny < h and 0 <= nx < w and valid[ny, nx] \
                    and comp[ny, nx] != comp[y, x]:
@@ -82,18 +87,20 @@ def ref_sieve(arr, nodata, threshold):
     return out
 
 
-@pytest.mark.parametrize("seed,shape,threshold", [
-    (7, (24, 24), 4),
-    (2, (40, 32), 9),
+@pytest.mark.parametrize("seed,shape,threshold,connect", [
+    (7, (24, 24), 4, 4),
+    (2, (40, 32), 9, 4),
+    (7, (24, 24), 4, 8),
+    (5, (40, 32), 6, 8),
 ])
-def test_sieve_matches_reference(spark, seed, shape, threshold):
+def test_sieve_matches_reference(spark, seed, shape, threshold, connect):
     rng = np.random.default_rng(seed)
     arr = rng.integers(0, 3, size=shape).astype(np.int32)
     tiles = raster_to_tiles(spark, arr, zoom=0, tile=8, nodata=0.0)
-    out = sieve(tiles, threshold=threshold, tile=8)
+    out = sieve(tiles, threshold=threshold, tile=8, connect=connect)
     got = tiles_to_raster(out, tile=8)[:shape[0], :shape[1]]
     assert np.array_equal(got.astype(np.int32),
-                          ref_sieve(arr, 0, threshold))
+                          ref_sieve(arr, 0, threshold, connect))
 
 
 def test_sieve_keeps_large_regions(spark):
