@@ -189,26 +189,67 @@ def geom_intersects(a: Geom, b: Geom) -> bool:
 
 
 def geom_contains(a: Geom, b: Geom) -> bool:
-    """a contains b (interior-to-interior, no b point outside a).
-    Exact for point/polygon; conservative (vertex-based + no edge crossing)
-    for line/polygon-in-polygon — sufficient for non-degenerate inputs."""
+    """a contains b — DE-9IM: every point of b in the CLOSURE of a (boundary
+    contact allowed), no proper boundary crossing, and the interiors
+    intersect (so a polygon does NOT contain a point on its own boundary —
+    OGRGeometry::Contains semantics, ogrgeometry.cpp:5915)."""
     apoly = a.polygons()
     if not apoly:
-        return False
+        return _contains_nonpolygonal(a, b)
     bpts = _all_vertices(b)
     if not len(bpts):
         return False
-    inside = np.zeros(len(bpts), dtype=bool)
-    for rings in apoly:
-        inside |= points_in_polygon(bpts[:, 0], bpts[:, 1], rings)
-    if not inside.all():
+    on_a = _points_on_lines_mask(bpts, _all_line_rings(a))
+    in_closed = points_in_geom(bpts[:, 0], bpts[:, 1], a) | on_a
+    if not in_closed.all():
         return False
-    if b.gtype not in (wkb.POINT, wkb.MULTIPOINT):
+    db = geom_dim(b)
+    if db >= 1:
         a1, a2 = _segments(_all_line_rings(a))
         b1, b2 = _segments(_all_line_rings(b))
-        if segments_intersect_any(a1, a2, b1, b2):
+        if _proper_crossing_any(a1, a2, b1, b2):
             return False
-    return True
+    if db == 2:
+        from .polyclip import boolean_area
+        return boolean_area(a, b, "intersection") > _area_eps(a, b)
+    if db == 1:
+        segs_a, segs_b = _segments(_all_line_rings(b))
+        cand = bpts if not len(segs_a) else np.vstack(
+            [bpts, 0.5 * (segs_a + segs_b)])
+        return bool(_points_strictly_inside(cand, a).any())
+    return bool(_points_strictly_inside(bpts, a).any())
+
+
+def _contains_nonpolygonal(a: Geom, b: Geom) -> bool:
+    """Contains for lineal/puntal a: every b point on a, with at least one
+    interior-to-interior contact (DE-9IM)."""
+    if _has_lines(a):
+        if b.polygons():
+            return False
+        arings = _all_line_rings(a)
+        bpts = _all_vertices(b)
+        if not len(bpts):
+            return False
+        if _has_lines(b):
+            b1, b2 = _segments(_all_line_rings(b))
+            cand = bpts if not len(b1) else np.vstack(
+                [bpts, 0.5 * (b1 + b2)])
+        else:
+            cand = bpts
+        if not _points_on_lines_mask(cand, arings).all():
+            return False
+        ea = _line_endpoints(a)
+        if not len(ea):
+            return True                      # closed line: all interior
+        at_end = (np.abs(cand[:, None, :] - ea[None, :, :])
+                  .sum(axis=2) == 0).any(axis=1)
+        return bool((~at_end).any())
+    # puntal a: contains only puntal b that is a subset
+    if b.polygons() or _has_lines(b):
+        return False
+    sa = {(float(x), float(y)) for x, y in a.points()}
+    sb = {(float(x), float(y)) for x, y in b.points()}
+    return bool(sb) and sb <= sa
 
 
 def geom_within(a: Geom, b: Geom) -> bool:
@@ -657,3 +698,262 @@ def segmentize_ring(r: np.ndarray, max_len: float) -> np.ndarray:
                 out.append(a + (b - a) * (k / n))
         out.append(b)
     return np.array(out)
+
+
+# ---------------------------------------------------------------------------
+# remaining DE-9IM predicates: Equals / Touches / Crosses / Overlaps
+# (OGRGeometry::Equals ogrgeometry.cpp:1251, Touches :5661, Crosses :5734,
+#  Overlaps :5989 — all GEOS-delegated there; here: dimension-cased numpy
+#  tests, with the polygon interior questions answered EXACTLY by the slab
+#  boolean kernel's area, the same trick GEOS plays with DE-9IM matrices)
+# ---------------------------------------------------------------------------
+
+def geom_dim(g: Geom) -> int:
+    """Topological dimension: 2 polygonal, 1 lineal, 0 puntal."""
+    if g.polygons():
+        return 2
+    if _has_lines(g):
+        return 1
+    return 0
+
+
+def _has_lines(g: Geom) -> bool:
+    if g.gtype == wkb.LINESTRING:
+        return True
+    return any(_has_lines(p) for p in g.parts)
+
+
+def _area_eps(a: Geom, b: Geom) -> float:
+    ea, eb = a.envelope(), b.envelope()
+    s = max(1.0, *(abs(v) for e in (ea, eb) if e for v in e))
+    return 1e-12 * s * s
+
+
+def _points_strictly_inside(pts: np.ndarray, g: Geom) -> np.ndarray:
+    """In the polygon interior: ray-cast inside AND not on the boundary."""
+    if not len(pts):
+        return np.zeros(0, dtype=bool)
+    inside = points_in_geom(pts[:, 0], pts[:, 1], g)
+    onb = _points_on_lines_mask(pts, _all_line_rings(g))
+    return inside & ~onb
+
+
+def _points_on_lines_mask(pts: np.ndarray, rings: List[np.ndarray]) -> np.ndarray:
+    a, b = _segments(rings)
+    if not len(a) or not len(pts):
+        return np.zeros(len(pts), dtype=bool)
+    P = pts[:, None, :]
+    A = a[None, :, :]
+    B = b[None, :, :]
+    cross = ((B[..., 0] - A[..., 0]) * (P[..., 1] - A[..., 1]) -
+             (B[..., 1] - A[..., 1]) * (P[..., 0] - A[..., 0]))
+    on = (cross == 0) & \
+        (np.minimum(A[..., 0], B[..., 0]) <= P[..., 0]) & \
+        (P[..., 0] <= np.maximum(A[..., 0], B[..., 0])) & \
+        (np.minimum(A[..., 1], B[..., 1]) <= P[..., 1]) & \
+        (P[..., 1] <= np.maximum(A[..., 1], B[..., 1]))
+    return on.any(axis=1)
+
+
+def _proper_crossing_any(p1, p2, q1, q2) -> bool:
+    """Strict interior x interior segment crossing (no endpoint contact)."""
+    if len(p1) == 0 or len(q1) == 0:
+        return False
+    P1 = p1[:, None, :]
+    P2 = p2[:, None, :]
+    Q1 = q1[None, :, :]
+    Q2 = q2[None, :, :]
+
+    def orient(a, b, c):
+        return ((b[..., 0] - a[..., 0]) * (c[..., 1] - a[..., 1]) -
+                (b[..., 1] - a[..., 1]) * (c[..., 0] - a[..., 0]))
+
+    d1 = orient(Q1, Q2, P1)
+    d2 = orient(Q1, Q2, P2)
+    d3 = orient(P1, P2, Q1)
+    d4 = orient(P1, P2, Q2)
+    return bool((((d1 * d2) < 0) & ((d3 * d4) < 0)).any())
+
+
+def _line_endpoints(g: Geom) -> np.ndarray:
+    """Boundary points of lineal geometry = endpoints of each linestring."""
+    out = []
+    if g.gtype == wkb.LINESTRING:
+        for r in g.rings:
+            if len(r) >= 2 and not np.array_equal(r[0], r[-1]):
+                out.append(r[:1])
+                out.append(r[-1:])
+    for p in g.parts:
+        e = _line_endpoints(p)
+        if len(e):
+            out.append(e)
+    return np.concatenate(out) if out else np.empty((0, 2))
+
+
+def _collinear_overlap_length(a1, a2, b1, b2) -> float:
+    """Total length of collinear overlap between two segment sets."""
+    if len(a1) == 0 or len(b1) == 0:
+        return 0.0
+    A1 = a1[:, None, :]
+    A2 = a2[:, None, :]
+    B1 = b1[None, :, :]
+    B2 = b2[None, :, :]
+    dA = A2 - A1
+    cross_dir = dA[..., 0] * (B2 - B1)[..., 1] - dA[..., 1] * (B2 - B1)[..., 0]
+    cross_b1 = dA[..., 0] * (B1 - A1)[..., 1] - dA[..., 1] * (B1 - A1)[..., 0]
+    denom = (dA ** 2).sum(axis=2)
+    collinear = (np.abs(cross_dir) <= 1e-12 * (denom + 1)) & \
+                (np.abs(cross_b1) <= 1e-12 * (denom + 1)) & (denom > 0)
+    if not collinear.any():
+        return 0.0
+    tB1 = ((B1 - A1) * dA).sum(axis=2) / np.where(denom == 0, 1, denom)
+    tB2 = ((B2 - A1) * dA).sum(axis=2) / np.where(denom == 0, 1, denom)
+    lo = np.clip(np.minimum(tB1, tB2), 0.0, 1.0)
+    hi = np.clip(np.maximum(tB1, tB2), 0.0, 1.0)
+    seg_len = np.sqrt(denom)
+    return float(((hi - lo) * seg_len * collinear).sum())
+
+
+def geom_equals(a: Geom, b: Geom) -> bool:
+    """Spatial equality (same point set — OGRGeometry::Equals semantics,
+    ogrgeometry.cpp:1251: geometric, not structural)."""
+    da, db = geom_dim(a), geom_dim(b)
+    if da != db:
+        return False
+    if da == 2:
+        from .polyclip import boolean_area
+        return boolean_area(a, b, "symdifference") <= _area_eps(a, b)
+    if da == 1:
+        av, bv = _all_vertices(a), _all_vertices(b)
+        if not len(av) or not len(bv):
+            return False
+        amask = _points_on_lines_mask(av, _all_line_rings(b))
+        bmask = _points_on_lines_mask(bv, _all_line_rings(a))
+        if not (amask.all() and bmask.all()):
+            return False
+        return abs(geom_length(a) - geom_length(b)) <= 1e-9 * max(
+            1.0, geom_length(a))
+    ap = a.points()
+    bp = b.points()
+    sa = {(float(x), float(y)) for x, y in ap}
+    sb = {(float(x), float(y)) for x, y in bp}
+    return sa == sb
+
+
+def geom_touches(a: Geom, b: Geom) -> bool:
+    """Boundaries meet, interiors don't (ogrgeometry.cpp:5661)."""
+    if not geom_intersects(a, b):
+        return False
+    da, db = geom_dim(a), geom_dim(b)
+    if da > db:             # symmetric predicate — normalize to da <= db
+        a, b, da, db = b, a, db, da
+    if da == 2:             # poly x poly: zero shared interior area
+        from .polyclip import boolean_area
+        return boolean_area(a, b, "intersection") <= _area_eps(a, b)
+    if da == 0:
+        pts = a.points()
+        if db == 2:         # point on boundary, none strictly inside
+            return not _points_strictly_inside(pts, b).any()
+        if db == 1:         # point must sit on line ENDPOINTS only
+            ends = _line_endpoints(b)
+            if not len(ends):
+                return False
+            on_end = (np.abs(pts[:, None, :] - ends[None, :, :])
+                      .sum(axis=2) == 0).any(axis=1)
+            on_line = _points_on_lines_mask(pts, _all_line_rings(b))
+            return bool(on_end.any()) and not (on_line & ~on_end).any()
+        return False        # point x point never touches
+    if da == 1 and db == 2:  # line x poly: contact without entering interior
+        a1, a2 = _segments(_all_line_rings(a))
+        b1, b2 = _segments(_all_line_rings(b))
+        if _proper_crossing_any(a1, a2, b1, b2):
+            return False
+        av = _all_vertices(a)
+        return not _points_strictly_inside(av, b).any()
+    # line x line: contact restricted to endpoints, no overlap, no crossing
+    a1, a2 = _segments(_all_line_rings(a))
+    b1, b2 = _segments(_all_line_rings(b))
+    if _proper_crossing_any(a1, a2, b1, b2):
+        return False
+    if _collinear_overlap_length(a1, a2, b1, b2) > 0:
+        return False
+    ea, eb = _line_endpoints(a), _line_endpoints(b)
+    # every contact must involve a boundary (endpoint) of one of the lines:
+    # vertices of a on b's interior (non-endpoint) -> interiors meet
+    av, bv = _all_vertices(a), _all_vertices(b)
+    a_on_b = _points_on_lines_mask(av, _all_line_rings(b))
+    a_is_end = np.zeros(len(av), dtype=bool) if not len(ea) else \
+        (np.abs(av[:, None, :] - ea[None, :, :]).sum(axis=2) == 0).any(axis=1)
+    b_on_a = _points_on_lines_mask(bv, _all_line_rings(a))
+    b_is_end = np.zeros(len(bv), dtype=bool) if not len(eb) else \
+        (np.abs(bv[:, None, :] - eb[None, :, :]).sum(axis=2) == 0).any(axis=1)
+    b_on_a_end = np.zeros(len(bv), dtype=bool) if not len(ea) else \
+        (np.abs(bv[:, None, :] - ea[None, :, :]).sum(axis=2) == 0).any(axis=1)
+    if (a_on_b & ~a_is_end).any():
+        return False
+    if (b_on_a & ~b_is_end & ~b_on_a_end).any():
+        return False
+    return True
+
+
+def geom_crosses(a: Geom, b: Geom) -> bool:
+    """Interiors intersect with lower-dimensional intersection
+    (ogrgeometry.cpp:5734): line/line meeting at points, line/poly passing
+    through, multipoint straddling a poly or line."""
+    if not geom_intersects(a, b):
+        return False
+    da, db = geom_dim(a), geom_dim(b)
+    if da > db:
+        a, b, da, db = b, a, db, da
+    if da == 2:                       # poly x poly never crosses
+        return False
+    if da == 0:
+        pts = a.points()
+        if db == 2:
+            inside = _points_strictly_inside(pts, b)
+            return bool(inside.any()) and not inside.all()
+        if db == 1:
+            on = _points_on_lines_mask(pts, _all_line_rings(b))
+            return bool(on.any()) and not on.all()
+        return False
+    if db == 2:                       # line x poly
+        av = _all_vertices(a)
+        a1, a2 = _segments(_all_line_rings(a))
+        b1, b2 = _segments(_all_line_rings(b))
+        interior_hit = _points_strictly_inside(av, b).any() or \
+            _proper_crossing_any(a1, a2, b1, b2)
+        outside = ~points_in_geom(av[:, 0], av[:, 1], b) & \
+            ~_points_on_lines_mask(av, _all_line_rings(b))
+        return bool(interior_hit) and bool(outside.any())
+    # line x line: 0-dimensional interior intersection
+    a1, a2 = _segments(_all_line_rings(a))
+    b1, b2 = _segments(_all_line_rings(b))
+    if _collinear_overlap_length(a1, a2, b1, b2) > 0:
+        return False
+    if _proper_crossing_any(a1, a2, b1, b2):
+        return True
+    return not geom_touches(a, b)     # point contact beyond endpoints
+
+
+def geom_overlaps(a: Geom, b: Geom) -> bool:
+    """Same dimension, interiors intersect, neither contains the other,
+    intersection keeps the dimension (ogrgeometry.cpp:5989)."""
+    da, db = geom_dim(a), geom_dim(b)
+    if da != db or not geom_intersects(a, b):
+        return False
+    if da == 2:
+        from .polyclip import boolean_area
+        eps = _area_eps(a, b)
+        inter = boolean_area(a, b, "intersection")
+        return inter > eps and \
+            geom_area(a) - inter > eps and geom_area(b) - inter > eps
+    if da == 1:
+        a1, a2 = _segments(_all_line_rings(a))
+        b1, b2 = _segments(_all_line_rings(b))
+        shared = _collinear_overlap_length(a1, a2, b1, b2)
+        tol = 1e-9 * max(1.0, geom_length(a), geom_length(b))
+        return shared > tol and \
+            geom_length(a) - shared > tol and geom_length(b) - shared > tol
+    sa = {(float(x), float(y)) for x, y in a.points()}
+    sb = {(float(x), float(y)) for x, y in b.points()}
+    return bool(sa & sb) and bool(sa - sb) and bool(sb - sa)

@@ -1,0 +1,365 @@
+"""General polygon boolean ops (intersection/union/difference/symdifference)
+in pure numpy — concave polygons, holes and multipolygons all supported.
+
+This supplies the geometry-combine kernel behind OGR's overlay layer modes
+(/root/reference/ogr/ogrsf_frmts/generic/ogrlayer.cpp — Intersection :2633,
+Union :3051, SymDifference :3588, inner per-feature op :2813 delegating to
+GEOS) and the SQL functions ST_Intersection / ST_Union / ST_Difference /
+ST_SymDifference (/root/reference/ogr/ogrsf_frmts/sqlite/
+ogrsqlitesqlfunctions.cpp:930-935). It is NOT a GEOS port: the algorithm is
+the classical *vertical (trapezoidal) decomposition*:
+
+  1. events = sorted x of every vertex of A and B plus every A-edge x B-edge
+     crossing (computed as one vectorized numpy grid);
+  2. inside each slab between consecutive events no two edges cross, so the
+     edges spanning the slab are totally ordered in y — sort once, take the
+     even-odd parity prefix per input, select the gaps the boolean op keeps;
+  3. maximal runs of kept gaps are trapezoids; their summed area is exact,
+     and their boundary (top/bottom pieces + the symmetric difference of the
+     vertical cross-sections of adjacent slabs) stitches back into rings.
+
+Everything inside a slab is whole-array numpy; the Python loop is over slabs
+(O(V + crossings) of them), which for the small per-pair geometries of an
+overlay join is the right trade — the *distributed* axis is pairs, handled
+by the Spark operators that call this kernel inside Arrow batches.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from . import wkb
+from .wkb import Geom
+
+OPS = ("intersection", "union", "difference", "symdifference")
+
+
+# ---------------------------------------------------------------------------
+# edge extraction & pairwise crossings
+# ---------------------------------------------------------------------------
+
+def _edges_of(g: Optional[Geom]) -> np.ndarray:
+    """(n,4) [x0,y0,x1,y1] over all polygon rings (holes included — the
+    even-odd parity rule makes holes work with no special casing)."""
+    if g is None:
+        return np.empty((0, 4))
+    segs = []
+    for rings in g.polygons():
+        for r in rings:
+            r = np.asarray(r, dtype=np.float64)
+            if len(r) >= 2:
+                if not np.array_equal(r[0], r[-1]):
+                    r = np.vstack([r, r[:1]])
+                segs.append(np.hstack([r[:-1], r[1:]]))
+    return np.concatenate(segs) if segs else np.empty((0, 4))
+
+
+def _crossing_xs(ea: np.ndarray, eb: np.ndarray) -> np.ndarray:
+    """x coords of all proper/touching intersections between edge sets —
+    one vectorized |ea| x |eb| grid, no Python loop."""
+    if len(ea) == 0 or len(eb) == 0:
+        return np.empty(0)
+    A0 = ea[:, None, 0:2]
+    dA = (ea[:, 2:4] - ea[:, 0:2])[:, None, :]
+    B0 = eb[None, :, 0:2]
+    dB = (eb[:, 2:4] - eb[:, 0:2])[None, :, :]
+    denom = dA[..., 0] * dB[..., 1] - dA[..., 1] * dB[..., 0]
+    diff = B0 - A0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = (diff[..., 0] * dB[..., 1] - diff[..., 1] * dB[..., 0]) / denom
+        u = (diff[..., 0] * dA[..., 1] - diff[..., 1] * dA[..., 0]) / denom
+    ok = (np.isfinite(t) & np.isfinite(u)
+          & (t >= 0.0) & (t <= 1.0) & (u >= 0.0) & (u <= 1.0))
+    if not ok.any():
+        return np.empty(0)
+    with np.errstate(invalid="ignore"):
+        xs = A0[..., 0] + t * dA[..., 0]
+    return xs[ok]
+
+
+# ---------------------------------------------------------------------------
+# slab decomposition
+# ---------------------------------------------------------------------------
+
+def _op_select(in_a: np.ndarray, in_b: np.ndarray, op: str) -> np.ndarray:
+    if op == "intersection":
+        return in_a & in_b
+    if op == "union":
+        return in_a | in_b
+    if op == "difference":
+        return in_a & ~in_b
+    return in_a ^ in_b      # symdifference
+
+
+def _trapezoids(ea: np.ndarray, eb: np.ndarray, op: str):
+    """Yield (xl, xr, ylb, yrb, ylt, yrt) trapezoids of the boolean result.
+
+    y*(x) values are interpolated from the ORIGINAL edge endpoints, so the
+    same edge evaluated at the same event x from two adjacent slabs gives
+    bit-identical floats — what makes boundary stitching exact.
+    """
+    all_e = np.concatenate([ea, eb]) if len(ea) or len(eb) else np.empty((0, 4))
+    if not len(all_e):
+        return []
+    xs = np.concatenate([all_e[:, 0], all_e[:, 2], _crossing_xs(ea, eb)])
+    xs = np.unique(xs)
+    # merge events closer than eps (float noise from crossing computation)
+    scale = max(1.0, float(np.abs(all_e[:, (0, 2)]).max()))
+    eps = 1e-12 * scale
+    keep = np.r_[True, np.diff(xs) > eps]
+    xs = xs[keep]
+    if len(xs) < 2:
+        return []
+
+    tag = np.r_[np.zeros(len(ea), dtype=bool), np.ones(len(eb), dtype=bool)]
+    x0, y0, x1, y1 = all_e.T
+    exmin = np.minimum(x0, x1)
+    exmax = np.maximum(x0, x1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        slope = (y1 - y0) / (x1 - x0)
+
+    traps = []
+    for i in range(len(xs) - 1):
+        xl, xr = xs[i], xs[i + 1]
+        xm = 0.5 * (xl + xr)
+        sel = (exmin < xm) & (exmax > xm)
+        if not sel.any():
+            continue
+        idx = np.flatnonzero(sel)
+        ym = y0[idx] + (xm - x0[idx]) * slope[idx]
+        order = idx[np.argsort(ym, kind="stable")]
+        t = tag[order]
+        in_a = (np.cumsum(~t) % 2).astype(bool)
+        in_b = (np.cumsum(t) % 2).astype(bool)
+        keep_gap = _op_select(in_a[:-1], in_b[:-1], op)
+        if not keep_gap.any():
+            continue
+        yl = y0[order] + (xl - x0[order]) * slope[order]
+        yr = y0[order] + (xr - x0[order]) * slope[order]
+        # maximal runs of kept gaps -> one trapezoid per run
+        padded = np.r_[False, keep_gap, False]
+        starts = np.flatnonzero(~padded[:-1] & padded[1:])
+        ends = np.flatnonzero(padded[:-1] & ~padded[1:])
+        for s, e in zip(starts, ends):
+            bot, top = s, e            # gap run [s, e) -> edges s and e
+            if yl[top] - yl[bot] <= 0 and yr[top] - yr[bot] <= 0:
+                continue               # degenerate (zero-height) piece
+            traps.append((float(xl), float(xr),
+                          float(yl[bot]), float(yr[bot]),
+                          float(yl[top]), float(yr[top])))
+    return traps
+
+
+def boolean_area(a: Optional[Geom], b: Optional[Geom], op: str) -> float:
+    """Exact area of the boolean result — no ring stitching, just the
+    trapezoid sum. The fast path for area-only aggregations."""
+    if op not in OPS:
+        raise ValueError(f"op must be one of {OPS}")
+    traps = _trapezoids(_edges_of(a), _edges_of(b), op)
+    total = 0.0
+    for xl, xr, ylb, yrb, ylt, yrt in traps:
+        total += 0.5 * (xr - xl) * ((ylt - ylb) + (yrt - yrb))
+    return total
+
+
+# ---------------------------------------------------------------------------
+# boundary stitching: trapezoids -> rings -> Geom
+# ---------------------------------------------------------------------------
+
+def _interval_sym_diff(left: List[Tuple[float, float]],
+                       right: List[Tuple[float, float]], eps: float):
+    """Vertical boundary pieces at one event x: regions covered by only one
+    side. Returns [(ya, yb, from_right)] with ya < yb; from_right=True means
+    only the right slab covers it (boundary directed downward)."""
+    ev = []
+    for ya, yb in left:
+        ev.append((ya, 0, 1))
+        ev.append((yb, 0, -1))
+    for ya, yb in right:
+        ev.append((ya, 1, 1))
+        ev.append((yb, 1, -1))
+    ev.sort()
+    out = []
+    cl = cr = 0
+    prev_y = None
+    for y, side, d in ev:
+        if prev_y is not None and y - prev_y > eps:
+            if (cl > 0) != (cr > 0):
+                out.append((prev_y, y, cr > 0))
+        if side == 0:
+            cl += d
+        else:
+            cr += d
+        prev_y = y
+    return out
+
+
+def _stitch(traps, eps: float) -> List[np.ndarray]:
+    """Boundary segments of the trapezoid union -> closed rings.
+    Convention: interior on the LEFT of every directed segment, so exterior
+    rings come out CCW and holes CW."""
+    if not traps:
+        return []
+    segs = []  # (x0, y0, x1, y1)
+    by_xl: dict = {}
+    by_xr: dict = {}
+    for tr in traps:
+        xl, xr, ylb, yrb, ylt, yrt = tr
+        segs.append((xl, ylb, xr, yrb))        # bottom: interior above
+        segs.append((xr, yrt, xl, ylt))        # top: interior below
+        by_xl.setdefault(xl, []).append(tr)
+        by_xr.setdefault(xr, []).append(tr)
+    for x in sorted(set(by_xl) | set(by_xr)):
+        left = [(t[3], t[5]) for t in by_xr.get(x, ())]    # (yrb, yrt) at x
+        right = [(t[2], t[4]) for t in by_xl.get(x, ())]   # (ylb, ylt) at x
+        for ya, yb, from_right in _interval_sym_diff(left, right, eps):
+            if from_right:
+                segs.append((x, yb, x, ya))    # downward, interior at +x
+            else:
+                segs.append((x, ya, x, yb))    # upward, interior at -x
+
+    def key(x, y):
+        return (round(x / eps), round(y / eps))
+
+    outgoing: dict = {}
+    for i, (sx, sy, tx, ty) in enumerate(segs):
+        if abs(sx - tx) <= eps / 2 and abs(sy - ty) <= eps / 2:
+            continue
+        outgoing.setdefault(key(sx, sy), []).append(i)
+
+    used = [False] * len(segs)
+    rings = []
+    for i0 in range(len(segs)):
+        if used[i0] or key(segs[i0][0], segs[i0][1]) not in outgoing:
+            continue
+        if i0 not in outgoing.get(key(segs[i0][0], segs[i0][1]), []):
+            continue
+        ring = [segs[i0][0:2]]
+        cur = i0
+        start_k = key(segs[i0][0], segs[i0][1])
+        guard = 0
+        closed = False
+        while guard < len(segs) + 4:
+            guard += 1
+            used[cur] = True
+            outgoing[key(segs[cur][0], segs[cur][1])].remove(cur)
+            end = segs[cur][2:4]
+            ring.append(end)
+            k = key(*end)
+            if k == start_k:
+                closed = True
+                break
+            cands = [j for j in outgoing.get(k, []) if not used[j]]
+            if not cands:
+                break
+            if len(cands) == 1:
+                cur = cands[0]
+            else:
+                # several outgoing boundary edges at this vertex: keep the
+                # interior on the left by taking the most-counterclockwise
+                # continuation relative to the incoming direction
+                din = np.array([segs[cur][2] - segs[cur][0],
+                                segs[cur][3] - segs[cur][1]])
+                ain = np.arctan2(din[1], din[0])
+
+                def turn(j):
+                    d = np.array([segs[j][2] - segs[j][0],
+                                  segs[j][3] - segs[j][1]])
+                    return (np.arctan2(d[1], d[0]) - ain - np.pi) % (2 * np.pi)
+
+                cur = max(cands, key=turn)
+        if closed and len(ring) >= 4:
+            rings.append(np.array(ring, dtype=np.float64))
+    return rings
+
+
+def _dedup_collinear(ring: np.ndarray, eps: float) -> np.ndarray:
+    """Drop duplicate and collinear interior vertices (slab boundaries put
+    many collinear points on straight edges)."""
+    pts = ring[:-1]
+    # remove consecutive duplicates
+    keep = np.ones(len(pts), dtype=bool)
+    for _ in range(2):
+        d = np.abs(pts - np.roll(pts, 1, axis=0)).sum(axis=1)
+        keep = d > eps
+        pts = pts[keep]
+        if len(pts) < 3:
+            return np.empty((0, 2))
+    prev = np.roll(pts, 1, axis=0)
+    nxt = np.roll(pts, -1, axis=0)
+    cross = ((pts[:, 0] - prev[:, 0]) * (nxt[:, 1] - prev[:, 1])
+             - (pts[:, 1] - prev[:, 1]) * (nxt[:, 0] - prev[:, 0]))
+    span = (np.abs(nxt - prev).sum(axis=1) + 1.0)
+    pts = pts[np.abs(cross) > eps * span]
+    if len(pts) < 3:
+        return np.empty((0, 2))
+    return np.vstack([pts, pts[:1]])
+
+
+def _ring_area(r: np.ndarray) -> float:
+    x = r[:, 0]
+    y = r[:, 1]
+    return 0.5 * float(np.dot(x[:-1], y[1:]) - np.dot(x[1:], y[:-1]))
+
+
+def _point_in_ring(px: float, py: float, ring: np.ndarray) -> bool:
+    x0 = ring[:-1, 0]
+    y0 = ring[:-1, 1]
+    x1 = ring[1:, 0]
+    y1 = ring[1:, 1]
+    cond = (y0 > py) != (y1 > py)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = x0 + (py - y0) * (x1 - x0) / (y1 - y0)
+    return bool((cond & (px < xint)).sum() % 2)
+
+
+def geom_boolean(a: Optional[Geom], b: Optional[Geom],
+                 op: str) -> Optional[Geom]:
+    """Full boolean op returning a (multi)polygon Geom, or None when empty.
+    Handles concave rings, holes and multipolygons on BOTH sides — the
+    general clipper OGR gets from GEOS (ogrgeometry.cpp:4893 Intersection,
+    :5012 Union, :5331 Difference, :5451 SymDifference)."""
+    if op not in OPS:
+        raise ValueError(f"op must be one of {OPS}")
+    ea, eb = _edges_of(a), _edges_of(b)
+    # trivial cases
+    if len(ea) == 0:
+        if op in ("intersection", "difference"):
+            return None
+        return b if len(eb) else None
+    if len(eb) == 0:
+        return None if op == "intersection" else a
+
+    traps = _trapezoids(ea, eb, op)
+    if not traps:
+        return None
+    scale = max(1.0, float(np.abs(np.concatenate([ea, eb])).max()))
+    eps = 1e-9 * scale
+    rings = [_dedup_collinear(r, eps) for r in _stitch(traps, eps)]
+    rings = [r for r in rings if len(r)]
+    if not rings:
+        return None
+
+    shells = [(abs(_ring_area(r)), r) for r in rings if _ring_area(r) > 0]
+    holes = [r for r in rings if _ring_area(r) < 0]
+    shells.sort(key=lambda t: t[0])
+    polys: List[List[np.ndarray]] = [[r] for _, r in shells]
+    for h in holes:
+        # representative point: average of first two distinct vertices nudged
+        # inward is overkill — the first vertex works because stitched holes
+        # never share boundary with their shell except at isolated points
+        px, py = float(h[0, 0]), float(h[0, 1])
+        placed = False
+        for k in range(len(polys)):        # smallest containing shell wins
+            if _point_in_ring(px, py, polys[k][0]):
+                polys[k].append(h)
+                placed = True
+                break
+        if not placed and polys:
+            polys[0].append(h)
+    if len(polys) == 1:
+        return Geom(wkb.POLYGON, polys[0])
+    return Geom(wkb.MULTIPOLYGON,
+                parts=[Geom(wkb.POLYGON, rs) for rs in polys])

@@ -2,8 +2,9 @@
 
 Mirrors the SQL function names the reference's SQLITE dialect registers
 (/root/reference/ogr/ogrsf_frmts/sqlite/ogrsqlitesqlfunctions.cpp:723-1238:
-ST_Area, ST_Length, ST_AsText, ST_GeomFromText, ST_Intersects, ST_Contains,
-ST_Within, ST_Distance, ST_Buffer, ...) and the OGRGeometry method surface
+ST_Area, ST_Length, ST_AsText, ST_GeomFromText, the full 8-predicate set
+:875-884, the geometry-combine quartet ST_Intersection/ST_Union/
+ST_Difference/ST_SymDifference :930-935) and the OGRGeometry method surface
 (/root/reference/ogr/ogrgeometry.cpp — Area/Length via OGR_G_Area, Centroid
 :6106, Simplify :6360, ConvexHull :4186, Buffer :4526, Distance :3562).
 
@@ -20,7 +21,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import BinaryType, BooleanType, DoubleType, StringType
 
-from ..core import geomops, wkb
+from ..core import geomops, polyclip, wkb
 
 
 def _decode_series(s: pd.Series):
@@ -119,6 +120,70 @@ def st_disjoint(a: pd.Series, b: pd.Series) -> pd.Series:
                       for x, y in zip(ga, gb)], dtype="object")
 
 
+@pandas_udf(BooleanType())
+def st_equals(a: pd.Series, b: pd.Series) -> pd.Series:
+    ga, gb = _decode_series(a), _decode_series(b)
+    return pd.Series([bool(geomops.geom_equals(x, y))
+                      if x is not None and y is not None else None
+                      for x, y in zip(ga, gb)], dtype="object")
+
+
+@pandas_udf(BooleanType())
+def st_touches(a: pd.Series, b: pd.Series) -> pd.Series:
+    ga, gb = _decode_series(a), _decode_series(b)
+    return pd.Series([bool(geomops.geom_touches(x, y))
+                      if x is not None and y is not None else None
+                      for x, y in zip(ga, gb)], dtype="object")
+
+
+@pandas_udf(BooleanType())
+def st_crosses(a: pd.Series, b: pd.Series) -> pd.Series:
+    ga, gb = _decode_series(a), _decode_series(b)
+    return pd.Series([bool(geomops.geom_crosses(x, y))
+                      if x is not None and y is not None else None
+                      for x, y in zip(ga, gb)], dtype="object")
+
+
+@pandas_udf(BooleanType())
+def st_overlaps(a: pd.Series, b: pd.Series) -> pd.Series:
+    ga, gb = _decode_series(a), _decode_series(b)
+    return pd.Series([bool(geomops.geom_overlaps(x, y))
+                      if x is not None and y is not None else None
+                      for x, y in zip(ga, gb)], dtype="object")
+
+
+def _boolean_series(a: pd.Series, b: pd.Series, op: str) -> pd.Series:
+    ga, gb = _decode_series(a), _decode_series(b)
+    out = []
+    for x, y in zip(ga, gb):
+        if x is None and y is None:
+            out.append(None)
+            continue
+        g = polyclip.geom_boolean(x, y, op)
+        out.append(wkb.encode(g) if g is not None else None)
+    return pd.Series(out, dtype="object")
+
+
+@pandas_udf(BinaryType())
+def st_intersection(a: pd.Series, b: pd.Series) -> pd.Series:
+    return _boolean_series(a, b, "intersection")
+
+
+@pandas_udf(BinaryType())
+def st_union(a: pd.Series, b: pd.Series) -> pd.Series:
+    return _boolean_series(a, b, "union")
+
+
+@pandas_udf(BinaryType())
+def st_difference(a: pd.Series, b: pd.Series) -> pd.Series:
+    return _boolean_series(a, b, "difference")
+
+
+@pandas_udf(BinaryType())
+def st_symdifference(a: pd.Series, b: pd.Series) -> pd.Series:
+    return _boolean_series(a, b, "symdifference")
+
+
 @pandas_udf(DoubleType())
 def st_distance(a: pd.Series, b: pd.Series) -> pd.Series:
     ga, gb = _decode_series(a), _decode_series(b)
@@ -177,6 +242,10 @@ _REGISTRY = {
     "ST_GeometryType": st_geometrytype,
     "ST_Intersects": st_intersects, "ST_Contains": st_contains,
     "ST_Within": st_within, "ST_Disjoint": st_disjoint,
+    "ST_Equals": st_equals, "ST_Touches": st_touches,
+    "ST_Crosses": st_crosses, "ST_Overlaps": st_overlaps,
+    "ST_Intersection": st_intersection, "ST_Union": st_union,
+    "ST_Difference": st_difference, "ST_SymDifference": st_symdifference,
     "ST_Distance": st_distance, "ST_ConvexHull": st_convexhull,
 }
 

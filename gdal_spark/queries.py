@@ -1213,3 +1213,179 @@ def q_ann_lsh_hist(spark, sf_dir):
 @_reg("ann_lsh_topk")
 def q_ann_lsh_topk(spark, sf_dir):
     return simsearch.lsh_topk(_t(spark, sf_dir, "embeddings"))
+
+
+# =============================================================================
+# round 2: full overlay family + full predicate surface
+# =============================================================================
+
+@_reg("overlay_union_area", f"""
+WITH ov AS (
+  SELECT g.region_id, m.mid,
+         (least(gx1, mx1) - greatest(gx0, mx0))
+         * (least(gy1, my1) - greatest(gy0, my0)) AS a
+  FROM {_GRID_RECTS_SQL}, {_OVERLAY_RECTS_SQL}
+  WHERE least(gx1, mx1) > greatest(gx0, mx0)
+    AND least(gy1, my1) > greatest(gy0, my0))
+SELECT region_id, CAST(mid AS BIGINT) AS mid, ROUND(a, 6) AS area_r
+FROM ov WHERE ROUND(a, 6) > 0
+UNION ALL
+SELECT g.region_id, CAST(NULL AS BIGINT) AS mid,
+       ROUND(50.0 - COALESCE(
+         (SELECT sum(a) FROM ov WHERE ov.region_id = g.region_id), 0), 6)
+       AS area_r
+FROM {_GRID_RECTS_SQL}
+WHERE ROUND(50.0 - COALESCE(
+  (SELECT sum(a) FROM ov WHERE ov.region_id = g.region_id), 0), 6) > 0
+""")
+def q_overlay_union_area(spark, sf_dir):
+    """Layer x layer Union (OGRLayer::Union, ogrlayer.cpp:3051): pair pieces
+    + subject leftovers + method leftovers. The method rects lie entirely
+    inside the grid's coverage, so the reverse side (method \\ subjects,
+    computed by the shuffle-by-mid difference fold) must come back EMPTY —
+    which the row count pins. Areas come from the general slab-decomposition
+    boolean kernel (core.polyclip); the oracle is the analytic rect algebra."""
+    from .operators.overlay import overlay
+    subject, method = _overlay_inputs(spark)
+    out = overlay(subject, method, "union")
+    return out.select("region_id", "mid",
+                      F.round(st.st_area("geom"), 6).alias("area_r")) \
+        .where(F.col("area_r") > 0)
+
+
+_SYMDIFF_RECTS = [(900 + i, 155.0, -80.0 + 20.0 * i, 195.0, -70.0 + 20.0 * i)
+                  for i in range(4)]     # right edge beyond the grid (x>180)
+
+_SYMDIFF_RECTS_SQL = ("(VALUES " + ", ".join(
+    f"({m}, {x0!r}, {y0!r}, {x1!r}, {y1!r})"
+    for m, x0, y0, x1, y1 in _SYMDIFF_RECTS)
+    + ") AS m(mid, mx0, my0, mx1, my1)")
+
+
+@_reg("overlay_symdiff_area", f"""
+WITH ov AS (
+  SELECT g.region_id, m.mid,
+         (least(gx1, mx1) - greatest(gx0, mx0))
+         * (least(gy1, my1) - greatest(gy0, my0)) AS a
+  FROM {_GRID_RECTS_SQL}, {_SYMDIFF_RECTS_SQL}
+  WHERE least(gx1, mx1) > greatest(gx0, mx0)
+    AND least(gy1, my1) > greatest(gy0, my0))
+SELECT g.region_id, CAST(NULL AS BIGINT) AS mid,
+       ROUND(50.0 - COALESCE(
+         (SELECT sum(a) FROM ov WHERE ov.region_id = g.region_id), 0), 6)
+       AS area_r
+FROM {_GRID_RECTS_SQL}
+WHERE ROUND(50.0 - COALESCE(
+  (SELECT sum(a) FROM ov WHERE ov.region_id = g.region_id), 0), 6) > 0
+UNION ALL
+SELECT CAST(NULL AS BIGINT) AS region_id, CAST(m.mid AS BIGINT) AS mid,
+       ROUND((mx1 - mx0) * (my1 - my0) - COALESCE(
+         (SELECT sum(a) FROM ov WHERE ov.mid = m.mid), 0), 6) AS area_r
+FROM {_SYMDIFF_RECTS_SQL}
+WHERE ROUND((mx1 - mx0) * (my1 - my0) - COALESCE(
+  (SELECT sum(a) FROM ov WHERE ov.mid = m.mid), 0), 6) > 0
+""")
+def q_overlay_symdiff_area(spark, sf_dir):
+    """Layer x layer SymDifference (OGRLayer::SymDifference,
+    ogrlayer.cpp:3588): subject \\ methods + method \\ subjects. The method
+    rects extend past the grid's east edge (x in [155,195], grid ends at
+    180), so each leaves a 15x10 leftover strip — the reverse difference
+    fold must reproduce exactly 150 deg^2 per method."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    from .core import wkb as _wkb
+    from .operators.overlay import overlay
+    subject = datagen.regions(spark).where(F.col("kind") == "grid") \
+        .select("region_id", "geom")
+    mrows = [(m, _wkb.box(x0, y0, x1, y1))
+             for m, x0, y0, x1, y1 in _SYMDIFF_RECTS]
+    method = spark.createDataFrame(
+        pd.DataFrame(mrows, columns=["mid", "geom"]),
+        schema=T.StructType([T.StructField("mid", T.LongType()),
+                             T.StructField("geom", T.BinaryType())]))
+    out = overlay(subject, method, "symdifference")
+    return out.select("region_id", "mid",
+                      F.round(st.st_area("geom"), 6).alias("area_r")) \
+        .where(F.col("area_r") > 0)
+
+
+_PRED_WKT = {
+    "SQ": "POLYGON ((0 0,10 0,10 10,0 10,0 0))",
+    "SQ_OVER": "POLYGON ((5 5,15 5,15 15,5 15,5 5))",
+    "SQ_EDGE": "POLYGON ((10 0,20 0,20 10,10 10,10 0))",
+    "SQ_CORNER": "POLYGON ((10 10,20 10,20 20,10 20,10 10))",
+    "SQ_IN": "POLYGON ((2 2,8 2,8 8,2 8,2 2))",
+    "SQ_FAR": "POLYGON ((50 50,60 50,60 60,50 60,50 50))",
+    "L_CROSS": "LINESTRING (-5 5,15 5)",
+    "L_EDGE": "LINESTRING (10 2,10 8)",
+    "L_OUT": "LINESTRING (20 20,30 30)",
+    "L_A": "LINESTRING (0 0,10 10)",
+    "L_B": "LINESTRING (0 10,10 0)",
+    "L_SHARE_END": "LINESTRING (10 10,20 0)",
+    "L_COLL": "LINESTRING (5 5,15 15)",
+    "L_TJUNC": "LINESTRING (5 5,5 -5)",
+    "P_IN": "POINT (5 5)",
+    "P_ON": "POINT (10 5)",
+    "P_OUT": "POINT (30 30)",
+    "MP_STRADDLE": "MULTIPOINT ((5 5),(30 30))",
+}
+
+# (pair_id, a, b, intersects, disjoint, touches, crosses, overlaps, equals,
+#  contains, within) — DE-9IM truth, pinned by tests/test_predicates.py
+_PRED_CASES = [
+    (1, "SQ", "SQ_OVER", 1, 0, 0, 0, 1, 0, 0, 0),
+    (2, "SQ", "SQ_EDGE", 1, 0, 1, 0, 0, 0, 0, 0),
+    (3, "SQ", "SQ_CORNER", 1, 0, 1, 0, 0, 0, 0, 0),
+    (4, "SQ", "SQ", 1, 0, 0, 0, 0, 1, 1, 1),
+    (5, "SQ", "SQ_IN", 1, 0, 0, 0, 0, 0, 1, 0),
+    (6, "SQ", "SQ_FAR", 0, 1, 0, 0, 0, 0, 0, 0),
+    (7, "L_CROSS", "SQ", 1, 0, 0, 1, 0, 0, 0, 0),
+    (8, "L_EDGE", "SQ", 1, 0, 1, 0, 0, 0, 0, 0),
+    (9, "L_OUT", "SQ", 0, 1, 0, 0, 0, 0, 0, 0),
+    (10, "L_A", "L_B", 1, 0, 0, 1, 0, 0, 0, 0),
+    (11, "L_A", "L_SHARE_END", 1, 0, 1, 0, 0, 0, 0, 0),
+    (12, "L_A", "L_COLL", 1, 0, 0, 0, 1, 0, 0, 0),
+    (13, "L_A", "L_A", 1, 0, 0, 0, 0, 1, 1, 1),
+    (14, "L_TJUNC", "L_A", 1, 0, 1, 0, 0, 0, 0, 0),
+    (15, "P_IN", "SQ", 1, 0, 0, 0, 0, 0, 0, 1),
+    (16, "P_ON", "SQ", 1, 0, 1, 0, 0, 0, 0, 0),
+    (17, "P_OUT", "SQ", 0, 1, 0, 0, 0, 0, 0, 0),
+    (18, "MP_STRADDLE", "SQ", 1, 0, 0, 1, 0, 0, 0, 0),
+]
+
+
+def _pred_matrix_sql() -> str:
+    rows = ", ".join(
+        f"({pid}, {i}, {d}, {t}, {c}, {o}, {e}, {cn}, {wn})"
+        for pid, _a, _b, i, d, t, c, o, e, cn, wn in _PRED_CASES)
+    return (f"SELECT * FROM (VALUES {rows}) AS p(pair_id, intersects_i, "
+            "disjoint_i, touches_i, crosses_i, overlaps_i, equals_i, "
+            "contains_i, within_i)")
+
+
+@_reg("st_predicate_matrix", _pred_matrix_sql())
+def q_st_predicate_matrix(spark, sf_dir):
+    """The full 8-predicate SQL surface (ogrsqlitesqlfunctions.cpp:875-884
+    registers ST_Intersects/Equals/Disjoint/Touches/Crosses/Within/Contains/
+    Overlaps) evaluated over analytically-placed shape pairs; the oracle is
+    the hand-derived DE-9IM truth table."""
+    import pandas as pd
+    st.register_all(spark)
+    pdf = pd.DataFrame(
+        [(pid, _PRED_WKT[a], _PRED_WKT[b])
+         for pid, a, b, *_x in _PRED_CASES],
+        columns=["pair_id", "wkt_a", "wkt_b"])
+    spark.createDataFrame(pdf).createOrReplaceTempView("pred_pairs_v")
+    return spark.sql("""
+        SELECT pair_id,
+               CAST(ST_Intersects(a, b) AS INT)    AS intersects_i,
+               CAST(ST_Disjoint(a, b) AS INT)      AS disjoint_i,
+               CAST(ST_Touches(a, b) AS INT)       AS touches_i,
+               CAST(ST_Crosses(a, b) AS INT)       AS crosses_i,
+               CAST(ST_Overlaps(a, b) AS INT)      AS overlaps_i,
+               CAST(ST_Equals(a, b) AS INT)        AS equals_i,
+               CAST(ST_Contains(a, b) AS INT)      AS contains_i,
+               CAST(ST_Within(a, b) AS INT)        AS within_i
+        FROM (SELECT pair_id, ST_GeomFromText(wkt_a) AS a,
+                     ST_GeomFromText(wkt_b) AS b FROM pred_pairs_v)
+    """)

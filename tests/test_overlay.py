@@ -139,3 +139,78 @@ def test_concave_method_polygon(spark, layers):
         got_e |= geomops.points_in_geom(px, py, wkb.decode(bytes(r.geom)))
     assert (got_i != (in_subj & in_l)).sum() <= 3    # ulp/edge slack
     assert (got_e != (in_subj & ~in_l)).sum() <= 3
+
+
+def test_union_mode(spark, layers):
+    """Union = intersection pairs + subject leftovers + method leftovers
+    (ogrlayer.cpp:3051). Total area must equal area(subject ∪ methods) +
+    area(subject ∩ methods) (pairs double-cover the intersection when
+    methods overlap; with these hulls overlapping each other the pair rows
+    cover subject∩each-method separately)."""
+    subject, method, hulls = layers
+    uni = overlay(subject, method, "union").collect()
+    pairs = overlay(subject, method, "intersection").collect()
+    erase = overlay(subject, method, "erase").collect()
+    rev_rows = [r for r in uni if r.sid is None]
+    # row-count contract
+    assert len(uni) == len(pairs) + len(erase) + len(rev_rows)
+    # reverse side: method \ union(subjects). Hulls are inside [0,30]^2 which
+    # the 9 subject tiles fully cover -> method leftovers must be empty.
+    assert len(rev_rows) == 0
+    assert _area(uni) == pytest.approx(_area(pairs) + _area(erase), 1e-9)
+
+
+def test_union_mode_method_outside(spark, layers):
+    """A method rect partially outside the subject tiles: union keeps the
+    outside part as a NULL-subject row with exactly the leftover area."""
+    subject, _, _ = layers
+    method = spark.createDataFrame(
+        pd.DataFrame([(500, wkb.box(25.0, 25.0, 40.0, 40.0))],
+                     columns=["mid", "geom"]), schema=MID_SCHEMA)
+    uni = overlay(subject, method, "union").collect()
+    rev = [r for r in uni if r.sid is None]
+    assert len(rev) == 1
+    # leftover = 15x15 rect minus the [25,30]^2 corner inside tile (2,2)
+    assert geomops.geom_area(wkb.decode(bytes(rev[0].geom))) == \
+        pytest.approx(225.0 - 25.0, abs=1e-6)
+    # total union area = area(subject) + area(method outside subject)
+    total = _area(uni)
+    pairs = [r for r in uni if r.sid is not None and r.mid is not None]
+    # pairs cover subject∩method once; subject-leftover covers the rest of
+    # the subject; so total = 900 + 200 (outside) + 0 double cover
+    assert total == pytest.approx(900.0 + 200.0, abs=1e-6)
+
+
+def test_symdifference_mode(spark, layers):
+    subject, _, _ = layers
+    method = spark.createDataFrame(
+        pd.DataFrame([(600, wkb.box(25.0, 25.0, 40.0, 40.0))],
+                     columns=["mid", "geom"]), schema=MID_SCHEMA)
+    sym = overlay(subject, method, "symdifference").collect()
+    # no pair rows in symdifference
+    assert all((r.sid is None) != (r.mid is None) for r in sym)
+    # area = area(subject \ method) + area(method \ subject)
+    assert _area(sym) == pytest.approx((900.0 - 25.0) + 200.0, abs=1e-6)
+
+
+def test_method_polygon_with_hole(spark, layers):
+    """Method polygon with a hole — previously rejected, now served by the
+    general boolean kernel. Partition identity + membership sampling."""
+    subject, _, _ = layers
+    ring = [(5.0, 5.0), (25.0, 5.0), (25.0, 25.0), (5.0, 25.0)]
+    hole = [(10.0, 10.0), (20.0, 10.0), (20.0, 20.0), (10.0, 20.0)]
+    method = spark.createDataFrame(
+        pd.DataFrame([(700, wkb.polygon(ring, holes=[hole]))],
+                     columns=["mid", "geom"]), schema=MID_SCHEMA)
+    inter = overlay(subject, method, "intersection").collect()
+    erase = overlay(subject, method, "erase").collect()
+    assert _area(inter) == pytest.approx(400.0 - 100.0, abs=1e-6)
+    assert _area(inter) + _area(erase) == pytest.approx(900.0, abs=1e-6)
+    # membership: the hole must NOT be claimed by intersection pieces
+    rng = np.random.default_rng(11)
+    px = rng.uniform(11, 19, 200)
+    py = rng.uniform(11, 19, 200)
+    got = np.zeros(200, bool)
+    for r in inter:
+        got |= geomops.points_in_geom(px, py, wkb.decode(bytes(r.geom)))
+    assert not got.any()
