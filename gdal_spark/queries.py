@@ -1389,3 +1389,79 @@ def q_st_predicate_matrix(spark, sf_dir):
         FROM (SELECT pair_id, ST_GeomFromText(wkt_a) AS a,
                      ST_GeomFromText(wkt_b) AS b FROM pred_pairs_v)
     """)
+
+
+@_reg("warp_average", f"""
+{_pts_cte()},
+c AS (SELECT CAST(floor((lon + 180.0) / 5.625) AS BIGINT) AS x,
+             CAST(floor((lat + 90.0) / 2.8125) AS BIGINT) AS y,
+             count(*) AS v
+      FROM pts GROUP BY 1, 2)
+SELECT CAST(x >> 1 AS BIGINT) AS xo, CAST(y >> 1 AS BIGINT) AS yo,
+       ROUND(sum(v) / 4.0, 6) AS val_r
+FROM c GROUP BY 1, 2
+""")
+def q_warp_average(spark, sf_dir):
+    """gdalwarp -r average, factor-2 downsample (GWKAverageOrMode,
+    alg/gdalwarpkernel.cpp; resample enum alg/gdalwarper.h:37-67) of a 64x64
+    page-density raster through the full distributed warp path (src-tile
+    flatMap routing -> groupBy(dst tile) -> footprint reduce). Aligned
+    grids make the footprint exactly 2x2, so the oracle is groupBy(x>>1)
+    sum/4 with absent cells contributing 0."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+    from .raster.tiles import TILE_SCHEMA, encode_px
+    from .raster.warp import WarpSpec, warp as warp_run
+    from .raster.rasterize import GridSpec
+
+    p = datagen.points(spark, sf_dir)
+    x = F.floor((F.col("lon") + 180.0) / 5.625).cast("long")
+    y = F.floor((F.col("lat") + 90.0) / 2.8125).cast("long")
+    cnt = (p.select(x.alias("x"), y.alias("y"))
+           .groupBy("x", "y").agg(F.count("*").cast("double").alias("v")))
+    # one sentinel row per tile so every src tile materializes (zeros where
+    # no pages — the warp's canvas then covers the full 64x64 grid)
+    allt = spark.range(8).select(F.col("id").alias("tx")) \
+        .crossJoin(spark.range(8).select(F.col("id").alias("ty"))) \
+        .select((F.col("tx") * 8).alias("x"), (F.col("ty") * 8).alias("y"),
+                F.lit(0.0).alias("v"))
+    cells = cnt.unionByName(allt) \
+        .withColumn("tile_x", F.shiftright("x", 3)) \
+        .withColumn("tile_y", F.shiftright("y", 3))
+
+    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        arr = np.zeros((8, 8), np.float64)
+        np.add.at(arr, (pdf["y"].values & 7, pdf["x"].values & 7),
+                  pdf["v"].values)
+        return pd.DataFrame([(1, 0, int(key[0]), int(key[1]), "float64",
+                              None, encode_px(arr))],
+                            columns=[f.name for f in TILE_SCHEMA.fields])
+
+    tiles8 = cells.groupBy("tile_x", "tile_y").applyInPandas(build,
+                                                             TILE_SCHEMA)
+    src = GridSpec(x0=0.0, y0=0.0, dx=1.0, dy=1.0, width=64, height=64,
+                   tile=8)
+    dst = GridSpec(x0=0.0, y0=0.0, dx=2.0, dy=2.0, width=32, height=32,
+                   tile=8)
+    out = warp_run(tiles8, WarpSpec(src, "EPSG:4326", dst, "EPSG:4326",
+                                    "average"))
+
+    px_schema = T.StructType([T.StructField("xo", T.LongType()),
+                              T.StructField("yo", T.LongType()),
+                              T.StructField("val_r", T.DoubleType())])
+
+    def to_rows(batches):
+        for pdf in batches:
+            outs = []
+            for r in pdf.itertuples():
+                arr = np.frombuffer(r.px, dtype=np.float64).reshape(8, 8)
+                ys, xs = np.nonzero(arr)
+                for yy, xx in zip(ys, xs):
+                    outs.append((int(r.tile_x) * 8 + int(xx),
+                                 int(r.tile_y) * 8 + int(yy),
+                                 round(float(arr[yy, xx]), 6)))
+            yield pd.DataFrame(outs, columns=["xo", "yo", "val_r"]) if outs \
+                else pd.DataFrame(columns=["xo", "yo", "val_r"])
+
+    return out.mapInPandas(to_rows, px_schema)

@@ -2,7 +2,8 @@
 
 Re-expresses GDALWarpOperation::ChunkAndWarpImage
 (/root/reference/alg/gdalwarpoperation.cpp:101-140; kernels
-alg/gdalwarpkernel.cpp:101-135) Spark-first:
+alg/gdalwarpkernel.cpp:101-135; resampling enum alg/gdalwarper.h:37-67)
+Spark-first:
 
   1. every SRC tile forward-transforms its (kernel-padded) bbox into the dst
      grid and emits one copy per DST tile it feeds — a flatMap, no driver
@@ -11,18 +12,34 @@ alg/gdalwarpkernel.cpp:101-135) Spark-first:
      canvas, inverse-transforms the dst tile's pixel-center mesh
      (dst px -> dst world -> src world -> src px, the transformer chain of
      alg/gdaltransformer.cpp:1348), and samples with the requested kernel;
-  3. kernels: near, bilinear (2x2), cubic (4x4 Catmull-Rom a=-0.5 — the
-     reference's GWKCubic) — vectorized gather, one numpy pass per tile.
+  3. kernels — the full GDALResampleAlg surface:
+       point kernels   near, bilinear (2x2), cubic (4x4 Catmull-Rom a=-0.5,
+                       the reference's GWKCubic), cubicspline (4x4 cubic
+                       B-spline), lanczos (6x6, a=3)
+       area kernels    average, sum, min, max, rms, mode, med, q1, q3 —
+                       reduce every src pixel whose CENTER falls in the dst
+                       pixel's back-projected footprint (corner mesh), with
+                       nearest-sample fallback when the footprint contains
+                       no center (upsampling), mirroring GWKAverageOrMode;
+  4. nodata: when `src_nodata` is set, a validity canvas masks nodata and
+     uncovered pixels out of every kernel (point kernels renormalize their
+     weights; area kernels reduce over valid contributors only) and dst
+     pixels with no valid contributor emit nodata — the density-mask
+     semantics of alg/gdalwarper.cpp's GDALWarpNoDataMasker.
 
 The reference's chunking-by-memory-limit (gdalwarpoperation.cpp:534) becomes
-'one task per dst tile'; its I/O-compute thread pipelining becomes Spark
-scheduling. The ApproxTransformer option (transforms.approx_mesh) bounds CT
-cost per tile exactly like alg/gdaltransformer.cpp:3788.
+'one task per dst tile' (+ row-chunking inside the area gather so the
+(tile x tile x footprint) gather stays bounded); its I/O-compute thread
+pipelining becomes Spark scheduling. The ApproxTransformer option
+(transforms.approx_mesh) bounds CT cost per tile exactly like
+alg/gdaltransformer.cpp:3788. GDALSuggestedWarpOutput's planning step
+(alg/gdaltransformer.cpp:131-183) is `suggested_warp_output`.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
+from typing import Optional
 
 import numpy as np
 import pandas as pd
@@ -33,7 +50,14 @@ from .rasterize import GridSpec
 from .tiles import TILE_SCHEMA, encode_px
 from .transforms import approx_mesh, transform
 
-_KERNEL_RADIUS = {"near": 0, "bilinear": 1, "cubic": 2}
+POINT_KERNELS = ("near", "bilinear", "cubic", "cubicspline", "lanczos")
+AREA_KERNELS = ("average", "sum", "min", "max", "rms", "mode",
+                "med", "q1", "q3")
+
+_KERNEL_RADIUS = {"near": 0, "bilinear": 1, "cubic": 2, "cubicspline": 2,
+                  "lanczos": 3}
+_AREA_MAX_TAPS = 64          # per-axis cap on the area-kernel footprint
+_GATHER_BUDGET = 1 << 24     # floats per area gather chunk (~128 MB)
 
 
 @dataclass(frozen=True)
@@ -45,6 +69,7 @@ class WarpSpec:
     resample: str = "near"
     fill: float = 0.0
     approx_tol_px: float = 0.0   # >0 enables the approximate transformer
+    src_nodata: Optional[float] = None
 
 
 _EMIT_SCHEMA = T.StructType([
@@ -58,6 +83,10 @@ _EMIT_SCHEMA = T.StructType([
 ])
 
 
+def _radius(resample: str) -> int:
+    return _KERNEL_RADIUS.get(resample, 1)
+
+
 def _src_px_to_world(g: GridSpec, px, py):
     return g.x0 + np.asarray(px) * g.dx, g.y0 + np.asarray(py) * g.dy
 
@@ -66,7 +95,7 @@ def _dst_tiles_for_src_tile(spec: WarpSpec, tx: int, ty: int):
     """Which dst tiles does src tile (tx, ty) feed? Sample the padded tile
     boundary densely (handles nonlinear edges), transform forward."""
     g, t = spec.src_grid, spec.src_grid.tile
-    r = _KERNEL_RADIUS[spec.resample] + 1
+    r = _radius(spec.resample) + 1
     x0, x1 = tx * t - r, (tx + 1) * t + r
     y0, y1 = ty * t - r, (ty + 1) * t + r
     s = np.linspace(0.0, 1.0, 9)
@@ -89,9 +118,52 @@ def _dst_tiles_for_src_tile(spec: WarpSpec, tx: int, ty: int):
             for dtx in range(tx0, tx1 + 1)]
 
 
-def _sample(canvas, ox, oy, sx, sy, resample, fill):
-    """Sample canvas (src pixels, origin (ox, oy)) at continuous src pixel
-    coords (sx, sy). Pixel k's center is at k+0.5."""
+# ---------------------------------------------------------------------------
+# point kernels (separable weights)
+# ---------------------------------------------------------------------------
+
+def _w_cubic(t: np.ndarray) -> np.ndarray:
+    """Catmull-Rom a=-0.5 — GWKCubic (gdalwarpkernel.cpp)."""
+    a = -0.5
+    w = np.empty(t.shape + (4,))
+    w[..., 0] = a * t ** 3 - 2 * a * t ** 2 + a * t
+    w[..., 1] = (a + 2) * t ** 3 - (a + 3) * t ** 2 + 1
+    w[..., 2] = -(a + 2) * t ** 3 + (2 * a + 3) * t ** 2 - a * t
+    w[..., 3] = -a * t ** 3 + a * t ** 2
+    return w
+
+
+def _w_bspline(t: np.ndarray) -> np.ndarray:
+    """Cubic B-spline — GWKCubicSpline (smoothing, weights sum to 1)."""
+    w = np.empty(t.shape + (4,))
+    w[..., 0] = (1 - t) ** 3 / 6.0
+    w[..., 1] = (3 * t ** 3 - 6 * t ** 2 + 4) / 6.0
+    w[..., 2] = (-3 * t ** 3 + 3 * t ** 2 + 3 * t + 1) / 6.0
+    w[..., 3] = t ** 3 / 6.0
+    return w
+
+
+def _w_lanczos(t: np.ndarray) -> np.ndarray:
+    """Lanczos windowed sinc, a=3, 6 taps — GWKLanczosSinc."""
+    a = 3
+    w = np.empty(t.shape + (6,))
+    for k in range(6):
+        x = t + (2 - k)          # distance to tap center
+        w[..., k] = np.sinc(x) * np.sinc(x / a)
+    s = w.sum(axis=-1, keepdims=True)
+    return w / np.where(s == 0, 1.0, s)
+
+
+_SEP_WEIGHTS = {"cubic": (_w_cubic, 4, 1),
+                "cubicspline": (_w_bspline, 4, 1),
+                "lanczos": (_w_lanczos, 6, 2)}
+
+
+def _sample_point(canvas, valid, ox, oy, sx, sy, resample, fill,
+                  use_mask: bool):
+    """Sample canvas at continuous src pixel coords. Pixel k's center is at
+    k+0.5. With use_mask, invalid taps are dropped and weights renormalize;
+    a sample with zero valid weight returns fill (= nodata)."""
     H, W = canvas.shape
     u = sx - ox
     v = sy - oy
@@ -100,6 +172,10 @@ def _sample(canvas, ox, oy, sx, sy, resample, fill):
         iy = np.floor(v).astype(np.int64)
         ok = (ix >= 0) & (ix < W) & (iy >= 0) & (iy < H)
         out = np.full(u.shape, fill, dtype=np.float64)
+        ixo = np.clip(ix, 0, W - 1)
+        iyo = np.clip(iy, 0, H - 1)
+        if use_mask:
+            ok = ok & valid[iyo, ixo]
         out[ok] = canvas[iy[ok], ix[ok]]
         return out
     if resample == "bilinear":
@@ -109,49 +185,197 @@ def _sample(canvas, ox, oy, sx, sy, resample, fill):
         iy = np.floor(fv).astype(np.int64)
         wx = fu - ix
         wy = fv - iy
-        ok = (ix >= 0) & (ix + 1 < W) & (iy >= 0) & (iy + 1 < H)
-        out = np.full(u.shape, fill, dtype=np.float64)
-        ixo, iyo, wxo, wyo = ix[ok], iy[ok], wx[ok], wy[ok]
-        out[ok] = (canvas[iyo, ixo] * (1 - wxo) * (1 - wyo)
-                   + canvas[iyo, ixo + 1] * wxo * (1 - wyo)
-                   + canvas[iyo + 1, ixo] * (1 - wxo) * wyo
-                   + canvas[iyo + 1, ixo + 1] * wxo * wyo)
-        return out
-    if resample == "cubic":
-        def cm(wgt):  # Catmull-Rom weights, a = -0.5 (GWKCubic)
-            a = -0.5
-            w = np.empty(wgt.shape + (4,))
-            t = wgt
-            w[..., 0] = a * t ** 3 - 2 * a * t ** 2 + a * t
-            w[..., 1] = (a + 2) * t ** 3 - (a + 3) * t ** 2 + 1
-            w[..., 2] = -(a + 2) * t ** 3 + (2 * a + 3) * t ** 2 - a * t
-            w[..., 3] = -a * t ** 3 + a * t ** 2
-            return w
+        wgx = np.stack([1 - wx, wx], axis=-1)
+        wgy = np.stack([1 - wy, wy], axis=-1)
+        return _sep_gather(canvas, valid, ix, iy, wgx, wgy, 0, fill,
+                           use_mask, full_stencil=not use_mask)
+    if resample in _SEP_WEIGHTS:
+        wfn, taps, lead = _SEP_WEIGHTS[resample]
         fu = u - 0.5
         fv = v - 0.5
         ix = np.floor(fu).astype(np.int64)
         iy = np.floor(fv).astype(np.int64)
-        wx = cm(fu - ix)
-        wy = cm(fv - iy)
-        ok = (ix - 1 >= 0) & (ix + 2 < W) & (iy - 1 >= 0) & (iy + 2 < H)
-        out = np.full(u.shape, fill, dtype=np.float64)
-        acc = np.zeros(ok.sum(), dtype=np.float64)
+        return _sep_gather(canvas, valid, ix, iy, wfn(fu - ix), wfn(fv - iy),
+                           lead, fill, use_mask, full_stencil=not use_mask)
+    raise ValueError(resample)
+
+
+def _sep_gather(canvas, valid, ix, iy, wgx, wgy, lead, fill, use_mask,
+                full_stencil):
+    """Separable taps x taps gather. full_stencil (legacy, no nodata):
+    samples whose stencil leaves the canvas return fill outright —
+    bit-compatible with the round-1 kernels."""
+    H, W = canvas.shape
+    taps = wgx.shape[-1]
+    out = np.full(ix.shape, fill, dtype=np.float64)
+    if full_stencil:
+        ok = (ix - lead >= 0) & (ix - lead + taps - 1 < W) & \
+             (iy - lead >= 0) & (iy - lead + taps - 1 < H)
+        if not ok.any():
+            return out
         ixo, iyo = ix[ok], iy[ok]
-        for m in range(4):
+        acc = np.zeros(ixo.shape, dtype=np.float64)
+        for m in range(taps):
             rowacc = np.zeros_like(acc)
-            for n in range(4):
-                rowacc += canvas[iyo + m - 1, ixo + n - 1] * wx[ok][:, n]
-            acc += rowacc * wy[ok][:, m]
+            for n in range(taps):
+                rowacc += canvas[iyo + m - lead, ixo + n - lead] \
+                    * wgx[ok][:, n]
+            acc += rowacc * wgy[ok][:, m]
         out[ok] = acc
         return out
-    raise ValueError(resample)
+    num = np.zeros(ix.shape, dtype=np.float64)
+    den = np.zeros(ix.shape, dtype=np.float64)
+    for m in range(taps):
+        yy = iy + m - lead
+        iny = (yy >= 0) & (yy < H)
+        yyc = np.clip(yy, 0, H - 1)
+        for n in range(taps):
+            xx = ix + n - lead
+            good = iny & (xx >= 0) & (xx < W)
+            xxc = np.clip(xx, 0, W - 1)
+            if use_mask:
+                good = good & valid[yyc, xxc]
+            w = wgx[..., n] * wgy[..., m] * good
+            num += w * canvas[yyc, xxc]
+            den += w
+    ok = np.abs(den) > 1e-10
+    out[ok] = num[ok] / den[ok]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# area kernels (footprint reduce — GWKAverageOrMode family)
+# ---------------------------------------------------------------------------
+
+def _sample_area(canvas, valid, ox, oy, cx, cy, method, fill):
+    """Reduce src pixels whose centers fall in each dst pixel's footprint.
+
+    cx, cy: (h+1, w+1) corner meshes in src PIXEL coords. Returns (h, w)
+    float64 with `fill` where no valid contributor exists.
+    """
+    H, W = canvas.shape
+    x00, x01 = cx[:-1, :-1], cx[:-1, 1:]
+    x10, x11 = cx[1:, :-1], cx[1:, 1:]
+    y00, y01 = cy[:-1, :-1], cy[:-1, 1:]
+    y10, y11 = cy[1:, :-1], cy[1:, 1:]
+    xmin = np.minimum(np.minimum(x00, x01), np.minimum(x10, x11)) - ox
+    xmax = np.maximum(np.maximum(x00, x01), np.maximum(x10, x11)) - ox
+    ymin = np.minimum(np.minimum(y00, y01), np.minimum(y10, y11)) - oy
+    ymax = np.maximum(np.maximum(y00, y01), np.maximum(y10, y11)) - oy
+    # first/last pixel whose center (k+0.5) is inside [min, max)
+    kx0 = np.ceil(xmin - 0.5).astype(np.int64)
+    kx1 = np.ceil(xmax - 0.5).astype(np.int64) - 1
+    ky0 = np.ceil(ymin - 0.5).astype(np.int64)
+    ky1 = np.ceil(ymax - 0.5).astype(np.int64) - 1
+    # upsampling fallback: no center inside -> take the containing pixel
+    midx = np.floor(0.5 * (xmin + xmax)).astype(np.int64)
+    midy = np.floor(0.5 * (ymin + ymax)).astype(np.int64)
+    ex = kx1 < kx0
+    kx0 = np.where(ex, midx, kx0)
+    kx1 = np.where(ex, midx, kx1)
+    ey = ky1 < ky0
+    ky0 = np.where(ey, midy, ky0)
+    ky1 = np.where(ey, midy, ky1)
+    cntx = np.minimum(kx1 - kx0 + 1, _AREA_MAX_TAPS)
+    cnty = np.minimum(ky1 - ky0 + 1, _AREA_MAX_TAPS)
+    Kx = int(cntx.max())
+    Ky = int(cnty.max())
+
+    h, w = kx0.shape
+    out = np.full((h, w), fill, dtype=np.float64)
+    # row-chunk so the (chunk, w, Ky, Kx) gather stays within budget
+    # (mode builds an extra (KyKx)^2 equality matrix — budget for it)
+    per_px = w * Kx * Ky * (Kx * Ky if method == "mode" else 1)
+    rows_per = max(1, int(_GATHER_BUDGET / max(1, per_px)))
+    for r0 in range(0, h, rows_per):
+        r1 = min(r0 + rows_per, h)
+        sl = slice(r0, r1)
+        IX = kx0[sl][:, :, None, None] + np.arange(Kx)[None, None, None, :]
+        IY = ky0[sl][:, :, None, None] + np.arange(Ky)[None, None, :, None]
+        m = (np.arange(Kx)[None, None, None, :] < cntx[sl][:, :, None, None]) \
+            & (np.arange(Ky)[None, None, :, None] < cnty[sl][:, :, None, None]) \
+            & (IX >= 0) & (IX < W) & (IY >= 0) & (IY < H)
+        IXc = np.clip(IX, 0, W - 1)
+        IYc = np.clip(IY, 0, H - 1)
+        vals = canvas[IYc, IXc]
+        m = m & valid[IYc, IXc]
+        out[sl] = _reduce_area(vals, m, method, fill)
+    return out
+
+
+def _reduce_area(vals, m, method, fill):
+    """(c, w, Ky, Kx) masked reduce -> (c, w)."""
+    cnt = m.sum(axis=(2, 3))
+    any_v = cnt > 0
+    safe = np.maximum(cnt, 1)
+    if method == "average":
+        out = (vals * m).sum(axis=(2, 3)) / safe
+    elif method == "sum":
+        out = (vals * m).sum(axis=(2, 3))
+    elif method == "rms":
+        out = np.sqrt((vals * vals * m).sum(axis=(2, 3)) / safe)
+    elif method == "min":
+        out = np.where(m, vals, np.inf).min(axis=(2, 3))
+    elif method == "max":
+        out = np.where(m, vals, -np.inf).max(axis=(2, 3))
+    elif method in ("med", "q1", "q3"):
+        q = {"med": 50.0, "q1": 25.0, "q3": 75.0}[method]
+        masked = np.where(m, vals, np.nan)
+        with np.errstate(all="ignore"):
+            out = np.nanpercentile(
+                masked.reshape(vals.shape[0], vals.shape[1], -1), q, axis=2)
+        out = np.nan_to_num(out, nan=fill)
+    elif method == "mode":
+        c, w, Ky, Kx = vals.shape
+        flat = np.where(m, vals, np.nan).reshape(c, w, Ky * Kx)
+        # pairwise equality count; ties -> smallest value (documented
+        # divergence from GDAL's scan-order tie-break)
+        eq = (flat[:, :, :, None] == flat[:, :, None, :]).sum(axis=3)
+        eq = np.where(np.isnan(flat), -1, eq)
+        best = eq.max(axis=2, keepdims=True)
+        cand = np.where(eq == best, flat, np.inf)
+        out = cand.min(axis=2)
+        out = np.where(np.isfinite(out), out, fill)
+    else:
+        raise ValueError(method)
+    return np.where(any_v, out, fill)
+
+
+def suggested_warp_output(src_grid: GridSpec, src_crs: str, dst_crs: str,
+                          tile: Optional[int] = None,
+                          samples: int = 21) -> GridSpec:
+    """Compute a dst grid from the src grid + CT — the planning step of
+    GDALSuggestedWarpOutput (alg/gdaltransformer.cpp:131-183): transform a
+    boundary sample lattice, take the bbox, and pick a square pixel size
+    that approximately preserves the pixel count along the transformed
+    diagonal (the reference's 'same resolution in the new units' rule)."""
+    g = src_grid
+    s = np.linspace(0.0, 1.0, samples)
+    bx = np.r_[g.width * s, np.full(samples, g.width),
+               g.width * (1 - s), np.zeros(samples)]
+    by = np.r_[np.zeros(samples), g.height * s,
+               np.full(samples, g.height), g.height * (1 - s)]
+    wx, wy = _src_px_to_world(g, bx, by)
+    tx, ty = transform(src_crs, dst_crs, wx, wy)
+    xmin, xmax = float(tx.min()), float(tx.max())
+    ymin, ymax = float(ty.min()), float(ty.max())
+    diag_px = float(np.hypot(g.width, g.height))
+    pixel = float(np.hypot(xmax - xmin, ymax - ymin)) / diag_px
+    width = max(1, int(round((xmax - xmin) / pixel)))
+    height = max(1, int(round((ymax - ymin) / pixel)))
+    return GridSpec(x0=xmin, y0=ymax, dx=pixel, dy=-pixel,
+                    width=width, height=height,
+                    tile=tile if tile is not None else g.tile)
 
 
 def warp(tiles_df: DataFrame, spec: WarpSpec,
          out_dtype: str = "float64") -> DataFrame:
     """Warp the src tile table onto the dst grid. Returns dst tile table
     (only dst tiles fed by >=1 src tile)."""
+    if spec.resample not in POINT_KERNELS + AREA_KERNELS:
+        raise ValueError(f"unknown resample {spec.resample!r}")
     dt = spec.dst_grid.tile
+    is_area = spec.resample in AREA_KERNELS
 
     def emit(pdf_iter):
         for pdf in pdf_iter:
@@ -172,34 +396,44 @@ def warp(tiles_df: DataFrame, spec: WarpSpec,
     def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
         band, dtx, dty = int(key[0]), int(key[1]), int(key[2])
         st = spec.src_grid.tile
-        # dst pixel-center mesh -> src pixel coords (the transformer chain)
-        jj, ii = np.meshgrid(np.arange(dt), np.arange(dt))
-        dwx = spec.dst_grid.x0 + (dtx * dt + jj + 0.5) * spec.dst_grid.dx
-        dwy = spec.dst_grid.y0 + (dty * dt + ii + 0.5) * spec.dst_grid.dy
-        if spec.approx_tol_px > 0:
-            swx, swy, _, _ = approx_mesh(
-                spec.dst_crs, spec.src_crs, dwx, dwy,
-                tol_px=spec.approx_tol_px,
-                px_size=abs(spec.src_grid.dx))
-        else:
-            swx, swy = transform(spec.dst_crs, spec.src_crs, dwx, dwy)
-        sx = (swx - spec.src_grid.x0) / spec.src_grid.dx
-        sy = (swy - spec.src_grid.y0) / spec.src_grid.dy
-        # local canvas covering all needed src pixels, CLIPPED to the src
-        # raster bounds: samples needing pixels beyond the raster edge then
-        # fail _sample's bounds check and get `fill` — identical semantics
-        # to a whole-raster canvas.
-        r = _KERNEL_RADIUS[spec.resample] + 1
+        use_mask = spec.src_nodata is not None
+        fill = spec.src_nodata if use_mask else spec.fill
+
+        def inverse(dwx, dwy):
+            if spec.approx_tol_px > 0:
+                swx, swy, _, _ = approx_mesh(
+                    spec.dst_crs, spec.src_crs, dwx, dwy,
+                    tol_px=spec.approx_tol_px,
+                    px_size=abs(spec.src_grid.dx))
+            else:
+                swx, swy = transform(spec.dst_crs, spec.src_crs, dwx, dwy)
+            sx = (swx - spec.src_grid.x0) / spec.src_grid.dx
+            sy = (swy - spec.src_grid.y0) / spec.src_grid.dy
+            return sx, sy
+
+        if is_area:       # corner mesh: (dt+1)^2 lattice
+            jj, ii = np.meshgrid(np.arange(dt + 1), np.arange(dt + 1))
+            dwx = spec.dst_grid.x0 + (dtx * dt + jj) * spec.dst_grid.dx
+            dwy = spec.dst_grid.y0 + (dty * dt + ii) * spec.dst_grid.dy
+        else:             # pixel-center mesh
+            jj, ii = np.meshgrid(np.arange(dt), np.arange(dt))
+            dwx = spec.dst_grid.x0 + (dtx * dt + jj + 0.5) * spec.dst_grid.dx
+            dwy = spec.dst_grid.y0 + (dty * dt + ii + 0.5) * spec.dst_grid.dy
+        sx, sy = inverse(dwx, dwy)
+
+        r = _radius(spec.resample) + 1
         ox = max(int(np.floor(sx.min())) - r, 0)
         oy = max(int(np.floor(sy.min())) - r, 0)
         W = min(int(np.ceil(sx.max())) + r + 1, spec.src_grid.width) - ox
         H = min(int(np.ceil(sy.max())) + r + 1, spec.src_grid.height) - oy
         if W <= 0 or H <= 0:
-            out = np.full((dt, dt), spec.fill, dtype=np.dtype(out_dtype))
+            out = np.full((dt, dt), fill, dtype=np.dtype(out_dtype))
             return pd.DataFrame([{
                 "band": band, "zoom": 0, "tile_x": dtx, "tile_y": dty,
-                "dtype": out_dtype, "nodata": None, "px": encode_px(out)}])
-        canvas = np.full((H, W), spec.fill, dtype=np.float64)
+                "dtype": out_dtype, "nodata": spec.src_nodata,
+                "px": encode_px(out)}])
+        canvas = np.full((H, W), fill, dtype=np.float64)
+        covered = np.zeros((H, W), dtype=bool)
         for row in pdf.itertuples():
             arr = np.frombuffer(row.px, dtype=np.dtype(row.dtype)) \
                 .reshape(st, st)
@@ -209,11 +443,21 @@ def warp(tiles_df: DataFrame, spec: WarpSpec,
             xs1, ys1 = min(x0 + st, W), min(y0 + st, H)
             if xs0 >= xs1 or ys0 >= ys1:
                 continue
-            canvas[ys0:ys1, xs0:xs1] = arr[ys0 - y0:ys1 - y0, xs0 - x0:xs1 - x0]
-        out = _sample(canvas, ox, oy, sx, sy, spec.resample, spec.fill)
+            canvas[ys0:ys1, xs0:xs1] = \
+                arr[ys0 - y0:ys1 - y0, xs0 - x0:xs1 - x0]
+            covered[ys0:ys1, xs0:xs1] = True
+        valid = covered
+        if use_mask:
+            valid = valid & (canvas != spec.src_nodata)
+        if is_area:
+            out = _sample_area(canvas, valid, ox, oy, sx, sy,
+                               spec.resample, fill)
+        else:
+            out = _sample_point(canvas, valid, ox, oy, sx, sy,
+                                spec.resample, fill, use_mask)
         return pd.DataFrame([{
             "band": band, "zoom": 0, "tile_x": dtx, "tile_y": dty,
-            "dtype": out_dtype, "nodata": None,
+            "dtype": out_dtype, "nodata": spec.src_nodata,
             "px": encode_px(out.astype(np.dtype(out_dtype)))}])
 
     return (fed.groupBy("band", "dst_tx", "dst_ty")

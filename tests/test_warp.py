@@ -82,7 +82,8 @@ def test_reproject_matches_single_array_oracle(spark, resample):
     swx, swy = transforms.transform("EPSG:4326", "EPSG:3857", dwx, dwy)
     sx = (swx - src.x0) / src.dx
     sy = (swy - src.y0) / src.dy
-    want = warp._sample(arr, 0, 0, sx, sy, resample, -1.0)
+    want = warp._sample_point(arr, np.ones_like(arr, dtype=bool), 0, 0,
+                              sx, sy, resample, -1.0, use_mask=False)
     np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
 
 
@@ -103,3 +104,158 @@ def test_warp_approx_transformer(spark):
         approx_tol_px=0.125)), tile=TILE)
     # error bound: 0.125 src px of a smooth field -> tiny value difference
     assert np.abs(exact - approx).max() < 1.0
+
+
+# ---------------------------------------------------------------------------
+# round 2: full GDALResampleAlg kernel surface (gdalwarper.h:37-67)
+# ---------------------------------------------------------------------------
+
+def _block_reduce_oracle(arr, f, method):
+    """Aligned factor-f downsample reference (centers-in-rect rule makes the
+    footprint exactly f x f when grids align)."""
+    h, w = arr.shape
+    b = arr.reshape(h // f, f, w // f, f)
+    flat = b.transpose(0, 2, 1, 3).reshape(h // f, w // f, f * f)
+    if method == "average":
+        return flat.mean(axis=2)
+    if method == "sum":
+        return flat.sum(axis=2)
+    if method == "min":
+        return flat.min(axis=2)
+    if method == "max":
+        return flat.max(axis=2)
+    if method == "rms":
+        return np.sqrt((flat.astype(np.float64) ** 2).mean(axis=2))
+    if method == "med":
+        return np.percentile(flat, 50.0, axis=2)
+    if method == "q1":
+        return np.percentile(flat, 25.0, axis=2)
+    if method == "q3":
+        return np.percentile(flat, 75.0, axis=2)
+    if method == "mode":
+        out = np.empty((h // f, w // f))
+        for i in range(h // f):
+            for j in range(w // f):
+                v, c = np.unique(flat[i, j], return_counts=True)
+                out[i, j] = v[np.argmax(c)]   # ties -> smallest value
+        return out
+    raise ValueError(method)
+
+
+@pytest.mark.parametrize("method", ["average", "sum", "min", "max", "rms",
+                                    "med", "q1", "q3", "mode"])
+@pytest.mark.parametrize("factor", [2, 3])
+def test_area_kernels_aligned_downsample(spark, method, factor):
+    h = w = 2 * TILE * 3          # divisible by 2 and 3
+    rng = np.random.RandomState(5)
+    arr = rng.randint(0, 6, size=(h, w)).astype(np.float64)
+    src = GridSpec(x0=0.0, y0=0.0, dx=1.0, dy=1.0, width=w, height=h,
+                   tile=TILE)
+    dst = GridSpec(x0=0.0, y0=0.0, dx=float(factor), dy=float(factor),
+                   width=w // factor, height=h // factor, tile=TILE)
+    df = tiles.raster_to_tiles(spark, arr, tile=TILE)
+    spec = warp.WarpSpec(src, "EPSG:4326", dst, "EPSG:4326", method)
+    got = tiles.tiles_to_raster(warp.warp(df, spec), tile=TILE)
+    got = got[:h // factor, :w // factor]
+    want = _block_reduce_oracle(arr, factor, method)
+    np.testing.assert_allclose(got, want, atol=1e-9)
+
+
+def test_area_upsample_falls_back_to_containing_pixel(spark):
+    arr = _smooth(TILE, TILE)
+    src = GridSpec(x0=0.0, y0=0.0, dx=1.0, dy=1.0, width=TILE, height=TILE,
+                   tile=TILE)
+    dst = GridSpec(x0=0.0, y0=0.0, dx=0.5, dy=0.5, width=2 * TILE,
+                   height=2 * TILE, tile=TILE)
+    df = tiles.raster_to_tiles(spark, arr, tile=TILE)
+    got = tiles.tiles_to_raster(warp.warp(
+        df, warp.WarpSpec(src, "EPSG:4326", dst, "EPSG:4326", "average")),
+        tile=TILE)
+    want = np.repeat(np.repeat(arr, 2, axis=0), 2, axis=1)
+    np.testing.assert_allclose(got[:2 * TILE, :2 * TILE], want, atol=1e-9)
+
+
+@pytest.mark.parametrize("resample", ["cubicspline", "lanczos"])
+def test_smooth_kernels_match_single_array_oracle(spark, resample):
+    h, w = 2 * TILE, 4 * TILE
+    arr = _smooth(h, w)
+    merc = 20037508.342789244
+    src = GridSpec(x0=-merc, y0=merc / 2, dx=2 * merc / w, dy=-merc / h,
+                   width=w, height=h, tile=TILE)
+    dst = GridSpec(x0=-180.0, y0=60.0, dx=360.0 / w, dy=-120.0 / h,
+                   width=w, height=h, tile=TILE)
+    df = tiles.raster_to_tiles(spark, arr, tile=TILE)
+    spec = warp.WarpSpec(src, "EPSG:3857", dst, "EPSG:4326", resample,
+                         fill=-1.0)
+    got = tiles.tiles_to_raster(warp.warp(df, spec), tile=TILE)
+    jj, ii = np.meshgrid(np.arange(w), np.arange(h))
+    dwx = dst.x0 + (jj + 0.5) * dst.dx
+    dwy = dst.y0 + (ii + 0.5) * dst.dy
+    swx, swy = transforms.transform("EPSG:4326", "EPSG:3857", dwx, dwy)
+    sx = (swx - src.x0) / src.dx
+    sy = (swy - src.y0) / src.dy
+    want = warp._sample_point(arr, np.ones_like(arr, dtype=bool), 0, 0,
+                              sx, sy, resample, -1.0, use_mask=False)
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+
+
+def test_lanczos_interpolates_constants():
+    """Lanczos weights are normalized: a constant field stays constant."""
+    arr = np.full((32, 32), 7.25)
+    sx, sy = np.meshgrid(np.linspace(4, 28, 40), np.linspace(4, 28, 40))
+    out = warp._sample_point(arr, np.ones_like(arr, dtype=bool), 0, 0,
+                             sx, sy, "lanczos", -1.0, use_mask=False)
+    np.testing.assert_allclose(out, 7.25, atol=1e-9)
+
+
+def test_nodata_average_excludes_and_emits_nodata(spark):
+    h = w = 2 * TILE
+    arr = np.full((h, w), -9.0)
+    arr[0, 0] = 8.0               # parent (0,0): one valid of four
+    arr[0, 2] = 4.0               # parent (0,1): two valid
+    arr[1, 3] = 6.0
+    src = GridSpec(x0=0.0, y0=0.0, dx=1.0, dy=1.0, width=w, height=h,
+                   tile=TILE)
+    dst = GridSpec(x0=0.0, y0=0.0, dx=2.0, dy=2.0, width=w // 2,
+                   height=h // 2, tile=TILE)
+    df = tiles.raster_to_tiles(spark, arr, tile=TILE, nodata=-9.0)
+    got = tiles.tiles_to_raster(warp.warp(
+        df, warp.WarpSpec(src, "EPSG:4326", dst, "EPSG:4326", "average",
+                          src_nodata=-9.0)), tile=TILE)
+    assert got[0, 0] == pytest.approx(8.0)
+    assert got[0, 1] == pytest.approx(5.0)
+    assert got[2, 2] == pytest.approx(-9.0)   # all-nodata -> nodata out
+
+
+def test_nodata_bilinear_renormalizes(spark):
+    h = w = 2 * TILE
+    arr = np.full((h, w), 10.0)
+    arr[5, 5] = -9.0              # a nodata hole
+    src = GridSpec(x0=0.0, y0=0.0, dx=1.0, dy=1.0, width=w, height=h,
+                   tile=TILE)
+    df = tiles.raster_to_tiles(spark, arr, tile=TILE, nodata=-9.0)
+    got = tiles.tiles_to_raster(warp.warp(
+        df, warp.WarpSpec(src, "EPSG:4326", src, "EPSG:4326", "bilinear",
+                          src_nodata=-9.0)), tile=TILE)
+    # neighbours of the hole renormalize over the valid taps -> still 10
+    assert got[5, 6] == pytest.approx(10.0)
+    assert got[4, 5] == pytest.approx(10.0)
+    # the hole's own pixel center has zero-weight on valid taps at t=0 -> 
+    # weight renorm makes it nodata only if ALL taps invalid; t=0 keeps
+    # single tap = the hole -> nodata
+    assert got[5, 5] == pytest.approx(-9.0)
+
+
+def test_suggested_warp_output_4326_to_3857():
+    src = GridSpec(x0=-180.0, y0=85.0, dx=0.5, dy=-0.5,
+                   width=720, height=340, tile=TILE)
+    dst = warp.suggested_warp_output(src, "EPSG:4326", "EPSG:3857")
+    mx0, my1 = transforms.transform("EPSG:4326", "EPSG:3857",
+                                    np.array([-180.0]), np.array([85.0]))
+    assert dst.x0 == pytest.approx(float(mx0[0]), rel=1e-9)
+    assert dst.y0 == pytest.approx(float(my1[0]), rel=1e-6)
+    assert dst.dy < 0 and dst.dx > 0
+    # pixel count approximately preserved along the diagonal
+    src_diag = np.hypot(src.width, src.height)
+    dst_diag = np.hypot(dst.width, dst.height)
+    assert abs(dst_diag - src_diag) / src_diag < 0.02
