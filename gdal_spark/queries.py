@@ -890,13 +890,48 @@ def q_proximity_density(spark, sf_dir):
     return prox.mapInPandas(explode_px, _PX)
 
 
-@_reg("contour_density")           # no SQL oracle (iterative/geometric op)
+_CONTOUR_LUT_SQL = (
+    "(VALUES (1, 1, sqrt(0.5)), (2, 1, sqrt(0.5)), (4, 1, sqrt(0.5)), "
+    "(8, 1, sqrt(0.5)), (7, 1, sqrt(0.5)), (11, 1, sqrt(0.5)), "
+    "(13, 1, sqrt(0.5)), (14, 1, sqrt(0.5)), "
+    "(3, 1, 1.0), (12, 1, 1.0), (5, 1, 1.0), (10, 1, 1.0), "
+    "(6, 2, 2 * sqrt(0.5)), (9, 2, 2 * sqrt(0.5))) "
+    "AS lut(code, nseg, seg_len)")
+
+
+@_reg("contour_density", f"""
+{_pts_cte()},
+occ AS (SELECT DISTINCT CAST(floor((lon + 180.0) / 5.625) AS BIGINT) AS x,
+                        CAST(floor((lat + 90.0) / 2.8125) AS BIGINT) AS y
+        FROM pts),
+pt AS (SELECT DISTINCT (x >> 3) AS tx, (y >> 3) AS ty FROM occ),
+v AS (SELECT x, y, 1 AS one FROM occ),
+cells AS (SELECT gx.range AS x, gy.range AS y
+          FROM range(63) gx, range(63) gy),
+ok AS (SELECT c.x, c.y FROM cells c
+       JOIN pt p1 ON p1.tx = (c.x >> 3) AND p1.ty = (c.y >> 3)
+       JOIN pt p2 ON p2.tx = ((c.x + 1) >> 3) AND p2.ty = (c.y >> 3)
+       JOIN pt p3 ON p3.tx = (c.x >> 3) AND p3.ty = ((c.y + 1) >> 3)),
+code AS (SELECT o.x, o.y,
+                COALESCE(a.one, 0) + 2 * COALESCE(b.one, 0)
+                + 4 * COALESCE(d.one, 0) + 8 * COALESCE(e.one, 0) AS code
+         FROM ok o
+         LEFT JOIN v a ON a.x = o.x AND a.y = o.y
+         LEFT JOIN v b ON b.x = o.x + 1 AND b.y = o.y
+         LEFT JOIN v d ON d.x = o.x AND d.y = o.y + 1
+         LEFT JOIN v e ON e.x = o.x + 1 AND e.y = o.y + 1)
+SELECT 0.5 AS level, CAST(sum(lut.nseg) AS BIGINT) AS n_segments,
+       ROUND(sum(lut.seg_len), 6) AS total_len_r
+FROM code JOIN {_CONTOUR_LUT_SQL} ON lut.code = code.code
+""")
 def q_contour_density(spark, sf_dir):
     """Contour stats of the 64x64 density mask at level 0.5 — the occupied-
-    region outlines (GDALContourGenerate, alg/contour.cpp). Marching
-    squares is not SQL-expressible (the driver records the rows-only
-    check); the operator itself is pinned by tests/test_contour.py
-    (analytic isolines, tiling invariance, ring closure)."""
+    region outlines (GDALContourGenerate, alg/contour.cpp). For a BINARY
+    mask at level 0.5 every marching-squares cell reduces to one of 16
+    corner codes with a fixed (segment count, length) — so the oracle is a
+    relational join against that 16-row lookup over exactly the cells the
+    distributed job evaluates (all 4 corners in materialized tiles, per the
+    halo contract). Ring topology stays pinned by tests/test_contour.py."""
     import numpy as np
     import pandas as pd
     from .raster.contour import contour_stats
@@ -1209,9 +1244,40 @@ def q_ann_lsh_hist(spark, sf_dir):
     return simsearch.lsh_histogram(_t(spark, sf_dir, "embeddings"))
 
 
-# ann via LSH buckets: recall<1 by construction — rows-only check (no oracle)
-@_reg("ann_lsh_topk")
+def _lsh_topk_sql():
+    planes = simsearch.hyperplanes()
+    terms = []
+    for i, pl in enumerate(planes):
+        lit = "[" + ", ".join(repr(float(x)) for x in pl) + "]"
+        terms.append(f"(CASE WHEN list_dot_product(v, {lit}) > 0"
+                     f" THEN {1 << i} ELSE 0 END)")
+    bucket = " + ".join(terms)
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                  {bucket} AS bucket FROM embeddings),
+q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM e WHERE vec_id < 10),
+p AS (SELECT q.q_id, e.vec_id,
+             list_dot_product(q.qv, e.v)
+             / (sqrt(list_dot_product(q.qv, q.qv))
+                * sqrt(list_dot_product(e.v, e.v))) AS cos
+      FROM e JOIN q ON e.bucket = q.bucket
+      WHERE e.vec_id <> q.q_id)
+SELECT q_id, CAST(rank AS INTEGER) AS rank, vec_id
+FROM (SELECT q_id, vec_id,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY cos DESC, vec_id ASC) AS rank
+      FROM p)
+WHERE rank <= 3
+"""
+
+
+@_reg("ann_lsh_topk", _lsh_topk_sql())
 def q_ann_lsh_topk(spark, sf_dir):
+    """ANN top-k via LSH bucket equi-join + exact in-bucket cosine re-rank.
+    Recall < 1 vs brute force by construction, but the candidate set and the
+    re-rank are fully deterministic, so the oracle is the in-bucket brute
+    force in SQL — the approximate ANSWER itself is hash-pinned, not just
+    the bucketing (which ann_lsh_hist already pins)."""
     return simsearch.lsh_topk(_t(spark, sf_dir, "embeddings"))
 
 
