@@ -31,12 +31,28 @@ from .wkb import Geom, decode, encode
 # ---------------------------------------------------------------------------
 
 def envelopes(wkbs: Sequence[Optional[bytes]]) -> np.ndarray:
-    """(n,4) [xmin,ymin,xmax,ymax]; NaN rows for null geometries."""
+    """(n,4) [xmin,ymin,xmax,ymax]; NaN rows for null geometries.
+
+    Homogeneous batches (all points / all single-ring polygons) go through
+    the vectorized frombuffer parsers — zero per-row Python; mixed batches
+    fall back to the scalar decoder, memoized per worker."""
+    pts = wkb.points_batch(wkbs)
+    if pts is not None:
+        return np.concatenate([pts, pts], axis=1)
+    sr = wkb.single_ring_batch(wkbs)
+    if sr is not None:
+        off, coords = sr
+        out = np.empty((len(wkbs), 4), dtype=np.float64)
+        out[:, 0] = np.minimum.reduceat(coords[:, 0], off[:-1])
+        out[:, 1] = np.minimum.reduceat(coords[:, 1], off[:-1])
+        out[:, 2] = np.maximum.reduceat(coords[:, 0], off[:-1])
+        out[:, 3] = np.maximum.reduceat(coords[:, 1], off[:-1])
+        return out
     out = np.full((len(wkbs), 4), np.nan, dtype=np.float64)
     for i, b in enumerate(wkbs):
         if b is None:
             continue
-        e = decode(bytes(b)).envelope()
+        e = wkb.decode_cached(bytes(b)).envelope()
         if e is not None:
             out[i] = e
     return out

@@ -288,3 +288,99 @@ def _parse_nested(s: str):
             i = j
     result = stack[0][0]
     return result
+
+
+# ---------------------------------------------------------------------------
+# vectorized batch decode — the hot-path fast lanes
+# ---------------------------------------------------------------------------
+# An ST_-heavy query spends its time decoding WKB. Columns are almost always
+# HOMOGENEOUS (all points, or all single-ring polygons), so the batch parsers
+# below handle those two layouts with np.frombuffer + offset arithmetic (no
+# per-row Python) and return None for anything mixed — callers fall back to
+# the scalar decoder, memoized per worker.
+
+_POINT_LEN = 21  # 1 (endian) + 4 (type) + 16 (xy)
+
+
+def points_batch(wkbs) -> "np.ndarray | None":
+    """(n,2) float64 coords if EVERY element is a 2-D LE WKB POINT, else
+    None. One concat + one frombuffer — no per-row parsing."""
+    n = len(wkbs)
+    if n == 0:
+        return np.empty((0, 2))
+    try:
+        buf = b"".join(bytes(b) for b in wkbs)
+    except TypeError:
+        return None                    # a None snuck in
+    if len(buf) != _POINT_LEN * n:
+        return None
+    raw = np.frombuffer(buf, dtype=np.uint8).reshape(n, _POINT_LEN)
+    if not (raw[:, 0] == 1).all() or not \
+            (raw[:, 1:5] == np.array([1, 0, 0, 0], np.uint8)).all():
+        return None
+    return np.ascontiguousarray(raw[:, 5:]).view("<f8").reshape(n, 2)
+
+
+def single_ring_batch(wkbs):
+    """(ring_offsets, coords) if EVERY element is a 2-D LE WKB POLYGON with
+    exactly one ring, else None. coords is the (total_pts, 2) concatenation;
+    ring i spans coords[ring_offsets[i]:ring_offsets[i+1]]."""
+    n = len(wkbs)
+    if n == 0:
+        return np.array([0], dtype=np.int64), np.empty((0, 2))
+    lens = np.empty(n, dtype=np.int64)
+    try:
+        for i, b in enumerate(wkbs):
+            if b is None:
+                return None
+            lens[i] = len(b)
+    except TypeError:
+        return None
+    buf = b"".join(bytes(b) for b in wkbs)
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    starts = np.r_[0, np.cumsum(lens)[:-1]]
+    hdr = raw[starts[:, None] + np.arange(9)[None, :]]
+    if not (hdr[:, 0] == 1).all() or not \
+            (hdr[:, 1:9] == np.array([3, 0, 0, 0, 1, 0, 0, 0],
+                                     np.uint8)).all():
+        return None                    # not all single-ring LE polygons
+    npts = np.ascontiguousarray(
+        raw[starts[:, None] + (9 + np.arange(4))[None, :]]).view(
+        "<u4").reshape(n).astype(np.int64)
+    if not (lens == 13 + 16 * npts).all():
+        return None                    # trailing data (e.g. extra rings)
+    total = int(npts.sum())
+    # gather every ring's coordinate bytes with one fancy index
+    offs = np.repeat(starts + 13, npts * 16) + _ragged_arange(npts * 16)
+    coords = np.ascontiguousarray(raw[offs]).view("<f8").reshape(total, 2)
+    ring_offsets = np.r_[0, np.cumsum(npts)]
+    return ring_offsets, coords
+
+
+def _ragged_arange(counts: np.ndarray) -> np.ndarray:
+    """concat([arange(c) for c in counts]) without the Python loop."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    ends = np.cumsum(counts)
+    out = np.arange(total, dtype=np.int64)
+    resets = np.zeros(total, dtype=np.int64)
+    resets[ends[:-1]] = counts[:-1]
+    return out - np.cumsum(resets)
+
+
+_DECODE_CACHE: dict = {}
+_DECODE_CACHE_MAX = 65536
+
+
+def decode_cached(buf: bytes) -> Geom:
+    """Per-worker memoized decode — repeated geometries (broadcast method
+    layers, dimension tables) decode once per executor, same pattern as the
+    pip join's polygon cache (operators/spatial_join.py)."""
+    g = _DECODE_CACHE.get(buf)
+    if g is None:
+        if len(_DECODE_CACHE) >= _DECODE_CACHE_MAX:
+            _DECODE_CACHE.clear()
+        g = decode(buf)
+        _DECODE_CACHE[buf] = g
+    return g

@@ -16,6 +16,7 @@ works.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import SparkSession
 from pyspark.sql.functions import pandas_udf
@@ -25,11 +26,30 @@ from ..core import geomops, polyclip, wkb
 
 
 def _decode_series(s: pd.Series):
-    return [wkb.decode(bytes(b)) if b is not None else None for b in s]
+    return [wkb.decode_cached(bytes(b)) if b is not None else None for b in s]
+
+
+def _single_ring_areas(geom: pd.Series):
+    """Vectorized shoelace for homogeneous single-ring polygon batches —
+    None if the batch is mixed (caller falls back to scalar)."""
+    sr = wkb.single_ring_batch(list(geom))
+    if sr is None:
+        return None
+    off, coords = sr
+    if len(coords) == 0:
+        return np.zeros(len(geom))
+    x, y = coords[:, 0], coords[:, 1]
+    c = np.r_[x[:-1] * y[1:] - x[1:] * y[:-1], 0.0]
+    seg = np.add.reduceat(c, off[:-1])
+    seg -= c[off[1:] - 1]          # drop the spurious ring-boundary term
+    return 0.5 * np.abs(seg)
 
 
 @pandas_udf(DoubleType())
 def st_area(geom: pd.Series) -> pd.Series:
+    fast = _single_ring_areas(geom)
+    if fast is not None:
+        return pd.Series(fast, dtype="float64")
     return pd.Series([geomops.geom_area(g) if g else None
                       for g in _decode_series(geom)], dtype="float64")
 
@@ -42,12 +62,18 @@ def st_length(geom: pd.Series) -> pd.Series:
 
 @pandas_udf(DoubleType())
 def st_x(geom: pd.Series) -> pd.Series:
+    pts = wkb.points_batch(list(geom))
+    if pts is not None:
+        return pd.Series(pts[:, 0], dtype="float64")
     return pd.Series([float(g.points()[0, 0]) if g is not None else None
                       for g in _decode_series(geom)], dtype="float64")
 
 
 @pandas_udf(DoubleType())
 def st_y(geom: pd.Series) -> pd.Series:
+    pts = wkb.points_batch(list(geom))
+    if pts is not None:
+        return pd.Series(pts[:, 1], dtype="float64")
     return pd.Series([float(g.points()[0, 1]) if g is not None else None
                       for g in _decode_series(geom)], dtype="float64")
 

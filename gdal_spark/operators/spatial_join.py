@@ -276,15 +276,21 @@ def ring_knn_join(points: DataFrame, centers: DataFrame, k: int, zoom: int,
              .drop("_cnt", "_kth", "_okk"))
 
     # STR packing: equal-count spatial buckets from approx quantiles of the
-    # row-major cell id (one lightweight pass over centers)
+    # row-major cell id. The cuts are a LAZY percentile_approx aggregate
+    # broadcast-joined back in — no eager driver action, the whole kNN stays
+    # one Catalyst plan (round-1 fix: the old per-call approxQuantile ran a
+    # blocking job inside every pipeline that touched this operator)
     fracs = [i / str_buckets for i in range(1, str_buckets)]
-    cuts = c.approxQuantile("_ckey", fracs, 0.01) if fracs else []
-    cut_arr = F.array(*[F.lit(float(q)) for q in cuts])
+    cuts_df = c.agg(F.percentile_approx(
+        F.col("_ckey").cast("double"),
+        F.array(*[F.lit(q) for q in fracs]), F.lit(10000)).alias("_cuts"))
     # bucket index = number of quantile cuts <= cell id (a JVM fold, no UDF)
-    cb = c.withColumn("_bkt", F.aggregate(
-        cut_arr, F.lit(0),
-        lambda acc, q: acc + F.when(
-            q <= F.col("_ckey").cast("double"), 1).otherwise(0)))
+    cb = (c.crossJoin(F.broadcast(cuts_df))
+          .withColumn("_bkt", F.aggregate(
+              F.col("_cuts"), F.lit(0),
+              lambda acc, q: acc + F.when(
+                  q <= F.col("_ckey").cast("double"), 1).otherwise(0)))
+          .drop("_cuts"))
     bboxes = (cb.groupBy("_bkt")
               .agg(F.min("cx").alias("_bxmin"), F.max("cx").alias("_bxmax"),
                    F.min("cy").alias("_bymin"), F.max("cy").alias("_bymax")))

@@ -93,3 +93,23 @@ def test_salted_pip_join_same_result(spark):
     salted = spatial_join.pip_join(p, r, zoom=datagen.PIP_ZOOM, salt=4) \
         .groupBy("region_id").count().collect()
     assert sorted(map(tuple, base)) == sorted(map(tuple, salted))
+
+
+def test_ring_knn_build_is_lazy(spark):
+    """Constructing the ring-kNN plan must launch ZERO Spark jobs — the STR
+    bucket cuts are a lazy percentile_approx aggregate inside the plan, not
+    an eager driver-side approxQuantile (the round-1 scale defect)."""
+    sc = spark.sparkContext
+    p = datagen.points(spark, SF_DIR)       # parquet listing job is fine
+    c = p.limit(200).select(
+        F.col("doc_id").alias("region_id"),
+        F.col("lon").alias("cx"), F.col("lat").alias("cy"))
+    group = "ring-knn-lazy-build"
+    sc.setJobGroup(group, "plan construction must be job-free")
+    try:
+        df = spatial_join.ring_knn_join(p, c, k=3, zoom=4)
+        _ = df.columns                      # force analysis, not execution
+    finally:
+        sc.setJobGroup("other", "done")
+    tracker = sc.statusTracker()
+    assert tracker.getJobIdsForGroup(group) == []
