@@ -121,21 +121,62 @@ def neardup_pairs(emb: DataFrame, threshold: float) -> DataFrame:
             .select("a_id", "b_id", "cos"))
 
 
-def neardup_lsh(emb: DataFrame, threshold: float) -> DataFrame:
+def neardup_lsh(emb: DataFrame, threshold: float, salt: int = 1,
+                hot_threshold: int = 100000) -> DataFrame:
     """LSH-prefiltered near-dup pairs: candidates share a hyperplane-sign
     bucket, then the exact cosine verify. Deterministic (seeded planes) but
     recall < 1 by construction — pairs split across buckets are missed; add
-    band rotations to raise recall. The shuffle is keyed by bucket, so the
-    quadratic blowup is bounded per bucket (hot buckets: salt or split)."""
+    band rotations to raise recall.
+
+    Hot-bucket mitigation (salt > 1): a near-dup-heavy corpus — the common
+    case, that's why you're deduping — concentrates mass in few buckets and
+    makes the per-bucket self-join quadratic ON ONE REDUCER. Buckets whose
+    count exceeds `hot_threshold` (a LAZY aggregate broadcast back in, no
+    driver action) salt into `salt` sub-partitions and pair via the
+    triangle join: row u covers cells (u, j>=u) on the A side and (i<=u, u)
+    on the B side, so every unordered pair meets in exactly one (i, j)
+    cell and the bucket's quadratic work spreads over salt*(salt+1)/2
+    reducers. Results are IDENTICAL to the unsalted join (pinned by the
+    embed_neardup_lsh_salted oracle query)."""
     planes = hyperplanes()
     e = emb.select("vec_id", as_double("embedding").alias("v")) \
         .withColumn("bucket", lsh_bucket_col(F.col("v"), planes))
-    a = e.select(F.col("vec_id").alias("a_id"), F.col("v").alias("va"),
-                 "bucket")
-    b = e.select(F.col("vec_id").alias("b_id"), F.col("v").alias("vb"),
-                 "bucket")
-    return (a.join(b, "bucket")
-            .where(F.col("a_id") < F.col("b_id"))
+    if salt <= 1:
+        a = e.select(F.col("vec_id").alias("a_id"), F.col("v").alias("va"),
+                     "bucket")
+        b = e.select(F.col("vec_id").alias("b_id"), F.col("v").alias("vb"),
+                     "bucket")
+        pairs = a.join(b, "bucket").where(F.col("a_id") < F.col("b_id"))
+    else:
+        counts = e.groupBy("bucket").agg(F.count("*").alias("_n"))
+        e2 = (e.join(F.broadcast(counts), "bucket")
+              .withColumn("_s", F.when(F.col("_n") > hot_threshold,
+                                       F.lit(salt)).otherwise(F.lit(1)))
+              .withColumn("_u", F.pmod(F.crc32(F.col("vec_id")
+                                               .cast("string")),
+                                       F.col("_s")).cast("int")))
+        a = (e2.select(F.col("vec_id").alias("a_id"),
+                       F.col("v").alias("va"), "bucket", "_u", "_s")
+             .withColumn("_j", F.explode(F.sequence(
+                 F.col("_u"), F.col("_s") - 1)))
+             .withColumnRenamed("_u", "_i"))
+        b = (e2.select(F.col("vec_id").alias("b_id"),
+                       F.col("v").alias("vb"), "bucket",
+                       F.col("_u").alias("_j"))
+             .withColumn("_i", F.explode(F.sequence(F.lit(0), F.col("_j")))))
+        pairs = (a.drop("_s").join(b, ["bucket", "_i", "_j"])
+                 .where((F.col("_i") < F.col("_j"))
+                        | (F.col("a_id") < F.col("b_id")))
+                 .select("bucket",
+                         F.least("a_id", "b_id").alias("a_id"),
+                         F.greatest("a_id", "b_id").alias("b_id"),
+                         F.when(F.col("a_id") < F.col("b_id"),
+                                F.col("va")).otherwise(F.col("vb"))
+                         .alias("va"),
+                         F.when(F.col("a_id") < F.col("b_id"),
+                                F.col("vb")).otherwise(F.col("va"))
+                         .alias("vb")))
+    return (pairs
             .withColumn("cos", cosine(F.col("va"), F.col("vb")))
             .where(F.col("cos") >= threshold)
             .select("a_id", "b_id", "cos"))

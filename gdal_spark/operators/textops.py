@@ -163,3 +163,119 @@ def rolling_fingerprint(docs: DataFrame) -> DataFrame:
     term = ((F.col("pos") + 1) * h) % P
     return (w.select("doc_id", term.alias("t"))
             .groupBy("doc_id").agg((F.sum("t") % P).alias("fp")))
+
+
+# ---------------------------------------------------------------------------
+# production-parameterized MinHash: 128 perms, 16 bands x 8 rows, CC merge
+# ---------------------------------------------------------------------------
+
+MINHASH128_PERMS = 128
+MINHASH_BANDS = 16           # 16 bands x 8 rows
+MH_PRIME = 1000000007
+
+
+def shingle_hash_pairs(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
+    """(doc_id, h1, h2) — two independent 28-bit hash components per
+    shingle. Permutation j is the universal hash (h1 + j*h2) mod p
+    (Broder/Carter-Wegman), so 128 permutations cost TWO md5s per shingle,
+    not 128 — the standard production MinHash trick, and the arithmetic is
+    reproducible verbatim in any SQL engine."""
+    sh = shingles(docs, k)
+    h1 = F.conv(F.substring(F.md5("sh"), 1, 7), 16, 10).cast("long")
+    h2 = F.conv(F.substring(F.md5("sh"), 9, 7), 16, 10).cast("long")
+    return sh.select("doc_id", h1.alias("h1"), h2.alias("h2"))
+
+
+def minhash_signatures(docs: DataFrame,
+                       perms: int = MINHASH128_PERMS) -> DataFrame:
+    """(doc_id, sig0..sig{perms-1}) — min over shingles of
+    (h1 + j*h2) mod p. One groupBy, all mins combine map-side."""
+    h = shingle_hash_pairs(docs)
+    aggs = [F.min((F.col("h1") + j * F.col("h2")) % MH_PRIME).alias(f"sig{j}")
+            for j in range(perms)]
+    return h.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_band_keys(docs: DataFrame, perms: int = MINHASH128_PERMS,
+                      bands: int = MINHASH_BANDS) -> DataFrame:
+    """(doc_id, band, key) — b bands x r rows LSH banding: key = md5 over
+    the band's r signature values. Docs sharing ANY band key are near-dup
+    candidates; more bands -> higher recall at the same signature cost."""
+    r = perms // bands
+    sigs = minhash_signatures(docs, perms)
+    entries = []
+    for b in range(bands):
+        key = F.md5(F.concat_ws(
+            "|", *[F.col(f"sig{j}").cast("string")
+                   for j in range(b * r, (b + 1) * r)]))
+        entries.append(F.struct(F.lit(b).cast("int").alias("band"),
+                                key.alias("key")))
+    return (sigs.select("doc_id", F.explode(F.array(*entries)).alias("_bk"))
+            .select("doc_id", F.col("_bk.band").alias("band"),
+                    F.col("_bk.key").alias("key")))
+
+
+def minhash_components(docs: DataFrame, perms: int = MINHASH128_PERMS,
+                       bands: int = MINHASH_BANDS,
+                       max_rounds: int = 16) -> DataFrame:
+    """(doc_id, cluster) — connected components over the shared-band graph
+    (cross-band cluster merge): iterative min-label propagation
+    doc -> band-key -> doc, the same O(log diameter) loop the polygonize
+    cross-tile merge uses. cluster = min doc_id of the component."""
+    bk = minhash_band_keys(docs, perms, bands) \
+        .select("doc_id", F.concat_ws(":", F.col("band").cast("string"),
+                                      "key").alias("bkey")) \
+        .localCheckpoint()
+    lbl = bk.select("doc_id").distinct() \
+        .withColumn("cluster", F.col("doc_id"))
+    for _ in range(max_rounds):
+        lbl = lbl.localCheckpoint()
+        bmin = (bk.join(lbl, "doc_id")
+                .groupBy("bkey").agg(F.min("cluster").alias("bmin")))
+        nxt = (bk.join(bmin, "bkey")
+               .groupBy("doc_id").agg(F.min("bmin").alias("nmin")))
+        new = (lbl.withColumnRenamed("cluster", "old")
+               .join(nxt, "doc_id", "left")
+               .select("doc_id", "old",
+                       F.least("old", F.coalesce("nmin", F.lit(1 << 62)))
+                       .alias("cluster")))
+        changed = new.where(F.col("old") != F.col("cluster")).limit(1).count()
+        lbl = new.select("doc_id", "cluster")
+        if changed == 0:
+            break
+    return lbl
+
+
+def minhash_cc_clusters(docs: DataFrame) -> DataFrame:
+    """(cluster, n_docs) — component sizes of the banded-MinHash dedup."""
+    return (minhash_components(docs).groupBy("cluster")
+            .agg(F.count("*").cast("long").alias("n_docs")))
+
+
+def simhash64(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash_hi, simhash_lo) — 64-bit SimHash as two 32-bit
+    words (signed-overflow-free in every engine). Word bits come from the
+    first/second 8 hex chars of md5(word); bit b set when the +-1 majority
+    vote over words is positive."""
+    w = docs.select("doc_id", F.explode(words_col()).alias("w"))
+    hi = F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(F.md5("w"), 9, 8), 16, 10).cast("long")
+    w = w.select("doc_id", hi.alias("hh"), lo.alias("hl"))
+    aggs = []
+    for b in range(32):
+        aggs.append(F.sum(
+            (F.shiftright("hh", b).bitwiseAND(F.lit(1))) * 2 - 1)
+            .alias(f"a{b}"))
+        aggs.append(F.sum(
+            (F.shiftright("hl", b).bitwiseAND(F.lit(1))) * 2 - 1)
+            .alias(f"b{b}"))
+    s = w.groupBy("doc_id").agg(*aggs)
+    fp_hi = None
+    fp_lo = None
+    for b in range(32):
+        th = F.when(F.col(f"a{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        tl = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        fp_hi = th if fp_hi is None else fp_hi + th
+        fp_lo = tl if fp_lo is None else fp_lo + tl
+    return s.select("doc_id", fp_hi.cast("long").alias("simhash_hi"),
+                    fp_lo.cast("long").alias("simhash_lo"))

@@ -1531,3 +1531,100 @@ def q_warp_average(spark, sf_dir):
                 else pd.DataFrame(columns=["xo", "yo", "val_r"])
 
     return out.mapInPandas(to_rows, px_schema)
+
+
+# =============================================================================
+# round 2: production-parameterized dedup family
+# =============================================================================
+
+def _minhash128_sql_parts():
+    perms, bands = textops.MINHASH128_PERMS, textops.MINHASH_BANDS
+    r = perms // bands
+    p = textops.MH_PRIME
+    sig_exprs = ", ".join(
+        f"min((h1 + {j} * h2) % {p}) AS sig{j}" for j in range(perms))
+    band_rows = ", ".join(
+        "({b}, md5({key}))".format(
+            b=b, key=" || '|' || ".join(
+                f"sig{j}::VARCHAR" for j in range(b * r, (b + 1) * r)))
+        for b in range(bands))
+    return f"""
+d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+d2 AS (SELECT doc_id, ws FROM d WHERE len(ws) >= 3),
+ix AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i
+       FROM d2),
+sh AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+       FROM ix),
+hp AS (SELECT doc_id,
+              ('0x' || substr(md5(sh), 1, 7))::BIGINT AS h1,
+              ('0x' || substr(md5(sh), 9, 7))::BIGINT AS h2 FROM sh),
+sig AS (SELECT doc_id, {sig_exprs} FROM hp GROUP BY doc_id),
+bk AS (SELECT doc_id, b.band, b.key
+       FROM sig, LATERAL (VALUES {band_rows}) AS b(band, key))
+"""
+
+
+@_reg("minhash128_bands", f"""
+WITH {_minhash128_sql_parts()}
+SELECT doc_id, CAST(band AS INTEGER) AS band, key FROM bk
+""")
+def q_minhash128_bands(spark, sf_dir):
+    """Production-parameterized MinHash: 128 permutations via the
+    (h1 + j*h2) mod p universal-hash trick, banded 16x8 — every (doc, band)
+    LSH key hash-pinned against the same arithmetic in DuckDB."""
+    return textops.minhash_band_keys(_t(spark, sf_dir, "documents"))
+
+
+@_reg("minhash_cc_clusters", f"""
+WITH RECURSIVE {_minhash128_sql_parts().strip().rstrip()},
+e AS (SELECT a.doc_id AS s, b.doc_id AS d
+      FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key
+      WHERE a.doc_id <> b.doc_id),
+reach AS (SELECT doc_id AS s, doc_id AS d FROM documents
+          UNION
+          SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s),
+comp AS (SELECT s, min(d) AS cluster FROM reach GROUP BY s)
+SELECT cluster, CAST(count(*) AS BIGINT) AS n_docs FROM comp GROUP BY cluster
+""")
+def q_minhash_cc_clusters(spark, sf_dir):
+    """Cross-band cluster merge: connected components over the shared-band
+    graph via distributed min-label propagation (docs sharing ANY of the 16
+    band keys merge). The oracle is an independent formulation — recursive-
+    CTE transitive closure."""
+    return textops.minhash_cc_clusters(_t(spark, sf_dir, "documents"))
+
+
+def _simhash64_sql():
+    sums = ", ".join(
+        [f"SUM((((hh >> {b}) & 1) * 2 - 1)) AS a{b}" for b in range(32)]
+        + [f"SUM((((hl >> {b}) & 1) * 2 - 1)) AS b{b}" for b in range(32)])
+    fp_hi = " + ".join(
+        f"(CASE WHEN a{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(32))
+    fp_lo = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(32))
+    return f"""
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+h AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT AS hh,
+                     ('0x' || substr(md5(w), 9, 8))::BIGINT AS hl FROM w),
+s AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id)
+SELECT doc_id, CAST({fp_hi} AS BIGINT) AS simhash_hi,
+       CAST({fp_lo} AS BIGINT) AS simhash_lo FROM s
+"""
+
+
+@_reg("simhash64", _simhash64_sql())
+def q_simhash64(spark, sf_dir):
+    """64-bit SimHash (production width) as two 32-bit words — signed-
+    overflow-free in every engine; same majority-vote arithmetic as the
+    16-bit demo, hash-pinned bit for bit."""
+    return textops.simhash64(_t(spark, sf_dir, "documents"))
+
+
+@_reg("embed_neardup_lsh_salted", _neardup_lsh_sql())
+def q_embed_neardup_lsh_salted(spark, sf_dir):
+    """The SALTED hot-bucket path of neardup_lsh (salt=4, hot_threshold=1 so
+    every bucket salts): the triangle self-join must return EXACTLY the
+    pairs of the plain bucket join — same oracle as embed_neardup_lsh."""
+    out = simsearch.neardup_lsh(_t(spark, sf_dir, "embeddings"),
+                                threshold=0.2, salt=4, hot_threshold=1)
+    return out.select("a_id", "b_id", F.round("cos", 6).alias("cos_r"))

@@ -20,20 +20,17 @@ _D2R = np.pi / 180.0
 
 
 def transform(src_crs: str, dst_crs: str, x, y):
-    """Vectorized CRS transform. Supported: 'EPSG:4326', 'EPSG:3857'."""
+    """Vectorized CRS transform, chained through EPSG:4326 (the transformer
+    chain of alg/gdaltransformer.cpp:1348). Supported: 'EPSG:4326',
+    'EPSG:3857' (spherical mercator), 'EPSG:326xx'/'EPSG:327xx' (UTM
+    north/south, ellipsoidal Krueger-series Transverse Mercator),
+    'EPSG:3035' (LAEA Europe) and generic 'LAEA:lon0,lat0'."""
     x = np.asarray(x, dtype=np.float64)
     y = np.asarray(y, dtype=np.float64)
     if src_crs == dst_crs:
         return x, y
-    if (src_crs, dst_crs) == ("EPSG:4326", "EPSG:3857"):
-        mx = EARTH_RADIUS * x * _D2R
-        my = EARTH_RADIUS * np.log(np.tan(np.pi / 4.0 + y * _D2R / 2.0))
-        return mx, my
-    if (src_crs, dst_crs) == ("EPSG:3857", "EPSG:4326"):
-        lon = x / (EARTH_RADIUS * _D2R)
-        lat = (2.0 * np.arctan(np.exp(y / EARTH_RADIUS)) - np.pi / 2.0) / _D2R
-        return lon, lat
-    raise ValueError(f"unsupported CRS pair {src_crs} -> {dst_crs}")
+    lon, lat = _to_4326(src_crs, x, y)
+    return _from_4326(dst_crs, lon, lat)
 
 
 def approx_mesh(src_crs: str, dst_crs: str, xs: np.ndarray, ys: np.ndarray,
@@ -81,3 +78,217 @@ def approx_mesh(src_crs: str, dst_crs: str, xs: np.ndarray, ys: np.ndarray,
             tx[sl], ty[sl] = transform(src_crs, dst_crs, xs[sl], ys[sl])
             n_exact += (sl.stop - sl.start) * W
     return tx, ty, n_exact, H * W
+
+
+# ---------------------------------------------------------------------------
+# ellipsoidal CRS support beyond the spherical-mercator pair
+# (reference chains arbitrary PROJ CTs at alg/gdaltransformer.cpp:1348;
+#  pyproj is unavailable in this environment, so the two workhorse families
+#  are implemented from the public formulas: Transverse Mercator via the
+#  6th-order Krueger series [Krueger 1912; Karney, J. Geodesy 2011] and
+#  Lambert Azimuthal Equal-Area via the authalic-latitude form
+#  [Snyder, Map Projections: A Working Manual, USGS PP 1395, 1987])
+# ---------------------------------------------------------------------------
+
+_WGS84_A = 6378137.0
+_WGS84_F = 1.0 / 298.257223563
+_E2 = _WGS84_F * (2.0 - _WGS84_F)
+_E = np.sqrt(_E2)
+_N = _WGS84_F / (2.0 - _WGS84_F)
+
+# Krueger series coefficients (6th order in n) — public series
+_A_BAR = _WGS84_A / (1 + _N) * (1 + _N ** 2 / 4 + _N ** 4 / 64
+                                + _N ** 6 / 256)
+_ALPHA = [
+    _N / 2 - 2 * _N ** 2 / 3 + 5 * _N ** 3 / 16 + 41 * _N ** 4 / 180
+    - 127 * _N ** 5 / 288 + 7891 * _N ** 6 / 37800,
+    13 * _N ** 2 / 48 - 3 * _N ** 3 / 5 + 557 * _N ** 4 / 1440
+    + 281 * _N ** 5 / 630 - 1983433 * _N ** 6 / 1935360,
+    61 * _N ** 3 / 240 - 103 * _N ** 4 / 140 + 15061 * _N ** 5 / 26880
+    + 167603 * _N ** 6 / 181440,
+    49561 * _N ** 4 / 161280 - 179 * _N ** 5 / 168
+    + 6601661 * _N ** 6 / 7257600,
+    34729 * _N ** 5 / 80640 - 3418889 * _N ** 6 / 1995840,
+    212378941 * _N ** 6 / 319334400,
+]
+_BETA = [
+    _N / 2 - 2 * _N ** 2 / 3 + 37 * _N ** 3 / 96 - _N ** 4 / 360
+    - 81 * _N ** 5 / 512 + 96199 * _N ** 6 / 604800,
+    _N ** 2 / 48 + _N ** 3 / 15 - 437 * _N ** 4 / 1440
+    + 46 * _N ** 5 / 105 - 1118711 * _N ** 6 / 3870720,
+    17 * _N ** 3 / 480 - 37 * _N ** 4 / 840 - 209 * _N ** 5 / 4480
+    + 5569 * _N ** 6 / 90720,
+    4397 * _N ** 4 / 161280 - 11 * _N ** 5 / 504
+    - 830251 * _N ** 6 / 7257600,
+    4583 * _N ** 5 / 161280 - 108847 * _N ** 6 / 3991680,
+    20648693 * _N ** 6 / 638668800,
+]
+_TM_K0 = 0.9996
+
+
+def tm_forward(lon, lat, lon0: float, k0: float = _TM_K0,
+               fe: float = 500000.0, fn: float = 0.0):
+    """Ellipsoidal Transverse Mercator forward (Krueger series, ~nm
+    accuracy within a UTM zone)."""
+    lam = (np.asarray(lon, dtype=np.float64) - lon0) * _D2R
+    phi = np.asarray(lat, dtype=np.float64) * _D2R
+    sphi = np.sin(phi)
+    # conformal latitude tangent
+    t = np.sinh(np.arctanh(sphi) - _E * np.arctanh(_E * sphi))
+    xi_p = np.arctan2(t, np.cos(lam))
+    eta_p = np.arcsinh(np.sin(lam) / np.sqrt(t * t + np.cos(lam) ** 2))
+    xi = xi_p.copy()
+    eta = eta_p.copy()
+    for j, a in enumerate(_ALPHA, start=1):
+        xi = xi + a * np.sin(2 * j * xi_p) * np.cosh(2 * j * eta_p)
+        eta = eta + a * np.cos(2 * j * xi_p) * np.sinh(2 * j * eta_p)
+    return fe + k0 * _A_BAR * eta, fn + k0 * _A_BAR * xi
+
+
+def tm_inverse(x, y, lon0: float, k0: float = _TM_K0,
+               fe: float = 500000.0, fn: float = 0.0):
+    """Ellipsoidal Transverse Mercator inverse (Krueger series + Newton
+    iteration for the conformal-to-geodetic latitude)."""
+    eta = (np.asarray(x, dtype=np.float64) - fe) / (k0 * _A_BAR)
+    xi = (np.asarray(y, dtype=np.float64) - fn) / (k0 * _A_BAR)
+    xi_p = xi.copy()
+    eta_p = eta.copy()
+    for j, b in enumerate(_BETA, start=1):
+        xi_p = xi_p - b * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
+        eta_p = eta_p - b * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
+    lam = np.arctan2(np.sinh(eta_p), np.cos(xi_p))
+    tau_p = np.sin(xi_p) / np.sqrt(np.sinh(eta_p) ** 2 + np.cos(xi_p) ** 2)
+    # Newton: solve tau (= tan phi) such that conformal tangent == tau_p
+    tau = tau_p.copy()
+    for _ in range(6):
+        sig = np.sinh(_E * np.arctanh(_E * tau / np.sqrt(1 + tau * tau)))
+        tau_i = tau * np.sqrt(1 + sig * sig) \
+            - sig * np.sqrt(1 + tau * tau)
+        dtau = (tau_p - tau_i) * (1 + (1 - _E2) * tau * tau) \
+            / ((1 - _E2) * np.sqrt((1 + tau_i * tau_i)
+                                   * (1 + tau * tau)))
+        tau = tau + dtau
+    phi = np.arctan(tau)
+    return lon0 + lam / _D2R, phi / _D2R
+
+
+def _authalic_q(sphi):
+    return (1 - _E2) * (sphi / (1 - _E2 * sphi * sphi)
+                        - np.log((1 - _E * sphi) / (1 + _E * sphi))
+                        / (2 * _E))
+
+
+_QP = float(_authalic_q(np.float64(1.0)))
+_RQ = _WGS84_A * np.sqrt(_QP / 2.0)
+
+
+def laea_forward(lon, lat, lon0: float, lat0: float,
+                 fe: float = 0.0, fn: float = 0.0):
+    """Ellipsoidal Lambert Azimuthal Equal-Area forward (Snyder 1987,
+    eqs. 24-2..24-14: authalic latitude on the authalic sphere)."""
+    lam = (np.asarray(lon, dtype=np.float64) - lon0) * _D2R
+    phi = np.asarray(lat, dtype=np.float64) * _D2R
+    q = _authalic_q(np.sin(phi))
+    beta = np.arcsin(np.clip(q / _QP, -1.0, 1.0))
+    q0 = _authalic_q(np.sin(lat0 * _D2R))
+    beta0 = np.arcsin(np.clip(q0 / _QP, -1.0, 1.0))
+    sb0, cb0 = np.sin(beta0), np.cos(beta0)
+    # Snyder's D: shape correction so the projection stays equal-area
+    m0 = np.cos(lat0 * _D2R) / np.sqrt(1 - _E2 * np.sin(lat0 * _D2R) ** 2)
+    d = _WGS84_A * m0 / (_RQ * cb0) if cb0 > 1e-12 else 1.0
+    denom = 1 + sb0 * np.sin(beta) + cb0 * np.cos(beta) * np.cos(lam)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        b = _RQ * np.sqrt(2.0 / denom)
+    x = fe + b * d * np.cos(beta) * np.sin(lam)
+    y = fn + (b / d) * (cb0 * np.sin(beta)
+                        - sb0 * np.cos(beta) * np.cos(lam))
+    return x, y
+
+
+def laea_inverse(x, y, lon0: float, lat0: float,
+                 fe: float = 0.0, fn: float = 0.0):
+    """Ellipsoidal LAEA inverse (Snyder 1987, eqs. 24-16..24-21 + the
+    authalic-to-geodetic latitude series 3-18)."""
+    xx = (np.asarray(x, dtype=np.float64) - fe)
+    yy = (np.asarray(y, dtype=np.float64) - fn)
+    q0 = _authalic_q(np.sin(lat0 * _D2R))
+    beta0 = np.arcsin(np.clip(q0 / _QP, -1.0, 1.0))
+    sb0, cb0 = np.sin(beta0), np.cos(beta0)
+    m0 = np.cos(lat0 * _D2R) / np.sqrt(1 - _E2 * np.sin(lat0 * _D2R) ** 2)
+    d = _WGS84_A * m0 / (_RQ * cb0) if cb0 > 1e-12 else 1.0
+    rho = np.sqrt((xx / d) ** 2 + (d * yy) ** 2)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ce = 2 * np.arcsin(np.clip(rho / (2 * _RQ), -1.0, 1.0))
+        sce, cce = np.sin(ce), np.cos(ce)
+        beta = np.where(
+            rho > 1e-12,
+            np.arcsin(np.clip(cce * sb0 + (d * yy * sce * cb0)
+                              / np.where(rho == 0, 1.0, rho), -1, 1)),
+            beta0)
+        lam = np.arctan2(xx * sce,
+                         d * rho * cb0 * cce - d * d * yy * sb0 * sce)
+    # authalic -> geodetic latitude (Snyder 3-18 series)
+    e2, e4, e6 = _E2, _E2 ** 2, _E2 ** 3
+    phi = beta + (e2 / 3 + 31 * e4 / 180 + 517 * e6 / 5040) \
+        * np.sin(2 * beta) \
+        + (23 * e4 / 360 + 251 * e6 / 3780) * np.sin(4 * beta) \
+        + (761 * e6 / 45360) * np.sin(6 * beta)
+    return lon0 + lam / _D2R, phi / _D2R
+
+
+def _parse_crs(crs: str):
+    """-> ('4326'|'3857'|('utm', lon0, south)|('laea', lon0, lat0, fe, fn))"""
+    if crs == "EPSG:4326":
+        return "4326"
+    if crs == "EPSG:3857":
+        return "3857"
+    if crs.startswith("EPSG:326") and len(crs) == 10:
+        zone = int(crs[8:])
+        if 1 <= zone <= 60:
+            return ("utm", -183.0 + 6.0 * zone, False)
+    if crs.startswith("EPSG:327") and len(crs) == 10:
+        zone = int(crs[8:])
+        if 1 <= zone <= 60:
+            return ("utm", -183.0 + 6.0 * zone, True)
+    if crs == "EPSG:3035":        # ETRS89-extended / LAEA Europe
+        return ("laea", 10.0, 52.0, 4321000.0, 3210000.0)
+    if crs.startswith("LAEA:"):   # generic: LAEA:lon0,lat0
+        lon0, lat0 = (float(v) for v in crs[5:].split(","))
+        return ("laea", lon0, lat0, 0.0, 0.0)
+    return None
+
+
+def _to_4326(crs, x, y):
+    kind = _parse_crs(crs)
+    if kind == "4326":
+        return np.asarray(x, np.float64), np.asarray(y, np.float64)
+    if kind == "3857":
+        lon = np.asarray(x, np.float64) / (EARTH_RADIUS * _D2R)
+        lat = (2.0 * np.arctan(np.exp(np.asarray(y, np.float64)
+                                      / EARTH_RADIUS)) - np.pi / 2.0) / _D2R
+        return lon, lat
+    if isinstance(kind, tuple) and kind[0] == "utm":
+        _, lon0, south = kind
+        return tm_inverse(x, y, lon0, fn=10000000.0 if south else 0.0)
+    if isinstance(kind, tuple) and kind[0] == "laea":
+        _, lon0, lat0, fe, fn = kind
+        return laea_inverse(x, y, lon0, lat0, fe, fn)
+    raise ValueError(f"unsupported CRS {crs}")
+
+
+def _from_4326(crs, lon, lat):
+    kind = _parse_crs(crs)
+    if kind == "4326":
+        return np.asarray(lon, np.float64), np.asarray(lat, np.float64)
+    if kind == "3857":
+        mx = EARTH_RADIUS * np.asarray(lon, np.float64) * _D2R
+        my = EARTH_RADIUS * np.log(np.tan(
+            np.pi / 4.0 + np.asarray(lat, np.float64) * _D2R / 2.0))
+        return mx, my
+    if isinstance(kind, tuple) and kind[0] == "utm":
+        _, lon0, south = kind
+        return tm_forward(lon, lat, lon0, fn=10000000.0 if south else 0.0)
+    if isinstance(kind, tuple) and kind[0] == "laea":
+        _, lon0, lat0, fe, fn = kind
+        return laea_forward(lon, lat, lon0, lat0, fe, fn)
+    raise ValueError(f"unsupported CRS {crs}")
