@@ -355,3 +355,219 @@ def polygonize(tiles_df: DataFrame, tile: int = 256,
                 F.max("px_xmax").alias("px_xmax"),
                 F.max("px_ymax").alias("px_ymax")))
     return out
+
+
+# ---------------------------------------------------------------------------
+# ring tracing: polygonize with TRACED BOUNDARY POLYGONS
+# (alg/polygonize_polygonizer.cpp — the reference emits one polygon with
+#  holes per connected component; here the distributed contract is a
+#  per-tile boundary-edge table, and ring assembly runs ONE TASK PER
+#  COMPONENT in applyInPandas — sequential only along each component's own
+#  boundary, exactly the part that is inherently sequential)
+# ---------------------------------------------------------------------------
+
+_RSEG_SCHEMA = T.StructType([
+    T.StructField("band", T.IntegerType()),
+    T.StructField("zoom", T.IntegerType()),
+    T.StructField("node", T.LongType()),
+    T.StructField("x0", T.LongType()),
+    T.StructField("y0", T.LongType()),
+    T.StructField("x1", T.LongType()),
+    T.StructField("y1", T.LongType()),
+])
+
+_POLY_SCHEMA = T.StructType([
+    T.StructField("comp_id", T.LongType()),
+    T.StructField("band", T.IntegerType()),
+    T.StructField("zoom", T.IntegerType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("geom", T.BinaryType()),
+])
+
+
+def boundary_segments(tiles_df: DataFrame, tile: int = 256,
+                      nodata: float | None = None) -> DataFrame:
+    """Per-pixel boundary edges of every tile-local component, in global
+    pixel coords, directed with the component interior on the LEFT
+    (exterior rings assemble CCW by shoelace, holes CW). Pixel (x, y)
+    covers the unit square [x, x+1] x [y, y+1].
+
+    Halo exchange supplies neighbor-tile values, so an edge between equal
+    values across a tile seam is correctly NOT a boundary; absent
+    neighbors (raster border / unmaterialized tiles) are boundaries."""
+    from .dem import _HALO_SCHEMA, _assemble_padded, _emit_halo
+
+    halo = tiles_df.mapInPandas(lambda it: _emit_halo(it, tile),
+                                _HALO_SCHEMA)
+
+    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pad = _assemble_padded(pdf, tile)
+        cols = [f.name for f in _RSEG_SCHEMA.fields]
+        if pad is None:
+            return pd.DataFrame(columns=cols)
+        band, zoom, tx, ty = (int(key[0]), int(key[1]),
+                              int(key[2]), int(key[3]))
+        got = {(-int(r.dx), -int(r.dy)) for r in pdf.itertuples()}
+        pvalid = np.ones_like(pad, dtype=bool)
+        if nodata is not None and not np.isnan(nodata):
+            pvalid = pad != nodata
+        # absent halo sides are OUTSIDE the raster -> always boundary
+        if (0, -1) not in got:
+            pvalid[0, :] = False
+        if (0, 1) not in got:
+            pvalid[-1, :] = False
+        if (-1, 0) not in got:
+            pvalid[:, 0] = False
+        if (1, 0) not in got:
+            pvalid[:, -1] = False
+        for cx in (-1, 1):
+            for cy in (-1, 1):
+                if (cx, cy) not in got:
+                    pvalid[0 if cy == -1 else -1, 0 if cx == -1 else -1] \
+                        = False
+        core = pad[1:-1, 1:-1]
+        cvalid = pvalid[1:-1, 1:-1]
+        lbl = _label_tile(core, cvalid, 4)
+        base = _node_base(tx, ty, tile)
+        gx0, gy0 = tx * tile, ty * tile
+        rows = []
+        # (neighbor offset in padded coords, edge endpoints as fn of (x,y))
+        dirs = [
+            ((0, -1), lambda x, y: (x, y, x + 1, y)),          # top nbr
+            ((0, 1), lambda x, y: (x + 1, y + 1, x, y + 1)),   # bottom nbr
+            ((-1, 0), lambda x, y: (x, y + 1, x, y)),          # left nbr
+            ((1, 0), lambda x, y: (x + 1, y, x + 1, y + 1)),   # right nbr
+        ]
+        for (dx, dy), seg in dirs:
+            nb_v = pad[1 + dy:tile + 1 + dy, 1 + dx:tile + 1 + dx]
+            nb_ok = pvalid[1 + dy:tile + 1 + dy, 1 + dx:tile + 1 + dx]
+            boundary = (lbl >= 0) & ~(nb_ok & (nb_v == core))
+            ys, xs = np.nonzero(boundary)
+            if not len(ys):
+                continue
+            nodes = base + lbl[ys, xs]
+            x0, y0, x1, y1 = seg(gx0 + xs, gy0 + ys)
+            rows.append(pd.DataFrame({
+                "band": band, "zoom": zoom, "node": nodes,
+                "x0": x0, "y0": y0, "x1": x1, "y1": y1}))
+        if not rows:
+            return pd.DataFrame(columns=cols)
+        return pd.concat(rows)[cols]
+
+    return halo.groupBy("band", "zoom", "tile_x", "tile_y") \
+        .applyInPandas(build, _RSEG_SCHEMA)
+
+
+def _assemble_rings(x0, y0, x1, y1):
+    """Link unit boundary edges into closed rings. Integer lattice, exact
+    keys. At pinch vertices (degree 4) the walk takes the most-clockwise
+    continuation, which keeps diagonally-touching parts of a 4-connected
+    component as separate ring excursions (the CONNECTED=4 contract)."""
+    n = len(x0)
+    outgoing: dict = {}
+    for i in range(n):
+        outgoing.setdefault((int(x0[i]), int(y0[i])), []).append(i)
+    used = np.zeros(n, dtype=bool)
+    rings = []
+    for start in range(n):
+        if used[start]:
+            continue
+        ring = [(int(x0[start]), int(y0[start]))]
+        cur = start
+        while True:
+            used[cur] = True
+            outgoing[(int(x0[cur]), int(y0[cur]))].remove(cur)
+            end = (int(x1[cur]), int(y1[cur]))
+            ring.append(end)
+            if end == ring[0]:
+                break
+            cands = [j for j in outgoing.get(end, []) if not used[j]]
+            if not cands:
+                break                      # open chain: drop (shouldn't happen)
+            if len(cands) == 1:
+                cur = cands[0]
+            else:
+                din = (int(x1[cur]) - int(x0[cur]),
+                       int(y1[cur]) - int(y0[cur]))
+
+                def cw_turn(j):
+                    d = (int(x1[j]) - int(x0[j]), int(y1[j]) - int(y0[j]))
+                    # cross<0 = right(cw) turn, cross>0 = left; prefer the
+                    # sharpest clockwise turn
+                    cross = din[0] * d[1] - din[1] * d[0]
+                    dotp = din[0] * d[0] + din[1] * d[1]
+                    return np.arctan2(cross, dotp)
+
+                cur = min(cands, key=cw_turn)
+        if len(ring) >= 5 and ring[-1] == ring[0]:
+            rings.append(np.array(ring, dtype=np.float64))
+    return rings
+
+
+def _dedup_collinear_int(ring: np.ndarray) -> np.ndarray:
+    pts = ring[:-1]
+    prev = np.roll(pts, 1, axis=0)
+    nxt = np.roll(pts, -1, axis=0)
+    cross = ((pts[:, 0] - prev[:, 0]) * (nxt[:, 1] - prev[:, 1])
+             - (pts[:, 1] - prev[:, 1]) * (nxt[:, 0] - prev[:, 0]))
+    pts = pts[cross != 0]
+    return np.vstack([pts, pts[:1]]) if len(pts) >= 3 else np.empty((0, 2))
+
+
+def polygonize_polygons(tiles_df: DataFrame, tile: int = 256,
+                        nodata: float | None = None,
+                        driver_merge_threshold: int = 4_000_000) -> DataFrame:
+    """Full polygonize with traced rings: (comp_id, band, zoom, value,
+    geom WKB POLYGON-with-holes in global pixel coords). 4-connectivity
+    (the reference default; CONNECTED=8 rings would need diagonal steps).
+
+    Pipeline: per-tile boundary edges (halo-correct across seams)
+    -> node->component resolution (same machinery as polygonize())
+    -> groupBy(component) ring assembly. Each component's rings build in
+    one task; components are the natural parallel unit, and only a
+    pathological continent-sized component serializes."""
+    from ..core import wkb as _wkb
+
+    spark = tiles_df.sparkSession
+    comp, strips = tile_components(tiles_df, tile, 4)
+    pairs = adjacency_pairs(strips, tile, 4).localCheckpoint()
+    mapping = _union_find_pdf(
+        [(r.node, r.node2) for r in pairs.toLocalIterator()])
+    if len(mapping):
+        lbl = F.broadcast(spark.createDataFrame(mapping))
+        comp = comp.join(lbl, "node", "left") \
+            .withColumn("comp", F.coalesce("comp", F.col("node")))
+    else:
+        comp = comp.withColumn("comp", F.col("node"))
+    node2comp = comp.select("node", "comp")
+
+    segs = boundary_segments(tiles_df, tile, nodata) \
+        .join(node2comp, "node") \
+        .select("band", "zoom", F.col("comp"), "x0", "y0", "x1", "y1")
+    vals = comp.groupBy("comp").agg(F.first("value").alias("value"))
+    segs = segs.join(F.broadcast(vals), "comp")
+
+    def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        comp_id = int(key[0])
+        rings = _assemble_rings(pdf["x0"].values, pdf["y0"].values,
+                                pdf["x1"].values, pdf["y1"].values)
+        rings = [r for r in (_dedup_collinear_int(r) for r in rings)
+                 if len(r)]
+        if not rings:
+            return pd.DataFrame(columns=[f.name for f in
+                                         _POLY_SCHEMA.fields])
+
+        def area(r):
+            x, y = r[:, 0], r[:, 1]
+            return 0.5 * (np.dot(x[:-1], y[1:]) - np.dot(x[1:], y[:-1]))
+
+        shells = [r for r in rings if area(r) > 0]
+        holes = [r for r in rings if area(r) < 0]
+        ext = max(shells, key=lambda r: abs(area(r)))
+        geom = _wkb.encode(_wkb.Geom(_wkb.POLYGON, [ext] + holes))
+        return pd.DataFrame([(comp_id, int(pdf.iloc[0]["band"]),
+                              int(pdf.iloc[0]["zoom"]),
+                              float(pdf.iloc[0]["value"]), geom)],
+                            columns=[f.name for f in _POLY_SCHEMA.fields])
+
+    return segs.groupBy("comp").applyInPandas(assemble, _POLY_SCHEMA)
