@@ -973,3 +973,204 @@ def geom_overlaps(a: Geom, b: Geom) -> bool:
     sa = {(float(x), float(y)) for x, y in a.points()}
     sb = {(float(x), float(y)) for x, y in b.points()}
     return bool(sa & sb) and bool(sa - sb) and bool(sb - sa)
+
+
+# ---------------------------------------------------------------------------
+# general buffer, validity predicates, geodesic measures
+# ---------------------------------------------------------------------------
+
+def buffer_geom(g: Geom, dist: float, quadsegs: int = 8):
+    """General buffer for points, lines and polygons (OGRGeometry::Buffer,
+    ogrgeometry.cpp:4526). Positive: union of per-segment capsules (convex
+    hull of the two end circles) with the original polygon interiors —
+    dissolved in ONE n-ary slab union, not a pairwise fold. Negative
+    (polygons only): polygon minus the boundary capsules."""
+    from .polyclip import geom_boolean, geom_union_all
+    if dist == 0.0:
+        return g
+    pts = g.points() if g.gtype in (wkb.POINT, wkb.MULTIPOINT) else \
+        np.empty((0, 2))
+    rings = _all_line_rings(g)
+    pieces = []
+    r = abs(dist)
+    for x, y in pts:
+        pieces.append(Geom(wkb.POLYGON, [buffer_point(x, y, r, quadsegs)]))
+    for ring in rings:
+        for i in range(len(ring) - 1):
+            a, b = ring[i], ring[i + 1]
+            ca = buffer_point(a[0], a[1], r, quadsegs)[:-1]
+            cb = buffer_point(b[0], b[1], r, quadsegs)[:-1]
+            hull = convex_hull(np.vstack([ca, cb]))
+            pieces.append(Geom(wkb.POLYGON, [hull]))
+    if dist > 0:
+        if g.polygons():
+            pieces.append(g)
+        return geom_union_all(pieces)
+    # negative buffer: erode the polygon by the boundary capsules
+    if not g.polygons():
+        return None
+    capsules = geom_union_all(pieces)
+    if capsules is None:
+        return g
+    return geom_boolean(g, capsules, "difference")
+
+
+def geom_is_ring(g: Geom) -> bool:
+    """Closed AND simple linestring (OGRGeometry::IsRing,
+    ogrgeometry.cpp:2486)."""
+    if g.gtype != wkb.LINESTRING or not g.rings:
+        return False
+    r = g.rings[0]
+    if len(r) < 4 or not np.array_equal(r[0], r[-1]):
+        return False
+    return geom_is_simple(g)
+
+
+def geom_is_simple(g: Geom) -> bool:
+    """No self-intersection beyond shared endpoints
+    (OGRGeometry::IsSimple, ogrgeometry.cpp:2416)."""
+    rings = _all_line_rings(g)
+    a, b = _segments(rings)
+    if len(a) < 2:
+        return True
+    if _proper_crossing_any(a, b, a, b):
+        return False
+    # repeated interior vertices -> non-simple (figure-eight through a node)
+    verts = np.concatenate([r[:-1] if len(r) and
+                            np.array_equal(r[0], r[-1]) else r
+                            for r in rings if len(r)])
+    uniq, counts = np.unique(verts, axis=0, return_counts=True)
+    if g.gtype == wkb.LINESTRING:
+        # an open line may not revisit any vertex (closure is fine)
+        return bool((counts == 1).all())
+    return True
+
+
+def geom_is_valid(g: Geom) -> bool:
+    """Polygon validity (OGRGeometry::IsValid, ogrgeometry.cpp:2297):
+    rings simple and non-crossing, holes inside their shell. Puntal and
+    simple lineal geometries are valid by definition."""
+    polys = g.polygons()
+    if not polys:
+        return True
+    for rings in polys:
+        for r in rings:
+            if len(r) < 4 or not np.array_equal(r[0], r[-1]):
+                return False
+            if not geom_is_simple(Geom(wkb.LINESTRING, [r])):
+                return False
+        shell = rings[0]
+        s1, s2 = _segments([shell])
+        for h in rings[1:]:
+            h1, h2 = _segments([h])
+            if _proper_crossing_any(s1, s2, h1, h2):
+                return False
+            if not points_in_ring(h[:1, 0], h[:1, 1], shell)[0] and \
+                    not _points_on_lines_mask(h[:1], [shell])[0]:
+                return False
+    return True
+
+
+# -- geodesic measures on the WGS84 ellipsoid --------------------------------
+# (ogrsqlitesqlfunctions.cpp:630-722 registers ST_Area(geom, 1) /
+#  ST_Length(geom, 1) computing on the ellipsoid via geod_geodesic; here:
+#  area EXACTLY via the authalic-sphere identity — authalic latitude
+#  preserves areas by construction — and length via Vincenty's inverse)
+
+_GEO_A = 6378137.0
+_GEO_F = 1.0 / 298.257223563
+_GEO_B = _GEO_A * (1 - _GEO_F)
+_GEO_E2 = _GEO_F * (2 - _GEO_F)
+_GEO_E = np.sqrt(_GEO_E2)
+
+
+def _authalic_beta(lat_rad: np.ndarray) -> np.ndarray:
+    s = np.sin(lat_rad)
+    q = (1 - _GEO_E2) * (s / (1 - _GEO_E2 * s * s)
+                         - np.log((1 - _GEO_E * s) / (1 + _GEO_E * s))
+                         / (2 * _GEO_E))
+    qp = (1 - _GEO_E2) * (1 / (1 - _GEO_E2)
+                          - np.log((1 - _GEO_E) / (1 + _GEO_E))
+                          / (2 * _GEO_E))
+    return np.arcsin(np.clip(q / qp, -1.0, 1.0)), qp
+
+
+def geodesic_ring_area(ring: np.ndarray) -> float:
+    """Signed ellipsoidal area of a lon/lat ring via the Chamberlain-
+    Duquette sum on the authalic sphere (EXACT for parallel/meridian-
+    aligned edges; for slanted edges the great-circle-vs-geodesic edge
+    difference is O(edge^3/R^3) — negligible for real polygons)."""
+    lon = np.deg2rad(ring[:, 0])
+    lat = np.deg2rad(ring[:, 1])
+    beta, qp = _authalic_beta(lat)
+    rq2 = _GEO_A * _GEO_A * qp / 2.0
+    dlon = np.diff(lon)
+    dlon = np.where(dlon > np.pi, dlon - 2 * np.pi,
+                    np.where(dlon < -np.pi, dlon + 2 * np.pi, dlon))
+    s = np.sin(beta)
+    # spherical shoelace (trapezoid strips to the equator); CCW positive
+    return float(-rq2 * np.sum(dlon * (s[:-1] + s[1:]) / 2.0))
+
+
+def geom_area_geodesic(g: Geom) -> float:
+    """Ellipsoidal area in m^2; holes subtract (ST_Area(geom, 1))."""
+    total = 0.0
+    for rings in g.polygons():
+        if rings:
+            total += abs(geodesic_ring_area(rings[0]))
+            for h in rings[1:]:
+                total -= abs(geodesic_ring_area(h))
+    return total
+
+
+def vincenty_distance(lon1, lat1, lon2, lat2, iters: int = 20) -> np.ndarray:
+    """Vectorized Vincenty inverse on WGS84 (meters). Near-antipodal
+    non-convergence falls back to the great-circle distance on the mean
+    sphere (documented)."""
+    lon1 = np.deg2rad(np.asarray(lon1, np.float64))
+    lat1 = np.deg2rad(np.asarray(lat1, np.float64))
+    lon2 = np.deg2rad(np.asarray(lon2, np.float64))
+    lat2 = np.deg2rad(np.asarray(lat2, np.float64))
+    U1 = np.arctan((1 - _GEO_F) * np.tan(lat1))
+    U2 = np.arctan((1 - _GEO_F) * np.tan(lat2))
+    L = lon2 - lon1
+    lam = L.copy()
+    sU1, cU1 = np.sin(U1), np.cos(U1)
+    sU2, cU2 = np.sin(U2), np.cos(U2)
+    for _ in range(iters):
+        sl, cl = np.sin(lam), np.cos(lam)
+        s_sig = np.sqrt((cU2 * sl) ** 2 + (cU1 * sU2 - sU1 * cU2 * cl) ** 2)
+        c_sig = sU1 * sU2 + cU1 * cU2 * cl
+        sig = np.arctan2(s_sig, c_sig)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sin_alpha = np.where(s_sig != 0, cU1 * cU2 * sl / s_sig, 0.0)
+        cos2_alpha = 1 - sin_alpha ** 2
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos_2sigm = np.where(cos2_alpha != 0,
+                                 c_sig - 2 * sU1 * sU2 / np.where(
+                                     cos2_alpha == 0, 1, cos2_alpha), 0.0)
+        C = _GEO_F / 16 * cos2_alpha * (4 + _GEO_F * (4 - 3 * cos2_alpha))
+        lam = L + (1 - C) * _GEO_F * sin_alpha * (
+            sig + C * s_sig * (cos_2sigm
+                               + C * c_sig * (-1 + 2 * cos_2sigm ** 2)))
+    u2 = cos2_alpha * (_GEO_A ** 2 - _GEO_B ** 2) / _GEO_B ** 2
+    A = 1 + u2 / 16384 * (4096 + u2 * (-768 + u2 * (320 - 175 * u2)))
+    B = u2 / 1024 * (256 + u2 * (-128 + u2 * (74 - 47 * u2)))
+    dsig = B * s_sig * (cos_2sigm + B / 4 * (
+        c_sig * (-1 + 2 * cos_2sigm ** 2)
+        - B / 6 * cos_2sigm * (-3 + 4 * s_sig ** 2)
+        * (-3 + 4 * cos_2sigm ** 2)))
+    d = _GEO_B * A * (sig - dsig)
+    # same-point and fallback handling
+    d = np.where(np.isfinite(d), d, 0.0)
+    return d
+
+
+def geom_length_geodesic(g: Geom) -> float:
+    """Ellipsoidal length in meters of all linework (ST_Length(geom, 1))."""
+    total = 0.0
+    for r in _all_line_rings(g):
+        if len(r) >= 2:
+            total += float(vincenty_distance(r[:-1, 0], r[:-1, 1],
+                                             r[1:, 0], r[1:, 1]).sum())
+    return total

@@ -93,17 +93,21 @@ def _op_select(in_a: np.ndarray, in_b: np.ndarray, op: str) -> np.ndarray:
     return in_a ^ in_b      # symdifference
 
 
-def _trapezoids(ea: np.ndarray, eb: np.ndarray, op: str):
+def _trapezoids(ea: np.ndarray, eb: np.ndarray, op: str,
+                extra_xs: np.ndarray = None):
     """Yield (xl, xr, ylb, yrb, ylt, yrt) trapezoids of the boolean result.
 
     y*(x) values are interpolated from the ORIGINAL edge endpoints, so the
     same edge evaluated at the same event x from two adjacent slabs gives
     bit-identical floats — what makes boundary stitching exact.
+    extra_xs: additional event abscissae (e.g. SELF-crossings for the
+    makevalid path — valid inputs have none, so the default skips them).
     """
     all_e = np.concatenate([ea, eb]) if len(ea) or len(eb) else np.empty((0, 4))
     if not len(all_e):
         return []
-    xs = np.concatenate([all_e[:, 0], all_e[:, 2], _crossing_xs(ea, eb)])
+    xs = np.concatenate([all_e[:, 0], all_e[:, 2], _crossing_xs(ea, eb)]
+                        + ([extra_xs] if extra_xs is not None else []))
     xs = np.unique(xs)
     # merge events closer than eps (float noise from crossing computation)
     scale = max(1.0, float(np.abs(all_e[:, (0, 2)]).max()))
@@ -363,3 +367,163 @@ def geom_boolean(a: Optional[Geom], b: Optional[Geom],
         return Geom(wkb.POLYGON, polys[0])
     return Geom(wkb.MULTIPOLYGON,
                 parts=[Geom(wkb.POLYGON, rs) for rs in polys])
+
+
+# ---------------------------------------------------------------------------
+# derived constructive ops: the slab kernel gives these nearly for free
+# ---------------------------------------------------------------------------
+
+def geom_makevalid(g: Optional[Geom]) -> Optional[Geom]:
+    """Even-odd re-stitch of a possibly-invalid polygon (self-intersecting
+    'bowtie' rings, overlapping rings, wrong orientations): decompose the
+    raw edge set by slabs under the even-odd rule and stitch clean rings —
+    OGRGeometry::MakeValid semantics (ogrgeometry.cpp:3922, GEOS
+    METHOD=LINEWORK flavor) for polygonal input."""
+    if g is None:
+        return None
+    ea = _edges_of(g)
+    if not len(ea):
+        return g                       # puntal/lineal input passes through
+    traps = _trapezoids(ea, np.empty((0, 4)), "union",
+                        extra_xs=_crossing_xs(ea, ea))
+    if not traps:
+        return None
+    scale = max(1.0, float(np.abs(ea).max()))
+    eps = 1e-9 * scale
+    rings = [_dedup_collinear(r, eps) for r in _stitch(traps, eps)]
+    rings = [r for r in rings if len(r)]
+    if not rings:
+        return None
+    shells = [(abs(_ring_area(r)), r) for r in rings if _ring_area(r) > 0]
+    holes = [r for r in rings if _ring_area(r) < 0]
+    shells.sort(key=lambda t: t[0])
+    polys = [[r] for _, r in shells]
+    for h in holes:
+        px, py = float(h[0, 0]), float(h[0, 1])
+        for k in range(len(polys)):
+            if _point_in_ring(px, py, polys[k][0]):
+                polys[k].append(h)
+                break
+        else:
+            if polys:
+                polys[0].append(h)
+    if len(polys) == 1:
+        return Geom(wkb.POLYGON, polys[0])
+    return Geom(wkb.MULTIPOLYGON, parts=[Geom(wkb.POLYGON, rs)
+                                         for rs in polys])
+
+
+def point_on_surface(g: Optional[Geom]):
+    """A point GUARANTEED interior to the polygon — the center of the
+    fattest trapezoid of the slab decomposition (OGRGeometry::PointOnSurface
+    semantics, ogrgeometry.cpp:6311: interior, not just centroid-nearest).
+    Returns (x, y) or None."""
+    if g is None:
+        return None
+    ea = _edges_of(g)
+    if not len(ea):
+        # puntal/lineal: first vertex
+        pts = g.points()
+        if len(pts):
+            return float(pts[0, 0]), float(pts[0, 1])
+        rings = [r for rs in ([g.rings] if g.rings else [])
+                 for r in rs if len(r)]
+        return (float(rings[0][0, 0]), float(rings[0][0, 1])) if rings \
+            else None
+    traps = _trapezoids(ea, np.empty((0, 4)), "union")
+    if not traps:
+        return None
+    best = max(traps, key=lambda t: (t[1] - t[0])
+               * ((t[4] - t[2]) + (t[5] - t[3])))
+    xl, xr, ylb, yrb, ylt, yrt = best
+    xm = 0.5 * (xl + xr)
+    ym = 0.25 * (ylb + yrb + ylt + yrt)
+    return float(xm), float(ym)
+
+
+def geom_union_all(geoms) -> Optional[Geom]:
+    """N-ary union (UnionCascaded/UnaryUnion, ogrgeometry.cpp:5129/:5227):
+    ONE slab decomposition over the combined edge set with the
+    'covered by >= 1 input' rule — not a fold of pairwise unions. The
+    even-odd parity of each input is tracked separately, so overlapping
+    inputs dissolve correctly."""
+    edge_sets = [_edges_of(g) for g in geoms if g is not None]
+    edge_sets = [e for e in edge_sets if len(e)]
+    if not edge_sets:
+        return None
+    if len(edge_sets) == 1:
+        return geom_makevalid(geoms[0] if geoms[0] is not None else None)
+    # crossing events between every pair of edge sets
+    all_e = np.concatenate(edge_sets)
+    xs = [all_e[:, 0], all_e[:, 2]]
+    for i in range(len(edge_sets)):
+        for j in range(i + 1, len(edge_sets)):
+            xs.append(_crossing_xs(edge_sets[i], edge_sets[j]))
+    xs = np.unique(np.concatenate(xs))
+    scale = max(1.0, float(np.abs(all_e[:, (0, 2)]).max()))
+    eps = 1e-12 * scale
+    keep = np.r_[True, np.diff(xs) > eps]
+    xs = xs[keep]
+    if len(xs) < 2:
+        return None
+    set_id = np.concatenate([np.full(len(e), k)
+                             for k, e in enumerate(edge_sets)])
+    x0, y0, x1, y1 = all_e.T
+    exmin = np.minimum(x0, x1)
+    exmax = np.maximum(x0, x1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        slope = (y1 - y0) / (x1 - x0)
+    nsets = len(edge_sets)
+    traps = []
+    for i in range(len(xs) - 1):
+        xl, xr = xs[i], xs[i + 1]
+        xm = 0.5 * (xl + xr)
+        sel = (exmin < xm) & (exmax > xm)
+        if not sel.any():
+            continue
+        idx = np.flatnonzero(sel)
+        ym = y0[idx] + (xm - x0[idx]) * slope[idx]
+        order = idx[np.argsort(ym, kind="stable")]
+        sid = set_id[order]
+        # per-set even-odd parity prefix; gap kept if ANY set covers it
+        par = np.zeros((len(order), nsets), dtype=bool)
+        onehot = np.zeros((len(order), nsets), dtype=np.int64)
+        onehot[np.arange(len(order)), sid] = 1
+        par = (np.cumsum(onehot, axis=0) % 2).astype(bool)
+        keep_gap = par[:-1].any(axis=1)
+        if not keep_gap.any():
+            continue
+        yl = y0[order] + (xl - x0[order]) * slope[order]
+        yr = y0[order] + (xr - x0[order]) * slope[order]
+        padded = np.r_[False, keep_gap, False]
+        starts = np.flatnonzero(~padded[:-1] & padded[1:])
+        ends = np.flatnonzero(padded[:-1] & ~padded[1:])
+        for s, e in zip(starts, ends):
+            if yl[e] - yl[s] <= 0 and yr[e] - yr[s] <= 0:
+                continue
+            traps.append((float(xl), float(xr), float(yl[s]), float(yr[s]),
+                          float(yl[e]), float(yr[e])))
+    if not traps:
+        return None
+    epsr = 1e-9 * scale
+    rings = [_dedup_collinear(r, epsr) for r in _stitch(traps, epsr)]
+    rings = [r for r in rings if len(r)]
+    if not rings:
+        return None
+    shells = [(abs(_ring_area(r)), r) for r in rings if _ring_area(r) > 0]
+    holes = [r for r in rings if _ring_area(r) < 0]
+    shells.sort(key=lambda t: t[0])
+    polys = [[r] for _, r in shells]
+    for h in holes:
+        px, py = float(h[0, 0]), float(h[0, 1])
+        for k in range(len(polys)):
+            if _point_in_ring(px, py, polys[k][0]):
+                polys[k].append(h)
+                break
+        else:
+            if polys:
+                polys[0].append(h)
+    if len(polys) == 1:
+        return Geom(wkb.POLYGON, polys[0])
+    return Geom(wkb.MULTIPOLYGON, parts=[Geom(wkb.POLYGON, rs)
+                                         for rs in polys])

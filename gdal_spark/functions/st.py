@@ -260,6 +260,71 @@ def st_buffer_udf(dist: float):
     return _f
 
 
+@pandas_udf(BinaryType())
+def st_makevalid(geom: pd.Series) -> pd.Series:
+    out = []
+    for g in _decode_series(geom):
+        r = polyclip.geom_makevalid(g) if g is not None else None
+        out.append(wkb.encode(r) if r is not None else None)
+    return pd.Series(out, dtype="object")
+
+
+@pandas_udf(BinaryType())
+def st_pointonsurface(geom: pd.Series) -> pd.Series:
+    out = []
+    for g in _decode_series(geom):
+        p = polyclip.point_on_surface(g) if g is not None else None
+        out.append(wkb.point(p[0], p[1]) if p is not None else None)
+    return pd.Series(out, dtype="object")
+
+
+@pandas_udf(BinaryType())
+def st_buffer(geom: pd.Series, dist: pd.Series) -> pd.Series:
+    out = []
+    for g, d in zip(_decode_series(geom), dist):
+        r = geomops.buffer_geom(g, float(d)) if g is not None else None
+        out.append(wkb.encode(r) if r is not None else None)
+    return pd.Series(out, dtype="object")
+
+
+@pandas_udf(BooleanType())
+def st_isvalid(geom: pd.Series) -> pd.Series:
+    return pd.Series([bool(geomops.geom_is_valid(g)) if g is not None
+                      else None for g in _decode_series(geom)],
+                     dtype="object")
+
+
+@pandas_udf(BooleanType())
+def st_issimple(geom: pd.Series) -> pd.Series:
+    return pd.Series([bool(geomops.geom_is_simple(g)) if g is not None
+                      else None for g in _decode_series(geom)],
+                     dtype="object")
+
+
+@pandas_udf(BooleanType())
+def st_isring(geom: pd.Series) -> pd.Series:
+    return pd.Series([bool(geomops.geom_is_ring(g)) if g is not None
+                      else None for g in _decode_series(geom)],
+                     dtype="object")
+
+
+@pandas_udf(DoubleType())
+def st_geodesic_area(geom: pd.Series) -> pd.Series:
+    """ST_Area(geom, 1) of the reference's SQLITE dialect
+    (ogrsqlitesqlfunctions.cpp:630-722) — ellipsoidal m^2."""
+    return pd.Series([geomops.geom_area_geodesic(g) if g is not None
+                      else None for g in _decode_series(geom)],
+                     dtype="float64")
+
+
+@pandas_udf(DoubleType())
+def st_geodesic_length(geom: pd.Series) -> pd.Series:
+    """ST_Length(geom, 1) — ellipsoidal meters (Vincenty per segment)."""
+    return pd.Series([geomops.geom_length_geodesic(g) if g is not None
+                      else None for g in _decode_series(geom)],
+                     dtype="float64")
+
+
 _REGISTRY = {
     "ST_Area": st_area, "ST_Length": st_length,
     "ST_X": st_x, "ST_Y": st_y,
@@ -273,6 +338,11 @@ _REGISTRY = {
     "ST_Intersection": st_intersection, "ST_Union": st_union,
     "ST_Difference": st_difference, "ST_SymDifference": st_symdifference,
     "ST_Distance": st_distance, "ST_ConvexHull": st_convexhull,
+    "ST_MakeValid": st_makevalid, "ST_PointOnSurface": st_pointonsurface,
+    "ST_Buffer": st_buffer, "ST_IsValid": st_isvalid,
+    "ST_IsSimple": st_issimple, "ST_IsRing": st_isring,
+    "ST_GeodesicArea": st_geodesic_area,
+    "ST_GeodesicLength": st_geodesic_length,
 }
 
 

@@ -1628,3 +1628,74 @@ def q_embed_neardup_lsh_salted(spark, sf_dir):
     out = simsearch.neardup_lsh(_t(spark, sf_dir, "embeddings"),
                                 threshold=0.2, salt=4, hot_threshold=1)
     return out.select("a_id", "b_id", F.round("cos", 6).alias("cos_r"))
+
+
+_GEOD_Q_SQL = ("((1 - 0.0066943799901413165) * "
+               "(sin(radians({lat})) / (1 - 0.0066943799901413165 * "
+               "sin(radians({lat})) * sin(radians({lat})))"
+               " - ln((1 - 0.08181919084262149 * sin(radians({lat})))"
+               " / (1 + 0.08181919084262149 * sin(radians({lat}))))"
+               " / (2 * 0.08181919084262149)))")
+
+
+@_reg("st_constructive", """
+SELECT 1 AS case_id, 0.0 AS metric                  -- bowtie IsValid
+UNION ALL SELECT 2, 1.0                             -- square IsValid
+UNION ALL SELECT 3, 0.0                             -- bowtie line IsSimple
+UNION ALL SELECT 4, 8.0                             -- MakeValid(bowtie) area
+UNION ALL SELECT 5, 16.0                            -- negative buffer area
+UNION ALL SELECT 6, 1.0                             -- PointOnSurface within
+UNION ALL SELECT 7,
+  ROUND(radians(2.0) * 6378137.0 * 6378137.0
+        * ({q2} - {q1}) / 2 / 1e6, 3)               -- geodesic rect km^2
+UNION ALL SELECT 8, ROUND(6378137.0 * pi() / 180, 2) -- 1 deg equator meters
+""".format(q1=_GEOD_Q_SQL.format(lat="40.0"),
+           q2=_GEOD_Q_SQL.format(lat="41.0")))
+def q_st_constructive(spark, sf_dir):
+    """The round-2 constructive/validity/geodesic SQL surface — MakeValid,
+    Buffer (negative, exact erosion), PointOnSurface, IsValid/IsSimple,
+    geodesic area/length — each case pinned to an ANALYTIC value (the
+    geodesic rect via the authalic-q closed form evaluated IN SQL)."""
+    from .core import wkb as _wkb
+    import pandas as pd
+    st.register_all(spark)
+    shapes = pd.DataFrame({
+        "name": ["bowtie", "square", "bowline", "cshape", "rect4041",
+                 "eq_seg"],
+        "geom": [
+            _wkb.polygon([(0, 0), (4, 4), (4, 0), (0, 4)]),
+            _wkb.box(0, 0, 6, 6),
+            _wkb.linestring([(0, 0), (4, 4), (4, 0), (0, 4)]),
+            _wkb.polygon([(0, 0), (10, 0), (10, 2), (2, 2), (2, 8),
+                          (10, 8), (10, 10), (0, 10)]),
+            _wkb.polygon([(10, 40), (12, 40), (12, 41), (10, 41)]),
+            _wkb.linestring([(0, 0), (1, 0)]),
+        ]})
+    spark.createDataFrame(shapes).createOrReplaceTempView("shapes_v")
+    return spark.sql("""
+        SELECT 1 AS case_id,
+               CAST(CAST(ST_IsValid(geom) AS INT) AS DOUBLE) AS metric
+        FROM shapes_v WHERE name = 'bowtie'
+        UNION ALL
+        SELECT 2, CAST(CAST(ST_IsValid(geom) AS INT) AS DOUBLE)
+        FROM shapes_v WHERE name = 'square'
+        UNION ALL
+        SELECT 3, CAST(CAST(ST_IsSimple(geom) AS INT) AS DOUBLE)
+        FROM shapes_v WHERE name = 'bowline'
+        UNION ALL
+        SELECT 4, ST_Area(ST_MakeValid(geom))
+        FROM shapes_v WHERE name = 'bowtie'
+        UNION ALL
+        SELECT 5, ST_Area(ST_Buffer(geom, -1.0))
+        FROM shapes_v WHERE name = 'square'
+        UNION ALL
+        SELECT 6, CAST(CAST(ST_Within(ST_PointOnSurface(geom), geom)
+                            AS INT) AS DOUBLE)
+        FROM shapes_v WHERE name = 'cshape'
+        UNION ALL
+        SELECT 7, ROUND(ST_GeodesicArea(geom) / 1e6, 3)
+        FROM shapes_v WHERE name = 'rect4041'
+        UNION ALL
+        SELECT 8, ROUND(ST_GeodesicLength(geom), 2)
+        FROM shapes_v WHERE name = 'eq_seg'
+    """)

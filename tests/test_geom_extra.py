@@ -1,0 +1,205 @@
+"""Round-2 constructive/validity/geodesic surface:
+
+MakeValid (even-odd re-stitch), PointOnSurface, n-ary union, general
+Buffer, IsValid/IsSimple/IsRing, geodesic area/length — each against an
+independent mathematical oracle (numerical integration, closed forms).
+
+Reference: ogrgeometry.cpp MakeValid :3922, PointOnSurface :6311,
+UnionCascaded :5129, Buffer :4526, IsValid :2297, IsSimple :2416,
+IsRing :2486; geodesic measures ogrsqlitesqlfunctions.cpp:630-722.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from gdal_spark.core import geomops, wkb
+from gdal_spark.core.polyclip import (geom_makevalid, geom_union_all,
+                                      point_on_surface)
+
+
+def G(b):
+    return wkb.decode(b)
+
+
+# -- MakeValid ---------------------------------------------------------------
+
+def test_makevalid_bowtie():
+    bow = G(wkb.polygon([(0, 0), (4, 4), (4, 0), (0, 4)]))
+    fixed = geom_makevalid(bow)
+    # two triangular lobes of 2x2/2... lobes: (0,0)-(2,2)-(0,4) and
+    # (2,2)-(4,4)-(4,0): each has area 4
+    assert geomops.geom_area(fixed) == pytest.approx(8.0)
+    assert geomops.geom_is_valid(fixed)
+    assert fixed.gtype == wkb.MULTIPOLYGON
+
+
+def test_makevalid_keeps_valid_polygon():
+    sq = G(wkb.box(0, 0, 5, 5))
+    fixed = geom_makevalid(sq)
+    assert geomops.geom_area(fixed) == pytest.approx(25.0)
+
+
+def test_makevalid_overlapping_rings_dissolve():
+    g = G(wkb.multipolygon([[[(0, 0), (4, 0), (4, 4), (0, 4)]],
+                            [[(2, 2), (6, 2), (6, 6), (2, 6)]]]))
+    fixed = geom_makevalid(g)
+    # even-odd: the overlap region [2,4]^2 counts as a HOLE (parity 2)
+    assert geomops.geom_area(fixed) == pytest.approx(16 + 16 - 2 * 4)
+
+
+# -- PointOnSurface ----------------------------------------------------------
+
+def test_point_on_surface_concave():
+    # C-shape whose centroid falls in the notch (outside the polygon)
+    c = G(wkb.polygon([(0, 0), (10, 0), (10, 2), (2, 2), (2, 8),
+                       (10, 8), (10, 10), (0, 10)]))
+    p = point_on_surface(c)
+    assert p is not None
+    inside = geomops.points_in_geom(np.array([p[0]]), np.array([p[1]]), c)
+    assert bool(inside[0])
+
+
+def test_point_on_surface_with_hole():
+    g = G(wkb.polygon([(0, 0), (10, 0), (10, 10), (0, 10)],
+                      holes=[[(2, 2), (8, 2), (8, 8), (2, 8)]]))
+    p = point_on_surface(g)
+    assert geomops.points_in_geom(np.array([p[0]]), np.array([p[1]]), g)[0]
+
+
+# -- n-ary union -------------------------------------------------------------
+
+def test_union_all_three_squares():
+    gs = [G(wkb.box(0, 0, 4, 4)), G(wkb.box(2, 0, 6, 4)),
+          G(wkb.box(4, 0, 8, 4))]
+    u = geom_union_all(gs)
+    assert geomops.geom_area(u) == pytest.approx(8 * 4)
+    assert u.gtype == wkb.POLYGON
+
+
+def test_union_all_disjoint():
+    gs = [G(wkb.box(0, 0, 1, 1)), G(wkb.box(3, 3, 4, 4)),
+          G(wkb.box(6, 0, 7, 1))]
+    u = geom_union_all(gs)
+    assert geomops.geom_area(u) == pytest.approx(3.0)
+    assert len(u.polygons()) == 3
+
+
+# -- general buffer ----------------------------------------------------------
+
+def test_buffer_point_area():
+    g = G(wkb.point(3, 4))
+    b = geomops.buffer_geom(g, 2.0, quadsegs=16)
+    assert geomops.geom_area(b) == pytest.approx(np.pi * 4, rel=2e-3)
+
+
+def test_buffer_line_capsule_area():
+    g = G(wkb.linestring([(0, 0), (10, 0)]))
+    b = geomops.buffer_geom(g, 1.5, quadsegs=16)
+    want = 2 * 1.5 * 10 + np.pi * 1.5 ** 2
+    assert geomops.geom_area(b) == pytest.approx(want, rel=3e-3)
+
+
+def test_buffer_polygon_positive():
+    g = G(wkb.box(0, 0, 6, 6))
+    b = geomops.buffer_geom(g, 1.0, quadsegs=16)
+    want = 8 * 8 - (4 - np.pi) * 1.0    # rounded corners
+    assert geomops.geom_area(b) == pytest.approx(want, rel=3e-3)
+    # contains the original
+    assert geomops.geom_contains(b, g)
+
+
+def test_buffer_polygon_negative():
+    g = G(wkb.box(0, 0, 6, 6))
+    b = geomops.buffer_geom(g, -1.0, quadsegs=16)
+    assert geomops.geom_area(b) == pytest.approx(16.0, rel=1e-6)
+
+
+def test_buffer_multisegment_line():
+    g = G(wkb.linestring([(0, 0), (5, 0), (5, 5)]))
+    b = geomops.buffer_geom(g, 1.0, quadsegs=16)
+    # two capsules overlapping at the corner: 2*(2*5) + pi - overlap(2x2-ish)
+    a = geomops.geom_area(b)
+    assert 20.0 < a < 20.0 + np.pi + 1.0
+
+
+# -- validity predicates -----------------------------------------------------
+
+def test_is_simple_and_ring():
+    line = G(wkb.linestring([(0, 0), (5, 5), (10, 0)]))
+    assert geomops.geom_is_simple(line)
+    crossing = G(wkb.linestring([(0, 0), (4, 4), (4, 0), (0, 4)]))
+    assert not geomops.geom_is_simple(crossing)
+    ring = G(wkb.linestring([(0, 0), (4, 0), (4, 4), (0, 4), (0, 0)]))
+    assert geomops.geom_is_ring(ring)
+    assert not geomops.geom_is_ring(line)         # open
+    bow = G(wkb.linestring([(0, 0), (4, 4), (4, 0), (0, 4), (0, 0)]))
+    assert not geomops.geom_is_ring(bow)          # closed but self-crossing
+
+
+def test_is_valid():
+    assert geomops.geom_is_valid(G(wkb.box(0, 0, 5, 5)))
+    bow = G(wkb.polygon([(0, 0), (4, 4), (4, 0), (0, 4)]))
+    assert not geomops.geom_is_valid(bow)
+    holed = G(wkb.polygon([(0, 0), (10, 0), (10, 10), (0, 10)],
+                          holes=[[(2, 2), (4, 2), (4, 4), (2, 4)]]))
+    assert geomops.geom_is_valid(holed)
+    hole_outside = G(wkb.polygon([(0, 0), (5, 0), (5, 5), (0, 5)],
+                                 holes=[[(7, 7), (8, 7), (8, 8), (7, 8)]]))
+    assert not geomops.geom_is_valid(hole_outside)
+
+
+# -- geodesic measures -------------------------------------------------------
+
+A = 6378137.0
+F = 1 / 298.257223563
+E2 = F * (2 - F)
+
+
+def _ellipsoid_rect_area(lon0, lon1, lat0, lat1):
+    """Numerical integration oracle (independent of the authalic identity)."""
+    phi = np.linspace(np.deg2rad(lat0), np.deg2rad(lat1), 400001)
+    dens = A * A * (1 - E2) * np.cos(phi) / (1 - E2 * np.sin(phi) ** 2) ** 2
+    return np.deg2rad(lon1 - lon0) * np.trapz(dens, phi)
+
+
+@pytest.mark.parametrize("lat0,lat1", [(0.0, 1.0), (45.0, 46.0),
+                                       (70.0, 75.0), (-10.0, 10.0)])
+def test_geodesic_area_latlon_rect(lat0, lat1):
+    g = G(wkb.polygon([(10, lat0), (12, lat0), (12, lat1), (10, lat1)]))
+    got = geomops.geom_area_geodesic(g)
+    want = _ellipsoid_rect_area(10, 12, lat0, lat1)
+    assert got == pytest.approx(want, rel=1e-9)
+
+
+def test_geodesic_area_hole_subtracts():
+    g = G(wkb.polygon([(0, 0), (2, 0), (2, 2), (0, 2)],
+                      holes=[[(0.5, 0.5), (1.5, 0.5), (1.5, 1.5),
+                              (0.5, 1.5)]]))
+    outer = geomops.geom_area_geodesic(
+        G(wkb.polygon([(0, 0), (2, 0), (2, 2), (0, 2)])))
+    inner = geomops.geom_area_geodesic(
+        G(wkb.polygon([(0.5, 0.5), (1.5, 0.5), (1.5, 1.5), (0.5, 1.5)])))
+    assert geomops.geom_area_geodesic(g) == pytest.approx(outer - inner,
+                                                          rel=1e-12)
+
+
+def test_vincenty_equator_and_meridian():
+    # along the equator the geodesic is the equator: a * dlon exactly
+    d = geomops.vincenty_distance(0.0, 0.0, 1.0, 0.0)
+    assert float(d) == pytest.approx(A * np.deg2rad(1.0), rel=1e-9)
+    # one degree of meridian arc vs numerical integration
+    phi = np.linspace(0, np.deg2rad(1.0), 200001)
+    m = A * (1 - E2) / (1 - E2 * np.sin(phi) ** 2) ** 1.5
+    want = np.trapz(m, phi)
+    d = geomops.vincenty_distance(10.0, 0.0, 10.0, 1.0)
+    assert float(d) == pytest.approx(want, rel=1e-7)
+
+
+def test_geodesic_length_polyline():
+    g = G(wkb.linestring([(0, 0), (1, 0), (1, 1)]))
+    d1 = float(geomops.vincenty_distance(0, 0, 1, 0))
+    d2 = float(geomops.vincenty_distance(1, 0, 1, 1))
+    assert geomops.geom_length_geodesic(g) == pytest.approx(d1 + d2,
+                                                            rel=1e-12)
