@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .tiles import encode_px
+from .tiles import TILE_SCHEMA, decode_px, encode_px
 
 _HALO_SCHEMA = T.StructType([
     T.StructField("band", T.IntegerType()),
@@ -177,3 +177,40 @@ def dem_op(tiles_df: DataFrame, op: str, tile: int = 256,
 
     return (halo.groupBy("band", "zoom", "tile_x", "tile_y")
             .applyInPandas(compute, schema=TILE_SCHEMA))
+
+
+def color_relief(tiles_df: DataFrame, colors, tile: int = 256,
+                 interpolate: bool = True) -> DataFrame:
+    """gdaldem color-relief (apps/gdaldem_lib.cpp color-relief mode): map
+    elevation to RGB through a color table. colors: sorted
+    [(value, r, g, b), ...]. interpolate=True blends linearly between
+    entries (the default ColorSelectionMode=INTERPOLATE); False snaps to
+    the nearest entry at-or-below (EXACT_COLOR_ENTRY-ish floor rule).
+
+    Output: tile table with band 1/2/3 = R/G/B as uint8 payloads — a pure
+    per-pixel map, so it is one mapInPandas with no shuffle at all."""
+    cvals = np.array([c[0] for c in colors], dtype=np.float64)
+    crgb = np.array([[c[1], c[2], c[3]] for c in colors], dtype=np.float64)
+
+    def run(pdf_iter):
+        for pdf in pdf_iter:
+            out = []
+            for r in pdf.itertuples():
+                arr = decode_px(r.px, r.dtype, tile)
+                if interpolate:
+                    chans = [np.round(np.interp(arr, cvals, crgb[:, ch]))
+                             for ch in range(3)]
+                else:
+                    idx = np.clip(np.searchsorted(cvals, arr, side="right")
+                                  - 1, 0, len(cvals) - 1)
+                    chans = [crgb[idx, ch] for ch in range(3)]
+                for ch in range(3):
+                    out.append((ch + 1, r.zoom, r.tile_x, r.tile_y,
+                                "uint8", None,
+                                chans[ch].astype(np.uint8).tobytes()))
+            yield pd.DataFrame(out, columns=[f.name for f in
+                                             TILE_SCHEMA.fields]) \
+                if out else pd.DataFrame(columns=[f.name for f in
+                                                  TILE_SCHEMA.fields])
+
+    return tiles_df.mapInPandas(run, TILE_SCHEMA)

@@ -70,6 +70,11 @@ class WarpSpec:
     fill: float = 0.0
     approx_tol_px: float = 0.0   # >0 enables the approximate transformer
     src_nodata: Optional[float] = None
+    # cutline: WKB polygon in SRC world coords — src pixels whose centers
+    # fall outside it are masked invalid before any kernel runs, the
+    # source-mask semantics of gdalwarp -cutline
+    # (apps/gdalwarp_lib.cpp:404-436)
+    cutline: Optional[bytes] = None
 
 
 _EMIT_SCHEMA = T.StructType([
@@ -396,8 +401,8 @@ def warp(tiles_df: DataFrame, spec: WarpSpec,
     def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
         band, dtx, dty = int(key[0]), int(key[1]), int(key[2])
         st = spec.src_grid.tile
-        use_mask = spec.src_nodata is not None
-        fill = spec.src_nodata if use_mask else spec.fill
+        use_mask = spec.src_nodata is not None or spec.cutline is not None
+        fill = spec.src_nodata if spec.src_nodata is not None else spec.fill
 
         def inverse(dwx, dwy):
             if spec.approx_tol_px > 0:
@@ -447,8 +452,17 @@ def warp(tiles_df: DataFrame, spec: WarpSpec,
                 arr[ys0 - y0:ys1 - y0, xs0 - x0:xs1 - x0]
             covered[ys0:ys1, xs0:xs1] = True
         valid = covered
-        if use_mask:
+        if spec.src_nodata is not None:
             valid = valid & (canvas != spec.src_nodata)
+        if spec.cutline is not None:
+            from ..core import geomops, wkb as _wkb
+            cj, ci = np.meshgrid(np.arange(W), np.arange(H))
+            cwx = spec.src_grid.x0 + (ox + cj + 0.5) * spec.src_grid.dx
+            cwy = spec.src_grid.y0 + (oy + ci + 0.5) * spec.src_grid.dy
+            cg = _wkb.decode_cached(bytes(spec.cutline))
+            inside = geomops.points_in_geom(
+                cwx.ravel(), cwy.ravel(), cg).reshape(H, W)
+            valid = valid & inside
         if is_area:
             out = _sample_area(canvas, valid, ox, oy, sx, sy,
                                spec.resample, fill)

@@ -259,3 +259,62 @@ def test_suggested_warp_output_4326_to_3857():
     src_diag = np.hypot(src.width, src.height)
     dst_diag = np.hypot(dst.width, dst.height)
     assert abs(dst_diag - src_diag) / src_diag < 0.02
+
+
+def test_warp_cutline_masks_source(spark):
+    """gdalwarp -cutline source-mask semantics: pixels outside the cutline
+    polygon never contribute; dst pixels with no valid source emit fill."""
+    from gdal_spark.core import wkb as wkbmod
+    h = w = 2 * TILE
+    arr = np.full((h, w), 7.0)
+    grid = GridSpec(x0=0.0, y0=float(h), dx=1.0, dy=-1.0,
+                    width=w, height=h, tile=TILE)
+    df = tiles.raster_to_tiles(spark, arr, tile=TILE)
+    # cutline: a centered rect in world coords covering px [8,24) x [8,24)
+    cut = wkbmod.box(8.0, float(h) - 24.0, 24.0, float(h) - 8.0)
+    spec = warp.WarpSpec(grid, "EPSG:4326", grid, "EPSG:4326", "near",
+                         fill=-1.0, cutline=cut)
+    got = tiles.tiles_to_raster(warp.warp(df, spec), tile=TILE)
+    inside = got[10:22, 10:22]
+    np.testing.assert_array_equal(inside, np.full_like(inside, 7.0))
+    assert got[0, 0] == -1.0 and got[31, 31] == -1.0
+    # average kernel: a dst pixel half-in/half-out averages only the inside
+    dst = GridSpec(x0=0.0, y0=float(h), dx=2.0, dy=-2.0,
+                   width=w // 2, height=h // 2, tile=TILE)
+    spec2 = warp.WarpSpec(grid, "EPSG:4326", dst, "EPSG:4326", "average",
+                          fill=-1.0, cutline=cut)
+    got2 = tiles.tiles_to_raster(warp.warp(df, spec2), tile=TILE)
+    assert got2[5, 5] == 7.0            # fully inside
+    assert got2[0, 0] == -1.0           # fully outside
+    assert got2[4, 4] == 7.0            # partial: valid-only average
+
+
+def test_color_relief_golden(spark):
+    from gdal_spark.raster import dem
+    rng = np.random.RandomState(3)
+    arr = rng.uniform(0, 100, size=(TILE, TILE))
+    df = tiles.raster_to_tiles(spark, arr, tile=TILE)
+    colors = [(0.0, 0, 0, 255), (50.0, 0, 255, 0), (100.0, 255, 0, 0)]
+    out = dem.color_relief(df, colors, tile=TILE).collect()
+    assert len(out) == 3
+    chans = {r.band: np.frombuffer(r.px, dtype=np.uint8).reshape(TILE, TILE)
+             for r in out}
+    cv = np.array([0.0, 50.0, 100.0])
+    for band in (1, 2, 3):
+        want = np.round(np.interp(arr, cv, [c[band] for c in colors]))
+        np.testing.assert_array_equal(chans[band], want.astype(np.uint8))
+
+
+def test_color_relief_exact_mode(spark):
+    from gdal_spark.raster import dem
+    arr = np.array([[5.0, 55.0], [99.0, 100.0]])
+    full = np.zeros((TILE, TILE))
+    full[:2, :2] = arr
+    df = tiles.raster_to_tiles(spark, full, tile=TILE)
+    colors = [(0.0, 10, 0, 0), (50.0, 20, 0, 0), (100.0, 30, 0, 0)]
+    out = dem.color_relief(df, colors, tile=TILE, interpolate=False)
+    r = {row.band: np.frombuffer(row.px, dtype=np.uint8).reshape(TILE, TILE)
+         for row in out.collect()}
+    assert r[1][0, 0] == 10      # 5 -> floor entry 0
+    assert r[1][0, 1] == 20      # 55 -> entry 50
+    assert r[1][1, 1] == 30      # 100 -> entry 100
