@@ -1,0 +1,139 @@
+"""Delaunay triangulation in pure numpy — Bowyer–Watson incremental
+insertion with vectorized circumcircle tests.
+
+Backs gdal_grid's `linear` algorithm (/root/reference/alg/gdalgrid.cpp
+GDALGridLinear via alg/delaunay.c, which wraps qhull) and
+OGRGeometry::DelaunayTriangulation (ogrgeometry.cpp:6704). qhull is not
+available here; Bowyer–Watson is the classical public algorithm. The
+per-insertion work is whole-array numpy (one circumcircle test over all
+live triangles), so the Python loop is only over input points — the right
+trade for the per-block point counts the distributed gridding feeds it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _circumcircles(pts: np.ndarray, tris: np.ndarray):
+    """(centers (m,2), r2 (m,)) of triangles given as vertex index rows."""
+    a = pts[tris[:, 0]]
+    b = pts[tris[:, 1]]
+    c = pts[tris[:, 2]]
+    ab = b - a
+    ac = c - a
+    d = 2.0 * (ab[:, 0] * ac[:, 1] - ab[:, 1] * ac[:, 0])
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ux = (ac[:, 1] * (ab ** 2).sum(1) - ab[:, 1] * (ac ** 2).sum(1)) / d
+        uy = (ab[:, 0] * (ac ** 2).sum(1) - ac[:, 0] * (ab ** 2).sum(1)) / d
+    ctr = a + np.stack([ux, uy], axis=1)
+    r2 = ((ctr - a) ** 2).sum(1)
+    # degenerate (collinear) triangles: kill them on the next insertion
+    bad = ~np.isfinite(r2)
+    r2 = np.where(bad, np.inf, r2)
+    return ctr, r2
+
+
+def delaunay(points: np.ndarray) -> np.ndarray:
+    """(n,2) float64 -> (m,3) int32 triangle vertex indices (CCW).
+
+    Duplicate points are collapsed before triangulating; returned indices
+    refer to the ORIGINAL array (first occurrence wins)."""
+    points = np.asarray(points, dtype=np.float64)
+    n = len(points)
+    if n < 3:
+        return np.empty((0, 3), dtype=np.int32)
+    _, first_idx = np.unique(points, axis=0, return_index=True)
+    order = np.sort(first_idx)
+    pts = points[order]
+    m = len(pts)
+    if m < 3:
+        return np.empty((0, 3), dtype=np.int32)
+
+    cmin = pts.min(axis=0)
+    cmax = pts.max(axis=0)
+    cc = 0.5 * (cmin + cmax)
+    span = max(float((cmax - cmin).max()), 1.0) * 64.0
+    sup = np.array([[cc[0] - span, cc[1] - span],
+                    [cc[0] + span, cc[1] - span],
+                    [cc[0], cc[1] + span]])
+    allp = np.vstack([pts, sup])
+
+    tris = np.array([[m, m + 1, m + 2]], dtype=np.int64)
+    ctrs, r2s = _circumcircles(allp, tris)
+
+    for i in range(m):
+        p = allp[i]
+        d2 = ((ctrs - p) ** 2).sum(1)
+        bad = d2 < r2s
+        if not bad.any():
+            # numerically outside every circumcircle (shouldn't happen with
+            # the super-triangle) — skip defensively
+            continue
+        bad_tris = tris[bad]
+        # boundary = edges appearing exactly once among the bad triangles
+        e = np.concatenate([bad_tris[:, [0, 1]], bad_tris[:, [1, 2]],
+                            bad_tris[:, [2, 0]]])
+        ekey = np.sort(e, axis=1)
+        _, inv, counts = np.unique(ekey, axis=0, return_inverse=True,
+                                   return_counts=True)
+        boundary = e[counts[inv] == 1]
+        new = np.column_stack([boundary,
+                               np.full(len(boundary), i, dtype=np.int64)])
+        tris = np.concatenate([tris[~bad], new])
+        nctr, nr2 = _circumcircles(allp, new)
+        ctrs = np.concatenate([ctrs[~bad], nctr])
+        r2s = np.concatenate([r2s[~bad], nr2])
+
+    keep = (tris < m).all(axis=1)
+    tris = tris[keep]
+    # orient CCW and map back to original indices
+    a = allp[tris[:, 0]]
+    b = allp[tris[:, 1]]
+    c = allp[tris[:, 2]]
+    cw = ((b[:, 0] - a[:, 0]) * (c[:, 1] - a[:, 1])
+          - (b[:, 1] - a[:, 1]) * (c[:, 0] - a[:, 0])) < 0
+    tris[cw] = tris[cw][:, ::-1]
+    return order[tris].astype(np.int32)
+
+
+def interpolate_linear(points: np.ndarray, values: np.ndarray,
+                       qx: np.ndarray, qy: np.ndarray,
+                       fill: float = np.nan) -> np.ndarray:
+    """Barycentric interpolation of scattered (points, values) at query
+    locations — gdal_grid linear (alg/gdalgrid.cpp GDALGridLinear):
+    triangulate once, then every query inside a triangle blends its three
+    corners; queries outside the hull get `fill`."""
+    out = np.full(qx.shape, fill, dtype=np.float64)
+    tris = delaunay(points)
+    if not len(tris):
+        return out
+    qxf = qx.ravel()
+    qyf = qy.ravel()
+    of = out.ravel()
+    done = np.zeros(len(qxf), dtype=bool)
+    for t in tris:
+        ax, ay = points[t[0]]
+        bx, by = points[t[1]]
+        cx, cy = points[t[2]]
+        xmin, xmax = min(ax, bx, cx), max(ax, bx, cx)
+        ymin, ymax = min(ay, by, cy), max(ay, by, cy)
+        cand = np.flatnonzero(~done & (qxf >= xmin) & (qxf <= xmax)
+                              & (qyf >= ymin) & (qyf <= ymax))
+        if not len(cand):
+            continue
+        det = (by - cy) * (ax - cx) + (cx - bx) * (ay - cy)
+        if det == 0:
+            continue
+        l1 = ((by - cy) * (qxf[cand] - cx)
+              + (cx - bx) * (qyf[cand] - cy)) / det
+        l2 = ((cy - ay) * (qxf[cand] - cx)
+              + (ax - cx) * (qyf[cand] - cy)) / det
+        l3 = 1.0 - l1 - l2
+        eps = -1e-12
+        inside = (l1 >= eps) & (l2 >= eps) & (l3 >= eps)
+        sel = cand[inside]
+        of[sel] = (l1[inside] * values[t[0]] + l2[inside] * values[t[1]]
+                   + l3[inside] * values[t[2]])
+        done[sel] = True
+    return of.reshape(qx.shape)

@@ -325,6 +325,28 @@ def st_geodesic_length(geom: pd.Series) -> pd.Series:
                      dtype="float64")
 
 
+@pandas_udf(BinaryType())
+def st_delaunay(geom: pd.Series) -> pd.Series:
+    """DelaunayTriangulation (ogrgeometry.cpp:6704) over a geometry's
+    vertices -> MULTIPOLYGON of triangles."""
+    from ..core.delaunay import delaunay as _delaunay
+    out = []
+    for g in _decode_series(geom):
+        if g is None:
+            out.append(None)
+            continue
+        pts = geomops._all_vertices(g)
+        tris = _delaunay(pts)
+        if not len(tris):
+            out.append(None)
+            continue
+        parts = [wkb.Geom(wkb.POLYGON,
+                          [np.vstack([pts[t], pts[t[:1]]])])
+                 for t in tris]
+        out.append(wkb.encode(wkb.Geom(wkb.MULTIPOLYGON, parts=parts)))
+    return pd.Series(out, dtype="object")
+
+
 _REGISTRY = {
     "ST_Area": st_area, "ST_Length": st_length,
     "ST_X": st_x, "ST_Y": st_y,
@@ -343,6 +365,7 @@ _REGISTRY = {
     "ST_IsSimple": st_issimple, "ST_IsRing": st_isring,
     "ST_GeodesicArea": st_geodesic_area,
     "ST_GeodesicLength": st_geodesic_length,
+    "ST_DelaunayTriangulation": st_delaunay,
 }
 
 

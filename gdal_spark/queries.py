@@ -1699,3 +1699,29 @@ def q_st_constructive(spark, sf_dir):
         SELECT 8, ROUND(ST_GeodesicLength(geom), 2)
         FROM shapes_v WHERE name = 'eq_seg'
     """)
+
+
+@_reg("grid_linear", f"""
+SELECT gi.range AS i, gj.range AS j,
+       ROUND(2.0 + 0.25 * (-180.0 + (gi.range + 0.5) * 10.0)
+             - 0.5 * (-90.0 + (gj.range + 0.5) * 10.0), 6) AS val_r
+FROM range(36) gi, range(18) gj
+WHERE gi.range BETWEEN 1 AND 34 AND gj.range BETWEEN 1 AND 16
+""")
+def q_grid_linear(spark, sf_dir):
+    """gdal_grid linear (Delaunay + barycentric, alg/gdalgrid.cpp
+    GDALGridLinear / alg/delaunay.c): interpolate an AFFINE field of the
+    page locations onto the world grid. Linear interpolation reproduces
+    affine fields exactly on ANY valid triangulation, so the oracle is the
+    closed-form plane — an implementation-independent pin that still
+    exercises the full distributed triangulate+interpolate path. Border
+    nodes (possibly outside the convex hull) are excluded on both sides."""
+    from .raster.gridding import grid_linear
+    p = datagen.points(spark, sf_dir).select(
+        F.col("lon").alias("x"), F.col("lat").alias("y"),
+        (2.0 + 0.25 * F.col("lon") - 0.5 * F.col("lat")).alias("z"))
+    out = grid_linear(p, x0=-180.0, y0=-90.0, dx=10.0, dy=10.0,
+                      nx=36, ny=18, block=64)
+    return (out.where((F.col("i").between(1, 34))
+                      & (F.col("j").between(1, 16)))
+            .select("i", "j", F.round("value", 6).alias("val_r")))

@@ -90,3 +90,72 @@ def grid_interpolate(points: DataFrame, x0: float, y0: float,
                 .where(F.col("_rn") == 1)
                 .select("i", "j", z.alias("value")))
     raise ValueError(f"unknown algorithm {algorithm!r}")
+
+
+def grid_linear(points: DataFrame, x0: float, y0: float,
+                dx: float, dy: float, nx: int, ny: int,
+                block: int = 64, margin: float = 16.0,
+                x_col: str = "x", y_col: str = "y",
+                z_col: str = "z") -> DataFrame:
+    """gdal_grid `linear` (alg/gdalgrid.cpp GDALGridLinear via
+    alg/delaunay.c): Delaunay-triangulate the points, barycentric-
+    interpolate each grid node inside a triangle; nodes outside the hull
+    are absent from the output.
+
+    Distribution: the grid splits into `block` x `block` pixel blocks;
+    points replicate to every block whose margin-expanded bbox contains
+    them (a bounded explode), and each block triangulates locally in
+    applyInPandas. Near-block-edge triangles can differ from the global
+    triangulation when the relevant neighbors sit beyond `margin` pixels —
+    the documented approximation knob (raise `margin`, or use one block,
+    for the exact global result). Any valid triangulation still
+    reproduces affine fields exactly, which is what the oracle pins.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..core.delaunay import interpolate_linear
+
+    px, py = F.col(x_col), F.col(y_col)
+    pi = (px - x0) / dx          # continuous pixel coords
+    pj = (py - y0) / dy
+    off = F.explode(F.array(*[F.struct(F.lit(a).alias("a"),
+                                       F.lit(b).alias("b"))
+                              for a in (-1, 0, 1) for b in (-1, 0, 1)]))
+    p = (points.withColumn("_pi", pi).withColumn("_pj", pj)
+         .select("*", off.alias("_o"))
+         .withColumn("_bx", (F.floor(F.col("_pi") / block)
+                             + F.col("_o.a")).cast("long"))
+         .withColumn("_by", (F.floor(F.col("_pj") / block)
+                             + F.col("_o.b")).cast("long"))
+         .drop("_o"))
+    # keep replicas only where the point is within `margin` px of the block
+    bx0 = F.col("_bx") * block
+    by0 = F.col("_by") * block
+    p = p.where((F.col("_pi") >= bx0 - margin)
+                & (F.col("_pi") <= bx0 + block + margin)
+                & (F.col("_pj") >= by0 - margin)
+                & (F.col("_pj") <= by0 + block + margin)
+                & (F.col("_bx") >= 0) & (F.col("_bx") * block < nx)
+                & (F.col("_by") >= 0) & (F.col("_by") * block < ny))
+
+    out_schema = T.StructType([T.StructField("i", T.LongType()),
+                               T.StructField("j", T.LongType()),
+                               T.StructField("value", T.DoubleType())])
+
+    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        bx, by = int(key[0]), int(key[1])
+        pts = np.column_stack([pdf["_pi"].values, pdf["_pj"].values])
+        vals = pdf[z_col].values.astype(np.float64)
+        i0, j0 = bx * block, by * block
+        i1, j1 = min(i0 + block, nx), min(j0 + block, ny)
+        jj, ii = np.meshgrid(np.arange(j0, j1), np.arange(i0, i1))
+        got = interpolate_linear(pts, vals, ii + 0.5, jj + 0.5,
+                                 fill=np.nan)
+        ok = np.isfinite(got)
+        return pd.DataFrame({"i": ii[ok].astype(np.int64),
+                             "j": jj[ok].astype(np.int64),
+                             "value": got[ok]})
+
+    return p.groupBy("_bx", "_by").applyInPandas(build, out_schema)

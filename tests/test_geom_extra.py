@@ -203,3 +203,18 @@ def test_geodesic_length_polyline():
     d2 = float(geomops.vincenty_distance(1, 0, 1, 1))
     assert geomops.geom_length_geodesic(g) == pytest.approx(d1 + d2,
                                                             rel=1e-12)
+
+
+def test_st_delaunay_covers_polygon(spark):
+    """ST_DelaunayTriangulation over a convex polygon's vertices: triangle
+    areas must sum to the polygon area."""
+    from gdal_spark.functions import st
+    import pandas as pd
+    st.register_all(spark)
+    pdf = pd.DataFrame({"geom": [wkb.polygon(
+        [(0, 0), (10, 0), (10, 6), (5, 9), (0, 6)])]})
+    spark.createDataFrame(pdf).createOrReplaceTempView("dl_v")
+    row = spark.sql(
+        "SELECT ST_Area(ST_DelaunayTriangulation(geom)) AS a, "
+        "ST_Area(geom) AS b FROM dl_v").collect()[0]
+    assert row.a == pytest.approx(row.b)

@@ -66,3 +66,55 @@ def test_grid_algorithms_match_brute_force(spark, pts_pdf, algorithm):
     assert set(got) == set(want)
     for k in want:
         assert got[k] == pytest.approx(want[k], rel=1e-9), (k, algorithm)
+
+
+# ---------------------------------------------------------------------------
+# round 2: linear (Delaunay) interpolation — alg/gdalgrid.cpp GDALGridLinear
+# ---------------------------------------------------------------------------
+
+def test_grid_linear_reproduces_plane(spark):
+    """Any valid triangulation interpolates an affine field exactly — the
+    implementation-independent invariant, checked through the DISTRIBUTED
+    multi-block path."""
+    import pandas as pd
+    from gdal_spark.raster.gridding import grid_linear
+    rng = np.random.RandomState(9)
+    pts = rng.uniform(0, 64, (500, 2))
+    pdf = pd.DataFrame({"x": pts[:, 0], "y": pts[:, 1],
+                        "z": 2.0 + 0.5 * pts[:, 0] - 0.25 * pts[:, 1]})
+    df = spark.createDataFrame(pdf)
+    out = grid_linear(df, x0=0.0, y0=0.0, dx=1.0, dy=1.0, nx=64, ny=64,
+                      block=16, margin=16.0)
+    rows = out.collect()
+    assert len(rows) > 2000           # most of the grid is inside the hull
+    for r in rows:
+        want = 2.0 + 0.5 * (r.i + 0.5) - 0.25 * (r.j + 0.5)
+        assert abs(r.value - want) < 1e-9, (r.i, r.j)
+
+
+def test_grid_linear_outside_hull_absent(spark):
+    import pandas as pd
+    from gdal_spark.raster.gridding import grid_linear
+    # points only in the left half
+    rng = np.random.RandomState(2)
+    pts = rng.uniform(0, 30, (200, 2))
+    pdf = pd.DataFrame({"x": pts[:, 0], "y": pts[:, 1], "z": pts[:, 0]})
+    df = spark.createDataFrame(pdf)
+    out = grid_linear(df, x0=0.0, y0=0.0, dx=1.0, dy=1.0, nx=64, ny=64,
+                      block=64)
+    rows = out.collect()
+    assert all(r.i < 31 for r in rows)
+    assert len(rows) > 0
+
+
+def test_delaunay_empty_circumcircle():
+    from gdal_spark.core.delaunay import _circumcircles, delaunay
+    rng = np.random.RandomState(4)
+    pts = rng.uniform(-50, 50, (300, 2))
+    tris = delaunay(pts)
+    ctr, r2 = _circumcircles(pts, tris.astype(np.int64))
+    for k in range(len(tris)):
+        d2 = ((pts - ctr[k]) ** 2).sum(1)
+        inside = d2 < r2[k] * (1 - 1e-9) - 1e-9
+        inside[tris[k]] = False
+        assert not inside.any(), f"triangle {k} violates Delaunay"
