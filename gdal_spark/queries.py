@@ -1725,3 +1725,52 @@ def q_grid_linear(spark, sf_dir):
     return (out.where((F.col("i").between(1, 34))
                       & (F.col("j").between(1, 16)))
             .select("i", "j", F.round("value", 6).alias("val_r")))
+
+
+@_reg("polygonize_rings_density", f"""
+WITH RECURSIVE pts AS ({datagen.POINTS_SQL}),
+c AS (SELECT CAST(floor((lon + 180.0) / 5.625) AS BIGINT) AS x,
+             CAST(floor((lat + 90.0) / 2.8125) AS BIGINT) AS y,
+             count(*) AS v
+      FROM pts GROUP BY 1, 2),
+ids AS (SELECT x, y, v, y * 64 + x AS id FROM c),
+adj AS (SELECT a.id AS s, b.id AS d FROM ids a, ids b
+        WHERE a.v = b.v AND ((abs(a.x - b.x) = 1 AND a.y = b.y)
+                             OR (a.x = b.x AND abs(a.y - b.y) = 1))),
+reach AS (SELECT id AS s, id AS d FROM ids
+          UNION
+          SELECT r.s, a.d FROM reach r JOIN adj a ON r.d = a.s),
+comp AS (SELECT s AS id, min(d) AS comp FROM reach GROUP BY s)
+SELECT CAST(v AS DOUBLE) AS value, CAST(count(*) AS BIGINT) AS area_px
+FROM ids JOIN comp USING (id) GROUP BY comp.comp, v
+""")
+def q_polygonize_rings_density(spark, sf_dir):
+    """Polygonize with TRACED RINGS (alg/polygonize_polygonizer.cpp): the
+    shoelace area of each component's polygon-with-holes must equal its
+    pixel count — the strongest SQL-expressible pin on the ring tracer
+    (the recursive-CTE oracle counts component pixels independently)."""
+    import numpy as np
+    import pandas as pd
+    from .raster.polygonize import polygonize_polygons
+    from .raster.tiles import TILE_SCHEMA, encode_px
+
+    p = datagen.points(spark, sf_dir)
+    x = F.floor((F.col("lon") + 180.0) / 5.625).cast("long")
+    y = F.floor((F.col("lat") + 90.0) / 2.8125).cast("long")
+    cnt = (p.select(x.alias("x"), y.alias("y"))
+           .groupBy("x", "y").agg(F.count("*").alias("v"))
+           .withColumn("tile_x", F.shiftright("x", 3))
+           .withColumn("tile_y", F.shiftright("y", 3)))
+
+    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        arr = np.zeros((8, 8), np.int64)
+        arr[pdf["y"].values & 7, pdf["x"].values & 7] = pdf["v"].values
+        return pd.DataFrame([(1, 0, int(key[0]), int(key[1]), "int64", 0.0,
+                              encode_px(arr))],
+                            columns=[f.name for f in TILE_SCHEMA.fields])
+
+    tiles = cnt.groupBy("tile_x", "tile_y").applyInPandas(build, TILE_SCHEMA)
+    out = polygonize_polygons(tiles, tile=8, nodata=0.0)
+    return out.select("value",
+                      F.round(st.st_area("geom")).cast("long")
+                      .alias("area_px"))

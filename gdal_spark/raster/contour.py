@@ -185,3 +185,57 @@ def assemble_polylines(segments, digits: int = 9):
                     break
             out.append(line)
     return out
+
+
+def contour_polygons(tiles_df: DataFrame, levels: list[float],
+                     tile: int = 256, nodata: float | None = None
+                     ) -> DataFrame:
+    """gdal_contour -p (polygon mode, alg/contour.cpp polygon writer):
+    polygons covering each level band [levels[k-1], levels[k]).
+
+    Implementation: classify every pixel into its band index (one
+    searchsorted per tile — pure map), then trace the band regions with the
+    polygonize ring tracer (holes included, halo-correct across seams).
+    Band boundaries are therefore PIXEL-quantized rather than sub-pixel
+    interpolated like the reference's marching-squares polygon writer — the
+    smooth isolines remain available as contour_segments; band areas agree
+    with the reference to one pixel along each boundary (documented
+    divergence). Output: (comp_id, band, zoom, level_min, level_max,
+    geom WKB) with one row per connected band region, in pixel coords.
+    """
+    from .polygonize import polygonize_polygons
+    from .tiles import TILE_SCHEMA, decode_px, encode_px
+
+    lv = sorted(levels)
+
+    def classify(pdf_iter):
+        for pdf in pdf_iter:
+            out = []
+            for r in pdf.itertuples():
+                arr = decode_px(r.px, r.dtype, tile)
+                if nodata is not None and not np.isnan(nodata):
+                    valid = arr != np.array(nodata, arr.dtype)
+                else:
+                    valid = np.ones_like(arr, dtype=bool)
+                band = np.searchsorted(lv, arr, side="right") \
+                    .astype(np.float64)
+                band[~valid] = -1.0
+                out.append((r.band, r.zoom, r.tile_x, r.tile_y,
+                            "float64", -1.0, encode_px(band)))
+            yield pd.DataFrame(out, columns=[f.name for f in
+                                             TILE_SCHEMA.fields]) \
+                if out else pd.DataFrame(columns=[f.name for f in
+                                                  TILE_SCHEMA.fields])
+
+    classified = tiles_df.mapInPandas(classify, TILE_SCHEMA)
+    polys = polygonize_polygons(classified, tile=tile, nodata=-1.0)
+    bidx = F.col("value").cast("int")
+    lo = F.array(*[F.lit(float("-inf"))]
+                 + [F.lit(float(v)) for v in lv])
+    hi = F.array(*[F.lit(float(v)) for v in lv]
+                 + [F.lit(float("inf"))])
+    return polys.select(
+        "comp_id", "band", "zoom",
+        F.element_at(lo, bidx + 1).alias("level_min"),
+        F.element_at(hi, bidx + 1).alias("level_max"),
+        "geom")

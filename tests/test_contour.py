@@ -102,3 +102,44 @@ def test_assemble_polylines_open_chain(spark):
     assert len(lines) == 1
     assert lines[0][0] != lines[0][-1]          # open
     assert len(lines[0]) == 16                  # 15 segments -> 16 vertices
+
+
+def test_contour_polygons_bands(spark):
+    """Polygon mode: concentric cone bands come back as annuli (exterior +
+    hole), classified exactly like np.searchsorted, with band areas summing
+    to the raster size."""
+    import numpy as np
+    from gdal_spark.core import wkb as wkbmod
+    from gdal_spark.raster.contour import contour_polygons
+    from gdal_spark.raster.tiles import raster_to_tiles
+    t = 8
+    n = 32
+    yy, xx = np.mgrid[0:n, 0:n]
+    arr = np.hypot(xx - 15.5, yy - 15.5)          # cone
+    tiles = raster_to_tiles(spark, arr, zoom=0, tile=t)
+    levels = [5.0, 10.0]
+    rows = contour_polygons(tiles, levels, tile=t).collect()
+
+    def area(g):
+        total = 0.0
+        for rings in g.polygons():
+            for k, r in enumerate(rings):
+                x, y = r[:, 0], r[:, 1]
+                a = 0.5 * (np.dot(x[:-1], y[1:]) - np.dot(x[1:], y[:-1]))
+                total += a
+        return total
+
+    # band areas must equal the pixel-count classification
+    want = {(-np.inf, 5.0): float((arr < 5).sum()),
+            (5.0, 10.0): float(((arr >= 5) & (arr < 10)).sum()),
+            (10.0, np.inf): float((arr >= 10).sum())}
+    got = {}
+    for r in rows:
+        key = (r.level_min, r.level_max)
+        g = wkbmod.decode(bytes(r.geom))
+        got[key] = got.get(key, 0.0) + area(g)
+    assert got == pytest.approx(want)
+    # the innermost band (disc) has no holes; the middle band is an annulus
+    mid = [wkbmod.decode(bytes(r.geom)) for r in rows
+           if r.level_min == 5.0]
+    assert len(mid) == 1 and len(mid[0].rings) == 2
