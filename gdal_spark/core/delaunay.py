@@ -137,3 +137,83 @@ def interpolate_linear(points: np.ndarray, values: np.ndarray,
                    + l3[inside] * values[t[2]])
         done[sel] = True
     return of.reshape(qx.shape)
+
+
+def concave_hull(points: np.ndarray, max_edge: float) -> np.ndarray:
+    """Chi-shape concave hull (the classic Delaunay-carving construction
+    behind OGRGeometry::ConcaveHull, ogrgeometry.cpp:4305): start from the
+    Delaunay triangulation and repeatedly remove the boundary triangle
+    whose exposed edge is longest (> max_edge), as long as removal keeps
+    the boundary a simple ring. Returns a closed ring (n,2)."""
+    points = np.asarray(points, dtype=np.float64)
+    tris = {tuple(t) for t in delaunay(points).tolist()}
+    if not tris:
+        ring = points[np.lexsort((points[:, 1], points[:, 0]))]
+        return np.vstack([ring, ring[:1]]) if len(ring) else ring
+
+    def edges_of(t):
+        return [tuple(sorted((t[0], t[1]))), tuple(sorted((t[1], t[2]))),
+                tuple(sorted((t[2], t[0])))]
+
+    edge_tris: dict = {}
+    for t in tris:
+        for e in edges_of(t):
+            edge_tris.setdefault(e, set()).add(t)
+
+    def elen(e):
+        return float(np.hypot(*(points[e[0]] - points[e[1]])))
+
+    import heapq
+    heap = [(-elen(e), e) for e, ts in edge_tris.items() if len(ts) == 1]
+    heapq.heapify(heap)
+    while heap:
+        neg, e = heapq.heappop(heap)
+        if -neg <= max_edge:
+            break
+        ts = edge_tris.get(e, set()) & tris
+        if len(ts) != 1:
+            continue                       # stale entry
+        (t,) = ts
+        opp = [v for v in t if v not in e][0]
+        # removal keeps the boundary simple iff the opposite vertex is
+        # interior (not already on the boundary)
+        boundary_vertices = set()
+        for eo, tso in edge_tris.items():
+            if len(tso & tris) == 1:
+                boundary_vertices.update(eo)
+        if opp in boundary_vertices:
+            continue
+        if len(tris) <= 1:
+            break
+        tris.discard(t)
+        for eo in edges_of(t):
+            if eo == e:
+                continue
+            if len(edge_tris.get(eo, set()) & tris) == 1:
+                heapq.heappush(heap, (-elen(eo), eo))
+    # assemble the boundary ring
+    nbr: dict = {}
+    for e, ts in edge_tris.items():
+        if len(ts & tris) == 1:
+            nbr.setdefault(e[0], []).append(e[1])
+            nbr.setdefault(e[1], []).append(e[0])
+    if not nbr:
+        ring = points[np.lexsort((points[:, 1], points[:, 0]))]
+        return np.vstack([ring, ring[:1]])
+    start = min(nbr)
+    ring_idx = [start]
+    prev = None
+    cur = start
+    for _ in range(2 * len(nbr) + 2):
+        nxts = [v for v in nbr[cur] if v != prev]
+        nxt = nxts[0] if nxts else nbr[cur][0]
+        ring_idx.append(nxt)
+        prev, cur = cur, nxt
+        if cur == start:
+            break
+    ring = points[ring_idx]
+    # orient CCW
+    x, y = ring[:, 0], ring[:, 1]
+    if 0.5 * (np.dot(x[:-1], y[1:]) - np.dot(x[1:], y[:-1])) < 0:
+        ring = ring[::-1]
+    return ring

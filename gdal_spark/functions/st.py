@@ -347,6 +347,70 @@ def st_delaunay(geom: pd.Series) -> pd.Series:
     return pd.Series(out, dtype="object")
 
 
+@pandas_udf(BinaryType())
+def st_makepoint(x: pd.Series, y: pd.Series) -> pd.Series:
+    return pd.Series([wkb.point(float(a), float(b))
+                      if a is not None and b is not None else None
+                      for a, b in zip(x, y)], dtype="object")
+
+
+@pandas_udf(BinaryType())
+def st_asbinary(geom: pd.Series) -> pd.Series:
+    """Identity — the engine-wide representation IS ISO WKB."""
+    return geom
+
+
+@pandas_udf(BinaryType())
+def st_geomfromwkb(b: pd.Series) -> pd.Series:
+    """Validating identity: decodes (raising on malformed WKB), returns
+    the canonical little-endian re-encoding."""
+    return pd.Series([wkb.encode(wkb.decode(bytes(v)))
+                      if v is not None else None for v in b],
+                     dtype="object")
+
+
+@pandas_udf(BinaryType())
+def st_setprecision(geom: pd.Series, grid: pd.Series) -> pd.Series:
+    """Snap every coordinate to a grid then repair (OGRGeometry::
+    SetPrecision, ogrgeometry.cpp:6608 — GEOS_PREC_VALID_OUTPUT mode)."""
+    out = []
+    for g, gs in zip(_decode_series(geom), grid):
+        if g is None:
+            out.append(None)
+            continue
+        step = float(gs)
+
+        def snap(geo):
+            rings = [np.round(r / step) * step for r in geo.rings]
+            return wkb.Geom(geo.gtype, rings,
+                            [snap(p) for p in geo.parts])
+
+        snapped = snap(g)
+        if snapped.polygons():
+            snapped = polyclip.geom_makevalid(snapped)
+        out.append(wkb.encode(snapped) if snapped is not None else None)
+    return pd.Series(out, dtype="object")
+
+
+def st_concavehull_udf(max_edge: float):
+    """ConcaveHull (ogrgeometry.cpp:4305) — chi-shape with an absolute
+    edge-length threshold (the reference's ratio parameter maps to
+    ratio * longest-Delaunay-edge)."""
+    from ..core.delaunay import concave_hull as _ch
+
+    @pandas_udf(BinaryType())
+    def _f(geom: pd.Series) -> pd.Series:
+        out = []
+        for g in _decode_series(geom):
+            if g is None:
+                out.append(None)
+                continue
+            ring = _ch(geomops._all_vertices(g), max_edge)
+            out.append(wkb.encode(wkb.Geom(wkb.POLYGON, [ring])))
+        return pd.Series(out, dtype="object")
+    return _f
+
+
 _REGISTRY = {
     "ST_Area": st_area, "ST_Length": st_length,
     "ST_X": st_x, "ST_Y": st_y,
@@ -366,6 +430,8 @@ _REGISTRY = {
     "ST_GeodesicArea": st_geodesic_area,
     "ST_GeodesicLength": st_geodesic_length,
     "ST_DelaunayTriangulation": st_delaunay,
+    "ST_MakePoint": st_makepoint, "ST_AsBinary": st_asbinary,
+    "ST_GeomFromWKB": st_geomfromwkb, "ST_SetPrecision": st_setprecision,
 }
 
 

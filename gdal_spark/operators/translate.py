@@ -132,33 +132,78 @@ def _coerce_multi(g: wkb.Geom) -> wkb.Geom:
     return g
 
 
+def _chain_pre(g: wkb.Geom, opts: TranslateOptions):
+    """Chain stages 2-4 (before reprojection) for one geometry."""
+    if opts.make_valid:
+        g = _make_valid(g)
+    if opts.segmentize:
+        g = _map_rings(g, lambda r: geomops.segmentize_ring(
+            r, opts.segmentize))
+    if opts.simplify:
+        g = _map_rings(g, lambda r: geomops.simplify_ring(r, opts.simplify))
+    if opts.clip_src:
+        g = _clip(g, opts.clip_src)
+    return g
+
+
+def _chain_post(g: wkb.Geom, opts: TranslateOptions):
+    """Chain stages 6-7 (after reprojection) for one geometry."""
+    if opts.wrapdateline:
+        g = _wrapdateline(g)
+    if opts.clip_dst:
+        g = _clip(g, opts.clip_dst)
+        if g is None:
+            return None
+    if opts.promote_to_multi:
+        g = _coerce_multi(g)
+    return g
+
+
+def _leaf_arrays(g: wkb.Geom, out: list):
+    for i, r in enumerate(g.rings):
+        if len(r):
+            out.append((g, i, r))
+    for p in g.parts:
+        _leaf_arrays(p, out)
+
+
+def _batch_reproject(geoms: list, src: str, dst: str) -> None:
+    """ONE transform() call for every coordinate of every geometry in the
+    batch (leaf-array batching): concatenate all ring arrays, transform,
+    split back in place. Removes the per-ring interpreter + CT-call cost
+    that dominated the round-1 per-feature loop."""
+    leaves: list = []
+    for g in geoms:
+        if g is not None:
+            _leaf_arrays(g, leaves)
+    if not leaves:
+        return
+    coords = np.concatenate([r for _g, _i, r in leaves])
+    x, y = transform(src, dst, coords[:, 0], coords[:, 1])
+    stacked = np.stack([x, y], axis=1)
+    off = 0
+    for g, i, r in leaves:
+        n = len(r)
+        g.rings[i] = stacked[off:off + n]
+        off += n
+
+
 def translate_geom(b: bytes, opts: TranslateOptions) -> list[bytes]:
     """The full chain for one WKB blob -> 0..n output WKB blobs.
     Pure function (numpy inside) so tests can golden-check the order."""
     g = wkb.decode(bytes(b))
     geoms = _explode(g) if opts.explode_collections else [g]
     out = []
+    reproject = opts.src_crs and opts.dst_crs and opts.src_crs != opts.dst_crs
     for g in geoms:
-        if opts.make_valid:
-            g = _make_valid(g)
-        if opts.segmentize:
-            g = _map_rings(g, lambda r: geomops.segmentize_ring(r, opts.segmentize))
-        if opts.simplify:
-            g = _map_rings(g, lambda r: geomops.simplify_ring(r, opts.simplify))
-        if opts.clip_src:
-            g = _clip(g, opts.clip_src)
-            if g is None:
-                continue
-        if opts.src_crs and opts.dst_crs and opts.src_crs != opts.dst_crs:
+        g = _chain_pre(g, opts)
+        if g is None:
+            continue
+        if reproject:
             g = _reproject(g, opts.src_crs, opts.dst_crs)
-        if opts.wrapdateline:
-            g = _wrapdateline(g)
-        if opts.clip_dst:
-            g = _clip(g, opts.clip_dst)
-            if g is None:
-                continue
-        if opts.promote_to_multi:
-            g = _coerce_multi(g)
+        g = _chain_post(g, opts)
+        if g is None:
+            continue
         out.append(wkb.encode(g))
     return out
 
@@ -166,19 +211,38 @@ def translate_geom(b: bytes, opts: TranslateOptions) -> list[bytes]:
 def translate(df: DataFrame, opts: TranslateOptions,
               geom_col: str = "geom") -> DataFrame:
     """Apply the chain over a DataFrame; non-geometry columns pass through
-    (duplicated when explode_collections multiplies rows)."""
+    (duplicated when explode_collections multiplies rows).
+
+    The chain runs in three phases per Arrow batch so the CRS transform is
+    ONE vectorized call over every coordinate of the batch (phase order is
+    preserved exactly — pre-chain per feature, batched reproject, post-chain
+    per feature)."""
     schema = df.schema
+    reproject = opts.src_crs and opts.dst_crs and opts.src_crs != opts.dst_crs
 
     def run(batches):
         for pdf in batches:
-            rows = []
             gi = pdf.columns.get_loc(geom_col)
-            for tup in pdf.itertuples(index=False):
-                outs = translate_geom(tup[gi], opts)
-                for ob in outs:
-                    row = list(tup)
-                    row[gi] = ob
-                    rows.append(row)
+            work = []              # (input row index, Geom) surviving pre
+            for ridx, b in enumerate(pdf.iloc[:, gi].values):
+                g0 = wkb.decode(bytes(b))
+                for g in (_explode(g0) if opts.explode_collections
+                          else [g0]):
+                    g = _chain_pre(g, opts)
+                    if g is not None:
+                        work.append((ridx, g))
+            if reproject:
+                _batch_reproject([g for _r, g in work],
+                                 opts.src_crs, opts.dst_crs)
+            rows = []
+            vals = pdf.values
+            for ridx, g in work:
+                g = _chain_post(g, opts)
+                if g is None:
+                    continue
+                row = list(vals[ridx])
+                row[gi] = wkb.encode(g)
+                rows.append(row)
             yield (pd.DataFrame(rows, columns=list(pdf.columns)) if rows
                    else pdf.iloc[0:0])
 

@@ -218,3 +218,40 @@ def test_st_delaunay_covers_polygon(spark):
         "SELECT ST_Area(ST_DelaunayTriangulation(geom)) AS a, "
         "ST_Area(geom) AS b FROM dl_v").collect()[0]
     assert row.a == pytest.approx(row.b)
+
+
+def test_concave_hull_notch():
+    from gdal_spark.core.delaunay import concave_hull
+    rng = np.random.RandomState(0)
+    pts = []
+    for _ in range(2500):
+        x, y = rng.uniform(0, 10, 2)
+        if not (2 < x and 3 < y < 7):          # carve a notch
+            pts.append((x, y))
+    pts = np.array(pts)
+    ch = concave_hull(pts, max_edge=1.2)
+    cvx = geomops.convex_hull(pts)
+    assert abs(geomops.ring_area(ch)) < 0.8 * abs(geomops.ring_area(cvx))
+    assert not geomops.points_in_ring(np.array([8.0]), np.array([5.0]),
+                                      ch)[0]
+    # every input point stays inside-or-on the concave hull
+    inside = geomops.points_in_ring(pts[:, 0], pts[:, 1], ch)
+    onb = geomops._points_on_lines_mask(pts, [ch])
+    assert (inside | onb).all()
+
+
+def test_st_setprecision_and_makepoint(spark):
+    from gdal_spark.functions import st
+    import pandas as pd
+    st.register_all(spark)
+    pdf = pd.DataFrame({"geom": [wkb.polygon(
+        [(0.04, 0.04), (9.96, 0.01), (10.02, 9.98), (0.01, 10.04)])]})
+    spark.createDataFrame(pdf).createOrReplaceTempView("sp_v")
+    row = spark.sql("""
+        SELECT ST_AsText(ST_SetPrecision(geom, 0.5)) AS wkt,
+               ST_AsText(ST_MakePoint(3.5, -2.0)) AS pt,
+               ST_Area(ST_GeomFromWKB(ST_AsBinary(geom))) AS a
+        FROM sp_v""").collect()[0]
+    assert row.wkt == "POLYGON ((0 0,10 0,10 10,0 10,0 0))"
+    assert row.pt == "POINT (3.5 -2)"
+    assert row.a == pytest.approx(99.595, abs=0.5)
