@@ -2,8 +2,10 @@
 
 entry()      — flagship point-in-polygon spatial join at sf0.001.
 queries()    — every implemented operator (SURVEY.md §2) as (spark, sf_dir) -> DF.
-oracle_sql() — DuckDB-equivalent SQL per query (omitted only for ops whose
-               result is by-construction approximate, e.g. LSH top-k recall).
+oracle_sql() — DuckDB-equivalent SQL for EVERY query (round 2: all 60
+               entries fully value-hash oracled, including the approximate
+               LSH top-k whose in-bucket brute-force re-rank is
+               deterministic and therefore SQL-expressible).
 """
 
 from __future__ import annotations
