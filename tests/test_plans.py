@@ -113,3 +113,46 @@ def test_ring_knn_build_is_lazy(spark):
         sc.setJobGroup("other", "done")
     tracker = sc.statusTracker()
     assert tracker.getJobIdsForGroup(group) == []
+
+
+def test_salted_lsh_build_is_lazy_and_broadcasts_counts(spark):
+    """The hot-bucket detector is a lazy aggregate broadcast back into the
+    plan — building the salted near-dup plan launches no Spark job, and
+    the bucket-count side joins by broadcast (no extra shuffle)."""
+    from gdal_spark.operators import simsearch
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    group = "salted-lsh-lazy-build"
+    sc = spark.sparkContext
+    sc.setJobGroup(group, "build only")
+    try:
+        df = simsearch.neardup_lsh(emb, threshold=0.2, salt=4,
+                                   hot_threshold=100)
+        _ = df.columns
+    finally:
+        sc.setJobGroup("other", "done")
+    assert sc.statusTracker().getJobIdsForGroup(group) == []
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_overlay_union_reverse_side_shuffles_by_mid(spark):
+    """Union's reverse leftovers (method \\ subjects) must aggregate with a
+    hash exchange keyed by the method id — the bounded-by-selectivity
+    shuffle, not a driver collect."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    from gdal_spark.core import wkb
+    from gdal_spark.operators.overlay import overlay
+    subject = spark.createDataFrame(
+        pd.DataFrame({"sid": [1, 2], "geom": [wkb.box(0, 0, 5, 5),
+                                              wkb.box(5, 0, 10, 5)]}),
+        schema=T.StructType([T.StructField("sid", T.LongType()),
+                             T.StructField("geom", T.BinaryType())]))
+    method = spark.createDataFrame(
+        pd.DataFrame({"mid": [9], "geom": [wkb.box(2, 2, 12, 4)]}),
+        schema=T.StructType([T.StructField("mid", T.LongType()),
+                             T.StructField("geom", T.BinaryType())]))
+    df = overlay(subject, method, "union")
+    plan = plan_of(df)
+    assert "_mid" in plan
+    assert "FlatMapGroupsInPandas" in plan or "ArrowEvalPython" in plan
