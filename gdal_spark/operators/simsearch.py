@@ -55,10 +55,12 @@ def brute_topk(emb: DataFrame, n_queries: int = 10, k: int = 3) -> DataFrame:
             .select("q_id", "rank", "vec_id"))
 
 
-def hyperplanes(n: int = N_HYPERPLANES, dim: int = EMBED_DIM) -> np.ndarray:
+def hyperplanes(n: int = N_HYPERPLANES, dim: int = EMBED_DIM,
+                band: int = 0) -> np.ndarray:
     """Deterministic random hyperplanes, rounded so their decimal literals
-    round-trip identically in every engine."""
-    rng = np.random.RandomState(7)
+    round-trip identically in every engine. `band` selects an independent
+    rotation (seed offset) for multi-band LSH."""
+    rng = np.random.RandomState(7 + band)
     return rng.normal(size=(n, dim)).round(6)
 
 
@@ -122,7 +124,7 @@ def neardup_pairs(emb: DataFrame, threshold: float) -> DataFrame:
 
 
 def neardup_lsh(emb: DataFrame, threshold: float, salt: int = 1,
-                hot_threshold: int = 100000) -> DataFrame:
+                hot_threshold: int = 100000, band: int = 0) -> DataFrame:
     """LSH-prefiltered near-dup pairs: candidates share a hyperplane-sign
     bucket, then the exact cosine verify. Deterministic (seeded planes) but
     recall < 1 by construction — pairs split across buckets are missed; add
@@ -138,7 +140,7 @@ def neardup_lsh(emb: DataFrame, threshold: float, salt: int = 1,
     cell and the bucket's quadratic work spreads over salt*(salt+1)/2
     reducers. Results are IDENTICAL to the unsalted join (pinned by the
     embed_neardup_lsh_salted oracle query)."""
-    planes = hyperplanes()
+    planes = hyperplanes(band=band)
     e = emb.select("vec_id", as_double("embedding").alias("v")) \
         .withColumn("bucket", lsh_bucket_col(F.col("v"), planes))
     if salt <= 1:
@@ -180,3 +182,19 @@ def neardup_lsh(emb: DataFrame, threshold: float, salt: int = 1,
             .withColumn("cos", cosine(F.col("va"), F.col("vb")))
             .where(F.col("cos") >= threshold)
             .select("a_id", "b_id", "cos"))
+
+
+def neardup_lsh_banded(emb: DataFrame, threshold: float, bands: int = 4,
+                       salt: int = 1,
+                       hot_threshold: int = 100000) -> DataFrame:
+    """Multi-band LSH near-dup: union the candidate pairs of `bands`
+    independent hyperplane rotations, dedupe, verify once. Each extra band
+    raises recall (a pair split by one rotation's buckets usually shares
+    another's); cost is `bands` bucket equi-joins — still no cross join
+    anywhere. Deterministic: band b uses seed 7+b."""
+    out = None
+    for b in range(bands):
+        part = neardup_lsh(emb, threshold, salt=salt,
+                           hot_threshold=hot_threshold, band=b)
+        out = part if out is None else out.unionByName(part)
+    return out.dropDuplicates(["a_id", "b_id"])

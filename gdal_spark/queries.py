@@ -876,16 +876,18 @@ def q_proximity_density(spark, sf_dir):
                         T.StructField("dist_r", T.DoubleType())])
 
     def explode_px(batches):
+        # vectorized meshgrid flatten — no per-pixel Python
+        jj, ii = np.meshgrid(np.arange(8), np.arange(8), indexing="ij")
+        jf, if_ = jj.ravel(), ii.ravel()
         for pdf in batches:
-            out = []
+            frames = []
             for r in pdf.itertuples():
                 d = decode_px(r.px, "float64", 8)
-                for j in range(8):
-                    for i in range(8):
-                        out.append((int(r.tile_x) * 8 + i,
-                                    int(r.tile_y) * 8 + j,
-                                    round(float(d[j, i]), 6)))
-            yield pd.DataFrame(out, columns=["x", "y", "dist_r"])
+                frames.append(pd.DataFrame({
+                    "x": int(r.tile_x) * 8 + if_,
+                    "y": int(r.tile_y) * 8 + jf,
+                    "dist_r": np.round(d.ravel(), 6)}))
+            yield pd.concat(frames) if frames else                 pd.DataFrame(columns=["x", "y", "dist_r"])
 
     return prox.mapInPandas(explode_px, _PX)
 
@@ -1774,3 +1776,36 @@ def q_polygonize_rings_density(spark, sf_dir):
     return out.select("value",
                       F.round(st.st_area("geom")).cast("long")
                       .alias("area_px"))
+
+
+def _neardup_banded_sql(bands: int = 4) -> str:
+    unions = []
+    for b in range(bands):
+        planes = simsearch.hyperplanes(band=b)
+        terms = []
+        for i, pl in enumerate(planes):
+            lit = "[" + ", ".join(repr(float(x)) for x in pl) + "]"
+            terms.append(f"(CASE WHEN list_dot_product(v, {lit}) > 0"
+                         f" THEN {1 << i} ELSE 0 END)")
+        bucket = " + ".join(terms)
+        unions.append(f"""
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       ROUND({_NEARDUP_COS}, 6) AS cos_r
+FROM (SELECT vec_id, embedding::DOUBLE[] AS v,
+             {bucket} AS bucket FROM embeddings) a
+JOIN (SELECT vec_id, embedding::DOUBLE[] AS v,
+             {bucket} AS bucket FROM embeddings) b
+  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {_NEARDUP_COS} >= 0.2""")
+    return ("SELECT DISTINCT a_id, b_id, cos_r FROM ("
+            + " UNION ALL ".join(unions) + ")")
+
+
+@_reg("embed_neardup_lsh_banded", _neardup_banded_sql())
+def q_embed_neardup_lsh_banded(spark, sf_dir):
+    """Multi-band LSH near-dup (4 hyperplane rotations, candidates
+    unioned + deduped): recall strictly >= the single band's; the oracle
+    replays all four bucketings and the dedupe in SQL."""
+    out = simsearch.neardup_lsh_banded(_t(spark, sf_dir, "embeddings"),
+                                       threshold=0.2, bands=4)
+    return out.select("a_id", "b_id", F.round("cos", 6).alias("cos_r"))
