@@ -87,3 +87,47 @@ def footprint(tiles_df: DataFrame, tile: int = 256) -> DataFrame:
     return comps.select(
         "comp_id", "n_pixels",
         box_wkb("px_xmin", "px_ymin", "px_xmax", "px_ymax").alias("geom"))
+
+
+def pansharpen(ms_tiles: DataFrame, pan_tiles: DataFrame,
+               weights: list[float] | None = None,
+               tile: int = 256) -> DataFrame:
+    """Weighted-Brovey pansharpening (alg/gdalpansharpen.cpp, the
+    GDALCreatePansharpenedVRT kernel): out_i = ms_i * pan / pseudo_pan with
+    pseudo_pan = sum(w_j * ms_j). The multispectral bands must already be
+    resampled to the pan grid (use warp upsampling) — this stage is the
+    per-pixel combine, a single groupBy(tile) with no further shuffle.
+
+    ms_tiles: tile table with bands 1..N; pan_tiles: band 1 at the same
+    (zoom, tile_x, tile_y) grid. Output: bands 1..N sharpened (float64).
+    """
+    from .tiles import TILE_SCHEMA, decode_px, encode_px
+
+    pan = pan_tiles.select("zoom", "tile_x", "tile_y",
+                           F.col("px").alias("_pan_px"),
+                           F.col("dtype").alias("_pan_dtype"))
+    joined = ms_tiles.join(pan, ["zoom", "tile_x", "tile_y"])
+
+    def combine(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        zoom, tx, ty = int(key[0]), int(key[1]), int(key[2])
+        pan_arr = decode_px(pdf.iloc[0]["_pan_px"],
+                            pdf.iloc[0]["_pan_dtype"], tile)
+        bands = sorted(pdf["band"].unique())
+        w = weights if weights is not None else [1.0 / len(bands)] * len(bands)
+        ms = {int(r.band): decode_px(r.px, r.dtype, tile)
+              for r in pdf.itertuples()}
+        pseudo = np.zeros_like(pan_arr, dtype=np.float64)
+        for wi, b in zip(w, bands):
+            pseudo += wi * ms[int(b)]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ratio = np.where(pseudo != 0, pan_arr / pseudo, 0.0)
+        out = []
+        for b in bands:
+            sharp = ms[int(b)] * ratio
+            out.append((int(b), zoom, tx, ty, "float64", None,
+                        encode_px(sharp.astype(np.float64))))
+        return pd.DataFrame(out, columns=[f.name for f in
+                                          TILE_SCHEMA.fields])
+
+    return joined.groupBy("zoom", "tile_x", "tile_y") \
+        .applyInPandas(combine, TILE_SCHEMA)

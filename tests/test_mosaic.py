@@ -35,3 +35,27 @@ def test_footprint_envelopes(spark):
         tuple(geomops.envelopes([bytes(r.geom)])[0].tolist()) + (r.n_pixels,)
         for r in rows)
     assert envs == [(3.0, 2.0, 9.0, 5.0, 18), (12.0, 10.0, 14.0, 12.0, 4)]
+
+
+def test_pansharpen_identity_and_scale(spark):
+    """pan == pseudo_pan -> output equals the input bands exactly;
+    pan == 2*pseudo_pan -> every band doubles (the Brovey ratio law)."""
+    from gdal_spark.raster.mosaic import pansharpen
+    from gdal_spark.raster.tiles import raster_to_tiles
+    rng = np.random.RandomState(6)
+    t = 16
+    bands = {b: rng.uniform(1, 100, (t, t)) for b in (1, 2, 3)}
+    ms = None
+    for b, arr in bands.items():
+        df = raster_to_tiles(spark, arr, zoom=0, band=b, tile=t)
+        ms = df if ms is None else ms.unionByName(df)
+    pseudo = sum(bands.values()) / 3.0
+    for factor in (1.0, 2.0):
+        pan = raster_to_tiles(spark, pseudo * factor, zoom=0, band=1, tile=t)
+        out = pansharpen(ms, pan, tile=t)
+        rows = out.collect()
+        assert len(rows) == 3
+        for r in rows:
+            got = np.frombuffer(r.px, dtype=np.float64).reshape(t, t)
+            np.testing.assert_allclose(got, bands[r.band] * factor,
+                                       rtol=1e-12)

