@@ -30,6 +30,11 @@ MULTIPOINT = 4
 MULTILINESTRING = 5
 MULTIPOLYGON = 6
 GEOMETRYCOLLECTION = 7
+CIRCULARSTRING = 8        # linearized on decode (ingest policy)
+COMPOUNDCURVE = 9
+CURVEPOLYGON = 10
+MULTICURVE = 11
+MULTISURFACE = 12
 
 TYPE_NAMES = {
     POINT: "POINT", LINESTRING: "LINESTRING", POLYGON: "POLYGON",
@@ -103,12 +108,15 @@ def _decode_at(buf: bytes, off: int):
     off += 5
     if byte_order != 1:
         raise ValueError("big-endian WKB not supported (write little-endian)")
-    # strip ISO Z/M/SRID decorations: 1001/2001/3001 -> 1; EWKB flags rejected
-    base = wkb_type % 1000
-    has_z = wkb_type >= 1000 and wkb_type < 4000
-    dim = 3 if (has_z and (wkb_type // 1000) in (1, 3)) else 2
     if wkb_type & 0x80000000 or wkb_type & 0x40000000 or wkb_type & 0x20000000:
         raise ValueError("EWKB flag bits not supported; use ISO WKB")
+    # strip ISO Z/M/ZM decorations (1xxx=Z, 2xxx=M -> 3 values per point;
+    # 3xxx=ZM -> 4); only x,y are kept
+    base = wkb_type % 1000
+    deco = wkb_type // 1000
+    dim = {0: 2, 1: 3, 2: 3, 3: 4}.get(deco)
+    if dim is None:
+        raise ValueError(f"unsupported WKB type {wkb_type}")
     if base == POINT:
         n = dim
         pt = np.frombuffer(buf, dtype="<f8", count=n, offset=off)[:2].reshape(1, 2)
@@ -133,7 +141,83 @@ def _decode_at(buf: bytes, off: int):
             g, off = _decode_at(buf, off)
             parts.append(g)
         return Geom(base, parts=parts), off
+    if base == CIRCULARSTRING:
+        # linearize on ingest (the ogr2ogr forceTo policy,
+        # apps/ogr2ogr_lib.cpp:6817-6833): each arc triple (p0, p1, p2)
+        # samples the circle through the three points
+        (npts,) = _U32.unpack_from(buf, off); off += 4
+        arr = np.frombuffer(buf, dtype="<f8", count=npts * dim,
+                            offset=off).reshape(npts, dim)[:, :2]
+        off += 8 * dim * npts
+        return Geom(LINESTRING, [linearize_arcs(
+            np.ascontiguousarray(arr, dtype=np.float64))]), off
+    if base == COMPOUNDCURVE:
+        (nparts,) = _U32.unpack_from(buf, off); off += 4
+        pieces = []
+        for _ in range(nparts):
+            g, off = _decode_at(buf, off)
+            pieces.append(g.rings[0])
+        joined = [pieces[0]] + [p[1:] for p in pieces[1:]]
+        return Geom(LINESTRING, [np.concatenate(joined)]), off
+    if base == CURVEPOLYGON:
+        (nrings,) = _U32.unpack_from(buf, off); off += 4
+        rings = []
+        for _ in range(nrings):
+            g, off = _decode_at(buf, off)
+            r = g.rings[0]
+            if len(r) and not np.array_equal(r[0], r[-1]):
+                r = np.vstack([r, r[:1]])
+            rings.append(r)
+        return Geom(POLYGON, rings), off
+    if base in (MULTICURVE, MULTISURFACE):
+        (nparts,) = _U32.unpack_from(buf, off); off += 4
+        parts = []
+        for _ in range(nparts):
+            g, off = _decode_at(buf, off)
+            parts.append(g)
+        return Geom(MULTILINESTRING if base == MULTICURVE else MULTIPOLYGON,
+                    parts=parts), off
     raise ValueError(f"unsupported WKB type {wkb_type}")
+
+
+def linearize_arcs(pts: np.ndarray, max_angle_deg: float = 4.0) -> np.ndarray:
+    """CircularString -> LineString: every consecutive (p0, p1, p2) triple
+    is a circular arc through three points; sample it at <= max_angle_deg
+    steps (OGRGeometryFactory::curveToLineString semantics — the ISO
+    linearization ogr2ogr applies on forceTo)."""
+    if len(pts) < 3:
+        return pts
+    out = [pts[:1]]
+    for k in range(0, len(pts) - 2, 2):
+        p0, p1, p2 = pts[k], pts[k + 1], pts[k + 2]
+        ax, ay = p0
+        bx, by = p1
+        cx, cy = p2
+        d = 2.0 * (ax * (by - cy) + bx * (cy - ay) + cx * (ay - by))
+        if abs(d) < 1e-12:                      # collinear: straight lines
+            out.append(np.array([p1, p2]))
+            continue
+        ux = ((ax ** 2 + ay ** 2) * (by - cy) + (bx ** 2 + by ** 2)
+              * (cy - ay) + (cx ** 2 + cy ** 2) * (ay - by)) / d
+        uy = ((ax ** 2 + ay ** 2) * (cx - bx) + (bx ** 2 + by ** 2)
+              * (ax - cx) + (cx ** 2 + cy ** 2) * (bx - ax)) / d
+        r = float(np.hypot(ax - ux, ay - uy))
+        a0 = np.arctan2(ay - uy, ax - ux)
+        a1 = np.arctan2(by - uy, bx - ux)
+        a2 = np.arctan2(cy - uy, cx - ux)
+        # go from a0 through a1 to a2 (choose the sweep containing a1)
+        def _sweep(s, m, e):
+            ccw_m = (m - s) % (2 * np.pi)
+            ccw_e = (e - s) % (2 * np.pi)
+            if ccw_m <= ccw_e:
+                return ccw_e                    # counter-clockwise
+            return ccw_e - 2 * np.pi            # clockwise (negative)
+        sw = _sweep(a0, a1, a2)
+        n = max(2, int(np.ceil(abs(sw) / np.deg2rad(max_angle_deg))))
+        ang = a0 + sw * np.linspace(0.0, 1.0, n + 1)[1:]
+        out.append(np.stack([ux + r * np.cos(ang),
+                             uy + r * np.sin(ang)], axis=1))
+    return np.concatenate(out)
 
 
 # ---------------------------------------------------------------------------

@@ -207,3 +207,52 @@ def test_triangulate_ring_partitions_polygon():
         # interior points: count==1; boundary/shared-edge points may differ
         mism = (in_poly != (cnt > 0)).sum()
         assert mism <= 3
+
+
+def test_wkb_m_and_zm_variants_decode():
+    """ISO 2xxx (M) and 3xxx (ZM) carry 3 resp. 4 values per point — the
+    decoder must stride correctly and keep x,y."""
+    import struct
+    # POINT M (2001): x=1, y=2, m=9
+    b = struct.pack("<BI3d", 1, 2001, 1.0, 2.0, 9.0)
+    g = wkb.decode(b)
+    assert g.gtype == wkb.POINT
+    np.testing.assert_array_equal(g.rings[0], [[1.0, 2.0]])
+    # LINESTRING ZM (3002): 2 points x 4 values
+    b = struct.pack("<BII8d", 1, 3002, 2,
+                    0.0, 0.0, 5.0, 7.0, 3.0, 4.0, 5.0, 7.0)
+    g = wkb.decode(b)
+    np.testing.assert_array_equal(g.rings[0], [[0.0, 0.0], [3.0, 4.0]])
+
+
+def test_circularstring_linearizes_to_half_circle():
+    """CIRCULARSTRING (0 0, 1 1, 2 0): half circle of radius 1 around
+    (1, 0) — linearized points must all sit on that circle and the length
+    must approach pi."""
+    import struct
+    b = struct.pack("<BII6d", 1, 8, 3, 0.0, 0.0, 1.0, 1.0, 2.0, 0.0)
+    g = wkb.decode(b)
+    assert g.gtype == wkb.LINESTRING
+    r = g.rings[0]
+    assert len(r) > 20
+    d = np.hypot(r[:, 0] - 1.0, r[:, 1])
+    np.testing.assert_allclose(d, 1.0, atol=1e-9)
+    seg = np.diff(r, axis=0)
+    length = np.hypot(seg[:, 0], seg[:, 1]).sum()
+    assert abs(length - np.pi) < 0.01
+    np.testing.assert_allclose(r[0], [0.0, 0.0], atol=1e-12)
+    np.testing.assert_allclose(r[-1], [2.0, 0.0], atol=1e-9)
+
+
+def test_curvepolygon_area():
+    """CURVEPOLYGON with a full-circle CIRCULARSTRING ring -> polygon whose
+    area approaches pi*r^2."""
+    import struct
+    # circle radius 2 centered (0,0): arcs (2,0)->(0,2)->(-2,0)->(0,-2)->(2,0)
+    ring = struct.pack("<BII10d", 1, 8, 5,
+                       2.0, 0.0, 0.0, 2.0, -2.0, 0.0, 0.0, -2.0, 2.0, 0.0)
+    b = struct.pack("<BII", 1, 10, 1) + ring
+    g = wkb.decode(b)
+    assert g.gtype == wkb.POLYGON
+    from gdal_spark.core import geomops
+    assert abs(geomops.geom_area(g) - np.pi * 4) < 0.02
