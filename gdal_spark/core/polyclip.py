@@ -109,7 +109,10 @@ def _trapezoids(ea: np.ndarray, eb: np.ndarray, op: str,
     xs = np.concatenate([all_e[:, 0], all_e[:, 2], _crossing_xs(ea, eb)]
                         + ([extra_xs] if extra_xs is not None else []))
     xs = np.unique(xs)
-    # merge events closer than eps (float noise from crossing computation)
+    # merge only float-noise duplicate events (1e-12 * scale). Merging any
+    # wider would re-introduce in-slab edge crossings, which breaks the
+    # total-order invariant the decomposition rests on; sliver slabs are
+    # instead handled downstream by the iterative collinear vertex removal.
     scale = max(1.0, float(np.abs(all_e[:, (0, 2)]).max()))
     eps = 1e-12 * scale
     keep = np.r_[True, np.diff(xs) > eps]
@@ -150,9 +153,12 @@ def _trapezoids(ea: np.ndarray, eb: np.ndarray, op: str,
             bot, top = s, e            # gap run [s, e) -> edges s and e
             if yl[top] - yl[bot] <= 0 and yr[top] - yr[bot] <= 0:
                 continue               # degenerate (zero-height) piece
-            traps.append((float(xl), float(xr),
-                          float(yl[bot]), float(yr[bot]),
-                          float(yl[top]), float(yr[top])))
+            # edges meeting exactly at a slab boundary can invert by float
+            # noise there; normalize so every side interval is ordered
+            # (adjacent slabs normalize the same values identically)
+            lb, lt = sorted((float(yl[bot]), float(yl[top])))
+            rb, rt = sorted((float(yr[bot]), float(yr[top])))
+            traps.append((float(xl), float(xr), lb, rb, lt, rt))
     return traps
 
 
@@ -234,15 +240,28 @@ def _stitch(traps, eps: float) -> List[np.ndarray]:
         outgoing.setdefault(key(sx, sy), []).append(i)
 
     used = [False] * len(segs)
+
+    def outs_near(px, py):
+        """Unused segments starting within ~eps of (px, py) — neighbor
+        buckets included, because two points one quantum apart can round
+        to different keys."""
+        kx, ky = key(px, py)
+        out = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                for j in outgoing.get((kx + dx, ky + dy), []):
+                    if not used[j] and                             abs(segs[j][0] - px) <= 2 * eps and                             abs(segs[j][1] - py) <= 2 * eps:
+                        out.append(j)
+        return out
+
     rings = []
     for i0 in range(len(segs)):
-        if used[i0] or key(segs[i0][0], segs[i0][1]) not in outgoing:
-            continue
-        if i0 not in outgoing.get(key(segs[i0][0], segs[i0][1]), []):
+        if used[i0] or i0 not in outgoing.get(
+                key(segs[i0][0], segs[i0][1]), []):
             continue
         ring = [segs[i0][0:2]]
         cur = i0
-        start_k = key(segs[i0][0], segs[i0][1])
+        sx0, sy0 = segs[i0][0], segs[i0][1]
         guard = 0
         closed = False
         while guard < len(segs) + 4:
@@ -251,11 +270,10 @@ def _stitch(traps, eps: float) -> List[np.ndarray]:
             outgoing[key(segs[cur][0], segs[cur][1])].remove(cur)
             end = segs[cur][2:4]
             ring.append(end)
-            k = key(*end)
-            if k == start_k:
+            if abs(end[0] - sx0) <= 2 * eps and abs(end[1] - sy0) <= 2 * eps:
                 closed = True
                 break
-            cands = [j for j in outgoing.get(k, []) if not used[j]]
+            cands = outs_near(*end)
             if not cands:
                 break
             if len(cands) == 1:
@@ -291,12 +309,20 @@ def _dedup_collinear(ring: np.ndarray, eps: float) -> np.ndarray:
         pts = pts[keep]
         if len(pts) < 3:
             return np.empty((0, 2))
-    prev = np.roll(pts, 1, axis=0)
-    nxt = np.roll(pts, -1, axis=0)
-    cross = ((pts[:, 0] - prev[:, 0]) * (nxt[:, 1] - prev[:, 1])
-             - (pts[:, 1] - prev[:, 1]) * (nxt[:, 0] - prev[:, 0]))
-    span = (np.abs(nxt - prev).sum(axis=1) + 1.0)
-    pts = pts[np.abs(cross) > eps * span]
+    # iterative collinear removal — ONE vertex at a time (simultaneous
+    # removal can cascade: a sliver vertex makes BOTH its neighbours look
+    # collinear, wiping real corners)
+    while len(pts) >= 3:
+        prev = np.roll(pts, 1, axis=0)
+        nxt = np.roll(pts, -1, axis=0)
+        cross = ((pts[:, 0] - prev[:, 0]) * (nxt[:, 1] - prev[:, 1])
+                 - (pts[:, 1] - prev[:, 1]) * (nxt[:, 0] - prev[:, 0]))
+        span = (np.abs(nxt - prev).sum(axis=1) + 1.0)
+        rel = np.abs(cross) / span
+        k = int(np.argmin(rel))
+        if rel[k] > eps:
+            break
+        pts = np.delete(pts, k, axis=0)
     if len(pts) < 3:
         return np.empty((0, 2))
     return np.vstack([pts, pts[:1]])

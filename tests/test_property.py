@@ -101,3 +101,73 @@ def test_pip_orientation_invariant(pts, px, py):
     a = geomops.points_in_geom(np.array([px]), np.array([py]), fwd)[0]
     b = geomops.points_in_geom(np.array([px]), np.array([py]), rev)[0]
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# round 2: boolean-kernel properties (core.polyclip)
+# ---------------------------------------------------------------------------
+
+coord_s = st.floats(min_value=-100.0, max_value=100.0,
+                    allow_nan=False, allow_infinity=False)
+
+
+def _rand_tri(draw_pts):
+    pts = np.array(draw_pts, dtype=np.float64).reshape(3, 2)
+    return wkb.decode(wkb.polygon(pts))
+
+
+@settings(max_examples=50, deadline=None)
+@given(a=st.lists(coord_s, min_size=6, max_size=6),
+       b=st.lists(coord_s, min_size=6, max_size=6))
+def test_boolean_inclusion_exclusion(a, b):
+    """area(A∪B) + area(A∩B) == area(A) + area(B) and the four ops stay
+    self-consistent for arbitrary (possibly degenerate) triangles."""
+    from gdal_spark.core.polyclip import boolean_area
+    ga, gb = _rand_tri(a), _rand_tri(b)
+    area_a = geomops.geom_area(ga)
+    area_b = geomops.geom_area(gb)
+    inter = boolean_area(ga, gb, "intersection")
+    union = boolean_area(ga, gb, "union")
+    diff = boolean_area(ga, gb, "difference")
+    sym = boolean_area(ga, gb, "symdifference")
+    tol = 1e-6 * max(1.0, area_a + area_b)
+    assert abs(union + inter - area_a - area_b) < tol
+    assert abs(diff - (area_a - inter)) < tol
+    assert abs(sym - (union - inter)) < tol
+    assert -tol <= inter <= min(area_a, area_b) + tol
+
+
+@settings(max_examples=50, deadline=None)
+@given(a=st.lists(coord_s, min_size=6, max_size=6),
+       b=st.lists(coord_s, min_size=6, max_size=6))
+def test_boolean_stitched_area_matches_trapezoid_sum(a, b):
+    """Ring stitching must conserve the trapezoid-sum area for every op."""
+    from gdal_spark.core.polyclip import OPS, boolean_area, geom_boolean
+    ga, gb = _rand_tri(a), _rand_tri(b)
+    # stitched resolution: the kernel quantizes vertices at 1e-9 * scale,
+    # so features thinner than that quantum (times the perimeter) may drop
+    # from the RINGS while still counting in the trapezoid-sum area
+    tol = 1e-9 * 100.0 * 1000.0 + 1e-6 * max(
+        geomops.geom_area(ga), geomops.geom_area(gb), 1.0)
+    for op in OPS:
+        want = boolean_area(ga, gb, op)
+        g = geom_boolean(ga, gb, op)
+        got = geomops.geom_area(g) if g is not None else 0.0
+        assert abs(got - want) < tol, op
+
+
+@settings(max_examples=40, deadline=None)
+@given(pts=st.lists(st.tuples(coord_s, coord_s), min_size=4, max_size=10,
+                    unique=True))
+def test_makevalid_is_valid_and_idempotent(pts):
+    """MakeValid of an arbitrary (usually self-intersecting) ring yields a
+    valid geometry whose area is stable under a second MakeValid."""
+    from gdal_spark.core.polyclip import geom_makevalid
+    g = wkb.decode(wkb.polygon(np.array(pts, dtype=np.float64)))
+    fixed = geom_makevalid(g)
+    if fixed is None:
+        return
+    a1 = geomops.geom_area(fixed)
+    again = geom_makevalid(fixed)
+    a2 = geomops.geom_area(again) if again is not None else 0.0
+    assert abs(a1 - a2) < 1e-6 * max(1.0, a1)
