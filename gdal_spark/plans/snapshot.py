@@ -1,0 +1,113 @@
+"""Snapshot-versioned parquet tables — the Iceberg-semantics stand-in.
+
+SURVEY §1's data model maps OGR layers to Iceberg tables (transactions =
+snapshot commits, `ogrlayer.cpp:846` CreateFeature + StartTransaction/
+Commit); no Iceberg runtime jar exists in this environment, so this module
+supplies the same CONTRACT on plain parquet + atomic manifest files:
+
+  * a commit writes data files into an immutable uuid-named directory and
+    then publishes snapshot v<N>.json via os.rename (atomic on POSIX) —
+    readers either see the whole commit or none of it;
+  * every snapshot lists its data files explicitly, so reads NEVER list
+    directories (the Iceberg scan-planning property that makes object-store
+    listings irrelevant) and time travel is just reading an older manifest;
+  * rollback publishes a NEW snapshot pointing at an old file set — history
+    is append-only, like Iceberg's snapshot log.
+
+Single-writer per table (documented; Iceberg arbitrates multi-writer via
+the catalog, which is exactly the piece that needs the runtime jar). Swap
+`SnapshotTable` for `df.writeTo(...)` when one is available.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotTable:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        os.makedirs(os.path.join(path, "data"), exist_ok=True)
+        os.makedirs(os.path.join(path, "snapshots"), exist_ok=True)
+
+    # -- snapshot log ------------------------------------------------------
+
+    def _snap_path(self, version: int) -> str:
+        return os.path.join(self.path, "snapshots", f"v{version}.json")
+
+    def versions(self) -> list[int]:
+        out = []
+        for f in os.listdir(os.path.join(self.path, "snapshots")):
+            if f.startswith("v") and f.endswith(".json"):
+                out.append(int(f[1:-5]))
+        return sorted(out)
+
+    def current_version(self) -> int | None:
+        vs = self.versions()
+        return vs[-1] if vs else None
+
+    def _load_snapshot(self, version: int) -> dict:
+        with open(self._snap_path(version)) as f:
+            return json.load(f)
+
+    def _publish(self, files: list[str], operation: str,
+                 parent: int | None) -> int:
+        version = (parent if parent is not None else -1) + 1
+        snap = {"version": version, "parent": parent,
+                "operation": operation, "files": sorted(files),
+                "committed_at": time.time()}
+        tmp = self._snap_path(version) + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(snap, f, indent=1)
+        os.rename(tmp, self._snap_path(version))      # the atomic commit
+        return version
+
+    # -- commits -----------------------------------------------------------
+
+    def _write_data(self, df: DataFrame) -> list[str]:
+        d = os.path.join(self.path, "data", uuid.uuid4().hex)
+        df.write.parquet(d)
+        return [os.path.join(d, f) for f in os.listdir(d)
+                if f.endswith(".parquet")]
+
+    def commit_append(self, df: DataFrame) -> int:
+        new_files = self._write_data(df)
+        parent = self.current_version()
+        prev = self._load_snapshot(parent)["files"] if parent is not None \
+            else []
+        return self._publish(prev + new_files, "append", parent)
+
+    def commit_overwrite(self, df: DataFrame) -> int:
+        new_files = self._write_data(df)
+        return self._publish(new_files, "overwrite", self.current_version())
+
+    def rollback(self, version: int) -> int:
+        """Publish a new snapshot with an old snapshot's file set."""
+        files = self._load_snapshot(version)["files"]
+        return self._publish(files, f"rollback-to-{version}",
+                             self.current_version())
+
+    # -- reads -------------------------------------------------------------
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Read the table at a snapshot (default: latest). File-list based —
+        uncommitted data directories are invisible by construction."""
+        v = version if version is not None else self.current_version()
+        if v is None:
+            raise ValueError("table has no snapshots yet")
+        files = self._load_snapshot(v)["files"]
+        if not files:
+            return self.spark.createDataFrame([], schema="dummy string") \
+                .limit(0)
+        return self.spark.read.parquet(*files)
+
+    def history(self) -> list[dict]:
+        return [{k: s[k] for k in ("version", "parent", "operation",
+                                   "committed_at")}
+                for s in (self._load_snapshot(v) for v in self.versions())]

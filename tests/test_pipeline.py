@@ -75,3 +75,35 @@ def test_multimodal_resize_and_frame_sample(spark):
         by_key.setdefault(r.url, []).append(r.frame_idx)
     for idxs in by_key.values():
         assert sorted(idxs) == list(range(len(idxs)))   # dense frame idx
+
+
+# ---------------------------------------------------------------------------
+# round 2: snapshot-versioned tables (the Iceberg-semantics stand-in)
+# ---------------------------------------------------------------------------
+
+def test_snapshot_table_append_overwrite_time_travel(spark, tmp_path):
+    from gdal_spark.plans.snapshot import SnapshotTable
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    v0 = t.commit_append(spark.range(5).selectExpr("id", "id * 2 AS x"))
+    assert v0 == 0
+    v1 = t.commit_append(spark.range(5, 8).selectExpr("id", "id * 2 AS x"))
+    assert t.read().count() == 8
+    assert t.read(version=v0).count() == 5          # time travel
+    v2 = t.commit_overwrite(spark.range(2).selectExpr("id", "id * 2 AS x"))
+    assert t.read().count() == 2
+    assert t.read(version=v1).count() == 8          # history intact
+    v3 = t.rollback(v1)
+    assert t.read().count() == 8
+    ops = [h["operation"] for h in t.history()]
+    assert ops == ["append", "append", "overwrite", f"rollback-to-{v1}"]
+
+
+def test_snapshot_uncommitted_data_invisible(spark, tmp_path):
+    """Crash between data write and snapshot publish: the data directory
+    exists but no reader can see it (snapshot isolation)."""
+    from gdal_spark.plans.snapshot import SnapshotTable
+    t = SnapshotTable(spark, str(tmp_path / "tbl2"))
+    t.commit_append(spark.range(4).selectExpr("id"))
+    # simulate a crashed writer: data files land, snapshot never publishes
+    t._write_data(spark.range(100).selectExpr("id"))
+    assert t.read().count() == 4
