@@ -97,3 +97,24 @@ def test_node_base_range_check():
         _node_base(1 << 23, 0, 256)
     with pytest.raises(ValueError):
         _node_base(0, -1, 256)
+
+
+@pytest.mark.parametrize("dtype", ["uint8", "uint16", "int32", "float32"])
+def test_warp_and_pyramid_dtype_sweep(spark, dtype):
+    """Non-float64 tile payloads flow through warp (identity near) and the
+    overview reduction without corruption — the packed-bytes + dtype-column
+    model of SURVEY §1.2."""
+    from gdal_spark.raster import warp
+    from gdal_spark.raster.rasterize import GridSpec
+    rng = np.random.RandomState(11)
+    arr = (rng.rand(2 * TILE, 2 * TILE) * 100).astype(dtype)
+    df = tiles.raster_to_tiles(spark, arr, zoom=1, tile=TILE)
+    up = pyramid.overview_level(df, resampling="near", tile=TILE)
+    got = tiles.tiles_to_raster(up, tile=TILE)
+    np.testing.assert_array_equal(got.astype(dtype), arr[::2, ::2])
+    grid = GridSpec(x0=0.0, y0=0.0, dx=1.0, dy=1.0,
+                    width=2 * TILE, height=2 * TILE, tile=TILE)
+    spec = warp.WarpSpec(grid, "EPSG:4326", grid, "EPSG:4326", "near")
+    w = tiles.tiles_to_raster(warp.warp(df, spec, out_dtype=dtype),
+                              tile=TILE)
+    np.testing.assert_array_equal(w.astype(dtype), arr)
