@@ -229,3 +229,160 @@ def _reverse_leftovers(subject: DataFrame, method: DataFrame, mid_col: str,
                  for f in subj_fields]
     return rev.select(*null_subj, F.col("_mid").alias(mid_col),
                       F.col("geom"))
+
+
+# ---------------------------------------------------------------------------
+# big x big overlay: cell-cover shuffle join (no driver collect)
+# ---------------------------------------------------------------------------
+
+def _cover_cells_df(df: DataFrame, key_col: str, cell_size: float,
+                    prefix: str) -> DataFrame:
+    """(cell, key, geom): explode each geometry over the grid cells its
+    envelope touches — the same cover-then-equi-join machinery as pip_join,
+    at a caller-chosen cell size (pick ~ the median geometry extent)."""
+    env_schema = T.StructType([
+        T.StructField(key_col, df.schema[key_col].dataType),
+        T.StructField("geom", T.BinaryType()),
+        T.StructField("_cx0", T.LongType()),
+        T.StructField("_cy0", T.LongType()),
+        T.StructField("_cx1", T.LongType()),
+        T.StructField("_cy1", T.LongType()),
+    ])
+
+    def envs(batches):
+        for pdf in batches:
+            e = geomops.envelopes(pdf["geom"].values)
+            out = pdf[[key_col, "geom"]].copy()
+            out["_cx0"] = np.floor(e[:, 0] / cell_size).astype(np.int64)
+            out["_cy0"] = np.floor(e[:, 1] / cell_size).astype(np.int64)
+            out["_cx1"] = np.floor(e[:, 2] / cell_size).astype(np.int64)
+            out["_cy1"] = np.floor(e[:, 3] / cell_size).astype(np.int64)
+            yield out
+
+    withenv = df.select(key_col, "geom").mapInPandas(envs, env_schema)
+    cx = F.explode(F.sequence("_cx0", "_cx1")).alias("_ccx")
+    withx = withenv.select("*", cx)
+    cy = F.explode(F.sequence("_cy0", "_cy1")).alias("_ccy")
+    return (withx.select("*", cy)
+            .select(key_col, "geom",
+                    (F.col("_ccx") * F.lit(1 << 32) + F.col("_ccy") +
+                     F.lit(1 << 62)).alias("cell"))
+            .withColumnRenamed("geom", f"{prefix}geom"))
+
+
+def overlay_join(subject: DataFrame, method: DataFrame, mode: str,
+                 cell_size: float, sid_col: str = "sid",
+                 mid_col: str = "mid") -> DataFrame:
+    """Overlay for method layers TOO BIG to broadcast: cell-cover both
+    sides, equi-join on cell, dedup (sid, mid), exact boolean per pair,
+    and per-key difference folds for the leftover sides — no driver
+    collect anywhere (the scale path the broadcast `overlay` docstring
+    promised; subject attrs beyond sid_col are not carried — join them
+    back on sid afterwards).
+
+    Returns (sid, mid, geom) with NULLs per the same cardinality contracts
+    as `overlay` (intersection/union/symdifference/identity/update/clip/
+    erase)."""
+    if mode not in _MODES:
+        raise ValueError(f"mode must be one of {_MODES}")
+    s_cells = _cover_cells_df(subject, sid_col, cell_size, "s_")
+    m_cells = _cover_cells_df(method, mid_col, cell_size, "m_")
+    pairs = (s_cells.join(m_cells, "cell")
+             .dropDuplicates([sid_col, mid_col]))
+
+    sid_t = subject.schema[sid_col].dataType
+    mid_t = method.schema[mid_col].dataType
+    piece_schema = T.StructType([
+        T.StructField(sid_col, sid_t), T.StructField(mid_col, mid_t),
+        T.StructField("geom", T.BinaryType())])
+
+    def cut(op):
+        def run(batches):
+            for pdf in batches:
+                out = []
+                for r in pdf.itertuples():
+                    gs = wkb.decode(bytes(getattr(r, "s_geom")))
+                    gm = wkb.decode_cached(bytes(getattr(r, "m_geom"))) \
+                        if hasattr(wkb, "decode_cached") else \
+                        wkb.decode(bytes(getattr(r, "m_geom")))
+                    piece = polyclip.geom_boolean(gs, gm, op)
+                    if piece is not None:
+                        out.append((getattr(r, sid_col),
+                                    getattr(r, mid_col),
+                                    wkb.encode(piece)))
+                yield pd.DataFrame(out, columns=[sid_col, mid_col, "geom"]) \
+                    if out else pd.DataFrame(columns=[sid_col, mid_col,
+                                                      "geom"])
+        return run
+
+    inter = pairs.mapInPandas(cut("intersection"), piece_schema)
+
+    def fold_diff(key_col_name, own_geom, other_geom):
+        schema = T.StructType([
+            T.StructField(key_col_name,
+                          sid_t if key_col_name == sid_col else mid_t),
+            T.StructField("geom", T.BinaryType())])
+
+        def fold(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            g = wkb.decode(bytes(pdf.iloc[0][own_geom]))
+            for b in pdf[other_geom].values:
+                g = polyclip.geom_boolean(g, wkb.decode(bytes(b)),
+                                          "difference")
+                if g is None:
+                    break
+            if g is None:
+                return pd.DataFrame(columns=[key_col_name, "geom"])
+            return pd.DataFrame([(key[0], wkb.encode(g))],
+                                columns=[key_col_name, "geom"])
+        return pairs.groupBy(key_col_name).applyInPandas(fold, schema)
+
+    def untouched(side_df, key_col_name):
+        return side_df.select(key_col_name, "geom") \
+            .join(pairs.select(key_col_name).distinct(), key_col_name,
+                  "left_anti")
+
+    null_mid = F.lit(None).cast(mid_t).alias(mid_col)
+    null_sid = F.lit(None).cast(sid_t).alias(sid_col)
+
+    s_rest = fold_diff(sid_col, "s_geom", "m_geom") \
+        .unionByName(untouched(subject, sid_col)) \
+        .select(F.col(sid_col), null_mid, "geom")
+    m_rest = fold_diff(mid_col, "m_geom", "s_geom") \
+        .unionByName(untouched(method, mid_col)) \
+        .select(null_sid, F.col(mid_col), "geom")
+    inter_rows = inter.select(sid_col, mid_col, "geom")
+
+    if mode == "intersection":
+        return inter_rows
+    if mode == "erase":
+        return s_rest
+    if mode == "identity":
+        return inter_rows.unionByName(s_rest)
+    if mode == "union":
+        return inter_rows.unionByName(s_rest).unionByName(m_rest)
+    if mode == "symdifference":
+        return s_rest.unionByName(m_rest)
+    if mode == "update":
+        return s_rest.unionByName(
+            method.select(null_sid, F.col(mid_col), "geom"))
+    # clip: subject ∩ union(methods) = one row per subject with hits
+    clip_schema = T.StructType([
+        T.StructField(sid_col, sid_t), T.StructField(mid_col, mid_t),
+        T.StructField("geom", T.BinaryType())])
+
+    def clip_fold(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        gs = wkb.decode(bytes(pdf.iloc[0]["s_geom"]))
+        pieces = []
+        for b in pdf["m_geom"].values:
+            p_ = polyclip.geom_boolean(gs, wkb.decode(bytes(b)),
+                                       "intersection")
+            if p_ is not None:
+                pieces.extend(_flatten(p_))
+        if not pieces:
+            return pd.DataFrame(columns=[sid_col, mid_col, "geom"])
+        merged = pieces[0] if len(pieces) == 1 else \
+            wkb.Geom(wkb.MULTIPOLYGON, parts=pieces)
+        return pd.DataFrame([(key[0], None, wkb.encode(merged))],
+                            columns=[sid_col, mid_col, "geom"])
+
+    return pairs.groupBy(sid_col).applyInPandas(clip_fold, clip_schema)

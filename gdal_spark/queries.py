@@ -1809,3 +1809,84 @@ def q_embed_neardup_lsh_banded(spark, sf_dir):
     out = simsearch.neardup_lsh_banded(_t(spark, sf_dir, "embeddings"),
                                        threshold=0.2, bands=4)
     return out.select("a_id", "b_id", F.round("cos", 6).alias("cos_r"))
+
+
+def _density_tiles_full(spark, sf_dir):
+    """64x64 page-density raster with ALL tiles materialized (zeros where
+    no pages) — shared input for the raster-statistics queries."""
+    import numpy as np
+    import pandas as pd
+    from .raster.tiles import TILE_SCHEMA, encode_px
+
+    p = datagen.points(spark, sf_dir)
+    x = F.floor((F.col("lon") + 180.0) / 5.625).cast("long")
+    y = F.floor((F.col("lat") + 90.0) / 2.8125).cast("long")
+    cnt = (p.select(x.alias("x"), y.alias("y"))
+           .groupBy("x", "y").agg(F.count("*").cast("double").alias("v")))
+    allt = spark.range(8).select(F.col("id").alias("tx")) \
+        .crossJoin(spark.range(8).select(F.col("id").alias("ty"))) \
+        .select((F.col("tx") * 8).alias("x"), (F.col("ty") * 8).alias("y"),
+                F.lit(0.0).alias("v"))
+    cells = cnt.unionByName(allt) \
+        .withColumn("tile_x", F.shiftright("x", 3)) \
+        .withColumn("tile_y", F.shiftright("y", 3))
+
+    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        arr = np.zeros((8, 8), np.float64)
+        np.add.at(arr, (pdf["y"].values & 7, pdf["x"].values & 7),
+                  pdf["v"].values)
+        return pd.DataFrame([(1, 0, int(key[0]), int(key[1]), "float64",
+                              None, encode_px(arr))],
+                            columns=[f.name for f in TILE_SCHEMA.fields])
+
+    return cells.groupBy("tile_x", "tile_y").applyInPandas(build,
+                                                           TILE_SCHEMA)
+
+
+_DENSITY_VALS_SQL = f"""
+{_pts_cte()},
+c AS (SELECT CAST(floor((lon + 180.0) / 5.625) AS BIGINT) AS x,
+             CAST(floor((lat + 90.0) / 2.8125) AS BIGINT) AS y,
+             count(*) AS v
+      FROM pts GROUP BY 1, 2),
+g AS (SELECT gx.range AS x, gy.range AS y FROM range(64) gx, range(64) gy),
+vals AS (SELECT CAST(COALESCE(c.v, 0) AS DOUBLE) AS v
+         FROM g LEFT JOIN c ON c.x = g.x AND c.y = g.y)
+"""
+
+
+@_reg("raster_stats", _DENSITY_VALS_SQL + """
+SELECT CAST(1 AS INTEGER) AS band, CAST(count(*) AS BIGINT) AS n_valid,
+       min(v) AS min_v, max(v) AS max_v,
+       ROUND(avg(v), 6) AS mean_r,
+       ROUND(stddev_pop(v), 6) AS stddev_r
+FROM vals
+""")
+def q_raster_stats(spark, sf_dir):
+    """GDALRasterBand::ComputeStatistics (exact pass, population stddev) as
+    per-tile partials + one JVM combine; the oracle recomputes min/max/
+    mean/stddev over the same 4096 cell values in SQL."""
+    from .raster.stats import band_statistics
+    t = _density_tiles_full(spark, sf_dir)
+    out = band_statistics(t, tile=8)
+    return out.select("band", "n_valid",
+                      F.col("min").alias("min_v"),
+                      F.col("max").alias("max_v"),
+                      F.round("mean", 6).alias("mean_r"),
+                      F.round("stddev", 6).alias("stddev_r"))
+
+
+@_reg("raster_histogram", _DENSITY_VALS_SQL + """
+SELECT CAST(1 AS INTEGER) AS band,
+       CAST(least(floor(v / 0.5), 7) AS INTEGER) AS bucket,
+       CAST(count(*) AS BIGINT) AS n
+FROM vals GROUP BY 2
+""")
+def q_raster_histogram(spark, sf_dir):
+    """GDALGetRasterHistogram: 8 buckets of width 0.5 over [0, 4) with
+    out-of-range clamping into the end bucket — per-tile np.histogram
+    partials summed in one groupBy; the oracle buckets the same values."""
+    from .raster.stats import band_histogram
+    t = _density_tiles_full(spark, sf_dir)
+    return band_histogram(t, lo=0.0, hi=4.0, nbuckets=8, tile=8,
+                          include_out_of_range=True)

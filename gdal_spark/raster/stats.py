@@ -1,0 +1,104 @@
+"""Raster band statistics + histogram over the tile table.
+
+Re-expresses GDALRasterBand::ComputeStatistics and GetHistogram
+(/root/reference/gcore/gdalrasterband.cpp — exact pass over all blocks,
+nodata-masked) as per-tile PARTIALS combined in one JVM aggregation: each
+tile contributes (n, sum, sumsq, min, max) resp. its bucket counts, and the
+groupBy(band) combine is pure column math — the classic two-level
+aggregation that makes a 100 TB statistics pass one shuffle of a few
+numbers per tile.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .tiles import decode_px
+
+_PART_SCHEMA = T.StructType([
+    T.StructField("band", T.IntegerType()),
+    T.StructField("n", T.LongType()),
+    T.StructField("s", T.DoubleType()),
+    T.StructField("s2", T.DoubleType()),
+    T.StructField("mn", T.DoubleType()),
+    T.StructField("mx", T.DoubleType()),
+])
+
+
+def band_statistics(tiles_df: DataFrame, tile: int = 256) -> DataFrame:
+    """(band, n_valid, min, max, mean, stddev) — exact (not approximate),
+    nodata-excluded, population stddev (ComputeStatistics semantics)."""
+
+    def partials(pdf_iter):
+        for pdf in pdf_iter:
+            rows = []
+            for r in pdf.itertuples():
+                arr = decode_px(r.px, r.dtype, tile).astype(np.float64)
+                if r.nodata is not None and not np.isnan(r.nodata):
+                    arr = arr[arr != float(r.nodata)]
+                if arr.size == 0:
+                    continue
+                rows.append((int(r.band), int(arr.size), float(arr.sum()),
+                             float((arr * arr).sum()), float(arr.min()),
+                             float(arr.max())))
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              _PART_SCHEMA.fields]) \
+                if rows else pd.DataFrame(columns=[f.name for f in
+                                                   _PART_SCHEMA.fields])
+
+    p = tiles_df.mapInPandas(partials, _PART_SCHEMA)
+    agg = p.groupBy("band").agg(
+        F.sum("n").alias("n_valid"), F.sum("s").alias("_s"),
+        F.sum("s2").alias("_s2"), F.min("mn").alias("min"),
+        F.max("mx").alias("max"))
+    mean = F.col("_s") / F.col("n_valid")
+    var = F.col("_s2") / F.col("n_valid") - mean * mean
+    return agg.select("band", "n_valid", "min", "max",
+                      mean.alias("mean"),
+                      F.sqrt(F.greatest(var, F.lit(0.0))).alias("stddev"))
+
+
+_HIST_SCHEMA = T.StructType([
+    T.StructField("band", T.IntegerType()),
+    T.StructField("bucket", T.IntegerType()),
+    T.StructField("n", T.LongType()),
+])
+
+
+def band_histogram(tiles_df: DataFrame, lo: float, hi: float,
+                   nbuckets: int, tile: int = 256,
+                   include_out_of_range: bool = False) -> DataFrame:
+    """(band, bucket, n) — GDALGetRasterHistogram semantics: bucket i spans
+    [lo + i*w, lo + (i+1)*w) with w = (hi-lo)/nbuckets; out-of-range pixels
+    clamp into the end buckets when include_out_of_range, else drop."""
+    w = (hi - lo) / nbuckets
+
+    def partials(pdf_iter):
+        for pdf in pdf_iter:
+            rows = []
+            for r in pdf.itertuples():
+                arr = decode_px(r.px, r.dtype, tile).astype(np.float64)
+                if r.nodata is not None and not np.isnan(r.nodata):
+                    arr = arr[arr != float(r.nodata)]
+                b = np.floor((arr - lo) / w).astype(np.int64)
+                if include_out_of_range:
+                    b = np.clip(b, 0, nbuckets - 1)
+                else:
+                    keep = (b >= 0) & (b < nbuckets)
+                    b = b[keep]
+                if b.size == 0:
+                    continue
+                vals, cnts = np.unique(b, return_counts=True)
+                for v, c in zip(vals, cnts):
+                    rows.append((int(r.band), int(v), int(c)))
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              _HIST_SCHEMA.fields]) \
+                if rows else pd.DataFrame(columns=[f.name for f in
+                                                   _HIST_SCHEMA.fields])
+
+    return tiles_df.mapInPandas(partials, _HIST_SCHEMA) \
+        .groupBy("band", "bucket").agg(F.sum("n").alias("n"))

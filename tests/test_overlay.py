@@ -214,3 +214,45 @@ def test_method_polygon_with_hole(spark, layers):
     for r in inter:
         got |= geomops.points_in_geom(px, py, wkb.decode(bytes(r.geom)))
     assert not got.any()
+
+
+@pytest.mark.parametrize("mode", ["intersection", "union", "symdifference",
+                                  "identity", "erase", "clip", "update"])
+def test_overlay_join_matches_broadcast_path(spark, layers, mode):
+    """The big x big shuffle overlay (cell cover + equi-join + per-key
+    difference folds, NO driver collect) must reproduce the broadcast
+    path's (sid, mid, area) multiset for every mode."""
+    from gdal_spark.operators.overlay import overlay_join
+    subject, method, _ = layers
+
+    def norm(rows, sid_name):
+        out = []
+        for r in rows:
+            a = geomops.geom_area(wkb.decode(bytes(r.geom))) \
+                if r.geom is not None else 0.0
+            out.append((getattr(r, sid_name), r.mid, round(a, 6)))
+        return sorted(out, key=lambda t: (str(t[0]), str(t[1]), t[2]))
+
+    want = norm(overlay(subject, method, mode).collect(), "sid")
+    got = norm(overlay_join(subject, method, mode, cell_size=8.0,
+                            sid_col="sid").collect(), "sid")
+    assert got == want
+
+
+def test_overlay_join_build_is_lazy(spark, layers):
+    """No driver collect: constructing the shuffle-overlay plan launches
+    zero Spark jobs (the broadcast path's _method_rows collect is exactly
+    what this variant exists to avoid)."""
+    from gdal_spark.operators.overlay import overlay_join
+    subject, method, _ = layers
+    sc = spark.sparkSession.sparkContext if hasattr(spark, "sparkSession") \
+        else spark.sparkContext
+    group = "overlay-join-lazy"
+    sc.setJobGroup(group, "build only")
+    try:
+        df = overlay_join(subject, method, "union", cell_size=8.0,
+                          sid_col="sid")
+        _ = df.columns
+    finally:
+        sc.setJobGroup("other", "done")
+    assert sc.statusTracker().getJobIdsForGroup(group) == []
