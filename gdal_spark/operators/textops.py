@@ -279,3 +279,30 @@ def simhash64(docs: DataFrame) -> DataFrame:
         fp_lo = tl if fp_lo is None else fp_lo + tl
     return s.select("doc_id", fp_hi.cast("long").alias("simhash_hi"),
                     fp_lo.cast("long").alias("simhash_lo"))
+
+
+def line_dedup(docs: DataFrame, min_count: int = 2) -> DataFrame:
+    """CCNet-style line-level deduplication: drop every line whose hash
+    appears >= min_count times ACROSS THE CORPUS (boilerplate removal —
+    nav bars, cookie banners, footers repeat across pages), then
+    reassemble each document from its surviving lines in order.
+
+    Pure built-in column ops: posexplode -> md5 -> corpus-wide count
+    (one partial-aggregated groupBy) -> join back -> sort_array rebuild.
+    The shuffle is keyed by line hash, so boilerplate lines combine
+    map-side and the join back is an equi-join on the hash."""
+    lines = docs.select(
+        "doc_id", F.posexplode(F.split("text", "\n")).alias("pos", "line"))
+    lines = lines.withColumn("h", F.md5("line"))
+    counts = lines.groupBy("h").agg(F.count("*").alias("_n"))
+    kept = (lines.join(counts, "h")
+            .where(F.col("_n") < min_count)
+            .groupBy("doc_id")
+            .agg(F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct("pos", "line"))),
+                    lambda s: s["line"]), "\n").alias("text")))
+    # documents whose every line was boilerplate keep an empty text
+    return docs.select("doc_id").join(kept, "doc_id", "left") \
+        .select("doc_id", F.coalesce("text", F.lit("")).alias("text"))

@@ -1890,3 +1890,22 @@ def q_raster_histogram(spark, sf_dir):
     t = _density_tiles_full(spark, sf_dir)
     return band_histogram(t, lo=0.0, hi=4.0, nbuckets=8, tile=8,
                           include_out_of_range=True)
+
+
+@_reg("line_dedup", """
+WITH d AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents),
+l AS (SELECT doc_id, i AS pos, ls[i] AS line
+      FROM d, unnest(generate_series(1, len(ls))) AS t(i)),
+c AS (SELECT line, count(*) AS n FROM l GROUP BY line),
+k AS (SELECT doc_id, l.pos, l.line FROM l JOIN c USING (line)
+      WHERE c.n < 2)
+SELECT d.doc_id,
+       COALESCE(string_agg(k.line, chr(10) ORDER BY k.pos), '') AS text
+FROM d LEFT JOIN k USING (doc_id)
+GROUP BY d.doc_id
+""")
+def q_line_dedup(spark, sf_dir):
+    """Line-level boilerplate removal (CCNet-style): every line repeated
+    corpus-wide (>= 2 occurrences) drops; documents reassemble from the
+    surviving lines in order — md5-value-hashed against the DuckDB twin."""
+    return textops.line_dedup(_t(spark, sf_dir, "documents"), min_count=2)
