@@ -239,3 +239,222 @@ def contour_polygons(tiles_df: DataFrame, levels: list[float],
         F.element_at(lo, bidx + 1).alias("level_min"),
         F.element_at(hi, bidx + 1).alias("level_max"),
         "geom")
+
+
+# ---------------------------------------------------------------------------
+# sub-pixel contour POLYGONS (gdal_contour -p, alg/contour.cpp polygon
+# writer): oriented marching segments + raster-border closure -> closed
+# level-region rings -> band polygons. The segment/border generation is the
+# same distributed halo job as contour_segments; ring assembly is the
+# documented bounded driver-side post-pass (polygon_ring_appender.h).
+# ---------------------------------------------------------------------------
+
+# directed variants of the marching table: HIGH (v >= level) region on the
+# LEFT of each segment (left = CCW normal), so level-region shells come out
+# with positive shoelace and low pockets negative
+_ORIENTED = {
+    1: [("L", "B")], 14: [("B", "L")],
+    2: [("B", "R")], 13: [("R", "B")],
+    4: [("R", "T")], 11: [("T", "R")],
+    8: [("T", "L")], 7: [("L", "T")],
+    3: [("L", "R")], 12: [("R", "L")],
+    6: [("B", "T")], 9: [("T", "B")],
+}
+
+
+def _cell_segments_oriented(v00, v01, v10, v11, level):
+    b00, b01, b10, b11 = (v00 >= level), (v01 >= level), \
+        (v10 >= level), (v11 >= level)
+    idx = (b00 << 3) | (b01 << 2) | (b11 << 1) | b10
+    if idx in (0, 15):
+        return []
+
+    def t(a, b):
+        return (level - a) / (b - a) if b != a else 0.5
+
+    pt = {"T": (t(v00, v01), 0.0), "B": (t(v10, v11), 1.0),
+          "L": (0.0, t(v00, v10)), "R": (1.0, t(v01, v11))}
+    if idx in _ORIENTED:
+        names = _ORIENTED[idx]
+    else:
+        center_hi = (v00 + v01 + v10 + v11) / 4.0 >= level
+        if idx == 10:       # TL and BR high
+            names = [("B", "L"), ("T", "R")] if center_hi \
+                else [("T", "L"), ("B", "R")]
+        else:               # idx == 5: TR and BL high
+            names = [("L", "T"), ("R", "B")] if center_hi \
+                else [("L", "B"), ("R", "T")]
+    return [(pt[a], pt[b]) for a, b in names]
+
+
+def region_segments(tiles_df: DataFrame, levels: list[float],
+                    tile: int = 256) -> DataFrame:
+    """Directed boundary segments of every level REGION {v >= level}:
+    oriented marching segments + the raster-border closure pieces (border
+    sub-intervals where the edge values reach the level, walked with the
+    raster interior on the left). Tiling-invariant; rings close exactly."""
+    halo = tiles_df.mapInPandas(lambda it: _emit_halo(it, tile),
+                                _HALO_SCHEMA)
+
+    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pad = _assemble_padded(pdf, tile)
+        cols = [f.name for f in _SEG_SCHEMA.fields]
+        if pad is None:
+            return pd.DataFrame(columns=cols)
+        got = {(-int(r.dx), -int(r.dy)) for r in pdf.itertuples()}
+        band, zoom, tx, ty = (int(key[0]), int(key[1]),
+                              int(key[2]), int(key[3]))
+        nx = tile if (1, 0) in got else tile - 1
+        ny = tile if (0, 1) in got else tile - 1
+        core = pad[1:ny + 2, 1:nx + 2]
+        out = []
+        for level in levels:
+            if np.isfinite(level):
+                hi = core >= level
+                mixed = (hi[:-1, :-1] | hi[:-1, 1:] | hi[1:, :-1]
+                         | hi[1:, 1:]) \
+                    & ~(hi[:-1, :-1] & hi[:-1, 1:] & hi[1:, :-1]
+                        & hi[1:, 1:])
+                ys, xs = np.nonzero(mixed)
+                for j, i in zip(ys, xs):
+                    for (ax, ay), (bx, by) in _cell_segments_oriented(
+                            float(core[j, i]), float(core[j, i + 1]),
+                            float(core[j + 1, i]),
+                            float(core[j + 1, i + 1]), float(level)):
+                        out.append((band, zoom, float(level),
+                                    tx * tile + i + ax, ty * tile + j + ay,
+                                    tx * tile + i + bx, ty * tile + j + by))
+            # border pieces: sides of THIS tile that are raster borders
+            gx0, gy0 = tx * tile, ty * tile
+
+            def border_run(pts_vals, coords, reverse):
+                """pts_vals: values along the border lattice; coords:
+                (x, y) per lattice point IN WALK ORDER."""
+                v = pts_vals[::-1] if reverse else pts_vals
+                c = coords[::-1] if reverse else coords
+                for k in range(len(v) - 1):
+                    vi, vj = float(v[k]), float(v[k + 1])
+                    (x0, y0), (x1, y1) = c[k], c[k + 1]
+                    if not np.isfinite(level):
+                        out.append((band, zoom, float(level),
+                                    x0, y0, x1, y1))
+                        continue
+                    if vi >= level and vj >= level:
+                        out.append((band, zoom, float(level),
+                                    x0, y0, x1, y1))
+                    elif vi >= level > vj:
+                        tt = (level - vi) / (vj - vi)
+                        out.append((band, zoom, float(level), x0, y0,
+                                    x0 + tt * (x1 - x0),
+                                    y0 + tt * (y1 - y0)))
+                    elif vj >= level and vi < level:
+                        tt = (level - vi) / (vj - vi)
+                        out.append((band, zoom, float(level),
+                                    x0 + tt * (x1 - x0),
+                                    y0 + tt * (y1 - y0), x1, y1))
+
+            n_loc = core.shape[1]
+            m_loc = core.shape[0]
+            if (0, -1) not in got:      # north border: walk west -> east
+                coords = [(gx0 + i, gy0 + 0) for i in range(n_loc)]
+                border_run(core[0, :], coords, reverse=False)
+            if (0, 1) not in got:       # south border: east -> west
+                coords = [(gx0 + i, gy0 + m_loc - 1) for i in range(n_loc)]
+                border_run(core[m_loc - 1, :], coords, reverse=True)
+            if (-1, 0) not in got:      # west border: south -> north
+                coords = [(gx0 + 0, gy0 + j) for j in range(m_loc)]
+                border_run(core[:, 0], coords, reverse=True)
+            if (1, 0) not in got:       # east border: north -> south
+                coords = [(gx0 + n_loc - 1, gy0 + j) for j in range(m_loc)]
+                border_run(core[:, n_loc - 1], coords, reverse=False)
+        return pd.DataFrame(out, columns=cols)
+
+    return halo.groupBy("band", "zoom", "tile_x", "tile_y") \
+        .applyInPandas(build, _SEG_SCHEMA)
+
+
+def _link_directed(segs, digits: int = 9):
+    """Directed segments -> closed rings (driver-side bounded post-pass)."""
+    outgoing = {}
+
+    def key(x, y):
+        return (round(x, digits), round(y, digits))
+
+    for i, (x0, y0, x1, y1) in enumerate(segs):
+        if key(x0, y0) == key(x1, y1):
+            continue
+        outgoing.setdefault(key(x0, y0), []).append(i)
+    used = [False] * len(segs)
+    rings = []
+    for i0 in range(len(segs)):
+        if used[i0] or i0 not in outgoing.get(key(segs[i0][0],
+                                                  segs[i0][1]), []):
+            continue
+        ring = [(segs[i0][0], segs[i0][1])]
+        cur = i0
+        start = key(segs[i0][0], segs[i0][1])
+        for _ in range(len(segs) + 2):
+            used[cur] = True
+            outgoing[key(segs[cur][0], segs[cur][1])].remove(cur)
+            end = (segs[cur][2], segs[cur][3])
+            ring.append(end)
+            if key(*end) == start:
+                rings.append(np.array(ring))
+                break
+            cands = [j for j in outgoing.get(key(*end), []) if not used[j]]
+            if not cands:
+                break
+            cur = cands[0]
+    return rings
+
+
+def contour_polygons_interp(tiles_df: DataFrame, levels: list[float],
+                            tile: int = 256):
+    """Sub-pixel contour band polygons (gdal_contour -p with linear
+    interpolation): band k spans [levels[k-1], levels[k]) and its rings
+    are region(lo) shells + region(hi) rings reversed — even-odd shell/
+    hole assignment. Returns [(level_min, level_max, Geom)], assembled
+    driver-side from the distributed tiling-invariant segment set."""
+    from ..core.geomops import ring_area
+
+    lv = sorted(levels)
+    all_levels = [float("-inf")] + [float(v) for v in lv]
+    seg_df = region_segments(tiles_df, all_levels, tile).collect()
+    by_level: dict = {}
+    for r in seg_df:
+        by_level.setdefault(r.level, []).append((r.x0, r.y0, r.x1, r.y1))
+    rings_by_level = {lev: _link_directed(by_level.get(lev, []))
+                      for lev in all_levels}
+
+    out = []
+    for k, lo in enumerate(all_levels):
+        hi = all_levels[k + 1] if k + 1 < len(all_levels) else float("inf")
+        rings = list(rings_by_level.get(lo, []))
+        if np.isfinite(hi):
+            rings += [r[::-1] for r in rings_by_level.get(hi, [])]
+        shells = [(abs(ring_area(r)), r) for r in rings
+                  if ring_area(r) > 0]
+        holes = [r for r in rings if ring_area(r) < 0]
+        if not shells:
+            continue
+        shells.sort(key=lambda t: t[0])
+        polys = [[r] for _a, r in shells]
+        from ..core.geomops import points_in_ring
+        for h in holes:
+            placed = False
+            for cand in polys:
+                if points_in_ring(h[:1, 0], h[:1, 1], cand[0])[0]:
+                    cand.append(h)
+                    placed = True
+                    break
+            if not placed:
+                polys[-1].append(h)
+        from ..core import wkb as _wkb
+        if len(polys) == 1:
+            g = _wkb.Geom(_wkb.POLYGON, polys[0])
+        else:
+            g = _wkb.Geom(_wkb.MULTIPOLYGON,
+                          parts=[_wkb.Geom(_wkb.POLYGON, rs)
+                                 for rs in polys])
+        out.append((lo, hi, g))
+    return out

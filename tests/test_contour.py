@@ -143,3 +143,68 @@ def test_contour_polygons_bands(spark):
     mid = [wkbmod.decode(bytes(r.geom)) for r in rows
            if r.level_min == 5.0]
     assert len(mid) == 1 and len(mid[0].rings) == 2
+
+
+def _band_area(g):
+    import numpy as np
+    from gdal_spark.core.geomops import ring_area
+    return sum(ring_area(r) for rings in g.polygons() for r in rings)
+
+
+def test_contour_polygons_interp_ramp_exact(spark):
+    """Linear ramp v = x: the level set {v >= L} is the exact half-plane
+    x >= L, so band areas are exact rectangles — the analytic pin for the
+    sub-pixel polygon writer."""
+    import numpy as np
+    from gdal_spark.raster.contour import contour_polygons_interp
+    from gdal_spark.raster.tiles import raster_to_tiles
+    t, n = 8, 32
+    yy, xx = np.mgrid[0:n, 0:n]
+    arr = xx.astype(np.float64)
+    tiles = raster_to_tiles(spark, arr, zoom=0, tile=t)
+    bands = contour_polygons_interp(tiles, [10.0, 20.5], tile=t)
+    got = {(lo, hi): _band_area(g) for lo, hi, g in bands}
+    H = n - 1.0                      # lattice box is (n-1) x (n-1)
+    assert got[(float("-inf"), 10.0)] == pytest.approx(10.0 * H, abs=1e-9)
+    assert got[(10.0, 20.5)] == pytest.approx(10.5 * H, abs=1e-9)
+    assert got[(20.5, float("inf"))] == pytest.approx((n - 1 - 20.5) * H,
+                                                      abs=1e-9)
+
+
+def test_contour_polygons_interp_partition_and_cone(spark):
+    """Cone: bands partition the lattice box EXACTLY (shared boundaries
+    cancel), the middle band is an annulus (shell + hole), and areas are
+    within the segment-approximation error of the analytic circles."""
+    import numpy as np
+    from gdal_spark.raster.contour import contour_polygons_interp
+    from gdal_spark.raster.tiles import raster_to_tiles
+    t, n = 8, 40
+    yy, xx = np.mgrid[0:n, 0:n]
+    arr = np.hypot(xx - 19.5, yy - 19.5)
+    tiles = raster_to_tiles(spark, arr, zoom=0, tile=t)
+    bands = contour_polygons_interp(tiles, [6.0, 12.0], tile=t)
+    got = {(lo, hi): _band_area(g) for lo, hi, g in bands}
+    total = sum(got.values())
+    assert total == pytest.approx((n - 1.0) ** 2, abs=1e-6)
+    assert got[(float("-inf"), 6.0)] == pytest.approx(np.pi * 36, rel=0.02)
+    assert got[(6.0, 12.0)] == pytest.approx(np.pi * (144 - 36), rel=0.02)
+    # the inner-band region of the middle band is an annulus: its polygon
+    # carries a hole
+    mid = [g for lo, hi, g in bands if lo == 6.0][0]
+    assert any(len(rings) >= 2 for rings in mid.polygons())
+
+
+def test_contour_polygons_interp_tiling_invariant(spark):
+    import numpy as np
+    from gdal_spark.raster.contour import contour_polygons_interp
+    from gdal_spark.raster.tiles import raster_to_tiles
+    n = 24
+    rng = np.random.default_rng(3)
+    arr = rng.random((n, n)) * 10.0
+    outs = []
+    for t in (6, 8):
+        tiles = raster_to_tiles(spark, arr, zoom=0, tile=t)
+        bands = contour_polygons_interp(tiles, [3.0, 7.0], tile=t)
+        outs.append(sorted((lo, hi, round(_band_area(g), 9))
+                           for lo, hi, g in bands))
+    assert outs[0] == outs[1]
