@@ -1909,3 +1909,43 @@ def q_line_dedup(spark, sf_dir):
     corpus-wide (>= 2 occurrences) drops; documents reassemble from the
     surviving lines in order — md5-value-hashed against the DuckDB twin."""
     return textops.line_dedup(_t(spark, sf_dir, "documents"), min_count=2)
+
+
+@_reg("band_calc", _DENSITY_VALS_SQL.replace("vals AS (SELECT",
+                                             """vals AS (SELECT g.x, g.y,""")
+      + """
+SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+       ROUND(sqrt(v) + 2.0 * v, 6) AS val_r
+FROM vals WHERE v > 0
+""")
+def q_band_calc(spark, sf_dir):
+    """gdal_calc band algebra: sqrt(A) + 2*A over the density raster —
+    evaluated per tile in numpy, the oracle recomputes the expression per
+    cell in SQL."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+    from .raster.stats import band_calc
+    from .raster.tiles import decode_px
+    t = _density_tiles_full(spark, sf_dir)
+    out = band_calc(t, "sqrt(A) + 2.0 * A", tile=8)
+
+    px_schema = T.StructType([T.StructField("x", T.LongType()),
+                              T.StructField("y", T.LongType()),
+                              T.StructField("val_r", T.DoubleType())])
+
+    def to_rows(batches):
+        for pdf in batches:
+            frames = []
+            jj, ii = np.meshgrid(np.arange(8), np.arange(8), indexing="ij")
+            for r in pdf.itertuples():
+                arr = decode_px(r.px, "float64", 8)
+                m = arr > 0
+                frames.append(pd.DataFrame({
+                    "x": int(r.tile_x) * 8 + ii[m],
+                    "y": int(r.tile_y) * 8 + jj[m],
+                    "val_r": np.round(arr[m], 6)}))
+            yield pd.concat(frames) if frames else \
+                pd.DataFrame(columns=["x", "y", "val_r"])
+
+    return out.mapInPandas(to_rows, px_schema)

@@ -145,11 +145,18 @@ def _burn_geom_into(arr, g, burn, grid: GridSpec, tx, ty,
 
 def rasterize(geoms: DataFrame, grid: GridSpec, merge_alg: str = "replace",
               all_touched: bool = False, dtype: str = "float64",
-              init: float = 0.0, band: int = 1, zoom: int = 0) -> DataFrame:
+              init: float = 0.0, band: int = 1, zoom: int = 0,
+              invert: bool = False,
+              invert_burn: float = 1.0) -> DataFrame:
     """geoms: DF with (geom binary, burn double, seq long). Returns the tile
     table (only tiles touched by >=1 geometry; fully-empty tiles are implicit,
     i.e. the relation is sparse — at 100 TB materializing ocean tiles would
-    dominate, so sinks fill `init` on read)."""
+    dominate, so sinks fill `init` on read).
+
+    invert=True is gdal_rasterize -i (gdalrasterize.cpp options): burn
+    `invert_burn` OUTSIDE all geometries, leave covered pixels at `init`.
+    Inversion materializes EVERY grid tile (uncovered tiles are all-burn),
+    so the output is dense — use on bounded grids."""
     merge_add = {"replace": False, "add": True}[merge_alg]
     spark = geoms.sparkSession
     tile = grid.tile
@@ -173,14 +180,32 @@ def rasterize(geoms: DataFrame, grid: GridSpec, merge_alg: str = "replace",
             .withColumn("tile_x", F.shiftright("_k", 32))
             .withColumn("tile_y", F.col("_k").bitwiseAND(F.lit(0xFFFFFFFF)))
             .drop("_k"))
+    if invert:
+        ntx, nty = grid.n_tiles()
+        allt = (spark.range(ntx).select(F.col("id").alias("tile_x"))
+                .crossJoin(spark.range(nty)
+                           .select(F.col("id").alias("tile_y")))
+                .withColumn("geom", F.lit(None).cast("binary"))
+                .withColumn("burn", F.lit(float(invert_burn)))
+                .withColumn("seq", F.lit(-1).cast("long")))
+        cand = cand.select("geom", "burn", "seq", "tile_x", "tile_y")             .unionByName(allt)
 
     def burn_tile(key, pdf: pd.DataFrame) -> pd.DataFrame:
         tx, ty = int(key[0]), int(key[1])
-        arr = np.full((tile, tile), init, dtype=np.dtype(dtype))
-        for row in pdf.sort_values("seq").itertuples():
-            g = wkb.decode(bytes(row.geom))
-            _burn_geom_into(arr, g, row.burn, grid, tx, ty,
-                            merge_add, all_touched)
+        if invert:
+            cover = np.zeros((tile, tile), dtype=bool)
+            for row in pdf.sort_values("seq").itertuples():
+                if row.geom is None:
+                    continue
+                _burn_geom_into(cover, wkb.decode(bytes(row.geom)), True,
+                                grid, tx, ty, False, all_touched)
+            arr = np.where(cover, init, invert_burn)                 .astype(np.dtype(dtype))
+        else:
+            arr = np.full((tile, tile), init, dtype=np.dtype(dtype))
+            for row in pdf.sort_values("seq").itertuples():
+                g = wkb.decode(bytes(row.geom))
+                _burn_geom_into(arr, g, row.burn, grid, tx, ty,
+                                merge_add, all_touched)
         return pd.DataFrame([{
             "band": band, "zoom": zoom, "tile_x": tx, "tile_y": ty,
             "dtype": dtype, "nodata": None, "px": encode_px(arr)}])

@@ -102,3 +102,35 @@ def band_histogram(tiles_df: DataFrame, lo: float, hi: float,
 
     return tiles_df.mapInPandas(partials, _HIST_SCHEMA) \
         .groupBy("band", "bucket").agg(F.sum("n").alias("n"))
+
+
+def band_calc(tiles_df: DataFrame, expr: str, tile: int = 256,
+              out_band: int = 1, out_dtype: str = "float64") -> DataFrame:
+    """gdal_calc.py band algebra (swig/python/gdal-utils/osgeo_utils/
+    gdal_calc.py): evaluate a numpy expression over per-tile band arrays.
+    Bands join by (zoom, tile_x, tile_y); the expression sees each band as
+    variable A, B, C... (band 1 = A) plus the numpy namespace — one
+    applyInPandas per tile, no shuffle beyond the band co-grouping."""
+    from .tiles import TILE_SCHEMA, encode_px
+
+    allowed = {k: getattr(np, k) for k in
+               ("sqrt", "abs", "exp", "log", "log10", "sin", "cos", "tan",
+                "arctan", "arctan2", "hypot", "minimum", "maximum", "where",
+                "clip", "floor", "ceil", "round", "power", "sign", "pi")}
+
+    def combine(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        zoom, tx, ty = int(key[0]), int(key[1]), int(key[2])
+        env = dict(allowed)
+        for r in pdf.itertuples():
+            name = chr(ord("A") + int(r.band) - 1)
+            env[name] = decode_px(r.px, r.dtype, tile).astype(np.float64)
+        out = eval(expr, {"__builtins__": {}}, env)   # noqa: S307 —
+        # restricted namespace: numpy funcs + band arrays only
+        out = np.broadcast_to(np.asarray(out, dtype=np.dtype(out_dtype)),
+                              (tile, tile))
+        return pd.DataFrame([(out_band, zoom, tx, ty, out_dtype, None,
+                              encode_px(np.ascontiguousarray(out)))],
+                            columns=[f.name for f in TILE_SCHEMA.fields])
+
+    return tiles_df.groupBy("zoom", "tile_x", "tile_y") \
+        .applyInPandas(combine, TILE_SCHEMA)

@@ -200,3 +200,20 @@ def test_viewshed_peak_sees_all_and_wall_blocks(spark):
     # in front of the wall everything is still visible
     front = [vis2[(x, 16)] for x in range(10, 20)]
     assert all(v == 1 for v in front)
+
+
+def test_rasterize_invert(spark):
+    """gdal_rasterize -i: burn OUTSIDE the geometries, leave the covered
+    pixels at init; uncovered tiles materialize as all-burn."""
+    grid = rasterize.GridSpec(x0=0.0, y0=2.0 * TILE, dx=1.0, dy=-1.0,
+                              width=2 * TILE, height=2 * TILE, tile=TILE)
+    geoms = [(wkb.box(2.0, 2.0, 10.0, 10.0), 1.0)]
+    df = _mk_geoms_df(spark, geoms)
+    out = rasterize.rasterize(df, grid, invert=True, invert_burn=9.0)
+    arr = tiles.tiles_to_raster(out, tile=TILE)
+    assert arr.shape == (2 * TILE, 2 * TILE)       # ALL tiles materialized
+    # inside the box (world y 2..10 -> rows 22..30): init (0)
+    assert (arr[23:29, 3:9] == 0.0).all()
+    # outside: burn
+    assert (arr[0:10, 0:10] == 9.0).all()
+    assert (arr[:, TILE:] == 9.0).all()            # untouched tile all-burn
