@@ -203,7 +203,8 @@ def knn_join(points: DataFrame, centers: DataFrame, k: int,
 
 
 def ring_knn_join(points: DataFrame, centers: DataFrame, k: int, zoom: int,
-                  point_key: str = "doc_id", str_buckets: int = 64) -> DataFrame:
+                  point_key: str = "doc_id", str_buckets: int = 64,
+                  materialize_candidates: bool = False) -> DataFrame:
     """kNN for center sets too large to broadcast: cell-ring expansion with a
     sort-tile-recursive fallback (SURVEY §2.3; the reference has no layer
     kNN — ogrgeometry.cpp:3562 Distance is the scalar it composes from).
@@ -263,6 +264,14 @@ def ring_knn_join(points: DataFrame, centers: DataFrame, k: int, zoom: int,
     top = (top.withColumn("_cnt", F.count("*").over(wp))
            .withColumn("_kth", F.max("dist").over(wp))
            .withColumn("_ok", (F.col("_cnt") == k) & (F.col("_kth") <= guard)))
+    # `top` feeds THREE consumers (resolved rows, per-point stats, and the
+    # fallback's upper bounds). By default the plan stays fully lazy (no
+    # build-time job — pinned by test_ring_knn_build_is_lazy) and Catalyst
+    # recomputes the subtree per consumer; materialize_candidates=True
+    # checkpoints it once (<= k rows per probe point), trading one blocking
+    # job at build for ~15% wall time — choose per pipeline.
+    if materialize_candidates:
+        top = top.localCheckpoint()
     resolved = top.where(F.col("_ok"))
 
     # upper bound for the fallback search per point
