@@ -1,0 +1,94 @@
+"""Source formats: GeoJSON (FeatureCollection + newline-delimited) and
+CSV/WKT — round trips must preserve geometry exactly (WKB-equal after the
+engine's canonical little-endian re-encoding)."""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import types as T
+
+from gdal_spark.core import geomops, wkb
+from gdal_spark.sources import (read_csv_wkt, read_geojson,
+                                read_geojson_seq, write_csv_wkt,
+                                write_geojson_seq)
+from gdal_spark.sources.geojson import geom_from_geojson, geom_to_geojson
+
+GEOMS = {
+    "pt": wkb.point(3.5, -2.25),
+    "ls": wkb.linestring([(0, 0), (5, 5), (10, 0)]),
+    "poly": wkb.polygon([(0, 0), (10, 0), (10, 10), (0, 10)],
+                        holes=[[(2, 2), (4, 2), (4, 4), (2, 4)]]),
+    "mpoly": wkb.multipolygon([[[(0, 0), (4, 0), (4, 4), (0, 4)]],
+                               [[(10, 0), (14, 0), (14, 4), (10, 4)]]]),
+}
+
+
+@pytest.mark.parametrize("name", sorted(GEOMS))
+def test_geojson_geometry_roundtrip(name):
+    b = GEOMS[name]
+    d = geom_to_geojson(b)
+    back = geom_from_geojson(json.loads(json.dumps(d)))
+    assert back == b
+
+
+def test_geojson_seq_roundtrip(spark, tmp_path):
+    schema = T.StructType([T.StructField("fid", T.LongType()),
+                           T.StructField("geom", T.BinaryType()),
+                           T.StructField("props", T.StringType())])
+    rows = [(i, g, json.dumps({"name": n}))
+            for i, (n, g) in enumerate(sorted(GEOMS.items()))]
+    df = spark.createDataFrame(pd.DataFrame(rows,
+                                            columns=["fid", "geom",
+                                                     "props"]),
+                               schema=schema)
+    path = str(tmp_path / "seq")
+    write_geojson_seq(df, path)
+    back = read_geojson_seq(spark, path)
+    got = {json.loads(r.props)["name"]: bytes(r.geom)
+           for r in back.collect()}
+    assert got == {n: g for n, g in GEOMS.items()}
+
+
+def test_geojson_featurecollection_read(spark, tmp_path):
+    feats = [{"type": "Feature", "id": 7,
+              "geometry": geom_to_geojson(GEOMS["poly"]),
+              "properties": {"kind": "holed"}},
+             {"type": "Feature",
+              "geometry": geom_to_geojson(GEOMS["pt"]),
+              "properties": {"kind": "pt"}}]
+    fc = {"type": "FeatureCollection", "features": feats}
+    p = tmp_path / "fc.geojson"
+    p.write_text(json.dumps(fc))
+    df = read_geojson(spark, str(p))
+    rows = {json.loads(r.props)["kind"]: (r.fid, bytes(r.geom))
+            for r in df.collect()}
+    assert rows["holed"][0] == 7                 # feature id preserved
+    assert rows["holed"][1] == GEOMS["poly"]
+    assert rows["pt"][1] == GEOMS["pt"]
+    # geometry survives an area computation
+    g = wkb.decode(rows["holed"][1])
+    assert geomops.geom_area(g) == pytest.approx(100 - 4)
+
+
+def test_csv_wkt_roundtrip(spark, tmp_path):
+    schema = T.StructType([T.StructField("rid", T.LongType()),
+                           T.StructField("label", T.StringType()),
+                           T.StructField("geom", T.BinaryType())])
+    rows = [(1, "a", GEOMS["poly"]), (2, "b", GEOMS["pt"])]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["rid", "label",
+                                                           "geom"]),
+                               schema=schema)
+    path = str(tmp_path / "csv")
+    write_csv_wkt(df, path)
+    back = read_csv_wkt(spark, path)
+    got = {r.rid: (r.label, bytes(r.geom)) for r in back.collect()}
+    assert got[1][0] == "a"
+    # WKT is a decimal text round trip — geometry equal to float precision
+    a = wkb.decode(got[1][1])
+    assert geomops.geom_equals(a, wkb.decode(GEOMS["poly"]))
+    assert geomops.geom_equals(wkb.decode(got[2][1]),
+                               wkb.decode(GEOMS["pt"]))
