@@ -1949,3 +1949,28 @@ def q_band_calc(spark, sf_dir):
                 pd.DataFrame(columns=["x", "y", "val_r"])
 
     return out.mapInPandas(to_rows, px_schema)
+
+
+@_reg("ogr_special_fields", f"""
+SELECT CAST(gx.range * {datagen.N_GRID_Y} + gy.range AS BIGINT) AS fid,
+       'POLYGON' AS gtype,
+       CAST(50.0 AS DOUBLE) AS geom_area,
+       'POLYGON ' AS wkt_prefix
+FROM range({datagen.N_GRID_X}) gx, range({datagen.N_GRID_Y}) gy
+WHERE (gx.range * {datagen.N_GRID_Y} + gy.range) % 11 = 0
+""")
+def q_ogr_special_fields(spark, sf_dir):
+    """OGR SQL special fields (ogr/ogrfeaturequery.cpp:37, ogr/ogr_p.h:
+    164-168: FID, OGR_GEOMETRY, OGR_GEOM_AREA, OGR_GEOM_WKT) as plain
+    derived columns over the registered ST_ surface — the SURVEY §1.1
+    mapping, oracle-pinned analytically."""
+    st.register_all(spark)
+    datagen.regions(spark).where(F.col("kind") == "grid") \
+        .createOrReplaceTempView("regions_sf_v")
+    return spark.sql("""
+        SELECT region_id AS fid,
+               ST_GeometryType(geom) AS gtype,
+               ST_Area(geom) AS geom_area,
+               substr(ST_AsText(geom), 1, 8) AS wkt_prefix
+        FROM regions_sf_v WHERE region_id % 11 = 0
+    """)
