@@ -1974,3 +1974,25 @@ def q_ogr_special_fields(spark, sf_dir):
                substr(ST_AsText(geom), 1, 8) AS wkt_prefix
         FROM regions_sf_v WHERE region_id % 11 = 0
     """)
+
+
+@_reg("translate_reproject", f"""
+{_pts_cte()}
+SELECT doc_id,
+       ROUND(6378137.0 * radians(lon), 3) AS mx,
+       ROUND(6378137.0 * ln(tan(pi() / 4 + radians(lat) / 2)), 3) AS my
+FROM pts WHERE doc_id % 13 = 0
+""")
+def q_translate_reproject(spark, sf_dir):
+    """The ogr2ogr -t_srs stage through the FULL translate chain (batched
+    leaf-array CRS transform): page points reproject 4326 -> 3857 and the
+    oracle evaluates the spherical-mercator closed form in SQL."""
+    from .operators.translate import TranslateOptions, translate
+    st.register_all(spark)
+    p = datagen.points(spark, sf_dir).where(F.col("doc_id") % 13 == 0)
+    pts = p.selectExpr("doc_id", "ST_MakePoint(lon, lat) AS geom")
+    out = translate(pts, TranslateOptions(src_crs="EPSG:4326",
+                                          dst_crs="EPSG:3857"))
+    return out.select("doc_id",
+                      F.round(st.st_x("geom"), 3).alias("mx"),
+                      F.round(st.st_y("geom"), 3).alias("my"))

@@ -386,7 +386,8 @@ _POLY_SCHEMA = T.StructType([
 
 
 def boundary_segments(tiles_df: DataFrame, tile: int = 256,
-                      nodata: float | None = None) -> DataFrame:
+                      nodata: float | None = None,
+                      connect: int = 4) -> DataFrame:
     """Per-pixel boundary edges of every tile-local component, in global
     pixel coords, directed with the component interior on the LEFT
     (exterior rings assemble CCW by shoelace, holes CW). Pixel (x, y)
@@ -427,7 +428,7 @@ def boundary_segments(tiles_df: DataFrame, tile: int = 256,
                         = False
         core = pad[1:-1, 1:-1]
         cvalid = pvalid[1:-1, 1:-1]
-        lbl = _label_tile(core, cvalid, 4)
+        lbl = _label_tile(core, cvalid, connect)
         base = _node_base(tx, ty, tile)
         gx0, gy0 = tx * tile, ty * tile
         rows = []
@@ -458,11 +459,13 @@ def boundary_segments(tiles_df: DataFrame, tile: int = 256,
         .applyInPandas(build, _RSEG_SCHEMA)
 
 
-def _assemble_rings(x0, y0, x1, y1):
+def _assemble_rings(x0, y0, x1, y1, connect: int = 4):
     """Link unit boundary edges into closed rings. Integer lattice, exact
     keys. At pinch vertices (degree 4) the walk takes the most-clockwise
-    continuation, which keeps diagonally-touching parts of a 4-connected
-    component as separate ring excursions (the CONNECTED=4 contract)."""
+    continuation, joining the lobes THROUGH the corner into one
+    self-touching ring per component — the output shape the reference's
+    polygonizer emits for corner-touching lobes (and the only choice that
+    keeps 8-connected diagonal pairs in one ring)."""
     n = len(x0)
     outgoing: dict = {}
     for i in range(n):
@@ -516,10 +519,12 @@ def _dedup_collinear_int(ring: np.ndarray) -> np.ndarray:
 
 def polygonize_polygons(tiles_df: DataFrame, tile: int = 256,
                         nodata: float | None = None,
-                        driver_merge_threshold: int = 4_000_000) -> DataFrame:
+                        driver_merge_threshold: int = 4_000_000,
+                        connect: int = 4) -> DataFrame:
     """Full polygonize with traced rings: (comp_id, band, zoom, value,
-    geom WKB POLYGON-with-holes in global pixel coords). 4-connectivity
-    (the reference default; CONNECTED=8 rings would need diagonal steps).
+    geom WKB POLYGON-with-holes in global pixel coords). connect=4|8 (the
+    reference's CONNECTED option; 8 joins diagonal pixels into one
+    component whose ring self-touches at the shared corner).
 
     Pipeline: per-tile boundary edges (halo-correct across seams)
     -> node->component resolution (same machinery as polygonize())
@@ -529,8 +534,8 @@ def polygonize_polygons(tiles_df: DataFrame, tile: int = 256,
     from ..core import wkb as _wkb
 
     spark = tiles_df.sparkSession
-    comp, strips = tile_components(tiles_df, tile, 4)
-    pairs = adjacency_pairs(strips, tile, 4).localCheckpoint()
+    comp, strips = tile_components(tiles_df, tile, connect)
+    pairs = adjacency_pairs(strips, tile, connect).localCheckpoint()
     mapping = _union_find_pdf(
         [(r.node, r.node2) for r in pairs.toLocalIterator()])
     if len(mapping):
@@ -541,7 +546,7 @@ def polygonize_polygons(tiles_df: DataFrame, tile: int = 256,
         comp = comp.withColumn("comp", F.col("node"))
     node2comp = comp.select("node", "comp")
 
-    segs = boundary_segments(tiles_df, tile, nodata) \
+    segs = boundary_segments(tiles_df, tile, nodata, connect) \
         .join(node2comp, "node") \
         .select("band", "zoom", F.col("comp"), "x0", "y0", "x1", "y1")
     vals = comp.groupBy("comp").agg(F.first("value").alias("value"))
@@ -550,7 +555,8 @@ def polygonize_polygons(tiles_df: DataFrame, tile: int = 256,
     def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
         comp_id = int(key[0])
         rings = _assemble_rings(pdf["x0"].values, pdf["y0"].values,
-                                pdf["x1"].values, pdf["y1"].values)
+                                pdf["x1"].values, pdf["y1"].values,
+                                connect)
         rings = [r for r in (_dedup_collinear_int(r) for r in rings)
                  if len(r)]
         if not rings:
@@ -561,10 +567,30 @@ def polygonize_polygons(tiles_df: DataFrame, tile: int = 256,
             x, y = r[:, 0], r[:, 1]
             return 0.5 * (np.dot(x[:-1], y[1:]) - np.dot(x[1:], y[:-1]))
 
-        shells = [r for r in rings if area(r) > 0]
+        shells = sorted([r for r in rings if area(r) > 0], key=area)
         holes = [r for r in rings if area(r) < 0]
-        ext = max(shells, key=lambda r: abs(area(r)))
-        geom = _wkb.encode(_wkb.Geom(_wkb.POLYGON, [ext] + holes))
+        if not shells:
+            return pd.DataFrame(columns=[f.name for f in
+                                         _POLY_SCHEMA.fields])
+        # several shells can legitimately arise (pinched excursions that
+        # closed separately): keep them ALL as multipolygon parts, holes
+        # assigned to the smallest containing shell
+        from ..core.geomops import points_in_ring
+        polys = [[r] for r in shells]
+        for h in holes:
+            for cand in polys:
+                if points_in_ring(h[:1, 0], h[:1, 1], cand[0])[0]:
+                    cand.append(h)
+                    break
+            else:
+                polys[-1].append(h)
+        if len(polys) == 1:
+            gout = _wkb.Geom(_wkb.POLYGON, polys[0])
+        else:
+            gout = _wkb.Geom(_wkb.MULTIPOLYGON,
+                             parts=[_wkb.Geom(_wkb.POLYGON, rs)
+                                    for rs in polys])
+        geom = _wkb.encode(gout)
         return pd.DataFrame([(comp_id, int(pdf.iloc[0]["band"]),
                               int(pdf.iloc[0]["zoom"]),
                               float(pdf.iloc[0]["value"]), geom)],

@@ -267,3 +267,50 @@ def test_polygonize_rings_pinch_component(spark):
     _v, g = polys[0]
     area = sum(_shoelace(r) for r in g.rings)
     assert area == pytest.approx(float((arr == 7.0).sum()))
+
+
+def test_polygonize_rings_connect8_diagonal(spark):
+    """CONNECTED=8: two diagonal pixels form ONE component whose traced
+    ring self-touches at the shared corner; CONNECTED=4 keeps them as two
+    unit squares. Area == pixel count in both."""
+    from gdal_spark.core import wkb as wkbmod
+    from gdal_spark.raster.polygonize import polygonize_polygons
+    from gdal_spark.raster.tiles import raster_to_tiles
+    arr = np.zeros((8, 8), dtype=np.float64)
+    arr[2, 2] = 5.0
+    arr[3, 3] = 5.0
+    tiles = raster_to_tiles(spark, arr, zoom=0, tile=8, nodata=0.0)
+    four = polygonize_polygons(tiles, tile=8, nodata=0.0,
+                               connect=4).collect()
+    assert len(four) == 2
+    for r in four:
+        g = wkbmod.decode(bytes(r.geom))
+        assert sum(_shoelace(rg) for rg in g.rings) == pytest.approx(1.0)
+    eight = polygonize_polygons(tiles, tile=8, nodata=0.0,
+                                connect=8).collect()
+    assert len(eight) == 1
+    g = wkbmod.decode(bytes(eight[0].geom))
+    assert sum(_shoelace(rg) for rg in g.rings) == pytest.approx(2.0)
+    # the self-touching ring passes through the shared corner (3,3) twice
+    ring = g.rings[0]
+    corner_hits = sum(1 for x, y in ring[:-1] if (x, y) == (3.0, 3.0))
+    assert corner_hits == 2
+
+
+def test_polygonize_rings_connect8_random_area_invariant(spark):
+    from gdal_spark.core import wkb as wkbmod
+    from gdal_spark.raster.polygonize import polygonize, polygonize_polygons
+    from gdal_spark.raster.tiles import raster_to_tiles
+    rng = np.random.default_rng(8)
+    arr = rng.integers(0, 3, size=(20, 20)).astype(np.float64)
+    tiles = raster_to_tiles(spark, arr, zoom=0, tile=8, nodata=None)
+    stats = polygonize(tiles, tile=8, connect=8).collect()
+    polys = polygonize_polygons(tiles, tile=8, connect=8).collect()
+    want = sorted((float(r.value), int(r.n_pixels)) for r in stats)
+    got = sorted((float(r.value),
+                  int(round(sum(_shoelace(rg)
+                                for rings in
+                                wkbmod.decode(bytes(r.geom)).polygons()
+                                for rg in rings))))
+                 for r in polys)
+    assert got == want
