@@ -450,10 +450,80 @@ def clip_ring_rect(ring: np.ndarray, xmin, ymin, xmax, ymax) -> np.ndarray:
     return np.empty((0, 2))
 
 
+def clip_line_rect(r: np.ndarray, xmin, ymin, xmax, ymax):
+    """Liang-Barsky clip of one polyline against a rect -> list of
+    polylines (a line can exit and re-enter, splitting into pieces)."""
+    pieces = []
+    cur = []
+    for i in range(len(r) - 1):
+        p, q = r[i], r[i + 1]
+        d = q - p
+        t0, t1 = 0.0, 1.0
+        ok = True
+        for pcoef, qcoef in ((-d[0], p[0] - xmin), (d[0], xmax - p[0]),
+                             (-d[1], p[1] - ymin), (d[1], ymax - p[1])):
+            if pcoef == 0:
+                if qcoef < 0:
+                    ok = False
+                    break
+                continue
+            t = qcoef / pcoef
+            if pcoef < 0:
+                if t > t1:
+                    ok = False
+                    break
+                t0 = max(t0, t)
+            else:
+                if t < t0:
+                    ok = False
+                    break
+                t1 = min(t1, t)
+        if not ok or t0 > t1:
+            if len(cur) >= 2:
+                pieces.append(np.array(cur))
+            cur = []
+            continue
+        a = p + t0 * d
+        b = p + t1 * d
+        if cur and np.allclose(cur[-1], a, rtol=0, atol=0):
+            cur.append(b)
+        else:
+            if len(cur) >= 2:
+                pieces.append(np.array(cur))
+            cur = [a, b]
+        if t1 < 1.0:                    # exits the rect: piece ends here
+            pieces.append(np.array(cur))
+            cur = []
+    if len(cur) >= 2:
+        pieces.append(np.array(cur))
+    return pieces
+
+
 def clip_geom_rect(g: Geom, xmin, ymin, xmax, ymax) -> Optional[Geom]:
-    """Clip polygons to rect (the -clipsrc/-clipdst fast path of ogr2ogr,
-    apps/ogr2ogr_lib.cpp:6745-6790). Points: drop outside. Lines: v1 keeps
-    only fully-inside segments' vertices (documented)."""
+    """Clip to rect (the -clipsrc/-clipdst fast path of ogr2ogr,
+    apps/ogr2ogr_lib.cpp:6745-6790). Points drop outside; polygons clip by
+    Sutherland-Hodgman; lines clip EXACTLY by Liang-Barsky, splitting into
+    multiple pieces where they exit and re-enter."""
+    if g.gtype in (wkb.LINESTRING, wkb.MULTILINESTRING) or (
+            g.gtype == wkb.GEOMETRYCOLLECTION
+            and g.parts and all(p.gtype in (wkb.LINESTRING,)
+                                for p in g.parts)):
+        rings = _all_line_rings(g)
+        pieces = []
+        for r in rings:
+            pieces.extend(clip_line_rect(np.asarray(r, dtype=np.float64),
+                                         xmin, ymin, xmax, ymax))
+        if not pieces:
+            return None
+        if len(pieces) == 1:
+            return Geom(wkb.LINESTRING, [pieces[0]])
+        return Geom(wkb.MULTILINESTRING,
+                    parts=[Geom(wkb.LINESTRING, [p]) for p in pieces])
+    return _clip_geom_rect_poly(g, xmin, ymin, xmax, ymax)
+
+
+def _clip_geom_rect_poly(g: Geom, xmin, ymin, xmax, ymax) -> Optional[Geom]:
+    """Points/polygons rect clip (the original path)."""
     if g.gtype in (wkb.POINT, wkb.MULTIPOINT):
         pts = g.points()
         keep = (pts[:, 0] >= xmin) & (pts[:, 0] <= xmax) & (pts[:, 1] >= ymin) & (pts[:, 1] <= ymax)

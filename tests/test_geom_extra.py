@@ -255,3 +255,32 @@ def test_st_setprecision_and_makepoint(spark):
     assert row.wkt == "POLYGON ((0 0,10 0,10 10,0 10,0 0))"
     assert row.pt == "POINT (3.5 -2)"
     assert row.a == pytest.approx(99.595, abs=0.5)
+
+
+def test_clip_line_rect_exact():
+    """Liang-Barsky line clipping: exact entry/exit points, split pieces."""
+    from gdal_spark.core.geomops import clip_geom_rect
+    # line crosses the rect, exits, re-enters
+    line = G(wkb.linestring([(-5, 5), (5, 5), (5, 15), (15, 15), (15, 5),
+                             (25, 5)]))
+    out = clip_geom_rect(line, 0.0, 0.0, 20.0, 10.0)
+    assert out is not None
+    pieces = [p.rings[0] for p in (out.parts if out.gtype ==
+                                   wkb.MULTILINESTRING else [out])]
+    assert len(pieces) == 2
+    total = sum(float(np.hypot(*np.diff(p, axis=0).T).sum())
+                for p in pieces)
+    # inside pieces: (0,5)-(5,5)-(5,10) = 10 ; (15,10)-(15,5)-(20,5) = 10
+    assert total == pytest.approx(20.0)
+    ends = sorted(tuple(np.round(p[0], 9)) + tuple(np.round(p[-1], 9))
+                  for p in pieces)
+    assert ends == [(0.0, 5.0, 5.0, 10.0), (15.0, 10.0, 20.0, 5.0)]
+
+
+def test_clip_line_fully_inside_and_outside():
+    from gdal_spark.core.geomops import clip_geom_rect
+    inside = G(wkb.linestring([(1, 1), (2, 2)]))
+    out = clip_geom_rect(inside, 0, 0, 5, 5)
+    np.testing.assert_allclose(out.rings[0], [[1, 1], [2, 2]])
+    outside = G(wkb.linestring([(10, 10), (12, 12)]))
+    assert clip_geom_rect(outside, 0, 0, 5, 5) is None
