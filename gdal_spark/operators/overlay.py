@@ -287,6 +287,9 @@ def overlay_join(subject: DataFrame, method: DataFrame, mode: str,
         raise ValueError(f"mode must be one of {_MODES}")
     s_cells = _cover_cells_df(subject, sid_col, cell_size, "s_")
     m_cells = _cover_cells_df(method, mid_col, cell_size, "m_")
+    # NOTE: `pairs` feeds up to five consumers; caching it was measured
+    # SLOWER here (the rows carry both geometry blobs — materializing them
+    # costs more than recomputing the cell join), so the plan stays lazy
     pairs = (s_cells.join(m_cells, "cell")
              .dropDuplicates([sid_col, mid_col]))
 

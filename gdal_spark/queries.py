@@ -1996,3 +1996,18 @@ def q_translate_reproject(spark, sf_dir):
     return out.select("doc_id",
                       F.round(st.st_x("geom"), 3).alias("mx"),
                       F.round(st.st_y("geom"), 3).alias("my"))
+
+
+@_reg("overlay_union_bigjoin", ORACLE["overlay_union_area"])
+def q_overlay_union_bigjoin(spark, sf_dir):
+    """The BIG x BIG overlay path (cell-cover equi-join + per-key
+    difference folds, zero driver collect) driven through the same Union
+    contract and ANALYTIC ORACLE as the broadcast path — the scale variant
+    is value-hash-pinned, not just pytest-compared."""
+    from .operators.overlay import overlay_join
+    subject, method = _overlay_inputs(spark)
+    out = overlay_join(subject, method, "union", cell_size=10.0,
+                       sid_col="region_id")
+    return out.select("region_id", "mid",
+                      F.round(st.st_area("geom"), 6).alias("area_r")) \
+        .where(F.col("area_r") > 0)
