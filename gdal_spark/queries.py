@@ -2011,3 +2011,85 @@ def q_overlay_union_bigjoin(spark, sf_dir):
     return out.select("region_id", "mid",
                       F.round(st.st_area("geom"), 6).alias("area_r")) \
         .where(F.col("area_r") > 0)
+
+
+@_reg("warp_near_mercator", f"""
+{_pts_cte()},
+c AS (SELECT CAST(floor((lon + 180.0) / 5.625) AS BIGINT) AS x,
+             CAST(floor((90.0 - lat) / 2.8125) AS BIGINT) AS y,
+             count(*) AS v
+      FROM pts GROUP BY 1, 2),
+d AS (SELECT gi.range AS i, gj.range AS j,
+             -20037508.342789244 + (gi.range + 0.5) * 626172.1357121639
+               AS mx,
+             20037508.342789244 - (gj.range + 0.5) * 626172.1357121639
+               AS my
+      FROM range(64) gi, range(64) gj),
+ll AS (SELECT i, j,
+              degrees(mx / 6378137.0) AS lon,
+              degrees(2 * atan(exp(my / 6378137.0)) - pi() / 2) AS lat
+       FROM d),
+px AS (SELECT i, j, CAST(floor((lon + 180.0) / 5.625) AS BIGINT) AS sx,
+              CAST(floor((90.0 - lat) / 2.8125) AS BIGINT) AS sy
+       FROM ll)
+SELECT px.i, px.j, CAST(c.v AS DOUBLE) AS val_r
+FROM px JOIN c ON c.x = px.sx AND c.y = px.sy
+""")
+def q_warp_near_mercator(spark, sf_dir):
+    """gdalwarp through a REAL CRS change: the 64x64 lon/lat density
+    raster warps onto a spherical-mercator grid with the near kernel —
+    dst pixel center -> inverse mercator -> src pixel floor, which the
+    oracle replays with the closed-form mercator inverse in SQL. Pins the
+    full distributed warp path (tile routing, canvas, CT chain) with a
+    non-identity transformer."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+    from .raster.tiles import TILE_SCHEMA, decode_px, encode_px
+    from .raster.warp import WarpSpec, warp as warp_run
+    from .raster.rasterize import GridSpec
+
+    p = datagen.points(spark, sf_dir)
+    x = F.floor((F.col("lon") + 180.0) / 5.625).cast("long")
+    y = F.floor((90.0 - F.col("lat")) / 2.8125).cast("long")
+    cnt = (p.select(x.alias("x"), y.alias("y"))
+           .groupBy("x", "y").agg(F.count("*").cast("double").alias("v"))
+           .withColumn("tile_x", F.shiftright("x", 3))
+           .withColumn("tile_y", F.shiftright("y", 3)))
+
+    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        arr = np.zeros((8, 8), np.float64)
+        arr[pdf["y"].values & 7, pdf["x"].values & 7] = pdf["v"].values
+        return pd.DataFrame([(1, 0, int(key[0]), int(key[1]), "float64",
+                              None, encode_px(arr))],
+                            columns=[f.name for f in TILE_SCHEMA.fields])
+
+    tiles8 = cnt.groupBy("tile_x", "tile_y").applyInPandas(build,
+                                                           TILE_SCHEMA)
+    merc = 20037508.342789244
+    src = GridSpec(x0=-180.0, y0=90.0, dx=5.625, dy=-2.8125,
+                   width=64, height=64, tile=8)
+    dst = GridSpec(x0=-merc, y0=merc, dx=2 * merc / 64, dy=-2 * merc / 64,
+                   width=64, height=64, tile=8)
+    out = warp_run(tiles8, WarpSpec(src, "EPSG:4326", dst, "EPSG:3857",
+                                    "near", fill=0.0))
+
+    px_schema = T.StructType([T.StructField("i", T.LongType()),
+                              T.StructField("j", T.LongType()),
+                              T.StructField("val_r", T.DoubleType())])
+
+    def to_rows(batches):
+        jj, ii = np.meshgrid(np.arange(8), np.arange(8), indexing="ij")
+        for pdf in batches:
+            frames = []
+            for r in pdf.itertuples():
+                arr = decode_px(r.px, "float64", 8)
+                m = arr != 0
+                frames.append(pd.DataFrame({
+                    "i": int(r.tile_x) * 8 + ii[m],
+                    "j": int(r.tile_y) * 8 + jj[m],
+                    "val_r": arr[m]}))
+            yield pd.concat(frames) if frames else \
+                pd.DataFrame(columns=["i", "j", "val_r"])
+
+    return out.mapInPandas(to_rows, px_schema)

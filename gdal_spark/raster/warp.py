@@ -109,10 +109,17 @@ def _dst_tiles_for_src_tile(spec: WarpSpec, tx: int, ty: int):
     by = np.r_[np.full(9, y0), y0 + (y1 - y0) * s, np.full(9, y1),
                y1 + (y0 - y1) * s]
     wx, wy = _src_px_to_world(g, bx, by)
-    dwx, dwy = transform(spec.src_crs, spec.dst_crs, wx, wy)
+    with np.errstate(all="ignore"):
+        dwx, dwy = transform(spec.src_crs, spec.dst_crs, wx, wy)
     dg = spec.dst_grid
     dpx = (dwx - dg.x0) / dg.dx
     dpy = (dwy - dg.y0) / dg.dy
+    # kernel padding can push boundary samples outside the CT's domain
+    # (e.g. |lat| > 90 for mercator) -> NaN; ignore those samples
+    ok = np.isfinite(dpx) & np.isfinite(dpy)
+    if not ok.any():
+        return []
+    dpx, dpy = dpx[ok], dpy[ok]
     dt = dg.tile
     ntx, nty = dg.n_tiles()
     tx0 = max(int(np.floor(dpx.min() - 1)) // dt, 0)
