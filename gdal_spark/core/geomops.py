@@ -1207,7 +1207,9 @@ def vincenty_distance(lon1, lat1, lon2, lat2, iters: int = 20) -> np.ndarray:
     lam = L.copy()
     sU1, cU1 = np.sin(U1), np.cos(U1)
     sU2, cU2 = np.sin(U2), np.cos(U2)
+    lam_prev = lam
     for _ in range(iters):
+        lam_prev = lam
         sl, cl = np.sin(lam), np.cos(lam)
         s_sig = np.sqrt((cU2 * sl) ** 2 + (cU1 * sU2 - sU1 * cU2 * cl) ** 2)
         c_sig = sU1 * sU2 + cU1 * cU2 * cl
@@ -1231,9 +1233,20 @@ def vincenty_distance(lon1, lat1, lon2, lat2, iters: int = 20) -> np.ndarray:
         - B / 6 * cos_2sigm * (-3 + 4 * s_sig ** 2)
         * (-3 + 4 * cos_2sigm ** 2)))
     d = _GEO_B * A * (sig - dsig)
-    # same-point and fallback handling
-    d = np.where(np.isfinite(d), d, 0.0)
-    return d
+    # Near-antipodal pairs don't converge (lambda oscillates) or go NaN;
+    # substitute the mean-sphere haversine distance, NOT 0 — an antipodal
+    # segment contributes ~20,000 km to a geodesic length, not nothing.
+    bad = ~np.isfinite(d) | (np.abs(lam - lam_prev) > 1e-11)
+    if np.any(bad):
+        R = (2.0 * _GEO_A + _GEO_B) / 3.0
+        dlat = lat2 - lat1
+        dlon = lon2 - lon1
+        h = (np.sin(dlat / 2) ** 2
+             + np.cos(lat1) * np.cos(lat2) * np.sin(dlon / 2) ** 2)
+        gc = 2.0 * R * np.arcsin(np.minimum(1.0, np.sqrt(h)))
+        d = np.where(bad, gc, d)
+    # identical endpoints legitimately yield 0 through either path
+    return np.where(np.isfinite(d), d, 0.0)
 
 
 def geom_length_geodesic(g: Geom) -> float:

@@ -443,14 +443,15 @@ def single_ring_batch(wkbs):
 
 def _ragged_arange(counts: np.ndarray) -> np.ndarray:
     """concat([arange(c) for c in counts]) without the Python loop."""
+    counts = np.asarray(counts, dtype=np.int64)
     total = int(counts.sum())
     if total == 0:
         return np.empty(0, dtype=np.int64)
-    ends = np.cumsum(counts)
-    out = np.arange(total, dtype=np.int64)
-    resets = np.zeros(total, dtype=np.int64)
-    resets[ends[:-1]] = counts[:-1]
-    return out - np.cumsum(resets)
+    # zero-safe: duplicate fancy indices from 0-length runs would collapse
+    # under a scatter (`resets[ends[:-1]] = ...` keeps only the last write),
+    # so rebuild each run's start via repeat instead.
+    starts = np.r_[0, np.cumsum(counts)[:-1]]
+    return np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
 
 
 _DECODE_CACHE: dict = {}

@@ -408,53 +408,320 @@ def _link_directed(segs, digits: int = 9):
     return rings
 
 
-def contour_polygons_interp(tiles_df: DataFrame, levels: list[float],
-                            tile: int = 256):
-    """Sub-pixel contour band polygons (gdal_contour -p with linear
-    interpolation): band k spans [levels[k-1], levels[k]) and its rings
-    are region(lo) shells + region(hi) rings reversed — even-odd shell/
-    hole assignment. Returns [(level_min, level_max, Geom)], assembled
-    driver-side from the distributed tiling-invariant segment set."""
-    from ..core.geomops import ring_area
+# ---------------------------------------------------------------------------
+# DISTRIBUTED ring assembly for the sub-pixel polygon writer (round-3 fix
+# for the driver-side region_segments().collect() post-pass):
+#   stage 1  per-(level, tile-block) local linking -> closed rings + open
+#            boundary-crossing fragments (applyInPandas)
+#   stage 2  connected components over fragments sharing endpoint keys —
+#            min-label propagation + pointer jumping (O(log) rounds)
+#   stage 3  groupBy(level, component) fragment -> ring concatenation
+#   stage 4  groupBy(band) shell/hole nesting -> one geometry per level band
+# Only rings (not segments) ever converge into one task, and only per
+# component/band — nothing raster-sized touches the driver.
+# ---------------------------------------------------------------------------
+
+_FRAG_SCHEMA = T.StructType([
+    T.StructField("band", T.IntegerType()),
+    T.StructField("zoom", T.IntegerType()),
+    T.StructField("level", T.DoubleType()),
+    T.StructField("closed", T.BooleanType()),
+    T.StructField("k0", T.StringType()),
+    T.StructField("k1", T.StringType()),
+    T.StructField("xy", T.BinaryType()),       # float64 (n,2) row-major
+    T.StructField("area", T.DoubleType()),     # shoelace; 0 for open frags
+])
+
+_RING_SCHEMA = T.StructType([
+    T.StructField("band", T.IntegerType()),
+    T.StructField("zoom", T.IntegerType()),
+    T.StructField("level", T.DoubleType()),
+    T.StructField("xy", T.BinaryType()),
+    T.StructField("area", T.DoubleType()),
+])
+
+_BAND_SCHEMA = T.StructType([
+    T.StructField("band", T.IntegerType()),
+    T.StructField("zoom", T.IntegerType()),
+    T.StructField("band_idx", T.IntegerType()),
+    T.StructField("geom", T.BinaryType()),
+])
+
+
+def _pkey(x, y, digits: int = 9) -> str:
+    """Stable string key for a (possibly interpolated) lattice point."""
+    x = round(float(x), digits)
+    y = round(float(y), digits)
+    if x == 0:
+        x = 0.0                      # normalize -0.0
+    if y == 0:
+        y = 0.0
+    return f"{x:.{digits}f}:{y:.{digits}f}"
+
+
+def _link_directed_all(segs, digits: int = 9):
+    """Directed segments -> (closed rings, open chains) as vertex lists.
+    Same walk as _link_directed but keeps the open chains (they continue
+    in a neighboring block and become fragments)."""
+    def key(x, y):
+        return _pkey(x, y, digits)
+
+    outgoing: dict = {}
+    indeg: dict = {}
+    for i, (x0, y0, x1, y1) in enumerate(segs):
+        if key(x0, y0) == key(x1, y1):
+            continue
+        outgoing.setdefault(key(x0, y0), []).append(i)
+        k1 = key(x1, y1)
+        indeg[k1] = indeg.get(k1, 0) + 1
+    used = set()
+
+    def walk(i):
+        pts = [(segs[i][0], segs[i][1]), (segs[i][2], segs[i][3])]
+        used.add(i)
+        outgoing[key(segs[i][0], segs[i][1])].remove(i)
+        start = key(*pts[0])
+        while True:
+            k = key(*pts[-1])
+            if k == start:
+                pts[-1] = pts[0]     # snap exact ring closure
+                return pts, True
+            cands = outgoing.get(k, [])
+            if not cands:
+                return pts, False
+            j = cands[0]
+            used.add(j)
+            cands.remove(j)
+            pts.append((segs[j][2], segs[j][3]))
+
+    rings, chains = [], []
+    # open chains first (start where outdegree exceeds indegree), then
+    # the remaining pure cycles
+    starts = [k for k, v in outgoing.items() if len(v) > indeg.get(k, 0)]
+    for k in starts:
+        while outgoing.get(k):
+            pts, closed = walk(outgoing[k][0])
+            (rings if closed else chains).append(pts)
+    for i in range(len(segs)):
+        if i not in used and i in outgoing.get(key(segs[i][0],
+                                                   segs[i][1]), []):
+            pts, closed = walk(i)
+            (rings if closed else chains).append(pts)
+    return rings, chains
+
+
+def _shoelace(pts: np.ndarray) -> float:
+    x, y = pts[:, 0], pts[:, 1]
+    return 0.5 * float(np.dot(x[:-1], y[1:]) - np.dot(x[1:], y[:-1]))
+
+
+def region_fragments(tiles_df: DataFrame, levels: list[float],
+                     tile: int = 256) -> DataFrame:
+    """Stage 1: per-(level, block) local linking of the directed region
+    segments into closed rings + open fragments."""
+    seg = region_segments(tiles_df, levels, tile) \
+        .withColumn("bx", F.floor(F.col("x0") / tile)) \
+        .withColumn("by", F.floor(F.col("y0") / tile))
+
+    cols = [f.name for f in _FRAG_SCHEMA.fields]
+
+    def link(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        band, zoom, level = int(key[0]), int(key[1]), float(key[2])
+        segs = list(zip(pdf["x0"], pdf["y0"], pdf["x1"], pdf["y1"]))
+        rings, chains = _link_directed_all(segs)
+        rows = []
+        for pts in rings:
+            a = np.asarray(pts, np.float64)
+            rows.append((band, zoom, level, True, "", "",
+                         a.tobytes(), _shoelace(a)))
+        for pts in chains:
+            a = np.asarray(pts, np.float64)
+            rows.append((band, zoom, level, False,
+                         _pkey(*pts[0]), _pkey(*pts[-1]),
+                         a.tobytes(), 0.0))
+        return pd.DataFrame(rows, columns=cols) if rows \
+            else pd.DataFrame(columns=cols)
+
+    return seg.groupBy("band", "zoom", "level", "bx", "by") \
+        .applyInPandas(link, _FRAG_SCHEMA)
+
+
+def _fragment_components(open_frags: DataFrame,
+                         max_rounds: int = 32) -> DataFrame:
+    """Stage 2: (fid, comp) connected components over fragments that share
+    an endpoint key — min-label propagation through the key groups plus a
+    pointer-jump per round, so chains of F fragments converge in O(log F)
+    rounds, not O(F)."""
+    kf = open_frags.select(
+        "fid", F.explode(F.array(
+            F.concat_ws("@", F.col("band").cast("string"),
+                        F.col("zoom").cast("string"),
+                        F.col("level").cast("string"), "k0"),
+            F.concat_ws("@", F.col("band").cast("string"),
+                        F.col("zoom").cast("string"),
+                        F.col("level").cast("string"), "k1"))).alias("pk")) \
+        .localCheckpoint()
+    lbl = open_frags.select("fid").withColumn("comp", F.col("fid"))
+    for _ in range(max_rounds):
+        lbl = lbl.localCheckpoint()
+        kmin = (kf.join(lbl, "fid")
+                .groupBy("pk").agg(F.min("comp").alias("kmin")))
+        nmin = (kf.join(kmin, "pk")
+                .groupBy("fid").agg(F.min("kmin").alias("nmin")))
+        new = (lbl.withColumnRenamed("comp", "old")
+               .join(nmin, "fid", "left")
+               .select("fid", "old", F.least("old", F.coalesce(
+                   "nmin", F.lit(1 << 62))).alias("comp")))
+        jump = new.select(F.col("fid").alias("comp"),
+                          F.col("comp").alias("comp2"))
+        new = (new.join(jump, "comp", "left")
+               .select("fid", "old",
+                       F.coalesce("comp2", "comp").alias("comp")))
+        changed = new.where(F.col("old") != F.col("comp")).limit(1).count()
+        lbl = new.select("fid", "comp")
+        if changed == 0:
+            break
+    return lbl
+
+
+def region_rings(tiles_df: DataFrame, levels: list[float],
+                 tile: int = 256) -> DataFrame:
+    """Stages 1-3: -> (band, zoom, level, xy, area) with one row per
+    closed region ring, fully distributed."""
+    frags = region_fragments(tiles_df, levels, tile).localCheckpoint()
+    closed = frags.where(F.col("closed")) \
+        .select("band", "zoom", "level", "xy", "area")
+    open_ = frags.where(~F.col("closed")) \
+        .withColumn("fid", F.monotonically_increasing_id()) \
+        .localCheckpoint()
+    lbl = _fragment_components(open_)
+    linked = open_.join(lbl, "fid")
+
+    cols = [f.name for f in _RING_SCHEMA.fields]
+
+    def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        band, zoom, level = int(key[0]), int(key[1]), float(key[2])
+        n = len(pdf)
+        k0s = list(pdf["k0"])
+        k1s = list(pdf["k1"])
+        coords = [np.frombuffer(b, np.float64).reshape(-1, 2)
+                  for b in pdf["xy"]]
+        outgoing: dict = {}
+        for i, k in enumerate(k0s):
+            outgoing.setdefault(k, []).append(i)
+        used = set()
+        rows = []
+        for s in range(n):
+            if s in used:
+                continue
+            path = [s]
+            used.add(s)
+            outgoing[k0s[s]].remove(s)
+            while True:
+                end = k1s[path[-1]]
+                if end == k0s[s]:
+                    pts = np.vstack([coords[path[0]]]
+                                    + [coords[j][1:] for j in path[1:]])
+                    pts[-1] = pts[0]          # snap exact closure
+                    rows.append((band, zoom, level, pts.tobytes(),
+                                 _shoelace(pts)))
+                    break
+                cands = outgoing.get(end, [])
+                if not cands:
+                    break                      # open across the raster: drop
+                j = cands[0]
+                used.add(j)
+                cands.remove(j)
+                path.append(j)
+        return pd.DataFrame(rows, columns=cols) if rows \
+            else pd.DataFrame(columns=cols)
+
+    open_rings = linked.groupBy("band", "zoom", "level", "comp") \
+        .applyInPandas(assemble, _RING_SCHEMA)
+    return closed.unionByName(open_rings)
+
+
+def contour_polygon_bands(tiles_df: DataFrame, levels: list[float],
+                          tile: int = 256) -> DataFrame:
+    """Stage 4: -> (band, zoom, band_idx, geom WKB) — one polygon (with
+    holes) per level band [all_levels[k], all_levels[k+1]), sub-pixel
+    interpolated, assembled per band in its own task."""
+    from ..core import wkb as _wkb
+    from ..core.geomops import points_in_ring
 
     lv = sorted(levels)
     all_levels = [float("-inf")] + [float(v) for v in lv]
-    seg_df = region_segments(tiles_df, all_levels, tile).collect()
-    by_level: dict = {}
-    for r in seg_df:
-        by_level.setdefault(r.level, []).append((r.x0, r.y0, r.x1, r.y1))
-    rings_by_level = {lev: _link_directed(by_level.get(lev, []))
-                      for lev in all_levels}
+    rings = region_rings(tiles_df, all_levels, tile)
 
-    out = []
-    for k, lo in enumerate(all_levels):
-        hi = all_levels[k + 1] if k + 1 < len(all_levels) else float("inf")
-        rings = list(rings_by_level.get(lo, []))
-        if np.isfinite(hi):
-            rings += [r[::-1] for r in rings_by_level.get(hi, [])]
-        shells = [(abs(ring_area(r)), r) for r in rings
-                  if ring_area(r) > 0]
-        holes = [r for r in rings if ring_area(r) < 0]
+    jcol = None
+    for j, lev in enumerate(all_levels):
+        cond = F.col("level") == F.lit(float(lev))   # -inf compares exactly
+        jcol = F.when(cond, F.lit(j)) if jcol is None \
+            else jcol.when(cond, F.lit(j))
+    rings = rings.withColumn("j", jcol)
+    fwd = rings.withColumn("band_idx", F.col("j")) \
+        .withColumn("rev", F.lit(False))
+    rev = rings.where(F.col("j") >= 1) \
+        .withColumn("band_idx", F.col("j") - 1) \
+        .withColumn("rev", F.lit(True))
+    both = fwd.unionByName(rev) \
+        .select("band", "zoom", "band_idx", "xy", "area", "rev")
+
+    cols = [f.name for f in _BAND_SCHEMA.fields]
+
+    def build_band(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        band, zoom, bidx = int(key[0]), int(key[1]), int(key[2])
+        rings_ = []
+        for r in pdf.itertuples():
+            pts = np.frombuffer(r.xy, np.float64).reshape(-1, 2)
+            if r.rev:
+                pts = pts[::-1]
+            rings_.append(pts)
+        shells = sorted([p for p in rings_ if _shoelace(p) > 0],
+                        key=lambda p: abs(_shoelace(p)))
+        holes = [p for p in rings_ if _shoelace(p) < 0]
         if not shells:
-            continue
-        shells.sort(key=lambda t: t[0])
-        polys = [[r] for _a, r in shells]
-        from ..core.geomops import points_in_ring
+            return pd.DataFrame(columns=cols)
+        polys = [[p] for p in shells]
         for h in holes:
-            placed = False
             for cand in polys:
                 if points_in_ring(h[:1, 0], h[:1, 1], cand[0])[0]:
                     cand.append(h)
-                    placed = True
                     break
-            if not placed:
+            else:
                 polys[-1].append(h)
-        from ..core import wkb as _wkb
         if len(polys) == 1:
             g = _wkb.Geom(_wkb.POLYGON, polys[0])
         else:
             g = _wkb.Geom(_wkb.MULTIPOLYGON,
                           parts=[_wkb.Geom(_wkb.POLYGON, rs)
                                  for rs in polys])
-        out.append((lo, hi, g))
+        return pd.DataFrame([(band, zoom, bidx, _wkb.encode(g))],
+                            columns=cols)
+
+    return both.groupBy("band", "zoom", "band_idx") \
+        .applyInPandas(build_band, _BAND_SCHEMA)
+
+
+def contour_polygons_interp(tiles_df: DataFrame, levels: list[float],
+                            tile: int = 256):
+    """Sub-pixel contour band polygons (gdal_contour -p with linear
+    interpolation): band k spans [levels[k-1], levels[k]) and its rings
+    are region(lo) shells + region(hi) rings reversed — even-odd shell/
+    hole assignment. Returns [(level_min, level_max, Geom)].
+
+    Assembly is fully distributed (contour_polygon_bands — per-block
+    linking, fragment CC, per-band nesting); only the finished band
+    geometries are collected here for the list-shaped convenience API."""
+    from ..core import wkb as _wkb
+
+    lv = sorted(levels)
+    all_levels = [float("-inf")] + [float(v) for v in lv]
+    rows = contour_polygon_bands(tiles_df, levels, tile).collect()
+    out = []
+    for r in sorted(rows, key=lambda r: (r.band, r.zoom, r.band_idx)):
+        lo = all_levels[r.band_idx]
+        hi = all_levels[r.band_idx + 1] \
+            if r.band_idx + 1 < len(all_levels) else float("inf")
+        out.append((lo, hi, _wkb.decode(bytes(r.geom))))
     return out

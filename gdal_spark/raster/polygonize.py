@@ -281,49 +281,38 @@ def _union_find_pdf(edges) -> "pd.DataFrame":
     return pd.DataFrame(rows, columns=["node", "comp"])
 
 
-def polygonize(tiles_df: DataFrame, tile: int = 256,
-               max_rounds: int = 64,
-               driver_merge_threshold: int = 4_000_000,
-               connect: int = 4) -> DataFrame:
-    """tile table -> (comp_id, value, n_pixels, px_xmin..px_ymax).
-
-    comp_id is the min node id over the component — deterministic, so output
-    is reproducible run-to-run regardless of execution order.
+def resolve_components(comp: DataFrame, pairs: DataFrame,
+                       driver_merge_threshold: int = 4_000_000,
+                       max_rounds: int = 64) -> DataFrame:
+    """Node -> component-min mapping, shared by polygonize /
+    polygonize_polygons / sieve.
 
     The cross-tile merge graph has one node per tile-boundary component —
     orders of magnitude smaller than the raster. When it fits on the driver
     (<= driver_merge_threshold edges) we union-find it there in one pass,
     exactly like Spark broadcasts a small join side; above the threshold the
-    distributed min-label propagation loop takes over.
-    """
-    spark = tiles_df.sparkSession
-    comp, strips = tile_components(tiles_df, tile, connect)
-    pairs = adjacency_pairs(strips, tile, connect).localCheckpoint()
+    distributed min-label propagation loop takes over, so the merge has no
+    driver scale ceiling. Returns a DataFrame(node, comp) covering every
+    node of `comp` (nodes untouched by any seam map to themselves)."""
+    spark = comp.sparkSession
 
     if pairs.count() <= driver_merge_threshold:
         edges = [(r.node, r.node2) for r in pairs.toLocalIterator()]
         mapping = _union_find_pdf(edges)
         if len(mapping):
-            lbl = spark.createDataFrame(mapping)
-            out_lbl = comp.join(F.broadcast(lbl), "node", "left") \
-                .withColumn("comp", F.coalesce("comp", F.col("node")))
-        else:
-            out_lbl = comp.withColumn("comp", F.col("node"))
-        return (out_lbl
-                .groupBy(F.col("comp").alias("comp_id"), "band", "zoom",
-                         "value")
-                .agg(F.sum("n_pixels").alias("n_pixels"),
-                     F.min("px_xmin").alias("px_xmin"),
-                     F.min("px_ymin").alias("px_ymin"),
-                     F.max("px_xmax").alias("px_xmax"),
-                     F.max("px_ymax").alias("px_ymax")))
+            lbl = F.broadcast(spark.createDataFrame(mapping))
+            return (comp.select("node").distinct()
+                    .join(lbl, "node", "left")
+                    .withColumn("comp", F.coalesce("comp", F.col("node"))))
+        return comp.select("node").distinct() \
+            .withColumn("comp", F.col("node"))
 
     # min-label propagation over the component graph (NOT over pixels).
     # Undirected: propagate both ways each round; converges within the
     # graph diameter, bounded by max_rounds. Each round's result is
-    # re-materialized with FRESH attributes (rdd round-trip) — an iterative
-    # self-join otherwise trips Spark's ambiguous-attribute resolution and
-    # silently joins wrong columns.
+    # re-materialized (localCheckpoint) — an iterative self-join otherwise
+    # trips Spark's ambiguous-attribute resolution and silently joins
+    # wrong columns.
     lbl = comp.select("node").distinct() \
         .withColumn("comp", F.col("node"))
     sym = (pairs.unionByName(
@@ -346,15 +335,30 @@ def polygonize(tiles_df: DataFrame, tile: int = 256,
         lbl = new.select("node", "comp")
         if changed == 0:
             break
+    return lbl
 
-    out = (comp.join(lbl, "node")
-           .groupBy(F.col("comp").alias("comp_id"), "band", "zoom", "value")
-           .agg(F.sum("n_pixels").alias("n_pixels"),
-                F.min("px_xmin").alias("px_xmin"),
-                F.min("px_ymin").alias("px_ymin"),
-                F.max("px_xmax").alias("px_xmax"),
-                F.max("px_ymax").alias("px_ymax")))
-    return out
+
+def polygonize(tiles_df: DataFrame, tile: int = 256,
+               max_rounds: int = 64,
+               driver_merge_threshold: int = 4_000_000,
+               connect: int = 4) -> DataFrame:
+    """tile table -> (comp_id, value, n_pixels, px_xmin..px_ymax).
+
+    comp_id is the min node id over the component — deterministic, so output
+    is reproducible run-to-run regardless of execution order. Cross-tile
+    merge strategy (driver union-find vs distributed label propagation) is
+    picked by resolve_components' threshold guard.
+    """
+    comp, strips = tile_components(tiles_df, tile, connect)
+    pairs = adjacency_pairs(strips, tile, connect).localCheckpoint()
+    lbl = resolve_components(comp, pairs, driver_merge_threshold, max_rounds)
+    return (comp.join(lbl, "node")
+            .groupBy(F.col("comp").alias("comp_id"), "band", "zoom", "value")
+            .agg(F.sum("n_pixels").alias("n_pixels"),
+                 F.min("px_xmin").alias("px_xmin"),
+                 F.min("px_ymin").alias("px_ymin"),
+                 F.max("px_xmax").alias("px_xmax"),
+                 F.max("px_ymax").alias("px_ymax")))
 
 
 # ---------------------------------------------------------------------------
@@ -530,21 +534,16 @@ def polygonize_polygons(tiles_df: DataFrame, tile: int = 256,
     -> node->component resolution (same machinery as polygonize())
     -> groupBy(component) ring assembly. Each component's rings build in
     one task; components are the natural parallel unit, and only a
-    pathological continent-sized component serializes."""
+    pathological continent-sized component serializes. The node->component
+    merge honors driver_merge_threshold: small graphs union-find on the
+    driver, big ones run the distributed min-label loop
+    (resolve_components), so this path has no driver scale ceiling."""
     from ..core import wkb as _wkb
 
-    spark = tiles_df.sparkSession
     comp, strips = tile_components(tiles_df, tile, connect)
     pairs = adjacency_pairs(strips, tile, connect).localCheckpoint()
-    mapping = _union_find_pdf(
-        [(r.node, r.node2) for r in pairs.toLocalIterator()])
-    if len(mapping):
-        lbl = F.broadcast(spark.createDataFrame(mapping))
-        comp = comp.join(lbl, "node", "left") \
-            .withColumn("comp", F.coalesce("comp", F.col("node")))
-    else:
-        comp = comp.withColumn("comp", F.col("node"))
-    node2comp = comp.select("node", "comp")
+    node2comp = resolve_components(comp, pairs, driver_merge_threshold)
+    comp = comp.join(node2comp, "node")
 
     segs = boundary_segments(tiles_df, tile, nodata, connect) \
         .join(node2comp, "node") \

@@ -104,6 +104,46 @@ def band_histogram(tiles_df: DataFrame, lo: float, hi: float,
         .groupBy("band", "bucket").agg(F.sum("n").alias("n"))
 
 
+_CALC_NODES = (
+    "Expression", "BinOp", "UnaryOp", "Call", "Compare", "IfExp",
+    "Name", "Constant", "Load", "Tuple", "Subscript", "Slice",
+    # arithmetic / bitwise (numpy elementwise logic uses & | ^ ~)
+    "Add", "Sub", "Mult", "Div", "FloorDiv", "Mod", "Pow",
+    "USub", "UAdd", "Invert", "BitAnd", "BitOr", "BitXor",
+    "Lt", "LtE", "Gt", "GtE", "Eq", "NotEq",
+)
+
+
+def _validate_calc_expr(expr: str, allowed_funcs: set) -> None:
+    """eval() with an empty __builtins__ is NOT a sandbox (dunder-attribute
+    escapes reach arbitrary code), so reject anything outside the pure
+    band-algebra grammar before evaluating: literals, band names (single
+    capitals), whitelisted numpy calls, arithmetic/comparison/bitwise ops,
+    subscripts. Attribute access and statements are refused outright."""
+    import ast
+
+    tree = ast.parse(expr, mode="eval")
+    for node in ast.walk(tree):
+        kind = type(node).__name__
+        if kind not in _CALC_NODES:
+            raise ValueError(
+                f"band_calc: disallowed syntax {kind!r} in expr {expr!r}")
+        if isinstance(node, ast.Call):
+            if not isinstance(node.func, ast.Name) or node.keywords:
+                raise ValueError(
+                    f"band_calc: only bare calls to {sorted(allowed_funcs)}"
+                    f" are allowed in expr {expr!r}")
+            if node.func.id not in allowed_funcs:
+                raise ValueError(
+                    f"band_calc: unknown function {node.func.id!r}")
+        if isinstance(node, ast.Name):
+            ok = node.id in allowed_funcs or (
+                len(node.id) == 1 and "A" <= node.id <= "Z")
+            if not ok:
+                raise ValueError(
+                    f"band_calc: unknown name {node.id!r} in expr {expr!r}")
+
+
 def band_calc(tiles_df: DataFrame, expr: str, tile: int = 256,
               out_band: int = 1, out_dtype: str = "float64") -> DataFrame:
     """gdal_calc.py band algebra (swig/python/gdal-utils/osgeo_utils/
@@ -117,6 +157,7 @@ def band_calc(tiles_df: DataFrame, expr: str, tile: int = 256,
                ("sqrt", "abs", "exp", "log", "log10", "sin", "cos", "tan",
                 "arctan", "arctan2", "hypot", "minimum", "maximum", "where",
                 "clip", "floor", "ceil", "round", "power", "sign", "pi")}
+    _validate_calc_expr(expr, set(allowed))
 
     def combine(key, pdf: pd.DataFrame) -> pd.DataFrame:
         zoom, tx, ty = int(key[0]), int(key[1]), int(key[2])

@@ -86,11 +86,14 @@ def geom_to_geojson(b: bytes) -> dict:
                            for p in g.parts]}
 
 
-def _feature_rows(features, fid_offset=0):
+def _feature_rows(features):
+    """Features without an `id` yield fid=None so the readers' deterministic
+    monotonic-id fallback actually fires — batch-local counters would collide
+    across Arrow batches / partitions / files."""
     rows = []
-    for i, f in enumerate(features):
+    for f in features:
         fid = f.get("id")
-        rows.append((int(fid) if isinstance(fid, int) else fid_offset + i,
+        rows.append((int(fid) if isinstance(fid, int) else None,
                      geom_from_geojson(f.get("geometry")),
                      json.dumps(f.get("properties") or {},
                                 sort_keys=True)))
@@ -113,7 +116,11 @@ def read_geojson(spark: SparkSession, path: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["fid", "geom", "props"]) \
                 if rows else pd.DataFrame(columns=["fid", "geom", "props"])
 
-    return raw.mapInPandas(parse, _SCHEMA)
+    df = raw.mapInPandas(parse, _SCHEMA)
+    # id-less features need a globally unique fid across files/partitions
+    return df.withColumn(
+        "fid", F.when(F.col("fid").isNotNull(), F.col("fid"))
+        .otherwise(F.monotonically_increasing_id()))
 
 
 def read_geojson_seq(spark: SparkSession, path: str) -> DataFrame:

@@ -314,3 +314,21 @@ def test_polygonize_rings_connect8_random_area_invariant(spark):
                                 for rg in rings))))
                  for r in polys)
     assert got == want
+
+
+def test_polygonize_rings_distributed_merge_path(spark):
+    """polygonize_polygons must honor driver_merge_threshold (round-3 fix):
+    threshold 0 forces the distributed min-label merge and must yield
+    byte-identical polygons to the driver union-find fast path."""
+    from gdal_spark.raster.polygonize import polygonize_polygons
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 3, size=(24, 24)).astype(np.int32)
+    tiles = raster_to_tiles(spark, arr, zoom=0, tile=8, nodata=0.0)
+    fast = sorted((r.comp_id, float(r.value), bytes(r.geom))
+                  for r in polygonize_polygons(tiles, tile=8,
+                                               nodata=0.0).collect())
+    dist = sorted((r.comp_id, float(r.value), bytes(r.geom))
+                  for r in polygonize_polygons(
+                      tiles, tile=8, nodata=0.0,
+                      driver_merge_threshold=0).collect())
+    assert fast == dist and len(fast) > 1

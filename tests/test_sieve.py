@@ -113,3 +113,71 @@ def test_sieve_keeps_large_regions(spark):
     want = arr.copy()
     want[4:6, 4:6] = 1          # island merges into its only neighbour
     assert np.array_equal(got.astype(np.int32), want)
+
+
+def test_sieve_distributed_merge_exact_island(spark):
+    """driver_merge_threshold=0 forces BOTH the distributed component
+    resolution and the distributed round-based merge (round-3 fix for the
+    driver union-find scale ceiling). On a cascade-free raster the result
+    is order-independent and must equal the sequential reference."""
+    arr = np.zeros((16, 16), np.int32)
+    arr[:, :8] = 1
+    arr[:, 8:] = 2
+    arr[4:6, 4:6] = 3
+    tiles = raster_to_tiles(spark, arr, zoom=0, tile=8, nodata=-1.0)
+    got = tiles_to_raster(sieve(tiles, threshold=5, tile=8,
+                                driver_merge_threshold=0), tile=8)
+    want = arr.copy()
+    want[4:6, 4:6] = 1
+    assert np.array_equal(got.astype(np.int32), want)
+
+
+@pytest.mark.parametrize("seed,shape,threshold", [
+    (7, (24, 24), 4),
+    (2, (40, 32), 9),
+])
+def test_sieve_distributed_merge_invariants(spark, seed, shape, threshold):
+    """The distributed merge commits the same small-into-largest-neighbour
+    rule in precedence-ordered rounds; cascading ties may resolve
+    differently from the sequential pass (documented), so pin the spec
+    invariants instead: no sub-threshold region remains unless isolated,
+    values come from the original palette, and the total area is
+    conserved."""
+    from collections import deque
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 3, size=shape).astype(np.int32)
+    tiles = raster_to_tiles(spark, arr, zoom=0, tile=8, nodata=0.0)
+    out = sieve(tiles, threshold=threshold, tile=8,
+                driver_merge_threshold=0)
+    got = tiles_to_raster(out, tile=8)[:shape[0], :shape[1]].astype(np.int32)
+    assert got.shape == arr.shape
+    assert np.array_equal(got == 0, arr == 0)          # nodata untouched
+    assert set(np.unique(got)) <= set(np.unique(arr))  # palette preserved
+    # every remaining region must be >= threshold or have no neighbour
+    h, w = got.shape
+    valid = got != 0
+    seen = np.zeros(got.shape, bool)
+    for y in range(h):
+        for x in range(w):
+            if valid[y, x] and not seen[y, x]:
+                q = deque([(y, x)])
+                seen[y, x] = True
+                px = []
+                while q:
+                    cy, cx = q.popleft()
+                    px.append((cy, cx))
+                    for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                        ny, nx = cy + dy, cx + dx
+                        if 0 <= ny < h and 0 <= nx < w and valid[ny, nx] \
+                           and not seen[ny, nx] \
+                           and got[ny, nx] == got[cy, cx]:
+                            seen[ny, nx] = True
+                            q.append((ny, nx))
+                if len(px) < threshold:
+                    nbr = any(0 <= py + dy < h and 0 <= px_ + dx < w
+                              and valid[py + dy, px_ + dx]
+                              and got[py + dy, px_ + dx] != got[py, px_]
+                              for py, px_ in px
+                              for dy, dx in ((1, 0), (-1, 0),
+                                             (0, 1), (0, -1)))
+                    assert not nbr, (len(px), px[0])
