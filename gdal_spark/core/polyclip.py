@@ -361,15 +361,40 @@ def _point_in_ring(px: float, py: float, ring: np.ndarray) -> bool:
     return bool((cond & (px < xint)).sum() % 2)
 
 
+_EDGE_CACHE: dict = {}
+_EDGE_CACHE_MAX = 4096
+
+
+def edges_cached(g: Optional[Geom], key: bytes) -> np.ndarray:
+    """Per-worker memoized _edges_of keyed on the geometry's WKB bytes —
+    broadcast method geometries decompose once per executor instead of
+    once per (subject, method) pair (the hot-loop cost the round-2 review
+    flagged on overlay_symdiff)."""
+    e = _EDGE_CACHE.get(key)
+    if e is None:
+        if len(_EDGE_CACHE) >= _EDGE_CACHE_MAX:
+            _EDGE_CACHE.clear()
+        e = _EDGE_CACHE[key] = _edges_of(g)
+    return e
+
+
 def geom_boolean(a: Optional[Geom], b: Optional[Geom],
-                 op: str) -> Optional[Geom]:
+                 op: str, ea: np.ndarray = None,
+                 eb: np.ndarray = None) -> Optional[Geom]:
     """Full boolean op returning a (multi)polygon Geom, or None when empty.
     Handles concave rings, holes and multipolygons on BOTH sides — the
     general clipper OGR gets from GEOS (ogrgeometry.cpp:4893 Intersection,
-    :5012 Union, :5331 Difference, :5451 SymDifference)."""
+    :5012 Union, :5331 Difference, :5451 SymDifference).
+
+    ea/eb: optional precomputed _edges_of(a)/_edges_of(b) — callers that
+    reuse one side across many pairs (broadcast overlay, difference folds)
+    pass the cached decomposition instead of paying it per pair."""
     if op not in OPS:
         raise ValueError(f"op must be one of {OPS}")
-    ea, eb = _edges_of(a), _edges_of(b)
+    if ea is None:
+        ea = _edges_of(a)
+    if eb is None:
+        eb = _edges_of(b)
     # trivial cases
     if len(ea) == 0:
         if op in ("intersection", "difference"):

@@ -70,29 +70,33 @@ def _method_rows(method: DataFrame, mid_col: str):
         mids.append(int(r[mid_col]))
         if len(polys) == 1 and len(polys[0]) == 1 \
                 and geomops.is_convex_ring(polys[0][0]):
-            kernels.append(("convex", polys[0][0]))
+            kernels.append(("convex", polys[0][0], None))
         else:
-            kernels.append(("general", g))
+            # slab edges precomputed ONCE and shipped in the broadcast:
+            # the boolean kernel then skips the per-(subject, method)
+            # re-decomposition of the method side
+            kernels.append(("general", g, polyclip._edges_of(g)))
         envs.append(g.envelope())
     return mids, kernels, np.array(envs, dtype=np.float64).reshape(-1, 4)
 
 
-def _clip_one(g, kernel):
-    """subject ∩ one method geometry -> Geom or None."""
-    kind, m = kernel
+def _clip_one(g, kernel, gedges=None):
+    """subject ∩ one method geometry -> Geom or None. gedges: optional
+    precomputed subject edges (same subject clipped by many methods)."""
+    kind, m, medges = kernel
     if kind == "convex":
         return geomops.clip_geom_convex(g, m)
-    return polyclip.geom_boolean(g, m, "intersection")
+    return polyclip.geom_boolean(g, m, "intersection", ea=gedges, eb=medges)
 
 
 def _erase_one(g, kernel):
     """subject \\ one method geometry -> Geom or None."""
     if g is None:
         return None
-    kind, m = kernel
+    kind, m, medges = kernel
     if kind == "convex":
         return geomops.erase_geom_convex(g, m)
-    return polyclip.geom_boolean(g, m, "difference")
+    return polyclip.geom_boolean(g, m, "difference", eb=medges)
 
 
 def _flatten(piece):
@@ -140,12 +144,16 @@ def overlay(subject: DataFrame, method: DataFrame, mode: str,
                 attrs = tuple(a[i] for a in attr_arrays)
                 clip_parts = []
                 rest = g
+                gedges = polyclip._edges_of(g) if len(hit) and \
+                    (want_pairs or want_clip) else None
                 for k in hit:
-                    piece = _clip_one(g, m_kernels[k])
-                    if piece is not None and want_pairs:
-                        out.append(attrs + (m_ids[k], wkb.encode(piece)))
-                    if piece is not None and want_clip:
-                        clip_parts.extend(_flatten(piece))
+                    if want_pairs or want_clip:
+                        piece = _clip_one(g, m_kernels[k], gedges)
+                        if piece is not None and want_pairs:
+                            out.append(attrs + (m_ids[k],
+                                                wkb.encode(piece)))
+                        if piece is not None and want_clip:
+                            clip_parts.extend(_flatten(piece))
                     if want_rest and rest is not None:
                         rest = _erase_one(rest, m_kernels[k])
                 if want_clip and clip_parts:
@@ -172,14 +180,23 @@ def overlay(subject: DataFrame, method: DataFrame, mode: str,
     return res
 
 
+_REVERSE_SALT = 8
+
+
 def _reverse_leftovers(subject: DataFrame, method: DataFrame, mid_col: str,
-                       bc, subj_fields) -> DataFrame:
+                       bc, subj_fields,
+                       salt: int = _REVERSE_SALT) -> DataFrame:
     """method \\ union(subjects): the Union/SymDifference reverse side
     (ogrlayer.cpp:3139 pass 2). Subjects whose envelope hits a method
-    shuffle by method id (extra non-intersecting subjects are harmless —
-    difference by a disjoint geometry is identity), then one applyInPandas
-    folds the difference per method."""
+    shuffle by (method id, salt bucket) — m \\ (A∪B) = (m\\A) ∩ (m\\B), so
+    each bucket folds its partial difference in parallel and a second
+    stage intersects the (<= salt) partials per method. A continent-sized
+    method polygon hit by many subjects therefore spreads over `salt`
+    tasks instead of serializing on one reducer (round-2 finding #5).
+    Extra non-intersecting subjects are harmless — difference by a
+    disjoint geometry is identity."""
     pair_schema = T.StructType([T.StructField("_mid", T.LongType()),
+                                T.StructField("_salt", T.IntegerType()),
                                 T.StructField("_sgeom", T.BinaryType())])
 
     def emit_hits(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -187,16 +204,22 @@ def _reverse_leftovers(subject: DataFrame, method: DataFrame, mid_col: str,
         for pdf in batches:
             geoms = pdf["geom"].values
             g_envs = geomops.envelopes(geoms)
-            out_mid, out_geom = [], []
+            out_mid, out_salt, out_geom = [], [], []
             for i in range(len(pdf)):
                 e = g_envs[i]
                 hit = np.flatnonzero(
                     (m_envs[:, 0] <= e[2]) & (m_envs[:, 2] >= e[0])
                     & (m_envs[:, 1] <= e[3]) & (m_envs[:, 3] >= e[1]))
+                if not len(hit):
+                    continue
+                b = bytes(geoms[i])
+                sv = hash(b) % salt
                 for k in hit:
                     out_mid.append(m_ids[k])
-                    out_geom.append(geoms[i])
+                    out_salt.append(sv)
+                    out_geom.append(b)
             yield pd.DataFrame({"_mid": pd.Series(out_mid, dtype="int64"),
+                                "_salt": pd.Series(out_salt, dtype="int32"),
                                 "_sgeom": pd.Series(out_geom,
                                                     dtype="object")})
 
@@ -205,22 +228,51 @@ def _reverse_leftovers(subject: DataFrame, method: DataFrame, mid_col: str,
     fold_schema = T.StructType([T.StructField("_mid", T.LongType()),
                                 T.StructField("geom", T.BinaryType())])
 
-    def fold(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def fold_part(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        """m \\ union(bucket subjects) for one (mid, salt) bucket."""
         m_ids, m_kernels, _e = bc.value
         mid = int(key[0])
         k = m_ids.index(mid)
-        kind, m = m_kernels[k]
+        kind, m, medges = m_kernels[k]
         g = m if kind == "general" else wkb.Geom(
             wkb.POLYGON, [np.asarray(m, dtype=np.float64)])
+        first = True
         for sb in pdf["_sgeom"].values:
-            g = polyclip.geom_boolean(g, wkb.decode(bytes(sb)), "difference")
+            g = polyclip.geom_boolean(
+                g, wkb.decode(bytes(sb)), "difference",
+                ea=medges if (first and kind == "general") else None)
+            first = False
             if g is None:
                 break
         if g is None:
             return pd.DataFrame(columns=["_mid", "geom"])
         return pd.DataFrame([(mid, wkb.encode(g))], columns=["_mid", "geom"])
 
-    reduced = hits.groupBy("_mid").applyInPandas(fold, fold_schema)
+    def fold_meet(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        """Intersect the per-bucket partials: m\\(A∪B) = (m\\A) ∩ (m\\B).
+        A mid missing a bucket's row means that bucket emptied the method
+        — the whole difference is empty too ONLY if a partial is empty,
+        which surfaces as a missing row: handled by counting below."""
+        mid = int(key[0])
+        n = int(pdf.iloc[0]["_nbuckets"])
+        if len(pdf) < n:
+            return pd.DataFrame(columns=["_mid", "geom"])   # a bucket -> ∅
+        g = wkb.decode(bytes(pdf.iloc[0]["geom"]))
+        for b in pdf["geom"].values[1:]:
+            g = polyclip.geom_boolean(g, wkb.decode(bytes(b)),
+                                      "intersection")
+            if g is None:
+                break
+        if g is None:
+            return pd.DataFrame(columns=["_mid", "geom"])
+        return pd.DataFrame([(mid, wkb.encode(g))], columns=["_mid", "geom"])
+
+    parts = hits.groupBy("_mid", "_salt").applyInPandas(fold_part,
+                                                        fold_schema)
+    nb = hits.groupBy("_mid").agg(
+        F.countDistinct("_salt").alias("_nbuckets"))
+    reduced = (parts.join(nb, "_mid")
+               .groupBy("_mid").applyInPandas(fold_meet, fold_schema))
     untouched = (method.select(F.col(mid_col).cast("long").alias("_mid"),
                                "geom")
                  .join(hits.select("_mid").distinct(), "_mid", "left_anti"))
@@ -305,10 +357,10 @@ def overlay_join(subject: DataFrame, method: DataFrame, mode: str,
                 out = []
                 for r in pdf.itertuples():
                     gs = wkb.decode(bytes(getattr(r, "s_geom")))
-                    gm = wkb.decode_cached(bytes(getattr(r, "m_geom"))) \
-                        if hasattr(wkb, "decode_cached") else \
-                        wkb.decode(bytes(getattr(r, "m_geom")))
-                    piece = polyclip.geom_boolean(gs, gm, op)
+                    mb = bytes(getattr(r, "m_geom"))
+                    gm = wkb.decode_cached(mb)
+                    piece = polyclip.geom_boolean(
+                        gs, gm, op, eb=polyclip.edges_cached(gm, mb))
                     if piece is not None:
                         out.append((getattr(r, sid_col),
                                     getattr(r, mid_col),
@@ -320,24 +372,56 @@ def overlay_join(subject: DataFrame, method: DataFrame, mode: str,
 
     inter = pairs.mapInPandas(cut("intersection"), piece_schema)
 
-    def fold_diff(key_col_name, own_geom, other_geom):
+    def fold_diff(key_col_name, own_geom, other_geom,
+                  salt: int = _REVERSE_SALT):
+        """own \\ union(others) per key — salted two-stage fold, same
+        (m\\A) ∩ (m\\B) identity as _reverse_leftovers, so one hot key
+        spreads over `salt` tasks instead of serializing."""
+        kt = sid_t if key_col_name == sid_col else mid_t
         schema = T.StructType([
-            T.StructField(key_col_name,
-                          sid_t if key_col_name == sid_col else mid_t),
+            T.StructField(key_col_name, kt),
             T.StructField("geom", T.BinaryType())])
 
-        def fold(key, pdf: pd.DataFrame) -> pd.DataFrame:
-            g = wkb.decode(bytes(pdf.iloc[0][own_geom]))
+        salted = pairs.withColumn(
+            "_salt", F.pmod(F.xxhash64(other_geom), F.lit(salt)))
+
+        def fold_part(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            ob = bytes(pdf.iloc[0][own_geom])
+            g = wkb.decode_cached(ob)
+            first = True
             for b in pdf[other_geom].values:
-                g = polyclip.geom_boolean(g, wkb.decode(bytes(b)),
-                                          "difference")
+                g = polyclip.geom_boolean(
+                    g, wkb.decode(bytes(b)), "difference",
+                    ea=polyclip.edges_cached(g, ob) if first else None)
+                first = False
                 if g is None:
                     break
             if g is None:
                 return pd.DataFrame(columns=[key_col_name, "geom"])
             return pd.DataFrame([(key[0], wkb.encode(g))],
                                 columns=[key_col_name, "geom"])
-        return pairs.groupBy(key_col_name).applyInPandas(fold, schema)
+
+        def fold_meet(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            n = int(pdf.iloc[0]["_nbuckets"])
+            if len(pdf) < n:
+                return pd.DataFrame(columns=[key_col_name, "geom"])
+            g = wkb.decode(bytes(pdf.iloc[0]["geom"]))
+            for b in pdf["geom"].values[1:]:
+                g = polyclip.geom_boolean(g, wkb.decode(bytes(b)),
+                                          "intersection")
+                if g is None:
+                    break
+            if g is None:
+                return pd.DataFrame(columns=[key_col_name, "geom"])
+            return pd.DataFrame([(key[0], wkb.encode(g))],
+                                columns=[key_col_name, "geom"])
+
+        parts = salted.groupBy(key_col_name, "_salt") \
+            .applyInPandas(fold_part, schema)
+        nb = salted.groupBy(key_col_name).agg(
+            F.countDistinct("_salt").alias("_nbuckets"))
+        return (parts.join(nb, key_col_name)
+                .groupBy(key_col_name).applyInPandas(fold_meet, schema))
 
     def untouched(side_df, key_col_name):
         return side_df.select(key_col_name, "geom") \
