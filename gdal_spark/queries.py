@@ -2093,3 +2093,598 @@ def q_warp_near_mercator(spark, sf_dir):
                 pd.DataFrame(columns=["i", "j", "val_r"])
 
     return out.mapInPandas(to_rows, px_schema)
+
+
+# =============================================================================
+# Round 3: driver oracles for the previously pytest-only raster operators
+# (sieve, fillnodata, DEM suite, color-relief, viewshed, pansharpen,
+#  footprint, mosaic, rtranslate, sub-pixel contour bands)
+# =============================================================================
+
+_DENSITY_XY_SQL = _DENSITY_VALS_SQL.replace("vals AS (SELECT",
+                                            "vals AS (SELECT g.x, g.y,")
+
+
+def _px_rows(tiles_df, tile=8, dtype="float64", name="val_r",
+             round_to=None, drop_zero=False):
+    """Tile table -> (x, y, <name>) rows for oracle comparison."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+    from .raster.tiles import decode_px
+
+    schema = T.StructType([T.StructField("x", T.LongType()),
+                           T.StructField("y", T.LongType()),
+                           T.StructField(name, T.DoubleType())])
+
+    def to_rows(batches):
+        jj, ii = np.meshgrid(np.arange(tile), np.arange(tile),
+                             indexing="ij")
+        for pdf in batches:
+            frames = []
+            for r in pdf.itertuples():
+                arr = decode_px(r.px, dtype, tile).astype(np.float64)
+                m = arr != 0 if drop_zero else np.ones_like(arr, bool)
+                v = arr[m]
+                if round_to is not None:
+                    v = np.round(v, round_to)
+                frames.append(pd.DataFrame({
+                    "x": int(r.tile_x) * tile + ii[m],
+                    "y": int(r.tile_y) * tile + jj[m],
+                    name: v}))
+            yield pd.concat(frames) if frames else \
+                pd.DataFrame(columns=["x", "y", name])
+
+    return tiles_df.mapInPandas(to_rows, schema)
+
+
+_HORN_NB_SQL = """
+nb AS (SELECT a.x, a.y,
+        max(CASE WHEN b.x=a.x-1 AND b.y=a.y-1 THEN b.v END) AS z0,
+        max(CASE WHEN b.x=a.x   AND b.y=a.y-1 THEN b.v END) AS z1,
+        max(CASE WHEN b.x=a.x+1 AND b.y=a.y-1 THEN b.v END) AS z2,
+        max(CASE WHEN b.x=a.x-1 AND b.y=a.y   THEN b.v END) AS z3,
+        max(CASE WHEN b.x=a.x   AND b.y=a.y   THEN b.v END) AS z4,
+        max(CASE WHEN b.x=a.x+1 AND b.y=a.y   THEN b.v END) AS z5,
+        max(CASE WHEN b.x=a.x-1 AND b.y=a.y+1 THEN b.v END) AS z6,
+        max(CASE WHEN b.x=a.x   AND b.y=a.y+1 THEN b.v END) AS z7,
+        max(CASE WHEN b.x=a.x+1 AND b.y=a.y+1 THEN b.v END) AS z8
+       FROM vals a JOIN vals b
+         ON abs(a.x - b.x) <= 1 AND abs(a.y - b.y) <= 1
+       WHERE a.x BETWEEN 1 AND 62 AND a.y BETWEEN 1 AND 62
+       GROUP BY a.x, a.y),
+grad AS (SELECT x, y, z4,
+          ((z2 + 2*z5 + z8) - (z0 + 2*z3 + z6)) / 8.0 AS dzdx,
+          ((z6 + 2*z7 + z8) - (z0 + 2*z1 + z2)) / 8.0 AS dzdy,
+          z0, z1, z2, z3, z5, z6, z7, z8
+         FROM nb)
+"""
+
+
+@_reg("dem_horn_density", _DENSITY_XY_SQL + "," + _HORN_NB_SQL + """
+SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+       ROUND(degrees(atan(sqrt(dzdx*dzdx + dzdy*dzdy))), 6) AS slope_r,
+       ROUND(CASE WHEN degrees(atan2(dzdy, -dzdx)) < 0
+                  THEN 90.0 - degrees(atan2(dzdy, -dzdx))
+                  WHEN degrees(atan2(dzdy, -dzdx)) > 90.0
+                  THEN 360.0 - degrees(atan2(dzdy, -dzdx)) + 90.0
+                  ELSE 90.0 - degrees(atan2(dzdy, -dzdx)) END, 6)
+         AS aspect_r,
+       least(greatest(ROUND(254.0 *
+             (sin(radians(45.0)) * cos(atan(sqrt(dzdx*dzdx + dzdy*dzdy)))
+              + cos(radians(45.0)) * sin(atan(sqrt(dzdx*dzdx + dzdy*dzdy)))
+                * cos(radians(315.0) - pi()/2.0 - atan2(dzdy, -dzdx)))) + 1.0,
+             1.0), 255.0) AS shade_r
+FROM grad
+WHERE dzdx != 0 OR dzdy != 0
+""")
+def q_dem_horn_density(spark, sf_dir):
+    """gdaldem slope / aspect / hillshade (apps/gdaldem_lib.cpp:754-760
+    Horn 3x3 gradients) over the density DEM — halo-exchange stencil job;
+    the oracle recomputes the Horn window, slope/aspect conversion and the
+    254*shade+1 clamp per interior pixel in SQL. Flat pixels excluded
+    (aspect undefined there in both engines)."""
+    from .raster.dem import dem_op
+    t = _density_tiles_full(spark, sf_dir)
+    slope = _px_rows(dem_op(t, "slope", tile=8), name="slope_v")
+    aspect = _px_rows(dem_op(t, "aspect", tile=8), name="aspect_v")
+    shade = _px_rows(dem_op(t, "hillshade", tile=8), name="shade_v")
+    out = (slope.join(aspect, ["x", "y"]).join(shade, ["x", "y"])
+           .where((F.col("x").between(1, 62)) & (F.col("y").between(1, 62))
+                  & (F.col("slope_v") != 0.0)))
+    return out.select("x", "y",
+                      F.round("slope_v", 6).alias("slope_r"),
+                      F.round("aspect_v", 6).alias("aspect_r"),
+                      F.col("shade_v").alias("shade_r"))
+
+
+@_reg("dem_tri_tpi_roughness", _DENSITY_XY_SQL + "," + _HORN_NB_SQL + """
+SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+       ROUND((abs(z4-z0)+abs(z4-z1)+abs(z4-z2)+abs(z4-z3)
+              +abs(z4-z5)+abs(z4-z6)+abs(z4-z7)+abs(z4-z8)) / 8.0, 6)
+         AS tri_r,
+       ROUND(z4 - (z0+z1+z2+z3+z5+z6+z7+z8) / 8.0, 6) AS tpi_r,
+       ROUND(greatest(z0,z1,z2,z3,z4,z5,z6,z7,z8)
+             - least(z0,z1,z2,z3,z4,z5,z6,z7,z8), 6) AS rough_r
+FROM grad
+""")
+def q_dem_tri_tpi_roughness(spark, sf_dir):
+    """gdaldem TRI (Riley) / TPI / roughness (apps/gdaldem_lib.cpp) over
+    the density DEM; interior pixels vs the closed-form 3x3 window math
+    in SQL."""
+    from .raster.dem import dem_op
+    t = _density_tiles_full(spark, sf_dir)
+    tri = _px_rows(dem_op(t, "tri", tile=8), name="tri_v")
+    tpi = _px_rows(dem_op(t, "tpi", tile=8), name="tpi_v")
+    rough = _px_rows(dem_op(t, "roughness", tile=8), name="rough_v")
+    out = (tri.join(tpi, ["x", "y"]).join(rough, ["x", "y"])
+           .where((F.col("x").between(1, 62))
+                  & (F.col("y").between(1, 62))))
+    return out.select("x", "y",
+                      F.round("tri_v", 6).alias("tri_r"),
+                      F.round("tpi_v", 6).alias("tpi_r"),
+                      F.round("rough_v", 6).alias("rough_r"))
+
+
+@_reg("color_relief_ramp", _DENSITY_XY_SQL + """
+SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+       least(v, 200.0) + 10.0 AS r_v,
+       least(v, 200.0) + 16.0 AS g_v,
+       least(v, 200.0) + 32.0 AS b_v
+FROM vals
+""")
+def q_color_relief_ramp(spark, sf_dir):
+    """gdaldem color-relief (apps/gdaldem_lib.cpp INTERPOLATE mode): a
+    unit-slope two-stop ramp maps count v to (v+10, v+16, v+32) clamped at
+    v=200 — integer-exact linear interpolation, recomputed per cell in
+    SQL. Bands 1/2/3 pivot back to r/g/b columns."""
+    from .raster.dem import color_relief
+    t = _density_tiles_full(spark, sf_dir)
+    colors = [(0.0, 10, 16, 32), (200.0, 210, 216, 232)]
+    out = color_relief(t, colors, tile=8, interpolate=True)
+    rows = _px_rows_banded(out, tile=8, dtype="uint8")
+    return (rows.groupBy("x", "y")
+            .agg(F.max(F.when(F.col("band") == 1, F.col("val"))).alias("r_v"),
+                 F.max(F.when(F.col("band") == 2, F.col("val"))).alias("g_v"),
+                 F.max(F.when(F.col("band") == 3, F.col("val"))).alias("b_v")))
+
+
+def _px_rows_banded(tiles_df, tile=8, dtype="float64"):
+    """Tile table -> (band, x, y, val) rows (multi-band variant)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+    from .raster.tiles import decode_px
+
+    schema = T.StructType([T.StructField("band", T.IntegerType()),
+                           T.StructField("x", T.LongType()),
+                           T.StructField("y", T.LongType()),
+                           T.StructField("val", T.DoubleType())])
+
+    def to_rows(batches):
+        jj, ii = np.meshgrid(np.arange(tile), np.arange(tile),
+                             indexing="ij")
+        for pdf in batches:
+            frames = []
+            for r in pdf.itertuples():
+                arr = decode_px(r.px, r.dtype if dtype is None else dtype,
+                                tile).astype(np.float64)
+                frames.append(pd.DataFrame({
+                    "band": int(r.band),
+                    "x": int(r.tile_x) * tile + ii.ravel(),
+                    "y": int(r.tile_y) * tile + jj.ravel(),
+                    "val": arr.ravel()}))
+            yield pd.concat(frames) if frames else \
+                pd.DataFrame(columns=["band", "x", "y", "val"])
+
+    return tiles_df.mapInPandas(to_rows, schema)
+
+
+@_reg("pansharpen_brovey", _DENSITY_XY_SQL + """
+SELECT CAST(b.band AS INTEGER) AS band,
+       CAST(v.x AS BIGINT) AS x, CAST(v.y AS BIGINT) AS y,
+       ROUND(CASE WHEN v.v + (v.v + 3.0) != 0
+                  THEN (CASE WHEN b.band = 1 THEN v.v ELSE v.v + 3.0 END)
+                       * 2.0
+                  ELSE 0.0 END, 6) AS val_r
+FROM vals v, (SELECT 1 AS band UNION ALL SELECT 2) b
+""")
+def q_pansharpen_brovey(spark, sf_dir):
+    """Weighted-Brovey pansharpening (alg/gdalpansharpen.cpp): ms bands
+    (v, v+3) with pan = their SUM -> ratio pan/pseudo_pan = 2 exactly, so
+    out_i = 2*ms_i wherever pseudo_pan != 0 (else 0) — the Brovey identity
+    law, recomputed in SQL."""
+    import numpy as np
+    import pandas as pd
+    from .raster.mosaic import pansharpen
+    from .raster.tiles import TILE_SCHEMA, decode_px, encode_px
+    t = _density_tiles_full(spark, sf_dir)
+
+    def expand(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples():
+                arr = decode_px(r.px, r.dtype, 8)
+                out.append((1, r.zoom, r.tile_x, r.tile_y, "float64",
+                            None, encode_px(arr)))
+                out.append((2, r.zoom, r.tile_x, r.tile_y, "float64",
+                            None, encode_px(arr + 3.0)))
+            yield pd.DataFrame(out, columns=[f.name for f in
+                                             TILE_SCHEMA.fields])
+
+    def pan_of(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples():
+                arr = decode_px(r.px, r.dtype, 8)
+                out.append((1, r.zoom, r.tile_x, r.tile_y, "float64",
+                            None, encode_px(arr + (arr + 3.0))))
+            yield pd.DataFrame(out, columns=[f.name for f in
+                                             TILE_SCHEMA.fields])
+
+    ms = t.mapInPandas(expand, TILE_SCHEMA)
+    pan = t.mapInPandas(pan_of, TILE_SCHEMA)
+    out = pansharpen(ms, pan, tile=8)
+    rows = _px_rows_banded(out, tile=8)
+    return rows.select("band", "x", "y",
+                       F.round("val", 6).alias("val_r"))
+
+
+@_reg("mosaic_last_on_top", _DENSITY_XY_SQL + """
+SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+       CASE WHEN x < 32 AND v > 0 THEN 2.0 * v ELSE v END AS val_r
+FROM vals
+""")
+def q_mosaic_last_on_top(spark, sf_dir):
+    """Mosaic compositing (gdal_merge last-on-top rule): source 0 = the
+    density raster, source 1 = its doubled west half — wherever source 1
+    has data (!= nodata 0) it wins; the oracle applies the same rule per
+    cell."""
+    import pandas as pd
+    from .raster.mosaic import mosaic
+    from .raster.tiles import TILE_SCHEMA, decode_px, encode_px
+    t = _density_tiles_full(spark, sf_dir) \
+        .withColumn("nodata", F.lit(0.0))
+
+    def west_double(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples():
+                if int(r.tile_x) >= 4:
+                    continue
+                arr = decode_px(r.px, r.dtype, 8)
+                out.append((r.band, r.zoom, r.tile_x, r.tile_y, r.dtype,
+                            0.0, encode_px(arr * 2.0)))
+            yield pd.DataFrame(out, columns=[f.name for f in
+                                             TILE_SCHEMA.fields]) \
+                if out else pd.DataFrame(columns=[f.name for f in
+                                                  TILE_SCHEMA.fields])
+
+    src0 = t.withColumn("seq", F.lit(0))
+    src1 = t.mapInPandas(west_double, TILE_SCHEMA) \
+        .withColumn("seq", F.lit(1))
+    out = mosaic(src0.unionByName(src1), tile=8, nodata=0.0)
+    return _px_rows(out, tile=8)
+
+
+@_reg("rtranslate_window_scale", _DENSITY_XY_SQL + """
+SELECT CAST(x - 8 AS BIGINT) AS x, CAST(y - 8 AS BIGINT) AS y,
+       ROUND(v * 25.0, 6) AS val_r
+FROM vals
+WHERE x BETWEEN 8 AND 39 AND y BETWEEN 8 AND 39
+""")
+def q_rtranslate_window_scale(spark, sf_dir):
+    """gdal_translate -srcwin 8 8 32 32 -scale 0 4 0 100
+    (apps/gdal_translate_lib.cpp): windowed copy + linear rescale
+    (k = 25), recomputed per source cell in SQL."""
+    from .raster.rasterize import GridSpec
+    from .raster.rtranslate import translate_raster
+    t = _density_tiles_full(spark, sf_dir)
+    grid = GridSpec(x0=0.0, y0=0.0, dx=1.0, dy=-1.0,
+                    width=64, height=64, tile=8)
+    out = translate_raster(t, grid, srcwin=(8, 8, 32, 32),
+                           scale=(0.0, 4.0, 0.0, 100.0))
+    return _px_rows(out, tile=8, round_to=6)
+
+
+@_reg("footprint_density", f"""
+WITH RECURSIVE pts AS ({datagen.POINTS_SQL}),
+c AS (SELECT CAST(floor((lon + 180.0) / 5.625) AS BIGINT) AS x,
+             CAST(floor((lat + 90.0) / 2.8125) AS BIGINT) AS y
+      FROM pts GROUP BY 1, 2),
+ids AS (SELECT x, y, y * 64 + x AS id FROM c),
+adj AS (SELECT a.id AS s, b.id AS d FROM ids a, ids b
+        WHERE (abs(a.x - b.x) = 1 AND a.y = b.y)
+           OR (a.x = b.x AND abs(a.y - b.y) = 1)),
+reach AS (SELECT id AS s, id AS d FROM ids
+          UNION
+          SELECT r.s, a.d FROM reach r JOIN adj a ON r.d = a.s),
+comp AS (SELECT s AS id, min(d) AS comp FROM reach GROUP BY s)
+SELECT CAST(count(*) AS BIGINT) AS n_pixels,
+       CAST((max(x) - min(x) + 1) * (max(y) - min(y) + 1) AS DOUBLE)
+         AS area_r
+FROM ids JOIN comp USING (id) GROUP BY comp.comp
+""")
+def q_footprint_density(spark, sf_dir):
+    """gdal_footprint (apps/gdal_footprint_lib.cpp): connected data
+    regions of the density raster (nodata=0) with their envelope
+    polygons; the oracle rebuilds the components with a recursive-CTE
+    closure and compares (n_pixels, envelope area) per region."""
+    from .raster.mosaic import footprint
+    t = _density_tiles_full(spark, sf_dir).withColumn("nodata", F.lit(0.0))
+    out = footprint(t, tile=8)
+    return out.select("n_pixels", st.st_area("geom").alias("area_r"))
+
+
+@_reg("viewshed_cone", f"""
+{_pts_cte()}
+SELECT gx.range AS gpx, gy.range AS gpy, CAST(1 AS INTEGER) AS visible
+FROM range(64) gx, range(64) gy
+""")
+def q_viewshed_cone(spark, sf_dir):
+    """Viewshed (alg/viewshed/viewshed.cpp) from the apex of a cone whose
+    height is anchored to the corpus size: elevation angles increase
+    monotonically along every ray, so every one of the 64x64 pixels is
+    visible — the closed-form oracle. Pins the shuffle-by-ray R2 pipeline
+    (azimuth bucketing, radius sort, running-max scan) end to end."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+    from .raster.dem import viewshed
+    from .raster.tiles import TILE_SCHEMA, encode_px
+
+    n_docs = int(datagen.points(spark, sf_dir).count())
+    peak = 100.0 + (n_docs % 50)
+
+    tile_ids = spark.range(8).select(F.col("id").alias("tile_x")) \
+        .crossJoin(spark.range(8).select(F.col("id").alias("tile_y")))
+
+    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        tx, ty = int(key[0]), int(key[1])
+        jj, ii = np.meshgrid(np.arange(8), np.arange(8), indexing="ij")
+        gx = tx * 8 + ii + 0.5
+        gy = ty * 8 + jj + 0.5
+        z = peak - np.hypot(gx - 32.0, gy - 32.0)
+        return pd.DataFrame([(1, 0, tx, ty, "float64", None,
+                              encode_px(z.astype(np.float64)))],
+                            columns=[f.name for f in TILE_SCHEMA.fields])
+
+    tiles = tile_ids.groupBy("tile_x", "tile_y").applyInPandas(
+        build, TILE_SCHEMA)
+    return viewshed(tiles, ox=32.0, oy=32.0, oz=peak + 5.0, tile=8,
+                    n_rays=720).select("gpx", "gpy", "visible")
+
+
+@_reg("fillnodata_idw", _DENSITY_XY_SQL + """,
+dirs(dx, dy) AS (VALUES (-1,0),(1,0),(0,-1),(0,1),
+                        (-1,-1),(1,-1),(-1,1),(1,1)),
+ks AS (SELECT range AS k FROM range(1, 4)),
+holes AS (SELECT x, y FROM vals WHERE v = 0),
+hits AS (SELECT h.x, h.y, d.dx, d.dy, min(ks.k) AS k
+         FROM holes h CROSS JOIN dirs d CROSS JOIN ks
+         JOIN vals t ON t.x = h.x + d.dx * ks.k
+                    AND t.y = h.y + d.dy * ks.k AND t.v > 0
+         GROUP BY h.x, h.y, d.dx, d.dy),
+fills AS (SELECT hi.x, hi.y,
+           sum(t.v / (hi.k * sqrt(hi.dx*hi.dx + hi.dy*hi.dy)))
+             / sum(1.0 / (hi.k * sqrt(hi.dx*hi.dx + hi.dy*hi.dy))) AS f
+          FROM hits hi JOIN vals t ON t.x = hi.x + hi.dx * hi.k
+                                  AND t.y = hi.y + hi.dy * hi.k
+          GROUP BY hi.x, hi.y)
+SELECT CAST(v.x AS BIGINT) AS x, CAST(v.y AS BIGINT) AS y,
+       ROUND(COALESCE(f.f, v.v), 6) AS val_r
+FROM vals v LEFT JOIN fills f ON f.x = v.x AND f.y = v.y
+""")
+def q_fillnodata_idw(spark, sf_dir):
+    """GDALFillNodata (alg/rasterfill.cpp re-expressed as the 8-compass-ray
+    IDW documented in raster/fillnodata.py): holes (count 0, nodata=0) fill
+    from the first valid hit per direction within max_dist=3, weighted
+    1/d. The oracle replays the ray search and the IDW blend in SQL."""
+    from .raster.fillnodata import fillnodata
+    t = _density_tiles_full(spark, sf_dir).withColumn("nodata", F.lit(0.0))
+    out = fillnodata(t, max_dist=3, tile=8)
+    return _px_rows(out, tile=8, round_to=6)
+
+
+@_reg("sieve_stencil", _DENSITY_XY_SQL + """,
+st2 AS (SELECT x, y FROM vals
+        WHERE v > 0 AND ((x % 5 = 2 AND y % 10 = 3)
+                         OR (x % 9 IN (4, 5) AND y % 10 = 7))),
+dominoes AS (SELECT a.x AS x0, a.y AS y0
+             FROM st2 a JOIN st2 b ON b.x = a.x + 1 AND b.y = a.y
+             WHERE a.x % 9 = 4 AND a.y % 10 = 7)
+SELECT CAST(2.0 AS DOUBLE) AS value, CAST(2 AS BIGINT) AS n_pixels,
+       x0 AS px_xmin, y0 AS px_ymin, x0 + 1 AS px_xmax, y0 AS px_ymax
+FROM dominoes
+UNION ALL
+SELECT CAST(1.0 AS DOUBLE) AS value,
+       CAST(4096 - 2 * (SELECT count(*) FROM dominoes) AS BIGINT)
+         AS n_pixels,
+       CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+       CAST(63 AS BIGINT), CAST(63 AS BIGINT)
+""")
+def q_sieve_stencil(spark, sf_dir):
+    """GDALSieveFilter (alg/gdalsievefilter.cpp): a stencil raster carves
+    isolated dots (1 px) and separated dominoes (2 px) of value 2 out of a
+    value-1 background wherever the density raster has data; sieve
+    threshold=2 removes exactly the dots (their only neighbour is the
+    connected background) and keeps the dominoes — a cascade-free scenario
+    whose post-sieve component table is derivable in closed form. Output =
+    polygonize(sieve(raster)) component rows (value, size, bbox)."""
+    import numpy as np
+    import pandas as pd
+    from .raster.polygonize import polygonize
+    from .raster.sieve import sieve
+    from .raster.tiles import TILE_SCHEMA, decode_px, encode_px
+    t = _density_tiles_full(spark, sf_dir)
+
+    def stencil(batches):
+        jj, ii = np.meshgrid(np.arange(8), np.arange(8), indexing="ij")
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples():
+                arr = decode_px(r.px, r.dtype, 8)
+                gx = int(r.tile_x) * 8 + ii
+                gy = int(r.tile_y) * 8 + jj
+                dots = (gx % 5 == 2) & (gy % 10 == 3)
+                doms = ((gx % 9 == 4) | (gx % 9 == 5)) & (gy % 10 == 7)
+                v = np.where((dots | doms) & (arr > 0), 2.0, 1.0)
+                out.append((r.band, r.zoom, r.tile_x, r.tile_y, "float64",
+                            None, encode_px(v)))
+            yield pd.DataFrame(out, columns=[f.name for f in
+                                             TILE_SCHEMA.fields])
+
+    sv = sieve(t.mapInPandas(stencil, TILE_SCHEMA), threshold=2, tile=8)
+    comps = polygonize(sv, tile=8)
+    return comps.select("value", "n_pixels",
+                        "px_xmin", "px_ymin", "px_xmax", "px_ymax")
+
+
+@_reg("contour_bands_subpixel", _DENSITY_XY_SQL + """,
+b AS (SELECT x, y, CASE WHEN v > 0 THEN 1.0 ELSE 0.0 END AS h FROM vals),
+cells AS (SELECT tl.x, tl.y,
+           tl.h AS tl, tr.h AS tr, bl.h AS bl, br.h AS br
+          FROM b tl
+          JOIN b tr ON tr.x = tl.x + 1 AND tr.y = tl.y
+          JOIN b bl ON bl.x = tl.x AND bl.y = tl.y + 1
+          JOIN b br ON br.x = tl.x + 1 AND br.y = tl.y + 1),
+areas AS (SELECT CASE tl + tr + bl + br
+            WHEN 0 THEN 0.0
+            WHEN 1 THEN 0.125
+            WHEN 3 THEN 0.875
+            WHEN 4 THEN 1.0
+            ELSE CASE WHEN tl = br AND tr = bl AND tl != tr
+                      THEN 0.75 ELSE 0.5 END
+          END AS a
+          FROM cells),
+hi AS (SELECT ROUND(sum(a), 6) AS area FROM areas)
+SELECT 0 AS band_idx, ROUND(3969.0 - area, 6) AS area_r FROM hi
+UNION ALL
+SELECT 1 AS band_idx, area AS area_r FROM hi
+""")
+def q_contour_bands_subpixel(spark, sf_dir):
+    """gdal_contour -p with sub-pixel interpolation (alg/contour.cpp
+    polygon writer) through the DISTRIBUTED ring assembly
+    (contour_polygon_bands: per-block linking -> fragment connected
+    components -> per-band nesting). On the binarized density raster every
+    marching crossing sits at t=0.5, so each 2x2 cell's contribution to
+    the >=0.5 band is a closed-form case table (0, 1/8, 1/2, 3/4 saddle,
+    7/8, 1) the oracle sums in SQL; band 0 is the 63x63 lattice complement."""
+    import numpy as np
+    import pandas as pd
+    from .raster.contour import contour_polygon_bands
+    from .raster.tiles import TILE_SCHEMA, decode_px, encode_px
+    t = _density_tiles_full(spark, sf_dir)
+
+    def binarize(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples():
+                arr = decode_px(r.px, r.dtype, 8)
+                out.append((r.band, r.zoom, r.tile_x, r.tile_y, "float64",
+                            None, encode_px((arr > 0).astype(np.float64))))
+            yield pd.DataFrame(out, columns=[f.name for f in
+                                             TILE_SCHEMA.fields])
+
+    bt = t.mapInPandas(binarize, TILE_SCHEMA)
+    out = contour_polygon_bands(bt, [0.5], tile=8)
+    return out.select("band_idx",
+                      F.round(st.st_area("geom"), 6).alias("area_r"))
+
+
+# =============================================================================
+# Round 3: geo format sources (Shapefile, FlatGeobuf) — write a fixture
+# layer from the corpus, read it back through the distributed parsers
+# =============================================================================
+
+@_reg("shp_roundtrip", f"""
+{_pts_cte()}
+SELECT doc_id, ROUND(lon, 9) AS lon_r, ROUND(lat, 9) AS lat_r
+FROM pts WHERE doc_id % 7 = 0
+""")
+def q_shp_roundtrip(spark, sf_dir):
+    """Shapefile driver round-trip (ogr/ogrsf_frmts/shape/shpopen.c
+    SHPWriteObject/SHPReadObject, dbfopen.c): every 7th page becomes a
+    point feature with its doc_id attribute, written to .shp/.shx/.dbf and
+    read back through the byte-range distributed parser; the oracle
+    recomputes the same (doc_id, lon, lat) set from the table."""
+    import tempfile
+    import os
+    import numpy as np
+    from .core import wkb as _wkb
+    from .sources.shapefile import read_shapefile, write_shapefile
+
+    pts = datagen.points(spark, sf_dir).where(F.col("doc_id") % 7 == 0) \
+        .select("doc_id", "lon", "lat").orderBy("doc_id").collect()
+    base = os.path.join(tempfile.gettempdir(),
+                        f"gdal_spark_shp_{os.getpid()}")
+    rows = [(_wkb.encode(_wkb.Geom(_wkb.POINT,
+                                   [np.array([[r.lon, r.lat]])])),
+             {"doc_id": int(r.doc_id)}) for r in pts]
+    write_shapefile(rows, base)
+    out = read_shapefile(spark, base, features_per_task=512)
+
+    @F.pandas_udf("double")
+    def px(geom):
+        import pandas as pd
+        return pd.Series([_wkb.decode(bytes(b)).rings[0][0][0]
+                          for b in geom])
+
+    @F.pandas_udf("double")
+    def py(geom):
+        import pandas as pd
+        return pd.Series([_wkb.decode(bytes(b)).rings[0][0][1]
+                          for b in geom])
+
+    return out.select(F.col("doc_id"),
+                      F.round(px("geom"), 9).alias("lon_r"),
+                      F.round(py("geom"), 9).alias("lat_r"))
+
+
+@_reg("fgb_bbox_read", f"""
+{_pts_cte()}
+SELECT doc_id, ROUND(lon, 9) AS lon_r, ROUND(lat, 9) AS lat_r
+FROM pts
+WHERE doc_id % 7 = 0
+  AND lon BETWEEN -50.0 AND 60.0 AND lat BETWEEN -40.0 AND 40.0
+""")
+def q_fgb_bbox_read(spark, sf_dir):
+    """FlatGeobuf driver with packed-R-tree bbox pruning
+    (ogr/ogrsf_frmts/flatgeobuf/packedrtree.cpp streamSearch,
+    ogrflatgeobuflayer.cpp feature stream): the same every-97th-page point
+    layer writes to .fgb (Hilbert-sorted, indexed), then a bbox read must
+    return exactly the features inside the window — the oracle filters
+    the source table with the same rectangle. Point envelopes make the
+    R-tree prefilter exact."""
+    import tempfile
+    import os
+    import numpy as np
+    from .core import wkb as _wkb
+    from .sources.flatgeobuf import read_fgb, write_fgb
+
+    pts = datagen.points(spark, sf_dir).where(F.col("doc_id") % 7 == 0) \
+        .select("doc_id", "lon", "lat").orderBy("doc_id").collect()
+    path = os.path.join(tempfile.gettempdir(),
+                        f"gdal_spark_fgb_{os.getpid()}.fgb")
+    rows = [(_wkb.encode(_wkb.Geom(_wkb.POINT,
+                                   [np.array([[r.lon, r.lat]])])),
+             {"doc_id": int(r.doc_id)}) for r in pts]
+    write_fgb(rows, path)
+    out = read_fgb(spark, path, bbox=(-50.0, -40.0, 60.0, 40.0),
+                   features_per_task=512)
+
+    @F.pandas_udf("double")
+    def px(geom):
+        import pandas as pd
+        return pd.Series([_wkb.decode(bytes(b)).rings[0][0][0]
+                          for b in geom])
+
+    @F.pandas_udf("double")
+    def py(geom):
+        import pandas as pd
+        return pd.Series([_wkb.decode(bytes(b)).rings[0][0][1]
+                          for b in geom])
+
+    return out.select(F.col("doc_id"),
+                      F.round(px("geom"), 9).alias("lon_r"),
+                      F.round(py("geom"), 9).alias("lat_r"))

@@ -1,0 +1,99 @@
+"""FlatGeobuf reader/writer round-trips + packed R-tree bbox pruning.
+
+Reference semantics: /root/reference/ogr/ogrsf_frmts/flatgeobuf/
+ogrflatgeobuflayer.cpp (size-prefixed feature stream, property codec),
+packedrtree.cpp (level bounds, streamSearch traversal), geometryreader.cpp
+(xy/ends/parts decode), mirroring autotest/ogr/ogr_flatgeobuf.py's
+write-then-read strategy.
+"""
+
+import numpy as np
+import pytest
+
+from gdal_spark.core import wkb
+from gdal_spark.sources.flatgeobuf import (_level_bounds, _read_header,
+                                           read_fgb, write_fgb)
+
+
+def _pts_rows(n=40):
+    rows = []
+    for i in range(n):
+        x, y = (i % 8) * 10.0, (i // 8) * 5.0
+        g = wkb.Geom(wkb.POINT, [np.array([[x, y]])])
+        rows.append((wkb.encode(g),
+                     {"name": f"f{i}", "rank": i, "score": i / 4.0}))
+    return rows
+
+
+def test_level_bounds_match_reference_shape():
+    """packedrtree.cpp:214 generateLevelBounds: leaves last in the array,
+    root at index 0."""
+    bounds, total = _level_bounds(40, 16)
+    # 40 leaves -> 3 internal -> 1 root = 44 nodes
+    assert total == 44
+    assert bounds[0] == (4, 44)          # leaves
+    assert bounds[-1] == (0, 1)          # root
+
+
+def test_point_roundtrip_with_attrs(spark, tmp_path):
+    path = str(tmp_path / "pts.fgb")
+    rows = _pts_rows()
+    write_fgb(rows, path)
+    hdr = _read_header(path)
+    assert hdr["count"] == 40 and len(hdr["columns"]) == 3
+    out = read_fgb(spark, path).collect()
+    assert len(out) == 40
+    got = sorted((r.name, r.rank, r.score,
+                  tuple(np.round(wkb.decode(bytes(r.geom)).rings[0][0], 9)))
+                 for r in out)
+    want = sorted((a["name"], a["rank"], a["score"],
+                   tuple(np.round(wkb.decode(bytes(g)).rings[0][0], 9)))
+                  for g, a in rows)
+    assert got == want
+
+
+def test_bbox_filter_prunes(spark, tmp_path):
+    path = str(tmp_path / "pts.fgb")
+    write_fgb(_pts_rows(), path)
+    # bbox covering x in [0, 25], y in [0, 6] -> i%8 in {0,1,2}, i//8 in {0,1}
+    out = read_fgb(spark, path, bbox=(-1.0, -1.0, 25.0, 6.0)).collect()
+    names = sorted(r.name for r in out)
+    want = sorted(f"f{i}" for i in range(40)
+                  if (i % 8) * 10.0 <= 25.0 and (i // 8) * 5.0 <= 6.0)
+    assert names == want and 0 < len(out) < 40
+
+
+def test_polygon_multipolygon_roundtrip(spark, tmp_path):
+    shell = np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]],
+                     np.float64)
+    hole = np.array([[4, 4], [4, 6], [6, 6], [6, 4], [4, 4]], np.float64)
+    poly = wkb.Geom(wkb.POLYGON, [shell, hole])
+    p1 = wkb.Geom(wkb.POLYGON, [np.array(
+        [[20, 0], [24, 0], [24, 3], [20, 3], [20, 0]], np.float64)])
+    mp = wkb.Geom(wkb.MULTIPOLYGON, parts=[p1, poly])
+    line = wkb.Geom(wkb.LINESTRING,
+                    [np.array([[0, 20], [5, 25], [9, 20]], np.float64)])
+    path = str(tmp_path / "mix.fgb")
+    write_fgb([(wkb.encode(poly), {"k": 1}),
+               (wkb.encode(mp), {"k": 2}),
+               (wkb.encode(line), {"k": 3})], path)
+    out = {r.k: wkb.decode(bytes(r.geom))
+           for r in read_fgb(spark, path).collect()}
+    from gdal_spark.core.geomops import geom_area, geom_length
+    assert out[1].gtype == wkb.POLYGON and len(out[1].rings) == 2
+    assert geom_area(out[1]) == pytest.approx(100.0 - 4.0)
+    assert out[2].gtype == wkb.MULTIPOLYGON and len(out[2].parts) == 2
+    assert geom_area(out[2]) == pytest.approx(12.0 + 96.0)
+    assert out[3].gtype == wkb.LINESTRING
+    assert np.allclose(out[3].rings[0], line.rings[0])
+
+
+def test_hilbert_sort_changes_file_order_not_results(spark, tmp_path):
+    p1 = str(tmp_path / "a.fgb")
+    p2 = str(tmp_path / "b.fgb")
+    rows = _pts_rows(30)
+    write_fgb(rows, p1, hilbert_sort=True)
+    write_fgb(rows, p2, hilbert_sort=False)
+    a = sorted((r.name, r.rank) for r in read_fgb(spark, p1).collect())
+    b = sorted((r.name, r.rank) for r in read_fgb(spark, p2).collect())
+    assert a == b
