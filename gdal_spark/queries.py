@@ -2688,3 +2688,53 @@ def q_fgb_bbox_read(spark, sf_dir):
     return out.select(F.col("doc_id"),
                       F.round(px("geom"), 9).alias("lon_r"),
                       F.round(py("geom"), 9).alias("lat_r"))
+
+
+# =============================================================================
+# Round 3: OGRSQL front end (engine.sql) driver oracle
+# =============================================================================
+
+@_reg("ogr_sql_front", f"""
+{_pts_cte()},
+pages AS (SELECT p.doc_id, p.url, p.lon, p.lat,
+                 CAST(p.doc_id % 5 AS VARCHAR) AS cls
+          FROM pts p),
+lut AS (SELECT r.range AS lid, CAST(r.range % 5 AS VARCHAR) AS cls,
+               'label' || CAST(r.range AS VARCHAR) AS label
+        FROM range(20) r),
+first AS (SELECT cls, min(lid) AS lid FROM lut GROUP BY cls),
+fl AS (SELECT f.cls, l.label FROM first f JOIN lut l ON l.lid = f.lid)
+SELECT p.doc_id AS fid, fl.label,
+       ROUND(p.lon, 6) AS lon_r
+FROM pages p LEFT JOIN fl ON p.cls = fl.cls
+WHERE p.url LIKE 'https://site1%' AND p.doc_id % 3 = 0
+""")
+def q_ogr_sql_front(spark, sf_dir):
+    """ExecuteSQL twin (gcore/gdaldataset.cpp:6860 -> ogr_gensql.cpp): one
+    OGRSQL statement through engine.sql combining special-field FID,
+    a first-match JOIN (ogr_gensql.cpp:1505 — lowest-fid secondary wins;
+    the lut deliberately has duplicate cls keys), case-sensitive LIKE and
+    arithmetic WHERE. The oracle reproduces the first-match rule with an
+    explicit min(fid) dedup in SQL."""
+    from .sql import OgrSqlEngine
+    from pyspark.sql import types as T
+    import pandas as pd
+
+    eng = OgrSqlEngine(spark)
+    pages = datagen.points(spark, sf_dir).select(
+        F.col("doc_id").alias("pfid"), "url", "lon", "lat",
+        (F.col("doc_id") % 5).cast("string").alias("cls"))
+    eng.register("pages", pages, fid_col="pfid")
+    lut = spark.createDataFrame(
+        pd.DataFrame([(i, str(i % 5), f"label{i}") for i in range(20)],
+                     columns=["lid", "cls", "label"]),
+        schema=T.StructType([T.StructField("lid", T.LongType()),
+                             T.StructField("cls", T.StringType()),
+                             T.StructField("label", T.StringType())]))
+    eng.register("lut", lut, fid_col="lid")
+    out = eng.sql(
+        "SELECT pages.FID, lut.label, lon FROM pages "
+        "JOIN lut ON pages.cls = lut.cls "
+        "WHERE url LIKE 'https://site1%' AND pages.FID % 3 = 0")
+    return out.select(F.col("pfid").alias("fid"), "label",
+                      F.round("lon", 6).alias("lon_r"))

@@ -1,0 +1,138 @@
+"""OGRSQL front end (engine.sql) golden battery.
+
+Reference semantics: GDALDataset::ExecuteSQL's generic SQL engine
+(/root/reference/gcore/gdaldataset.cpp:6860,
+ogr/ogrsf_frmts/generic/ogr_gensql.cpp), exercised the way
+autotest/ogr/ogr_sql_test.py does — small fixture layers, assertions on
+row sets. Quirks pinned here: special fields, first-match LEFT joins,
+LIKE case sensitivity + the OGR_SQL_LIKE_AS_ILIKE toggle, DISTINCT/ORDER
+BY null placement (nulls first asc, last desc — swq.cpp:606), summary
+records, LIMIT/OFFSET and UNION ALL.
+"""
+
+import numpy as np
+import pytest
+
+from gdal_spark.core import wkb
+from gdal_spark.sql import OgrSqlEngine
+
+
+@pytest.fixture()
+def eng(spark):
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    e = OgrSqlEngine(spark)
+    boxes = [(i, f"name{i}", None if i == 3 else chr(65 + i % 5),
+              float(i) * 1.5,
+              wkb.box(0.0 + 10 * i, 0.0, 4.0 + 10 * i, 5.0 + i))
+             for i in range(8)]
+    cities = spark.createDataFrame(
+        pd.DataFrame(boxes, columns=["fid", "name", "cls", "score", "geom"]),
+        schema=T.StructType([
+            T.StructField("fid", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("cls", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+            T.StructField("geom", T.BinaryType())]))
+    e.register("cities", cities, fid_col="fid")
+
+    lut = spark.createDataFrame(
+        pd.DataFrame([(100, "A", "alpha"), (101, "A", "alpha-dup"),
+                      (102, "B", "beta"), (103, "C", "gamma")],
+                     columns=["fid", "cls", "label"]),
+        schema=T.StructType([
+            T.StructField("fid", T.LongType()),
+            T.StructField("cls", T.StringType()),
+            T.StructField("label", T.StringType())]))
+    e.register("lut", lut, fid_col="fid")
+    return e
+
+
+def test_select_where_order_limit(eng):
+    rows = eng.sql("SELECT name, score FROM cities "
+                   "WHERE score > 3 ORDER BY score DESC LIMIT 2").collect()
+    assert [(r.name, r.score) for r in rows] == \
+        [("name7", 10.5), ("name6", 9.0)]
+
+
+def test_special_fields(eng):
+    rows = eng.sql(
+        "SELECT FID, OGR_GEOMETRY, OGR_GEOM_AREA, OGR_GEOM_WKT "
+        "FROM cities WHERE FID = 2").collect()
+    r = rows[0]
+    assert r[0] == 2
+    assert r[1] == "POLYGON"
+    assert r[2] == pytest.approx(4.0 * 7.0)
+    assert r[3].startswith("POLYGON")
+
+
+def test_first_match_join_lowest_fid(eng):
+    """ogr_gensql.cpp:1505: one secondary match per primary — the first in
+    FID order; unmatched primaries keep NULL secondary fields."""
+    rows = eng.sql(
+        "SELECT cities.fid, lut.label FROM cities "
+        "JOIN lut ON cities.cls = lut.cls ORDER BY cities.fid").collect()
+    got = [(r.fid, r.label) for r in rows]
+    # every city row survives (LEFT), 'A' rows take fid=100's label
+    assert len(got) == 8
+    by_fid = dict(got)
+    assert by_fid[0] == "alpha"          # cls A -> first match (fid 100)
+    assert by_fid[5] == "alpha"          # cls A again -> same first match
+    assert by_fid[1] == "beta"
+    assert by_fid[2] == "gamma"
+    assert by_fid[3] is None             # NULL key -> no join
+    assert by_fid[4] is None             # cls 'E' unmatched
+
+
+def test_like_sensitivity_and_toggle(spark, eng):
+    """LIKE is case-sensitive by default; OGR_SQL_LIKE_AS_ILIKE rewrites
+    it to ILIKE (swq_op_general.cpp:1100)."""
+    n = eng.sql("SELECT name FROM cities WHERE name LIKE 'NAME%'").count()
+    assert n == 0
+    n2 = eng.sql("SELECT name FROM cities WHERE name ILIKE 'NAME%'").count()
+    assert n2 == 8
+    eng2 = OgrSqlEngine(spark, like_as_ilike=True)
+    eng2._fid, eng2._geom, eng2._cols = eng._fid, eng._geom, eng._cols
+    n3 = eng2.sql("SELECT name FROM cities WHERE name LIKE 'NAME%'").count()
+    assert n3 == 8
+
+
+def test_distinct_null_ordering(eng):
+    """DISTINCT + ORDER BY: nulls first ascending, last descending
+    (swq.cpp:606-608 SZ_OGR_NULL comparator)."""
+    asc = [r.cls for r in
+           eng.sql("SELECT DISTINCT cls FROM cities ORDER BY cls").collect()]
+    assert asc[0] is None and asc[1:] == sorted(asc[1:])
+    desc = [r.cls for r in eng.sql(
+        "SELECT DISTINCT cls FROM cities ORDER BY cls DESC").collect()]
+    assert desc[-1] is None and desc[:-1] == sorted(desc[:-1], reverse=True)
+
+
+def test_summary_record(eng):
+    rows = eng.sql("SELECT COUNT(*), MIN(score), MAX(score), AVG(score) "
+                   "FROM cities").collect()
+    assert len(rows) == 1
+    assert rows[0][0] == 8 and rows[0][1] == 0.0 and rows[0][2] == 10.5
+
+
+def test_limit_offset_and_union_all(eng):
+    rows = eng.sql("SELECT fid FROM cities ORDER BY fid "
+                   "LIMIT 3 OFFSET 2").collect()
+    assert [r.fid for r in rows] == [2, 3, 4]
+    n = eng.sql("SELECT fid FROM cities WHERE fid < 2 UNION ALL "
+                "SELECT fid FROM cities WHERE fid >= 6").count()
+    assert n == 4
+
+
+def test_double_quoted_identifiers_and_literals(eng):
+    rows = eng.sql("SELECT \"name\" FROM cities "
+                   "WHERE name = 'name1' OR name = 'it''s'").collect()
+    assert [r.name for r in rows] == ["name1"]
+
+
+def test_qualified_special_field_in_join(eng):
+    rows = eng.sql(
+        "SELECT cities.FID, lut.fid FROM cities "
+        "JOIN lut ON cities.cls = lut.cls WHERE cities.FID = 0").collect()
+    assert rows[0][0] == 0 and rows[0][1] == 100
