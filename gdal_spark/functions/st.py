@@ -20,7 +20,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import SparkSession
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import BinaryType, BooleanType, DoubleType, StringType
+from pyspark.sql.types import (BinaryType, BooleanType, DoubleType,
+                               IntegerType, StringType)
 
 from ..core import geomops, polyclip, wkb
 
@@ -411,6 +412,70 @@ def st_concavehull_udf(max_edge: float):
     return _f
 
 
+def _map_coords(g, fn):
+    """New Geom with every coordinate array mapped through fn(x, y) ->
+    (x2, y2) — the geometry walk behind ST_Transform."""
+    rings = []
+    for r in g.rings:
+        if len(r):
+            x2, y2 = fn(r[:, 0], r[:, 1])
+            rings.append(np.column_stack([x2, y2]))
+        else:
+            rings.append(r)
+    return wkb.Geom(g.gtype, rings,
+                    [_map_coords(p, fn) for p in g.parts])
+
+
+@pandas_udf(BinaryType())
+def st_transform(geom: pd.Series, src: pd.Series,
+                 dst: pd.Series) -> pd.Series:
+    """ST_Transform(geom, 'src_crs', 'dst_crs') — reprojects every vertex
+    (reference registration: ogrsqlitesqlfunctions.cpp:1060
+    OGR2SQLITE_ST_Transform; srs arguments accept the EPSG:* whitelist or
+    a composable '+proj=' string, raster/transforms.py)."""
+    return _st_transform_impl(geom, src, dst)
+
+
+def _st_transform_impl(geom, src, dst):
+    from ..raster.transforms import transform as _xf
+    out = []
+    for b, s, d in zip(geom, src, dst):
+        if b is None:
+            out.append(None)
+            continue
+        g = wkb.decode(bytes(b))
+        out.append(wkb.encode(_map_coords(
+            g, lambda x, y: _xf(str(s), str(d), x, y))))
+    return pd.Series(out, dtype="object")
+
+
+@pandas_udf(IntegerType())
+def st_srid(geom: pd.Series) -> pd.Series:
+    """ST_SRID (ogrsqlitesqlfunctions.cpp:723): EWKB-flagged geometries
+    report their embedded SRID; plain ISO WKB reports 4326 — this engine's
+    layer default (geoparsed lon/lat), standing in for the reference's
+    per-layer SRS lookup."""
+    import struct
+    out = []
+    for b in geom:
+        if b is None:
+            out.append(None)
+            continue
+        raw = bytes(b)
+        t = struct.unpack_from("<I", raw, 1)[0]
+        out.append(struct.unpack_from("<i", raw, 5)[0]
+                   if t & 0x20000000 else 4326)
+    return pd.Series(out, dtype="Int32")
+
+
+@pandas_udf(BooleanType())
+def st_isempty(geom: pd.Series) -> pd.Series:
+    """ST_IsEmpty (ogrsqlitesqlfunctions.cpp registration): no coordinates
+    anywhere in the geometry tree."""
+    return pd.Series([len(g.points()) == 0 if g is not None else None
+                      for g in _decode_series(geom)], dtype="object")
+
+
 _REGISTRY = {
     "ST_Area": st_area, "ST_Length": st_length,
     "ST_X": st_x, "ST_Y": st_y,
@@ -432,6 +497,8 @@ _REGISTRY = {
     "ST_DelaunayTriangulation": st_delaunay,
     "ST_MakePoint": st_makepoint, "ST_AsBinary": st_asbinary,
     "ST_GeomFromWKB": st_geomfromwkb, "ST_SetPrecision": st_setprecision,
+    "ST_Transform": st_transform, "ST_SRID": st_srid,
+    "ST_IsEmpty": st_isempty,
 }
 
 

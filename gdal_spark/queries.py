@@ -2738,3 +2738,55 @@ def q_ogr_sql_front(spark, sf_dir):
         "WHERE url LIKE 'https://site1%' AND pages.FID % 3 = 0")
     return out.select(F.col("pfid").alias("fid"), "label",
                       F.round("lon", 6).alias("lon_r"))
+
+
+@_reg("st_transform_projstr", f"""
+{_pts_cte()}
+SELECT doc_id,
+       ROUND(6378137.0 * radians(lon - 25.0) + 100000.0, 4) AS mx_r,
+       ROUND(6378137.0 * ln(tan(pi() / 4.0 + radians(lat) / 2.0)), 4)
+         AS my_r
+FROM pts WHERE doc_id % 11 = 0
+""")
+def q_st_transform_projstr(spark, sf_dir):
+    """ST_Transform through a '+proj=' string the EPSG whitelist cannot
+    name (+proj=merc +lon_0=25 +x_0=100000 — rotated central meridian and
+    false easting; reference CRS composition ogr/ogrct.cpp:919-948,
+    ST_Transform registration ogrsqlitesqlfunctions.cpp:1060). The oracle
+    is the closed-form shifted spherical-mercator formula in SQL."""
+    st.register_all(spark)
+    p = datagen.points(spark, sf_dir).where(F.col("doc_id") % 11 == 0)
+    p.createOrReplaceTempView("t_projstr_pts")
+    return spark.sql(
+        "SELECT doc_id, "
+        " ROUND(ST_X(ST_Transform(ST_MakePoint(lon, lat), 'EPSG:4326',"
+        "  '+proj=merc +lon_0=25 +x_0=100000')), 4) AS mx_r, "
+        " ROUND(ST_Y(ST_Transform(ST_MakePoint(lon, lat), 'EPSG:4326',"
+        "  '+proj=merc +lon_0=25 +x_0=100000')), 4) AS my_r "
+        "FROM t_projstr_pts")
+
+
+@_reg("warp_gcp_affine", _DENSITY_XY_SQL + """
+SELECT CAST((x - 1) / 2 AS BIGINT) AS x, CAST((y - 1) / 2 AS BIGINT) AS y,
+       v AS val_r
+FROM vals WHERE x % 2 = 1 AND y % 2 = 1
+""")
+def q_warp_gcp_affine(spark, sf_dir):
+    """gdalwarp through a GCP polynomial transformer (GDALCreateGCP-
+    Transformer, alg/gdal_crs.cpp; autotest/alg/warp.py GCP fixtures'
+    strategy): an analytic affine GCP grid (world = 2*px + offset) fitted
+    at order 1, warped onto a half-resolution grid offset to sample pixel
+    (2i+1, 2j+1) — the oracle picks those source cells directly."""
+    from .raster.rasterize import GridSpec
+    from .raster.transforms import gcp_crs
+    from .raster.warp import WarpSpec, warp as warp_run
+    t = _density_tiles_full(spark, sf_dir)
+    gcps = [(float(i), float(j), 10.0 + 2.0 * i, 20.0 + 2.0 * j)
+            for i in range(0, 65, 16) for j in range(0, 65, 16)]
+    src = GridSpec(x0=0.0, y0=0.0, dx=1.0, dy=1.0, width=64, height=64,
+                   tile=8)
+    dst = GridSpec(x0=11.0, y0=21.0, dx=4.0, dy=4.0, width=32, height=32,
+                   tile=8)
+    out = warp_run(t, WarpSpec(src, gcp_crs(gcps, order=1), dst,
+                               "EPSG:4326", "near", fill=0.0))
+    return _px_rows(out, tile=8)

@@ -29,6 +29,16 @@ def transform(src_crs: str, dst_crs: str, x, y):
     y = np.asarray(y, dtype=np.float64)
     if src_crs == dst_crs:
         return x, y
+    # fitted transformers (GCP polynomial / TPS) on either chain end —
+    # the reference's GENIMGPROJ GCP/TPS variants (gdaltransformer.cpp:1348)
+    if _is_fitted_crs(src_crs):
+        target, fwd = _fitted(src_crs, True)
+        x, y = fwd(x, y)
+        return transform(target, dst_crs, x, y)
+    if _is_fitted_crs(dst_crs):
+        target, inv = _fitted(dst_crs, False)
+        x, y = transform(src_crs, target, x, y)
+        return inv(x, y)
     lon, lat = _to_4326(src_crs, x, y)
     return _from_4326(dst_crs, lon, lat)
 
@@ -236,8 +246,50 @@ def laea_inverse(x, y, lon0: float, lat0: float,
     return lon0 + lam / _D2R, phi / _D2R
 
 
+def _parse_proj_string(crs: str):
+    """'+proj=... +key=val [+flag]' -> parameterized kind tuple.
+
+    Composes the existing numpy kernels from parsed proj parameters (the
+    reference delegates this to the PROJ database, ogr/ogrct.cpp:919-948;
+    here the supported projection families are longlat, merc (spherical,
+    web-mercator datum), tmerc (ellipsoidal Krueger, WGS84), utm and laea
+    (WGS84 authalic) — covering arbitrary central meridians, scale factors
+    and false origins the fixed EPSG whitelist cannot name)."""
+    kv: dict[str, str | bool] = {}
+    for tok in crs.split():
+        if not tok.startswith("+"):
+            continue
+        body = tok[1:]
+        if "=" in body:
+            k, v = body.split("=", 1)
+            kv[k] = v
+        else:
+            kv[body] = True
+    proj = kv.get("proj")
+    if proj in ("longlat", "latlong"):
+        return "4326"
+    f = lambda k, d: float(kv.get(k, d))        # noqa: E731
+    k0 = float(kv.get("k_0", kv.get("k", 1.0)))
+    if proj == "merc":
+        return ("merc", f("lon_0", 0.0), k0, f("x_0", 0.0), f("y_0", 0.0))
+    if proj == "tmerc":
+        return ("tmerc", f("lon_0", 0.0), k0, f("x_0", 0.0), f("y_0", 0.0))
+    if proj == "utm":
+        zone = int(kv.get("zone", 0))
+        if 1 <= zone <= 60:
+            return ("utm", -183.0 + 6.0 * zone, "south" in kv)
+    if proj == "laea":
+        return ("laea", f("lon_0", 0.0), f("lat_0", 0.0),
+                f("x_0", 0.0), f("y_0", 0.0))
+    return None
+
+
 def _parse_crs(crs: str):
-    """-> ('4326'|'3857'|('utm', lon0, south)|('laea', lon0, lat0, fe, fn))"""
+    """-> ('4326'|'3857'|('utm', lon0, south)|('laea', lon0, lat0, fe, fn)
+    |('merc', lon0, k0, fe, fn)|('tmerc', lon0, k0, fe, fn)); proj strings
+    ('+proj=...') parse via _parse_proj_string."""
+    if crs.startswith("+"):
+        return _parse_proj_string(crs)
     if crs == "EPSG:4326":
         return "4326"
     if crs == "EPSG:3857":
@@ -273,6 +325,17 @@ def _to_4326(crs, x, y):
     if isinstance(kind, tuple) and kind[0] == "laea":
         _, lon0, lat0, fe, fn = kind
         return laea_inverse(x, y, lon0, lat0, fe, fn)
+    if isinstance(kind, tuple) and kind[0] == "tmerc":
+        _, lon0, k0, fe, fn = kind
+        return tm_inverse(x, y, lon0, k0=k0, fe=fe, fn=fn)
+    if isinstance(kind, tuple) and kind[0] == "merc":
+        _, lon0, k0, fe, fn = kind
+        lon = lon0 + (np.asarray(x, np.float64) - fe) \
+            / (k0 * EARTH_RADIUS * _D2R)
+        lat = (2.0 * np.arctan(np.exp((np.asarray(y, np.float64) - fn)
+                                      / (k0 * EARTH_RADIUS)))
+               - np.pi / 2.0) / _D2R
+        return lon, lat
     raise ValueError(f"unsupported CRS {crs}")
 
 
@@ -291,4 +354,126 @@ def _from_4326(crs, lon, lat):
     if isinstance(kind, tuple) and kind[0] == "laea":
         _, lon0, lat0, fe, fn = kind
         return laea_forward(lon, lat, lon0, lat0, fe, fn)
+    if isinstance(kind, tuple) and kind[0] == "tmerc":
+        _, lon0, k0, fe, fn = kind
+        return tm_forward(lon, lat, lon0, k0=k0, fe=fe, fn=fn)
+    if isinstance(kind, tuple) and kind[0] == "merc":
+        _, lon0, k0, fe, fn = kind
+        mx = fe + k0 * EARTH_RADIUS * (np.asarray(lon, np.float64)
+                                       - lon0) * _D2R
+        my = fn + k0 * EARTH_RADIUS * np.log(np.tan(
+            np.pi / 4.0 + np.asarray(lat, np.float64) * _D2R / 2.0))
+        return mx, my
     raise ValueError(f"unsupported CRS {crs}")
+
+
+# ---------------------------------------------------------------------------
+# GCP polynomial + thin-plate-spline transformers
+# (alg/gdaltransformer.cpp:1348 GENIMGPROJ variants: GDALCreateGCPTransformer
+#  alg/gdal_crs.cpp — least-squares polynomial order 1..3 fit in BOTH
+#  directions; GDALCreateTPSTransformer alg/gdal_tps.cpp /
+#  alg/thinplatespline.cpp — radial-basis r^2 ln r^2 + affine part)
+#
+# A transformer is DEFINED by its control points, so it serializes into the
+# CRS string itself: "GCP<order>@<target_crs>:px,py,X,Y;..." and
+# "TPS@<target_crs>:px,py,X,Y;...". transform() recognizes these on either
+# side of the chain; the dense solve runs once per worker (lru_cache on the
+# string) — no broadcast plumbing, the string ships with the task closure.
+# ---------------------------------------------------------------------------
+
+from functools import lru_cache as _lru_cache
+
+
+def gcp_crs(gcps, order: int = 2, crs: str = "EPSG:4326") -> str:
+    """[(px, py, X, Y)] -> 'GCP<order>@crs:...' transformer string."""
+    body = ";".join(f"{a!r},{b!r},{c!r},{d!r}" for a, b, c, d in gcps)
+    return f"GCP{order}@{crs}|{body}"
+
+
+def tps_crs(gcps, crs: str = "EPSG:4326") -> str:
+    body = ";".join(f"{a!r},{b!r},{c!r},{d!r}" for a, b, c, d in gcps)
+    return f"TPS@{crs}|{body}"
+
+
+def _is_fitted_crs(crs: str) -> bool:
+    return crs.startswith("GCP") or crs.startswith("TPS@")
+
+
+def _poly_terms(x, y, order: int):
+    t = [np.ones_like(x), x, y]
+    if order >= 2:
+        t += [x * y, x * x, y * y]
+    if order >= 3:
+        t += [x * x * y, x * y * y, x ** 3, y ** 3]
+    return np.stack(t, axis=-1)
+
+
+def _fit_poly(src: np.ndarray, dst: np.ndarray, order: int):
+    """Least-squares polynomial fit (gdal_crs.cpp CRS_compute): src (n,2)
+    -> dst (n,2); returns (cx, cy) coefficient vectors."""
+    A = _poly_terms(src[:, 0], src[:, 1], order)
+    cx, *_ = np.linalg.lstsq(A, dst[:, 0], rcond=None)
+    cy, *_ = np.linalg.lstsq(A, dst[:, 1], rcond=None)
+    return cx, cy
+
+
+def _tps_u(r2):
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return np.where(r2 > 0, r2 * np.log(r2), 0.0)
+
+
+def _fit_tps(src: np.ndarray, dst: np.ndarray):
+    """Thin-plate-spline solve (alg/thinplatespline.cpp): kernel
+    U = r^2 ln r^2 plus an affine part; exact at every control point."""
+    n = len(src)
+    d2 = ((src[:, None, :] - src[None, :, :]) ** 2).sum(-1)
+    K = _tps_u(d2)
+    P = np.column_stack([np.ones(n), src])
+    A = np.zeros((n + 3, n + 3))
+    A[:n, :n] = K
+    A[:n, n:] = P
+    A[n:, :n] = P.T
+    b = np.zeros((n + 3, 2))
+    b[:n] = dst
+    w = np.linalg.solve(A, b)
+    return src.copy(), w
+
+
+def _apply_tps(ctrl, w, x, y):
+    pts = np.stack([np.asarray(x, np.float64).ravel(),
+                    np.asarray(y, np.float64).ravel()], axis=-1)
+    d2 = ((pts[:, None, :] - ctrl[None, :, :]) ** 2).sum(-1)
+    U = _tps_u(d2)
+    n = len(ctrl)
+    out = U @ w[:n] + w[n] + pts @ w[n + 1:]
+    shape = np.asarray(x, np.float64).shape
+    return out[:, 0].reshape(shape), out[:, 1].reshape(shape)
+
+
+@_lru_cache(maxsize=64)
+def _fitted(crs: str, forward: bool):
+    """-> (target_crs, fn(x, y) -> (x2, y2)). forward maps control-source
+    (pixel) space to the target CRS; the reverse direction is an
+    independent fit on the swapped pairs, exactly like gdal_crs.cpp
+    computing both CRS_georef directions."""
+    head, body = crs.split("|", 1)
+    kind, target = head.split("@", 1) if "@" in head else (head, "EPSG:4326")
+    pts = np.array([[float(v) for v in row.split(",")]
+                    for row in body.split(";")], np.float64)
+    src, dst = pts[:, :2], pts[:, 2:]
+    if not forward:
+        src, dst = dst, src
+    if kind == "TPS":
+        ctrl, w = _fit_tps(src, dst)
+
+        def fn(x, y):
+            return _apply_tps(ctrl, w, x, y)
+    else:
+        order = int(kind[3:] or 1)
+        cx, cy = _fit_poly(src, dst, order)
+
+        def fn(x, y):
+            A = _poly_terms(np.asarray(x, np.float64),
+                            np.asarray(y, np.float64), order)
+            return A @ cx, A @ cy
+    return target, fn

@@ -141,3 +141,132 @@ def test_warp_through_utm_matches_single_array_oracle(spark):
     want = warp._sample_point(arr, np.ones_like(arr, dtype=bool), 0, 0,
                               sx, sy, "bilinear", -1.0, use_mask=False)
     np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+
+
+def test_proj_string_tmerc_matches_utm():
+    """A '+proj=tmerc' string with UTM-zone parameters must reproduce the
+    EPSG:326xx whitelist entry exactly (ogr/ogrct.cpp:919-948 — PROJ-string
+    CRS composition, round-3 addition)."""
+    import numpy as np
+    from gdal_spark.raster.transforms import transform
+    lon = np.array([2.5, 3.0, 5.9])
+    lat = np.array([48.0, 0.5, -3.0])
+    x1, y1 = transform("EPSG:4326", "EPSG:32631", lon, lat)
+    x2, y2 = transform(
+        "EPSG:4326", "+proj=tmerc +lon_0=3 +k_0=0.9996 +x_0=500000",
+        lon, lat)
+    assert np.allclose(x1, x2) and np.allclose(y1, y2)
+
+
+def test_proj_string_roundtrips_and_utm_south():
+    import numpy as np
+    from gdal_spark.raster.transforms import _parse_crs, transform
+    lon = np.array([17.0, 25.5])
+    lat = np.array([-30.0, 4.0])
+    for crs in ("+proj=tmerc +lon_0=7 +k_0=1.0 +x_0=200000 +y_0=100000",
+                "+proj=merc +lon_0=25 +k_0=0.9",
+                "+proj=laea +lon_0=20 +lat_0=5 +x_0=10000",
+                "+proj=utm +zone=33 +south"):
+        x, y = transform("EPSG:4326", crs, lon, lat)
+        lo, la = transform(crs, "EPSG:4326", x, y)
+        assert np.allclose(lo, lon) and np.allclose(la, lat), crs
+    assert _parse_crs("+proj=utm +zone=33 +south") == ("utm", 15.0, True)
+    assert _parse_crs("+proj=longlat +datum=WGS84") == "4326"
+
+
+def test_st_transform_srid_isempty(spark):
+    """ST_Transform / ST_SRID / ST_IsEmpty SQL registrations
+    (ogrsqlitesqlfunctions.cpp:723,1060) — round-3 registry additions."""
+    import numpy as np
+    from gdal_spark.functions import st
+    from gdal_spark.core import wkb
+    st.register_all(spark)
+    g = wkb.encode(wkb.Geom(wkb.POINT, [np.array([[30.0, 10.0]])]))
+    spark.createDataFrame([(g,)], "geom binary") \
+        .createOrReplaceTempView("t_st3")
+    row = spark.sql(
+        "SELECT ST_SRID(geom) AS srid, ST_IsEmpty(geom) AS emp, "
+        "ST_X(ST_Transform(geom, 'EPSG:4326', '+proj=merc +lon_0=25')) "
+        "AS tx FROM t_st3").collect()[0]
+    assert row.srid == 4326 and row.emp is False
+    assert row.tx == pytest.approx(6378137.0 * np.radians(5.0))
+
+
+def test_gcp_polynomial_recovers_exact_maps():
+    """GDALCreateGCPTransformer semantics (alg/gdal_crs.cpp): a least-
+    squares order-n polynomial fitted on an analytic GCP grid reproduces
+    the generating polynomial exactly, in both directions."""
+    import numpy as np
+    from gdal_spark.raster.transforms import gcp_crs, transform
+    gx, gy = np.meshgrid(np.arange(0, 50, 7), np.arange(0, 40, 6))
+    px, py = gx.ravel().astype(float), gy.ravel().astype(float)
+    # affine generator for order 1
+    X = 10.0 + 0.5 * px - 0.1 * py
+    Y = -5.0 + 0.05 * px + 0.4 * py
+    crs1 = gcp_crs(list(zip(px, py, X, Y)), order=1)
+    qx, qy = np.array([3.3, 21.0]), np.array([8.8, 17.5])
+    tx, ty = transform(crs1, "EPSG:4326", qx, qy)
+    assert np.allclose(tx, 10.0 + 0.5 * qx - 0.1 * qy)
+    assert np.allclose(ty, -5.0 + 0.05 * qx + 0.4 * qy)
+    # inverse direction (independent reverse fit, gdal_crs.cpp both-ways)
+    bx, by = transform("EPSG:4326", crs1, tx, ty)
+    assert np.allclose(bx, qx) and np.allclose(by, qy)
+    # quadratic generator for order 2
+    X2 = 1.0 + 0.2 * px + 0.3 * py + 0.001 * px * py + 0.002 * px * px
+    Y2 = 2.0 - 0.1 * px + 0.25 * py + 0.0005 * py * py
+    crs2 = gcp_crs(list(zip(px, py, X2, Y2)), order=2)
+    tx2, ty2 = transform(crs2, "EPSG:4326", qx, qy)
+    assert np.allclose(tx2, 1.0 + 0.2 * qx + 0.3 * qy
+                       + 0.001 * qx * qy + 0.002 * qx * qx)
+    assert np.allclose(ty2, 2.0 - 0.1 * qx + 0.25 * qy + 0.0005 * qy * qy)
+
+
+def test_tps_exact_at_controls_and_affine_everywhere():
+    """TPS (alg/gdal_tps.cpp): exact interpolation at every control point;
+    an affine control set is reproduced affinely everywhere (the radial
+    weights vanish)."""
+    import numpy as np
+    from gdal_spark.raster.transforms import tps_crs, transform
+    rng = np.random.default_rng(9)
+    px = rng.uniform(0, 100, 25)
+    py = rng.uniform(0, 100, 25)
+    X = 3.0 + 1.2 * px - 0.3 * py
+    Y = -1.0 + 0.2 * px + 0.9 * py
+    crs = tps_crs(list(zip(px, py, X, Y)))
+    tx, ty = transform(crs, "EPSG:4326", px, py)
+    assert np.allclose(tx, X) and np.allclose(ty, Y)
+    qx = np.array([12.5, 77.0]); qy = np.array([33.0, 5.0])
+    tx2, ty2 = transform(crs, "EPSG:4326", qx, qy)
+    assert np.allclose(tx2, 3.0 + 1.2 * qx - 0.3 * qy)
+    assert np.allclose(ty2, -1.0 + 0.2 * qx + 0.9 * qy)
+    # non-affine control set: still exact at the controls
+    Xw = X + np.sin(px / 20.0)
+    crs2 = tps_crs(list(zip(px, py, Xw, Y)))
+    tw, _ = transform(crs2, "EPSG:4326", px, py)
+    assert np.allclose(tw, Xw)
+
+
+def test_warp_through_gcp_matches_affine_warp(spark):
+    """gdalwarp with -gcp semantics (autotest/alg/warp.py GCP fixtures):
+    warping through an affine GCP transformer must equal warping through
+    the identical closed-form grid mapping."""
+    import numpy as np
+    from gdal_spark.raster import tiles
+    from gdal_spark.raster.rasterize import GridSpec
+    from gdal_spark.raster.transforms import gcp_crs
+    from gdal_spark.raster.warp import WarpSpec, warp
+    rng = np.random.default_rng(3)
+    arr = rng.uniform(0, 100, size=(32, 32))
+    t = tiles.raster_to_tiles(spark, arr, zoom=0, tile=8)
+    # src world == pixel space; GCPs encode world = px * 2 + 10 shift
+    gcps = [(float(i), float(j), 10.0 + 2.0 * i, 20.0 + 2.0 * j)
+            for i in range(0, 33, 8) for j in range(0, 33, 8)]
+    src = GridSpec(x0=0.0, y0=0.0, dx=1.0, dy=1.0, width=32, height=32,
+                   tile=8)
+    dst = GridSpec(x0=10.0, y0=20.0, dx=2.0, dy=2.0, width=32, height=32,
+                   tile=8)
+    out = warp(t, WarpSpec(src, gcp_crs(gcps, order=1), dst,
+                           "EPSG:4326", "near", fill=-1.0))
+    got = tiles.tiles_to_raster(out, tile=8)[:32, :32]
+    # world = 2*px + 10 and the dst grid is exactly that image -> identity
+    assert np.allclose(got, arr)
