@@ -36,6 +36,7 @@ HEADLINE = [
     "interp_at_point",   # raster->vector enrichment join
     "grid_invdist",      # scatter->raster interpolation
     "overlay_clip_area",  # layer x layer intersection
+    "st_pip_bulk",       # predicate batch-lane microbench
 ]
 
 
@@ -65,7 +66,7 @@ def main():
     total = round(sum(times.values()), 3)
     flagship = times["pip_grid"]
     print(json.dumps({
-        "metric": "headline-suite wall time (16 queries: spatial join, "
+        "metric": "headline-suite wall time (17 queries: spatial join, "
                   "tiling, rasterize, knn, overlay, grid interp, point "
                   "sample, dedup, minhash, simhash, ann, extract, "
                   "relational agg)",

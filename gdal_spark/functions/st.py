@@ -115,68 +115,115 @@ def st_geometrytype(geom: pd.Series) -> pd.Series:
                       if b is not None else None for b in geom], dtype="object")
 
 
+def _predicate_batch(a: pd.Series, b: pd.Series, scalar,
+                     env_disjoint_value: bool,
+                     point_lane: str | None = None) -> pd.Series:
+    """Filter-refine lane for the binary predicates (round-3 batch lanes):
+    envelopes come from the vectorized frombuffer parsers (no decode), and
+    envelope-disjoint pairs short-circuit to `env_disjoint_value`. When
+    the refine side A is ALL single points (points_batch) and
+    point_lane is 'intersects'/'disjoint', the point-vs-polygon test runs
+    grouped by unique B through the same points_in_polygon /
+    _points_on_lines_mask kernels the scalar path uses — identical
+    results, one vectorized call per distinct polygon. Everything else
+    refines through the scalar DE-9IM kernel (which is exact)."""
+    alist, blist = list(a), list(b)
+    n = len(alist)
+    out = [None] * n
+    vidx = [i for i in range(n)
+            if alist[i] is not None and blist[i] is not None]
+    if not vidx:
+        return pd.Series(out, dtype="object")
+    abufs = [bytes(alist[i]) for i in vidx]
+    bbufs = [bytes(blist[i]) for i in vidx]
+    ea = geomops.envelopes(abufs)
+    eb = geomops.envelopes(bbufs)
+    with np.errstate(invalid="ignore"):
+        disj = ((ea[:, 0] > eb[:, 2]) | (eb[:, 0] > ea[:, 2])
+                | (ea[:, 1] > eb[:, 3]) | (eb[:, 1] > ea[:, 3]))
+    refine = []
+    for j, i in enumerate(vidx):
+        if disj[j]:
+            out[i] = env_disjoint_value
+        else:
+            refine.append(j)
+    if not refine:
+        return pd.Series(out, dtype="object")
+
+    if point_lane is not None:
+        pts = wkb.points_batch([abufs[j] for j in refine])
+        if pts is not None:
+            groups: dict = {}
+            for k, j in enumerate(refine):
+                groups.setdefault(bbufs[j], []).append(k)
+            for bb, ks in groups.items():
+                g = wkb.decode_cached(bb)
+                polys = g.polygons()
+                rings = geomops._all_line_rings(g)
+                px, py = pts[ks, 0], pts[ks, 1]
+                hit = np.zeros(len(ks), dtype=bool)
+                for rs in polys:
+                    hit |= geomops.points_in_polygon(px, py, rs)
+                if rings:
+                    hit |= geomops._points_on_lines_mask(
+                        np.column_stack([px, py]), rings)
+                gp = g.points() if not polys and not rings else None
+                if gp is not None and len(gp):
+                    hit |= np.array(
+                        [np.any((gp[:, 0] == x) & (gp[:, 1] == y))
+                         for x, y in zip(px, py)])
+                val = hit if point_lane == "intersects" else ~hit
+                for k, v in zip(ks, val):
+                    out[vidx[refine[k]]] = bool(v)
+            return pd.Series(out, dtype="object")
+
+    for j in refine:
+        ga = wkb.decode_cached(abufs[j])
+        gb = wkb.decode_cached(bbufs[j])
+        out[vidx[j]] = bool(scalar(ga, gb))
+    return pd.Series(out, dtype="object")
+
+
 @pandas_udf(BooleanType())
 def st_intersects(a: pd.Series, b: pd.Series) -> pd.Series:
-    ga, gb = _decode_series(a), _decode_series(b)
-    return pd.Series([bool(geomops.geom_intersects(x, y))
-                      if x is not None and y is not None else None
-                      for x, y in zip(ga, gb)], dtype="object")
+    return _predicate_batch(a, b, geomops.geom_intersects, False,
+                            point_lane="intersects")
 
 
 @pandas_udf(BooleanType())
 def st_contains(a: pd.Series, b: pd.Series) -> pd.Series:
-    ga, gb = _decode_series(a), _decode_series(b)
-    return pd.Series([bool(geomops.geom_contains(x, y))
-                      if x is not None and y is not None else None
-                      for x, y in zip(ga, gb)], dtype="object")
+    return _predicate_batch(a, b, geomops.geom_contains, False)
 
 
 @pandas_udf(BooleanType())
 def st_within(a: pd.Series, b: pd.Series) -> pd.Series:
-    ga, gb = _decode_series(a), _decode_series(b)
-    return pd.Series([bool(geomops.geom_within(x, y))
-                      if x is not None and y is not None else None
-                      for x, y in zip(ga, gb)], dtype="object")
+    return _predicate_batch(a, b, geomops.geom_within, False)
 
 
 @pandas_udf(BooleanType())
 def st_disjoint(a: pd.Series, b: pd.Series) -> pd.Series:
-    ga, gb = _decode_series(a), _decode_series(b)
-    return pd.Series([bool(geomops.geom_disjoint(x, y))
-                      if x is not None and y is not None else None
-                      for x, y in zip(ga, gb)], dtype="object")
+    return _predicate_batch(a, b, geomops.geom_disjoint, True,
+                            point_lane="disjoint")
 
 
 @pandas_udf(BooleanType())
 def st_equals(a: pd.Series, b: pd.Series) -> pd.Series:
-    ga, gb = _decode_series(a), _decode_series(b)
-    return pd.Series([bool(geomops.geom_equals(x, y))
-                      if x is not None and y is not None else None
-                      for x, y in zip(ga, gb)], dtype="object")
+    return _predicate_batch(a, b, geomops.geom_equals, False)
 
 
 @pandas_udf(BooleanType())
 def st_touches(a: pd.Series, b: pd.Series) -> pd.Series:
-    ga, gb = _decode_series(a), _decode_series(b)
-    return pd.Series([bool(geomops.geom_touches(x, y))
-                      if x is not None and y is not None else None
-                      for x, y in zip(ga, gb)], dtype="object")
+    return _predicate_batch(a, b, geomops.geom_touches, False)
 
 
 @pandas_udf(BooleanType())
 def st_crosses(a: pd.Series, b: pd.Series) -> pd.Series:
-    ga, gb = _decode_series(a), _decode_series(b)
-    return pd.Series([bool(geomops.geom_crosses(x, y))
-                      if x is not None and y is not None else None
-                      for x, y in zip(ga, gb)], dtype="object")
+    return _predicate_batch(a, b, geomops.geom_crosses, False)
 
 
 @pandas_udf(BooleanType())
 def st_overlaps(a: pd.Series, b: pd.Series) -> pd.Series:
-    ga, gb = _decode_series(a), _decode_series(b)
-    return pd.Series([bool(geomops.geom_overlaps(x, y))
-                      if x is not None and y is not None else None
-                      for x, y in zip(ga, gb)], dtype="object")
+    return _predicate_batch(a, b, geomops.geom_overlaps, False)
 
 
 def _boolean_series(a: pd.Series, b: pd.Series, op: str) -> pd.Series:

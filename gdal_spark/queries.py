@@ -2790,3 +2790,67 @@ def q_warp_gcp_affine(spark, sf_dir):
     out = warp_run(t, WarpSpec(src, gcp_crs(gcps, order=1), dst,
                                "EPSG:4326", "near", fill=0.0))
     return _px_rows(out, tile=8)
+
+
+@_reg("gtiff_ingest", _DENSITY_XY_SQL + """
+SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y, v AS val_r
+FROM vals
+""")
+def q_gtiff_ingest(spark, sf_dir):
+    """GeoTIFF ingest (frmts/gtiff/ baseline strips + DEFLATE): the 64x64
+    density raster writes to a .tif, the distributed IFD-planned reader
+    (sources/geotiff.py) decodes it back into engine tiles, and every
+    pixel must match the SQL-recomputed counts — replacing the
+    driver-side raster_to_tiles fixture path with a real source."""
+    import os
+    import tempfile
+    import numpy as np
+    from .raster.tiles import decode_px
+    from .sources.geotiff import read_gtiff, write_gtiff
+
+    t = _density_tiles_full(spark, sf_dir)
+    arr = np.zeros((64, 64), np.float64)
+    for r in t.collect():
+        px = decode_px(r.px, r.dtype, 8)
+        arr[r.tile_y * 8:(r.tile_y + 1) * 8,
+            r.tile_x * 8:(r.tile_x + 1) * 8] = px
+    path = os.path.join(tempfile.gettempdir(),
+                        f"gdal_spark_ingest_{os.getpid()}.tif")
+    write_gtiff(arr, path, tile=None, compression="deflate",
+                geotransform=(-180.0, 5.625, 0.0, 90.0, 0.0, -2.8125))
+    tiles = read_gtiff(spark, path, tile=8)
+    return _px_rows(tiles, tile=8)
+
+
+@_reg("st_pip_bulk", f"""
+{_pts_cte()}
+SELECT doc_id,
+       CAST(lon BETWEEN -60.0 AND 60.0 AND lat BETWEEN -30.0 AND 30.0
+            AS BOOLEAN) AS in_rect,
+       CAST(abs(lon / 40.0) + abs(lat / 20.0) <= 1.0 AS BOOLEAN)
+         AS in_diamond
+FROM pts
+""")
+def q_st_pip_bulk(spark, sf_dir):
+    """Bulk ST_Intersects point-vs-polygon through the SQL surface — the
+    round-3 batch lane (functions/st.py _predicate_batch: frombuffer
+    envelopes, short-circuit, grouped points_in_polygon per distinct
+    polygon; no per-row decode). Every page tests against a rectangle and
+    a concave-free diamond; the oracle is the closed-form containment
+    test. Also serves as the predicate-lane microbench in BENCH."""
+    import numpy as np
+    st.register_all(spark)
+    from .core import wkb as _wkb
+    rect = _wkb.box(-60.0, -30.0, 60.0, 30.0)
+    diamond = _wkb.encode(_wkb.Geom(_wkb.POLYGON, [np.array(
+        [[40.0, 0.0], [0.0, 20.0], [-40.0, 0.0], [0.0, -20.0],
+         [40.0, 0.0]])]))
+    p = datagen.points(spark, sf_dir) \
+        .withColumn("_rect", F.lit(rect)) \
+        .withColumn("_dia", F.lit(diamond))
+    p.createOrReplaceTempView("t_pip_bulk")
+    return spark.sql(
+        "SELECT doc_id, "
+        " ST_Intersects(ST_MakePoint(lon, lat), _rect) AS in_rect, "
+        " ST_Intersects(ST_MakePoint(lon, lat), _dia) AS in_diamond "
+        "FROM t_pip_bulk")

@@ -96,17 +96,24 @@ def fill_region(big: np.ndarray, valid: np.ndarray, lo: int, hi: int,
 
 def fillnodata(tiles_df: DataFrame, max_dist: int, smoothing: int = 0,
                tile: int = 256) -> DataFrame:
-    """Fill nodata pixels (max_dist <= tile) -> float64 tile table."""
-    if max_dist > tile:
-        raise ValueError("max_dist must be <= tile (chain rounds otherwise)")
+    """Fill nodata pixels -> float64 tile table.
+
+    Radii beyond one tile replicate a wider halo: each tile ships to every
+    neighbor within Chebyshev distance k = ceil(max_dist / tile), and each
+    task assembles a (2k+1)-tile square before the vectorized ray walk —
+    the multi-ring generalization of the single-ring exchange (the
+    reference's whole-raster two-pass scan, alg/rasterfill.cpp, sees any
+    radius; this lifts the round-2 max_dist <= tile cap). Shuffle volume
+    grows as (2k+1)^2 x raster — keep max_dist << k*tile at scale."""
+    k = max(1, -(-max_dist // tile))
     keys = ["band", "zoom", "tile_x", "tile_y"]
 
     def replicate(batches):
         for pdf in batches:
             out = []
             for r in pdf.itertuples():
-                for dy in (-1, 0, 1):
-                    for dx in (-1, 0, 1):
+                for dy in range(-k, k + 1):
+                    for dx in range(-k, k + 1):
                         out.append((r.band, r.zoom, r.tile_x + dx,
                                     r.tile_y + dy, dx, dy, r.dtype,
                                     r.nodata, r.px))
@@ -114,6 +121,7 @@ def fillnodata(tiles_df: DataFrame, max_dist: int, smoothing: int = 0,
                                              _NBR_SCHEMA.fields])
 
     nbrs = tiles_df.mapInPandas(replicate, _NBR_SCHEMA)
+    side = 2 * k + 1
 
     def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
         center = pdf[(pdf.dx == 0) & (pdf.dy == 0)]
@@ -121,14 +129,15 @@ def fillnodata(tiles_df: DataFrame, max_dist: int, smoothing: int = 0,
             return pd.DataFrame(columns=[f.name for f in TILE_SCHEMA.fields])
         r0 = center.iloc[0]
         nod = float(r0.nodata) if r0.nodata is not None else np.nan
-        big = np.full((3 * tile, 3 * tile), nod, dtype=np.float64)
+        big = np.full((side * tile, side * tile), nod, dtype=np.float64)
         for r in pdf.itertuples():
             # a copy sent by neighbor (dx,dy) sits at OUR offset (-dx,-dy)
-            oy, ox = (1 - int(r.dy)) * tile, (1 - int(r.dx)) * tile
+            oy, ox = (k - int(r.dy)) * tile, (k - int(r.dx)) * tile
             big[oy:oy + tile, ox:ox + tile] = \
                 decode_px(r.px, r.dtype, tile).astype(np.float64)
         valid = ~np.isnan(big) if np.isnan(nod) else big != nod
-        out, _ = fill_region(big, valid, tile, 2 * tile, max_dist, smoothing)
+        out, _ = fill_region(big, valid, k * tile, (k + 1) * tile,
+                             max_dist, smoothing)
         return pd.DataFrame(
             [(int(key[0]), int(key[1]), int(key[2]), int(key[3]),
               "float64", nod, encode_px(out.astype(np.float64)))],

@@ -1,0 +1,315 @@
+"""Baseline GeoTIFF source: pure-numpy TIFF 6.0 parsing (strips + tiles,
+uncompressed + DEFLATE, horizontal predictor), distributed by row-slab.
+
+Re-expresses the reference's GTiff driver front door
+(/root/reference/frmts/gtiff/ — IFD walk, strip/tile block reads) as a
+Spark source for the engine's tile table: the DRIVER parses only the IFD
+(a few hundred bytes), plans which TIFF strips/tiles each engine tile-row
+needs, and every TASK opens the file, reads just its blocks' byte ranges,
+decodes (zlib for DEFLATE, cumsum for predictor=2) and emits engine tiles
+— so raster ingest is a real distributed source, replacing the
+driver-side raster_to_tiles fixture path.
+
+Scope (documented subset of the reference's 160+-tag surface): single
+band, PlanarConfiguration=1, classic TIFF little-endian, sample types
+uint8/int16/uint16/int32/float32/float64, compression none/DEFLATE,
+predictor 1/2, striped or tiled layout, GeoTIFF ModelPixelScale +
+ModelTiepoint georeferencing.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from ..raster.tiles import TILE_SCHEMA, encode_px
+
+# TIFF tag ids
+W, H, BITS, COMP, PHOTO = 256, 257, 258, 259, 262
+STRIP_OFF, SPP, ROWS_PER_STRIP, STRIP_CNT = 273, 277, 278, 279
+PREDICTOR, TILE_W, TILE_L, TILE_OFF, TILE_CNT = 317, 322, 323, 324, 325
+SAMPLE_FORMAT = 339
+MODEL_SCALE, MODEL_TIEPOINT = 33550, 33922
+
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 12: 8}
+_TYPE_FMT = {3: "<H", 4: "<I", 12: "<d"}
+
+_DTYPES = {  # (bits, sample_format) -> numpy dtype
+    (8, 1): "uint8", (16, 1): "uint16", (16, 2): "int16",
+    (32, 1): "uint32", (32, 2): "int32", (32, 3): "float32",
+    (64, 3): "float64",
+}
+
+
+# ---------------------------------------------------------------------------
+# IFD parse
+# ---------------------------------------------------------------------------
+
+def read_ifd(path: str) -> dict:
+    with open(path, "rb") as f:
+        head = f.read(8)
+        if head[:4] != b"II*\x00":
+            raise ValueError("not a little-endian classic TIFF")
+        ifd_off = struct.unpack("<I", head[4:])[0]
+        f.seek(ifd_off)
+        n = struct.unpack("<H", f.read(2))[0]
+        entries = f.read(12 * n)
+        tags: dict[int, list] = {}
+        for i in range(n):
+            tag, typ, cnt = struct.unpack_from("<HHI", entries, 12 * i)
+            raw = entries[12 * i + 8:12 * i + 12]
+            size = _TYPE_SIZE.get(typ, 1) * cnt
+            if size <= 4:
+                data = raw[:size]
+            else:
+                off = struct.unpack("<I", raw)[0]
+                f.seek(off)
+                data = f.read(size)
+            if typ in _TYPE_FMT:
+                fmt = _TYPE_FMT[typ]
+                w = struct.calcsize(fmt)
+                tags[tag] = [struct.unpack_from(fmt, data, w * j)[0]
+                             for j in range(cnt)]
+            else:
+                tags[tag] = [data]
+    out = {
+        "width": tags[W][0], "height": tags[H][0],
+        "bits": tags.get(BITS, [8])[0],
+        "compression": tags.get(COMP, [1])[0],
+        "predictor": tags.get(PREDICTOR, [1])[0],
+        "sample_format": tags.get(SAMPLE_FORMAT, [1])[0],
+        "samples": tags.get(SPP, [1])[0],
+    }
+    out["dtype"] = _DTYPES[(out["bits"], out["sample_format"])]
+    if TILE_OFF in tags:
+        out["layout"] = "tiled"
+        out["tile_w"] = tags[TILE_W][0]
+        out["tile_l"] = tags[TILE_L][0]
+        out["offsets"] = tags[TILE_OFF]
+        out["counts"] = tags[TILE_CNT]
+    else:
+        out["layout"] = "strips"
+        out["rows_per_strip"] = tags.get(ROWS_PER_STRIP,
+                                         [out["height"]])[0]
+        out["offsets"] = tags[STRIP_OFF]
+        out["counts"] = tags[STRIP_CNT]
+    if MODEL_SCALE in tags and MODEL_TIEPOINT in tags:
+        sx, sy = tags[MODEL_SCALE][0], tags[MODEL_SCALE][1]
+        tp = tags[MODEL_TIEPOINT]
+        # tiepoint: raster (i, j, k) -> model (X, Y, Z); GeoTIFF spec
+        out["geotransform"] = (tp[3] - tp[0] * sx, sx, 0.0,
+                               tp[4] + tp[1] * sy, 0.0, -sy)
+    return out
+
+
+def _decode_block(raw: bytes, info: dict, h: int, w: int) -> np.ndarray:
+    if info["compression"] in (8, 32946):       # DEFLATE / old-style
+        raw = zlib.decompress(raw)
+    elif info["compression"] != 1:
+        raise ValueError(
+            f"unsupported TIFF compression {info['compression']}")
+    arr = np.frombuffer(raw, np.dtype(info["dtype"]),
+                        h * w).reshape(h, w).copy()
+    if info["predictor"] == 2:
+        if arr.dtype.kind not in "iu":
+            raise ValueError("predictor=2 is integer-only (TIFF 6.0)")
+        arr = np.cumsum(arr.astype(np.int64), axis=1) \
+            .astype(np.dtype(info["dtype"]))
+    return arr
+
+
+# ---------------------------------------------------------------------------
+# distributed reader -> engine tile table
+# ---------------------------------------------------------------------------
+
+def read_gtiff(spark: SparkSession, path: str, tile: int = 256,
+               band: int = 1, nodata: float | None = None) -> DataFrame:
+    """-> engine tile table (band, zoom=0, tile_x, tile_y, dtype, nodata,
+    px). Each task decodes the TIFF blocks overlapping one engine tile-row
+    and slices/pads them into `tile`-sized tiles."""
+    info = read_ifd(path)
+    width, height = info["width"], info["height"]
+    if info["samples"] != 1:
+        raise ValueError("only single-band GeoTIFFs supported")
+    n_rows = (height + tile - 1) // tile
+
+    # plan: blocks (index, y0, h, x0, w) overlapping each engine tile-row
+    if info["layout"] == "strips":
+        rps = info["rows_per_strip"]
+        blocks = [(k, k * rps, min(rps, height - k * rps), 0, width)
+                  for k in range(len(info["offsets"]))]
+    else:
+        tw, tl = info["tile_w"], info["tile_l"]
+        per_row = (width + tw - 1) // tw
+        blocks = [(k, (k // per_row) * tl, tl, (k % per_row) * tw, tw)
+                  for k in range(len(info["offsets"]))]
+
+    plan = {r: [] for r in range(n_rows)}
+    for blk in blocks:
+        k, y0, h, x0, w = blk
+        r0 = y0 // tile
+        r1 = min((y0 + h - 1) // tile, n_rows - 1)
+        for r in range(r0, r1 + 1):
+            plan[r].append(blk)
+
+    rdf = spark.createDataFrame(
+        pd.DataFrame({"row": list(range(n_rows))}),
+        schema=T.StructType([T.StructField("row", T.LongType())]))
+    offsets = info["offsets"]
+    counts = info["counts"]
+    bc = spark.sparkContext.broadcast(plan)
+    cols = [f.name for f in TILE_SCHEMA.fields]
+
+    def parse(batches):
+        pl = bc.value
+        for pdf in batches:
+            frames = []
+            with open(path, "rb") as fh:
+                for r in pdf["row"]:
+                    r = int(r)
+                    ry0 = r * tile
+                    slab_h = min(tile, height - ry0)
+                    slab = np.zeros((slab_h, width),
+                                    np.dtype(info["dtype"]))
+                    for k, y0, h, x0, w in pl[r]:
+                        fh.seek(offsets[k])
+                        arr = _decode_block(fh.read(counts[k]), info,
+                                            h, w)
+                        # block may overhang the raster edge (tiled pad)
+                        sy0 = max(y0, ry0)
+                        sy1 = min(y0 + h, ry0 + slab_h, height)
+                        sx1 = min(x0 + w, width)
+                        slab[sy0 - ry0:sy1 - ry0, x0:sx1] = \
+                            arr[sy0 - y0:sy1 - y0, :sx1 - x0]
+                    out = []
+                    for tx in range((width + tile - 1) // tile):
+                        px = np.zeros((tile, tile),
+                                      np.dtype(info["dtype"]))
+                        xw = min(tile, width - tx * tile)
+                        px[:slab_h, :xw] = \
+                            slab[:, tx * tile:tx * tile + xw]
+                        out.append((band, 0, tx, r, info["dtype"],
+                                    nodata, encode_px(px)))
+                    frames.append(pd.DataFrame(out, columns=cols))
+            yield pd.concat(frames) if frames else \
+                pd.DataFrame(columns=cols)
+
+    return rdf.mapInPandas(parse, TILE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# writer (fixtures / sink for bounded rasters)
+# ---------------------------------------------------------------------------
+
+_SF_OF_KIND = {"u": 1, "i": 2, "f": 3}
+
+
+def write_gtiff(arr: np.ndarray, path: str, tile: int | None = None,
+                compression: str = "none", predictor: int = 1,
+                geotransform=None) -> None:
+    """ndarray -> classic little-endian GeoTIFF. tile=None writes strips
+    (one per 16 rows), else tile x tile tiles; compression 'none' or
+    'deflate'."""
+    arr = np.ascontiguousarray(arr)
+    height, width = arr.shape
+    dt = arr.dtype
+    bits = dt.itemsize * 8
+    sf = _SF_OF_KIND[dt.kind]
+    comp = 1 if compression == "none" else 8
+
+    if predictor == 2 and dt.kind not in "iu":
+        raise ValueError("predictor=2 is integer-only (TIFF 6.0)")
+
+    def prep(block: np.ndarray) -> bytes:
+        if predictor == 2:
+            b2 = block.astype(np.int64) if dt.kind in "iu" \
+                else block.astype(dt)
+            d = np.empty_like(b2)
+            d[:, 0] = b2[:, 0]
+            d[:, 1:] = b2[:, 1:] - b2[:, :-1]
+            raw = d.astype(dt).tobytes()
+        else:
+            raw = block.tobytes()
+        return zlib.compress(raw) if comp == 8 else raw
+
+    blocks = []
+    if tile is None:
+        rps = 16
+        for y0 in range(0, height, rps):
+            blocks.append(prep(arr[y0:y0 + rps]))
+    else:
+        for ty in range(0, height, tile):
+            for tx in range(0, width, tile):
+                blk = np.zeros((tile, tile), dt)
+                sub = arr[ty:ty + tile, tx:tx + tile]
+                blk[:sub.shape[0], :sub.shape[1]] = sub
+                blocks.append(prep(blk))
+
+    data_start = 8
+    offs, cnts = [], []
+    pos = data_start
+    for b in blocks:
+        offs.append(pos)
+        cnts.append(len(b))
+        pos += len(b)
+
+    entries = []           # (tag, type, count, values list)
+
+    def tag(tg, typ, vals):
+        entries.append((tg, typ, vals))
+
+    tag(W, 4, [width])
+    tag(H, 4, [height])
+    tag(BITS, 3, [bits])
+    tag(COMP, 3, [comp])
+    tag(PHOTO, 3, [1])
+    if tile is None:
+        tag(STRIP_OFF, 4, offs)
+        tag(SPP, 3, [1])
+        tag(ROWS_PER_STRIP, 4, [16])
+        tag(STRIP_CNT, 4, cnts)
+    else:
+        tag(SPP, 3, [1])
+    if predictor != 1:
+        tag(PREDICTOR, 3, [predictor])
+    if tile is not None:
+        tag(TILE_W, 3, [tile])
+        tag(TILE_L, 3, [tile])
+        tag(TILE_OFF, 4, offs)
+        tag(TILE_CNT, 4, cnts)
+    tag(SAMPLE_FORMAT, 3, [sf])
+    if geotransform is not None:
+        gx0, dx, _r1, gy0, _r2, dy = geotransform
+        tag(MODEL_SCALE, 12, [dx, -dy, 0.0])
+        tag(MODEL_TIEPOINT, 12, [0.0, 0.0, 0.0, gx0, gy0, 0.0])
+    entries.sort(key=lambda e: e[0])
+
+    # IFD after the data; oversize values after the IFD
+    ifd_off = pos
+    n = len(entries)
+    tail_off = ifd_off + 2 + 12 * n + 4
+    ifd = struct.pack("<H", n)
+    tail = b""
+    for tg, typ, vals in entries:
+        fmt = _TYPE_FMT[typ]
+        wsz = struct.calcsize(fmt)
+        payload = b"".join(struct.pack(fmt, v) for v in vals)
+        if len(payload) <= 4:
+            ifd += struct.pack("<HHI", tg, typ, len(vals)) \
+                + payload.ljust(4, b"\x00")
+        else:
+            ifd += struct.pack("<HHII", tg, typ, len(vals),
+                               tail_off + len(tail))
+            tail += payload
+    ifd += struct.pack("<I", 0)
+
+    with open(path, "wb") as f:
+        f.write(b"II*\x00" + struct.pack("<I", ifd_off))
+        for b in blocks:
+            f.write(b)
+        f.write(ifd + tail)

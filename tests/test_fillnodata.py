@@ -47,3 +47,29 @@ def test_fill_with_smoothing(spark):
                                      tile=8), tile=8)
     want = ref_fill(arr, -1.0, 8, 2)
     assert np.allclose(got, want)
+
+
+def test_fill_radius_beyond_tile(spark):
+    """max_dist > tile (round-3 multi-ring halo): a hole whose nearest
+    valid pixels sit two tiles away still fills, matching the whole-raster
+    reference."""
+    arr = np.full((32, 32), -1.0)
+    arr[:, 0] = 7.0               # valid only on the west edge
+    arr[:, 31] = 13.0             # and the east edge
+    tiles = raster_to_tiles(spark, arr, zoom=0, tile=8, nodata=-1.0)
+    got = tiles_to_raster(fillnodata(tiles, max_dist=31, tile=8), tile=8)
+    want = ref_fill(arr, -1.0, 31, 0)
+    assert np.allclose(got, want)
+    assert (got != -1.0).all()    # every hole reachable within 31 px
+
+
+def test_fill_radius_beyond_tile_random(spark):
+    rng = np.random.default_rng(23)
+    arr = np.full((40, 40), -1.0)
+    keep = rng.random((40, 40)) < 0.02
+    arr[keep] = rng.uniform(5, 9, keep.sum())
+    tiles = raster_to_tiles(spark, arr, zoom=0, tile=8, nodata=-1.0)
+    got = tiles_to_raster(fillnodata(tiles, max_dist=20, tile=8),
+                          tile=8)[:40, :40]
+    want = ref_fill(arr, -1.0, 20, 0)
+    assert np.allclose(got, want)

@@ -1,0 +1,68 @@
+"""GeoTIFF source round-trips, bit-exact via the autotest checksum oracle.
+
+Reference semantics: /root/reference/frmts/gtiff/ (IFD walk, strip/tile
+block decode, DEFLATE, horizontal predictor) and the autotest strategy of
+pinning rasters by checksum (gcore/checksum — core/checksum.py twin).
+"""
+
+import numpy as np
+import pytest
+
+from gdal_spark.raster.tiles import raster_to_tiles, tiles_to_raster
+from gdal_spark.sources.geotiff import read_gtiff, read_ifd, write_gtiff
+
+
+def _arr(dtype, shape=(40, 56)):
+    rng = np.random.default_rng(17)
+    if np.dtype(dtype).kind == "f":
+        return rng.uniform(-100, 100, shape).astype(dtype)
+    info = np.iinfo(dtype)
+    return rng.integers(max(info.min, -1000), min(info.max, 1000),
+                        shape).astype(dtype)
+
+
+@pytest.mark.parametrize("dtype,tile,compression,predictor", [
+    ("uint8", None, "none", 1),          # baseline strips
+    ("int16", None, "deflate", 2),       # strips + deflate + predictor
+    ("float64", 16, "none", 1),          # tiled
+    ("int32", 16, "deflate", 1),         # tiled + deflate
+    ("float32", None, "deflate", 1),
+    ("uint16", 16, "none", 2),
+])
+def test_roundtrip_bit_exact(spark, tmp_path, dtype, tile, compression,
+                             predictor):
+    arr = _arr(dtype)
+    path = str(tmp_path / "r.tif")
+    write_gtiff(arr, path, tile=tile, compression=compression,
+                predictor=predictor)
+    tiles = read_gtiff(spark, path, tile=8)
+    got = tiles_to_raster(tiles, tile=8)[:arr.shape[0], :arr.shape[1]]
+    assert got.dtype == arr.dtype
+    assert np.array_equal(got, arr)
+
+
+def test_checksum_matches_fixture_path(spark, tmp_path):
+    """read_gtiff must produce the same engine tiles (same checksums) as
+    the driver-side raster_to_tiles fixture path it replaces."""
+    from gdal_spark.raster.tiles import checksum_tiles
+    arr = _arr("int32", (32, 32))
+    path = str(tmp_path / "c.tif")
+    write_gtiff(arr, path, tile=None, compression="deflate")
+    a = {(r.tile_x, r.tile_y): r.checksum
+         for r in checksum_tiles(read_gtiff(spark, path, tile=8),
+                                 tile=8).collect()}
+    b = {(r.tile_x, r.tile_y): r.checksum
+         for r in checksum_tiles(
+             raster_to_tiles(spark, arr, zoom=0, tile=8),
+             tile=8).collect()}
+    assert a == b and len(a) == 16
+
+
+def test_geotransform_tags(tmp_path):
+    arr = _arr("uint8", (16, 16))
+    path = str(tmp_path / "g.tif")
+    gt = (-180.0, 5.625, 0.0, 90.0, 0.0, -2.8125)
+    write_gtiff(arr, path, geotransform=gt)
+    info = read_ifd(path)
+    assert info["geotransform"] == pytest.approx(gt)
+    assert info["width"] == 16 and info["dtype"] == "uint8"
