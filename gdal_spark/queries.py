@@ -2854,3 +2854,59 @@ def q_st_pip_bulk(spark, sf_dir):
         " ST_Intersects(ST_MakePoint(lon, lat), _rect) AS in_rect, "
         " ST_Intersects(ST_MakePoint(lon, lat), _dia) AS in_diamond "
         "FROM t_pip_bulk")
+
+
+@_reg("los_wall", f"""
+{_pts_cte()},
+prs AS (SELECT doc_id,
+               CAST(8 + doc_id % 48 AS BIGINT) AS yb,
+               5.0 + CAST(doc_id % 90 AS DOUBLE) AS zb
+        FROM pts WHERE doc_id % 5 = 0),
+w AS (SELECT doc_id, yb, zb, abs(yb - 32) AS dy FROM prs),
+n AS (SELECT doc_id, yb, zb, dy,
+             greatest(0, CAST(floor((2.0 * dy * 15 - 43) / 86.0)
+                              AS BIGINT) + 1) AS nw
+      FROM w)
+SELECT doc_id,
+       CAST(60.0 + sqrt((225.0 + nw * nw) / (1849.0 + dy * dy))
+            * (zb - 60.0) > 70.0 AS BOOLEAN) AS visible
+FROM n
+""")
+def q_los_wall(spark, sf_dir):
+    """Point-to-point line of sight (GDALIsLineOfSightVisible,
+    alg/los.cpp): sight lines from a fixed observer (5,32,z=60) to
+    per-page targets at x=48 cross a height-70 wall column at x=20 over
+    flat terrain; visibility reduces in closed form to the interpolated
+    line height at the single Bresenham wall-crossing cell, which the
+    oracle recomputes (same closed-form minor-axis step the engine
+    uses)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+    from .raster.dem import los
+    from .raster.tiles import TILE_SCHEMA, encode_px
+
+    tile_ids = spark.range(8).select(F.col("id").alias("tile_x")) \
+        .crossJoin(spark.range(8).select(F.col("id").alias("tile_y")))
+
+    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        tx, ty = int(key[0]), int(key[1])
+        jj, ii = np.meshgrid(np.arange(8), np.arange(8), indexing="ij")
+        arr = np.where(tx * 8 + ii == 20, 70.0, 0.0)
+        return pd.DataFrame([(1, 0, tx, ty, "float64", None,
+                              encode_px(arr.astype(np.float64)))],
+                            columns=[f.name for f in TILE_SCHEMA.fields])
+
+    tiles = tile_ids.groupBy("tile_x", "tile_y").applyInPandas(
+        build, TILE_SCHEMA)
+    pairs = datagen.points(spark, sf_dir) \
+        .where(F.col("doc_id") % 5 == 0) \
+        .select(F.col("doc_id").alias("pid"),
+                F.lit(5).cast("long").alias("xa"),
+                F.lit(32).cast("long").alias("ya"),
+                F.lit(60.0).alias("za"),
+                F.lit(48).cast("long").alias("xb"),
+                (8 + F.col("doc_id") % 48).cast("long").alias("yb"),
+                (5.0 + (F.col("doc_id") % 90).cast("double")).alias("zb"))
+    return los(tiles, pairs, tile=8) \
+        .select(F.col("pid").alias("doc_id"), "visible")

@@ -217,3 +217,68 @@ def test_rasterize_invert(spark):
     # outside: burn
     assert (arr[0:10, 0:10] == 9.0).all()
     assert (arr[:, TILE:] == 9.0).all()            # untouched tile all-burn
+
+
+def test_los_bresenham_cells_match_reference_loop():
+    """Closed-form Bresenham must equal a literal port of los.cpp:36."""
+    import numpy as np
+    from gdal_spark.raster.dem import _bresenham_cells
+
+    def loop_cells(x1, y1, x2, y2):
+        dx = abs(x2 - x1); incx = 1 if x2 >= x1 else -1
+        dy = abs(y2 - y1); incy = 1 if y2 >= y1 else -1
+        x, y = x1, y1; pts = []
+        if dx >= dy:
+            dy2 = dy * 2; balance = dy2 - dx; dx2 = dx * 2
+            while x != x2:
+                pts.append((x, y))
+                if balance >= 0:
+                    y += incy; balance -= dx2
+                balance += dy2; x += incx
+            pts.append((x, y))
+        else:
+            dx2 = dx * 2; balance = dx2 - dy; dy2 = dy * 2
+            while y != y2:
+                pts.append((x, y))
+                if balance >= 0:
+                    x += incx; balance -= dy2
+                balance += dx2; y += incy
+            pts.append((x, y))
+        return pts
+
+    rng = np.random.default_rng(5)
+    for _ in range(200):
+        x1, y1, x2, y2 = (int(v) for v in rng.integers(-25, 25, 4))
+        xs, ys = _bresenham_cells(x1, y1, x2, y2)
+        assert list(zip(xs, ys)) == loop_cells(x1, y1, x2, y2)
+
+
+def test_los_wall_blocks_and_flat_sees(spark):
+    """GDALIsLineOfSightVisible semantics (alg/los.cpp): flat terrain with
+    a tall wall column — sight lines over the wall pass, under it block;
+    off-raster targets block."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+    from gdal_spark.raster.dem import los
+
+    t = 8
+    arr = np.zeros((32, 32))
+    arr[:, 20] = 70.0
+    df = tiles.raster_to_tiles(spark, arr, tile=t)
+    pairs = pd.DataFrame(
+        [(0, 5, 16, 60.0, 30, 16, 95.0),    # crosses wall high -> visible
+         (1, 5, 16, 10.0, 30, 16, 12.0),    # crosses wall low -> blocked
+         (2, 5, 2, 60.0, 18, 30, 5.0),      # stays west of wall -> visible
+         (3, 5, 16, 60.0, 200, 16, 90.0),   # off-raster target -> blocked
+         (4, 25, 4, 1.0, 28, 28, 2.0)],     # east side, no wall -> visible
+        columns=["pid", "xa", "ya", "za", "xb", "yb", "zb"])
+    sdf = spark.createDataFrame(pairs, schema=T.StructType([
+        T.StructField("pid", T.LongType()),
+        T.StructField("xa", T.LongType()), T.StructField("ya", T.LongType()),
+        T.StructField("za", T.DoubleType()),
+        T.StructField("xb", T.LongType()), T.StructField("yb", T.LongType()),
+        T.StructField("zb", T.DoubleType())]))
+    got = {r.pid: r.visible for r in los(df, sdf, tile=t).collect()}
+    # pid 0: line z at x=20 = 60 + (15/25)*(95-60) = 81 > 70 -> visible
+    assert got == {0: True, 1: False, 2: True, 3: False, 4: True}
