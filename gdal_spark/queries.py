@@ -2910,3 +2910,102 @@ def q_los_wall(spark, sf_dir):
                 (5.0 + (F.col("doc_id") % 90).cast("double")).alias("zb"))
     return los(tiles, pairs, tile=8) \
         .select(F.col("pid").alias("doc_id"), "visible")
+
+
+@_reg("median_cut_pct", _DENSITY_XY_SQL + """
+SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+       CAST(CAST(v AS BIGINT) % 256 AS INTEGER) // 8 AS rb,
+       CAST((CAST(v AS BIGINT) * 7) % 256 AS INTEGER) // 8 AS gb,
+       CAST((CAST(v AS BIGINT) * 13) % 256 AS INTEGER) // 8 AS bb
+FROM vals
+""")
+def q_median_cut_pct(spark, sf_dir):
+    """GDALComputeMedianCutPCT + diffusion-free RGB->PCT
+    (alg/gdalmediancut.cpp; quantization is the map-only counterpart of
+    alg/gdaldither.cpp): an RGB rendering of the density raster has fewer
+    distinct colors than the palette budget, so the median cut terminates
+    at exactly those colors and quantization is bucket-identity — each
+    pixel's palette entry must sit in the same 5-bit bucket as its source
+    color, which the oracle recomputes arithmetically."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+    from .raster.palette import compute_median_cut_pct, rgb_to_pct
+    from .raster.tiles import TILE_SCHEMA, decode_px, encode_px
+
+    t = _density_tiles_full(spark, sf_dir)
+
+    def to_rgb(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples():
+                v = decode_px(r.px, r.dtype, 8).astype(np.int64)
+                for band, mul in ((1, 1), (2, 7), (3, 13)):
+                    out.append((band, r.zoom, r.tile_x, r.tile_y,
+                                "uint8", None,
+                                encode_px(((v * mul) % 256)
+                                          .astype(np.uint8))))
+            yield pd.DataFrame(out, columns=[f.name for f in
+                                             TILE_SCHEMA.fields])
+
+    rgb = t.mapInPandas(to_rgb, TILE_SCHEMA).localCheckpoint()
+    pal = compute_median_cut_pct(rgb, n_colors=256, tile=8)
+    idx_tiles = rgb_to_pct(rgb, pal, tile=8)
+    rows = _px_rows(idx_tiles, tile=8, dtype="uint8", name="pidx")
+    pal_df = spark.createDataFrame(
+        pd.DataFrame({"pidx": np.arange(len(pal), dtype=np.float64),
+                      "rb": (pal[:, 0] >> 3).astype(np.int32),
+                      "gb": (pal[:, 1] >> 3).astype(np.int32),
+                      "bb": (pal[:, 2] >> 3).astype(np.int32)}),
+        schema=T.StructType([T.StructField("pidx", T.DoubleType()),
+                             T.StructField("rb", T.IntegerType()),
+                             T.StructField("gb", T.IntegerType()),
+                             T.StructField("bb", T.IntegerType())]))
+    return rows.join(F.broadcast(pal_df), "pidx") \
+        .select("x", "y", "rb", "gb", "bb")
+
+
+@_reg("gpkg_roundtrip", f"""
+{_pts_cte()}
+SELECT doc_id, ROUND(lon, 9) AS lon_r, ROUND(lat, 9) AS lat_r
+FROM pts WHERE doc_id % 7 = 0
+""")
+def q_gpkg_roundtrip(spark, sf_dir):
+    """GeoPackage driver round-trip (ogr/ogrsf_frmts/gpkg/
+    ogrgeopackagetablelayer.cpp; GPB codec per OGC 12-128r15): every 7th
+    page writes into a .gpkg feature table and reads back through the
+    rowid-range distributed reader; the oracle recomputes the same
+    (doc_id, lon, lat) set from the source table."""
+    import os
+    import tempfile
+    import numpy as np
+    from .core import wkb as _wkb
+    from .sources.gpkg import read_gpkg, write_gpkg
+
+    pts = datagen.points(spark, sf_dir).where(F.col("doc_id") % 7 == 0) \
+        .select("doc_id", "lon", "lat").orderBy("doc_id").collect()
+    path = os.path.join(tempfile.gettempdir(),
+                        f"gdal_spark_gpkg_{os.getpid()}.gpkg")
+    if os.path.exists(path):
+        os.unlink(path)
+    rows = [(_wkb.encode(_wkb.Geom(_wkb.POINT,
+                                   [np.array([[r.lon, r.lat]])])),
+             {"doc_id": int(r.doc_id)}) for r in pts]
+    write_gpkg(rows, path, table="pages", geometry_type="POINT")
+    out = read_gpkg(spark, path, rows_per_task=64)
+
+    @F.pandas_udf("double")
+    def px(geom):
+        import pandas as pd
+        return pd.Series([_wkb.decode(bytes(b)).rings[0][0][0]
+                          for b in geom])
+
+    @F.pandas_udf("double")
+    def py(geom):
+        import pandas as pd
+        return pd.Series([_wkb.decode(bytes(b)).rings[0][0][1]
+                          for b in geom])
+
+    return out.select(F.col("doc_id"),
+                      F.round(px("geom"), 9).alias("lon_r"),
+                      F.round(py("geom"), 9).alias("lat_r"))

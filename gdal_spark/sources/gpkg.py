@@ -1,0 +1,200 @@
+"""GeoPackage source: stdlib-sqlite3 + pure-numpy GPB codec, distributed
+by rowid range.
+
+Re-expresses the reference's GPKG driver front door
+(/root/reference/ogr/ogrsf_frmts/gpkg/ogrgeopackagetablelayer.cpp —
+gpkg_contents/gpkg_geometry_columns discovery, GeoPackageBinary blob
+decode per OGC 12-128r15 §2.1.3) Spark-first: the DRIVER opens the
+SQLite file read-only just to list layers and min/max rowid, then each
+TASK opens its own connection and SELECTs only its rowid range — SQLite
+files are safe for concurrent readers, so a billion-row GPKG scans in
+parallel with no driver bottleneck.
+
+GPB blob layout (public spec): magic 'GP', version byte, flags byte
+(bit 0 endianness of envelope, bits 1-3 envelope type, bit 4 empty,
+bit 5 extended), int32 srs_id, optional envelope (4/6/8 doubles), then
+standard ISO WKB.
+"""
+
+from __future__ import annotations
+
+import sqlite3
+import struct
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+_ENV_DOUBLES = {0: 0, 1: 4, 2: 6, 3: 6, 4: 8}
+
+
+def gpb_to_wkb(blob: bytes):
+    """GeoPackageBinary -> (ISO WKB bytes, srs_id); None for empty."""
+    if blob is None:
+        return None, None
+    blob = bytes(blob)
+    if blob[:2] != b"GP":
+        raise ValueError("not a GeoPackage geometry blob")
+    flags = blob[3]
+    if flags & 0x20:
+        raise ValueError("extended GPB not supported")
+    env_type = (flags >> 1) & 0x07
+    byte_order = flags & 0x01
+    srs = struct.unpack_from("<i" if byte_order else ">i", blob, 4)[0]
+    header_len = 8 + 8 * _ENV_DOUBLES.get(env_type, 0)
+    if flags & 0x10:                      # empty-geometry flag
+        return None, srs
+    return blob[header_len:], srs
+
+
+def wkb_to_gpb(wkb_bytes: bytes, srs_id: int = 4326) -> bytes:
+    """ISO WKB -> minimal GPB blob (no envelope, little-endian)."""
+    return b"GP\x00\x01" + struct.pack("<i", srs_id) + bytes(wkb_bytes)
+
+
+def list_layers(path: str):
+    """[(table, geom_column, srs_id)] from gpkg_geometry_columns."""
+    con = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
+    try:
+        rows = con.execute(
+            "SELECT table_name, column_name, srs_id "
+            "FROM gpkg_geometry_columns").fetchall()
+    finally:
+        con.close()
+    return [(str(t), str(c), int(s)) for t, c, s in rows]
+
+
+_SQL_TYPES = {
+    "INTEGER": T.LongType(), "INT": T.LongType(),
+    "MEDIUMINT": T.LongType(), "SMALLINT": T.LongType(),
+    "TINYINT": T.LongType(), "BOOLEAN": T.BooleanType(),
+    "REAL": T.DoubleType(), "DOUBLE": T.DoubleType(),
+    "FLOAT": T.DoubleType(),
+    "TEXT": T.StringType(), "BLOB": T.BinaryType(),
+}
+
+
+def read_gpkg(spark: SparkSession, path: str, table: str | None = None,
+              rows_per_task: int = 262144) -> DataFrame:
+    """-> DataFrame(fid, geom WKB, <attrs>) for one GPKG vector layer."""
+    layers = list_layers(path)
+    if table is None:
+        table, geom_col, _srs = layers[0]
+    else:
+        geom_col = next(c for t, c, _s in layers if t == table)
+
+    con = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
+    try:
+        info = con.execute(f'PRAGMA table_info("{table}")').fetchall()
+        lo_hi = con.execute(
+            f'SELECT min(rowid), max(rowid) FROM "{table}"').fetchone()
+    finally:
+        con.close()
+    lo, hi = (int(lo_hi[0]), int(lo_hi[1])) if lo_hi[0] is not None \
+        else (0, -1)
+
+    pk = next((c[1] for c in info if c[5]), None)     # INTEGER PRIMARY KEY
+    attrs = [(c[1], (c[2] or "TEXT").upper().split("(")[0]) for c in info
+             if c[1] not in (geom_col, pk)]
+    schema = T.StructType(
+        [T.StructField("fid", T.LongType()),
+         T.StructField("geom", T.BinaryType())]
+        + [T.StructField(n, _SQL_TYPES.get(t, T.StringType()))
+           for n, t in attrs])
+    cols = [f.name for f in schema.fields]
+    attr_sql = ", ".join(f'"{n}"' for n, _t in attrs)
+    sel = (f'SELECT rowid, "{geom_col}"'
+           + (", " + attr_sql if attr_sql else "")
+           + f' FROM "{table}" WHERE rowid BETWEEN ? AND ?')
+
+    ranges = [(a, min(a + rows_per_task - 1, hi))
+              for a in range(lo, hi + 1, rows_per_task)] or [(1, 0)]
+    rdf = spark.createDataFrame(
+        pd.DataFrame(ranges, columns=["lo", "hi"]),
+        schema=T.StructType([T.StructField("lo", T.LongType()),
+                             T.StructField("hi", T.LongType())]))
+
+    def parse(batches):
+        for pdf in batches:
+            frames = []
+            con = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
+            try:
+                for r in pdf.itertuples():
+                    rows = []
+                    for rec in con.execute(sel, (int(r.lo), int(r.hi))):
+                        wkb_bytes, _srs = gpb_to_wkb(rec[1])
+                        rows.append([int(rec[0]), wkb_bytes,
+                                     *rec[2:]])
+                    frames.append(pd.DataFrame(rows, columns=cols))
+            finally:
+                con.close()
+            yield pd.concat(frames) if frames else \
+                pd.DataFrame(columns=cols)
+
+    return rdf.mapInPandas(parse, schema)
+
+
+def write_gpkg(rows, path: str, table: str = "layer",
+               srs_id: int = 4326, geometry_type: str = "GEOMETRY",
+               attr_types: dict | None = None) -> None:
+    """rows: [(wkb_or_None, {attr: value})] -> a minimal spec-conformant
+    GeoPackage (gpkg_spatial_ref_sys + gpkg_contents +
+    gpkg_geometry_columns + the feature table). Fixture writer/sink for
+    bounded layers."""
+    rows = list(rows)
+    attrs = list(rows[0][1].keys()) if rows else []
+
+    def sql_type(v):
+        if isinstance(v, bool):
+            return "BOOLEAN"
+        if isinstance(v, int):
+            return "INTEGER"
+        if isinstance(v, float):
+            return "DOUBLE"
+        return "TEXT"
+
+    types = attr_types or {a: sql_type(rows[0][1][a]) for a in attrs}
+    con = sqlite3.connect(path)
+    try:
+        cur = con.cursor()
+        cur.execute("PRAGMA application_id = 1196444487")   # 'GPKG'
+        cur.execute("PRAGMA user_version = 10300")
+        cur.execute(
+            "CREATE TABLE IF NOT EXISTS gpkg_spatial_ref_sys ("
+            "srs_name TEXT NOT NULL, srs_id INTEGER PRIMARY KEY, "
+            "organization TEXT NOT NULL, organization_coordsys_id "
+            "INTEGER NOT NULL, definition TEXT NOT NULL, "
+            "description TEXT)")
+        cur.execute(
+            "INSERT OR IGNORE INTO gpkg_spatial_ref_sys VALUES "
+            "('WGS 84', 4326, 'EPSG', 4326, 'GEOGCS[\"WGS 84\"]', NULL)")
+        cur.execute(
+            "CREATE TABLE IF NOT EXISTS gpkg_contents ("
+            "table_name TEXT PRIMARY KEY, data_type TEXT NOT NULL, "
+            "identifier TEXT, description TEXT, last_change TEXT, "
+            "min_x DOUBLE, min_y DOUBLE, max_x DOUBLE, max_y DOUBLE, "
+            "srs_id INTEGER)")
+        cur.execute(
+            "CREATE TABLE IF NOT EXISTS gpkg_geometry_columns ("
+            "table_name TEXT NOT NULL, column_name TEXT NOT NULL, "
+            "geometry_type_name TEXT NOT NULL, srs_id INTEGER NOT NULL, "
+            "z TINYINT NOT NULL, m TINYINT NOT NULL)")
+        coldefs = "".join(f', "{a}" {types[a]}' for a in attrs)
+        cur.execute(f'CREATE TABLE "{table}" (fid INTEGER PRIMARY KEY, '
+                    f'geom BLOB{coldefs})')
+        cur.execute(
+            "INSERT INTO gpkg_contents (table_name, data_type, "
+            "identifier, srs_id) VALUES (?, 'features', ?, ?)",
+            (table, table, srs_id))
+        cur.execute(
+            "INSERT INTO gpkg_geometry_columns VALUES (?, 'geom', ?, "
+            "?, 0, 0)", (table, geometry_type, srs_id))
+        ph = ", ".join("?" for _ in range(2 + len(attrs)))
+        for i, (g, a) in enumerate(rows):
+            cur.execute(
+                f'INSERT INTO "{table}" VALUES ({ph})',
+                (i + 1, wkb_to_gpb(g, srs_id) if g is not None else None,
+                 *[a.get(k) for k in attrs]))
+        con.commit()
+    finally:
+        con.close()
