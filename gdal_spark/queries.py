@@ -3009,3 +3009,18 @@ def q_gpkg_roundtrip(spark, sf_dir):
     return out.select(F.col("doc_id"),
                       F.round(px("geom"), 9).alias("lon_r"),
                       F.round(py("geom"), 9).alias("lat_r"))
+
+
+@_reg("retile_16", _DENSITY_XY_SQL + """
+SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y, v AS val_r
+FROM vals
+""")
+def q_retile_16(spark, sf_dir):
+    """gdal_retile (osgeo_utils/gdal_retile.py): re-block the 8-px density
+    tiles to 16-px tiles (sub-block emit + groupBy(dst tile) assemble) —
+    the per-pixel content must be unchanged, which the oracle recomputes
+    from the source counts."""
+    from .raster.tiles import retile
+    t = _density_tiles_full(spark, sf_dir)
+    out = retile(t, src_tile=8, dst_tile=16)
+    return _px_rows(out, tile=16)
