@@ -2,10 +2,10 @@
 
 entry()      — flagship point-in-polygon spatial join at sf0.001.
 queries()    — every implemented operator (SURVEY.md §2) as (spark, sf_dir) -> DF.
-oracle_sql() — DuckDB-equivalent SQL for EVERY query (round 2: all 60
-               entries fully value-hash oracled, including the approximate
-               LSH top-k whose in-bucket brute-force re-rank is
-               deterministic and therefore SQL-expressible).
+oracle_sql() — DuckDB-equivalent SQL for EVERY query (round 3: all 91
+               entries fully value-hash oracled — zero rows-only checks;
+               even the approximate LSH top-k is SQL-expressible because
+               its in-bucket brute-force re-rank is deterministic).
 """
 
 from __future__ import annotations

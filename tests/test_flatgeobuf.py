@@ -97,3 +97,53 @@ def test_hilbert_sort_changes_file_order_not_results(spark, tmp_path):
     a = sorted((r.name, r.rank) for r in read_fgb(spark, p1).collect())
     b = sorted((r.name, r.rank) for r in read_fgb(spark, p2).collect())
     assert a == b
+
+
+def test_fgb_property_roundtrip_random_geoms(spark, tmp_path):
+    """Hypothesis-style randomized round-trip: random rectangles-with-
+    holes, multipolygons, lines and points survive the FlatBuffers
+    encode/decode byte-for-byte in coordinates and attributes."""
+    rng = np.random.default_rng(31)
+    rows = []
+    for i in range(60):
+        kind = i % 4
+        cx, cy = rng.uniform(-170, 170), rng.uniform(-80, 80)
+        w, h = rng.uniform(0.5, 5, 2)
+        if kind == 0:
+            g = wkb.Geom(wkb.POINT, [np.array([[cx, cy]])])
+        elif kind == 1:
+            ln = np.column_stack([cx + np.cumsum(rng.uniform(0, 1, 5)),
+                                  cy + rng.uniform(-1, 1, 5)])
+            g = wkb.Geom(wkb.LINESTRING, [ln])
+        elif kind == 2:
+            shell = np.array([[cx, cy], [cx + w, cy], [cx + w, cy + h],
+                              [cx, cy + h], [cx, cy]])
+            hole = np.array([[cx + w/3, cy + h/3], [cx + w/3, cy + 2*h/3],
+                             [cx + 2*w/3, cy + 2*h/3],
+                             [cx + 2*w/3, cy + h/3],
+                             [cx + w/3, cy + h/3]])
+            g = wkb.Geom(wkb.POLYGON, [shell, hole])
+        else:
+            p1 = wkb.Geom(wkb.POLYGON, [np.array(
+                [[cx, cy], [cx + 1, cy], [cx + 1, cy + 1], [cx, cy + 1],
+                 [cx, cy]])])
+            p2 = wkb.Geom(wkb.POLYGON, [np.array(
+                [[cx + 3, cy], [cx + 4, cy], [cx + 4, cy + 1],
+                 [cx + 3, cy + 1], [cx + 3, cy]])])
+            g = wkb.Geom(wkb.MULTIPOLYGON, parts=[p1, p2])
+        rows.append((wkb.encode(g), {"i": i, "tag": f"t{i}"}))
+    path = str(tmp_path / "prop.fgb")
+    write_fgb(rows, path)
+    out = {r.i: r for r in read_fgb(spark, path).collect()}
+    assert len(out) == 60
+    for i, (gb, attrs) in enumerate(rows):
+        want = wkb.decode(gb)
+        got = wkb.decode(bytes(out[i].geom))
+        assert got.gtype == want.gtype
+        assert np.array_equal(got.points(), want.points()) or all(
+            np.array_equal(a, b) for a, b in zip(
+                [r for r in got.rings] + [r for p in got.parts
+                                          for r in p.rings],
+                [r for r in want.rings] + [r for p in want.parts
+                                           for r in p.rings]))
+        assert out[i].tag == f"t{i}"

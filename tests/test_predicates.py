@@ -105,3 +105,45 @@ def test_overlaps_multipolygon():
                             [[(10, 0), (14, 0), (14, 4), (10, 4)]]]))
     b = G(wkb.box(2, 0, 12, 4))
     assert geomops.geom_overlaps(a, b)
+
+
+def test_predicate_batch_lane_matches_scalar_on_boundary_points():
+    """The point-vs-polygon batch lane (functions/st.py _predicate_batch)
+    must agree with the scalar DE-9IM kernel including ON-boundary and
+    vertex-coincident points (it reuses the same points_in_polygon /
+    _points_on_lines_mask helpers)."""
+    import numpy as np
+    import pandas as pd
+    from gdal_spark.core import geomops, wkb
+    from gdal_spark.functions.st import _predicate_batch
+
+    poly = wkb.encode(wkb.Geom(wkb.POLYGON, [np.array(
+        [[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]], np.float64),
+        np.array([[4, 4], [4, 6], [6, 6], [6, 4], [4, 4]], np.float64)]))
+    pts = [(5.0, 1.0),    # inside shell
+           (5.0, 5.0),    # inside hole -> outside
+           (0.0, 5.0),    # on shell edge
+           (0.0, 0.0),    # on shell vertex
+           (4.0, 5.0),    # on hole edge
+           (20.0, 20.0),  # far outside (envelope short-circuit)
+           (10.0, 10.0)]  # on far corner
+    a = pd.Series([wkb.encode(wkb.Geom(wkb.POINT,
+                                       [np.array([[x, y]])]))
+                   for x, y in pts])
+    b = pd.Series([poly] * len(pts))
+    lane = list(_predicate_batch(a, b, geomops.geom_intersects, False,
+                                 point_lane="intersects"))
+    scalar = [geomops.geom_intersects(wkb.decode(bytes(g)),
+                                      wkb.decode(poly))
+              for g in a]
+    assert lane == scalar
+    lane_d = list(_predicate_batch(a, b, geomops.geom_disjoint, True,
+                                   point_lane="disjoint"))
+    assert lane_d == [not v for v in scalar]
+    # mixed batch (a polygon amid the points) must fall back and still
+    # agree with the scalar kernel
+    a2 = pd.concat([a, pd.Series([poly])], ignore_index=True)
+    b2 = pd.concat([b, pd.Series([poly])], ignore_index=True)
+    lane2 = list(_predicate_batch(a2, b2, geomops.geom_intersects, False,
+                                  point_lane="intersects"))
+    assert lane2 == scalar + [True]
