@@ -41,6 +41,7 @@ Cardinality contracts (matching the reference):
 
 from __future__ import annotations
 
+import zlib
 from typing import Iterator
 
 import numpy as np
@@ -213,7 +214,11 @@ def _reverse_leftovers(subject: DataFrame, method: DataFrame, mid_col: str,
                 if not len(hit):
                     continue
                 b = bytes(geoms[i])
-                sv = hash(b) % salt
+                # deterministic across workers (python hash() is
+                # process-salted; recomputation of this branch must
+                # assign identical buckets or the per-mid bucket COUNT
+                # check in fold_meet would drift)
+                sv = zlib.crc32(b) % salt
                 for k in hit:
                     out_mid.append(m_ids[k])
                     out_salt.append(sv)

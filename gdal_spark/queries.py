@@ -3024,3 +3024,37 @@ def q_retile_16(spark, sf_dir):
     t = _density_tiles_full(spark, sf_dir)
     out = retile(t, src_tile=8, dst_tile=16)
     return _px_rows(out, tile=16)
+
+
+@_reg("warp_rpc_affine", _DENSITY_XY_SQL + """
+SELECT CAST((x - 1) / 2 AS BIGINT) AS x, CAST((y - 1) / 2 AS BIGINT) AS y,
+       v AS val_r
+FROM vals WHERE x % 2 = 1 AND y % 2 = 1
+""")
+def q_warp_rpc_affine(spark, sf_dir):
+    """gdalwarp through an RPC transformer (GDALCreateRPCTransformer,
+    alg/gdal_rpc.cpp): an affine RPC00B model encodes image px = (world -
+    offset) / 2 so the half-resolution destination grid samples source
+    pixels (2i+1, 2j+1) — same analytic construction as warp_gcp_affine,
+    exercising the rational-polynomial forward evaluation and the Newton
+    inverse inside the distributed warp chain."""
+    from .raster.rasterize import GridSpec
+    from .raster.transforms import rpc_crs
+    from .raster.warp import WarpSpec, warp as warp_run
+    t = _density_tiles_full(spark, sf_dir)
+    # normalized affine: samp = L, line = P with SAMP/LINE_SCALE=32,
+    # OFF=32 and LONG/LAT_SCALE=64, OFF=74/84  ->  px = (world - 10)/2
+    meta = dict(LINE_OFF=32.0, SAMP_OFF=32.0, LAT_OFF=84.0, LONG_OFF=74.0,
+                HEIGHT_OFF=0.0, LINE_SCALE=32.0, SAMP_SCALE=32.0,
+                LAT_SCALE=64.0, LONG_SCALE=64.0, HEIGHT_SCALE=100.0)
+    z = [0.0] * 20
+    sn = z.copy(); sn[1] = 1.0
+    ln = z.copy(); ln[2] = 1.0
+    den = z.copy(); den[0] = 1.0
+    src = GridSpec(x0=0.0, y0=0.0, dx=1.0, dy=1.0, width=64, height=64,
+                   tile=8)
+    dst = GridSpec(x0=11.0, y0=21.0, dx=4.0, dy=4.0, width=32, height=32,
+                   tile=8)
+    out = warp_run(t, WarpSpec(src, rpc_crs(meta, ln, den, sn, den), dst,
+                               "EPSG:4326", "near", fill=0.0))
+    return _px_rows(out, tile=8)

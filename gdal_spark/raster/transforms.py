@@ -396,7 +396,8 @@ def tps_crs(gcps, crs: str = "EPSG:4326") -> str:
 
 
 def _is_fitted_crs(crs: str) -> bool:
-    return crs.startswith("GCP") or crs.startswith("TPS@")
+    return crs.startswith("GCP") or crs.startswith("TPS@") \
+        or crs.startswith("RPC@")
 
 
 def _poly_terms(x, y, order: int):
@@ -458,6 +459,12 @@ def _fitted(crs: str, forward: bool):
     computing both CRS_georef directions."""
     head, body = crs.split("|", 1)
     kind, target = head.split("@", 1) if "@" in head else (head, "EPSG:4326")
+    if kind == "RPC":
+        # forward = image (pixel) -> ground CRS = iterative inversion;
+        # reverse = ground -> image = direct rational evaluation
+        if forward:
+            return target, lambda x, y: _rpc_image_to_ground(crs, x, y)
+        return target, lambda x, y: _rpc_ground_to_image(crs, x, y)
     pts = np.array([[float(v) for v in row.split(",")]
                     for row in body.split(";")], np.float64)
     src, dst = pts[:, :2], pts[:, 2:]
@@ -477,3 +484,81 @@ def _fitted(crs: str, forward: bool):
                             np.asarray(y, np.float64), order)
             return A @ cx, A @ cy
     return target, fn
+
+
+# ---------------------------------------------------------------------------
+# RPC transformer (alg/gdal_rpc.cpp GDALCreateRPCTransformer): RPC00B
+# rational polynomials image<->ground. Ground->image is the direct 20-term
+# cubic rational evaluation (gdal_rpc.cpp RPCComputeTerms/RPCEvaluate);
+# image->ground is the iterative inversion. Serialized like GCP/TPS:
+# "RPC@<crs>|height;LINE_OFF,...;line_num;line_den;samp_num;samp_den".
+# ---------------------------------------------------------------------------
+
+def rpc_crs(meta: dict, line_num, line_den, samp_num, samp_den,
+            height: float = 0.0, crs: str = "EPSG:4326") -> str:
+    """meta keys: LINE_OFF, SAMP_OFF, LAT_OFF, LONG_OFF, HEIGHT_OFF,
+    LINE_SCALE, SAMP_SCALE, LAT_SCALE, LONG_SCALE, HEIGHT_SCALE."""
+    keys = ("LINE_OFF", "SAMP_OFF", "LAT_OFF", "LONG_OFF", "HEIGHT_OFF",
+            "LINE_SCALE", "SAMP_SCALE", "LAT_SCALE", "LONG_SCALE",
+            "HEIGHT_SCALE")
+    m = ",".join(repr(float(meta[k])) for k in keys)
+    cs = ";".join(",".join(repr(float(v)) for v in c)
+                  for c in (line_num, line_den, samp_num, samp_den))
+    return f"RPC@{crs}|{height!r};{m};{cs}"
+
+
+def _rpc_terms(L, P, H):
+    """RPC00B 20-term ordering (gdal_rpc.cpp RPCComputeTerms)."""
+    one = np.ones_like(L)
+    return np.stack([
+        one, L, P, H, L * P, L * H, P * H, L * L, P * P, H * H,
+        L * P * H, L ** 3, L * P * P, L * H * H, L * L * P, P ** 3,
+        P * H * H, L * L * H, P * P * H, H ** 3], axis=-1)
+
+
+def _parse_rpc(crs: str):
+    body = crs.split("|", 1)[1]
+    parts = body.split(";")
+    height = float(parts[0])
+    meta = [float(v) for v in parts[1].split(",")]
+    coefs = [np.array([float(v) for v in p.split(",")], np.float64)
+             for p in parts[2:6]]
+    return height, meta, coefs
+
+
+def _rpc_ground_to_image(crs: str, lon, lat):
+    height, meta, (ln, ld, sn, sd) = _parse_rpc(crs)
+    (line_off, samp_off, lat_off, long_off, h_off,
+     line_sc, samp_sc, lat_sc, long_sc, h_sc) = meta
+    L = (np.asarray(lon, np.float64) - long_off) / long_sc
+    P = (np.asarray(lat, np.float64) - lat_off) / lat_sc
+    H = np.full_like(L, (height - h_off) / h_sc)
+    t = _rpc_terms(L, P, H)
+    samp = (t @ sn) / (t @ sd) * samp_sc + samp_off
+    line = (t @ ln) / (t @ ld) * line_sc + line_off
+    return samp, line
+
+
+def _rpc_image_to_ground(crs: str, samp, line, iters: int = 12):
+    """Iterative inversion (gdal_rpc.cpp reverse transform): damped Newton
+    on the normalized ground coords with a numeric 2x2 Jacobian."""
+    height, meta, _ = _parse_rpc(crs)
+    (_lo, _so, lat_off, long_off, _ho,
+     _ls, _ss, lat_sc, long_sc, _hs) = meta
+    lon = np.full_like(np.asarray(samp, np.float64), long_off)
+    lat = np.full_like(np.asarray(line, np.float64), lat_off)
+    eps_lon, eps_lat = 1e-7 * long_sc, 1e-7 * lat_sc
+    for _ in range(iters):
+        s0, l0 = _rpc_ground_to_image(crs, lon, lat)
+        fx, fy = s0 - samp, l0 - line
+        s1, l1 = _rpc_ground_to_image(crs, lon + eps_lon, lat)
+        s2, l2 = _rpc_ground_to_image(crs, lon, lat + eps_lat)
+        a = (s1 - s0) / eps_lon
+        b = (s2 - s0) / eps_lat
+        c = (l1 - l0) / eps_lon
+        d = (l2 - l0) / eps_lat
+        det = a * d - b * c
+        det = np.where(np.abs(det) < 1e-30, 1e-30, det)
+        lon = lon - (d * fx - b * fy) / det
+        lat = lat - (-c * fx + a * fy) / det
+    return lon, lat

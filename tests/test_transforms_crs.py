@@ -270,3 +270,37 @@ def test_warp_through_gcp_matches_affine_warp(spark):
     got = tiles.tiles_to_raster(out, tile=8)[:32, :32]
     # world = 2*px + 10 and the dst grid is exactly that image -> identity
     assert np.allclose(got, arr)
+
+
+def test_rpc_transformer_affine_exact_and_nonlinear_roundtrip():
+    """RPC00B rational-polynomial transformer (alg/gdal_rpc.cpp
+    RPCComputeTerms/RPCEvaluate + iterative reverse): an affine RPC
+    evaluates exactly in the ground->image direction, and the Newton
+    inversion round-trips nonlinear models to ~1e-8 deg."""
+    import numpy as np
+    from gdal_spark.raster.transforms import rpc_crs, transform
+    meta = dict(LINE_OFF=512, SAMP_OFF=512, LAT_OFF=45.0, LONG_OFF=10.0,
+                HEIGHT_OFF=0.0, LINE_SCALE=512, SAMP_SCALE=512,
+                LAT_SCALE=0.5, LONG_SCALE=0.5, HEIGHT_SCALE=100.0)
+    z = [0.0] * 20
+    sn = z.copy(); sn[1] = 0.9; sn[2] = -0.1
+    ln = z.copy(); ln[1] = 0.2; ln[2] = 0.8
+    den = z.copy(); den[0] = 1.0
+    crs = rpc_crs(meta, ln, den, sn, den)
+    lon = np.array([10.1, 9.8, 10.3])
+    lat = np.array([45.05, 44.9, 45.2])
+    sx, sy = transform("EPSG:4326", crs, lon, lat)
+    L = (lon - 10) / 0.5
+    P = (lat - 45) / 0.5
+    assert np.allclose(sx, (0.9 * L - 0.1 * P) * 512 + 512)
+    assert np.allclose(sy, (0.2 * L + 0.8 * P) * 512 + 512)
+    lo, la = transform(crs, "EPSG:4326", sx, sy)
+    assert np.allclose(lo, lon, atol=1e-9) and np.allclose(la, lat,
+                                                           atol=1e-9)
+    sn2 = sn.copy(); sn2[7] = 0.02
+    ln2 = ln.copy(); ln2[8] = 0.03
+    crs2 = rpc_crs(meta, ln2, den, sn2, den)
+    sx2, sy2 = transform("EPSG:4326", crs2, lon, lat)
+    lo2, la2 = transform(crs2, "EPSG:4326", sx2, sy2)
+    assert np.allclose(lo2, lon, atol=1e-8)
+    assert np.allclose(la2, lat, atol=1e-8)
