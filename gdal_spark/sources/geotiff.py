@@ -113,11 +113,15 @@ def _decode_block(raw: bytes, info: dict, h: int, w: int) -> np.ndarray:
     elif info["compression"] != 1:
         raise ValueError(
             f"unsupported TIFF compression {info['compression']}")
+    s = info["samples"]
     arr = np.frombuffer(raw, np.dtype(info["dtype"]),
-                        h * w).reshape(h, w).copy()
+                        h * w * s).reshape(h, w, s).copy() if s > 1 else \
+        np.frombuffer(raw, np.dtype(info["dtype"]),
+                      h * w).reshape(h, w).copy()
     if info["predictor"] == 2:
         if arr.dtype.kind not in "iu":
             raise ValueError("predictor=2 is integer-only (TIFF 6.0)")
+        # horizontal differencing is per SAMPLE CHANNEL along the row
         arr = np.cumsum(arr.astype(np.int64), axis=1) \
             .astype(np.dtype(info["dtype"]))
     return arr
@@ -131,11 +135,12 @@ def read_gtiff(spark: SparkSession, path: str, tile: int = 256,
                band: int = 1, nodata: float | None = None) -> DataFrame:
     """-> engine tile table (band, zoom=0, tile_x, tile_y, dtype, nodata,
     px). Each task decodes the TIFF blocks overlapping one engine tile-row
-    and slices/pads them into `tile`-sized tiles."""
+    and slices/pads them into `tile`-sized tiles. Multi-sample chunky
+    (PlanarConfiguration=1) files emit one tile row per sample, numbered
+    band 1..N; `band` offsets the numbering for single-sample files."""
     info = read_ifd(path)
     width, height = info["width"], info["height"]
-    if info["samples"] != 1:
-        raise ValueError("only single-band GeoTIFFs supported")
+    nsamp = info["samples"]
     n_rows = (height + tile - 1) // tile
 
     # plan: blocks (index, y0, h, x0, w) overlapping each engine tile-row
@@ -174,12 +179,14 @@ def read_gtiff(spark: SparkSession, path: str, tile: int = 256,
                     r = int(r)
                     ry0 = r * tile
                     slab_h = min(tile, height - ry0)
-                    slab = np.zeros((slab_h, width),
+                    slab = np.zeros((slab_h, width, nsamp),
                                     np.dtype(info["dtype"]))
                     for k, y0, h, x0, w in pl[r]:
                         fh.seek(offsets[k])
                         arr = _decode_block(fh.read(counts[k]), info,
                                             h, w)
+                        if nsamp == 1:
+                            arr = arr[:, :, None]
                         # block may overhang the raster edge (tiled pad)
                         sy0 = max(y0, ry0)
                         sy1 = min(y0 + h, ry0 + slab_h, height)
@@ -188,13 +195,15 @@ def read_gtiff(spark: SparkSession, path: str, tile: int = 256,
                             arr[sy0 - y0:sy1 - y0, :sx1 - x0]
                     out = []
                     for tx in range((width + tile - 1) // tile):
-                        px = np.zeros((tile, tile),
-                                      np.dtype(info["dtype"]))
                         xw = min(tile, width - tx * tile)
-                        px[:slab_h, :xw] = \
-                            slab[:, tx * tile:tx * tile + xw]
-                        out.append((band, 0, tx, r, info["dtype"],
-                                    nodata, encode_px(px)))
+                        for si in range(nsamp):
+                            px = np.zeros((tile, tile),
+                                          np.dtype(info["dtype"]))
+                            px[:slab_h, :xw] = \
+                                slab[:, tx * tile:tx * tile + xw, si]
+                            out.append((band + si, 0, tx, r,
+                                        info["dtype"], nodata,
+                                        encode_px(px)))
                     frames.append(pd.DataFrame(out, columns=cols))
             yield pd.concat(frames) if frames else \
                 pd.DataFrame(columns=cols)

@@ -66,3 +66,34 @@ def test_geotransform_tags(tmp_path):
     info = read_ifd(path)
     assert info["geotransform"] == pytest.approx(gt)
     assert info["width"] == 16 and info["dtype"] == "uint8"
+
+
+def test_reference_autotest_fixture_byte_tif(spark):
+    """THE canonical autotest fixture: autotest/gcore/data/byte.tif must
+    read to band checksum 4672 (autotest/gcore/tiff_read.py:45) with the
+    canonical geotransform (440720, 60, 0, 3751320, 0, -60) —
+    reference-parity straight through our IFD parse + strip decode +
+    bit-exact checksum twin."""
+    from gdal_spark.core.checksum import gdal_checksum
+    path = "/root/reference/autotest/gcore/data/byte.tif"
+    info = read_ifd(path)
+    assert info["geotransform"] == pytest.approx(
+        (440720.0, 60.0, 0.0, 3751320.0, 0.0, -60.0))
+    tiles = read_gtiff(spark, path, tile=20)
+    arr = tiles_to_raster(tiles, tile=20)[:20, :20]
+    assert int(gdal_checksum(arr)) == 4672
+
+
+def test_reference_autotest_fixture_rgba_deflate(spark):
+    """Multi-sample chunky decode: autotest/gcore/data/bug4468.tif (RGBA,
+    DEFLATE, predictor=2) — band 1 checksum 2923
+    (autotest/gcore/tiff_write.py test_tiff_write_105)."""
+    from gdal_spark.core.checksum import gdal_checksum
+    path = "/root/reference/autotest/gcore/data/bug4468.tif"
+    tiles = read_gtiff(spark, path, tile=32)
+    bands = {}
+    for r in tiles.collect():
+        if (r.tile_x, r.tile_y) == (0, 0):
+            bands[r.band] = np.frombuffer(r.px, np.uint8).reshape(32, 32)
+    assert set(bands) == {1, 2, 3, 4}
+    assert int(gdal_checksum(bands[1])) == 2923
