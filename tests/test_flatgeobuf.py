@@ -147,3 +147,18 @@ def test_fgb_property_roundtrip_random_geoms(spark, tmp_path):
                 [r for r in want.rings] + [r for p in want.parts
                                            for r in p.rings]))
         assert out[i].tag == f"t{i}"
+
+
+def test_reference_autotest_fixture_gdal_written_mls(spark):
+    """Cross-implementation parity: a GDAL-WRITTEN FlatGeobuf
+    (autotest/ogr/data/flatgeobuf/test_ogr_flatgeobuf_singlepart_mls_new
+    .fgb — MULTILINESTRING((0 0,1 1)), written by the reference driver)
+    must decode through our FlatBuffers reader; features_count=0 in its
+    header also exercises the sequential-scan fallback."""
+    path = ("/root/reference/autotest/ogr/data/flatgeobuf/"
+            "test_ogr_flatgeobuf_singlepart_mls_new.fgb")
+    rows = read_fgb(spark, path).collect()
+    assert len(rows) == 1
+    g = wkb.decode(bytes(rows[0].geom))
+    assert g.gtype == wkb.MULTILINESTRING and len(g.parts) == 1
+    assert np.allclose(g.parts[0].rings[0], [[0.0, 0.0], [1.0, 1.0]])

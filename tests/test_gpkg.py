@@ -49,3 +49,20 @@ def test_polygon_and_null_geometry(spark, tmp_path):
     from gdal_spark.core.geomops import geom_area
     assert geom_area(wkb.decode(bytes(out[0].geom))) == pytest.approx(48.0)
     assert out[1].geom is None
+
+
+def test_reference_autotest_fixture_poly_golden(spark):
+    """autotest/ogr/data/gpkg/poly_golden.gpkg — the GPKG rendering of the
+    canonical poly fixture (autotest/ogr/ogr_gpkg.py golden file): 10
+    EPSG:27700 polygons whose shoelace areas match their AREA attributes,
+    with envelope-carrying GPB headers (flags=3) decoded correctly."""
+    from gdal_spark.core.geomops import geom_area
+    path = "/root/reference/autotest/ogr/data/gpkg/poly_golden.gpkg"
+    assert list_layers(path) == [("poly", "geom", 27700)]
+    rows = sorted(read_gpkg(spark, path).collect(), key=lambda r: r.fid)
+    assert len(rows) == 10
+    for r in rows:
+        area = geom_area(wkb.decode(bytes(r.geom)))
+        assert area == pytest.approx(abs(float(r.AREA)), rel=1e-3)
+    got = [int(r.EAS_ID) for r in rows if r.EAS_ID < 170]
+    assert got == [168, 169, 166, 158, 165]

@@ -85,3 +85,32 @@ def test_dbf_header_and_null_geometry(spark, tmp_path):
                  key=lambda r: r.fid)
     assert out[0].geom is None and out[0].n == 1
     assert out[1].n == 2
+
+
+def test_reference_autotest_fixture_poly_shp(spark):
+    """The canonical OGR fixture autotest/ogr/data/poly.shp
+    (autotest/ogr/ogr_shape.py): 10 polygons with AREA/EAS_ID/PRFEDEA;
+    eas_id < 170 in file order must be [168, 169, 166, 158, 165]
+    (ogr_shape.py:92), and each feature's shoelace area must match its
+    AREA attribute."""
+    from gdal_spark.core.geomops import geom_area
+    base = "/root/reference/autotest/ogr/data/poly"
+    rows = sorted(read_shapefile(spark, base).collect(),
+                  key=lambda r: r.fid)
+    assert len(rows) == 10
+    got = [int(r.EAS_ID) for r in rows if r.EAS_ID < 170]
+    assert got == [168, 169, 166, 158, 165]
+    for r in rows:
+        area = geom_area(wkb.decode(bytes(r.geom)))
+        # one fixture row stores AREA negative; the attribute is rounded
+        # independently of the ring coords, so compare loosely in |.|
+        assert area == pytest.approx(abs(float(r.AREA)), rel=1e-3)
+    # the OGRSQL front end over the fixture: DISTINCT + ORDER BY DESC
+    # (ogr_shape.py:149 expects 179..158)
+    from gdal_spark.sql import OgrSqlEngine
+    eng = OgrSqlEngine(spark)
+    eng.register("tpoly", read_shapefile(spark, base), fid_col="fid")
+    vals = [int(r.EAS_ID) for r in eng.sql(
+        "SELECT DISTINCT EAS_ID FROM tpoly ORDER BY EAS_ID DESC"
+    ).collect()]
+    assert vals == [179, 173, 172, 171, 170, 169, 168, 166, 165, 158]
