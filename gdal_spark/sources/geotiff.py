@@ -322,3 +322,96 @@ def write_gtiff(arr: np.ndarray, path: str, tile: int | None = None,
         for b in blocks:
             f.write(b)
         f.write(ifd + tail)
+
+
+# ---------------------------------------------------------------------------
+# distributed single-file sink: uncompressed tiled GeoTIFF
+# ---------------------------------------------------------------------------
+
+def write_gtiff_tiles(tiles_df: DataFrame, path: str, width: int,
+                      height: int, tile: int = 256,
+                      dtype: str = "float64",
+                      fill: float = 0.0,
+                      geotransform=None) -> None:
+    """Engine tile table -> ONE tiled uncompressed GeoTIFF, written in
+    parallel: with fixed-size uncompressed blocks every tile's byte range
+    is known before any pixel is read, so the DRIVER writes only the
+    header/IFD and preallocates the file, and every TASK pwrites its own
+    tiles' ranges — a genuinely distributed single-file raster sink (the
+    object-store analogue is a multipart upload with one part per tile
+    run; the reference's GTiff driver serializes through one handle).
+    Tiles absent from the table stay at `fill`."""
+    import os
+
+    nx = (width + tile - 1) // tile
+    ny = (height + tile - 1) // tile
+    dt = np.dtype(dtype)
+    block_bytes = tile * tile * dt.itemsize
+    data_start = 8
+    n_blocks = nx * ny
+
+    entries = []
+
+    def tag(tg, typ, vals):
+        entries.append((tg, typ, vals))
+
+    offs = [data_start + k * block_bytes for k in range(n_blocks)]
+    tag(W, 4, [width])
+    tag(H, 4, [height])
+    tag(BITS, 3, [dt.itemsize * 8])
+    tag(COMP, 3, [1])
+    tag(PHOTO, 3, [1])
+    tag(SPP, 3, [1])
+    tag(TILE_W, 3, [tile])
+    tag(TILE_L, 3, [tile])
+    tag(TILE_OFF, 4, offs)
+    tag(TILE_CNT, 4, [block_bytes] * n_blocks)
+    tag(SAMPLE_FORMAT, 3, [_SF_OF_KIND[dt.kind]])
+    if geotransform is not None:
+        gx0, dx, _r1, gy0, _r2, dy = geotransform
+        tag(MODEL_SCALE, 12, [dx, -dy, 0.0])
+        tag(MODEL_TIEPOINT, 12, [0.0, 0.0, 0.0, gx0, gy0, 0.0])
+    entries.sort(key=lambda e: e[0])
+
+    ifd_off = data_start + n_blocks * block_bytes
+    n = len(entries)
+    tail_off = ifd_off + 2 + 12 * n + 4
+    ifd = struct.pack("<H", n)
+    tail = b""
+    for tg, typ, vals in entries:
+        fmt = _TYPE_FMT[typ]
+        payload = b"".join(struct.pack(fmt, v) for v in vals)
+        if len(payload) <= 4:
+            ifd += struct.pack("<HHI", tg, typ, len(vals)) \
+                + payload.ljust(4, b"\x00")
+        else:
+            ifd += struct.pack("<HHII", tg, typ, len(vals),
+                               tail_off + len(tail))
+            tail += payload
+    ifd += struct.pack("<I", 0)
+
+    # driver: header + preallocated fill + IFD (one sequential pass of
+    # fill blocks; on a DFS this would be a sparse allocate)
+    fill_block = np.full((tile, tile), fill, dt).tobytes()
+    with open(path, "wb") as f:
+        f.write(b"II*\x00" + struct.pack("<I", ifd_off))
+        for _ in range(n_blocks):
+            f.write(fill_block)
+        f.write(ifd + tail)
+
+    def emit(batches):
+        with open(path, "r+b") as f:
+            for pdf in batches:
+                for r in pdf.itertuples():
+                    tx, ty = int(r.tile_x), int(r.tile_y)
+                    if not (0 <= tx < nx and 0 <= ty < ny):
+                        continue
+                    arr = np.frombuffer(r.px, np.dtype(r.dtype)) \
+                        .reshape(tile, tile).astype(dt)
+                    f.seek(data_start + (ty * nx + tx) * block_bytes)
+                    f.write(arr.tobytes())
+            yield pd.DataFrame({"n": [1]})
+
+    # force execution; each task writes only its own disjoint ranges
+    tiles_df.mapInPandas(
+        emit, T.StructType([T.StructField("n", T.IntegerType())])).count()

@@ -97,3 +97,21 @@ def test_reference_autotest_fixture_rgba_deflate(spark):
             bands[r.band] = np.frombuffer(r.px, np.uint8).reshape(32, 32)
     assert set(bands) == {1, 2, 3, 4}
     assert int(gdal_checksum(bands[1])) == 2923
+
+
+def test_distributed_sink_roundtrip(spark, tmp_path):
+    """write_gtiff_tiles: tasks pwrite their own tile ranges into one
+    preallocated tiled GeoTIFF; reading it back must reproduce the raster
+    bit-exactly (absent tiles stay at fill)."""
+    from gdal_spark.sources.geotiff import write_gtiff_tiles
+    arr = _arr("float64", (40, 56))
+    tiles = raster_to_tiles(spark, arr, zoom=0, tile=8)
+    path = str(tmp_path / "sink.tif")
+    write_gtiff_tiles(tiles, path, width=56, height=40, tile=8,
+                      dtype="float64",
+                      geotransform=(0.0, 1.0, 0.0, 0.0, 0.0, -1.0))
+    back = tiles_to_raster(read_gtiff(spark, path, tile=8),
+                           tile=8)[:40, :56]
+    assert np.array_equal(back, arr)
+    info = read_ifd(path)
+    assert info["layout"] == "tiled" and info["tile_w"] == 8
