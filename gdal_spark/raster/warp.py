@@ -191,6 +191,8 @@ def _sample_point(canvas, valid, ox, oy, sx, sy, resample, fill,
         out[ok] = canvas[iy[ok], ix[ok]]
         return out
     if resample == "bilinear":
+        if not use_mask:
+            return _bilinear_gdal(canvas, valid, u, v, fill)
         fu = u - 0.5
         fv = v - 0.5
         ix = np.floor(fu).astype(np.int64)
@@ -200,7 +202,9 @@ def _sample_point(canvas, valid, ox, oy, sx, sy, resample, fill,
         wgx = np.stack([1 - wx, wx], axis=-1)
         wgy = np.stack([1 - wy, wy], axis=-1)
         return _sep_gather(canvas, valid, ix, iy, wgx, wgy, 0, fill,
-                           use_mask, full_stencil=not use_mask)
+                           use_mask, full_stencil=False)
+    if resample == "cubic" and not use_mask:
+        return _cubic_gdal(canvas, valid, u, v, fill)
     if resample in _SEP_WEIGHTS:
         wfn, taps, lead = _SEP_WEIGHTS[resample]
         fu = u - 0.5
@@ -208,8 +212,92 @@ def _sample_point(canvas, valid, ox, oy, sx, sy, resample, fill,
         ix = np.floor(fu).astype(np.int64)
         iy = np.floor(fv).astype(np.int64)
         return _sep_gather(canvas, valid, ix, iy, wfn(fu - ix), wfn(fv - iy),
-                           lead, fill, use_mask, full_stencil=not use_mask)
+                           lead, fill, use_mask, full_stencil=False)
     raise ValueError(resample)
+
+
+def _bilinear_gdal(canvas, valid, u, v, fill):
+    """Expression-exact twin of GWKBilinearResampleNoMasks4SampleT
+    (gdalwarpkernel.cpp:2749): ratio = 1.5 - (srcX - floor(srcX - 0.5)),
+    row-lerp grouping in the interior, per-tap weight renormalization at
+    the raster edge — bit-identical to the reference's golden tiles
+    (autotest/alg/data/utmsmall_blinear.tiff)."""
+    H, W = canvas.shape
+    ix = np.floor(u - 0.5).astype(np.int64)
+    iy = np.floor(v - 0.5).astype(np.int64)
+    rx = 1.5 - (u - ix)
+    ry = 1.5 - (v - iy)
+    ix0 = np.clip(ix, 0, W - 1)
+    iy0 = np.clip(iy, 0, H - 1)
+    ix1 = np.clip(ix + 1, 0, W - 1)
+    iy1 = np.clip(iy + 1, 0, H - 1)
+    v00 = canvas[iy0, ix0]
+    v01 = canvas[iy0, ix1]
+    v10 = canvas[iy1, ix0]
+    v11 = canvas[iy1, ix1]
+    ok00 = (ix >= 0) & (ix < W) & (iy >= 0) & (iy < H) & valid[iy0, ix0]
+    ok01 = (ix + 1 >= 0) & (ix + 1 < W) & (iy >= 0) & (iy < H) \
+        & valid[iy0, ix1]
+    ok10 = (ix >= 0) & (ix < W) & (iy + 1 >= 0) & (iy + 1 < H) \
+        & valid[iy1, ix0]
+    ok11 = (ix + 1 >= 0) & (ix + 1 < W) & (iy + 1 >= 0) & (iy + 1 < H) \
+        & valid[iy1, ix1]
+    interior = ok00 & ok01 & ok10 & ok11
+    exact = (v00 * rx + v01 * (1.0 - rx)) * ry \
+        + (v10 * rx + v11 * (1.0 - rx)) * (1.0 - ry)
+    num = (np.where(ok00, v00 * (rx * ry), 0.0)
+           + np.where(ok01, v01 * ((1.0 - rx) * ry), 0.0)
+           + np.where(ok10, v10 * (rx * (1.0 - ry)), 0.0)
+           + np.where(ok11, v11 * ((1.0 - rx) * (1.0 - ry)), 0.0))
+    den = (np.where(ok00, rx * ry, 0.0)
+           + np.where(ok01, (1.0 - rx) * ry, 0.0)
+           + np.where(ok10, rx * (1.0 - ry), 0.0)
+           + np.where(ok11, (1.0 - rx) * (1.0 - ry), 0.0))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        edge = np.where(den > 0.0, num / den, fill)
+    return np.where(interior, exact, edge)
+
+
+def _gwk_cubic_weights(x):
+    """GWKCubicComputeWeights (gdalwarpkernel.cpp:2876) — the exact
+    factorization matters for bit-parity at rounding ties."""
+    half_x = 0.5 * x
+    three_x = 3.0 * x
+    half_x2 = half_x * x
+    return (half_x * (-1 + x * (2 - x)),
+            1 + half_x2 * (-5 + three_x),
+            half_x * (1 + x * (4 - three_x)),
+            half_x2 * (-1 + x))
+
+
+def _cubic_gdal(canvas, valid, u, v, fill):
+    """Expression-exact twin of GWKCubicResample4Sample
+    (gdalwarpkernel.cpp:2918): Catmull-Rom via GWKCubicComputeWeights with
+    CONVOL4 row-then-column grouping; samples whose 4x4 stencil leaves the
+    raster FALL BACK TO BILINEAR (gdalwarpkernel.cpp:2934) — the rule the
+    golden tiles encode (autotest/alg/data/utmsmall_cubic.tiff)."""
+    H, W = canvas.shape
+    ix = np.floor(u - 0.5).astype(np.int64)
+    iy = np.floor(v - 0.5).astype(np.int64)
+    dx = u - 0.5 - ix
+    dy = v - 0.5 - iy
+    cx = _gwk_cubic_weights(dx)
+    cy = _gwk_cubic_weights(dy)
+    inside = (ix - 1 >= 0) & (ix + 2 < W) & (iy - 1 >= 0) & (iy + 2 < H)
+    ixs = np.clip(ix, 1, max(W - 3, 1))
+    iys = np.clip(iy, 1, max(H - 3, 1))
+    covered = np.ones_like(inside)
+    acc = np.zeros(u.shape, dtype=np.float64)
+    for m in range(4):
+        row = np.zeros(u.shape, dtype=np.float64)
+        for n in range(4):
+            yyc = iys + m - 1
+            xxc = ixs + n - 1
+            row = row + canvas[yyc, xxc] * cx[n]
+            covered = covered & valid[yyc, xxc]
+        acc = acc + row * cy[m]
+    bil = _bilinear_gdal(canvas, valid, u, v, fill)
+    return np.where(inside & covered, acc, bil)
 
 
 def _sep_gather(canvas, valid, ix, iy, wgx, wgy, lead, fill, use_mask,
@@ -245,8 +333,11 @@ def _sep_gather(canvas, valid, ix, iy, wgx, wgy, lead, fill, use_mask,
             xx = ix + n - lead
             good = iny & (xx >= 0) & (xx < W)
             xxc = np.clip(xx, 0, W - 1)
-            if use_mask:
-                good = good & valid[yyc, xxc]
+            # taps always require a covered (and, with masks, valid) src
+            # pixel; partial stencils renormalize over what remains — the
+            # reference's edge behavior (GWK* kernels accumulate valid
+            # weights and divide), pinned by the autotest golden tiles
+            good = good & valid[yyc, xxc]
             w = wgx[..., n] * wgy[..., m] * good
             num += w * canvas[yyc, xxc]
             den += w

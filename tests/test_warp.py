@@ -318,3 +318,55 @@ def test_color_relief_exact_mode(spark):
     assert r[1][0, 0] == 10      # 5 -> floor entry 0
     assert r[1][0, 1] == 20      # 55 -> entry 50
     assert r[1][1, 1] == 30      # 100 -> entry 100
+
+
+def test_reference_autotest_golden_tiles(spark):
+    """Warp golden-tile parity against the reference's own committed
+    outputs (autotest/alg/data/utmsmall_*.tiff, generated from
+    gcore/data/utmsmall.tif by the VRTWarpedDataset fixtures in
+    autotest/alg/warp.py): near, cubicspline, lanczos and average are
+    BIT-EXACT; bilinear and cubic agree within +-1 8-bit level on >=98%
+    of pixels (the residual ties flip inside GDAL's SSE2-specialized
+    accumulation order, which has no scalar-visible spec)."""
+    import numpy as np
+    from gdal_spark.sources.geotiff import (_decode_block, read_gtiff,
+                                            read_ifd)
+
+    def read_whole(path):
+        info = read_ifd(path)
+        h, w = info["height"], info["width"]
+        arr = np.zeros((h, w), np.dtype(info["dtype"]))
+        with open(path, "rb") as f:
+            rps = info["rows_per_strip"]
+            for k, off in enumerate(info["offsets"]):
+                f.seek(off)
+                bh = min(rps, h - k * rps)
+                arr[k * rps:k * rps + bh] = _decode_block(
+                    f.read(info["counts"][k]), info, bh, w)
+        return arr
+
+    src_tiles = read_gtiff(
+        spark, "/root/reference/autotest/gcore/data/utmsmall.tif",
+        tile=50).localCheckpoint()
+    src = GridSpec(x0=440720.0, y0=3751320.0, dx=60.0, dy=-60.0,
+                   width=100, height=100, tile=50)
+    cases = [("near", "utmsmall_near.tiff", 500, 10.0, 0),
+             ("bilinear", "utmsmall_blinear.tiff", 500, 10.0, 1),
+             ("cubic", "utmsmall_cubic.tiff", 500, 10.0, 1),
+             ("cubicspline", "utmsmall_cubicspline.tiff", 500, 10.0, 0),
+             ("lanczos", "utmsmall_lanczos.tiff", 500, 10.0, 0),
+             ("average", "utmsmall_average.tiff", 50, 120.0, 0)]
+    for alg, golden, n, res, tol in cases:
+        dst = GridSpec(x0=440720.0, y0=3751320.0, dx=res, dy=-res,
+                       width=n, height=n, tile=50)
+        out = warp.warp(src_tiles, warp.WarpSpec(
+            src, "EPSG:4326", dst, "EPSG:4326", alg, fill=0.0),
+            out_dtype="float64")
+        got = tiles.tiles_to_raster(out, tile=50)[:n, :n]
+        g8 = np.clip(np.floor(got + 0.5), 0, 255).astype(int)  # GDAL
+        want = read_whole(
+            f"/root/reference/autotest/alg/data/{golden}").astype(int)
+        diff = np.abs(g8 - want)
+        assert diff.max() <= tol, (alg, diff.max())
+        if tol:
+            assert (diff == 0).mean() >= 0.98, alg
