@@ -190,6 +190,22 @@ def _sample_point(canvas, valid, ox, oy, sx, sy, resample, fill,
             ok = ok & valid[iyo, ixo]
         out[ok] = canvas[iy[ok], ix[ok]]
         return out
+    # GDALWarpKernel's scale gate (gdalwarpkernel.cpp:1164): the 4-sample
+    # fast kernels only apply when dst/src scale >= 0.95 on both axes;
+    # coarser targets go through the stretched-filter resampler so
+    # downsampling anti-aliases exactly like the reference
+    if resample in _FILTER_RADIUS:
+        def _axis_scale(m, axis):
+            if m.shape[axis] < 2:
+                return 1.0
+            d = np.abs(np.diff(m, axis=axis))
+            step = float(np.median(d))
+            return 1.0 / step if step > 0 else 1.0
+        xscale = _axis_scale(u, 1)
+        yscale = _axis_scale(v, 0)
+        if min(xscale, yscale) < 0.95:
+            return _sample_scaled(canvas, valid, u, v, resample, fill,
+                                  xscale, yscale)
     if resample == "bilinear":
         if not use_mask:
             return _bilinear_gdal(canvas, valid, u, v, fill)
@@ -214,6 +230,88 @@ def _sample_point(canvas, valid, ox, oy, sx, sy, resample, fill,
         return _sep_gather(canvas, valid, ix, iy, wfn(fu - ix), wfn(fv - iy),
                            lead, fill, use_mask, full_stencil=False)
     raise ValueError(resample)
+
+
+_FILTER_RADIUS = {"bilinear": 1, "cubic": 2, "cubicspline": 2,
+                  "lanczos": 3}
+
+
+def _gwk_weight(resample, x):
+    """Vectorized twins of the reference's filter functions
+    (gdalwarpkernel.cpp GWKBilinear / GWKCubic / GWKBSpline — which
+    returns SIX TIMES the B-spline, the commented-out 1/6 absorbed by
+    weight normalization — / GWKLanczosSinc with its sin(3x) identity)."""
+    if resample == "bilinear":
+        return np.maximum(0.0, 1.0 - np.abs(x))
+    if resample == "cubic":                      # Catmull-Rom a=-0.5
+        ax = np.abs(x)
+        return np.where(
+            ax <= 1.0, (1.5 * ax - 2.5) * ax * ax + 1.0,
+            np.where(ax < 2.0, ((-0.5 * ax + 2.5) * ax - 4.0) * ax + 2.0,
+                     0.0))
+    if resample == "cubicspline":                # GWKBSpline (x6)
+        def p3(t):
+            return np.where(t > 0.0, t * t * t, 0.0)
+        return np.where(np.abs(x) < 2.0,
+                        p3(x + 2.0) - 4.0 * p3(x + 1.0) + 6.0 * p3(x)
+                        - 4.0 * p3(x - 1.0), 0.0)
+    if resample == "lanczos":
+        pix = np.pi * x
+        pix_r = pix / 3.0
+        pix2_r = pix * pix_r
+        s = np.sin(pix_r)
+        s2 = s * s
+        with np.errstate(invalid="ignore", divide="ignore"):
+            w = (3.0 - 4.0 * s2) * s2 / pix2_r
+        return np.where(x == 0.0, 1.0, np.where(np.abs(x) < 3.0, w, 0.0))
+    raise ValueError(resample)
+
+
+def _sample_scaled(canvas, valid, u, v, resample, fill,
+                   xscale, yscale):
+    """The reference's generic downsampling resampler (GWKResample,
+    gdalwarpkernel.cpp:3683): when the dst grid is coarser than the src
+    (scale < 1) the filter STRETCHES — taps within radius
+    ceil(filter/scale), weights evaluated at (tap - delta) * scale — and
+    the result divides by the accumulated weight unless it is ~1 (the
+    reference's 0.99999..1.00001 window). Per-tap validity renormalizes
+    (the density skip)."""
+    H, W = canvas.shape
+    ix = np.floor(u - 0.5).astype(np.int64)
+    iy = np.floor(v - 0.5).astype(np.int64)
+    dx = u - 0.5 - ix
+    dy = v - 0.5 - iy
+    filt = _FILTER_RADIUS[resample]
+    nxr = int(np.ceil(filt / xscale)) if xscale < 1.0 else filt
+    nyr = int(np.ceil(filt / yscale)) if yscale < 1.0 else filt
+    fix = ((filt + 1) % 2) - nxr
+    fiy = ((filt + 1) % 2) - nyr
+    sx_w = xscale if xscale < 1.0 else 1.0
+    sy_w = yscale if yscale < 1.0 else 1.0
+    num = np.zeros(u.shape, dtype=np.float64)
+    den = np.zeros(u.shape, dtype=np.float64)
+    for j in range(fiy, nyr + 1):
+        wy = _gwk_weight(resample, (j - dy) * sy_w)
+        yy = iy + j
+        iny = (yy >= 0) & (yy < H)
+        yyc = np.clip(yy, 0, H - 1)
+        rown = np.zeros(u.shape, dtype=np.float64)
+        rowd = np.zeros(u.shape, dtype=np.float64)
+        for i in range(fix, nxr + 1):
+            wx = _gwk_weight(resample, (i - dx) * sx_w)
+            xx = ix + i
+            good = iny & (xx >= 0) & (xx < W)
+            xxc = np.clip(xx, 0, W - 1)
+            good = good & valid[yyc, xxc]
+            w = np.where(good, wx, 0.0)
+            rown += canvas[yyc, xxc] * w
+            rowd += w
+        num += rown * wy
+        den += rowd * wy
+    ok = den >= 1e-6
+    with np.errstate(invalid="ignore", divide="ignore"):
+        out = np.where((den < 0.99999) | (den > 1.00001), num / den, num)
+    return np.where(ok, out, fill)
 
 
 def _bilinear_gdal(canvas, valid, u, v, fill):
