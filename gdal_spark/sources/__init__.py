@@ -13,3 +13,39 @@ one task per file, the same granularity OGR's driver gets).
 from .csv_wkt import read_csv_wkt, write_csv_wkt      # noqa: F401
 from .geojson import (read_geojson, read_geojson_seq,  # noqa: F401
                       write_geojson_seq)
+
+
+def open_vector(spark, path: str, **kwargs):
+    """The reference's front door — GDALDataset Open with driver
+    autodetection (ogr/ogrsf_frmts/generic/ogrsfdriverregistrar.cpp,
+    gcore/gdaldataset.cpp GDALOpenEx) — by extension: every registered
+    vector format routes to its distributed reader and comes back as a
+    (fid, geom WKB, ...) DataFrame."""
+    low = path.lower()
+    if low.endswith(".parquet"):
+        return spark.read.parquet(path)
+    if low.endswith((".geojsonl", ".geojsons", ".ndjson")):
+        return read_geojson_seq(spark, path)
+    if low.endswith((".geojson", ".json")):
+        return read_geojson(spark, path)
+    if low.endswith(".csv"):
+        return read_csv_wkt(spark, path, **kwargs)
+    if low.endswith(".shp"):
+        from .shapefile import read_shapefile
+        return read_shapefile(spark, path[:-4], **kwargs)
+    if low.endswith(".fgb"):
+        from .flatgeobuf import read_fgb
+        return read_fgb(spark, path, **kwargs)
+    if low.endswith(".gpkg"):
+        from .gpkg import read_gpkg
+        return read_gpkg(spark, path, **kwargs)
+    raise ValueError(f"no driver recognizes {path!r} "
+                     "(parquet/geojson/geojsonl/csv/shp/fgb/gpkg)")
+
+
+def open_raster(spark, path: str, tile: int = 256, **kwargs):
+    """Raster front door: GeoTIFF -> the engine tile table."""
+    if path.lower().endswith((".tif", ".tiff")):
+        from .geotiff import read_gtiff
+        return read_gtiff(spark, path, tile=tile, **kwargs)
+    raise ValueError(f"no raster driver recognizes {path!r}")

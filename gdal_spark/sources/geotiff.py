@@ -12,9 +12,9 @@ driver-side raster_to_tiles fixture path.
 
 Scope (documented subset of the reference's 160+-tag surface): single
 band, PlanarConfiguration=1, classic TIFF little-endian, sample types
-uint8/int16/uint16/int32/float32/float64, compression none/DEFLATE,
-predictor 1/2, striped or tiled layout, GeoTIFF ModelPixelScale +
-ModelTiepoint georeferencing.
+uint8/int16/uint16/int32/float32/float64, compression
+none/DEFLATE/PackBits/LZW, predictor 1/2, striped or tiled layout,
+GeoTIFF ModelPixelScale + ModelTiepoint georeferencing.
 """
 
 from __future__ import annotations
@@ -107,10 +107,156 @@ def read_ifd(path: str) -> dict:
     return out
 
 
+def _unpackbits(raw: bytes, expected: int) -> bytes:
+    """PackBits decode (TIFF 6.0 §9 / Apple PackBits): literal runs for
+    n < 128, repeat runs for n > 128, 128 is a no-op."""
+    out = bytearray()
+    i = 0
+    n_raw = len(raw)
+    while i < n_raw and len(out) < expected:
+        n = raw[i]
+        i += 1
+        if n < 128:
+            out += raw[i:i + n + 1]
+            i += n + 1
+        elif n > 128:
+            out += raw[i:i + 1] * (257 - n)
+            i += 1
+    return bytes(out)
+
+
+def _lzw_decode(raw: bytes, expected: int) -> bytes:
+    """TIFF LZW decode (TIFF 6.0 §13): MSB-first variable-width codes,
+    ClearCode 256 / EOI 257, EARLY code-width change at table size
+    2^w - 1, max width 12."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    bitpos = 0
+    width = 9
+    nbits = len(raw) * 8
+    table: list = []
+    prev = b""
+
+    while len(out) < expected and bitpos + width <= nbits:
+        byte = bitpos >> 3
+        shift = bitpos & 7
+        chunk = int.from_bytes(raw[byte:byte + 4].ljust(4, b"\x00"), "big")
+        code = (chunk >> (32 - shift - width)) & ((1 << width) - 1)
+        bitpos += width
+        if code == EOI:
+            break
+        if code == CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width = 9
+            prev = b""
+            continue
+        if not table:
+            raise ValueError("LZW stream missing leading ClearCode")
+        if prev == b"":
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        else:
+            entry = prev + prev[:1]
+            table.append(entry)
+        out += entry
+        prev = entry
+        # early change (TIFF 6.0 §13 / libtiff): widen when the table
+        # reaches 2^w - 1 — verified against a GDAL-written LZW file
+        if len(table) >= (1 << width) - 1 and width < 12:
+            width += 1
+    return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """PackBits encode: greedy runs (repeat >= 3 bytes), literals
+    otherwise."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out.append(257 - run)
+            out.append(data[i])
+            i += run
+            continue
+        lit = i
+        while i < n and i - lit < 128:
+            run = 1
+            while i + run < n and run < 3 and data[i + run] == data[i]:
+                run += 1
+            if run >= 3:
+                break
+            i += 1
+        out.append(i - lit - 1)
+        out += data[lit:i]
+    return bytes(out)
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """TIFF LZW encode (the decode's inverse, for fixtures/sinks)."""
+    CLEAR, EOI = 256, 257
+    bits: list[tuple[int, int]] = []
+    width = 9
+
+    def emit(code):
+        bits.append((code, width))
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    emit(CLEAR)
+    cur = b""
+    for b in data:
+        nxt = cur + bytes([b])
+        if nxt in table:
+            cur = nxt
+            continue
+        emit(table[cur])
+        table[nxt] = next_code
+        next_code += 1
+        # the decoder's table lags by one entry, so the encoder widens one
+        # entry later than the decoder's 2^w - 1 rule (empirically matched
+        # to libtiff's stream timing)
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        elif next_code >= 4093:
+            emit(CLEAR)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        cur = bytes([b])
+    if cur:
+        emit(table[cur])
+    emit(EOI)
+    out = bytearray()
+    acc = 0
+    nacc = 0
+    for code, w in bits:
+        acc = (acc << w) | code
+        nacc += w
+        while nacc >= 8:
+            nacc -= 8
+            out.append((acc >> nacc) & 0xFF)
+    if nacc:
+        out.append((acc << (8 - nacc)) & 0xFF)
+    return bytes(out)
+
+
 def _decode_block(raw: bytes, info: dict, h: int, w: int) -> np.ndarray:
-    if info["compression"] in (8, 32946):       # DEFLATE / old-style
+    comp = info["compression"]
+    itemsize = np.dtype(info["dtype"]).itemsize
+    expected = h * w * info["samples"] * itemsize
+    if comp in (8, 32946):                      # DEFLATE / old-style
         raw = zlib.decompress(raw)
-    elif info["compression"] != 1:
+    elif comp == 32773:                         # PackBits
+        raw = _unpackbits(raw, expected)
+    elif comp == 5:                             # LZW
+        raw = _lzw_decode(raw, expected)
+    elif comp != 1:
         raise ValueError(
             f"unsupported TIFF compression {info['compression']}")
     s = info["samples"]
@@ -229,7 +375,8 @@ def write_gtiff(arr: np.ndarray, path: str, tile: int | None = None,
     dt = arr.dtype
     bits = dt.itemsize * 8
     sf = _SF_OF_KIND[dt.kind]
-    comp = 1 if compression == "none" else 8
+    comp = {"none": 1, "deflate": 8, "packbits": 32773,
+            "lzw": 5}[compression]
 
     if predictor == 2 and dt.kind not in "iu":
         raise ValueError("predictor=2 is integer-only (TIFF 6.0)")
@@ -244,7 +391,13 @@ def write_gtiff(arr: np.ndarray, path: str, tile: int | None = None,
             raw = d.astype(dt).tobytes()
         else:
             raw = block.tobytes()
-        return zlib.compress(raw) if comp == 8 else raw
+        if comp == 8:
+            return zlib.compress(raw)
+        if comp == 32773:
+            return _packbits_encode(raw)
+        if comp == 5:
+            return _lzw_encode(raw)
+        return raw
 
     blocks = []
     if tile is None:

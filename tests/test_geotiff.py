@@ -115,3 +115,38 @@ def test_distributed_sink_roundtrip(spark, tmp_path):
     assert np.array_equal(back, arr)
     info = read_ifd(path)
     assert info["layout"] == "tiled" and info["tile_w"] == 8
+
+
+@pytest.mark.parametrize("compression", ["packbits", "lzw"])
+def test_packbits_lzw_roundtrip(spark, tmp_path, compression):
+    arr = _arr("uint8", (40, 56))
+    path = str(tmp_path / f"{compression}.tif")
+    write_gtiff(arr, path, compression=compression)
+    got = tiles_to_raster(read_gtiff(spark, path, tile=8),
+                          tile=8)[:40, :56]
+    assert np.array_equal(got, arr)
+
+
+def test_gdal_written_lzw_and_packbits_decode():
+    """Cross-implementation parity for the LZW early-change timing and
+    PackBits runs: strips/tiles written by the reference's own libtiff
+    must decode (autotest/gcore/data/bug_gh_1439_update_lzw.tif uint16
+    LZW; 3376.tif RGB PackBits tiles)."""
+    from gdal_spark.sources.geotiff import _decode_block
+    p = "/root/reference/autotest/gcore/data/bug_gh_1439_update_lzw.tif"
+    info = read_ifd(p)
+    assert info["compression"] == 5
+    with open(p, "rb") as f:
+        f.seek(info["offsets"][0])
+        raw = f.read(info["counts"][0])
+    arr = _decode_block(raw, info, 1, 4096)
+    assert arr.shape == (1, 4096) and arr.dtype == np.uint16
+    assert int(arr.max()) == 65492       # content decoded, not zeros
+    p2 = "/root/reference/autotest/gcore/data/3376.tif"
+    info2 = read_ifd(p2)
+    assert info2["compression"] == 32773
+    with open(p2, "rb") as f:
+        f.seek(info2["offsets"][0])
+        raw2 = f.read(info2["counts"][0])
+    arr2 = _decode_block(raw2, info2, info2["tile_l"], info2["tile_w"])
+    assert arr2.shape == (512, 512, 3) and int(arr2.max()) == 255

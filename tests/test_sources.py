@@ -92,3 +92,29 @@ def test_csv_wkt_roundtrip(spark, tmp_path):
     assert geomops.geom_equals(a, wkb.decode(GEOMS["poly"]))
     assert geomops.geom_equals(wkb.decode(got[2][1]),
                                wkb.decode(GEOMS["pt"]))
+
+
+def test_open_vector_dispatch(spark, tmp_path):
+    """The Open() front door routes by extension to every registered
+    driver (ogrsfdriverregistrar.cpp semantics)."""
+    import numpy as np
+    from gdal_spark.core import wkb
+    from gdal_spark.sources import open_vector, open_raster
+    from gdal_spark.sources.shapefile import write_shapefile
+    from gdal_spark.sources.flatgeobuf import write_fgb
+    from gdal_spark.sources.gpkg import write_gpkg
+    from gdal_spark.sources.geotiff import write_gtiff
+
+    rows = [(wkb.encode(wkb.Geom(wkb.POINT, [np.array([[1.0 * i, 2.0]])])),
+             {"k": i}) for i in range(5)]
+    write_shapefile(rows, str(tmp_path / "v"))
+    write_fgb(rows, str(tmp_path / "v.fgb"))
+    write_gpkg(rows, str(tmp_path / "v.gpkg"))
+    assert open_vector(spark, str(tmp_path / "v.shp")).count() == 5
+    assert open_vector(spark, str(tmp_path / "v.fgb")).count() == 5
+    assert open_vector(spark, str(tmp_path / "v.gpkg")).count() == 5
+    write_gtiff(np.zeros((8, 8), np.uint8), str(tmp_path / "r.tif"))
+    assert open_raster(spark, str(tmp_path / "r.tif"), tile=8).count() == 1
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        open_vector(spark, "x.unknown")
