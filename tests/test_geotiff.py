@@ -150,3 +150,21 @@ def test_gdal_written_lzw_and_packbits_decode():
         raw2 = f.read(info2["counts"][0])
     arr2 = _decode_block(raw2, info2, info2["tile_l"], info2["tile_w"])
     assert arr2.shape == (512, 512, 3) and int(arr2.max()) == 255
+
+
+@pytest.mark.parametrize("fixture,checksum", [
+    ("int16.tif", 4672), ("uint16.tif", 4672), ("int32.tif", 4672),
+    ("uint32.tif", 4672), ("float32.tif", 4672), ("float64.tif", 4672),
+    ("float32_minwhite.tif", 1),
+])
+def test_reference_checksum_battery(spark, fixture, checksum):
+    """The gcore checksum battery (autotest/gcore/tiff_read.py:45 — every
+    sample type renders the same 20x20 image, checksum 4672): each
+    baseline-readable variant must reproduce its pinned checksum through
+    our reader (big-endian and complex/packed-bit variants are outside
+    the documented little-endian classic-TIFF scope)."""
+    from gdal_spark.core.checksum import gdal_checksum
+    path = f"/root/reference/autotest/gcore/data/{fixture}"
+    tiles = read_gtiff(spark, path, tile=20)
+    arr = tiles_to_raster(tiles, tile=20)[:20, :20]
+    assert int(gdal_checksum(arr)) == checksum
