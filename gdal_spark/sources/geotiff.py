@@ -10,8 +10,9 @@ decodes (zlib for DEFLATE, cumsum for predictor=2) and emits engine tiles
 — so raster ingest is a real distributed source, replacing the
 driver-side raster_to_tiles fixture path.
 
-Scope (documented subset of the reference's 160+-tag surface): single
-band, PlanarConfiguration=1, classic TIFF little-endian, sample types
+Scope (documented subset of the reference's 160+-tag surface): classic
+TIFF in either byte order, chunky or planar (PlanarConfiguration 1/2)
+multi-sample layouts, partial final strips/tiles, sample types
 uint8/int16/uint16/int32/float32/float64, compression
 none/DEFLATE/PackBits/LZW, predictor 1/2, striped or tiled layout,
 GeoTIFF ModelPixelScale + ModelTiepoint georeferencing.
@@ -32,6 +33,7 @@ from ..raster.tiles import TILE_SCHEMA, encode_px
 # TIFF tag ids
 W, H, BITS, COMP, PHOTO = 256, 257, 258, 259, 262
 STRIP_OFF, SPP, ROWS_PER_STRIP, STRIP_CNT = 273, 277, 278, 279
+PLANAR = 284
 PREDICTOR, TILE_W, TILE_L, TILE_OFF, TILE_CNT = 317, 322, 323, 324, 325
 SAMPLE_FORMAT = 339
 MODEL_SCALE, MODEL_TIEPOINT = 33550, 33922
@@ -53,25 +55,29 @@ _DTYPES = {  # (bits, sample_format) -> numpy dtype
 def read_ifd(path: str) -> dict:
     with open(path, "rb") as f:
         head = f.read(8)
-        if head[:4] != b"II*\x00":
-            raise ValueError("not a little-endian classic TIFF")
-        ifd_off = struct.unpack("<I", head[4:])[0]
+        if head[:4] == b"II*\x00":
+            e = "<"
+        elif head[:4] == b"MM\x00*":
+            e = ">"
+        else:
+            raise ValueError("not a classic TIFF")
+        ifd_off = struct.unpack(e + "I", head[4:])[0]
         f.seek(ifd_off)
-        n = struct.unpack("<H", f.read(2))[0]
+        n = struct.unpack(e + "H", f.read(2))[0]
         entries = f.read(12 * n)
         tags: dict[int, list] = {}
         for i in range(n):
-            tag, typ, cnt = struct.unpack_from("<HHI", entries, 12 * i)
+            tag, typ, cnt = struct.unpack_from(e + "HHI", entries, 12 * i)
             raw = entries[12 * i + 8:12 * i + 12]
             size = _TYPE_SIZE.get(typ, 1) * cnt
             if size <= 4:
                 data = raw[:size]
             else:
-                off = struct.unpack("<I", raw)[0]
+                off = struct.unpack(e + "I", raw)[0]
                 f.seek(off)
                 data = f.read(size)
             if typ in _TYPE_FMT:
-                fmt = _TYPE_FMT[typ]
+                fmt = e + _TYPE_FMT[typ][1:]
                 w = struct.calcsize(fmt)
                 tags[tag] = [struct.unpack_from(fmt, data, w * j)[0]
                              for j in range(cnt)]
@@ -84,6 +90,8 @@ def read_ifd(path: str) -> dict:
         "predictor": tags.get(PREDICTOR, [1])[0],
         "sample_format": tags.get(SAMPLE_FORMAT, [1])[0],
         "samples": tags.get(SPP, [1])[0],
+        "planar": tags.get(PLANAR, [1])[0],
+        "endian": e,
     }
     out["dtype"] = _DTYPES[(out["bits"], out["sample_format"])]
     if TILE_OFF in tags:
@@ -246,10 +254,12 @@ def _lzw_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
-def _decode_block(raw: bytes, info: dict, h: int, w: int) -> np.ndarray:
+def _decode_block(raw: bytes, info: dict, h: int, w: int,
+                  samples: int | None = None) -> np.ndarray:
     comp = info["compression"]
     itemsize = np.dtype(info["dtype"]).itemsize
-    expected = h * w * info["samples"] * itemsize
+    s = info["samples"] if samples is None else samples
+    expected = h * w * s * itemsize
     if comp in (8, 32946):                      # DEFLATE / old-style
         raw = zlib.decompress(raw)
     elif comp == 32773:                         # PackBits
@@ -259,11 +269,13 @@ def _decode_block(raw: bytes, info: dict, h: int, w: int) -> np.ndarray:
     elif comp != 1:
         raise ValueError(
             f"unsupported TIFF compression {info['compression']}")
-    s = info["samples"]
-    arr = np.frombuffer(raw, np.dtype(info["dtype"]),
-                        h * w * s).reshape(h, w, s).copy() if s > 1 else \
-        np.frombuffer(raw, np.dtype(info["dtype"]),
-                      h * w).reshape(h, w).copy()
+    if len(raw) < expected:                     # partial final block (#1179)
+        raw = bytes(raw) + b"\x00" * (expected - len(raw))
+    dt = np.dtype(info["dtype"]).newbyteorder(info.get("endian", "<"))
+    native = np.dtype(info["dtype"])
+    arr = np.frombuffer(raw, dt, h * w * s).reshape(h, w, s) \
+        .astype(native) if s > 1 else \
+        np.frombuffer(raw, dt, h * w).reshape(h, w).astype(native)
     if info["predictor"] == 2:
         if arr.dtype.kind not in "iu":
             raise ValueError("predictor=2 is integer-only (TIFF 6.0)")
@@ -287,22 +299,30 @@ def read_gtiff(spark: SparkSession, path: str, tile: int = 256,
     info = read_ifd(path)
     width, height = info["width"], info["height"]
     nsamp = info["samples"]
+    planar2 = info.get("planar", 1) == 2 and nsamp > 1
     n_rows = (height + tile - 1) // tile
 
-    # plan: blocks (index, y0, h, x0, w) overlapping each engine tile-row
+    # plan: blocks (index, y0, h, x0, w, sample) overlapping each engine
+    # tile-row; PlanarConfiguration=2 stores one band per block, band-major
+    n_blocks = len(info["offsets"])
+    per_band = n_blocks // nsamp if planar2 else n_blocks
     if info["layout"] == "strips":
         rps = info["rows_per_strip"]
-        blocks = [(k, k * rps, min(rps, height - k * rps), 0, width)
-                  for k in range(len(info["offsets"]))]
+        blocks = [(k, (k % per_band) * rps,
+                   min(rps, height - (k % per_band) * rps), 0, width,
+                   k // per_band if planar2 else -1)
+                  for k in range(n_blocks)]
     else:
         tw, tl = info["tile_w"], info["tile_l"]
         per_row = (width + tw - 1) // tw
-        blocks = [(k, (k // per_row) * tl, tl, (k % per_row) * tw, tw)
-                  for k in range(len(info["offsets"]))]
+        blocks = [(k, ((k % per_band) // per_row) * tl, tl,
+                   ((k % per_band) % per_row) * tw, tw,
+                   k // per_band if planar2 else -1)
+                  for k in range(n_blocks)]
 
     plan = {r: [] for r in range(n_rows)}
     for blk in blocks:
-        k, y0, h, x0, w = blk
+        k, y0, h, x0, w, _smp = blk
         r0 = y0 // tile
         r1 = min((y0 + h - 1) // tile, n_rows - 1)
         for r in range(r0, r1 + 1):
@@ -327,18 +347,24 @@ def read_gtiff(spark: SparkSession, path: str, tile: int = 256,
                     slab_h = min(tile, height - ry0)
                     slab = np.zeros((slab_h, width, nsamp),
                                     np.dtype(info["dtype"]))
-                    for k, y0, h, x0, w in pl[r]:
+                    for k, y0, h, x0, w, smp in pl[r]:
                         fh.seek(offsets[k])
                         arr = _decode_block(fh.read(counts[k]), info,
-                                            h, w)
-                        if nsamp == 1:
+                                            h, w,
+                                            samples=1 if smp >= 0
+                                            else None)
+                        if arr.ndim == 2:
                             arr = arr[:, :, None]
                         # block may overhang the raster edge (tiled pad)
                         sy0 = max(y0, ry0)
                         sy1 = min(y0 + h, ry0 + slab_h, height)
                         sx1 = min(x0 + w, width)
-                        slab[sy0 - ry0:sy1 - ry0, x0:sx1] = \
-                            arr[sy0 - y0:sy1 - y0, :sx1 - x0]
+                        tgt = slab[sy0 - ry0:sy1 - ry0, x0:sx1]
+                        piece = arr[sy0 - y0:sy1 - y0, :sx1 - x0]
+                        if smp >= 0:
+                            tgt[:, :, smp:smp + 1] = piece
+                        else:
+                            tgt[:] = piece
                     out = []
                     for tx in range((width + tile - 1) // tile):
                         xw = min(tile, width - tx * tile)

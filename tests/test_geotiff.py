@@ -168,3 +168,30 @@ def test_reference_checksum_battery(spark, fixture, checksum):
     tiles = read_gtiff(spark, path, tile=20)
     arr = tiles_to_raster(tiles, tile=20)[:20, :20]
     assert int(gdal_checksum(arr)) == checksum
+
+
+@pytest.mark.parametrize("fixture", [
+    "separate_tiled.tif", "seperate_strip.tif",
+    "contig_tiled.tif", "contig_strip.tif",
+])
+def test_reference_partial_strip_planar_bigendian(spark, fixture):
+    """The #1179 regression quartet (autotest/gcore/tiff_read.py:68-71):
+    big-endian TIFFs with PARTIAL final strips/tiles, in both chunky and
+    PlanarConfiguration=2 (band-per-block) layouts — band 2 must checksum
+    to 15234 through the distributed reader."""
+    from gdal_spark.core.checksum import gdal_checksum
+    from gdal_spark.raster.tiles import decode_px
+    path = f"/root/reference/autotest/gcore/data/{fixture}"
+    info = read_ifd(path)
+    rows = [r for r in read_gtiff(spark, path, tile=64).collect()
+            if r.band == 2]
+    xs = max(r.tile_x for r in rows) + 1
+    ys = max(r.tile_y for r in rows) + 1
+    big = np.zeros((ys * 64, xs * 64),
+                   dtype=np.dtype(rows[0].dtype))
+    for r in rows:
+        big[r.tile_y * 64:(r.tile_y + 1) * 64,
+            r.tile_x * 64:(r.tile_x + 1) * 64] = \
+            decode_px(r.px, r.dtype, 64)
+    arr = big[:info["height"], :info["width"]]
+    assert int(gdal_checksum(arr)) == 15234
