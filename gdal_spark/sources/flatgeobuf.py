@@ -553,13 +553,24 @@ def read_fgb(spark: SparkSession, path: str,
     hdr = _read_header(path)
     columns = hdr["columns"]
 
+    # work = runs of CONSECUTIVE features (start_offset, start_fid, n):
+    # Hilbert-sorted files make bbox hits contiguous, so the driver holds
+    # O(runs) entries — never one entry per feature (the run scans
+    # sequentially through the size-prefixed stream, no per-feature seeks)
     if bbox is not None and hdr["index_len"]:
         with open(path, "rb") as f:
             f.seek(hdr["index_pos"])
             nodes = np.frombuffer(f.read(hdr["index_len"]), _NODE)
-        cands = _rtree_search(nodes, hdr["count"], hdr["node_size"], bbox)
-        cands.sort()
-        work = [(hdr["features_pos"] + off, fid) for off, fid in cands]
+        cands = sorted(_rtree_search(nodes, hdr["count"],
+                                     hdr["node_size"], bbox),
+                       key=lambda c: c[1])
+        work = []
+        for off, fid in cands:
+            if work and fid == work[-1][1] + work[-1][2] \
+                    and work[-1][2] < features_per_task:
+                work[-1][2] += 1
+            else:
+                work.append([hdr["features_pos"] + off, fid, 1])
     else:
         # full scan: leaves carry every feature offset in file order
         if hdr["index_len"]:
@@ -568,8 +579,10 @@ def read_fgb(spark: SparkSession, path: str,
                 nodes = np.frombuffer(f.read(hdr["index_len"]), _NODE)
             bounds, total = _level_bounds(hdr["count"], hdr["node_size"])
             offs = np.sort(nodes["off"][bounds[0][0]:].astype(np.int64))
-            work = [(hdr["features_pos"] + int(o), i)
-                    for i, o in enumerate(offs)]
+            # one run per task chunk — O(count / features_per_task) rows
+            work = [[hdr["features_pos"] + int(offs[i]), i,
+                     int(min(features_per_task, len(offs) - i))]
+                    for i in range(0, len(offs), features_per_task)]
         else:
             work = None                     # sequential scan fallback
 
@@ -580,12 +593,12 @@ def read_fgb(spark: SparkSession, path: str,
     cols = [f.name for f in schema.fields]
     gtype_hdr = hdr["gtype"]
 
-    def parse_span(fh, start, end, fid_start):
+    def parse_span(fh, start, fid_start, max_n):
+        """Sequential scan of up to max_n size-prefixed features."""
         rows = []
-        pos = start
         fid = fid_start
-        fh.seek(pos)
-        while pos < end:
+        fh.seek(start)
+        while len(rows) < max_n:
             szb = fh.read(4)
             if len(szb) < 4:
                 break
@@ -599,7 +612,6 @@ def read_fgb(spark: SparkSession, path: str,
                                  else b"", columns)
             rows.append([fid, wkb.encode(g) if g is not None else None]
                         + vals)
-            pos += 4 + size
             fid += 1
         return rows
 
@@ -607,22 +619,30 @@ def read_fgb(spark: SparkSession, path: str,
         def parse_all(batches):
             for _pdf in batches:
                 with open(path, "rb") as fh:
-                    fh.seek(0, 2)
-                    end = fh.tell()
-                    rows = parse_span(fh, hdr["features_pos"], end, 0)
+                    rows = parse_span(fh, hdr["features_pos"], 0,
+                                      1 << 62)
                 yield pd.DataFrame(rows, columns=cols) if rows else \
                     pd.DataFrame(columns=cols)
         one = spark.createDataFrame(pd.DataFrame({"x": [1]}))
         return one.mapInPandas(parse_all, schema)
 
-    ranges = [work[i:i + features_per_task]
-              for i in range(0, len(work), features_per_task)]
+    # pack whole runs into tasks of <= features_per_task features each
+    ranges: list[list] = []
+    cur: list = []
+    cur_n = 0
+    for run in work:
+        if cur and cur_n + run[2] > features_per_task:
+            ranges.append(cur)
+            cur, cur_n = [], 0
+        cur.append(run)
+        cur_n += run[2]
+    if cur:
+        ranges.append(cur)
+    if not ranges:
+        return spark.createDataFrame([], schema)
     rdf = spark.createDataFrame(
         pd.DataFrame({"task": list(range(len(ranges)))}),
-        schema=T.StructType([T.StructField("task", T.LongType())])) \
-        if ranges else None
-    if rdf is None:
-        return spark.createDataFrame([], schema)
+        schema=T.StructType([T.StructField("task", T.LongType())]))
     bc = spark.sparkContext.broadcast(ranges)
 
     def parse(batches):
@@ -632,21 +652,9 @@ def read_fgb(spark: SparkSession, path: str,
             with open(path, "rb") as fh:
                 for t in pdf["task"]:
                     rows = []
-                    for off, fid in rg[int(t)]:
-                        fh.seek(off)
-                        szb = fh.read(4)
-                        size = struct.unpack("<I", szb)[0]
-                        buf = szb + fh.read(size)
-                        tpos = 4 + _u32(buf, 4)
-                        gp = _fb_indirect(buf, tpos, 0)
-                        g = _fgb_to_geom(buf, gp, gtype_hdr) \
-                            if gp is not None else None
-                        praw = _fb_vector(buf, tpos, 1, "u1")
-                        vals = _props_decode(
-                            praw.tobytes() if praw is not None else b"",
-                            columns)
-                        rows.append([int(fid), wkb.encode(g)
-                                     if g is not None else None] + vals)
+                    for off, fid0, n in rg[int(t)]:
+                        rows.extend(parse_span(fh, int(off), int(fid0),
+                                               int(n)))
                     frames.append(pd.DataFrame(rows, columns=cols))
             yield pd.concat(frames) if frames else \
                 pd.DataFrame(columns=cols)
