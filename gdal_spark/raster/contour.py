@@ -510,9 +510,8 @@ def _link_directed_all(segs, digits: int = 9):
     return rings, chains
 
 
-def _shoelace(pts: np.ndarray) -> float:
-    x, y = pts[:, 0], pts[:, 1]
-    return 0.5 * float(np.dot(x[:-1], y[1:]) - np.dot(x[1:], y[:-1]))
+from ..core.geomops import ring_area as _shoelace  # noqa: E402 — one
+# canonical signed-shoelace lives in core.geomops
 
 
 def region_fragments(tiles_df: DataFrame, levels: list[float],

@@ -199,8 +199,11 @@ def _sample_point(canvas, valid, ox, oy, sx, sy, resample, fill,
             if m.shape[axis] < 2:
                 return 1.0
             d = np.abs(np.diff(m, axis=axis))
+            d = d[np.isfinite(d)]          # out-of-domain CT -> NaN mesh
+            if not len(d):
+                return 1.0
             step = float(np.median(d))
-            return 1.0 / step if step > 0 else 1.0
+            return 1.0 / step if step > 0 and np.isfinite(step) else 1.0
         xscale = _axis_scale(u, 1)
         yscale = _axis_scale(v, 0)
         if min(xscale, yscale) < 0.95:

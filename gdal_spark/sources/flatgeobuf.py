@@ -624,7 +624,24 @@ def read_fgb(spark: SparkSession, path: str,
                 yield pd.DataFrame(rows, columns=cols) if rows else \
                     pd.DataFrame(columns=cols)
         one = spark.createDataFrame(pd.DataFrame({"x": [1]}))
-        return one.mapInPandas(parse_all, schema)
+        out = one.mapInPandas(parse_all, schema)
+        if bbox is not None:
+            # no R-tree in the file: the bbox contract still holds via a
+            # worker-side envelope refine (same envelope-intersects test
+            # the index would have applied)
+            from ..core.geomops import envelopes as _envs
+            from pyspark.sql.functions import pandas_udf
+
+            @pandas_udf(T.BooleanType())
+            def _hits(geom: pd.Series) -> pd.Series:
+                e = _envs([bytes(b) if b is not None else None
+                           for b in geom])
+                ok = ~((e[:, 2] < bbox[0]) | (e[:, 0] > bbox[2])
+                       | (e[:, 3] < bbox[1]) | (e[:, 1] > bbox[3]))
+                return pd.Series(ok & np.isfinite(e).all(axis=1))
+
+            out = out.where(_hits(out.geom))
+        return out
 
     # pack whole runs into tasks of <= features_per_task features each
     ranges: list[list] = []

@@ -117,10 +117,11 @@ def read_geojson(spark: SparkSession, path: str) -> DataFrame:
                 if rows else pd.DataFrame(columns=["fid", "geom", "props"])
 
     df = raw.mapInPandas(parse, _SCHEMA)
-    # id-less features need a globally unique fid across files/partitions
+    # id-less features need a globally unique fid across files/partitions;
+    # the 1<<62 offset keeps synthesized fids out of the explicit-id range
     return df.withColumn(
         "fid", F.when(F.col("fid").isNotNull(), F.col("fid"))
-        .otherwise(F.monotonically_increasing_id()))
+        .otherwise(F.monotonically_increasing_id() + F.lit(1 << 62)))
 
 
 def read_geojson_seq(spark: SparkSession, path: str) -> DataFrame:
@@ -138,10 +139,11 @@ def read_geojson_seq(spark: SparkSession, path: str) -> DataFrame:
 
     df = raw.mapInPandas(parse, _SCHEMA)
     # line-position fids are not globally stable across partitions; replace
-    # with a deterministic monotonic id when the features carry none
+    # with a deterministic monotonic id when the features carry none (the
+    # 1<<62 offset keeps synthesized fids out of the explicit-id range)
     return df.withColumn(
         "fid", F.when(F.col("fid").isNotNull(), F.col("fid"))
-        .otherwise(F.monotonically_increasing_id()))
+        .otherwise(F.monotonically_increasing_id() + F.lit(1 << 62)))
 
 
 def write_geojson_seq(df: DataFrame, path: str, geom_col: str = "geom",

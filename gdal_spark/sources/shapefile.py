@@ -47,9 +47,7 @@ SHP_MULTIPOINT = 8
 # geometry record codec
 # ---------------------------------------------------------------------------
 
-def _ring_area(r: np.ndarray) -> float:
-    x, y = r[:, 0], r[:, 1]
-    return 0.5 * float(np.dot(x[:-1], y[1:]) - np.dot(x[1:], y[:-1]))
+from ..core.geomops import ring_area as _ring_area  # noqa: E402
 
 
 def _shape_to_geom(buf: bytes):
@@ -275,6 +273,13 @@ def write_shapefile(rows, path_base: str):
                     s = b"T" if v else b"F"
                 else:
                     s = str(v).encode("ascii")[:flen].ljust(flen)
+                if len(s) != flen:
+                    # a silently-oversized field would shift every later
+                    # fixed-width record; refuse instead (dbfopen.c clamps
+                    # to the declared width, we fail loud)
+                    raise ValueError(
+                        f"value {v!r} exceeds DBF field width {flen} "
+                        f"for {name!r}")
                 rec += s
             f.write(rec)
         f.write(b"\x1a")

@@ -70,30 +70,35 @@ class OgrSqlEngine:
     # -- translation ---------------------------------------------------------
 
     def translate(self, query: str) -> str:
-        """OGRSQL text -> Spark SQL text (exposed for tests/PLANS)."""
+        """OGRSQL text -> Spark SQL text (exposed for tests/PLANS). Every
+        rewrite — special fields, ILIKE toggle, identifier quoting AND the
+        first-match-join rewrite — applies only OUTSIDE single-quoted
+        string literals."""
         parts = _split_literals(query)
+        # resolve the unqualified-special-field table from the whole
+        # de-literaled text (a literal between SELECT and FROM must not
+        # hide the FROM clause from earlier segments)
+        sql_text = "".join(seg for is_lit, seg in parts if not is_lit)
+        m = re.search(r"(?i)\bFROM\s+([A-Za-z_]\w*)", sql_text)
+        default_tbl = m.group(1) if m else None
         out = []
         for is_lit, seg in parts:
             if is_lit:
                 out.append(seg)
                 continue
             seg = _DQUOTE.sub(lambda m: "`%s`" % m.group(1), seg)
-            seg = self._rewrite_special_fields(seg)
+            seg = self._rewrite_special_fields(seg, default_tbl)
             if self.like_as_ilike:
                 seg = re.sub(r"(?i)(?<![\w])LIKE(?![\w])", "ILIKE", seg)
+            seg = self._rewrite_joins(seg)
             out.append(seg)
-        text = "".join(out)
-        return self._rewrite_joins(text)
+        return "".join(out)
 
-    def _rewrite_special_fields(self, seg: str) -> str:
+    def _rewrite_special_fields(self, seg: str, default_tbl) -> str:
         """FID / OGR_GEOMETRY / OGR_GEOM_WKT / OGR_GEOM_AREA, optionally
         table-qualified. The bare forms resolve against the single FROM
         table of the query (OGR's own binding rule for unqualified special
         fields, swq_select.cpp:774 BuildParseInfo)."""
-        default_tbl = None
-        m = re.search(r"(?i)\bFROM\s+([A-Za-z_]\w*)", seg)
-        if m:
-            default_tbl = m.group(1)
 
         def geom_of(tbl):
             return self._geom.get(tbl, "geom")

@@ -162,3 +162,35 @@ def test_reference_autotest_fixture_gdal_written_mls(spark):
     g = wkb.decode(bytes(rows[0].geom))
     assert g.gtype == wkb.MULTILINESTRING and len(g.parts) == 1
     assert np.allclose(g.parts[0].rings[0], [[0.0, 0.0], [1.0, 1.0]])
+
+
+def test_bbox_on_unindexed_file_still_filters(spark, tmp_path, monkeypatch):
+    """A file without a packed R-tree must still honor bbox via the
+    worker-side envelope refine (round-3 review finding)."""
+    import gdal_spark.sources.flatgeobuf as fgb
+    path = str(tmp_path / "noindex.fgb")
+    # write WITHOUT an index by forcing node_size 0 in the header
+    rows = _pts_rows(20)
+    orig = fgb._build_rtree
+    write_fgb(rows, path)
+    # rewrite header count/node_size by writing a fresh file sans index
+    # (simplest: monkeypatch _read_header to report no index)
+    real = fgb._read_header(path)
+
+    def fake_header(p):
+        h = dict(real)
+        h["index_len"] = 0
+        h["node_size"] = 0
+        return h
+
+    monkeypatch.setattr(fgb, "_read_header", fake_header)
+    # features_pos still points at the index in the REAL file, so also
+    # shift it to the feature section
+    fake = fake_header(path)
+    fake["features_pos"] = real["features_pos"]
+    monkeypatch.setattr(fgb, "_read_header", lambda p: fake)
+    out = fgb.read_fgb(spark, path, bbox=(-1.0, -1.0, 25.0, 6.0)).collect()
+    names = sorted(r.name for r in out)
+    want = sorted(f"f{i}" for i in range(20)
+                  if (i % 8) * 10.0 <= 25.0 and (i // 8) * 5.0 <= 6.0)
+    assert names == want and 0 < len(out) < 20

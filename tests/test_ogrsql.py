@@ -136,3 +136,16 @@ def test_qualified_special_field_in_join(eng):
         "SELECT cities.FID, lut.fid FROM cities "
         "JOIN lut ON cities.cls = lut.cls WHERE cities.FID = 0").collect()
     assert rows[0][0] == 0 and rows[0][1] == 100
+
+
+def test_rewrites_never_touch_string_literals(eng):
+    """Join/LIKE/special-field rewrites must not fire inside single-quoted
+    literals, and a literal between SELECT and FROM must not break the
+    unqualified-FID binding (round-3 review findings)."""
+    rows = eng.sql("SELECT name FROM cities "
+                   "WHERE name != 'x JOIN lut ON cities.cls = lut.cls' "
+                   "AND fid = 1").collect()
+    assert [r.name for r in rows] == ["name1"]
+    rows2 = eng.sql("SELECT FID, 'tag' AS t FROM cities "
+                    "WHERE FID = 2").collect()
+    assert rows2[0][0] == 2 and rows2[0].t == "tag"
