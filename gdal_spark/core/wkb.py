@@ -405,6 +405,22 @@ def points_batch(wkbs) -> "np.ndarray | None":
     return np.ascontiguousarray(raw[:, 5:]).view("<f8").reshape(n, 2)
 
 
+def encode_points_batch(coords: np.ndarray) -> list[bytes]:
+    """Inverse of points_batch: (n, 2) float64 -> n little-endian WKB POINT
+    blobs built as ONE numpy buffer, then sliced (slicing a bytes object is
+    a cheap memcpy; the per-geometry recursive encoder is ~30x slower)."""
+    coords = np.ascontiguousarray(coords, dtype="<f8")
+    n = len(coords)
+    if n == 0:
+        return []
+    raw = np.empty((n, _POINT_LEN), dtype=np.uint8)
+    raw[:, 0] = 1
+    raw[:, 1:5] = np.array([1, 0, 0, 0], np.uint8)
+    raw[:, 5:] = coords.view(np.uint8).reshape(n, 16)
+    buf = raw.tobytes()
+    return [buf[i * _POINT_LEN:(i + 1) * _POINT_LEN] for i in range(n)]
+
+
 def single_ring_batch(wkbs):
     """(ring_offsets, coords) if EVERY element is a 2-D LE WKB POLYGON with
     exactly one ring, else None. coords is the (total_pts, 2) concatenation;

@@ -219,10 +219,26 @@ def translate(df: DataFrame, opts: TranslateOptions,
     per feature)."""
     schema = df.schema
     reproject = opts.src_crs and opts.dst_crs and opts.src_crs != opts.dst_crs
+    # Reproject-only chains over all-point batches never need Geom objects:
+    # one batched decode -> one transform -> one batched encode (pure numpy).
+    chain_free = not (opts.explode_collections or opts.make_valid
+                      or opts.segmentize or opts.simplify or opts.clip_src
+                      or opts.clip_dst or opts.wrapdateline
+                      or opts.promote_to_multi)
 
     def run(batches):
         for pdf in batches:
             gi = pdf.columns.get_loc(geom_col)
+            if reproject and chain_free:
+                pts = wkb.points_batch(pdf.iloc[:, gi].values)
+                if pts is not None:
+                    x, y = transform(opts.src_crs, opts.dst_crs,
+                                     pts[:, 0], pts[:, 1])
+                    out = pdf.copy()
+                    out.iloc[:, gi] = wkb.encode_points_batch(
+                        np.stack([x, y], axis=1))
+                    yield out
+                    continue
             work = []              # (input row index, Geom) surviving pre
             for ridx, b in enumerate(pdf.iloc[:, gi].values):
                 g0 = wkb.decode(bytes(b))

@@ -109,3 +109,54 @@ def test_wrapdateline_leaves_normal_geometry_alone():
     g = wkb.box(-10.0, -5.0, 10.0, 5.0)
     out = translate_geom(g, TranslateOptions(wrapdateline=True))
     assert out == [wkb.encode(wkb.decode(g))]
+
+
+def test_encode_points_batch_inverse():
+    coords = np.array([[1.5, -2.25], [0.0, 0.0], [179.9, -89.5]])
+    blobs = wkb.encode_points_batch(coords)
+    assert wkb.encode_points_batch(np.empty((0, 2))) == []
+    back = wkb.points_batch(blobs)
+    np.testing.assert_array_equal(back, coords)
+    # each blob also decodes through the scalar path
+    for b, (x, y) in zip(blobs, coords):
+        g = wkb.decode(b)
+        assert g.gtype == wkb.POINT
+        np.testing.assert_allclose(g.rings[0][0], [x, y])
+
+
+def test_translate_point_fast_lane_matches_scalar_path(spark):
+    """Reproject-only translate over an all-point batch takes the batched
+    numpy lane; the result must be bit-identical to the per-feature chain
+    (forced here by adding a no-op chain stage that disables the lane)."""
+    import pandas as pd
+    pts = [(i, wkb.point(-120.0 + i * 3.7, -50.0 + i * 2.1))
+           for i in range(40)]
+    df = spark.createDataFrame(pd.DataFrame(pts, columns=["fid", "geom"]))
+    fast = tr.translate(df, tr.TranslateOptions(
+        src_crs="EPSG:4326", dst_crs="EPSG:3857"))
+    # force the scalar path with a chain stage that is a geometric no-op
+    slow = tr.translate(df, tr.TranslateOptions(
+        src_crs="EPSG:4326", dst_crs="EPSG:3857",
+        clip_dst=(-1e9, -1e9, 1e9, 1e9)))
+    f = {r.fid: bytes(r.geom) for r in fast.collect()}
+    s = {r.fid: bytes(r.geom) for r in slow.collect()}
+    assert set(f) == set(s)
+    for k in f:
+        np.testing.assert_allclose(wkb.decode(f[k]).rings[0][0],
+                                   wkb.decode(s[k]).rings[0][0], rtol=1e-12)
+
+
+def test_translate_mixed_batch_falls_back(spark):
+    """A polygon in the batch disables points_batch -> scalar chain; both
+    geometry kinds still reproject."""
+    import pandas as pd
+    rows = [(0, wkb.point(10.0, 20.0)),
+            (1, wkb.polygon(np.array([[0.0, 0.0], [1.0, 0.0],
+                                      [1.0, 1.0], [0.0, 0.0]])))]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["fid", "geom"]))
+    out = tr.translate(df, tr.TranslateOptions(
+        src_crs="EPSG:4326", dst_crs="EPSG:3857"))
+    got = {r.fid: wkb.decode(bytes(r.geom)) for r in out.collect()}
+    assert got[0].gtype == wkb.POINT and got[1].gtype == wkb.POLYGON
+    np.testing.assert_allclose(got[0].rings[0][0][0], 1113194.9079327357,
+                               rtol=1e-9)
