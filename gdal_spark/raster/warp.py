@@ -488,8 +488,8 @@ def _sample_area(canvas, valid, ox, oy, cx, cy, method, fill):
     h, w = kx0.shape
     out = np.full((h, w), fill, dtype=np.float64)
     # row-chunk so the (chunk, w, Ky, Kx) gather stays within budget
-    # (mode builds an extra (KyKx)^2 equality matrix — budget for it)
-    per_px = w * Kx * Ky * (Kx * Ky if method == "mode" else 1)
+    # (mode's sort/run-length reduce holds ~6 same-shaped temporaries)
+    per_px = w * Kx * Ky * (6 if method == "mode" else 1)
     rows_per = max(1, int(_GATHER_BUDGET / max(1, per_px)))
     for r0 in range(0, h, rows_per):
         r1 = min(r0 + rows_per, h)
@@ -531,13 +531,21 @@ def _reduce_area(vals, m, method, fill):
         out = np.nan_to_num(out, nan=fill)
     elif method == "mode":
         c, w, Ky, Kx = vals.shape
-        flat = np.where(m, vals, np.nan).reshape(c, w, Ky * Kx)
-        # pairwise equality count; ties -> smallest value (documented
-        # divergence from GDAL's scan-order tie-break)
-        eq = (flat[:, :, :, None] == flat[:, :, None, :]).sum(axis=3)
-        eq = np.where(np.isnan(flat), -1, eq)
-        best = eq.max(axis=2, keepdims=True)
-        cand = np.where(eq == best, flat, np.inf)
+        n = Ky * Kx
+        flat = np.where(m, vals, np.nan).reshape(c, w, n)
+        # sort-based run-length mode: O(n log n) per pixel and O(n) memory
+        # instead of the former (n x n) equality matrix. NaNs sort to the
+        # end; equal values are contiguous runs. Ties -> smallest value
+        # (documented divergence from GDAL's scan-order tie-break).
+        s = np.sort(flat, axis=2)
+        pos = np.arange(n)[None, None, :]
+        new_run = np.ones_like(s, dtype=bool)
+        new_run[:, :, 1:] = s[:, :, 1:] != s[:, :, :-1]
+        start = np.maximum.accumulate(np.where(new_run, pos, 0), axis=2)
+        length_at = pos - start + 1          # prefix length within its run
+        length_at = np.where(np.isnan(s), 0, length_at)
+        best = length_at.max(axis=2, keepdims=True)
+        cand = np.where(length_at == best, s, np.inf)
         out = cand.min(axis=2)
         out = np.where(np.isfinite(out), out, fill)
     else:

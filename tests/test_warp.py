@@ -374,3 +374,37 @@ def test_reference_autotest_golden_tiles(spark):
         assert diff.max() <= tol, (alg, diff.max())
         if tol:
             assert (diff == 0).mean() >= 0.96, alg
+
+
+def test_reduce_area_mode_edges():
+    """Run-length mode edge cases: ties -> smallest value, fully masked ->
+    fill, single valid tap, NaN-heavy footprints."""
+    from gdal_spark.raster.warp import _reduce_area
+    vals = np.array([[[[2.0, 2.0], [7.0, 7.0]],      # tie 2x2 vs 7x2 -> 2
+                      [[5.0, 1.0], [5.0, 9.0]],      # 5 wins
+                      [[3.0, 0.0], [0.0, 0.0]],      # masked except one 3
+                      [[4.0, 4.0], [4.0, 8.0]]]])    # 4 wins
+    m = np.array([[[[True, True], [True, True]],
+                   [[True, True], [True, True]],
+                   [[True, False], [False, False]],
+                   [[True, True], [True, True]]]])
+    out = _reduce_area(vals, m, "mode", fill=-1.0)
+    np.testing.assert_array_equal(out, [[2.0, 5.0, 3.0, 4.0]])
+    none = _reduce_area(vals, np.zeros_like(m), "mode", fill=-1.0)
+    np.testing.assert_array_equal(none, [[-1.0, -1.0, -1.0, -1.0]])
+
+
+def test_reduce_area_mode_matches_unique_oracle_random():
+    from gdal_spark.raster.warp import _reduce_area
+    rng = np.random.RandomState(11)
+    vals = rng.randint(0, 5, size=(3, 7, 4, 4)).astype(np.float64)
+    m = rng.rand(3, 7, 4, 4) < 0.7
+    out = _reduce_area(vals, m, "mode", fill=np.nan)
+    for c in range(3):
+        for j in range(7):
+            sel = vals[c, j][m[c, j]]
+            if sel.size == 0:
+                assert np.isnan(out[c, j])
+                continue
+            v, n = np.unique(sel, return_counts=True)
+            assert out[c, j] == v[np.argmax(n)]  # ties -> smallest value
