@@ -166,6 +166,15 @@ def concave_hull(points: np.ndarray, max_edge: float) -> np.ndarray:
     import heapq
     heap = [(-elen(e), e) for e, ts in edge_tris.items() if len(ts) == 1]
     heapq.heapify(heap)
+    # bcount[v] = number of live boundary edges incident to v, maintained
+    # incrementally per removal — a vertex is on the boundary iff > 0.
+    # (Replaces the former full-edge rescan per pop, which made carving
+    # quadratic in the edge count.)
+    bcount = np.zeros(len(points), dtype=np.int64)
+    for eo, tso in edge_tris.items():
+        if len(tso) == 1:
+            bcount[eo[0]] += 1
+            bcount[eo[1]] += 1
     while heap:
         neg, e = heapq.heappop(heap)
         if -neg <= max_edge:
@@ -177,20 +186,24 @@ def concave_hull(points: np.ndarray, max_edge: float) -> np.ndarray:
         opp = [v for v in t if v not in e][0]
         # removal keeps the boundary simple iff the opposite vertex is
         # interior (not already on the boundary)
-        boundary_vertices = set()
-        for eo, tso in edge_tris.items():
-            if len(tso & tris) == 1:
-                boundary_vertices.update(eo)
-        if opp in boundary_vertices:
+        if bcount[opp] > 0:
             continue
         if len(tris) <= 1:
             break
         tris.discard(t)
+        bcount[e[0]] -= 1                  # e leaves the boundary
+        bcount[e[1]] -= 1
         for eo in edges_of(t):
             if eo == e:
                 continue
-            if len(edge_tris.get(eo, set()) & tris) == 1:
+            live = len(edge_tris.get(eo, set()) & tris)
+            if live == 1:                  # interior edge became boundary
+                bcount[eo[0]] += 1
+                bcount[eo[1]] += 1
                 heapq.heappush(heap, (-elen(eo), eo))
+            elif live == 0:                # was already boundary, now gone
+                bcount[eo[0]] -= 1
+                bcount[eo[1]] -= 1
     # assemble the boundary ring
     nbr: dict = {}
     for e, ts in edge_tris.items():
