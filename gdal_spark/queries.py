@@ -2965,6 +2965,53 @@ def q_median_cut_pct(spark, sf_dir):
         .select("x", "y", "rb", "gb", "bb")
 
 
+@_reg("dither_gray_fs", _DENSITY_XY_SQL + """
+SELECT x, y, CAST((vc + pprev - p) / 2 AS DOUBLE) AS pidx
+FROM (
+  SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y, vc,
+         SUM(vc % 2) OVER (PARTITION BY x ORDER BY y
+                           ROWS UNBOUNDED PRECEDING) % 2 AS p,
+         COALESCE(SUM(vc % 2) OVER (PARTITION BY x ORDER BY y
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) % 2 AS pprev
+  FROM (SELECT x, y, LEAST(CAST(v AS BIGINT), 254) AS vc FROM vals) q
+) w
+""")
+def q_dither_gray_fs(spark, sf_dir):
+    """GDALDitherRGB2PCT (alg/gdaldither.cpp Floyd-Steinberg, distributed
+    as the loop-skewed wavefront of raster/dither.py) on a gray rendering
+    of the density raster against an even-gray palette {0,2,..,254}: every
+    quantization error is 0 or +1, nSixth truncates to 0, so the error
+    flows straight down a column and the dithered palette index has the
+    closed form (v + p_prev - p)/2 where p is the running parity of
+    column-cumulative v — which the oracle recomputes with a window
+    function.  Exercises the full distributed path: shear, wave jobs,
+    top-error exchange across tile bands, un-shear."""
+    import numpy as np
+    import pandas as pd
+    from .raster.dither import dither_rgb2pct
+    from .raster.tiles import TILE_SCHEMA, decode_px, encode_px, retile
+
+    t32 = retile(_density_tiles_full(spark, sf_dir), 8, 32)
+
+    def to_gray(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples():
+                v = decode_px(r.px, r.dtype, 32)
+                gray = np.minimum(v, 254).astype(np.uint8)
+                for band in (1, 2, 3):
+                    out.append((band, r.zoom, r.tile_x, r.tile_y,
+                                "uint8", None, encode_px(gray)))
+            yield pd.DataFrame(out, columns=[f.name for f in
+                                             TILE_SCHEMA.fields])
+
+    rgb = t32.mapInPandas(to_gray, TILE_SCHEMA).localCheckpoint()
+    pal = np.stack([np.arange(0, 256, 2)] * 3, axis=1).astype(np.uint8)
+    idx = dither_rgb2pct(rgb, pal, tile=32, n_bits=8, width=64, height=64)
+    return _px_rows(idx, tile=32, dtype="uint8", name="pidx")
+
+
 @_reg("gpkg_roundtrip", f"""
 {_pts_cte()}
 SELECT doc_id, ROUND(lon, 9) AS lon_r, ROUND(lat, 9) AS lat_r
