@@ -136,6 +136,38 @@ def token_stats(docs: DataFrame) -> DataFrame:
         F.round(stop.cast("double") / n_tok, 6).alias("stop_ratio"))
 
 
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Gopher/C4-style document quality signals + keep flag, all JVM column
+    math (no UDF): word count, mean word length, stopword ratio, unique-word
+    ratio, and top-word dominance (the repetition signal — most frequent
+    word's share). keep=1 iff every signal is inside the quality envelope:
+    30 <= n_words <= 95, uniq_ratio >= 0.35, top_frac <= 0.15,
+    stop_ratio >= 0.02.
+
+    The dominance term stays JVM-side via higher-order functions:
+    array_max(transform(distinct_words, w -> count of w)) — O(u*n) per doc,
+    bounded by document length, no shuffle beyond the scan."""
+    ws = words_col()
+    nw = F.size(ws).cast("long")
+    awl = (F.length("text") - (nw - 1)).cast("double") / nw
+    stop = F.size(F.filter(ws, lambda w: w.isin(*STOPWORDS)))
+    sr = stop.cast("double") / nw
+    uniq = F.array_distinct(ws)
+    uq = F.size(uniq).cast("double") / nw
+    top = F.array_max(F.transform(
+        uniq, lambda w: F.size(F.filter(ws, lambda x: x == w))))
+    tf = top.cast("double") / nw
+    keep = ((nw >= 30) & (nw <= 95) & (uq >= 0.35) & (tf <= 0.15)
+            & (sr >= 0.02)).cast("int")
+    return docs.select(
+        "doc_id", nw.alias("n_words"),
+        F.round(awl, 6).alias("avg_wlen_r"),
+        F.round(sr, 6).alias("stop_ratio_r"),
+        F.round(uq, 6).alias("uniq_ratio_r"),
+        F.round(tf, 6).alias("top_frac_r"),
+        keep.alias("keep"))
+
+
 def langid(docs: DataFrame) -> DataFrame:
     """Marker-word language scores -> predicted lang; confusion counts vs the
     labeled `lang` column."""

@@ -716,6 +716,72 @@ def q_grid_invdist(spark, sf_dir):
     return out.select("i", "j", F.round("value", 6).alias("val_r"))
 
 
+@_reg("grid_metrics", f"""
+{_pts_cte()},
+p AS (SELECT lon, lat, CAST(doc_id % 97 AS DOUBLE) AS z FROM pts),
+g AS (SELECT gi.range AS i, gj.range AS j,
+             -180.0 + (gi.range + 0.5) * 10.0 AS cx,
+             -90.0 + (gj.range + 0.5) * 10.0 AS cy
+      FROM range(36) gi, range(18) gj),
+d AS (SELECT i, j, z,
+             sqrt((lon - cx) * (lon - cx) + (lat - cy) * (lat - cy)) AS d
+      FROM p, g
+      WHERE sqrt((lon - cx) * (lon - cx) + (lat - cy) * (lat - cy)) <= 6.0)
+SELECT i, j, CAST(count(*) AS BIGINT) AS n,
+       ROUND(min(z), 6) AS zmin_r, ROUND(max(z), 6) AS zmax_r,
+       ROUND(max(z) - min(z), 6) AS zrange_r,
+       ROUND(avg(z), 6) AS zavg_r, ROUND(min(d), 6) AS dmin_r
+FROM d GROUP BY i, j
+""")
+def q_grid_metrics(spark, sf_dir):
+    """gdal_grid data-metrics family (GDALGridDataMetricCount / Minimum /
+    Maximum / Range, alg/gdalgrid.cpp:1722 ff.) — the reference runs one
+    neighbor search per metric; here one explode-join-aggregate pass emits
+    them all. Oracle: brute-force cross join."""
+    from .raster.gridding import grid_data_metrics
+    p = datagen.points(spark, sf_dir).select(
+        F.col("lon").alias("x"), F.col("lat").alias("y"),
+        (F.col("doc_id") % 97).cast("double").alias("z"))
+    out = grid_data_metrics(p, x0=-180.0, y0=-90.0, dx=10.0, dy=10.0,
+                            nx=36, ny=18, radius=6.0)
+    return out.select("i", "j", "n",
+                      F.round("zmin", 6).alias("zmin_r"),
+                      F.round("zmax", 6).alias("zmax_r"),
+                      F.round("zrange", 6).alias("zrange_r"),
+                      F.round("zavg", 6).alias("zavg_r"),
+                      F.round("dmin", 6).alias("dmin_r"))
+
+
+@_reg("grid_nearest", f"""
+{_pts_cte()},
+p AS (SELECT lon, lat, CAST(doc_id % 97 AS DOUBLE) AS z FROM pts),
+g AS (SELECT gi.range AS i, gj.range AS j,
+             -180.0 + (gi.range + 0.5) * 10.0 AS cx,
+             -90.0 + (gj.range + 0.5) * 10.0 AS cy
+      FROM range(36) gi, range(18) gj),
+d AS (SELECT i, j, z,
+             sqrt((lon - cx) * (lon - cx) + (lat - cy) * (lat - cy)) AS d
+      FROM p, g
+      WHERE sqrt((lon - cx) * (lon - cx) + (lat - cy) * (lat - cy)) <= 6.0),
+r AS (SELECT i, j, z,
+             row_number() OVER (PARTITION BY i, j ORDER BY d ASC, z ASC) AS rn
+      FROM d)
+SELECT i, j, ROUND(z, 6) AS val_r FROM r WHERE rn = 1
+""")
+def q_grid_nearest(spark, sf_dir):
+    """gdal_grid nearest-neighbor (GDALGridNearestNeighbor,
+    alg/gdalgrid.cpp:860 — 'takes the value of nearest point found in grid
+    node search ellipse'); ties broken by smallest z to stay deterministic
+    on both engines. Window top-1 over the same bounded explode."""
+    from .raster.gridding import grid_interpolate
+    p = datagen.points(spark, sf_dir).select(
+        F.col("lon").alias("x"), F.col("lat").alias("y"),
+        (F.col("doc_id") % 97).cast("double").alias("z"))
+    out = grid_interpolate(p, x0=-180.0, y0=-90.0, dx=10.0, dy=10.0,
+                           nx=36, ny=18, radius=6.0, algorithm="nearest")
+    return out.select("i", "j", F.round("value", 6).alias("val_r"))
+
+
 @_reg("events_sessions", """
 WITH l AS (
   SELECT user_id, ts, value,
@@ -1113,6 +1179,34 @@ FROM s
 """)
 def q_token_stats(spark, sf_dir):
     return textops.token_stats(_t(spark, sf_dir, "documents"))
+
+
+@_reg("doc_quality", f"""
+WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+s AS (SELECT doc_id,
+             CAST(len(ws) AS BIGINT) AS n_words,
+             CAST(length(text) - (len(ws) - 1) AS DOUBLE) / len(ws) AS awl,
+             CAST(len(list_filter(ws, w -> w IN {_STOP_SQL})) AS DOUBLE)
+               / len(ws) AS sr,
+             CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS uq,
+             CAST(list_max(list_transform(list_distinct(ws),
+                  w -> len(list_filter(ws, x -> x = w)))) AS DOUBLE)
+               / len(ws) AS tf
+      FROM d)
+SELECT doc_id, n_words,
+       ROUND(awl, 6) AS avg_wlen_r, ROUND(sr, 6) AS stop_ratio_r,
+       ROUND(uq, 6) AS uniq_ratio_r, ROUND(tf, 6) AS top_frac_r,
+       CAST(CASE WHEN n_words >= 30 AND n_words <= 95 AND uq >= 0.35
+                  AND tf <= 0.15 AND sr >= 0.02
+            THEN 1 ELSE 0 END AS INTEGER) AS keep
+FROM s
+""")
+def q_doc_quality(spark, sf_dir):
+    """Training-pipeline quality filter (Gopher/C4-style signals: length,
+    mean word length, stopword ratio, uniqueness, top-word dominance) over
+    the documents table; keep flag per the quality envelope. All JVM
+    higher-order-function math — no Python in the hot path."""
+    return textops.quality_score(_t(spark, sf_dir, "documents"))
 
 
 def _langid_sql():

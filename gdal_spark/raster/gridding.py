@@ -27,18 +27,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def grid_interpolate(points: DataFrame, x0: float, y0: float,
-                     dx: float, dy: float, nx: int, ny: int,
-                     radius: float, algorithm: str = "invdist",
-                     power: float = 2.0,
-                     x_col: str = "x", y_col: str = "y",
-                     z_col: str = "z") -> DataFrame:
-    """-> (i, j, value): interpolated raster over pixels with >=1 neighbor.
+def _radius_candidates(points: DataFrame, x0: float, y0: float,
+                       dx: float, dy: float, nx: int, ny: int,
+                       radius: float, x_col: str, y_col: str) -> DataFrame:
+    """(point rows) x (grid nodes within `radius`) with a `_d` distance col.
 
-    algorithm: 'invdist' (sum z/d^p / sum 1/d^p; a point exactly on a pixel
-    center takes the pixel verbatim, gdalgrid.cpp GDALGridInverseDistance*
-    dfDenominator==0 branch), 'average', 'nearest', 'count', 'min', 'max'.
-    """
+    The bounded explode replaces GDALGrid's per-node point search
+    (gdalgrid.cpp GDALGridExtractPoints): each point fans out to the pixel
+    window its radius-disc can touch, then one shuffle keyed by output
+    pixel does all the gathering."""
     px, py = F.col(x_col), F.col(y_col)
     # pixel-index window the point's radius-disc can touch (bounded explode)
     ri = int(math.ceil(radius / abs(dx))) + 1
@@ -59,9 +56,24 @@ def grid_interpolate(points: DataFrame, x0: float, y0: float,
     ddx = px - cx
     ddy = py - cy
     d = F.sqrt(ddx * ddx + ddy * ddy)
-    p = p.withColumn("_d", d).where(F.col("_d") <= radius) \
+    return p.withColumn("_d", d).where(F.col("_d") <= radius) \
         .drop("_ic", "_jc", "_di", "_dj")
 
+
+def grid_interpolate(points: DataFrame, x0: float, y0: float,
+                     dx: float, dy: float, nx: int, ny: int,
+                     radius: float, algorithm: str = "invdist",
+                     power: float = 2.0,
+                     x_col: str = "x", y_col: str = "y",
+                     z_col: str = "z") -> DataFrame:
+    """-> (i, j, value): interpolated raster over pixels with >=1 neighbor.
+
+    algorithm: 'invdist' (sum z/d^p / sum 1/d^p; a point exactly on a pixel
+    center takes the pixel verbatim, gdalgrid.cpp GDALGridInverseDistance*
+    dfDenominator==0 branch), 'average', 'nearest', 'count', 'min', 'max'.
+    """
+    p = _radius_candidates(points, x0, y0, dx, dy, nx, ny, radius,
+                           x_col, y_col)
     z = F.col(z_col)
     if algorithm == "invdist":
         # power==2 avoids pow(): 1/(d*d) is the exact expression an oracle
@@ -90,6 +102,32 @@ def grid_interpolate(points: DataFrame, x0: float, y0: float,
                 .where(F.col("_rn") == 1)
                 .select("i", "j", z.alias("value")))
     raise ValueError(f"unknown algorithm {algorithm!r}")
+
+
+def grid_data_metrics(points: DataFrame, x0: float, y0: float,
+                      dx: float, dy: float, nx: int, ny: int,
+                      radius: float,
+                      x_col: str = "x", y_col: str = "y",
+                      z_col: str = "z") -> DataFrame:
+    """gdal_grid data-metrics family in ONE aggregation pass:
+    (i, j, n, zmin, zmax, zrange, zavg, dmin) per node with >=1 neighbor.
+
+    Twin of GDALGridDataMetricCount / Minimum / Maximum / Range /
+    AverageDistance (alg/gdalgrid.cpp:1722 ff., one function per metric,
+    each re-running the same neighbor search) — here all metrics share the
+    single explode-join-shuffle, a map-side-combinable groupBy.
+    `dmin` is the node->nearest-sample distance (GDALGridDataMetric
+    AverageDistance's min sibling is what InterpolateAtPoint uses)."""
+    p = _radius_candidates(points, x0, y0, dx, dy, nx, ny, radius,
+                           x_col, y_col)
+    z = F.col(z_col)
+    return p.groupBy("i", "j").agg(
+        F.count("*").cast("long").alias("n"),
+        F.min(z).alias("zmin"),
+        F.max(z).alias("zmax"),
+        (F.max(z) - F.min(z)).alias("zrange"),
+        F.avg(z).alias("zavg"),
+        F.min("_d").alias("dmin"))
 
 
 def grid_linear(points: DataFrame, x0: float, y0: float,

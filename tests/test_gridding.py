@@ -118,3 +118,28 @@ def test_delaunay_empty_circumcircle():
         inside = d2 < r2[k] * (1 - 1e-9) - 1e-9
         inside[tris[k]] = False
         assert not inside.any(), f"triangle {k} violates Delaunay"
+
+
+# ---------------------------------------------------------------------------
+# round 3: data-metrics family in one pass — alg/gdalgrid.cpp:1722 ff.
+# ---------------------------------------------------------------------------
+
+def test_grid_data_metrics_match_brute_force(spark, pts_pdf):
+    from gdal_spark.raster.gridding import grid_data_metrics
+    df = spark.createDataFrame(pts_pdf)
+    got = {(r.i, r.j): r for r in grid_data_metrics(
+        df, X0, Y0, DX, DY, NX, NY, radius=R).collect()}
+    want_cnt = brute(pts_pdf, "count")
+    want_min = brute(pts_pdf, "min")
+    want_max = brute(pts_pdf, "max")
+    want_avg = brute(pts_pdf, "average")
+    assert set(got) == set(want_cnt)
+    for k, r in got.items():
+        assert r.n == int(want_cnt[k])
+        assert r.zmin == pytest.approx(want_min[k], rel=1e-12)
+        assert r.zmax == pytest.approx(want_max[k], rel=1e-12)
+        assert r.zrange == pytest.approx(want_max[k] - want_min[k], rel=1e-9)
+        assert r.zavg == pytest.approx(want_avg[k], rel=1e-12)
+        cx, cy = X0 + (k[0] + 0.5) * DX, Y0 + (k[1] + 0.5) * DY
+        d = np.hypot(pts_pdf.x.values - cx, pts_pdf.y.values - cy)
+        assert r.dmin == pytest.approx(float(d[d <= R].min()), rel=1e-12)
