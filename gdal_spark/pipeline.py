@@ -35,8 +35,12 @@ def synth_pages(spark: SparkSession, n: int,
         datagen.lat_col().alias("lat"))
 
 
+LAYOUT_ZOOM = datagen.PIP_ZOOM + tilemath.SUB_BITS   # the stored-cell zoom
+
+
 def prepare_pages(spark: SparkSession, n: int, path: str,
-                  partitions: int | None = None, sort: bool = True) -> None:
+                  partitions: int | None = None, sort: bool = True,
+                  store_cell: bool = False) -> None:
     """Materialize the page table once, sorted by fine-grained cell id —
     the Iceberg sort-order layout the measurement protocol prescribes
     (BASELINE.md step 1: 'write to Iceberg sorted by cell id').
@@ -47,16 +51,81 @@ def prepare_pages(spark: SparkSession, n: int, path: str,
     combine: the shuffle carries ~#distinct-pixels rows instead of ~#pages.
     At 100 TB this is the difference between shuffling gigabytes and
     shuffling the dataset.
-    """
+
+    `store_cell=True` keeps the sort key as a stored `cell` column (the
+    geohash-column pattern): every parquet row group then carries min/max
+    stats on `cell`, so a spatially-filtered scan (`pruned_cell_scan`)
+    skips row groups entirely — the SURVEY §4 'spatial-filter pushdown to
+    source' analog of OGR's SetSpatialFilter + driver R-tree
+    (ogrlayer.cpp:1472, ogr_gensql.cpp:576-582)."""
     df = synth_pages(spark, n, partitions)
-    if sort:
+    if sort or store_cell:
         key = spatial_join.point_cell_col(
-            F.col("lon"), F.col("lat"), datagen.PIP_ZOOM + tilemath.SUB_BITS)
-        df = (df.withColumn("_k", key)
-              .repartitionByRange(partitions or 32, "_k")
-              .sortWithinPartitions("_k")
-              .drop("_k"))
+            F.col("lon"), F.col("lat"), LAYOUT_ZOOM)
+        df = df.withColumn("cell", key)
+        if sort:
+            df = (df.repartitionByRange(partitions or 32, "cell")
+                  .sortWithinPartitions("cell"))
+        if not store_cell:
+            df = df.drop("cell")
     df.write.mode("overwrite").parquet(path)
+
+
+def cell_bbox_predicate(xmin: float, ymin: float, xmax: float, ymax: float,
+                        zoom: int = LAYOUT_ZOOM, cell_col: str = "cell",
+                        max_ranges: int = 64):
+    """Pushdown-able Column predicate: `cell` is inside the bbox's cover.
+
+    The packed id is (zoom<<58)|(ty<<29)|tx, so one tile ROW [tx0..tx1] at
+    fixed ty is one contiguous id range. The bbox cover becomes at most
+    `max_ranges` BETWEENs: ty rows are chunked evenly, each chunk's range
+    runs [pack(tx0, ty_first) .. pack(tx1, ty_last)] — a superset of the
+    true cover (chunks spanning >1 ty admit the full rows in between), so
+    the predicate is always safe to AND with the exact test. The BETWEENs
+    fold as a BALANCED or-tree (a deep left-leaning chain overflows the
+    column-node converter stack for wide bboxes).
+
+    Plain comparisons on a stored long column: Catalyst pushes them into
+    the parquet scan (PushedFilters), and with the cell-sorted layout the
+    row-group min/max stats skip everything outside the filter window — no
+    Spark task ever opens those pages.
+    """
+    import numpy as np
+
+    from .core.tilemath import (MERC_MAX_LAT, latlon_to_tile_xyz,
+                                packed_cell_id)
+    ymin = max(ymin, -MERC_MAX_LAT)
+    ymax = min(ymax, MERC_MAX_LAT)
+    tx0, ty0 = latlon_to_tile_xyz(np.float64(ymax), np.float64(xmin), zoom)
+    tx1, ty1 = latlon_to_tile_xyz(np.float64(ymin), np.float64(xmax), zoom)
+    n = 2 ** zoom
+    tx0 = int(np.clip(tx0, 0, n - 1)); tx1 = int(np.clip(tx1, 0, n - 1))
+    ty0 = int(np.clip(ty0, 0, n - 1)); ty1 = int(np.clip(ty1, 0, n - 1))
+    tx0, tx1 = min(tx0, tx1), max(tx0, tx1)
+    ty0, ty1 = min(ty0, ty1), max(ty0, ty1)
+    c = F.col(cell_col)
+    n_rows = ty1 - ty0 + 1
+    n_chunks = min(max_ranges, n_rows)
+    bounds = np.linspace(ty0, ty1 + 1, n_chunks + 1).astype(np.int64)
+    preds = [c.between(int(packed_cell_id(tx0, int(a), zoom)),
+                       int(packed_cell_id(tx1, int(b - 1), zoom)))
+             for a, b in zip(bounds[:-1], bounds[1:]) if b > a]
+    while len(preds) > 1:                      # balanced or-tree fold
+        preds = [preds[i] | preds[i + 1] if i + 1 < len(preds) else preds[i]
+                 for i in range(0, len(preds), 2)]
+    return preds[0]
+
+
+def pruned_cell_scan(spark: SparkSession, path: str,
+                     xmin: float, ymin: float, xmax: float, ymax: float,
+                     zoom: int = LAYOUT_ZOOM) -> DataFrame:
+    """Spatially-filtered scan of a cell-sorted page table with a stored
+    `cell` column: cell-cover prefilter (row-group pruning via parquet
+    stats) AND the exact bbox test on lon/lat — both pushed to the scan."""
+    df = spark.read.parquet(path)
+    return df.where(cell_bbox_predicate(xmin, ymin, xmax, ymax, zoom)
+                    & (F.col("lon") >= xmin) & (F.col("lon") <= xmax)
+                    & (F.col("lat") >= ymin) & (F.col("lat") <= ymax))
 
 
 def run_canonical_job(spark: SparkSession, n_pages: int, workdir: str,

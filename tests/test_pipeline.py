@@ -107,3 +107,40 @@ def test_snapshot_uncommitted_data_invisible(spark, tmp_path):
     # simulate a crashed writer: data files land, snapshot never publishes
     t._write_data(spark.range(100).selectExpr("id"))
     assert t.read().count() == 4
+
+
+def test_stored_cell_column_prunes_scan(spark, tmp_path):
+    """The geohash-column pattern (SURVEY §4 spatial-filter pushdown):
+    cell-sorted table with a stored `cell` column -> bbox scan pushes the
+    cell ranges into the parquet scan (PushedFilters) and returns exactly
+    the brute-force bbox rows."""
+    from pyspark.sql import functions as F
+
+    from gdal_spark.pipeline import (cell_bbox_predicate, prepare_pages,
+                                     pruned_cell_scan, synth_pages)
+
+    path = str(tmp_path / "pages_cell")
+    prepare_pages(spark, 20000, path, partitions=8, store_cell=True)
+    tbl = spark.read.parquet(path)
+    assert "cell" in tbl.columns
+
+    bbox = (-30.0, 10.0, 40.0, 55.0)
+    got = pruned_cell_scan(spark, path, *bbox)
+    want = synth_pages(spark, 20000).where(
+        (F.col("lon") >= bbox[0]) & (F.col("lon") <= bbox[2])
+        & (F.col("lat") >= bbox[1]) & (F.col("lat") <= bbox[3]))
+    assert got.count() == want.count() > 0
+    assert (sorted(r.doc_id for r in got.select("doc_id").collect())
+            == sorted(r.doc_id for r in want.select("doc_id").collect()))
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    # the cell range comparisons reached the scan, not just lon/lat
+    assert "GreaterThanOrEqual(cell" in plan or "cell#" in plan.split(
+        "PushedFilters")[1][:4000]
+
+    # the cover predicate is a true superset guard: every surviving row's
+    # cell really is inside the coarse range
+    pred_only = tbl.where(cell_bbox_predicate(*bbox))
+    n_pred = pred_only.count()
+    assert n_pred >= got.count()
