@@ -3199,3 +3199,109 @@ def q_warp_rpc_affine(spark, sf_dir):
     out = warp_run(t, WarpSpec(src, rpc_crs(meta, ln, den, sn, den), dst,
                                "EPSG:4326", "near", fill=0.0))
     return _px_rows(out, tile=8)
+
+
+# ---------------------------------------------------------------------------
+# nearblack — collar removal (apps/nearblack_lib.cpp)
+# ---------------------------------------------------------------------------
+
+_NB_H, _NB_W, _NB_TILE = 96, 80, 32
+_NB_BLACK_SQL = ("(c < 2 + (r % 4) OR c >= 80 - (1 + (r % 3))"
+                 " OR r < 2 + (c % 5) OR r >= 96 - (1 + (c % 2)))")
+
+
+def _nearblack_fixture_tiles(spark):
+    """Deterministic collar raster, built distributed: ragged near-black
+    frames (widths varying per row/column by closed formulas) around a
+    solid value-200 interior. One tile row per task."""
+    import numpy as np
+    import pandas as pd
+
+    from .raster.tiles import TILE_SCHEMA
+
+    ntx = -(-_NB_W // _NB_TILE)
+    nty = -(-_NB_H // _NB_TILE)
+    ids = spark.range(ntx * nty, numPartitions=min(8, ntx * nty))
+
+    def build(batches):
+        for pdf in batches:
+            out = []
+            for tid in pdf["id"]:
+                ty, tx = divmod(int(tid), ntx)
+                jj, ii = np.meshgrid(np.arange(_NB_TILE),
+                                     np.arange(_NB_TILE), indexing="ij")
+                r = ty * _NB_TILE + jj
+                c = tx * _NB_TILE + ii
+                black = ((c < 2 + (r % 4)) | (c >= _NB_W - (1 + (r % 3)))
+                         | (r < 2 + (c % 5)) | (r >= _NB_H - (1 + (c % 2))))
+                v = np.where(black, 0, 200).astype(np.uint8)
+                v[(r >= _NB_H) | (c >= _NB_W)] = 0
+                out.append((1, 0, tx, ty, "uint8", None, v.tobytes()))
+            yield pd.DataFrame(out, columns=[f.name for f in
+                                             TILE_SCHEMA.fields])
+
+    from .raster.tiles import TILE_SCHEMA as _TS
+    return ids.mapInPandas(build, _TS)
+
+
+@_reg("nearblack_collar", f"""
+WITH px AS (
+  SELECT gr.range AS r, gc.range AS c,
+         {_NB_BLACK_SQL} AS black
+  FROM range({_NB_H}) gr, range({_NB_W}) gc),
+tc AS (SELECT c, coalesce(min(CASE WHEN NOT black THEN r END), {_NB_H}) AS t,
+              coalesce(max(CASE WHEN NOT black THEN r END), -1) AS b
+       FROM px GROUP BY c),
+lr AS (SELECT r, coalesce(min(CASE WHEN NOT black THEN c END), {_NB_W}) AS l,
+              coalesce(max(CASE WHEN NOT black THEN c END), -1) AS rr
+       FROM px GROUP BY r),
+s AS (SELECT px.r, px.c FROM px
+      JOIN tc ON tc.c = px.c JOIN lr ON lr.r = px.r
+      WHERE px.r < tc.t OR px.r > tc.b
+         OR (px.c < lr.l AND px.c <> {_NB_W - 1})
+         OR (px.c > lr.rr AND px.c <> 0))
+SELECT r, CAST(count(*) AS BIGINT) AS n_masked,
+       CAST(sum(c) AS BIGINT) AS sum_c
+FROM s GROUP BY r
+""")
+def q_nearblack_collar(spark, sf_dir):
+    """nearblack collar removal (GDALNearblack, apps/nearblack_lib.cpp):
+    distributed two-pass scan (row strips + per-column counter monoid fold)
+    over a deterministic ragged-frame fixture; max_non_black=0. The oracle
+    is the closed-form collar set — union of the four directional near-black
+    boundary runs with the reference's excluded-end-pixel quirk (L->R never
+    visits the last column, R->L never visits column 0); the closed form is
+    itself pinned against a branch-exact transcription of ProcessLine in
+    tests/test_nearblack.py. Returns per-row masked-pixel counts."""
+    import numpy as np
+    import pandas as pd
+
+    from .raster.nearblack import nearblack
+
+    tiles = _nearblack_fixture_tiles(spark)
+    out = nearblack(tiles, width=_NB_W, height=_NB_H, tile=_NB_TILE,
+                    near_dist=15, max_non_black=0)
+    mask = out.where(F.col("band") == 0)
+
+    def explode_mask(batches):
+        for pdf in batches:
+            rs, cs = [], []
+            for row in pdf.itertuples():
+                arr = np.frombuffer(row.px, dtype=np.uint8).reshape(
+                    _NB_TILE, _NB_TILE)
+                jj, ii = np.nonzero(arr == 0)
+                r = int(row.tile_y) * _NB_TILE + jj
+                c = int(row.tile_x) * _NB_TILE + ii
+                keep = (r < _NB_H) & (c < _NB_W)
+                rs.append(r[keep])
+                cs.append(c[keep])
+            yield pd.DataFrame({"r": np.concatenate(rs) if rs else [],
+                                "c": np.concatenate(cs) if cs else []})
+
+    import pyspark.sql.types as T
+    sch = T.StructType([T.StructField("r", T.LongType()),
+                        T.StructField("c", T.LongType())])
+    pxdf = mask.mapInPandas(explode_mask, sch)
+    return pxdf.groupBy("r").agg(
+        F.count("*").alias("n_masked"),
+        F.sum("c").alias("sum_c"))
