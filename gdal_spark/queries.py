@@ -3305,3 +3305,49 @@ def q_nearblack_collar(spark, sf_dir):
     return pxdf.groupBy("r").agg(
         F.count("*").alias("n_masked"),
         F.sum("c").alias("sum_c"))
+
+
+@_reg("gtiff_tindex", """
+SELECT i,
+       CAST(10 * i - 100 AS DOUBLE) AS xmin_r,
+       ROUND((40 - 5 * i) - (12 + 2 * i) * (0.5 + 0.125 * i), 6) AS ymin_r,
+       ROUND((10 * i - 100) + (16 + 4 * i) * (0.5 + 0.25 * i), 6) AS xmax_r,
+       CAST(40 - 5 * i AS DOUBLE) AS ymax_r,
+       ROUND((16 + 4 * i) * (0.5 + 0.25 * i)
+             * (12 + 2 * i) * (0.5 + 0.125 * i), 6) AS area_r
+FROM (SELECT CAST(range AS BIGINT) AS i FROM range(6))
+""")
+def q_gtiff_tindex(spark, sf_dir):
+    """gdaltindex (apps/gdaltindex_lib.cpp): raster tile index over six
+    GeoTIFF fixtures — header-only metadata scan per file, footprint ring
+    through the geotransform corners in the reference's order. Returns the
+    envelope plus ST_Area of the footprint polygon; the oracle is the
+    closed form of the fixtures' geotransforms."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from .sources.geotiff import tile_index, write_gtiff
+
+    d = os.path.join(tempfile.gettempdir(),
+                     f"gdal_spark_tindex_{os.getpid()}")
+    os.makedirs(d, exist_ok=True)
+    paths = []
+    for i in range(6):
+        w, h = 16 + 4 * i, 12 + 2 * i
+        gt = (10.0 * i - 100.0, 0.5 + 0.25 * i, 0.0,
+              40.0 - 5.0 * i, 0.0, -(0.5 + 0.125 * i))
+        p = os.path.join(d, f"r{i}.tif")
+        if not os.path.exists(p):
+            write_gtiff(np.full((h, w), i, np.uint8), p, geotransform=gt)
+        paths.append(p)
+    idx = tile_index(spark, paths)
+    i_col = F.regexp_extract(F.col("location"), r"r(\d+)\.tif$", 1) \
+        .cast("long").alias("i")
+    return idx.select(
+        i_col, F.col("xmin").alias("xmin_r"),
+        F.round("ymin", 6).alias("ymin_r"),
+        F.round("xmax", 6).alias("xmax_r"),
+        F.col("ymax").alias("ymax_r"),
+        F.round(st.st_area("geom"), 6).alias("area_r"))

@@ -594,3 +594,56 @@ def write_gtiff_tiles(tiles_df: DataFrame, path: str, width: int,
     # force execution; each task writes only its own disjoint ranges
     tiles_df.mapInPandas(
         emit, T.StructType([T.StructField("n", T.IntegerType())])).count()
+
+
+def tile_index(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """gdaltindex twin (apps/gdaltindex_lib.cpp:1030-1110): one row per
+    raster with its footprint polygon — the geotransform pushed through the
+    four pixel corners in the reference's ring order (TL -> TR -> BR -> BL
+    -> TL) — plus the location attribute and the envelope columns.
+
+    Distribution: paths fan out over tasks; each task reads ONLY the IFD
+    header (read_ifd — tag directory + geo tags, no pixel I/O), so indexing
+    a million rasters is a metadata-scan, not a data-scan. Files without
+    georeferencing are skipped (the reference warns and skips when
+    GetGeoTransform fails)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..core import wkb
+
+    schema = T.StructType([
+        T.StructField("location", T.StringType()),
+        T.StructField("xmin", T.DoubleType()),
+        T.StructField("ymin", T.DoubleType()),
+        T.StructField("xmax", T.DoubleType()),
+        T.StructField("ymax", T.DoubleType()),
+        T.StructField("geom", T.BinaryType()),
+    ])
+    pdf = spark.createDataFrame(
+        pd.DataFrame({"location": [str(p) for p in paths]}))
+    pdf = pdf.repartition(min(len(paths), 64) or 1)
+
+    def index(batches):
+        for b in batches:
+            rows = []
+            for loc in b["location"]:
+                try:
+                    info = read_ifd(loc)
+                except Exception:
+                    continue
+                gt = info.get("geotransform")
+                if gt is None:
+                    continue
+                w, h = info["width"], info["height"]
+                corners = [(0, 0), (w, 0), (w, h), (0, h), (0, 0)]
+                ring = [(gt[0] + px * gt[1] + py * gt[2],
+                         gt[3] + px * gt[4] + py * gt[5])
+                        for px, py in corners]
+                xs = [p[0] for p in ring]
+                ys = [p[1] for p in ring]
+                rows.append((loc, min(xs), min(ys), max(xs), max(ys),
+                             wkb.polygon(ring)))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return pdf.mapInPandas(index, schema)

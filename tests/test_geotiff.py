@@ -195,3 +195,34 @@ def test_reference_partial_strip_planar_bigendian(spark, fixture):
             decode_px(r.px, r.dtype, 64)
     arr = big[:info["height"], :info["width"]]
     assert int(gdal_checksum(arr)) == 15234
+
+
+def test_tile_index_footprints(spark, tmp_path):
+    """gdaltindex twin: footprint ring follows the geotransform through the
+    pixel corners TL->TR->BR->BL (apps/gdaltindex_lib.cpp:1086-1110);
+    north-up rasters (scale+tiepoint georeferencing)."""
+    import numpy as np
+
+    from gdal_spark.core import wkb
+    from gdal_spark.sources.geotiff import tile_index, write_gtiff
+
+    p1 = str(tmp_path / "a.tif")
+    write_gtiff(np.zeros((10, 20), np.uint8), p1,
+                geotransform=(100.0, 0.5, 0.0, 50.0, 0.0, -0.25))
+    p2 = str(tmp_path / "b.tif")   # north-up only: ModelPixelScale +
+    # Tiepoint cannot encode rotation (that needs ModelTransformation,
+    # which the writer does not emit), so gt[2]/gt[4] stay 0
+    write_gtiff(np.zeros((8, 8), np.uint8), p2,
+                geotransform=(0.0, 1.25, 0.0, 0.0, 0.0, -0.75))
+    rows = {r.location: r for r in tile_index(spark, [p1, p2]).collect()}
+    a = rows[p1]
+    assert (a.xmin, a.ymax) == (100.0, 50.0)
+    assert (a.xmax, a.ymin) == (100.0 + 20 * 0.5, 50.0 - 10 * 0.25)
+    ring = wkb.decode(bytes(a.geom)).rings[0]
+    assert ring[0].tolist() == [100.0, 50.0]          # TL first
+    assert ring[1].tolist() == [110.0, 50.0]          # then TR
+    b = rows[p2]
+    rb = wkb.decode(bytes(b.geom)).rings[0]
+    assert rb[1].tolist() == [10.0, 0.0]              # TR: 8*gt1
+    assert rb[3].tolist() == [0.0, -6.0]              # BL: 8*gt5
+    assert b.xmax == 10.0 and b.ymin == -6.0
