@@ -198,3 +198,79 @@ def neardup_lsh_banded(emb: DataFrame, threshold: float, bands: int = 4,
                            hot_threshold=hot_threshold, band=b)
         out = part if out is None else out.unionByName(part)
     return out.dropDuplicates(["a_id", "b_id"])
+
+
+def _sqdist_to_centroid(vec: Column, centroid: np.ndarray) -> Column:
+    """||v - c||^2 as a JVM fold over the array column (no UDF)."""
+    lit = F.array(*[F.lit(float(x)) for x in centroid])
+    diff = F.zip_with(vec, lit, lambda a, b: (a - b) * (a - b))
+    return F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _assign_col(vec: Column, centroids: np.ndarray) -> Column:
+    """Nearest-centroid index (ties -> lowest index, argmin semantics)."""
+    dists = F.array(*[_sqdist_to_centroid(vec, c) for c in centroids])
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def kmeans_centroids(emb: DataFrame, n_clusters: int = 16,
+                     iters: int = 3) -> np.ndarray:
+    """Distributed Lloyd iterations, deterministic init (the first
+    n_clusters vec_ids). Assignment is whole-stage-codegen column math
+    against broadcast centroid literals; the update is ONE shuffle of
+    (cluster, pos, component) partial sums via posexplode — the driver only
+    ever sees the K x dim centroid matrix (kilobytes), never the data.
+    Empty clusters keep their previous centroid (the standard convention).
+    """
+    e = emb.select("vec_id", as_double("embedding").alias("v"))
+    cent = np.array(
+        [r.v for r in e.where(F.col("vec_id") < n_clusters)
+         .orderBy("vec_id").collect()])
+    for _ in range(iters):
+        a = e.withColumn("c", _assign_col(F.col("v"), cent))
+        upd = (a.select("c", F.posexplode("v").alias("pos", "x"))
+               .groupBy("c", "pos")
+               .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+               .collect())
+        nxt = cent.copy()
+        for r in upd:
+            nxt[r.c, r.pos] = r.s / r.n
+        cent = nxt
+    return cent
+
+
+def ivf_topk(emb: DataFrame, n_queries: int = 10, k: int = 3,
+             n_clusters: int = 16, nprobe: int = 4,
+             centroids: np.ndarray | None = None) -> DataFrame:
+    """ANN via IVF (inverted file): vectors partition into nearest-centroid
+    lists; a query scans only its `nprobe` closest lists, then exact cosine
+    re-ranks. The second scale path next to LSH (lsh_topk): the candidate
+    join is an equi-join on the cluster id, so the big side shuffles once
+    by cluster and each query touches nprobe/n_clusters of the data.
+
+    nprobe == n_clusters degrades gracefully to EXACT brute force (every
+    list probed) — the correctness anchor the oracle pins; recall at
+    nprobe < n_clusters is the tested quality knob (test_simsearch)."""
+    if centroids is None:
+        centroids = kmeans_centroids(emb, n_clusters)
+    e = emb.select("vec_id", as_double("embedding").alias("v"))
+    inv = e.withColumn("c", _assign_col(F.col("v"), centroids))
+    q = (e.where(F.col("vec_id") < n_queries)
+         .select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv")))
+    dists = F.array(*[_sqdist_to_centroid(F.col("qv"), c)
+                      for c in centroids])
+    probes = F.slice(F.array_sort(
+        F.arrays_zip(dists.alias("d"),
+                     F.array(*[F.lit(i) for i in range(len(centroids))])
+                     .alias("c"))), 1, nprobe)
+    q = q.select("q_id", "qv",
+                 F.explode(F.transform(probes, lambda s: s["c"]))
+                 .alias("c"))
+    pairs = (inv.join(F.broadcast(q), "c")
+             .where(F.col("vec_id") != F.col("q_id"))
+             .withColumn("cos", cosine(F.col("qv"), F.col("v"))))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(),
+                                           F.col("vec_id").asc())
+    return (pairs.withColumn("rank", F.row_number().over(w).cast("int"))
+            .where(F.col("rank") <= k)
+            .select("q_id", "rank", "vec_id"))

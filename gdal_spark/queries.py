@@ -3351,3 +3351,26 @@ def q_gtiff_tindex(spark, sf_dir):
         F.round("xmax", 6).alias("xmax_r"),
         F.col("ymax").alias("ymax_r"),
         F.round(st.st_area("geom"), 6).alias("area_r"))
+
+
+@_reg("ann_ivf_topk", """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+             list_dot_product(q.v, e.v)
+              / (sqrt(list_dot_product(q.v, q.v))
+                 * sqrt(list_dot_product(e.v, e.v))) AS cos
+      FROM e q, e WHERE q.vec_id < 10 AND e.vec_id != q.vec_id)
+SELECT q_id, rank, vec_id FROM (
+  SELECT q_id, vec_id,
+         CAST(row_number() OVER (PARTITION BY q_id
+              ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rank
+  FROM p) WHERE rank <= 3
+""")
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF-bucketed ANN scale path: distributed Lloyd k-means builds the
+    inverted lists, queries probe their nearest lists, exact cosine
+    re-rank. Probing ALL lists (nprobe = n_clusters) is exact brute force
+    — that anchor is what the oracle pins; nprobe < n_clusters recall is
+    covered by tests/test_simsearch_ivf.py."""
+    return simsearch.ivf_topk(_t(spark, sf_dir, "embeddings"),
+                              n_clusters=8, nprobe=8)
