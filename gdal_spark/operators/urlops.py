@@ -1,0 +1,48 @@
+"""URL canonicalization + dedup — the Common-Crawl ingest normalizer.
+
+The reference engine has no URL surface (it's a geospatial library); this
+is part of the training-data-pipeline layer the engine adds on top (like
+textops): canonicalize crawl URLs so byte-different spellings of the same
+resource collapse before dedup/extraction, entirely in JVM column math
+(regexp + array built-ins, no UDF — a map-only stage fused into the scan).
+
+Rules (the standard RFC 3986 normalizations that are safe without
+fetching): lowercase scheme+host, strip the default port (:443 https /
+:80 http), drop the fragment, drop a single trailing slash on the path,
+and sort query parameters (order is almost never semantic; sorting makes
+the string canonical).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def canonical_url_col(url: Column) -> Column:
+    head = F.lower(F.regexp_extract(url, r"^([a-zA-Z]+://[^/?#]+)", 1))
+    head = F.regexp_replace(
+        F.regexp_replace(head, r"^(https://[^/?#]*):443$", r"$1"),
+        r"^(http://[^/?#]*):80$", r"$1")
+    rest = F.regexp_extract(url, r"^[a-zA-Z]+://[^/?#]+(.*)$", 1)
+    rest = F.regexp_replace(rest, r"#.*$", "")          # fragment
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    path = F.regexp_replace(path, r"/$", "")            # trailing slash
+    query = F.regexp_extract(rest, r"\?(.*)$", 1)
+    sorted_q = F.array_join(F.array_sort(F.split(query, "&")), "&")
+    return F.concat(
+        head, path,
+        F.when(query == "", F.lit("")).otherwise(F.concat(F.lit("?"),
+                                                          sorted_q)))
+
+
+def url_dedup(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """(canon_url, n_dupes, keep_id) — canonicalize, group, keep the lowest
+    doc_id per group (the deterministic representative). One shuffle keyed
+    by the canonical string; partial aggregation collapses duplicates
+    map-side, so the shuffle carries ~#distinct urls."""
+    return (df.select(canonical_url_col(F.col(url_col)).alias("canon_url"),
+                      "doc_id")
+            .groupBy("canon_url")
+            .agg(F.count("*").alias("n_dupes"),
+                 F.min("doc_id").alias("keep_id")))

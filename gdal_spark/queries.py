@@ -3374,3 +3374,61 @@ def q_ann_ivf_topk(spark, sf_dir):
     covered by tests/test_simsearch_ivf.py."""
     return simsearch.ivf_topk(_t(spark, sf_dir, "embeddings"),
                               n_clusters=8, nprobe=8)
+
+
+_MESSY_URL_SQL = """
+CASE doc_id % 6
+  WHEN 0 THEN 'https://site' || (doc_id % 167) || '.example/p/' || (doc_id % 167)
+  WHEN 1 THEN 'HTTPS://SITE' || (doc_id % 167) || '.EXAMPLE/p/' || (doc_id % 167)
+  WHEN 2 THEN 'https://site' || (doc_id % 167) || '.example:443/p/' || (doc_id % 167)
+  WHEN 3 THEN 'https://site' || (doc_id % 167) || '.example/p/' || (doc_id % 167) || '/'
+  WHEN 4 THEN 'https://site' || (doc_id % 167) || '.example/p/' || (doc_id % 167) || '?b=2&a=1#frag'
+  ELSE 'https://site' || (doc_id % 167) || '.example/p/' || (doc_id % 167) || '?a=1&b=2'
+END
+"""
+
+
+@_reg("url_canon_dedup", f"""
+WITH u AS (SELECT doc_id, {_MESSY_URL_SQL} AS url FROM documents),
+p AS (SELECT doc_id,
+        regexp_replace(regexp_replace(
+            lower(regexp_extract(url, '^([a-zA-Z]+://[^/?#]+)', 1)),
+            '^(https://[^/?#]*):443$', '\\1'),
+            '^(http://[^/?#]*):80$', '\\1') AS head,
+        regexp_replace(regexp_extract(url, '^[a-zA-Z]+://[^/?#]+(.*)$', 1),
+                       '#.*$', '') AS rest
+      FROM u),
+q AS (SELECT doc_id, head,
+        regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/$', '') AS path,
+        regexp_extract(rest, '\\?(.*)$', 1) AS query
+      FROM p),
+c AS (SELECT doc_id,
+        head || path || CASE WHEN query = '' THEN ''
+          ELSE '?' || array_to_string(list_sort(string_split(query, '&')),
+                                      '&') END AS canon_url
+      FROM q)
+SELECT canon_url, CAST(count(*) AS BIGINT) AS n_dupes,
+       min(doc_id) AS keep_id
+FROM c GROUP BY canon_url
+""")
+def q_url_canon_dedup(spark, sf_dir):
+    """URL canonicalization + dedup (training-pipeline ingest normalizer,
+    operators/urlops.py): six deterministic messy spellings per page
+    (case, default port, trailing slash, fragment, query-param order)
+    collapse onto their canonical URL; keep the lowest doc_id. The oracle
+    canonicalizes the SAME messy strings independently in DuckDB SQL —
+    two regexp implementations must agree byte-for-byte."""
+    from .operators.urlops import url_dedup
+    d = _t(spark, sf_dir, "documents")
+    g = (F.col("doc_id") % 167).cast("string")
+    base = F.concat(F.lit("https://site"), g, F.lit(".example/p/"), g)
+    upper = F.concat(F.lit("HTTPS://SITE"), g, F.lit(".EXAMPLE/p/"), g)
+    port = F.concat(F.lit("https://site"), g, F.lit(".example:443/p/"), g)
+    v = F.col("doc_id") % 6
+    url = (F.when(v == 0, base)
+           .when(v == 1, upper)
+           .when(v == 2, port)
+           .when(v == 3, F.concat(base, F.lit("/")))
+           .when(v == 4, F.concat(base, F.lit("?b=2&a=1#frag")))
+           .otherwise(F.concat(base, F.lit("?a=1&b=2"))))
+    return url_dedup(d.select("doc_id", url.alias("url")))

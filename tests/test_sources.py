@@ -118,3 +118,29 @@ def test_open_vector_dispatch(spark, tmp_path):
     import pytest as _pt
     with _pt.raises(ValueError):
         open_vector(spark, "x.unknown")
+
+
+def test_canonical_url_rules(spark):
+    """RFC 3986 safe normalizations: case, default ports, fragment,
+    trailing slash, query order — and the things that must NOT change
+    (path case, non-default ports, '/' vs empty path handling)."""
+    from pyspark.sql import functions as F
+
+    from gdal_spark.operators.urlops import canonical_url_col
+
+    cases = [
+        ("HTTPS://Example.COM/A/b", "https://example.com/A/b"),
+        ("https://example.com:443/x", "https://example.com/x"),
+        ("http://example.com:80/x", "http://example.com/x"),
+        ("http://example.com:8080/x", "http://example.com:8080/x"),
+        ("https://example.com/x/", "https://example.com/x"),
+        ("https://example.com/x#frag", "https://example.com/x"),
+        ("https://example.com/x?b=2&a=1", "https://example.com/x?a=1&b=2"),
+        ("https://example.com/x?a=1#f", "https://example.com/x?a=1"),
+        ("https://example.com/", "https://example.com"),
+        ("https://example.com:443/", "https://example.com"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], ["url"])
+    got = [r.c for r in
+           df.select(canonical_url_col(F.col("url")).alias("c")).collect()]
+    assert got == [want for _, want in cases]
