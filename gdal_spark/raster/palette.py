@@ -256,3 +256,30 @@ def rgb_to_pct(tiles_df: DataFrame, palette: np.ndarray,
             columns=cols)
 
     return _rgb_tiles(tiles_df, tile).applyInPandas(run, TILE_SCHEMA)
+
+
+def pct_to_rgb(tiles_df: DataFrame, palette: np.ndarray,
+               tile: int = 256) -> DataFrame:
+    """pct2rgb twin (apps/pct2rgb.py / GDALRasterBand color table
+    expansion): single-band palette-index tiles -> 3-band RGB tile table
+    via one vectorized palette gather per tile. Inverse of rgb_to_pct on
+    palette-exact inputs; out-of-range indices clip to the last entry
+    (color tables have no sentinel)."""
+    pal = np.asarray(palette, np.float64).round().astype(np.uint8)
+
+    def run(batches):
+        cols = [f.name for f in TILE_SCHEMA.fields]
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples():
+                idx = decode_px(row.px, row.dtype, tile).astype(np.int64)
+                idx = np.clip(idx, 0, len(pal) - 1)
+                rgb = pal[idx]                       # (tile, tile, 3)
+                for b in range(3):
+                    out.append((b + 1, row.zoom, row.tile_x, row.tile_y,
+                                "uint8", None,
+                                encode_px(np.ascontiguousarray(
+                                    rgb[:, :, b]))))
+            yield pd.DataFrame(out, columns=cols)
+
+    return tiles_df.mapInPandas(run, TILE_SCHEMA)

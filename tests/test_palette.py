@@ -81,3 +81,26 @@ def test_median_cut_splits_largest_box():
     # heavy cluster (near black) contributes two entries
     dark = (pal.astype(int).sum(1) < 150).sum()
     assert dark == 2
+
+
+def test_pct_to_rgb_inverts_quantization(spark):
+    """rgb_to_pct then pct_to_rgb reproduces every pixel's palette color
+    exactly when the input only contains palette colors."""
+    import numpy as np
+
+    from gdal_spark.raster.palette import pct_to_rgb, rgb_to_pct
+    from gdal_spark.raster.tiles import raster_to_tiles, tiles_to_raster
+
+    pal = np.array([[0, 0, 0], [255, 0, 0], [0, 200, 40], [10, 20, 250]],
+                   np.uint8)
+    rng = np.random.default_rng(5)
+    idx = rng.integers(0, len(pal), size=(32, 32))
+    rgb = pal[idx]
+    dfs = [raster_to_tiles(spark, rgb[:, :, b].astype(np.uint8),
+                           band=b + 1, tile=16) for b in range(3)]
+    df = dfs[0].unionByName(dfs[1]).unionByName(dfs[2])
+    pct = rgb_to_pct(df, pal, tile=16)
+    back = pct_to_rgb(pct, pal, tile=16)
+    for b in range(3):
+        got = tiles_to_raster(back.where(back.band == b + 1), tile=16)
+        np.testing.assert_array_equal(got, rgb[:, :, b])
