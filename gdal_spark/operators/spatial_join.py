@@ -248,9 +248,13 @@ def ring_knn_join(points: DataFrame, centers: DataFrame, k: int, zoom: int,
     dx = F.col("lon") - F.col("cx")
     dy = F.col("lat") - F.col("cy")
     dist = F.sqrt(dx * dx + dy * dy)
-    cand = pc.join(c, "_ckey").withColumn("dist", dist)
-    wk = Window.partitionBy(point_key).orderBy(F.col("dist").asc(),
-                                               F.col("region_id").asc())
+    # LEFT join: probe cells with no centers keep one null-dist row, so
+    # EVERY point owns a rank-1 row — per-point stats then read off the
+    # rank-1 rows directly instead of a groupBy + join-back-to-points
+    # (round-3 cut: two shuffle operators off the critical path)
+    cand = pc.join(c, "_ckey", "left").withColumn("dist", dist)
+    wk = Window.partitionBy(point_key).orderBy(
+        F.col("dist").asc_nulls_last(), F.col("region_id").asc_nulls_last())
     top = (cand.withColumn("rank", F.row_number().over(wk))
            .where(F.col("rank") <= k))
 
@@ -261,28 +265,29 @@ def ring_knn_join(points: DataFrame, centers: DataFrame, k: int, zoom: int,
         tilemath.tile_lat_edge_col(F.col("_ty") - 1, zoom) - F.col("lat"),
         F.col("lat") - tilemath.tile_lat_edge_col(F.col("_ty") + 2, zoom))
     wp = Window.partitionBy(point_key)
-    top = (top.withColumn("_cnt", F.count("*").over(wp))
+    # _cnt counts REAL candidates (count of non-null dist — null rows are
+    # the left join's empty-probe placeholders)
+    top = (top.withColumn("_cnt", F.count("dist").over(wp))
            .withColumn("_kth", F.max("dist").over(wp))
            .withColumn("_ok", (F.col("_cnt") == k) & (F.col("_kth") <= guard)))
-    # `top` feeds THREE consumers (resolved rows, per-point stats, and the
-    # fallback's upper bounds). By default the plan stays fully lazy (no
-    # build-time job — pinned by test_ring_knn_build_is_lazy) and Catalyst
-    # recomputes the subtree per consumer; materialize_candidates=True
-    # checkpoints it once (<= k rows per probe point), trading one blocking
-    # job at build for ~15% wall time — choose per pipeline.
+    # `top` feeds TWO consumers (resolved rows and the fallback's rank-1
+    # stats rows). By default the plan stays fully lazy (no build-time job
+    # — pinned by test_ring_knn_build_is_lazy) and Catalyst recomputes the
+    # subtree per consumer; materialize_candidates=True checkpoints it once
+    # (<= k rows per probe point), trading one blocking job at build for
+    # the recompute — choose per pipeline.
     if materialize_candidates:
         top = top.localCheckpoint()
-    resolved = top.where(F.col("_ok"))
+    resolved = top.where(F.col("_ok") & F.col("dist").isNotNull())
 
-    # upper bound for the fallback search per point
-    pstats = (top.groupBy(point_key)
-              .agg(F.max("_cnt").alias("_cnt"), F.max("_kth").alias("_kth"),
-                   F.max(F.col("_ok").cast("int")).alias("_okk")))
-    unres = (p.join(pstats, point_key, "left")
-             .where(F.coalesce(F.col("_okk"), F.lit(0)) == 0)
+    # upper bound for the fallback search per point: every point owns a
+    # rank-1 row (left-join placeholder when no candidate), so the stats
+    # read straight off it — no groupBy, no join back to the point table
+    unres = (top.where(~F.col("_ok") & (F.col("rank") == 1))
              .withColumn("_ub", F.when(F.col("_cnt") == k, F.col("_kth"))
                          .otherwise(F.lit(float("inf"))))
-             .drop("_cnt", "_kth", "_okk"))
+             .drop("_ckey", "region_id", "cx", "cy", "dist", "rank",
+                   "_cnt", "_kth", "_ok"))
 
     # STR packing: equal-count spatial buckets from approx quantiles of the
     # row-major cell id. The cuts are a LAZY percentile_approx aggregate
