@@ -523,6 +523,73 @@ def st_isempty(geom: pd.Series) -> pd.Series:
                       for g in _decode_series(geom)], dtype="object")
 
 
+@pandas_udf(BinaryType())
+def ogr_deflate(val: pd.Series) -> pd.Series:
+    """ogr_deflate (ogrsqlitesqlfunctions.cpp:120-170): zlib-compress a
+    text or blob value. Text compresses its bytes PLUS the terminating NUL
+    (the reference deflates strlen+1). Default level, like the 1-arg form."""
+    import zlib
+    out = []
+    for v in val:
+        if v is None:
+            out.append(None)
+        elif isinstance(v, str):
+            out.append(zlib.compress(v.encode("utf-8") + b"\x00"))
+        else:
+            out.append(zlib.compress(bytes(v)))
+    return pd.Series(out, dtype="object")
+
+
+@pandas_udf(BinaryType())
+def ogr_inflate(val: pd.Series) -> pd.Series:
+    """ogr_inflate (ogrsqlitesqlfunctions.cpp:176-208): zlib-decompress a
+    blob; NULL on anything that does not inflate (the reference errors to
+    NULL rather than raising)."""
+    import zlib
+    out = []
+    for v in val:
+        if v is None:
+            out.append(None)
+        else:
+            try:
+                out.append(zlib.decompress(bytes(v)))
+            except Exception:
+                out.append(None)
+    return pd.Series(out, dtype="object")
+
+
+@pandas_udf(StringType())
+def ogr_version(dummy: pd.Series) -> pd.Series:
+    """ogr_version() analog — reports the engine version string (the
+    reference reports GDALVersionInfo; registered for script parity)."""
+    return pd.Series(["gdal_spark 3.0"] * len(dummy))
+
+
+@pandas_udf(StringType())
+def hstore_get_value(h: pd.Series, key: pd.Series) -> pd.Series:
+    """hstore_get_value(hstore_text, key) — OGRHStoreGetValue twin
+    (ogr/ogrutils.cpp OGRHStoreGetValue; ogrsqlitesqlfunctions.cpp:1066):
+    parse 'k=>v, k2=>v2' pairs (optional double quotes on either side),
+    return the value of the first matching key, else NULL."""
+    import re
+    pat = re.compile(r'\s*(?:"([^"]*)"|([^"=,]*?))\s*=>\s*'
+                     r'(?:"([^"]*)"|([^",]*?))\s*(?:,|$)')
+    out = []
+    for hv, kv in zip(h, key):
+        if hv is None or kv is None:
+            out.append(None)
+            continue
+        found = None
+        for m in pat.finditer(hv):
+            k = m.group(1) if m.group(1) is not None else (m.group(2) or "")
+            v = m.group(3) if m.group(3) is not None else (m.group(4) or "")
+            if k == kv:
+                found = v
+                break
+        out.append(found)
+    return pd.Series(out, dtype="object")
+
+
 _REGISTRY = {
     "ST_Area": st_area, "ST_Length": st_length,
     "ST_X": st_x, "ST_Y": st_y,
@@ -546,6 +613,9 @@ _REGISTRY = {
     "ST_GeomFromWKB": st_geomfromwkb, "ST_SetPrecision": st_setprecision,
     "ST_Transform": st_transform, "ST_SRID": st_srid,
     "ST_IsEmpty": st_isempty,
+    "ogr_deflate": ogr_deflate, "ogr_inflate": ogr_inflate,
+    "ogr_version": ogr_version,
+    "hstore_get_value": hstore_get_value,
 }
 
 

@@ -3432,3 +3432,22 @@ def q_url_canon_dedup(spark, sf_dir):
            .when(v == 4, F.concat(base, F.lit("?b=2&a=1#frag")))
            .otherwise(F.concat(base, F.lit("?a=1&b=2"))))
     return url_dedup(d.select("doc_id", url.alias("url")))
+
+
+@_reg("ogr_sql_compress", """
+SELECT doc_id, text AS text_rt FROM documents
+""")
+def q_ogr_sql_compress(spark, sf_dir):
+    """ogr_deflate/ogr_inflate SQLite-dialect functions
+    (ogrsqlitesqlfunctions.cpp:120-208): every document's text must
+    round-trip through SQL-level zlib compress -> decompress byte-exactly
+    (the reference deflates strlen+1, so the trailing NUL is stripped
+    after decode)."""
+    st.register_all(spark)
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("docs_rt_v")
+    return spark.sql("""
+        SELECT doc_id,
+               left(decode(ogr_inflate(ogr_deflate(text)), 'utf-8'),
+                    length(decode(ogr_inflate(ogr_deflate(text)),
+                                  'utf-8')) - 1) AS text_rt
+        FROM docs_rt_v""")

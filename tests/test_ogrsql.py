@@ -149,3 +149,30 @@ def test_rewrites_never_touch_string_literals(eng):
     rows2 = eng.sql("SELECT FID, 'tag' AS t FROM cities "
                     "WHERE FID = 2").collect()
     assert rows2[0][0] == 2 and rows2[0].t == "tag"
+
+
+def test_sqlite_dialect_utility_functions(spark):
+    """ogr_deflate/ogr_inflate/hstore_get_value/ogr_version — the non-ST
+    half of the reference's SQLite-dialect registrations
+    (ogrsqlitesqlfunctions.cpp:120-208, :1066-1089, :1150-1160)."""
+    from gdal_spark.functions import st
+
+    st.register_all(spark)
+    spark.createDataFrame(
+        [(1, "round trip", '"a"=>"x y", plain=>7'),
+         (2, None, "k=>")],
+        ["i", "t", "h"]).createOrReplaceTempView("sqlfn_v")
+    rows = {r.i: r for r in spark.sql("""
+        SELECT i,
+               decode(ogr_inflate(ogr_deflate(t)), 'utf-8') AS rt,
+               hstore_get_value(h, 'a') AS ha,
+               hstore_get_value(h, 'plain') AS hp,
+               hstore_get_value(h, 'missing') AS hm,
+               ogr_inflate(cast('junk' AS binary)) AS bad
+        FROM sqlfn_v""").collect()}
+    assert rows[1].rt == "round trip\x00"     # strlen+1 deflate semantics
+    assert rows[1].ha == "x y"
+    assert rows[1].hp == "7"
+    assert rows[1].hm is None
+    assert rows[1].bad is None                # inflate error -> NULL
+    assert rows[2].rt is None
