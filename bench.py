@@ -65,6 +65,21 @@ def main():
 
     total = round(sum(times.values()), 3)
     flagship = times["pip_grid"]
+
+    # second pass: true steady state. The first pass carries each query
+    # shape's one-time costs (whole-stage codegen JIT, Python UDF worker
+    # fork, broadcast build); a long-lived cluster pays those once, so the
+    # steady numbers are what a production deployment sees. `value` stays
+    # the first-pass total for round-over-round comparability with
+    # BASELINE.md's 13.0 s reference point (measured under this regime).
+    steady = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        Q[name](spark, sf_dir).count()
+        steady[name] = round(time.time() - t0, 3)
+    steady_total = round(sum(steady.values()), 3)
+    flagship_s = steady["pip_grid"]
+
     print(json.dumps({
         "metric": "headline-suite wall time (17 queries: spatial join, "
                   "tiling, rasterize, knn, overlay, grid interp, point "
@@ -73,6 +88,10 @@ def main():
         "value": total,
         "unit": "sec",
         "queries": times,
+        "steady_value": steady_total,
+        "queries_steady": steady,
+        "steady_pip_pages_per_sec": round(n_pages / flagship_s, 1)
+        if flagship_s else None,
         "sf": sf,
         "pages": n_pages,
         "pip_pages_per_sec": round(n_pages / flagship, 1) if flagship else None,
