@@ -3152,6 +3152,54 @@ def q_gpkg_roundtrip(spark, sf_dir):
                       F.round(py("geom"), 9).alias("lat_r"))
 
 
+@_reg("geoparquet_bbox", f"""
+{_pts_cte()}
+SELECT doc_id, ROUND(lon, 9) AS xmin_r, ROUND(lat, 9) AS ymin_r,
+       ROUND(lon + 4.0, 9) AS xmax_r, ROUND(lat + 6.0, 9) AS ymax_r
+FROM pts
+WHERE doc_id % 7 = 0
+  AND lon <= 60.0 AND lon + 4.0 >= -50.0
+  AND lat <= 40.0 AND lat + 6.0 >= -40.0
+""")
+def q_geoparquet_bbox(spark, sf_dir):
+    """GeoParquet round-trip with a covering-bbox filtered scan
+    (ogr/ogrsf_frmts/parquet/ogrparquetwriterlayer.cpp:660-840 `geo`
+    footer; GeoParquet 1.1 covering.bbox): every 7th page becomes a
+    4x6-degree box written as footer-complete GeoParquet part files
+    (distributed pyarrow sink, no driver geometry), then a bbox read
+    applies plain comparisons on the stored struct column — row-group
+    stats prune, Catalyst pushes down. The oracle recomputes the rectangle
+    intersection in SQL from the source table."""
+    import os
+    import shutil
+    import tempfile
+    from .core import wkb as _wkb
+    from .sources.geoparquet import read_geoparquet, write_geoparquet
+
+    pts = datagen.points(spark, sf_dir).where(F.col("doc_id") % 7 == 0) \
+        .select("doc_id", "lon", "lat")
+
+    @F.pandas_udf("binary")
+    def boxgeom(lon, lat):
+        import pandas as pd
+        return pd.Series([_wkb.box(x, y, x + 4.0, y + 6.0)
+                          for x, y in zip(lon, lat)])
+
+    layer = pts.select("doc_id", boxgeom("lon", "lat").alias("geom"))
+    path = os.path.join(tempfile.gettempdir(),
+                        f"gdal_spark_gpq_{os.getpid()}")
+    shutil.rmtree(path, ignore_errors=True)
+    write_geoparquet(layer, path)
+    out, _meta = read_geoparquet(spark, path,
+                                 bbox=(-50.0, -40.0, 60.0, 40.0))
+    return out.select(
+        "doc_id",
+        F.round(F.col("geom_bbox.xmin"), 9).alias("xmin_r"),
+        F.round(F.col("geom_bbox.ymin"), 9).alias("ymin_r"),
+        F.round(F.col("geom_bbox.xmax"), 9).alias("xmax_r"),
+        F.round(F.col("geom_bbox.ymax"), 9).alias("ymax_r"))
+
+
 @_reg("retile_16", _DENSITY_XY_SQL + """
 SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y, v AS val_r
 FROM vals
