@@ -3152,6 +3152,59 @@ def q_gpkg_roundtrip(spark, sf_dir):
                       F.round(py("geom"), 9).alias("lat_r"))
 
 
+@_reg("arrow_ipc_roundtrip", f"""
+{_pts_cte()}
+SELECT doc_id, ROUND(lon, 9) AS lon_r, ROUND(lat, 9) AS lat_r
+FROM pts WHERE doc_id % 7 = 0
+""")
+def q_arrow_ipc_roundtrip(spark, sf_dir):
+    """Arrow IPC (Feather V2) driver round-trip (ogr/ogrsf_frmts/arrow/
+    ogrfeatherwriterlayer.cpp `geo` schema metadata; ogrfeatherlayer.cpp):
+    every 7th page becomes a point feature written as footer-complete IPC
+    part files (distributed pyarrow sink), read back through
+    record-batch-range tasks planned from footers alone; the oracle
+    recomputes the same (doc_id, lon, lat) set from the source table."""
+    import os
+    import shutil
+    import tempfile
+    import numpy as np
+    from .core import wkb as _wkb
+    from .sources.arrow_ipc import read_arrow_ipc, write_arrow_ipc
+
+    pts = datagen.points(spark, sf_dir).where(F.col("doc_id") % 7 == 0) \
+        .select("doc_id", "lon", "lat")
+
+    @F.pandas_udf("binary")
+    def ptgeom(lon, lat):
+        import pandas as pd
+        return pd.Series([
+            _wkb.encode(_wkb.Geom(_wkb.POINT, [np.array([[x, y]])]))
+            for x, y in zip(lon, lat)])
+
+    layer = pts.select("doc_id", ptgeom("lon", "lat").alias("geom"))
+    path = os.path.join(tempfile.gettempdir(),
+                        f"gdal_spark_arrow_{os.getpid()}")
+    shutil.rmtree(path, ignore_errors=True)
+    write_arrow_ipc(layer, path)
+    out, _meta = read_arrow_ipc(spark, path, batches_per_task=4)
+
+    @F.pandas_udf("double")
+    def px(geom):
+        import pandas as pd
+        return pd.Series([_wkb.decode(bytes(b)).rings[0][0][0]
+                          for b in geom])
+
+    @F.pandas_udf("double")
+    def py(geom):
+        import pandas as pd
+        return pd.Series([_wkb.decode(bytes(b)).rings[0][0][1]
+                          for b in geom])
+
+    return out.select(F.col("doc_id"),
+                      F.round(px("geom"), 9).alias("lon_r"),
+                      F.round(py("geom"), 9).alias("lat_r"))
+
+
 @_reg("geoparquet_bbox", f"""
 {_pts_cte()}
 SELECT doc_id, ROUND(lon, 9) AS xmin_r, ROUND(lat, 9) AS ymin_r,

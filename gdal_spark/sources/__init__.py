@@ -39,8 +39,15 @@ def open_vector(spark, path: str, **kwargs):
     if low.endswith(".gpkg"):
         from .gpkg import read_gpkg
         return read_gpkg(spark, path, **kwargs)
+    if low.endswith((".arrow", ".arrows", ".feather")):
+        from .arrow_ipc import read_arrow_ipc
+        return read_arrow_ipc(spark, path, **kwargs)[0]
+    if low.endswith((".gpq", ".geoparquet")):
+        from .geoparquet import read_geoparquet
+        return read_geoparquet(spark, path, **kwargs)[0]
     raise ValueError(f"no driver recognizes {path!r} "
-                     "(parquet/geojson/geojsonl/csv/shp/fgb/gpkg)")
+                     "(parquet/geoparquet/geojson/geojsonl/csv/shp/fgb/"
+                     "gpkg/arrow)")
 
 
 def open_raster(spark, path: str, tile: int = 256, **kwargs):
