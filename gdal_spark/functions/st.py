@@ -21,7 +21,7 @@ import pandas as pd
 from pyspark.sql import SparkSession
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import (BinaryType, BooleanType, DoubleType,
-                               IntegerType, StringType)
+                               IntegerType, LongType, StringType)
 
 from ..core import geomops, polyclip, wkb
 
@@ -113,6 +113,89 @@ def st_geomfromtext(wkt: pd.Series) -> pd.Series:
 def st_geometrytype(geom: pd.Series) -> pd.Series:
     return pd.Series([wkb.TYPE_NAMES[wkb.decode(bytes(b)).gtype]
                       if b is not None else None for b in geom], dtype="object")
+
+
+def _envelope_col(geom: pd.Series, idx: int) -> pd.Series:
+    """Shared lane for the ST_MinX/MinY/MaxX/MaxY accessors
+    (ogrsqlitesqlfunctions.cpp:343-380 OGR2SQLITE_ST_MinX family):
+    envelopes come from the vectorized frombuffer parsers — no per-ring
+    decode in the common single-ring/point cases."""
+    import numpy as np
+    blist = list(geom)
+    vidx = [i for i, b in enumerate(blist) if b is not None]
+    out = [None] * len(blist)
+    if vidx:
+        envs = geomops.envelopes([bytes(blist[i]) for i in vidx])
+        for j, i in enumerate(vidx):
+            v = envs[j, idx]
+            out[i] = None if np.isnan(v) else float(v)
+    return pd.Series(out, dtype="object").astype("float64")
+
+
+@pandas_udf(DoubleType())
+def st_minx(geom: pd.Series) -> pd.Series:
+    return _envelope_col(geom, 0)
+
+
+@pandas_udf(DoubleType())
+def st_miny(geom: pd.Series) -> pd.Series:
+    return _envelope_col(geom, 1)
+
+
+@pandas_udf(DoubleType())
+def st_maxx(geom: pd.Series) -> pd.Series:
+    return _envelope_col(geom, 2)
+
+
+@pandas_udf(DoubleType())
+def st_maxy(geom: pd.Series) -> pd.Series:
+    return _envelope_col(geom, 3)
+
+
+@pandas_udf(BinaryType())
+def st_envelope(geom: pd.Series) -> pd.Series:
+    """ST_Envelope — the bounding-box polygon (OGRGeometry::getEnvelope
+    rendered as a 5-point ring, matching OGR_G_GetEnvelope + box
+    construction)."""
+    import numpy as np
+    out = []
+    for b in geom:
+        if b is None:
+            out.append(None)
+            continue
+        e = geomops.envelopes([bytes(b)])[0]
+        out.append(None if np.isnan(e[0])
+                   else wkb.box(float(e[0]), float(e[1]),
+                                float(e[2]), float(e[3])))
+    return pd.Series(out, dtype="object")
+
+
+def _tree_npoints(g) -> int:
+    return sum(len(r) for r in g.rings) \
+        + sum(_tree_npoints(p) for p in g.parts)
+
+
+@pandas_udf(LongType())
+def st_npoints(geom: pd.Series) -> pd.Series:
+    """ST_NPoints — total vertex count over all rings/parts
+    (OGR_G_GetPointCount summed over the geometry tree)."""
+    out = []
+    for g in _decode_series(geom):
+        out.append(None if g is None else int(_tree_npoints(g)))
+    return pd.Series(out, dtype="object").astype("Int64")
+
+
+@pandas_udf(LongType())
+def st_numgeometries(geom: pd.Series) -> pd.Series:
+    """ST_NumGeometries — part count for multi/collection types, 1 for
+    simple types (OGR_G_GetGeometryCount semantics on multis)."""
+    out = []
+    for g in _decode_series(geom):
+        if g is None:
+            out.append(None)
+        else:
+            out.append(int(len(g.parts)) if g.parts else 1)
+    return pd.Series(out, dtype="object").astype("Int64")
 
 
 def _predicate_batch(a: pd.Series, b: pd.Series, scalar,
@@ -613,6 +696,10 @@ _REGISTRY = {
     "ST_GeomFromWKB": st_geomfromwkb, "ST_SetPrecision": st_setprecision,
     "ST_Transform": st_transform, "ST_SRID": st_srid,
     "ST_IsEmpty": st_isempty,
+    "ST_MinX": st_minx, "ST_MinY": st_miny,
+    "ST_MaxX": st_maxx, "ST_MaxY": st_maxy,
+    "ST_Envelope": st_envelope, "ST_NPoints": st_npoints,
+    "ST_NumGeometries": st_numgeometries,
     "ogr_deflate": ogr_deflate, "ogr_inflate": ogr_inflate,
     "ogr_version": ogr_version,
     "hstore_get_value": hstore_get_value,

@@ -478,6 +478,46 @@ def q_st_sql_surface(spark, sf_dir):
     """)
 
 
+@_reg("st_envelope_accessors", f"""
+{_pts_cte()}
+SELECT doc_id,
+       ROUND(lon, 9) AS minx_r, ROUND(lat, 9) AS miny_r,
+       ROUND(lon + 1 + doc_id % 5, 9) AS maxx_r,
+       ROUND(lat + 2 + doc_id % 3, 9) AS maxy_r,
+       CAST(5 AS BIGINT) AS npts, CAST(1 AS BIGINT) AS ngeoms,
+       ROUND((1 + doc_id % 5) * (2 + doc_id % 3), 6) AS env_area_r
+FROM pts WHERE doc_id % 23 = 0
+""")
+def q_st_envelope_accessors(spark, sf_dir):
+    """Envelope accessor surface (ogrsqlitesqlfunctions.cpp:343-380
+    OGR2SQLITE_ST_MinX/MinY/MaxX/MaxY; OGRGeometry::getEnvelope): boxes of
+    varying size built in SQL via ST_GeomFromText, then
+    ST_MinX/MinY/MaxX/MaxY, ST_NPoints, ST_NumGeometries and the area of
+    ST_Envelope — all closed-form in the oracle (a box is its own
+    envelope)."""
+    st.register_all(spark)
+    datagen.points(spark, sf_dir).createOrReplaceTempView("pts_env_v")
+    return spark.sql("""
+        WITH g AS (
+          SELECT doc_id, ST_GeomFromText(CONCAT(
+            'POLYGON ((', lon, ' ', lat, ', ',
+                         lon + 1 + doc_id % 5, ' ', lat, ', ',
+                         lon + 1 + doc_id % 5, ' ', lat + 2 + doc_id % 3,
+                         ', ', lon, ' ', lat + 2 + doc_id % 3, ', ',
+                         lon, ' ', lat, '))')) AS geom
+          FROM pts_env_v WHERE doc_id % 23 = 0)
+        SELECT doc_id,
+               ROUND(ST_MinX(geom), 9) AS minx_r,
+               ROUND(ST_MinY(geom), 9) AS miny_r,
+               ROUND(ST_MaxX(geom), 9) AS maxx_r,
+               ROUND(ST_MaxY(geom), 9) AS maxy_r,
+               ST_NPoints(geom) AS npts,
+               ST_NumGeometries(geom) AS ngeoms,
+               ROUND(ST_Area(ST_Envelope(geom)), 6) AS env_area_r
+        FROM g
+    """)
+
+
 @_reg("dwithin", f"""
 {_pts_cte()}
 SELECT CAST(c.region_id AS BIGINT) AS region_id, CAST(count(*) AS BIGINT) AS n_pages

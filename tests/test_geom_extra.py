@@ -284,3 +284,36 @@ def test_clip_line_fully_inside_and_outside():
     np.testing.assert_allclose(out.rings[0], [[1, 1], [2, 2]])
     outside = G(wkb.linestring([(10, 10), (12, 12)]))
     assert clip_geom_rect(outside, 0, 0, 5, 5) is None
+
+
+def test_envelope_accessor_sql_surface(spark):
+    """ST_MinX/MinY/MaxX/MaxY + ST_Envelope + ST_NPoints/ST_NumGeometries
+    over mixed types incl. multis and NULL (ogrsqlitesqlfunctions.cpp
+    OGR2SQLITE_ST_MinX family semantics)."""
+    from gdal_spark.functions import st as stf
+    import numpy as np
+    stf.register_all(spark)
+    mp = wkb.Geom(wkb.MULTIPOINT, parts=[
+        G(wkb.point(1.0, 2.0)), G(wkb.point(-3.0, 7.0)),
+        G(wkb.point(5.0, -1.0))])
+    ml = wkb.Geom(wkb.MULTILINESTRING, parts=[
+        G(wkb.linestring([(0, 0), (2, 2), (4, 0)])),
+        G(wkb.linestring([(10, 10), (12, 10)]))])
+    rows = [(0, wkb.box(3.0, 4.0, 8.0, 9.0)),
+            (1, wkb.encode(mp)), (2, wkb.encode(ml)), (3, None)]
+    spark.createDataFrame(rows, ["i", "geom"]) \
+        .createOrReplaceTempView("env_acc_v")
+    got = {r.i: r for r in spark.sql("""
+        SELECT i, ST_MinX(geom) a, ST_MinY(geom) b, ST_MaxX(geom) c,
+               ST_MaxY(geom) d, ST_NPoints(geom) np,
+               ST_NumGeometries(geom) ng,
+               ST_AsText(ST_Envelope(geom)) env
+        FROM env_acc_v""").collect()}
+    assert (got[0].a, got[0].b, got[0].c, got[0].d) == (3.0, 4.0, 8.0, 9.0)
+    assert got[0].np == 5 and got[0].ng == 1
+    assert (got[1].a, got[1].b, got[1].c, got[1].d) == (-3.0, -1.0, 5.0, 7.0)
+    assert got[1].np == 3 and got[1].ng == 3
+    assert (got[2].a, got[2].b, got[2].c, got[2].d) == (0.0, 0.0, 12.0, 10.0)
+    assert got[2].np == 5 and got[2].ng == 2
+    assert got[3].a is None and got[3].np is None and got[3].env is None
+    assert got[1].env == wkb.to_wkt(wkb.box(-3.0, -1.0, 5.0, 7.0))
