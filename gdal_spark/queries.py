@@ -3192,6 +3192,64 @@ def q_gpkg_roundtrip(spark, sf_dir):
                       F.round(py("geom"), 9).alias("lat_r"))
 
 
+@_reg("ogrinfo_summary", f"""
+{_pts_cte()}
+SELECT 'pages' AS layer, CAST(count(*) AS BIGINT) AS feature_count,
+       CAST(0 AS BIGINT) AS n_null_geom, 'POINT' AS geom_type,
+       ROUND(min(lon), 9) AS minx_r, ROUND(min(lat), 9) AS miny_r,
+       ROUND(max(lon), 9) AS maxx_r, ROUND(max(lat), 9) AS maxy_r,
+       'doc_id: bigint' AS fields
+FROM pts WHERE doc_id % 3 = 0
+""")
+def q_ogrinfo_summary(spark, sf_dir):
+    """ogrinfo -so twin (apps/ogrinfo_lib.cpp ReportOnLayer): feature
+    count, promoted geometry type, extent and field list in one partial
+    pass + combine; the oracle recomputes count/extent in SQL."""
+    import numpy as np
+    from .core import wkb as _wkb
+    from .operators.info import layer_info
+
+    pts = datagen.points(spark, sf_dir).where(F.col("doc_id") % 3 == 0)
+
+    @F.pandas_udf("binary")
+    def ptgeom(lon, lat):
+        import pandas as pd
+        return pd.Series([
+            _wkb.encode(_wkb.Geom(_wkb.POINT, [np.array([[x, y]])]))
+            for x, y in zip(lon, lat)])
+
+    layer = pts.select("doc_id", ptgeom("lon", "lat").alias("geom"))
+    out = layer_info(layer, name="pages")
+    return out.select("layer", "feature_count", "n_null_geom", "geom_type",
+                      F.round("minx", 9).alias("minx_r"),
+                      F.round("miny", 9).alias("miny_r"),
+                      F.round("maxx", 9).alias("maxx_r"),
+                      F.round("maxy", 9).alias("maxy_r"), "fields")
+
+
+@_reg("gdalinfo_bands", _DENSITY_VALS_SQL + """
+SELECT CAST(1 AS INTEGER) AS band, CAST(64 AS BIGINT) AS width,
+       CAST(64 AS BIGINT) AS height, CAST(64 AS BIGINT) AS n_tiles,
+       'float64' AS dtype, CAST(count(*) AS BIGINT) AS n_valid,
+       min(v) AS min_v, max(v) AS max_v,
+       ROUND(avg(v), 6) AS mean_r, ROUND(stddev_pop(v), 6) AS stddev_r
+FROM vals
+""")
+def q_gdalinfo_bands(spark, sf_dir):
+    """gdalinfo twin (apps/gdalinfo_lib.cpp): per-band size from the tile
+    extent + dtype + exact ComputeStatistics block; the oracle recomputes
+    the dimensions and statistics from the same density grid."""
+    from .operators.info import raster_info
+    t = _density_tiles_full(spark, sf_dir)
+    out = raster_info(t, tile=8)
+    return out.select("band", "width", "height", "n_tiles", "dtype",
+                      "n_valid",
+                      F.col("min").alias("min_v"),
+                      F.col("max").alias("max_v"),
+                      F.round("mean", 6).alias("mean_r"),
+                      F.round("stddev", 6).alias("stddev_r"))
+
+
 @_reg("arrow_ipc_roundtrip", f"""
 {_pts_cte()}
 SELECT doc_id, ROUND(lon, 9) AS lon_r, ROUND(lat, 9) AS lat_r

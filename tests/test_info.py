@@ -1,0 +1,48 @@
+"""ogrinfo/gdalinfo twins: type promotion, null geometry counting,
+extent aggregation, band dimensioning."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from gdal_spark.core import wkb
+from gdal_spark.operators.info import layer_info, raster_info
+
+
+def test_layer_info_mixed_types_and_nulls(spark):
+    rows = [
+        (0, wkb.box(0.0, 0.0, 2.0, 2.0)),
+        (1, wkb.point(5.0, -3.0)),
+        (2, None),
+        (3, wkb.linestring([(-1.0, 4.0), (7.0, 4.0)])),
+    ]
+    out = layer_info(
+        spark.createDataFrame(rows, ["fid", "geom"]).repartition(3),
+        name="mixed").collect()[0]
+    assert out.layer == "mixed"
+    assert out.feature_count == 4 and out.n_null_geom == 1
+    assert out.geom_type == "GEOMETRY"
+    assert (out.minx, out.miny, out.maxx, out.maxy) == (-1.0, -3.0, 7.0, 4.0)
+    assert out.fields == "fid: bigint"
+
+
+def test_layer_info_single_type_promotes_to_it(spark):
+    rows = [(i, wkb.point(float(i), float(-i))) for i in range(10)]
+    out = layer_info(spark.createDataFrame(rows, ["fid", "geom"])).collect()[0]
+    assert out.geom_type == "POINT"
+    assert out.feature_count == 10 and out.n_null_geom == 0
+    assert (out.minx, out.maxx) == (0.0, 9.0)
+    assert (out.miny, out.maxy) == (-9.0, 0.0)
+
+
+def test_raster_info_dimensions_and_stats(spark):
+    from gdal_spark.raster.tiles import raster_to_tiles
+    arr = np.arange(256, dtype=np.float64).reshape(16, 16)
+    t = raster_to_tiles(spark, arr, tile=8)
+    out = raster_info(t, tile=8).collect()[0]
+    assert (out.width, out.height, out.n_tiles) == (16, 16, 4)
+    assert out.dtype == "float64" and out.n_valid == 256
+    assert (out.min, out.max) == (0.0, 255.0)
+    assert out.mean == pytest.approx(127.5)
+    assert out.stddev == pytest.approx(np.std(arr))
