@@ -2900,6 +2900,43 @@ def q_st_transform_projstr(spark, sf_dir):
         "FROM t_projstr_pts")
 
 
+@_reg("st_transform_wkt", f"""
+{_pts_cte()}
+SELECT doc_id,
+       ROUND(0.75 * 6378137.0 * radians(lon - 7.5) + 250000.0, 4) AS mx_r,
+       ROUND(0.75 * 6378137.0 * ln(tan(pi() / 4.0 + radians(lat) / 2.0))
+             + 50000.0, 4) AS my_r
+FROM pts WHERE doc_id % 13 = 0
+""")
+def q_st_transform_wkt(spark, sf_dir):
+    """ST_Transform through an OGC WKT1 PROJCS definition (the
+    reference's OGRSpatialReference::importFromWkt path,
+    ogr/ogrspatialreference.cpp; CT creation ogr/ogrct.cpp:919-948): a
+    Mercator_1SP with rotated central meridian, scale factor and false
+    origins — no EPSG authority node, so the kernel choice is driven
+    purely by PROJECTION/PARAMETER parsing. The oracle is the closed-form
+    scaled spherical-mercator formula in SQL."""
+    st.register_all(spark)
+    wkt = ('PROJCS["custom merc", GEOGCS["WGS 84", DATUM["WGS_1984",'
+           ' SPHEROID["WGS 84",6378137,298.257223563]],'
+           ' PRIMEM["Greenwich",0], UNIT["degree",0.0174532925199433]],'
+           ' PROJECTION["Mercator_1SP"],'
+           ' PARAMETER["central_meridian",7.5],'
+           ' PARAMETER["scale_factor",0.75],'
+           ' PARAMETER["false_easting",250000],'
+           ' PARAMETER["false_northing",50000], UNIT["metre",1]]')
+    p = datagen.points(spark, sf_dir).where(F.col("doc_id") % 13 == 0)
+    p.createOrReplaceTempView("t_wkt_pts")
+    wkt_sql = wkt.replace("'", "''")
+    return spark.sql(
+        "SELECT doc_id, "
+        f" ROUND(ST_X(ST_Transform(ST_MakePoint(lon, lat), 'EPSG:4326',"
+        f"  '{wkt_sql}')), 4) AS mx_r, "
+        f" ROUND(ST_Y(ST_Transform(ST_MakePoint(lon, lat), 'EPSG:4326',"
+        f"  '{wkt_sql}')), 4) AS my_r "
+        "FROM t_wkt_pts")
+
+
 @_reg("warp_gcp_affine", _DENSITY_XY_SQL + """
 SELECT CAST((x - 1) / 2 AS BIGINT) AS x, CAST((y - 1) / 2 AS BIGINT) AS y,
        v AS val_r

@@ -12,6 +12,8 @@ exact where the interpolation error exceeds the tolerance (0.125 px default).
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 
 from ..core.tilemath import EARTH_RADIUS
@@ -284,12 +286,114 @@ def _parse_proj_string(crs: str):
     return None
 
 
+def _wkt_node(s: str, pos: int = 0):
+    """Minimal OGC WKT1 reader (OGRSpatialReference::importFromWkt,
+    ogr/ogrspatialreference.cpp — keyword[val, val, ...] trees with quoted
+    strings and numbers). -> ((name, children), next_pos); children are
+    nested nodes, strings, or floats."""
+    m = re.match(r'\s*([A-Za-z_][A-Za-z_0-9]*)\s*\[', s[pos:])
+    if not m:
+        raise ValueError(f"bad WKT at {pos}: {s[pos:pos + 30]!r}")
+    name = m.group(1).upper()
+    pos += m.end()
+    children = []
+    while True:
+        mq = re.match(r'\s*"([^"]*)"', s[pos:])
+        if mq:
+            children.append(mq.group(1))
+            pos += mq.end()
+        else:
+            mn = re.match(r'\s*([-+0-9.eE]+)', s[pos:])
+            if mn:
+                children.append(float(mn.group(1)))
+                pos += mn.end()
+            elif re.match(r'\s*[A-Za-z_]', s[pos:]):
+                node, pos = _wkt_node(s, pos)
+                children.append(node)
+            else:
+                raise ValueError(f"bad WKT value at {pos}")
+        ms = re.match(r'\s*([,\]])', s[pos:])
+        if not ms:
+            raise ValueError(f"expected , or ] at {pos}")
+        pos += ms.end()
+        if ms.group(1) == "]":
+            return (name, children), pos
+
+
+_WKT_METHODS = {
+    "TRANSVERSE_MERCATOR": "tmerc",
+    "MERCATOR_1SP": "merc",
+    "MERCATOR_(VARIANT_A)": "merc",
+    "LAMBERT_AZIMUTHAL_EQUAL_AREA": "laea",
+}
+
+
+def _parse_wkt_crs(crs: str):
+    """OGC WKT1 GEOGCS/PROJCS -> the same parameterized kind tuples the
+    proj-string path produces (the reference's importFromWkt +
+    exportToProj4 round trip collapsed to the families this engine
+    implements). Projection method and PARAMETER nodes drive the kernel
+    choice; a trailing EPSG AUTHORITY is honored as a shortcut."""
+    (name, children), _ = _wkt_node(crs)
+    if name in ("GEOGCS", "GEOGCRS", "GEODCRS"):
+        return "4326"
+    if name not in ("PROJCS", "PROJCRS"):
+        return None
+    nodes = [c for c in children if isinstance(c, tuple)]
+
+    def find(*names):
+        return [n for n in nodes if n[0] in names]
+
+    auth = find("AUTHORITY", "ID")
+    if auth and str(auth[-1][1][0]).upper() == "EPSG":
+        code = auth[-1][1][1]
+        code = str(int(code)) if isinstance(code, float) else str(code)
+        parsed = _parse_crs(f"EPSG:{code}")
+        if parsed is not None:
+            return parsed
+    proj = find("PROJECTION", "CONVERSION", "METHOD")
+    if proj and proj[0][0] == "CONVERSION":      # WKT2: METHOD nested inside
+        nodes = [c for c in proj[0][1] if isinstance(c, tuple)] + nodes
+        proj = [n for n in nodes if n[0] == "METHOD"]
+    if not proj:
+        return None
+    method = str(proj[0][1][0]).strip().upper().replace(" ", "_")
+    fam = _WKT_METHODS.get(method)
+    if fam is None:
+        return None
+    params = {str(p[1][0]).strip().lower().replace(" ", "_"): float(p[1][1])
+              for p in nodes if p[0] == "PARAMETER"
+              and len(p[1]) >= 2 and isinstance(p[1][1], float)}
+
+    def g(keys, d=0.0):
+        for k in keys:
+            if k in params:
+                return params[k]
+        return d
+
+    lon0 = g(("central_meridian", "longitude_of_center",
+              "longitude_of_origin", "longitude_of_natural_origin"))
+    k0 = g(("scale_factor", "scale_factor_at_natural_origin"), 1.0)
+    fe = g(("false_easting",))
+    fn = g(("false_northing",))
+    if fam == "laea":
+        lat0 = g(("latitude_of_center", "latitude_of_origin",
+                  "latitude_of_natural_origin"))
+        return ("laea", lon0, lat0, fe, fn)
+    return (fam, lon0, k0, fe, fn)
+
+
 def _parse_crs(crs: str):
     """-> ('4326'|'3857'|('utm', lon0, south)|('laea', lon0, lat0, fe, fn)
     |('merc', lon0, k0, fe, fn)|('tmerc', lon0, k0, fe, fn)); proj strings
-    ('+proj=...') parse via _parse_proj_string."""
+    ('+proj=...') parse via _parse_proj_string, OGC WKT via
+    _parse_wkt_crs."""
     if crs.startswith("+"):
         return _parse_proj_string(crs)
+    head = crs.lstrip()[:8].upper()
+    if head.startswith(("PROJCS", "GEOGCS", "PROJCRS", "GEOGCRS",
+                        "GEODCRS")):
+        return _parse_wkt_crs(crs)
     if crs == "EPSG:4326":
         return "4326"
     if crs == "EPSG:3857":

@@ -304,3 +304,57 @@ def test_rpc_transformer_affine_exact_and_nonlinear_roundtrip():
     lo2, la2 = transform(crs2, "EPSG:4326", sx2, sy2)
     assert np.allclose(lo2, lon, atol=1e-8)
     assert np.allclose(la2, lat, atol=1e-8)
+
+
+# -- OGC WKT1 CRS parsing (OGRSpatialReference::importFromWkt twin) ---------
+
+_UTM31_WKT = ('PROJCS["WGS 84 / UTM zone 31N", GEOGCS["WGS 84",'
+              ' DATUM["WGS_1984", SPHEROID["WGS 84",6378137,298.257223563]],'
+              ' PRIMEM["Greenwich",0], UNIT["degree",0.0174532925199433]],'
+              ' PROJECTION["Transverse_Mercator"],'
+              ' PARAMETER["latitude_of_origin",0],'
+              ' PARAMETER["central_meridian",3],'
+              ' PARAMETER["scale_factor",0.9996],'
+              ' PARAMETER["false_easting",500000],'
+              ' PARAMETER["false_northing",0], UNIT["metre",1],'
+              ' AUTHORITY["EPSG","32631"]]')
+
+
+def test_wkt_crs_matches_epsg_twin():
+    from gdal_spark.raster.transforms import transform
+    x1, y1 = transform("EPSG:4326", _UTM31_WKT,
+                       np.array([4.5, -1.0]), np.array([51.2, 40.0]))
+    x2, y2 = transform("EPSG:4326", "EPSG:32631",
+                       np.array([4.5, -1.0]), np.array([51.2, 40.0]))
+    np.testing.assert_allclose(x1, x2)
+    np.testing.assert_allclose(y1, y2)
+
+
+def test_wkt_crs_parameter_driven_without_authority():
+    from gdal_spark.raster.transforms import _parse_crs, transform
+    wkt = ('PROJCS["custom", GEOGCS["WGS 84", DATUM["WGS_1984",'
+           ' SPHEROID["WGS 84",6378137,298.257223563]], PRIMEM["Greenwich",0],'
+           ' UNIT["degree",0.0174532925199433]],'
+           ' PROJECTION["Mercator_1SP"], PARAMETER["central_meridian",25],'
+           ' PARAMETER["scale_factor",1], PARAMETER["false_easting",100000],'
+           ' PARAMETER["false_northing",0], UNIT["metre",1]]')
+    assert _parse_crs(wkt) == ("merc", 25.0, 1.0, 100000.0, 0.0)
+    x1, y1 = transform("EPSG:4326", wkt, np.array([30.0]), np.array([10.0]))
+    x2, y2 = transform("EPSG:4326", "+proj=merc +lon_0=25 +x_0=100000",
+                       np.array([30.0]), np.array([10.0]))
+    np.testing.assert_allclose(x1, x2)
+    np.testing.assert_allclose(y1, y2)
+
+
+def test_wkt_geogcs_and_roundtrip():
+    from gdal_spark.raster.transforms import _parse_crs, transform
+    geog = ('GEOGCS["WGS 84", DATUM["WGS_1984", SPHEROID["WGS 84",'
+            '6378137,298.257223563]], PRIMEM["Greenwich",0],'
+            ' UNIT["degree",0.0174532925199433]]')
+    assert _parse_crs(geog) == "4326"
+    lon = np.linspace(-3.0, 8.0, 7)
+    lat = np.linspace(38.0, 55.0, 7)
+    x, y = transform(geog, _UTM31_WKT, lon, lat)
+    lon2, lat2 = transform(_UTM31_WKT, geog, x, y)
+    np.testing.assert_allclose(lon2, lon, atol=1e-9)
+    np.testing.assert_allclose(lat2, lat, atol=1e-9)
