@@ -3441,6 +3441,43 @@ def q_geoparquet_bbox(spark, sf_dir):
         F.round(F.col("geom_bbox.ymax"), 9).alias("ymax_r"))
 
 
+@_reg("vrt_mosaic", _DENSITY_XY_SQL + """
+SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+       CASE WHEN x >= 24 THEN 3.0 * v ELSE v END AS val_r
+FROM vals
+""")
+def q_vrt_mosaic(spark, sf_dir):
+    """VRT virtual mosaic (frmts/vrt vrtdataset.cpp, vrtsources.cpp,
+    apps/gdalbuildvrt_lib.cpp): the left window of the density grid and a
+    tripled right window (overlapping at x in [24,40)) written as two
+    GeoTIFFs, composed by build_vrt placement from their geotransforms,
+    read back through the warp-backed SimpleSource path — the later input
+    wins the overlap (last-on-top), so the oracle is v left of x=24 and
+    3v from there on."""
+    import os
+    import tempfile
+    import numpy as np
+    from .raster.tiles import tiles_to_raster
+    from .raster.vrt import build_vrt, read_vrt
+    from .sources.geotiff import write_gtiff
+
+    t = _density_tiles_full(spark, sf_dir)
+    arr = tiles_to_raster(t, tile=8)[:64, :64]    # tiny fixture raster
+    base = os.path.join(tempfile.gettempdir(),
+                        f"gdal_spark_vrt_{os.getpid()}")
+    os.makedirs(base, exist_ok=True)
+    pa, pb = os.path.join(base, "a.tif"), os.path.join(base, "b.tif")
+    # A: x [0,40); B (wins the [24,40) overlap): x [24,64), tripled
+    write_gtiff(np.ascontiguousarray(arr[:, :40]), pa,
+                geotransform=(0.0, 1.0, 0.0, 64.0, 0.0, -1.0))
+    write_gtiff(np.ascontiguousarray(arr[:, 24:] * 3.0), pb,
+                geotransform=(24.0, 1.0, 0.0, 64.0, 0.0, -1.0))
+    vp = os.path.join(base, "m.vrt")
+    build_vrt([pa, pb], vp, nodata=-1.0)
+    out = read_vrt(spark, vp, tile=8)
+    return _px_rows(out, tile=8)
+
+
 @_reg("retile_16", _DENSITY_XY_SQL + """
 SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y, v AS val_r
 FROM vals
