@@ -2332,6 +2332,64 @@ def q_dem_horn_density(spark, sf_dir):
                       F.col("shade_v").alias("shade_r"))
 
 
+@_reg("dem_shade_variants", _DENSITY_XY_SQL + "," + _HORN_NB_SQL + """,
+ab AS (SELECT x, y, -dzdx AS a, dzdy AS b,
+        dzdx*dzdx + dzdy*dzdy AS q
+       FROM grad WHERE dzdx != 0 OR dzdy != 0),
+parts AS (SELECT x, y, a, b, q,
+    acos(least(greatest(
+      (sin(radians(45.0)) - (b*cos(radians(315.0))*cos(radians(45.0))
+                             - a*sin(radians(315.0))*cos(radians(45.0))))
+      / sqrt(1.0 + q), -1.0), 1.0)) AS ac,
+    greatest(127.0*(sin(radians(45.0))
+             + (a-b)*cos(radians(225.0))*cos(radians(45.0))), 0.0) AS v225,
+    greatest(127.0*(sin(radians(45.0)) - a*cos(radians(45.0))), 0.0) AS v270,
+    greatest(127.0*(sin(radians(45.0))
+             + (a+b)*cos(radians(225.0))*cos(radians(45.0))), 0.0) AS v315,
+    greatest(127.0*(sin(radians(45.0)) - b*cos(radians(45.0))), 0.0) AS v360,
+    fmod(fmod(atan2(b, a), 2.0*pi()) + 2.0*pi(), 2.0*pi()) AS asp
+   FROM ab),
+res AS (SELECT x, y, q,
+    1.0 - ac * atan(sqrt(q)) / (pi()*pi()/4.0) AS cmb,
+    ((0.5*q - a*b)*v225 + (a*a)*v270 + (q - (0.5*q - a*b))*v315
+     + (b*b)*v360) / q / sqrt(1.0 + q) AS md,
+    CASE WHEN abs(asp - 7.0*pi()/4.0) > pi()
+         THEN 2.0*pi() - abs(asp - 7.0*pi()/4.0)
+         ELSE abs(asp - 7.0*pi()/4.0) END AS dif
+   FROM parts)
+SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+       ROUND(CASE WHEN cmb <= 0.0 THEN 1.0
+                  ELSE 1.0 + 254.0*cmb END, 6) AS combined_r,
+       ROUND(1.0 + md, 6) AS multi_r,
+       ROUND(255.0 * (1.0 - (degrees(atan(sqrt(q)))/90.0)
+                      * (1.0 - dif/pi())), 6) AS igor_r
+FROM res
+""")
+def q_dem_shade_variants(spark, sf_dir):
+    """gdaldem hillshade -combined / -multidirectional / -igor
+    (GDALHillshadeCombinedAlg gdaldem_lib.cpp:1077, MultiDirectionalAlg
+    :1162 with the USGS OF 92-422 weights, IgorAlg :842) over the density
+    DEM — the oracle transcribes all three shade formulas per interior
+    non-flat pixel in SQL from the same Horn gradients."""
+    from .raster.dem import dem_op
+    t = _density_tiles_full(spark, sf_dir)
+    cmb = _px_rows(dem_op(t, "hillshade_combined", tile=8,
+                          altitude=45.0, azimuth=315.0), name="cmb_v")
+    md = _px_rows(dem_op(t, "hillshade_multidirectional", tile=8,
+                         altitude=45.0, azimuth=315.0), name="md_v")
+    ig = _px_rows(dem_op(t, "hillshade_igor", tile=8,
+                         altitude=45.0, azimuth=315.0), name="ig_v")
+    slope = _px_rows(dem_op(t, "slope", tile=8), name="slope_v")
+    out = (cmb.join(md, ["x", "y"]).join(ig, ["x", "y"])
+           .join(slope, ["x", "y"])
+           .where((F.col("x").between(1, 62)) & (F.col("y").between(1, 62))
+                  & (F.col("slope_v") != 0.0)))
+    return out.select("x", "y",
+                      F.round("cmb_v", 6).alias("combined_r"),
+                      F.round("md_v", 6).alias("multi_r"),
+                      F.round("ig_v", 6).alias("igor_r"))
+
+
 @_reg("dem_tri_tpi_roughness", _DENSITY_XY_SQL + "," + _HORN_NB_SQL + """
 SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
        ROUND((abs(z4-z0)+abs(z4-z1)+abs(z4-z2)+abs(z4-z3)

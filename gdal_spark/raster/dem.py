@@ -124,9 +124,83 @@ def _horn_gradients(pad: np.ndarray, ewres: float, nsres: float):
     return dzdx, dzdy
 
 
-def _kernel_outputs(pad, op, ewres, nsres, z_factor, alt_deg, az_deg):
-    if op in ("hillshade", "slope", "aspect"):
-        dzdx, dzdy = _horn_gradients(pad, ewres / z_factor, nsres / z_factor)
+def _zt_gradients(pad: np.ndarray, ewres: float, nsres: float):
+    """Zevenbergen-Thorne gradient (gdaldem -alg ZevenbergenThorne;
+    Gradient<T, ZEVENBERGEN_THORNE>::calc, gdaldem_lib.cpp:711-719):
+    only the 4-neighbors, divisor 2 (z_scaled = z/(2*scale))."""
+    z = [pad[i:i + pad.shape[0] - 2, j:j + pad.shape[1] - 2]
+         for i in range(3) for j in range(3)]
+    dzdx = (z[5] - z[3]) / (2.0 * ewres)
+    dzdy = (z[7] - z[1]) / (2.0 * nsres)
+    return dzdx, dzdy
+
+
+_GRAD_OPS = ("hillshade", "slope", "aspect", "hillshade_combined",
+             "hillshade_multidirectional", "hillshade_igor")
+
+
+def _kernel_outputs(pad, op, ewres, nsres, z_factor, alt_deg, az_deg,
+                    alg="horn"):
+    if op in _GRAD_OPS:
+        grad = _zt_gradients if alg == "zt" else _horn_gradients
+        dzdx, dzdy = grad(pad, ewres / z_factor, nsres / z_factor)
+        # the reference's scaled gradient terms: a == x*z_scaled,
+        # b == y*z_scaled of Gradient::calc (x points LEFT-minus-right)
+        a, b = -dzdx, dzdy
+        if op == "hillshade_combined":
+            # GDALHillshadeCombinedAlg (gdaldem_lib.cpp:1077-1105)
+            alt, az = math.radians(alt_deg), math.radians(az_deg)
+            slope_q = a * a + b * b
+            cang = np.arccos(np.clip(
+                (math.sin(alt) - (b * math.cos(az) * math.cos(alt)
+                                  - a * math.sin(az) * math.cos(alt)))
+                / np.sqrt(1.0 + slope_q), -1.0, 1.0))
+            cang = 1.0 - cang * np.arctan(np.sqrt(slope_q)) \
+                / ((math.pi / 2.0) ** 2)
+            return np.where(cang <= 0.0, 1.0, 1.0 + 254.0 * cang)
+        if op == "hillshade_multidirectional":
+            # GDALHillshadeMultiDirectionalAlg (gdaldem_lib.cpp:1162-1219;
+            # USGS OF 92-422 weights); azimuth is ignored by construction
+            alt = math.radians(alt_deg)
+            sin_alt, cos_alt = math.sin(alt), math.cos(alt)
+            c225 = math.cos(math.radians(225.0))
+            v225 = np.maximum(127.0 * (sin_alt + (a - b) * c225 * cos_alt),
+                              0.0)
+            v270 = np.maximum(127.0 * (sin_alt - a * cos_alt), 0.0)
+            v315 = np.maximum(127.0 * (sin_alt + (a + b) * c225 * cos_alt),
+                              0.0)
+            v360 = np.maximum(127.0 * (sin_alt - b * cos_alt), 0.0)
+            xy = a * a + b * b
+            w225 = 0.5 * xy - a * b
+            w270 = a * a
+            w315 = xy - w225
+            w360 = b * b
+            safe = np.where(xy == 0.0, 1.0, xy)
+            cang = (w225 * v225 + w270 * v270 + w315 * v315
+                    + w360 * v360) / safe / np.sqrt(1.0 + xy)
+            return 1.0 + np.where(xy == 0.0, 254.0 * sin_alt, cang)
+        if op == "hillshade_igor":
+            # GDALHillshadeIgorAlg (gdaldem_lib.cpp:842-898): slope
+            # strength x angular distance from the anti-light direction;
+            # the aspect uses the UNSCALED window sums
+            az = math.radians(az_deg)
+            z = [pad[i:i + pad.shape[0] - 2, j:j + pad.shape[1] - 2]
+                 for i in range(3) for j in range(3)]
+            if alg == "zt":
+                rdx = z[5] - z[3]
+                rdy = z[7] - z[1]
+            else:
+                rdx = (z[2] + 2 * z[5] + z[8]) - (z[0] + 2 * z[3] + z[6])
+                rdy = (z[6] + 2 * z[7] + z[8]) - (z[0] + 2 * z[1] + z[2])
+            aspect = np.arctan2(rdy, -rdx)
+            slope_deg = np.degrees(np.arctan(np.hypot(a, b)))
+            target = math.fmod(1.5 * math.pi - az, 2.0 * math.pi)
+            if target < 0:
+                target += 2.0 * math.pi
+            diff = np.abs(np.mod(aspect, 2.0 * math.pi) - target)
+            diff = np.where(diff > math.pi, 2.0 * math.pi - diff, diff)
+            shadow = 1.0 - (slope_deg / 90.0) * (1.0 - diff / math.pi)
+            return 255.0 * shadow
         if op == "slope":
             return np.degrees(np.arctan(np.hypot(dzdx, dzdy)))
         if op == "aspect":
@@ -156,7 +230,7 @@ def _kernel_outputs(pad, op, ewres, nsres, z_factor, alt_deg, az_deg):
 def dem_op(tiles_df: DataFrame, op: str, tile: int = 256,
            ewres: float = 1.0, nsres: float = 1.0, z_factor: float = 1.0,
            altitude: float = 45.0, azimuth: float = 315.0,
-           out_dtype: str = "float64") -> DataFrame:
+           out_dtype: str = "float64", alg: str = "horn") -> DataFrame:
     """Run one DEM operator over the tile table. Result tile schema matches
     the input (dtype=out_dtype)."""
     from .tiles import TILE_SCHEMA
@@ -170,7 +244,8 @@ def dem_op(tiles_df: DataFrame, op: str, tile: int = 256,
         if pad is None:
             return pd.DataFrame(columns=[f.name for f in TILE_SCHEMA.fields])
         out = _kernel_outputs(pad, op, ewres, nsres, z_factor,
-                              altitude, azimuth).astype(np.dtype(out_dtype))
+                              altitude, azimuth,
+                              alg=alg).astype(np.dtype(out_dtype))
         return pd.DataFrame([{
             "band": band, "zoom": zoom, "tile_x": tx, "tile_y": ty,
             "dtype": out_dtype, "nodata": None, "px": encode_px(out)}])
