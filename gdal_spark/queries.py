@@ -3499,6 +3499,43 @@ def q_geoparquet_bbox(spark, sf_dir):
         F.round(F.col("geom_bbox.ymax"), 9).alias("ymax_r"))
 
 
+@_reg("gdal2xyz_vals", _DENSITY_XY_SQL + """
+SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y, v AS val_r
+FROM vals
+""")
+def q_gdal2xyz_vals(spark, sf_dir):
+    """gdal2xyz twin (osgeo_utils/gdal2xyz.py): the tile table exploded
+    to one (x, y, value) row per pixel — map-only, no shuffle; the oracle
+    regenerates the same density values in SQL."""
+    from .raster.tiles import gdal2xyz
+    t = _density_tiles_full(spark, sf_dir)
+    out = gdal2xyz(t, tile=8)
+    return out.select(F.col("x").cast("long").alias("x"),
+                      F.col("y").cast("long").alias("y"),
+                      F.col("value").alias("val_r"))
+
+
+@_reg("gdalcompare_report", _DENSITY_VALS_SQL + """
+SELECT CAST(1 AS INTEGER) AS band,
+       CAST(count(*) FILTER (WHERE v != 0) AS BIGINT) AS n_pixels_diff,
+       CAST(max(v) AS DOUBLE) AS max_abs_diff
+FROM vals
+""")
+def q_gdalcompare_report(spark, sf_dir):
+    """gdalcompare twin (osgeo_utils/gdalcompare.py compare_band): diff
+    report between the density grid and its doubled band-calc copy — the
+    differing-pixel count is exactly the nonzero count and the max
+    absolute difference is the max density, which the oracle recomputes."""
+    from .raster.stats import band_calc
+    from .raster.tiles import raster_compare
+    t = _density_tiles_full(spark, sf_dir).localCheckpoint()
+    doubled = band_calc(t, "A * 2.0", tile=8)
+    out = raster_compare(t, doubled, tile=8)
+    return out.select("band", "n_pixels_diff",
+                      F.col("max_abs_diff").cast("double")
+                      .alias("max_abs_diff"))
+
+
 @_reg("vrt_mosaic", _DENSITY_XY_SQL + """
 SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
        CASE WHEN x >= 24 THEN 3.0 * v ELSE v END AS val_r

@@ -158,3 +158,97 @@ def retile(df: DataFrame, src_tile: int, dst_tile: int) -> DataFrame:
             columns=[f.name for f in TILE_SCHEMA.fields])
 
     return frags.groupBy(*keys).applyInPandas(assemble, TILE_SCHEMA)
+
+
+def gdal2xyz(df: DataFrame, tile: int = TILE,
+             grid=None, band: int | None = None,
+             skip_nodata: bool = False) -> DataFrame:
+    """gdal2xyz twin (swig/python/gdal-utils/osgeo_utils/gdal2xyz.py):
+    tile table -> (band, x, y, value) rows, optionally georeferenced
+    through a GridSpec (pixel-center coordinates, the utility's
+    half-pixel offset) and nodata-skipped — a pure mapInPandas explode,
+    no shuffle."""
+    import pyspark.sql.types as T
+
+    schema = T.StructType([T.StructField("band", T.IntegerType()),
+                           T.StructField("x", T.DoubleType()),
+                           T.StructField("y", T.DoubleType()),
+                           T.StructField("value", T.DoubleType())])
+
+    def explode(batches):
+        jj, ii = np.meshgrid(np.arange(tile), np.arange(tile),
+                             indexing="ij")
+        for pdf in batches:
+            frames = []
+            for r in pdf.itertuples():
+                if band is not None and int(r.band) != band:
+                    continue
+                arr = decode_px(r.px, r.dtype, tile).astype(np.float64)
+                px = (r.tile_x * tile + ii).astype(np.float64).ravel()
+                py = (r.tile_y * tile + jj).astype(np.float64).ravel()
+                v = arr.ravel()
+                if skip_nodata and r.nodata is not None \
+                        and not np.isnan(r.nodata):
+                    keep = v != float(r.nodata)
+                    px, py, v = px[keep], py[keep], v[keep]
+                if grid is not None:
+                    px = grid.x0 + (px + 0.5) * grid.dx
+                    py = grid.y0 + (py + 0.5) * grid.dy
+                frames.append(pd.DataFrame(
+                    {"band": np.int32(r.band), "x": px, "y": py,
+                     "value": v}))
+            yield pd.concat(frames) if frames else pd.DataFrame(
+                {"band": pd.Series(dtype="int32"),
+                 "x": pd.Series(dtype="float64"),
+                 "y": pd.Series(dtype="float64"),
+                 "value": pd.Series(dtype="float64")})
+
+    return df.mapInPandas(explode, schema)
+
+
+def raster_compare(a: DataFrame, b: DataFrame, tile: int = TILE) -> DataFrame:
+    """gdalcompare twin (swig/python/gdal-utils/osgeo_utils/
+    gdalcompare.py compare_band): per-band difference report between two
+    tile tables — count of differing pixels, max absolute difference and
+    whether the bit-exact GDAL checksums agree. Full outer join on tile
+    keys: a tile present on one side only counts every pixel different."""
+    import pyspark.sql.functions as F
+    import pyspark.sql.types as T
+
+    keys = ["band", "zoom", "tile_x", "tile_y"]
+    j = a.select(*keys, F.col("dtype").alias("dtype_a"),
+                 F.col("px").alias("px_a")) \
+        .join(b.select(*keys, F.col("dtype").alias("dtype_b"),
+                       F.col("px").alias("px_b")),
+              keys, "full_outer")
+
+    part = T.StructType([T.StructField("band", T.IntegerType()),
+                         T.StructField("n_diff", T.LongType()),
+                         T.StructField("max_abs", T.DoubleType())])
+
+    def diff(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                if r.px_a is None or r.px_b is None:
+                    rows.append((int(r.band), tile * tile, float("inf")))
+                    continue
+                aa = decode_px(r.px_a, r.dtype_a, tile).astype(np.float64)
+                bb = decode_px(r.px_b, r.dtype_b, tile).astype(np.float64)
+                d = np.abs(aa - bb)
+                rows.append((int(r.band), int((d != 0).sum()),
+                             float(d.max())))
+            yield pd.DataFrame(rows, columns=["band", "n_diff", "max_abs"]) \
+                if rows else pd.DataFrame(columns=["band", "n_diff",
+                                                   "max_abs"])
+
+    d = j.mapInPandas(diff, part).groupBy("band").agg(
+        F.sum("n_diff").alias("n_pixels_diff"),
+        F.max("max_abs").alias("max_abs_diff"))
+    ck = checksum_tiles(a, tile=tile).groupBy("band").agg(
+        F.sum("checksum").alias("ck_a")).join(
+        checksum_tiles(b, tile=tile).groupBy("band").agg(
+            F.sum("checksum").alias("ck_b")), "band", "full_outer")
+    return d.join(ck, "band", "left").select(
+        "band", "n_pixels_diff", "max_abs_diff",
+        (F.col("ck_a") == F.col("ck_b")).alias("checksum_equal"))
