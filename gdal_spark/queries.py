@@ -2390,6 +2390,34 @@ def q_dem_shade_variants(spark, sf_dir):
                       F.round("ig_v", 6).alias("igor_r"))
 
 
+@_reg("dem_slope_aspect_opts", _DENSITY_XY_SQL + "," + _HORN_NB_SQL + """
+SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+       ROUND(100.0 * sqrt(dzdx*dzdx + dzdy*dzdy), 6) AS slope_pct_r,
+       ROUND(CASE WHEN degrees(atan2(dzdy, -dzdx)) < 0
+                  THEN degrees(atan2(dzdy, -dzdx)) + 360.0
+                  WHEN degrees(atan2(dzdy, -dzdx)) = 360.0 THEN 0.0
+                  ELSE degrees(atan2(dzdy, -dzdx)) END, 6) AS aspect_trig_r
+FROM grad WHERE dzdx != 0 OR dzdy != 0
+""")
+def q_dem_slope_aspect_opts(spark, sf_dir):
+    """gdaldem slope -p and aspect -trigonometric (GDALSlopeHornAlg
+    slopeFormat==0 gdaldem_lib.cpp:1279; GDALAspectAlg
+    bAngleAsAzimuth=false :1349): percent slope = 100*rise/run and the
+    0-360 math-convention aspect, both recomputed closed-form by the
+    oracle from the Horn gradients. Flat pixels (NaN aspect = dst nodata)
+    are excluded on both sides."""
+    from .raster.dem import dem_op
+    t = _density_tiles_full(spark, sf_dir)
+    pct = _px_rows(dem_op(t, "slope_percent", tile=8), name="pct_v")
+    trig = _px_rows(dem_op(t, "aspect_trig", tile=8), name="trig_v")
+    out = (pct.join(trig, ["x", "y"])
+           .where((F.col("x").between(1, 62)) & (F.col("y").between(1, 62))
+                  & (F.col("pct_v") != 0.0) & ~F.isnan("trig_v")))
+    return out.select("x", "y",
+                      F.round("pct_v", 6).alias("slope_pct_r"),
+                      F.round("trig_v", 6).alias("aspect_trig_r"))
+
+
 @_reg("dem_tri_tpi_roughness", _DENSITY_XY_SQL + "," + _HORN_NB_SQL + """
 SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
        ROUND((abs(z4-z0)+abs(z4-z1)+abs(z4-z2)+abs(z4-z3)

@@ -136,7 +136,8 @@ def _zt_gradients(pad: np.ndarray, ewres: float, nsres: float):
 
 
 _GRAD_OPS = ("hillshade", "slope", "aspect", "hillshade_combined",
-             "hillshade_multidirectional", "hillshade_igor")
+             "hillshade_multidirectional", "hillshade_igor",
+             "slope_percent", "aspect_trig")
 
 
 def _kernel_outputs(pad, op, ewres, nsres, z_factor, alt_deg, az_deg,
@@ -147,6 +148,18 @@ def _kernel_outputs(pad, op, ewres, nsres, z_factor, alt_deg, az_deg,
         # the reference's scaled gradient terms: a == x*z_scaled,
         # b == y*z_scaled of Gradient::calc (x points LEFT-minus-right)
         a, b = -dzdx, dzdy
+        if op == "slope_percent":
+            # gdaldem slope -p (GDALSlopeHornAlg slopeFormat==0,
+            # gdaldem_lib.cpp:1279): 100 * rise/run, no arctan
+            return 100.0 * np.hypot(dzdx, dzdy)
+        if op == "aspect_trig":
+            # gdaldem aspect -trigonometric (GDALAspectAlg
+            # bAngleAsAzimuth=false, gdaldem_lib.cpp:1349-1359): 0-360
+            # math convention, flat pixels -> NaN (dst nodata), 360 -> 0
+            asp = np.degrees(np.arctan2(dzdy, -dzdx))
+            asp = np.where(asp < 0.0, asp + 360.0, asp)
+            asp = np.where(asp == 360.0, 0.0, asp)
+            return np.where((dzdx == 0) & (dzdy == 0), np.nan, asp)
         if op == "hillshade_combined":
             # GDALHillshadeCombinedAlg (gdaldem_lib.cpp:1077-1105)
             alt, az = math.radians(alt_deg), math.radians(az_deg)

@@ -127,3 +127,19 @@ def test_flat_plane_closed_forms(spark):
     np.testing.assert_allclose(cm, 255.0)
     ig = _run(spark, flat, "hillshade_igor")
     np.testing.assert_allclose(ig, 255.0)
+
+
+def test_slope_percent_and_aspect_trig(spark, dem):
+    pct = _run(spark, dem, "slope_percent")
+    deg = _run(spark, dem, "slope")
+    # percent = 100 * tan(slope_degrees)
+    np.testing.assert_allclose(pct, 100.0 * np.tan(np.radians(deg)),
+                               atol=1e-9)
+    trig = _run(spark, dem, "aspect_trig")
+    assert np.nanmin(trig) >= 0.0 and np.nanmax(trig) < 360.0
+
+
+def test_aspect_trig_flat_is_nan(spark):
+    flat = np.full((8, 8), 3.0)
+    out = _run(spark, flat, "aspect_trig")
+    assert np.isnan(out).all()
