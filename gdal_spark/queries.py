@@ -3527,6 +3527,30 @@ def q_geoparquet_bbox(spark, sf_dir):
         F.round(F.col("geom_bbox.ymax"), 9).alias("ymax_r"))
 
 
+@_reg("zarr_roundtrip", _DENSITY_XY_SQL + """
+SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y, v AS val_r
+FROM vals
+""")
+def q_zarr_roundtrip(spark, sf_dir):
+    """Zarr v2 driver round-trip (frmts/zarr/zarrv2array.cpp chunk
+    naming, zarr_array.cpp decode): the density grid written as a
+    zlib-compressed chunked store (one task per chunk, driver writes only
+    .zarray JSON) and read back through chunk-planned tasks; the oracle
+    regenerates the pixel values in SQL."""
+    import os
+    import shutil
+    import tempfile
+    from .sources.zarr import read_zarr, write_zarr
+
+    t = _density_tiles_full(spark, sf_dir)
+    path = os.path.join(tempfile.gettempdir(),
+                        f"gdal_spark_zarr_{os.getpid()}.zarr")
+    shutil.rmtree(path, ignore_errors=True)
+    write_zarr(t, path, width=64, height=64, tile=8)
+    out, _meta = read_zarr(spark, path)
+    return _px_rows(out, tile=8)
+
+
 @_reg("gdal2xyz_vals", _DENSITY_XY_SQL + """
 SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y, v AS val_r
 FROM vals

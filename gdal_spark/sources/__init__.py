@@ -54,8 +54,15 @@ def open_vector(spark, path: str, **kwargs):
 
 
 def open_raster(spark, path: str, tile: int = 256, **kwargs):
-    """Raster front door: GeoTIFF -> the engine tile table."""
-    if path.lower().endswith((".tif", ".tiff")):
+    """Raster front door: GeoTIFF / VRT / Zarr -> the engine tile table."""
+    low = path.lower()
+    if low.endswith((".tif", ".tiff")):
         from .geotiff import read_gtiff
         return read_gtiff(spark, path, tile=tile, **kwargs)
+    if low.endswith(".vrt"):
+        from ..raster.vrt import read_vrt
+        return read_vrt(spark, path, tile=tile, **kwargs)
+    if low.endswith(".zarr") or low.rstrip("/").endswith(".zarr"):
+        from .zarr import read_zarr
+        return read_zarr(spark, path, **kwargs)[0]
     raise ValueError(f"no raster driver recognizes {path!r}")

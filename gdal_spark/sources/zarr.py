@@ -1,0 +1,123 @@
+"""Zarr v2 source/sink — twin of the reference's Zarr driver
+(frmts/zarr/zarrv2array.cpp chunk naming + .zarray metadata;
+frmts/zarr/zarr_array.cpp decode): a chunked 2-D array as one file per
+chunk ("row.col", C order, optional zlib codec) plus a driver-side
+`.zarray` JSON. The chunk grid IS the engine's tile grid, so the store
+maps 1:1 onto the tile table — the sink is one task per tile writing its
+own chunk (no driver pixel I/O), the reader plans (chunk, file) tasks
+from the metadata alone. Missing chunk files read as fill_value, the
+format's sparse-store semantics."""
+
+from __future__ import annotations
+
+import json
+import os
+import zlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from ..raster.tiles import TILE_SCHEMA, decode_px, encode_px
+
+_SEP = "."
+
+
+def write_zarr(tiles_df: DataFrame, path: str, width: int, height: int,
+               tile: int = 256, compressor: str | None = "zlib",
+               level: int = 6, fill_value: float = 0.0,
+               band: int = 1) -> None:
+    """Write one band of the tile table as a Zarr v2 array directory."""
+    os.makedirs(path, exist_ok=True)
+    rows = tiles_df.where(f"band = {band}").select(
+        "tile_x", "tile_y", "dtype", "px")
+    first = rows.first()
+    if first is None:
+        raise ValueError(f"no tiles for band {band}")
+    np_dtype = np.dtype(first.dtype)
+    meta = {
+        "zarr_format": 2,
+        "shape": [height, width],
+        "chunks": [tile, tile],
+        "dtype": np_dtype.newbyteorder("<").str,
+        "compressor": ({"id": "zlib", "level": level}
+                       if compressor == "zlib" else None),
+        "fill_value": fill_value,
+        "order": "C",
+        "filters": None,
+        "dimension_separator": _SEP,
+    }
+    with open(os.path.join(path, ".zarray"), "w") as f:
+        json.dump(meta, f)
+
+    def emit(batches):
+        n = 0
+        for pdf in batches:
+            for r in pdf.itertuples():
+                arr = decode_px(r.px, r.dtype, tile)
+                buf = np.ascontiguousarray(
+                    arr.astype(np_dtype.newbyteorder("<"))).tobytes()
+                if compressor == "zlib":
+                    buf = zlib.compress(buf, level)
+                name = f"{int(r.tile_y)}{_SEP}{int(r.tile_x)}"
+                with open(os.path.join(path, name), "wb") as f:
+                    f.write(buf)
+                n += 1
+        yield pd.DataFrame({"n": [n]})
+
+    import pyspark.sql.types as T
+    rows.mapInPandas(emit, T.StructType(
+        [T.StructField("n", T.LongType())])).collect()
+
+
+def read_zarr_metadata(path: str) -> dict:
+    with open(os.path.join(path, ".zarray")) as f:
+        return json.load(f)
+
+
+def read_zarr(spark: SparkSession, path: str, band: int = 1) -> DataFrame:
+    """-> (tile table, metadata). One task batch per chunk; chunks absent
+    on disk materialize as fill_value tiles (sparse-store reads)."""
+    meta = read_zarr_metadata(path)
+    h, w = meta["shape"]
+    ct, ctx = meta["chunks"]
+    if ct != ctx:
+        raise ValueError("non-square chunks unsupported")
+    sep = meta.get("dimension_separator", ".")
+    comp = meta.get("compressor")
+    if comp is not None and comp.get("id") != "zlib":
+        raise ValueError(f"unsupported compressor {comp.get('id')!r}")
+    np_dtype = np.dtype(meta["dtype"])
+    fill = meta.get("fill_value", 0.0)
+    n_ty = -(-h // ct)
+    n_tx = -(-w // ct)
+    work = [(ty, tx, os.path.join(path, f"{ty}{sep}{tx}"))
+            for ty in range(n_ty) for tx in range(n_tx)]
+    wdf = spark.createDataFrame(
+        pd.DataFrame(work, columns=["ty", "tx", "file"]))
+
+    dtype_name = np_dtype.newbyteorder("=").name
+
+    def read_task(batches):
+        for pdf in batches:
+            out = []
+            for ty, tx, file in pdf.itertuples(index=False):
+                if os.path.exists(file):
+                    with open(file, "rb") as f:
+                        buf = f.read()
+                    if comp is not None:
+                        buf = zlib.decompress(buf)
+                    arr = np.frombuffer(buf, dtype=np_dtype) \
+                        .reshape(ct, ct).astype(np_dtype.newbyteorder("="))
+                else:
+                    arr = np.full((ct, ct), fill,
+                                  dtype=np_dtype.newbyteorder("="))
+                out.append((band, 0, int(tx), int(ty), dtype_name,
+                            None, encode_px(np.ascontiguousarray(arr))))
+            yield pd.DataFrame(out, columns=[f.name for f in
+                                             TILE_SCHEMA.fields]) \
+                if out else pd.DataFrame(columns=[f.name for f in
+                                                  TILE_SCHEMA.fields])
+
+    n_parts = max(1, min(len(work), 64))
+    return wdf.repartition(n_parts).mapInPandas(read_task, TILE_SCHEMA), meta
