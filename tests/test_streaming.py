@@ -144,3 +144,41 @@ def test_checkpoint_restart_resumes_incrementally(spark, tmp_path):
     got = {(r.win_start, r.event_type): (r.n, round(r.sum_val, 6))
            for r in spark.sql("SELECT * FROM restart_counts2").collect()}
     assert got == want
+
+
+def test_streaming_dedup_matches_batch_distinct(spark, tmp_path):
+    """Watermarked dropDuplicatesWithinWatermark over two file drops with
+    overlapping content == batch dropDuplicates on the union (all rows
+    inside the watermark here)."""
+    from pyspark.sql import functions as F
+    from gdal_spark.streaming import dedup as sdd
+    from gdal_spark.streaming import events as sev
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .withColumn("warc_ts", F.timestamp_seconds(
+            F.lit(1700000000) + F.col("doc_id") % 600))
+    half1 = docs.where(F.col("doc_id") % 2 == 0)
+    # second drop: re-delivers some of drop 1 (doc_id % 4 == 0) + the rest
+    half2 = docs.where((F.col("doc_id") % 2 == 1)
+                       | (F.col("doc_id") % 4 == 0))
+    src = tmp_path / "dedup_src"
+    src.mkdir()
+    half1.write.parquet(str(src / "d1.parquet"))
+    half2.write.parquet(str(src / "d2.parquet"))
+
+    union = half1.unionByName(half2)
+    want = sdd.streaming_dedup(union).count()
+    assert want == docs.count()        # batch plane: one row per content
+
+    stream = sev.stream_events_from_dir(spark, str(src) + "/*/",
+                                        docs.schema)
+    out = sdd.streaming_dedup(stream)
+    q = (out.writeStream.format("memory").queryName("dedup_out")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck_dd"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    got = spark.sql("SELECT * FROM dedup_out")
+    assert got.count() == want
+    assert got.select("doc_id").distinct().count() == want
+    q.stop()
