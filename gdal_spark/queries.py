@@ -3479,6 +3479,59 @@ def q_kml_roundtrip(spark, sf_dir):
         F.round(py("geom"), 9).alias("lat_r"))
 
 
+@_reg("gml_roundtrip", f"""
+{_pts_cte()}
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       ROUND(lon, 9) AS lon_r, ROUND(lat, 9) AS lat_r
+FROM pts WHERE doc_id % 19 = 0
+""")
+def q_gml_roundtrip(spark, sf_dir):
+    """GML driver round-trip (ogr/ogrsf_frmts/gml, OGC GML 3.2): every
+    19th page becomes a featureMember with its doc_id attribute, written
+    as per-partition documents and read back through the
+    namespace-agnostic distributed parser; the oracle recomputes the same
+    (doc_id, lon, lat) set from the source table."""
+    import os
+    import shutil
+    import tempfile
+    import numpy as np
+    from .core import wkb as _wkb
+    from .sources.gml import read_gml, write_gml
+
+    pts = datagen.points(spark, sf_dir).where(F.col("doc_id") % 19 == 0)
+
+    @F.pandas_udf("binary")
+    def ptgeom(lon, lat):
+        import pandas as pd
+        return pd.Series([
+            _wkb.encode(_wkb.Geom(_wkb.POINT, [np.array([[x, y]])]))
+            for x, y in zip(lon, lat)])
+
+    layer = pts.select("doc_id", ptgeom("lon", "lat").alias("geom"))
+    path = os.path.join(tempfile.gettempdir(),
+                        f"gdal_spark_gml_{os.getpid()}")
+    shutil.rmtree(path, ignore_errors=True)
+    write_gml(layer, path, props_col=None)
+    out = read_gml(spark, path)
+
+    @F.pandas_udf("double")
+    def px(geom):
+        import pandas as pd
+        return pd.Series([_wkb.decode(bytes(b)).rings[0][0][0]
+                          for b in geom])
+
+    @F.pandas_udf("double")
+    def py(geom):
+        import pandas as pd
+        return pd.Series([_wkb.decode(bytes(b)).rings[0][0][1]
+                          for b in geom])
+
+    return out.select(
+        F.get_json_object("props", "$.doc_id").cast("long").alias("doc_id"),
+        F.round(px("geom"), 9).alias("lon_r"),
+        F.round(py("geom"), 9).alias("lat_r"))
+
+
 @_reg("geoparquet_bbox", f"""
 {_pts_cte()}
 SELECT doc_id, ROUND(lon, 9) AS xmin_r, ROUND(lat, 9) AS ymin_r,

@@ -42,6 +42,9 @@ def open_vector(spark, path: str, **kwargs):
     if low.endswith(".kml"):
         from .kml import read_kml
         return read_kml(spark, path)
+    if low.endswith(".gml"):
+        from .gml import read_gml
+        return read_gml(spark, path)
     if low.endswith((".arrow", ".arrows", ".feather")):
         from .arrow_ipc import read_arrow_ipc
         return read_arrow_ipc(spark, path, **kwargs)[0]
