@@ -478,6 +478,47 @@ def q_st_sql_surface(spark, sf_dir):
     """)
 
 
+@_reg("ogr_geocode_lookup", f"""
+{_pts_cte()}
+SELECT p.doc_id,
+       arg_min(c.region_id, (p.lon - c.cx)*(p.lon - c.cx)
+                            + (p.lat - c.cy)*(p.lat - c.cy))
+         AS nearest_rid,
+       ROUND(CAST(arg_min(c.cx, (p.lon - c.cx)*(p.lon - c.cx)
+                          + (p.lat - c.cy)*(p.lat - c.cy)) AS DOUBLE), 9)
+         AS gx_r,
+       ROUND(CAST(arg_min(c.cy, (p.lon - c.cx)*(p.lon - c.cx)
+                          + (p.lat - c.cy)*(p.lat - c.cy)) AS DOUBLE), 9)
+         AS gy_r
+FROM pts p, {datagen.convex_centroids_values_sql()}
+WHERE p.doc_id % 37 = 0
+GROUP BY p.doc_id
+""")
+def q_ogr_geocode_lookup(spark, sf_dir):
+    """ogr_geocode / ogr_geocode_reverse (ogrsqlitesqlfunctions.cpp;
+    ogr/ogrgeocoding.cpp) against a deterministic offline gazetteer of
+    region centroids: reverse-geocode every 37th page to its nearest
+    entry, then forward-geocode that name back to coordinates — the
+    oracle recomputes the nearest centroid with arg_min in SQL."""
+    from .operators.geocode import register_geocoder
+    gaz = spark.createDataFrame(datagen.convex_centroids_pdf()) \
+        .selectExpr("concat('region_', region_id) AS name",
+                    "cx AS lon", "cy AS lat")
+    register_geocoder(spark, gaz)
+    datagen.points(spark, sf_dir).where(F.col("doc_id") % 37 == 0) \
+        .createOrReplaceTempView("geocode_pts_v")
+    return spark.sql("""
+        WITH rev AS (
+          SELECT doc_id, ogr_geocode_reverse(lon, lat) AS name
+          FROM geocode_pts_v)
+        SELECT doc_id,
+               CAST(substring(name, 8) AS BIGINT) AS nearest_rid,
+               ROUND(ogr_geocode_x(name), 9) AS gx_r,
+               ROUND(ogr_geocode_y(name), 9) AS gy_r
+        FROM rev
+    """)
+
+
 @_reg("st_envelope_accessors", f"""
 {_pts_cte()}
 SELECT doc_id,

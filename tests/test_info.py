@@ -46,3 +46,22 @@ def test_raster_info_dimensions_and_stats(spark):
     assert (out.min, out.max) == (0.0, 255.0)
     assert out.mean == pytest.approx(127.5)
     assert out.stddev == pytest.approx(np.std(arr))
+
+
+def test_geocoder_forward_reverse(spark):
+    """Offline gazetteer geocode: case-insensitive forward, nearest-entry
+    reverse, NULL for unknown names."""
+    from gdal_spark.operators.geocode import register_geocoder
+    gaz = spark.createDataFrame(
+        [("Paris", 2.35, 48.85), ("Lima", -77.04, -12.05),
+         ("Oslo", 10.75, 59.91)], ["name", "lon", "lat"])
+    register_geocoder(spark, gaz)
+    r = spark.sql("""
+        SELECT ogr_geocode_x('paris') x, ogr_geocode_y('PARIS') y,
+               ogr_geocode_x('atlantis') miss,
+               ogr_geocode_reverse(10.0, 58.0) near_oslo,
+               ogr_geocode_reverse(-70.0, -10.0) near_lima
+    """).collect()[0]
+    assert (r.x, r.y) == (2.35, 48.85)
+    assert r.miss is None
+    assert r.near_oslo == "Oslo" and r.near_lima == "Lima"
