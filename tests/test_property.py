@@ -175,3 +175,59 @@ def test_makevalid_is_valid_and_idempotent(pts):
     again = geom_makevalid(fixed)
     a2 = geomops.geom_area(again) if again is not None else 0.0
     assert abs(a1 - a2) < 1e-6 * max(1.0, a1)
+
+
+# -- XML geometry codecs (KML / GML) round-trip exactly ---------------------
+
+coord_s = st.floats(min_value=-1e7, max_value=1e7, allow_nan=False,
+                    allow_infinity=False)
+
+
+def _ring_strategy(min_pts=3):
+    return st.lists(st.tuples(coord_s, coord_s), min_size=min_pts,
+                    max_size=8).map(
+        lambda pts: np.array(pts + [pts[0]], dtype=np.float64))
+
+
+@settings(max_examples=40, deadline=None)
+@given(rings=st.lists(_ring_strategy(), min_size=1, max_size=3))
+def test_kml_polygon_codec_roundtrips_exactly(rings):
+    import xml.etree.ElementTree as ET
+    from gdal_spark.sources.kml import _geom_from_kml, _geom_to_kml
+    g = wkb.Geom(wkb.POLYGON, rings)
+    xml = _geom_to_kml(wkb.encode(g))
+    back = wkb.decode(_geom_from_kml(ET.fromstring(xml)))
+    assert back.gtype == wkb.POLYGON and len(back.rings) == len(rings)
+    for a, b in zip(rings, back.rings):
+        np.testing.assert_array_equal(a, b)     # repr round-trips doubles
+
+
+@settings(max_examples=40, deadline=None)
+@given(pts=st.lists(st.tuples(coord_s, coord_s), min_size=2, max_size=10))
+def test_gml_linestring_codec_roundtrips_exactly(pts):
+    import xml.etree.ElementTree as ET
+    from gdal_spark.sources.gml import _geom_from_gml, _geom_to_gml
+    arr = np.array(pts, dtype=np.float64)
+    xml = _geom_to_gml(wkb.linestring(arr)).replace(
+        "gml:", "")  # namespace-prefix-free parse (reader is agnostic)
+    back = wkb.decode(_geom_from_gml(ET.fromstring(xml)))
+    np.testing.assert_array_equal(back.rings[0], arr)
+
+
+@settings(max_examples=40, deadline=None)
+@given(lon=st.floats(min_value=-179.0, max_value=179.0, allow_nan=False),
+       lat=st.floats(min_value=-80.0, max_value=80.0, allow_nan=False))
+def test_wkt_crs_utm_roundtrip_property(lon, lat):
+    from gdal_spark.raster.transforms import transform
+    wkt = ('PROJCS["tm", GEOGCS["WGS 84", DATUM["WGS_1984",'
+           ' SPHEROID["WGS 84",6378137,298.257223563]],'
+           ' PRIMEM["Greenwich",0], UNIT["degree",0.0174532925199433]],'
+           ' PROJECTION["Transverse_Mercator"],'
+           ' PARAMETER["central_meridian",%r],'
+           ' PARAMETER["scale_factor",0.9996],'
+           ' PARAMETER["false_easting",500000], UNIT["metre",1]]'
+           % round(lon))
+    x, y = transform("EPSG:4326", wkt, np.array([lon]), np.array([lat]))
+    lon2, lat2 = transform(wkt, "EPSG:4326", x, y)
+    assert abs(float(lon2) - lon) < 1e-8
+    assert abs(float(lat2) - lat) < 1e-8
