@@ -69,3 +69,49 @@ def open_raster(spark, path: str, tile: int = 256, **kwargs):
         from .zarr import read_zarr
         return read_zarr(spark, path, **kwargs)[0]
     raise ValueError(f"no raster driver recognizes {path!r}")
+
+
+def save_vector(df, path: str, geom_col: str = "geom", **kwargs):
+    """The write-side of Open(): route a (.., geom WKB, ..) DataFrame to
+    the sink the extension names (the reference's GetDriverByName +
+    CreateLayer + CreateFeature loop as one call). Parquet/GeoParquet/
+    GeoJSONSeq/CSV/KML/GML/Arrow sinks are distributed (one part per
+    partition); SHP/FGB/GPKG are single-file formats, so they collect —
+    bounded extracts only, the distributed sink remains parquet."""
+    low = path.lower()
+    if low.endswith(".parquet"):
+        return df.write.mode("overwrite").parquet(path)
+    if low.endswith((".geojsonl", ".geojsons", ".ndjson")):
+        from .geojson import write_geojson_seq
+        return write_geojson_seq(df, path, geom_col=geom_col, **kwargs)
+    if low.endswith(".csv"):
+        from .csv_wkt import write_csv_wkt
+        return write_csv_wkt(df, path, geom_col=geom_col, **kwargs)
+    if low.endswith(".kml"):
+        from .kml import write_kml
+        return write_kml(df, path, geom_col=geom_col,
+                         name_col=None, props_col=None, **kwargs)
+    if low.endswith(".gml"):
+        from .gml import write_gml
+        return write_gml(df, path, geom_col=geom_col, props_col=None,
+                         **kwargs)
+    if low.endswith((".gpq", ".geoparquet")):
+        from .geoparquet import write_geoparquet
+        return write_geoparquet(df, path, geom_col=geom_col, **kwargs)
+    if low.endswith((".arrow", ".arrows")):
+        from .arrow_ipc import write_arrow_ipc
+        return write_arrow_ipc(df, path, geom_col=geom_col,
+                               stream=low.endswith(".arrows"), **kwargs)
+    if low.endswith(".shp"):
+        from .shapefile import write_shapefile_df
+        return write_shapefile_df(df, path[:-4], geom_col=geom_col)
+    if low.endswith((".fgb", ".gpkg")):
+        attrs = [c for c in df.columns if c != geom_col]
+        rows = [(bytes(r[geom_col]) if r[geom_col] is not None else None,
+                 {a: r[a] for a in attrs}) for r in df.collect()]
+        if low.endswith(".fgb"):
+            from .flatgeobuf import write_fgb
+            return write_fgb(rows, path, **kwargs)
+        from .gpkg import write_gpkg
+        return write_gpkg(rows, path, **kwargs)
+    raise ValueError(f"no sink recognizes {path!r}")

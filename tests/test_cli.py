@@ -1,0 +1,78 @@
+"""CLI front doors: ogr2ogr / ogrinfo / gdalinfo argparse twins."""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+
+from gdal_spark import cli
+from gdal_spark.core import wkb
+from gdal_spark.sources.geojson import read_geojson_seq, write_geojson_seq
+
+
+def _mk_layer(spark, tmp_path, n=30):
+    rows = [(i, wkb.point((i % 10) * 3.0 - 12.0, (i // 10) * 5.0 - 4.0),
+             json.dumps({"i": i}))
+            for i in range(n)]
+    df = spark.createDataFrame(rows, ["fid", "geom", "props"])
+    src = str(tmp_path / "src.geojsonl")
+    write_geojson_seq(df, src)
+    return src
+
+
+def test_ogr2ogr_reproject_and_where(spark, tmp_path, capsys):
+    src = _mk_layer(spark, tmp_path)
+    dst = str(tmp_path / "out.geojsonl")
+    rc = cli.main(["ogr2ogr", dst, src, "-t_srs", "EPSG:3857",
+                   "-where", "get_json_object(props, '$.i') % 2 = 0"])
+    assert rc == 0
+    assert json.loads(capsys.readouterr().out)["written"] == dst
+    out = read_geojson_seq(spark, dst).collect()
+    assert len(out) == 15
+    # reprojected to mercator meters: |x| up to ~12 deg * 111km
+    xs = [abs(wkb.decode(bytes(r.geom)).rings[0][0][0]) for r in out]
+    assert max(xs) > 1e5
+
+
+def test_ogrinfo_reports_layer(spark, tmp_path, capsys):
+    src = _mk_layer(spark, tmp_path)
+    rc = cli.main(["ogrinfo", "-so", src])
+    assert rc == 0
+    info = json.loads(capsys.readouterr().out)
+    assert info["feature_count"] == 30
+    assert info["geom_type"] == "POINT"
+    assert (info["minx"], info["maxx"]) == (-12.0, 15.0)
+
+
+def test_gdalinfo_reports_bands(spark, tmp_path, capsys):
+    from gdal_spark.sources.geotiff import write_gtiff
+    arr = np.arange(64, dtype=np.float64).reshape(8, 8)
+    p = str(tmp_path / "r.tif")
+    write_gtiff(arr, p)
+    rc = cli.main(["gdalinfo", p, "-tile", "8"])
+    assert rc == 0
+    bands = json.loads(capsys.readouterr().out)
+    assert bands[0]["width"] == 8 and bands[0]["max"] == 63.0
+
+
+def test_unknown_command_usage(capsys):
+    assert cli.main(["frobnicate"]) == 2
+    assert "usage" in capsys.readouterr().err
+
+
+def test_save_vector_dispatch_roundtrips(spark, tmp_path):
+    """save_vector -> open_vector across the single-file and distributed
+    sinks preserves the feature set."""
+    from gdal_spark.sources import open_vector, save_vector
+    rows = [(i, wkb.point(float(i), float(-i))) for i in range(12)]
+    df = spark.createDataFrame(rows, ["doc_id", "geom"])
+    for name in ("a.fgb", "a.gpkg", "a.kml", "a.gml", "a.shp"):
+        path = str(tmp_path / name)
+        save_vector(df, path)
+        out = open_vector(spark, path)
+        assert out.count() == 12, name
+        got = sorted(
+            wkb.decode(bytes(r.geom)).rings[0][0][0]
+            for r in out.collect())
+        assert got == [float(i) for i in range(12)], name
