@@ -338,3 +338,54 @@ def line_dedup(docs: DataFrame, min_count: int = 2) -> DataFrame:
     # documents whose every line was boilerplate keep an empty text
     return docs.select("doc_id").join(kept, "doc_id", "left") \
         .select("doc_id", F.coalesce("text", F.lit("")).alias("text"))
+
+
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+PII_IPV4_RE = (r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b")
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII redaction for training corpora (C4/CCNet-style scrub):
+    replace e-mail addresses, E.164-ish phone numbers and IPv4 literals
+    with typed placeholder tokens and report per-document match counts.
+
+    Pure JVM regexp ops (regexp_count + regexp_replace inside whole-stage
+    codegen) — at 100 TB this is a map-only stage fused into the scan; the
+    patterns are RE2-compatible so the DuckDB oracle runs the SAME regexes.
+    """
+    t = F.col(text_col)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, F.lit(PII_EMAIL_RE), F.lit("<EMAIL>")),
+            F.lit(PII_PHONE_RE), F.lit("<PHONE>")),
+        F.lit(PII_IPV4_RE), F.lit("<IP>"))
+    return docs.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(PII_EMAIL_RE)).alias("n_email"),
+        F.regexp_count(t, F.lit(PII_PHONE_RE)).alias("n_phone"),
+        F.regexp_count(t, F.lit(PII_IPV4_RE)).alias("n_ip"),
+        scrubbed.alias("scrubbed"),
+    )
+
+
+GEOPARSE_RE = r'geo:(-?[0-9]+);(-?[0-9]+)'
+
+
+def geoparse(pages: DataFrame, html_col: str = "html_txt") -> DataFrame:
+    """Geoparse stage of the web-pages pipeline: extract the coordinate
+    mention embedded in each page's markup (a ``geo:ILAT;ILON`` microformat
+    token carrying centi-degree integers) and materialize typed lon/lat
+    doubles. Pages without a mention yield NULL coordinates (kept — the
+    downstream spatial join filters).
+
+    regexp_extract + CAST, all codegen'd; the 100-TB plan is scan -> map,
+    no shuffle, no Python.
+    """
+    h = F.col(html_col)
+    ilat = F.nullif(F.regexp_extract(h, GEOPARSE_RE, 1), F.lit("")) \
+        .cast("long")
+    ilon = F.nullif(F.regexp_extract(h, GEOPARSE_RE, 2), F.lit("")) \
+        .cast("long")
+    return pages.withColumn("plat", ilat / 100.0) \
+                .withColumn("plon", ilon / 100.0)

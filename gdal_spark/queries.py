@@ -4018,3 +4018,106 @@ def q_ogr_sql_compress(spark, sf_dir):
                     length(decode(ogr_inflate(ogr_deflate(text)),
                                   'utf-8')) - 1) AS text_rt
         FROM docs_rt_v""")
+
+
+# =============================================================================
+# webtext pipeline — PII scrubbing + regex geoparsing (north-star pages table)
+# =============================================================================
+
+_PII_SYNTH_SQL = (
+    "text || ' Contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.example or '"
+    " || '+1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    " || CASE WHEN doc_id % 3 = 0 THEN ' from 10.'"
+    " || CAST(doc_id % 256 AS VARCHAR) || '.0.1' ELSE '' END"
+)
+
+@_reg("pii_scrub", f"""
+WITH d AS (SELECT doc_id, {_PII_SYNTH_SQL} AS text FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{textops.PII_EMAIL_RE}'))
+            AS INTEGER) AS n_email,
+       CAST(len(regexp_extract_all(text, '{textops.PII_PHONE_RE}'))
+            AS INTEGER) AS n_phone,
+       CAST(len(regexp_extract_all(text, '{textops.PII_IPV4_RE}'))
+            AS INTEGER) AS n_ip,
+       regexp_replace(regexp_replace(regexp_replace(text,
+           '{textops.PII_EMAIL_RE}', '<EMAIL>', 'g'),
+           '{textops.PII_PHONE_RE}', '<PHONE>', 'g'),
+           '{textops.PII_IPV4_RE}', '<IP>', 'g') AS scrubbed
+FROM d
+""")
+def q_pii_scrub(spark, sf_dir):
+    """Training-corpus PII redaction (C4/CCNet-style scrub): e-mail,
+    phone and IPv4 mentions replaced by typed placeholders with per-doc
+    match counts. Deterministic PII is synthesized into each document
+    from doc_id (same concat on both engines) so every regex path is
+    exercised; the patterns are RE2-compatible, so Spark (Java regex) and
+    DuckDB (RE2) run literally the same expressions. Map-only, zero
+    Python, fused into the scan at 100 TB."""
+    d = _t(spark, sf_dir, "documents")
+    synth = F.concat(
+        F.col("text"), F.lit(" Contact user"),
+        F.col("doc_id").cast("string"), F.lit("@mail"),
+        (F.col("doc_id") % 7).cast("string"), F.lit(".example or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit(" from 10."),
+                        (F.col("doc_id") % 256).cast("string"),
+                        F.lit(".0.1"))).otherwise(F.lit("")))
+    return textops.pii_scrub(d.select("doc_id", synth.alias("text")))
+
+
+@_reg("geoparse_tiles", f"""
+WITH p AS (SELECT doc_id,
+        '<html><head><meta name="geo" content="geo:'
+        || CAST((doc_id * {datagen.LAT_MULT}) % {datagen.LAT_MOD} - 8500
+                AS VARCHAR)
+        || ';'
+        || CAST((doc_id * {datagen.LON_MULT}) % {datagen.LON_MOD} - 18000
+                AS VARCHAR)
+        || '"></head><body>' || text || '</body></html>' AS html_txt
+      FROM documents WHERE doc_id % 5 <> 4
+      UNION ALL
+      SELECT doc_id, '<html><body>' || text || '</body></html>'
+      FROM documents WHERE doc_id % 5 = 4),
+g AS (SELECT doc_id,
+        CAST(nullif(regexp_extract(html_txt, '{textops.GEOPARSE_RE}', 1),
+                    '') AS BIGINT) / 100.0 AS plat,
+        CAST(nullif(regexp_extract(html_txt, '{textops.GEOPARSE_RE}', 2),
+                    '') AS BIGINT) / 100.0 AS plon
+      FROM p),
+t AS (SELECT {tilemath.mercator_tile_sql('plon', 'plat', 6)[0]} AS tile_x,
+             {tilemath.mercator_tile_sql('plon', 'plat', 6)[1]} AS tile_y
+      FROM g WHERE plat IS NOT NULL AND abs(plat) < 85.05)
+SELECT tile_x, tile_y, CAST(count(*) AS BIGINT) AS n_pages
+FROM t GROUP BY tile_x, tile_y
+""")
+def q_geoparse_tiles(spark, sf_dir):
+    """Geoparse -> tile pipeline over the north-star pages table: a
+    ``geo:ILAT;ILON`` microformat token (centi-degree ints, 1-in-5 pages
+    lack it) is regex-extracted from the page markup, parsed to lon/lat,
+    and the mentions are binned to z6 web-mercator tiles
+    (gdal2tiles.py:328-545 tile math). Scan -> regexp_extract -> tile
+    column math -> one partial-agg groupBy; no UDF, no Python."""
+    d = _t(spark, sf_dir, "documents")
+    tok = F.concat(
+        F.lit('<html><head><meta name="geo" content="geo:'),
+        ((F.col("doc_id") * datagen.LAT_MULT) % datagen.LAT_MOD
+         - 8500).cast("string"),
+        F.lit(";"),
+        ((F.col("doc_id") * datagen.LON_MULT) % datagen.LON_MOD
+         - 18000).cast("string"),
+        F.lit('"></head><body>'), F.col("text"), F.lit("</body></html>"))
+    plain = F.concat(F.lit("<html><body>"), F.col("text"),
+                     F.lit("</body></html>"))
+    pages = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 != 4, tok).otherwise(plain)
+         .alias("html_txt"))
+    g = textops.geoparse(pages)
+    g = g.where(F.col("plat").isNotNull() & (F.abs("plat") < 85.05))
+    tx, ty = tilemath.mercator_tile_cols(F.col("plon"), F.col("plat"), 6)
+    return (g.select(tx.alias("tile_x"), ty.alias("tile_y"))
+            .groupBy("tile_x", "tile_y")
+            .agg(F.count("*").alias("n_pages")))
