@@ -389,3 +389,76 @@ def geoparse(pages: DataFrame, html_col: str = "html_txt") -> DataFrame:
         .cast("long")
     return pages.withColumn("plat", ilat / 100.0) \
                 .withColumn("plon", ilon / 100.0)
+
+
+GOPHER_NS = (2, 3, 4, 5, 10)
+
+
+def repetition_signals(docs: DataFrame, ns=GOPHER_NS) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021, Table A1 — public
+    paper): per-document word-n-gram repetition signals.
+
+    For each n, over the document's space-split word n-grams (joined back
+    with single spaces, so a gram's character length includes its internal
+    separators):
+
+    - ``top{n}_r``  = max over distinct grams of count*len(gram) / n_chars
+      ("fraction of characters contained within the most frequent n-gram";
+      taking the max of the products makes ties deterministic).
+    - ``dup{n}_r``  = sum over grams with count >= 2 of count*len(gram)
+      / n_chars ("fraction of characters within duplicated n-grams";
+      overlap-agnostic variant — characters shared by overlapping grams
+      count once per gram, documented here and mirrored exactly by the
+      SQL oracle).
+    - ``keep`` = 1 iff top2<=0.20, top3<=0.18, top4<=0.16, dup5<=0.15,
+      dup10<=0.10 (the paper's thresholds for those n).
+
+    All JVM column math: the n-gram windows for every n are generated
+    inside ONE scan with transform(sequence)/slice/array_join higher-order
+    functions (one concat of per-n struct arrays, one explode), counted by
+    a single (doc_id, n, gram) groupBy whose partial aggregation collapses
+    repeats map-side, then pivoted back to one row per document. The
+    100-TB plan is scan -> explode -> one shuffle keyed by (doc_id, n,
+    gram) -> one shuffle by doc_id; no Python, no skew (keys are
+    per-document)."""
+    ws = words_col()
+    nw = F.size(ws)
+
+    # NB: the transform lambda must be UNARY — PySpark binds a second
+    # parameter to the element index, so `lambda i, n=n` would silently
+    # rebind n. A closure factory captures n safely.
+    def _gram(n):
+        return lambda i: F.struct(
+            F.lit(n).alias("n"),
+            F.array_join(F.slice(ws, i + 1, n), " ").alias("g"))
+
+    parts = []
+    for n in ns:
+        idx = F.when(nw >= n, F.sequence(F.lit(0), nw - n)) \
+            .otherwise(F.array().cast("array<int>"))
+        parts.append(F.transform(idx, _gram(n)))
+    ex = docs.select("doc_id",
+                     F.col("n_chars").cast("double").alias("nc"),
+                     F.explode(F.concat(*parts)).alias("s"))
+    cnt = ex.groupBy("doc_id", "nc",
+                     F.col("s.n").alias("n"), F.col("s.g").alias("g")) \
+        .agg(F.count("*").alias("c"))
+    chars = F.col("c") * F.length("g")
+    per = cnt.groupBy("doc_id", "n").agg(
+        (F.max(chars) / F.first("nc")).alias("top"),
+        (F.coalesce(F.sum(F.when(F.col("c") >= 2, chars)), F.lit(0))
+         / F.first("nc")).alias("dup"))
+    wide = per.groupBy("doc_id").pivot("n", list(ns)) \
+        .agg(F.first("top").alias("top"), F.first("dup").alias("dup"))
+
+    def col(n, kind):
+        return F.round(F.coalesce(F.col(f"{n}_{kind}"), F.lit(0.0)), 6)
+
+    out = docs.select("doc_id").join(wide, "doc_id", "left")
+    keep = ((col(2, "top") <= 0.20) & (col(3, "top") <= 0.18)
+            & (col(4, "top") <= 0.16) & (col(5, "dup") <= 0.15)
+            & (col(10, "dup") <= 0.10)).cast("int")
+    sel = ["doc_id"]
+    sel += [col(n, "top").alias(f"top{n}_r") for n in ns]
+    sel += [col(n, "dup").alias(f"dup{n}_r") for n in ns]
+    return out.select(*sel, keep.alias("keep"))

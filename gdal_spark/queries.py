@@ -4121,3 +4121,49 @@ def q_geoparse_tiles(spark, sf_dir):
     return (g.select(tx.alias("tile_x"), ty.alias("tile_y"))
             .groupBy("tile_x", "tile_y")
             .agg(F.count("*").alias("n_pages")))
+
+
+@_reg("gopher_repetition", """
+WITH d AS (SELECT doc_id, n_chars, string_split(text, ' ') AS ws
+           FROM documents),
+g AS (SELECT doc_id, n_chars, n, array_to_string(ws[i:i+n-1], ' ') AS g
+      FROM d, unnest([2,3,4,5,10]) AS tn(n),
+           unnest(generate_series(1, len(ws)-n+1)) AS ti(i)),
+c AS (SELECT doc_id, n_chars, n, g, count(*) AS cnt FROM g GROUP BY ALL),
+s AS (SELECT doc_id, n,
+             max(cnt*length(g)) / CAST(any_value(n_chars) AS DOUBLE)
+                 AS top_frac,
+             COALESCE(sum(CASE WHEN cnt>=2 THEN cnt*length(g) END), 0)
+                 / CAST(any_value(n_chars) AS DOUBLE) AS dup_frac
+      FROM c GROUP BY doc_id, n),
+w AS (SELECT doc_id,
+        ROUND(COALESCE(max(CASE WHEN n=2  THEN top_frac END),0),6) AS top2_r,
+        ROUND(COALESCE(max(CASE WHEN n=3  THEN top_frac END),0),6) AS top3_r,
+        ROUND(COALESCE(max(CASE WHEN n=4  THEN top_frac END),0),6) AS top4_r,
+        ROUND(COALESCE(max(CASE WHEN n=5  THEN top_frac END),0),6) AS top5_r,
+        ROUND(COALESCE(max(CASE WHEN n=10 THEN top_frac END),0),6)
+            AS top10_r,
+        ROUND(COALESCE(max(CASE WHEN n=2  THEN dup_frac END),0),6) AS dup2_r,
+        ROUND(COALESCE(max(CASE WHEN n=3  THEN dup_frac END),0),6) AS dup3_r,
+        ROUND(COALESCE(max(CASE WHEN n=4  THEN dup_frac END),0),6) AS dup4_r,
+        ROUND(COALESCE(max(CASE WHEN n=5  THEN dup_frac END),0),6) AS dup5_r,
+        ROUND(COALESCE(max(CASE WHEN n=10 THEN dup_frac END),0),6)
+            AS dup10_r
+      FROM s GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(top2_r,0) AS top2_r, COALESCE(top3_r,0) AS top3_r,
+       COALESCE(top4_r,0) AS top4_r, COALESCE(top5_r,0) AS top5_r,
+       COALESCE(top10_r,0) AS top10_r, COALESCE(dup2_r,0) AS dup2_r,
+       COALESCE(dup3_r,0) AS dup3_r, COALESCE(dup4_r,0) AS dup4_r,
+       COALESCE(dup5_r,0) AS dup5_r, COALESCE(dup10_r,0) AS dup10_r,
+       CAST(COALESCE(top2_r,0) <= 0.20 AND COALESCE(top3_r,0) <= 0.18
+            AND COALESCE(top4_r,0) <= 0.16 AND COALESCE(dup5_r,0) <= 0.15
+            AND COALESCE(dup10_r,0) <= 0.10 AS INTEGER) AS keep
+FROM d LEFT JOIN w USING (doc_id)
+""")
+def q_gopher_repetition(spark, sf_dir):
+    """Gopher repetition filters (Rae et al. 2021 Table A1, public paper):
+    top-n-gram and duplicate-n-gram character fractions for n in
+    {2,3,4,5,10} plus the paper's keep flag — word n-grams generated with
+    JVM higher-order functions in one scan/one explode, one (doc_id, n,
+    gram) partial-agg shuffle, pivoted back to one row per document."""
+    return textops.repetition_signals(_t(spark, sf_dir, "documents"))

@@ -48,3 +48,35 @@ def test_geoparse_first_match_wins(spark):
         [(1, "geo:100;200 then geo:300;400")], ["doc_id", "html_txt"])
     r = textops.geoparse(df).collect()[0]
     assert (r["plat"], r["plon"]) == (1.0, 2.0)
+
+
+def test_repetition_signals_analytic(spark):
+    # 'a b c a b' (9 chars): 2-grams 'a b'x2,'b c','c a' ->
+    # top2 = dup2 = 2*3/9; 3-grams all unique, longest 5 chars -> top3=5/9;
+    # 5-gram is the whole text -> top5 = 9/9; no 10-gram.
+    df = spark.createDataFrame([(0, "a b c a b", 9)],
+                               "doc_id long, text string, n_chars long")
+    row = textops.repetition_signals(df).collect()[0]
+    assert row.top2_r == round(6 / 9, 6)
+    assert row.dup2_r == round(6 / 9, 6)
+    assert row.top3_r == round(5 / 9, 6)
+    assert row.dup3_r == 0.0
+    assert row.top5_r == 1.0
+    assert row.top10_r == 0.0 and row.dup10_r == 0.0
+    # dup2 = 0.667 > 0 but the keep gate only tests dup5/dup10; top2 fails
+    assert row.keep == 0
+
+
+def test_repetition_signals_keep_and_short_docs(spark):
+    rows = [(1, "x", 1),                      # shorter than every n: all 0
+            (2, "p q r s t u v w x y z", 21)]  # all n-grams unique
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, n_chars long")
+    out = {r.doc_id: r for r in
+           textops.repetition_signals(df).collect()}
+    assert out[1].top2_r == 0.0 and out[1].keep == 1
+    assert out[2].dup2_r == 0.0 and out[2].dup10_r == 0.0
+    assert out[2].top2_r == round(3 / 21, 6)
+    # even unique grams dominate a short doc: top3 = 5/21 > 0.18 -> drop
+    # (the real Gopher pipeline applies these after its length gates)
+    assert out[2].top3_r == round(5 / 21, 6) and out[2].keep == 0
