@@ -4167,3 +4167,64 @@ def q_gopher_repetition(spark, sf_dir):
     JVM higher-order functions in one scan/one explode, one (doc_id, n,
     gram) partial-agg shuffle, pivoted back to one row per document."""
     return textops.repetition_signals(_t(spark, sf_dir, "documents"))
+
+
+_MVT_Z = 6
+_MVT_EXTENT = 256
+_MVT_SPAN = 2.0 * tilemath.ORIGIN_SHIFT / (1 << _MVT_Z)
+
+
+@_reg("mvt_tile_roundtrip", f"""
+{_pts_cte()},
+m AS (SELECT doc_id,
+        ((lon) * {tilemath.ORIGIN_SHIFT!r} / 180.0) AS mx,
+        (ln(tan((90.0 + (lat)) * pi() / 360.0)) / (pi() / 180.0)
+         * {tilemath.ORIGIN_SHIFT!r} / 180.0) AS my
+      FROM pts WHERE doc_id % 3 = 0),
+uv AS (SELECT doc_id,
+        (mx + {tilemath.ORIGIN_SHIFT!r}) / {_MVT_SPAN!r} AS u,
+        ({tilemath.ORIGIN_SHIFT!r} - my) / {_MVT_SPAN!r} AS v
+       FROM m)
+SELECT doc_id AS fid,
+       CAST(floor(u) AS BIGINT) AS x, CAST(floor(v) AS BIGINT) AS y,
+       CAST(floor((u - floor(u)) * {_MVT_EXTENT}) AS BIGINT) AS ix,
+       CAST(floor((v - floor(v)) * {_MVT_EXTENT}) AS BIGINT) AS iy
+FROM uv
+""")
+def q_mvt_tile_roundtrip(spark, sf_dir):
+    """Mapbox Vector Tiles round trip (ogr/ogrsf_frmts/mvt, vector-tile-spec
+    2.1): every 3rd page's point is shuffled to its z6 web-mercator tile,
+    encoded into a z/x/y.pbf tree (hand-rolled protobuf wire format), and
+    read back through the binaryFile-planned decoder; the oracle recomputes
+    the XYZ tile and the quantized tile-local integer pixel coords
+    closed-form. extent=256 keeps a quantization pixel ~2.4 km at z6, far
+    above any numpy-vs-DuckDB transcendental ULP wobble."""
+    import os
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+
+    from .core import wkb as _wkb
+    from .core.tilemath import latlon_to_meters
+    from .sources import mvt as _mvt
+
+    @F.pandas_udf("binary")
+    def mk_geom(lon, lat):
+        mx, my = latlon_to_meters(lat.to_numpy(), lon.to_numpy())
+        return pd.Series(
+            _wkb.encode_points_batch(np.stack([mx, my], axis=1)))
+
+    pts = datagen.points(spark, sf_dir).where(F.col("doc_id") % 3 == 0)
+    df = pts.select(F.col("doc_id").alias("fid"),
+                    mk_geom("lon", "lat").alias("geom"))
+    out = os.path.join(tempfile.gettempdir(),
+                       f"gdal_spark_mvt_{os.getpid()}_"
+                       f"{abs(hash(sf_dir)) % 10**8}")
+    shutil.rmtree(out, ignore_errors=True)
+    _mvt.write_mvt(df, out, zoom=_MVT_Z, layer="pages",
+                   extent=_MVT_EXTENT).collect()
+    _mvt.write_metadata(out, "pages", _MVT_Z)
+    v = _mvt.read_mvt_vertices(spark, out)
+    return v.select("fid", "x", "y", "ix", "iy")

@@ -51,9 +51,16 @@ def open_vector(spark, path: str, **kwargs):
     if low.endswith((".gpq", ".geoparquet")):
         from .geoparquet import read_geoparquet
         return read_geoparquet(spark, path, **kwargs)[0]
+    import os
+    if low.endswith((".mvt", ".pbf")) or \
+            os.path.isfile(os.path.join(path, "metadata.json")):
+        from .mvt import read_mvt
+        return read_mvt(spark, path if not low.endswith((".mvt", ".pbf"))
+                        else os.path.dirname(os.path.dirname(
+                            os.path.dirname(path))), **kwargs)
     raise ValueError(f"no driver recognizes {path!r} "
                      "(parquet/geoparquet/geojson/geojsonl/csv/shp/fgb/"
-                     "gpkg/arrow)")
+                     "gpkg/arrow/mvt)")
 
 
 def open_raster(spark, path: str, tile: int = 256, **kwargs):
