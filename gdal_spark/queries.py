@@ -4228,3 +4228,59 @@ def q_mvt_tile_roundtrip(spark, sf_dir):
     _mvt.write_metadata(out, "pages", _MVT_Z)
     v = _mvt.read_mvt_vertices(spark, out)
     return v.select("fid", "x", "y", "ix", "iy")
+
+
+@_reg("gpx_roundtrip", f"""
+{_pts_cte()}
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       ROUND(lon, 9) AS lon_r, ROUND(lat, 9) AS lat_r,
+       CAST(doc_id AS DOUBLE) / 10.0 AS ele
+FROM pts WHERE doc_id % 13 = 0
+""")
+def q_gpx_roundtrip(spark, sf_dir):
+    """GPX driver round-trip (ogr/ogrsf_frmts/gpx, Topografix GPX 1.1):
+    every 13th page becomes a <wpt> with lat/lon attributes, <ele> and a
+    doc_id <name>, written as per-partition GPX documents and read back
+    through the waypoints layer of the distributed parser; the oracle
+    recomputes the same (doc_id, lon, lat, ele) set from the table."""
+    import os
+    import shutil
+    import tempfile
+    import numpy as np
+    from .core import wkb as _wkb
+    from .sources.gpx import read_gpx, write_gpx
+
+    pts = datagen.points(spark, sf_dir).where(F.col("doc_id") % 13 == 0)
+
+    @F.pandas_udf("binary")
+    def ptgeom(lon, lat):
+        import pandas as pd
+        return pd.Series([
+            _wkb.encode(_wkb.Geom(_wkb.POINT, [np.array([[x, y]])]))
+            for x, y in zip(lon, lat)])
+
+    layer = pts.select(ptgeom("lon", "lat").alias("geom"),
+                       F.col("doc_id").cast("string").alias("name"),
+                       (F.col("doc_id").cast("double") / 10.0).alias("ele"))
+    path = os.path.join(tempfile.gettempdir(),
+                        f"gdal_spark_gpx_{os.getpid()}")
+    shutil.rmtree(path, ignore_errors=True)
+    write_gpx(layer, path)
+    out = read_gpx(spark, path).where(F.col("layer") == "waypoints")
+
+    @F.pandas_udf("double")
+    def px(geom):
+        import pandas as pd
+        return pd.Series([_wkb.decode(bytes(b)).rings[0][0][0]
+                          for b in geom])
+
+    @F.pandas_udf("double")
+    def py(geom):
+        import pandas as pd
+        return pd.Series([_wkb.decode(bytes(b)).rings[0][0][1]
+                          for b in geom])
+
+    return out.select(F.col("name").cast("long").alias("doc_id"),
+                      F.round(px("geom"), 9).alias("lon_r"),
+                      F.round(py("geom"), 9).alias("lat_r"),
+                      F.col("ele"))

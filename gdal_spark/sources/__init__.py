@@ -45,6 +45,9 @@ def open_vector(spark, path: str, **kwargs):
     if low.endswith(".gml"):
         from .gml import read_gml
         return read_gml(spark, path)
+    if low.endswith(".gpx"):
+        from .gpx import read_gpx
+        return read_gpx(spark, path)
     if low.endswith((".arrow", ".arrows", ".feather")):
         from .arrow_ipc import read_arrow_ipc
         return read_arrow_ipc(spark, path, **kwargs)[0]
@@ -102,6 +105,10 @@ def save_vector(df, path: str, geom_col: str = "geom", **kwargs):
         from .gml import write_gml
         return write_gml(df, path, geom_col=geom_col, props_col=None,
                          **kwargs)
+    if low.endswith(".gpx"):
+        from .gpx import write_gpx
+        return write_gpx(df, path, geom_col=geom_col,
+                         name_col=None, ele_col=None, **kwargs)
     if low.endswith((".gpq", ".geoparquet")):
         from .geoparquet import write_geoparquet
         return write_geoparquet(df, path, geom_col=geom_col, **kwargs)
