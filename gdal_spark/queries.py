@@ -4284,3 +4284,60 @@ def q_gpx_roundtrip(spark, sf_dir):
                       F.round(px("geom"), 9).alias("lon_r"),
                       F.round(py("geom"), 9).alias("lat_r"),
                       F.col("ele"))
+
+
+@_reg("aaigrid_roundtrip", _DENSITY_VALS_SQL.replace(
+    "vals AS (SELECT", "vals AS (SELECT g.x, g.y,") + """
+SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y, v
+FROM vals
+""")
+def q_aaigrid_roundtrip(spark, sf_dir):
+    """Arc/Info ASCII Grid round trip (frmts/aaigrid/aaigriddataset.cpp):
+    the 64x64 page-density raster writes to one .asc through the
+    fixed-width parallel pwrite sink (%.17g — bit-exact float64) and reads
+    back through the byte-range line-planned parser; the oracle recomputes
+    every cell value from the pages table."""
+    import os
+    import shutil
+    import tempfile
+    from .raster.tiles import gdal2xyz
+    from .sources.aaigrid import read_aaigrid, write_aaigrid
+
+    t = _density_tiles_full(spark, sf_dir)
+    path = os.path.join(tempfile.gettempdir(),
+                        f"gdal_spark_aai_{os.getpid()}.asc")
+    write_aaigrid(t, path, width_px=64, height_px=64, tile=8)
+    back = read_aaigrid(spark, path, tile=8)
+    rows = gdal2xyz(back, tile=8)
+    return rows.select(F.col("x").cast("long").alias("x"),
+                       F.col("y").cast("long").alias("y"),
+                       F.col("value").alias("v"))
+
+
+@_reg("xyz_raster_roundtrip", _DENSITY_VALS_SQL.replace(
+    "vals AS (SELECT", "vals AS (SELECT g.x, g.y,") + """
+SELECT CAST(x AS BIGINT) AS x, CAST(63 - y AS BIGINT) AS y, v
+FROM vals
+""")
+def q_xyz_raster_roundtrip(spark, sf_dir):
+    """XYZ raster round trip (frmts/xyz/xyzdataset.cpp): density raster ->
+    distributed "x y z" text parts -> line-parallel re-read with grid
+    inference (spacing from the head block, extent from one min/max agg).
+    gdal2xyz's y is the row index, and read_xyz re-anchors the top at max
+    y, so the raster comes back flipped — the oracle flips y in SQL."""
+    import os
+    import shutil
+    import tempfile
+    from .raster.tiles import gdal2xyz
+    from .sources.xyzraster import read_xyz, write_xyz
+
+    t = _density_tiles_full(spark, sf_dir)
+    path = os.path.join(tempfile.gettempdir(),
+                        f"gdal_spark_xyzr_{os.getpid()}")
+    shutil.rmtree(path, ignore_errors=True)
+    write_xyz(t, path, tile=8)
+    back, grid = read_xyz(spark, path, tile=8)
+    rows = gdal2xyz(back, tile=8)
+    return rows.select(F.col("x").cast("long").alias("x"),
+                       F.col("y").cast("long").alias("y"),
+                       F.col("value").alias("v"))
