@@ -4341,3 +4341,32 @@ def q_xyz_raster_roundtrip(spark, sf_dir):
     return rows.select(F.col("x").cast("long").alias("x"),
                        F.col("y").cast("long").alias("y"),
                        F.col("value").alias("v"))
+
+
+@_reg("png_roundtrip", _DENSITY_VALS_SQL.replace(
+    "vals AS (SELECT", "vals AS (SELECT g.x, g.y,") + """
+SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+       CAST(least(v, 255) AS DOUBLE) AS v
+FROM vals
+""")
+def q_png_roundtrip(spark, sf_dir):
+    """PNG driver round trip (frmts/png, RFC 2083): the density raster
+    writes to ONE .png Byte image through the distributed strip-deflate
+    writer (Z_FULL_FLUSH blocks + adler32 combine, no recompression on the
+    driver) and re-reads through the filter-reconstructing decoder; the
+    oracle recomputes every cell, clamped on the Byte cast exactly like
+    GDALCopyWords."""
+    import os
+    import tempfile
+    from .raster.tiles import gdal2xyz
+    from .sources.png import read_png, write_png
+
+    t = _density_tiles_full(spark, sf_dir)
+    path = os.path.join(tempfile.gettempdir(),
+                        f"gdal_spark_png_{os.getpid()}.png")
+    write_png(t, path, width_px=64, height_px=64, tile=8)
+    back = read_png(spark, path, tile=8)
+    rows = gdal2xyz(back, tile=8)
+    return rows.select(F.col("x").cast("long").alias("x"),
+                       F.col("y").cast("long").alias("y"),
+                       F.col("value").alias("v"))

@@ -78,6 +78,9 @@ def open_raster(spark, path: str, tile: int = 256, **kwargs):
     if low.endswith(".zarr") or low.rstrip("/").endswith(".zarr"):
         from .zarr import read_zarr
         return read_zarr(spark, path, **kwargs)[0]
+    if low.endswith(".png"):
+        from .png import read_png
+        return read_png(spark, path, tile=tile, **kwargs)
     if low.endswith((".asc", ".grd")):
         from .aaigrid import read_aaigrid
         return read_aaigrid(spark, path, tile=tile, **kwargs)
