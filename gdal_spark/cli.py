@@ -107,8 +107,69 @@ def _cmd_gdalinfo(argv) -> int:
     return 0
 
 
+def _cmd_gdalsrsinfo(argv) -> int:
+    ap = argparse.ArgumentParser(prog="gdalsrsinfo")
+    ap.add_argument("srs", help="EPSG:code / proj string / WKT")
+    ap.add_argument("-o", choices=["all", "proj4", "wkt"], default="all")
+    a = ap.parse_args(argv)
+    from .raster.transforms import srs_info
+    info = srs_info(a.srs)
+    if a.o == "proj4":
+        print(info["proj4"])
+    elif a.o == "wkt":
+        print(info["wkt"])
+    else:
+        print(json.dumps({"proj4": info["proj4"], "wkt": info["wkt"]}))
+    return 0
+
+
+def _cmd_gdaltransform(argv) -> int:
+    """Batch coordinate transform (apps/gdaltransform.cpp): reads 'x y'
+    pairs from stdin, writes transformed pairs — vectorized as ONE numpy
+    call over the whole batch, not per line."""
+    ap = argparse.ArgumentParser(prog="gdaltransform")
+    ap.add_argument("-s_srs", default="EPSG:4326")
+    ap.add_argument("-t_srs", required=True)
+    ap.add_argument("-output_xy", action="store_true")
+    a = ap.parse_args(argv)
+    import numpy as np
+    from .raster.transforms import transform
+    rows = [line.split() for line in sys.stdin if line.strip()]
+    xs = np.array([float(r[0]) for r in rows])
+    ys = np.array([float(r[1]) for r in rows])
+    ox, oy = transform(a.s_srs, a.t_srs, xs, ys)
+    for x, y in zip(ox, oy):
+        print(f"{x!r} {y!r}")
+    return 0
+
+
+def _cmd_gdallocationinfo(argv) -> int:
+    """Pixel lookup (apps/gdallocationinfo.cpp): -valonly nearest-pixel
+    values at the given pixel/line coordinates."""
+    ap = argparse.ArgumentParser(prog="gdallocationinfo")
+    ap.add_argument("src")
+    ap.add_argument("x", type=float)
+    ap.add_argument("y", type=float)
+    ap.add_argument("-tile", type=int, default=256)
+    ap.add_argument("-valonly", action="store_true")
+    a = ap.parse_args(argv)
+    from .raster.sample import interpolate_at_points, tile_pixels
+    from .sources import open_raster
+    spark = _spark()
+    t = open_raster(spark, a.src, tile=a.tile)
+    px = tile_pixels(t, tile=a.tile)
+    pts = spark.createDataFrame([(a.x + 0.5, a.y + 0.5)], "x double, y double")
+    v = interpolate_at_points(px, pts, "x", "y", mode="near") \
+        .collect()[0]["value"]
+    print(v if a.valonly else json.dumps(
+        {"pixel": int(a.x), "line": int(a.y), "value": v}))
+    return 0
+
+
 _COMMANDS = {"ogr2ogr": _cmd_ogr2ogr, "ogrinfo": _cmd_ogrinfo,
-             "gdalinfo": _cmd_gdalinfo}
+             "gdalinfo": _cmd_gdalinfo, "gdalsrsinfo": _cmd_gdalsrsinfo,
+             "gdaltransform": _cmd_gdaltransform,
+             "gdallocationinfo": _cmd_gdallocationinfo}
 
 
 def main(argv=None) -> int:

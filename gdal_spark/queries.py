@@ -4370,3 +4370,34 @@ def q_png_roundtrip(spark, sf_dir):
     return rows.select(F.col("x").cast("long").alias("x"),
                        F.col("y").cast("long").alias("y"),
                        F.col("value").alias("v"))
+
+
+@_reg("gdallocationinfo_vals", f"""
+{_pts_cte()},
+c AS (SELECT CAST(floor((lon + 180.0) / 5.625) AS BIGINT) AS x,
+             CAST(floor((lat + 90.0) / 2.8125) AS BIGINT) AS y,
+             count(*) AS v
+      FROM pts GROUP BY 1, 2),
+q AS (SELECT doc_id,
+             CAST(floor((lon + 180.0) / 5.625) AS BIGINT) AS x,
+             CAST(floor((lat + 90.0) / 2.8125) AS BIGINT) AS y
+      FROM pts WHERE doc_id % 11 = 0)
+SELECT q.doc_id, CAST(COALESCE(c.v, 0) AS DOUBLE) AS v
+FROM q LEFT JOIN c USING (x, y)
+""")
+def q_gdallocationinfo_vals(spark, sf_dir):
+    """gdallocationinfo -valonly twin (apps/gdallocationinfo.cpp): every
+    11th page samples the 64x64 page-density raster at its own continuous
+    pixel coordinate in NEAR mode (floor -> pixel, a relational equi-join,
+    no per-point gather); the oracle recomputes each looked-up cell count
+    in SQL."""
+    from .raster.sample import interpolate_at_points, tile_pixels
+
+    t = _density_tiles_full(spark, sf_dir)
+    px = tile_pixels(t, tile=8)
+    pts = datagen.points(spark, sf_dir).where(F.col("doc_id") % 11 == 0) \
+        .select("doc_id",
+                ((F.col("lon") + 180.0) / 5.625).alias("cx"),
+                ((F.col("lat") + 90.0) / 2.8125).alias("cy"))
+    out = interpolate_at_points(px, pts, "cx", "cy", mode="near")
+    return out.select("doc_id", F.col("value").alias("v"))

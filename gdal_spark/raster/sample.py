@@ -78,3 +78,13 @@ def interpolate_at_points(pixels: DataFrame, points: DataFrame,
     return (joined.groupBy("_rid", *out_cols)
             .agg(F.sum("_v").alias(out_col))
             .drop("_rid"))
+
+
+def tile_pixels(tiles: DataFrame, tile: int = 256,
+                band: int = 1) -> DataFrame:
+    """Tile table -> (gpx, gpy, value) global sparse pixels — the input
+    shape interpolate_at_points expects (gdallocationinfo's lookup path)."""
+    from .tiles import gdal2xyz
+    rows = gdal2xyz(tiles, tile=tile, band=band)
+    return rows.select(F.col("x").cast("long").alias("gpx"),
+                       F.col("y").cast("long").alias("gpy"), "value")

@@ -666,3 +666,102 @@ def _rpc_image_to_ground(crs: str, samp, line, iters: int = 12):
         lon = lon - (d * fx - b * fy) / det
         lat = lat - (-c * fx + a * fy) / det
     return lon, lat
+
+
+# ---------------------------------------------------------------------------
+# gdalsrsinfo twin — format any accepted CRS as proj4 / OGC WKT1
+# ---------------------------------------------------------------------------
+
+_WGS84_GEOGCS = ('GEOGCS["WGS 84",DATUM["WGS_1984",'
+                 'SPHEROID["WGS 84",6378137,298.257223563]],'
+                 'PRIMEM["Greenwich",0],'
+                 'UNIT["degree",0.0174532925199433],'
+                 'AUTHORITY["EPSG","4326"]]')
+
+
+def format_proj4(crs: str) -> str:
+    """CRS in any accepted spelling -> proj4 string (the reference's
+    OGRSpatialReference::exportToProj4, ogr/ogrspatialreference.cpp; only
+    the families this engine implements). Round-trips through
+    _parse_proj_string."""
+    kind = _parse_crs(crs)
+    if kind is None:
+        raise ValueError(f"unsupported CRS {crs!r}")
+    if kind == "4326":
+        return "+proj=longlat +datum=WGS84 +no_defs"
+    if kind == "3857":
+        return ("+proj=merc +a=6378137 +b=6378137 +lat_ts=0 +lon_0=0 "
+                "+x_0=0 +y_0=0 +k=1 +units=m +nadgrids=@null +no_defs")
+    fam = kind[0]
+    if fam == "utm":
+        _, lon0, south = kind
+        zone = int(round((lon0 + 183.0) / 6.0))
+        s = " +south" if south else ""
+        return f"+proj=utm +zone={zone}{s} +datum=WGS84 +units=m +no_defs"
+    if fam == "laea":
+        _, lon0, lat0, fe, fn = kind
+        return (f"+proj=laea +lat_0={lat0:g} +lon_0={lon0:g} "
+                f"+x_0={fe:g} +y_0={fn:g} +datum=WGS84 +units=m +no_defs")
+    _, lon0, k0, fe, fn = kind
+    return (f"+proj={fam} +lat_0=0 +lon_0={lon0:g} +k_0={k0:g} "
+            f"+x_0={fe:g} +y_0={fn:g} +datum=WGS84 +units=m +no_defs")
+
+
+_WKT_FAM_METHOD = {"tmerc": "Transverse_Mercator", "merc": "Mercator_1SP",
+                   "laea": "Lambert_Azimuthal_Equal_Area"}
+
+
+def format_wkt1(crs: str) -> str:
+    """CRS -> OGC WKT1 (exportToWkt twin); round-trips through
+    _parse_wkt_crs."""
+    kind = _parse_crs(crs)
+    if kind is None:
+        raise ValueError(f"unsupported CRS {crs!r}")
+    if kind == "4326":
+        return _WGS84_GEOGCS
+    if kind == "3857":
+        return ('PROJCS["WGS 84 / Pseudo-Mercator",' + _WGS84_GEOGCS
+                + ',PROJECTION["Mercator_1SP"],'
+                  'PARAMETER["central_meridian",0],'
+                  'PARAMETER["scale_factor",1],'
+                  'PARAMETER["false_easting",0],'
+                  'PARAMETER["false_northing",0],UNIT["metre",1],'
+                  'AUTHORITY["EPSG","3857"]]')
+    fam = kind[0]
+    if fam == "utm":
+        _, lon0, south = kind
+        zone = int(round((lon0 + 183.0) / 6.0))
+        code = (32700 if south else 32600) + zone
+        return (f'PROJCS["WGS 84 / UTM zone {zone}{"S" if south else "N"}",'
+                + _WGS84_GEOGCS
+                + ',PROJECTION["Transverse_Mercator"],'
+                  'PARAMETER["latitude_of_origin",0],'
+                  f'PARAMETER["central_meridian",{lon0:g}],'
+                  'PARAMETER["scale_factor",0.9996],'
+                  'PARAMETER["false_easting",500000],'
+                  f'PARAMETER["false_northing",{10000000 if south else 0}],'
+                  f'UNIT["metre",1],AUTHORITY["EPSG","{code}"]]')
+    if fam == "laea":
+        _, lon0, lat0, fe, fn = kind
+        return ('PROJCS["unnamed",' + _WGS84_GEOGCS
+                + ',PROJECTION["Lambert_Azimuthal_Equal_Area"],'
+                  f'PARAMETER["latitude_of_center",{lat0:g}],'
+                  f'PARAMETER["longitude_of_center",{lon0:g}],'
+                  f'PARAMETER["false_easting",{fe:g}],'
+                  f'PARAMETER["false_northing",{fn:g}],UNIT["metre",1]]')
+    _, lon0, k0, fe, fn = kind
+    return ('PROJCS["unnamed",' + _WGS84_GEOGCS
+            + f',PROJECTION["{_WKT_FAM_METHOD[fam]}"],'
+              'PARAMETER["latitude_of_origin",0],'
+              f'PARAMETER["central_meridian",{lon0:g}],'
+              f'PARAMETER["scale_factor",{k0:g}],'
+              f'PARAMETER["false_easting",{fe:g}],'
+              f'PARAMETER["false_northing",{fn:g}],UNIT["metre",1]]')
+
+
+def srs_info(crs: str) -> dict:
+    """gdalsrsinfo twin (apps/gdalsrsinfo.cpp): one dict with the parsed
+    family tuple plus proj4 and WKT1 spellings, each of which re-parses to
+    the same kernels."""
+    return {"kind": _parse_crs(crs), "proj4": format_proj4(crs),
+            "wkt": format_wkt1(crs)}

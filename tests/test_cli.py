@@ -76,3 +76,35 @@ def test_save_vector_dispatch_roundtrips(spark, tmp_path):
             wkb.decode(bytes(r.geom)).rings[0][0][0]
             for r in out.collect())
         assert got == [float(i) for i in range(12)], name
+
+
+def test_cli_gdalsrsinfo(capsys):
+    from gdal_spark.cli import main
+    assert main(["gdalsrsinfo", "EPSG:32633", "-o", "proj4"]) == 0
+    out = capsys.readouterr().out
+    assert "+proj=utm" in out and "+zone=33" in out
+
+
+def test_cli_gdaltransform(capsys, monkeypatch):
+    import io
+    from gdal_spark.cli import main
+    monkeypatch.setattr("sys.stdin", io.StringIO("9.0 48.0\n15.0 -33.0\n"))
+    assert main(["gdaltransform", "-t_srs", "EPSG:3857"]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert len(lines) == 2
+    x, y = (float(t) for t in lines[0].split())
+    assert abs(x - 1001875.417) < 0.01  # 9 deg lon in 3857
+
+
+def test_cli_gdallocationinfo(tmp_path, capsys, spark):
+    import numpy as np
+    from gdal_spark.cli import main
+    from gdal_spark.raster.tiles import raster_to_tiles
+    from gdal_spark.sources.png import write_png
+    arr = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    t = raster_to_tiles(spark, arr, tile=8)
+    p = str(tmp_path / "v.png")
+    write_png(t, p, width_px=8, height_px=8, tile=8)
+    assert main(["gdallocationinfo", p, "3", "5", "-tile", "8",
+                 "-valonly"]) == 0
+    assert capsys.readouterr().out.strip() == "43.0"

@@ -358,3 +358,45 @@ def test_wkt_geogcs_and_roundtrip():
     lon2, lat2 = transform(_UTM31_WKT, geog, x, y)
     np.testing.assert_allclose(lon2, lon, atol=1e-9)
     np.testing.assert_allclose(lat2, lat, atol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# gdalsrsinfo twin (apps/gdalsrsinfo.cpp)
+# ---------------------------------------------------------------------------
+
+def _canon_kind(t):
+    from gdal_spark.raster import transforms as tr
+    if t == "3857":
+        return ("merc", 0.0, 1.0, 0.0, 0.0)
+    if isinstance(t, tuple) and t[0] == "utm":
+        return ("tmerc", t[1], 0.9996, 500000.0,
+                10000000.0 if t[2] else 0.0)
+    return t
+
+
+def test_srsinfo_roundtrips_all_families():
+    from gdal_spark.raster.transforms import srs_info, _parse_crs
+    for c in ["EPSG:4326", "EPSG:3857", "EPSG:32633", "EPSG:32719",
+              "EPSG:3035", "LAEA:10,52",
+              "+proj=tmerc +lon_0=9 +k_0=0.9996 +x_0=500000",
+              "+proj=merc +lon_0=110 +k_0=0.97 +y_0=200"]:
+        s = srs_info(c)
+        want = _canon_kind(_parse_crs(c))
+        assert _canon_kind(_parse_crs(s["proj4"])) == want, c
+        assert _canon_kind(_parse_crs(s["wkt"])) == want, c
+
+
+def test_srsinfo_numeric_equivalence():
+    import numpy as np
+    from gdal_spark.raster.transforms import srs_info, transform
+    lon = np.array([9.1, 15.7, -70.2])
+    lat = np.array([48.3, -33.9, 12.0])
+    for c in ["EPSG:3857", "EPSG:32633", "EPSG:3035"]:
+        s = srs_info(c)
+        x0, y0 = transform("EPSG:4326", c, lon, lat)
+        x1, y1 = transform("EPSG:4326", s["proj4"], lon, lat)
+        x2, y2 = transform("EPSG:4326", s["wkt"], lon, lat)
+        np.testing.assert_allclose(x1, x0, rtol=0, atol=1e-6)
+        np.testing.assert_allclose(y1, y0, rtol=0, atol=1e-6)
+        np.testing.assert_allclose(x2, x0, rtol=0, atol=1e-6)
+        np.testing.assert_allclose(y2, y0, rtol=0, atol=1e-6)
