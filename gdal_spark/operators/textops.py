@@ -168,9 +168,9 @@ def quality_score(docs: DataFrame) -> DataFrame:
         keep.alias("keep"))
 
 
-def langid(docs: DataFrame) -> DataFrame:
-    """Marker-word language scores -> predicted lang; confusion counts vs the
-    labeled `lang` column."""
+def langid_pred(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, pred) — per-document marker-word language prediction
+    (alphabetical-first deterministic tie-break), all JVM column math."""
     def _score(markers):
         # NB: the filter lambda must be unary — PySpark treats a second
         # parameter as the element index.
@@ -183,8 +183,14 @@ def langid(docs: DataFrame) -> DataFrame:
     for lang in langs[1:]:
         pred = F.when(scores[lang] > best, F.lit(lang)).otherwise(pred)
         best = F.when(scores[lang] > best, scores[lang]).otherwise(best)
-    d = docs.select("lang", pred.alias("pred"))
-    return d.groupBy("lang", "pred").agg(F.count("*").cast("long").alias("n"))
+    return docs.select("doc_id", "lang", pred.alias("pred"))
+
+
+def langid(docs: DataFrame) -> DataFrame:
+    """Marker-word language scores -> predicted lang; confusion counts vs the
+    labeled `lang` column."""
+    return langid_pred(docs).groupBy("lang", "pred") \
+        .agg(F.count("*").cast("long").alias("n"))
 
 
 def rolling_fingerprint(docs: DataFrame) -> DataFrame:
@@ -462,3 +468,36 @@ def repetition_signals(docs: DataFrame, ns=GOPHER_NS) -> DataFrame:
     sel += [col(n, "top").alias(f"top{n}_r") for n in ns]
     sel += [col(n, "dup").alias(f"dup{n}_r") for n in ns]
     return out.select(*sel, keep.alias("keep"))
+
+
+def filter_funnel(docs: DataFrame) -> DataFrame:
+    """RefinedWeb/Gopher-style end-to-end training-data filter funnel:
+    exact dedup (keep the lowest doc_id per byte-identical text) ->
+    quality envelope (quality_score.keep) -> repetition gate
+    (repetition_signals.keep) -> language match (marker prediction equals
+    the labeled lang). Returns the survivor count after each stage — the
+    shape every corpus-curation report shows.
+
+    Each stage is a doc_id semi-join; the count aggregations are partial
+    (map-side) and the stage frames share the one documents scan. At 100
+    TB the funnel is 4 shuffles (dedup groupBy, two keep computations'
+    internal shuffles, the langid map is shuffle-free) — nothing collects
+    beyond the 5-row result."""
+    base = docs.select("doc_id")
+    s2 = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id")) \
+        .select("doc_id")
+    q = quality_score(docs).where("keep = 1").select("doc_id")
+    r = repetition_signals(docs).where("keep = 1").select("doc_id")
+    lg = langid_pred(docs).where(F.col("pred") == F.col("lang")) \
+        .select("doc_id")
+    s3 = s2.join(q, "doc_id", "left_semi")
+    s4 = s3.join(r, "doc_id", "left_semi")
+    s5 = s4.join(lg, "doc_id", "left_semi")
+    out = None
+    for nm, df in (("s1_total", base), ("s2_exact_dedup", s2),
+                   ("s3_quality", s3), ("s4_repetition", s4),
+                   ("s5_langid", s5)):
+        c = df.agg(F.count("*").cast("long").alias("n_docs")) \
+            .select(F.lit(nm).alias("stage"), "n_docs")
+        out = c if out is None else out.unionByName(c)
+    return out

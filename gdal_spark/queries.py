@@ -4401,3 +4401,73 @@ def q_gdallocationinfo_vals(spark, sf_dir):
                 ((F.col("lat") + 90.0) / 2.8125).alias("cy"))
     out = interpolate_at_points(px, pts, "cx", "cy", mode="near")
     return out.select("doc_id", F.col("value").alias("v"))
+
+
+def _funnel_sql():
+    langs = sorted(textops.LANG_MARKERS)
+    score = {
+        lang: ("len(list_filter(ws, w -> w IN ('"
+               + "', '".join(textops.LANG_MARKERS[lang]) + "')))")
+        for lang in langs}
+    cols = ", ".join(f"{score[lang]} AS s_{lang}" for lang in langs)
+    m = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    pred = "CASE " + " ".join(
+        f"WHEN s_{lang} = {m} THEN '{lang}'" for lang in langs) + " END"
+    return f"""
+WITH d AS (SELECT doc_id, lang, text, n_chars, string_split(text, ' ') AS ws
+           FROM documents),
+k2 AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+q AS (SELECT doc_id FROM (
+        SELECT doc_id, CAST(len(ws) AS BIGINT) AS nw,
+               CAST(len(list_filter(ws, w -> w IN {_STOP_SQL})) AS DOUBLE)
+                 / len(ws) AS sr,
+               CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS uq,
+               CAST(list_max(list_transform(list_distinct(ws),
+                    w -> len(list_filter(ws, x -> x = w)))) AS DOUBLE)
+                 / len(ws) AS tf
+        FROM d)
+      WHERE nw BETWEEN 30 AND 95 AND uq >= 0.35 AND tf <= 0.15
+        AND sr >= 0.02),
+g AS (SELECT doc_id, n_chars, n, array_to_string(ws[i:i+n-1], ' ') AS g
+      FROM d, unnest([2,3,4,5,10]) AS tn(n),
+           unnest(generate_series(1, len(ws)-n+1)) AS ti(i)),
+c AS (SELECT doc_id, n_chars, n, g, count(*) AS cnt FROM g GROUP BY ALL),
+s2 AS (SELECT doc_id, n,
+              max(cnt*length(g)) / CAST(any_value(n_chars) AS DOUBLE)
+                  AS top_frac,
+              COALESCE(sum(CASE WHEN cnt>=2 THEN cnt*length(g) END), 0)
+                  / CAST(any_value(n_chars) AS DOUBLE) AS dup_frac
+       FROM c GROUP BY doc_id, n),
+w2 AS (SELECT doc_id,
+         ROUND(COALESCE(max(CASE WHEN n=2 THEN top_frac END),0),6) AS t2,
+         ROUND(COALESCE(max(CASE WHEN n=3 THEN top_frac END),0),6) AS t3,
+         ROUND(COALESCE(max(CASE WHEN n=4 THEN top_frac END),0),6) AS t4,
+         ROUND(COALESCE(max(CASE WHEN n=5 THEN dup_frac END),0),6) AS d5,
+         ROUND(COALESCE(max(CASE WHEN n=10 THEN dup_frac END),0),6) AS d10
+       FROM s2 GROUP BY doc_id),
+r AS (SELECT d.doc_id FROM d LEFT JOIN w2 USING (doc_id)
+      WHERE COALESCE(t2,0) <= 0.20 AND COALESCE(t3,0) <= 0.18
+        AND COALESCE(t4,0) <= 0.16 AND COALESCE(d5,0) <= 0.15
+        AND COALESCE(d10,0) <= 0.10),
+l AS (SELECT doc_id FROM (SELECT doc_id, lang, {cols} FROM d) s
+      WHERE ({pred}) = lang),
+s3 AS (SELECT doc_id FROM k2 WHERE doc_id IN (SELECT doc_id FROM q)),
+s4 AS (SELECT doc_id FROM s3 WHERE doc_id IN (SELECT doc_id FROM r)),
+s5 AS (SELECT doc_id FROM s4 WHERE doc_id IN (SELECT doc_id FROM l))
+SELECT 's1_total' AS stage, CAST(count(*) AS BIGINT) AS n_docs
+FROM documents
+UNION ALL SELECT 's2_exact_dedup', CAST(count(*) AS BIGINT) FROM k2
+UNION ALL SELECT 's3_quality', CAST(count(*) AS BIGINT) FROM s3
+UNION ALL SELECT 's4_repetition', CAST(count(*) AS BIGINT) FROM s4
+UNION ALL SELECT 's5_langid', CAST(count(*) AS BIGINT) FROM s5
+"""
+
+
+@_reg("webtext_filter_funnel", _funnel_sql())
+def q_webtext_filter_funnel(spark, sf_dir):
+    """End-to-end RefinedWeb/Gopher-style corpus-curation funnel: exact
+    dedup -> quality envelope -> repetition gate -> language match, with
+    survivor counts per stage (the canonical curation report). Composes
+    the individually-oracled operators; the oracle replays the whole
+    funnel in one SQL."""
+    return textops.filter_funnel(_t(spark, sf_dir, "documents"))
