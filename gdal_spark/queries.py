@@ -4471,3 +4471,40 @@ def q_webtext_filter_funnel(spark, sf_dir):
     the individually-oracled operators; the oracle replays the whole
     funnel in one SQL."""
     return textops.filter_funnel(_t(spark, sf_dir, "documents"))
+
+
+@_reg("lineref_positions", f"""
+{_pts_cte()},
+p AS (SELECT doc_id, lon, lat FROM pts WHERE doc_id % 7 = 0),
+s AS (SELECT doc_id,
+        greatest(0.0, least(1.0, (lon * 50.0) / 2500.0)) AS t1,
+        greatest(0.0, least(1.0, (lat * 40.0) / 1600.0)) AS t2,
+        lon, lat
+      FROM p),
+d AS (SELECT doc_id,
+        sqrt((lon - 50.0*t1)*(lon - 50.0*t1) + lat*lat) AS d1,
+        sqrt((lon - 50.0)*(lon - 50.0)
+             + (lat - 40.0*t2)*(lat - 40.0*t2)) AS d2,
+        t1, t2
+      FROM s)
+SELECT doc_id,
+       ROUND(CASE WHEN d1 <= d2 THEN 50.0*t1 ELSE 50.0 + 40.0*t2 END, 6)
+           AS mpos_r,
+       ROUND(least(d1, d2), 6) AS offset_r
+FROM d
+""")
+def q_lineref_positions(spark, sf_dir):
+    """ogrlineref -get_pos twin (apps/ogrlineref.cpp): every 7th page
+    projects onto the L-shaped reference polyline (0,0)-(50,0)-(50,40);
+    milepost distance + offset come from the vectorized segment projection
+    (map-only mapInPandas, no shuffle); the oracle replays the two-segment
+    projection closed-form, first-segment tie-break like np.argmin."""
+    import numpy as np
+    from .operators.lineref import locate_points_df
+
+    line = np.array([[0.0, 0.0], [50.0, 0.0], [50.0, 40.0]])
+    pts = datagen.points(spark, sf_dir).where(F.col("doc_id") % 7 == 0) \
+        .select("doc_id", F.col("lon").alias("x"), F.col("lat").alias("y"))
+    out = locate_points_df(pts, line)
+    return out.select("doc_id", F.round("mpos", 6).alias("mpos_r"),
+                      F.round("offset", 6).alias("offset_r"))

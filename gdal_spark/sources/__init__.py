@@ -15,12 +15,68 @@ from .geojson import (read_geojson, read_geojson_seq,  # noqa: F401
                       write_geojson_seq)
 
 
+def _vsizip(path: str) -> str:
+    """/vsizip/ twin (port/cpl_vsil_gzip.cpp VSIZipFilesystemHandler):
+    '/vsizip/archive.zip/member' or 'archive.zip!member' (or a bare .zip
+    with one recognizable member) extracts the member — plus its sidecars
+    (.shx/.dbf for .shp) — to a deterministic temp dir and returns the
+    extracted path. Extraction is driver-side and cached by (zip mtime,
+    member); the distributed read then runs on the extracted file."""
+    import os
+    import tempfile
+    import zipfile
+
+    if path.startswith("/vsizip/"):
+        rest = path[len("/vsizip/"):]
+        if ".zip/" in rest:
+            zpath, member = rest.split(".zip/", 1)
+            zpath += ".zip"
+        else:
+            zpath, member = rest, None
+    elif "!" in path and ".zip" in path.lower():
+        zpath, member = path.split("!", 1)
+    else:
+        zpath, member = path, None
+    zf = zipfile.ZipFile(zpath)
+    names = zf.namelist()
+    if member is None:
+        pref = (".shp", ".fgb", ".gpkg", ".parquet", ".geojsonl",
+                ".geojson", ".kml", ".gml", ".gpx", ".csv", ".json")
+        cand = [n for n in names if "." in n and not n.endswith("/")]
+        ranked = sorted(
+            cand, key=lambda n: next(
+                (i for i, e in enumerate(pref)
+                 if n.lower().endswith(e)), len(pref)))
+        member = ranked[0]
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"gdal_spark_vsizip_{abs(hash((os.path.abspath(zpath), int(os.path.getmtime(zpath)))))}")
+    os.makedirs(base, exist_ok=True)
+    want = {member}
+    stem, ext = os.path.splitext(member)
+    if ext.lower() == ".shp":
+        want |= {n for n in names
+                 if n.lower() in (stem.lower() + ".shx",
+                                  stem.lower() + ".dbf")}
+    for n in want:
+        dst = os.path.join(base, os.path.basename(n))
+        if not os.path.exists(dst):
+            with zf.open(n) as src, open(dst, "wb") as out:
+                out.write(src.read())
+    return os.path.join(base, os.path.basename(member))
+
+
 def open_vector(spark, path: str, **kwargs):
     """The reference's front door — GDALDataset Open with driver
     autodetection (ogr/ogrsf_frmts/generic/ogrsfdriverregistrar.cpp,
     gcore/gdaldataset.cpp GDALOpenEx) — by extension: every registered
     vector format routes to its distributed reader and comes back as a
-    (fid, geom WKB, ...) DataFrame."""
+    (fid, geom WKB, ...) DataFrame. /vsizip/ and 'x.zip!member' paths
+    unpack first."""
+    if path.startswith("/vsizip/") or (
+            "!" in path and ".zip" in path.lower()) or \
+            path.lower().endswith(".zip"):
+        path = _vsizip(path)
     low = path.lower()
     if low.endswith(".parquet"):
         return spark.read.parquet(path)

@@ -144,3 +144,40 @@ def test_canonical_url_rules(spark):
     got = [r.c for r in
            df.select(canonical_url_col(F.col("url")).alias("c")).collect()]
     assert got == [want for _, want in cases]
+
+
+def test_vsizip_shapefile_and_geojsonl(spark, tmp_path):
+    """/vsizip/ twin: zipped shapefile (with sidecars) and zipped
+    GeoJSONSeq open through the same front door."""
+    import zipfile
+
+    import numpy as np
+
+    from gdal_spark.core import wkb
+    from gdal_spark.sources import open_vector
+    from gdal_spark.sources.shapefile import write_shapefile
+
+    rows = [(wkb.encode(wkb.Geom(wkb.POINT,
+                                 [np.array([[float(i), float(-i)]])])),
+             {"doc_id": i}) for i in range(5)]
+    base = str(tmp_path / "pts")
+    write_shapefile(rows, base)
+    zp = str(tmp_path / "arc.zip")
+    with zipfile.ZipFile(zp, "w") as z:
+        for ext in (".shp", ".shx", ".dbf"):
+            z.write(base + ext, "pts" + ext)
+
+    for spec in (f"/vsizip/{zp}/pts.shp", f"{zp}!pts.shp", zp):
+        df = open_vector(spark, spec)
+        got = sorted(r.doc_id for r in df.collect())
+        assert got == [0, 1, 2, 3, 4], spec
+
+    gj = "\n".join('{"type":"Feature","id":%d,"geometry":{"type":"Point",'
+                   '"coordinates":[%d,1]},"properties":{}}' % (i, i)
+                   for i in range(3))
+    (tmp_path / "f.geojsonl").write_text(gj)
+    zp2 = str(tmp_path / "gj.zip")
+    with zipfile.ZipFile(zp2, "w") as z:
+        z.write(str(tmp_path / "f.geojsonl"), "f.geojsonl")
+    df = open_vector(spark, f"/vsizip/{zp2}/f.geojsonl")
+    assert df.count() == 3
