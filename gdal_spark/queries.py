@@ -4508,3 +4508,55 @@ def q_lineref_positions(spark, sf_dir):
     out = locate_points_df(pts, line)
     return out.select("doc_id", F.round("mpos", 6).alias("mpos_r"),
                       F.round("offset", 6).alias("offset_r"))
+
+
+@_reg("dxf_roundtrip", f"""
+{_pts_cte()}
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       ROUND(lon, 9) AS lon_r, ROUND(lat, 9) AS lat_r
+FROM pts WHERE doc_id % 19 = 0
+""")
+def q_dxf_roundtrip(spark, sf_dir):
+    """DXF driver round trip (ogr/ogrsf_frmts/dxf, ASCII group codes):
+    every 19th page becomes a POINT entity on a layer named by its doc_id,
+    written as per-partition minimal DXF documents and read back through
+    the group-code parser; the oracle recomputes the same point set."""
+    import os
+    import shutil
+    import tempfile
+    import numpy as np
+    from .core import wkb as _wkb
+    from .sources.dxf import read_dxf, write_dxf
+
+    pts = datagen.points(spark, sf_dir).where(F.col("doc_id") % 19 == 0)
+
+    @F.pandas_udf("binary")
+    def ptgeom(lon, lat):
+        import pandas as pd
+        return pd.Series([
+            _wkb.encode(_wkb.Geom(_wkb.POINT, [np.array([[x, y]])]))
+            for x, y in zip(lon, lat)])
+
+    layer = pts.select(ptgeom("lon", "lat").alias("geom"),
+                       F.col("doc_id").cast("string").alias("layer"))
+    path = os.path.join(tempfile.gettempdir(),
+                        f"gdal_spark_dxf_{os.getpid()}")
+    shutil.rmtree(path, ignore_errors=True)
+    write_dxf(layer, path)
+    out = read_dxf(spark, path)
+
+    @F.pandas_udf("double")
+    def px(geom):
+        import pandas as pd
+        return pd.Series([_wkb.decode(bytes(b)).rings[0][0][0]
+                          for b in geom])
+
+    @F.pandas_udf("double")
+    def py(geom):
+        import pandas as pd
+        return pd.Series([_wkb.decode(bytes(b)).rings[0][0][1]
+                          for b in geom])
+
+    return out.select(F.col("layer").cast("long").alias("doc_id"),
+                      F.round(px("geom"), 9).alias("lon_r"),
+                      F.round(py("geom"), 9).alias("lat_r"))

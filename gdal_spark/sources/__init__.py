@@ -104,6 +104,9 @@ def open_vector(spark, path: str, **kwargs):
     if low.endswith(".gpx"):
         from .gpx import read_gpx
         return read_gpx(spark, path)
+    if low.endswith(".dxf"):
+        from .dxf import read_dxf
+        return read_dxf(spark, path)
     if low.endswith((".arrow", ".arrows", ".feather")):
         from .arrow_ipc import read_arrow_ipc
         return read_arrow_ipc(spark, path, **kwargs)[0]
@@ -174,6 +177,10 @@ def save_vector(df, path: str, geom_col: str = "geom", **kwargs):
         from .gpx import write_gpx
         return write_gpx(df, path, geom_col=geom_col,
                          name_col=None, ele_col=None, **kwargs)
+    if low.endswith(".dxf"):
+        from .dxf import write_dxf
+        return write_dxf(df, path, geom_col=geom_col, layer_col=None,
+                         **kwargs)
     if low.endswith((".gpq", ".geoparquet")):
         from .geoparquet import write_geoparquet
         return write_geoparquet(df, path, geom_col=geom_col, **kwargs)
