@@ -501,3 +501,56 @@ def filter_funnel(docs: DataFrame) -> DataFrame:
             .select(F.lit(nm).alias("stage"), "n_docs")
         out = c if out is None else out.unionByName(c)
     return out
+
+
+def span_dedup(docs: DataFrame, k: int = 8, min_count: int = 2
+               ) -> DataFrame:
+    """ExactSubstr-style span deduplication (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" — public
+    paper), word-window variant: every k-word window whose exact text
+    occurs >= min_count times ACROSS THE CORPUS marks its k positions
+    covered; covered tokens are removed and each document reassembles
+    from the survivors in order. (The paper removes 50-token repeated
+    spans via a suffix array; the window-hash formulation reaches the
+    same covered-span set for spans >= k and is join-parallel.)
+
+    Plan: one scan -> window explode -> corpus-wide groupBy(gram) with
+    map-side partial counts (boilerplate collapses before the shuffle)
+    -> dup-gram equi-join back -> position-coverage explode -> anti-join
+    -> per-doc ordered reassembly. At 100 TB the gram key would be
+    md5(gram) (same result, fixed-width shuffle keys); the raw string key
+    here keeps the SQL oracle byte-identical."""
+    d = docs.select("doc_id", words_col().alias("ws"))
+    nw = F.size("ws")
+    toks = d.select("doc_id", F.posexplode("ws").alias("pos", "w"))
+    starts = F.when(nw >= k, F.sequence(F.lit(0), nw - k)) \
+        .otherwise(F.array().cast("array<int>"))
+    grams = d.select(
+        "doc_id",
+        F.explode(F.transform(
+            starts,
+            lambda i: F.struct(
+                i.alias("start"),
+                F.array_join(F.slice("ws", i + 1, k), " ")
+                .alias("gram")))).alias("s")) \
+        .select("doc_id", "s.start", "s.gram")
+    dup = grams.groupBy("gram").agg(F.count("*").alias("_n")) \
+        .where(F.col("_n") >= min_count).select("gram")
+    cov = grams.join(dup, "gram") \
+        .select("doc_id", F.explode(
+            F.sequence(F.col("start"), F.col("start") + (k - 1)))
+            .alias("pos")) \
+        .distinct()
+    kept = toks.join(cov, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "w"))),
+            lambda s: s["w"]), " ").alias("text"),
+        F.count("*").cast("long").alias("n_kept"))
+    base = docs.select("doc_id", F.size(words_col()).cast("long")
+                       .alias("_nw"))
+    return base.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("text", F.lit("")).alias("text"),
+        (F.col("_nw") - F.coalesce("n_kept", F.lit(0)))
+        .alias("n_removed"))

@@ -4560,3 +4560,31 @@ def q_dxf_roundtrip(spark, sf_dir):
     return out.select(F.col("layer").cast("long").alias("doc_id"),
                       F.round(px("geom"), 9).alias("lon_r"),
                       F.round(py("geom"), 9).alias("lat_r"))
+
+
+@_reg("span_dedup", """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+t AS (SELECT doc_id, i - 1 AS pos, ws[i] AS w
+      FROM d, unnest(generate_series(1, len(ws))) AS ti(i)),
+g AS (SELECT doc_id, i - 1 AS start, array_to_string(ws[i:i+7], ' ') AS gram
+      FROM d, unnest(generate_series(1, len(ws) - 7)) AS ti(i)),
+dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+cov AS (SELECT DISTINCT doc_id, start + o AS pos
+        FROM g JOIN dup USING (gram),
+             unnest(generate_series(0, 7)) AS t2(o)),
+kept AS (SELECT t.doc_id, t.pos, t.w
+         FROM t LEFT JOIN cov ON t.doc_id = cov.doc_id AND t.pos = cov.pos
+         WHERE cov.pos IS NULL)
+SELECT d.doc_id,
+       COALESCE(string_agg(k.w, ' ' ORDER BY k.pos), '') AS text,
+       CAST(len(d.ws) - count(k.w) AS BIGINT) AS n_removed
+FROM d LEFT JOIN kept k USING (doc_id)
+GROUP BY d.doc_id, len(d.ws)
+""")
+def q_span_dedup(spark, sf_dir):
+    """ExactSubstr-style corpus-wide span dedup (Lee et al. 2022): every
+    8-word window repeated anywhere in the corpus marks its positions;
+    covered tokens drop and documents reassemble from the survivors. The
+    oracle replays the window-hash formulation in SQL (string_agg ordered
+    by position)."""
+    return textops.span_dedup(_t(spark, sf_dir, "documents"), k=8)

@@ -80,3 +80,26 @@ def test_repetition_signals_keep_and_short_docs(spark):
     # even unique grams dominate a short doc: top3 = 5/21 > 0.18 -> drop
     # (the real Gopher pipeline applies these after its length gates)
     assert out[2].top3_r == round(5 / 21, 6) and out[2].keep == 0
+
+
+def test_span_dedup_analytic(spark):
+    # docs 1 and 2 share the exact 4-gram "a b c d"; k=4 -> those four
+    # positions drop in both docs, everything else survives in order
+    rows = [(1, "x a b c d y"), (2, "a b c d z"), (3, "p q r s t")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           textops.span_dedup(df, k=4).collect()}
+    assert out[1].text == "x y" and out[1].n_removed == 4
+    assert out[2].text == "z" and out[2].n_removed == 4
+    assert out[3].text == "p q r s t" and out[3].n_removed == 0
+
+
+def test_span_dedup_overlapping_spans(spark):
+    # a repeated 5-token span contains two overlapping duplicated
+    # 4-grams; coverage merges, tokens drop once
+    rows = [(1, "a b c d e tail"), (2, "head a b c d e")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           textops.span_dedup(df, k=4).collect()}
+    assert out[1].text == "tail" and out[1].n_removed == 5
+    assert out[2].text == "head" and out[2].n_removed == 5
