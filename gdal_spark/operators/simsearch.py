@@ -274,3 +274,98 @@ def ivf_topk(emb: DataFrame, n_queries: int = 10, k: int = 3,
     return (pairs.withColumn("rank", F.row_number().over(w).cast("int"))
             .where(F.col("rank") <= k)
             .select("q_id", "rank", "vec_id"))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jegou, Douze, Schmid 2011 — public paper)
+# ---------------------------------------------------------------------------
+
+def _sub(vec: Column, s: int, dsub: int) -> Column:
+    return F.slice(vec, s * dsub + 1, dsub)
+
+
+def pq_codebooks(emb: DataFrame, m: int = 8, ksub: int = 16,
+                 iters: int = 3) -> np.ndarray:
+    """(m, ksub, dim/m) per-subspace codebooks, distributed Lloyd with the
+    deterministic init kmeans_centroids uses (subvectors of the first ksub
+    vec_ids). iters=0 returns the init itself — the SQL-replayable anchor
+    the driver oracle pins. All m subspaces train in ONE shuffle per
+    iteration (key = (subspace, code, pos))."""
+    dim = len(emb.select(as_double("embedding").alias("v"))
+              .first()["v"])
+    dsub = dim // m
+    e = emb.select("vec_id", as_double("embedding").alias("v"))
+    init = np.array([r.v for r in e.where(F.col("vec_id") < ksub)
+                     .orderBy("vec_id").collect()])
+    cbs = np.stack([init[:, s * dsub:(s + 1) * dsub] for s in range(m)])
+    for _ in range(iters):
+        cols = [F.struct(
+            F.lit(s).alias("s"),
+            _assign_col(_sub(F.col("v"), s, dsub), cbs[s]).alias("c"),
+            _sub(F.col("v"), s, dsub).alias("sv")) for s in range(m)]
+        a = e.select(F.explode(F.array(*cols)).alias("x")) \
+            .select("x.s", "x.c", F.posexplode("x.sv").alias("pos", "val"))
+        upd = a.groupBy("s", "c", "pos") \
+            .agg(F.sum("val").alias("t"), F.count("*").alias("n")).collect()
+        nxt = cbs.copy()
+        for r in upd:
+            nxt[r.s, r.c, r.pos] = r.t / r.n
+        cbs = nxt
+    return cbs
+
+
+def pq_encode(emb: DataFrame, cbs: np.ndarray) -> DataFrame:
+    """(vec_id, s, code): nearest-codeword index per subspace — the PQ
+    compression map (argmin ties -> lowest code, matching SQL
+    row_number)."""
+    m, _, dsub = cbs.shape
+    e = emb.select("vec_id", as_double("embedding").alias("v"))
+    cols = [F.struct(F.lit(s).alias("s"),
+                     _assign_col(_sub(F.col("v"), s, dsub), cbs[s])
+                     .alias("code")) for s in range(m)]
+    return e.select("vec_id", F.explode(F.array(*cols)).alias("x")) \
+        .select("vec_id", F.col("x.s").alias("s"),
+                F.col("x.code").cast("int").alias("code"))
+
+
+def pq_topk(emb: DataFrame, n_queries: int = 10, k: int = 3,
+            m: int = 8, ksub: int = 16, rerank: int = 32,
+            cbs: np.ndarray | None = None) -> DataFrame:
+    """ANN via PQ asymmetric distance (ADC): the corpus stores only its
+    codes; a query folds each subspace's distance table (built as column
+    math against the broadcast codebooks) over the codes, shortlists
+    `rerank` candidates by the estimate, then exact cosine re-ranks.
+    rerank >= corpus size degrades to EXACT brute force (the correctness
+    anchor); recall at small rerank is the tested quality knob."""
+    if cbs is None:
+        cbs = pq_codebooks(emb, m, ksub)
+    mm, kk, dsub = cbs.shape
+    e = emb.select("vec_id", as_double("embedding").alias("v"))
+    codes = pq_encode(emb, cbs).groupBy("vec_id") \
+        .agg(F.array_sort(F.collect_list(F.struct("s", "code")))
+             .alias("sc")) \
+        .select("vec_id", F.transform("sc", lambda x: x["code"])
+                .alias("codes"))
+    corpus = e.join(codes, "vec_id")
+    q = e.where(F.col("vec_id") < n_queries) \
+        .select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
+    # per-query ADC estimate: sum_s table_s[code_s]
+    est = None
+    for s in range(mm):
+        table = F.array(*[_sqdist_to_centroid(_sub(F.col("qv"), s, dsub),
+                                              cbs[s, c])
+                          for c in range(kk)])
+        term = F.element_at(table, F.element_at("codes", s + 1) + 1)
+        est = term if est is None else est + term
+    pairs = corpus.join(F.broadcast(q),
+                        F.col("vec_id") != F.col("q_id")) \
+        .withColumn("est", est)
+    w1 = Window.partitionBy("q_id").orderBy(F.col("est").asc(),
+                                            F.col("vec_id").asc())
+    short = pairs.withColumn("r1", F.row_number().over(w1)) \
+        .where(F.col("r1") <= rerank) \
+        .withColumn("cos", cosine(F.col("qv"), F.col("v")))
+    w2 = Window.partitionBy("q_id").orderBy(F.col("cos").desc(),
+                                            F.col("vec_id").asc())
+    return short.withColumn("rank", F.row_number().over(w2).cast("int")) \
+        .where(F.col("rank") <= k).select("q_id", "rank", "vec_id")

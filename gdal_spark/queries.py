@@ -4588,3 +4588,32 @@ def q_span_dedup(spark, sf_dir):
     oracle replays the window-hash formulation in SQL (string_agg ordered
     by position)."""
     return textops.span_dedup(_t(spark, sf_dir, "documents"), k=8)
+
+
+@_reg("pq_codes", """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+cb AS (SELECT vec_id AS c, v AS cv FROM e WHERE vec_id < 16),
+p AS (SELECT e.vec_id, cb.c, s,
+             list_sum(list_transform(generate_series(1, 8),
+                 i -> (e.v[s*8 + i] - cb.cv[s*8 + i])
+                      * (e.v[s*8 + i] - cb.cv[s*8 + i]))) AS d
+      FROM e, cb, unnest(generate_series(0, 7)) AS ts(s)),
+r AS (SELECT vec_id, s, c,
+             row_number() OVER (PARTITION BY vec_id, s
+                                ORDER BY d ASC, c ASC) AS rn
+      FROM p)
+SELECT vec_id, CAST(s AS INTEGER) AS s, CAST(c AS INTEGER) AS code
+FROM r WHERE rn = 1
+""")
+def q_pq_codes(spark, sf_dir):
+    """Product-quantization encode (Jegou et al. 2011): 64-dim embeddings
+    split into 8 subspaces of 8 dims; each subvector maps to its nearest
+    codeword (init codebooks = the first 16 vectors' subvectors, the
+    deterministic anchor SQL can replay; Lloyd-trained codebooks are
+    exercised in tests with a full-rerank brute-force anchor). Assignment
+    is pure JVM column folds over broadcast codeword literals."""
+    from .operators.simsearch import pq_codebooks, pq_encode
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cbs = pq_codebooks(emb, m=8, ksub=16, iters=0)
+    return pq_encode(emb, cbs)

@@ -64,3 +64,48 @@ def test_kmeans_objective_nonincreasing(spark, emb):
     c1 = simsearch.kmeans_centroids(emb, n_clusters=8, iters=1)
     c3 = simsearch.kmeans_centroids(emb, n_clusters=8, iters=3)
     assert sse(c3) <= sse(c1) + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jegou et al. 2011)
+# ---------------------------------------------------------------------------
+
+def test_pq_full_rerank_equals_brute(spark, emb):
+    ss = simsearch
+    cbs = ss.pq_codebooks(emb, m=8, ksub=16, iters=2)
+    got = sorted(map(tuple, ss.pq_topk(emb, n_queries=5, k=3,
+                                       rerank=10**9, cbs=cbs).collect()))
+    want = sorted(map(tuple, ss.brute_topk(emb, n_queries=5,
+                                           k=3).collect()))
+    assert got == want
+
+
+def test_pq_recall_at_small_rerank(spark, emb):
+    ss = simsearch
+    cbs = ss.pq_codebooks(emb, m=8, ksub=16, iters=2)
+    got = set(map(tuple, ss.pq_topk(emb, n_queries=5, k=3, rerank=48,
+                                    cbs=cbs).select("q_id", "vec_id")
+                  .collect()))
+    want = set(map(tuple, ss.brute_topk(emb, n_queries=5, k=3)
+                   .select("q_id", "vec_id").collect()))
+    recall = len(got & want) / len(want)
+    assert recall >= 0.6, recall
+
+
+def test_pq_lloyd_reduces_distortion(spark, emb):
+    ss = simsearch
+    emb = emb.limit(200)
+
+    def distortion(cbs):
+        e = emb.select(ss.as_double("embedding").alias("v"))
+        total = None
+        for s in range(cbs.shape[0]):
+            d = F.array_min(F.array(*[
+                ss._sqdist_to_centroid(ss._sub(F.col("v"), s, 8),
+                                       cbs[s, c]) for c in range(16)]))
+            total = d if total is None else total + d
+        return e.agg(F.sum(total)).collect()[0][0]
+
+    d0 = distortion(ss.pq_codebooks(emb, iters=0))
+    d2 = distortion(ss.pq_codebooks(emb, iters=2))
+    assert d2 <= d0 + 1e-9 and d2 < d0 * 0.95
