@@ -182,3 +182,63 @@ def test_streaming_dedup_matches_batch_distinct(spark, tmp_path):
     assert got.count() == want
     assert got.select("doc_id").distinct().count() == want
     q.stop()
+
+
+def test_streaming_geoparse_tiles_matches_batch(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from gdal_spark import datagen
+    from gdal_spark.streaming import geo as sgeo
+
+    d = datagen.documents(spark, SF_DIR).limit(200)
+    pages = d.select(
+        "doc_id",
+        F.concat(F.lit('x geo:'),
+                 ((F.col("doc_id") * 7919) % 17000 - 8500).cast("string"),
+                 F.lit(";"),
+                 ((F.col("doc_id") * 104729) % 36000 - 18000)
+                 .cast("string"), F.lit(" y")).alias("html_txt"),
+        F.timestamp_seconds(1700000000 + F.col("doc_id") * 60)
+        .alias("warc_ts"))
+    src = str(tmp_path / "gp_src")
+    pages.write.parquet(src)
+
+    want = sorted(map(tuple, sgeo.streaming_geoparse_tiles(
+        spark.read.parquet(src)).collect()))
+
+    stream = spark.readStream.schema(pages.schema).parquet(src)
+    agg = sgeo.streaming_geoparse_tiles(stream)
+    q = (agg.writeStream.format("memory").queryName("gp_tiles")
+         .outputMode("complete").start())
+    q.processAllAvailable()
+    got = sorted(map(tuple,
+                     spark.sql("select * from gp_tiles").collect()))
+    q.stop()
+    assert got == want and len(got) > 5
+
+
+def test_stream_mvt_sink_accumulates_tiles(spark, tmp_path):
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from gdal_spark.core import wkb
+    from gdal_spark.core.tilemath import latlon_to_meters
+    from gdal_spark.sources import mvt as _mvt
+    from gdal_spark.streaming import geo as sgeo
+
+    lon = np.array([-120.0, -60.0, 0.5, 60.0])
+    lat = np.array([45.0, -30.0, 10.0, 0.5])
+    mx, my = latlon_to_meters(lat, lon)
+    rows = [(i, wkb.point(mx[i], my[i])) for i in range(4)]
+    src = str(tmp_path / "mvt_src")
+    spark.createDataFrame(rows, "fid long, geom binary") \
+        .repartition(2).write.parquet(src)
+
+    stream = spark.readStream.schema("fid long, geom binary").parquet(src)
+    out = str(tmp_path / "mvt_tiles")
+    q = sgeo.stream_mvt_sink(stream, out, zoom=2,
+                             checkpoint=str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+    back = _mvt.read_mvt(spark, out).collect()
+    assert sorted(r.fid for r in back) == [0, 1, 2, 3]
