@@ -4617,3 +4617,31 @@ def q_pq_codes(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     cbs = pq_codebooks(emb, m=8, ksub=16, iters=0)
     return pq_encode(emb, cbs)
+
+
+@_reg("envi_roundtrip", _DENSITY_VALS_SQL.replace(
+    "vals AS (SELECT", "vals AS (SELECT g.x, g.y,") + """
+SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y, v
+FROM vals
+""")
+def q_envi_roundtrip(spark, sf_dir):
+    """ENVI raw-binary round trip (frmts/raw/envidataset.cpp): the 64x64
+    page-density raster writes to a flat BSQ blob + .hdr sidecar through
+    the per-strip pwrite sink and reads back through closed-form
+    byte-range tasks (no per-scanline loop, unlike RawRasterBand); the
+    oracle recomputes every cell from the pages table. float64 binary is
+    bit-exact by construction."""
+    import os
+    import tempfile
+    from .raster.tiles import gdal2xyz
+    from .sources.rawraster import read_envi, write_envi
+
+    t = _density_tiles_full(spark, sf_dir)
+    path = os.path.join(tempfile.gettempdir(),
+                        f"gdal_spark_envi_{os.getpid()}.dat")
+    write_envi(t, path, samples=64, lines=64, dtype="f8", tile=8)
+    back, _ = read_envi(spark, path, tile=8)
+    rows = gdal2xyz(back, tile=8)
+    return rows.select(F.col("x").cast("long").alias("x"),
+                       F.col("y").cast("long").alias("y"),
+                       F.col("value").alias("v"))

@@ -146,7 +146,19 @@ def open_raster(spark, path: str, tile: int = 256, **kwargs):
     if low.endswith(".xyz"):
         from .xyzraster import read_xyz
         return read_xyz(spark, path, tile=tile, **kwargs)[0]
+    if low.endswith((".dat", ".img", ".bsq", ".bip")) or (
+            low.endswith(".hdr") and _is_envi_hdr(path)):
+        from .rawraster import read_envi
+        return read_envi(spark, path, tile=tile, **kwargs)[0]
+    if low.endswith((".bil", ".flt")) or low.endswith(".hdr"):
+        from .rawraster import read_ehdr
+        return read_ehdr(spark, path, tile=tile, **kwargs)[0]
     raise ValueError(f"no raster driver recognizes {path!r}")
+
+
+def _is_envi_hdr(path: str) -> bool:
+    with open(path, "rb") as f:
+        return f.read(4) == b"ENVI"
 
 
 def save_vector(df, path: str, geom_col: str = "geom", **kwargs):

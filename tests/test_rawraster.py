@@ -1,0 +1,92 @@
+"""ENVI / ESRI EHdr raw-binary raster drivers (frmts/raw/envidataset.cpp,
+frmts/raw/ehdrdataset.cpp)."""
+
+import numpy as np
+
+from gdal_spark.raster.tiles import raster_to_tiles, tiles_to_raster
+from gdal_spark.sources.rawraster import (parse_envi_header, read_ehdr,
+                                          read_envi, write_ehdr, write_envi)
+
+
+def _demo(h, w, dtype="f8", seed=0):
+    rng = np.random.RandomState(seed)
+    if np.dtype(dtype).kind == "f":
+        return (rng.randn(h, w) * 100).astype(dtype)
+    info = np.iinfo(dtype)
+    return rng.randint(info.min, info.max, (h, w)).astype(dtype)
+
+
+def test_envi_bsq_roundtrip_multiband(spark, tmp_path):
+    path = str(tmp_path / "cube.dat")
+    b1, b2, b3 = (_demo(90, 75, "f4", s) for s in (1, 2, 3))
+    tiles = raster_to_tiles(spark, b1, band=1, tile=32).unionByName(
+        raster_to_tiles(spark, b2, band=2, tile=32)).unionByName(
+        raster_to_tiles(spark, b3, band=3, tile=32))
+    write_envi(tiles, path, samples=75, lines=90, bands=3, dtype="f4",
+               tile=32, nodata=-1.0, map_info="UTM, 1, 1, 0, 0, 30, 30")
+    meta = parse_envi_header(str(tmp_path / "cube.hdr"))
+    assert meta["interleave"] == "bsq" and int(meta["bands"]) == 3
+    assert meta["map info"].startswith("UTM")
+    back, _ = read_envi(spark, path, tile=32)
+    for b, arr in ((1, b1), (2, b2), (3, b3)):
+        got = tiles_to_raster(back.where(f"band = {b}"), tile=32)
+        np.testing.assert_array_equal(got[:90, :75], arr)
+
+
+def test_envi_dtypes_and_hdr_entry(spark, tmp_path):
+    for dtype in ("u1", "i2", "u2", "i4", "f8"):
+        path = str(tmp_path / f"t_{dtype}.img")
+        arr = _demo(40, 40, dtype)
+        write_envi(raster_to_tiles(spark, arr, tile=16), path,
+                   samples=40, lines=40, dtype=dtype, tile=16)
+        # open via the .hdr sidecar too
+        back, _ = read_envi(spark, str(tmp_path / f"t_{dtype}.hdr"), tile=16)
+        got = tiles_to_raster(back, tile=16)
+        assert got.dtype == np.dtype(dtype)
+        np.testing.assert_array_equal(got[:40, :40], arr)
+
+
+def test_envi_bil_bip_and_byteswap(spark, tmp_path):
+    # hand-build BIL / BIP / big-endian files; reader must deinterleave
+    h, w, nb = 13, 21, 2
+    b1, b2 = _demo(h, w, "i2", 5), _demo(h, w, "i2", 6)
+    cube = np.stack([b1, b2])                     # (band, row, col)
+    for inter, order in [("bil", 0), ("bip", 0), ("bsq", 1)]:
+        raw = str(tmp_path / f"x_{inter}_{order}.dat")
+        if inter == "bil":
+            blob = cube.transpose(1, 0, 2)        # (row, band, col)
+        elif inter == "bip":
+            blob = cube.transpose(1, 2, 0)        # (row, col, band)
+        else:
+            blob = cube
+        data = blob.astype(">i2" if order else "<i2").tobytes()
+        with open(raw, "wb") as f:
+            f.write(b"\x00" * 7)                  # header offset 7
+            f.write(data)
+        with open(raw + ".hdr", "w") as f:
+            f.write("ENVI\nsamples = %d\nlines = %d\nbands = %d\n"
+                    "header offset = 7\ndata type = 2\n"
+                    "interleave = %s\nbyte order = %d\n"
+                    % (w, h, nb, inter, order))
+        back, meta = read_envi(spark, raw, tile=8)
+        for b, arr in ((1, b1), (2, b2)):
+            got = tiles_to_raster(back.where(f"band = {b}"), tile=8)
+            np.testing.assert_array_equal(got[:h, :w], arr,
+                                          err_msg=f"{inter} order={order}")
+
+
+def test_ehdr_roundtrip_and_nodata(spark, tmp_path):
+    path = str(tmp_path / "dem.bil")
+    arr = _demo(64, 48, "f4", 9)
+    arr[5, 7] = -9999.0
+    write_ehdr(raster_to_tiles(spark, arr, tile=32, nodata=-9999.0), path,
+               samples=48, lines=64, dtype="f4", tile=32,
+               ulx=100.0, uly=200.0, dx=0.5, dy=0.5, nodata=-9999.0)
+    hdr = (tmp_path / "dem.hdr").read_text()
+    assert "PIXELTYPE FLOAT" in hdr and "NBITS 32" in hdr
+    back, meta = read_ehdr(spark, path, tile=32)
+    assert float(meta["NODATA"]) == -9999.0
+    got = tiles_to_raster(back, tile=32)
+    np.testing.assert_array_equal(got[:64, :48], arr)
+    # nodata propagates onto the tile table
+    assert back.where("nodata = -9999.0").count() == back.count()
