@@ -554,3 +554,51 @@ def span_dedup(docs: DataFrame, k: int = 8, min_count: int = 2
         F.coalesce("text", F.lit("")).alias("text"),
         (F.col("_nw") - F.coalesce("n_kept", F.lit(0)))
         .alias("n_removed"))
+
+
+C4_POLICY_PHRASES = ("terms of use", "privacy policy", "cookie policy",
+                     "uses cookies")
+
+
+def c4_filters(docs: DataFrame, min_words: int = 5,
+               min_lines: int = 3, text_col: str = "text") -> DataFrame:
+    """C4 cleaning heuristics (Raffel et al. 2020 §2.2, the public C4
+    recipe) as pure JVM column math — no UDF, no shuffle beyond the scan:
+
+      line level — keep a line only if it (a) ends in terminal
+      punctuation (``. ! ? "``), (b) has >= `min_words` space-separated
+      tokens, (c) does not contain the token ``javascript``, and (d)
+      mentions no policy boilerplate phrase (terms of use / privacy
+      policy / cookie policy / uses cookies);
+
+      page level — drop the whole page if it contains ``lorem ipsum``
+      or a curly brace ``{`` anywhere, or if fewer than `min_lines`
+      lines survive the line filters.
+
+    Returns (doc_id, n_lines, n_kept, keep, text) where `text` is the
+    surviving lines rejoined by newline ('' for dropped pages). At 100 TB
+    this is a map-only pass: higher-order array functions over the split
+    lines, whole-stage codegen end to end."""
+    lines = F.split(F.col(text_col), "\n")
+
+    def _keep_line(ln):
+        low = F.lower(ln)
+        pol = F.lit(False)
+        for p in C4_POLICY_PHRASES:
+            pol = pol | low.contains(p)
+        js = F.array_contains(F.split(low, " "), "javascript")
+        return (ln.rlike('[.!?"]$')
+                & (F.size(F.split(ln, " ")) >= min_words) & ~js & ~pol)
+
+    kept = F.filter(lines, _keep_line)
+    low_all = F.lower(F.col(text_col))
+    clean = (~low_all.contains("lorem ipsum")
+             & ~F.col(text_col).contains("{"))
+    page_keep = clean & (F.size(kept) >= min_lines)
+    return docs.select(
+        "doc_id",
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        page_keep.cast("int").alias("keep"),
+        F.when(page_keep, F.array_join(kept, "\n"))
+         .otherwise(F.lit("")).alias("text"))

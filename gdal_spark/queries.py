@@ -4645,3 +4645,100 @@ def q_envi_roundtrip(spark, sf_dir):
     return rows.select(F.col("x").cast("long").alias("x"),
                        F.col("y").cast("long").alias("y"),
                        F.col("value").alias("v"))
+
+
+@_reg("c4_filters", """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+ln AS (SELECT doc_id, i AS li,
+              array_to_string(ws[i*8+1 : i*8+8], ' ') AS b0
+       FROM d, unnest(generate_series(
+                0, CAST(ceil(len(ws) / 8.0) AS BIGINT) - 1)) AS t(i)),
+l6 AS (SELECT doc_id, li,
+  (CASE WHEN doc_id % 43 = 0 AND li = 2 THEN
+     (CASE WHEN doc_id % 37 = 0 AND li = 1 THEN
+        (CASE WHEN doc_id % 41 = 0 AND li = 0 THEN
+           (CASE WHEN (doc_id + 3*li) % 13 = 0
+                 THEN 'javascript ' || b0 ELSE b0 END) || ' lorem ipsum'
+         ELSE (CASE WHEN (doc_id + 3*li) % 13 = 0
+                    THEN 'javascript ' || b0 ELSE b0 END) END) || ' {'
+      ELSE (CASE WHEN doc_id % 41 = 0 AND li = 0 THEN
+              (CASE WHEN (doc_id + 3*li) % 13 = 0
+                    THEN 'javascript ' || b0 ELSE b0 END) || ' lorem ipsum'
+            ELSE (CASE WHEN (doc_id + 3*li) % 13 = 0
+                       THEN 'javascript ' || b0 ELSE b0 END) END) END)
+   || ' see our privacy policy'
+   ELSE
+  (CASE WHEN doc_id % 37 = 0 AND li = 1 THEN
+     (CASE WHEN doc_id % 41 = 0 AND li = 0 THEN
+        (CASE WHEN (doc_id + 3*li) % 13 = 0
+              THEN 'javascript ' || b0 ELSE b0 END) || ' lorem ipsum'
+      ELSE (CASE WHEN (doc_id + 3*li) % 13 = 0
+                 THEN 'javascript ' || b0 ELSE b0 END) END) || ' {'
+   ELSE (CASE WHEN doc_id % 41 = 0 AND li = 0 THEN
+           (CASE WHEN (doc_id + 3*li) % 13 = 0
+                 THEN 'javascript ' || b0 ELSE b0 END) || ' lorem ipsum'
+         ELSE (CASE WHEN (doc_id + 3*li) % 13 = 0
+                    THEN 'javascript ' || b0 ELSE b0 END) END) END) END)
+  || (CASE WHEN (doc_id + li) % 5 <= 2 THEN '.'
+           WHEN (doc_id + li) % 5 = 3 THEN '!' ELSE '' END) AS line
+  FROM ln),
+f AS (SELECT doc_id, li, line,
+        ((line LIKE '%.' OR line LIKE '%!' OR line LIKE '%?'
+          OR line LIKE '%"')
+         AND len(string_split(line, ' ')) >= 5
+         AND NOT list_contains(string_split(lower(line), ' '), 'javascript')
+         AND NOT (lower(line) LIKE '%terms of use%'
+                  OR lower(line) LIKE '%privacy policy%'
+                  OR lower(line) LIKE '%cookie policy%'
+                  OR lower(line) LIKE '%uses cookies%')) AS kl
+      FROM l6),
+pg AS (SELECT doc_id,
+         count(*) AS n_lines,
+         sum(CASE WHEN kl THEN 1 ELSE 0 END) AS n_kept,
+         (sum(CASE WHEN lower(line) LIKE '%lorem ipsum%' THEN 1 ELSE 0 END) = 0
+          AND sum(CASE WHEN line LIKE '%{%' THEN 1 ELSE 0 END) = 0) AS clean,
+         COALESCE(string_agg(CASE WHEN kl THEN line END,
+                             chr(10) ORDER BY li), '') AS ktext
+       FROM f GROUP BY doc_id)
+SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+       CAST(n_kept AS BIGINT) AS n_kept,
+       CAST(CASE WHEN clean AND n_kept >= 3 THEN 1 ELSE 0 END
+            AS INTEGER) AS keep,
+       CASE WHEN clean AND n_kept >= 3 THEN ktext ELSE '' END AS text
+FROM pg
+""")
+def q_c4_filters(spark, sf_dir):
+    """C4 cleaning heuristics (Raffel et al. 2020 §2.2): terminal
+    punctuation, >=5-word lines, javascript-line drop, policy-phrase
+    drop, lorem-ipsum / curly-brace / <3-sentence page drops. The
+    synthetic documents are first "webified" deterministically — 8-word
+    lines with (doc_id+line)-derived punctuation and injected javascript
+    / lorem ipsum / '{' / privacy-policy markers — by the SAME closed
+    form in Spark and the DuckDB oracle, then filtered by
+    textops.c4_filters (pure JVM column math, map-only)."""
+    docs = _t(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    nl = F.ceil(F.size(ws) / F.lit(8.0)).cast("int")
+    did = F.col("doc_id")
+
+    def mk(i):
+        body = F.array_join(F.slice(ws, i * 8 + 1, 8), " ")
+        body = F.when((did + 3 * i) % 13 == 0,
+                      F.concat(F.lit("javascript "), body)).otherwise(body)
+        body = F.when((did % 41 == 0) & (i == 0),
+                      F.concat(body, F.lit(" lorem ipsum"))).otherwise(body)
+        body = F.when((did % 37 == 0) & (i == 1),
+                      F.concat(body, F.lit(" {"))).otherwise(body)
+        body = F.when((did % 43 == 0) & (i == 2),
+                      F.concat(body, F.lit(" see our privacy policy"))
+                      ).otherwise(body)
+        m = (did + i) % 5
+        return F.concat(body, F.when(m <= 2, F.lit("."))
+                              .when(m == 3, F.lit("!"))
+                              .otherwise(F.lit("")))
+
+    web = docs.select(
+        "doc_id",
+        F.array_join(F.transform(F.sequence(F.lit(0), nl - 1), mk),
+                     "\n").alias("text"))
+    return textops.c4_filters(web)

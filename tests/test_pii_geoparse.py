@@ -103,3 +103,37 @@ def test_span_dedup_overlapping_spans(spark):
            textops.span_dedup(df, k=4).collect()}
     assert out[1].text == "tail" and out[1].n_removed == 5
     assert out[2].text == "head" and out[2].n_removed == 5
+
+
+def test_c4_filters_rules(spark):
+    """Each C4 rule individually (Raffel et al. 2020 section 2.2)."""
+    from gdal_spark.operators.textops import c4_filters
+    mk = "\n".join
+    docs = spark.createDataFrame([
+        # kept page: 3 good lines
+        (1, mk(["one two three four five.", "a b c d e f!",
+                'quote one two three four"', "short line."])),
+        # javascript line drops, page still has 3 good lines
+        (2, mk(["one two three four five.", "javascript a b c d e.",
+                "a b c d e f!", "x y z w v."])),
+        # lorem ipsum anywhere kills the page
+        (3, mk(["one two three four five.", "has lorem ipsum inside.",
+                "a b c d e f!", "x y z w v."])),
+        # curly brace kills the page
+        (4, mk(["one two three four five.", "code { block.",
+                "a b c d e f!", "x y z w v."])),
+        # policy phrase drops its line -> only 2 survive -> page dropped
+        (5, mk(["one two three four five.", "see our privacy policy now.",
+                "a b c d e f!"])),
+        # no terminal punctuation -> lines dropped
+        (6, mk(["one two three four five", "a b c d e f",
+                "g h i j k l", "m n o p q."])),
+    ], "doc_id long, text string")
+    out = {r.doc_id: r for r in c4_filters(docs).collect()}
+    assert out[1].keep == 1 and out[1].n_kept == 3
+    assert "short line." not in out[1].text          # < 5 words
+    assert out[2].keep == 1 and "javascript" not in out[2].text
+    assert out[3].keep == 0 and out[3].text == ""
+    assert out[4].keep == 0
+    assert out[5].keep == 0 and out[5].n_kept == 2   # policy line dropped
+    assert out[6].keep == 0 and out[6].n_kept == 1
