@@ -602,3 +602,68 @@ def c4_filters(docs: DataFrame, min_words: int = 5,
         page_keep.cast("int").alias("keep"),
         F.when(page_keep, F.array_join(kept, "\n"))
          .otherwise(F.lit("")).alias("text"))
+
+
+BLOOM_M_BITS = 1 << 20       # filter size (bits)
+BLOOM_K = 3                  # hash functions per element
+
+
+def _bloom_positions(docs: DataFrame, k_hashes: int, m_bits: int,
+                     shingle_k: int) -> DataFrame:
+    """(doc_id, sh, pos) — the k Bloom bit positions of every word
+    k-shingle, via the same (h1 + j*h2) universal-hash family MinHash
+    uses (two md5s per shingle, k positions for free)."""
+    sh = shingles(docs, shingle_k).dropDuplicates(["doc_id", "sh"])
+    h1 = F.conv(F.substring(F.md5("sh"), 1, 7), 16, 10).cast("long")
+    h2 = F.conv(F.substring(F.md5("sh"), 9, 7), 16, 10).cast("long")
+    ps = F.array(*[(h1 + j * h2) % m_bits for j in range(k_hashes)])
+    return sh.select("doc_id", "sh", F.explode(ps).alias("pos"))
+
+
+def bloom_build(docs: DataFrame, k_hashes: int = BLOOM_K,
+                m_bits: int = BLOOM_M_BITS,
+                shingle_k: int = 5) -> DataFrame:
+    """Distributed Bloom filter over a corpus's word shingles.
+
+    The bitmap is never materialized on the driver: bit positions pack
+    into 32-bit words ((pos div 32) -> bit_or of (1 << pos%32)) and the
+    aggregation is a partial-combine groupBy — the filter comes back as a
+    DataFrame of at most m_bits/32 (word_idx, w) rows, small enough to
+    broadcast however large the corpus that built it was. 32-bit words
+    keep every mask positive in a BIGINT, so the identical arithmetic
+    runs in any SQL engine (the DuckDB oracle replays it verbatim)."""
+    p = _bloom_positions(docs, k_hashes, m_bits, shingle_k)
+    word = F.expr("pos div 32").alias("word_idx")
+    mask = F.expr("cast(shiftleft(1L, cast(pos % 32 as int)) as bigint)")
+    return (p.select(word, mask.alias("m"))
+             .groupBy("word_idx").agg(F.bit_or("m").alias("w")))
+
+
+def bloom_contaminated(cands: DataFrame, bloom: DataFrame,
+                       k_hashes: int = BLOOM_K, m_bits: int = BLOOM_M_BITS,
+                       shingle_k: int = 5) -> DataFrame:
+    """Benchmark-decontamination check (the Bloom-filter variant used by
+    large-corpus training pipelines): flag every candidate document whose
+    ANY word k-shingle is (probably) present in the reference corpus the
+    filter was built from.
+
+    Per candidate shingle the k bit positions broadcast-join the bloom's
+    word table; a shingle "hits" iff all k bits are set. Map-only over
+    the candidate corpus + one broadcast hash join — no shuffle of
+    candidate data, no driver bitmap; false positives are the Bloom
+    trade-off (rate (1-e^{-kn/m})^k) and are bit-reproducible here."""
+    from pyspark.sql.functions import broadcast
+
+    p = _bloom_positions(cands, k_hashes, m_bits, shingle_k)
+    p = p.withColumn("word_idx", F.expr("pos div 32")) \
+         .withColumn("m", F.expr(
+             "cast(shiftleft(1L, cast(pos % 32 as int)) as bigint)"))
+    j = p.join(broadcast(bloom), "word_idx", "left")
+    hit = (F.col("w").isNotNull()
+           & (F.col("w").bitwiseAND(F.col("m")) == F.col("m"))).cast("int")
+    grams = (j.groupBy("doc_id", "sh")
+              .agg((F.sum(hit) == k_hashes).cast("int").alias("g_in")))
+    return (grams.groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_grams"),
+                 F.sum("g_in").cast("long").alias("n_hit_grams"),
+                 F.max("g_in").cast("int").alias("contaminated")))

@@ -4742,3 +4742,52 @@ def q_c4_filters(spark, sf_dir):
         F.array_join(F.transform(F.sequence(F.lit(0), nl - 1), mk),
                      "\n").alias("text"))
     return textops.c4_filters(web)
+
+
+@_reg("bloom_decontam", """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+shc AS (SELECT DISTINCT doc_id,
+               ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+               ws[i+3] || ' ' || ws[i+4] AS sh
+        FROM d, unnest(generate_series(1, len(ws) - 4)) AS t(i)
+        WHERE len(ws) >= 5),
+cph AS (SELECT ('0x' || substr(md5(sh), 1, 7))::BIGINT AS h1,
+               ('0x' || substr(md5(sh), 9, 7))::BIGINT AS h2
+        FROM shc WHERE doc_id % 2 = 0),
+cpp AS (SELECT ((h1 + j * h2) % 1048576) AS pos
+        FROM cph, unnest([0, 1, 2]) AS tj(j)),
+bw AS (SELECT pos // 32 AS word_idx,
+              bit_or(1::BIGINT << CAST(pos % 32 AS INTEGER)) AS w
+       FROM cpp GROUP BY 1),
+cah AS (SELECT doc_id, sh,
+               ('0x' || substr(md5(sh), 1, 7))::BIGINT AS h1,
+               ('0x' || substr(md5(sh), 9, 7))::BIGINT AS h2
+        FROM shc WHERE doc_id % 2 = 1),
+cap AS (SELECT doc_id, sh, ((h1 + j * h2) % 1048576) AS pos
+        FROM cah, unnest([0, 1, 2]) AS tj(j)),
+cj AS (SELECT doc_id, sh,
+              (bw.w IS NOT NULL AND
+               (bw.w & (1::BIGINT << CAST(pos % 32 AS INTEGER)))
+                = (1::BIGINT << CAST(pos % 32 AS INTEGER))) AS hit
+       FROM cap LEFT JOIN bw ON cap.pos // 32 = bw.word_idx),
+g AS (SELECT doc_id, sh,
+             CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) = 3 AS INTEGER)
+               AS g_in
+      FROM cj GROUP BY doc_id, sh)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(g_in) AS BIGINT) AS n_hit_grams,
+       CAST(max(g_in) AS INTEGER) AS contaminated
+FROM g GROUP BY doc_id
+""")
+def q_bloom_decontam(spark, sf_dir):
+    """Bloom-filter benchmark decontamination: a distributed Bloom filter
+    (bit_or-aggregated 32-bit words, never a driver bitmap) built over
+    the even-doc half's 5-word shingles; every odd-doc candidate shingle
+    probes it through one broadcast join. (h1+j*h2) universal hashing
+    makes the whole thing bit-reproducible in DuckDB, false positives
+    included."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    cands = docs.where(F.col("doc_id") % 2 == 1)
+    bloom = textops.bloom_build(corpus)
+    return textops.bloom_contaminated(cands, bloom)

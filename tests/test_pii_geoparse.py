@@ -137,3 +137,22 @@ def test_c4_filters_rules(spark):
     assert out[4].keep == 0
     assert out[5].keep == 0 and out[5].n_kept == 2   # policy line dropped
     assert out[6].keep == 0 and out[6].n_kept == 1
+
+
+def test_bloom_decontamination_planted(spark):
+    from gdal_spark.operators.textops import bloom_build, bloom_contaminated
+    corpus = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string")
+    cands = spark.createDataFrame(
+        [(1, "xx alpha beta gamma delta epsilon yy"),   # contains a corpus 5-gram
+         (3, "one two three four five six seven")],     # fresh
+        "doc_id long, text string")
+    bloom = bloom_build(corpus)
+    out = {r.doc_id: r for r in bloom_contaminated(cands, bloom).collect()}
+    assert out[1].contaminated == 1 and out[1].n_hit_grams >= 1
+    assert out[3].contaminated == 0
+    # the membership probe must be a broadcast join (no shuffle of cands)
+    plan = bloom_contaminated(cands, bloom)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
