@@ -4791,3 +4791,93 @@ def q_bloom_decontam(spark, sf_dir):
     cands = docs.where(F.col("doc_id") % 2 == 1)
     bloom = textops.bloom_build(corpus)
     return textops.bloom_contaminated(cands, bloom)
+
+
+@_reg("spatialite_roundtrip", f"""
+{_pts_cte()}
+SELECT doc_id, ROUND(lon, 9) AS lon_r, ROUND(lat, 9) AS lat_r
+FROM pts WHERE doc_id % 11 = 0
+""")
+def q_spatialite_roundtrip(spark, sf_dir):
+    """SpatiaLite driver round-trip (ogr/ogrsf_frmts/sqlite/
+    ogrsqlitelayer.cpp Import/ExportSpatiaLiteGeometry): every 11th page
+    writes into a SpatiaLite feature table (BLOB-Geometry codec: markers
+    + SRID + exact MBR + class body) and reads back through the
+    rowid-range distributed reader; the oracle recomputes the same
+    (doc_id, lon, lat) set from the source table."""
+    import os
+    import tempfile
+    import numpy as np
+    from .core import wkb as _wkb
+    from .sources.spatialite import read_spatialite, write_spatialite
+
+    pts = datagen.points(spark, sf_dir).where(F.col("doc_id") % 11 == 0) \
+        .select("doc_id", "lon", "lat").orderBy("doc_id").collect()
+    path = os.path.join(tempfile.gettempdir(),
+                        f"gdal_spark_slite_{os.getpid()}.sqlite")
+    if os.path.exists(path):
+        os.unlink(path)
+    rows = [(_wkb.encode(_wkb.Geom(_wkb.POINT,
+                                   [np.array([[r.lon, r.lat]])])),
+             {"doc_id": int(r.doc_id)}) for r in pts]
+    write_spatialite(rows, path, table="pages", geometry_type="POINT")
+    out = read_spatialite(spark, path, rows_per_task=64)
+
+    @F.pandas_udf("double")
+    def px(geom):
+        import pandas as pd
+        return pd.Series([_wkb.decode(bytes(b)).rings[0][0][0]
+                          for b in geom])
+
+    @F.pandas_udf("double")
+    def py(geom):
+        import pandas as pd
+        return pd.Series([_wkb.decode(bytes(b)).rings[0][0][1]
+                          for b in geom])
+
+    return out.select(F.col("doc_id"),
+                      F.round(px("geom"), 9).alias("lon_r"),
+                      F.round(py("geom"), 9).alias("lat_r"))
+
+
+@_reg("mif_roundtrip", f"""
+{_pts_cte()}
+SELECT doc_id, ROUND(lon, 9) AS lon_r, ROUND(lat, 9) AS lat_r
+FROM pts WHERE doc_id % 17 = 0
+""")
+def q_mif_roundtrip(spark, sf_dir):
+    """MapInfo MIF/MID round trip (ogr/ogrsf_frmts/mitab/
+    mitab_miffile.cpp): every 17th page writes to a .mif/.mid pair and
+    reads back through the keyword-scan byte-range distributed parser;
+    the oracle recomputes the same (doc_id, lon, lat) set."""
+    import os
+    import tempfile
+    import numpy as np
+    from .core import wkb as _wkb
+    from .sources.mif import read_mif, write_mif
+
+    pts = datagen.points(spark, sf_dir).where(F.col("doc_id") % 17 == 0) \
+        .select("doc_id", "lon", "lat").orderBy("doc_id").collect()
+    path = os.path.join(tempfile.gettempdir(),
+                        f"gdal_spark_mif_{os.getpid()}.mif")
+    rows = [(_wkb.encode(_wkb.Geom(_wkb.POINT,
+                                   [np.array([[r.lon, r.lat]])])),
+             {"doc_id": int(r.doc_id)}) for r in pts]
+    write_mif(rows, path)
+    out = read_mif(spark, path, features_per_task=16)
+
+    @F.pandas_udf("double")
+    def px(geom):
+        import pandas as pd
+        return pd.Series([_wkb.decode(bytes(b)).rings[0][0][0]
+                          for b in geom])
+
+    @F.pandas_udf("double")
+    def py(geom):
+        import pandas as pd
+        return pd.Series([_wkb.decode(bytes(b)).rings[0][0][1]
+                          for b in geom])
+
+    return out.select(F.col("doc_id"),
+                      F.round(px("geom"), 9).alias("lon_r"),
+                      F.round(py("geom"), 9).alias("lat_r"))

@@ -107,6 +107,12 @@ def open_vector(spark, path: str, **kwargs):
     if low.endswith(".dxf"):
         from .dxf import read_dxf
         return read_dxf(spark, path)
+    if low.endswith((".sqlite", ".db")):
+        from .spatialite import read_spatialite
+        return read_spatialite(spark, path, **kwargs)
+    if low.endswith(".mif"):
+        from .mif import read_mif
+        return read_mif(spark, path, **kwargs)
     if low.endswith((".arrow", ".arrows", ".feather")):
         from .arrow_ipc import read_arrow_ipc
         return read_arrow_ipc(spark, path, **kwargs)[0]
