@@ -4881,3 +4881,85 @@ def q_mif_roundtrip(spark, sf_dir):
     return out.select(F.col("doc_id"),
                       F.round(px("geom"), 9).alias("lon_r"),
                       F.round(py("geom"), 9).alias("lat_r"))
+
+
+@_reg("pmtiles_roundtrip", f"""
+{_pts_cte()},
+m AS (SELECT doc_id,
+        ((lon) * {tilemath.ORIGIN_SHIFT!r} / 180.0) AS mx,
+        (ln(tan((90.0 + (lat)) * pi() / 360.0)) / (pi() / 180.0)
+         * {tilemath.ORIGIN_SHIFT!r} / 180.0) AS my
+      FROM pts WHERE doc_id % 5 = 0),
+uv AS (SELECT doc_id,
+        (mx + {tilemath.ORIGIN_SHIFT!r}) / {_MVT_SPAN!r} AS u,
+        ({tilemath.ORIGIN_SHIFT!r} - my) / {_MVT_SPAN!r} AS v
+       FROM m),
+q AS (SELECT doc_id AS fid,
+       CAST(floor(u) AS BIGINT) AS x, CAST(floor(v) AS BIGINT) AS y,
+       CAST(floor((u - floor(u)) * {_MVT_EXTENT}) AS BIGINT) AS ix,
+       CAST(floor((v - floor(v)) * {_MVT_EXTENT}) AS BIGINT) AS iy
+      FROM uv)
+SELECT fid, x, y,
+       ROUND(-{tilemath.ORIGIN_SHIFT!r}
+             + (x + CAST(ix AS DOUBLE) / {_MVT_EXTENT}) * {_MVT_SPAN!r},
+             6) AS mx_r,
+       ROUND({tilemath.ORIGIN_SHIFT!r}
+             - (y + CAST(iy AS DOUBLE) / {_MVT_EXTENT}) * {_MVT_SPAN!r},
+             6) AS my_r
+FROM q
+""")
+def q_pmtiles_roundtrip(spark, sf_dir):
+    """PMTiles v3 archive round trip (ogr/ogrsf_frmts/pmtiles; protomaps
+    spec v3): every 5th page's point encodes into a z6 MVT tree, packs
+    into ONE .pmtiles archive (Hilbert tile ids, gzip'd varint
+    directories, two-phase distributed pwrite), and reads back through
+    the directory-planned byte-range decoder. The oracle recomputes the
+    Hilbert tile assignment implicitly (x, y survive the id round trip)
+    and the dequantized mercator coordinates closed-form."""
+    import os
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+
+    from .core import wkb as _wkb
+    from .core.tilemath import latlon_to_meters
+    from .sources import mvt as _mvt
+    from .sources.pmtiles import mvt_dir_to_pmtiles, read_pmtiles
+
+    @F.pandas_udf("binary")
+    def mk_geom(lon, lat):
+        mx, my = latlon_to_meters(lat.to_numpy(), lon.to_numpy())
+        return pd.Series(
+            _wkb.encode_points_batch(np.stack([mx, my], axis=1)))
+
+    pts = datagen.points(spark, sf_dir).where(F.col("doc_id") % 5 == 0)
+    df = pts.select(F.col("doc_id").alias("fid"),
+                    mk_geom("lon", "lat").alias("geom"))
+    out = os.path.join(tempfile.gettempdir(),
+                       f"gdal_spark_pmt_{os.getpid()}_"
+                       f"{abs(hash(sf_dir)) % 10**8}")
+    shutil.rmtree(out, ignore_errors=True)
+    _mvt.write_mvt(df, out, zoom=_MVT_Z, layer="pages",
+                   extent=_MVT_EXTENT).collect()
+    _mvt.write_metadata(out, "pages", _MVT_Z)
+    arch = out + ".pmtiles"
+    if os.path.exists(arch):
+        os.unlink(arch)
+    mvt_dir_to_pmtiles(spark, out, arch)
+    back, _hdr = read_pmtiles(spark, arch)
+
+    @F.pandas_udf("double")
+    def gx(geom):
+        return pd.Series([_wkb.decode(bytes(b)).rings[0][0][0]
+                          for b in geom])
+
+    @F.pandas_udf("double")
+    def gy(geom):
+        return pd.Series([_wkb.decode(bytes(b)).rings[0][0][1]
+                          for b in geom])
+
+    return back.select("fid", "x", "y",
+                       F.round(gx("geom"), 6).alias("mx_r"),
+                       F.round(gy("geom"), 6).alias("my_r"))
