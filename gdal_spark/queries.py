@@ -4963,3 +4963,30 @@ def q_pmtiles_roundtrip(spark, sf_dir):
     return back.select("fid", "x", "y",
                        F.round(gx("geom"), 6).alias("mx_r"),
                        F.round(gy("geom"), 6).alias("my_r"))
+
+
+@_reg("bmp_roundtrip", _DENSITY_VALS_SQL.replace(
+    "vals AS (SELECT", "vals AS (SELECT g.x, g.y,") + """
+SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+       CAST(CAST(v AS BIGINT) % 256 AS DOUBLE) AS v
+FROM vals
+""")
+def q_bmp_roundtrip(spark, sf_dir):
+    """BMP round trip (frmts/bmp/bmpdataset.cpp): the page-density raster
+    writes as an 8-bit paletted bottom-up DIB through the per-strip
+    pwrite sink and reads back through closed-form row-offset tasks; the
+    oracle recomputes every cell (mod 256 — the 8-bit container)."""
+    import os
+    import tempfile
+    from .raster.tiles import gdal2xyz
+    from .sources.bmp import read_bmp, write_bmp
+
+    t = _density_tiles_full(spark, sf_dir)
+    path = os.path.join(tempfile.gettempdir(),
+                        f"gdal_spark_bmp_{os.getpid()}.bmp")
+    write_bmp(t, path, width=64, height=64, tile=8)
+    back, _ = read_bmp(spark, path, tile=8)
+    rows = gdal2xyz(back, tile=8)
+    return rows.select(F.col("x").cast("long").alias("x"),
+                       F.col("y").cast("long").alias("y"),
+                       F.col("value").cast("double").alias("v"))

@@ -152,6 +152,9 @@ def open_raster(spark, path: str, tile: int = 256, **kwargs):
     if low.endswith(".xyz"):
         from .xyzraster import read_xyz
         return read_xyz(spark, path, tile=tile, **kwargs)[0]
+    if low.endswith(".bmp"):
+        from .bmp import read_bmp
+        return read_bmp(spark, path, tile=tile, **kwargs)[0]
     if low.endswith((".dat", ".img", ".bsq", ".bip")) or (
             low.endswith(".hdr") and _is_envi_hdr(path)):
         from .rawraster import read_envi

@@ -90,3 +90,35 @@ def test_ehdr_roundtrip_and_nodata(spark, tmp_path):
     np.testing.assert_array_equal(got[:64, :48], arr)
     # nodata propagates onto the tile table
     assert back.where("nodata = -9999.0").count() == back.count()
+
+
+def test_bmp_8bit_roundtrip_palette(spark, tmp_path):
+    from gdal_spark.sources.bmp import parse_bmp_header, read_bmp, write_bmp
+    arr = (_demo(50, 33, "f8", 11) % 256).astype("u1").astype("f8")
+    path = str(tmp_path / "g.bmp")
+    pal = np.stack([np.arange(256), 255 - np.arange(256),
+                    np.arange(256) // 2], axis=1).astype(np.uint8)
+    write_bmp(raster_to_tiles(spark, arr, tile=16), path,
+              width=33, height=50, tile=16, palette=pal)
+    m = parse_bmp_header(path)
+    assert m["width"] == 33 and m["height"] == 50 and m["bpp"] == 8
+    np.testing.assert_array_equal(m["palette"], pal)
+    back, _ = read_bmp(spark, path, tile=16)
+    got = tiles_to_raster(back, tile=16)
+    np.testing.assert_array_equal(got[:50, :33].astype("f8"), arr)
+
+
+def test_bmp_24bit_roundtrip(spark, tmp_path):
+    from gdal_spark.sources.bmp import read_bmp, write_bmp
+    path = str(tmp_path / "rgb.bmp")
+    chans = [(_demo(40, 37, "f8", s) % 256).astype("u1") for s in (1, 2, 3)]
+    tiles = None
+    for b, ch in enumerate(chans, start=1):
+        t = raster_to_tiles(spark, ch.astype("f8"), band=b, tile=16)
+        tiles = t if tiles is None else tiles.unionByName(t)
+    write_bmp(tiles, path, width=37, height=40, bands=3, tile=16)
+    back, m = read_bmp(spark, path, tile=16)
+    assert m["bpp"] == 24
+    for b, ch in enumerate(chans, start=1):
+        got = tiles_to_raster(back.where(f"band = {b}"), tile=16)
+        np.testing.assert_array_equal(got[:40, :37], ch)
