@@ -471,6 +471,14 @@ def _assemble_rings(x0, y0, x1, y1, connect: int = 4):
     polygonizer emits for corner-touching lobes (and the only choice that
     keeps 8-connected diagonal pairs in one ring)."""
     n = len(x0)
+    # Canonicalize: the walk's ring starting vertices (and therefore the
+    # WKB bytes) must not depend on shuffle arrival order — AQE can hand
+    # the same component's edges to applyInPandas in a different row
+    # order between runs. Lexsorting the segments first makes the output
+    # bytes a pure function of the edge SET.
+    order = np.lexsort((y1, x1, y0, x0))
+    x0, y0 = np.asarray(x0)[order], np.asarray(y0)[order]
+    x1, y1 = np.asarray(x1)[order], np.asarray(y1)[order]
     outgoing: dict = {}
     for i in range(n):
         outgoing.setdefault((int(x0[i]), int(y0[i])), []).append(i)
