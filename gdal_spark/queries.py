@@ -4990,3 +4990,65 @@ def q_bmp_roundtrip(spark, sf_dir):
     return rows.select(F.col("x").cast("long").alias("x"),
                        F.col("y").cast("long").alias("y"),
                        F.col("value").cast("double").alias("v"))
+
+
+@_reg("jsonfg_roundtrip", f"""
+{_pts_cte()}
+SELECT doc_id, ROUND(lon, 9) AS lon_r, ROUND(lat, 9) AS lat_r,
+       strftime(DATE '2024-01-01' + INTERVAL (doc_id % 28) DAY,
+                '%Y-%m-%d') AS t0,
+       strftime(DATE '2024-01-01' + INTERVAL (doc_id % 28 + 3) DAY,
+                '%Y-%m-%d') AS t1
+FROM pts WHERE doc_id % 19 = 0
+""")
+def q_jsonfg_roundtrip(spark, sf_dir):
+    """OGC JSON-FG round trip (ogr/ogrsf_frmts/jsonfg; OGC 21-045):
+    every 19th page writes as newline-delimited JSON-FG with a
+    non-WGS84 place (coordRefSys) and a time interval, reads back
+    through the distributed per-line parser; the oracle recomputes
+    coordinates and both interval endpoints."""
+    import os
+    import shutil
+    import tempfile
+    import numpy as np
+    import pandas as pd
+    from .core import wkb as _wkb
+    from .sources.jsonfg import read_jsonfg, write_jsonfg
+
+    pts = datagen.points(spark, sf_dir).where(F.col("doc_id") % 19 == 0)
+
+    @F.pandas_udf("binary")
+    def mk(lon, lat):
+        return pd.Series(_wkb.encode_points_batch(
+            np.stack([lon.to_numpy(), lat.to_numpy()], axis=1)))
+
+    df = pts.select(
+        F.col("doc_id").alias("fid"), mk("lon", "lat").alias("geom"),
+        F.date_format(F.date_add(F.lit("2024-01-01"),
+                                 (F.col("doc_id") % 28).cast("int")),
+                      "yyyy-MM-dd").alias("t0"),
+        F.date_format(F.date_add(F.lit("2024-01-01"),
+                                 (F.col("doc_id") % 28 + 3).cast("int")),
+                      "yyyy-MM-dd").alias("t1"),
+        F.to_json(F.struct(F.col("doc_id"))).alias("props"))
+    out = os.path.join(tempfile.gettempdir(),
+                       f"gdal_spark_jsonfg_{os.getpid()}")
+    shutil.rmtree(out, ignore_errors=True)
+    write_jsonfg(df, out, crs="[EPSG:4326]", time_cols=("t0", "t1"))
+    back = read_jsonfg(spark, out + "/part-*")
+
+    @F.pandas_udf("double")
+    def gx(geom):
+        return pd.Series([_wkb.decode(bytes(b)).rings[0][0][0]
+                          for b in geom])
+
+    @F.pandas_udf("double")
+    def gy(geom):
+        return pd.Series([_wkb.decode(bytes(b)).rings[0][0][1]
+                          for b in geom])
+
+    return back.select(
+        F.get_json_object("props", "$.doc_id").cast("long").alias("doc_id"),
+        F.round(gx("geom"), 9).alias("lon_r"),
+        F.round(gy("geom"), 9).alias("lat_r"),
+        F.col("time_start").alias("t0"), F.col("time_end").alias("t1"))

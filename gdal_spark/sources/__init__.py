@@ -113,6 +113,9 @@ def open_vector(spark, path: str, **kwargs):
     if low.endswith(".mif"):
         from .mif import read_mif
         return read_mif(spark, path, **kwargs)
+    if low.endswith(".jsonfg"):
+        from .jsonfg import read_jsonfg
+        return read_jsonfg(spark, path)
     if low.endswith((".arrow", ".arrows", ".feather")):
         from .arrow_ipc import read_arrow_ipc
         return read_arrow_ipc(spark, path, **kwargs)[0]

@@ -181,3 +181,57 @@ def test_vsizip_shapefile_and_geojsonl(spark, tmp_path):
         z.write(str(tmp_path / "f.geojsonl"), "f.geojsonl")
     df = open_vector(spark, f"/vsizip/{zp2}/f.geojsonl")
     assert df.count() == 3
+
+
+def test_jsonfg_roundtrip_place_and_time(spark, tmp_path):
+    """JSON-FG (OGC 21-045; ogr/ogrsf_frmts/jsonfg): place/coordRefSys,
+    time instants and intervals, fid preservation."""
+    import json
+
+    import numpy as np
+
+    from gdal_spark.core import wkb as W
+    from gdal_spark.sources.jsonfg import read_jsonfg, write_jsonfg
+
+    pts = [(i, W.encode(W.Geom(W.POINT,
+                               [np.array([[i * 10.0, -i * 5.0]])])),
+            f"2024-01-0{i + 1}", f"2024-02-0{i + 1}",
+            json.dumps({"name": f"f{i}"}))
+           for i in range(4)]
+    df = spark.createDataFrame(
+        pts, "fid long, geom binary, t0 string, t1 string, props string")
+    out = str(tmp_path / "fg")
+    write_jsonfg(df, out, crs="[EPSG:3857]", time_cols=("t0", "t1"))
+    import glob
+    lines = []
+    for p in sorted(glob.glob(out + "/part-*")):
+        with open(p) as f:
+            lines += [json.loads(ln) for ln in f if ln.strip()]
+    assert all(ft["geometry"] is None for ft in lines)
+    assert all(ft["place"]["coordRefSys"] == "[EPSG:3857]" for ft in lines)
+    assert all(ft["time"]["interval"][0].startswith("2024-01")
+               for ft in lines)
+
+    back = read_jsonfg(spark, out + "/part-*").collect()
+    assert len(back) == 4
+    by = {r.fid: r for r in back}
+    for i in range(4):
+        g = W.decode(bytes(by[i].geom))
+        assert g.rings[0][0][0] == i * 10.0
+        assert by[i].coord_ref_sys == "[EPSG:3857]"
+        assert by[i].time_start == f"2024-01-0{i + 1}"
+        assert by[i].time_end == f"2024-02-0{i + 1}"
+        assert by[i].geom_wgs84 is None
+
+    # instant flavor + FeatureCollection document read
+    doc = {"type": "FeatureCollection", "conformsTo": ["[ogc-json-fg-1]"],
+           "features": [{"type": "Feature", "id": 7,
+                         "geometry": {"type": "Point",
+                                      "coordinates": [1.0, 2.0]},
+                         "time": {"date": "2020-05-05"},
+                         "properties": {"a": 1}}]}
+    p2 = tmp_path / "doc.json"
+    p2.write_text(json.dumps(doc))
+    r = read_jsonfg(spark, str(p2)).collect()[0]
+    assert r.fid == 7 and r.time_start == "2020-05-05" == r.time_end
+    assert W.decode(bytes(r.geom)).rings[0][0][1] == 2.0
