@@ -5052,3 +5052,60 @@ def q_jsonfg_roundtrip(spark, sf_dir):
         F.round(gx("geom"), 9).alias("lon_r"),
         F.round(gy("geom"), 9).alias("lat_r"),
         F.col("time_start").alias("t0"), F.col("time_end").alias("t1"))
+
+
+@_reg("ogrmerge_tindex", f"""
+{_pts_cte()},
+s AS (SELECT doc_id % 3 AS split, lon, lat FROM pts)
+SELECT CAST(split AS BIGINT) AS split, CAST(count(*) AS BIGINT) AS n,
+       ROUND(min(lon), 9) AS minx, ROUND(min(lat), 9) AS miny,
+       ROUND(max(lon), 9) AS maxx, ROUND(max(lat), 9) AS maxy
+FROM s GROUP BY 1
+""")
+def q_ogrmerge_tindex(spark, sf_dir):
+    """ogrmerge + ogrtindex twins (apps/ogrmerge.py, apps/ogrtindex.cpp):
+    the pages split into three GeoJSONSeq datasets; ogrmerge unions them
+    back through Open() with a source tag (per-source feature counts)
+    and ogrtindex computes each dataset's extent by distributed envelope
+    aggregation. The oracle recomputes both per split."""
+    import os
+    import shutil
+    import tempfile
+    import numpy as np
+    import pandas as pd
+    from .core import wkb as _wkb
+    from .operators.ogrutils import ogrmerge, ogrtindex
+    from .sources.geojson import write_geojson_seq
+
+    pts = datagen.points(spark, sf_dir)
+
+    @F.pandas_udf("binary")
+    def mk(lon, lat):
+        return pd.Series(_wkb.encode_points_batch(
+            np.stack([lon.to_numpy(), lat.to_numpy()], axis=1)))
+
+    base = os.path.join(tempfile.gettempdir(),
+                        f"gdal_spark_omrg_{os.getpid()}")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
+    paths = []
+    for s in range(3):
+        p = os.path.join(base, f"split{s}.geojsonl")
+        write_geojson_seq(
+            pts.where(F.col("doc_id") % 3 == s)
+               .select(F.col("doc_id").alias("fid"),
+                       mk("lon", "lat").alias("geom")),
+            p, props_col=None)
+        paths.append(p)
+
+    merged = ogrmerge(spark, paths)
+    counts = merged.groupBy("source_ds").agg(
+        F.count("*").cast("long").alias("n"))
+    idx = ogrtindex(spark, paths)
+    j = counts.join(idx, counts.source_ds == idx.LOCATION)
+    split = F.regexp_extract("source_ds", r"split(\d)", 1).cast("long")
+    return j.select(split.alias("split"), "n",
+                    F.round("minx", 9).alias("minx"),
+                    F.round("miny", 9).alias("miny"),
+                    F.round("maxx", 9).alias("maxx"),
+                    F.round("maxy", 9).alias("maxy"))

@@ -65,3 +65,36 @@ def test_geocoder_forward_reverse(spark):
     assert (r.x, r.y) == (2.35, 48.85)
     assert r.miss is None
     assert r.near_oslo == "Oslo" and r.near_lima == "Lima"
+
+
+def test_ogrmerge_schema_harmonize_and_tindex_bbox(spark, tmp_path):
+    """ogrmerge unions mismatched schemas null-filled; ogrtindex emits a
+    closed bbox ring per source (apps/ogrmerge.py, apps/ogrtindex.cpp)."""
+    import numpy as np
+
+    from gdal_spark.core import wkb as W
+    from gdal_spark.operators.ogrutils import ogrmerge, ogrtindex
+    from gdal_spark.sources.csv_wkt import write_csv_wkt
+
+    a = spark.createDataFrame(
+        [(1, W.encode(W.Geom(W.POINT, [np.array([[0.0, 0.0]])])), "x")],
+        "fid long, geom binary, name string")
+    b = spark.createDataFrame(
+        [(2, W.encode(W.Geom(W.POINT, [np.array([[10.0, 5.0]])])), 7.5)],
+        "fid long, geom binary, score double")
+    pa, pb = str(tmp_path / "a.csv"), str(tmp_path / "b.csv")
+    write_csv_wkt(a, pa)
+    write_csv_wkt(b, pb)
+    m = ogrmerge(spark, [pa, pb]).collect()
+    assert len(m) == 2
+    rows = {r.fid: r for r in m}
+    assert rows[1].name == "x" and rows[1].score is None
+    assert rows[2].score == 7.5 and rows[2].name is None
+    assert rows[1].source_ds.endswith("a.csv")
+
+    idx = {r.LOCATION.split("/")[-1]: r
+           for r in ogrtindex(spark, [pa, pb]).collect()}
+    g = W.decode(bytes(idx["b.csv"].geom))
+    assert idx["b.csv"].minx == 10.0 and idx["b.csv"].maxy == 5.0
+    assert len(g.rings[0]) == 5 and np.array_equal(g.rings[0][0],
+                                                   g.rings[0][-1])
