@@ -667,3 +667,42 @@ def bloom_contaminated(cands: DataFrame, bloom: DataFrame,
             .agg(F.count("*").cast("long").alias("n_grams"),
                  F.sum("g_in").cast("long").alias("n_hit_grams"),
                  F.max("g_in").cast("int").alias("contaminated")))
+
+
+def _fix_mojibake_str(s: str, rounds: int = 2) -> str:
+    """ftfy-style repair of UTF-8 text that was mis-decoded as
+    cp1252/latin-1 ("cafÃ©" -> "café"). Try re-encoding with each legacy
+    codec and decoding as UTF-8; keep the result only when the full
+    round trip succeeds. Up to `rounds` passes undo double-mojibake.
+    Non-mojibake text is a fixed point: pure ASCII round-trips to
+    itself, and genuine legacy characters fail the UTF-8 decode, so the
+    original string is kept."""
+    for _ in range(rounds):
+        fixed = None
+        for enc in ("cp1252", "latin-1"):
+            try:
+                cand = s.encode(enc).decode("utf-8")
+            except (UnicodeEncodeError, UnicodeDecodeError):
+                continue
+            fixed = cand
+            break
+        if fixed is None or fixed == s:
+            break
+        s = fixed
+    return s
+
+
+def fix_mojibake(docs: DataFrame, text_col: str = "text",
+                 rounds: int = 2) -> DataFrame:
+    """(doc_id, text, changed) — mojibake-repaired text. Arrow-batched
+    pandas UDF (string codec work has no JVM builtin); map-only, no
+    shuffle — at 100 TB this pass is bounded by scan bandwidth."""
+    @F.pandas_udf("string")
+    def fix(s):
+        return s.map(lambda t: _fix_mojibake_str(t, rounds)
+                     if t is not None else None)
+
+    out = docs.withColumn("__fixed", fix(F.col(text_col)))
+    return out.select(
+        "doc_id", F.col("__fixed").alias(text_col),
+        (F.col("__fixed") != F.col(text_col)).cast("int").alias("changed"))

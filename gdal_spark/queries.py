@@ -5109,3 +5109,29 @@ def q_ogrmerge_tindex(spark, sf_dir):
                     F.round("miny", 9).alias("miny"),
                     F.round("maxx", 9).alias("maxx"),
                     F.round("maxy", 9).alias("maxy"))
+
+
+@_reg("fix_mojibake", """
+SELECT doc_id,
+       text || ' café – naïve №' AS text,
+       CAST(1 AS INTEGER) AS changed
+FROM documents WHERE doc_id % 9 = 0
+""")
+def q_fix_mojibake(spark, sf_dir):
+    """Mojibake repair (ftfy's core trick: re-encode cp1252/latin-1,
+    re-decode UTF-8): documents get a non-ASCII suffix, are deterministically
+    CORRUPTED (UTF-8 bytes mis-decoded as latin-1 — the classic
+    double-encoding accident), then repaired by textops.fix_mojibake.
+    The oracle is exactness itself: repaired text must equal the
+    pre-corruption original, which the SQL recomputes trivially."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 9 == 0)
+    suffixed = docs.select(
+        "doc_id", F.concat("text", F.lit(" café – naïve №")).alias("text"))
+
+    @F.pandas_udf("string")
+    def corrupt(s):
+        return s.map(lambda t: t.encode("utf-8").decode("latin-1"))
+
+    corrupted = suffixed.select(
+        "doc_id", corrupt("text").alias("text"))
+    return textops.fix_mojibake(corrupted)

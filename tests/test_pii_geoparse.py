@@ -156,3 +156,23 @@ def test_bloom_decontamination_planted(spark):
     plan = bloom_contaminated(cands, bloom)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_fix_mojibake_cases(spark):
+    from gdal_spark.operators.textops import _fix_mojibake_str, fix_mojibake
+    # classic single mojibake (utf-8 read as latin-1 / cp1252)
+    assert _fix_mojibake_str("cafÃ©") == "café"
+    assert _fix_mojibake_str("â€™tis") == "’tis"          # cp1252 range
+    # double mojibake needs two rounds
+    double = "café".encode("utf-8").decode("latin-1") \
+        .encode("utf-8").decode("latin-1")
+    assert _fix_mojibake_str(double) == "café"
+    # fixed points: ascii and genuine accents stay untouched
+    assert _fix_mojibake_str("plain ascii") == "plain ascii"
+    assert _fix_mojibake_str("déjà vu") == "déjà vu"
+    docs = spark.createDataFrame(
+        [(1, "cafÃ©"), (2, "ok"), (3, None)], "doc_id long, text string")
+    out = {r.doc_id: r for r in fix_mojibake(docs).collect()}
+    assert out[1].text == "café" and out[1].changed == 1
+    assert out[2].text == "ok" and out[2].changed == 0
+    assert out[3].text is None
