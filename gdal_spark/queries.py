@@ -5135,3 +5135,44 @@ def q_fix_mojibake(spark, sf_dir):
     corrupted = suffixed.select(
         "doc_id", corrupt("text").alias("text"))
     return textops.fix_mojibake(corrupted)
+
+
+@_reg("dted_roundtrip", _DENSITY_VALS_SQL.replace(
+    "vals AS (SELECT", "vals AS (SELECT g.x, g.y,") + """
+SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+       CAST(CAST(v AS BIGINT) - 8 AS DOUBLE) AS v
+FROM vals
+""")
+def q_dted_roundtrip(spark, sf_dir):
+    """DTED round trip (frmts/dted/dted_api.c): the density raster,
+    shifted by -8 so negative elevations exercise the SIGNED-MAGNITUDE
+    sample encoding, writes as column records (per-column parallel
+    pwrite) and reads back through column-range byte tasks; the oracle
+    recomputes every cell."""
+    import os
+    import tempfile
+    from .raster.tiles import decode_px, gdal2xyz
+    from .sources.dted import read_dted, write_dted
+    import numpy as np
+    import pandas as pd
+
+    t = _density_tiles_full(spark, sf_dir)
+
+    def shift(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                arr = decode_px(r.px, r.dtype, 8) - 8.0
+                out.append((r.band, r.zoom, r.tile_x, r.tile_y,
+                            "f8", r.nodata, arr.tobytes()))
+            yield pd.DataFrame(out, columns=list(pdf.columns))
+
+    t8 = t.mapInPandas(shift, t.schema)
+    path = os.path.join(tempfile.gettempdir(),
+                        f"gdal_spark_dted_{os.getpid()}.dt1")
+    write_dted(t8, path, ncols=64, nrows=64, tile=8)
+    back, _ = read_dted(spark, path, tile=8)
+    rows = gdal2xyz(back, tile=8)
+    return rows.select(F.col("x").cast("long").alias("x"),
+                       F.col("y").cast("long").alias("y"),
+                       F.col("value").cast("double").alias("v"))

@@ -158,6 +158,12 @@ def open_raster(spark, path: str, tile: int = 256, **kwargs):
     if low.endswith(".bmp"):
         from .bmp import read_bmp
         return read_bmp(spark, path, tile=tile, **kwargs)[0]
+    if low.endswith((".pgm", ".ppm", ".pnm")):
+        from .pnm import read_pnm
+        return read_pnm(spark, path, tile=tile, **kwargs)[0]
+    if low.endswith((".dt0", ".dt1", ".dt2")):
+        from .dted import read_dted
+        return read_dted(spark, path, tile=tile, **kwargs)[0]
     if low.endswith((".dat", ".img", ".bsq", ".bip")) or (
             low.endswith(".hdr") and _is_envi_hdr(path)):
         from .rawraster import read_envi

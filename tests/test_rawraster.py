@@ -122,3 +122,63 @@ def test_bmp_24bit_roundtrip(spark, tmp_path):
     for b, ch in enumerate(chans, start=1):
         got = tiles_to_raster(back.where(f"band = {b}"), tile=16)
         np.testing.assert_array_equal(got[:40, :37], ch)
+
+
+def test_pnm_p5_p6_p2_roundtrip(spark, tmp_path):
+    from gdal_spark.sources.pnm import parse_pnm_header, read_pnm, write_pnm
+    # P5 8-bit
+    arr = (_demo(45, 31, "f8", 4) % 256).astype("u1")
+    p5 = str(tmp_path / "g.pgm")
+    write_pnm(raster_to_tiles(spark, arr.astype("f8"), tile=16), p5,
+              width=31, height=45, tile=16)
+    assert parse_pnm_header(p5)[0] == "P5"
+    back, m = read_pnm(spark, p5, tile=16)
+    np.testing.assert_array_equal(
+        tiles_to_raster(back, tile=16)[:45, :31], arr)
+    # P5 16-bit (big-endian samples)
+    a16 = (_demo(20, 22, "f8", 5) % 60000).astype("u2")
+    p16 = str(tmp_path / "g16.pgm")
+    write_pnm(raster_to_tiles(spark, a16.astype("f8"), tile=16), p16,
+              width=22, height=20, maxval=65535, tile=16)
+    back16, _ = read_pnm(spark, p16, tile=16)
+    got16 = tiles_to_raster(back16, tile=16)
+    assert got16.dtype == np.dtype("u2")
+    np.testing.assert_array_equal(got16[:20, :22], a16)
+    # P6 RGB
+    chans = [(_demo(18, 25, "f8", s) % 256).astype("u1") for s in (6, 7, 8)]
+    tiles = None
+    for b, ch in enumerate(chans, start=1):
+        t = raster_to_tiles(spark, ch.astype("f8"), band=b, tile=16)
+        tiles = t if tiles is None else tiles.unionByName(t)
+    p6 = str(tmp_path / "rgb.ppm")
+    write_pnm(tiles, p6, width=25, height=18, bands=3, tile=16)
+    back6, _ = read_pnm(spark, p6, tile=16)
+    for b, ch in enumerate(chans, start=1):
+        np.testing.assert_array_equal(
+            tiles_to_raster(back6.where(f"band = {b}"), tile=16)[:18, :25],
+            ch)
+    # P2 ascii with comment
+    (tmp_path / "a.pgm").write_text(
+        "P2\n# comment line\n3 2\n255\n1 2 3\n4 5 6\n")
+    backa, ma = read_pnm(spark, str(tmp_path / "a.pgm"), tile=8)
+    assert ma["magic"] == "P2"
+    np.testing.assert_array_equal(
+        tiles_to_raster(backa, tile=8)[:2, :3],
+        np.array([[1, 2, 3], [4, 5, 6]], dtype="u1"))
+
+
+def test_dted_roundtrip_signed_magnitude(spark, tmp_path):
+    from gdal_spark.sources.dted import (parse_dted_header, read_dted,
+                                         write_dted)
+    # elevations incl. negatives (signed-magnitude storage)
+    arr = (_demo(40, 28, "f8", 12) % 4000 - 500).astype("i4").astype("f8")
+    path = str(tmp_path / "cell.dt1")
+    write_dted(raster_to_tiles(spark, arr, tile=16), path,
+               ncols=28, nrows=40, lon0=-77.0, lat0=38.0, tile=16)
+    m = parse_dted_header(path)
+    assert m["ncols"] == 28 and m["nrows"] == 40
+    assert m["lon0"] == -77.0 and m["lat0"] == 38.0
+    back, _ = read_dted(spark, path, tile=16)
+    got = tiles_to_raster(back, tile=16)
+    assert (got < 0).any()
+    np.testing.assert_array_equal(got[:40, :28].astype("f8"), arr)
