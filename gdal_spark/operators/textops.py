@@ -706,3 +706,29 @@ def fix_mojibake(docs: DataFrame, text_col: str = "text",
     return out.select(
         "doc_id", F.col("__fixed").alias(text_col),
         (F.col("__fixed") != F.col(text_col)).cast("int").alias("changed"))
+
+
+def hash_sample(docs: DataFrame, rate: float,
+                key_col: str = "doc_id") -> DataFrame:
+    """Deterministic hash sampling — the reproducible (and any-engine
+    replayable) alternative to rand() for corpus subsetting: keep a row
+    iff md5(key) mod 1e6 < rate*1e6. Stable across runs, cluster sizes
+    and engines; map-only."""
+    h = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8),
+               16, 10).cast("long")
+    return docs.where((h % 1000000) < int(rate * 1000000))
+
+
+def vocab_topk(docs: DataFrame, k: int = 200) -> DataFrame:
+    """(w, n, rank) — corpus token frequencies, top k (tokenizer/BPE
+    vocabulary prep). The groupBy combines map-side (one row per distinct
+    word reaches the shuffle) and the top-k is TakeOrdered — no global
+    window, no single-partition sort of the full vocabulary."""
+    from pyspark.sql import Window
+
+    w = docs.select(F.explode(words_col()).alias("w"))
+    c = w.groupBy("w").agg(F.count("*").cast("long").alias("n"))
+    top = c.orderBy(F.desc("n"), F.asc("w")).limit(k)
+    win = Window.orderBy(F.desc("n"), F.asc("w"))   # k rows only
+    return top.withColumn("rank",
+                          F.row_number().over(win).cast("long"))

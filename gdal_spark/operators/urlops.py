@@ -46,3 +46,24 @@ def url_dedup(df: DataFrame, url_col: str = "url") -> DataFrame:
             .groupBy("canon_url")
             .agg(F.count("*").alias("n_dupes"),
                  F.min("doc_id").alias("keep_id")))
+
+
+def host_col(url: Column) -> Column:
+    """lowercased hostname (port stripped) of a URL column."""
+    h = F.lower(F.regexp_extract(
+        url, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]+)", 1))
+    return F.regexp_replace(h, r":\d+$", "")
+
+
+def domain_block(pages: DataFrame, max_pages_per_host: int,
+                 url_col: str = "url") -> DataFrame:
+    """Over-represented-domain filter (the spam/SEO-farm heuristic every
+    web-corpus pipeline runs): hosts contributing more than
+    `max_pages_per_host` pages are dropped wholesale. The blocklist is
+    an aggregate over the corpus itself (map-side-combined groupBy) and
+    is host-cardinality-sized, so it broadcast-anti-joins back — the
+    page table shuffles nothing."""
+    h = pages.withColumn("host", host_col(F.col(url_col)))
+    blocked = (h.groupBy("host").agg(F.count("*").alias("n_pages"))
+               .where(F.col("n_pages") > max_pages_per_host))
+    return h.join(F.broadcast(blocked.select("host")), "host", "left_anti")

@@ -5176,3 +5176,67 @@ def q_dted_roundtrip(spark, sf_dir):
     return rows.select(F.col("x").cast("long").alias("x"),
                        F.col("y").cast("long").alias("y"),
                        F.col("value").cast("double").alias("v"))
+
+
+@_reg("hash_sample", """
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      % 1000000 < 370000
+""")
+def q_hash_sample(spark, sf_dir):
+    """Deterministic hash sampling at rate 0.37 (reproducible subsetting
+    for eval splits / ablations): md5(doc_id) mod 1e6 < 370000 — the
+    identical arithmetic replays in DuckDB, row set matches exactly
+    (rand()-based sampling never could)."""
+    d = _t(spark, sf_dir, "documents")
+    return textops.hash_sample(d, 0.37).select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_chars"))
+
+
+@_reg("vocab_topk", """
+WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+c AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM w GROUP BY w),
+r AS (SELECT w, n, CAST(row_number() OVER (ORDER BY n DESC, w ASC)
+                        AS BIGINT) AS rank
+      FROM c)
+SELECT w, n, rank FROM r WHERE rank <= 30
+""")
+def q_vocab_topk(spark, sf_dir):
+    """Tokenizer-prep vocabulary: corpus-wide token frequencies, top 30
+    with deterministic tie-break (count desc, word asc). Map-side
+    combine + TakeOrdered — the full vocabulary never single-partitions."""
+    return textops.vocab_topk(_t(spark, sf_dir, "documents"), k=30)
+
+
+@_reg("domain_block", f"""
+WITH u AS (SELECT doc_id, {_MESSY_URL_SQL} AS url FROM documents),
+h AS (SELECT doc_id,
+        regexp_replace(lower(regexp_extract(
+            url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)),
+            ':[0-9]+$', '') AS host
+      FROM u),
+c AS (SELECT host, count(*) AS n FROM h GROUP BY host),
+keep AS (SELECT doc_id, host FROM h JOIN c USING (host) WHERE n <= 3)
+SELECT doc_id, host FROM keep
+""")
+def q_domain_block(spark, sf_dir):
+    """Over-represented-domain filter: hosts with more than 3 pages drop
+    wholesale (spam-farm heuristic). Blocklist = broadcast aggregate of
+    the corpus itself; the oracle replays host extraction and the
+    threshold in SQL."""
+    from .operators.urlops import domain_block
+    d = _t(spark, sf_dir, "documents")
+    g = (F.col("doc_id") % 167).cast("string")
+    base = F.concat(F.lit("https://site"), g, F.lit(".example/p/"), g)
+    upper = F.concat(F.lit("HTTPS://SITE"), g, F.lit(".EXAMPLE/p/"), g)
+    port = F.concat(F.lit("https://site"), g, F.lit(".example:443/p/"), g)
+    v = F.col("doc_id") % 6
+    url = (F.when(v == 0, base)
+           .when(v == 1, upper)
+           .when(v == 2, port)
+           .when(v == 3, F.concat(base, F.lit("/")))
+           .when(v == 4, F.concat(base, F.lit("?b=2&a=1#frag")))
+           .otherwise(F.concat(base, F.lit("?a=1&b=2"))))
+    out = domain_block(d.select("doc_id", url.alias("url")), 3)
+    return out.select("doc_id", "host")
