@@ -5240,3 +5240,64 @@ def q_domain_block(spark, sf_dir):
            .otherwise(F.concat(base, F.lit("?a=1&b=2"))))
     out = domain_block(d.select("doc_id", url.alias("url")), 3)
     return out.select("doc_id", "host")
+
+
+@_reg("gmt_georss_roundtrip", f"""
+{_pts_cte()}
+SELECT doc_id, ROUND(lon, 9) AS lon_r, ROUND(lat, 9) AS lat_r,
+       'd' || CAST(doc_id AS VARCHAR) AS title
+FROM pts WHERE doc_id % 23 = 0
+""")
+def q_gmt_georss_roundtrip(spark, sf_dir):
+    """GMT ASCII + GeoRSS round trips (ogr/ogrsf_frmts/gmt,
+    ogr/ogrsf_frmts/georss): every 23rd page writes through BOTH
+    single-file sinks and reads back through both wholetext-distributed
+    parsers; the two readers' coordinates must agree with each other AND
+    with the oracle (GeoRSS goes through the lat-first order swap)."""
+    import json
+    import os
+    import tempfile
+    import numpy as np
+    from .core import wkb as _wkb
+    from .sources.georss import read_georss, write_georss
+    from .sources.gmt import read_gmt, write_gmt
+
+    pts = datagen.points(spark, sf_dir).where(F.col("doc_id") % 23 == 0) \
+        .select("doc_id", "lon", "lat").orderBy("doc_id").collect()
+    gmt_p = os.path.join(tempfile.gettempdir(),
+                         f"gdal_spark_gmt_{os.getpid()}.gmt")
+    rss_p = os.path.join(tempfile.gettempdir(),
+                         f"gdal_spark_rss_{os.getpid()}.rss")
+    rows_g = [(_wkb.encode(_wkb.Geom(_wkb.POINT,
+                                     [np.array([[r.lon, r.lat]])])),
+               {"doc_id": int(r.doc_id)}) for r in pts]
+    rows_r = [(g, {"title": f"d{a['doc_id']}"}) for g, a in rows_g]
+    write_gmt(rows_g, gmt_p, gtype="POINT")
+    write_georss(rows_r, rss_p)
+
+    @F.pandas_udf("double")
+    def gx(geom):
+        import pandas as pd
+        return pd.Series([_wkb.decode(bytes(b)).rings[0][0][0]
+                          for b in geom])
+
+    @F.pandas_udf("double")
+    def gy(geom):
+        import pandas as pd
+        return pd.Series([_wkb.decode(bytes(b)).rings[0][0][1]
+                          for b in geom])
+
+    gmt_df = read_gmt(spark, gmt_p).select(
+        F.get_json_object("props", "$.doc_id").cast("long").alias("doc_id"),
+        F.round(gx("geom"), 9).alias("lon_r"),
+        F.round(gy("geom"), 9).alias("lat_r"))
+    rss_df = read_georss(spark, rss_p).select(
+        F.col("title"),
+        F.round(gx("geom"), 9).alias("lon_r2"),
+        F.round(gy("geom"), 9).alias("lat_r2"))
+    j = gmt_df.join(rss_df,
+                    F.concat(F.lit("d"), F.col("doc_id").cast("string"))
+                    == rss_df.title)
+    return j.where((F.col("lon_r") == F.col("lon_r2"))
+                   & (F.col("lat_r") == F.col("lat_r2"))) \
+        .select("doc_id", "lon_r", "lat_r", "title")

@@ -116,6 +116,12 @@ def open_vector(spark, path: str, **kwargs):
     if low.endswith(".jsonfg"):
         from .jsonfg import read_jsonfg
         return read_jsonfg(spark, path)
+    if low.endswith(".gmt"):
+        from .gmt import read_gmt
+        return read_gmt(spark, path)
+    if low.endswith((".rss", ".atom")):
+        from .georss import read_georss
+        return read_georss(spark, path)
     if low.endswith((".arrow", ".arrows", ".feather")):
         from .arrow_ipc import read_arrow_ipc
         return read_arrow_ipc(spark, path, **kwargs)[0]
