@@ -5301,3 +5301,64 @@ def q_gmt_georss_roundtrip(spark, sf_dir):
     return j.where((F.col("lon_r") == F.col("lon_r2"))
                    & (F.col("lat_r") == F.col("lat_r2"))) \
         .select("doc_id", "lon_r", "lat_r", "title")
+
+
+@_reg("osm_ways_assembly", f"""
+{_pts_cte()},
+s AS (SELECT doc_id % 8 AS g, doc_id, lon, lat FROM pts
+      WHERE doc_id % 3 = 0),
+d AS (SELECT g, lon, lat,
+             lag(lon) OVER (PARTITION BY g ORDER BY doc_id) AS plon,
+             lag(lat) OVER (PARTITION BY g ORDER BY doc_id) AS plat
+      FROM s)
+SELECT CAST(g AS BIGINT) AS way_id, CAST(count(*) AS BIGINT) AS n_pts,
+       ROUND(COALESCE(sum(sqrt((lon - plon) * (lon - plon)
+                               + (lat - plat) * (lat - plat))), 0), 9)
+         AS len_r
+FROM d GROUP BY g
+""")
+def q_osm_ways_assembly(spark, sf_dir):
+    """OSM XML way assembly (ogr/ogrsf_frmts/osm): every 3rd page
+    becomes an OSM node; 8 ways chain the nodes of each doc_id residue
+    class in doc_id order. The reader reassembles way geometry via the
+    DISTRIBUTED node join (posexplode -> join -> groupBy sort), the
+    reference's on-disk node cache re-expressed relationally. The oracle
+    recomputes each way's vertex count and planar length with window
+    functions."""
+    import os
+    import tempfile
+    import numpy as np
+    import pandas as pd
+    from .core import wkb as _wkb
+    from .sources.osm import osm_layers, write_osm
+
+    pts = datagen.points(spark, sf_dir).where(F.col("doc_id") % 3 == 0) \
+        .select("doc_id", "lon", "lat").orderBy("doc_id").collect()
+    nodes = [(int(r.doc_id) + 1, float(r.lon), float(r.lat), {})
+             for r in pts]
+    ways = []
+    for g in range(8):
+        refs = [int(r.doc_id) + 1 for r in pts if r.doc_id % 8 == g]
+        ways.append((g, refs, {"ref": str(g)}))
+    path = os.path.join(tempfile.gettempdir(),
+                        f"gdal_spark_osm_{os.getpid()}.osm")
+    write_osm(nodes, ways, (), path)
+    lines = osm_layers(spark, path)["lines"]
+
+    @F.pandas_udf("long")
+    def npts(geom):
+        return pd.Series([len(_wkb.decode(bytes(b)).rings[0])
+                          for b in geom])
+
+    @F.pandas_udf("double")
+    def plen(geom):
+        out = []
+        for b in geom:
+            a = _wkb.decode(bytes(b)).rings[0]
+            out.append(float(np.sqrt(((a[1:] - a[:-1]) ** 2)
+                                     .sum(axis=1)).sum()))
+        return pd.Series(out)
+
+    return lines.select(F.col("fid").alias("way_id"),
+                        npts("geom").alias("n_pts"),
+                        F.round(plen("geom"), 9).alias("len_r"))

@@ -122,6 +122,9 @@ def open_vector(spark, path: str, **kwargs):
     if low.endswith((".rss", ".atom")):
         from .georss import read_georss
         return read_georss(spark, path)
+    if low.endswith(".osm"):
+        from .osm import osm_layers
+        return osm_layers(spark, path)["points"]
     if low.endswith((".arrow", ".arrows", ".feather")):
         from .arrow_ipc import read_arrow_ipc
         return read_arrow_ipc(spark, path, **kwargs)[0]
