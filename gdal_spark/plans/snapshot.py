@@ -111,3 +111,66 @@ class SnapshotTable:
         return [{k: s[k] for k in ("version", "parent", "operation",
                                    "committed_at")}
                 for s in (self._load_snapshot(v) for v in self.versions())]
+
+    # -- maintenance (Iceberg rewrite_data_files / changelog / expire) ------
+
+    def compact(self, target_rows_per_file: int = 1 << 20,
+                sort_cols: tuple = ()) -> int:
+        """Iceberg's rewrite_data_files twin: small data files bin-pack
+        into ~target_rows_per_file files (optionally re-sorted, e.g. on
+        the packed cell id so the layout matches the table's declared
+        sort order), and a 'compact' snapshot replaces the file set.
+        Readers on older snapshots still see the old files — rewrite is
+        metadata-atomic, never in place."""
+        cur = self.read()
+        n = cur.count()
+        parts = max(1, -(-n // target_rows_per_file))
+        out = (cur.repartitionByRange(parts, *sort_cols)
+               .sortWithinPartitions(*sort_cols)
+               if sort_cols else cur.repartition(parts))
+        new_files = self._write_data(out)
+        return self._publish(new_files, "compact", self.current_version())
+
+    def incremental_read(self, from_version: int,
+                         to_version: int | None = None) -> DataFrame:
+        """Changelog scan between snapshots: rows in data files added
+        after `from_version` (exact for append-only history, like
+        Iceberg's incremental append scan). File-set difference — no
+        data diffing, no full-table read."""
+        to_v = to_version if to_version is not None \
+            else self.current_version()
+        old = set(self._load_snapshot(from_version)["files"])
+        new = [f for f in self._load_snapshot(to_v)["files"]
+               if f not in old]
+        if not new:
+            return self.read(to_v).limit(0)
+        return self.spark.read.parquet(*new)
+
+    def expire_snapshots(self, keep_last: int = 1) -> dict:
+        """Iceberg's expire_snapshots twin: drop all but the newest
+        `keep_last` snapshot manifests, then delete every data file no
+        retained snapshot references. Returns counts. Time travel
+        earlier than the retained window is gone — that is the
+        contract's storage-reclaim trade."""
+        vs = self.versions()
+        keep = vs[-keep_last:]
+        drop = [v for v in vs if v not in keep]
+        live: set = set()
+        for v in keep:
+            live |= set(self._load_snapshot(v)["files"])
+        removed_files = 0
+        data_root = os.path.join(self.path, "data")
+        for d in os.listdir(data_root):
+            dd = os.path.join(data_root, d)
+            for f in os.listdir(dd):
+                p = os.path.join(dd, f)
+                if f.endswith(".parquet") and p not in live:
+                    os.unlink(p)
+                    removed_files += 1
+            if not any(f.endswith(".parquet") for f in os.listdir(dd)):
+                import shutil
+                shutil.rmtree(dd)
+        for v in drop:
+            os.unlink(self._snap_path(v))
+        return {"expired_snapshots": len(drop),
+                "removed_files": removed_files}

@@ -5362,3 +5362,38 @@ def q_osm_ways_assembly(spark, sf_dir):
     return lines.select(F.col("fid").alias("way_id"),
                         npts("geom").alias("n_pts"),
                         F.round(plen("geom"), 9).alias("len_r"))
+
+
+@_reg("snapshot_incremental", """
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END AS INTEGER)
+         AS in_increment
+FROM documents
+""")
+def q_snapshot_incremental(spark, sf_dir):
+    """Snapshot-table maintenance (the Iceberg stand-in, plans/
+    snapshot.py): even docs commit as snapshot A, odd docs append as
+    snapshot B, the table COMPACTS (rewrite_data_files twin,
+    metadata-atomic), and the incremental scan between A and B must
+    return exactly the appended rows — flagged per doc against the full
+    table. The oracle recomputes membership arithmetically."""
+    import os
+    import shutil
+    import tempfile
+    from .plans.snapshot import SnapshotTable
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_chars"))
+    path = os.path.join(tempfile.gettempdir(),
+                        f"gdal_spark_snap_{os.getpid()}")
+    shutil.rmtree(path, ignore_errors=True)
+    t = SnapshotTable(spark, path)
+    va = t.commit_append(d.where(F.col("doc_id") % 2 == 0))
+    vb = t.commit_append(d.where(F.col("doc_id") % 2 == 1))
+    t.compact(target_rows_per_file=1 << 18, sort_cols=("doc_id",))
+    inc = t.incremental_read(va, vb).select(
+        F.col("doc_id").alias("inc_id"))
+    full = t.read()
+    return full.join(inc, full.doc_id == inc.inc_id, "left").select(
+        "doc_id", "n_chars",
+        F.col("inc_id").isNotNull().cast("int").alias("in_increment"))

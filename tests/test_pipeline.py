@@ -144,3 +144,44 @@ def test_stored_cell_column_prunes_scan(spark, tmp_path):
     pred_only = tbl.where(cell_bbox_predicate(*bbox))
     n_pred = pred_only.count()
     assert n_pred >= got.count()
+
+
+def test_snapshot_compact_incremental_expire(spark, tmp_path):
+    """Iceberg-maintenance twins: rewrite_data_files (compact),
+    incremental append scan, expire_snapshots."""
+    import os
+
+    from gdal_spark.plans.snapshot import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    v0 = t.commit_append(spark.range(0, 100).repartition(8))
+    v1 = t.commit_append(spark.range(100, 130).repartition(4))
+    v2 = t.commit_append(spark.range(130, 150).repartition(4))
+    n_files_before = len(t._load_snapshot(v2)["files"])
+    assert n_files_before >= 16
+
+    # incremental: exactly the rows appended after v0
+    inc = t.incremental_read(v0)
+    assert sorted(r.id for r in inc.collect()) == list(range(100, 150))
+    assert t.incremental_read(v2).count() == 0
+
+    # compact: same rows, far fewer files, history records it
+    v3 = t.compact(target_rows_per_file=100, sort_cols=("id",))
+    files_after = t._load_snapshot(v3)["files"]
+    assert len(files_after) <= 3
+    assert sorted(r.id for r in t.read().collect()) == list(range(150))
+    # old snapshot still readable (rewrite is metadata-atomic)
+    assert t.read(v2).count() == 150
+    assert t.history()[-1]["operation"] == "compact"
+
+    # expire: only the compacted snapshot survives; orphans deleted
+    stats = t.expire_snapshots(keep_last=1)
+    assert stats["expired_snapshots"] == 3
+    assert stats["removed_files"] >= n_files_before
+    assert t.versions() == [v3]
+    assert t.read().count() == 150
+    live = set(t._load_snapshot(v3)["files"])
+    on_disk = {os.path.join(r, f)
+               for r, _d, fs in os.walk(str(tmp_path / "tbl" / "data"))
+               for f in fs if f.endswith(".parquet")}
+    assert on_disk == live
