@@ -5397,3 +5397,49 @@ def q_snapshot_incremental(spark, sf_dir):
     return full.join(inc, full.doc_id == inc.inc_id, "left").select(
         "doc_id", "n_chars",
         F.col("inc_id").isNotNull().cast("int").alias("in_increment"))
+
+
+@_reg("st_transform_wkt2", f"""
+{_pts_cte()}
+SELECT doc_id,
+       ROUND(0.9 * 6378137.0 * radians(lon + 4.25) + 123000.0, 4) AS mx_r,
+       ROUND(0.9 * 6378137.0 * ln(tan(pi() / 4.0 + radians(lat) / 2.0))
+             - 7000.0, 4) AS my_r
+FROM pts WHERE doc_id % 21 = 0
+""")
+def q_st_transform_wkt2(spark, sf_dir):
+    """ST_Transform through an OGC WKT2:2019 PROJCRS definition
+    (ISO 19162; the reference parses both grammars through the same
+    importFromWkt, ogr/ogrspatialreference.cpp): CONVERSION/METHOD
+    nesting, unit-annotated PARAMETER nodes, CS/AXIS bare enum keywords,
+    and NO ID shortcut — the kernel choice is driven purely by the WKT2
+    structure. The oracle is the closed-form scaled mercator in SQL."""
+    st.register_all(spark)
+    wkt2 = ('PROJCRS["custom merc wkt2",'
+            ' BASEGEOGCRS["WGS 84",'
+            '  DATUM["World Geodetic System 1984",'
+            '   ELLIPSOID["WGS 84",6378137,298.257223563,'
+            '    LENGTHUNIT["metre",1]]],'
+            '  PRIMEM["Greenwich",0,'
+            '   ANGLEUNIT["degree",0.0174532925199433]]],'
+            ' CONVERSION["my merc",'
+            '  METHOD["Mercator (variant A)",ID["EPSG",9804]],'
+            '  PARAMETER["Longitude of natural origin",-4.25,'
+            '   ANGLEUNIT["degree",0.0174532925199433]],'
+            '  PARAMETER["Scale factor at natural origin",0.9,'
+            '   SCALEUNIT["unity",1]],'
+            '  PARAMETER["False easting",123000,LENGTHUNIT["metre",1]],'
+            '  PARAMETER["False northing",-7000,LENGTHUNIT["metre",1]]],'
+            ' CS[Cartesian,2],'
+            ' AXIS["(E)",east,ORDER[1],LENGTHUNIT["metre",1]],'
+            ' AXIS["(N)",north,ORDER[2],LENGTHUNIT["metre",1]]]')
+    p = datagen.points(spark, sf_dir).where(F.col("doc_id") % 21 == 0)
+    p.createOrReplaceTempView("t_wkt2_pts")
+    w = wkt2.replace("'", "''")
+    return spark.sql(
+        "SELECT doc_id, "
+        f" ROUND(ST_X(ST_Transform(ST_MakePoint(lon, lat), 'EPSG:4326',"
+        f"  '{w}')), 4) AS mx_r, "
+        f" ROUND(ST_Y(ST_Transform(ST_MakePoint(lon, lat), 'EPSG:4326',"
+        f"  '{w}')), 4) AS my_r "
+        "FROM t_wkt2_pts")

@@ -302,16 +302,22 @@ def _wkt_node(s: str, pos: int = 0):
         if mq:
             children.append(mq.group(1))
             pos += mq.end()
+        elif re.match(r'\s*[A-Za-z_][A-Za-z_0-9]*\s*\[', s[pos:]):
+            node, pos = _wkt_node(s, pos)
+            children.append(node)
         else:
-            mn = re.match(r'\s*([-+0-9.eE]+)', s[pos:])
+            mn = re.match(r'\s*([-+][0-9.][-+0-9.eE]*|[0-9.][-+0-9.eE]*)',
+                          s[pos:])
             if mn:
                 children.append(float(mn.group(1)))
                 pos += mn.end()
-            elif re.match(r'\s*[A-Za-z_]', s[pos:]):
-                node, pos = _wkt_node(s, pos)
-                children.append(node)
             else:
-                raise ValueError(f"bad WKT value at {pos}")
+                # WKT2 bare enum keyword (CS[Cartesian,2], AXIS[...,east])
+                mb = re.match(r'\s*([A-Za-z_][A-Za-z_0-9]*)', s[pos:])
+                if not mb:
+                    raise ValueError(f"bad WKT value at {pos}")
+                children.append(mb.group(1))
+                pos += mb.end()
         ms = re.match(r'\s*([,\]])', s[pos:])
         if not ms:
             raise ValueError(f"expected , or ] at {pos}")

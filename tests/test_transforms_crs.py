@@ -400,3 +400,41 @@ def test_srsinfo_numeric_equivalence():
         np.testing.assert_allclose(y1, y0, rtol=0, atol=1e-6)
         np.testing.assert_allclose(x2, x0, rtol=0, atol=1e-6)
         np.testing.assert_allclose(y2, y0, rtol=0, atol=1e-6)
+
+
+def test_wkt2_parse_families():
+    """WKT2:2019 grammar (ISO 19162): CONVERSION/METHOD nesting,
+    unit-annotated PARAMETERs, CS/AXIS bare enum keywords, ID shortcut."""
+    from gdal_spark.raster.transforms import _parse_crs
+    utm = ('PROJCRS["x",BASEGEOGCRS["WGS 84",DATUM["World Geodetic '
+           'System 1984",ELLIPSOID["WGS 84",6378137,298.257223563,'
+           'LENGTHUNIT["metre",1]]]],CONVERSION["UTM zone 33N",'
+           'METHOD["Transverse Mercator",ID["EPSG",9807]],'
+           'PARAMETER["Latitude of natural origin",0,'
+           'ANGLEUNIT["degree",0.0174532925199433]],'
+           'PARAMETER["Longitude of natural origin",15,'
+           'ANGLEUNIT["degree",0.0174532925199433]],'
+           'PARAMETER["Scale factor at natural origin",0.9996,'
+           'SCALEUNIT["unity",1]],'
+           'PARAMETER["False easting",500000,LENGTHUNIT["metre",1]],'
+           'PARAMETER["False northing",0,LENGTHUNIT["metre",1]]],'
+           'CS[Cartesian,2],AXIS["(E)",east,ORDER[1]],'
+           'AXIS["(N)",north,ORDER[2]]')
+    # without the ID node: pure structural parse -> tmerc params
+    assert _parse_crs(utm + "]") == ("tmerc", 15.0, 0.9996, 500000.0, 0.0)
+    # with the ID node: EPSG shortcut -> the utm family
+    assert _parse_crs(utm + ',ID["EPSG",32633]]') == ("utm", 15.0, False)
+    geog = ('GEOGCRS["WGS 84",DATUM["World Geodetic System 1984",'
+            'ELLIPSOID["WGS 84",6378137,298.257223563]],'
+            'CS[ellipsoidal,2],AXIS["latitude",north],'
+            'AXIS["longitude",east],ID["EPSG",4326]]')
+    assert _parse_crs(geog) == "4326"
+    laea = ('PROJCRS["laea",BASEGEOGCRS["ETRS89",DATUM["ETRS89",'
+            'ELLIPSOID["GRS 1980",6378137,298.257222101]]],'
+            'CONVERSION["eu",METHOD["Lambert Azimuthal Equal Area"],'
+            'PARAMETER["Latitude of natural origin",52],'
+            'PARAMETER["Longitude of natural origin",10],'
+            'PARAMETER["False easting",4321000],'
+            'PARAMETER["False northing",3210000]],CS[Cartesian,2],'
+            'AXIS["northing (Y)",north],AXIS["easting (X)",east]]')
+    assert _parse_crs(laea) == ("laea", 10.0, 52.0, 4321000.0, 3210000.0)
