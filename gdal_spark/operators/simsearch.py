@@ -369,3 +369,70 @@ def pq_topk(emb: DataFrame, n_queries: int = 10, k: int = 3,
                                             F.col("vec_id").asc())
     return short.withColumn("rank", F.row_number().over(w2).cast("int")) \
         .where(F.col("rank") <= k).select("q_id", "rank", "vec_id")
+
+
+def embed_moments(emb: DataFrame, dim: int = EMBED_DIM,
+                  vec_col: str = "embedding"):
+    """Distributed covariance of the embedding column: per-partition
+    numpy accumulates (sum, outer-product Gram, count) — ONE traversal,
+    d*(d+1) floats per partition reach the driver — and the driver
+    finishes cov = G/n - mean·meanᵀ. This is how you prepare PCA at
+    100 TB: the shuffle payload is O(d²), independent of row count.
+    Returns (mean (d,), cov (d,d), n)."""
+    import numpy as np
+
+    def part(batches):
+        import pandas as pd
+        s = np.zeros(dim)
+        g = np.zeros((dim, dim))
+        n = 0
+        for pdf in batches:
+            if len(pdf):
+                m = np.stack(pdf[vec_col].map(np.asarray).values) \
+                    .astype(np.float64)
+                s += m.sum(axis=0)
+                g += m.T @ m
+                n += len(m)
+        yield pd.DataFrame({"s": [s.tolist()],
+                            "g": [g.reshape(-1).tolist()],
+                            "n": [n]})
+
+    rows = emb.select(vec_col).mapInPandas(
+        part, "s array<double>, g array<double>, n long").collect()
+    s = np.sum([np.asarray(r.s) for r in rows], axis=0)
+    g = np.sum([np.asarray(r.g).reshape(dim, dim) for r in rows], axis=0)
+    n = int(sum(r.n for r in rows))
+    mean = s / n
+    cov = g / n - np.outer(mean, mean)
+    return mean, cov, n
+
+
+def pca_whiten(emb: DataFrame, k: int, dim: int = EMBED_DIM,
+               vec_col: str = "embedding", eps: float = 1e-9) -> DataFrame:
+    """PCA whitening (the standard pre-transform before LSH/PQ — makes
+    hyperplane/codebook bits carry equal variance): eigendecompose the
+    d×d covariance on the driver (trivial at embedding dims), broadcast
+    the projection, apply map-only. Component SIGNS are canonicalized
+    (largest-|loading| coordinate positive) so the output is
+    deterministic across eigensolvers. Returns (vec_id, proj array[k])."""
+    import numpy as np
+    import pandas as pd
+
+    mean, cov, _n = embed_moments(emb, dim, vec_col)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:k]
+    w, v = w[order], v[:, order]
+    flip = np.sign(v[np.argmax(np.abs(v), axis=0), np.arange(len(order))])
+    flip[flip == 0] = 1.0
+    v = v * flip
+    p = (v / np.sqrt(w + eps)).astype(np.float64)   # (d, k)
+    sc = emb.sparkSession.sparkContext
+    bp, bm = sc.broadcast(p), sc.broadcast(mean)
+
+    @F.pandas_udf("array<double>")
+    def proj(vecs):
+        m = np.stack(vecs.map(np.asarray).values).astype(np.float64)
+        out = (m - bm.value) @ bp.value
+        return pd.Series(list(out))
+
+    return emb.select("vec_id", proj(F.col(vec_col)).alias("proj"))

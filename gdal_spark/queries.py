@@ -5443,3 +5443,25 @@ def q_st_transform_wkt2(spark, sf_dir):
         f" ROUND(ST_Y(ST_Transform(ST_MakePoint(lon, lat), 'EPSG:4326',"
         f"  '{w}')), 4) AS my_r "
         "FROM t_wkt2_pts")
+
+
+@_reg("embed_covariance", """
+WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+d AS (SELECT i.range AS i, j.range AS j FROM range(64) i, range(64) j)
+SELECT CAST(d.i AS INTEGER) AS i, CAST(d.j AS INTEGER) AS j,
+       ROUND(covar_pop(e.v[d.i + 1], e.v[d.j + 1]), 6) AS cov_r
+FROM e, d GROUP BY d.i, d.j
+""")
+def q_embed_covariance(spark, sf_dir):
+    """Embedding covariance — the PCA/whitening prep pass: ONE
+    distributed traversal accumulates per-partition (sum, Gram, count)
+    in numpy (O(d²) shuffle payload, row-count independent), the driver
+    finishes cov = G/n − mean·meanᵀ. All 64×64 entries value-hash
+    against DuckDB's covar_pop."""
+    import numpy as np
+    from .operators.simsearch import embed_moments
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    _mean, cov, _n = embed_moments(emb)
+    rows = [(int(i), int(j), float(round(cov[i, j], 6)))
+            for i in range(64) for j in range(64)]
+    return spark.createDataFrame(rows, "i int, j int, cov_r double")

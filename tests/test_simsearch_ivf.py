@@ -109,3 +109,37 @@ def test_pq_lloyd_reduces_distortion(spark, emb):
     d0 = distortion(ss.pq_codebooks(emb, iters=0))
     d2 = distortion(ss.pq_codebooks(emb, iters=2))
     assert d2 <= d0 + 1e-9 and d2 < d0 * 0.95
+
+
+def test_pca_whitening_identity_covariance(spark):
+    """pca_whiten output must be zero-mean with identity covariance on
+    the kept components, and deterministic across calls (canonical
+    eigenvector signs)."""
+    import numpy as np
+
+    from gdal_spark.operators.simsearch import embed_moments, pca_whiten
+
+    rng = np.random.RandomState(0)
+    # anisotropic gaussian: random linear map of iid normals
+    A = rng.randn(64, 64) * 0.3
+    X = rng.randn(500, 64) @ A + rng.randn(64)
+    df = spark.createDataFrame(
+        [(i, X[i].tolist()) for i in range(500)],
+        "vec_id long, embedding array<double>")
+    mean, cov, n = embed_moments(df)
+    np.testing.assert_allclose(mean, X.mean(axis=0), rtol=1e-9)
+    np.testing.assert_allclose(cov, np.cov(X.T, bias=True), rtol=1e-7)
+    assert n == 500
+
+    out = pca_whiten(df, k=8)
+    P = np.stack([np.asarray(r.proj) for r in
+                  sorted(out.collect(), key=lambda r: r.vec_id)])
+    assert P.shape == (500, 8)
+    np.testing.assert_allclose(P.mean(axis=0), 0.0, atol=1e-9)
+    np.testing.assert_allclose(np.cov(P.T, bias=True), np.eye(8),
+                               atol=1e-6)
+    # deterministic reruns (sign canonicalization)
+    P2 = np.stack([np.asarray(r.proj) for r in
+                   sorted(pca_whiten(df, k=8).collect(),
+                          key=lambda r: r.vec_id)])
+    np.testing.assert_array_equal(P, P2)
