@@ -242,3 +242,43 @@ def test_stream_mvt_sink_accumulates_tiles(spark, tmp_path):
     q.stop()
     back = _mvt.read_mvt(spark, out).collect()
     assert sorted(r.fid for r in back) == [0, 1, 2, 3]
+
+
+def test_streaming_c4_curation_matches_batch(spark, tmp_path):
+    """The C4 cleaning pass is stateless column math, so the SAME
+    function body runs on a stream unchanged — stream(availableNow)
+    over two file drops must equal the batch pass over their union."""
+    from pyspark.sql import functions as F
+
+    from gdal_spark.operators.textops import c4_filters
+    from gdal_spark.streaming import events as sev
+
+    docs = spark.createDataFrame(
+        [(i, "\n".join(
+            [f"w{i} one two three four five.",
+             "javascript bad line here ok.",
+             "a b c d e f!",
+             "x y z w v."] + (["lorem ipsum kills this page."]
+                              if i % 5 == 0 else [])))
+         for i in range(40)],
+        "doc_id long, text string")
+    src = tmp_path / "c4_src"
+    src.mkdir()
+    docs.where("doc_id < 20").write.parquet(str(src / "d1.parquet"))
+    docs.where("doc_id >= 20").write.parquet(str(src / "d2.parquet"))
+
+    batch = {r.doc_id: (r.n_kept, r.keep, r.text)
+             for r in c4_filters(docs).collect()}
+    assert any(v[1] == 0 for v in batch.values())
+    assert any(v[1] == 1 for v in batch.values())
+
+    stream = sev.stream_events_from_dir(spark, str(src) + "/*/",
+                                        docs.schema)
+    q = (c4_filters(stream).writeStream.format("memory")
+         .queryName("c4_out").outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck_c4"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r.doc_id: (r.n_kept, r.keep, r.text)
+           for r in spark.sql("SELECT * FROM c4_out").collect()}
+    assert got == batch
