@@ -732,3 +732,40 @@ def vocab_topk(docs: DataFrame, k: int = 200) -> DataFrame:
     win = Window.orderBy(F.desc("n"), F.asc("w"))   # k rows only
     return top.withColumn("rank",
                           F.row_number().over(win).cast("long"))
+
+
+def bigram_lm_scores(docs: DataFrame, k_smooth: float = 0.5) -> DataFrame:
+    """CCNet-style LM quality scoring (Wenzek et al. 2020 use a KenLM
+    5-gram; the same machinery at bigram order keeps every probability
+    an exact corpus statistic): train an add-k-smoothed bigram model on
+    the corpus ITSELF, score each document by per-token cross-entropy,
+    and report perplexity (the head/middle/tail bucketing cut).
+
+    Distribution: bigram/unigram counts are map-side-combined groupBys
+    over exploded token pairs; scoring joins each document's bigrams
+    against the count tables (broadcast — vocabulary-sized, tiny next
+    to the corpus); one final per-doc aggregation. Every arithmetic
+    step is replayable in SQL, so the oracle value-hashes the scores."""
+    ws = words_col()
+    n = F.size(ws)
+    pairs = docs.select(
+        "doc_id",
+        F.explode(F.arrays_zip(F.slice(ws, 1, n - 1),
+                               F.slice(ws, 2, n - 1))).alias("p")) \
+        .select("doc_id", F.col("p.0").alias("a"), F.col("p.1").alias("b"))
+    uni = docs.select(F.explode(ws).alias("a")) \
+        .groupBy("a").agg(F.count("*").cast("double").alias("n_a"))
+    vocab = uni.count()
+    bi = pairs.groupBy("a", "b") \
+        .agg(F.count("*").cast("double").alias("n_ab"))
+    scored = (pairs.join(F.broadcast(bi), ["a", "b"])
+              .join(F.broadcast(uni), "a")
+              .withColumn("logp", F.log(
+                  (F.col("n_ab") + k_smooth)
+                  / (F.col("n_a") + k_smooth * vocab))))
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        (-F.avg("logp")).alias("xent"))
+    return per_doc.select("doc_id", "n_bigrams",
+                          F.round("xent", 6).alias("xent_r"),
+                          F.round(F.exp("xent"), 4).alias("ppl_r"))

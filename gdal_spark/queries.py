@@ -5465,3 +5465,29 @@ def q_embed_covariance(spark, sf_dir):
     rows = [(int(i), int(j), float(round(cov[i, j], 6)))
             for i in range(64) for j in range(64)]
     return spark.createDataFrame(rows, "i int, j int, cov_r double")
+
+
+@_reg("lm_perplexity", """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+tok AS (SELECT doc_id, unnest(ws) AS a FROM d),
+uni AS (SELECT a, CAST(count(*) AS DOUBLE) AS n_a FROM tok GROUP BY a),
+v AS (SELECT CAST(count(*) AS DOUBLE) AS vocab FROM uni),
+pr AS (SELECT doc_id, ws[i] AS a, ws[i + 1] AS b
+       FROM d, unnest(generate_series(1, len(ws) - 1)) t(i)),
+bi AS (SELECT a, b, CAST(count(*) AS DOUBLE) AS n_ab
+       FROM pr GROUP BY a, b),
+sc AS (SELECT doc_id, ln((n_ab + 0.5) / (n_a + 0.5 * vocab)) AS logp
+       FROM pr JOIN bi USING (a, b) JOIN uni USING (a), v)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       ROUND(-avg(logp), 6) AS xent_r,
+       ROUND(exp(-avg(logp)), 4) AS ppl_r
+FROM sc GROUP BY doc_id
+""")
+def q_lm_perplexity(spark, sf_dir):
+    """CCNet-style LM quality scoring (Wenzek et al. 2020, bigram order
+    so every probability is an exact corpus statistic): add-0.5-smoothed
+    bigram model trained ON the corpus, per-doc cross-entropy +
+    perplexity. Counts are map-side-combined groupBys; scoring joins
+    broadcast count tables; value-hashed against the identical
+    arithmetic in DuckDB."""
+    return textops.bigram_lm_scores(_t(spark, sf_dir, "documents"))

@@ -176,3 +176,32 @@ def test_fix_mojibake_cases(spark):
     assert out[1].text == "café" and out[1].changed == 1
     assert out[2].text == "ok" and out[2].changed == 0
     assert out[3].text is None
+
+
+def test_bigram_lm_hand_computed(spark):
+    """Pin the add-k smoothing math on a 2-doc corpus against a
+    hand-rolled python model."""
+    import math
+
+    from gdal_spark.operators.textops import bigram_lm_scores
+    docs = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b a b a b")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in bigram_lm_scores(docs, 0.5).collect()}
+    # corpus counts
+    uni = {"a": 5, "b": 5, "c": 1}
+    bi = {("a", "b"): 5, ("b", "a"): 3, ("b", "c"): 1}
+    V = 3
+
+    def xent(pairs):
+        lps = [math.log((bi[p] + 0.5) / (uni[p[0]] + 0.5 * V))
+               for p in pairs]
+        return -sum(lps) / len(lps)
+
+    d1 = [("a", "b"), ("b", "a"), ("a", "b"), ("b", "c")]
+    d2 = [("a", "b"), ("b", "a")] * 2 + [("a", "b")]
+    assert out[1].n_bigrams == 4 and out[2].n_bigrams == 5
+    assert out[1].xent_r == round(xent(d1), 6)
+    assert out[2].xent_r == round(xent(d2), 6)
+    # the repetitive doc is MORE predictable (lower perplexity)
+    assert out[2].ppl_r < out[1].ppl_r
