@@ -5491,3 +5491,33 @@ def q_lm_perplexity(spark, sf_dir):
     broadcast count tables; value-hashed against the identical
     arithmetic in DuckDB."""
     return textops.bigram_lm_scores(_t(spark, sf_dir, "documents"))
+
+
+@_reg("gpkg_tiles_roundtrip", _DENSITY_VALS_SQL.replace(
+    "vals AS (SELECT", "vals AS (SELECT g.x, g.y,") + """
+SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+       CAST(CAST(v AS BIGINT) % 256 AS DOUBLE) AS v
+FROM vals
+""")
+def q_gpkg_tiles_roundtrip(spark, sf_dir):
+    """GeoPackage raster tile pyramid round trip (OGC 12-128r15 §2.2;
+    gdalgeopackagerasterband.cpp): the density raster PNG-encodes in
+    executors into a gpkg tile table and reads back through rowid-range
+    parallel scan + in-task PNG decode; the oracle recomputes every
+    cell mod 256 (the u1 PNG container)."""
+    import os
+    import tempfile
+    from .raster.tiles import gdal2xyz
+    from .sources.gpkg import read_gpkg_tiles, write_gpkg_tiles
+
+    t = _density_tiles_full(spark, sf_dir)
+    path = os.path.join(tempfile.gettempdir(),
+                        f"gdal_spark_gpkgt_{os.getpid()}.gpkg")
+    if os.path.exists(path):
+        os.unlink(path)
+    write_gpkg_tiles(t, path, tile=8, zoom=3)
+    back, _ = read_gpkg_tiles(spark, path, tile=8, rows_per_task=16)
+    rows = gdal2xyz(back, tile=8)
+    return rows.select(F.col("x").cast("long").alias("x"),
+                       F.col("y").cast("long").alias("y"),
+                       F.col("value").cast("double").alias("v"))

@@ -198,3 +198,172 @@ def write_gpkg(rows, path: str, table: str = "layer",
         con.commit()
     finally:
         con.close()
+
+
+# ---------------------------------------------------------- raster tiles
+
+def write_gpkg_tiles(tiles: DataFrame, path: str, table: str = "tiles",
+                     tile: int = 256, srs_id: int = 3857,
+                     png_dtype: str = "u1",
+                     bounds=(-20037508.342789244, -20037508.342789244,
+                             20037508.342789244, 20037508.342789244),
+                     zoom: int = 0) -> int:
+    """Engine tile table (single band u1/u2 or bands 1-3 as RGB) -> a
+    GeoPackage TILE pyramid table (OGC 12-128r15 §2.2: gpkg_contents
+    data_type='tiles', gpkg_tile_matrix_set, gpkg_tile_matrix, and the
+    (zoom_level, tile_column, tile_row, tile_data PNG) user table,
+    reference gdal/ogr/ogrsf_frmts/gpkg/gdalgeopackagerasterband.cpp).
+
+    PNG ENCODING runs in executors (mapInPandas over tile groups — the
+    expensive deflate never touches the driver); the blob INSERT is
+    driver-side because SQLite is single-writer — the same bounded-sink
+    contract as the vector GPKG writer. Returns tile count."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F, types as T
+
+    from ..raster.tiles import decode_px
+    from .png import encode_png
+
+    enc_schema = T.StructType([
+        T.StructField("tx", T.LongType()), T.StructField("ty", T.LongType()),
+        T.StructField("blob", T.BinaryType())])
+
+    def encode(key, pdf):
+        tx, ty = int(key[0]), int(key[1])
+        bands = sorted(pdf["band"].unique())
+        planes = {}
+        for r in pdf.itertuples(index=False):
+            planes[int(r.band)] = decode_px(r.px, r.dtype, tile)
+        if len(bands) == 1:
+            arr = planes[bands[0]]
+        else:
+            arr = np.stack([planes[b] for b in bands], axis=2)
+        arr = arr.astype(png_dtype)    # PNG container: u1 or u2
+        return pd.DataFrame([(tx, ty, encode_png(arr))],
+                            columns=["tx", "ty", "blob"])
+
+    rows = tiles.groupBy("tile_x", "tile_y") \
+        .applyInPandas(encode, enc_schema).collect()
+
+    con = sqlite3.connect(path)
+    try:
+        cur = con.cursor()
+        cur.execute("PRAGMA application_id = 1196444487")
+        cur.execute(
+            "CREATE TABLE IF NOT EXISTS gpkg_spatial_ref_sys ("
+            "srs_name TEXT NOT NULL, srs_id INTEGER PRIMARY KEY, "
+            "organization TEXT NOT NULL, organization_coordsys_id "
+            "INTEGER NOT NULL, definition TEXT NOT NULL, description TEXT)")
+        cur.execute(
+            "INSERT OR IGNORE INTO gpkg_spatial_ref_sys VALUES "
+            "('WebMercator', 3857, 'EPSG', 3857, "
+            "'PROJCS[\"WGS 84 / Pseudo-Mercator\"]', NULL)")
+        cur.execute(
+            "CREATE TABLE IF NOT EXISTS gpkg_contents ("
+            "table_name TEXT PRIMARY KEY, data_type TEXT NOT NULL, "
+            "identifier TEXT, description TEXT, last_change TEXT, "
+            "min_x DOUBLE, min_y DOUBLE, max_x DOUBLE, max_y DOUBLE, "
+            "srs_id INTEGER)")
+        cur.execute(
+            "CREATE TABLE IF NOT EXISTS gpkg_tile_matrix_set ("
+            "table_name TEXT PRIMARY KEY, srs_id INTEGER NOT NULL, "
+            "min_x DOUBLE NOT NULL, min_y DOUBLE NOT NULL, "
+            "max_x DOUBLE NOT NULL, max_y DOUBLE NOT NULL)")
+        cur.execute(
+            "CREATE TABLE IF NOT EXISTS gpkg_tile_matrix ("
+            "table_name TEXT NOT NULL, zoom_level INTEGER NOT NULL, "
+            "matrix_width INTEGER NOT NULL, matrix_height INTEGER NOT "
+            "NULL, tile_width INTEGER NOT NULL, tile_height INTEGER NOT "
+            "NULL, pixel_x_size DOUBLE NOT NULL, pixel_y_size DOUBLE "
+            "NOT NULL, PRIMARY KEY (table_name, zoom_level))")
+        cur.execute(
+            f'CREATE TABLE "{table}" (id INTEGER PRIMARY KEY, '
+            "zoom_level INTEGER NOT NULL, tile_column INTEGER NOT NULL, "
+            "tile_row INTEGER NOT NULL, tile_data BLOB NOT NULL, "
+            "UNIQUE (zoom_level, tile_column, tile_row))")
+        cur.execute(
+            "INSERT INTO gpkg_contents (table_name, data_type, "
+            "identifier, min_x, min_y, max_x, max_y, srs_id) VALUES "
+            "(?, 'tiles', ?, ?, ?, ?, ?, ?)",
+            (table, table, *bounds, srs_id))
+        cur.execute("INSERT INTO gpkg_tile_matrix_set VALUES "
+                    "(?, ?, ?, ?, ?, ?)", (table, srs_id, *bounds))
+        n = 1 << zoom
+        px = (bounds[2] - bounds[0]) / (n * tile)
+        cur.execute("INSERT INTO gpkg_tile_matrix VALUES "
+                    "(?, ?, ?, ?, ?, ?, ?, ?)",
+                    (table, zoom, n, n, tile, tile, px, px))
+        for i, r in enumerate(sorted(rows, key=lambda r: (r.ty, r.tx))):
+            cur.execute(
+                f'INSERT INTO "{table}" (id, zoom_level, tile_column, '
+                "tile_row, tile_data) VALUES (?, ?, ?, ?, ?)",
+                (i + 1, zoom, int(r.tx), int(r.ty), bytes(r.blob)))
+        con.commit()
+    finally:
+        con.close()
+    return len(rows)
+
+
+def read_gpkg_tiles(spark: SparkSession, path: str,
+                    table: str | None = None, tile: int = 256,
+                    rows_per_task: int = 64):
+    """GeoPackage tile pyramid -> (engine tile table, matrix meta).
+    Rowid-range parallel scan; PNG decode runs in the tasks."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    from ..raster.tiles import TILE_SCHEMA, encode_px
+
+    con = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
+    try:
+        if table is None:
+            table = con.execute(
+                "SELECT table_name FROM gpkg_contents WHERE "
+                "data_type = 'tiles'").fetchone()[0]
+        tm = con.execute(
+            "SELECT zoom_level, matrix_width, matrix_height, tile_width, "
+            "tile_height, pixel_x_size FROM gpkg_tile_matrix WHERE "
+            "table_name = ?", (table,)).fetchall()
+        lo_hi = con.execute(
+            f'SELECT min(rowid), max(rowid) FROM "{table}"').fetchone()
+    finally:
+        con.close()
+    lo, hi = (int(lo_hi[0]), int(lo_hi[1])) if lo_hi[0] is not None \
+        else (0, -1)
+    ranges = [(a, min(a + rows_per_task - 1, hi))
+              for a in range(lo, hi + 1, rows_per_task)] or [(1, 0)]
+    rdf = spark.createDataFrame(ranges, "lo long, hi long")
+    cols = [f.name for f in TILE_SCHEMA.fields]
+
+    def parse(batches):
+        import pandas as pd
+        from .png import decode_png
+        for pdf in batches:
+            frames = []
+            con = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
+            try:
+                for r in pdf.itertuples(index=False):
+                    rows = []
+                    for z, tc, tr, blob in con.execute(
+                            f'SELECT zoom_level, tile_column, tile_row, '
+                            f'tile_data FROM "{table}" WHERE rowid '
+                            "BETWEEN ? AND ?", (int(r.lo), int(r.hi))):
+                        arr, _m = decode_png(bytes(blob))
+                        if arr.ndim == 2:
+                            rows.append((1, z, tc, tr, arr.dtype.str[1:],
+                                         None, encode_px(arr)))
+                        else:
+                            for b in range(arr.shape[2]):
+                                plane = np.ascontiguousarray(arr[:, :, b])
+                                rows.append((b + 1, z, tc, tr,
+                                             plane.dtype.str[1:], None,
+                                             encode_px(plane)))
+                    frames.append(pd.DataFrame(rows, columns=cols))
+            finally:
+                con.close()
+            yield pd.concat(frames) if frames else \
+                pd.DataFrame(columns=cols)
+
+    meta = {"table": table, "tile_matrix": tm}
+    return rdf.mapInPandas(parse, TILE_SCHEMA), meta

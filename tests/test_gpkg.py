@@ -66,3 +66,52 @@ def test_reference_autotest_fixture_poly_golden(spark):
         assert area == pytest.approx(abs(float(r.AREA)), rel=1e-3)
     got = [int(r.EAS_ID) for r in rows if r.EAS_ID < 170]
     assert got == [168, 169, 166, 158, 165]
+
+
+def test_gpkg_raster_tiles_roundtrip(spark, tmp_path):
+    """GeoPackage tile pyramid (OGC 12-128r15 §2.2; reference
+    gdalgeopackagerasterband.cpp): engine tiles -> PNG blobs in the
+    tile_matrix user table -> parallel rowid-range read back."""
+    import sqlite3
+
+    from gdal_spark.raster.tiles import raster_to_tiles, tiles_to_raster
+    from gdal_spark.sources.gpkg import read_gpkg_tiles, write_gpkg_tiles
+
+    rng = np.random.RandomState(5)
+    arr = rng.randint(0, 255, (64, 64)).astype("u1")
+    path = str(tmp_path / "r.gpkg")
+    n = write_gpkg_tiles(raster_to_tiles(spark, arr.astype("f8"),
+                                         tile=16), path, tile=16, zoom=2)
+    assert n == 16
+    con = sqlite3.connect(path)
+    assert con.execute("SELECT data_type FROM gpkg_contents") \
+        .fetchone()[0] == "tiles"
+    assert con.execute("SELECT matrix_width, tile_width FROM "
+                       "gpkg_tile_matrix").fetchone() == (4, 16)
+    # blobs really are PNGs
+    blob = con.execute("SELECT tile_data FROM tiles LIMIT 1").fetchone()[0]
+    assert bytes(blob[:8]) == b"\x89PNG\r\n\x1a\n"
+    con.close()
+
+    back, meta = read_gpkg_tiles(spark, path, tile=16, rows_per_task=3)
+    assert meta["table"] == "tiles"
+    got = tiles_to_raster(back, tile=16)
+    np.testing.assert_array_equal(got[:64, :64], arr)
+
+
+def test_gpkg_raster_tiles_rgb(spark, tmp_path):
+    from gdal_spark.raster.tiles import raster_to_tiles, tiles_to_raster
+    from gdal_spark.sources.gpkg import read_gpkg_tiles, write_gpkg_tiles
+
+    rng = np.random.RandomState(6)
+    chans = [rng.randint(0, 255, (32, 48)).astype("u1") for _ in range(3)]
+    tiles = None
+    for b, ch in enumerate(chans, start=1):
+        t = raster_to_tiles(spark, ch.astype("f8"), band=b, tile=16)
+        tiles = t if tiles is None else tiles.unionByName(t)
+    path = str(tmp_path / "rgb.gpkg")
+    write_gpkg_tiles(tiles, path, tile=16, zoom=2)
+    back, _ = read_gpkg_tiles(spark, path, tile=16)
+    for b, ch in enumerate(chans, start=1):
+        got = tiles_to_raster(back.where(f"band = {b}"), tile=16)
+        np.testing.assert_array_equal(got[:32, :48], ch)
