@@ -5521,3 +5521,31 @@ def q_gpkg_tiles_roundtrip(spark, sf_dir):
     return rows.select(F.col("x").cast("long").alias("x"),
                        F.col("y").cast("long").alias("y"),
                        F.col("value").cast("double").alias("v"))
+
+
+@_reg("mbtiles_roundtrip", _DENSITY_VALS_SQL.replace(
+    "vals AS (SELECT", "vals AS (SELECT g.x, g.y,") + """
+SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+       CAST(CAST(v AS BIGINT) % 256 AS DOUBLE) AS v
+FROM vals
+""")
+def q_mbtiles_roundtrip(spark, sf_dir):
+    """MBTiles round trip (frmts/mbtiles/mbtilesdataset.cpp): density
+    raster -> PNG tiles with the TMS row flip -> parallel read back with
+    the un-flip; the oracle recomputes every cell mod 256."""
+    import os
+    import tempfile
+    from .raster.tiles import gdal2xyz
+    from .sources.gpkg import read_mbtiles, write_mbtiles
+
+    t = _density_tiles_full(spark, sf_dir)
+    path = os.path.join(tempfile.gettempdir(),
+                        f"gdal_spark_mbt_{os.getpid()}.mbtiles")
+    if os.path.exists(path):
+        os.unlink(path)
+    write_mbtiles(t, path, tile=8, zoom=3)
+    back, _ = read_mbtiles(spark, path, tile=8, rows_per_task=16)
+    rows = gdal2xyz(back, tile=8)
+    return rows.select(F.col("x").cast("long").alias("x"),
+                       F.col("y").cast("long").alias("y"),
+                       F.col("value").cast("double").alias("v"))

@@ -367,3 +367,117 @@ def read_gpkg_tiles(spark: SparkSession, path: str,
 
     meta = {"table": table, "tile_matrix": tm}
     return rdf.mapInPandas(parse, TILE_SCHEMA), meta
+
+
+# ------------------------------------------------------------- MBTiles
+
+def write_mbtiles(tiles: DataFrame, path: str, *, tile: int = 256,
+                  zoom: int = 0, name: str = "gdal_spark",
+                  fmt: str = "png", png_dtype: str = "u1",
+                  metadata: dict | None = None) -> int:
+    """Engine tile table -> MBTiles 1.3 archive (frmts/mbtiles/
+    mbtilesdataset.cpp; mapbox/mbtiles-spec): `metadata` key/value table
+    + `tiles(zoom_level, tile_column, tile_row, tile_data)` with the
+    TMS row flip (row 0 at the BOTTOM — the XYZ->TMS difference the
+    reference handles in MBTilesDataset::IRasterIO). PNG encode runs in
+    executors; the insert is the driver-side single-writer sink, like
+    the GPKG writers."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..raster.tiles import decode_px
+    from .png import encode_png
+
+    enc_schema = T.StructType([
+        T.StructField("tx", T.LongType()), T.StructField("ty", T.LongType()),
+        T.StructField("blob", T.BinaryType())])
+
+    def encode(key, pdf):
+        tx, ty = int(key[0]), int(key[1])
+        bands = sorted(pdf["band"].unique())
+        planes = {int(r.band): decode_px(r.px, r.dtype, tile)
+                  for r in pdf.itertuples(index=False)}
+        arr = (planes[bands[0]] if len(bands) == 1
+               else np.stack([planes[b] for b in bands], axis=2))
+        return pd.DataFrame([(tx, ty, encode_png(arr.astype(png_dtype)))],
+                            columns=["tx", "ty", "blob"])
+
+    rows = tiles.groupBy("tile_x", "tile_y") \
+        .applyInPandas(encode, enc_schema).collect()
+    n = 1 << zoom
+    con = sqlite3.connect(path)
+    try:
+        cur = con.cursor()
+        cur.execute("CREATE TABLE metadata (name TEXT, value TEXT)")
+        cur.execute("CREATE TABLE tiles (zoom_level INTEGER, tile_column "
+                    "INTEGER, tile_row INTEGER, tile_data BLOB)")
+        cur.execute("CREATE UNIQUE INDEX tile_index ON tiles "
+                    "(zoom_level, tile_column, tile_row)")
+        meta = {"name": name, "format": fmt, "version": "1.3",
+                "type": "overlay", "minzoom": str(zoom),
+                "maxzoom": str(zoom), **(metadata or {})}
+        for k, v in sorted(meta.items()):
+            cur.execute("INSERT INTO metadata VALUES (?, ?)", (k, str(v)))
+        for r in sorted(rows, key=lambda r: (r.ty, r.tx)):
+            cur.execute(
+                "INSERT INTO tiles VALUES (?, ?, ?, ?)",
+                (zoom, int(r.tx), n - 1 - int(r.ty), bytes(r.blob)))
+        con.commit()
+    finally:
+        con.close()
+    return len(rows)
+
+
+def read_mbtiles(spark: SparkSession, path: str, tile: int = 256,
+                 rows_per_task: int = 64):
+    """MBTiles -> (engine tile table in XYZ orientation, metadata dict).
+    Rowid-range parallel scan, in-task PNG decode, TMS row un-flip."""
+    import numpy as np
+    from ..raster.tiles import TILE_SCHEMA, encode_px
+
+    con = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
+    try:
+        meta = dict(con.execute("SELECT name, value FROM metadata"))
+        lo_hi = con.execute(
+            "SELECT min(rowid), max(rowid) FROM tiles").fetchone()
+    finally:
+        con.close()
+    lo, hi = (int(lo_hi[0]), int(lo_hi[1])) if lo_hi[0] is not None \
+        else (0, -1)
+    ranges = [(a, min(a + rows_per_task - 1, hi))
+              for a in range(lo, hi + 1, rows_per_task)] or [(1, 0)]
+    rdf = spark.createDataFrame(ranges, "lo long, hi long")
+    cols = [f.name for f in TILE_SCHEMA.fields]
+
+    def parse(batches):
+        import pandas as pd
+        from .png import decode_png
+        for pdf in batches:
+            frames = []
+            con = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
+            try:
+                for r in pdf.itertuples(index=False):
+                    rows = []
+                    for z, tc, tr, blob in con.execute(
+                            "SELECT zoom_level, tile_column, tile_row, "
+                            "tile_data FROM tiles WHERE rowid BETWEEN "
+                            "? AND ?", (int(r.lo), int(r.hi))):
+                        arr, _m = decode_png(bytes(blob))
+                        ty = (1 << z) - 1 - tr        # TMS -> XYZ
+                        if arr.ndim == 2:
+                            rows.append((1, z, tc, ty, arr.dtype.str[1:],
+                                         None, encode_px(arr)))
+                        else:
+                            for b in range(arr.shape[2]):
+                                pl = np.ascontiguousarray(arr[:, :, b])
+                                rows.append((b + 1, z, tc, ty,
+                                             pl.dtype.str[1:], None,
+                                             encode_px(pl)))
+                    frames.append(pd.DataFrame(rows, columns=cols))
+            finally:
+                con.close()
+            yield pd.concat(frames) if frames else \
+                pd.DataFrame(columns=cols)
+
+    return rdf.mapInPandas(parse, TILE_SCHEMA), meta

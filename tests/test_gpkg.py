@@ -115,3 +115,31 @@ def test_gpkg_raster_tiles_rgb(spark, tmp_path):
     for b, ch in enumerate(chans, start=1):
         got = tiles_to_raster(back.where(f"band = {b}"), tile=16)
         np.testing.assert_array_equal(got[:32, :48], ch)
+
+
+def test_mbtiles_roundtrip_tms_flip(spark, tmp_path):
+    """MBTiles 1.3 (frmts/mbtiles): TMS row flip on write, un-flip on
+    read; metadata table round-trips."""
+    import sqlite3
+
+    from gdal_spark.raster.tiles import raster_to_tiles, tiles_to_raster
+    from gdal_spark.sources.gpkg import read_mbtiles, write_mbtiles
+
+    rng = np.random.RandomState(7)
+    arr = rng.randint(0, 255, (64, 64)).astype("u1")
+    path = str(tmp_path / "t.mbtiles")
+    n = write_mbtiles(raster_to_tiles(spark, arr.astype("f8"), tile=16),
+                      path, tile=16, zoom=2, name="demo")
+    assert n == 16
+    con = sqlite3.connect(path)
+    meta = dict(con.execute("SELECT name, value FROM metadata"))
+    assert meta["name"] == "demo" and meta["format"] == "png"
+    # XYZ tile (0, 0) (top-left) stored as TMS row 3
+    top = con.execute("SELECT tile_row FROM tiles WHERE tile_column=0 "
+                      "ORDER BY tile_row DESC LIMIT 1").fetchone()[0]
+    assert top == 3
+    con.close()
+    back, m2 = read_mbtiles(spark, path, tile=16, rows_per_task=5)
+    assert m2["maxzoom"] == "2"
+    got = tiles_to_raster(back, tile=16)
+    np.testing.assert_array_equal(got[:64, :64], arr)
