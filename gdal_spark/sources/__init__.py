@@ -167,6 +167,9 @@ def open_raster(spark, path: str, tile: int = 256, **kwargs):
     if low.endswith(".bmp"):
         from .bmp import read_bmp
         return read_bmp(spark, path, tile=tile, **kwargs)[0]
+    if low.endswith(".mbtiles"):
+        from .gpkg import read_mbtiles
+        return read_mbtiles(spark, path, tile=tile, **kwargs)[0]
     if low.endswith((".pgm", ".ppm", ".pnm")):
         from .pnm import read_pnm
         return read_pnm(spark, path, tile=tile, **kwargs)[0]
