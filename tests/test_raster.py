@@ -282,3 +282,41 @@ def test_los_wall_blocks_and_flat_sees(spark):
     got = {r.pid: r.visible for r in los(df, sdf, tile=t).collect()}
     # pid 0: line z at x=20 = 60 + (15/25)*(95-60) = 81 > 70 -> visible
     assert got == {0: True, 1: False, 2: True, 3: False, 4: True}
+
+
+def test_kml_superoverlay_tree(spark, tmp_path):
+    """KML SuperOverlay (frmts/kmlsuperoverlay): pyramid PNGs written by
+    executors; region-gated kml tree links children; bounds geodetic."""
+    import os
+    import xml.etree.ElementTree as ET
+
+    import numpy as np
+
+    from gdal_spark.raster.superoverlay import write_kml_superoverlay
+    from gdal_spark.raster.tiles import raster_to_tiles
+    from gdal_spark.sources.png import decode_png
+
+    rng = np.random.RandomState(9)
+    arr = rng.randint(0, 255, (64, 64)).astype("f8")
+    base = raster_to_tiles(spark, arr, zoom=2, tile=16)
+    out = str(tmp_path / "so")
+    tiles = write_kml_superoverlay(base, out, max_zoom=2, tile=16)
+    zs = sorted({z for z, _x, _y in tiles})
+    assert zs == [0, 1, 2]
+    assert len([t for t in tiles if t[0] == 2]) == 16
+    assert os.path.isfile(os.path.join(out, "doc.kml"))
+    # leaf png round-trips the base tile
+    a, _m = decode_png(open(os.path.join(out, "2/0/0.png"), "rb").read())
+    np.testing.assert_array_equal(a, arr[:16, :16].astype("u1"))
+    # root kml: region + overlay + 4 child links
+    root = ET.parse(os.path.join(out, "0/0/0.kml")).getroot()
+    ns = "{http://www.opengis.net/kml/2.2}"
+    links = root.findall(f".//{ns}NetworkLink")
+    assert len(links) == 4
+    assert root.find(f".//{ns}Region/{ns}LatLonAltBox/{ns}north") \
+        is not None
+    assert root.find(f".//{ns}GroundOverlay/{ns}Icon/{ns}href") \
+        .text == "0.png"
+    # doc.kml points at the top of the tree
+    doc = ET.parse(os.path.join(out, "doc.kml")).getroot()
+    assert doc.find(f".//{ns}Link/{ns}href").text == "0/0/0.kml"
