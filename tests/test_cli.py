@@ -6,6 +6,7 @@ import json
 
 import numpy as np
 
+from conftest import SF_DIR
 from gdal_spark import cli
 from gdal_spark.core import wkb
 from gdal_spark.sources.geojson import read_geojson_seq, write_geojson_seq
@@ -108,3 +109,56 @@ def test_cli_gdallocationinfo(tmp_path, capsys, spark):
     assert main(["gdallocationinfo", p, "3", "5", "-tile", "8",
                  "-valonly"]) == 0
     assert capsys.readouterr().out.strip() == "43.0"
+
+
+def test_curation_job_end_to_end_and_resume(spark, tmp_path):
+    """jobs/curation_job.py: the packaged webtext pipeline runs, counts
+    drop monotonically per stage, publishing commits a snapshot, and a
+    rerun with the same workdir RESUMES every stage."""
+    import json
+    import subprocess
+    import sys
+
+    from pyspark.sql import functions as F
+
+    # webified corpus: 8-word punctuated lines; a dup pair; a lorem page
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(60)
+    ws = F.split("text", " ")
+    nl = F.ceil(F.size(ws) / F.lit(8.0)).cast("int")
+    line = lambda i: F.concat(F.array_join(F.slice(ws, i * 8 + 1, 8), " "),
+                              F.lit("."))
+    web = docs.select(
+        "doc_id",
+        F.array_join(F.transform(F.sequence(F.lit(0), nl - 1), line),
+                     "\n").alias("text"))
+    dup = web.where("doc_id = 1").select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text")
+    lorem = web.where("doc_id = 2").select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat("text", F.lit("\nhas lorem ipsum inside here.")).alias("text"))
+    inp = str(tmp_path / "docs.parquet")
+    web.unionByName(dup).unionByName(lorem) \
+        .write.mode("overwrite").parquet(inp)
+
+    wd = str(tmp_path / "wd")
+    cmd = [sys.executable, "jobs/curation_job.py", "--input", inp,
+           "--workdir", wd, "--sample-rate", "0.9"]
+    out1 = json.loads([ln for ln in subprocess.run(
+        cmd, capture_output=True, text=True, cwd="/root/repo",
+        check=True).stdout.splitlines() if ln.startswith("{")][-1])
+    st = out1["stages"]
+    assert st["ingest"]["rows"] == 62
+    # the lorem page is gone (plus any doc with <3 surviving lines)
+    assert st["clean"]["rows"] < st["ingest"]["rows"]
+    # the exact-dup pair (doc 1 vs doc 100001) collapsed to one
+    assert st["dedup"]["rows"] < st["clean"]["rows"]
+    assert st["quality"]["rows"] <= st["dedup"]["rows"]
+    assert st["sample"]["rows"] <= st["quality"]["rows"]
+    assert out1["published_rows"] == st["sample"]["rows"]
+    assert not any(v.get("resumed") for v in st.values())
+
+    out2 = json.loads([ln for ln in subprocess.run(
+        cmd, capture_output=True, text=True, cwd="/root/repo",
+        check=True).stdout.splitlines() if ln.startswith("{")][-1])
+    assert all(v.get("resumed") for v in out2["stages"].values())
+    assert out2["published_version"] == out1["published_version"] + 1
