@@ -67,3 +67,28 @@ def domain_block(pages: DataFrame, max_pages_per_host: int,
     blocked = (h.groupBy("host").agg(F.count("*").alias("n_pages"))
                .where(F.col("n_pages") > max_pages_per_host))
     return h.join(F.broadcast(blocked.select("host")), "host", "left_anti")
+
+
+def robots_filter(pages: DataFrame, rules: DataFrame,
+                  url_col: str = "url") -> DataFrame:
+    """Opt-out compliance filter: drop every page whose URL path falls
+    under a disallowed prefix for its host (the robots.txt/opt-out-list
+    contract every crawl pipeline enforces before training use).
+
+    `rules`: (host, prefix) disallow rows — list-sized, broadcast. A
+    page drops iff ANY rule for its host prefix-matches its path;
+    expressed as broadcast-join + startswith + left_anti, so the page
+    table is one map-side pass, no shuffle."""
+    withh = pages.withColumn("__host", host_col(F.col(url_col))) \
+        .withColumn("__path", F.regexp_replace(
+            F.regexp_extract(F.col(url_col),
+                             r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]+(.*)$",
+                             1), r"[?#].*$", ""))
+    hit = withh.join(
+        F.broadcast(rules.select(F.col("host").alias("__host"),
+                                 F.col("prefix").alias("__prefix"))),
+        "__host").where(F.col("__path").startswith(F.col("__prefix"))) \
+        .select(F.col(url_col).alias("__badurl")).distinct()
+    return withh.join(F.broadcast(hit),
+                      withh[url_col] == F.col("__badurl"), "left_anti") \
+        .drop("__host", "__path")

@@ -5549,3 +5549,47 @@ def q_mbtiles_roundtrip(spark, sf_dir):
     return rows.select(F.col("x").cast("long").alias("x"),
                        F.col("y").cast("long").alias("y"),
                        F.col("value").cast("double").alias("v"))
+
+
+@_reg("robots_optout", f"""
+WITH u AS (SELECT doc_id, {_MESSY_URL_SQL} AS url FROM documents),
+h AS (SELECT doc_id, url,
+        regexp_replace(lower(regexp_extract(
+            url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)),
+            ':[0-9]+$', '') AS host,
+        regexp_replace(regexp_extract(
+            url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+(.*)$', 1),
+            '[?#].*$', '') AS path
+      FROM u),
+r AS (SELECT 'site' || CAST(s.range AS VARCHAR) || '.example' AS host,
+             '/p/' AS prefix
+      FROM range(167) s WHERE s.range % 5 = 0)
+SELECT doc_id, url
+FROM h LEFT JOIN r ON h.host = r.host
+                   AND substr(h.path, 1, len(r.prefix)) = r.prefix
+WHERE r.host IS NULL
+""")
+def q_robots_optout(spark, sf_dir):
+    """robots.txt / opt-out filtering: every 5th synthetic host
+    disallows '/p/' — pages under a disallowed prefix drop via a
+    broadcast rule join (one map-side pass over the page table). The
+    oracle replays host/path extraction and the prefix test in SQL."""
+    from .operators.urlops import robots_filter
+    d = _t(spark, sf_dir, "documents")
+    g = (F.col("doc_id") % 167).cast("string")
+    base = F.concat(F.lit("https://site"), g, F.lit(".example/p/"), g)
+    upper = F.concat(F.lit("HTTPS://SITE"), g, F.lit(".EXAMPLE/p/"), g)
+    port = F.concat(F.lit("https://site"), g, F.lit(".example:443/p/"), g)
+    v = F.col("doc_id") % 6
+    url = (F.when(v == 0, base)
+           .when(v == 1, upper)
+           .when(v == 2, port)
+           .when(v == 3, F.concat(base, F.lit("/")))
+           .when(v == 4, F.concat(base, F.lit("?b=2&a=1#frag")))
+           .otherwise(F.concat(base, F.lit("?a=1&b=2"))))
+    pages = d.select("doc_id", url.alias("url"))
+    rules = spark.range(0, 167, 5).select(
+        F.concat(F.lit("site"), F.col("id").cast("string"),
+                 F.lit(".example")).alias("host"),
+        F.lit("/p/").alias("prefix"))
+    return robots_filter(pages, rules).select("doc_id", "url")
