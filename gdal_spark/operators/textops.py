@@ -769,3 +769,55 @@ def bigram_lm_scores(docs: DataFrame, k_smooth: float = 0.5) -> DataFrame:
     return per_doc.select("doc_id", "n_bigrams",
                           F.round("xent", 6).alias("xent_r"),
                           F.round(F.exp("xent"), 4).alias("ppl_r"))
+
+
+def minhash_band_keys_stateless(docs: DataFrame,
+                                perms: int = MINHASH128_PERMS,
+                                bands: int = MINHASH_BANDS,
+                                k: int = SHINGLE_K,
+                                extra_cols: tuple = ()) -> DataFrame:
+    """(doc_id, band, key[, extra…]) — the SAME 128-perm 16-band LSH
+    keys as minhash_band_keys, computed WITHOUT any shuffle: shingles,
+    their (h1, h2) hash pairs and all 128 signature minima are
+    higher-order ARRAY expressions evaluated per row. Byte-identical to
+    the grouped path (pinned in tests), and being stateless it runs on
+    Structured Streaming unchanged — which the streaming near-dup gate
+    (streaming/dedup.py) needs, since a stream can't pre-shuffle."""
+    ws = words_col()
+    n = F.size(ws)
+    sh = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(ws, i + j) for j in range(k)]))
+    h1 = F.transform(sh, lambda s: F.conv(
+        F.substring(F.md5(s), 1, 7), 16, 10).cast("long"))
+    h2 = F.transform(sh, lambda s: F.conv(
+        F.substring(F.md5(s), 9, 7), 16, 10).cast("long"))
+    r = perms // bands
+    # materialize the hash-pair array in its OWN projection: without
+    # this boundary every one of the 128 signature expressions would
+    # re-evaluate the md5 pass over all shingles (measured: ~100x)
+    paired = docs.where(n >= k).select(
+        "doc_id", *extra_cols,
+        F.zip_with(h1, h2, lambda a, b: F.struct(
+            a.alias("a"), b.alias("b"))).alias("pairs"))
+    pairs = F.col("pairs")
+
+    def _perm(j):
+        # NB: must be a UNARY lambda — pyspark treats a second lambda
+        # parameter as the array index, silently shadowing a j=j default
+        return lambda p: (p.a + j * p.b) % MH_PRIME
+
+    band_structs = []
+    for b in range(bands):
+        sigs = [F.array_min(F.transform(pairs, _perm(j))).cast("string")
+                for j in range(b * r, (b + 1) * r)]
+        band_structs.append(F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws("|", *sigs)).alias("key")))
+    out = paired.select(
+        "doc_id", *extra_cols,
+        F.explode(F.array(*band_structs)).alias("bk"))
+    return out.select("doc_id", *extra_cols,
+                      F.col("bk.band").alias("band"),
+                      F.col("bk.key").alias("key"))

@@ -5593,3 +5593,35 @@ def q_robots_optout(spark, sf_dir):
                  F.lit(".example")).alias("host"),
         F.lit("/p/").alias("prefix"))
     return robots_filter(pages, rules).select("doc_id", "url")
+
+
+@_reg("neardup_first_wins", f"""
+WITH corp AS (SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, text FROM documents
+              WHERE doc_id % 10 = 0),
+{_minhash128_sql_parts().strip().lstrip().replace(
+    "d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)",
+    "d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corp)")},
+fw AS (SELECT doc_id, band, key,
+              row_number() OVER (PARTITION BY band, key
+                                 ORDER BY doc_id) AS rn
+       FROM bk)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_won
+FROM fw WHERE rn = 1 GROUP BY doc_id
+""")
+def q_neardup_first_wins(spark, sf_dir):
+    """First-wins near-dup (the ONLINE MinHash policy, batch anchor of
+    streaming/dedup.minhash_band_claims): every 10th doc re-enters the
+    corpus later as an exact copy; each of the 16 LSH band keys belongs
+    to its first claimant (doc_id order == arrival order here), so the
+    copies win ZERO bands and vanish from the survivor set. Band keys
+    come from the STATELESS per-row array-math path (byte-identical to
+    the grouped one, pinned in tests); the oracle replays banding +
+    first-wins in SQL."""
+    from .streaming.dedup import near_dup_survivors
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = d.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    corp = d.unionByName(dups).withColumn("tsv", F.col("doc_id"))
+    return near_dup_survivors(corp, ts_col="tsv")

@@ -36,3 +36,40 @@ def streaming_dedup(pages: DataFrame, text_col: str = "text",
     else:
         out = p.dropDuplicates(["_key"])
     return out.drop("_ts", "_key")
+
+
+def minhash_band_claims(docs: DataFrame, ts_col: str = "warc_ts",
+                        watermark: str = "2 hours") -> DataFrame:
+    """Streaming NEAR-dup gate (the online CCNet/MinHash policy): every
+    document stakes a claim on each of its 16 LSH band keys; a band key
+    belongs to its FIRST claimant. Returns surviving claims
+    (doc_id, band, key) — a document that wins ZERO bands shared every
+    band with earlier documents and is a near-duplicate.
+
+    Band keys come from textops.minhash_band_keys_stateless — pure
+    per-row array math, so the SAME expression runs on a stream (no
+    shuffle before the dedup). Streaming plane: watermark +
+    dropDuplicatesWithinWatermark on (band, key), state bounded like
+    streaming_dedup. Batch plane (the oracle anchor): deterministic
+    first-wins row_number over (ts, doc_id) per key."""
+    from ..operators.textops import minhash_band_keys_stateless
+
+    keys = minhash_band_keys_stateless(docs, extra_cols=(ts_col,))
+    if docs.isStreaming:
+        return keys.withWatermark(ts_col, watermark) \
+            .dropDuplicatesWithinWatermark(["band", "key"]) \
+            .select("doc_id", "band", "key")
+    from pyspark.sql import Window
+    w = Window.partitionBy("band", "key") \
+        .orderBy(F.col(ts_col), F.col("doc_id"))
+    return keys.withColumn("rn", F.row_number().over(w)) \
+        .where(F.col("rn") == 1).select("doc_id", "band", "key")
+
+
+def near_dup_survivors(docs: DataFrame, ts_col: str = "warc_ts") -> DataFrame:
+    """(doc_id, n_won) for documents that won >= 1 band claim — the
+    keep-set of first-wins near-dup. Batch form; the SQL oracle replays
+    it verbatim."""
+    claims = minhash_band_claims(docs, ts_col)
+    return claims.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_won"))

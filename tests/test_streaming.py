@@ -282,3 +282,56 @@ def test_streaming_c4_curation_matches_batch(spark, tmp_path):
     got = {r.doc_id: (r.n_kept, r.keep, r.text)
            for r in spark.sql("SELECT * FROM c4_out").collect()}
     assert got == batch
+
+
+def test_streaming_minhash_band_claims(spark, tmp_path):
+    """Online near-dup gate: stateless band keys run on the stream;
+    watermarked dropDuplicatesWithinWatermark awards each band key to
+    one claimant. Claimed KEY set must equal the batch anchor's; an
+    exact late copy never co-wins a key with its original; fresh docs
+    win all 16 bands."""
+    from pyspark.sql import functions as F
+
+    from gdal_spark.streaming.dedup import (minhash_band_claims,
+                                            near_dup_survivors)
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .select("doc_id", "text").where("doc_id < 30") \
+        .withColumn("warc_ts", F.timestamp_seconds(
+            F.lit(1700000000) + F.col("doc_id")))
+    copies = docs.where("doc_id < 5").select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text",
+        F.timestamp_seconds(F.lit(1700003600)
+                            + F.col("doc_id")).alias("warc_ts"))
+    src = tmp_path / "nd_src"
+    src.mkdir()
+    docs.write.parquet(str(src / "d1.parquet"))
+    copies.write.parquet(str(src / "d2.parquet"))
+
+    batch = docs.unionByName(copies)
+    bclaims = minhash_band_claims(batch).collect()
+    bkeys = {(r.band, r.key) for r in bclaims}
+    surv = {r.doc_id: r.n_won for r in
+            near_dup_survivors(batch).collect()}
+    assert all(surv.get(d + 1000) is None for d in range(5))  # copies lose
+    assert any(v == 16 for v in surv.values())                # fresh docs
+
+    from gdal_spark.streaming import events as sev
+    stream = sev.stream_events_from_dir(spark, str(src) + "/*/",
+                                        batch.schema)
+    q = (minhash_band_claims(stream).writeStream.format("memory")
+         .queryName("nd_out").outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck_nd"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = spark.sql("SELECT * FROM nd_out").collect()
+    gkeys = {(r.band, r.key) for r in got}
+    assert gkeys == bkeys                      # same claimed key space
+    # one winner per key
+    assert len(got) == len(gkeys)
+    winners = {}
+    for r in got:
+        winners.setdefault((r.band, r.key), set()).add(r.doc_id)
+    # an exact copy's 16 keys equal its original's: never both present
+    for k, who in winners.items():
+        assert not ({d for d in who} >= {0, 1000})
