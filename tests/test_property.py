@@ -231,3 +231,64 @@ def test_wkt_crs_utm_roundtrip_property(lon, lat):
     lon2, lat2 = transform(wkt, "EPSG:4326", x, y)
     assert abs(float(lon2) - lon) < 1e-8
     assert abs(float(lat2) - lat) < 1e-8
+
+
+@settings(max_examples=40, deadline=None)
+@given(rings=st.lists(_ring_strategy(), min_size=1, max_size=3))
+def test_spatialite_blob_codec_roundtrips_exactly(rings):
+    """SpatiaLite BLOB codec: byte-exact WKB round trip + exact MBR
+    header for arbitrary polygons (holes included)."""
+    import struct
+
+    from gdal_spark.sources.spatialite import (spatialite_to_wkb,
+                                               wkb_to_spatialite)
+    g = wkb.Geom(wkb.POLYGON, rings)
+    iso = wkb.encode(g)
+    blob = wkb_to_spatialite(iso, srid=31370)
+    assert spatialite_to_wkb(blob) == iso
+    assert struct.unpack_from("<i", blob, 2)[0] == 31370
+    env = g.envelope()
+    assert struct.unpack_from("<4d", blob, 6) == env
+
+
+@settings(max_examples=40, deadline=None)
+@given(rings=st.lists(_ring_strategy(min_pts=3), min_size=1, max_size=2),
+       mode=st.sampled_from(["gmt", "mif"]))
+def test_mif_gmt_polygon_codecs_roundtrip(rings, mode):
+    """MIF REGION and GMT @GPOLYGON writers emit repr() doubles, so the
+    parsers must return bit-identical coordinates. Ring 0 is the shell;
+    further rings only count as holes when they nest (both formats
+    reconstruct nesting geometrically), so this only pins ring 0 +
+    total vertex count for non-nesting inputs."""
+    import os
+    import tempfile
+
+    from gdal_spark.sources.gmt import _parse_gmt, write_gmt
+    from gdal_spark.sources.mif import _parse_feature, write_mif
+
+    g = wkb.Geom(wkb.POLYGON, rings)
+    d = tempfile.mkdtemp(prefix=f"codec_{mode}_")
+    path = os.path.join(d, f"x.{'gmt' if mode == 'gmt' else 'mif'}")
+    if mode == "gmt":
+        write_gmt([(wkb.encode(g), {"k": 1})], path, gtype="POLYGON")
+        with open(path) as f:
+            _gt, _n, _t, feats = _parse_gmt(f.read())
+        parts = feats[0][1]
+        got0 = parts[0][1]
+        n_back = sum(len(a) for _h, a in parts)
+    else:
+        write_mif([(wkb.encode(g), {"k": 1})], path)
+        with open(path, encoding="latin-1") as f:
+            lines = f.read().splitlines()
+        k = lines.index("DATA") + 1
+        while not lines[k].split() or \
+                lines[k].split()[0].upper() != "REGION":
+            k += 1
+        wkb_bytes, _k2 = _parse_feature(lines, k)
+        back = wkb.decode(wkb_bytes)
+        backr = (back.rings if back.gtype == wkb.POLYGON
+                 else [r for p in back.parts for r in p.rings])
+        got0 = backr[0]
+        n_back = sum(len(r) for r in backr)
+    np.testing.assert_array_equal(got0, rings[0])
+    assert n_back == sum(len(r) for r in rings)
