@@ -166,10 +166,140 @@ def _cmd_gdallocationinfo(argv) -> int:
     return 0
 
 
+def _cmd_gdal_polygonize(argv) -> int:
+    """apps twin of gdal_polygonize.py: raster -> polygon features with
+    a DN attribute, traced rings (holes included)."""
+    ap = argparse.ArgumentParser(prog="gdal_polygonize")
+    ap.add_argument("src")
+    ap.add_argument("dst")
+    ap.add_argument("-tile", type=int, default=256)
+    ap.add_argument("-connect", type=int, choices=(4, 8), default=4)
+    ap.add_argument("-nodata", type=float, default=None)
+    a = ap.parse_args(argv)
+    from .raster.polygonize import polygonize_polygons
+    from .sources import open_raster, save_vector
+    spark = _spark()
+    t = open_raster(spark, a.src, tile=a.tile)
+    polys = polygonize_polygons(t, tile=a.tile, nodata=a.nodata,
+                                connect=a.connect)
+    out = polys.selectExpr("comp_id as fid", "geom",
+                           "cast(value as double) as DN")
+    save_vector(out, a.dst)
+    return 0
+
+
+def _cmd_gdal_sieve(argv) -> int:
+    ap = argparse.ArgumentParser(prog="gdal_sieve")
+    ap.add_argument("src")
+    ap.add_argument("dst")
+    ap.add_argument("-st", type=int, required=True, dest="threshold")
+    ap.add_argument("-tile", type=int, default=256)
+    ap.add_argument("-connect", type=int, choices=(4, 8), default=4)
+    a = ap.parse_args(argv)
+    from .raster.sieve import sieve
+    from .sources import open_raster, save_raster
+    spark = _spark()
+    t = open_raster(spark, a.src, tile=a.tile)
+    save_raster(sieve(t, a.threshold, tile=a.tile, connect=a.connect),
+                a.dst, tile=a.tile)
+    return 0
+
+
+def _cmd_gdal_fillnodata(argv) -> int:
+    ap = argparse.ArgumentParser(prog="gdal_fillnodata")
+    ap.add_argument("src")
+    ap.add_argument("dst")
+    ap.add_argument("-md", type=int, default=16, dest="max_dist")
+    ap.add_argument("-si", type=int, default=0, dest="smoothing")
+    ap.add_argument("-tile", type=int, default=256)
+    a = ap.parse_args(argv)
+    from .raster.fillnodata import fillnodata
+    from .sources import open_raster, save_raster
+    spark = _spark()
+    t = open_raster(spark, a.src, tile=a.tile)
+    save_raster(fillnodata(t, a.max_dist, smoothing=a.smoothing,
+                           tile=a.tile), a.dst, tile=a.tile)
+    return 0
+
+
+def _cmd_gdaldem(argv) -> int:
+    ap = argparse.ArgumentParser(prog="gdaldem")
+    ap.add_argument("mode", choices=("hillshade", "slope", "aspect",
+                                     "TRI", "TPI", "roughness"))
+    ap.add_argument("src")
+    ap.add_argument("dst")
+    ap.add_argument("-tile", type=int, default=256)
+    ap.add_argument("-z", type=float, default=1.0)
+    ap.add_argument("-az", type=float, default=315.0)
+    ap.add_argument("-alt", type=float, default=45.0)
+    a = ap.parse_args(argv)
+    from .raster.dem import dem_op
+    from .sources import open_raster, save_raster
+    spark = _spark()
+    t = open_raster(spark, a.src, tile=a.tile)
+    save_raster(dem_op(t, a.mode.lower(), tile=a.tile, z_factor=a.z,
+                       azimuth=a.az, altitude=a.alt), a.dst, tile=a.tile)
+    return 0
+
+
+def _cmd_gdal_calc(argv) -> int:
+    ap = argparse.ArgumentParser(prog="gdal_calc")
+    ap.add_argument("-A", required=True, dest="src")
+    ap.add_argument("--calc", required=True)
+    ap.add_argument("--outfile", required=True)
+    ap.add_argument("-tile", type=int, default=256)
+    a = ap.parse_args(argv)
+    from .raster.stats import band_calc
+    from .sources import open_raster, save_raster
+    spark = _spark()
+    t = open_raster(spark, a.src, tile=a.tile)
+    save_raster(band_calc(t, a.calc, tile=a.tile), a.outfile, tile=a.tile)
+    return 0
+
+
+def _cmd_gdal_translate(argv) -> int:
+    """Raster gdal_translate twin: -srcwin / -outsize / -scale + format
+    conversion by destination extension."""
+    ap = argparse.ArgumentParser(prog="gdal_translate")
+    ap.add_argument("src")
+    ap.add_argument("dst")
+    ap.add_argument("-tile", type=int, default=256)
+    ap.add_argument("-srcwin", nargs=4, type=int, default=None)
+    ap.add_argument("-outsize", nargs=2, type=int, default=None)
+    ap.add_argument("-scale", nargs=4, type=float, default=None)
+    a = ap.parse_args(argv)
+    from pyspark.sql import functions as F
+    from .raster.rtranslate import GridSpec, translate_raster
+    from .sources import open_raster, save_raster
+    spark = _spark()
+    t = open_raster(spark, a.src, tile=a.tile)
+    ext = t.agg(F.max("tile_x").alias("mx"),
+                F.max("tile_y").alias("my")).collect()[0]
+    grid = GridSpec(x0=0.0, y0=0.0, dx=1.0, dy=1.0,
+                    width=(int(ext.mx) + 1) * a.tile,
+                    height=(int(ext.my) + 1) * a.tile, tile=a.tile)
+    kw = {}
+    if a.srcwin:
+        kw["srcwin"] = tuple(a.srcwin)
+    if a.outsize:
+        kw["outsize"] = tuple(a.outsize)
+    if a.scale:
+        kw["scale"] = tuple(a.scale)
+    out = translate_raster(t, grid, **kw) if kw else t
+    save_raster(out, a.dst, tile=a.tile)
+    return 0
+
+
 _COMMANDS = {"ogr2ogr": _cmd_ogr2ogr, "ogrinfo": _cmd_ogrinfo,
              "gdalinfo": _cmd_gdalinfo, "gdalsrsinfo": _cmd_gdalsrsinfo,
              "gdaltransform": _cmd_gdaltransform,
-             "gdallocationinfo": _cmd_gdallocationinfo}
+             "gdallocationinfo": _cmd_gdallocationinfo,
+             "gdal_polygonize": _cmd_gdal_polygonize,
+             "gdal_sieve": _cmd_gdal_sieve,
+             "gdal_fillnodata": _cmd_gdal_fillnodata,
+             "gdaldem": _cmd_gdaldem,
+             "gdal_calc": _cmd_gdal_calc,
+             "gdal_translate": _cmd_gdal_translate}
 
 
 def main(argv=None) -> int:

@@ -243,3 +243,69 @@ def save_vector(df, path: str, geom_col: str = "geom", **kwargs):
         from .gpkg import write_gpkg
         return write_gpkg(rows, path, **kwargs)
     raise ValueError(f"no sink recognizes {path!r}")
+
+
+def save_raster(tiles, path: str, tile: int = 256, **kwargs):
+    """Write-side raster dispatch (GetDriverByName + CreateCopy as one
+    call): route an engine tile table to the sink the extension names.
+    Width/height default to the full tile extent (readers pad edge
+    tiles the same way, so dispatch round trips); pass width/height in
+    kwargs for exact dims. GeoTIFF/PNG/AAIGrid/ENVI/EHdr/BMP/PNM/DTED/
+    XYZ/Zarr/GPKG-tiles/MBTiles sinks all write their pixel payload
+    from executors."""
+    from pyspark.sql import functions as F
+
+    low = path.lower()
+    if "width" in kwargs and "height" in kwargs:
+        w, h = kwargs.pop("width"), kwargs.pop("height")
+    else:
+        ext = tiles.agg(F.max("tile_x").alias("mx"),
+                        F.max("tile_y").alias("my")).collect()[0]
+        w = (int(ext.mx) + 1) * tile
+        h = (int(ext.my) + 1) * tile
+    if low.endswith((".tif", ".tiff")):
+        from .geotiff import write_gtiff_tiles
+        return write_gtiff_tiles(tiles, path, width=w, height=h,
+                                 tile=tile, **kwargs)
+    if low.endswith(".png"):
+        from .png import write_png
+        return write_png(tiles, path, width_px=w, height_px=h, tile=tile,
+                         **kwargs)
+    if low.endswith((".asc", ".grd")):
+        from .aaigrid import write_aaigrid
+        return write_aaigrid(tiles, path, width_px=w, height_px=h,
+                             tile=tile, **kwargs)
+    if low.endswith(".xyz"):
+        from .xyzraster import write_xyz
+        return write_xyz(tiles, path, tile=tile, **kwargs)
+    if low.endswith(".bmp"):
+        from .bmp import write_bmp
+        return write_bmp(tiles, path, width=w, height=h, tile=tile,
+                         **kwargs)
+    if low.endswith((".dat", ".img", ".bsq")):
+        from .rawraster import write_envi
+        return write_envi(tiles, path, samples=w, lines=h, tile=tile,
+                          **kwargs)
+    if low.endswith((".bil", ".flt")):
+        from .rawraster import write_ehdr
+        return write_ehdr(tiles, path, samples=w, lines=h, tile=tile,
+                          **kwargs)
+    if low.endswith((".pgm", ".ppm", ".pnm")):
+        from .pnm import write_pnm
+        return write_pnm(tiles, path, width=w, height=h, tile=tile,
+                         **kwargs)
+    if low.endswith((".dt0", ".dt1", ".dt2")):
+        from .dted import write_dted
+        return write_dted(tiles, path, ncols=w, nrows=h, tile=tile,
+                          **kwargs)
+    if low.endswith(".zarr") or low.rstrip("/").endswith(".zarr"):
+        from .zarr import write_zarr
+        return write_zarr(tiles, path, width=w, height=h, tile=tile,
+                          **kwargs)
+    if low.endswith(".gpkg"):
+        from .gpkg import write_gpkg_tiles
+        return write_gpkg_tiles(tiles, path, tile=tile, **kwargs)
+    if low.endswith(".mbtiles"):
+        from .gpkg import write_mbtiles
+        return write_mbtiles(tiles, path, tile=tile, **kwargs)
+    raise ValueError(f"no raster sink recognizes {path!r}")

@@ -162,3 +162,60 @@ def test_curation_job_end_to_end_and_resume(spark, tmp_path):
         check=True).stdout.splitlines() if ln.startswith("{")][-1])
     assert all(v.get("resumed") for v in out2["stages"].values())
     assert out2["published_version"] == out1["published_version"] + 1
+
+
+def test_raster_cli_twins(spark, tmp_path):
+    """gdal_polygonize / gdal_sieve / gdal_fillnodata / gdaldem /
+    gdal_calc / gdal_translate argparse twins drive the operators and
+    the save_raster/save_vector dispatch end to end."""
+    import numpy as np
+
+    from gdal_spark.raster.tiles import raster_to_tiles, tiles_to_raster
+    from gdal_spark.sources.aaigrid import read_aaigrid, write_aaigrid
+    from gdal_spark.sources.geojson import read_geojson_seq
+
+    rng = np.random.RandomState(3)
+    arr = rng.randint(1, 4, (32, 32)).astype("f8")
+    src = str(tmp_path / "in.asc")
+    write_aaigrid(raster_to_tiles(spark, arr, tile=16), src,
+                  width_px=32, height_px=32, tile=16)
+
+    # polygonize -> geojsonl features with DN
+    dst_v = str(tmp_path / "polys.geojsonl")
+    assert cli.main(["gdal_polygonize", src, dst_v, "-tile", "16"]) == 0
+    feats = read_geojson_seq(spark, dst_v)
+    assert feats.count() > 4
+
+    # sieve -> png: result identical to calling the operator directly
+    dst_s = str(tmp_path / "sieved.png")
+    assert cli.main(["gdal_sieve", src, dst_s, "-st", "4",
+                     "-tile", "16"]) == 0
+    from gdal_spark.raster.sieve import sieve
+    from gdal_spark.sources.png import read_png
+    want = tiles_to_raster(
+        sieve(read_aaigrid(spark, src, tile=16), 4, tile=16), tile=16)
+    got = tiles_to_raster(read_png(spark, dst_s, tile=16), tile=16)
+    np.testing.assert_array_equal(got.astype("f8"), want.astype("u1"))
+
+    # gdaldem slope -> asc
+    dst_d = str(tmp_path / "slope.asc")
+    assert cli.main(["gdaldem", "slope", src, dst_d, "-tile", "16"]) == 0
+    back = tiles_to_raster(read_aaigrid(spark, dst_d, tile=16), tile=16)
+    assert back.shape[0] >= 32 and np.isfinite(back).all()
+
+    # gdal_calc -> envi
+    dst_c = str(tmp_path / "calc.dat")
+    assert cli.main(["gdal_calc", "-A", src, "--calc", "A * 2.0 + 1.0",
+                     "--outfile", dst_c, "-tile", "16"]) == 0
+    from gdal_spark.sources.rawraster import read_envi
+    got_c = tiles_to_raster(read_envi(spark, dst_c, tile=16)[0], tile=16)
+    np.testing.assert_allclose(got_c[:32, :32], arr * 2.0 + 1.0)
+
+    # gdal_translate -srcwin subset -> bmp
+    dst_t = str(tmp_path / "win.bmp")
+    assert cli.main(["gdal_translate", src, dst_t, "-tile", "16",
+                     "-srcwin", "4", "4", "16", "16"]) == 0
+    from gdal_spark.sources.bmp import read_bmp
+    got_t = tiles_to_raster(read_bmp(spark, dst_t, tile=16)[0], tile=16)
+    np.testing.assert_array_equal(got_t[:16, :16].astype("f8"),
+                                  arr[4:20, 4:20])
