@@ -14,6 +14,7 @@ same thin shells over GDALVectorTranslate / ReportOnLayer)."""
 from __future__ import annotations
 
 import argparse
+import os
 import json
 import sys
 
@@ -290,6 +291,40 @@ def _cmd_gdal_translate(argv) -> int:
     return 0
 
 
+def _cmd_gdal2tiles(argv) -> int:
+    """gdal2tiles.py twin: XYZ PNG tile tree for the input raster, all
+    pyramid levels built and written by executors; --kml adds the
+    SuperOverlay region-gated kml tree (the reference's -k flag)."""
+    ap = argparse.ArgumentParser(prog="gdal2tiles")
+    ap.add_argument("src")
+    ap.add_argument("dst")
+    ap.add_argument("-z", "--zoom", type=int, required=True,
+                    help="max zoom of the base raster")
+    ap.add_argument("-tile", type=int, default=256)
+    ap.add_argument("--kml", action="store_true")
+    ap.add_argument("-r", "--resampling", default="average")
+    a = ap.parse_args(argv)
+    from pyspark.sql import functions as F
+    from .raster.superoverlay import write_kml_superoverlay
+    from .sources import open_raster
+    spark = _spark()
+    t = open_raster(spark, a.src, tile=a.tile) \
+        .withColumn("zoom", F.lit(a.zoom))
+    tiles = write_kml_superoverlay(t, a.dst, max_zoom=a.zoom,
+                                   tile=a.tile, resampling=a.resampling)
+    if not a.kml:
+        for z, x, y in tiles:
+            kml = os.path.join(a.dst, str(z), str(x), f"{y}.kml")
+            if os.path.exists(kml):
+                os.unlink(kml)
+        doc = os.path.join(a.dst, "doc.kml")
+        if os.path.exists(doc):
+            os.unlink(doc)
+    print(json.dumps({"tiles": len(tiles),
+                      "zooms": sorted({z for z, _x, _y in tiles})}))
+    return 0
+
+
 _COMMANDS = {"ogr2ogr": _cmd_ogr2ogr, "ogrinfo": _cmd_ogrinfo,
              "gdalinfo": _cmd_gdalinfo, "gdalsrsinfo": _cmd_gdalsrsinfo,
              "gdaltransform": _cmd_gdaltransform,
@@ -299,7 +334,8 @@ _COMMANDS = {"ogr2ogr": _cmd_ogr2ogr, "ogrinfo": _cmd_ogrinfo,
              "gdal_fillnodata": _cmd_gdal_fillnodata,
              "gdaldem": _cmd_gdaldem,
              "gdal_calc": _cmd_gdal_calc,
-             "gdal_translate": _cmd_gdal_translate}
+             "gdal_translate": _cmd_gdal_translate,
+             "gdal2tiles": _cmd_gdal2tiles}
 
 
 def main(argv=None) -> int:

@@ -821,3 +821,21 @@ def minhash_band_keys_stateless(docs: DataFrame,
     return out.select("doc_id", *extra_cols,
                       F.col("bk.band").alias("band"),
                       F.col("bk.key").alias("key"))
+
+
+def stratified_sample(docs: DataFrame, rates: dict,
+                      strat_col: str = "source",
+                      key_col: str = "doc_id",
+                      default_rate: float = 0.0) -> DataFrame:
+    """Per-stratum deterministic sampling — the domain-mixture weighting
+    step of training-set assembly (different keep rates per source/
+    domain/language): keep a row iff md5(key) mod 1e6 < rate[stratum]*1e6.
+    Rates ride a broadcast literal map; reproducible across engines and
+    cluster sizes like hash_sample; map-only."""
+    h = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8),
+               16, 10).cast("long") % 1000000
+    thr = F.lit(int(default_rate * 1000000))
+    for k, v in sorted(rates.items()):
+        thr = F.when(F.col(strat_col) == k,
+                     F.lit(int(v * 1000000))).otherwise(thr)
+    return docs.where(h < thr)

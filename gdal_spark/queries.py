@@ -5625,3 +5625,24 @@ def q_neardup_first_wins(spark, sf_dir):
         (F.col("doc_id") + 1000000).alias("doc_id"), "text")
     corp = d.unionByName(dups).withColumn("tsv", F.col("doc_id"))
     return near_dup_survivors(corp, ts_col="tsv")
+
+
+@_reg("stratified_sample", """
+WITH h AS (SELECT doc_id, source,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % 1000000 AS hv
+           FROM documents)
+SELECT doc_id, source FROM h
+WHERE hv < CASE source WHEN 'src1' THEN 800000
+                       WHEN 'src2' THEN 250000
+                       ELSE 50000 END
+""")
+def q_stratified_sample(spark, sf_dir):
+    """Domain-mixture sampling: per-source keep rates (src1 0.8,
+    src2 0.25, everything else 0.05) applied with the deterministic
+    md5 threshold — the reproducible reweighting step of training-set
+    assembly. The oracle replays the identical arithmetic."""
+    d = _t(spark, sf_dir, "documents")
+    out = textops.stratified_sample(
+        d, {"src1": 0.8, "src2": 0.25}, default_rate=0.05)
+    return out.select("doc_id", "source")

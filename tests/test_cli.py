@@ -219,3 +219,28 @@ def test_raster_cli_twins(spark, tmp_path):
     got_t = tiles_to_raster(read_bmp(spark, dst_t, tile=16)[0], tile=16)
     np.testing.assert_array_equal(got_t[:16, :16].astype("f8"),
                                   arr[4:20, 4:20])
+
+
+def test_gdal2tiles_cli(spark, tmp_path):
+    import json as _json
+    import os
+
+    import numpy as np
+
+    from gdal_spark.raster.tiles import raster_to_tiles
+    from gdal_spark.sources.aaigrid import write_aaigrid
+
+    arr = np.arange(32 * 32, dtype="f8").reshape(32, 32) % 200
+    src = str(tmp_path / "g.asc")
+    write_aaigrid(raster_to_tiles(spark, arr, tile=16), src,
+                  width_px=32, height_px=32, tile=16)
+    dst = str(tmp_path / "tree")
+    assert cli.main(["gdal2tiles", src, dst, "-z", "1",
+                     "-tile", "16"]) == 0
+    assert os.path.isfile(os.path.join(dst, "1/0/0.png"))
+    assert os.path.isfile(os.path.join(dst, "0/0/0.png"))
+    assert not os.path.exists(os.path.join(dst, "doc.kml"))   # no --kml
+    dst2 = str(tmp_path / "tree_kml")
+    assert cli.main(["gdal2tiles", src, dst2, "-z", "1", "-tile", "16",
+                     "--kml"]) == 0
+    assert os.path.isfile(os.path.join(dst2, "doc.kml"))
