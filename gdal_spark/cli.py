@@ -325,6 +325,76 @@ def _cmd_gdal2tiles(argv) -> int:
     return 0
 
 
+def _cmd_gdalwarp(argv) -> int:
+    """gdalwarp twin (apps/gdalwarp_lib.cpp): reproject/resample a
+    raster between any two accepted CRS spellings (EPSG / +proj= / WKT1
+    / WKT2). The dst grid defaults to GDALSuggestedWarpOutput's plan
+    (-te/-tr/-ts override); all pixel work runs in executors through
+    the 14-kernel warp engine."""
+    ap = argparse.ArgumentParser(prog="gdalwarp")
+    ap.add_argument("src")
+    ap.add_argument("dst")
+    ap.add_argument("-s_srs", default="EPSG:4326")
+    ap.add_argument("-t_srs", required=True)
+    ap.add_argument("-r", default="near", dest="resample")
+    ap.add_argument("-tile", type=int, default=256)
+    ap.add_argument("-srcnodata", type=float, default=None)
+    ap.add_argument("-te", nargs=4, type=float, default=None,
+                    help="dst extent xmin ymin xmax ymax")
+    ap.add_argument("-tr", nargs=2, type=float, default=None,
+                    help="dst pixel size xres yres")
+    ap.add_argument("-ts", nargs=2, type=int, default=None,
+                    help="dst size width height")
+    ap.add_argument("-gt", nargs=6, type=float, default=None,
+                    help="src geotransform x0 dx 0 y0 0 dy "
+                         "(for sources without geo tags)")
+    a = ap.parse_args(argv)
+    from pyspark.sql import functions as F
+    from .raster.rasterize import GridSpec
+    from .raster.warp import WarpSpec, suggested_warp_output, warp
+    from .sources import open_raster, save_raster
+    spark = _spark()
+    t = open_raster(spark, a.src, tile=a.tile)
+    ext = t.agg(F.max("tile_x").alias("mx"),
+                F.max("tile_y").alias("my")).collect()[0]
+    w = (int(ext.mx) + 1) * a.tile
+    h = (int(ext.my) + 1) * a.tile
+    if a.gt:
+        x0, dx, _r1, y0, _r2, dy = a.gt
+    elif a.src.lower().endswith((".tif", ".tiff")):
+        from .sources.geotiff import read_ifd
+        gt = read_ifd(a.src).get("geotransform",
+                                 (0.0, 1.0, 0.0, 0.0, 0.0, -1.0))
+        x0, dx, _r1, y0, _r2, dy = gt
+    else:
+        x0, y0, dx, dy = 0.0, 0.0, 1.0, -1.0
+    src_grid = GridSpec(x0=x0, y0=y0, dx=dx, dy=dy, width=w, height=h,
+                        tile=a.tile)
+    if a.te and (a.tr or a.ts):
+        xmin, ymin, xmax, ymax = a.te
+        if a.tr:
+            rx, ry = a.tr
+            ow = max(1, int(round((xmax - xmin) / rx)))
+            oh = max(1, int(round((ymax - ymin) / ry)))
+        else:
+            ow, oh = a.ts
+            rx, ry = (xmax - xmin) / ow, (ymax - ymin) / oh
+        dst_grid = GridSpec(x0=xmin, y0=ymax, dx=rx, dy=-ry,
+                            width=ow, height=oh, tile=a.tile)
+    else:
+        dst_grid = suggested_warp_output(src_grid, a.s_srs, a.t_srs,
+                                         tile=a.tile)
+    spec = WarpSpec(src_grid=src_grid, src_crs=a.s_srs,
+                    dst_grid=dst_grid, dst_crs=a.t_srs,
+                    resample=a.resample, src_nodata=a.srcnodata)
+    save_raster(warp(t, spec), a.dst, tile=a.tile,
+                width=dst_grid.width, height=dst_grid.height)
+    print(json.dumps({"width": dst_grid.width, "height": dst_grid.height,
+                      "x0": dst_grid.x0, "y0": dst_grid.y0,
+                      "dx": dst_grid.dx, "dy": dst_grid.dy}))
+    return 0
+
+
 _COMMANDS = {"ogr2ogr": _cmd_ogr2ogr, "ogrinfo": _cmd_ogrinfo,
              "gdalinfo": _cmd_gdalinfo, "gdalsrsinfo": _cmd_gdalsrsinfo,
              "gdaltransform": _cmd_gdaltransform,
@@ -335,7 +405,8 @@ _COMMANDS = {"ogr2ogr": _cmd_ogr2ogr, "ogrinfo": _cmd_ogrinfo,
              "gdaldem": _cmd_gdaldem,
              "gdal_calc": _cmd_gdal_calc,
              "gdal_translate": _cmd_gdal_translate,
-             "gdal2tiles": _cmd_gdal2tiles}
+             "gdal2tiles": _cmd_gdal2tiles,
+             "gdalwarp": _cmd_gdalwarp}
 
 
 def main(argv=None) -> int:

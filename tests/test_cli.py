@@ -244,3 +244,38 @@ def test_gdal2tiles_cli(spark, tmp_path):
     assert cli.main(["gdal2tiles", src, dst2, "-z", "1", "-tile", "16",
                      "--kml"]) == 0
     assert os.path.isfile(os.path.join(dst2, "doc.kml"))
+
+
+def test_gdalwarp_cli(spark, tmp_path):
+    """gdalwarp twin: geotagged GeoTIFF -> mercator PNG via suggested
+    output; -te/-ts override pins the grid exactly."""
+    import json as _json
+
+    import numpy as np
+
+    from gdal_spark.raster.tiles import raster_to_tiles, tiles_to_raster
+    from gdal_spark.sources.geotiff import write_gtiff_tiles
+
+    arr = (np.arange(32 * 32, dtype="f8").reshape(32, 32) % 200)
+    src = str(tmp_path / "in.tif")
+    write_gtiff_tiles(raster_to_tiles(spark, arr, tile=16), src,
+                      width=32, height=32, tile=16,
+                      geotransform=(10.0, 0.125, 0, 50.0, 0, -0.125))
+    dst = str(tmp_path / "out.asc")
+    assert cli.main(["gdalwarp", src, dst, "-t_srs", "EPSG:3857",
+                     "-r", "near", "-tile", "16"]) == 0
+    from gdal_spark.sources.aaigrid import read_aaigrid
+    back = tiles_to_raster(read_aaigrid(spark, dst, tile=16), tile=16)
+    got_vals = set(np.unique(back[back > 0]))
+    assert got_vals and got_vals <= set(np.unique(arr))
+
+    # -te/-ts: identity CRS subset, exact grid
+    dst2 = str(tmp_path / "sub.asc")
+    assert cli.main(["gdalwarp", src, dst2, "-s_srs", "EPSG:4326",
+                     "-t_srs", "EPSG:4326", "-tile", "16",
+                     "-te", "11.0", "48.0", "13.0", "50.0",
+                     "-ts", "16", "16"]) == 0
+    got = tiles_to_raster(read_aaigrid(spark, dst2, tile=16), tile=16)
+    # dst pixel (0,0) center = (11.0625, 49.9375) -> src col 8, row 0
+    want = arr[0:16, 8:24]
+    np.testing.assert_array_equal(got[:16, :16], want)
