@@ -395,6 +395,33 @@ def _cmd_gdalwarp(argv) -> int:
     return 0
 
 
+def _cmd_gdaladdo(argv) -> int:
+    """gdaladdo twin: build every overview level of a raster and store
+    the whole pyramid in ONE MBTiles archive (multi-zoom mode) — the
+    engine's external-overview container. Reductions + PNG encode run
+    in executors."""
+    ap = argparse.ArgumentParser(prog="gdaladdo")
+    ap.add_argument("src")
+    ap.add_argument("dst", help="output .mbtiles pyramid")
+    ap.add_argument("-z", "--zoom", type=int, required=True,
+                    help="zoom of the base raster")
+    ap.add_argument("-r", default="average", dest="resampling")
+    ap.add_argument("-tile", type=int, default=256)
+    a = ap.parse_args(argv)
+    from pyspark.sql import functions as F
+    from .raster.pyramid import build_pyramid
+    from .sources import open_raster
+    from .sources.gpkg import write_mbtiles
+    spark = _spark()
+    t = open_raster(spark, a.src, tile=a.tile) \
+        .withColumn("zoom", F.lit(a.zoom))
+    pyr = build_pyramid(t, levels=a.zoom, resampling=a.resampling,
+                        tile=a.tile)
+    n = write_mbtiles(pyr, a.dst, tile=a.tile, zoom=None)
+    print(json.dumps({"tiles": n, "levels": a.zoom + 1}))
+    return 0
+
+
 _COMMANDS = {"ogr2ogr": _cmd_ogr2ogr, "ogrinfo": _cmd_ogrinfo,
              "gdalinfo": _cmd_gdalinfo, "gdalsrsinfo": _cmd_gdalsrsinfo,
              "gdaltransform": _cmd_gdaltransform,
@@ -406,7 +433,8 @@ _COMMANDS = {"ogr2ogr": _cmd_ogr2ogr, "ogrinfo": _cmd_ogrinfo,
              "gdal_calc": _cmd_gdal_calc,
              "gdal_translate": _cmd_gdal_translate,
              "gdal2tiles": _cmd_gdal2tiles,
-             "gdalwarp": _cmd_gdalwarp}
+             "gdalwarp": _cmd_gdalwarp,
+             "gdaladdo": _cmd_gdaladdo}
 
 
 def main(argv=None) -> int:

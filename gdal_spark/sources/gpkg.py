@@ -372,7 +372,7 @@ def read_gpkg_tiles(spark: SparkSession, path: str,
 # ------------------------------------------------------------- MBTiles
 
 def write_mbtiles(tiles: DataFrame, path: str, *, tile: int = 256,
-                  zoom: int = 0, name: str = "gdal_spark",
+                  zoom: int | None = 0, name: str = "gdal_spark",
                   fmt: str = "png", png_dtype: str = "u1",
                   metadata: dict | None = None) -> int:
     """Engine tile table -> MBTiles 1.3 archive (frmts/mbtiles/
@@ -390,22 +390,31 @@ def write_mbtiles(tiles: DataFrame, path: str, *, tile: int = 256,
     from .png import encode_png
 
     enc_schema = T.StructType([
+        T.StructField("z", T.IntegerType()),
         T.StructField("tx", T.LongType()), T.StructField("ty", T.LongType()),
         T.StructField("blob", T.BinaryType())])
 
+    from pyspark.sql import functions as F
+
+    # zoom=None: multi-level mode — the tile table's own `zoom` column
+    # names each tile's pyramid level (gdaladdo/gdal2tiles semantics)
+    ztile = tiles if zoom is None else \
+        tiles.withColumn("zoom", F.lit(zoom))
+
     def encode(key, pdf):
-        tx, ty = int(key[0]), int(key[1])
+        z, tx, ty = int(key[0]), int(key[1]), int(key[2])
         bands = sorted(pdf["band"].unique())
         planes = {int(r.band): decode_px(r.px, r.dtype, tile)
                   for r in pdf.itertuples(index=False)}
         arr = (planes[bands[0]] if len(bands) == 1
                else np.stack([planes[b] for b in bands], axis=2))
-        return pd.DataFrame([(tx, ty, encode_png(arr.astype(png_dtype)))],
-                            columns=["tx", "ty", "blob"])
+        return pd.DataFrame(
+            [(z, tx, ty, encode_png(arr.astype(png_dtype)))],
+            columns=["z", "tx", "ty", "blob"])
 
-    rows = tiles.groupBy("tile_x", "tile_y") \
+    rows = ztile.groupBy("zoom", "tile_x", "tile_y") \
         .applyInPandas(encode, enc_schema).collect()
-    n = 1 << zoom
+    zs = sorted({int(r.z) for r in rows})
     con = sqlite3.connect(path)
     try:
         cur = con.cursor()
@@ -415,14 +424,15 @@ def write_mbtiles(tiles: DataFrame, path: str, *, tile: int = 256,
         cur.execute("CREATE UNIQUE INDEX tile_index ON tiles "
                     "(zoom_level, tile_column, tile_row)")
         meta = {"name": name, "format": fmt, "version": "1.3",
-                "type": "overlay", "minzoom": str(zoom),
-                "maxzoom": str(zoom), **(metadata or {})}
+                "type": "overlay", "minzoom": str(zs[0]),
+                "maxzoom": str(zs[-1]), **(metadata or {})}
         for k, v in sorted(meta.items()):
             cur.execute("INSERT INTO metadata VALUES (?, ?)", (k, str(v)))
-        for r in sorted(rows, key=lambda r: (r.ty, r.tx)):
+        for r in sorted(rows, key=lambda r: (r.z, r.ty, r.tx)):
             cur.execute(
                 "INSERT INTO tiles VALUES (?, ?, ?, ?)",
-                (zoom, int(r.tx), n - 1 - int(r.ty), bytes(r.blob)))
+                (int(r.z), int(r.tx),
+                 (1 << int(r.z)) - 1 - int(r.ty), bytes(r.blob)))
         con.commit()
     finally:
         con.close()

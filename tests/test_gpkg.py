@@ -143,3 +143,28 @@ def test_mbtiles_roundtrip_tms_flip(spark, tmp_path):
     assert m2["maxzoom"] == "2"
     got = tiles_to_raster(back, tile=16)
     np.testing.assert_array_equal(got[:64, :64], arr)
+
+
+def test_mbtiles_multizoom_pyramid(spark, tmp_path):
+    """gdaladdo semantics: the whole pyramid in one MBTiles archive
+    (zoom=None multi-level mode); every level reads back at its zoom."""
+    import sqlite3
+
+    from gdal_spark.raster.pyramid import build_pyramid
+    from gdal_spark.raster.tiles import raster_to_tiles, tiles_to_raster
+    from gdal_spark.sources.gpkg import read_mbtiles, write_mbtiles
+
+    arr = np.full((64, 64), 8.0)
+    base = raster_to_tiles(spark, arr, zoom=2, tile=16)
+    pyr = build_pyramid(base, levels=2, resampling="average", tile=16)
+    path = str(tmp_path / "pyr.mbtiles")
+    n = write_mbtiles(pyr, path, tile=16, zoom=None)
+    assert n == 16 + 4 + 1
+    con = sqlite3.connect(path)
+    meta = dict(con.execute("SELECT name, value FROM metadata"))
+    assert (meta["minzoom"], meta["maxzoom"]) == ("0", "2")
+    con.close()
+    back, _ = read_mbtiles(spark, path, tile=16)
+    for z, npx in ((2, 64), (1, 32), (0, 16)):
+        lvl = tiles_to_raster(back.where(f"zoom = {z}"), tile=16)
+        assert (lvl[:npx, :npx] == 8).all()
