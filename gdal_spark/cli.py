@@ -422,6 +422,74 @@ def _cmd_gdaladdo(argv) -> int:
     return 0
 
 
+def _cmd_gdal_contour(argv) -> int:
+    """gdal_contour twin: -fl fixed levels (or -i interval over the band
+    range) -> LINESTRING features with a `level` attribute, or -p band
+    POLYGONs with level_min/level_max. Marching squares + per-level
+    polyline linking run in executors (segments/bands are groupBy
+    tasks); output routes through save_vector."""
+    ap = argparse.ArgumentParser(prog="gdal_contour")
+    ap.add_argument("src")
+    ap.add_argument("dst")
+    ap.add_argument("-fl", nargs="+", type=float, default=None)
+    ap.add_argument("-i", type=float, default=None, dest="interval")
+    ap.add_argument("-p", action="store_true", dest="polygons")
+    ap.add_argument("-tile", type=int, default=256)
+    a = ap.parse_args(argv)
+    if not a.fl and not a.interval:
+        ap.error("need -fl levels or -i interval")
+    from pyspark.sql import functions as F, types as T
+    from .sources import open_raster, save_vector
+    spark = _spark()
+    t = open_raster(spark, a.src, tile=a.tile)
+    if a.fl:
+        levels = sorted(a.fl)
+    else:
+        from .raster.stats import band_statistics
+        st_row = band_statistics(t, tile=a.tile).collect()[0]
+        lo, hi = float(st_row["min"]), float(st_row["max"])
+        import math as _m
+        levels = [k * a.interval
+                  for k in range(int(_m.floor(lo / a.interval)) + 1,
+                                 int(_m.ceil(hi / a.interval)))]
+    if a.polygons:
+        from .raster.contour import contour_polygon_bands
+        lv = sorted(levels)
+        alll = [float("-inf")] + lv
+        bands = contour_polygon_bands(t, levels, tile=a.tile)
+        out = bands.select(
+            F.col("band_idx").cast("long").alias("fid"), "geom",
+            *[F.element_at(F.array(*[F.lit(v) for v in alll]),
+                           F.col("band_idx") + 1).alias("level_min"),
+              F.element_at(F.array(*[F.lit(v) for v in (lv + [float("inf")])]),
+                           F.col("band_idx") + 1).alias("level_max")])
+        save_vector(out, a.dst)
+        return 0
+    from .raster.contour import assemble_polylines, contour_segments
+    segs = contour_segments(t, levels, tile=a.tile)
+    out_schema = T.StructType([T.StructField("fid", T.LongType()),
+                               T.StructField("geom", T.BinaryType()),
+                               T.StructField("level", T.DoubleType())])
+
+    def link(key, pdf):
+        import numpy as np
+        import pandas as pd
+        from .core import wkb as _wkb
+        level = float(key[0])
+        lines = assemble_polylines(
+            list(zip(pdf["x0"], pdf["y0"], pdf["x1"], pdf["y1"])))
+        rows = []
+        for i, pts in enumerate(lines):
+            arr = np.asarray(pts, dtype=np.float64)
+            rows.append((i, _wkb.encode(_wkb.Geom(_wkb.LINESTRING, [arr])),
+                         level))
+        return pd.DataFrame(rows, columns=["fid", "geom", "level"])
+
+    out = segs.groupBy("level").applyInPandas(link, out_schema)
+    save_vector(out, a.dst)
+    return 0
+
+
 _COMMANDS = {"ogr2ogr": _cmd_ogr2ogr, "ogrinfo": _cmd_ogrinfo,
              "gdalinfo": _cmd_gdalinfo, "gdalsrsinfo": _cmd_gdalsrsinfo,
              "gdaltransform": _cmd_gdaltransform,
@@ -434,7 +502,8 @@ _COMMANDS = {"ogr2ogr": _cmd_ogr2ogr, "ogrinfo": _cmd_ogrinfo,
              "gdal_translate": _cmd_gdal_translate,
              "gdal2tiles": _cmd_gdal2tiles,
              "gdalwarp": _cmd_gdalwarp,
-             "gdaladdo": _cmd_gdaladdo}
+             "gdaladdo": _cmd_gdaladdo,
+             "gdal_contour": _cmd_gdal_contour}
 
 
 def main(argv=None) -> int:

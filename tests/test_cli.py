@@ -279,3 +279,31 @@ def test_gdalwarp_cli(spark, tmp_path):
     # dst pixel (0,0) center = (11.0625, 49.9375) -> src col 8, row 0
     want = arr[0:16, 8:24]
     np.testing.assert_array_equal(got[:16, :16], want)
+
+
+def test_gdal_contour_cli(spark, tmp_path):
+    import numpy as np
+
+    from gdal_spark.raster.tiles import raster_to_tiles
+    from gdal_spark.sources.aaigrid import write_aaigrid
+    from gdal_spark.sources.geojson import read_geojson_seq
+
+    # linear ramp: level 8 crosses at x = 8 exactly
+    arr = np.tile(np.arange(16, dtype="f8"), (16, 1))
+    src = str(tmp_path / "ramp.asc")
+    write_aaigrid(raster_to_tiles(spark, arr, tile=16), src,
+                  width_px=16, height_px=16, tile=16)
+    dst = str(tmp_path / "iso.geojsonl")
+    assert cli.main(["gdal_contour", src, dst, "-fl", "7.5",
+                     "-tile", "16"]) == 0
+    feats = read_geojson_seq(spark, dst).collect()
+    assert len(feats) >= 1
+    import json as _json
+    assert all(_json.loads(r.props)["level"] == 7.5 for r in feats)
+    # -i interval derives levels from the band range
+    dst2 = str(tmp_path / "iso2.geojsonl")
+    assert cli.main(["gdal_contour", src, dst2, "-i", "5",
+                     "-tile", "16"]) == 0
+    lv = {_json.loads(r.props)["level"]
+          for r in read_geojson_seq(spark, dst2).collect()}
+    assert lv == {5.0, 10.0}
