@@ -490,6 +490,108 @@ def _cmd_gdal_contour(argv) -> int:
     return 0
 
 
+def _cmd_gdal_rasterize(argv) -> int:
+    """gdal_rasterize twin: vector features burn into a raster grid
+    (-burn constant or -a attribute, -ts size, -te extent, -at
+    all-touched)."""
+    ap = argparse.ArgumentParser(prog="gdal_rasterize")
+    ap.add_argument("src")
+    ap.add_argument("dst")
+    ap.add_argument("-burn", type=float, default=1.0)
+    ap.add_argument("-a", default=None, dest="attr")
+    ap.add_argument("-ts", nargs=2, type=int, required=True)
+    ap.add_argument("-te", nargs=4, type=float, required=True)
+    ap.add_argument("-at", action="store_true", dest="all_touched")
+    ap.add_argument("-init", type=float, default=0.0)
+    ap.add_argument("-add", action="store_true")
+    ap.add_argument("-tile", type=int, default=256)
+    a = ap.parse_args(argv)
+    from pyspark.sql import functions as F
+    from .raster.rasterize import GridSpec, rasterize
+    from .sources import open_vector, save_raster
+    spark = _spark()
+    v = open_vector(spark, a.src)
+    burn = (F.col(a.attr).cast("double") if a.attr
+            else F.lit(a.burn))
+    geoms = v.select("geom", burn.alias("burn"),
+                     F.col("fid").cast("long").alias("seq"))
+    xmin, ymin, xmax, ymax = a.te
+    ow, oh = a.ts
+    grid = GridSpec(x0=xmin, y0=ymax, dx=(xmax - xmin) / ow,
+                    dy=-(ymax - ymin) / oh, width=ow, height=oh,
+                    tile=a.tile)
+    t = rasterize(geoms, grid, merge_alg="add" if a.add else "replace",
+                  all_touched=a.all_touched, init=a.init)
+    save_raster(t, a.dst, tile=a.tile, width=ow, height=oh)
+    return 0
+
+
+def _cmd_gdal_grid(argv) -> int:
+    """gdal_grid twin: scatter points -> interpolated raster (-alg
+    invdist/average/nearest/count/min/max, -radius, -power)."""
+    ap = argparse.ArgumentParser(prog="gdal_grid")
+    ap.add_argument("src", help="vector points with z attribute")
+    ap.add_argument("dst")
+    ap.add_argument("-zfield", default="z")
+    ap.add_argument("-alg", default="invdist")
+    ap.add_argument("-radius", type=float, required=True)
+    ap.add_argument("-power", type=float, default=2.0)
+    ap.add_argument("-ts", nargs=2, type=int, required=True)
+    ap.add_argument("-te", nargs=4, type=float, required=True)
+    ap.add_argument("-tile", type=int, default=256)
+    a = ap.parse_args(argv)
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from .core import wkb as _wkb
+    from .raster.gridding import grid_interpolate
+    from .raster.tiles import pixels_to_tiles
+    from .sources import open_vector, save_raster
+    spark = _spark()
+    v = open_vector(spark, a.src)
+
+    @F.pandas_udf("double")
+    def gx(geom):
+        return pd.Series([_wkb.decode(bytes(b)).rings[0][0][0]
+                          for b in geom])
+
+    @F.pandas_udf("double")
+    def gy(geom):
+        return pd.Series([_wkb.decode(bytes(b)).rings[0][0][1]
+                          for b in geom])
+
+    pts = v.select(gx("geom").alias("x"), gy("geom").alias("y"),
+                   F.col(a.zfield).cast("double").alias("z"))
+    xmin, ymin, xmax, ymax = a.te
+    ow, oh = a.ts
+    px = grid_interpolate(pts, x0=xmin, y0=ymax,
+                          dx=(xmax - xmin) / ow, dy=-(ymax - ymin) / oh,
+                          nx=ow, ny=oh, radius=a.radius,
+                          algorithm=a.alg, power=a.power)
+    t = pixels_to_tiles(px, tile=a.tile)
+    save_raster(t, a.dst, tile=a.tile, width=ow, height=oh)
+    return 0
+
+
+def _cmd_gdal_merge(argv) -> int:
+    """gdal_merge.py twin: mosaic N same-grid rasters last-on-top."""
+    ap = argparse.ArgumentParser(prog="gdal_merge")
+    ap.add_argument("srcs", nargs="+")
+    ap.add_argument("-o", required=True, dest="dst")
+    ap.add_argument("-tile", type=int, default=256)
+    a = ap.parse_args(argv)
+    from pyspark.sql import functions as F
+    from .raster.mosaic import mosaic
+    from .sources import open_raster, save_raster
+    spark = _spark()
+    parts = None
+    for seq, p in enumerate(a.srcs):
+        t = open_raster(spark, p, tile=a.tile).withColumn("seq",
+                                                          F.lit(seq))
+        parts = t if parts is None else parts.unionByName(t)
+    save_raster(mosaic(parts, tile=a.tile), a.dst, tile=a.tile)
+    return 0
+
+
 _COMMANDS = {"ogr2ogr": _cmd_ogr2ogr, "ogrinfo": _cmd_ogrinfo,
              "gdalinfo": _cmd_gdalinfo, "gdalsrsinfo": _cmd_gdalsrsinfo,
              "gdaltransform": _cmd_gdaltransform,
@@ -503,7 +605,10 @@ _COMMANDS = {"ogr2ogr": _cmd_ogr2ogr, "ogrinfo": _cmd_ogrinfo,
              "gdal2tiles": _cmd_gdal2tiles,
              "gdalwarp": _cmd_gdalwarp,
              "gdaladdo": _cmd_gdaladdo,
-             "gdal_contour": _cmd_gdal_contour}
+             "gdal_contour": _cmd_gdal_contour,
+             "gdal_rasterize": _cmd_gdal_rasterize,
+             "gdal_grid": _cmd_gdal_grid,
+             "gdal_merge": _cmd_gdal_merge}
 
 
 def main(argv=None) -> int:

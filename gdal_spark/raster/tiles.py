@@ -252,3 +252,35 @@ def raster_compare(a: DataFrame, b: DataFrame, tile: int = TILE) -> DataFrame:
     return d.join(ck, "band", "left").select(
         "band", "n_pixels_diff", "max_abs_diff",
         (F.col("ck_a") == F.col("ck_b")).alias("checksum_equal"))
+
+
+def pixels_to_tiles(px_df: DataFrame, tile: int = TILE,
+                    x_col: str = "i", y_col: str = "j",
+                    v_col: str = "value", dtype: str = "f8",
+                    fill: float = 0.0, band: int = 1,
+                    zoom: int = 0) -> DataFrame:
+    """(x, y, value) pixel rows -> the engine tile table (the inverse of
+    gdal2xyz/tile_pixels): one shuffle keyed by tile, per-tile numpy
+    scatter. Pixels absent from the input take `fill` — the sparse-tile
+    contract every sink shares."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    keyed = px_df.select(
+        F.floor(F.col(x_col) / tile).cast("long").alias("tile_x"),
+        F.floor(F.col(y_col) / tile).cast("long").alias("tile_y"),
+        (F.col(x_col) % tile).cast("int").alias("lx"),
+        (F.col(y_col) % tile).cast("int").alias("ly"),
+        F.col(v_col).cast("double").alias("v"))
+
+    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        tx, ty = int(key[0]), int(key[1])
+        block = np.full((tile, tile), fill, np.dtype(dtype))
+        block[pdf["ly"].to_numpy(), pdf["lx"].to_numpy()] = \
+            pdf["v"].to_numpy()
+        return pd.DataFrame(
+            [(band, zoom, tx, ty, dtype, None, encode_px(block))],
+            columns=[f.name for f in TILE_SCHEMA.fields])
+
+    return keyed.groupBy("tile_x", "tile_y").applyInPandas(build,
+                                                           TILE_SCHEMA)

@@ -307,3 +307,56 @@ def test_gdal_contour_cli(spark, tmp_path):
     lv = {_json.loads(r.props)["level"]
           for r in read_geojson_seq(spark, dst2).collect()}
     assert lv == {5.0, 10.0}
+
+
+def test_rasterize_grid_merge_clis(spark, tmp_path):
+    import numpy as np
+
+    from gdal_spark.core import wkb as W
+    from gdal_spark.raster.tiles import raster_to_tiles, tiles_to_raster
+    from gdal_spark.sources.aaigrid import read_aaigrid, write_aaigrid
+    from gdal_spark.sources.csv_wkt import write_csv_wkt
+
+    # rasterize a square polygon onto a 16x16 grid covering (0..16)^2
+    shell = np.array([[2, 2], [10, 2], [10, 10], [2, 10], [2, 2]],
+                     np.float64)
+    poly = spark.createDataFrame(
+        [(1, W.encode(W.Geom(W.POLYGON, [shell])), 5.0)],
+        "fid long, geom binary, val double")
+    vsrc = str(tmp_path / "poly.csv")
+    write_csv_wkt(poly, vsrc)
+    dst = str(tmp_path / "burn.asc")
+    assert cli.main(["gdal_rasterize", vsrc, dst, "-a", "val",
+                     "-ts", "16", "16", "-te", "0", "0", "16", "16",
+                     "-tile", "16"]) == 0
+    got = tiles_to_raster(read_aaigrid(spark, dst, tile=16), tile=16)
+    assert got[8, 5] == 5.0 and got[1, 1] == 0.0
+    assert (got == 5.0).sum() == 64            # 8x8 pixel centers inside
+
+    # gdal_grid nearest over two points
+    pts = spark.createDataFrame(
+        [(1, W.encode(W.Geom(W.POINT, [np.array([[2.0, 14.0]])])), 3.0),
+         (2, W.encode(W.Geom(W.POINT, [np.array([[14.0, 2.0]])])), 9.0)],
+        "fid long, geom binary, z double")
+    psrc = str(tmp_path / "pts.csv")
+    write_csv_wkt(pts, psrc)
+    gdst = str(tmp_path / "grid.asc")
+    assert cli.main(["gdal_grid", psrc, gdst, "-alg", "nearest",
+                     "-radius", "30", "-ts", "16", "16",
+                     "-te", "0", "0", "16", "16", "-tile", "16"]) == 0
+    g = tiles_to_raster(read_aaigrid(spark, gdst, tile=16), tile=16)
+    assert g[1, 1] == 3.0 and g[14, 14] == 9.0   # nearest point wins
+
+    # gdal_merge: second input wins where nonzero
+    a1 = np.zeros((16, 16)); a1[:, :8] = 1.0
+    a2 = np.zeros((16, 16)); a2[:, 4:12] = 2.0
+    s1, s2 = str(tmp_path / "m1.asc"), str(tmp_path / "m2.asc")
+    write_aaigrid(raster_to_tiles(spark, a1, tile=16), s1,
+                  width_px=16, height_px=16, tile=16)
+    write_aaigrid(raster_to_tiles(spark, a2, tile=16), s2,
+                  width_px=16, height_px=16, tile=16)
+    mdst = str(tmp_path / "merged.asc")
+    assert cli.main(["gdal_merge", s1, s2, "-o", mdst,
+                     "-tile", "16"]) == 0
+    m = tiles_to_raster(read_aaigrid(spark, mdst, tile=16), tile=16)
+    assert m[0, 2] == 1.0 and m[0, 6] == 2.0 and m[0, 13] == 0.0
