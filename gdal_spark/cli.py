@@ -592,6 +592,69 @@ def _cmd_gdal_merge(argv) -> int:
     return 0
 
 
+def _cmd_gdal_proximity(argv) -> int:
+    """gdal_proximity.py twin: distance-to-nearest-target raster
+    (targets = nonzero pixels), halo-round vector distance transform."""
+    ap = argparse.ArgumentParser(prog="gdal_proximity")
+    ap.add_argument("src")
+    ap.add_argument("dst")
+    ap.add_argument("-maxdist", type=float, default=None)
+    ap.add_argument("-tile", type=int, default=256)
+    a = ap.parse_args(argv)
+    from .raster.proximity import proximity
+    from .sources import open_raster, save_raster
+    spark = _spark()
+    t = open_raster(spark, a.src, tile=a.tile)
+    save_raster(proximity(t, tile=a.tile, maxdist=a.maxdist), a.dst,
+                tile=a.tile)
+    return 0
+
+
+def _cmd_nearblack(argv) -> int:
+    """nearblack twin: snap the scan collar to pure black/white; writes
+    the corrected raster (mask band dropped for the file sink)."""
+    ap = argparse.ArgumentParser(prog="nearblack")
+    ap.add_argument("src")
+    ap.add_argument("dst")
+    ap.add_argument("-near", type=int, default=15)
+    ap.add_argument("-white", action="store_true")
+    ap.add_argument("-tile", type=int, default=256)
+    a = ap.parse_args(argv)
+    from pyspark.sql import functions as F
+    from .raster.nearblack import nearblack
+    from .sources import open_raster, save_raster
+    spark = _spark()
+    t = open_raster(spark, a.src, tile=a.tile)
+    ext = t.agg(F.max("tile_x").alias("mx"),
+                F.max("tile_y").alias("my")).collect()[0]
+    w, h = (int(ext.mx) + 1) * a.tile, (int(ext.my) + 1) * a.tile
+    out = nearblack(t, width=w, height=h, tile=a.tile, near_dist=a.near,
+                    near_white=a.white).where(F.col("band") > 0)
+    save_raster(out, a.dst, tile=a.tile, width=w, height=h)
+    return 0
+
+
+def _cmd_gdal_pansharpen(argv) -> int:
+    """gdal_pansharpen.py twin: weighted-Brovey combine of a multiband
+    MS raster with a pan band on the same grid."""
+    ap = argparse.ArgumentParser(prog="gdal_pansharpen")
+    ap.add_argument("pan")
+    ap.add_argument("ms")
+    ap.add_argument("dst")
+    ap.add_argument("-w", nargs="+", type=float, default=None,
+                    dest="weights")
+    ap.add_argument("-tile", type=int, default=256)
+    a = ap.parse_args(argv)
+    from .raster.mosaic import pansharpen
+    from .sources import open_raster, save_raster
+    spark = _spark()
+    pan = open_raster(spark, a.pan, tile=a.tile)
+    ms = open_raster(spark, a.ms, tile=a.tile)
+    save_raster(pansharpen(ms, pan, weights=a.weights, tile=a.tile),
+                a.dst, tile=a.tile)
+    return 0
+
+
 _COMMANDS = {"ogr2ogr": _cmd_ogr2ogr, "ogrinfo": _cmd_ogrinfo,
              "gdalinfo": _cmd_gdalinfo, "gdalsrsinfo": _cmd_gdalsrsinfo,
              "gdaltransform": _cmd_gdaltransform,
@@ -608,7 +671,10 @@ _COMMANDS = {"ogr2ogr": _cmd_ogr2ogr, "ogrinfo": _cmd_ogrinfo,
              "gdal_contour": _cmd_gdal_contour,
              "gdal_rasterize": _cmd_gdal_rasterize,
              "gdal_grid": _cmd_gdal_grid,
-             "gdal_merge": _cmd_gdal_merge}
+             "gdal_merge": _cmd_gdal_merge,
+             "gdal_proximity": _cmd_gdal_proximity,
+             "nearblack": _cmd_nearblack,
+             "gdal_pansharpen": _cmd_gdal_pansharpen}
 
 
 def main(argv=None) -> int:

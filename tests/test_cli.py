@@ -360,3 +360,46 @@ def test_rasterize_grid_merge_clis(spark, tmp_path):
                      "-tile", "16"]) == 0
     m = tiles_to_raster(read_aaigrid(spark, mdst, tile=16), tile=16)
     assert m[0, 2] == 1.0 and m[0, 6] == 2.0 and m[0, 13] == 0.0
+
+
+def test_proximity_nearblack_pansharpen_clis(spark, tmp_path):
+    import numpy as np
+
+    from gdal_spark.raster.tiles import raster_to_tiles, tiles_to_raster
+    from gdal_spark.sources.aaigrid import read_aaigrid, write_aaigrid
+
+    # proximity: one target pixel in the middle
+    arr = np.zeros((16, 16)); arr[8, 8] = 1.0
+    src = str(tmp_path / "t.asc")
+    write_aaigrid(raster_to_tiles(spark, arr, tile=16), src,
+                  width_px=16, height_px=16, tile=16)
+    dst = str(tmp_path / "prox.asc")
+    assert cli.main(["gdal_proximity", src, dst, "-tile", "16"]) == 0
+    d = tiles_to_raster(read_aaigrid(spark, dst, tile=16), tile=16)
+    assert d[8, 8] == 0.0 and d[8, 11] == 3.0
+    assert d[5, 4] == np.hypot(3, 4)
+
+    # nearblack: collar of 3s around a bright interior snaps to 0
+    img = np.full((16, 16), 200.0); img[:2, :] = 3.0; img[:, :2] = 3.0
+    src2 = str(tmp_path / "scan.asc")
+    write_aaigrid(raster_to_tiles(spark, img, tile=16), src2,
+                  width_px=16, height_px=16, tile=16)
+    dst2 = str(tmp_path / "black.asc")
+    assert cli.main(["nearblack", src2, dst2, "-near", "15",
+                     "-tile", "16"]) == 0
+    nb = tiles_to_raster(read_aaigrid(spark, dst2, tile=16), tile=16)
+    assert nb[0, 8] == 0.0 and nb[8, 8] == 200.0
+
+    # pansharpen: Brovey identity when pan == pseudo-pan
+    ms = np.full((16, 16), 80.0)
+    pan = np.full((16, 16), 80.0)
+    msrc, psrc = str(tmp_path / "ms.asc"), str(tmp_path / "pan.asc")
+    write_aaigrid(raster_to_tiles(spark, ms, tile=16), msrc,
+                  width_px=16, height_px=16, tile=16)
+    write_aaigrid(raster_to_tiles(spark, pan, tile=16), psrc,
+                  width_px=16, height_px=16, tile=16)
+    dst3 = str(tmp_path / "sharp.asc")
+    assert cli.main(["gdal_pansharpen", psrc, msrc, dst3,
+                     "-tile", "16"]) == 0
+    sh = tiles_to_raster(read_aaigrid(spark, dst3, tile=16), tile=16)
+    np.testing.assert_allclose(sh[:16, :16], 80.0)
