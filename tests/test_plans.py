@@ -156,3 +156,49 @@ def test_overlay_union_reverse_side_shuffles_by_mid(spark):
     plan = plan_of(df)
     assert "_mid" in plan
     assert "FlatMapGroupsInPandas" in plan or "ArrowEvalPython" in plan
+
+
+def test_bloom_probe_broadcasts_never_crossjoins(spark):
+    """Decontamination probe: the bitmap join must broadcast; no
+    cartesian product, no sort-merge join of candidate grams."""
+    from gdal_spark.operators.textops import bloom_build, bloom_contaminated
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    bloom = bloom_build(docs.where("doc_id % 2 = 0"))
+    out = bloom_contaminated(docs.where("doc_id % 2 = 1"), bloom)
+    plan = plan_of(out)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+
+
+def test_stateless_band_keys_have_no_shuffle(spark):
+    """minhash_band_keys_stateless is per-row array math: ZERO exchanges
+    before the keys exist (the property the streaming near-dup gate
+    depends on)."""
+    from gdal_spark.operators.textops import minhash_band_keys_stateless
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(minhash_band_keys_stateless(docs))
+    assert "Exchange" not in plan
+
+
+def test_stratified_sample_is_map_only(spark):
+    from gdal_spark.operators.textops import stratified_sample
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(stratified_sample(docs, {"src1": 0.5}, default_rate=0.1))
+    assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_c4_filters_map_only_no_python(spark):
+    from gdal_spark.operators.textops import c4_filters
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(c4_filters(docs))
+    assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_domain_block_broadcasts_blocklist(spark):
+    from gdal_spark.operators.urlops import domain_block
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .selectExpr("doc_id",
+                    "concat('https://h', doc_id % 7, '.x/p') as url")
+    plan = plan_of(domain_block(docs, 3))
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("SortMergeJoin") == 0
