@@ -5646,3 +5646,29 @@ def q_stratified_sample(spark, sf_dir):
     out = textops.stratified_sample(
         d, {"src1": 0.8, "src2": 0.25}, default_rate=0.05)
     return out.select("doc_id", "source")
+
+
+@_reg("pnm_roundtrip", _DENSITY_VALS_SQL.replace(
+    "vals AS (SELECT", "vals AS (SELECT g.x, g.y,") + """
+SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y, v
+FROM vals
+""")
+def q_pnm_roundtrip(spark, sf_dir):
+    """PNM round trip (frmts/raw/pnmdataset.cpp) through the 16-bit
+    path: maxval 65535 stores BIG-endian u2 samples per the Netpbm
+    rule; density counts fit u16 exactly, so the oracle recomputes
+    every cell with no container truncation."""
+    import os
+    import tempfile
+    from .raster.tiles import gdal2xyz
+    from .sources.pnm import read_pnm, write_pnm
+
+    t = _density_tiles_full(spark, sf_dir)
+    path = os.path.join(tempfile.gettempdir(),
+                        f"gdal_spark_pnm_{os.getpid()}.pgm")
+    write_pnm(t, path, width=64, height=64, maxval=65535, tile=8)
+    back, _ = read_pnm(spark, path, tile=8)
+    rows = gdal2xyz(back, tile=8)
+    return rows.select(F.col("x").cast("long").alias("x"),
+                       F.col("y").cast("long").alias("y"),
+                       F.col("value").cast("double").alias("v"))
