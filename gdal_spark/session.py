@@ -33,5 +33,22 @@ def get_spark(app: str = "gdal_spark", cores: int | None = None,
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # PySpark 4 wraps every DataFrame/Column op in a call-site-capture
+        # decorator (pyspark.errors.utils._with_origin) that costs ~4 py4j
+        # round-trips + a Python stack walk PER OP when
+        # dataFrameDebugging is on (the default). Our queries build large
+        # plans driver-side, so this dominated plan-construction time
+        # (~1s per complex query at 1ms/round-trip). Error messages lose
+        # only the Python call-site line, nothing else.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # the gate is cached process-wide on first read; force it to resolve
+    # against this session's conf so later sessions in the same process
+    # (tests create several) see a consistent answer
+    try:
+        from pyspark.errors import utils as _eu
+        _eu._enable_debugging_cache = False
+    except Exception:
+        pass
+    return spark
