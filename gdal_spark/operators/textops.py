@@ -742,10 +742,13 @@ def bigram_lm_scores(docs: DataFrame, k_smooth: float = 0.5) -> DataFrame:
     and report perplexity (the head/middle/tail bucketing cut).
 
     Distribution: bigram/unigram counts are map-side-combined groupBys
-    over exploded token pairs; scoring joins each document's bigrams
-    against the count tables (broadcast — vocabulary-sized, tiny next
-    to the corpus); one final per-doc aggregation. Every arithmetic
-    step is replayable in SQL, so the oracle value-hashes the scores."""
+    over exploded token pairs. The UNIGRAM table is vocabulary-sized and
+    broadcasts; the BIGRAM table is unique-pair-sized — a large fraction
+    of corpus tokens at web scale — so it joins via a normal shuffle
+    equi-join on (a, b) and must NOT be broadcast. Both probe sides are
+    already exploded to bigram granularity, so the shuffle is the same
+    key the counts aggregated on. Every arithmetic step is replayable in
+    SQL, so the oracle value-hashes the scores."""
     ws = words_col()
     n = F.size(ws)
     pairs = docs.select(
@@ -758,7 +761,7 @@ def bigram_lm_scores(docs: DataFrame, k_smooth: float = 0.5) -> DataFrame:
     vocab = uni.count()
     bi = pairs.groupBy("a", "b") \
         .agg(F.count("*").cast("double").alias("n_ab"))
-    scored = (pairs.join(F.broadcast(bi), ["a", "b"])
+    scored = (pairs.join(bi, ["a", "b"])
               .join(F.broadcast(uni), "a")
               .withColumn("logp", F.log(
                   (F.col("n_ab") + k_smooth)

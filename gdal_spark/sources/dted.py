@@ -84,7 +84,8 @@ def read_dted(spark: SparkSession, path: str, tile: int = 256):
                     f.seek(_DATA_OFF + s.c0 * rec)
                     raw = f.read(cols_here * rec)
                 recs = np.frombuffer(raw, np.uint8).reshape(cols_here, rec)
-                if not (recs[:, 0] == 252).all():
+                # sentinel is the C octal literal 0252 = 0xAA (dted_api.c)
+                if not (recs[:, 0] == 0xAA).all():
                     raise ValueError("bad DTED record sentinel")
                 samp = recs[:, 8:8 + 2 * nrows]
                 v = (samp[:, 0::2].astype(np.uint16) << 8) \
@@ -147,7 +148,7 @@ def write_dted(tiles: DataFrame, path: str, *, ncols: int, nrows: int,
         try:
             for j in range(cols_here):
                 col_idx = c0 + j
-                hdr = struct.pack(">B", 252) \
+                hdr = struct.pack(">B", 0xAA) \
                     + int(col_idx).to_bytes(3, "big") \
                     + struct.pack(">HH", col_idx & 0xFFFF, 0)
                 body = raw[:, j].tobytes()

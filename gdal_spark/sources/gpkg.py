@@ -207,7 +207,7 @@ def write_gpkg_tiles(tiles: DataFrame, path: str, table: str = "tiles",
                      png_dtype: str = "u1",
                      bounds=(-20037508.342789244, -20037508.342789244,
                              20037508.342789244, 20037508.342789244),
-                     zoom: int = 0) -> int:
+                     zoom: int | None = None) -> int:
     """Engine tile table (single band u1/u2 or bands 1-3 as RGB) -> a
     GeoPackage TILE pyramid table (OGC 12-128r15 §2.2: gpkg_contents
     data_type='tiles', gpkg_tile_matrix_set, gpkg_tile_matrix, and the
@@ -245,6 +245,19 @@ def write_gpkg_tiles(tiles: DataFrame, path: str, table: str = "tiles",
 
     rows = tiles.groupBy("tile_x", "tile_y") \
         .applyInPandas(encode, enc_schema).collect()
+
+    # zoom not given: derive the smallest matrix that holds the extent
+    # (a zoom too small would write a gpkg_tile_matrix of 1x1 while the
+    # tile table holds columns/rows beyond it — a spec-violating archive
+    # only this engine's own reader would accept)
+    maxc = max((max(int(r.tx), int(r.ty)) for r in rows), default=0)
+    if zoom is None:
+        zoom = maxc.bit_length()   # ceil(log2(maxc+1))
+    if maxc >= (1 << zoom):
+        raise ValueError(
+            f"tile indices up to {maxc} do not fit zoom {zoom} "
+            f"(matrix {1 << zoom}x{1 << zoom}); pass zoom>="
+            f"{maxc.bit_length()}")
 
     con = sqlite3.connect(path)
     try:
@@ -372,7 +385,7 @@ def read_gpkg_tiles(spark: SparkSession, path: str,
 # ------------------------------------------------------------- MBTiles
 
 def write_mbtiles(tiles: DataFrame, path: str, *, tile: int = 256,
-                  zoom: int | None = 0, name: str = "gdal_spark",
+                  zoom: int | None | str = "auto", name: str = "gdal_spark",
                   fmt: str = "png", png_dtype: str = "u1",
                   metadata: dict | None = None) -> int:
     """Engine tile table -> MBTiles 1.3 archive (frmts/mbtiles/
@@ -397,9 +410,13 @@ def write_mbtiles(tiles: DataFrame, path: str, *, tile: int = 256,
     from pyspark.sql import functions as F
 
     # zoom=None: multi-level mode — the tile table's own `zoom` column
-    # names each tile's pyramid level (gdaladdo/gdal2tiles semantics)
-    ztile = tiles if zoom is None else \
-        tiles.withColumn("zoom", F.lit(zoom))
+    # names each tile's pyramid level (gdaladdo/gdal2tiles semantics).
+    # zoom="auto" (default): use the stored levels if every tile fits its
+    # level's matrix, else re-derive one level from the extent — a fixed
+    # zoom=0 default would TMS-flip every row beyond the first into
+    # negative tile_row values (spec-violating archive).
+    ztile = tiles if zoom in (None, "auto") else \
+        tiles.withColumn("zoom", F.lit(int(zoom)))
 
     def encode(key, pdf):
         z, tx, ty = int(key[0]), int(key[1]), int(key[2])
@@ -414,6 +431,24 @@ def write_mbtiles(tiles: DataFrame, path: str, *, tile: int = 256,
 
     rows = ztile.groupBy("zoom", "tile_x", "tile_y") \
         .applyInPandas(encode, enc_schema).collect()
+    def _fits(rs):
+        return all(0 <= int(r.tx) < (1 << int(r.z))
+                   and 0 <= int(r.ty) < (1 << int(r.z)) for r in rs)
+
+    if zoom == "auto" and not _fits(rows):
+        # placeholder levels (raster_to_tiles defaults zoom=0): derive
+        # the smallest single level that holds the extent
+        if len({int(r.z) for r in rows}) > 1:
+            raise ValueError("multi-level tile table has indices outside "
+                             "their levels; pass explicit zoom per level")
+        maxc = max((max(int(r.tx), int(r.ty)) for r in rows), default=0)
+        zfit = maxc.bit_length()   # ceil(log2(maxc+1))
+        from pyspark.sql import Row
+        rows = [Row(z=zfit, tx=r.tx, ty=r.ty, blob=r.blob) for r in rows]
+    if not _fits(rows):
+        bad = next(r for r in rows if not _fits([r]))
+        raise ValueError(f"tile ({bad.tx},{bad.ty}) out of range for "
+                         f"zoom {bad.z} (TMS row flip would go negative)")
     zs = sorted({int(r.z) for r in rows})
     con = sqlite3.connect(path)
     try:

@@ -33,7 +33,8 @@ from ..core.geomops import points_in_ring
 _GEOM_KEYWORDS = ("POINT", "LINE", "PLINE", "REGION", "NONE",
                   "MULTIPOINT", "RECT", "ROUNDRECT", "ELLIPSE", "ARC",
                   "TEXT")
-_SKIP_CLAUSES = ("PEN", "BRUSH", "SYMBOL", "SMOOTH", "CENTER", "FONT")
+_SKIP_CLAUSES = ("PEN", "BRUSH", "SYMBOL", "SMOOTH", "CENTER", "FONT",
+                 "ANGLE", "JUSTIFY", "SPACING", "LABEL")
 
 _MIF_TYPES = {"integer": T.LongType(), "smallint": T.LongType(),
               "float": T.DoubleType(), "decimal": T.DoubleType(),
@@ -153,6 +154,47 @@ def _parse_feature(lines, k):
                 r = np.vstack([r, r[:1]])
             rings.append(r)
         g = _nest_rings(rings)
+    elif kw in ("RECT", "ROUNDRECT"):
+        # mitab converts these to polygons (mitab_feature_mif.cpp,
+        # TABRectangle); corner rounding is dropped like the reference's
+        # -mapinfo_quick path
+        x1, y1, x2, y2 = (float(v) for v in tok[1:5])
+        if kw == "ROUNDRECT" and len(tok) < 6:
+            k += 1                       # corner radius on its own line
+        xa, xb = sorted((x1, x2))
+        ya, yb = sorted((y1, y2))
+        ring = np.array([[xa, ya], [xb, ya], [xb, yb], [xa, yb],
+                         [xa, ya]], np.float64)
+        g = W.Geom(W.POLYGON, [ring])
+    elif kw == "ELLIPSE":
+        x1, y1, x2, y2 = (float(v) for v in tok[1:5])
+        cx, cy = (x1 + x2) / 2.0, (y1 + y2) / 2.0
+        rx, ry = abs(x2 - x1) / 2.0, abs(y2 - y1) / 2.0
+        t = np.linspace(0.0, 2.0 * np.pi, 73)
+        ring = np.stack([cx + rx * np.cos(t), cy + ry * np.sin(t)], axis=1)
+        ring[-1] = ring[0]
+        g = W.Geom(W.POLYGON, [ring])
+    elif kw == "ARC":
+        x1, y1, x2, y2 = (float(v) for v in tok[1:5])
+        if len(tok) >= 7:
+            a0, a1 = float(tok[5]), float(tok[6])
+        else:                            # begin/end angles on next line
+            av = lines[k].split()
+            a0, a1 = float(av[0]), float(av[1])
+            k += 1
+        cx, cy = (x1 + x2) / 2.0, (y1 + y2) / 2.0
+        rx, ry = abs(x2 - x1) / 2.0, abs(y2 - y1) / 2.0
+        t = np.radians(np.linspace(a0, a1 if a1 > a0 else a1 + 360.0, 72))
+        pts = np.stack([cx + rx * np.cos(t), cy + ry * np.sin(t)], axis=1)
+        g = W.Geom(W.LINESTRING, [pts])
+    elif kw == "TEXT":
+        if len(tok) == 1:
+            k += 1                       # caption on its own line
+        vals = [float(v) for v in lines[k].split()]
+        k += 1
+        # anchor point = lower-left of the text bounds (mitab TABText)
+        g = W.Geom(W.POINT, [np.array(
+            [[min(vals[0], vals[2]), min(vals[1], vals[3])]])])
     else:
         raise ValueError(f"unsupported MIF geometry {kw!r}")
     # skip styling clauses

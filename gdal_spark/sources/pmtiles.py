@@ -220,9 +220,11 @@ def write_pmtiles(tiles: DataFrame, path: str, *,
     zs = [int(r.z) for r in sizes]
     entries, off = [], 0
     offsets = {}
+    lengths = {}
     for r in sizes:
         entries.append((int(r.tid), off, int(r.n), 1))
         offsets[int(r.tid)] = off
+        lengths[int(r.tid)] = int(r.n)
         off += int(r.n)
     data_len = off
 
@@ -260,6 +262,7 @@ def write_pmtiles(tiles: DataFrame, path: str, *,
 
     # phase 2: executors pwrite each compressed blob at its offset
     boff = tiles.sparkSession.sparkContext.broadcast(offsets)
+    blen = tiles.sparkSession.sparkContext.broadcast(lengths)
 
     def emit(batches):
         for pdf in batches:
@@ -267,8 +270,17 @@ def write_pmtiles(tiles: DataFrame, path: str, *,
             fd = os.open(path, os.O_WRONLY)
             try:
                 for r in pdf.itertuples(index=False):
-                    os.pwrite(fd, _gzip(bytes(r.data)),
-                              data_off + boff.value[int(r.tid)])
+                    blob = _gzip(bytes(r.data))
+                    want = blen.value[int(r.tid)]
+                    if len(blob) != want:
+                        # zlib version/build skew between the phase-1 and
+                        # phase-2 executors would silently overlap or gap
+                        # the directory's byte layout — fail loudly instead
+                        raise RuntimeError(
+                            f"tile {int(r.tid)}: recompressed length "
+                            f"{len(blob)} != directory length {want} "
+                            "(heterogeneous zlib across executors?)")
+                    os.pwrite(fd, blob, data_off + boff.value[int(r.tid)])
                     n += 1
             finally:
                 os.close(fd)

@@ -168,3 +168,59 @@ def test_mbtiles_multizoom_pyramid(spark, tmp_path):
     for z, npx in ((2, 64), (1, 32), (0, 16)):
         lvl = tiles_to_raster(back.where(f"zoom = {z}"), tile=16)
         assert (lvl[:npx, :npx] == 8).all()
+
+
+def test_mbtiles_auto_zoom_derives_valid_rows(spark, tmp_path):
+    """save_raster-style call with NO zoom: the writer must derive a
+    level that holds the extent — a zoom-0 default would TMS-flip rows
+    1..3 of a 4x4 grid to negative tile_row (spec violation)."""
+    import sqlite3
+
+    from gdal_spark.raster.tiles import raster_to_tiles, tiles_to_raster
+    from gdal_spark.sources.gpkg import read_mbtiles, write_mbtiles
+
+    arr = np.arange(64 * 64, dtype="f8").reshape(64, 64) % 251
+    path = str(tmp_path / "auto.mbtiles")
+    n = write_mbtiles(raster_to_tiles(spark, arr, tile=16), path, tile=16)
+    assert n == 16
+    con = sqlite3.connect(path)
+    lo, z = con.execute(
+        "SELECT min(tile_row), min(zoom_level) FROM tiles").fetchone()
+    con.close()
+    assert lo >= 0 and z == 2          # 4x4 grid -> zoom 2
+    back, _ = read_mbtiles(spark, path, tile=16)
+    np.testing.assert_array_equal(
+        tiles_to_raster(back, tile=16)[:64, :64].astype("f8"), arr)
+
+
+def test_mbtiles_explicit_zoom_too_small_raises(spark, tmp_path):
+    from gdal_spark.raster.tiles import raster_to_tiles
+    from gdal_spark.sources.gpkg import write_mbtiles
+
+    arr = np.zeros((64, 64))
+    with pytest.raises(ValueError, match="out of range"):
+        write_mbtiles(raster_to_tiles(spark, arr, tile=16),
+                      str(tmp_path / "bad.mbtiles"), tile=16, zoom=0)
+
+
+def test_gpkg_tiles_auto_zoom_matrix_holds_extent(spark, tmp_path):
+    """gpkg_tile_matrix must cover the tile table's indices: with no
+    zoom given the writer derives it; with a too-small zoom it raises."""
+    import sqlite3
+
+    from gdal_spark.raster.tiles import raster_to_tiles
+    from gdal_spark.sources.gpkg import write_gpkg_tiles
+
+    arr = np.zeros((128, 128))
+    path = str(tmp_path / "auto.gpkg")
+    write_gpkg_tiles(raster_to_tiles(spark, arr, tile=16), path, tile=16)
+    con = sqlite3.connect(path)
+    w, h, z = con.execute("SELECT matrix_width, matrix_height, zoom_level"
+                          " FROM gpkg_tile_matrix").fetchone()
+    maxc, maxr = con.execute(
+        "SELECT max(tile_column), max(tile_row) FROM tiles").fetchone()
+    con.close()
+    assert (w, h, z) == (8, 8, 3) and maxc < w and maxr < h
+    with pytest.raises(ValueError, match="do not fit"):
+        write_gpkg_tiles(raster_to_tiles(spark, arr, tile=16),
+                         str(tmp_path / "bad.gpkg"), tile=16, zoom=1)

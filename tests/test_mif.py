@@ -99,3 +99,51 @@ REGION 1
     assert np.array_equal(g.rings[0][0], g.rings[0][-1])
     from gdal_spark.core.geomops import geom_area
     assert geom_area(g) == pytest.approx(16.0)
+
+
+def test_mapinfo_object_types_convert(spark, tmp_path):
+    """RECT/ROUNDRECT/ELLIPSE/ARC/TEXT must read (mitab converts them:
+    rect -> polygon, ellipse -> polygon, arc -> polyline, text ->
+    anchor point) instead of aborting the whole file."""
+    mif = """Version 300
+Charset "Neutral"
+Delimiter ","
+Columns 1
+  name Char(10)
+Data
+
+RECT 0 0 4 2
+    PEN (1,2,0)
+ROUNDRECT 0 0 2 2 0.5
+ELLIPSE 0 0 10 6
+ARC 0 0 2 2 0 90
+TEXT "hello"
+0 0 5 1
+    FONT ("Arial",0,0,0)
+POINT 7 8
+"""
+    (tmp_path / "t.mif").write_text(mif)
+    (tmp_path / "t.mid").write_text('"r"\n"rr"\n"e"\n"a"\n"t"\n"p"\n')
+    out = sorted(read_mif(spark, str(tmp_path / "t.mif")).collect(),
+                 key=lambda r: r.fid)
+    assert [r.name for r in out] == ["r", "rr", "e", "a", "t", "p"]
+    from gdal_spark.core.geomops import geom_area
+    rect = wkb.decode(bytes(out[0].geom))
+    assert rect.gtype == wkb.POLYGON
+    assert geom_area(rect) == pytest.approx(8.0)
+    rr = wkb.decode(bytes(out[1].geom))
+    assert geom_area(rr) == pytest.approx(4.0)
+    ell = wkb.decode(bytes(out[2].geom))
+    assert ell.gtype == wkb.POLYGON
+    # pi*rx*ry with a 72-gon shortfall
+    assert geom_area(ell) == pytest.approx(np.pi * 5 * 3, rel=0.01)
+    arc = wkb.decode(bytes(out[3].geom))
+    assert arc.gtype == wkb.LINESTRING
+    # quarter arc from 0 to 90 deg on unit circle centered (1,1)
+    np.testing.assert_allclose(arc.rings[0][0], [2.0, 1.0], atol=1e-9)
+    np.testing.assert_allclose(arc.rings[0][-1], [1.0, 2.0], atol=1e-9)
+    txt = wkb.decode(bytes(out[4].geom))
+    assert txt.gtype == wkb.POINT
+    np.testing.assert_allclose(txt.rings[0][0], [0.0, 0.0])
+    pt = wkb.decode(bytes(out[5].geom))
+    np.testing.assert_allclose(pt.rings[0][0], [7.0, 8.0])

@@ -182,3 +182,28 @@ def test_dted_roundtrip_signed_magnitude(spark, tmp_path):
     got = tiles_to_raster(back, tile=16)
     assert (got < 0).any()
     np.testing.assert_array_equal(got[:40, :28].astype("f8"), arr)
+
+
+def test_dted_record_byte_layout_matches_dted_api(spark, tmp_path):
+    """Pin the data-record layout of dted_api.c: sentinel 0252 (octal) =
+    0xAA at byte 0, 3-byte big-endian block count, big-endian
+    signed-magnitude samples, 4-byte arithmetic checksum trailer."""
+    from gdal_spark.sources.dted import _DATA_OFF, _rec_size, write_dted
+    nrows, ncols = 8, 4
+    arr = np.arange(nrows * ncols, dtype="f8").reshape(nrows, ncols) - 5
+    path = str(tmp_path / "layout.dt0")
+    write_dted(raster_to_tiles(spark, arr, tile=16), path,
+               ncols=ncols, nrows=nrows, lon0=10.0, lat0=20.0, tile=16)
+    rec = _rec_size(nrows)
+    blob = open(path, "rb").read()
+    for col in range(ncols):
+        r = blob[_DATA_OFF + col * rec: _DATA_OFF + (col + 1) * rec]
+        assert r[0] == 0xAA                       # NOT decimal 252
+        assert int.from_bytes(r[1:4], "big") == col
+        # last sample of the column = north-most row, south->north storage
+        samp = np.frombuffer(r[8:8 + 2 * nrows], ">u2")
+        vals = np.where(samp & 0x8000, -(samp & 0x7FFF).astype("i4"),
+                        (samp & 0x7FFF).astype("i4"))
+        np.testing.assert_array_equal(vals, arr[::-1, col].astype("i4"))
+        csum = int.from_bytes(r[-4:], "big")
+        assert csum == sum(r[:-4]) & 0xFFFFFFFF
