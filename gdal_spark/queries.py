@@ -3064,6 +3064,269 @@ def q_st_transform_wkt(spark, sf_dir):
         "FROM t_wkt_pts")
 
 
+# =============================================================================
+# Round 4: conic + polar CRS families (LCC / Albers / polar stereographic)
+# =============================================================================
+# The oracle SQL replays the numpy kernels LITERALLY: the scalar projection
+# constants (n, aF, rho0, C, qP, series coefficients) are computed once in
+# Python by the same functions the engine uses and inlined as full-precision
+# literals, so DuckDB evaluates the identical per-row arithmetic.
+
+def _crs_lit(v: float) -> str:
+    return repr(float(v))
+
+
+def _conic_sql_parts():
+    from .raster import transforms as _tr
+    import numpy as _np
+    d2r = _crs_lit(_np.pi / 180.0)
+    pi = _crs_lit(_np.pi)
+    two_pi = _crs_lit(2 * _np.pi)
+    e = _crs_lit(_tr._E)
+    e_half = _crs_lit(_tr._E / 2.0)
+    # t(phi) with phi already in radians (Snyder 15-9)
+    t_of = (f"tan({pi} / 4 - phi / 2) / power((1 - {e} * sin(phi))"
+            f" / (1 + {e} * sin(phi)), {e_half})")
+    # adjlon wrap of lam (radians)
+    wrap = f"lam - {two_pi} * floor((lam + {pi}) / {two_pi})"
+    return d2r, e, t_of, wrap
+
+
+_CONIC_D2R, _CONIC_E, _CONIC_T, _CONIC_WRAP = _conic_sql_parts()
+
+
+def _lcc2154_sql():
+    from .raster import transforms as _tr
+    n, a_f, rho0 = _tr.lcc_constants(46.5, 49.0, 44.0, 1.0)
+    n, a_f, rho0 = _crs_lit(n), _crs_lit(a_f), _crs_lit(rho0)
+    return f"""
+t AS (SELECT doc_id, {_CONIC_WRAP} AS lamw, {_CONIC_T} AS tt
+      FROM (SELECT doc_id, (lon - 3.0) * {_CONIC_D2R} AS lam,
+                   lat * {_CONIC_D2R} AS phi
+            FROM pts WHERE doc_id % 7 = 0))
+SELECT doc_id,
+       ROUND(700000.0 + {a_f} * power(tt, {n}) * sin({n} * lamw), 4)
+         AS x_r,
+       ROUND(6600000.0 + {rho0} - {a_f} * power(tt, {n})
+             * cos({n} * lamw), 4) AS y_r
+FROM t"""
+
+
+@_reg("st_transform_lcc", f"""
+{_pts_cte()},{_lcc2154_sql()}
+""")
+def q_st_transform_lcc(spark, sf_dir):
+    """ST_Transform into EPSG:2154 (RGF93 / Lambert-93, the French
+    national grid): ellipsoidal Lambert Conformal Conic 2SP (Snyder
+    15-1..15-7; reference resolves it through the PROJ method table,
+    ogr/ogrct.cpp:919-948). The oracle inlines the lcc_constants(n, aF,
+    rho0) scalars and replays the identical per-row formula in SQL,
+    including the +-180 longitude wrap."""
+    st.register_all(spark)
+    p = datagen.points(spark, sf_dir).where(F.col("doc_id") % 7 == 0)
+    p.createOrReplaceTempView("t_lcc_pts")
+    return spark.sql(
+        "SELECT doc_id, "
+        " ROUND(ST_X(ST_Transform(ST_MakePoint(lon, lat), 'EPSG:4326',"
+        "  'EPSG:2154')), 4) AS x_r, "
+        " ROUND(ST_Y(ST_Transform(ST_MakePoint(lon, lat), 'EPSG:4326',"
+        "  'EPSG:2154')), 4) AS y_r "
+        "FROM t_lcc_pts")
+
+
+def _aea5070_sql():
+    from .raster import transforms as _tr
+    import numpy as _np
+    n, c, rho0 = _tr.aea_constants(23.0, 29.5, 45.5)
+    n, c, rho0 = _crs_lit(n), _crs_lit(c), _crs_lit(rho0)
+    one_m_e2 = _crs_lit(1.0 - _tr._E2)
+    e2 = _crs_lit(_tr._E2)
+    two_e = _crs_lit(2.0 * _tr._E)
+    e = _CONIC_E
+    q_of = (f"{one_m_e2} * (sin(phi) / (1 - {e2} * sin(phi) * sin(phi))"
+            f" - ln((1 - {e} * sin(phi)) / (1 + {e} * sin(phi)))"
+            f" / {two_e})")
+    return f"""
+t AS (SELECT doc_id, {_CONIC_WRAP} AS lamw, {q_of} AS q
+      FROM (SELECT doc_id, (lon - -96.0) * {_CONIC_D2R} AS lam,
+                   lat * {_CONIC_D2R} AS phi
+            FROM pts WHERE doc_id % 9 = 0))
+SELECT doc_id,
+       ROUND(6378137.0 * sqrt({c} - {n} * q) / {n} * sin({n} * lamw), 4)
+         AS x_r,
+       ROUND({rho0} - 6378137.0 * sqrt({c} - {n} * q) / {n}
+             * cos({n} * lamw), 4) AS y_r
+FROM t"""
+
+
+@_reg("st_transform_albers", f"""
+{_pts_cte()},{_aea5070_sql()}
+""")
+def q_st_transform_albers(spark, sf_dir):
+    """ST_Transform into EPSG:5070 (NAD83 / Conus Albers): ellipsoidal
+    Albers Equal-Area (Snyder 14-1..14-4) over the authalic-latitude q
+    function. The oracle inlines aea_constants(n, C, rho0) and the q(phi)
+    expression verbatim."""
+    st.register_all(spark)
+    p = datagen.points(spark, sf_dir).where(F.col("doc_id") % 9 == 0)
+    p.createOrReplaceTempView("t_aea_pts")
+    return spark.sql(
+        "SELECT doc_id, "
+        " ROUND(ST_X(ST_Transform(ST_MakePoint(lon, lat), 'EPSG:4326',"
+        "  'EPSG:5070')), 4) AS x_r, "
+        " ROUND(ST_Y(ST_Transform(ST_MakePoint(lon, lat), 'EPSG:4326',"
+        "  'EPSG:5070')), 4) AS y_r "
+        "FROM t_aea_pts")
+
+
+def _stere3413_sql():
+    from .raster import transforms as _tr
+    s = _crs_lit(_tr.stere_scale(70.0, 1.0))
+    return f"""
+t AS (SELECT doc_id, lam, {_CONIC_T} AS tt
+      FROM (SELECT doc_id, (lon - -45.0) * {_CONIC_D2R} AS lam,
+                   lat * {_CONIC_D2R} AS phi
+            FROM pts WHERE doc_id % 10 = 0))
+SELECT doc_id,
+       ROUND({s} * tt * sin(lam), 4) AS x_r,
+       ROUND(-({s} * tt) * cos(lam), 4) AS y_r
+FROM t"""
+
+
+@_reg("st_transform_stere", f"""
+{_pts_cte()},{_stere3413_sql()}
+""")
+def q_st_transform_stere(spark, sf_dir):
+    """ST_Transform into EPSG:3413 (WGS84 / NSIDC Sea Ice Polar
+    Stereographic North, variant B with standard parallel 70N): Snyder
+    21-33/34. The oracle inlines the radial constant a*m(70)/t(70) and
+    replays rho = s*t(phi), x = rho sin(lam), y = -rho cos(lam)."""
+    st.register_all(spark)
+    p = datagen.points(spark, sf_dir).where(F.col("doc_id") % 10 == 0)
+    p.createOrReplaceTempView("t_stere_pts")
+    return spark.sql(
+        "SELECT doc_id, "
+        " ROUND(ST_X(ST_Transform(ST_MakePoint(lon, lat), 'EPSG:4326',"
+        "  'EPSG:3413')), 4) AS x_r, "
+        " ROUND(ST_Y(ST_Transform(ST_MakePoint(lon, lat), 'EPSG:4326',"
+        "  'EPSG:3413')), 4) AS y_r "
+        "FROM t_stere_pts")
+
+
+def _aea_inverse_sql():
+    """DuckDB replay of aea_inverse for EPSG:5070: expects columns
+    (mx, my), yields (lon, lat). Inlines the same scalar constants the
+    numpy kernel computes (aea_constants + the Snyder 3-18 series)."""
+    from .raster import transforms as _tr
+    n, c, rho0 = _tr.aea_constants(23.0, 29.5, 45.5)
+    e2, e4, e6 = _tr._E2, _tr._E2 ** 2, _tr._E2 ** 3
+    c1 = e2 / 3 + 31 * e4 / 180 + 517 * e6 / 5040
+    c2 = 23 * e4 / 360 + 251 * e6 / 3780
+    c3 = 761 * e6 / 45360
+    import numpy as _np
+    qp = _tr._QP
+    d2r = _CONIC_D2R
+    pi = _crs_lit(_np.pi)
+    two_pi = _crs_lit(2 * _np.pi)
+    n, c, rho0, qp = (_crs_lit(v) for v in (n, c, rho0, qp))
+    c1, c2, c3 = _crs_lit(c1), _crs_lit(c2), _crs_lit(c3)
+    return f"""
+inv1 AS (SELECT i, j, mx AS xx, {rho0} - my AS yy FROM d),
+inv2 AS (SELECT i, j, sqrt(xx * xx + yy * yy) AS rho,
+                atan2(xx, yy) AS th FROM inv1),
+inv3 AS (SELECT i, j, th,
+                ({c} - (rho * {n} / 6378137.0) * (rho * {n} / 6378137.0))
+                  / {n} AS q FROM inv2),
+inv4 AS (SELECT i, j, th,
+                asin(greatest(least(q / {qp}, 1.0), -1.0)) AS beta
+         FROM inv3),
+inv5 AS (SELECT i, j,
+                -96.0 * {d2r} + th / {n} AS lam2,
+                beta + {c1} * sin(2 * beta) + {c2} * sin(4 * beta)
+                     + {c3} * sin(6 * beta) AS phi
+         FROM inv4),
+ll AS (SELECT i, j,
+              (lam2 - {two_pi} * floor((lam2 + {pi}) / {two_pi}))
+                / {d2r} AS lon,
+              phi / {d2r} AS lat
+       FROM inv5)"""
+
+
+@_reg("warp_albers_conus", f"""
+{_pts_cte()},
+c AS (SELECT CAST(floor((lon + 180.0) / 5.625) AS BIGINT) AS x,
+             CAST(floor((90.0 - lat) / 2.8125) AS BIGINT) AS y,
+             count(*) AS v
+      FROM pts GROUP BY 1, 2),
+d AS (SELECT gi.range AS i, gj.range AS j,
+             -6000000.0 + (gi.range + 0.5) * 187500.0 AS mx,
+             5000000.0 - (gj.range + 0.5) * 156250.0 AS my
+      FROM range(64) gi, range(64) gj),{_aea_inverse_sql()},
+px AS (SELECT i, j, CAST(floor((lon + 180.0) / 5.625) AS BIGINT) AS sx,
+              CAST(floor((90.0 - lat) / 2.8125) AS BIGINT) AS sy
+       FROM ll)
+SELECT px.i, px.j, CAST(c.v AS DOUBLE) AS val_r
+FROM px JOIN c ON c.x = px.sx AND c.y = px.sy
+""")
+def q_warp_albers_conus(spark, sf_dir):
+    """gdalwarp through a CONIC CRS change: the 64x64 lon/lat density
+    raster warps onto an EPSG:5070 (NAD83 / Conus Albers) meters grid
+    with the near kernel. The oracle replays the FULL ellipsoidal Albers
+    inverse (Snyder 14-19 + the 3-18 authalic series) in SQL with the
+    kernel's own inlined constants — pinning the distributed warp path
+    through the round-4 conic family end to end."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+    from .raster.tiles import TILE_SCHEMA, decode_px, encode_px
+    from .raster.warp import WarpSpec, warp as warp_run
+    from .raster.rasterize import GridSpec
+
+    p = datagen.points(spark, sf_dir)
+    x = F.floor((F.col("lon") + 180.0) / 5.625).cast("long")
+    y = F.floor((90.0 - F.col("lat")) / 2.8125).cast("long")
+    cnt = (p.select(x.alias("x"), y.alias("y"))
+           .groupBy("x", "y").agg(F.count("*").cast("double").alias("v"))
+           .withColumn("tile_x", F.shiftright("x", 3))
+           .withColumn("tile_y", F.shiftright("y", 3)))
+
+    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        arr = np.zeros((8, 8), np.float64)
+        arr[pdf["y"].values & 7, pdf["x"].values & 7] = pdf["v"].values
+        return pd.DataFrame([(1, 0, int(key[0]), int(key[1]), "float64",
+                              None, encode_px(arr))],
+                            columns=[f.name for f in TILE_SCHEMA.fields])
+
+    tiles8 = cnt.groupBy("tile_x", "tile_y").applyInPandas(build,
+                                                           TILE_SCHEMA)
+    src = GridSpec(x0=-180.0, y0=90.0, dx=5.625, dy=-2.8125,
+                   width=64, height=64, tile=8)
+    dst = GridSpec(x0=-6000000.0, y0=5000000.0, dx=187500.0,
+                   dy=-156250.0, width=64, height=64, tile=8)
+    out = warp_run(tiles8, WarpSpec(src, "EPSG:4326", dst, "EPSG:5070",
+                                    "near", fill=0.0))
+
+    px_schema = T.StructType([T.StructField("i", T.LongType()),
+                              T.StructField("j", T.LongType()),
+                              T.StructField("val_r", T.DoubleType())])
+
+    def to_rows(batches):
+        jj, ii = np.meshgrid(np.arange(8), np.arange(8), indexing="ij")
+        for pdf in batches:
+            frames = []
+            for r in pdf.itertuples():
+                arr = decode_px(r.px, "float64", 8)
+                m = arr != 0
+                frames.append(pd.DataFrame({
+                    "i": int(r.tile_x) * 8 + ii[m],
+                    "j": int(r.tile_y) * 8 + jj[m],
+                    "val_r": arr[m]}))
+            yield pd.concat(frames) if frames else \
+                pd.DataFrame(columns=["i", "j", "val_r"])
+
+    return out.mapInPandas(to_rows, px_schema)
+
+
 @_reg("warp_gcp_affine", _DENSITY_XY_SQL + """
 SELECT CAST((x - 1) / 2 AS BIGINT) AS x, CAST((y - 1) / 2 AS BIGINT) AS y,
        v AS val_r

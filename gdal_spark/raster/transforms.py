@@ -248,6 +248,176 @@ def laea_inverse(x, y, lon0: float, lat0: float,
     return lon0 + lam / _D2R, phi / _D2R
 
 
+# ---------------------------------------------------------------------------
+# Conic + polar families (Snyder 1987; the reference resolves these through
+# the PROJ method table, ogr/ogrct.cpp:919-948): Lambert Conformal Conic
+# (1SP and 2SP), Albers Equal-Area and Polar Stereographic (variant A with
+# k0 at the pole, variant B with a standard parallel). All ellipsoidal on
+# WGS84/GRS80 (the two differ by ~1e-10 in flattening — sub-mm).
+# ---------------------------------------------------------------------------
+
+def _wrap_rad(lam):
+    """Wrap a longitude difference into (-pi, pi] (PROJ's adjlon)."""
+    return lam - 2 * np.pi * np.floor((lam + np.pi) / (2 * np.pi))
+
+
+def _conf_m(phi):
+    """Snyder 14-15: radius of the parallel / a."""
+    sphi = np.sin(phi)
+    return np.cos(phi) / np.sqrt(1 - _E2 * sphi * sphi)
+
+
+def _conf_t(phi):
+    """Snyder 15-9: isometric co-latitude function t(phi)."""
+    sphi = np.sin(phi)
+    return np.tan(np.pi / 4 - phi / 2) \
+        / ((1 - _E * sphi) / (1 + _E * sphi)) ** (_E / 2)
+
+
+def _phi_from_t(t):
+    """Snyder 7-9 fixed-point: geodetic latitude from t (conformal)."""
+    phi = np.pi / 2 - 2 * np.arctan(t)
+    for _ in range(15):
+        sphi = np.sin(phi)
+        phi = np.pi / 2 - 2 * np.arctan(
+            t * ((1 - _E * sphi) / (1 + _E * sphi)) ** (_E / 2))
+    return phi
+
+
+def _phi_from_q(q):
+    """Authalic -> geodetic latitude (Snyder 3-18 series)."""
+    beta = np.arcsin(np.clip(q / _QP, -1.0, 1.0))
+    e2, e4, e6 = _E2, _E2 ** 2, _E2 ** 3
+    return beta + (e2 / 3 + 31 * e4 / 180 + 517 * e6 / 5040) \
+        * np.sin(2 * beta) \
+        + (23 * e4 / 360 + 251 * e6 / 3780) * np.sin(4 * beta) \
+        + (761 * e6 / 45360) * np.sin(6 * beta)
+
+
+def lcc_constants(lat0: float, lat1: float, lat2: float,
+                  k0: float = 1.0):
+    """-> (n, aF, rho0) for LCC (Snyder 15-1..15-3): scalar projection
+    constants. 1SP = lat1 == lat2 (n = sin(lat1), k0 scales); these are
+    inlined into the SQL oracles so Spark and DuckDB run literally the
+    same per-row formula."""
+    p0, p1, p2 = (np.float64(v) * _D2R for v in (lat0, lat1, lat2))
+    t0, t1, t2 = _conf_t(p0), _conf_t(p1), _conf_t(p2)
+    if abs(lat1 - lat2) < 1e-12:
+        n = float(np.sin(p1))
+    else:
+        n = float((np.log(_conf_m(p1)) - np.log(_conf_m(p2)))
+                  / (np.log(t1) - np.log(t2)))
+    f_ = float(_conf_m(p1) / (n * t1 ** n))
+    a_f = _WGS84_A * k0 * f_
+    rho0 = float(a_f * t0 ** n)
+    return n, a_f, rho0
+
+
+def lcc_forward(lon, lat, lon0: float, lat0: float, lat1: float,
+                lat2: float, k0: float = 1.0,
+                fe: float = 0.0, fn: float = 0.0):
+    """Ellipsoidal Lambert Conformal Conic forward (Snyder 15-1..15-7)."""
+    n, a_f, rho0 = lcc_constants(lat0, lat1, lat2, k0)
+    phi = np.asarray(lat, np.float64) * _D2R
+    th = n * _wrap_rad((np.asarray(lon, np.float64) - lon0) * _D2R)
+    rho = a_f * _conf_t(phi) ** n
+    return fe + rho * np.sin(th), fn + rho0 - rho * np.cos(th)
+
+
+def lcc_inverse(x, y, lon0: float, lat0: float, lat1: float,
+                lat2: float, k0: float = 1.0,
+                fe: float = 0.0, fn: float = 0.0):
+    """Ellipsoidal LCC inverse (Snyder 15-10 + 7-9 iteration)."""
+    n, a_f, rho0 = lcc_constants(lat0, lat1, lat2, k0)
+    xx = np.asarray(x, np.float64) - fe
+    yy = rho0 - (np.asarray(y, np.float64) - fn)
+    rho = np.sign(n) * np.sqrt(xx * xx + yy * yy)
+    th = np.arctan2(np.sign(n) * xx, np.sign(n) * yy)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = (rho / a_f) ** (1.0 / n)
+    phi = _phi_from_t(t)
+    lon = _wrap_rad(lon0 * _D2R + th / n) / _D2R
+    return lon, phi / _D2R
+
+
+def aea_constants(lat0: float, lat1: float, lat2: float):
+    """-> (n, C, rho0) for Albers (Snyder 14-14..14-16)."""
+    p0, p1, p2 = (np.float64(v) * _D2R for v in (lat0, lat1, lat2))
+    m1, m2 = _conf_m(p1), _conf_m(p2)
+    q0, q1, q2 = (_authalic_q(np.sin(p)) for p in (p0, p1, p2))
+    if abs(lat1 - lat2) < 1e-12:
+        n = float(np.sin(p1))
+    else:
+        n = float((m1 * m1 - m2 * m2) / (q2 - q1))
+    c = float(m1 * m1 + n * q1)
+    rho0 = float(_WGS84_A * np.sqrt(c - n * q0) / n)
+    return n, c, rho0
+
+
+def aea_forward(lon, lat, lon0: float, lat0: float, lat1: float,
+                lat2: float, fe: float = 0.0, fn: float = 0.0):
+    """Ellipsoidal Albers Equal-Area forward (Snyder 14-1..14-4)."""
+    n, c, rho0 = aea_constants(lat0, lat1, lat2)
+    phi = np.asarray(lat, np.float64) * _D2R
+    th = n * _wrap_rad((np.asarray(lon, np.float64) - lon0) * _D2R)
+    q = _authalic_q(np.sin(phi))
+    rho = _WGS84_A * np.sqrt(c - n * q) / n
+    return fe + rho * np.sin(th), fn + rho0 - rho * np.cos(th)
+
+
+def aea_inverse(x, y, lon0: float, lat0: float, lat1: float,
+                lat2: float, fe: float = 0.0, fn: float = 0.0):
+    """Ellipsoidal Albers inverse (Snyder 14-19 + 3-18 series)."""
+    n, c, rho0 = aea_constants(lat0, lat1, lat2)
+    xx = np.asarray(x, np.float64) - fe
+    yy = rho0 - (np.asarray(y, np.float64) - fn)
+    rho = np.sign(n) * np.sqrt(xx * xx + yy * yy)
+    th = np.arctan2(np.sign(n) * xx, np.sign(n) * yy)
+    q = (c - (rho * n / _WGS84_A) ** 2) / n
+    lon = _wrap_rad(lon0 * _D2R + th / n) / _D2R
+    return lon, _phi_from_q(q) / _D2R
+
+
+def stere_scale(lat_ts: float | None, k0: float = 1.0) -> float:
+    """Polar stereographic radial constant: rho = scale * t(phi).
+    Variant A (k0 at the pole, EPSG 9810): 2 a k0 / sqrt((1+e)^(1+e)
+    (1-e)^(1-e)); variant B (standard parallel lat_ts, EPSG 9829, e.g.
+    EPSG:3413/3031): a m(ts) / t(ts)."""
+    if lat_ts is None or abs(abs(lat_ts) - 90.0) < 1e-12:
+        return float(2 * _WGS84_A * k0 / np.sqrt(
+            (1 + _E) ** (1 + _E) * (1 - _E) ** (1 - _E)))
+    pts = np.float64(abs(lat_ts)) * _D2R
+    return float(_WGS84_A * _conf_m(pts) / _conf_t(pts))
+
+
+def stere_forward(lon, lat, lon0: float, lat_ts: float | None = None,
+                  k0: float = 1.0, south: bool = False,
+                  fe: float = 0.0, fn: float = 0.0):
+    """Ellipsoidal polar stereographic forward (Snyder 21-33/34; south
+    aspect mirrors latitude and the y axis)."""
+    s = stere_scale(lat_ts, k0)
+    lam = (np.asarray(lon, np.float64) - lon0) * _D2R
+    phi = np.asarray(lat, np.float64) * _D2R
+    rho = s * _conf_t(-phi if south else phi)
+    x = fe + rho * np.sin(lam)
+    y = fn + (rho * np.cos(lam) if south else -rho * np.cos(lam))
+    return x, y
+
+
+def stere_inverse(x, y, lon0: float, lat_ts: float | None = None,
+                  k0: float = 1.0, south: bool = False,
+                  fe: float = 0.0, fn: float = 0.0):
+    """Ellipsoidal polar stereographic inverse (Snyder 21-39/40 + 7-9)."""
+    s = stere_scale(lat_ts, k0)
+    xx = np.asarray(x, np.float64) - fe
+    yy = np.asarray(y, np.float64) - fn
+    rho = np.sqrt(xx * xx + yy * yy)
+    phi = _phi_from_t(rho / s)
+    lam = np.arctan2(xx, yy if south else -yy)
+    lat = -phi / _D2R if south else phi / _D2R
+    return _wrap_rad(lon0 * _D2R + lam) / _D2R, lat
+
+
 def _parse_proj_string(crs: str):
     """'+proj=... +key=val [+flag]' -> parameterized kind tuple.
 
@@ -282,6 +452,21 @@ def _parse_proj_string(crs: str):
             return ("utm", -183.0 + 6.0 * zone, "south" in kv)
     if proj == "laea":
         return ("laea", f("lon_0", 0.0), f("lat_0", 0.0),
+                f("x_0", 0.0), f("y_0", 0.0))
+    if proj == "lcc":
+        lat1 = f("lat_1", 0.0)
+        return ("lcc", f("lon_0", 0.0), f("lat_0", 0.0), lat1,
+                f("lat_2", lat1), k0, f("x_0", 0.0), f("y_0", 0.0))
+    if proj == "aea":
+        lat1 = f("lat_1", 0.0)
+        return ("aea", f("lon_0", 0.0), f("lat_0", 0.0), lat1,
+                f("lat_2", lat1), f("x_0", 0.0), f("y_0", 0.0))
+    if proj == "stere":
+        lat0 = f("lat_0", 90.0)
+        if abs(abs(lat0) - 90.0) > 1e-9:
+            return None               # oblique stereographic unsupported
+        lat_ts = float(kv["lat_ts"]) if "lat_ts" in kv else None
+        return ("stere", f("lon_0", 0.0), lat_ts, k0, lat0 < 0,
                 f("x_0", 0.0), f("y_0", 0.0))
     return None
 
@@ -331,6 +516,15 @@ _WKT_METHODS = {
     "MERCATOR_1SP": "merc",
     "MERCATOR_(VARIANT_A)": "merc",
     "LAMBERT_AZIMUTHAL_EQUAL_AREA": "laea",
+    "LAMBERT_CONFORMAL_CONIC_1SP": "lcc1",
+    "LAMBERT_CONFORMAL_CONIC_2SP": "lcc",
+    "LAMBERT_CONIC_CONFORMAL_(1SP)": "lcc1",
+    "LAMBERT_CONIC_CONFORMAL_(2SP)": "lcc",
+    "ALBERS_CONIC_EQUAL_AREA": "aea",
+    "ALBERS_EQUAL_AREA": "aea",
+    "POLAR_STEREOGRAPHIC": "stere",
+    "POLAR_STEREOGRAPHIC_(VARIANT_A)": "stere",
+    "POLAR_STEREOGRAPHIC_(VARIANT_B)": "stereB",
 }
 
 
@@ -386,6 +580,38 @@ def _parse_wkt_crs(crs: str):
         lat0 = g(("latitude_of_center", "latitude_of_origin",
                   "latitude_of_natural_origin"))
         return ("laea", lon0, lat0, fe, fn)
+    if fam in ("lcc", "lcc1", "aea"):
+        lat0 = g(("latitude_of_origin", "latitude_of_center",
+                  "latitude_of_natural_origin",
+                  "latitude_of_false_origin"))
+        lon0c = g(("central_meridian", "longitude_of_center",
+                   "longitude_of_origin", "longitude_of_natural_origin",
+                   "longitude_of_false_origin"), lon0)
+        if fam == "lcc1":
+            return ("lcc", lon0c, lat0, lat0, lat0, k0, fe, fn)
+        lat1 = g(("standard_parallel_1",
+                  "latitude_of_1st_standard_parallel"), lat0)
+        lat2 = g(("standard_parallel_2",
+                  "latitude_of_2nd_standard_parallel"), lat1)
+        fe = g(("false_easting", "easting_at_false_origin"), fe)
+        fn = g(("false_northing", "northing_at_false_origin"), fn)
+        if fam == "aea":
+            return ("aea", lon0c, lat0, lat1, lat2, fe, fn)
+        return ("lcc", lon0c, lat0, lat1, lat2, k0, fe, fn)
+    if fam in ("stere", "stereB"):
+        lat0 = g(("latitude_of_origin", "latitude_of_natural_origin"),
+                 90.0)
+        lat_ts = g(("standard_parallel_1", "latitude_of_standard_parallel",
+                    "latitude_of_true_scale"), float("nan"))
+        # GDAL WKT1 packs the standard parallel into latitude_of_origin
+        # when it is not a pole (ogr_srs exports EPSG:3413 that way)
+        if lat_ts != lat_ts and abs(abs(lat0) - 90.0) > 1e-9:
+            lat_ts = lat0
+        if fam == "stereB" and lat_ts != lat_ts:
+            lat_ts = lat0             # variant B: the origin IS lat_ts
+        south = (lat0 < 0) or (lat_ts == lat_ts and lat_ts < 0)
+        return ("stere", lon0, None if lat_ts != lat_ts else lat_ts,
+                k0, south, fe, fn)
     return (fam, lon0, k0, fe, fn)
 
 
@@ -414,6 +640,19 @@ def _parse_crs(crs: str):
             return ("utm", -183.0 + 6.0 * zone, True)
     if crs == "EPSG:3035":        # ETRS89-extended / LAEA Europe
         return ("laea", 10.0, 52.0, 4321000.0, 3210000.0)
+    if crs == "EPSG:2154":        # RGF93 / Lambert-93 (LCC 2SP)
+        return ("lcc", 3.0, 46.5, 49.0, 44.0, 1.0, 700000.0, 6600000.0)
+    if crs == "EPSG:3347":        # NAD83 / Statistics Canada Lambert
+        return ("lcc", -91.866667, 63.390675, 49.0, 77.0, 1.0,
+                6200000.0, 3000000.0)
+    if crs == "EPSG:5070":        # NAD83 / Conus Albers
+        return ("aea", -96.0, 23.0, 29.5, 45.5, 0.0, 0.0)
+    if crs == "EPSG:3413":        # WGS84 / NSIDC Polar Stereographic N
+        return ("stere", -45.0, 70.0, 1.0, False, 0.0, 0.0)
+    if crs == "EPSG:3031":        # WGS84 / Antarctic Polar Stereographic
+        return ("stere", 0.0, -71.0, 1.0, True, 0.0, 0.0)
+    if crs == "EPSG:3995":        # WGS84 / Arctic Polar Stereographic
+        return ("stere", 0.0, 71.0, 1.0, False, 0.0, 0.0)
     if crs.startswith("LAEA:"):   # generic: LAEA:lon0,lat0
         lon0, lat0 = (float(v) for v in crs[5:].split(","))
         return ("laea", lon0, lat0, 0.0, 0.0)
@@ -446,6 +685,15 @@ def _to_4326(crs, x, y):
                                       / (k0 * EARTH_RADIUS)))
                - np.pi / 2.0) / _D2R
         return lon, lat
+    if isinstance(kind, tuple) and kind[0] == "lcc":
+        _, lon0, lat0, lat1, lat2, k0, fe, fn = kind
+        return lcc_inverse(x, y, lon0, lat0, lat1, lat2, k0, fe, fn)
+    if isinstance(kind, tuple) and kind[0] == "aea":
+        _, lon0, lat0, lat1, lat2, fe, fn = kind
+        return aea_inverse(x, y, lon0, lat0, lat1, lat2, fe, fn)
+    if isinstance(kind, tuple) and kind[0] == "stere":
+        _, lon0, lat_ts, k0, south, fe, fn = kind
+        return stere_inverse(x, y, lon0, lat_ts, k0, south, fe, fn)
     raise ValueError(f"unsupported CRS {crs}")
 
 
@@ -474,6 +722,15 @@ def _from_4326(crs, lon, lat):
         my = fn + k0 * EARTH_RADIUS * np.log(np.tan(
             np.pi / 4.0 + np.asarray(lat, np.float64) * _D2R / 2.0))
         return mx, my
+    if isinstance(kind, tuple) and kind[0] == "lcc":
+        _, lon0, lat0, lat1, lat2, k0, fe, fn = kind
+        return lcc_forward(lon, lat, lon0, lat0, lat1, lat2, k0, fe, fn)
+    if isinstance(kind, tuple) and kind[0] == "aea":
+        _, lon0, lat0, lat1, lat2, fe, fn = kind
+        return aea_forward(lon, lat, lon0, lat0, lat1, lat2, fe, fn)
+    if isinstance(kind, tuple) and kind[0] == "stere":
+        _, lon0, lat_ts, k0, south, fe, fn = kind
+        return stere_forward(lon, lat, lon0, lat_ts, k0, south, fe, fn)
     raise ValueError(f"unsupported CRS {crs}")
 
 
@@ -706,11 +963,27 @@ def format_proj4(crs: str) -> str:
         return f"+proj=utm +zone={zone}{s} +datum=WGS84 +units=m +no_defs"
     if fam == "laea":
         _, lon0, lat0, fe, fn = kind
-        return (f"+proj=laea +lat_0={lat0:g} +lon_0={lon0:g} "
-                f"+x_0={fe:g} +y_0={fn:g} +datum=WGS84 +units=m +no_defs")
+        return (f"+proj=laea +lat_0={lat0:.10g} +lon_0={lon0:.10g} "
+                f"+x_0={fe:.10g} +y_0={fn:.10g} +datum=WGS84 +units=m +no_defs")
+    if fam == "lcc":
+        _, lon0, lat0, lat1, lat2, k0, fe, fn = kind
+        return (f"+proj=lcc +lat_1={lat1:.10g} +lat_2={lat2:.10g} "
+                f"+lat_0={lat0:.10g} +lon_0={lon0:.10g} +k_0={k0:.10g} "
+                f"+x_0={fe:.10g} +y_0={fn:.10g} +datum=WGS84 +units=m +no_defs")
+    if fam == "aea":
+        _, lon0, lat0, lat1, lat2, fe, fn = kind
+        return (f"+proj=aea +lat_1={lat1:.10g} +lat_2={lat2:.10g} "
+                f"+lat_0={lat0:.10g} +lon_0={lon0:.10g} "
+                f"+x_0={fe:.10g} +y_0={fn:.10g} +datum=WGS84 +units=m +no_defs")
+    if fam == "stere":
+        _, lon0, lat_ts, k0, south, fe, fn = kind
+        ts = f" +lat_ts={lat_ts:.10g}" if lat_ts is not None else ""
+        return (f"+proj=stere +lat_0={-90 if south else 90}{ts} "
+                f"+lon_0={lon0:.10g} +k_0={k0:.10g} +x_0={fe:.10g} +y_0={fn:.10g} "
+                "+datum=WGS84 +units=m +no_defs")
     _, lon0, k0, fe, fn = kind
-    return (f"+proj={fam} +lat_0=0 +lon_0={lon0:g} +k_0={k0:g} "
-            f"+x_0={fe:g} +y_0={fn:g} +datum=WGS84 +units=m +no_defs")
+    return (f"+proj={fam} +lat_0=0 +lon_0={lon0:.10g} +k_0={k0:.10g} "
+            f"+x_0={fe:.10g} +y_0={fn:.10g} +datum=WGS84 +units=m +no_defs")
 
 
 _WKT_FAM_METHOD = {"tmerc": "Transverse_Mercator", "merc": "Mercator_1SP",
@@ -742,7 +1015,7 @@ def format_wkt1(crs: str) -> str:
                 + _WGS84_GEOGCS
                 + ',PROJECTION["Transverse_Mercator"],'
                   'PARAMETER["latitude_of_origin",0],'
-                  f'PARAMETER["central_meridian",{lon0:g}],'
+                  f'PARAMETER["central_meridian",{lon0:.10g}],'
                   'PARAMETER["scale_factor",0.9996],'
                   'PARAMETER["false_easting",500000],'
                   f'PARAMETER["false_northing",{10000000 if south else 0}],'
@@ -751,18 +1024,46 @@ def format_wkt1(crs: str) -> str:
         _, lon0, lat0, fe, fn = kind
         return ('PROJCS["unnamed",' + _WGS84_GEOGCS
                 + ',PROJECTION["Lambert_Azimuthal_Equal_Area"],'
-                  f'PARAMETER["latitude_of_center",{lat0:g}],'
-                  f'PARAMETER["longitude_of_center",{lon0:g}],'
-                  f'PARAMETER["false_easting",{fe:g}],'
-                  f'PARAMETER["false_northing",{fn:g}],UNIT["metre",1]]')
+                  f'PARAMETER["latitude_of_center",{lat0:.10g}],'
+                  f'PARAMETER["longitude_of_center",{lon0:.10g}],'
+                  f'PARAMETER["false_easting",{fe:.10g}],'
+                  f'PARAMETER["false_northing",{fn:.10g}],UNIT["metre",1]]')
+    if fam in ("lcc", "aea"):
+        if fam == "lcc":
+            _, lon0, lat0, lat1, lat2, k0, fe, fn = kind
+            method, extra = "Lambert_Conformal_Conic_2SP", \
+                f'PARAMETER["scale_factor",{k0:.10g}],'
+        else:
+            _, lon0, lat0, lat1, lat2, fe, fn = kind
+            method, extra = "Albers_Conic_Equal_Area", ""
+        return ('PROJCS["unnamed",' + _WGS84_GEOGCS
+                + f',PROJECTION["{method}"],'
+                  f'PARAMETER["standard_parallel_1",{lat1:.10g}],'
+                  f'PARAMETER["standard_parallel_2",{lat2:.10g}],'
+                  f'PARAMETER["latitude_of_origin",{lat0:.10g}],'
+                  f'PARAMETER["central_meridian",{lon0:.10g}],' + extra
+                + f'PARAMETER["false_easting",{fe:.10g}],'
+                  f'PARAMETER["false_northing",{fn:.10g}],UNIT["metre",1]]')
+    if fam == "stere":
+        _, lon0, lat_ts, k0, south, fe, fn = kind
+        lat0 = -90 if south else 90
+        ts = lat_ts if lat_ts is not None else lat0
+        return ('PROJCS["unnamed",' + _WGS84_GEOGCS
+                + ',PROJECTION["Polar_Stereographic"],'
+                  f'PARAMETER["latitude_of_origin",{lat0:.10g}],'
+                  f'PARAMETER["standard_parallel_1",{ts:.10g}],'
+                  f'PARAMETER["central_meridian",{lon0:.10g}],'
+                  f'PARAMETER["scale_factor",{k0:.10g}],'
+                  f'PARAMETER["false_easting",{fe:.10g}],'
+                  f'PARAMETER["false_northing",{fn:.10g}],UNIT["metre",1]]')
     _, lon0, k0, fe, fn = kind
     return ('PROJCS["unnamed",' + _WGS84_GEOGCS
             + f',PROJECTION["{_WKT_FAM_METHOD[fam]}"],'
               'PARAMETER["latitude_of_origin",0],'
-              f'PARAMETER["central_meridian",{lon0:g}],'
-              f'PARAMETER["scale_factor",{k0:g}],'
-              f'PARAMETER["false_easting",{fe:g}],'
-              f'PARAMETER["false_northing",{fn:g}],UNIT["metre",1]]')
+              f'PARAMETER["central_meridian",{lon0:.10g}],'
+              f'PARAMETER["scale_factor",{k0:.10g}],'
+              f'PARAMETER["false_easting",{fe:.10g}],'
+              f'PARAMETER["false_northing",{fn:.10g}],UNIT["metre",1]]')
 
 
 def srs_info(crs: str) -> dict:

@@ -438,3 +438,133 @@ def test_wkt2_parse_families():
             'PARAMETER["False northing",3210000]],CS[Cartesian,2],'
             'AXIS["northing (Y)",north],AXIS["easting (X)",east]]')
     assert _parse_crs(laea) == ("laea", 10.0, 52.0, 4321000.0, 3210000.0)
+
+
+# ---------------------------------------------------------------------------
+# Round 4: conic + polar families (Snyder 1987 ch. 14/15/21; reference
+# resolves via the PROJ method table, ogr/ogrct.cpp:919-948)
+# ---------------------------------------------------------------------------
+
+def test_polar_stereographic_epsg_guidance_examples():
+    """EPSG Guidance Note 7-2 worked examples, WGS84.
+
+    Variant A (UPS North, EPSG:5041 parameters: k0=0.994, FE=FN=2e6):
+    (73N, 44E) -> E 3320416.75, N 632668.43.
+    Variant B (Australian Antarctic, EPSG:3032 parameters: lat_ts=-71,
+    lon0=70, FE=FN=6e6): (75S, 120E) -> E 7255380.79, N 7053389.56."""
+    x, y = T.stere_forward(44.0, 73.0, lon0=0.0, k0=0.994,
+                           fe=2000000.0, fn=2000000.0)
+    assert abs(float(x) - 3320416.75) < 0.02
+    assert abs(float(y) - 632668.43) < 0.02
+    lon, lat = T.stere_inverse(x, y, lon0=0.0, k0=0.994,
+                               fe=2000000.0, fn=2000000.0)
+    assert abs(float(lon) - 44.0) < 1e-9 and abs(float(lat) - 73.0) < 1e-9
+
+    x, y = T.stere_forward(120.0, -75.0, lon0=70.0, lat_ts=-71.0,
+                           south=True, fe=6000000.0, fn=6000000.0)
+    assert abs(float(x) - 7255380.79) < 0.02
+    assert abs(float(y) - 7053389.56) < 0.02
+    lon, lat = T.stere_inverse(x, y, lon0=70.0, lat_ts=-71.0, south=True,
+                               fe=6000000.0, fn=6000000.0)
+    assert abs(float(lon) - 120.0) < 1e-9 and abs(float(lat) + 75.0) < 1e-9
+
+
+def test_lcc_lambert93_invariants():
+    """EPSG:2154: the grid origin projects to the false origin exactly;
+    scale along both standard parallels is 1 (conformal 2SP property);
+    forward/inverse round-trip to sub-nanometer."""
+    x, y = T._from_4326("EPSG:2154", 3.0, 46.5)
+    assert abs(float(x) - 700000.0) < 1e-6
+    assert abs(float(y) - 6600000.0) < 1e-6
+    # point scale h along a standard parallel == 1 (finite differences)
+    for sp in (49.0, 44.0):
+        d = 1e-6
+        (x1, y1) = T._from_4326("EPSG:2154", 2.0, sp)
+        (x2, y2) = T._from_4326("EPSG:2154", 2.0 + d, sp)
+        sphi = np.sin(np.radians(sp))
+        nu = 6378137.0 / np.sqrt(1 - 0.0066943799901413165 * sphi ** 2)
+        along = np.hypot(float(x2 - x1), float(y2 - y1))
+        truth = nu * np.cos(np.radians(sp)) * np.radians(d)
+        assert abs(along / truth - 1.0) < 1e-7
+    lons = np.array([-4.5, 2.35, 8.1]); lats = np.array([42.2, 48.85, 50.9])
+    xs, ys = T._from_4326("EPSG:2154", lons, lats)
+    lo, la = T._to_4326("EPSG:2154", xs, ys)
+    np.testing.assert_allclose(lo, lons, atol=1e-11)
+    np.testing.assert_allclose(la, lats, atol=1e-11)
+
+
+def test_lcc_is_conformal_albers_is_equal_area():
+    """Differential invariants over random points: LCC local scale is
+    isotropic (h == k); Albers meridian/parallel scales satisfy
+    h * k == 1 (Snyder 14-5/14-6)."""
+    rng = np.random.RandomState(7)
+    lons = rng.uniform(-110, -80, 20)
+    lats = rng.uniform(25, 48, 20)
+    d = 1e-7
+    e2 = 0.0066943799901413165
+    sphi = np.sin(np.radians(lats))
+    nu = 6378137.0 / np.sqrt(1 - e2 * sphi ** 2)          # prime vertical
+    rho_m = 6378137.0 * (1 - e2) / (1 - e2 * sphi ** 2) ** 1.5  # meridian
+    for crs, kind in (("+proj=lcc +lat_1=33 +lat_2=45 +lat_0=39 "
+                       "+lon_0=-96", "conformal"),
+                      ("EPSG:5070", "equal_area")):
+        x0, y0 = T._from_4326(crs, lons, lats)
+        xp, yp = T._from_4326(crs, lons + d, lats)
+        xm, ym = T._from_4326(crs, lons, lats + d)
+        k = np.hypot(xp - x0, yp - y0) \
+            / (nu * np.cos(np.radians(lats)) * np.radians(d))
+        h = np.hypot(xm - x0, ym - y0) / (rho_m * np.radians(d))
+        if kind == "conformal":
+            np.testing.assert_allclose(h, k, rtol=1e-5)
+        else:
+            np.testing.assert_allclose(h * k, 1.0, rtol=1e-5)
+
+
+def test_conic_parsers_all_spellings_agree():
+    """EPSG code, +proj string and WKT1 must land on the same kernel
+    tuples; format_proj4/format_wkt1 round-trip through the parsers."""
+    assert T._parse_crs("EPSG:2154") == T._parse_crs(
+        "+proj=lcc +lat_1=49 +lat_2=44 +lat_0=46.5 +lon_0=3 "
+        "+x_0=700000 +y_0=6600000")
+    assert T._parse_crs("EPSG:5070") == T._parse_crs(
+        "+proj=aea +lat_1=29.5 +lat_2=45.5 +lat_0=23 +lon_0=-96")
+    assert T._parse_crs("EPSG:3413") == T._parse_crs(
+        "+proj=stere +lat_0=90 +lat_ts=70 +lon_0=-45")
+    assert T._parse_crs("EPSG:3031") == T._parse_crs(
+        "+proj=stere +lat_0=-90 +lat_ts=-71 +lon_0=0")
+    for code in ("EPSG:2154", "EPSG:5070", "EPSG:3413", "EPSG:3031",
+                 "EPSG:3347", "EPSG:3995"):
+        kind = T._parse_crs(code)
+        assert T._parse_crs(T.format_proj4(code)) == kind, code
+        assert T._parse_crs(T.format_wkt1(code)) == kind, code
+    # GDAL-style WKT1 Polar_Stereographic: standard parallel packed into
+    # latitude_of_origin
+    wkt = ('PROJCS["NSIDC North",GEOGCS["WGS 84",DATUM["WGS_1984",'
+           'SPHEROID["WGS 84",6378137,298.257223563]],'
+           'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],'
+           'PROJECTION["Polar_Stereographic"],'
+           'PARAMETER["latitude_of_origin",70],'
+           'PARAMETER["central_meridian",-45],'
+           'PARAMETER["false_easting",0],PARAMETER["false_northing",0],'
+           'UNIT["metre",1]]')
+    assert T._parse_crs(wkt) == T._parse_crs("EPSG:3413")
+
+
+def test_conic_inverse_roundtrips():
+    rng = np.random.RandomState(11)
+    lons = rng.uniform(-170, 170, 50)
+    for crs, lats in (
+            ("EPSG:5070", rng.uniform(20, 50, 50)),
+            ("EPSG:3347", rng.uniform(42, 83, 50)),
+            ("EPSG:3413", rng.uniform(35, 89.5, 50)),
+            ("EPSG:3031", rng.uniform(-89.5, -50, 50)),
+            ("+proj=lcc +lat_1=-10 +lat_2=-40 +lat_0=-25 +lon_0=135 "
+             "+k_0=1.0 +x_0=1000 +y_0=2000", rng.uniform(-44, -8, 50))):
+        x, y = T._from_4326(crs, lons, lats)
+        lo, la = T._to_4326(crs, x, y)
+        # compare longitudes modulo the +-180 wrap (PROJ adjlon
+        # semantics); latitude tolerance 5e-8 deg ~ 5 mm covers the
+        # Snyder 3-18 authalic series truncation in the Albers inverse
+        dlon = (np.asarray(lo) - lons + 180.0) % 360.0 - 180.0
+        np.testing.assert_allclose(dlon, 0.0, atol=1e-9, err_msg=crs)
+        np.testing.assert_allclose(la, lats, atol=5e-8, err_msg=crs)

@@ -408,3 +408,36 @@ def test_reduce_area_mode_matches_unique_oracle_random():
                 continue
             v, n = np.unique(sel, return_counts=True)
             assert out[c, j] == v[np.argmax(n)]  # ties -> smallest value
+
+
+def test_warp_near_through_conus_albers(spark):
+    """gdalwarp through EPSG:5070 (NAD83 / Conus Albers): the distributed
+    warp (tile routing + CT chain + near kernel) must equal a pure-numpy
+    replay that inverse-projects every destination pixel center with
+    aea_inverse and floors into the source grid."""
+    from gdal_spark.raster.transforms import aea_inverse
+
+    h, w = 2 * TILE, 2 * TILE
+    rng = np.random.RandomState(3)
+    arr = rng.randint(0, 1000, (h, w)).astype(np.float64)
+    # source: global-ish lon/lat grid; dst: 32x32 Albers meters window
+    src = GridSpec(x0=-180.0, y0=85.0, dx=360.0 / w, dy=-170.0 / h,
+                   width=w, height=h, tile=TILE)
+    dst = GridSpec(x0=-6000000.0, y0=5000000.0, dx=12000000.0 / w,
+                   dy=-10000000.0 / h, width=w, height=h, tile=TILE)
+    df = tiles.raster_to_tiles(spark, arr, tile=TILE)
+    got = tiles.tiles_to_raster(warp.warp(df, warp.WarpSpec(
+        src, "EPSG:4326", dst, "EPSG:5070", "near", fill=-1.0)),
+        tile=TILE)[:h, :w]
+
+    jj, ii = np.meshgrid(np.arange(w), np.arange(h))
+    mx = dst.x0 + (jj + 0.5) * dst.dx
+    my = dst.y0 + (ii + 0.5) * dst.dy
+    lon, lat = aea_inverse(mx, my, -96.0, 23.0, 29.5, 45.5)
+    sx = np.floor((lon - src.x0) / src.dx).astype(int)
+    sy = np.floor((lat - src.y0) / src.dy).astype(int)
+    ok = (sx >= 0) & (sx < w) & (sy >= 0) & (sy < h) \
+        & np.isfinite(lon) & np.isfinite(lat)
+    want = np.full((h, w), -1.0)
+    want[ok] = arr[sy[ok], sx[ok]]
+    np.testing.assert_array_equal(got, want)
