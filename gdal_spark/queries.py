@@ -2280,6 +2280,29 @@ _DENSITY_XY_SQL = _DENSITY_VALS_SQL.replace("vals AS (SELECT",
                                             "vals AS (SELECT g.x, g.y,")
 
 
+def _pxy_udfs():
+    """(px, py) pandas UDFs extracting point coordinates from WKB via the
+    vectorized `wkb.points_batch` lane (one concat + one frombuffer per
+    Arrow batch — no per-row Python decode); falls back to per-row decode
+    only when a batch contains non-POINT geometries."""
+    from .core import wkb as _wkb
+
+    def _lane(col_idx):
+        @F.pandas_udf("double")
+        def f(geom):
+            import numpy as np
+            import pandas as pd
+            blobs = list(geom)
+            pts = _wkb.points_batch(blobs)
+            if pts is not None:
+                return pd.Series(np.ascontiguousarray(pts[:, col_idx]))
+            return pd.Series([_wkb.decode(bytes(b)).rings[0][0][col_idx]
+                              for b in blobs])
+        return f
+
+    return _lane(0), _lane(1)
+
+
 def _px_rows(tiles_df, tile=8, dtype="float64", name="val_r",
              round_to=None, drop_zero=False):
     """Tile table -> (x, y, <name>) rows for oracle comparison."""
@@ -2866,36 +2889,31 @@ FROM pts WHERE doc_id % 7 = 0
 def q_shp_roundtrip(spark, sf_dir):
     """Shapefile driver round-trip (ogr/ogrsf_frmts/shape/shpopen.c
     SHPWriteObject/SHPReadObject, dbfopen.c): every 7th page becomes a
-    point feature with its doc_id attribute, written to .shp/.shx/.dbf and
-    read back through the byte-range distributed parser; the oracle
-    recomputes the same (doc_id, lon, lat) set from the table."""
+    point feature with its doc_id attribute, written through the
+    DISTRIBUTED two-phase pwrite sink (write_shapefile_dist — no driver
+    collect of features) and read back through the byte-range
+    distributed parser; the oracle recomputes the same (doc_id, lon,
+    lat) set from the table."""
     import tempfile
     import os
     import numpy as np
+    import pandas as pd
     from .core import wkb as _wkb
-    from .sources.shapefile import read_shapefile, write_shapefile
+    from .sources.shapefile import read_shapefile, write_shapefile_dist
 
-    pts = datagen.points(spark, sf_dir).where(F.col("doc_id") % 7 == 0) \
-        .select("doc_id", "lon", "lat").orderBy("doc_id").collect()
+    @F.pandas_udf("binary")
+    def mk(lon, lat):
+        return pd.Series(_wkb.encode_points_batch(
+            np.stack([lon.values, lat.values], axis=1)))
+
+    layer = datagen.points(spark, sf_dir).where(F.col("doc_id") % 7 == 0) \
+        .select(mk("lon", "lat").alias("geom"), F.col("doc_id"))
     base = os.path.join(tempfile.gettempdir(),
                         f"gdal_spark_shp_{os.getpid()}")
-    rows = [(_wkb.encode(_wkb.Geom(_wkb.POINT,
-                                   [np.array([[r.lon, r.lat]])])),
-             {"doc_id": int(r.doc_id)}) for r in pts]
-    write_shapefile(rows, base)
+    write_shapefile_dist(layer, base)
     out = read_shapefile(spark, base, features_per_task=512)
 
-    @F.pandas_udf("double")
-    def px(geom):
-        import pandas as pd
-        return pd.Series([_wkb.decode(bytes(b)).rings[0][0][0]
-                          for b in geom])
-
-    @F.pandas_udf("double")
-    def py(geom):
-        import pandas as pd
-        return pd.Series([_wkb.decode(bytes(b)).rings[0][0][1]
-                          for b in geom])
+    px, py = _pxy_udfs()
 
     return out.select(F.col("doc_id"),
                       F.round(px("geom"), 9).alias("lon_r"),
@@ -2916,35 +2934,31 @@ def q_fgb_bbox_read(spark, sf_dir):
     layer writes to .fgb (Hilbert-sorted, indexed), then a bbox read must
     return exactly the features inside the window — the oracle filters
     the source table with the same rectangle. Point envelopes make the
-    R-tree prefilter exact."""
+    R-tree prefilter exact. Round 4: the layer is written through the
+    DISTRIBUTED sink (write_fgb_dist — distributed Hilbert sort, per-task
+    feature + leaf-node pwrite, healed 16-group upper levels) instead of
+    a driver rows list."""
     import tempfile
     import os
     import numpy as np
+    import pandas as pd
     from .core import wkb as _wkb
-    from .sources.flatgeobuf import read_fgb, write_fgb
+    from .sources.flatgeobuf import read_fgb, write_fgb_dist
 
-    pts = datagen.points(spark, sf_dir).where(F.col("doc_id") % 7 == 0) \
-        .select("doc_id", "lon", "lat").orderBy("doc_id").collect()
+    @F.pandas_udf("binary")
+    def mk(lon, lat):
+        return pd.Series(_wkb.encode_points_batch(
+            np.stack([lon.values, lat.values], axis=1)))
+
+    layer = datagen.points(spark, sf_dir).where(F.col("doc_id") % 7 == 0) \
+        .select(mk("lon", "lat").alias("geom"), F.col("doc_id"))
     path = os.path.join(tempfile.gettempdir(),
                         f"gdal_spark_fgb_{os.getpid()}.fgb")
-    rows = [(_wkb.encode(_wkb.Geom(_wkb.POINT,
-                                   [np.array([[r.lon, r.lat]])])),
-             {"doc_id": int(r.doc_id)}) for r in pts]
-    write_fgb(rows, path)
+    write_fgb_dist(layer, path)
     out = read_fgb(spark, path, bbox=(-50.0, -40.0, 60.0, 40.0),
                    features_per_task=512)
 
-    @F.pandas_udf("double")
-    def px(geom):
-        import pandas as pd
-        return pd.Series([_wkb.decode(bytes(b)).rings[0][0][0]
-                          for b in geom])
-
-    @F.pandas_udf("double")
-    def py(geom):
-        import pandas as pd
-        return pd.Series([_wkb.decode(bytes(b)).rings[0][0][1]
-                          for b in geom])
+    px, py = _pxy_udfs()
 
     return out.select(F.col("doc_id"),
                       F.round(px("geom"), 9).alias("lon_r"),
@@ -3602,17 +3616,7 @@ def q_gpkg_roundtrip(spark, sf_dir):
     write_gpkg(rows, path, table="pages", geometry_type="POINT")
     out = read_gpkg(spark, path, rows_per_task=64)
 
-    @F.pandas_udf("double")
-    def px(geom):
-        import pandas as pd
-        return pd.Series([_wkb.decode(bytes(b)).rings[0][0][0]
-                          for b in geom])
-
-    @F.pandas_udf("double")
-    def py(geom):
-        import pandas as pd
-        return pd.Series([_wkb.decode(bytes(b)).rings[0][0][1]
-                          for b in geom])
+    px, py = _pxy_udfs()
 
     return out.select(F.col("doc_id"),
                       F.round(px("geom"), 9).alias("lon_r"),
@@ -3713,17 +3717,7 @@ def q_arrow_ipc_roundtrip(spark, sf_dir):
     write_arrow_ipc(layer, path)
     out, _meta = read_arrow_ipc(spark, path, batches_per_task=4)
 
-    @F.pandas_udf("double")
-    def px(geom):
-        import pandas as pd
-        return pd.Series([_wkb.decode(bytes(b)).rings[0][0][0]
-                          for b in geom])
-
-    @F.pandas_udf("double")
-    def py(geom):
-        import pandas as pd
-        return pd.Series([_wkb.decode(bytes(b)).rings[0][0][1]
-                          for b in geom])
+    px, py = _pxy_udfs()
 
     return out.select(F.col("doc_id"),
                       F.round(px("geom"), 9).alias("lon_r"),
@@ -3765,17 +3759,7 @@ def q_kml_roundtrip(spark, sf_dir):
     write_kml(layer, path, name_col=None, props_col=None)
     out = read_kml(spark, path)
 
-    @F.pandas_udf("double")
-    def px(geom):
-        import pandas as pd
-        return pd.Series([_wkb.decode(bytes(b)).rings[0][0][0]
-                          for b in geom])
-
-    @F.pandas_udf("double")
-    def py(geom):
-        import pandas as pd
-        return pd.Series([_wkb.decode(bytes(b)).rings[0][0][1]
-                          for b in geom])
+    px, py = _pxy_udfs()
 
     return out.select(
         F.get_json_object("props", "$.doc_id").cast("long").alias("doc_id"),
@@ -3818,17 +3802,7 @@ def q_gml_roundtrip(spark, sf_dir):
     write_gml(layer, path, props_col=None)
     out = read_gml(spark, path)
 
-    @F.pandas_udf("double")
-    def px(geom):
-        import pandas as pd
-        return pd.Series([_wkb.decode(bytes(b)).rings[0][0][0]
-                          for b in geom])
-
-    @F.pandas_udf("double")
-    def py(geom):
-        import pandas as pd
-        return pd.Series([_wkb.decode(bytes(b)).rings[0][0][1]
-                          for b in geom])
+    px, py = _pxy_udfs()
 
     return out.select(
         F.get_json_object("props", "$.doc_id").cast("long").alias("doc_id"),
@@ -4531,17 +4505,7 @@ def q_gpx_roundtrip(spark, sf_dir):
     write_gpx(layer, path)
     out = read_gpx(spark, path).where(F.col("layer") == "waypoints")
 
-    @F.pandas_udf("double")
-    def px(geom):
-        import pandas as pd
-        return pd.Series([_wkb.decode(bytes(b)).rings[0][0][0]
-                          for b in geom])
-
-    @F.pandas_udf("double")
-    def py(geom):
-        import pandas as pd
-        return pd.Series([_wkb.decode(bytes(b)).rings[0][0][1]
-                          for b in geom])
+    px, py = _pxy_udfs()
 
     return out.select(F.col("name").cast("long").alias("doc_id"),
                       F.round(px("geom"), 9).alias("lon_r"),
@@ -4808,17 +4772,7 @@ def q_dxf_roundtrip(spark, sf_dir):
     write_dxf(layer, path)
     out = read_dxf(spark, path)
 
-    @F.pandas_udf("double")
-    def px(geom):
-        import pandas as pd
-        return pd.Series([_wkb.decode(bytes(b)).rings[0][0][0]
-                          for b in geom])
-
-    @F.pandas_udf("double")
-    def py(geom):
-        import pandas as pd
-        return pd.Series([_wkb.decode(bytes(b)).rings[0][0][1]
-                          for b in geom])
+    px, py = _pxy_udfs()
 
     return out.select(F.col("layer").cast("long").alias("doc_id"),
                       F.round(px("geom"), 9).alias("lon_r"),
@@ -5086,17 +5040,7 @@ def q_spatialite_roundtrip(spark, sf_dir):
     write_spatialite(rows, path, table="pages", geometry_type="POINT")
     out = read_spatialite(spark, path, rows_per_task=64)
 
-    @F.pandas_udf("double")
-    def px(geom):
-        import pandas as pd
-        return pd.Series([_wkb.decode(bytes(b)).rings[0][0][0]
-                          for b in geom])
-
-    @F.pandas_udf("double")
-    def py(geom):
-        import pandas as pd
-        return pd.Series([_wkb.decode(bytes(b)).rings[0][0][1]
-                          for b in geom])
+    px, py = _pxy_udfs()
 
     return out.select(F.col("doc_id"),
                       F.round(px("geom"), 9).alias("lon_r"),
@@ -5129,17 +5073,7 @@ def q_mif_roundtrip(spark, sf_dir):
     write_mif(rows, path)
     out = read_mif(spark, path, features_per_task=16)
 
-    @F.pandas_udf("double")
-    def px(geom):
-        import pandas as pd
-        return pd.Series([_wkb.decode(bytes(b)).rings[0][0][0]
-                          for b in geom])
-
-    @F.pandas_udf("double")
-    def py(geom):
-        import pandas as pd
-        return pd.Series([_wkb.decode(bytes(b)).rings[0][0][1]
-                          for b in geom])
+    px, py = _pxy_udfs()
 
     return out.select(F.col("doc_id"),
                       F.round(px("geom"), 9).alias("lon_r"),
@@ -5213,15 +5147,7 @@ def q_pmtiles_roundtrip(spark, sf_dir):
     mvt_dir_to_pmtiles(spark, out, arch)
     back, _hdr = read_pmtiles(spark, arch)
 
-    @F.pandas_udf("double")
-    def gx(geom):
-        return pd.Series([_wkb.decode(bytes(b)).rings[0][0][0]
-                          for b in geom])
-
-    @F.pandas_udf("double")
-    def gy(geom):
-        return pd.Series([_wkb.decode(bytes(b)).rings[0][0][1]
-                          for b in geom])
+    gx, gy = _pxy_udfs()
 
     return back.select("fid", "x", "y",
                        F.round(gx("geom"), 6).alias("mx_r"),
@@ -5300,15 +5226,7 @@ def q_jsonfg_roundtrip(spark, sf_dir):
     write_jsonfg(df, out, crs="[EPSG:4326]", time_cols=("t0", "t1"))
     back = read_jsonfg(spark, out + "/part-*")
 
-    @F.pandas_udf("double")
-    def gx(geom):
-        return pd.Series([_wkb.decode(bytes(b)).rings[0][0][0]
-                          for b in geom])
-
-    @F.pandas_udf("double")
-    def gy(geom):
-        return pd.Series([_wkb.decode(bytes(b)).rings[0][0][1]
-                          for b in geom])
+    gx, gy = _pxy_udfs()
 
     return back.select(
         F.get_json_object("props", "$.doc_id").cast("long").alias("doc_id"),
@@ -5538,17 +5456,7 @@ def q_gmt_georss_roundtrip(spark, sf_dir):
     write_gmt(rows_g, gmt_p, gtype="POINT")
     write_georss(rows_r, rss_p)
 
-    @F.pandas_udf("double")
-    def gx(geom):
-        import pandas as pd
-        return pd.Series([_wkb.decode(bytes(b)).rings[0][0][0]
-                          for b in geom])
-
-    @F.pandas_udf("double")
-    def gy(geom):
-        import pandas as pd
-        return pd.Series([_wkb.decode(bytes(b)).rings[0][0][1]
-                          for b in geom])
+    gx, gy = _pxy_udfs()
 
     gmt_df = read_gmt(spark, gmt_p).select(
         F.get_json_object("props", "$.doc_id").cast("long").alias("doc_id"),

@@ -508,6 +508,233 @@ def write_fgb(rows, path: str, name: str = "layer",
             f.write(feat)
 
 
+def _spark_columns(schema, geom_col: str):
+    """Spark schema -> FGB column descriptors [(name, CT_*)]."""
+    from pyspark.sql import types as T
+    cols = []
+    for f in schema.fields:
+        if f.name == geom_col:
+            continue
+        if isinstance(f.dataType, T.BooleanType):
+            cols.append((f.name, CT_BOOL))
+        elif isinstance(f.dataType, (T.ByteType, T.ShortType,
+                                     T.IntegerType, T.LongType)):
+            cols.append((f.name, CT_LONG))
+        elif isinstance(f.dataType, (T.FloatType, T.DoubleType)):
+            cols.append((f.name, CT_DOUBLE))
+        else:
+            cols.append((f.name, CT_STRING))
+    return cols
+
+
+def write_fgb_dist(df, path: str, name: str = "layer",
+                   node_size: int = 16, geom_col: str = "geom") -> int:
+    """DISTRIBUTED .fgb sink — no driver collect of features.
+
+    The engine's Hilbert sort IS the FGB spatial index contract
+    (packedrtree.cpp packs leaves in Hilbert order), so the plan is:
+
+    1. one aggregation for the layer extent (4 doubles to the driver);
+    2. a DISTRIBUTED ORDER BY on the 32-bit Hilbert key of each bbox
+       center (range-partitioned sort — the same shuffle the engine's
+       cell layout uses), persisted so both later passes see identical
+       partitions;
+    3. phase 1: ONE ROW PER PARTITION (count, feature-byte total,
+       geometry-type set) -> driver lays out header / index / feature
+       regions with prefix sums and preallocates the file;
+    4. phase 2: each partition pwrites its feature slice AND its leaf
+       nodes of the packed Hilbert R-tree directly (leaf node = bbox +
+       feature byte offset, position = leaf0 + global index), and emits
+       16-group PARTIAL aggregates of its leaves; a groupBy heals the
+       groups that straddle partition boundaries, and only the upper
+       tree levels (n/16 nodes and shrinking) are assembled driver-side.
+
+    Scale: driver memory is O(#partitions + n/16) vs the reference's
+    single-writer appender (flatgeobuf GeometryWriter). Returns n."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    columns = _spark_columns(df.schema, geom_col)
+
+    @F.pandas_udf("minx double, miny double, maxx double, maxy double")
+    def env_of(geom: pd.Series) -> pd.DataFrame:
+        rows = []
+        for b in geom:
+            e = wkb.decode(bytes(b)).envelope()
+            rows.append((float(e[0]), float(e[1]),
+                         float(e[2]), float(e[3])))
+        return pd.DataFrame(rows,
+                            columns=["minx", "miny", "maxx", "maxy"])
+
+    with_env = df.withColumn("__env", env_of(F.col(geom_col)))
+    ext = with_env.agg(
+        F.min("__env.minx"), F.min("__env.miny"),
+        F.max("__env.maxx"), F.max("__env.maxy")).collect()[0]
+    ext = (float(ext[0]), float(ext[1]), float(ext[2]), float(ext[3]))
+    w = max(ext[2] - ext[0], 1e-300)
+    h = max(ext[3] - ext[1], 1e-300)
+
+    @F.pandas_udf("long")
+    def hkey(minx: pd.Series, miny: pd.Series, maxx: pd.Series,
+             maxy: pd.Series) -> pd.Series:
+        cx = (minx.values + maxx.values) / 2
+        cy = (miny.values + maxy.values) / 2
+        hx = np.floor(0xFFFF * (cx - ext[0]) / w).astype(np.uint64)
+        hy = np.floor(0xFFFF * (cy - ext[1]) / h).astype(np.uint64)
+        return pd.Series(_hilbert(hx, hy).astype(np.int64))
+
+    # descending to match write_fgb's argsort[::-1] leaf order
+    sdf = (with_env
+           .withColumn("__h", hkey("__env.minx", "__env.miny",
+                                   "__env.maxx", "__env.maxy"))
+           .orderBy(F.desc("__h"))
+           .persist())
+    try:
+        pid_df = sdf.withColumn("__pid", F.spark_partition_id())
+
+        def encode_feat(t) -> tuple[bytes, int]:
+            g = wkb.decode(bytes(getattr(t, geom_col)))
+            gsub, gtype = _geom_to_fgb(g)
+            props = _props_encode(
+                [getattr(t, n) for n, _t in columns], columns)
+            slots = [(0, "sub", gsub)]
+            if props:
+                slots.append((1, "vec_u8", props))
+            return _finish(_build_table(slots)), gtype
+
+        stat_schema = "pid int, n long, fbytes long, gtypes array<long>"
+
+        def stats(batches):
+            pid, n, fbytes, gtypes = -1, 0, 0, set()
+            for pdf in batches:
+                if len(pdf):
+                    pid = int(pdf["__pid"].iloc[0])
+                for t in pdf.itertuples(index=False):
+                    feat, gtype = encode_feat(t)
+                    fbytes += len(feat)
+                    gtypes.add(gtype)
+                    n += 1
+            yield pd.DataFrame(
+                [(pid, n, fbytes, sorted(gtypes))],
+                columns=["pid", "n", "fbytes", "gtypes"])
+
+        parts = sorted((r for r in pid_df.mapInPandas(
+            stats, stat_schema).collect() if r.n > 0),
+            key=lambda r: r.pid)
+        total_n = sum(r.n for r in parts)
+        if total_n == 0:
+            raise ValueError("FlatGeobuf requires at least one feature")
+        all_gt = {g for r in parts for g in r.gtypes}
+        header_gt = all_gt.pop() if len(all_gt) == 1 else 0
+
+        col_subs = [_build_table([(0, "str", n_), (1, "u8", t_)])
+                    for n_, t_ in columns]
+        header = _finish(_build_table([
+            (0, "str", name),
+            (1, "vec_f64", [ext[0], ext[1], ext[2], ext[3]]),
+            (2, "u8", header_gt),
+            (7, "vec_sub", col_subs),
+            (8, "u64", total_n),
+            (9, "u16", node_size),
+        ]))
+        bounds, total_nodes = _level_bounds(total_n, node_size)
+        leaf0 = bounds[0][0]
+        index_pos = len(MAGIC) + len(header)
+        features_pos = index_pos + total_nodes * 40
+
+        base = {}
+        rec0, f_off = 0, 0
+        for r in parts:
+            base[int(r.pid)] = (rec0, f_off)
+            rec0 += int(r.n)
+            f_off += int(r.fbytes)
+
+        with open(path, "wb") as f:
+            f.write(MAGIC)
+            f.write(header)
+            f.truncate(features_pos + f_off)
+
+        grp_schema = ("g long, minx double, miny double, maxx double, "
+                      "maxy double")
+
+        def emit(batches):
+            fd = None
+            rec = off = None
+            leaves = []
+            try:
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    if fd is None:
+                        pid = int(pdf["__pid"].iloc[0])
+                        rec, off = base[pid]
+                        fd = os.open(path, os.O_WRONLY)
+                    env = pdf["__env"]
+                    for k, t in enumerate(pdf.itertuples(index=False)):
+                        feat, _gt = encode_feat(t)
+                        os.pwrite(fd, feat, features_pos + off)
+                        e = env.iloc[k]
+                        node = struct.pack(
+                            "<4dq", e["minx"], e["miny"], e["maxx"],
+                            e["maxy"], off)
+                        os.pwrite(fd, node,
+                                  index_pos + (leaf0 + rec) * 40)
+                        leaves.append((rec // node_size, e["minx"],
+                                       e["miny"], e["maxx"], e["maxy"]))
+                        off += len(feat)
+                        rec += 1
+            finally:
+                if fd is not None:
+                    os.close(fd)
+            lp = pd.DataFrame(
+                leaves, columns=["g", "minx", "miny", "maxx", "maxy"])
+            # in-task 16-group partials: one row per R-tree group, not
+            # per feature, crosses the shuffle (boundary groups heal in
+            # the downstream groupBy)
+            yield lp.groupby("g", as_index=False).agg(
+                {"minx": "min", "miny": "min",
+                 "maxx": "max", "maxy": "max"}) if len(lp) else lp
+
+        lvl1 = (pid_df.mapInPandas(emit, grp_schema)
+                .groupBy("g").agg(F.min("minx").alias("minx"),
+                                  F.min("miny").alias("miny"),
+                                  F.max("maxx").alias("maxx"),
+                                  F.max("maxy").alias("maxy"))
+                .orderBy("g").collect())
+
+        # upper levels (<= n/16 nodes, shrinking 16x per level) driver-side
+        upper = np.zeros(leaf0, dtype=_NODE)
+        lpos, lend = bounds[1] if len(bounds) > 1 else (0, 0)
+        for r in lvl1:
+            i = lpos + int(r.g)
+            upper["minx"][i], upper["miny"][i] = r.minx, r.miny
+            upper["maxx"][i], upper["maxy"][i] = r.maxx, r.maxy
+            upper["off"][i] = leaf0 + int(r.g) * node_size
+        for lvl in range(1, len(bounds) - 1):
+            pos, end = bounds[lvl]
+            newpos = bounds[lvl + 1][0]
+            while pos < end:
+                j = min(node_size, end - pos)
+                upper["minx"][newpos] = upper["minx"][pos:pos + j].min()
+                upper["miny"][newpos] = upper["miny"][pos:pos + j].min()
+                upper["maxx"][newpos] = upper["maxx"][pos:pos + j].max()
+                upper["maxy"][newpos] = upper["maxy"][pos:pos + j].max()
+                upper["off"][newpos] = pos
+                pos += j
+                newpos += 1
+        if leaf0:
+            fd = os.open(path, os.O_WRONLY)
+            try:
+                os.pwrite(fd, upper.tobytes(), index_pos)
+            finally:
+                os.close(fd)
+        return total_n
+    finally:
+        sdf.unpersist()
+
+
 # ---------------------------------------------------------------------------
 # distributed reader
 # ---------------------------------------------------------------------------

@@ -344,6 +344,215 @@ def read_shapefile(spark: SparkSession, path_base: str,
     return rdf.mapInPandas(parse, schema)
 
 
+def _dbf_fields_from_schema(schema: T.StructType, geom_col: str,
+                            str_widths: dict[str, int]):
+    """Spark schema -> DBF field descriptors (name, type, len, dec).
+    String widths come from a measured corpus max (pass 1), capped at the
+    dBase III limit of 254."""
+    fields = []
+    for f in schema.fields:
+        if f.name == geom_col:
+            continue
+        if isinstance(f.dataType, T.BooleanType):
+            fields.append((f.name, "L", 1, 0))
+        elif isinstance(f.dataType, (T.ByteType, T.ShortType,
+                                     T.IntegerType, T.LongType)):
+            fields.append((f.name, "N", 18, 0))
+        elif isinstance(f.dataType, (T.FloatType, T.DoubleType,
+                                     T.DecimalType)):
+            fields.append((f.name, "N", 24, 8))
+        else:
+            w = min(max(int(str_widths.get(f.name, 1)), 1), 254)
+            fields.append((f.name, "C", w, 0))
+    return fields
+
+
+def _dbf_record(a: dict, fields) -> bytes:
+    rec = b" "
+    for name, ftype, flen, fdec in fields:
+        v = a.get(name)
+        if v is None or (isinstance(v, float) and v != v):
+            s = b" " * flen
+        elif ftype == "N" and fdec == 0:
+            s = str(int(v)).rjust(flen).encode("ascii")
+        elif ftype == "N":
+            s = f"{float(v):.{fdec}f}".rjust(flen).encode("ascii")
+        elif ftype == "L":
+            s = b"T" if v else b"F"
+        else:
+            s = str(v).encode("ascii")[:flen].ljust(flen)
+        if len(s) != flen:
+            raise ValueError(f"value {v!r} exceeds DBF field width "
+                             f"{flen} for {name!r}")
+        rec += s
+    return rec
+
+
+def write_shapefile_dist(df: DataFrame, path_base: str,
+                         geom_col: str = "geom") -> int:
+    """DISTRIBUTED .shp/.shx/.dbf sink — no driver collect of features.
+
+    Same two-phase preallocated-pwrite contract as the GeoTIFF/PNG sinks
+    (sources/geotiff.py): phase 1 aggregates ONE ROW PER PARTITION
+    (record count, shp byte total, bbox, shape-type set, max string
+    widths) so the driver can lay out all three files from prefix sums
+    — .shp record offsets are a running sum of record sizes, .shx/.dbf
+    are fixed-stride; phase 2 re-evaluates each partition and pwrites
+    its slice of all three files at its base offsets. The input is
+    persisted across the two passes so both see identical partitions
+    (the same recompute-stability contract as RDD.zipWithIndex).
+
+    The reference's writer (shpopen.c SHPWriteObject + dbfopen.c) is a
+    single-handle appender; this is the scale re-expression: a
+    10M-feature layer writes with O(#partitions) driver memory.
+    Returns the feature count."""
+    import os
+
+    attrs = [c for c in df.columns if c != geom_col]
+    str_cols = [f.name for f in df.schema.fields
+                if f.name != geom_col
+                and not isinstance(f.dataType, (
+                    T.BooleanType, T.ByteType, T.ShortType, T.IntegerType,
+                    T.LongType, T.FloatType, T.DoubleType, T.DecimalType))]
+    df = df.persist()
+    try:
+        pid_df = df.withColumn("__pid", F.spark_partition_id())
+
+        stat_schema = T.StructType([
+            T.StructField("pid", T.IntegerType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("shp_bytes", T.LongType()),
+            T.StructField("xmin", T.DoubleType()),
+            T.StructField("ymin", T.DoubleType()),
+            T.StructField("xmax", T.DoubleType()),
+            T.StructField("ymax", T.DoubleType()),
+            T.StructField("stype", T.LongType()),
+            T.StructField("widths", T.ArrayType(T.LongType()))])
+
+        def stats(batches):
+            pid = -1
+            n = 0
+            nbytes = 0
+            bb = [np.inf, np.inf, -np.inf, -np.inf]
+            stype = SHP_NULL
+            widths = [0] * len(str_cols)
+            for pdf in batches:
+                if len(pdf):
+                    pid = int(pdf["__pid"].iloc[0])
+                for b in pdf[geom_col]:
+                    g = wkb.decode(bytes(b)) if b is not None else None
+                    c = _geom_to_shape(g)
+                    nbytes += 8 + len(c)
+                    n += 1
+                    st = struct.unpack_from("<i", c, 0)[0]
+                    if st != SHP_NULL:
+                        stype = st
+                        e = g.envelope()
+                        bb[0] = min(bb[0], e[0]); bb[1] = min(bb[1], e[1])
+                        bb[2] = max(bb[2], e[2]); bb[3] = max(bb[3], e[3])
+                for k, cname in enumerate(str_cols):
+                    if len(pdf):
+                        w = pdf[cname].map(
+                            lambda v: len(str(v)) if v is not None else 0)
+                        widths[k] = max(widths[k], int(w.max()))
+            yield pd.DataFrame(
+                [(pid, n, nbytes, bb[0], bb[1], bb[2], bb[3], stype,
+                  widths)],
+                columns=[f.name for f in stat_schema.fields])
+
+        parts = [r for r in pid_df.mapInPandas(stats, stat_schema)
+                 .collect() if r.n > 0 or r.pid >= 0]
+        parts.sort(key=lambda r: r.pid)
+        total_n = sum(r.n for r in parts)
+        total_shp = sum(r.shp_bytes for r in parts)
+        live = [r for r in parts if r.stype != SHP_NULL]
+        stype = live[0].stype if live else SHP_NULL
+        if len({r.stype for r in live}) > 1:
+            raise ValueError("mixed shape types in one shapefile layer")
+        if live:
+            bbox = (min(r.xmin for r in live), min(r.ymin for r in live),
+                    max(r.xmax for r in live), max(r.ymax for r in live))
+        else:
+            bbox = (0.0, 0.0, 0.0, 0.0)
+        str_widths = {c: max((r.widths[k] for r in parts), default=1)
+                      for k, c in enumerate(str_cols)}
+        fields = _dbf_fields_from_schema(df.schema, geom_col, str_widths)
+        rsize = 1 + sum(f[2] for f in fields)
+        hsize = 32 + 32 * len(fields) + 1
+
+        # prefix sums -> per-partition base offsets
+        base = {}
+        rec0, shp_off = 0, 100
+        for r in parts:
+            base[int(r.pid)] = (rec0, shp_off)
+            rec0 += int(r.n)
+            shp_off += int(r.shp_bytes)
+
+        def header(total_len: int) -> bytes:
+            return (struct.pack(">i", 9994) + b"\x00" * 20
+                    + struct.pack(">i", total_len // 2)
+                    + struct.pack("<2i", 1000, int(stype))
+                    + struct.pack("<8d", bbox[0], bbox[1], bbox[2],
+                                  bbox[3], 0, 0, 0, 0))
+
+        with open(path_base + ".shp", "wb") as f:
+            f.write(header(100 + total_shp))
+            f.truncate(100 + total_shp)
+        with open(path_base + ".shx", "wb") as f:
+            f.write(header(100 + 8 * total_n))
+            f.truncate(100 + 8 * total_n)
+        with open(path_base + ".dbf", "wb") as f:
+            f.write(struct.pack("<B3BIHH20x", 0x03, 24, 1, 1, total_n,
+                                hsize, rsize))
+            for name, ftype, flen, fdec in fields:
+                f.write(name.encode("ascii")[:11].ljust(11, b"\x00")
+                        + ftype.encode("ascii") + b"\x00" * 4
+                        + struct.pack("<BB", flen, fdec) + b"\x00" * 14)
+            f.write(b"\x0d")
+            f.truncate(hsize + total_n * rsize + 1)
+            f.seek(hsize + total_n * rsize)
+            f.write(b"\x1a")
+
+        def emit(batches):
+            fd_shp = fd_shx = fd_dbf = None
+            rec = off = None
+            n_written = 0
+            try:
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    if fd_shp is None:
+                        pid = int(pdf["__pid"].iloc[0])
+                        rec, off = base[pid]
+                        fd_shp = os.open(path_base + ".shp", os.O_WRONLY)
+                        fd_shx = os.open(path_base + ".shx", os.O_WRONLY)
+                        fd_dbf = os.open(path_base + ".dbf", os.O_WRONLY)
+                    for t in pdf.itertuples(index=False):
+                        b = getattr(t, geom_col)
+                        g = wkb.decode(bytes(b)) if b is not None else None
+                        c = _geom_to_shape(g)
+                        os.pwrite(fd_shx, struct.pack(
+                            ">2i", off // 2, len(c) // 2), 100 + 8 * rec)
+                        os.pwrite(fd_shp, struct.pack(
+                            ">2i", rec + 1, len(c) // 2) + c, off)
+                        a = {k: getattr(t, k) for k in attrs}
+                        os.pwrite(fd_dbf, _dbf_record(a, fields),
+                                  hsize + rec * rsize)
+                        off += 8 + len(c)
+                        rec += 1
+                        n_written += 1
+            finally:
+                for fd in (fd_shp, fd_shx, fd_dbf):
+                    if fd is not None:
+                        os.close(fd)
+            yield pd.DataFrame({"n": [n_written]})
+
+        pid_df.mapInPandas(emit, "n long").agg({"n": "sum"}).collect()
+        return total_n
+    finally:
+        df.unpersist()
+
+
 def write_shapefile_df(df: DataFrame, path_base: str,
                        geom_col: str = "geom") -> None:
     """Collect-and-write sink for bounded layers (fixtures, small extracts

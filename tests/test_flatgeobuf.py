@@ -194,3 +194,64 @@ def test_bbox_on_unindexed_file_still_filters(spark, tmp_path, monkeypatch):
     want = sorted(f"f{i}" for i in range(20)
                   if (i % 8) * 10.0 <= 25.0 and (i // 8) * 5.0 <= 6.0)
     assert names == want and 0 < len(out) < 20
+
+
+def test_distributed_fgb_writer_matches_reader_and_index(spark, tmp_path):
+    """write_fgb_dist: distributed Hilbert sort + per-task feature/leaf
+    pwrite + healed 16-group upper levels. The file must read back
+    completely, bbox pruning must work through the distributed-built
+    R-tree, and driver-side materialization stays O(partitions + n/16)."""
+    from unittest import mock
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    import gdal_spark.core.wkb as W
+    from gdal_spark.sources.flatgeobuf import read_fgb, write_fgb_dist
+
+    n = 3000
+
+    @F.pandas_udf("binary")
+    def mk(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        return pd.Series([W.encode(W.Geom(W.POINT,
+                                          [np.array([[x, y]])]))
+                          for x, y in zip(lon, lat)])
+
+    df = (spark.range(n).repartition(7)
+          .withColumn("lon", ((F.col("id") * 37) % 3600).cast("double")
+                      / 10.0 - 180.0 + 0.05)
+          .withColumn("lat", ((F.col("id") * 53) % 1700).cast("double")
+                      / 10.0 - 85.0 + 0.05)
+          .select(mk("lon", "lat").alias("geom"),
+                  F.col("id").alias("fidv"),
+                  F.col("lon").alias("xlon"), F.col("lat").alias("xlat")))
+
+    seen = []
+    orig = type(df).collect
+
+    def counting(self):
+        rows = orig(self)
+        seen.append(len(rows))
+        return rows
+
+    path = str(tmp_path / "dist.fgb")
+    with mock.patch.object(type(df), "collect", counting):
+        total = write_fgb_dist(df, path)
+    assert total == n
+    assert max(seen) <= max(16, n // 16 + 16)   # extent/stats/level-1 only
+
+    back = read_fgb(spark, path).collect()
+    assert len(back) == n
+    got = {int(r.fidv): (r.xlon, r.xlat) for r in back}
+    assert got[17] == (pytest.approx((17 * 37 % 3600) / 10 - 180 + .05),
+                       pytest.approx((17 * 53 % 1700) / 10 - 85 + .05))
+    for r in back[:50]:
+        g = W.decode(bytes(r.geom))
+        assert g.rings[0][0][0] == pytest.approx(got[int(r.fidv)][0])
+
+    # bbox pruning through the distributed-built packed R-tree
+    sub = read_fgb(spark, path, bbox=(-10.0, -10.0, 10.0, 10.0)).collect()
+    want = {i for i in range(n)
+            if -10 <= (i * 37 % 3600) / 10 - 180 + .05 <= 10
+            and -10 <= (i * 53 % 1700) / 10 - 85 + .05 <= 10}
+    assert {int(r.fidv) for r in sub} == want
