@@ -3015,6 +3015,172 @@ def q_ogr_sql_front(spark, sf_dir):
                       F.round("lon", 6).alias("lon_r"))
 
 
+# =============================================================================
+# Round 4: ported autotest/ogr/ogr_sql_test.py battery through engine.sql
+# =============================================================================
+
+_SQL_BATTERY_PAGES = """
+pages AS (SELECT p.doc_id AS pfid, p.url, p.lon, p.lat,
+                 CASE WHEN p.doc_id % 70 = 0 THEN NULL
+                      ELSE CAST(p.doc_id % 5 AS VARCHAR) END AS cls
+          FROM pts p WHERE p.doc_id % 7 = 0),
+lut AS (SELECT r.range AS lid, CAST(r.range % 5 AS VARCHAR) AS cls,
+               'label' || CAST(r.range AS VARCHAR) AS label
+        FROM range(20) r),
+flut AS (SELECT cls, 'label' || CAST(min(lid) AS VARCHAR) AS label
+         FROM lut GROUP BY cls)
+"""
+
+
+@_reg("ogr_sql_battery", f"""
+{_pts_cte()},{_SQL_BATTERY_PAGES}
+SELECT 'distinct_where' AS cid, NULL::DOUBLE AS vnum, cls AS vstr
+  FROM (SELECT DISTINCT cls FROM pages WHERE pfid < 350)
+UNION ALL SELECT 'agg_max', CAST(max(pfid) AS DOUBLE), NULL FROM pages
+UNION ALL SELECT 'agg_min', CAST(min(pfid) AS DOUBLE), NULL FROM pages
+UNION ALL SELECT 'agg_avg', ROUND(avg(lat), 6), NULL FROM pages
+UNION ALL SELECT 'agg_cnt', CAST(count(*) AS DOUBLE), NULL FROM pages
+UNION ALL SELECT 'agg_sd', ROUND(stddev_pop(lat), 6), NULL FROM pages
+UNION ALL SELECT 'agg_sds', ROUND(stddev_samp(lat), 6), NULL FROM pages
+UNION ALL SELECT 'fid_in', CAST(pfid AS DOUBLE), NULL
+  FROM pages WHERE pfid IN (14, 35, 77)
+UNION ALL SELECT 'quoted_tbl', NULL, url FROM pages WHERE pfid = 21
+UNION ALL SELECT 'like_cs', CAST(count(*) AS DOUBLE), NULL
+  FROM pages WHERE url LIKE 'HTTPS%'
+UNION ALL SELECT 'ilike_ci', CAST(count(*) AS DOUBLE), NULL
+  FROM pages WHERE url ILIKE 'HTTPS://SITE7%'
+UNION ALL SELECT 'max_empty', CAST(max(pfid) AS DOUBLE), NULL
+  FROM pages WHERE pfid < 0
+UNION ALL SELECT 'distinct_empty', NULL, cls
+  FROM (SELECT DISTINCT cls FROM pages WHERE pfid < 0)
+UNION ALL SELECT 'ar_1', 1.0, NULL
+UNION ALL SELECT 'ar_2', 1.0 / 1.0, NULL
+UNION ALL SELECT 'ar_3', CAST(1 AS BIGINT) / 1.0, NULL
+UNION ALL SELECT 'ar_4', 1.0 / CAST(1 AS BIGINT), NULL
+UNION ALL SELECT 'ar_5', 1.5 + 1, NULL
+UNION ALL SELECT 'ar_6', (1 * 1) + 1.5, NULL
+UNION ALL SELECT 'ar_7', 2.0, NULL
+UNION ALL SELECT 'ar_8', 1234567890124.0, NULL
+UNION ALL SELECT 'ar_9', 1234567890123.0, NULL
+UNION ALL SELECT 'div_zero', 2147483647.0, NULL
+UNION ALL SELECT 'div_trunc_neg', CAST(TRUNC((0.0 - pfid) / 3) AS DOUBLE),
+  NULL FROM pages WHERE pfid = 77
+UNION ALL SELECT 'str_promote', CAST(pfid AS DOUBLE), NULL
+  FROM pages WHERE pfid = 35
+UNION ALL SELECT 'union_arms', CAST(pfid AS DOUBLE), NULL
+  FROM pages WHERE pfid IN (7, 14)
+UNION ALL SELECT 'cast_char', NULL, CAST(pfid AS VARCHAR)
+  FROM pages WHERE pfid = 42
+UNION ALL SELECT 'between', CAST(pfid AS DOUBLE), NULL
+  FROM pages WHERE pfid BETWEEN 30 AND 56
+UNION ALL SELECT 'cls_null', CAST(pfid AS DOUBLE), NULL
+  FROM pages WHERE cls IS NULL AND pfid < 350
+UNION ALL SELECT 'substr_concat', NULL,
+  substr(url, 9, 5) || '|' || (cls || '_x')
+  FROM pages WHERE pfid = 56
+UNION ALL SELECT 'join_first', NULL, f.label
+  FROM pages p JOIN flut f ON p.cls = f.cls WHERE p.pfid = 63
+UNION ALL SELECT 'order_lim_off', CAST(pfid AS DOUBLE), NULL FROM
+  (SELECT pfid FROM pages WHERE pfid < 350
+   ORDER BY pfid DESC LIMIT 3 OFFSET 2)
+""")
+def q_ogr_sql_battery(spark, sf_dir):
+    """A ~30-case slice of autotest/ogr/ogr_sql_test.py (DISTINCT, ORDER
+    BY, aggregate battery test_ogr_sql_5, IN, quoted tables, LIKE case
+    sensitivity, empty-set MAX/DISTINCT test_ogr_sql_11/12, the FULL
+    arithmetic battery test_ogr_sql_49 incl. truncating integer division
+    and INT_MAX-on-zero, string-constant promotion, UNION ALL, CAST
+    spellings, BETWEEN, IS NULL, RFC 28 SUBSTR/CONCAT, first-match JOIN,
+    LIMIT/OFFSET) — every statement runs through engine.sql's OGRSQL
+    translator and the oracle recomputes each case with the OGR
+    semantics hand-applied in DuckDB SQL."""
+    from .sql import OgrSqlEngine
+
+    eng = OgrSqlEngine(spark)
+    pages = datagen.points(spark, sf_dir).where(F.col("doc_id") % 7 == 0) \
+        .select(F.col("doc_id").alias("pfid"), "url", "lon", "lat",
+                F.when(F.col("doc_id") % 70 == 0, F.lit(None))
+                 .otherwise((F.col("doc_id") % 5).cast("string"))
+                 .alias("cls"))
+    eng.register("pages", pages, fid_col="pfid")
+    import pandas as pd
+    from pyspark.sql import types as T
+    lut = spark.createDataFrame(
+        pd.DataFrame([(i, str(i % 5), f"label{i}") for i in range(20)],
+                     columns=["lid", "cls", "label"]),
+        schema=T.StructType([T.StructField("lid", T.LongType()),
+                             T.StructField("cls", T.StringType()),
+                             T.StructField("label", T.StringType())]))
+    eng.register("lut", lut, fid_col="lid")
+
+    def num(cid, sql, col=None):
+        d = eng.sql(sql)
+        c = col or d.columns[0]
+        return d.select(F.lit(cid).alias("cid"),
+                        F.col(c).cast("double").alias("vnum"),
+                        F.lit(None).cast("string").alias("vstr"))
+
+    def txt(cid, sql, col=None):
+        d = eng.sql(sql)
+        c = col or d.columns[0]
+        return d.select(F.lit(cid).alias("cid"),
+                        F.lit(None).cast("double").alias("vnum"),
+                        F.col(c).cast("string").alias("vstr"))
+
+    arith = ["1/1", "1/1.", "cast((1) as integer)/1.",
+             "1./cast((1) as integer)", "1.5+1", "(1*1)+1.5", "1+1",
+             "cast(1 as integer)+ 1234567890123",
+             "cast(1 as integer)* 1234567890123"]
+    cases = [
+        txt("distinct_where",
+            "SELECT DISTINCT cls FROM pages WHERE FID < 350"),
+        num("agg_max", "SELECT MAX(FID) FROM pages"),
+        num("agg_min", "SELECT MIN(FID) FROM pages"),
+        num("agg_avg", "SELECT ROUND(AVG(lat), 6) FROM pages"),
+        num("agg_cnt", "SELECT COUNT(*) FROM pages"),
+        num("agg_sd", "SELECT ROUND(STDDEV_POP(lat), 6) FROM pages"),
+        num("agg_sds", "SELECT ROUND(STDDEV_SAMP(lat), 6) FROM pages"),
+        num("fid_in", "SELECT FID FROM pages WHERE FID IN (14, 35, 77)"),
+        txt("quoted_tbl", 'SELECT url FROM "pages" WHERE FID = 21'),
+        num("like_cs",
+            "SELECT COUNT(*) FROM pages WHERE url LIKE 'HTTPS%'"),
+        num("ilike_ci", "SELECT COUNT(*) FROM pages "
+                        "WHERE url ILIKE 'HTTPS://SITE7%'"),
+        num("max_empty", "SELECT MAX(FID) FROM pages WHERE FID < 0"),
+        txt("distinct_empty",
+            "SELECT DISTINCT cls FROM pages WHERE FID < 0"),
+    ] + [
+        num(f"ar_{i + 1}",
+            f"SELECT {expr} AS result FROM pages LIMIT 1")
+        for i, expr in enumerate(arith)
+    ] + [
+        num("div_zero", "SELECT FID / 0 FROM pages WHERE FID = 77"),
+        num("div_trunc_neg",
+            "SELECT (0 - FID) / 3 FROM pages WHERE FID = 77"),
+        num("str_promote", "SELECT FID FROM pages WHERE FID = '35'"),
+        num("union_arms", "SELECT FID FROM pages WHERE FID = 7 "
+                          "UNION ALL SELECT FID FROM pages WHERE FID = 14"),
+        txt("cast_char", "SELECT CAST(FID AS CHARACTER(10)) "
+                         "FROM pages WHERE FID = 42"),
+        num("between",
+            "SELECT FID FROM pages WHERE FID BETWEEN 30 AND 56"),
+        num("cls_null",
+            "SELECT FID FROM pages WHERE cls IS NULL AND FID < 350"),
+        txt("substr_concat",
+            "SELECT CONCAT(SUBSTR(url, 9, 5), '|', CONCAT(cls, '_x')) "
+            "FROM pages WHERE FID = 56"),
+        txt("join_first", "SELECT lut.label FROM pages "
+                          "JOIN lut ON pages.cls = lut.cls "
+                          "WHERE pages.FID = 63", col="label"),
+        num("order_lim_off", "SELECT FID FROM pages WHERE FID < 350 "
+                             "ORDER BY FID DESC LIMIT 3 OFFSET 2"),
+    ]
+    out = cases[0]
+    for c in cases[1:]:
+        out = out.unionByName(c)
+    return out
+
+
 @_reg("st_transform_projstr", f"""
 {_pts_cte()}
 SELECT doc_id,

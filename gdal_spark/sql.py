@@ -27,9 +27,28 @@ here:
     GROUP BY return exactly one record — Spark's native behavior.
   * double-quoted identifiers rewrite to backticks.
 
-Unsupported (documented): OGRSQL's truncating integer division and the
-implicit string casts of ``swq_expr_node::Evaluate`` are NOT emulated —
-expressions follow Spark SQL typing.
+  * **truncating integer division** (swq_op_general.cpp:678-693 + the
+    SWQGeneralChecker promotion at :1482-1492): ``a / b`` with BOTH
+    operands integer-typed is C integer division truncating toward zero,
+    and division by zero yields INT_MAX instead of NULL/error. Rewritten
+    to ``CASE WHEN b = 0 THEN 2147483647 ELSE a DIV b END`` when a small
+    static type scan proves both operands integral (integer literals,
+    integer-typed registered columns, CAST(... AS INTEGER/BIGINT),
+    parenthesized integer expressions); anything unprovable keeps Spark's
+    float division — the same promotion rule the reference applies.
+  * **string-constant-to-numeric promotion**
+    (SWQAutoConvertStringToNumeric, swq_op_general.cpp:1327): a string
+    LITERAL compared against a numeric expression converts to FLOAT, so
+    ``int_field = '5.0'`` matches. Rewritten by CASTing the literal to
+    DOUBLE when the opposite comparison operand is a numeric column.
+  * **UNION ALL** (swq_select.cpp PreparseSelect): each SELECT arm is
+    translated independently (its own FROM binding for special fields).
+  * **CAST type spellings** (swq parser): CHARACTER(n) -> STRING,
+    NUMERIC(p,s) -> DECIMAL(p,s).
+
+Unsupported (documented): chained integer division (``a/b/c`` falls back
+to float after the first rewrite), INT_MAX on integer ``%% 0`` (Spark
+NULL), and SWQAutoPromoteStringToDateTime.
 """
 
 from __future__ import annotations
@@ -55,14 +74,29 @@ class OgrSqlEngine:
         self._fid: dict[str, str] = {}
         self._geom: dict[str, str] = {}
         self._cols: dict[str, list[str]] = {}
+        self._types: dict[str, dict[str, str]] = {}
         st.register_all(spark)
 
     def register(self, name: str, df: DataFrame, fid_col: str = "fid",
                  geom_col: str = "geom") -> None:
+        from pyspark.sql import types as T
         df.createOrReplaceTempView(name)
         self._fid[name] = fid_col
         self._geom[name] = geom_col
         self._cols[name] = list(df.columns)
+        kinds = {}
+        for f in df.schema.fields:
+            if isinstance(f.dataType, (T.ByteType, T.ShortType,
+                                       T.IntegerType, T.LongType,
+                                       T.BooleanType)):
+                kinds[f.name.lower()] = "int"
+            elif isinstance(f.dataType, (T.FloatType, T.DoubleType,
+                                         T.DecimalType)):
+                kinds[f.name.lower()] = "float"
+            else:
+                kinds[f.name.lower()] = "other"
+        self._types = getattr(self, "_types", {})
+        self._types[name] = kinds
 
     def sql(self, query: str) -> DataFrame:
         return self.spark.sql(self.translate(query))
@@ -71,28 +105,157 @@ class OgrSqlEngine:
 
     def translate(self, query: str) -> str:
         """OGRSQL text -> Spark SQL text (exposed for tests/PLANS). Every
-        rewrite — special fields, ILIKE toggle, identifier quoting AND the
-        first-match-join rewrite — applies only OUTSIDE single-quoted
-        string literals."""
+        rewrite — special fields, ILIKE toggle, identifier quoting, the
+        first-match-join rewrite, truncating integer division and the
+        string-constant promotion — applies only OUTSIDE single-quoted
+        string literals. UNION ALL arms translate independently
+        (swq_select.cpp PreparseSelect chains selects)."""
+        arms = self._split_union_all(query)
+        return " UNION ALL ".join(self._translate_one(a) for a in arms)
+
+    @staticmethod
+    def _split_union_all(query: str) -> list[str]:
+        parts = _split_literals(query)
+        arms, cur = [], []
+        for is_lit, seg in parts:
+            if is_lit:
+                cur.append(seg)
+                continue
+            pos = 0
+            for m in re.finditer(r"(?i)\bUNION\s+ALL\b", seg):
+                cur.append(seg[pos:m.start()])
+                arms.append("".join(cur))
+                cur = []
+                pos = m.end()
+            cur.append(seg[pos:])
+        arms.append("".join(cur))
+        return arms
+
+    def _translate_one(self, query: str) -> str:
         parts = _split_literals(query)
         # resolve the unqualified-special-field table from the whole
         # de-literaled text (a literal between SELECT and FROM must not
         # hide the FROM clause from earlier segments)
         sql_text = "".join(seg for is_lit, seg in parts if not is_lit)
-        m = re.search(r"(?i)\bFROM\s+([A-Za-z_]\w*)", sql_text)
-        default_tbl = m.group(1) if m else None
+        m = re.search(r"(?i)\bFROM\s+([A-Za-z_\"]\w*)", sql_text)
+        default_tbl = m.group(1).strip('"') if m else None
         out = []
         for is_lit, seg in parts:
             if is_lit:
-                out.append(seg)
+                out.append((True, seg))
                 continue
             seg = _DQUOTE.sub(lambda m: "`%s`" % m.group(1), seg)
             seg = self._rewrite_special_fields(seg, default_tbl)
+            seg = _rewrite_cast_types(seg)
+            seg = _rewrite_float_literals(seg)
+            seg = self._rewrite_int_div(seg, default_tbl)
             if self.like_as_ilike:
                 seg = re.sub(r"(?i)(?<![\w])LIKE(?![\w])", "ILIKE", seg)
             seg = self._rewrite_joins(seg)
-            out.append(seg)
+            out.append((False, seg))
+        return "".join(self._promote_string_constants(out, default_tbl))
+
+    # -- OGR type-promotion rewrites ----------------------------------------
+
+    def _col_kind(self, tok: str, default_tbl) -> str:
+        """'int' | 'float' | 'other' | '' for a (possibly qualified)
+        column token against the registered layer schemas."""
+        tok = tok.strip().strip("`").lower()
+        if "." in tok:
+            t, c = tok.split(".", 1)
+            return self._types.get(t, {}).get(c.strip("`"), "")
+        for t in ([default_tbl.lower()] if default_tbl else []) \
+                + [k for k in self._types if not default_tbl
+                   or k != default_tbl.lower()]:
+            k = self._types.get(t, {}).get(tok)
+            if k:
+                return k
+        return ""
+
+    def _operand_kind(self, expr: str, default_tbl) -> str:
+        """Static SWQ-style type of a scalar operand expression: 'int',
+        'float' or '' (unknown). Mirrors SWQGeneralChecker's promotion
+        inputs — integer literals, integer columns, CAST AS
+        INTEGER/BIGINT and +-*% combinations stay integral."""
+        e = expr.strip()
+        if not e:
+            return ""
+        if re.fullmatch(r"\d+", e):
+            return "int"
+        if re.fullmatch(r"\d*\.\d*([eE][-+]?\d+)?|\d+[eE][-+]?\d+", e):
+            return "float"
+        m = re.fullmatch(r"(?is)cast\s*\((.*)\s+as\s+([A-Za-z0-9_() ,]+)\)",
+                         e)
+        if m:
+            ty = m.group(2).strip().lower()
+            if ty.startswith(("int", "bigint", "smallint", "tinyint",
+                              "boolean")):
+                return "int"
+            if ty.startswith(("float", "double", "real", "numeric",
+                              "decimal")):
+                return "float"
+            return "other"
+        if e.startswith("(") and e.endswith(")"):
+            inner = e[1:-1]
+            if "/" in inner:
+                return "float"
+            kinds = [self._operand_kind(t, default_tbl)
+                     for t in re.split(r"[-+*%]", inner) if t.strip()]
+            if kinds and all(k == "int" for k in kinds):
+                return "int"
+            if kinds and all(k in ("int", "float") for k in kinds):
+                return "float"
+            return ""
+        if re.fullmatch(r"[A-Za-z_][\w.`]*", e):
+            return self._col_kind(e, default_tbl)
+        return ""
+
+    def _rewrite_int_div(self, seg: str, default_tbl) -> str:
+        """a / b with both operands provably integral -> C truncating
+        division with the reference's INT_MAX on division by zero
+        (swq_op_general.cpp:678-693)."""
+        out = []
+        pos = 0
+        for m in re.finditer(r"/", seg):
+            i = m.start()
+            lhs, l0 = _scan_operand_back(seg, i)
+            rhs, r1 = _scan_operand_fwd(seg, i + 1)
+            if lhs is None or rhs is None or l0 < pos:
+                continue
+            if self._operand_kind(lhs, default_tbl) == "int" \
+                    and self._operand_kind(rhs, default_tbl) == "int":
+                out.append(seg[pos:l0])
+                out.append(f"CASE WHEN {rhs} = 0 THEN 2147483647 "
+                           f"ELSE {lhs} DIV {rhs} END")
+                pos = r1
+        out.append(seg[pos:])
         return "".join(out)
+
+    def _promote_string_constants(self, parts, default_tbl):
+        """SWQAutoConvertStringToNumeric: a string literal compared to a
+        numeric column promotes to FLOAT — CAST the literal to DOUBLE."""
+        cmp_back = re.compile(
+            r"([A-Za-z_][\w.`]*)\s*(=|<>|!=|<=|>=|<|>)\s*$")
+        cmp_fwd = re.compile(
+            r"^\s*(=|<>|!=|<=|>=|<|>)\s*([A-Za-z_][\w.`]*)")
+        segs = [s for _l, s in parts]
+        for i, (is_lit, seg) in enumerate(parts):
+            if not is_lit:
+                continue
+            promote = False
+            if i > 0 and not parts[i - 1][0]:
+                m = cmp_back.search(segs[i - 1])
+                if m and self._col_kind(m.group(1), default_tbl) in (
+                        "int", "float"):
+                    promote = True
+            if not promote and i + 1 < len(parts) and not parts[i + 1][0]:
+                m = cmp_fwd.match(segs[i + 1])
+                if m and self._col_kind(m.group(2), default_tbl) in (
+                        "int", "float"):
+                    promote = True
+            if promote:
+                segs[i] = f"CAST({seg} AS DOUBLE)"
+        return segs
 
     def _rewrite_special_fields(self, seg: str, default_tbl) -> str:
         """FID / OGR_GEOMETRY / OGR_GEOM_WKT / OGR_GEOM_AREA, optionally
@@ -154,6 +317,101 @@ class OgrSqlEngine:
 
 
 _DQUOTE = re.compile(r'"([^"]*)"')
+
+
+def _rewrite_cast_types(seg: str) -> str:
+    """OGRSQL cast type spellings -> Spark: CHARACTER(n)/CHARACTER ->
+    STRING (the width is formatting metadata in OGR, not CHAR padding),
+    NUMERIC(p,s) -> DECIMAL(p,s)."""
+    seg = re.sub(r"(?i)\bCHARACTER\s*\(\s*\d+\s*\)", "STRING", seg)
+    seg = re.sub(r"(?i)\bCHARACTER\b", "STRING", seg)
+    seg = re.sub(r"(?i)\bNUMERIC\s*\(", "DECIMAL(", seg)
+    return seg
+
+
+def _rewrite_float_literals(seg: str) -> str:
+    """swq lexes any numeric literal containing '.' or an exponent as
+    SWQ_FLOAT (C double); Spark parses `1.` / `1.5` as DECIMAL. Append
+    the D suffix so the literal IS a double."""
+    return re.sub(
+        r"(?<![\w.`])(\d+\.\d*(?:[eE][-+]?\d+)?|\.\d+(?:[eE][-+]?\d+)?"
+        r"|\d+[eE][-+]?\d+)(?![\w.])",
+        r"\1D", seg)
+
+
+def _scan_operand_back(s: str, i: int):
+    """Scalar operand ending just before s[i] -> (text, start) or
+    (None, i): identifier/number, optionally a parenthesized tail, and a
+    function-call head (cast(...) etc.)."""
+    j = i
+    while j > 0 and s[j - 1] in " \t\n":
+        j -= 1
+    end = j
+    if j > 0 and s[j - 1] == ")":
+        depth = 0
+        while j > 0:
+            j -= 1
+            if s[j] == ")":
+                depth += 1
+            elif s[j] == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+        if depth != 0:
+            return None, i
+        # function-call head?
+        k = j
+        while k > 0 and (s[k - 1].isalnum() or s[k - 1] in "_."):
+            k -= 1
+        start = k if k < j else j
+        return s[start:end], start
+    k = j
+    while k > 0 and (s[k - 1].isalnum() or s[k - 1] in "_.`"):
+        k -= 1
+    if k == j:
+        return None, i
+    return s[k:end], k
+
+
+def _scan_operand_fwd(s: str, i: int):
+    """Scalar operand starting at/after s[i] -> (text, end) or (None, i)."""
+    n = len(s)
+    j = i
+    while j < n and s[j] in " \t\n":
+        j += 1
+    start = j
+    m = re.match(r"[A-Za-z_][\w.`]*", s[j:])
+    if m:
+        j += m.end()
+        if j < n and s[j] == "(":            # function call
+            depth = 0
+            while j < n:
+                if s[j] == "(":
+                    depth += 1
+                elif s[j] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        j += 1
+                        break
+                j += 1
+        return s[start:j], j
+    if j < n and s[j] == "(":
+        depth = 0
+        while j < n:
+            if s[j] == "(":
+                depth += 1
+            elif s[j] == ")":
+                depth -= 1
+                if depth == 0:
+                    j += 1
+                    break
+            j += 1
+        return s[start:j], j
+    m = re.match(r"\d+\.\d*([eE][-+]?\d+)?|\.\d+([eE][-+]?\d+)?"
+                 r"|\d+([eE][-+]?\d+)?", s[j:])
+    if m:
+        return s[start:j + m.end()], j + m.end()
+    return None, i
 
 
 def _split_literals(query: str):

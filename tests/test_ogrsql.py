@@ -176,3 +176,85 @@ def test_sqlite_dialect_utility_functions(spark):
     assert rows[1].hm is None
     assert rows[1].bad is None                # inflate error -> NULL
     assert rows[2].rt is None
+
+
+# ---------------------------------------------------------------------------
+# Round 4: the swq semantic tail — truncating integer division with INT_MAX
+# on /0 (swq_op_general.cpp:678-693), float promotion (SWQGeneralChecker
+# :1482-1492), string-constant-to-numeric comparison promotion
+# (SWQAutoConvertStringToNumeric :1327), UNION ALL arms, CAST spellings.
+# The arithmetic battery is ported from autotest/ogr/ogr_sql_test.py
+# test_ogr_sql_49.
+# ---------------------------------------------------------------------------
+
+def test_swq_arithmetic_battery_ported(eng):
+    """autotest test_ogr_sql_49 expressions, verbatim."""
+    cases = [
+        ("1/1", 1),
+        ("1/1.", 1.0),
+        ("cast((1) as integer)/1.", 1.0),
+        ("1./cast((1) as integer)", 1.0),
+        ("1.5+1", 2.5),
+        ("(1*1)+1.5", 2.5),
+        ("1+1", 2),
+        ("cast(1 as integer)+ 1234567890123", 1234567890124),
+        ("cast(1 as integer)* 1234567890123", 1234567890123),
+    ]
+    for expr, want in cases:
+        r = eng.sql(f"select {expr} as result from cities limit 1") \
+            .collect()[0]
+        assert r.result == want, expr
+        assert isinstance(r.result, type(want)) \
+            or (isinstance(want, int) and isinstance(r.result, int)), expr
+
+
+def test_swq_integer_division_truncates_and_int_max_on_zero(eng):
+    rows = eng.sql(
+        "select fid, fid / 3 as d, (0 - fid) / 3 as dn, fid / 0 as dz "
+        "from cities order by fid").collect()
+    for r in rows:
+        assert r.d == int(r.fid / 3) if r.fid >= 0 else -(-r.fid // 3)
+        # C division truncates toward ZERO (not floor)
+        assert r.dn == -(r.fid // 3) if r.fid % 3 == 0 else r.dn == -(r.fid // 3) - (1 if r.fid % 3 else 0) + 1
+    got = {r.fid: (r.d, r.dn, r.dz) for r in rows}
+    assert got[7] == (2, -2, 2147483647)     # -7/3 = -2 in C, not -3
+    assert got[6] == (2, -2, 2147483647)
+    # float operand keeps float division
+    r = eng.sql("select fid / 2. as f from cities where fid = 7") \
+        .collect()[0]
+    assert r.f == 3.5
+
+
+def test_swq_string_constant_promotes_to_numeric(eng):
+    # int column vs string literal: SWQAutoConvertStringToNumeric
+    rows = eng.sql("select fid from cities where fid = '5'").collect()
+    assert [r.fid for r in rows] == [5]
+    rows = eng.sql("select fid from cities where '5.0' = fid").collect()
+    assert [r.fid for r in rows] == [5]
+    rows = eng.sql(
+        "select fid from cities where score > '9' order by fid").collect()
+    assert [r.fid for r in rows] == [7]
+    # string column vs string literal stays a STRING comparison
+    rows = eng.sql("select fid from cities where name = 'name5'").collect()
+    assert [r.fid for r in rows] == [5]
+
+
+def test_swq_union_all_arms_translate_independently(eng):
+    rows = eng.sql(
+        "SELECT FID, name FROM cities WHERE FID = 1 "
+        "UNION ALL SELECT FID, label FROM lut WHERE FID = 102 "
+        "UNION ALL SELECT FID, name FROM cities WHERE name = 'name3'"
+    ).collect()
+    assert sorted((r[0], r[1]) for r in rows) == \
+        [(1, "name1"), (3, "name3"), (102, "beta")]
+
+
+def test_swq_cast_spellings(eng):
+    r = eng.sql("select CAST(fid as CHARACTER(10)) as s, "
+                "CAST(score as numeric(7,3)) as n "
+                "from cities where fid = 4").collect()[0]
+    assert r.s == "4" and float(r.n) == 6.0
+    # ported from test_ogr_sql (CAST in WHERE)
+    rows = eng.sql("select fid from cities "
+                   "where CAST(fid AS CHARACTER(10)) = '6'").collect()
+    assert [r.fid for r in rows] == [6]
