@@ -303,6 +303,8 @@ def _cmd_gdal2tiles(argv) -> int:
     ap.add_argument("-tile", type=int, default=256)
     ap.add_argument("--kml", action="store_true")
     ap.add_argument("-r", "--resampling", default="average")
+    ap.add_argument("--tiledriver", default="PNG",
+                    choices=["PNG", "JPEG"])
     a = ap.parse_args(argv)
     from pyspark.sql import functions as F
     from .raster.superoverlay import write_kml_superoverlay
@@ -310,8 +312,9 @@ def _cmd_gdal2tiles(argv) -> int:
     spark = _spark()
     t = open_raster(spark, a.src, tile=a.tile) \
         .withColumn("zoom", F.lit(a.zoom))
-    tiles = write_kml_superoverlay(t, a.dst, max_zoom=a.zoom,
-                                   tile=a.tile, resampling=a.resampling)
+    tiles = write_kml_superoverlay(
+        t, a.dst, max_zoom=a.zoom, tile=a.tile, resampling=a.resampling,
+        fmt="jpg" if a.tiledriver == "JPEG" else "png")
     if not a.kml:
         for z, x, y in tiles:
             kml = os.path.join(a.dst, str(z), str(x), f"{y}.kml")

@@ -71,6 +71,57 @@ def prepare_pages(spark: SparkSession, n: int, path: str,
     df.write.mode("overwrite").parquet(path)
 
 
+def prepare_documents(spark: SparkSession, n: int, path: str,
+                      partitions: int | None = None,
+                      vocab: int = 30000, dup_every: int = 13) -> None:
+    """Materialize a deterministic synthetic web corpus (doc_id, text)
+    for the curation-job scaling runs — pure JVM column math, no UDF, so
+    generation itself scales with cores and any engine can replay it.
+
+    Shape matches what the curation stages exercise: 3-8 newline-split
+    lines per page, 6-14 words per line with terminal '.', a ~1/13 exact-
+    duplicate rate (doc copies the text of the previous dup_every-block
+    anchor — exercises exact dedup AND MinHash clustering), plus the C4
+    trip-markers (javascript lines, lorem ipsum, '{') on deterministic
+    doc_id residues like the q_c4_filters webifier."""
+    parts = partitions or 64
+    d = spark.range(0, n, 1, parts).select(F.col("id").alias("doc_id"))
+    base = F.when(F.col("doc_id") % dup_every == 1,
+                  F.col("doc_id") - 1).otherwise(F.col("doc_id"))
+    # 5-7 lines x 7-12 words keeps pages inside the Gopher envelope
+    # (30 <= n_words <= 95); alternating 'the'/'and' line openers give
+    # stop_ratio >= 0.02 without any single word crossing top_frac 0.15
+    nl = (base % 3 + 5).cast("int")
+
+    # word identity must be a REAL hash of (doc, line, position): any
+    # linear-congruential scheme is periodic mod `vocab`, which silently
+    # collapses an n-doc corpus to ~vocab distinct texts (and makes every
+    # doc's word sequence an arithmetic progression that cross-links
+    # MinHash shingles corpus-wide). md5 is JVM column math and the
+    # dedup stages downstream do far more hashing per doc than this.
+    def word(j, i):
+        k = F.pmod(F.conv(F.substring(F.md5(F.concat_ws(
+            "_", base.cast("string"), j.cast("string"),
+            i.cast("string"))), 1, 8), 16, 10).cast("long"), vocab)
+        return F.concat(F.lit("w"), k.cast("string"))
+
+    def line(j):
+        nw = (F.pmod(base + j * 7, 6) + 6).cast("int")
+        opener = F.when(j % 2 == 0, F.lit("the")).otherwise(F.lit("and"))
+        body = F.concat(opener, F.lit(" "), F.concat_ws(" ", F.transform(
+            F.sequence(F.lit(0), nw - 1), lambda i: word(j, i))))
+        body = F.when((base % 97 == 3) & (j == 1),
+                      F.concat(F.lit("javascript "), body)).otherwise(body)
+        body = F.when((base % 89 == 5) & (j == 0),
+                      F.concat(body, F.lit(" lorem ipsum"))).otherwise(body)
+        return F.concat(body, F.lit("."))
+
+    text = F.concat_ws("\n", F.transform(
+        F.sequence(F.lit(0), nl - 1), line))
+    d = d.select("doc_id", text.alias("text"))
+    d.write.mode("overwrite").parquet(path)
+
+
 def cell_bbox_predicate(xmin: float, ymin: float, xmax: float, ymax: float,
                         zoom: int = LAYOUT_ZOOM, cell_col: str = "cell",
                         max_ranges: int = 64):

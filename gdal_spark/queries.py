@@ -6009,3 +6009,122 @@ def q_pnm_roundtrip(spark, sf_dir):
     return rows.select(F.col("x").cast("long").alias("x"),
                        F.col("y").cast("long").alias("y"),
                        F.col("value").cast("double").alias("v"))
+
+
+@_reg("netcdf_roundtrip", _DENSITY_VALS_SQL.replace(
+    "vals AS (SELECT", "vals AS (SELECT g.x, g.y,") + """
+SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y, v
+FROM vals
+""")
+def q_netcdf_roundtrip(spark, sf_dir):
+    """NetCDF classic (CDF-1) round trip (frmts/netcdf over the public
+    Unidata classic format; sources/netcdf.py): the 64x64 density
+    raster writes as one fixed float64 variable — header driver-side,
+    row slabs pwritten by executors — and reads back through the
+    byte-range distributed parser; the oracle recomputes every cell.
+    Dimension names and attributes are pinned by tests/test_netcdf.py
+    against the autotest bug636.nc checksum (31621)."""
+    import os
+    import tempfile
+
+    from .raster.tiles import gdal2xyz
+    from .sources.netcdf import read_netcdf, write_netcdf
+
+    t = _density_tiles_full(spark, sf_dir)
+    path = os.path.join(tempfile.gettempdir(),
+                        f"gdal_spark_nc_{os.getpid()}.nc")
+    write_netcdf(t, path, width=64, height=64, var="density", tile=8,
+                 atts={"units": "pages"})
+    back, _meta = read_netcdf(spark, path, var="density", tile=8)
+    rows = gdal2xyz(back, tile=8)
+    return rows.select(F.col("x").cast("long").alias("x"),
+                       F.col("y").cast("long").alias("y"),
+                       F.col("value").cast("double").alias("v"))
+
+
+@_reg("jpeg_roundtrip", f"""
+{_pts_cte()},
+c AS (SELECT CAST(floor((lon + 180.0) / 45.0) AS BIGINT) AS bx,
+             CAST(floor((90.0 - lat) / 22.5) AS BIGINT) AS by,
+             count(*) AS n
+      FROM pts GROUP BY 1, 2),
+g AS (SELECT gx.range AS bx, gy.range AS by
+      FROM range(8) gx, range(8) gy)
+SELECT g.bx, g.by,
+       CAST(20 + COALESCE(c.n, 0) % 200 AS DOUBLE) AS v
+FROM g LEFT JOIN c ON c.bx = g.bx AND c.by = g.by
+""")
+def q_jpeg_roundtrip(spark, sf_dir):
+    """JPEG codec round trip through the engine surfaces (the
+    reference's frmts/jpeg over libjpeg; sources/jpeg.py here): an 8x8
+    grid of page-density counts becomes a 64x64 grayscale image whose
+    8x8 JPEG blocks are each CONSTANT — at quality=100 the scaled
+    Annex-K table is all ones, a constant block is DC-only, and the
+    integer DC path (float DCT -> round -> islow IDCT DESCALE) is
+    EXACT — so the lossy codec round-trips these values bit-perfectly
+    and the DuckDB oracle can recompute them relationally. The decode
+    side is the same code path pinned bit-exact to libjpeg by the
+    albania.jpg / JPEG-in-TIFF checksum tests."""
+    import os
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from .raster.tiles import TILE_SCHEMA, decode_px, encode_px
+    from .sources import save_raster
+    from .sources.jpeg import read_jpeg
+
+    p = datagen.points(spark, sf_dir)
+    cnt = (p.select(
+        F.floor((F.col("lon") + 180.0) / 45.0).cast("long").alias("bx"),
+        F.floor((90.0 - F.col("lat")) / 22.5).cast("long").alias("by"))
+        .groupBy("bx", "by").agg(F.count("*").alias("n")))
+
+    def build(key, pdf):
+        v = float(20 + int(pdf["n"].iloc[0]) % 200)
+        arr = np.full((8, 8), v, np.float64)
+        return pd.DataFrame(
+            [(1, 0, int(key[0]), int(key[1]), "float64", None,
+              encode_px(arr))],
+            columns=[f.name for f in TILE_SCHEMA.fields])
+
+    tiles = cnt.groupBy("bx", "by").applyInPandas(build, TILE_SCHEMA)
+    # cells with no pages: fill the missing tiles with the 20.0 base
+    grid = spark.range(8).selectExpr("id AS bx").crossJoin(
+        spark.range(8).selectExpr("id AS by"))
+    missing = grid.join(cnt, ["bx", "by"], "left_anti")
+
+    def build_empty(key, pdf):
+        arr = np.full((8, 8), 20.0, np.float64)
+        return pd.DataFrame(
+            [(1, 0, int(key[0]), int(key[1]), "float64", None,
+              encode_px(arr))],
+            columns=[f.name for f in TILE_SCHEMA.fields])
+
+    tiles = tiles.unionByName(
+        missing.groupBy("bx", "by").applyInPandas(build_empty,
+                                                  TILE_SCHEMA))
+    path = os.path.join(tempfile.gettempdir(),
+                        f"gdal_spark_jpg_{os.getpid()}.jpg")
+    save_raster(tiles, path, tile=8, quality=100)
+    back, _meta = read_jpeg(spark, path, tile=8)
+
+    out_schema = T.StructType([T.StructField("bx", T.LongType()),
+                               T.StructField("by", T.LongType()),
+                               T.StructField("v", T.DoubleType())])
+
+    def to_rows(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                a = decode_px(r.px, r.dtype, 8)
+                if a.max() != a.min():
+                    raise ValueError("JPEG block not constant after "
+                                     "roundtrip")
+                rows.append((int(r.tile_x), int(r.tile_y),
+                             float(a[0, 0])))
+            yield pd.DataFrame(rows, columns=["bx", "by", "v"])
+
+    return back.mapInPandas(to_rows, out_schema)

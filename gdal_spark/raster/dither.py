@@ -41,6 +41,17 @@ reference's own implementation is fully sequential, so equal per-tile
 throughput beats it whenever the wave width exceeds 1, with bit-identical
 pixels (pinned by GDAL's own rgbsmall golden: median-cut table + dither
 checksum 8803, autotest/alg/dither.py:49).
+
+SCALE CEILING (documented on purpose): the driver schedules one Spark
+job per anti-diagonal — O(tiles_x + tiles_y) sequential job launches,
+each collecting only the O(tile)-byte boundary strips (~6 KB/tile), so
+driver MEMORY is flat but wall time has a floor of n_waves x job-launch
+latency (~50-100 ms/job).  A 100k x 100k image at tile=1024 is ~200
+waves ≈ tens of seconds of scheduling floor on top of the pixel work —
+acceptable because the recurrence is inherently sequential along the
+diagonal (the reference pays the FULL serial scan instead).  If that
+floor ever matters, the fix is coarser tiles (waves shrink linearly),
+not more executors.
 """
 
 from __future__ import annotations

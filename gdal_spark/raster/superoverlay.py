@@ -39,7 +39,7 @@ def _latlonbox(z, x, y) -> str:
             f"<east>{lon1!r}</east><west>{lon0!r}</west>")
 
 
-def _tile_kml(z, x, y, children, max_zoom) -> str:
+def _tile_kml(z, x, y, children, max_zoom, ext="png") -> str:
     max_lod = -1 if z == max_zoom else 2048
     box = _latlonbox(z, x, y)
     parts = ['<?xml version="1.0" encoding="UTF-8"?>',
@@ -48,7 +48,7 @@ def _tile_kml(z, x, y, children, max_zoom) -> str:
              f"<Lod><minLodPixels>128</minLodPixels>"
              f"<maxLodPixels>{max_lod}</maxLodPixels></Lod></Region>",
              f"<GroundOverlay><drawOrder>{z}</drawOrder>"
-             f"<Icon><href>{y}.png</href></Icon>"
+             f"<Icon><href>{y}.{ext}</href></Icon>"
              f"<LatLonBox>{box}</LatLonBox></GroundOverlay>"]
     for cz, cx, cy in children:
         cbox = _latlonbox(cz, cx, cy)
@@ -67,12 +67,16 @@ def _tile_kml(z, x, y, children, max_zoom) -> str:
 
 def write_kml_superoverlay(base: DataFrame, out_dir: str, max_zoom: int,
                            tile: int = 256, resampling: str = "average",
-                           png_dtype: str = "u1") -> list:
+                           png_dtype: str = "u1",
+                           fmt: str = "png") -> list:
     """Base tile table (at zoom `max_zoom`) -> SuperOverlay directory:
     {z}/{x}/{y}.png + {z}/{x}/{y}.kml per tile, doc.kml at the root.
-    Returns the [(z, x, y)] tile list. PNGs (and the whole pyramid
-    reduction) are computed and written by executors."""
+    Returns the [(z, x, y)] tile list. Tile images (and the whole
+    pyramid reduction) are computed and written by executors;
+    fmt='jpg' uses the baseline JPEG codec (gdal2tiles --tiledriver
+    JPEG / the reference's JPEG SuperOverlays)."""
     from ..sources.png import encode_png
+    ext = "jpg" if fmt in ("jpg", "jpeg") else "png"
 
     pyr = build_pyramid(base, levels=max_zoom, resampling=resampling,
                         tile=tile)
@@ -86,8 +90,13 @@ def write_kml_superoverlay(base: DataFrame, out_dir: str, max_zoom: int,
                else np.stack([planes[b] for b in bands], axis=2))
         d = os.path.join(out_dir, str(z), str(tx))
         os.makedirs(d, exist_ok=True)
-        with open(os.path.join(d, f"{ty}.png"), "wb") as f:
-            f.write(encode_png(arr.astype(png_dtype)))
+        if ext == "jpg":
+            from ..sources.jpeg import encode_jpeg
+            blob = encode_jpeg(arr.astype("u1"))
+        else:
+            blob = encode_png(arr.astype(png_dtype))
+        with open(os.path.join(d, f"{ty}.{ext}"), "wb") as f:
+            f.write(blob)
         return pd.DataFrame([(z, tx, ty)], columns=["z", "tx", "ty"])
 
     tiles = [(int(r.z), int(r.tx), int(r.ty))
@@ -101,7 +110,7 @@ def write_kml_superoverlay(base: DataFrame, out_dir: str, max_zoom: int,
                     if (z + 1, cx, cy) in have]
         with open(os.path.join(out_dir, str(z), str(x), f"{y}.kml"),
                   "w") as f:
-            f.write(_tile_kml(z, x, y, children, max_zoom))
+            f.write(_tile_kml(z, x, y, children, max_zoom, ext))
     min_z = min(z for z, _x, _y in tiles)
     roots = sorted((z, x, y) for z, x, y in tiles if z == min_z)
     doc = ['<?xml version="1.0" encoding="UTF-8"?>',

@@ -158,6 +158,9 @@ def open_raster(spark, path: str, tile: int = 256, **kwargs):
     if low.endswith(".png"):
         from .png import read_png
         return read_png(spark, path, tile=tile, **kwargs)
+    if low.endswith((".jpg", ".jpeg")):
+        from .jpeg import read_jpeg
+        return read_jpeg(spark, path, tile=tile, **kwargs)[0]
     if low.endswith((".asc", ".grd")):
         from .aaigrid import read_aaigrid
         return read_aaigrid(spark, path, tile=tile, **kwargs)
@@ -271,6 +274,10 @@ def save_raster(tiles, path: str, tile: int = 256, **kwargs):
         from .png import write_png
         return write_png(tiles, path, width_px=w, height_px=h, tile=tile,
                          **kwargs)
+    if low.endswith((".jpg", ".jpeg")):
+        from .jpeg import write_jpeg
+        return write_jpeg(tiles, path, width_px=w, height_px=h,
+                          tile=tile, **kwargs)
     if low.endswith((".asc", ".grd")):
         from .aaigrid import write_aaigrid
         return write_aaigrid(tiles, path, width_px=w, height_px=h,

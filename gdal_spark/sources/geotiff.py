@@ -91,8 +91,11 @@ def read_ifd(path: str) -> dict:
         "sample_format": tags.get(SAMPLE_FORMAT, [1])[0],
         "samples": tags.get(SPP, [1])[0],
         "planar": tags.get(PLANAR, [1])[0],
+        "photometric": tags.get(262, [1])[0],
         "endian": e,
     }
+    if 347 in tags:                  # JPEGTables (abbreviated streams)
+        out["jpeg_tables"] = bytes(tags[347][0])
     out["dtype"] = _DTYPES[(out["bits"], out["sample_format"])]
     if TILE_OFF in tags:
         out["layout"] = "tiled"
@@ -266,6 +269,21 @@ def _decode_block(raw: bytes, info: dict, h: int, w: int,
         raw = _unpackbits(raw, expected)
     elif comp == 5:                             # LZW
         raw = _lzw_decode(raw, expected)
+    elif comp == 7:                             # new-style JPEG (TTN2)
+        from .jpeg import decode_jpeg
+        tables = info.get("jpeg_tables")
+        blob = bytes(raw)
+        if tables and len(tables) > 4:
+            # abbreviated streams: tables stream (SOI..EOI) + per-block
+            # stream (SOI..EOI) -> one interchange stream (libjpeg's
+            # jpeg_read_tables + per-tile decompress, jpgdataset.cpp)
+            blob = tables[:-2] + blob[2:]
+        arr = decode_jpeg(blob)[0]
+        a = arr if arr.ndim == 3 else arr[:, :, None]
+        full = np.zeros((h, w, s), np.uint8)
+        hh, ww = min(h, a.shape[0]), min(w, a.shape[1])
+        full[:hh, :ww, :] = a[:hh, :ww, :s]
+        raw = full.tobytes()
     elif comp != 1:
         raise ValueError(
             f"unsupported TIFF compression {info['compression']}")

@@ -352,6 +352,15 @@ def read_gpkg_tiles(spark: SparkSession, path: str,
     def parse(batches):
         import pandas as pd
         from .png import decode_png
+        from .jpeg import decode_jpeg
+
+        def decode_blob(b):
+            # MBTiles/GPKG tile blobs may be PNG or JPEG (frmts/mbtiles
+            # sniffs the same two magics)
+            if b[:2] == b"\xff\xd8":
+                return decode_jpeg(b)
+            return decode_png(b)
+
         for pdf in batches:
             frames = []
             con = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
@@ -362,7 +371,7 @@ def read_gpkg_tiles(spark: SparkSession, path: str,
                             f'SELECT zoom_level, tile_column, tile_row, '
                             f'tile_data FROM "{table}" WHERE rowid '
                             "BETWEEN ? AND ?", (int(r.lo), int(r.hi))):
-                        arr, _m = decode_png(bytes(blob))
+                        arr, _m = decode_blob(bytes(blob))
                         if arr.ndim == 2:
                             rows.append((1, z, tc, tr, arr.dtype.str[1:],
                                          None, encode_px(arr)))
@@ -425,8 +434,13 @@ def write_mbtiles(tiles: DataFrame, path: str, *, tile: int = 256,
                   for r in pdf.itertuples(index=False)}
         arr = (planes[bands[0]] if len(bands) == 1
                else np.stack([planes[b] for b in bands], axis=2))
+        if fmt in ("jpg", "jpeg"):
+            from .jpeg import encode_jpeg
+            blob = encode_jpeg(arr.astype("u1"))
+        else:
+            blob = encode_png(arr.astype(png_dtype))
         return pd.DataFrame(
-            [(z, tx, ty, encode_png(arr.astype(png_dtype)))],
+            [(z, tx, ty, blob)],
             columns=["z", "tx", "ty", "blob"])
 
     rows = ztile.groupBy("zoom", "tile_x", "tile_y") \
@@ -498,6 +512,15 @@ def read_mbtiles(spark: SparkSession, path: str, tile: int = 256,
     def parse(batches):
         import pandas as pd
         from .png import decode_png
+        from .jpeg import decode_jpeg
+
+        def decode_blob(b):
+            # MBTiles/GPKG tile blobs may be PNG or JPEG (frmts/mbtiles
+            # sniffs the same two magics)
+            if b[:2] == b"\xff\xd8":
+                return decode_jpeg(b)
+            return decode_png(b)
+
         for pdf in batches:
             frames = []
             con = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
@@ -508,7 +531,7 @@ def read_mbtiles(spark: SparkSession, path: str, tile: int = 256,
                             "SELECT zoom_level, tile_column, tile_row, "
                             "tile_data FROM tiles WHERE rowid BETWEEN "
                             "? AND ?", (int(r.lo), int(r.hi))):
-                        arr, _m = decode_png(bytes(blob))
+                        arr, _m = decode_blob(bytes(blob))
                         ty = (1 << z) - 1 - tr        # TMS -> XYZ
                         if arr.ndim == 2:
                             rows.append((1, z, tc, ty, arr.dtype.str[1:],

@@ -77,8 +77,13 @@ def main(argv=None) -> int:
 
     def dedup(r):
         d = r.load("clean")
-        exact = d.withColumn(
-            "fp", F.md5(F.col("text"))).dropDuplicates(["fp"]).drop("fp")
+        # keep the LOWEST doc_id per fingerprint (not dropDuplicates,
+        # whose survivor is partitioning-dependent): the published set
+        # must be identical at every cluster size for the scaling gate
+        # and for reproducible curation generally
+        first = d.select(F.md5(F.col("text")).alias("fp"), "doc_id") \
+            .groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+        exact = d.join(first.select("doc_id"), "doc_id")
         comps = textops.minhash_components(exact)
         keep = comps.groupBy("cluster").agg(F.min("doc_id").alias("doc_id"))
         return exact.join(keep.select("doc_id"), "doc_id")

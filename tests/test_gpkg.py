@@ -224,3 +224,30 @@ def test_gpkg_tiles_auto_zoom_matrix_holds_extent(spark, tmp_path):
     with pytest.raises(ValueError, match="do not fit"):
         write_gpkg_tiles(raster_to_tiles(spark, arr, tile=16),
                          str(tmp_path / "bad.gpkg"), tile=16, zoom=1)
+
+
+def test_mbtiles_jpg_tiles(spark, tmp_path):
+    """MBTiles with format=jpg (frmts/mbtiles reads both PNG and JPEG
+    blobs by magic sniff): blockwise-constant tiles at the encoder's
+    DC-exact path round-trip through the archive."""
+    import sqlite3
+
+    from gdal_spark.raster.tiles import raster_to_tiles, tiles_to_raster
+    from gdal_spark.sources.gpkg import read_mbtiles, write_mbtiles
+
+    # 16x16-constant blocks -> every 8x8 JPEG block constant
+    vals = (np.arange(16).reshape(4, 4).repeat(16, 0).repeat(16, 1)
+            * 13 + 20).astype("f8")
+    path = str(tmp_path / "t.mbtiles")
+    n = write_mbtiles(raster_to_tiles(spark, vals, tile=16), path,
+                      tile=16, zoom=2, fmt="jpg")
+    assert n == 16
+    con = sqlite3.connect(path)
+    blob = con.execute("SELECT tile_data FROM tiles LIMIT 1").fetchone()[0]
+    meta = dict(con.execute("SELECT name, value FROM metadata"))
+    con.close()
+    assert bytes(blob[:2]) == b"\xff\xd8" and meta["format"] == "jpg"
+    back, _ = read_mbtiles(spark, path, tile=16)
+    got = tiles_to_raster(back, tile=16)[:64, :64]
+    # default quality 75: constant blocks quantize near-exactly
+    assert np.abs(got - vals).max() <= 3.0
