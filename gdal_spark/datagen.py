@@ -340,3 +340,89 @@ def convex_centroids_values_sql() -> str:
     vals = ", ".join(f"({int(r.region_id)}, {r.cx!r}, {r.cy!r})"
                      for r in rows.itertuples())
     return f"(VALUES {vals}) AS c(region_id, cx, cy)"
+
+
+# ---------------------------------------------------------------------------
+# deterministic image / video payloads (multimodal operators)
+# ---------------------------------------------------------------------------
+# Shared pixel formulas (Spark numpy side == DuckDB SQL side, pure integer):
+#   gray    : ((doc_id*7 + 13*x + 31*y) % 256)
+#   rgb     : ((doc_id*7 + 13*x + 31*y + 97*c) % 256)        c in 0..2
+#   neardup : with c=(doc_id//8)%4, p=(doc_id//32)%3:
+#             (((13+6*c)*x + (31+5*c)*y + p*(40 if x<4 and y<4 else 0)) % 256)
+#             -> within-class aHash Hamming <= 5, cross-class >= 31
+#   frame f : ((doc_id*7 + 11*f + 13*x + 31*y) % 256)
+IMG_W = IMG_H = 16
+VID_W = VID_H = 8
+VID_FRAMES = 4
+
+
+def image_array(doc_id: int, kind: str = "gray") -> "np.ndarray":
+    """One deterministic test image per doc (uint8)."""
+    y, x = np.mgrid[0:IMG_H, 0:IMG_W]
+    if kind == "gray":
+        return ((doc_id * 7 + 13 * x + 31 * y) % 256).astype(np.uint8)
+    if kind == "rgb":
+        chans = [((doc_id * 7 + 13 * x + 31 * y + 97 * c) % 256)
+                 for c in range(3)]
+        return np.stack(chans, axis=-1).astype(np.uint8)
+    if kind == "neardup":
+        c = (doc_id // 8) % 4
+        pert = ((doc_id // 32) % 3) * np.where((x < 4) & (y < 4), 40, 0)
+        return (((13 + 6 * c) * x + (31 + 5 * c) * y + pert) % 256) \
+            .astype(np.uint8)
+    raise ValueError(kind)
+
+
+def doc_images(spark: SparkSession, sf_dir: str, kind: str = "gray",
+               fmt: str = "png", mod: int | None = None,
+               quality: int = 85) -> DataFrame:
+    """(doc_id, payload binary) — per-doc synthetic image encoded with the
+    repo's own codecs, generated executor-side (mapInPandas, map-only)."""
+    import pandas as pd
+
+    d = documents(spark, sf_dir).select("doc_id")
+    if mod:
+        d = d.where(F.col("doc_id") % mod == 0)
+
+    def gen(batches):
+        from .sources.jpeg import encode_jpeg
+        from .sources.png import encode_png
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                arr = image_array(int(did), kind)
+                payloads.append(encode_jpeg(arr, quality=quality)
+                                if fmt == "jpeg" else encode_png(arr))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"),
+                                "payload": pd.Series(payloads,
+                                                     dtype="object")})
+
+    return d.mapInPandas(gen, schema="doc_id long, payload binary")
+
+
+def doc_videos(spark: SparkSession, sf_dir: str,
+               n_frames: int = VID_FRAMES) -> DataFrame:
+    """(doc_id, payload) — VID0 frame container of PNG frames, frame f pixel
+    = (doc_id*7 + 11*f + 13*x + 31*y) % 256 at 8x8 gray."""
+    import pandas as pd
+
+    d = documents(spark, sf_dir).select("doc_id")
+
+    def gen(batches):
+        from .operators.multimodal import pack_video
+        from .sources.png import encode_png
+        y, x = np.mgrid[0:VID_H, 0:VID_W]
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                frames = [encode_png(((did * 7 + 11 * f + 13 * x + 31 * y)
+                                      % 256).astype(np.uint8))
+                          for f in range(n_frames)]
+                payloads.append(pack_video(frames))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"),
+                                "payload": pd.Series(payloads,
+                                                     dtype="object")})
+
+    return d.mapInPandas(gen, schema="doc_id long, payload binary")

@@ -1,20 +1,143 @@
-"""Multimodal (opaque binary) column handling.
+"""Multimodal (image / opaque-binary) column operators — real decode.
 
 Pattern for image/audio/video payloads at 100 TB: carry them as `binary`
 columns with typed metadata alongside, and run decode / feature-extraction /
-resize as Arrow-batched `mapInPandas` stages. The decode step itself is
-STUBBED here (no image/audio libs in this container — clearly marked); the
-Spark-side plumbing (schema, batching, partition-preserving map) is real.
+resize / frame-sampling as Arrow-batched ``mapInPandas`` stages — map-only
+passes that fuse with the scan, no shuffle, no driver round-trips.
+
+Unlike the round-3 stub, decode here is REAL, built on the repo's own
+pure-numpy codecs:
+
+  * PNG  — sources/png.py  (decode_png / encode_png)
+  * JPEG — sources/jpeg.py (decode_jpeg / encode_jpeg, baseline DCT with
+           libjpeg integer arithmetic)
+  * BMP / binary PNM (P5/P6) — compact in-memory decoders below (the
+    path-based tile readers live in sources/bmp.py, sources/pnm.py; these
+    operate on in-row payload bytes instead).
+
+Video remains container-level only: this container has no ffmpeg, so
+``frame_sample`` operates on the engine's own trivial frame container
+(``pack_video``: magic + length-prefixed PNG frames). The sampling shape —
+1->N explode, every-k selection, per-frame decode — is the shape an
+ffmpeg-backed sampler has; only the codec behind each frame would change.
+
+Reference parity: GDAL models exactly this as in-memory raster datasets
+("/vsimem/" + frmts/png, frmts/jpeg, frmts/bmp, frmts/raw/pnmdataset.cpp);
+the average-hash near-dup mirrors the webtext dedup family in
+operators/textops.py (SimHash) applied to pixels.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
+
+# ---------------------------------------------------------------------------
+# format sniffing + in-memory decode
+# ---------------------------------------------------------------------------
+
+def sniff_format(b: bytes) -> str | None:
+    """Magic-number sniff: png / jpeg / bmp / pnm / vid (our frame
+    container) / None."""
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if b[:3] == b"\xFF\xD8\xFF" or b[:2] == b"\xFF\xD8":
+        return "jpeg"
+    if b[:2] == b"BM":
+        return "bmp"
+    if len(b) >= 2 and b[0:1] == b"P" and b[1:2] in b"456":
+        return "pnm"
+    if b[:4] == b"VID0":
+        return "vid"
+    return None
+
+
+def _decode_bmp_bytes(b: bytes) -> np.ndarray:
+    """Uncompressed BITMAPINFOHEADER 8/24-bit BMP bytes -> array.
+
+    In-memory sibling of sources/bmp.py (same layout constants:
+    bottom-up rows, 4-byte row padding, BGR order;
+    /root/reference/frmts/bmp/bmpdataset.cpp BMPInfoHeader).
+    """
+    if b[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (data_off,) = struct.unpack_from("<I", b, 10)
+    (hdr_sz, w, h, _planes, bpp, comp) = struct.unpack_from("<IiihHI", b, 14)
+    if comp != 0:
+        raise ValueError(f"compressed BMP (BI code {comp}) unsupported")
+    if bpp not in (8, 24):
+        raise ValueError(f"BMP bpp {bpp} unsupported")
+    bottom_up = h > 0
+    h = abs(h)
+    nb = bpp // 8
+    stride = (w * nb + 3) & ~3
+    raw = np.frombuffer(b, np.uint8, count=stride * h, offset=data_off)
+    rows = raw.reshape(h, stride)[:, : w * nb]
+    if bottom_up:
+        rows = rows[::-1]
+    if nb == 1:
+        return np.ascontiguousarray(rows)
+    arr = rows.reshape(h, w, 3)[:, :, ::-1]          # BGR -> RGB
+    return np.ascontiguousarray(arr)
+
+
+def _decode_pnm_bytes(b: bytes) -> np.ndarray:
+    """Binary PNM (P5 gray / P6 RGB, maxval<=255) bytes -> array.
+    In-memory sibling of sources/pnm.py (frmts/raw/pnmdataset.cpp)."""
+    if b[0:1] != b"P" or b[1:2] not in b"56":
+        raise ValueError("not a binary P5/P6 PNM")
+    rgb = b[1:2] == b"6"
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(b) and b[pos:pos + 1].isspace():
+            pos += 1
+        if b[pos:pos + 1] == b"#":
+            while pos < len(b) and b[pos:pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(b) and not b[pos:pos + 1].isspace():
+            pos += 1
+        fields.append(int(b[start:pos]))
+    pos += 1                                          # single ws after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit PNM payloads unsupported here")
+    n = w * h * (3 if rgb else 1)
+    arr = np.frombuffer(b, np.uint8, count=n, offset=pos)
+    return arr.reshape(h, w, 3) if rgb else arr.reshape(h, w)
+
+
+def decode_image_bytes(b: bytes) -> tuple[np.ndarray, str]:
+    """Payload bytes -> (uint8 array (h,w) or (h,w,samples), format tag).
+    Dispatches on magic number across the four in-repo codecs."""
+    fmt = sniff_format(b)
+    if fmt == "png":
+        from ..sources.png import decode_png
+        arr, _meta = decode_png(b)
+        return np.asarray(arr), fmt
+    if fmt == "jpeg":
+        from ..sources.jpeg import decode_jpeg
+        arr, _meta = decode_jpeg(b)
+        return np.asarray(arr), fmt
+    if fmt == "bmp":
+        return _decode_bmp_bytes(b), fmt
+    if fmt == "pnm":
+        return _decode_pnm_bytes(b), fmt
+    raise ValueError("unrecognized image payload (png/jpeg/bmp/pnm)")
+
+
+# ---------------------------------------------------------------------------
+# metadata / decode / features
+# ---------------------------------------------------------------------------
 
 def binary_meta(df: DataFrame, payload_col: str = "html",
                 key_col: str = "url") -> DataFrame:
@@ -35,82 +158,269 @@ def binary_meta(df: DataFrame, payload_col: str = "html",
     return df.select(key_col, payload_col).mapInPandas(gen, schema=schema)
 
 
-def decode_image_stub(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """STUB: image decode -> (width, height, channels) feature columns.
+def decode_image(df: DataFrame, payload_col: str = "payload",
+                 key_col: str = "doc_id") -> DataFrame:
+    """Real image decode -> (key, fmt, width, height, channels, px_sum).
 
-    The real implementation would Pillow/libvips-decode inside the same
-    mapInPandas generator; this container has no imaging libs, so we emit a
-    deterministic fake derived from the byte length and fail loudly for
-    payloads claiming a real image magic number.
+    ``px_sum`` is the integer sum of every sample — a cheap whole-image
+    checksum that an external oracle can recompute. Map-only Arrow pass;
+    the per-image numpy decode is the vectorized unit of work.
     """
-    schema = "n_bytes long, width int, height int, channels int"
+    schema = (f"{key_col} long, fmt string, width int, height int, "
+              f"channels int, px_sum long")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payload = pdf[payload_col]
-            magics = payload.map(lambda b: bytes(b[:4]))
-            if magics.isin([b"\x89PNG", b"\xff\xd8\xff\xe0"]).any():
-                raise NotImplementedError(
-                    "real image decode not available in this environment")
-            n = payload.map(len).astype("int64")
+            keys, fmts, ws, hs, cs, sums = [], [], [], [], [], []
+            for k, b in zip(pdf[key_col], pdf[payload_col]):
+                arr, fmt = decode_image_bytes(bytes(b))
+                keys.append(k)
+                fmts.append(fmt)
+                hs.append(arr.shape[0])
+                ws.append(arr.shape[1])
+                cs.append(1 if arr.ndim == 2 else arr.shape[2])
+                sums.append(int(arr.astype(np.int64).sum()))
             yield pd.DataFrame({
-                "n_bytes": n,
-                "width": (n % 640).astype("int32"),
-                "height": (n % 480).astype("int32"),
-                "channels": pd.Series(3, index=pdf.index, dtype="int32"),
-            })
-
-    return df.select(payload_col).mapInPandas(gen, schema=schema)
-
-
-def resize_image_stub(df: DataFrame, payload_col: str = "payload",
-                      key_col: str = "url",
-                      target: tuple[int, int] = (224, 224)) -> DataFrame:
-    """STUB resize: (key, resized binary, out_w, out_h). Real impl would
-    decode+resample inside this same generator (Pillow/libvips); here the
-    'resized' payload is a deterministic fake — a tag + truncated digest of
-    the source bytes — so the Spark plumbing (binary in, binary out, Arrow
-    batch shapes, partition-preserving map) is fully exercised and tested.
-    """
-    schema = f"{key_col} string, resized binary, out_w int, out_h int"
-    w, h = target
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            payload = pdf[payload_col]
-            fake = payload.map(lambda b: b"RSZ%dx%d:" % (w, h)
-                               + hashlib.sha1(bytes(b)).digest())
-            yield pd.DataFrame({
-                key_col: pdf[key_col],
-                "resized": fake,
-                "out_w": pd.Series(w, index=pdf.index, dtype="int32"),
-                "out_h": pd.Series(h, index=pdf.index, dtype="int32"),
+                key_col: pd.Series(keys, dtype="int64"),
+                "fmt": pd.Series(fmts, dtype="object"),
+                "width": pd.Series(ws, dtype="int32"),
+                "height": pd.Series(hs, dtype="int32"),
+                "channels": pd.Series(cs, dtype="int32"),
+                "px_sum": pd.Series(sums, dtype="int64"),
             })
 
     return df.select(key_col, payload_col).mapInPandas(gen, schema=schema)
 
 
-def frame_sample_stub(df: DataFrame, payload_col: str = "payload",
-                      key_col: str = "url", fps_every: int = 10,
-                      max_frames: int = 4) -> DataFrame:
-    """STUB video frame sampling: one output ROW per sampled frame
-    (key, frame_idx, frame binary) — the 1->N exploding shape a real
-    ffmpeg-based sampler has. Frame count derives deterministically from
-    the payload length; frame bytes are tagged slices of the source."""
-    schema = f"{key_col} string, frame_idx int, frame binary"
+def _to_gray_i64(arr: np.ndarray) -> np.ndarray:
+    """uint8 image -> int64 'gray' plane. Multi-band uses the integer
+    BT.601 luma numerator 299R+587G+114B (no division: the average-hash
+    comparison below is scale-invariant, so the x1000 factor cancels)."""
+    a = arr.astype(np.int64)
+    if a.ndim == 2:
+        return a
+    return 299 * a[:, :, 0] + 587 * a[:, :, 1] + 114 * a[:, :, 2]
+
+
+def ahash64(arr: np.ndarray) -> tuple[int, int]:
+    """Average hash (aHash) of an image, integer-exact, as two uint32 words
+    (hi, lo) so both Spark and SQL oracles avoid int64 sign pitfalls.
+
+    The image is cropped to a multiple of 8, partitioned into an 8x8 grid of
+    equal blocks; bit (by*8+bx) is set iff that block's pixel sum * 64 >
+    the total sum (equivalent to block mean > mean of block means, with no
+    float division anywhere). Bit 0 is the top-left block in the LO word;
+    the HI word carries bits 32..63.
+    """
+    g = _to_gray_i64(arr)
+    h, w = g.shape
+    bh, bw = h // 8, w // 8
+    if bh == 0 or bw == 0:
+        raise ValueError("image smaller than 8x8")
+    g = g[: bh * 8, : bw * 8]
+    blocks = g.reshape(8, bh, 8, bw).sum(axis=(1, 3))     # (by, bx) sums
+    total = int(blocks.sum())
+    bits = (blocks * 64 > total)
+    word = 0
+    for by in range(8):
+        for bx in range(8):
+            if bits[by, bx]:
+                word |= 1 << (by * 8 + bx)
+    return (word >> 32) & 0xFFFFFFFF, word & 0xFFFFFFFF
+
+
+def image_features(df: DataFrame, payload_col: str = "payload",
+                   key_col: str = "doc_id") -> DataFrame:
+    """Decode + feature-extract: (key, width, height, channels, px_sum,
+    ahash_hi, ahash_lo). One Arrow-batched map-only pass."""
+    schema = (f"{key_col} long, width int, height int, channels int, "
+              f"px_sum long, ahash_hi long, ahash_lo long")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            keys, idxs, frames = [], [], []
+            rows = []
             for k, b in zip(pdf[key_col], pdf[payload_col]):
-                b = bytes(b)
-                n_frames = min(max_frames, max(1, len(b) // (fps_every * 64)))
-                for i in range(n_frames):
-                    keys.append(k)
-                    idxs.append(i)
-                    frames.append(b"FRM%d:" % i + b[i::max(1, n_frames)][:64])
-            yield pd.DataFrame({key_col: pd.Series(keys, dtype="object"),
-                                "frame_idx": pd.Series(idxs, dtype="int32"),
-                                "frame": pd.Series(frames, dtype="object")})
+                arr, _fmt = decode_image_bytes(bytes(b))
+                hi, lo = ahash64(arr)
+                rows.append((int(k), arr.shape[1], arr.shape[0],
+                             1 if arr.ndim == 2 else arr.shape[2],
+                             int(arr.astype(np.int64).sum()), hi, lo))
+            yield pd.DataFrame(rows, columns=[key_col, "width", "height",
+                                              "channels", "px_sum",
+                                              "ahash_hi", "ahash_lo"])
+
+    return df.select(key_col, payload_col).mapInPandas(gen, schema=schema)
+
+
+def ahash_neardup_pairs(feat: DataFrame, key_col: str = "doc_id",
+                        max_hamming: int = 6) -> DataFrame:
+    """Near-duplicate image pairs by aHash Hamming distance, WITHOUT the
+    all-pairs join: the 64-bit hash splits into eight 8-bit bands; two
+    hashes within Hamming distance <= 7 must agree on at least one band
+    (pigeonhole), so candidates come from an equi-join on (band_id,
+    band_value) and only candidates pay the exact popcount check.
+
+    At 10^12 rows this is the image twin of the MinHash-LSH text path
+    (operators/textops.py): band explode -> shuffle on short keys ->
+    bounded verify. Requires max_hamming <= 7 for losslessness.
+    """
+    if max_hamming > 7:
+        raise ValueError("8-band split is only lossless for max_hamming<=7")
+    f0 = feat.select(F.col(key_col).alias("k"),
+                     F.col("ahash_hi").alias("hi"),
+                     F.col("ahash_lo").alias("lo"))
+    bands = []
+    for i in range(4):
+        bands.append(F.struct(F.lit(i).alias("band_id"),
+                              F.shiftrightunsigned("hi", 8 * i)
+                              .bitwiseAND(F.lit(255)).alias("bv")))
+        bands.append(F.struct(F.lit(4 + i).alias("band_id"),
+                              F.shiftrightunsigned("lo", 8 * i)
+                              .bitwiseAND(F.lit(255)).alias("bv")))
+    e = f0.select("k", "hi", "lo",
+                  F.explode(F.array(*bands)).alias("b")) \
+          .select("k", "hi", "lo", "b.band_id", "b.bv")
+    l = e.alias("l")
+    r = e.alias("r")
+    cand = (l.join(r, on=["band_id", "bv"])
+             .where(F.col("l.k") < F.col("r.k"))
+             .select(F.col("l.k").alias("k1"), F.col("r.k").alias("k2"),
+                     F.col("l.hi").alias("hi1"), F.col("l.lo").alias("lo1"),
+                     F.col("r.hi").alias("hi2"), F.col("r.lo").alias("lo2"))
+             .dropDuplicates(["k1", "k2"]))
+    dist = (F.bit_count(F.col("hi1").bitwiseXOR(F.col("hi2")))
+            + F.bit_count(F.col("lo1").bitwiseXOR(F.col("lo2"))))
+    return (cand.withColumn("hamming", dist.cast("int"))
+                .where(F.col("hamming") <= max_hamming)
+                .select("k1", "k2", "hamming"))
+
+
+# ---------------------------------------------------------------------------
+# resize
+# ---------------------------------------------------------------------------
+
+def _resize_array(arr: np.ndarray, ow: int, oh: int,
+                  mode: str) -> np.ndarray:
+    """uint8 (h,w[,s]) -> (oh,ow[,s]). Modes: 'nearest' (GDAL NEAR center
+    rule: src = floor((i+0.5)*scale)), 'box' (exact area mean for integral
+    downscale factors), 'bilinear' (float, center-aligned)."""
+    h, w = arr.shape[:2]
+    if mode == "nearest":
+        xs = np.minimum(((np.arange(ow) + 0.5) * (w / ow)).astype(np.int64),
+                        w - 1)
+        ys = np.minimum(((np.arange(oh) + 0.5) * (h / oh)).astype(np.int64),
+                        h - 1)
+        return arr[ys][:, xs]
+    if mode == "box":
+        if w % ow or h % oh:
+            raise ValueError("box mode needs integral downscale factors")
+        fx, fy = w // ow, h // oh
+        a = arr.astype(np.int64)
+        if a.ndim == 2:
+            s = a.reshape(oh, fy, ow, fx).sum(axis=(1, 3))
+        else:
+            s = a.reshape(oh, fy, ow, fx, a.shape[2]).sum(axis=(1, 3))
+        return (s // (fx * fy)).astype(np.uint8)
+    if mode == "bilinear":
+        xs = np.clip((np.arange(ow) + 0.5) * (w / ow) - 0.5, 0, w - 1)
+        ys = np.clip((np.arange(oh) + 0.5) * (h / oh) - 0.5, 0, h - 1)
+        x0 = np.floor(xs).astype(np.int64)
+        y0 = np.floor(ys).astype(np.int64)
+        x1 = np.minimum(x0 + 1, w - 1)
+        y1 = np.minimum(y0 + 1, h - 1)
+        wx = (xs - x0)[None, :]
+        wy = (ys - y0)[:, None]
+        if arr.ndim == 3:
+            wx = wx[:, :, None]
+            wy = wy[:, :, None]
+        a = arr.astype(np.float64)
+        top = a[y0][:, x0] * (1 - wx) + a[y0][:, x1] * wx
+        bot = a[y1][:, x0] * (1 - wx) + a[y1][:, x1] * wx
+        out = top * (1 - wy) + bot * wy
+        return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+    raise ValueError(f"unknown resize mode {mode!r}")
+
+
+def resize_image(df: DataFrame, payload_col: str = "payload",
+                 key_col: str = "doc_id",
+                 target: tuple[int, int] = (224, 224),
+                 mode: str = "bilinear") -> DataFrame:
+    """Real resize: decode -> resample -> re-encode PNG. Output
+    (key, resized binary, out_w, out_h). Map-only Arrow pass."""
+    ow, oh = target
+    schema = f"{key_col} long, resized binary, out_w int, out_h int"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..sources.png import encode_png
+        for pdf in batches:
+            keys, outs = [], []
+            for k, b in zip(pdf[key_col], pdf[payload_col]):
+                arr, _fmt = decode_image_bytes(bytes(b))
+                keys.append(int(k))
+                outs.append(encode_png(_resize_array(arr, ow, oh, mode)))
+            yield pd.DataFrame({
+                key_col: pd.Series(keys, dtype="int64"),
+                "resized": pd.Series(outs, dtype="object"),
+                "out_w": pd.Series(ow, index=range(len(keys)), dtype="int32"),
+                "out_h": pd.Series(oh, index=range(len(keys)), dtype="int32"),
+            })
+
+    return df.select(key_col, payload_col).mapInPandas(gen, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# video frame container + sampling
+# ---------------------------------------------------------------------------
+
+def pack_video(frames: list[bytes]) -> bytes:
+    """Length-prefixed frame container: b'VID0' + u32 n + n*u32 lengths +
+    concatenated frame payloads (each frame any decodable image, PNG by
+    convention). Stands in for a real video codec — no ffmpeg in this
+    container; the Spark-side sampling shape is identical."""
+    out = bytearray(b"VID0")
+    out += struct.pack("<I", len(frames))
+    for fr in frames:
+        out += struct.pack("<I", len(fr))
+    for fr in frames:
+        out += fr
+    return bytes(out)
+
+
+def unpack_video(b: bytes) -> list[bytes]:
+    if b[:4] != b"VID0":
+        raise ValueError("not a VID0 container")
+    (n,) = struct.unpack_from("<I", b, 4)
+    lens = struct.unpack_from(f"<{n}I", b, 8)
+    off = 8 + 4 * n
+    frames = []
+    for ln in lens:
+        frames.append(bytes(b[off:off + ln]))
+        off += ln
+    return frames
+
+
+def frame_sample(df: DataFrame, payload_col: str = "payload",
+                 key_col: str = "doc_id", every: int = 2,
+                 max_frames: int = 8) -> DataFrame:
+    """Sample every k-th frame from a VID0 container and DECODE each sampled
+    frame: 1->N explode to (key, frame_idx, frame binary, width, height,
+    px_sum). The explode happens executor-side inside the Arrow batch —
+    no shuffle; downstream ops see an ordinary DataFrame."""
+    schema = (f"{key_col} long, frame_idx int, frame binary, "
+              f"width int, height int, px_sum long")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for k, b in zip(pdf[key_col], pdf[payload_col]):
+                frames = unpack_video(bytes(b))
+                idxs = list(range(0, len(frames), every))[:max_frames]
+                for i in idxs:
+                    arr, _fmt = decode_image_bytes(frames[i])
+                    rows.append((int(k), i, frames[i], arr.shape[1],
+                                 arr.shape[0],
+                                 int(arr.astype(np.int64).sum())))
+            yield pd.DataFrame(rows, columns=[key_col, "frame_idx", "frame",
+                                              "width", "height", "px_sum"])
 
     return df.select(key_col, payload_col).mapInPandas(gen, schema=schema)

@@ -6128,3 +6128,181 @@ def q_jpeg_roundtrip(spark, sf_dir):
             yield pd.DataFrame(rows, columns=["bx", "by", "v"])
 
     return back.mapInPandas(to_rows, out_schema)
+
+
+# =============================================================================
+# multimodal image operators — REAL decode via the in-repo PNG/JPEG codecs
+# (operators/multimodal.py; reference models the same payloads as /vsimem/
+#  in-memory datasets through frmts/png, frmts/jpeg, frmts/bmp)
+# =============================================================================
+
+_IMG_PX = ("((d.doc_id*7 + 13*x.x + 31*y.y) % 256)")
+
+
+@_reg("image_decode_png", f"""
+WITH px AS (
+  SELECT d.doc_id, {_IMG_PX} AS v
+  FROM documents d, range(16) x(x), range(16) y(y)
+)
+SELECT doc_id, 'png' AS fmt, 16 AS width, 16 AS height, 1 AS channels,
+       CAST(SUM(v) AS BIGINT) AS px_sum
+FROM px GROUP BY doc_id
+""")
+def q_image_decode_png(spark, sf_dir):
+    """Real image decode over a binary column: synthesize one deterministic
+    16x16 gray PNG per doc executor-side, decode it back with the pure-numpy
+    PNG codec (sources/png.py), emit dims + whole-image pixel checksum. The
+    oracle recomputes the pixel sum from the closed-form formula — PNG is
+    lossless so they agree bit-exactly. Map-only Arrow passes throughout."""
+    from .operators import multimodal
+    imgs = datagen.doc_images(spark, sf_dir, kind="gray", fmt="png")
+    return multimodal.decode_image(imgs, payload_col="payload",
+                                   key_col="doc_id")
+
+
+@_reg("image_ahash", f"""
+WITH px AS (
+  SELECT d.doc_id, x.x, y.y, {_IMG_PX} AS v
+  FROM documents d, range(16) x(x), range(16) y(y)
+),
+blk AS (
+  SELECT doc_id, (x // 2) AS bx, (y // 2) AS by, SUM(v) AS bs
+  FROM px GROUP BY doc_id, (x // 2), (y // 2)
+),
+tot AS (SELECT doc_id, SUM(bs) AS total FROM blk GROUP BY doc_id)
+SELECT b.doc_id,
+  CAST(SUM(CASE WHEN bs*64 > total AND (by*8+bx) >= 32
+       THEN (CAST(1 AS BIGINT) << CAST(by*8+bx-32 AS INT)) ELSE 0 END)
+       AS BIGINT) AS ahash_hi,
+  CAST(SUM(CASE WHEN bs*64 > total AND (by*8+bx) < 32
+       THEN (CAST(1 AS BIGINT) << CAST(by*8+bx AS INT)) ELSE 0 END)
+       AS BIGINT) AS ahash_lo
+FROM blk b JOIN tot t USING (doc_id)
+GROUP BY b.doc_id
+""")
+def q_image_ahash(spark, sf_dir):
+    """Average-hash image fingerprint (integer-exact aHash, two uint32
+    words): decode the PNG, 8x8 block sums, bit = block_sum*64 > total —
+    the image twin of SimHash text fingerprints. Oracle recomputes the hash
+    from the pixel formula entirely in SQL."""
+    from .operators import multimodal
+    imgs = datagen.doc_images(spark, sf_dir, kind="gray", fmt="png")
+    feats = multimodal.image_features(imgs, payload_col="payload",
+                                      key_col="doc_id")
+    return feats.select("doc_id", "ahash_hi", "ahash_lo")
+
+
+@_reg("image_neardup_pairs", """
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 8 = 0),
+px AS (
+  SELECT d.doc_id, x.x, y.y,
+    (((13 + 6*((d.doc_id // 8) % 4))*x.x
+      + (31 + 5*((d.doc_id // 8) % 4))*y.y
+      + ((d.doc_id // 32) % 3)
+        * (CASE WHEN x.x < 4 AND y.y < 4 THEN 40 ELSE 0 END)) % 256) AS v
+  FROM d, range(16) x(x), range(16) y(y)
+),
+blk AS (
+  SELECT doc_id, (x // 2) AS bx, (y // 2) AS by, SUM(v) AS bs
+  FROM px GROUP BY doc_id, (x // 2), (y // 2)
+),
+tot AS (SELECT doc_id, SUM(bs) AS total FROM blk GROUP BY doc_id),
+h AS (
+  SELECT b.doc_id,
+    CAST(SUM(CASE WHEN bs*64 > total AND (by*8+bx) >= 32
+         THEN (CAST(1 AS BIGINT) << CAST(by*8+bx-32 AS INT)) ELSE 0 END)
+         AS BIGINT) AS hi,
+    CAST(SUM(CASE WHEN bs*64 > total AND (by*8+bx) < 32
+         THEN (CAST(1 AS BIGINT) << CAST(by*8+bx AS INT)) ELSE 0 END)
+         AS BIGINT) AS lo
+  FROM blk b JOIN tot t USING (doc_id) GROUP BY b.doc_id
+)
+SELECT a.doc_id AS k1, b.doc_id AS k2,
+       CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INT)
+         AS hamming
+FROM h a JOIN h b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 6
+""")
+def q_image_neardup_pairs(spark, sf_dir):
+    """Near-duplicate image pairs at Hamming<=6 over aHash WITHOUT the
+    all-pairs join: 8x 8-bit band split -> equi-join on (band, value) ->
+    exact popcount on candidates only (lossless for distance<=7 by
+    pigeonhole). The oracle brute-forces all pairs — same result set, which
+    is exactly the losslessness claim under test."""
+    from .operators import multimodal
+    imgs = datagen.doc_images(spark, sf_dir, kind="neardup", fmt="png",
+                              mod=8)
+    feats = multimodal.image_features(imgs, payload_col="payload",
+                                      key_col="doc_id")
+    return multimodal.ahash_neardup_pairs(feats, key_col="doc_id",
+                                          max_hamming=6)
+
+
+@_reg("image_resize_box", f"""
+WITH px AS (
+  SELECT d.doc_id, x.x, y.y, {_IMG_PX} AS v
+  FROM documents d, range(16) x(x), range(16) y(y)
+),
+blk AS (
+  SELECT doc_id, (x // 2) AS bx, (y // 2) AS by, SUM(v) AS bs
+  FROM px GROUP BY doc_id, (x // 2), (y // 2)
+)
+SELECT doc_id, 8 AS width, 8 AS height,
+       CAST(SUM(bs // 4) AS BIGINT) AS px_sum
+FROM blk GROUP BY doc_id
+""")
+def q_image_resize_box(spark, sf_dir):
+    """Image resize as a binary->binary Arrow map: decode PNG, exact-area
+    2x box downsample (integer sum // 4 per output pixel), re-encode PNG,
+    decode again and checksum — pins the decode->resample->encode loop.
+    Oracle computes the same block means in SQL."""
+    from .operators import multimodal
+    imgs = datagen.doc_images(spark, sf_dir, kind="gray", fmt="png")
+    rs = multimodal.resize_image(imgs, payload_col="payload",
+                                 key_col="doc_id", target=(8, 8),
+                                 mode="box")
+    dec = multimodal.decode_image(rs, payload_col="resized",
+                                  key_col="doc_id")
+    return dec.select("doc_id", "width", "height", "px_sum")
+
+
+@_reg("jpeg_image_dims", """
+SELECT doc_id, 'jpeg' AS fmt, 16 AS width, 16 AS height, 3 AS channels
+FROM documents
+""")
+def q_jpeg_image_dims(spark, sf_dir):
+    """JPEG in the multimodal path: encode each doc's RGB test image with
+    the baseline JFIF encoder (4:2:0, quality 85) and decode it back via the
+    magic-sniff dispatch — pins the full executor-side JPEG encode+decode
+    loop and the JFIF geometry (MCU padding cropped to stated dims).
+    Pixel fidelity is pinned separately in tests/test_jpeg.py (lossy codec,
+    so the gate checks exact dims/shape only)."""
+    from .operators import multimodal
+    imgs = datagen.doc_images(spark, sf_dir, kind="rgb", fmt="jpeg",
+                              quality=85)
+    dec = multimodal.decode_image(imgs, payload_col="payload",
+                                  key_col="doc_id")
+    return dec.select("doc_id", "fmt", "width", "height", "channels")
+
+
+@_reg("video_frame_sample", """
+WITH fr AS (SELECT * FROM (VALUES (0), (2)) f(f)),
+px AS (
+  SELECT d.doc_id, fr.f,
+         ((d.doc_id*7 + 11*fr.f + 13*x.x + 31*y.y) % 256) AS v
+  FROM documents d, fr, range(8) x(x), range(8) y(y)
+)
+SELECT doc_id, CAST(f AS INT) AS frame_idx, 8 AS width, 8 AS height,
+       CAST(SUM(v) AS BIGINT) AS px_sum
+FROM px GROUP BY doc_id, f
+""")
+def q_video_frame_sample(spark, sf_dir):
+    """Every-k frame sampling over a length-prefixed frame container
+    (pack_video: PNG frames — no ffmpeg in this container, the 1->N explode
+    + per-frame decode shape is the real thing): sample frames 0 and 2 of 4,
+    decode each, emit dims + pixel checksum."""
+    from .operators import multimodal
+    vids = datagen.doc_videos(spark, sf_dir)
+    fr = multimodal.frame_sample(vids, payload_col="payload",
+                                 key_col="doc_id", every=2, max_frames=8)
+    return fr.select("doc_id", "frame_idx", "width", "height", "px_sum")

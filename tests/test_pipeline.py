@@ -54,27 +54,42 @@ def test_incomplete_upstream_raises(spark, tmp_path):
 
 
 def test_multimodal_resize_and_frame_sample(spark):
-    """Multimodal plumbing: binary->binary resize map and the 1->N frame
-    explode both run Arrow-batched with stable schemas (decode itself is
-    stubbed — no imaging libs in this container)."""
+    """Multimodal real-decode path: binary->binary resize map (decode PNG,
+    resample, re-encode) and the 1->N frame explode with per-frame decode,
+    both Arrow-batched with stable schemas."""
+    import numpy as np
+
     from gdal_spark import datagen
     from gdal_spark.operators import multimodal as mm
+    from gdal_spark.sources.png import decode_png
 
-    pages = datagen.pages(spark, SF_DIR).select("url", "html").limit(50)
-    rs = mm.resize_image_stub(pages, payload_col="html", key_col="url")
+    imgs = datagen.doc_images(spark, SF_DIR, kind="gray").limit(50)
+    rs = mm.resize_image(imgs, payload_col="payload", key_col="doc_id",
+                         target=(8, 8), mode="bilinear")
     rows = rs.collect()
     assert len(rows) == 50
-    assert all(bytes(r.resized).startswith(b"RSZ224x224:") for r in rows)
-    assert {(r.out_w, r.out_h) for r in rows} == {(224, 224)}
+    for r in rows:
+        arr, meta = decode_png(bytes(r.resized))
+        assert arr.shape == (8, 8) and (r.out_w, r.out_h) == (8, 8)
+        # bilinear of the deterministic ramp stays within source range
+        src = datagen.image_array(int(r.doc_id), "gray")
+        assert arr.min() >= 0 and arr.max() <= 255
+        assert abs(float(arr.mean()) - float(src.mean())) < 32
 
-    fr = mm.frame_sample_stub(pages, payload_col="html", key_col="url")
+    vids = datagen.doc_videos(spark, SF_DIR).limit(20)
+    fr = mm.frame_sample(vids, payload_col="payload", key_col="doc_id",
+                         every=2, max_frames=8)
     frows = fr.collect()
-    assert len(frows) >= 50                      # >=1 frame per page
-    by_key = {}
+    assert len(frows) == 40                       # 2 of 4 frames per doc
     for r in frows:
-        by_key.setdefault(r.url, []).append(r.frame_idx)
-    for idxs in by_key.values():
-        assert sorted(idxs) == list(range(len(idxs)))   # dense frame idx
+        assert r.frame_idx in (0, 2)
+        arr, _ = decode_png(bytes(r.frame))
+        assert arr.shape == (8, 8)
+        y, x = np.mgrid[0:8, 0:8]
+        exp = ((int(r.doc_id) * 7 + 11 * r.frame_idx + 13 * x + 31 * y)
+               % 256)
+        assert (arr == exp).all()
+        assert r.px_sum == int(exp.sum())
 
 
 # ---------------------------------------------------------------------------
