@@ -6306,3 +6306,172 @@ def q_video_frame_sample(spark, sf_dir):
     fr = multimodal.frame_sample(vids, payload_col="payload",
                                  key_col="doc_id", every=2, max_frames=8)
     return fr.select("doc_id", "frame_idx", "width", "height", "px_sum")
+
+
+# =============================================================================
+# datum shifts (towgs84 Helmert): OSGB36 / British National Grid + ED50
+# (transforms.py DATUM_DEFS / helmert_*; reference assembles the same chain
+#  through PROJ: ogr/ogrct.cpp:919-948, classic +towgs84 position-vector
+#  semantics pj_geocentric_to_wgs84 / pj_geocentric_from_wgs84)
+# =============================================================================
+
+def _osgb_sql():
+    """4326 -> EPSG:27700 chain replayed in SQL: WGS84 geocentric ->
+    inverse Helmert -> Airy geodetic (4 fixed-point rounds, matching
+    geocentric_to_geodetic) -> Airy Krueger tmerc with lat_0=49."""
+    import numpy as _np
+
+    from .raster import transforms as _tr
+    aw, fw = _tr.ELLIPSOIDS["WGS84"]
+    aa, fa = _tr.ELLIPSOIDS["airy"]
+    e2w = fw * (2 - fw)
+    e2a = fa * (2 - fa)
+    a_bar, alpha, _beta, e, _ = _tr.tm_coeffs(aa, fa)
+    p = _tr.DATUM_DEFS["OSGB36"][1]
+    dx, dy, dz = p[0], p[1], p[2]
+    rx, ry, rz = (v * _tr._AS2R for v in p[3:6])
+    m = 1.0 + p[6] * 1e-6
+    k0 = 0.9996012717
+    k0a = k0 * a_bar
+    fn_eff = -100000.0 - k0a * _tr._tm_xi0(49.0, alpha, e)
+    lon0_rad = float(_np.radians(-2.0))
+    xi_terms = " + ".join(
+        f"({aj!r})*sin({2*j}*xi_p)*((exp({2*j}*eta_p)+exp(-{2*j}*eta_p))/2)"
+        for j, aj in enumerate(alpha, start=1))
+    eta_terms = " + ".join(
+        f"({aj!r})*cos({2*j}*xi_p)*((exp({2*j}*eta_p)-exp(-{2*j}*eta_p))/2)"
+        for j, aj in enumerate(alpha, start=1))
+    it = ("atan2(hz + {e2a}*({aa}/sqrt(1-{e2a}*sin(PHI)*sin(PHI)))"
+          "*sin(PHI), pp)").replace("{e2a}", repr(e2a)).replace(
+              "{aa}", repr(aa))
+    return f"""
+b AS (SELECT doc_id, -8.0 + (lon + 180.0)/30.0 AS lonb,
+             50.0 + (lat + 90.0)/18.0 AS latb
+      FROM pts WHERE doc_id % 9 = 0),
+gc AS (SELECT doc_id,
+        nw*cos(phi)*cos(lam) AS gx, nw*cos(phi)*sin(lam) AS gy,
+        nw*(1-{e2w!r})*sin(phi) AS gz
+       FROM (SELECT doc_id, radians(lonb) AS lam, radians(latb) AS phi,
+             {aw!r}/sqrt(1-{e2w!r}*sin(radians(latb))*sin(radians(latb)))
+               AS nw FROM b)),
+hm AS (SELECT doc_id,
+        xt + {rz!r}*yt - {ry!r}*zt AS hx,
+        -{rz!r}*xt + yt + {rx!r}*zt AS hy,
+        {ry!r}*xt - {rx!r}*yt + zt AS hz
+       FROM (SELECT doc_id, (gx-({dx!r}))/{m!r} AS xt,
+             (gy-({dy!r}))/{m!r} AS yt, (gz-({dz!r}))/{m!r} AS zt
+             FROM gc)),
+gd0 AS (SELECT doc_id, hz, sqrt(hx*hx+hy*hy) AS pp, atan2(hy,hx) AS lam2,
+        atan2(hz, sqrt(hx*hx+hy*hy)*(1-{e2a!r})) AS phi FROM hm),
+gd1 AS (SELECT doc_id, hz, pp, lam2, {it.replace("PHI", "phi")} AS phi
+        FROM gd0),
+gd2 AS (SELECT doc_id, hz, pp, lam2, {it.replace("PHI", "phi")} AS phi
+        FROM gd1),
+gd3 AS (SELECT doc_id, hz, pp, lam2, {it.replace("PHI", "phi")} AS phi
+        FROM gd2),
+gd4 AS (SELECT doc_id, hz, pp, lam2, {it.replace("PHI", "phi")} AS phi
+        FROM gd3),
+tm0 AS (SELECT doc_id, lam2 - {lon0_rad!r} AS lamw, sin(phi) AS sphi
+        FROM gd4),
+tm1 AS (SELECT doc_id, lamw,
+        (exp(u)-exp(-u))/2 AS t
+        FROM (SELECT doc_id, lamw,
+              0.5*ln((1+sphi)/(1-sphi))
+              - {e!r}*0.5*ln((1+{e!r}*sphi)/(1-{e!r}*sphi)) AS u FROM tm0)),
+tm2 AS (SELECT doc_id, atan2(t, cos(lamw)) AS xi_p,
+        ln(q + sqrt(q*q+1)) AS eta_p
+        FROM (SELECT doc_id, lamw, t,
+              sin(lamw)/sqrt(t*t + cos(lamw)*cos(lamw)) AS q FROM tm1)),
+tm3 AS (SELECT doc_id, xi_p + {xi_terms} AS xi, eta_p + {eta_terms} AS eta
+        FROM tm2)
+SELECT doc_id,
+       ROUND(400000.0 + {k0a!r}*eta, 4) AS x_r,
+       ROUND({fn_eff!r} + {k0a!r}*xi, 4) AS y_r
+FROM tm3"""
+
+
+@_reg("st_transform_osgb", f"""
+{_pts_cte()},{_osgb_sql()}
+""")
+def q_st_transform_osgb(spark, sf_dir):
+    """ST_Transform into EPSG:27700 (OSGB36 / British National Grid): the
+    full datum-shift chain — WGS84 geocentric, inverse 7-parameter Helmert
+    (position-vector +towgs84), Airy 1830 geodetic recovery, Krueger
+    transverse Mercator with latitude-of-origin 49N. Pinned against the
+    OS 'worked example' to 1mm in tests; the oracle replays every stage
+    (including the fixed 4-round latitude iteration) in SQL."""
+    st.register_all(spark)
+    p = datagen.points(spark, sf_dir).where(F.col("doc_id") % 9 == 0)
+    p = p.select("doc_id",
+                 (F.lit(-8.0) + (F.col("lon") + 180.0) / 30.0).alias("lonb"),
+                 (F.lit(50.0) + (F.col("lat") + 90.0) / 18.0).alias("latb"))
+    p.createOrReplaceTempView("t_osgb_pts")
+    return spark.sql(
+        "SELECT doc_id, "
+        " ROUND(ST_X(ST_Transform(ST_MakePoint(lonb, latb), 'EPSG:4326',"
+        "  'EPSG:27700')), 4) AS x_r, "
+        " ROUND(ST_Y(ST_Transform(ST_MakePoint(lonb, latb), 'EPSG:4326',"
+        "  'EPSG:27700')), 4) AS y_r "
+        "FROM t_osgb_pts")
+
+
+def _ed50_sql():
+    """EPSG:4230 (ED50 geographic, 3-param mean-European shift) -> WGS84:
+    intl-ellipsoid geocentric, +dx translation, WGS84 geodetic recovery."""
+    from .raster import transforms as _tr
+    aw, fw = _tr.ELLIPSOIDS["WGS84"]
+    ai, fi = _tr.ELLIPSOIDS["intl"]
+    e2w = fw * (2 - fw)
+    e2i = fi * (2 - fi)
+    it = ("atan2(gz2 + {e2w}*({aw}/sqrt(1-{e2w}*sin(PHI)*sin(PHI)))"
+          "*sin(PHI), pp)").replace("{e2w}", repr(e2w)).replace(
+              "{aw}", repr(aw))
+    return f"""
+b AS (SELECT doc_id, lon/9.0 AS lone, 36.0 + (lat + 90.0)/6.0 AS late
+      FROM pts WHERE doc_id % 10 = 0),
+gc AS (SELECT doc_id,
+        ni*cos(phi)*cos(lam) AS gx, ni*cos(phi)*sin(lam) AS gy,
+        ni*(1-{e2i!r})*sin(phi) AS gz
+       FROM (SELECT doc_id, radians(lone) AS lam, radians(late) AS phi,
+             {ai!r}/sqrt(1-{e2i!r}*sin(radians(late))*sin(radians(late)))
+               AS ni FROM b)),
+hm AS (SELECT doc_id, gx + (-87.0) AS gx2, gy + (-98.0) AS gy2,
+        gz + (-121.0) AS gz2 FROM gc),
+gd0 AS (SELECT doc_id, gz2, sqrt(gx2*gx2+gy2*gy2) AS pp,
+        atan2(gy2,gx2) AS lam2,
+        atan2(gz2, sqrt(gx2*gx2+gy2*gy2)*(1-{e2w!r})) AS phi FROM hm),
+gd1 AS (SELECT doc_id, gz2, pp, lam2, {it.replace("PHI", "phi")} AS phi
+        FROM gd0),
+gd2 AS (SELECT doc_id, gz2, pp, lam2, {it.replace("PHI", "phi")} AS phi
+        FROM gd1),
+gd3 AS (SELECT doc_id, gz2, pp, lam2, {it.replace("PHI", "phi")} AS phi
+        FROM gd2),
+gd4 AS (SELECT doc_id, gz2, pp, lam2, {it.replace("PHI", "phi")} AS phi
+        FROM gd3)
+SELECT doc_id, ROUND(degrees(lam2), 9) AS lon_r,
+       ROUND(degrees(phi), 9) AS lat_r
+FROM gd4"""
+
+
+@_reg("st_transform_ed50", f"""
+{_pts_cte()},{_ed50_sql()}
+""")
+def q_st_transform_ed50(spark, sf_dir):
+    """ST_Transform from EPSG:4230 (ED50, International 1924 ellipsoid,
+    classic -87,-98,-121 mean-European shift) to WGS84 — the forward
+    Helmert direction (helmert_to_wgs84) plus the cross-ellipsoid
+    geodetic<->geocentric hop with no projection, oracled stage-for-stage
+    in SQL at nanodegree rounding."""
+    st.register_all(spark)
+    p = datagen.points(spark, sf_dir).where(F.col("doc_id") % 10 == 0)
+    p = p.select("doc_id",
+                 (F.col("lon") / 9.0).alias("lone"),
+                 (F.lit(36.0) + (F.col("lat") + 90.0) / 6.0).alias("late"))
+    p.createOrReplaceTempView("t_ed50_pts")
+    return spark.sql(
+        "SELECT doc_id, "
+        " ROUND(ST_X(ST_Transform(ST_MakePoint(lone, late), 'EPSG:4230',"
+        "  'EPSG:4326')), 9) AS lon_r, "
+        " ROUND(ST_Y(ST_Transform(ST_MakePoint(lone, late), 'EPSG:4230',"
+        "  'EPSG:4326')), 9) AS lat_r "
+        "FROM t_ed50_pts")

@@ -138,34 +138,119 @@ _BETA = [
 _TM_K0 = 0.9996
 
 
+def tm_coeffs(a: float, f: float):
+    """Krueger 6th-order series coefficients for an arbitrary ellipsoid:
+    (A_bar, alpha[6], beta[6], e, e2). The WGS84 module constants above are
+    this function evaluated at (WGS84_A, WGS84_F) — pinned by test."""
+    return _tm_coeffs_cached(float(a), float(f))
+
+
+def _tm_series(n: float):
+    alpha = [
+        n / 2 - 2 * n ** 2 / 3 + 5 * n ** 3 / 16 + 41 * n ** 4 / 180
+        - 127 * n ** 5 / 288 + 7891 * n ** 6 / 37800,
+        13 * n ** 2 / 48 - 3 * n ** 3 / 5 + 557 * n ** 4 / 1440
+        + 281 * n ** 5 / 630 - 1983433 * n ** 6 / 1935360,
+        61 * n ** 3 / 240 - 103 * n ** 4 / 140 + 15061 * n ** 5 / 26880
+        + 167603 * n ** 6 / 181440,
+        49561 * n ** 4 / 161280 - 179 * n ** 5 / 168
+        + 6601661 * n ** 6 / 7257600,
+        34729 * n ** 5 / 80640 - 3418889 * n ** 6 / 1995840,
+        212378941 * n ** 6 / 319334400,
+    ]
+    beta = [
+        n / 2 - 2 * n ** 2 / 3 + 37 * n ** 3 / 96 - n ** 4 / 360
+        - 81 * n ** 5 / 512 + 96199 * n ** 6 / 604800,
+        n ** 2 / 48 + n ** 3 / 15 - 437 * n ** 4 / 1440
+        + 46 * n ** 5 / 105 - 1118711 * n ** 6 / 3870720,
+        17 * n ** 3 / 480 - 37 * n ** 4 / 840 - 209 * n ** 5 / 4480
+        + 5569 * n ** 6 / 90720,
+        4397 * n ** 4 / 161280 - 11 * n ** 5 / 504
+        - 830251 * n ** 6 / 7257600,
+        4583 * n ** 5 / 161280 - 108847 * n ** 6 / 3991680,
+        20648693 * n ** 6 / 638668800,
+    ]
+    return alpha, beta
+
+
+def _tm_coeffs_impl(a: float, f: float):
+    n = f / (2.0 - f)
+    e2 = f * (2.0 - f)
+    a_bar = a / (1 + n) * (1 + n ** 2 / 4 + n ** 4 / 64 + n ** 6 / 256)
+    alpha, beta = _tm_series(n)
+    return a_bar, alpha, beta, float(np.sqrt(e2)), e2
+
+
+from functools import lru_cache as _tm_lru
+
+
+@_tm_lru(maxsize=None)
+def _tm_coeffs_cached(a: float, f: float):
+    return _tm_coeffs_impl(a, f)
+
+
+def _tm_xi0(lat0: float, alpha, e) -> float:
+    """Rectifying latitude of the projection origin: the meridian-arc
+    offset M0 = k0*A_bar*xi0 subtracted when lat_0 != 0 (EPSG 9807
+    'Transverse Mercator' natural-origin northing)."""
+    if lat0 == 0.0:
+        return 0.0
+    s0 = np.sin(lat0 * _D2R)
+    t0 = np.sinh(np.arctanh(s0) - e * np.arctanh(e * s0))
+    xi_p0 = np.arctan(t0)
+    xi0 = xi_p0
+    for j, aj in enumerate(alpha, start=1):
+        xi0 = xi0 + aj * np.sin(2 * j * xi_p0)
+    return float(xi0)
+
+
 def tm_forward(lon, lat, lon0: float, k0: float = _TM_K0,
-               fe: float = 500000.0, fn: float = 0.0):
+               fe: float = 500000.0, fn: float = 0.0,
+               ellps: tuple[float, float] | None = None,
+               lat0: float = 0.0):
     """Ellipsoidal Transverse Mercator forward (Krueger series, ~nm
-    accuracy within a UTM zone)."""
+    accuracy within a UTM zone). ``ellps=(a, f)`` selects a non-WGS84
+    ellipsoid (e.g. Airy 1830 for OSGB36 grids); ``lat0`` the latitude of
+    natural origin (its meridian arc is subtracted from the northing)."""
+    if ellps is None:
+        a_bar, alpha, e, e2 = _A_BAR, _ALPHA, _E, _E2
+    else:
+        a_bar, alpha, _beta, e, e2 = tm_coeffs(*ellps)
+    if lat0 != 0.0:
+        fn = fn - k0 * a_bar * _tm_xi0(lat0, alpha, e)
     lam = (np.asarray(lon, dtype=np.float64) - lon0) * _D2R
     phi = np.asarray(lat, dtype=np.float64) * _D2R
     sphi = np.sin(phi)
     # conformal latitude tangent
-    t = np.sinh(np.arctanh(sphi) - _E * np.arctanh(_E * sphi))
+    t = np.sinh(np.arctanh(sphi) - e * np.arctanh(e * sphi))
     xi_p = np.arctan2(t, np.cos(lam))
     eta_p = np.arcsinh(np.sin(lam) / np.sqrt(t * t + np.cos(lam) ** 2))
     xi = xi_p.copy()
     eta = eta_p.copy()
-    for j, a in enumerate(_ALPHA, start=1):
-        xi = xi + a * np.sin(2 * j * xi_p) * np.cosh(2 * j * eta_p)
-        eta = eta + a * np.cos(2 * j * xi_p) * np.sinh(2 * j * eta_p)
-    return fe + k0 * _A_BAR * eta, fn + k0 * _A_BAR * xi
+    for j, aj in enumerate(alpha, start=1):
+        xi = xi + aj * np.sin(2 * j * xi_p) * np.cosh(2 * j * eta_p)
+        eta = eta + aj * np.cos(2 * j * xi_p) * np.sinh(2 * j * eta_p)
+    return fe + k0 * a_bar * eta, fn + k0 * a_bar * xi
 
 
 def tm_inverse(x, y, lon0: float, k0: float = _TM_K0,
-               fe: float = 500000.0, fn: float = 0.0):
+               fe: float = 500000.0, fn: float = 0.0,
+               ellps: tuple[float, float] | None = None,
+               lat0: float = 0.0):
     """Ellipsoidal Transverse Mercator inverse (Krueger series + Newton
     iteration for the conformal-to-geodetic latitude)."""
-    eta = (np.asarray(x, dtype=np.float64) - fe) / (k0 * _A_BAR)
-    xi = (np.asarray(y, dtype=np.float64) - fn) / (k0 * _A_BAR)
+    if ellps is None:
+        a_bar, beta, e, e2 = _A_BAR, _BETA, _E, _E2
+        alpha = _ALPHA
+    else:
+        a_bar, alpha, beta, e, e2 = tm_coeffs(*ellps)
+    if lat0 != 0.0:
+        fn = fn - k0 * a_bar * _tm_xi0(lat0, alpha, e)
+    eta = (np.asarray(x, dtype=np.float64) - fe) / (k0 * a_bar)
+    xi = (np.asarray(y, dtype=np.float64) - fn) / (k0 * a_bar)
     xi_p = xi.copy()
     eta_p = eta.copy()
-    for j, b in enumerate(_BETA, start=1):
+    for j, b in enumerate(beta, start=1):
         xi_p = xi_p - b * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
         eta_p = eta_p - b * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
     lam = np.arctan2(np.sinh(eta_p), np.cos(xi_p))
@@ -173,15 +258,129 @@ def tm_inverse(x, y, lon0: float, k0: float = _TM_K0,
     # Newton: solve tau (= tan phi) such that conformal tangent == tau_p
     tau = tau_p.copy()
     for _ in range(6):
-        sig = np.sinh(_E * np.arctanh(_E * tau / np.sqrt(1 + tau * tau)))
+        sig = np.sinh(e * np.arctanh(e * tau / np.sqrt(1 + tau * tau)))
         tau_i = tau * np.sqrt(1 + sig * sig) \
             - sig * np.sqrt(1 + tau * tau)
-        dtau = (tau_p - tau_i) * (1 + (1 - _E2) * tau * tau) \
-            / ((1 - _E2) * np.sqrt((1 + tau_i * tau_i)
-                                   * (1 + tau * tau)))
+        dtau = (tau_p - tau_i) * (1 + (1 - e2) * tau * tau) \
+            / ((1 - e2) * np.sqrt((1 + tau_i * tau_i)
+                                  * (1 + tau * tau)))
         tau = tau + dtau
     phi = np.arctan(tau)
     return lon0 + lam / _D2R, phi / _D2R
+
+
+# ---------------------------------------------------------------------------
+# datum shifts: ellipsoid table + geocentric (Helmert) transformation
+# (reference: OGRCoordinateTransformation assembles the PROJ pipeline
+#  ogr/ogrct.cpp:919-948; the 3/7-parameter geocentric chain here follows
+#  the classic PROJ +towgs84 position-vector semantics
+#  pj_geocentric_to_wgs84 / pj_geocentric_from_wgs84. Grid-file shifts
+#  (NTv2/NADCON, e.g. NAD27) need grid data this container does not carry
+#  — documented out of scope; Helmert covers the common national datums.)
+# ---------------------------------------------------------------------------
+
+ELLIPSOIDS: dict[str, tuple[float, float]] = {
+    # name -> (a, f)
+    "WGS84":    (6378137.0, 1.0 / 298.257223563),
+    "GRS80":    (6378137.0, 1.0 / 298.257222101),
+    "airy":     (6377563.396, 1.0 / 299.3249646),
+    "mod_airy": (6377340.189, 1.0 / 299.3249646),
+    "intl":     (6378388.0, 1.0 / 297.0),
+    "bessel":   (6377397.155, 1.0 / 299.1528128),
+    "clrk66":   (6378206.4, 1.0 - 6356583.8 / 6378206.4),
+    "krass":    (6378245.0, 1.0 / 298.3),
+}
+
+# +datum= shorthand -> (ellps_name, towgs84 7-tuple) — the classic PROJ
+# datum table entries that are pure Helmert (grid-shift datums excluded).
+DATUM_DEFS: dict[str, tuple[str, tuple[float, ...]]] = {
+    "WGS84": ("WGS84", (0.0,) * 7),
+    "OSGB36": ("airy", (446.448, -125.157, 542.060,
+                        0.1502, 0.2470, 0.8421, -20.4894)),
+    "ire65": ("mod_airy", (482.530, -130.596, 564.557,
+                           -1.042, -0.214, -0.631, 8.15)),
+    "GGRS87": ("GRS80", (-199.87, 74.79, 246.62, 0.0, 0.0, 0.0, 0.0)),
+    "potsdam": ("bessel", (598.1, 73.7, 418.2,
+                           0.202, 0.045, -2.455, 6.7)),
+    "hermannskogel": ("bessel", (577.326, 90.129, 463.919,
+                                 5.137, 1.474, 5.297, 2.4232)),
+    "nzgd49": ("intl", (59.47, -5.04, 187.44,
+                        0.47, -0.1, 1.024, -4.5993)),
+}
+
+_AS2R = np.pi / (180.0 * 3600.0)       # arcsec -> radians
+
+
+def geodetic_to_geocentric(lon, lat, a: float, f: float):
+    """(lon, lat) degrees at h=0 -> geocentric (X, Y, Z) meters."""
+    lam = np.asarray(lon, np.float64) * _D2R
+    phi = np.asarray(lat, np.float64) * _D2R
+    e2 = f * (2.0 - f)
+    sphi = np.sin(phi)
+    nn = a / np.sqrt(1.0 - e2 * sphi * sphi)
+    cphi = np.cos(phi)
+    return (nn * cphi * np.cos(lam), nn * cphi * np.sin(lam),
+            nn * (1.0 - e2) * sphi)
+
+
+def geocentric_to_geodetic(x, y, z, a: float, f: float, iters: int = 4):
+    """Geocentric (X, Y, Z) -> (lon, lat) degrees, fixed-point latitude
+    iteration (exactly ``iters`` rounds so an external SQL oracle can
+    replay the identical arithmetic; 4 rounds converge to <1e-11 rad)."""
+    x = np.asarray(x, np.float64)
+    y = np.asarray(y, np.float64)
+    z = np.asarray(z, np.float64)
+    e2 = f * (2.0 - f)
+    p = np.sqrt(x * x + y * y)
+    lam = np.arctan2(y, x)
+    phi = np.arctan2(z, p * (1.0 - e2))
+    for _ in range(iters):
+        sphi = np.sin(phi)
+        nn = a / np.sqrt(1.0 - e2 * sphi * sphi)
+        phi = np.arctan2(z + e2 * nn * sphi, p)
+    return lam / _D2R, phi / _D2R
+
+
+def helmert_to_wgs84(x, y, z, p: tuple[float, ...]):
+    """Geocentric source-datum -> WGS84, position-vector convention
+    (dx dy dz meters, rx ry rz arcsec, s ppm):
+      X' = M*(X - rz*Y + ry*Z) + dx   with M = 1 + s*1e-6."""
+    dx, dy, dz = p[0], p[1], p[2]
+    rx, ry, rz = (v * _AS2R for v in p[3:6]) if len(p) > 3 else (0., 0., 0.)
+    m = 1.0 + (p[6] * 1e-6 if len(p) > 6 else 0.0)
+    if len(p) == 3 or (rx == ry == rz == 0.0 and m == 1.0):
+        return x + dx, y + dy, z + dz
+    return (m * (x - rz * y + ry * z) + dx,
+            m * (rz * x + y - rx * z) + dy,
+            m * (-ry * x + rx * y + z) + dz)
+
+
+def helmert_from_wgs84(x, y, z, p: tuple[float, ...]):
+    """WGS84 geocentric -> source datum: the classic small-angle reverse
+    (un-translate, un-scale, transposed rotation)."""
+    dx, dy, dz = p[0], p[1], p[2]
+    rx, ry, rz = (v * _AS2R for v in p[3:6]) if len(p) > 3 else (0., 0., 0.)
+    m = 1.0 + (p[6] * 1e-6 if len(p) > 6 else 0.0)
+    if len(p) == 3 or (rx == ry == rz == 0.0 and m == 1.0):
+        return x - dx, y - dy, z - dz
+    xt = (x - dx) / m
+    yt = (y - dy) / m
+    zt = (z - dz) / m
+    return (xt + rz * yt - ry * zt,
+            -rz * xt + yt + rx * zt,
+            ry * xt - rx * yt + zt)
+
+
+def _is_wgs84_ellps(a: float, f: float) -> bool:
+    """WGS84 and GRS80 are treated as identical (flattening differs at
+    1e-10 — sub-0.1mm; the repo's NAD83/ETRS89 kernels already do so)."""
+    return abs(a - 6378137.0) < 1e-6 and abs(1.0 / f - 298.2572) < 1e-3
+
+
+def _datum_identity(ellps: tuple[float, float],
+                    towgs84: tuple[float, ...] | None) -> bool:
+    return _is_wgs84_ellps(*ellps) and (
+        towgs84 is None or all(v == 0.0 for v in towgs84))
 
 
 def _authalic_q(sphi):
@@ -437,6 +636,56 @@ def _parse_proj_string(crs: str):
             kv[k] = v
         else:
             kv[body] = True
+
+    # datum components: +ellps / +datum (classic PROJ table) / +towgs84
+    ellps_name = kv.get("ellps")
+    towgs84: tuple[float, ...] | None = None
+    if "datum" in kv:
+        dd = DATUM_DEFS.get(str(kv["datum"]))
+        if dd is None:
+            return None            # grid-shift datums (NAD27...) unsupported
+        ellps_name = ellps_name or dd[0]
+        towgs84 = dd[1]
+    if "towgs84" in kv:
+        towgs84 = tuple(float(v) for v in str(kv["towgs84"]).split(","))
+    if ellps_name is not None and str(ellps_name) not in ELLIPSOIDS:
+        return None
+    ellps = ELLIPSOIDS[str(ellps_name)] if ellps_name else \
+        ELLIPSOIDS["WGS84"]
+    if "a" in kv:
+        a_val = float(kv["a"])
+        rf = float(kv["rf"]) if "rf" in kv else (
+            1.0 / ellps[1] if ellps[1] else 0.0)
+        ellps = (a_val, 1.0 / rf if rf else 0.0)
+
+    inner = _proj_inner_kind(kv)
+    return _wrap_datum(inner, ellps, towgs84)
+
+
+def _wrap_datum(inner, ellps: tuple[float, float],
+                towgs84: tuple[float, ...] | None):
+    """Attach a ('datum', inner, (a,f), towgs84_7) wrapper to a parsed
+    projection kind when the source datum is not plain WGS84. Non-WGS84
+    ellipsoids are only ported for the tmerc/utm/geographic kernels."""
+    if inner is None or _datum_identity(ellps, towgs84):
+        return inner
+    p = tuple(towgs84 or ())
+    if len(p) == 3:
+        p = p + (0.0, 0.0, 0.0, 0.0)
+    elif len(p) == 0:
+        p = (0.0,) * 7
+    elif len(p) != 7:
+        return None
+    if inner == "4326":
+        inner = "geog"
+    elif isinstance(inner, tuple) and inner[0] in ("tmerc", "utm"):
+        pass
+    elif not _is_wgs84_ellps(*ellps):
+        return None     # e.g. LCC on Bessel: kernel not ellipsoid-ported
+    return ("datum", inner, ellps, p)
+
+
+def _proj_inner_kind(kv: dict):
     proj = kv.get("proj")
     if proj in ("longlat", "latlong"):
         return "4326"
@@ -445,7 +694,9 @@ def _parse_proj_string(crs: str):
     if proj == "merc":
         return ("merc", f("lon_0", 0.0), k0, f("x_0", 0.0), f("y_0", 0.0))
     if proj == "tmerc":
-        return ("tmerc", f("lon_0", 0.0), k0, f("x_0", 0.0), f("y_0", 0.0))
+        lat0 = f("lat_0", 0.0)
+        base = ("tmerc", f("lon_0", 0.0), k0, f("x_0", 0.0), f("y_0", 0.0))
+        return base + (lat0,) if lat0 != 0.0 else base
     if proj == "utm":
         zone = int(kv.get("zone", 0))
         if 1 <= zone <= 60:
@@ -528,7 +779,45 @@ _WKT_METHODS = {
 }
 
 
+def _wkt_find_deep(node, name: str):
+    """Depth-first search of a parsed WKT tuple tree for a node name."""
+    if isinstance(node, tuple) and len(node) == 2 \
+            and isinstance(node[1], list):
+        if node[0] == name:
+            return node
+        for c in node[1]:
+            hit = _wkt_find_deep(c, name)
+            if hit is not None:
+                return hit
+    return None
+
+
 def _parse_wkt_crs(crs: str):
+    """OGC WKT1 GEOGCS/PROJCS -> kind tuple, honoring the DATUM node:
+    SPHEROID[a, 1/f] selects the ellipsoid, TOWGS84[dx,dy,dz(,rx,ry,rz,s)]
+    the Helmert shift (OGRSpatialReference::GetTOWGS84,
+    ogr/ogrspatialreference.cpp). A WKT whose datum is plain WGS84
+    parses exactly as before."""
+    kind = _parse_wkt_kind(crs)
+    if kind is None or (isinstance(kind, tuple) and kind[0] == "datum"):
+        return kind          # AUTHORITY whitelist already datum-qualified
+    root, _ = _wkt_node(crs)
+    sph = _wkt_find_deep(root, "SPHEROID") or _wkt_find_deep(root,
+                                                             "ELLIPSOID")
+    tow = _wkt_find_deep(root, "TOWGS84")
+    ellps = ELLIPSOIDS["WGS84"]
+    if sph is not None:
+        vals = [v for v in sph[1] if isinstance(v, float)]
+        if len(vals) >= 2:
+            a_val, invf = vals[0], vals[1]
+            ellps = (a_val, 1.0 / invf if invf else 0.0)
+    towgs84 = None
+    if tow is not None:
+        towgs84 = tuple(v for v in tow[1] if isinstance(v, float))
+    return _wrap_datum(kind, ellps, towgs84)
+
+
+def _parse_wkt_kind(crs: str):
     """OGC WKT1 GEOGCS/PROJCS -> the same parameterized kind tuples the
     proj-string path produces (the reference's importFromWkt +
     exportToProj4 round trip collapsed to the families this engine
@@ -612,6 +901,10 @@ def _parse_wkt_crs(crs: str):
         south = (lat0 < 0) or (lat_ts == lat_ts and lat_ts < 0)
         return ("stere", lon0, None if lat_ts != lat_ts else lat_ts,
                 k0, south, fe, fn)
+    if fam == "tmerc":
+        lat0 = g(("latitude_of_origin", "latitude_of_natural_origin"))
+        if lat0 != 0.0:
+            return ("tmerc", lon0, k0, fe, fn, lat0)
     return (fam, lon0, k0, fe, fn)
 
 
@@ -653,6 +946,22 @@ def _parse_crs(crs: str):
         return ("stere", 0.0, -71.0, 1.0, True, 0.0, 0.0)
     if crs == "EPSG:3995":        # WGS84 / Arctic Polar Stereographic
         return ("stere", 0.0, 71.0, 1.0, False, 0.0, 0.0)
+    if crs == "EPSG:27700":       # OSGB36 / British National Grid
+        return ("datum",
+                ("tmerc", -2.0, 0.9996012717, 400000.0, -100000.0, 49.0),
+                ELLIPSOIDS["airy"], DATUM_DEFS["OSGB36"][1])
+    if crs == "EPSG:4277":        # OSGB36 geographic
+        return ("datum", "geog", ELLIPSOIDS["airy"],
+                DATUM_DEFS["OSGB36"][1])
+    if crs == "EPSG:4230":        # ED50 geographic (mean-European shift)
+        return ("datum", "geog", ELLIPSOIDS["intl"],
+                (-87.0, -98.0, -121.0, 0.0, 0.0, 0.0, 0.0))
+    if crs.startswith("EPSG:230") and len(crs) == 10:
+        zone = int(crs[8:])       # ED50 / UTM 28N..38N (EPSG:23028-23038)
+        if 28 <= zone <= 38:
+            return ("datum", ("utm", -183.0 + 6.0 * zone, False),
+                    ELLIPSOIDS["intl"],
+                    (-87.0, -98.0, -121.0, 0.0, 0.0, 0.0, 0.0))
     if crs.startswith("LAEA:"):   # generic: LAEA:lon0,lat0
         lon0, lat0 = (float(v) for v in crs[5:].split(","))
         return ("laea", lon0, lat0, 0.0, 0.0)
@@ -660,7 +969,34 @@ def _parse_crs(crs: str):
 
 
 def _to_4326(crs, x, y):
-    kind = _parse_crs(crs)
+    return _kind_to_4326(_parse_crs(crs), x, y, crs)
+
+
+def _kind_to_4326(kind, x, y, crs="?"):
+    if isinstance(kind, tuple) and kind[0] == "datum":
+        # source-datum projected -> source geodetic -> geocentric ->
+        # Helmert -> WGS84 geodetic (ogrct.cpp chain; PROJ +towgs84)
+        _, inner, ellps, p = kind
+        if inner == "geog":
+            lon = np.asarray(x, np.float64)
+            lat = np.asarray(y, np.float64)
+        elif isinstance(inner, tuple) and inner[0] == "utm" \
+                and not _is_wgs84_ellps(*ellps):
+            _k, lon0, south = inner
+            lon, lat = tm_inverse(x, y, lon0,
+                                  fn=10000000.0 if south else 0.0,
+                                  ellps=ellps)
+        elif isinstance(inner, tuple) and inner[0] == "tmerc" \
+                and not _is_wgs84_ellps(*ellps):
+            _k, lon0, k0, fe, fn = inner[:5]
+            lon, lat = tm_inverse(x, y, lon0, k0=k0, fe=fe, fn=fn,
+                                  ellps=ellps,
+                                  lat0=inner[5] if len(inner) > 5 else 0.0)
+        else:
+            lon, lat = _kind_to_4326(inner, x, y, crs)
+        gx, gy, gz = geodetic_to_geocentric(lon, lat, *ellps)
+        gx, gy, gz = helmert_to_wgs84(gx, gy, gz, p)
+        return geocentric_to_geodetic(gx, gy, gz, *ELLIPSOIDS["WGS84"])
     if kind == "4326":
         return np.asarray(x, np.float64), np.asarray(y, np.float64)
     if kind == "3857":
@@ -675,8 +1011,9 @@ def _to_4326(crs, x, y):
         _, lon0, lat0, fe, fn = kind
         return laea_inverse(x, y, lon0, lat0, fe, fn)
     if isinstance(kind, tuple) and kind[0] == "tmerc":
-        _, lon0, k0, fe, fn = kind
-        return tm_inverse(x, y, lon0, k0=k0, fe=fe, fn=fn)
+        _, lon0, k0, fe, fn = kind[:5]
+        return tm_inverse(x, y, lon0, k0=k0, fe=fe, fn=fn,
+                          lat0=kind[5] if len(kind) > 5 else 0.0)
     if isinstance(kind, tuple) and kind[0] == "merc":
         _, lon0, k0, fe, fn = kind
         lon = lon0 + (np.asarray(x, np.float64) - fe) \
@@ -698,7 +1035,30 @@ def _to_4326(crs, x, y):
 
 
 def _from_4326(crs, lon, lat):
-    kind = _parse_crs(crs)
+    return _kind_from_4326(_parse_crs(crs), lon, lat, crs)
+
+
+def _kind_from_4326(kind, lon, lat, crs="?"):
+    if isinstance(kind, tuple) and kind[0] == "datum":
+        _, inner, ellps, p = kind
+        gx, gy, gz = geodetic_to_geocentric(lon, lat,
+                                            *ELLIPSOIDS["WGS84"])
+        gx, gy, gz = helmert_from_wgs84(gx, gy, gz, p)
+        lon2, lat2 = geocentric_to_geodetic(gx, gy, gz, *ellps)
+        if inner == "geog":
+            return lon2, lat2
+        if isinstance(inner, tuple) and inner[0] == "utm" \
+                and not _is_wgs84_ellps(*ellps):
+            _k, lon0, south = inner
+            return tm_forward(lon2, lat2, lon0,
+                              fn=10000000.0 if south else 0.0, ellps=ellps)
+        if isinstance(inner, tuple) and inner[0] == "tmerc" \
+                and not _is_wgs84_ellps(*ellps):
+            _k, lon0, k0, fe, fn = inner[:5]
+            return tm_forward(lon2, lat2, lon0, k0=k0, fe=fe, fn=fn,
+                              ellps=ellps,
+                              lat0=inner[5] if len(inner) > 5 else 0.0)
+        return _kind_from_4326(inner, lon2, lat2, crs)
     if kind == "4326":
         return np.asarray(lon, np.float64), np.asarray(lat, np.float64)
     if kind == "3857":
@@ -713,8 +1073,9 @@ def _from_4326(crs, lon, lat):
         _, lon0, lat0, fe, fn = kind
         return laea_forward(lon, lat, lon0, lat0, fe, fn)
     if isinstance(kind, tuple) and kind[0] == "tmerc":
-        _, lon0, k0, fe, fn = kind
-        return tm_forward(lon, lat, lon0, k0=k0, fe=fe, fn=fn)
+        _, lon0, k0, fe, fn = kind[:5]
+        return tm_forward(lon, lat, lon0, k0=k0, fe=fe, fn=fn,
+                          lat0=kind[5] if len(kind) > 5 else 0.0)
     if isinstance(kind, tuple) and kind[0] == "merc":
         _, lon0, k0, fe, fn = kind
         mx = fe + k0 * EARTH_RADIUS * (np.asarray(lon, np.float64)
@@ -950,6 +1311,10 @@ def format_proj4(crs: str) -> str:
     kind = _parse_crs(crs)
     if kind is None:
         raise ValueError(f"unsupported CRS {crs!r}")
+    return format_proj4_kind(kind)
+
+
+def format_proj4_kind(kind) -> str:
     if kind == "4326":
         return "+proj=longlat +datum=WGS84 +no_defs"
     if kind == "3857":
@@ -981,8 +1346,20 @@ def format_proj4(crs: str) -> str:
         return (f"+proj=stere +lat_0={-90 if south else 90}{ts} "
                 f"+lon_0={lon0:.10g} +k_0={k0:.10g} +x_0={fe:.10g} +y_0={fn:.10g} "
                 "+datum=WGS84 +units=m +no_defs")
-    _, lon0, k0, fe, fn = kind
-    return (f"+proj={fam} +lat_0=0 +lon_0={lon0:.10g} +k_0={k0:.10g} "
+    if fam == "datum":
+        _, inner, ellps, p = kind
+        base = ("+proj=longlat" if inner == "geog"
+                else format_proj4_kind(inner).rsplit(" +datum=", 1)[0])
+        en = next((nm for nm, ab in ELLIPSOIDS.items()
+                   if ab == tuple(ellps)), None)
+        ell = f" +ellps={en}" if en else \
+            f" +a={ellps[0]:.10g} +rf={1.0 / ellps[1]:.10g}"
+        tow = ",".join(f"{v:.10g}" for v in p)
+        return f"{base}{ell} +towgs84={tow} +units=m +no_defs"
+    _, lon0, k0, fe, fn = kind[:5]
+    lat0 = kind[5] if fam == "tmerc" and len(kind) > 5 else 0.0
+    return (f"+proj={fam} +lat_0={lat0:.10g} +lon_0={lon0:.10g} "
+            f"+k_0={k0:.10g} "
             f"+x_0={fe:.10g} +y_0={fn:.10g} +datum=WGS84 +units=m +no_defs")
 
 

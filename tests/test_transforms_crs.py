@@ -568,3 +568,127 @@ def test_conic_inverse_roundtrips():
         dlon = (np.asarray(lo) - lons + 180.0) % 360.0 - 180.0
         np.testing.assert_allclose(dlon, 0.0, atol=1e-9, err_msg=crs)
         np.testing.assert_allclose(la, lats, atol=5e-8, err_msg=crs)
+
+
+# ---------------------------------------------------------------------------
+# datum shifts (towgs84 Helmert) — OSGB36 / ED50
+# ---------------------------------------------------------------------------
+
+def test_tm_coeffs_wgs84_pins_module_constants():
+    from gdal_spark.raster import transforms as tr
+    a_bar, alpha, beta, e, e2 = tr.tm_coeffs(tr._WGS84_A, tr._WGS84_F)
+    assert a_bar == tr._A_BAR
+    assert alpha == tr._ALPHA and beta == tr._BETA
+    assert e == tr._E and e2 == tr._E2
+
+
+def test_osgb36_os_worked_example():
+    """The Ordnance Survey 'worked example' point (OSGB36 geographic
+    52d39'27.2531\"N 1d43'4.5177\"E -> E 651409.903 N 313177.270): our
+    Airy Krueger tmerc with lat_0=49 must land within 1.5 mm."""
+    import numpy as np
+
+    from gdal_spark.raster import transforms as tr
+    lat = 52 + 39 / 60 + 27.2531 / 3600
+    lon = 1 + 43 / 60 + 4.5177 / 3600
+    x, y = tr.transform("EPSG:4277", "EPSG:27700",
+                        np.array([lon]), np.array([lat]))
+    assert abs(x[0] - 651409.903) < 1.5e-3
+    assert abs(y[0] - 313177.270) < 1.5e-3
+    # true origin maps to the false origin exactly (sub-mm through the
+    # double Helmert round trip)
+    x0, y0 = tr.transform("EPSG:4277", "EPSG:27700",
+                          np.array([-2.0]), np.array([49.0]))
+    assert abs(x0[0] - 400000.0) < 1e-2 and abs(y0[0] + 100000.0) < 1e-2
+
+
+def test_osgb_spellings_agree_and_roundtrip():
+    import numpy as np
+
+    from gdal_spark.raster import transforms as tr
+    lon = np.array([-1.5, -4.0, 0.5])
+    lat = np.array([50.5, 57.0, 52.25])
+    ex, ey = tr.transform("EPSG:4326", "EPSG:27700", lon, lat)
+    p4 = ("+proj=tmerc +lat_0=49 +lon_0=-2 +k=0.9996012717 +x_0=400000 "
+          "+y_0=-100000 +ellps=airy "
+          "+towgs84=446.448,-125.157,542.06,0.1502,0.247,0.8421,-20.4894")
+    x2, y2 = tr.transform("EPSG:4326", p4, lon, lat)
+    assert np.abs(x2 - ex).max() == 0.0 and np.abs(y2 - ey).max() == 0.0
+    x3, y3 = tr.transform("EPSG:4326", "+datum=OSGB36 +proj=tmerc "
+                          "+lat_0=49 +lon_0=-2 +k=0.9996012717 "
+                          "+x_0=400000 +y_0=-100000", lon, lat)
+    assert np.abs(x3 - ex).max() == 0.0
+    wkt = ('PROJCS["British National Grid",GEOGCS["OSGB36",'
+           'DATUM["OSGB_1936",'
+           'SPHEROID["Airy 1830",6377563.396,299.3249646],'
+           'TOWGS84[446.448,-125.157,542.06,0.1502,0.247,0.8421,'
+           '-20.4894]],PRIMEM["Greenwich",0],'
+           'UNIT["degree",0.0174532925199433]],'
+           'PROJECTION["Transverse_Mercator"],'
+           'PARAMETER["latitude_of_origin",49],'
+           'PARAMETER["central_meridian",-2],'
+           'PARAMETER["scale_factor",0.9996012717],'
+           'PARAMETER["false_easting",400000],'
+           'PARAMETER["false_northing",-100000],UNIT["metre",1]]')
+    x4, y4 = tr.transform("EPSG:4326", wkt, lon, lat)
+    assert np.abs(x4 - ex).max() == 0.0 and np.abs(y4 - ey).max() == 0.0
+    # format_proj4 re-parses to the same kernel
+    x5, y5 = tr.transform("EPSG:4326", tr.format_proj4("EPSG:27700"),
+                          lon, lat)
+    assert np.abs(x5 - ex).max() == 0.0
+    # inverse round trip through the full datum chain
+    bl, bb = tr.transform("EPSG:27700", "EPSG:4326", ex, ey)
+    assert np.abs(bl - lon).max() < 1e-7 and np.abs(bb - lat).max() < 1e-7
+
+
+def test_ed50_shift_and_utm():
+    """ED50 is ~100m NE of WGS84 in central Europe; the 3-param shift and
+    the intl-ellipsoid UTM round trip both hold."""
+    import numpy as np
+
+    from gdal_spark.raster import transforms as tr
+    lon, lat = np.array([2.3522]), np.array([48.8566])
+    wl, wb = tr.transform("EPSG:4230", "EPSG:4326", lon, lat)
+    dlon = (wl[0] - lon[0]) * 111320 * np.cos(np.radians(48.8566))
+    dlat = (wb[0] - lat[0]) * 110540
+    # WGS84 coords of an ED50-labelled point sit SW: shift magnitude 80-150m
+    assert -150 < dlon < -40 and -150 < dlat < -40
+    ex, ey = tr.transform("EPSG:4326", "EPSG:23031", lon, lat)
+    bl, bb = tr.transform("EPSG:23031", "EPSG:4326", ex, ey)
+    assert abs(bl[0] - lon[0]) < 1e-7 and abs(bb[0] - lat[0]) < 1e-7
+    # differs from the WGS84 UTM31 easting/northing by the datum shift
+    wx, wy = tr.transform("EPSG:4326", "EPSG:32631", lon, lat)
+    assert 40 < abs(ex[0] - wx[0]) + abs(ey[0] - wy[0]) < 400
+
+
+def test_helmert_position_vector_roundtrip():
+    import numpy as np
+
+    from gdal_spark.raster import transforms as tr
+    rng = np.random.default_rng(7)
+    x = rng.uniform(-6.4e6, 6.4e6, 50)
+    y = rng.uniform(-6.4e6, 6.4e6, 50)
+    z = rng.uniform(-6.4e6, 6.4e6, 50)
+    p = tr.DATUM_DEFS["OSGB36"][1]
+    fx, fy, fz = tr.helmert_to_wgs84(*tr.helmert_from_wgs84(x, y, z, p), p)
+    # the classic small-angle reverse is approximate at the rotation^2
+    # level: |r|~4e-6 rad -> ~1e-11 relative, micrometers at earth radius
+    assert np.abs(fx - x).max() < 1e-3
+    assert np.abs(fy - y).max() < 1e-3
+    assert np.abs(fz - z).max() < 1e-3
+    p3 = (100.0, -50.0, 25.0)
+    gx, gy, gz = tr.helmert_to_wgs84(x, y, z, p3)
+    assert np.allclose(gx, x + 100) and np.allclose(gz, z + 25)
+
+
+def test_geocentric_geodetic_roundtrip_all_ellipsoids():
+    import numpy as np
+
+    from gdal_spark.raster import transforms as tr
+    lon = np.linspace(-179.0, 179.0, 41)
+    lat = np.linspace(-89.0, 89.0, 41)
+    for a, f in tr.ELLIPSOIDS.values():
+        x, y, z = tr.geodetic_to_geocentric(lon, lat, a, f)
+        bl, bb = tr.geocentric_to_geodetic(x, y, z, a, f)
+        assert np.abs(bl - lon).max() < 1e-9
+        assert np.abs(bb - lat).max() < 1e-9
