@@ -6475,3 +6475,73 @@ def q_st_transform_ed50(spark, sf_dir):
         " ROUND(ST_Y(ST_Transform(ST_MakePoint(lone, late), 'EPSG:4230',"
         "  'EPSG:4326')), 9) AS lat_r "
         "FROM t_ed50_pts")
+
+
+@_reg("osm_pbf_ways", f"""
+{_pts_cte()},
+s AS (SELECT (doc_id // 3) % 6 AS g, doc_id,
+             1e-9 * (100 * FLOOR(lon * 1e7 + 0.5)) AS lonq,
+             1e-9 * (100 * FLOOR(lat * 1e7 + 0.5)) AS latq
+      FROM pts WHERE doc_id % 3 = 1),
+d AS (SELECT g, lonq, latq,
+             lag(lonq) OVER (PARTITION BY g ORDER BY doc_id) AS plon,
+             lag(latq) OVER (PARTITION BY g ORDER BY doc_id) AS plat
+      FROM s)
+SELECT CAST(g AS BIGINT) AS way_id, CAST(g AS VARCHAR) AS ref_tag,
+       CAST(count(*) AS BIGINT) AS n_pts,
+       ROUND(COALESCE(sum(sqrt((lonq - plon) * (lonq - plon)
+                               + (latq - plat) * (latq - plat))), 0), 9)
+         AS len_r
+FROM d GROUP BY g
+""")
+def q_osm_pbf_ways(spark, sf_dir):
+    """OSM PBF way assembly (osm_parser.cpp's protobuf flavor,
+    sources/osm_pbf.py): nodes land in delta-coded DenseNodes blocks of
+    100 (multi-blob scatter), ways in the tail block; the reader preads
+    and inflates blobs executor-side, decodes packed varints through the
+    vectorized reduceat lane and reassembles ways via the distributed
+    node join. Coordinates quantize to the 1e-7-degree granularity —
+    the oracle applies the identical floor(x*1e7+0.5) quantization."""
+    import json as _json
+    import os
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+
+    from .core import wkb as _wkb
+    from .sources.osm_pbf import osm_pbf_layers, write_osm_pbf
+
+    pts = datagen.points(spark, sf_dir).where(F.col("doc_id") % 3 == 1) \
+        .select("doc_id", "lon", "lat").orderBy("doc_id").collect()
+    nodes = [(int(r.doc_id) + 1, float(r.lon), float(r.lat), {})
+             for r in pts]
+    ways = []
+    for g in range(6):
+        refs = [int(r.doc_id) + 1 for r in pts
+                if (r.doc_id // 3) % 6 == g]
+        ways.append((g, refs, {"ref": str(g)}))
+    path = os.path.join(tempfile.gettempdir(),
+                        f"gdal_spark_pbf_{os.getpid()}.osm.pbf")
+    write_osm_pbf(nodes, ways, (), path, nodes_per_block=100)
+    lines = osm_pbf_layers(spark, path)["lines"]
+
+    @F.pandas_udf("long")
+    def npts(geom):
+        return pd.Series([len(_wkb.decode(bytes(b)).rings[0])
+                          for b in geom])
+
+    @F.pandas_udf("double")
+    def plen(geom):
+        out = []
+        for b in geom:
+            a = _wkb.decode(bytes(b)).rings[0]
+            out.append(float(np.sqrt(((a[1:] - a[:-1]) ** 2)
+                                     .sum(axis=1)).sum()))
+        return pd.Series(out)
+
+    return lines.select(
+        F.col("fid").alias("way_id"),
+        F.get_json_object("tags", "$.ref").alias("ref_tag"),
+        npts("geom").alias("n_pts"),
+        F.round(plen("geom"), 9).alias("len_r"))

@@ -125,6 +125,9 @@ def open_vector(spark, path: str, **kwargs):
     if low.endswith(".osm"):
         from .osm import osm_layers
         return osm_layers(spark, path)["points"]
+    if low.endswith(".osm.pbf"):
+        from .osm_pbf import osm_pbf_layers
+        return osm_pbf_layers(spark, path)["points"]
     if low.endswith((".arrow", ".arrows", ".feather")):
         from .arrow_ipc import read_arrow_ipc
         return read_arrow_ipc(spark, path, **kwargs)[0]

@@ -184,9 +184,14 @@ def _stitch_rings(segs):
 def osm_layers(spark: SparkSession, path: str) -> dict:
     """-> {'points', 'lines', 'polygons', 'multipolygons'} DataFrames,
     OGR's osm layer model."""
-    from ..core.geomops import points_in_ring
-
     nodes, ways, rels = parse_osm(spark, path)
+    return _layers_from_parsed(spark, nodes, ways, rels)
+
+
+def _layers_from_parsed(spark: SparkSession, nodes: DataFrame,
+                        ways: DataFrame, rels: DataFrame) -> dict:
+    """Layer assembly shared by the XML and PBF flavors (osm_pbf.py)."""
+    from ..core.geomops import points_in_ring
     points = (nodes.where(F.col("tags") != "{}")
               .select(F.col("id").alias("fid"), "lon", "lat", "tags"))
     wc = _way_coords(ways, nodes)
