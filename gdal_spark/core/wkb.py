@@ -40,6 +40,9 @@ TYPE_NAMES = {
     POINT: "POINT", LINESTRING: "LINESTRING", POLYGON: "POLYGON",
     MULTIPOINT: "MULTIPOINT", MULTILINESTRING: "MULTILINESTRING",
     MULTIPOLYGON: "MULTIPOLYGON", GEOMETRYCOLLECTION: "GEOMETRYCOLLECTION",
+    CIRCULARSTRING: "CIRCULARSTRING", COMPOUNDCURVE: "COMPOUNDCURVE",
+    CURVEPOLYGON: "CURVEPOLYGON", MULTICURVE: "MULTICURVE",
+    MULTISURFACE: "MULTISURFACE",
 }
 
 _HDR = struct.Struct("<BI")
@@ -98,12 +101,18 @@ class Geom:
 # decode
 # ---------------------------------------------------------------------------
 
-def decode(buf: bytes) -> Geom:
-    g, _ = _decode_at(buf, 0)
+def decode(buf: bytes, curves: bool = False) -> Geom:
+    """WKB -> Geom. With ``curves=False`` (the ingest default) ISO curve
+    types 8-12 linearize on decode (the ogr2ogr forceTo policy); with
+    ``curves=True`` they are preserved natively (CIRCULARSTRING keeps its
+    arc control points, COMPOUNDCURVE/CURVEPOLYGON/MULTICURVE/MULTISURFACE
+    keep child Geoms) so encode() round-trips the input byte-for-byte —
+    OGRGeometry's curve model, ogr/ogrgeometry.h OGRCircularString et al."""
+    g, _ = _decode_at(buf, 0, curves)
     return g
 
 
-def _decode_at(buf: bytes, off: int):
+def _decode_at(buf: bytes, off: int, curves: bool = False):
     byte_order, wkb_type = _HDR.unpack_from(buf, off)
     off += 5
     if byte_order != 1:
@@ -138,7 +147,7 @@ def _decode_at(buf: bytes, off: int):
         (nparts,) = _U32.unpack_from(buf, off); off += 4
         parts = []
         for _ in range(nparts):
-            g, off = _decode_at(buf, off)
+            g, off = _decode_at(buf, off, curves)
             parts.append(g)
         return Geom(base, parts=parts), off
     if base == CIRCULARSTRING:
@@ -149,32 +158,45 @@ def _decode_at(buf: bytes, off: int):
         arr = np.frombuffer(buf, dtype="<f8", count=npts * dim,
                             offset=off).reshape(npts, dim)[:, :2]
         off += 8 * dim * npts
-        return Geom(LINESTRING, [linearize_arcs(
-            np.ascontiguousarray(arr, dtype=np.float64))]), off
+        a = np.ascontiguousarray(arr, dtype=np.float64)
+        if curves:
+            return Geom(CIRCULARSTRING, [a]), off
+        return Geom(LINESTRING, [linearize_arcs(a)]), off
     if base == COMPOUNDCURVE:
         (nparts,) = _U32.unpack_from(buf, off); off += 4
         pieces = []
         for _ in range(nparts):
-            g, off = _decode_at(buf, off)
-            pieces.append(g.rings[0])
-        joined = [pieces[0]] + [p[1:] for p in pieces[1:]]
+            g, off = _decode_at(buf, off, curves)
+            pieces.append(g)
+        if curves:
+            return Geom(COMPOUNDCURVE, parts=pieces), off
+        joined = [pieces[0].rings[0]] + [p.rings[0][1:]
+                                         for p in pieces[1:]]
         return Geom(LINESTRING, [np.concatenate(joined)]), off
     if base == CURVEPOLYGON:
         (nrings,) = _U32.unpack_from(buf, off); off += 4
         rings = []
+        ring_geoms = []
         for _ in range(nrings):
-            g, off = _decode_at(buf, off)
+            g, off = _decode_at(buf, off, curves)
+            if curves:
+                ring_geoms.append(g)
+                continue
             r = g.rings[0]
             if len(r) and not np.array_equal(r[0], r[-1]):
                 r = np.vstack([r, r[:1]])
             rings.append(r)
+        if curves:
+            return Geom(CURVEPOLYGON, parts=ring_geoms), off
         return Geom(POLYGON, rings), off
     if base in (MULTICURVE, MULTISURFACE):
         (nparts,) = _U32.unpack_from(buf, off); off += 4
         parts = []
         for _ in range(nparts):
-            g, off = _decode_at(buf, off)
+            g, off = _decode_at(buf, off, curves)
             parts.append(g)
+        if curves:
+            return Geom(base, parts=parts), off
         return Geom(MULTILINESTRING if base == MULTICURVE else MULTIPOLYGON,
                     parts=parts), off
     raise ValueError(f"unsupported WKB type {wkb_type}")
@@ -234,7 +256,7 @@ def _encode_into(g: Geom, out: bytearray):
     out += _HDR.pack(1, g.gtype)
     if g.gtype == POINT:
         out += _PT.pack(float(g.rings[0][0, 0]), float(g.rings[0][0, 1]))
-    elif g.gtype == LINESTRING:
+    elif g.gtype in (LINESTRING, CIRCULARSTRING):
         arr = np.ascontiguousarray(g.rings[0], dtype="<f8")
         out += _U32.pack(len(arr))
         out += arr.tobytes()
@@ -281,6 +303,75 @@ def _close_ring(r: np.ndarray) -> np.ndarray:
     if len(r) and not np.array_equal(r[0], r[-1]):
         r = np.vstack([r, r[:1]])
     return r
+
+
+# -- curve model (ISO types 8-12, preserved by decode(curves=True)) ---------
+
+def circularstring(coords) -> bytes:
+    """Arc control points (odd count >= 3) -> CIRCULARSTRING WKB."""
+    a = np.asarray(coords, dtype=np.float64)
+    if len(a) < 3 or len(a) % 2 == 0:
+        raise ValueError("CircularString needs an odd point count >= 3")
+    return encode(Geom(CIRCULARSTRING, [a]))
+
+
+def compoundcurve(segments) -> bytes:
+    """Segments: list of ('line'|'arc', coords) -> COMPOUNDCURVE WKB.
+    Consecutive segments must share endpoints (caller contract, as in
+    OGRCompoundCurve::addCurve)."""
+    parts = []
+    for kind, coords in segments:
+        a = np.asarray(coords, dtype=np.float64)
+        parts.append(Geom(CIRCULARSTRING if kind == "arc" else LINESTRING,
+                          [a]))
+    return encode(Geom(COMPOUNDCURVE, parts=parts))
+
+
+def curvepolygon(rings) -> bytes:
+    """Rings: list of Geom (LINESTRING / CIRCULARSTRING / COMPOUNDCURVE,
+    closed) or coordinate arrays (-> closed LINESTRING rings)."""
+    parts = []
+    for r in rings:
+        if isinstance(r, Geom):
+            parts.append(r)
+        else:
+            parts.append(Geom(LINESTRING,
+                              [_close_ring(np.asarray(r, np.float64))]))
+    return encode(Geom(CURVEPOLYGON, parts=parts))
+
+
+def linearize_geom(g: Geom, max_angle_deg: float = 4.0) -> Geom:
+    """Curve-model Geom -> linear-model Geom (OGRGeometryFactory::
+    forceTo / curveToLineString semantics — exactly what
+    decode(curves=False) produces in one step)."""
+    t = g.gtype
+    if t == CIRCULARSTRING:
+        return Geom(LINESTRING, [linearize_arcs(g.rings[0],
+                                                max_angle_deg)])
+    if t == COMPOUNDCURVE:
+        pieces = [linearize_geom(p, max_angle_deg).rings[0]
+                  for p in g.parts]
+        joined = [pieces[0]] + [p[1:] for p in pieces[1:]]
+        return Geom(LINESTRING, [np.concatenate(joined)])
+    if t == CURVEPOLYGON:
+        rings = []
+        for p in g.parts:
+            r = linearize_geom(p, max_angle_deg).rings[0]
+            rings.append(_close_ring(r))
+        return Geom(POLYGON, rings)
+    if t == MULTICURVE:
+        return Geom(MULTILINESTRING,
+                    parts=[linearize_geom(p, max_angle_deg)
+                           for p in g.parts])
+    if t == MULTISURFACE:
+        return Geom(MULTIPOLYGON,
+                    parts=[linearize_geom(p, max_angle_deg)
+                           for p in g.parts])
+    if g.parts:
+        return Geom(t, rings=g.rings,
+                    parts=[linearize_geom(p, max_angle_deg)
+                           for p in g.parts])
+    return g
 
 
 # -- WKT (tests / debugging, matching ogrgeometry.cpp:1983 exportToWkt) -----

@@ -401,6 +401,21 @@ def st_makevalid(geom: pd.Series) -> pd.Series:
 
 
 @pandas_udf(BinaryType())
+def st_curvetoline(geom: pd.Series) -> pd.Series:
+    """ISO curve WKB (CircularString/CompoundCurve/CurvePolygon/Multi*)
+    -> linearized linear-model WKB (OGRGeometryFactory::curveToLineString
+    semantics; a no-op for already-linear input)."""
+    out = []
+    for b in geom:
+        if b is None:
+            out.append(None)
+            continue
+        g = wkb.decode(bytes(b), curves=True)
+        out.append(wkb.encode(wkb.linearize_geom(g)))
+    return pd.Series(out, dtype="object")
+
+
+@pandas_udf(BinaryType())
 def st_pointonsurface(geom: pd.Series) -> pd.Series:
     out = []
     for g in _decode_series(geom):
@@ -687,6 +702,7 @@ _REGISTRY = {
     "ST_Difference": st_difference, "ST_SymDifference": st_symdifference,
     "ST_Distance": st_distance, "ST_ConvexHull": st_convexhull,
     "ST_MakeValid": st_makevalid, "ST_PointOnSurface": st_pointonsurface,
+    "ST_CurveToLine": st_curvetoline,
     "ST_Buffer": st_buffer, "ST_IsValid": st_isvalid,
     "ST_IsSimple": st_issimple, "ST_IsRing": st_isring,
     "ST_GeodesicArea": st_geodesic_area,

@@ -6545,3 +6545,105 @@ def q_osm_pbf_ways(spark, sf_dir):
         F.get_json_object("tags", "$.ref").alias("ref_tag"),
         npts("geom").alias("n_pts"),
         F.round(plen("geom"), 9).alias("len_r"))
+
+
+@_reg("curve_wkb_roundtrip", """
+WITH d AS (SELECT doc_id, 1.0 + (doc_id % 7) AS r,
+                  (doc_id % 13) * 2.0 AS x0
+           FROM documents WHERE doc_id % 4 = 0),
+k AS (SELECT * FROM (VALUES ('cs'), ('cc'), ('cp')) t(kind)),
+rows_ AS (SELECT doc_id, kind, r, x0 FROM d CROSS JOIN k)
+SELECT doc_id, kind, TRUE AS rt_ok,
+       CAST(CASE kind WHEN 'cs' THEN 91 ELSE 47 END AS BIGINT) AS n_lin,
+       CASE WHEN kind = 'cs' THEN ROUND(sqrt(
+           (x0 - ((x0*x0)*(r - 0.0)
+                  + ((x0+r)*(x0+r) + r*r)*(0.0 - 0.0)
+                  + ((x0+2*r)*(x0+2*r))*(0.0 - r))
+                 / (2.0*(x0*(r - 0.0) + (x0+r)*(0.0 - 0.0)
+                         + (x0+2*r)*(0.0 - r))))
+         * (x0 - ((x0*x0)*(r - 0.0)
+                  + ((x0+r)*(x0+r) + r*r)*(0.0 - 0.0)
+                  + ((x0+2*r)*(x0+2*r))*(0.0 - r))
+                 / (2.0*(x0*(r - 0.0) + (x0+r)*(0.0 - 0.0)
+                         + (x0+2*r)*(0.0 - r))))
+         + (0.0 - ((x0*x0)*((x0+2*r) - (x0+r))
+                   + ((x0+r)*(x0+r) + r*r)*(x0 - (x0+2*r))
+                   + ((x0+2*r)*(x0+2*r))*((x0+r) - x0))
+                  / (2.0*(x0*(r - 0.0) + (x0+r)*(0.0 - 0.0)
+                          + (x0+2*r)*(0.0 - r))))
+         * (0.0 - ((x0*x0)*((x0+2*r) - (x0+r))
+                   + ((x0+r)*(x0+r) + r*r)*(x0 - (x0+2*r))
+                   + ((x0+2*r)*(x0+2*r))*((x0+r) - x0))
+                  / (2.0*(x0*(r - 0.0) + (x0+r)*(0.0 - 0.0)
+                          + (x0+2*r)*(0.0 - r))))), 6)
+       ELSE 0.0 END AS radius_r
+FROM rows_
+""")
+def q_curve_wkb_roundtrip(spark, sf_dir):
+    """ISO curve geometry round-trip fidelity (OGRCircularString /
+    OGRCompoundCurve / OGRCurvePolygon, ogr/ogr_geometry.h): build curve
+    WKB per doc, decode with curves=True, re-encode and compare
+    byte-for-byte (rt_ok), then linearize (ST_CurveToLine semantics) and
+    report vertex count + the circumradius of the first arc triple (same
+    circumcenter algebra in Spark and SQL). Closes the round-3 'curves
+    linearized on decode' scope cut: linearization is now opt-in, not
+    forced."""
+    import pandas as pd
+
+    from .core import wkb as W
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 4 == 0) \
+        .select("doc_id")
+
+    def gen(batches):
+        import numpy as np
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                r = 1.0 + (did % 7)
+                x0 = (did % 13) * 2.0
+                cs = W.circularstring([(x0, 0), (x0 + r, r),
+                                       (x0 + 2 * r, 0), (x0 + 3 * r, -r),
+                                       (x0 + 4 * r, 0)])
+                cc = W.compoundcurve([
+                    ("line", [(x0, 0), (x0 + 2 * r, 0)]),
+                    ("arc", [(x0 + 2 * r, 0), (x0 + 3 * r, r),
+                             (x0 + 4 * r, 0)])])
+                ring = W.Geom(W.COMPOUNDCURVE, parts=[
+                    W.Geom(W.LINESTRING,
+                           [np.array([(x0 + 4 * r, 0.0), (x0, 0.0)])]),
+                    W.Geom(W.CIRCULARSTRING,
+                           [np.array([(x0, 0.0), (x0 + 2 * r, 2 * r),
+                                      (x0 + 4 * r, 0.0)])])])
+                cp = W.curvepolygon([ring])
+                for kind, buf in (("cs", cs), ("cc", cc), ("cp", cp)):
+                    g = W.decode(buf, curves=True)
+                    rt_ok = W.encode(g) == buf
+                    lin = W.linearize_geom(g)
+                    n_lin = len(lin.rings[0])
+                    if kind == "cs":
+                        # circumcenter of the first arc triple — the
+                        # identical algebra the oracle runs in SQL
+                        ax, ay = x0, 0.0
+                        bx, by = x0 + r, r
+                        cx, cy = x0 + 2 * r, 0.0
+                        dd = 2.0 * (ax * (by - cy) + bx * (cy - ay)
+                                    + cx * (ay - by))
+                        ux = ((ax * ax + ay * ay) * (by - cy)
+                              + (bx * bx + by * by) * (cy - ay)
+                              + (cx * cx + cy * cy) * (ay - by)) / dd
+                        uy = ((ax * ax + ay * ay) * (cx - bx)
+                              + (bx * bx + by * by) * (ax - cx)
+                              + (cx * cx + cy * cy) * (bx - ax)) / dd
+                        rad = round(float(np.sqrt(
+                            (ax - ux) * (ax - ux)
+                            + (ay - uy) * (ay - uy))), 6)
+                    else:
+                        rad = 0.0
+                    rows.append((did, kind, bool(rt_ok), n_lin, rad))
+            yield pd.DataFrame(rows, columns=["doc_id", "kind", "rt_ok",
+                                              "n_lin", "radius_r"])
+
+    return d.mapInPandas(gen, schema="doc_id long, kind string, "
+                         "rt_ok boolean, n_lin long, radius_r double")

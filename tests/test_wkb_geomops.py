@@ -256,3 +256,67 @@ def test_curvepolygon_area():
     assert g.gtype == wkb.POLYGON
     from gdal_spark.core import geomops
     assert abs(geomops.geom_area(g) - np.pi * 4) < 0.02
+
+
+# ---------------------------------------------------------------------------
+# ISO curve model: decode(curves=True) preserves types 8-12 byte-for-byte
+# ---------------------------------------------------------------------------
+
+def test_curve_decode_preserves_and_roundtrips():
+    import numpy as np
+
+    from gdal_spark.core import wkb as W
+    cs = W.circularstring([(0, 0), (3, 3), (6, 0), (9, -3), (12, 0)])
+    g = W.decode(cs, curves=True)
+    assert g.gtype == W.CIRCULARSTRING and len(g.rings[0]) == 5
+    assert W.encode(g) == cs
+    # default decode still linearizes, identically to linearize_geom
+    lin = W.linearize_geom(g)
+    leg = W.decode(cs)
+    assert lin.gtype == W.LINESTRING
+    assert np.array_equal(lin.rings[0], leg.rings[0])
+
+    cc = W.compoundcurve([("line", [(0, 0), (10, 0)]),
+                          ("arc", [(10, 0), (13, 3), (16, 0)])])
+    g2 = W.decode(cc, curves=True)
+    assert g2.gtype == W.COMPOUNDCURVE
+    assert [p.gtype for p in g2.parts] == [W.LINESTRING,
+                                           W.CIRCULARSTRING]
+    assert W.encode(g2) == cc
+    assert np.array_equal(W.linearize_geom(g2).rings[0],
+                          W.decode(cc).rings[0])
+
+    ring = W.Geom(W.COMPOUNDCURVE, parts=[
+        W.Geom(W.LINESTRING, [np.array([(16., 0.), (0., 0.)])]),
+        W.Geom(W.CIRCULARSTRING, [np.array([(0., 0.), (8., 8.),
+                                            (16., 0.)])])])
+    cp = W.curvepolygon([ring])
+    g3 = W.decode(cp, curves=True)
+    assert g3.gtype == W.CURVEPOLYGON and W.encode(g3) == cp
+    l3 = W.linearize_geom(g3)
+    assert l3.gtype == W.POLYGON
+    assert np.array_equal(l3.rings[0], W.decode(cp).rings[0])
+    # linearized curve-polygon ring is closed
+    assert np.array_equal(l3.rings[0][0], l3.rings[0][-1])
+
+    mc = W.encode(W.Geom(W.MULTICURVE, parts=[
+        W.decode(cs, curves=True),
+        W.Geom(W.LINESTRING, [np.array([(0., 0.), (1., 1.)])])]))
+    g4 = W.decode(mc, curves=True)
+    assert g4.gtype == W.MULTICURVE and W.encode(g4) == mc
+    assert W.linearize_geom(g4).gtype == W.MULTILINESTRING
+
+    ms = W.encode(W.Geom(W.MULTISURFACE, parts=[g3]))
+    g5 = W.decode(ms, curves=True)
+    assert g5.gtype == W.MULTISURFACE and W.encode(g5) == ms
+    assert W.linearize_geom(g5).gtype == W.MULTIPOLYGON
+
+
+def test_circularstring_constructor_validates():
+    import pytest as _pytest
+
+    from gdal_spark.core import wkb as W
+    with _pytest.raises(ValueError):
+        W.circularstring([(0, 0), (1, 1)])          # even / short
+    with _pytest.raises(ValueError):
+        W.circularstring([(0, 0), (1, 1), (2, 0), (3, -1)])
