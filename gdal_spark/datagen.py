@@ -426,3 +426,28 @@ def doc_videos(spark: SparkSession, sf_dir: str,
                                                      dtype="object")})
 
     return d.mapInPandas(gen, schema="doc_id long, payload binary")
+
+
+def doc_audio(spark: SparkSession, sf_dir: str,
+              rate: int = 8000) -> DataFrame:
+    """(doc_id, payload) — PCM16 mono WAV per doc, sample
+    s[i] = ((doc_id*13 + i*7) % 199) - 99, n = 512 + (doc_id % 3) * 256."""
+    import pandas as pd
+
+    d = documents(spark, sf_dir).select("doc_id")
+
+    def gen(batches):
+        from .operators.multimodal import encode_wav
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 512 + (did % 3) * 256
+                i = np.arange(n, dtype=np.int64)
+                s = ((did * 13 + i * 7) % 199) - 99
+                payloads.append(encode_wav(s.astype(np.int16), rate))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"),
+                                "payload": pd.Series(payloads,
+                                                     dtype="object")})
+
+    return d.mapInPandas(gen, schema="doc_id long, payload binary")

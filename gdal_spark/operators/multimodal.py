@@ -424,3 +424,102 @@ def frame_sample(df: DataFrame, payload_col: str = "payload",
                                               "width", "height", "px_sum"])
 
     return df.select(key_col, payload_col).mapInPandas(gen, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# audio: RIFF/WAVE PCM decode + windowed features (no external libs —
+# PCM16/PCM8 parse is pure struct/numpy, the audio twin of the image path)
+# ---------------------------------------------------------------------------
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """int16 mono/stereo samples (n,) or (n, ch) -> RIFF/WAVE PCM bytes."""
+    a = np.asarray(samples, np.int16)
+    ch = 1 if a.ndim == 1 else a.shape[1]
+    data = a.astype("<i2").tobytes()
+    hdr = struct.pack("<4sI4s4sIHHIIHH4sI", b"RIFF", 36 + len(data),
+                      b"WAVE", b"fmt ", 16, 1, ch, rate,
+                      rate * ch * 2, ch * 2, 16, b"data", len(data))
+    return hdr + data
+
+
+def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM bytes -> (int32 samples (n,) or (n, ch), rate).
+    PCM 8-bit (unsigned) and 16-bit (signed LE) supported."""
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    off = 12
+    fmt = None
+    data = None
+    while off + 8 <= len(b):
+        cid = b[off:off + 4]
+        (ln,) = struct.unpack_from("<I", b, off + 4)
+        body = b[off + 8:off + 8 + ln]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        off += 8 + ln + (ln & 1)
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunks")
+    codec, ch, rate, _br, _ba, bits = fmt
+    if codec != 1 or bits not in (8, 16):
+        raise ValueError(f"only PCM 8/16-bit supported (codec {codec}, "
+                         f"{bits}-bit)")
+    if bits == 16:
+        a = np.frombuffer(data, "<i2").astype(np.int32)
+    else:
+        a = np.frombuffer(data, np.uint8).astype(np.int32) - 128
+    if ch > 1:
+        a = a[: len(a) // ch * ch].reshape(-1, ch)
+    return a, rate
+
+
+def decode_audio(df: DataFrame, payload_col: str = "payload",
+                 key_col: str = "doc_id") -> DataFrame:
+    """(key, rate, channels, n_samples, duration_ms, sum_abs) per WAV
+    payload — the audio analogue of decode_image (integer-exact features
+    an external oracle can recompute). Map-only Arrow pass."""
+    schema = (f"{key_col} long, rate int, channels int, n_samples long, "
+              f"duration_ms long, sum_abs long")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for k, b in zip(pdf[key_col], pdf[payload_col]):
+                a, rate = decode_wav(bytes(b))
+                n = a.shape[0]
+                ch = 1 if a.ndim == 1 else a.shape[1]
+                rows.append((int(k), rate, ch, n, n * 1000 // rate,
+                             int(np.abs(a.astype(np.int64)).sum())))
+            yield pd.DataFrame(rows, columns=[key_col, "rate", "channels",
+                                              "n_samples", "duration_ms",
+                                              "sum_abs"])
+
+    return df.select(key_col, payload_col).mapInPandas(gen, schema=schema)
+
+
+def audio_window_energy(df: DataFrame, payload_col: str = "payload",
+                        key_col: str = "doc_id",
+                        window: int = 256) -> DataFrame:
+    """Windowed sum-of-squares energy: 1->N explode to (key, win_idx,
+    energy) — the framing shape of any acoustic featurizer (MFCC etc.),
+    with an integer-exact reduction per window. Tail windows pad with 0."""
+    schema = f"{key_col} long, win_idx int, energy long"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for k, b in zip(pdf[key_col], pdf[payload_col]):
+                a, _rate = decode_wav(bytes(b))
+                if a.ndim > 1:
+                    a = a[:, 0]
+                a = a.astype(np.int64)
+                nwin = (len(a) + window - 1) // window
+                pad = np.zeros(nwin * window, np.int64)
+                pad[: len(a)] = a
+                en = (pad * pad).reshape(nwin, window).sum(axis=1)
+                rows.extend((int(k), i, int(e)) for i, e in enumerate(en))
+            yield pd.DataFrame(rows, columns=[key_col, "win_idx",
+                                              "energy"])
+
+    return df.select(key_col, payload_col).mapInPandas(gen, schema=schema)

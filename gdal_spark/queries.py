@@ -6647,3 +6647,44 @@ def q_curve_wkb_roundtrip(spark, sf_dir):
 
     return d.mapInPandas(gen, schema="doc_id long, kind string, "
                          "rt_ok boolean, n_lin long, radius_r double")
+
+
+@_reg("audio_decode_wav", """
+WITH n AS (SELECT doc_id, 512 + (doc_id % 3) * 256 AS n FROM documents),
+s AS (SELECT doc_id, n, ((doc_id*13 + i.i*7) % 199) - 99 AS v
+      FROM n, range(1024) i(i) WHERE i.i < n)
+SELECT doc_id, 8000 AS rate, 1 AS channels,
+       CAST(max(n) AS BIGINT) AS n_samples,
+       CAST(max(n) * 1000 // 8000 AS BIGINT) AS duration_ms,
+       CAST(SUM(abs(v)) AS BIGINT) AS sum_abs
+FROM s GROUP BY doc_id
+""")
+def q_audio_decode_wav(spark, sf_dir):
+    """Audio multimodal decode: per-doc PCM16 WAV (RIFF parse is pure
+    struct/numpy — the audio twin of the image decoders), emitting rate,
+    channel count, sample count, duration and an integer sum-of-abs
+    checksum the oracle recomputes from the sample formula."""
+    from .operators import multimodal
+    wavs = datagen.doc_audio(spark, sf_dir)
+    return multimodal.decode_audio(wavs, payload_col="payload",
+                                   key_col="doc_id")
+
+
+@_reg("audio_window_energy", """
+WITH n AS (SELECT doc_id, 512 + (doc_id % 3) * 256 AS n FROM documents),
+s AS (SELECT doc_id, i.i // 256 AS win_idx,
+             ((doc_id*13 + i.i*7) % 199) - 99 AS v
+      FROM n, range(1024) i(i) WHERE i.i < n)
+SELECT doc_id, CAST(win_idx AS INT) AS win_idx,
+       CAST(SUM(v*v) AS BIGINT) AS energy
+FROM s GROUP BY doc_id, win_idx
+""")
+def q_audio_window_energy(spark, sf_dir):
+    """Windowed audio energy (the framing shape of any acoustic
+    featurizer): decode WAV, frame into 256-sample windows, integer
+    sum-of-squares per window as a 1->N explode. Oracle frames the same
+    formula with i // 256 in SQL."""
+    from .operators import multimodal
+    wavs = datagen.doc_audio(spark, sf_dir)
+    return multimodal.audio_window_energy(wavs, payload_col="payload",
+                                          key_col="doc_id", window=256)

@@ -133,3 +133,20 @@ def test_video_container_roundtrip():
 def test_band_split_lossless_bound():
     with pytest.raises(ValueError):
         mm.ahash_neardup_pairs(None, max_hamming=8)
+
+
+def test_wav_codec_roundtrip_and_errors():
+    s = (np.arange(1000) % 97 - 48).astype(np.int16)
+    w = mm.encode_wav(s, 8000)
+    a, r = mm.decode_wav(w)
+    assert r == 8000 and (a == s).all() and a.dtype == np.int32
+    st2 = np.stack([s, -s], axis=1).astype(np.int16)
+    a2, r2 = mm.decode_wav(mm.encode_wav(st2, 44100))
+    assert r2 == 44100 and a2.shape == (1000, 2) and (a2[:, 1] == -s).all()
+    with pytest.raises(ValueError):
+        mm.decode_wav(b"RIFFxxxxNOPE" + b"\0" * 32)
+    # 8-bit PCM path: unsigned bytes recenter to [-128, 127]
+    hdr = struct.pack("<4sI4s4sIHHIIHH4sI", b"RIFF", 36 + 4, b"WAVE",
+                      b"fmt ", 16, 1, 1, 8000, 8000, 1, 8, b"data", 4)
+    a3, _ = mm.decode_wav(hdr + bytes([0, 128, 255, 64]))
+    assert a3.tolist() == [-128, 0, 127, -64]
