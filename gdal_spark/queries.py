@@ -6688,3 +6688,75 @@ def q_audio_window_energy(spark, sf_dir):
     wavs = datagen.doc_audio(spark, sf_dir)
     return multimodal.audio_window_energy(wavs, payload_col="payload",
                                           key_col="doc_id", window=256)
+
+
+@_reg("gridshift_ntv2", f"""
+{_pts_cte()},
+b AS (SELECT doc_id, -9.0 + (lon + 180.0)/20.0 AS lonb,
+             41.0 + (lat + 90.0)/10.0 AS latb
+      FROM pts WHERE doc_id % 11 = 3),
+ix AS (SELECT doc_id, lonb, latb,
+       (lonb - (-10.0))/0.5 AS fx, (latb - 40.0)/0.5 AS fy FROM b),
+cell AS (SELECT doc_id, lonb, latb, fx, fy,
+         CAST(FLOOR(fx) AS BIGINT) AS j0, CAST(FLOOR(fy) AS BIGINT) AS i0
+         FROM ix),
+w AS (SELECT *, fx - j0 AS ax, fy - i0 AS ay FROM cell),
+v AS (SELECT doc_id, lonb, latb, ax, ay,
+      ((i0*3 + j0*5) % 64) * 0.25 AS la00,
+      ((i0*3 + (j0+1)*5) % 64) * 0.25 AS la10,
+      (((i0+1)*3 + j0*5) % 64) * 0.25 AS la01,
+      (((i0+1)*3 + (j0+1)*5) % 64) * 0.25 AS la11,
+      -(((i0*7 + j0*11) % 64) * 0.25 - 4.0) AS lo00,
+      -(((i0*7 + (j0+1)*11) % 64) * 0.25 - 4.0) AS lo10,
+      -((((i0+1)*7 + j0*11) % 64) * 0.25 - 4.0) AS lo01,
+      -((((i0+1)*7 + (j0+1)*11) % 64) * 0.25 - 4.0) AS lo11
+      FROM w)
+SELECT doc_id,
+  ROUND(lonb + (lo00*(1-ax)*(1-ay) + lo10*ax*(1-ay)
+              + lo01*(1-ax)*ay + lo11*ax*ay) / 3600.0, 9) AS lon_r,
+  ROUND(latb + (la00*(1-ax)*(1-ay) + la10*ax*(1-ay)
+              + la01*(1-ax)*ay + la11*ax*ay) / 3600.0, 9) AS lat_r
+FROM v
+""")
+def q_gridshift_ntv2(spark, sf_dir):
+    """NTv2 grid-shift datum transformation (raster/ntv2.py behind
+    '+nadgrids=' — the grid-file counterpart of +towgs84; PROJ
+    hgridshift semantics, reference chain ogr/ogrct.cpp): build a
+    deterministic synthetic .gsb (shift nodes a closed-form function of
+    the grid index, exactly float32-representable), transform points
+    from the gridded datum to WGS84 through ST_Transform, and have the
+    oracle replay the bilinear interpolation node-for-node in SQL. At
+    cluster scale the .gsb ships with --files; here executors share the
+    local path."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from .raster import ntv2 as _ntv2
+
+    path = os.path.join(tempfile.gettempdir(),
+                        f"gdal_spark_shift_{os.getpid()}.gsb")
+    if not os.path.exists(path):
+        i, j = np.mgrid[0:41, 0:41]
+        _ntv2.write_ntv2(path, lat0=40.0, lat1=60.0, lon0=-10.0,
+                         lon1=10.0, inc=0.5,
+                         lat_shift_sec=((i * 3 + j * 5) % 64) * 0.25,
+                         lon_shift_west_sec=((i * 7 + j * 11) % 64)
+                         * 0.25 - 4.0)
+    st.register_all(spark)
+    p = datagen.points(spark, sf_dir).where(F.col("doc_id") % 11 == 3)
+    p = p.select("doc_id",
+                 (F.lit(-9.0) + (F.col("lon") + 180.0) / 20.0)
+                 .alias("lonb"),
+                 (F.lit(41.0) + (F.col("lat") + 90.0) / 10.0)
+                 .alias("latb"))
+    p.createOrReplaceTempView("t_grid_pts")
+    src = f"+proj=longlat +ellps=clrk66 +nadgrids={path}"
+    return spark.sql(
+        "SELECT doc_id, "
+        f" ROUND(ST_X(ST_Transform(ST_MakePoint(lonb, latb), '{src}',"
+        "  'EPSG:4326')), 9) AS lon_r, "
+        f" ROUND(ST_Y(ST_Transform(ST_MakePoint(lonb, latb), '{src}',"
+        "  'EPSG:4326')), 9) AS lat_r "
+        "FROM t_grid_pts")

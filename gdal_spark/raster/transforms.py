@@ -659,6 +659,19 @@ def _parse_proj_string(crs: str):
         ellps = (a_val, 1.0 / rf if rf else 0.0)
 
     inner = _proj_inner_kind(kv)
+    nad = kv.get("nadgrids")
+    if nad and nad != "@null":
+        # NTv2 grid-shift datum (raster/ntv2.py; PROJ hgridshift) —
+        # takes precedence over +towgs84, like PROJ
+        if inner is None:
+            return None
+        if inner == "4326":
+            inner = "geog"
+        elif not (isinstance(inner, tuple)
+                  and inner[0] in ("tmerc", "utm")) \
+                and not _is_wgs84_ellps(*ellps):
+            return None
+        return ("grid", inner, ellps, str(nad))
     return _wrap_datum(inner, ellps, towgs84)
 
 
@@ -997,6 +1010,29 @@ def _kind_to_4326(kind, x, y, crs="?"):
         gx, gy, gz = geodetic_to_geocentric(lon, lat, *ellps)
         gx, gy, gz = helmert_to_wgs84(gx, gy, gz, p)
         return geocentric_to_geodetic(gx, gy, gz, *ELLIPSOIDS["WGS84"])
+    if isinstance(kind, tuple) and kind[0] == "grid":
+        # NTv2: shift applies directly in geographic space (no
+        # geocentric hop) — sampled at the source coordinates
+        from .ntv2 import apply_gridshift
+        _, inner, ellps, path = kind
+        if inner == "geog":
+            lon = np.asarray(x, np.float64)
+            lat = np.asarray(y, np.float64)
+        elif isinstance(inner, tuple) and inner[0] == "utm" \
+                and not _is_wgs84_ellps(*ellps):
+            _k, lon0, south = inner
+            lon, lat = tm_inverse(x, y, lon0,
+                                  fn=10000000.0 if south else 0.0,
+                                  ellps=ellps)
+        elif isinstance(inner, tuple) and inner[0] == "tmerc" \
+                and not _is_wgs84_ellps(*ellps):
+            _k, lon0, k0, fe, fn = inner[:5]
+            lon, lat = tm_inverse(x, y, lon0, k0=k0, fe=fe, fn=fn,
+                                  ellps=ellps,
+                                  lat0=inner[5] if len(inner) > 5 else 0.0)
+        else:
+            lon, lat = _kind_to_4326(inner, x, y, crs)
+        return apply_gridshift(path, lon, lat)
     if kind == "4326":
         return np.asarray(x, np.float64), np.asarray(y, np.float64)
     if kind == "3857":
@@ -1045,6 +1081,24 @@ def _kind_from_4326(kind, lon, lat, crs="?"):
                                             *ELLIPSOIDS["WGS84"])
         gx, gy, gz = helmert_from_wgs84(gx, gy, gz, p)
         lon2, lat2 = geocentric_to_geodetic(gx, gy, gz, *ellps)
+        if inner == "geog":
+            return lon2, lat2
+        if isinstance(inner, tuple) and inner[0] == "utm" \
+                and not _is_wgs84_ellps(*ellps):
+            _k, lon0, south = inner
+            return tm_forward(lon2, lat2, lon0,
+                              fn=10000000.0 if south else 0.0, ellps=ellps)
+        if isinstance(inner, tuple) and inner[0] == "tmerc" \
+                and not _is_wgs84_ellps(*ellps):
+            _k, lon0, k0, fe, fn = inner[:5]
+            return tm_forward(lon2, lat2, lon0, k0=k0, fe=fe, fn=fn,
+                              ellps=ellps,
+                              lat0=inner[5] if len(inner) > 5 else 0.0)
+        return _kind_from_4326(inner, lon2, lat2, crs)
+    if isinstance(kind, tuple) and kind[0] == "grid":
+        from .ntv2 import apply_gridshift
+        _, inner, ellps, path = kind
+        lon2, lat2 = apply_gridshift(path, lon, lat, inverse=True)
         if inner == "geog":
             return lon2, lat2
         if isinstance(inner, tuple) and inner[0] == "utm" \

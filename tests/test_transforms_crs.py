@@ -692,3 +692,34 @@ def test_geocentric_geodetic_roundtrip_all_ellipsoids():
         bl, bb = tr.geocentric_to_geodetic(x, y, z, a, f)
         assert np.abs(bl - lon).max() < 1e-9
         assert np.abs(bb - lat).max() < 1e-9
+
+
+def test_ntv2_gridshift_read_write_apply(tmp_path):
+    import numpy as np
+
+    from gdal_spark.raster import ntv2, transforms as tr
+    i, j = np.mgrid[0:41, 0:41]
+    lat_s = ((i * 3 + j * 5) % 64) * 0.25
+    lon_w = ((i * 7 + j * 11) % 64) * 0.25 - 4.0
+    path = str(tmp_path / "shift.gsb")
+    ntv2.write_ntv2(path, lat0=40.0, lat1=60.0, lon0=-10.0, lon1=10.0,
+                    inc=0.5, lat_shift_sec=lat_s,
+                    lon_shift_west_sec=lon_w)
+    g = ntv2.read_ntv2(path)
+    assert np.array_equal(g["lat_shift"], lat_s)
+    assert np.array_equal(g["lon_shift_east"], -lon_w)
+
+    crs = f"+proj=longlat +ellps=clrk66 +nadgrids={path}"
+    lon = np.array([-5.3, 0.0, 7.77, 55.0])       # last outside the grid
+    lat = np.array([45.2, 50.0, 58.1, 45.0])
+    wl, wb = tr.transform(crs, "EPSG:4326", lon, lat)
+    # exact node (0, 50): fx = fy = 20
+    assert abs(wb[1] - (50.0 + lat_s[20, 20] / 3600.0)) < 1e-12
+    assert abs(wl[1] - (0.0 - lon_w[20, 20] / 3600.0)) < 1e-12
+    assert wl[3] == 55.0 and wb[3] == 45.0        # outside passes through
+    bl, bb = tr.transform("EPSG:4326", crs, wl, wb)
+    assert np.abs(bl - lon).max() < 1e-9
+    assert np.abs(bb - lat).max() < 1e-9
+    # +nadgrids wins over +towgs84 (PROJ precedence)
+    k = tr._parse_crs(crs + " +towgs84=100,0,0")
+    assert k[0] == "grid"
