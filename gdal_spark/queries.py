@@ -6760,3 +6760,58 @@ def q_gridshift_ntv2(spark, sf_dir):
         f" ROUND(ST_Y(ST_Transform(ST_MakePoint(lonb, latb), '{src}',"
         "  'EPSG:4326')), 9) AS lat_r "
         "FROM t_grid_pts")
+
+
+@_reg("grib_ingest", """
+WITH m AS (SELECT * FROM (VALUES (1), (2), (3)) t(band)),
+px AS (
+  SELECT band, ((band*17 + x.x*3 + y.y*7) % 400) + 20000 AS cs
+  FROM m, range(41) x(x), range(37) y(y)
+)
+SELECT band, 41 AS ni, 37 AS nj, CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(SUM(cs) AS BIGINT) AS sum_cs
+FROM px GROUP BY band
+""")
+def q_grib_ingest(spark, sf_dir):
+    """GRIB1 ingest (frmts/grib, edition-1 simple packing): three
+    synthetic isobaric fields with centi-Kelvin-exact values (so the
+    12-bit simple packing round-trips bit-exactly: d_scale=2, binary
+    scale 0, IBM-float reference an exact integer), written with the
+    fixture encoder, decoded executor-side through the vectorized
+    unpackbits lane, re-aggregated per band. The oracle recomputes the
+    integer field sums from the closed-form formula."""
+    import os
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+
+    from .raster.tiles import decode_px
+    from .sources.grib import read_grib, write_grib
+
+    path = os.path.join(tempfile.gettempdir(),
+                        f"gdal_spark_grib_{os.getpid()}.grib")
+    if not os.path.exists(path):
+        y, x = np.mgrid[0:37, 0:41]
+        arrays = [(((b * 17 + x * 3 + y * 7) % 400) + 20000) / 100.0
+                  for b in (1, 2, 3)]
+        write_grib(arrays, path, nbits=12, d_scale=2)
+    tiles, _metas = read_grib(spark, path, tile=64)
+
+    def agg(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                a = decode_px(r.px, r.dtype, 64)
+                ty, tx = int(r.tile_y), int(r.tile_x)
+                sub = a[: max(0, min(37 - ty * 64, 64)),
+                        : max(0, min(41 - tx * 64, 64))]
+                cs = np.rint(sub * 100.0).astype(np.int64)
+                rows.append((int(r.band), int(cs.size), int(cs.sum())))
+            yield pd.DataFrame(rows, columns=["band", "n", "s"])
+
+    part = tiles.mapInPandas(agg, schema="band int, n long, s long")
+    return (part.groupBy("band")
+            .agg(F.lit(41).alias("ni"), F.lit(37).alias("nj"),
+                 F.sum("n").cast("long").alias("n_cells"),
+                 F.sum("s").cast("long").alias("sum_cs")))
