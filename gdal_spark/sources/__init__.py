@@ -182,6 +182,12 @@ def open_raster(spark, path: str, tile: int = 256, **kwargs):
     if low.endswith((".dt0", ".dt1", ".dt2")):
         from .dted import read_dted
         return read_dted(spark, path, tile=tile, **kwargs)[0]
+    if low.endswith((".grib", ".grb", ".grb1")):
+        from .grib import read_grib
+        return read_grib(spark, path, tile=tile, **kwargs)[0]
+    if low.endswith(".nc"):
+        from .netcdf import read_netcdf
+        return read_netcdf(spark, path, tile=tile, **kwargs)[0]
     if low.endswith((".dat", ".img", ".bsq", ".bip")) or (
             low.endswith(".hdr") and _is_envi_hdr(path)):
         from .rawraster import read_envi
