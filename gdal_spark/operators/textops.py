@@ -842,3 +842,88 @@ def stratified_sample(docs: DataFrame, rates: dict,
         thr = F.when(F.col(strat_col) == k,
                      F.lit(int(v * 1000000))).otherwise(thr)
     return docs.where(h < thr)
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram contamination + BPE merge statistics
+# ---------------------------------------------------------------------------
+
+def ngram_contamination(train: DataFrame, test: DataFrame,
+                        k: int = 8) -> DataFrame:
+    """Per eval doc: distinct-k-gram overlap against the training corpus
+    — the exact decontamination diagnostic (the sharp counterpart of the
+    broadcast bloom probe in bloom_contaminated). -> (doc_id, n_grams,
+    n_hit, frac_r).
+
+    Scale shape: train grams dedupe corpus-wide (one shuffle with
+    map-side partial agg); the eval set is tiny by construction, so the
+    semi-join broadcasts the EVAL side against the big gram table and
+    stays a map-only probe of the train scan."""
+    tg = shingles(train, k).select("sh")
+    eg = shingles(test, k).select("doc_id", "sh").distinct()
+    hit = (tg.join(F.broadcast(eg), "sh", "inner")
+           .select("doc_id", "sh").distinct()
+           .groupBy("doc_id").agg(F.count("*").cast("long")
+                                  .alias("n_hit")))
+    tot = eg.groupBy("doc_id").agg(F.count("*").cast("long")
+                                   .alias("n_grams"))
+    return (tot.join(hit, "doc_id", "left")
+            .select("doc_id", "n_grams",
+                    F.coalesce("n_hit", F.lit(0)).cast("long")
+                    .alias("n_hit"))
+            .withColumn("frac_r",
+                        F.round(F.col("n_hit") / F.col("n_grams"), 6)))
+
+
+def _word_counts(docs: DataFrame) -> DataFrame:
+    return (docs.select(F.explode(words_col()).alias("w"))
+            .where(F.length("w") > 0)
+            .groupBy("w").agg(F.count("*").cast("long").alias("cnt")))
+
+
+def bpe_pair_counts(docs: DataFrame, top: int = 20) -> DataFrame:
+    """Round-1 BPE statistics (Sennrich et al.; the merge-candidate table
+    of any BPE trainer): adjacent CHARACTER pair counts over the corpus,
+    weighted by word frequency. Deterministic order (cnt DESC, pair ASC)
+    -> top rows. Word counting is the only big shuffle; the pair explode
+    runs over the distinct-word table (vocabulary-sized)."""
+    wc = _word_counts(docs)
+    i = F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i")
+    pairs = (wc.where(F.length("w") >= 2).select("w", "cnt", i)
+             .select(F.expr("substring(w, i, 2)").alias("pair"), "cnt"))
+    agg = pairs.groupBy("pair").agg(F.sum("cnt").cast("long")
+                                    .alias("cnt"))
+    return (agg.orderBy(F.col("cnt").desc(), F.col("pair").asc())
+            .limit(top))
+
+
+def bpe_top_merge_recount(docs: DataFrame, top: int = 10) -> DataFrame:
+    """One BPE training round, end-to-end: pick the most frequent
+    character pair (ties broken lexicographically), merge it in every
+    word's symbol sequence (left-to-right non-overlapping, the
+    str.replace semantics BPE uses), and recount adjacent SYMBOL pairs.
+    -> top (pair, cnt) after the merge, pair spelled 'sym+sym'.
+
+    The merged pair is a scalar (one driver-side value), so the apply
+    stage stays a map-only regexp over the distinct-word table."""
+    wc = _word_counts(docs).where(F.length("w") >= 2)
+    i = F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i")
+    pairs = (wc.select("w", "cnt", i)
+             .select(F.expr("substring(w, i, 2)").alias("pair"), "cnt")
+             .groupBy("pair").agg(F.sum("cnt").cast("long").alias("cnt")))
+    best = pairs.orderBy(F.col("cnt").desc(),
+                         F.col("pair").asc()).limit(1).collect()[0].pair
+    x, y = best[0], best[1]
+    spaced = F.trim(F.regexp_replace("w", "(.)", "$1 "))
+    merged = F.replace(spaced, F.lit(f"{x} {y}"), F.lit(x + y))
+    syms = F.split(merged, " ")
+    base = wc.select("cnt", syms.alias("s")).where(F.size("s") >= 2)
+    s = (base.select("cnt", "s",
+                     F.explode(F.sequence(F.lit(1), F.size("s") - 1))
+                     .alias("j"))
+         .select(F.concat(F.element_at("s", F.col("j")), F.lit("+"),
+                          F.element_at("s", F.col("j") + 1))
+                 .alias("pair"), "cnt"))
+    agg = s.groupBy("pair").agg(F.sum("cnt").cast("long").alias("cnt"))
+    return (agg.orderBy(F.col("cnt").desc(), F.col("pair").asc())
+            .limit(top))

@@ -6815,3 +6815,95 @@ def q_grib_ingest(spark, sf_dir):
             .agg(F.lit(41).alias("ni"), F.lit(37).alias("nj"),
                  F.sum("n").cast("long").alias("n_cells"),
                  F.sum("s").cast("long").alias("sum_cs")))
+
+
+# =============================================================================
+# exact n-gram decontamination + BPE merge statistics (webtext tokenizer prep)
+# =============================================================================
+
+@_reg("ngram_contamination", """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (SELECT doc_id,
+             ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' '
+             || ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7]
+               AS sh
+      FROM d, unnest(generate_series(1, len(ws) - 7)) AS t(i)
+      WHERE len(ws) >= 8),
+tr AS (SELECT DISTINCT sh FROM g WHERE doc_id % 2 = 0),
+ev AS (SELECT DISTINCT doc_id, sh FROM g WHERE doc_id % 7 = 0),
+hit AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit
+        FROM ev WHERE sh IN (SELECT sh FROM tr) GROUP BY doc_id),
+tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+        FROM ev GROUP BY doc_id)
+SELECT tot.doc_id, n_grams,
+       CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit,
+       ROUND(COALESCE(n_hit, 0) / n_grams, 6) AS frac_r
+FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id
+""")
+def q_ngram_contamination(spark, sf_dir):
+    """Exact 8-gram decontamination diagnostic (the sharp counterpart of
+    bloom_decontam's probabilistic probe; cf. GPT-3 appx C / openwebtext
+    dedup): eval set = every 7th doc, training corpus = the even-doc
+    half, so even eval docs are fully contained (frac 1.0) and odd ones
+    measure genuine overlap. Scale shape: the tiny eval side broadcasts
+    against the training-gram scan — one map-only probe plus a
+    doc-sized groupBy; the train grams never shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 2 == 0)
+    test = docs.where(F.col("doc_id") % 7 == 0)
+    return textops.ngram_contamination(train, test, k=8)
+
+
+@_reg("bpe_pair_counts", """
+WITH w0 AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+wc AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt
+       FROM w0 WHERE len(w) > 0 GROUP BY w),
+p AS (SELECT substr(w, i, 2) AS pair, cnt
+      FROM wc, unnest(generate_series(1, len(w) - 1)) AS t(i)
+      WHERE len(w) >= 2)
+SELECT pair, CAST(sum(cnt) AS BIGINT) AS cnt
+FROM p GROUP BY pair
+ORDER BY cnt DESC, pair ASC LIMIT 20
+""")
+def q_bpe_pair_counts(spark, sf_dir):
+    """Round-1 BPE merge-candidate table (Sennrich et al. 2016):
+    adjacent character-pair counts weighted by word frequency, top 20 in
+    deterministic (cnt DESC, pair ASC) order. The corpus-wide word count
+    is the only big shuffle; the pair explode runs over the
+    vocabulary-sized distinct-word table."""
+    docs = _t(spark, sf_dir, "documents")
+    return textops.bpe_pair_counts(docs, top=20)
+
+
+@_reg("bpe_merge_round", """
+WITH w0 AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+wc AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt
+       FROM w0 WHERE len(w) >= 2 GROUP BY w),
+pc AS (SELECT substr(w, i, 2) AS pair, sum(cnt) AS cnt
+       FROM wc, unnest(generate_series(1, len(w) - 1)) AS t(i)
+       GROUP BY pair),
+best AS (SELECT pair FROM pc ORDER BY cnt DESC, pair ASC LIMIT 1),
+sp AS (SELECT cnt,
+              string_split(
+                replace(trim(regexp_replace(w, '(.)', '\\1 ', 'g')),
+                        substr((SELECT pair FROM best), 1, 1) || ' ' ||
+                        substr((SELECT pair FROM best), 2, 1),
+                        (SELECT pair FROM best)),
+                ' ') AS s
+       FROM wc),
+e AS (SELECT s[j] || '+' || s[j+1] AS pair, cnt
+      FROM sp, unnest(generate_series(1, len(s) - 1)) AS t(j)
+      WHERE len(s) >= 2)
+SELECT pair, CAST(sum(cnt) AS BIGINT) AS cnt
+FROM e GROUP BY pair
+ORDER BY cnt DESC, pair ASC LIMIT 10
+""")
+def q_bpe_merge_round(spark, sf_dir):
+    """One full BPE training round end-to-end: pick the top character
+    pair (ties lexicographic), merge it left-to-right non-overlapping in
+    every word's symbol sequence, recount adjacent SYMBOL pairs, return
+    the post-merge top 10 spelled 'sym+sym'. The chosen pair is one
+    scalar, so the merge stage stays a map-only string rewrite over the
+    distinct-word table."""
+    docs = _t(spark, sf_dir, "documents")
+    return textops.bpe_top_merge_recount(docs, top=10)

@@ -1,0 +1,62 @@
+"""Exact n-gram contamination + BPE merge statistics (operators/textops.py).
+
+Semantics pinned against hand-computed micro-corpora; corpus-scale value
+parity is covered by the ngram_contamination / bpe_pair_counts /
+bpe_merge_round DuckDB oracles in queries.py.
+"""
+
+from gdal_spark.operators import textops
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_ngram_contamination_exact(spark):
+    train = _docs(spark, [(0, "a b c d e f"), (2, "x y z w")])
+    test = _docs(spark, [
+        (10, "a b c d e f"),        # fully contained: 3 trigrams, 3 hits
+        (11, "a b c q r s"),        # 1 of 4 trigrams hits
+        (12, "p q"),                # too short: no grams -> absent
+    ])
+    out = {r.doc_id: r for r in
+           textops.ngram_contamination(train, test, k=3).collect()}
+    assert set(out) == {10, 11}
+    assert (out[10].n_grams, out[10].n_hit, out[10].frac_r) == (4, 4, 1.0)
+    assert (out[11].n_grams, out[11].n_hit, out[11].frac_r) == (4, 1, 0.25)
+
+
+def test_ngram_contamination_distinct_grams(spark):
+    # repeated gram in the eval doc counts once (distinct shingles)
+    train = _docs(spark, [(0, "a b a b")])
+    test = _docs(spark, [(1, "a b a b a b")])
+    r = textops.ngram_contamination(train, test, k=2).collect()[0]
+    # distinct 2-grams of eval: {"a b", "b a"} -> both in train
+    assert (r.n_grams, r.n_hit, r.frac_r) == (2, 2, 1.0)
+
+
+def test_bpe_pair_counts(spark):
+    # "abab" x3, "ab" x2  ->  ab: 2*3 + 1*2 = 8, ba: 1*3 = 3
+    docs = _docs(spark, [(0, "abab abab ab"), (1, "abab ab")])
+    rows = textops.bpe_pair_counts(docs, top=10).collect()
+    assert [(r.pair, r.cnt) for r in rows] == [("ab", 8), ("ba", 3)]
+
+
+def test_bpe_merge_round_left_to_right(spark):
+    # best pair is "aa" (count 2 from "aaa": non-overlap L-to-R gives
+    # positions 1-2 and 2-3 both counted at the PAIR-count stage, but the
+    # MERGE is left-to-right non-overlapping: "aaa" -> "aa"+"a").
+    docs = _docs(spark, [(0, "aaa ab")])
+    rows = {r.pair: r.cnt for r in
+            textops.bpe_top_merge_recount(docs, top=10).collect()}
+    # "aaa" -> symbols [aa, a] -> pair "aa+a"; "ab" -> [a, b] unless ab won
+    assert rows == {"aa+a": 1, "a+b": 1}
+
+
+def test_bpe_merge_round_tie_lexicographic(spark):
+    # "ab" and "ba" tie at 1 each ("ab" + "ba" words); lexicographic
+    # tiebreak picks "ab".
+    docs = _docs(spark, [(0, "ab ba")])
+    rows = {r.pair: r.cnt for r in
+            textops.bpe_top_merge_recount(docs, top=10).collect()}
+    assert rows == {"b+a": 1}
