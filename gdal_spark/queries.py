@@ -6907,3 +6907,189 @@ def q_bpe_merge_round(spark, sf_dir):
     distinct-word table."""
     docs = _t(spark, sf_dir, "documents")
     return textops.bpe_top_merge_recount(docs, top=10)
+
+
+# =============================================================================
+# oblique stereographic (RD New) + Swiss oblique Mercator (LV95) — full
+# WGS84 -> national-grid datum chains (transforms.py sterea/omerc kernels)
+# =============================================================================
+
+def _datum_chain_sql(box_sql: str, towgs84, ellps):
+    """Shared oracle prefix: remap pts into a lon/lat box, WGS84
+    geocentric, inverse 7-param Helmert, target-ellipsoid geodetic
+    (4 fixed-point rounds, matching geocentric_to_geodetic). Ends with a
+    gd4(doc_id, lam2, phi) CTE in target-datum radians."""
+    from .raster import transforms as _tr
+    aw, fw = _tr.ELLIPSOIDS["WGS84"]
+    aa, fa = ellps
+    e2w = fw * (2 - fw)
+    e2a = fa * (2 - fa)
+    p = tuple(towgs84) + (0.0,) * (7 - len(towgs84))
+    dx, dy, dz = p[0], p[1], p[2]
+    rx, ry, rz = (v * _tr._AS2R for v in p[3:6])
+    m = 1.0 + p[6] * 1e-6
+    it = ("atan2(hz + {e2a}*({aa}/sqrt(1-{e2a}*sin(PHI)*sin(PHI)))"
+          "*sin(PHI), pp)").replace("{e2a}", repr(e2a)).replace(
+              "{aa}", repr(aa))
+    return f"""
+b AS ({box_sql}),
+gc AS (SELECT doc_id,
+        nw*cos(phi)*cos(lam) AS gx, nw*cos(phi)*sin(lam) AS gy,
+        nw*(1-{e2w!r})*sin(phi) AS gz
+       FROM (SELECT doc_id, radians(lonb) AS lam, radians(latb) AS phi,
+             {aw!r}/sqrt(1-{e2w!r}*sin(radians(latb))*sin(radians(latb)))
+               AS nw FROM b)),
+hm AS (SELECT doc_id,
+        xt + ({rz!r})*yt - ({ry!r})*zt AS hx,
+        -(({rz!r}))*xt + yt + ({rx!r})*zt AS hy,
+        ({ry!r})*xt - ({rx!r})*yt + zt AS hz
+       FROM (SELECT doc_id, (gx-({dx!r}))/{m!r} AS xt,
+             (gy-({dy!r}))/{m!r} AS yt, (gz-({dz!r}))/{m!r} AS zt
+             FROM gc)),
+gd0 AS (SELECT doc_id, hz, sqrt(hx*hx+hy*hy) AS pp, atan2(hy,hx) AS lam2,
+        atan2(hz, sqrt(hx*hx+hy*hy)*(1-{e2a!r})) AS phi FROM hm),
+gd1 AS (SELECT doc_id, hz, pp, lam2, {it.replace("PHI", "phi")} AS phi
+        FROM gd0),
+gd2 AS (SELECT doc_id, hz, pp, lam2, {it.replace("PHI", "phi")} AS phi
+        FROM gd1),
+gd3 AS (SELECT doc_id, hz, pp, lam2, {it.replace("PHI", "phi")} AS phi
+        FROM gd2),
+gd4 AS (SELECT doc_id, lam2, {it.replace("PHI", "phi")} AS phi
+        FROM gd3)"""
+
+
+def _rd_sql():
+    """EPSG:28992 oracle tail: the GN 7-2 double-stereographic forward
+    (conformal-sphere w/chi plus spherical stereographic about chi0),
+    constants inlined from sterea_constants on Bessel."""
+    import numpy as _np
+
+    from .raster import transforms as _tr
+    lat0 = 52.0 + 9.0 / 60 + 22.178 / 3600
+    lon0 = 5.0 + 23.0 / 60 + 15.5 / 3600
+    bes = _tr.ELLIPSOIDS["bessel"]
+    big_r, n, c, chi0, e, _ = _tr.sterea_constants(lat0, bes)
+    two_rk = 2.0 * float(big_r) * 0.9999079
+    sc0, cc0 = float(_np.sin(chi0)), float(_np.cos(chi0))
+    lam0 = float(_np.radians(lon0))
+    pi = repr(float(_np.pi))
+    two_pi = repr(float(2 * _np.pi))
+    box = ("SELECT doc_id, 3.2 + (lon + 180.0)/90.0 AS lonb, "
+           "50.8 + (lat + 90.0)/72.0 AS latb "
+           "FROM pts WHERE doc_id % 9 = 1")
+    chain = _datum_chain_sql(
+        box, (565.417, 50.3319, 465.552,
+              -0.398957, 0.343988, -1.8774, 4.0725), bes)
+    return f"""{chain},
+s0 AS (SELECT doc_id, sin(phi) AS sphi, lam2 - {lam0!r} AS lam FROM gd4),
+s1 AS (SELECT doc_id,
+        {float(n)!r} * (lam - {two_pi} * floor((lam + {pi}) / {two_pi}))
+          AS dlam,
+        {float(c)!r} * power((1+sphi)/(1-sphi)
+            * power((1-{float(e)!r}*sphi)/(1+{float(e)!r}*sphi),
+                    {float(e)!r}), {float(n)!r}) AS w
+       FROM s0),
+s2 AS (SELECT doc_id, dlam, asin((w-1)/(w+1)) AS chi FROM s1),
+s3 AS (SELECT doc_id, dlam, chi,
+        1 + sin(chi)*{sc0!r} + cos(chi)*{cc0!r}*cos(dlam) AS bb FROM s2)
+SELECT doc_id,
+       ROUND(155000.0 + {two_rk!r}*cos(chi)*sin(dlam)/bb, 4) AS x_r,
+       ROUND(463000.0 + {two_rk!r}*(sin(chi)*{cc0!r}
+             - cos(chi)*{sc0!r}*cos(dlam))/bb, 4) AS y_r
+FROM s3"""
+
+
+def _lv95_sql():
+    """EPSG:2056 oracle tail: Hotine variant B with alpha=gamma=90 (the
+    EPSG 9815 parameterization of the Swiss grid), constants inlined from
+    omerc_constants on Bessel."""
+    import numpy as _np
+
+    from .raster import transforms as _tr
+    latc = 46.0 + 57.0 / 60 + 8.66 / 3600
+    lonc = 7.0 + 26.0 / 60 + 22.5 / 3600
+    bes = _tr.ELLIPSOIDS["bessel"]
+    big_a, big_b, big_h, g0, lam0, uc, e, sgn = _tr.omerc_constants(
+        lonc, latc, 90.0, 1.0, bes)
+    sg0, cg0 = float(_np.sin(g0)), float(_np.cos(g0))
+    gr = float(_np.radians(90.0))
+    sgr, cgr = float(_np.sin(gr)), float(_np.cos(gr))
+    uc_off = abs(float(uc)) * sgn
+    a_, b_, h_, e_ = (float(big_a), float(big_b), float(big_h), float(e))
+    pi = repr(float(_np.pi))
+    two_pi = repr(float(2 * _np.pi))
+    box = ("SELECT doc_id, 6.0 + (lon + 180.0)/90.0 AS lonb, "
+           "45.9 + (lat + 90.0)/100.0 AS latb "
+           "FROM pts WHERE doc_id % 9 = 2")
+    chain = _datum_chain_sql(box, (674.374, 15.056, 405.346), bes)
+    return f"""{chain},
+o0 AS (SELECT doc_id, sin(phi) AS sphi, phi, lam2 - {float(lam0)!r} AS lam
+       FROM gd4),
+o1 AS (SELECT doc_id,
+        tan({pi}/4 - phi/2)
+          / power((1-{e_!r}*sphi)/(1+{e_!r}*sphi), {e_ / 2!r}) AS t,
+        {b_!r} * (lam - {two_pi} * floor((lam + {pi}) / {two_pi})) AS dl
+       FROM o0),
+o2 AS (SELECT doc_id, dl, {h_!r} / power(t, {b_!r}) AS q FROM o1),
+o3 AS (SELECT doc_id, dl, (q - 1/q)/2 AS s, (q + 1/q)/2 AS tt,
+        sin(dl) AS v FROM o2),
+o4 AS (SELECT doc_id,
+        {a_!r} * ln((1-un)/(1+un)) / {2 * b_!r} AS vc,
+        {a_!r} * atan2(s*{cg0!r} + v*{sg0!r}, cos(dl)) / {b_!r}
+          - {uc_off!r} AS uu
+       FROM (SELECT doc_id, dl, s, v,
+             (-v*{cg0!r} + s*{sg0!r})/tt AS un FROM o3))
+SELECT doc_id,
+       ROUND(2600000.0 + vc*{cgr!r} + uu*{sgr!r}, 4) AS x_r,
+       ROUND(1200000.0 + uu*{cgr!r} - vc*{sgr!r}, 4) AS y_r
+FROM o4"""
+
+
+@_reg("st_transform_rd_new", f"""
+{_pts_cte()},{_rd_sql()}
+""")
+def q_st_transform_rd_new(spark, sf_dir):
+    """ST_Transform into EPSG:28992 (Amersfoort / RD New): the Dutch
+    national grid's double stereographic (EPSG method 9809, GN 7-2
+    §3.2.5; PROJ sterea; ogr/ogrct.cpp:919-948 resolves it via PROJ) on
+    Bessel 1841 behind the Amersfoort 7-parameter Helmert. Kernel pinned
+    to the GN worked example (196105.283, 557057.739) in tests; the
+    oracle replays the full chain — geocentric, inverse Helmert, Bessel
+    geodetic recovery, conformal-sphere stereographic — in SQL."""
+    st.register_all(spark)
+    p = datagen.points(spark, sf_dir).where(F.col("doc_id") % 9 == 1)
+    p = p.select("doc_id",
+                 (F.lit(3.2) + (F.col("lon") + 180.0) / 90.0).alias("lonb"),
+                 (F.lit(50.8) + (F.col("lat") + 90.0) / 72.0).alias("latb"))
+    p.createOrReplaceTempView("t_rd_pts")
+    return spark.sql(
+        "SELECT doc_id, "
+        " ROUND(ST_X(ST_Transform(ST_MakePoint(lonb, latb), 'EPSG:4326',"
+        "  'EPSG:28992')), 4) AS x_r, "
+        " ROUND(ST_Y(ST_Transform(ST_MakePoint(lonb, latb), 'EPSG:4326',"
+        "  'EPSG:28992')), 4) AS y_r "
+        "FROM t_rd_pts")
+
+
+@_reg("st_transform_lv95", f"""
+{_pts_cte()},{_lv95_sql()}
+""")
+def q_st_transform_lv95(spark, sf_dir):
+    """ST_Transform into EPSG:2056 (CH1903+ / LV95): the Swiss Oblique
+    Mercator as Hotine variant B with alpha = gamma = 90 (EPSG method
+    9815; PROJ somerc) on Bessel 1841 behind the CH1903 3-parameter
+    shift. Kernel pinned to swisstopo's Rigi reference point in tests;
+    the oracle replays the full chain in SQL."""
+    st.register_all(spark)
+    p = datagen.points(spark, sf_dir).where(F.col("doc_id") % 9 == 2)
+    p = p.select("doc_id",
+                 (F.lit(6.0) + (F.col("lon") + 180.0) / 90.0).alias("lonb"),
+                 (F.lit(45.9) + (F.col("lat") + 90.0) / 100.0).alias("latb"))
+    p.createOrReplaceTempView("t_lv_pts")
+    return spark.sql(
+        "SELECT doc_id, "
+        " ROUND(ST_X(ST_Transform(ST_MakePoint(lonb, latb), 'EPSG:4326',"
+        "  'EPSG:2056')), 4) AS x_r, "
+        " ROUND(ST_Y(ST_Transform(ST_MakePoint(lonb, latb), 'EPSG:4326',"
+        "  'EPSG:2056')), 4) AS y_r "
+        "FROM t_lv_pts")

@@ -289,6 +289,7 @@ ELLIPSOIDS: dict[str, tuple[float, float]] = {
     "bessel":   (6377397.155, 1.0 / 299.1528128),
     "clrk66":   (6378206.4, 1.0 - 6356583.8 / 6378206.4),
     "krass":    (6378245.0, 1.0 / 298.3),
+    "evrstSS":  (6377298.556, 1.0 / 300.8017),   # Everest (Sabah/Sarawak)
 }
 
 # +datum= shorthand -> (ellps_name, towgs84 7-tuple) — the classic PROJ
@@ -617,6 +618,188 @@ def stere_inverse(x, y, lon0: float, lat_ts: float | None = None,
     return _wrap_rad(lon0 * _D2R + lam) / _D2R, lat
 
 
+def _conf_t_e(phi, e: float):
+    """t(phi) (Snyder 15-9) for an arbitrary eccentricity."""
+    sphi = np.sin(phi)
+    return np.tan(np.pi / 4 - phi / 2) \
+        / ((1 - e * sphi) / (1 + e * sphi)) ** (e / 2)
+
+
+def _phi_from_t_e(t, e: float):
+    """Snyder 7-9 fixed-point for an arbitrary eccentricity."""
+    phi = np.pi / 2 - 2 * np.arctan(t)
+    for _ in range(15):
+        sphi = np.sin(phi)
+        phi = np.pi / 2 - 2 * np.arctan(
+            t * ((1 - e * sphi) / (1 + e * sphi)) ** (e / 2))
+    return phi
+
+
+def sterea_constants(lat0: float, ellps: tuple[float, float]):
+    """Oblique (double) stereographic constants — EPSG method 9809
+    (Guidance Note 7-2 §3.2.5; PROJ sterea; the projection of the Dutch
+    RD grid): ellipsoid -> conformal sphere of radius R = sqrt(rho0 nu0),
+    then spherical stereographic about the conformal origin chi0."""
+    a, f = ellps
+    e2 = f * (2.0 - f)
+    e = np.sqrt(e2)
+    p0 = lat0 * _D2R
+    s0 = np.sin(p0)
+    nu0 = a / np.sqrt(1 - e2 * s0 * s0)
+    rho0 = a * (1 - e2) / (1 - e2 * s0 * s0) ** 1.5
+    big_r = np.sqrt(rho0 * nu0)
+    n = np.sqrt(1 + e2 * np.cos(p0) ** 4 / (1 - e2))
+    s1 = (1 + s0) / (1 - s0)
+    s2 = (1 - e * s0) / (1 + e * s0)
+    w1 = (s1 * s2 ** e) ** n
+    sin_chi0 = (w1 - 1) / (w1 + 1)
+    c = (n + s0) * (1 - sin_chi0) / ((n - s0) * (1 + sin_chi0))
+    w2 = c * w1
+    chi0 = np.arcsin((w2 - 1) / (w2 + 1))
+    return big_r, n, c, chi0, e, e2
+
+
+def sterea_forward(lon, lat, lon0: float, lat0: float, k0: float = 1.0,
+                   fe: float = 0.0, fn: float = 0.0,
+                   ellps: tuple[float, float] | None = None):
+    """Oblique stereographic forward (EPSG 9809 worked example:
+    Amersfoort / RD New)."""
+    big_r, n, c, chi0, e, _ = sterea_constants(lat0,
+                                               ellps or ELLIPSOIDS["WGS84"])
+    lam0 = lon0 * _D2R
+    phi = np.asarray(lat, np.float64) * _D2R
+    d_lam = n * _wrap_rad(np.asarray(lon, np.float64) * _D2R - lam0)
+    sphi = np.sin(phi)
+    sa = (1 + sphi) / (1 - sphi)
+    sb = (1 - e * sphi) / (1 + e * sphi)
+    w = c * (sa * sb ** e) ** n
+    chi = np.arcsin((w - 1) / (w + 1))
+    b = 1 + np.sin(chi) * np.sin(chi0) \
+        + np.cos(chi) * np.cos(chi0) * np.cos(d_lam)
+    x = fe + 2 * big_r * k0 * np.cos(chi) * np.sin(d_lam) / b
+    y = fn + 2 * big_r * k0 * (np.sin(chi) * np.cos(chi0)
+                               - np.cos(chi) * np.sin(chi0)
+                               * np.cos(d_lam)) / b
+    return x, y
+
+
+def sterea_inverse(x, y, lon0: float, lat0: float, k0: float = 1.0,
+                   fe: float = 0.0, fn: float = 0.0,
+                   ellps: tuple[float, float] | None = None):
+    """Oblique stereographic inverse (EPSG 9809; Gauss latitude solved by
+    the GN 7-2 isometric-latitude Newton iteration)."""
+    big_r, n, c, chi0, e, e2 = sterea_constants(
+        lat0, ellps or ELLIPSOIDS["WGS84"])
+    lam0 = lon0 * _D2R
+    ep = np.asarray(x, np.float64) - fe
+    npr = np.asarray(y, np.float64) - fn
+    g = 2 * big_r * k0 * np.tan(np.pi / 4 - chi0 / 2)
+    h = 4 * big_r * k0 * np.tan(chi0) + g
+    i = np.arctan2(ep, h + npr)
+    j = np.arctan2(ep, g - npr) - i
+    chi = chi0 + 2 * np.arctan((npr - ep * np.tan(j / 2))
+                               / (2 * big_r * k0))
+    d_lam = (j + 2 * i) / n
+    psi = 0.5 * np.log((1 + np.sin(chi)) / (c * (1 - np.sin(chi)))) / n
+    phi = 2 * np.arctan(np.exp(psi)) - np.pi / 2
+    for _ in range(6):
+        sphi = np.sin(phi)
+        psi_i = np.log(np.tan(phi / 2 + np.pi / 4)
+                       * ((1 - e * sphi) / (1 + e * sphi)) ** (e / 2))
+        phi = phi - (psi_i - psi) * np.cos(phi) \
+            * (1 - e2 * sphi * sphi) / (1 - e2)
+    return _wrap_rad(lam0 + d_lam) / _D2R, phi / _D2R
+
+
+def omerc_constants(lonc: float, latc: float, alpha: float,
+                    k0: float, ellps: tuple[float, float]):
+    """Hotine Oblique Mercator constants — EPSG methods 9812 (variant A)
+    and 9815 (variant B); Snyder ch. 9. alpha is the azimuth of the
+    initial line at the projection centre."""
+    a, f = ellps
+    e2 = f * (2.0 - f)
+    e = np.sqrt(e2)
+    pc = latc * _D2R
+    sc = np.sin(pc)
+    big_b = np.sqrt(1 + e2 * np.cos(pc) ** 4 / (1 - e2))
+    big_a = a * big_b * k0 * np.sqrt(1 - e2) / (1 - e2 * sc * sc)
+    t0 = _conf_t_e(pc, e)
+    big_d = big_b * np.sqrt(1 - e2) \
+        / (np.cos(pc) * np.sqrt(1 - e2 * sc * sc))
+    d2 = max(float(big_d) ** 2, 1.0)
+    sgn = 1.0 if latc >= 0 else -1.0
+    big_f = big_d + np.sqrt(d2 - 1) * sgn
+    big_h = big_f * t0 ** big_b
+    big_g = (big_f - 1.0 / big_f) / 2.0
+    ac = alpha * _D2R
+    gamma0 = np.arcsin(np.sin(ac) / big_d)
+    # alpha = 90 deg makes G tan(gamma0) exactly 1 analytically (the
+    # Swiss/Hungarian special case); clip the float residue
+    lam0 = lonc * _D2R - np.arcsin(
+        np.clip(big_g * np.tan(gamma0), -1.0, 1.0)) / big_b
+    if abs(alpha) == 90.0:         # GN 7-2 special case (Swiss/Hungarian)
+        uc = big_a * (lonc * _D2R - lam0)
+    else:
+        uc = (big_a / big_b) * np.arctan2(np.sqrt(d2 - 1), np.cos(ac)) * sgn
+    return big_a, big_b, big_h, gamma0, lam0, uc, e, sgn
+
+
+def omerc_forward(lon, lat, lonc: float, latc: float, alpha: float,
+                  gamma: float, k0: float = 1.0,
+                  fe: float = 0.0, fn: float = 0.0,
+                  variant_b: bool = True,
+                  ellps: tuple[float, float] | None = None):
+    """Hotine Oblique Mercator forward (EPSG 9812/9815 worked example:
+    Timbalai 1948 / RSO Borneo). gamma is the rectified-grid angle."""
+    big_a, big_b, big_h, gamma0, lam0, uc, e, sgn = omerc_constants(
+        lonc, latc, alpha, k0, ellps or ELLIPSOIDS["WGS84"])
+    phi = np.asarray(lat, np.float64) * _D2R
+    d_lam = big_b * _wrap_rad(np.asarray(lon, np.float64) * _D2R - lam0)
+    t = _conf_t_e(phi, e)
+    q = big_h / t ** big_b
+    s = (q - 1.0 / q) / 2.0
+    big_t = (q + 1.0 / q) / 2.0
+    v = np.sin(d_lam)
+    u_n = (-v * np.cos(gamma0) + s * np.sin(gamma0)) / big_t
+    v_c = big_a * np.log((1 - u_n) / (1 + u_n)) / (2 * big_b)
+    u_c = big_a * np.arctan2(s * np.cos(gamma0) + v * np.sin(gamma0),
+                             np.cos(d_lam)) / big_b
+    if variant_b:
+        u_c = u_c - abs(uc) * sgn
+    gr = gamma * _D2R
+    x = fe + v_c * np.cos(gr) + u_c * np.sin(gr)
+    y = fn + u_c * np.cos(gr) - v_c * np.sin(gr)
+    return x, y
+
+
+def omerc_inverse(x, y, lonc: float, latc: float, alpha: float,
+                  gamma: float, k0: float = 1.0,
+                  fe: float = 0.0, fn: float = 0.0,
+                  variant_b: bool = True,
+                  ellps: tuple[float, float] | None = None):
+    """Hotine Oblique Mercator inverse (EPSG 9812/9815)."""
+    big_a, big_b, big_h, gamma0, lam0, uc, e, sgn = omerc_constants(
+        lonc, latc, alpha, k0, ellps or ELLIPSOIDS["WGS84"])
+    gr = gamma * _D2R
+    xx = np.asarray(x, np.float64) - fe
+    yy = np.asarray(y, np.float64) - fn
+    v_c = xx * np.cos(gr) - yy * np.sin(gr)
+    u_c = yy * np.cos(gr) + xx * np.sin(gr)
+    if variant_b:
+        u_c = u_c + abs(uc) * sgn
+    q = np.exp(-big_b * v_c / big_a)
+    s = (q - 1.0 / q) / 2.0
+    big_t = (q + 1.0 / q) / 2.0
+    bu = big_b * u_c / big_a
+    v = np.sin(bu)
+    u_n = (v * np.cos(gamma0) + s * np.sin(gamma0)) / big_t
+    t = (big_h / np.sqrt((1 + u_n) / (1 - u_n))) ** (1.0 / big_b)
+    phi = _phi_from_t_e(t, e)
+    lam = lam0 - np.arctan2(s * np.cos(gamma0) - v * np.sin(gamma0),
+                            np.cos(bu)) / big_b
+    return _wrap_rad(lam) / _D2R, phi / _D2R
+
+
 def _parse_proj_string(crs: str):
     """'+proj=... +key=val [+flag]' -> parameterized kind tuple.
 
@@ -691,8 +874,9 @@ def _wrap_datum(inner, ellps: tuple[float, float],
         return None
     if inner == "4326":
         inner = "geog"
-    elif isinstance(inner, tuple) and inner[0] in ("tmerc", "utm"):
-        pass
+    elif isinstance(inner, tuple) and inner[0] in ("tmerc", "utm",
+                                                   "sterea", "omerc"):
+        pass            # these kernels are ellipsoid-parameterized
     elif not _is_wgs84_ellps(*ellps):
         return None     # e.g. LCC on Bessel: kernel not ellipsoid-ported
     return ("datum", inner, ellps, p)
@@ -728,10 +912,25 @@ def _proj_inner_kind(kv: dict):
     if proj == "stere":
         lat0 = f("lat_0", 90.0)
         if abs(abs(lat0) - 90.0) > 1e-9:
-            return None               # oblique stereographic unsupported
+            # PROJ's +proj=stere oblique aspect is spherical-composite;
+            # the ellipsoidal double projection is +proj=sterea (below)
+            return None
         lat_ts = float(kv["lat_ts"]) if "lat_ts" in kv else None
         return ("stere", f("lon_0", 0.0), lat_ts, k0, lat0 < 0,
                 f("x_0", 0.0), f("y_0", 0.0))
+    if proj == "sterea":
+        return ("sterea", f("lon_0", 0.0), f("lat_0", 0.0), k0,
+                f("x_0", 0.0), f("y_0", 0.0))
+    if proj == "omerc":
+        alpha = f("alpha", 90.0)
+        return ("omerc", f("lonc", f("lon_0", 0.0)), f("lat_0", 0.0),
+                alpha, f("gamma", alpha), k0, f("x_0", 0.0), f("y_0", 0.0),
+                not ("no_uoff" in kv or "no_off" in kv))
+    if proj == "somerc":
+        # Swiss Oblique Mercator == Hotine variant B with
+        # alpha = gamma = 90 deg (EPSG 9815 parameterization of CH1903)
+        return ("omerc", f("lon_0", 0.0), f("lat_0", 0.0), 90.0, 90.0,
+                k0, f("x_0", 0.0), f("y_0", 0.0), True)
     return None
 
 
@@ -789,6 +988,14 @@ _WKT_METHODS = {
     "POLAR_STEREOGRAPHIC": "stere",
     "POLAR_STEREOGRAPHIC_(VARIANT_A)": "stere",
     "POLAR_STEREOGRAPHIC_(VARIANT_B)": "stereB",
+    "OBLIQUE_STEREOGRAPHIC": "sterea",
+    "DOUBLE_STEREOGRAPHIC": "sterea",
+    "HOTINE_OBLIQUE_MERCATOR": "omercA",
+    "HOTINE_OBLIQUE_MERCATOR_(VARIANT_A)": "omercA",
+    "HOTINE_OBLIQUE_MERCATOR_(VARIANT_B)": "omercB",
+    "HOTINE_OBLIQUE_MERCATOR_AZIMUTH_CENTER": "omercB",
+    "SWISS_OBLIQUE_CYLINDRICAL": "somerc",
+    "SWISS_OBLIQUE_MERCATOR": "somerc",
 }
 
 
@@ -914,6 +1121,26 @@ def _parse_wkt_kind(crs: str):
         south = (lat0 < 0) or (lat_ts == lat_ts and lat_ts < 0)
         return ("stere", lon0, None if lat_ts != lat_ts else lat_ts,
                 k0, south, fe, fn)
+    if fam == "sterea":
+        lat0 = g(("latitude_of_origin", "latitude_of_natural_origin"))
+        return ("sterea", lon0, lat0, k0, fe, fn)
+    if fam in ("omercA", "omercB", "somerc"):
+        latc = g(("latitude_of_center", "latitude_of_origin",
+                  "latitude_of_projection_centre"))
+        lonc = g(("longitude_of_center", "central_meridian",
+                  "longitude_of_projection_centre"), lon0)
+        if fam == "somerc":
+            alpha = gamma = 90.0
+        else:
+            alpha = g(("azimuth", "azimuth_of_initial_line",
+                       "azimuth_at_projection_centre"), 90.0)
+            gamma = g(("rectified_grid_angle",
+                       "angle_from_rectified_to_skew_grid"), alpha)
+        k0 = g(("scale_factor", "scale_factor_on_initial_line"), k0)
+        fe = g(("false_easting", "easting_at_projection_centre"), fe)
+        fn = g(("false_northing", "northing_at_projection_centre"), fn)
+        return ("omerc", lonc, latc, alpha, gamma, k0, fe, fn,
+                fam != "omercA")
     if fam == "tmerc":
         lat0 = g(("latitude_of_origin", "latitude_of_natural_origin"))
         if lat0 != 0.0:
@@ -959,6 +1186,30 @@ def _parse_crs(crs: str):
         return ("stere", 0.0, -71.0, 1.0, True, 0.0, 0.0)
     if crs == "EPSG:3995":        # WGS84 / Arctic Polar Stereographic
         return ("stere", 0.0, 71.0, 1.0, False, 0.0, 0.0)
+    if crs == "EPSG:28992":       # Amersfoort / RD New (double stereographic)
+        return ("datum",
+                ("sterea", 5.0 + 23.0 / 60 + 15.5 / 3600,
+                 52.0 + 9.0 / 60 + 22.178 / 3600, 0.9999079,
+                 155000.0, 463000.0),
+                ELLIPSOIDS["bessel"],
+                (565.417, 50.3319, 465.552,
+                 -0.398957, 0.343988, -1.8774, 4.0725))
+    if crs in ("EPSG:21781", "EPSG:2056"):
+        # CH1903 / LV03 and CH1903+ / LV95 (Swiss Oblique Mercator ==
+        # Hotine variant B with alpha = gamma = 90)
+        lv95 = crs == "EPSG:2056"
+        return ("datum",
+                ("omerc", 7.0 + 26.0 / 60 + 22.5 / 3600,
+                 46.0 + 57.0 / 60 + 8.66 / 3600, 90.0, 90.0, 1.0,
+                 2600000.0 if lv95 else 600000.0,
+                 1200000.0 if lv95 else 200000.0, True),
+                ELLIPSOIDS["bessel"], (674.374, 15.056, 405.346))
+    if crs == "EPSG:29873":       # Timbalai 1948 / RSO Borneo (m)
+        return ("datum",
+                ("omerc", 115.0, 4.0, 53.0 + 18.0 / 60 + 56.9537 / 3600,
+                 53.0 + 7.0 / 60 + 48.3685 / 3600, 0.99984,
+                 590476.87, 442857.65, True),
+                ELLIPSOIDS["evrstSS"], (-679.0, 669.0, -48.0))
     if crs == "EPSG:27700":       # OSGB36 / British National Grid
         return ("datum",
                 ("tmerc", -2.0, 0.9996012717, 400000.0, -100000.0, 49.0),
@@ -1005,6 +1256,14 @@ def _kind_to_4326(kind, x, y, crs="?"):
             lon, lat = tm_inverse(x, y, lon0, k0=k0, fe=fe, fn=fn,
                                   ellps=ellps,
                                   lat0=inner[5] if len(inner) > 5 else 0.0)
+        elif isinstance(inner, tuple) and inner[0] == "sterea":
+            _k, lon0, lat0, k0, fe, fn = inner
+            lon, lat = sterea_inverse(x, y, lon0, lat0, k0, fe, fn,
+                                      ellps=ellps)
+        elif isinstance(inner, tuple) and inner[0] == "omerc":
+            _k, lonc, latc, al, ga, k0, fe, fn, vb = inner
+            lon, lat = omerc_inverse(x, y, lonc, latc, al, ga, k0, fe, fn,
+                                     vb, ellps=ellps)
         else:
             lon, lat = _kind_to_4326(inner, x, y, crs)
         gx, gy, gz = geodetic_to_geocentric(lon, lat, *ellps)
@@ -1067,6 +1326,12 @@ def _kind_to_4326(kind, x, y, crs="?"):
     if isinstance(kind, tuple) and kind[0] == "stere":
         _, lon0, lat_ts, k0, south, fe, fn = kind
         return stere_inverse(x, y, lon0, lat_ts, k0, south, fe, fn)
+    if isinstance(kind, tuple) and kind[0] == "sterea":
+        _, lon0, lat0, k0, fe, fn = kind
+        return sterea_inverse(x, y, lon0, lat0, k0, fe, fn)
+    if isinstance(kind, tuple) and kind[0] == "omerc":
+        _, lonc, latc, al, ga, k0, fe, fn, vb = kind
+        return omerc_inverse(x, y, lonc, latc, al, ga, k0, fe, fn, vb)
     raise ValueError(f"unsupported CRS {crs}")
 
 
@@ -1094,6 +1359,14 @@ def _kind_from_4326(kind, lon, lat, crs="?"):
             return tm_forward(lon2, lat2, lon0, k0=k0, fe=fe, fn=fn,
                               ellps=ellps,
                               lat0=inner[5] if len(inner) > 5 else 0.0)
+        if isinstance(inner, tuple) and inner[0] == "sterea":
+            _k, lon0, lat0, k0, fe, fn = inner
+            return sterea_forward(lon2, lat2, lon0, lat0, k0, fe, fn,
+                                  ellps=ellps)
+        if isinstance(inner, tuple) and inner[0] == "omerc":
+            _k, lonc, latc, al, ga, k0, fe, fn, vb = inner
+            return omerc_forward(lon2, lat2, lonc, latc, al, ga, k0,
+                                 fe, fn, vb, ellps=ellps)
         return _kind_from_4326(inner, lon2, lat2, crs)
     if isinstance(kind, tuple) and kind[0] == "grid":
         from .ntv2 import apply_gridshift
@@ -1146,6 +1419,12 @@ def _kind_from_4326(kind, lon, lat, crs="?"):
     if isinstance(kind, tuple) and kind[0] == "stere":
         _, lon0, lat_ts, k0, south, fe, fn = kind
         return stere_forward(lon, lat, lon0, lat_ts, k0, south, fe, fn)
+    if isinstance(kind, tuple) and kind[0] == "sterea":
+        _, lon0, lat0, k0, fe, fn = kind
+        return sterea_forward(lon, lat, lon0, lat0, k0, fe, fn)
+    if isinstance(kind, tuple) and kind[0] == "omerc":
+        _, lonc, latc, al, ga, k0, fe, fn, vb = kind
+        return omerc_forward(lon, lat, lonc, latc, al, ga, k0, fe, fn, vb)
     raise ValueError(f"unsupported CRS {crs}")
 
 
@@ -1400,6 +1679,18 @@ def format_proj4_kind(kind) -> str:
         return (f"+proj=stere +lat_0={-90 if south else 90}{ts} "
                 f"+lon_0={lon0:.10g} +k_0={k0:.10g} +x_0={fe:.10g} +y_0={fn:.10g} "
                 "+datum=WGS84 +units=m +no_defs")
+    if fam == "sterea":
+        _, lon0, lat0, k0, fe, fn = kind
+        return (f"+proj=sterea +lat_0={lat0:.12g} +lon_0={lon0:.12g} "
+                f"+k_0={k0:.10g} +x_0={fe:.10g} +y_0={fn:.10g} "
+                "+datum=WGS84 +units=m +no_defs")
+    if fam == "omerc":
+        _, lonc, latc, al, ga, k0, fe, fn, vb = kind
+        off = "" if vb else " +no_uoff"
+        return (f"+proj=omerc +lat_0={latc:.12g} +lonc={lonc:.12g} "
+                f"+alpha={al:.12g} +gamma={ga:.12g} +k_0={k0:.10g} "
+                f"+x_0={fe:.10g} +y_0={fn:.10g}{off} "
+                "+datum=WGS84 +units=m +no_defs")
     if fam == "datum":
         _, inner, ellps, p = kind
         base = ("+proj=longlat" if inner == "geog"
@@ -1484,6 +1775,28 @@ def format_wkt1(crs: str) -> str:
                   f'PARAMETER["latitude_of_origin",{lat0:.10g}],'
                   f'PARAMETER["standard_parallel_1",{ts:.10g}],'
                   f'PARAMETER["central_meridian",{lon0:.10g}],'
+                  f'PARAMETER["scale_factor",{k0:.10g}],'
+                  f'PARAMETER["false_easting",{fe:.10g}],'
+                  f'PARAMETER["false_northing",{fn:.10g}],UNIT["metre",1]]')
+    if fam == "sterea":
+        _, lon0, lat0, k0, fe, fn = kind
+        return ('PROJCS["unnamed",' + _WGS84_GEOGCS
+                + ',PROJECTION["Oblique_Stereographic"],'
+                  f'PARAMETER["latitude_of_origin",{lat0:.12g}],'
+                  f'PARAMETER["central_meridian",{lon0:.12g}],'
+                  f'PARAMETER["scale_factor",{k0:.10g}],'
+                  f'PARAMETER["false_easting",{fe:.10g}],'
+                  f'PARAMETER["false_northing",{fn:.10g}],UNIT["metre",1]]')
+    if fam == "omerc":
+        _, lonc, latc, al, ga, k0, fe, fn, vb = kind
+        method = "Hotine_Oblique_Mercator_Azimuth_Center" if vb \
+            else "Hotine_Oblique_Mercator"
+        return ('PROJCS["unnamed",' + _WGS84_GEOGCS
+                + f',PROJECTION["{method}"],'
+                  f'PARAMETER["latitude_of_center",{latc:.12g}],'
+                  f'PARAMETER["longitude_of_center",{lonc:.12g}],'
+                  f'PARAMETER["azimuth",{al:.12g}],'
+                  f'PARAMETER["rectified_grid_angle",{ga:.12g}],'
                   f'PARAMETER["scale_factor",{k0:.10g}],'
                   f'PARAMETER["false_easting",{fe:.10g}],'
                   f'PARAMETER["false_northing",{fn:.10g}],UNIT["metre",1]]')

@@ -723,3 +723,122 @@ def test_ntv2_gridshift_read_write_apply(tmp_path):
     # +nadgrids wins over +towgs84 (PROJ precedence)
     k = tr._parse_crs(crs + " +towgs84=100,0,0")
     assert k[0] == "grid"
+
+
+def test_oblique_stereographic_rd_new_worked_example():
+    """EPSG Guidance Note 7-2 §3.2.5 worked example (Amersfoort / RD New,
+    Bessel 1841): (53N, 6E) on the Amersfoort datum -> E 196105.283,
+    N 557057.739; inverse recovers the input; conformality: point scale
+    is isotropic (same along meridian and parallel) away from the origin."""
+    lat0 = 52.0 + 9.0 / 60 + 22.178 / 3600
+    lon0 = 5.0 + 23.0 / 60 + 15.5 / 3600
+    bes = T.ELLIPSOIDS["bessel"]
+    x, y = T.sterea_forward(6.0, 53.0, lon0, lat0, 0.9999079,
+                            155000.0, 463000.0, ellps=bes)
+    assert abs(float(x) - 196105.283) < 0.002
+    assert abs(float(y) - 557057.739) < 0.002
+    lon, lat = T.sterea_inverse(x, y, lon0, lat0, 0.9999079,
+                                155000.0, 463000.0, ellps=bes)
+    assert abs(float(lon) - 6.0) < 1e-9 and abs(float(lat) - 53.0) < 1e-8
+    # conformal: scale along parallel == scale along meridian
+    d = 1e-6
+    args = (lon0, lat0, 0.9999079, 155000.0, 463000.0)
+    xa, ya = T.sterea_forward(6.0 + d, 53.0, *args, ellps=bes)
+    xb, yb = T.sterea_forward(6.0, 53.0 + d, *args, ellps=bes)
+    e2 = bes[1] * (2 - bes[1])
+    sphi = np.sin(np.radians(53.0))
+    nu = bes[0] / np.sqrt(1 - e2 * sphi ** 2)
+    rho = bes[0] * (1 - e2) / (1 - e2 * sphi ** 2) ** 1.5
+    h_par = np.hypot(float(xa - x), float(ya - y)) \
+        / (nu * np.cos(np.radians(53.0)) * np.radians(d))
+    h_mer = np.hypot(float(xb - x), float(yb - y)) \
+        / (rho * np.radians(d))
+    assert abs(h_par / h_mer - 1.0) < 1e-6
+
+
+def test_hotine_omerc_borneo_worked_example():
+    """EPSG Guidance Note 7-2 §3.2.6 worked example (Timbalai 1948 / RSO
+    Borneo, Hotine variant B on Everest Sabah/Sarawak): (5°23'14.1129"N,
+    115°48'19.8196"E) -> E 679245.73, N 596562.78."""
+    ev = T.ELLIPSOIDS["evrstSS"]
+    alpha = 53.0 + 18.0 / 60 + 56.9537 / 3600
+    gamma = 53.0 + 7.0 / 60 + 48.3685 / 3600
+    phi = 5.0 + 23.0 / 60 + 14.1129 / 3600
+    lam = 115.0 + 48.0 / 60 + 19.8196 / 3600
+    x, y = T.omerc_forward(lam, phi, 115.0, 4.0, alpha, gamma, 0.99984,
+                           590476.87, 442857.65, True, ev)
+    assert abs(float(x) - 679245.73) < 0.02
+    assert abs(float(y) - 596562.78) < 0.02
+    lon, lat = T.omerc_inverse(x, y, 115.0, 4.0, alpha, gamma, 0.99984,
+                               590476.87, 442857.65, True, ev)
+    assert abs(float(lon) - lam) < 1e-9 and abs(float(lat) - phi) < 1e-9
+    # variant A roundtrip on a grid
+    lons = np.linspace(113.0, 118.0, 9)
+    lats = np.linspace(2.0, 7.0, 9)
+    xa, ya = T.omerc_forward(lons, lats, 115.0, 4.0, alpha, gamma,
+                             0.99984, 0.0, 0.0, False, ev)
+    lo, la = T.omerc_inverse(xa, ya, 115.0, 4.0, alpha, gamma,
+                             0.99984, 0.0, 0.0, False, ev)
+    np.testing.assert_allclose(lo, lons, atol=1e-11)
+    np.testing.assert_allclose(la, lats, atol=1e-11)
+
+
+def test_swiss_lv03_rigi_reference_point():
+    """swisstopo's published LV03 reference point (Rigi): CH1903 datum
+    (47°03'28.956592"N, 8°29'11.111272"E) -> E 679520.05, N 212273.44.
+    Swiss Oblique Mercator == Hotine variant B with alpha = gamma = 90
+    (the EPSG 9815 parameterization of CH1903 / LV03)."""
+    bes = T.ELLIPSOIDS["bessel"]
+    lat0 = 46.0 + 57.0 / 60 + 8.66 / 3600
+    lon0 = 7.0 + 26.0 / 60 + 22.5 / 3600
+    rigi_lat = 47.0 + 3.0 / 60 + 28.95659233 / 3600
+    rigi_lon = 8.0 + 29.0 / 60 + 11.11127154 / 3600
+    x, y = T.omerc_forward(rigi_lon, rigi_lat, lon0, lat0, 90.0, 90.0,
+                           1.0, 600000.0, 200000.0, True, bes)
+    assert abs(float(x) - 679520.05) < 0.005
+    assert abs(float(y) - 212273.44) < 0.005
+    # LV95 (EPSG:2056) differs from LV03 (EPSG:21781) by exactly +2e6/+1e6
+    x3, y3 = T.transform("EPSG:4326", "EPSG:21781", 8.5, 47.0)
+    x9, y9 = T.transform("EPSG:4326", "EPSG:2056", 8.5, 47.0)
+    assert abs(float(x9 - x3) - 2000000.0) < 1e-6
+    assert abs(float(y9 - y3) - 1000000.0) < 1e-6
+
+
+def test_sterea_omerc_spellings_agree():
+    """EPSG whitelist, +proj string, WKT1 and WKT2 spellings of the new
+    families hit the same kernels (srs_info round-trip contract)."""
+    k_epsg = T._parse_crs("EPSG:21781")
+    k_proj = T._parse_crs(
+        "+proj=somerc +lat_0=46.95240555555556 +lon_0=7.439583333333333 "
+        "+k_0=1 +x_0=600000 +y_0=200000 +ellps=bessel "
+        "+towgs84=674.374,15.056,405.346 +units=m +no_defs")
+    assert k_epsg[0] == k_proj[0] == "datum"
+    np.testing.assert_allclose(np.array(k_epsg[1][1:-1], dtype=float),
+                               np.array(k_proj[1][1:-1], dtype=float),
+                               atol=1e-10)
+    # WGS84-datum spellings: format -> reparse -> same projected point
+    for kind in (("sterea", 5.38, 52.15, 0.9999079, 155000.0, 463000.0),
+                 ("omerc", 115.0, 4.0, 53.315, 53.13, 0.99984,
+                  0.0, 0.0, True),
+                 ("omerc", 115.0, 4.0, 53.315, 53.13, 0.99984,
+                  0.0, 0.0, False)):
+        for spelled in (T.format_proj4_kind(kind),
+                        T.format_wkt1(T.format_proj4_kind(kind))):
+            k2 = T._parse_crs(spelled)
+            x1, y1 = T._kind_from_4326(kind, 116.0, 5.0)
+            x2, y2 = T._kind_from_4326(k2, 116.0, 5.0)
+            assert abs(float(x1 - x2)) < 1e-4
+            assert abs(float(y1 - y2)) < 1e-4
+    # WKT2 method/parameter names (EPSG 9809)
+    wkt2 = ('PROJCRS["RD New",BASEGEOGCRS["Amersfoort",DATUM["Amersfoort",'
+            'ELLIPSOID["Bessel 1841",6377397.155,299.1528128]]],'
+            'CONVERSION["RD New",METHOD["Oblique Stereographic",'
+            'ID["EPSG",9809]],'
+            'PARAMETER["Latitude of natural origin",52.1561605555556],'
+            'PARAMETER["Longitude of natural origin",5.38763888888889],'
+            'PARAMETER["Scale factor at natural origin",0.9999079],'
+            'PARAMETER["False easting",155000],'
+            'PARAMETER["False northing",463000]],CS[Cartesian,2]]')
+    k = T._parse_crs(wkt2)
+    assert k[0] == "datum" and k[1][0] == "sterea"
+    assert abs(k[1][3] - 0.9999079) < 1e-12
