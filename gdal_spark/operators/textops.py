@@ -927,3 +927,92 @@ def bpe_top_merge_recount(docs: DataFrame, top: int = 10) -> DataFrame:
     agg = s.groupBy("pair").agg(F.sum("cnt").cast("long").alias("cnt"))
     return (agg.orderBy(F.col("cnt").desc(), F.col("pair").asc())
             .limit(top))
+
+
+# ---------------------------------------------------------------------------
+# sequence packing + tf-idf (training-set assembly)
+# ---------------------------------------------------------------------------
+
+def pack_sequences(docs: DataFrame, ctx: int = 512,
+                   block: int = 1024) -> DataFrame:
+    """GPT-style concat-and-chunk packing placement: documents are laid
+    end-to-end in doc_id order (each followed by one EOS token) and the
+    stream is cut into fixed ctx-token training sequences. -> one row per
+    doc: (doc_id, n_tokens, tok_start, seq_first, seq_last).
+
+    Scale shape: a global running sum normally serializes on one window
+    task; here it is the classic two-phase scan — per-block partial sums
+    (one tiny row per `block` docs; groupBy with map-side combine), an
+    exclusive prefix over the block table (one-partition window over
+    ~N/block rows), broadcast back, then a block-local window. Nothing
+    bigger than the block table ever leaves the executors, and no stage
+    sorts more than `block` rows per key. Choose block ~ sqrt(N) so both
+    the prefix window and each block window stay ~sqrt(N) rows (1e6 at
+    1e12 docs); the default suits test scale."""
+    from pyspark.sql import Window
+
+    d = docs.select(
+        "doc_id",
+        (F.size(F.split("text", " ")) + F.lit(1)).cast("long").alias("w"))
+    d = d.withColumn("blk", (F.col("doc_id") / block).cast("long"))
+    sums = d.groupBy("blk").agg(F.sum("w").alias("s"))
+    pre = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
+    offs = sums.select("blk", F.coalesce(F.sum("s").over(pre),
+                                         F.lit(0)).alias("base"))
+    win = Window.partitionBy("blk").orderBy("doc_id")
+    d = (d.join(F.broadcast(offs), "blk")
+         .withColumn("tok_start",
+                     (F.col("base") + F.sum("w").over(win) - F.col("w"))
+                     .cast("long")))
+    return d.select(
+        "doc_id", (F.col("w") - 1).cast("long").alias("n_tokens"),
+        "tok_start",
+        F.floor(F.col("tok_start") / ctx).cast("long").alias("seq_first"),
+        F.floor((F.col("tok_start") + F.col("w") - 1) / ctx).cast("long")
+        .alias("seq_last"))
+
+
+def pack_sequence_stats(docs: DataFrame, ctx: int = 512,
+                        block: int = 1024) -> DataFrame:
+    """Per training sequence: how many documents contribute and how many
+    of its ctx slots the span boundaries cover. -> (seq_id, n_docs,
+    tok_lo, tok_hi). The explode is bounded: a doc spans
+    ceil((n_tokens+1)/ctx)+1 sequences, so fan-out is ~stream/ctx."""
+    p = pack_sequences(docs, ctx, block)
+    seq = F.explode(F.sequence("seq_first", "seq_last")).alias("seq_id")
+    e = p.select("doc_id", "n_tokens", "tok_start", seq)
+    lo = F.greatest(F.col("tok_start"), F.col("seq_id") * ctx)
+    hi = F.least(F.col("tok_start") + F.col("n_tokens") + 1,
+                 (F.col("seq_id") + 1) * ctx)
+    return (e.select("seq_id", lo.alias("lo"), hi.alias("hi"))
+            .groupBy("seq_id")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.min("lo").cast("long").alias("tok_lo"),
+                 F.max("hi").cast("long").alias("tok_hi")))
+
+
+def tfidf_topk(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Per-document top-k TF-IDF terms (smooth idf = ln((N+1)/(df+1))+1,
+    ties broken by term ascending). -> (doc_id, term, tf, df_cnt,
+    tfidf_r). Scale shape: tf is one corpus-wide groupBy with map-side
+    combine; df is a vocabulary-sized aggregate of the tf table (no
+    second pass over the corpus); the join keys on term against the
+    vocabulary table and the final top-k is a bounded window."""
+    from pyspark.sql import Window
+
+    tf = (docs.select("doc_id", F.explode(words_col()).alias("term"))
+          .where(F.length("term") > 0)
+          .groupBy("doc_id", "term")
+          .agg(F.count("*").cast("long").alias("tf")))
+    df_t = tf.groupBy("term").agg(F.count("*").cast("long")
+                                  .alias("df_cnt"))
+    n_docs = docs.select(F.countDistinct("doc_id")).collect()[0][0]
+    idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df_cnt") + 1)) + 1.0
+    scored = (tf.join(df_t, "term")
+              .withColumn("tfidf", F.col("tf") * idf))
+    win = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc())
+    return (scored.withColumn("rk", F.row_number().over(win))
+            .where(F.col("rk") <= k)
+            .select("doc_id", "term", "tf", "df_cnt",
+                    F.round("tfidf", 6).alias("tfidf_r")))

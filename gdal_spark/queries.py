@@ -7093,3 +7093,90 @@ def q_st_transform_lv95(spark, sf_dir):
         " ROUND(ST_Y(ST_Transform(ST_MakePoint(lonb, latb), 'EPSG:4326',"
         "  'EPSG:2056')), 4) AS y_r "
         "FROM t_lv_pts")
+
+
+# =============================================================================
+# training-set assembly: sequence packing + tf-idf
+# =============================================================================
+
+@_reg("seq_pack", """
+WITH d AS (SELECT doc_id,
+                  CAST(len(string_split(text, ' ')) + 1 AS BIGINT) AS w
+           FROM documents),
+c AS (SELECT doc_id, w,
+             CAST(COALESCE(sum(w) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS tok_start
+      FROM d)
+SELECT doc_id, CAST(w - 1 AS BIGINT) AS n_tokens, tok_start,
+       CAST(tok_start // 512 AS BIGINT) AS seq_first,
+       CAST((tok_start + w - 1) // 512 AS BIGINT) AS seq_last
+FROM c
+""")
+def q_seq_pack(spark, sf_dir):
+    """GPT-style concat-and-chunk sequence packing placement (docs laid
+    end-to-end in doc_id order, one EOS each, cut into 512-token training
+    sequences): per-doc token offset and first/last sequence ids. The
+    global running sum runs as the two-phase scan (per-block partials ->
+    tiny prefix window -> broadcast join -> block-local window), never a
+    corpus-wide single-task sort; the oracle replays it as one window."""
+    docs = _t(spark, sf_dir, "documents")
+    return textops.pack_sequences(docs, ctx=512, block=1024)
+
+
+@_reg("seq_pack_stats", """
+WITH d AS (SELECT doc_id,
+                  CAST(len(string_split(text, ' ')) + 1 AS BIGINT) AS w
+           FROM documents),
+c AS (SELECT doc_id, w,
+             CAST(COALESCE(sum(w) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS tok_start
+      FROM d),
+p AS (SELECT doc_id, w - 1 AS n_tokens, tok_start,
+             tok_start // 512 AS seq_first,
+             (tok_start + w - 1) // 512 AS seq_last
+      FROM c),
+e AS (SELECT doc_id, n_tokens, tok_start, seq_id
+      FROM p, unnest(generate_series(seq_first, seq_last)) AS t(seq_id))
+SELECT CAST(seq_id AS BIGINT) AS seq_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(greatest(tok_start, seq_id * 512)) AS BIGINT) AS tok_lo,
+       CAST(max(least(tok_start + n_tokens + 1, (seq_id + 1) * 512))
+         AS BIGINT) AS tok_hi
+FROM e GROUP BY seq_id
+""")
+def q_seq_pack_stats(spark, sf_dir):
+    """Per training sequence: contributing-document count and covered
+    token range. The doc->sequence explode is bounded (a doc spans
+    ~n_tokens/ctx + 1 sequences), so fan-out tracks stream length / ctx."""
+    docs = _t(spark, sf_dir, "documents")
+    return textops.pack_sequence_stats(docs, ctx=512, block=1024)
+
+
+@_reg("tfidf_topk", """
+WITH w0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM w0 WHERE len(term) > 0 GROUP BY doc_id, term),
+dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df_cnt
+        FROM tf GROUP BY term),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+s AS (SELECT tf.doc_id, tf.term, tf.tf, dft.df_cnt,
+             tf.tf * (ln(CAST((SELECT n_docs FROM n) + 1 AS DOUBLE)
+                         / (dft.df_cnt + 1)) + 1.0) AS tfidf
+      FROM tf JOIN dft ON tf.term = dft.term),
+r AS (SELECT doc_id, term, tf, df_cnt, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term ASC) AS rk
+      FROM s)
+SELECT doc_id, term, tf, df_cnt, ROUND(tfidf, 6) AS tfidf_r
+FROM r WHERE rk <= 3
+""")
+def q_tfidf_topk(spark, sf_dir):
+    """Per-document top-3 TF-IDF terms (smooth idf, deterministic term
+    tiebreak) — the keyword-extraction step of a curation pipeline. tf is
+    the only corpus-wide shuffle (map-side combined); df aggregates the
+    tf table, so the corpus is scanned once."""
+    docs = _t(spark, sf_dir, "documents")
+    return textops.tfidf_topk(docs, k=3)

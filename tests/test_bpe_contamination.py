@@ -60,3 +60,40 @@ def test_bpe_merge_round_tie_lexicographic(spark):
     rows = {r.pair: r.cnt for r in
             textops.bpe_top_merge_recount(docs, top=10).collect()}
     assert rows == {"b+a": 1}
+
+
+def test_pack_sequences_placement(spark):
+    # 3 docs: 3+1, 2+1, 4+1 tokens (incl. EOS) -> offsets 0, 4, 7; ctx=4
+    docs = _docs(spark, [(0, "a b c"), (1, "d e"), (2, "f g h i")])
+    rows = {r.doc_id: r for r in
+            textops.pack_sequences(docs, ctx=4, block=2).collect()}
+    assert (rows[0].tok_start, rows[0].seq_first, rows[0].seq_last) \
+        == (0, 0, 0)
+    assert (rows[1].tok_start, rows[1].seq_first, rows[1].seq_last) \
+        == (4, 1, 1)
+    assert (rows[2].tok_start, rows[2].seq_first, rows[2].seq_last) \
+        == (7, 1, 2)     # spans the seq-1/seq-2 boundary
+    assert rows[2].n_tokens == 4
+
+
+def test_pack_sequence_stats_coverage(spark):
+    docs = _docs(spark, [(0, "a b c"), (1, "d e"), (2, "f g h i")])
+    st = {r.seq_id: r for r in
+          textops.pack_sequence_stats(docs, ctx=4, block=2).collect()}
+    # seq 0: doc0 alone covers tokens 0..4 -> clipped to [0,4)
+    assert (st[0].n_docs, st[0].tok_lo, st[0].tok_hi) == (1, 0, 4)
+    # seq 1: doc1 [4,7) + doc2 head [7,8)
+    assert (st[1].n_docs, st[1].tok_lo, st[1].tok_hi) == (2, 4, 8)
+    # seq 2: doc2 tail [8,12)
+    assert (st[2].n_docs, st[2].tok_lo, st[2].tok_hi) == (1, 8, 12)
+
+
+def test_tfidf_topk_ranks_rare_terms(spark):
+    docs = _docs(spark, [(0, "x x common"), (1, "y common"),
+                         (2, "z common")])
+    out = textops.tfidf_topk(docs, k=1).collect()
+    top = {r.doc_id: r.term for r in out}
+    # 'common' appears in all docs (low idf); the doc-unique term wins
+    assert top == {0: "x", 1: "y", 2: "z"}
+    r0 = [r for r in out if r.doc_id == 0][0]
+    assert (r0.tf, r0.df_cnt) == (2, 1)
