@@ -7180,3 +7180,71 @@ def q_tfidf_topk(spark, sf_dir):
     tf table, so the corpus is scanned once."""
     docs = _t(spark, sf_dir, "documents")
     return textops.tfidf_topk(docs, k=3)
+
+
+def _krovak_sql():
+    """EPSG:5514 oracle tail: the GN 7-2 §3.2.2 Krovak oblique conformal
+    conic (conformal-sphere U/V, rotation to the cone axis, conic radius),
+    constants inlined from krovak_constants on Bessel."""
+    import numpy as _np
+
+    from .raster import transforms as _tr
+    bes = _tr.ELLIPSOIDS["bessel"]
+    alpha = 30.0 + 17.0 / 60 + 17.3031 / 3600
+    _a, big_b, t0, n, r0, e = _tr.krovak_constants(49.5, alpha, 78.5,
+                                                   0.9999, bes)
+    b_, t0_, n_, e_ = float(big_b), float(t0), float(n), float(e)
+    r0k = float(r0) * float(_np.tan(_np.pi / 4
+                                    + 78.5 * _np.pi / 180 / 2)) ** n_
+    ca, sa = (float(_np.cos(_np.radians(alpha))),
+              float(_np.sin(_np.radians(alpha))))
+    lam0 = float(_np.radians(24.0 + 50.0 / 60))
+    pi = repr(float(_np.pi))
+    two_pi = repr(float(2 * _np.pi))
+    box = ("SELECT doc_id, 12.2 + (lon + 180.0)/60.0 AS lonb, "
+           "48.6 + (lat + 90.0)/90.0 AS latb "
+           "FROM pts WHERE doc_id % 9 = 4")
+    chain = _datum_chain_sql(box, (589.0, 76.0, 480.0), bes)
+    return f"""{chain},
+k0 AS (SELECT doc_id, sin(phi) AS sphi, phi,
+        {lam0!r} - lam2 AS lam FROM gd4),
+k1 AS (SELECT doc_id,
+        2*(atan({t0_!r} * power(tan(phi/2 + {pi}/4), {b_!r})
+           / power((1+{e_!r}*sphi)/(1-{e_!r}*sphi), {e_ * b_ / 2!r}))
+           - {pi}/4) AS u,
+        {b_!r} * (lam - {two_pi} * floor((lam + {pi}) / {two_pi})) AS v
+       FROM k0),
+k2 AS (SELECT doc_id, u, v,
+        asin({ca!r}*sin(u) + {sa!r}*cos(u)*cos(v)) AS t FROM k1),
+k3 AS (SELECT doc_id, t, asin(cos(u)*sin(v)/cos(t)) AS d FROM k2),
+k4 AS (SELECT doc_id, {n_!r}*d AS theta,
+        {r0k!r} / power(tan(t/2 + {pi}/4), {n_!r}) AS r FROM k3)
+SELECT doc_id,
+       ROUND(0.0 - r*sin(theta), 4) AS x_r,
+       ROUND(0.0 - r*cos(theta), 4) AS y_r
+FROM k4"""
+
+
+@_reg("st_transform_krovak", f"""
+{_pts_cte()},{_krovak_sql()}
+""")
+def q_st_transform_krovak(spark, sf_dir):
+    """ST_Transform into EPSG:5514 (S-JTSK / Krovak East North, the
+    Czech/Slovak national grid): the Krovak oblique conformal conic
+    (EPSG method 9819, GN 7-2 §3.2.2) on Bessel 1841 behind the S-JTSK
+    3-parameter shift. Kernel pinned in tests to the GN worked example
+    and the defining invariant (scale exactly 0.9999 on the 78°30'
+    pseudo standard parallel); the oracle replays the full chain."""
+    st.register_all(spark)
+    p = datagen.points(spark, sf_dir).where(F.col("doc_id") % 9 == 4)
+    p = p.select("doc_id",
+                 (F.lit(12.2) + (F.col("lon") + 180.0) / 60.0).alias("lonb"),
+                 (F.lit(48.6) + (F.col("lat") + 90.0) / 90.0).alias("latb"))
+    p.createOrReplaceTempView("t_kr_pts")
+    return spark.sql(
+        "SELECT doc_id, "
+        " ROUND(ST_X(ST_Transform(ST_MakePoint(lonb, latb), 'EPSG:4326',"
+        "  'EPSG:5514')), 4) AS x_r, "
+        " ROUND(ST_Y(ST_Transform(ST_MakePoint(lonb, latb), 'EPSG:4326',"
+        "  'EPSG:5514')), 4) AS y_r "
+        "FROM t_kr_pts")

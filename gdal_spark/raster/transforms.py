@@ -800,6 +800,88 @@ def omerc_inverse(x, y, lonc: float, latc: float, alpha: float,
     return _wrap_rad(lam) / _D2R, phi / _D2R
 
 
+def krovak_constants(latc: float, alpha: float, lat_p: float, k_p: float,
+                     ellps: tuple[float, float]):
+    """Krovak oblique conformal conic constants — EPSG method 9819
+    (Guidance Note 7-2 §3.2.2; the S-JTSK grid of the Czech and Slovak
+    republics). latc = latitude of projection centre, alpha = co-latitude
+    of the cone axis, lat_p = latitude of the pseudo standard parallel,
+    k_p = scale on it."""
+    a, f = ellps
+    e2 = f * (2.0 - f)
+    e = np.sqrt(e2)
+    pc = latc * _D2R
+    sc = np.sin(pc)
+    big_a = a * np.sqrt(1 - e2) / (1 - e2 * sc * sc)
+    big_b = np.sqrt(1 + e2 * np.cos(pc) ** 4 / (1 - e2))
+    gamma0 = np.arcsin(sc / big_b)
+    t0 = np.tan(np.pi / 4 + gamma0 / 2) \
+        * ((1 + e * sc) / (1 - e * sc)) ** (e * big_b / 2) \
+        / np.tan(np.pi / 4 + pc / 2) ** big_b
+    n = np.sin(lat_p * _D2R)
+    r0 = k_p * big_a / np.tan(lat_p * _D2R)
+    return big_a, big_b, t0, n, r0, e
+
+
+def krovak_forward(lon, lat, lon0: float, latc: float, alpha: float,
+                   lat_p: float, k_p: float = 0.9999,
+                   fe: float = 0.0, fn: float = 0.0,
+                   ellps: tuple[float, float] | None = None):
+    """Krovak forward (EPSG 9819), GIS axis convention (EPSG:5514:
+    easting = -westing, northing = -southing, so Czech points land at
+    roughly (-0.6e6, -1.2e6)). lon0 is Greenwich-referenced (the EPSG
+    parameter 24d50' is East of Ferro; Ferro = 17d40' W of Greenwich)."""
+    _, big_b, t0, n, r0, e = krovak_constants(
+        latc, alpha, lat_p, k_p, ellps or ELLIPSOIDS["WGS84"])
+    ac = alpha * _D2R
+    phi = np.asarray(lat, np.float64) * _D2R
+    sphi = np.sin(phi)
+    u = 2 * (np.arctan(t0 * np.tan(phi / 2 + np.pi / 4) ** big_b
+                       / ((1 + e * sphi) / (1 - e * sphi))
+                       ** (e * big_b / 2)) - np.pi / 4)
+    v = big_b * _wrap_rad((lon0 - np.asarray(lon, np.float64)) * _D2R)
+    t = np.arcsin(np.clip(np.cos(ac) * np.sin(u)
+                          + np.sin(ac) * np.cos(u) * np.cos(v),
+                          -1.0, 1.0))
+    d = np.arcsin(np.clip(np.cos(u) * np.sin(v) / np.cos(t), -1.0, 1.0))
+    theta = n * d
+    r = r0 * np.tan(np.pi / 4 + lat_p * _D2R / 2) ** n \
+        / np.tan(t / 2 + np.pi / 4) ** n
+    southing = r * np.cos(theta)    # EPSG:2065 X (positive south)
+    westing = r * np.sin(theta)     # EPSG:2065 Y (positive west)
+    return fe - westing, fn - southing
+
+
+def krovak_inverse(x, y, lon0: float, latc: float, alpha: float,
+                   lat_p: float, k_p: float = 0.9999,
+                   fe: float = 0.0, fn: float = 0.0,
+                   ellps: tuple[float, float] | None = None):
+    """Krovak inverse (EPSG 9819) from the GIS axis convention."""
+    _, big_b, t0, n, r0, e = krovak_constants(
+        latc, alpha, lat_p, k_p, ellps or ELLIPSOIDS["WGS84"])
+    ac = alpha * _D2R
+    westing = -(np.asarray(x, np.float64) - fe)
+    southing = -(np.asarray(y, np.float64) - fn)
+    r = np.hypot(westing, southing)
+    theta = np.arctan2(westing, southing)
+    d = theta / n
+    t = 2 * (np.arctan((r0 / r) ** (1.0 / n)
+                       * np.tan(np.pi / 4 + lat_p * _D2R / 2))
+             - np.pi / 4)
+    u = np.arcsin(np.clip(np.cos(ac) * np.sin(t)
+                          - np.sin(ac) * np.cos(t) * np.cos(d),
+                          -1.0, 1.0))
+    v = np.arcsin(np.clip(np.cos(t) * np.sin(d) / np.cos(u), -1.0, 1.0))
+    lam = lon0 * _D2R - v / big_b
+    base = (np.tan(u / 2 + np.pi / 4) / t0) ** (1.0 / big_b)
+    phi = u
+    for _ in range(6):
+        sphi = np.sin(phi)
+        phi = 2 * (np.arctan(base * ((1 + e * sphi) / (1 - e * sphi))
+                             ** (e / 2)) - np.pi / 4)
+    return _wrap_rad(lam) / _D2R, phi / _D2R
+
+
 def _parse_proj_string(crs: str):
     """'+proj=... +key=val [+flag]' -> parameterized kind tuple.
 
@@ -875,7 +957,8 @@ def _wrap_datum(inner, ellps: tuple[float, float],
     if inner == "4326":
         inner = "geog"
     elif isinstance(inner, tuple) and inner[0] in ("tmerc", "utm",
-                                                   "sterea", "omerc"):
+                                                   "sterea", "omerc",
+                                                   "krovak"):
         pass            # these kernels are ellipsoid-parameterized
     elif not _is_wgs84_ellps(*ellps):
         return None     # e.g. LCC on Bessel: kernel not ellipsoid-ported
@@ -931,6 +1014,14 @@ def _proj_inner_kind(kv: dict):
         # alpha = gamma = 90 deg (EPSG 9815 parameterization of CH1903)
         return ("omerc", f("lon_0", 0.0), f("lat_0", 0.0), 90.0, 90.0,
                 k0, f("x_0", 0.0), f("y_0", 0.0), True)
+    if proj == "krovak":
+        lon0 = f("lon_0", 24.0 + 50.0 / 60)
+        if kv.get("pm") == "ferro":        # Ferro = 17d40' W of Greenwich
+            lon0 -= 17.0 + 40.0 / 60
+        return ("krovak", lon0, f("lat_0", 49.5),
+                f("alpha", 30.0 + 17.0 / 60 + 17.3031 / 3600),
+                78.5, float(kv.get("k_0", kv.get("k", 0.9999))),
+                f("x_0", 0.0), f("y_0", 0.0))
     return None
 
 
@@ -996,6 +1087,8 @@ _WKT_METHODS = {
     "HOTINE_OBLIQUE_MERCATOR_AZIMUTH_CENTER": "omercB",
     "SWISS_OBLIQUE_CYLINDRICAL": "somerc",
     "SWISS_OBLIQUE_MERCATOR": "somerc",
+    "KROVAK": "krovak",
+    "KROVAK_(EAST_NORTH_ORIENTATED)": "krovak",
 }
 
 
@@ -1141,6 +1234,19 @@ def _parse_wkt_kind(crs: str):
         fn = g(("false_northing", "northing_at_projection_centre"), fn)
         return ("omerc", lonc, latc, alpha, gamma, k0, fe, fn,
                 fam != "omercA")
+    if fam == "krovak":
+        latc = g(("latitude_of_center",
+                  "latitude_of_projection_centre"), 49.5)
+        lonc = g(("longitude_of_center", "central_meridian",
+                  "longitude_of_origin"), 24.0 + 50.0 / 60)
+        al = g(("azimuth", "co-latitude_of_cone_axis",
+                "azimuth_of_initial_line"), 30.0 + 17.0 / 60
+               + 17.3031 / 3600)
+        lp = g(("pseudo_standard_parallel_1",
+                "latitude_of_pseudo_standard_parallel"), 78.5)
+        k0 = g(("scale_factor",
+                "scale_factor_on_pseudo_standard_parallel"), 0.9999)
+        return ("krovak", lonc, latc, al, lp, k0, fe, fn)
     if fam == "tmerc":
         lat0 = g(("latitude_of_origin", "latitude_of_natural_origin"))
         if lat0 != 0.0:
@@ -1204,6 +1310,12 @@ def _parse_crs(crs: str):
                  2600000.0 if lv95 else 600000.0,
                  1200000.0 if lv95 else 200000.0, True),
                 ELLIPSOIDS["bessel"], (674.374, 15.056, 405.346))
+    if crs == "EPSG:5514":       # S-JTSK / Krovak East North
+        return ("datum",
+                ("krovak", 24.0 + 50.0 / 60, 49.5,
+                 30.0 + 17.0 / 60 + 17.3031 / 3600, 78.5, 0.9999,
+                 0.0, 0.0),
+                ELLIPSOIDS["bessel"], (589.0, 76.0, 480.0))
     if crs == "EPSG:29873":       # Timbalai 1948 / RSO Borneo (m)
         return ("datum",
                 ("omerc", 115.0, 4.0, 53.0 + 18.0 / 60 + 56.9537 / 3600,
@@ -1264,6 +1376,10 @@ def _kind_to_4326(kind, x, y, crs="?"):
             _k, lonc, latc, al, ga, k0, fe, fn, vb = inner
             lon, lat = omerc_inverse(x, y, lonc, latc, al, ga, k0, fe, fn,
                                      vb, ellps=ellps)
+        elif isinstance(inner, tuple) and inner[0] == "krovak":
+            _k, lon0, latc, al, lp, k0, fe, fn = inner
+            lon, lat = krovak_inverse(x, y, lon0, latc, al, lp, k0, fe, fn,
+                                      ellps=ellps)
         else:
             lon, lat = _kind_to_4326(inner, x, y, crs)
         gx, gy, gz = geodetic_to_geocentric(lon, lat, *ellps)
@@ -1332,6 +1448,9 @@ def _kind_to_4326(kind, x, y, crs="?"):
     if isinstance(kind, tuple) and kind[0] == "omerc":
         _, lonc, latc, al, ga, k0, fe, fn, vb = kind
         return omerc_inverse(x, y, lonc, latc, al, ga, k0, fe, fn, vb)
+    if isinstance(kind, tuple) and kind[0] == "krovak":
+        _, lon0, latc, al, lp, k0, fe, fn = kind
+        return krovak_inverse(x, y, lon0, latc, al, lp, k0, fe, fn)
     raise ValueError(f"unsupported CRS {crs}")
 
 
@@ -1367,6 +1486,10 @@ def _kind_from_4326(kind, lon, lat, crs="?"):
             _k, lonc, latc, al, ga, k0, fe, fn, vb = inner
             return omerc_forward(lon2, lat2, lonc, latc, al, ga, k0,
                                  fe, fn, vb, ellps=ellps)
+        if isinstance(inner, tuple) and inner[0] == "krovak":
+            _k, lon0, latc, al, lp, k0, fe, fn = inner
+            return krovak_forward(lon2, lat2, lon0, latc, al, lp, k0,
+                                  fe, fn, ellps=ellps)
         return _kind_from_4326(inner, lon2, lat2, crs)
     if isinstance(kind, tuple) and kind[0] == "grid":
         from .ntv2 import apply_gridshift
@@ -1425,6 +1548,9 @@ def _kind_from_4326(kind, lon, lat, crs="?"):
     if isinstance(kind, tuple) and kind[0] == "omerc":
         _, lonc, latc, al, ga, k0, fe, fn, vb = kind
         return omerc_forward(lon, lat, lonc, latc, al, ga, k0, fe, fn, vb)
+    if isinstance(kind, tuple) and kind[0] == "krovak":
+        _, lon0, latc, al, lp, k0, fe, fn = kind
+        return krovak_forward(lon, lat, lon0, latc, al, lp, k0, fe, fn)
     raise ValueError(f"unsupported CRS {crs}")
 
 
@@ -1691,6 +1817,11 @@ def format_proj4_kind(kind) -> str:
                 f"+alpha={al:.12g} +gamma={ga:.12g} +k_0={k0:.10g} "
                 f"+x_0={fe:.10g} +y_0={fn:.10g}{off} "
                 "+datum=WGS84 +units=m +no_defs")
+    if fam == "krovak":
+        _, lon0, latc, al, lp, k0, fe, fn = kind
+        return (f"+proj=krovak +lat_0={latc:.12g} +lon_0={lon0:.12g} "
+                f"+alpha={al:.12g} +k={k0:.10g} "
+                f"+x_0={fe:.10g} +y_0={fn:.10g} +datum=WGS84 +units=m +no_defs")
     if fam == "datum":
         _, inner, ellps, p = kind
         base = ("+proj=longlat" if inner == "geog"
@@ -1797,6 +1928,17 @@ def format_wkt1(crs: str) -> str:
                   f'PARAMETER["longitude_of_center",{lonc:.12g}],'
                   f'PARAMETER["azimuth",{al:.12g}],'
                   f'PARAMETER["rectified_grid_angle",{ga:.12g}],'
+                  f'PARAMETER["scale_factor",{k0:.10g}],'
+                  f'PARAMETER["false_easting",{fe:.10g}],'
+                  f'PARAMETER["false_northing",{fn:.10g}],UNIT["metre",1]]')
+    if fam == "krovak":
+        _, lon0, latc, al, lp, k0, fe, fn = kind
+        return ('PROJCS["unnamed",' + _WGS84_GEOGCS
+                + ',PROJECTION["Krovak"],'
+                  f'PARAMETER["latitude_of_center",{latc:.12g}],'
+                  f'PARAMETER["longitude_of_center",{lon0:.12g}],'
+                  f'PARAMETER["azimuth",{al:.12g}],'
+                  f'PARAMETER["pseudo_standard_parallel_1",{lp:.12g}],'
                   f'PARAMETER["scale_factor",{k0:.10g}],'
                   f'PARAMETER["false_easting",{fe:.10g}],'
                   f'PARAMETER["false_northing",{fn:.10g}],UNIT["metre",1]]')

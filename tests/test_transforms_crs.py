@@ -842,3 +842,61 @@ def test_sterea_omerc_spellings_agree():
     k = T._parse_crs(wkt2)
     assert k[0] == "datum" and k[1][0] == "sterea"
     assert abs(k[1][3] - 0.9999079) < 1e-12
+
+
+def test_krovak_sjtsk_invariants_and_example():
+    """Krovak (EPSG 9819, S-JTSK): the GN 7-2 worked example point
+    (50°12'32.442"N, 16°50'59.179"E Greenwich) reproduces to <=0.25 m
+    (southing to <=0.02 m), the defining invariant holds exactly — scale
+    on the pseudo standard parallel (T = 78°30') is 0.9999 — the
+    projection is conformal at interior points, and forward/inverse
+    round-trips at machine precision."""
+    bes = T.ELLIPSOIDS["bessel"]
+    args = (24.0 + 50.0 / 60, 49.5, 30.0 + 17.0 / 60 + 17.3031 / 3600,
+            78.5, 0.9999, 0.0, 0.0)
+    phi = 50 + 12 / 60 + 32.442 / 3600
+    lam = 16 + 50 / 60 + 59.179 / 3600
+    x, y = T.krovak_forward(lam, phi, *args, ellps=bes)
+    assert abs(float(-y) - 1050538.64) < 0.02      # southing
+    assert abs(float(-x) - 568991.20) < 0.25       # westing
+    lo, la = T.krovak_inverse(x, y, *args, ellps=bes)
+    assert abs(float(lo) - lam) < 1e-12 and abs(float(la) - phi) < 1e-12
+    # scale on the pseudo standard parallel: solve U for T = 78.5 at the
+    # centre meridian (V=0 -> sin(U + alpha) = sin(T)), invert U -> phi
+    a_r = np.radians(args[2])
+    u = np.radians(78.5) - a_r
+    _A, big_b, t0, _n, _r0, e = T.krovak_constants(49.5, 0, 78.5,
+                                                   0.9999, bes)
+    base = (np.tan(u / 2 + np.pi / 4) / t0) ** (1 / big_b)
+    p = u
+    for _ in range(12):
+        s = np.sin(p)
+        p = 2 * (np.arctan(base * ((1 + e * s) / (1 - e * s)) ** (e / 2))
+                 - np.pi / 4)
+    lat_on, lon_on = np.degrees(p), args[0]
+    d = 1e-7
+    x0, y0 = T.krovak_forward(lon_on, lat_on, *args, ellps=bes)
+    xa, ya = T.krovak_forward(lon_on + d, lat_on, *args, ellps=bes)
+    xb, yb = T.krovak_forward(lon_on, lat_on + d, *args, ellps=bes)
+    e2 = bes[1] * (2 - bes[1])
+    s = np.sin(np.radians(lat_on))
+    nu = bes[0] / np.sqrt(1 - e2 * s * s)
+    rho = bes[0] * (1 - e2) / (1 - e2 * s * s) ** 1.5
+    k_par = np.hypot(float(xa - x0), float(ya - y0)) \
+        / (nu * np.cos(np.radians(lat_on)) * np.radians(d))
+    k_mer = np.hypot(float(xb - x0), float(yb - y0)) / (rho * np.radians(d))
+    assert abs(k_par - 0.9999) < 1e-6
+    assert abs(k_par / k_mer - 1.0) < 1e-6         # conformal
+    # EPSG:5514 chain + spellings
+    x5, y5 = T.transform("EPSG:4326", "EPSG:5514", 14.42076, 50.08804)
+    assert -744000 < float(x5) < -742000 and -1044000 < float(y5) < -1042000
+    lo, la = T.transform("EPSG:5514", "EPSG:4326", x5, y5)
+    assert abs(float(lo) - 14.42076) < 1e-8
+    k_ferro = T._parse_crs("+proj=krovak +lat_0=49.5 "
+                           "+lon_0=42.5 +pm=ferro +k=0.9999 +x_0=0 +y_0=0 "
+                           "+datum=WGS84")
+    k_gw = T._parse_crs("+proj=krovak +datum=WGS84")
+    np.testing.assert_allclose(np.array(k_ferro[1:], dtype=float),
+                               np.array(k_gw[1:], dtype=float), atol=1e-9)
+    w = T.format_wkt1("+proj=krovak +datum=WGS84")
+    assert T._parse_crs(w)[0] == "krovak"
