@@ -7248,3 +7248,45 @@ def q_st_transform_krovak(spark, sf_dir):
         " ROUND(ST_Y(ST_Transform(ST_MakePoint(lonb, latb), 'EPSG:4326',"
         "  'EPSG:5514')), 4) AS y_r "
         "FROM t_kr_pts")
+
+
+@_reg("s57_roundtrip", f"""
+{_pts_cte()}
+SELECT doc_id,
+       ROUND(floor(lon * 10000000.0 + 0.5) / 10000000.0, 9) AS x_r,
+       ROUND(floor(lat * 10000000.0 + 0.5) / 10000000.0, 9) AS y_r
+FROM pts WHERE doc_id % 13 = 0
+""")
+def q_s57_roundtrip(spark, sf_dir):
+    """S-57 ENC driver round-trip (frmts/iso8211/ddfmodule.cpp +
+    ogr/ogrsf_frmts/s57/s57reader.cpp): every 13th page writes a VI node
+    + point feature into an ISO 8211 cell (24-byte leaders, directory
+    entries, binary S-57 subfields, COMF=1e7 int32 quantization) and
+    reads back through the byte-range distributed record parser; the
+    oracle recomputes the same 1e-7-quantized coordinates from the
+    source table."""
+    import os
+    import tempfile
+
+    from .sources.s57 import RCNM_VI, read_s57, write_s57
+
+    rows = (datagen.points(spark, sf_dir).where(F.col("doc_id") % 13 == 0)
+            .select("doc_id", "lon", "lat").orderBy("doc_id").collect())
+    path = os.path.join(tempfile.gettempdir(),
+                        f"gdal_spark_s57_{os.getpid()}.000")
+    q = 10000000.0
+
+    def qz(v):
+        import math
+        return math.floor(v * q + 0.5) / q
+
+    nodes = [(int(r.doc_id) + 1, "VI", [(qz(r.lon), qz(r.lat))])
+             for r in rows]
+    feats = [(int(r.doc_id) + 1, 1, 75, (540, int(r.doc_id), 1), {},
+              [(RCNM_VI, int(r.doc_id) + 1, 255, 255)]) for r in rows]
+    write_s57(path, nodes, [], feats)
+    df = read_s57(spark, path)
+    px, py = _pxy_udfs()
+    return df.select((F.col("fidn")).alias("doc_id"),
+                     F.round(px("wkb"), 9).alias("x_r"),
+                     F.round(py("wkb"), 9).alias("y_r"))
