@@ -7290,3 +7290,42 @@ def q_s57_roundtrip(spark, sf_dir):
     return df.select((F.col("fidn")).alias("doc_id"),
                      F.round(px("wkb"), 9).alias("x_r"),
                      F.round(py("wkb"), 9).alias("y_r"))
+
+
+@_reg("dgn_roundtrip", f"""
+{_pts_cte()}
+SELECT doc_id,
+       ROUND(floor(lon * 1000000.0 + 0.5) / 1000000.0, 9) AS x_r,
+       ROUND(floor(lat * 1000000.0 + 0.5) / 1000000.0, 9) AS y_r
+FROM pts WHERE doc_id % 17 = 0
+""")
+def q_dgn_roundtrip(spark, sf_dir):
+    """DGN v7 driver round-trip (ogr/ogrsf_frmts/dgn/dgnread.cpp +
+    cpl_vax.cpp): every 17th page writes a TEXT element (word-swapped
+    DGN_INT32 UORs at 1e-6 master-unit resolution, VAX D-float TCB
+    origin) into a design file and reads back through the byte-range
+    distributed element parser; the oracle recomputes the quantized
+    coordinates, and the text payload carries the doc_id for the join."""
+    import math
+    import os
+    import tempfile
+
+    from .sources.dgn import read_dgn, write_dgn
+
+    rows = (datagen.points(spark, sf_dir).where(F.col("doc_id") % 17 == 0)
+            .select("doc_id", "lon", "lat").orderBy("doc_id").collect())
+    path = os.path.join(tempfile.gettempdir(),
+                        f"gdal_spark_dgn_{os.getpid()}.dgn")
+    q = 1000000.0
+
+    def qz(v):
+        return math.floor(v * q + 0.5) / q
+
+    write_dgn(path, [("text", (qz(r.lon), qz(r.lat)), str(r.doc_id), 0.0)
+                     for r in rows],
+              uor_per_sub=1000, sub_per_master=1000)
+    df = read_dgn(spark, path)
+    px, py = _pxy_udfs()
+    return df.select(F.col("text").cast("long").alias("doc_id"),
+                     F.round(px("wkb"), 9).alias("x_r"),
+                     F.round(py("wkb"), 9).alias("y_r"))

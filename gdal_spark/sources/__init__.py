@@ -119,6 +119,9 @@ def open_vector(spark, path: str, **kwargs):
     if low.endswith(".000") or low.endswith(".s57"):
         from .s57 import read_s57
         return read_s57(spark, path)
+    if low.endswith(".dgn"):
+        from .dgn import read_dgn
+        return read_dgn(spark, path)
     if low.endswith(".gmt"):
         from .gmt import read_gmt
         return read_gmt(spark, path)
