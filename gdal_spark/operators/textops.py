@@ -1016,3 +1016,36 @@ def tfidf_topk(docs: DataFrame, k: int = 3) -> DataFrame:
             .where(F.col("rk") <= k)
             .select("doc_id", "term", "tf", "df_cnt",
                     F.round("tfidf", 6).alias("tfidf_r")))
+
+
+def ccnet_buckets(docs: DataFrame) -> DataFrame:
+    """CCNet head/middle/tail split (Wenzek et al. 2020 §4.3): per
+    language, documents are bucketed by LM perplexity terciles — the
+    cheapest-to-train third is 'head'. Thresholds are the ppl of the
+    rank-ceil(n/3) and rank-ceil(2n/3) documents (ties broken by
+    doc_id), computed once per language (a 3-row-per-language table)
+    and broadcast back, so the bucket assignment itself is map-only.
+    -> (doc_id, lang, ppl_r, bucket).
+
+    Scale note: the threshold pass ranks within language partitions
+    (CCNet computes the same cut from a per-shard histogram); at web
+    scale substitute sampled thresholds — the bucketing join is already
+    the broadcast/map-only shape that matters."""
+    from pyspark.sql import Window
+
+    sc = bigram_lm_scores(docs)
+    d = docs.select("doc_id", "lang").join(sc, "doc_id") \
+        .select("doc_id", "lang", "ppl_r")
+    win = Window.partitionBy("lang").orderBy("ppl_r", "doc_id")
+    ranked = d.withColumn("rk", F.row_number().over(win))
+    n = d.groupBy("lang").agg(F.count("*").alias("n"))
+    th = (ranked.join(n, "lang")
+          .where((F.col("rk") == F.ceil(F.col("n") / 3))
+                 | (F.col("rk") == F.ceil(2 * F.col("n") / 3)))
+          .groupBy("lang")
+          .agg(F.min("ppl_r").alias("t1"), F.max("ppl_r").alias("t2")))
+    bucket = (F.when(F.col("ppl_r") <= F.col("t1"), F.lit("head"))
+              .when(F.col("ppl_r") <= F.col("t2"), F.lit("middle"))
+              .otherwise(F.lit("tail")))
+    return (d.join(F.broadcast(th), "lang")
+            .select("doc_id", "lang", "ppl_r", bucket.alias("bucket")))

@@ -7329,3 +7329,45 @@ def q_dgn_roundtrip(spark, sf_dir):
     return df.select(F.col("text").cast("long").alias("doc_id"),
                      F.round(px("wkb"), 9).alias("x_r"),
                      F.round(py("wkb"), 9).alias("y_r"))
+
+
+@_reg("ccnet_buckets", """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+tok AS (SELECT doc_id, unnest(ws) AS a FROM d),
+uni AS (SELECT a, CAST(count(*) AS DOUBLE) AS n_a FROM tok GROUP BY a),
+v AS (SELECT CAST(count(*) AS DOUBLE) AS vocab FROM uni),
+pr AS (SELECT doc_id, ws[i] AS a, ws[i + 1] AS b
+       FROM d, unnest(generate_series(1, len(ws) - 1)) t(i)),
+bi AS (SELECT a, b, CAST(count(*) AS DOUBLE) AS n_ab
+       FROM pr GROUP BY a, b),
+sc AS (SELECT doc_id, ln((n_ab + 0.5) / (n_a + 0.5 * vocab)) AS logp
+       FROM pr JOIN bi USING (a, b) JOIN uni USING (a), v),
+pp AS (SELECT doc_id, ROUND(exp(-avg(logp)), 4) AS ppl_r
+       FROM sc GROUP BY doc_id),
+dl AS (SELECT documents.doc_id, lang, ppl_r
+       FROM documents JOIN pp ON documents.doc_id = pp.doc_id),
+rk AS (SELECT doc_id, lang, ppl_r,
+              row_number() OVER (PARTITION BY lang
+                                 ORDER BY ppl_r, doc_id) AS rk,
+              count(*) OVER (PARTITION BY lang) AS n
+       FROM dl),
+th AS (SELECT lang, min(ppl_r) AS t1, max(ppl_r) AS t2
+       FROM rk
+       WHERE rk = CAST(ceil(n / 3.0) AS BIGINT)
+          OR rk = CAST(ceil(2 * n / 3.0) AS BIGINT)
+       GROUP BY lang)
+SELECT doc_id, dl.lang, ppl_r,
+       CASE WHEN ppl_r <= t1 THEN 'head'
+            WHEN ppl_r <= t2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM dl JOIN th ON dl.lang = th.lang
+""")
+def q_ccnet_buckets(spark, sf_dir):
+    """CCNet head/middle/tail perplexity split (Wenzek et al. 2020
+    §4.3): per-language tercile thresholds of the bigram-LM perplexity
+    (rank-defined, tie-broken by doc_id — exactly reproducible), then a
+    broadcast-threshold map-only bucket assignment. The threshold table
+    is 3 rows per language; only it crosses the driver-side of the
+    plan."""
+    docs = _t(spark, sf_dir, "documents")
+    return textops.ccnet_buckets(docs)
