@@ -251,13 +251,14 @@ def save_vector(df, path: str, geom_col: str = "geom", **kwargs):
     if low.endswith(".shp"):
         from .shapefile import write_shapefile_df
         return write_shapefile_df(df, path[:-4], geom_col=geom_col)
-    if low.endswith((".fgb", ".gpkg")):
+    if low.endswith(".fgb"):
+        from .flatgeobuf import write_fgb_dist
+        return write_fgb_dist(df, path, geom_col=geom_col, **kwargs)
+    if low.endswith(".gpkg"):
+        # sqlite is single-writer; bounded extracts only
         attrs = [c for c in df.columns if c != geom_col]
         rows = [(bytes(r[geom_col]) if r[geom_col] is not None else None,
                  {a: r[a] for a in attrs}) for r in df.collect()]
-        if low.endswith(".fgb"):
-            from .flatgeobuf import write_fgb
-            return write_fgb(rows, path, **kwargs)
         from .gpkg import write_gpkg
         return write_gpkg(rows, path, **kwargs)
     raise ValueError(f"no sink recognizes {path!r}")
