@@ -93,20 +93,12 @@ def _parse_fields(rec: bytes) -> list[tuple[str, bytes]]:
     return out
 
 
-def _u8(b, o):
-    return b[o]
-
-
 def _u16(b, o):
     return struct.unpack_from("<H", b, o)[0]
 
 
 def _u32(b, o):
     return struct.unpack_from("<I", b, o)[0]
-
-
-def _i32(b, o):
-    return struct.unpack_from("<i", b, o)[0]
 
 
 def _name(b, o):
@@ -116,11 +108,9 @@ def _name(b, o):
 
 def _parse_record(rec: bytes) -> dict:
     """One DR -> {kind, ...} for the three record families."""
-    fields = dict()
-    order = []
+    fields: dict[str, list[bytes]] = {}
     for tag, body in _parse_fields(rec):
         fields.setdefault(tag, []).append(body)
-        order.append(tag)
     if "VRID" in fields:
         v = fields["VRID"][0]
         rcnm, rcid = v[0], _u32(v, 1)
