@@ -843,7 +843,11 @@ def krovak_forward(lon, lat, lon0: float, latc: float, alpha: float,
     t = np.arcsin(np.clip(np.cos(ac) * np.sin(u)
                           + np.sin(ac) * np.cos(u) * np.cos(v),
                           -1.0, 1.0))
-    d = np.arcsin(np.clip(np.cos(u) * np.sin(v) / np.cos(t), -1.0, 1.0))
+    # rotated longitude by full-quadrant atan2 (GN 7-2 prints the asin
+    # form, which folds beyond 90 degrees of the cone axis)
+    d = np.arctan2(np.cos(u) * np.sin(v),
+                   np.cos(ac) * np.cos(u) * np.cos(v)
+                   - np.sin(ac) * np.sin(u))
     theta = n * d
     r = r0 * np.tan(np.pi / 4 + lat_p * _D2R / 2) ** n \
         / np.tan(t / 2 + np.pi / 4) ** n
@@ -871,7 +875,9 @@ def krovak_inverse(x, y, lon0: float, latc: float, alpha: float,
     u = np.arcsin(np.clip(np.cos(ac) * np.sin(t)
                           - np.sin(ac) * np.cos(t) * np.cos(d),
                           -1.0, 1.0))
-    v = np.arcsin(np.clip(np.cos(t) * np.sin(d) / np.cos(u), -1.0, 1.0))
+    v = np.arctan2(np.cos(t) * np.sin(d),
+                   np.cos(ac) * np.cos(t) * np.cos(d)
+                   + np.sin(ac) * np.sin(t))
     lam = lon0 * _D2R - v / big_b
     base = (np.tan(u / 2 + np.pi / 4) / t0) ** (1.0 / big_b)
     phi = u

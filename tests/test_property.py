@@ -292,3 +292,46 @@ def test_mif_gmt_polygon_codecs_roundtrip(rings, mode):
         n_back = sum(len(r) for r in backr)
     np.testing.assert_array_equal(got0, rings[0])
     assert n_back == sum(len(r) for r in rings)
+
+
+@settings(max_examples=40, deadline=None)
+@given(lon=st.floats(-6.0, 20.0), lat=st.floats(40.0, 58.0))
+def test_oblique_crs_kernels_roundtrip(lon, lat):
+    """Forward/inverse round-trips of the round-4 CRS kernels (oblique
+    stereographic, Hotine omerc A/B incl. the Swiss alpha=90 case,
+    Krovak) over their service areas, on both WGS84 and Bessel."""
+    import numpy as np
+
+    from gdal_spark.raster import transforms as T
+    bes = T.ELLIPSOIDS["bessel"]
+    x, y = T.sterea_forward(lon, lat, 5.387639, 52.156161, 0.9999079,
+                            155000.0, 463000.0, ellps=bes)
+    lo, la = T.sterea_inverse(x, y, 5.387639, 52.156161, 0.9999079,
+                              155000.0, 463000.0, ellps=bes)
+    assert abs(float(lo) - lon) < 1e-9 and abs(float(la) - lat) < 1e-9
+    for vb in (True, False):
+        x, y = T.omerc_forward(lon, lat, 7.439583, 46.952406, 90.0, 90.0,
+                               1.0, 600000.0, 200000.0, vb, bes)
+        lo, la = T.omerc_inverse(x, y, 7.439583, 46.952406, 90.0, 90.0,
+                                 1.0, 600000.0, 200000.0, vb, bes)
+        assert abs(float(lo) - lon) < 1e-9 and abs(float(la) - lat) < 1e-9
+    x, y = T.krovak_forward(lon, lat, 24.833333, 49.5, 30.288139, 78.5,
+                            0.9999, 0.0, 0.0, ellps=bes)
+    lo, la = T.krovak_inverse(x, y, 24.833333, 49.5, 30.288139, 78.5,
+                              0.9999, 0.0, 0.0, ellps=bes)
+    assert abs(float(lo) - lon) < 1e-9 and abs(float(la) - lat) < 1e-9
+
+
+@settings(max_examples=60, deadline=None)
+@given(v=st.floats(min_value=-1e30, max_value=1e30,
+                   allow_nan=False, allow_infinity=False))
+def test_vax_double_codec_roundtrips_representable(v):
+    """IEEE doubles inside VAX D range (|v| >= ~2.9e-39) round-trip
+    exactly; magnitudes below the VAX exponent floor flush to zero
+    (the VAX has no subnormals)."""
+    from gdal_spark.sources import dgn as D
+    got = D.vax_to_double(D.double_to_vax(v))
+    if v == 0.0 or abs(v) >= 1e-38:
+        assert got == v
+    else:
+        assert got in (v, 0.0)
