@@ -7288,8 +7288,8 @@ def q_s57_roundtrip(spark, sf_dir):
     df = read_s57(spark, path)
     px, py = _pxy_udfs()
     return df.select((F.col("fidn")).alias("doc_id"),
-                     F.round(px("wkb"), 9).alias("x_r"),
-                     F.round(py("wkb"), 9).alias("y_r"))
+                     F.round(px("geom"), 9).alias("x_r"),
+                     F.round(py("geom"), 9).alias("y_r"))
 
 
 @_reg("dgn_roundtrip", f"""
@@ -7327,8 +7327,8 @@ def q_dgn_roundtrip(spark, sf_dir):
     df = read_dgn(spark, path)
     px, py = _pxy_udfs()
     return df.select(F.col("text").cast("long").alias("doc_id"),
-                     F.round(px("wkb"), 9).alias("x_r"),
-                     F.round(py("wkb"), 9).alias("y_r"))
+                     F.round(px("geom"), 9).alias("x_r"),
+                     F.round(py("geom"), 9).alias("y_r"))
 
 
 @_reg("ccnet_buckets", """

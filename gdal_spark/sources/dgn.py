@@ -179,7 +179,7 @@ _SCHEMA = T.StructType([
     T.StructField("style", T.IntegerType()),
     T.StructField("text", T.StringType()),
     T.StructField("rotation", T.DoubleType()),
-    T.StructField("wkb", T.BinaryType()),
+    T.StructField("geom", T.BinaryType()),
 ])
 
 

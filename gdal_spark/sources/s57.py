@@ -255,14 +255,14 @@ _GEOM_SCHEMA = T.StructType([
     T.StructField("fidn", T.LongType()),
     T.StructField("fids", T.IntegerType()),
     T.StructField("attrs", T.MapType(T.IntegerType(), T.StringType())),
-    T.StructField("wkb", T.BinaryType()),
+    T.StructField("geom", T.BinaryType()),
     T.StructField("depths", T.ArrayType(T.DoubleType())),
 ])
 
 
 def read_s57(spark: SparkSession, path: str) -> DataFrame:
     """S-57 cell -> feature DataFrame (rcid, objl, prim, fid triple,
-    attrs, wkb). Points resolve their VI/VC node (SG3D soundings become
+    attrs, geom). Points resolve their VI/VC node (SG3D soundings become
     multipoint); lines/areas assemble edges through the distributed node
     join; ORNT=2 reverses an edge, USAG=2 opens interior rings."""
     feats, vecs, comf, somf = parse_s57(spark, path)

@@ -403,3 +403,30 @@ def test_proximity_nearblack_pansharpen_clis(spark, tmp_path):
                      "-tile", "16"]) == 0
     sh = tiles_to_raster(read_aaigrid(spark, dst3, tile=16), tile=16)
     np.testing.assert_allclose(sh[:16, :16], 80.0)
+
+
+def test_cli_ogr2ogr_converts_s57_and_dgn(spark, tmp_path):
+    """ogr2ogr front door over the round-4 sources: S-57 cell and DGN
+    design file convert to GeoJSONSeq through the CLI dispatch."""
+    from gdal_spark.cli import main
+    from gdal_spark.sources import open_vector
+    from gdal_spark.sources import dgn as D
+    from gdal_spark.sources import s57 as S
+
+    cell = str(tmp_path / "cell.000")
+    S.write_s57(cell,
+                [(1, "VI", [(4.5, 52.5)]), (2, "VI", [(4.6, 52.6)])],
+                [],
+                [(100, 1, 75, (540, 1, 1), {}, [(S.RCNM_VI, 1, 255, 255)]),
+                 (101, 1, 75, (540, 2, 1), {}, [(S.RCNM_VI, 2, 255, 255)])])
+    out = str(tmp_path / "cell.geojsonl")
+    assert main(["ogr2ogr", out, cell]) == 0
+    assert open_vector(spark, out).count() == 2
+
+    dsn = str(tmp_path / "plan.dgn")
+    D.write_dgn(dsn, [("line", [(0.0, 0.0), (1.0, 1.0)]),
+                      ("shape", [(0.0, 0.0), (2.0, 0.0), (2.0, 2.0),
+                                 (0.0, 0.0)])])
+    out2 = str(tmp_path / "plan.geojsonl")
+    assert main(["ogr2ogr", out2, dsn]) == 0
+    assert open_vector(spark, out2).count() == 2

@@ -55,20 +55,20 @@ def test_read_dgn_features(design, spark):
     df = D.read_dgn(spark, design)
     rows = sorted(df.collect(), key=lambda r: r.etype)
     assert [r.etype for r in rows] == [3, 4, 6, 17]
-    line = W.decode(rows[0].wkb)
+    line = W.decode(rows[0].geom)
     np.testing.assert_allclose(line.rings[0], [[1.5, 2.5], [3.5, 4.5]],
                                atol=1e-9)
-    ls = W.decode(rows[1].wkb)
+    ls = W.decode(rows[1].geom)
     np.testing.assert_allclose(ls.rings[0],
                                [[0, 0], [1, 0.5], [2, 0]], atol=1e-9)
-    shp = W.decode(rows[2].wkb)
+    shp = W.decode(rows[2].geom)
     assert shp.gtype == W.POLYGON
     ring = shp.rings[0]
     assert np.allclose(ring[0], ring[-1]) and len(ring) == 5
     txt = rows[3]
     assert txt.text == "Hello DGN"
     assert txt.rotation == pytest.approx(45.0)
-    np.testing.assert_allclose(W.decode(txt.wkb).rings[0],
+    np.testing.assert_allclose(W.decode(txt.geom).rings[0],
                                [[9.25, -2.5]], atol=1e-9)
 
 

@@ -66,10 +66,10 @@ def test_point_and_soundings(cell, spark):
     light = rows[100]
     assert (light.objl, light.prim) == (75, 1)
     assert light.attrs == {113: "white"}
-    g = W.decode(light.wkb)
+    g = W.decode(light.geom)
     np.testing.assert_allclose(g.rings[0], [[4.5, 52.5]], atol=1e-7)
     snd = rows[101]
-    g = W.decode(snd.wkb)
+    g = W.decode(snd.geom)
     pts = g.points()
     np.testing.assert_allclose(
         pts, [[4.1, 52.1], [4.2, 52.2], [4.3, 52.3]], atol=1e-7)
@@ -80,7 +80,7 @@ def test_point_and_soundings(cell, spark):
 def test_line_assembly_with_reversal(cell, spark):
     df = S.read_s57(spark, cell)
     line = [r for r in df.collect() if r.rcid == 102][0]
-    g = W.decode(line.wkb)
+    g = W.decode(line.geom)
     # edge 24 fwd: 10 -> (4.5,52.4) -> 12; edge 20 reversed: 11 -> sag
     # reversed -> 10; shared node 12/... no shared endpoint between the
     # two edges' junction here, so the chain concatenates:
@@ -95,7 +95,7 @@ def test_area_ring_closes(cell, spark):
     df = S.read_s57(spark, cell)
     area = [r for r in df.collect() if r.rcid == 103][0]
     assert area.attrs == {87: "2"}
-    g = W.decode(area.wkb)
+    g = W.decode(area.geom)
     ring = g.rings[0]
     assert np.allclose(ring[0], ring[-1])
     # shoelace area: unit square minus nothing, plus the south sag
@@ -111,5 +111,5 @@ def test_comf_precision_roundtrip(cell, spark):
     # int32 * 1e-7 deg quantization: written coords survive exactly
     df = S.read_s57(spark, cell)
     light = [r for r in df.collect() if r.rcid == 100][0]
-    g = W.decode(light.wkb)
+    g = W.decode(light.geom)
     assert g.rings[0][0, 0] == pytest.approx(4.5, abs=5e-8)

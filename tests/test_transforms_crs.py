@@ -900,3 +900,31 @@ def test_krovak_sjtsk_invariants_and_example():
                                np.array(k_gw[1:], dtype=float), atol=1e-9)
     w = T.format_wkt1("+proj=krovak +datum=WGS84")
     assert T._parse_crs(w)[0] == "krovak"
+
+
+def test_warp_through_rd_new_matches_single_array_oracle(spark):
+    """Distributed warp 4326 -> EPSG:28992 (oblique stereographic behind
+    the Amersfoort Helmert) == one-shot numpy warp on the same mesh —
+    the full CT chain wired through the warp path for the round-4
+    oblique family."""
+    TILE = 16
+    h, w = 2 * TILE, 2 * TILE
+    yv, xv = np.mgrid[0:h, 0:w]
+    arr = np.cos(yv / 7.0) * 15 + xv * 2.0 + 40.0
+    src = GridSpec(x0=3.2, y0=53.6, dx=(7.2 - 3.2) / w, dy=-2.9 / h,
+                   width=w, height=h, tile=TILE)   # NL box
+    dst = GridSpec(x0=10000.0, y0=620000.0, dx=(280000.0 - 10000.0) / w,
+                   dy=-320000.0 / h, width=w, height=h, tile=TILE)
+    df = tiles.raster_to_tiles(spark, arr, tile=TILE)
+    spec = warp.WarpSpec(src, "EPSG:4326", dst, "EPSG:28992",
+                         resample="bilinear", fill=-1.0)
+    got = tiles.tiles_to_raster(warp.warp(df, spec), tile=TILE)
+    jj, ii = np.meshgrid(np.arange(w), np.arange(h))
+    dwx = dst.x0 + (jj + 0.5) * dst.dx
+    dwy = dst.y0 + (ii + 0.5) * dst.dy
+    swx, swy = T.transform("EPSG:28992", "EPSG:4326", dwx, dwy)
+    sx = (swx - src.x0) / src.dx
+    sy = (swy - src.y0) / src.dy
+    want = warp._sample_point(arr, np.ones_like(arr, dtype=bool), 0, 0,
+                              sx, sy, "bilinear", -1.0, use_mask=False)
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
