@@ -20,11 +20,16 @@ FindRecord node/edge lookups become joins:
                        JOIN nodes twice        <- FetchPoint(RCNM_VC, ...)
                        groupBy feature, reassemble rings per ORNT/USAG
 
-Simplifications vs the reference (documented): area rings are assembled
-by walking FSPT order and closing on coordinate closure rather than the
-full OGRBuildPolygonFromEdges polygonizer — standard cells emit FSPT in
-ring order; update records (RUIN/RVER merge of .001+ files) are not
-applied.
+Update cells (.001+) ARE applied — sibling files parse like the base
+cell and resolve through one distributed group fold per (RCNM, RCID)
+with the reference's semantics (RUIN insert/delete/modify, strict
+RVER+1 check, ATTF merges, SGCC coordinate and FSPC pointer splices;
+s57reader.cpp:2645-3300). Simplifications vs the reference
+(documented): area rings are assembled by walking FSPT order and
+closing on coordinate closure rather than the full
+OGRBuildPolygonFromEdges polygonizer — standard cells emit FSPT in
+ring order; VRPC (edge end-node pointer) splices degrade to
+whole-record VRPT replacement.
 """
 
 from __future__ import annotations
@@ -114,6 +119,7 @@ def _parse_record(rec: bytes) -> dict:
     if "VRID" in fields:
         v = fields["VRID"][0]
         rcnm, rcid = v[0], _u32(v, 1)
+        rver, ruin = _u16(v, 5), v[7]
         xs: list[float] = []
         ys: list[float] = []
         zs: list[float] = []
@@ -130,13 +136,20 @@ def _parse_record(rec: bytes) -> dict:
         for body in fields.get("VRPT", []):
             for o in range(0, len(body) // 9 * 9, 9):
                 nodes.append(_name(body, o)[1])
+        sgcc = None
+        if "SGCC" in fields:
+            c = fields["SGCC"][0]
+            sgcc = (c[0], _u16(c, 1), _u16(c, 3))
         return {"kind": "vec", "rcnm": int(rcnm), "rcid": int(rcid),
-                "xs": xs, "ys": ys, "zs": zs, "nodes": nodes}
+                "rver": int(rver), "ruin": int(ruin),
+                "xs": xs, "ys": ys, "zs": zs, "nodes": nodes,
+                "sgcc": sgcc}
     if "FRID" in fields:
         fr = fields["FRID"][0]
         rcid = _u32(fr, 1)
         prim, grup = fr[5], fr[6]
         objl = _u16(fr, 7)
+        rver, ruin = _u16(fr, 9), fr[11]
         agen = fidn = fids = 0
         if "FOID" in fields:
             fo = fields["FOID"][0]
@@ -157,16 +170,99 @@ def _parse_record(rec: bytes) -> dict:
                 rcnm, rcid2 = _name(body, o)
                 fspt.append((int(rcnm), int(rcid2),
                              int(body[o + 5]), int(body[o + 6])))
+        fspc = None
+        if "FSPC" in fields:
+            c = fields["FSPC"][0]
+            fspc = (c[0], _u16(c, 1), _u16(c, 3))
         return {"kind": "feat", "rcid": int(rcid), "prim": int(prim),
                 "grup": int(grup), "objl": int(objl), "agen": int(agen),
                 "fidn": int(fidn), "fids": int(fids), "attrs": attrs,
-                "fspt": fspt}
+                "fspt": fspt, "rver": int(rver), "ruin": int(ruin),
+                "fspc": fspc}
     if "DSPM" in fields:
         # RCNM(1) RCID(4) HDAT(1) VDAT(1) SDAT(1) CSCL(4) DUNI(1)
         # HUNI(1) PUNI(1) COUN(1) COMF(4) SOMF(4)
         d = fields["DSPM"][0]
         return {"kind": "dspm", "comf": _u32(d, 16), "somf": _u32(d, 20)}
     return {"kind": "other"}
+
+
+# ---------------------------------------------------------------------------
+# update application (ENC .001+ cells; s57reader.cpp ApplyRecordUpdate /
+# ApplyUpdates: RUIN 1=insert 2=delete 3=modify with strict RVER+1 check;
+# modify applies ATTF attribute merges, SGCC coordinate splices and FSPC
+# pointer splices at 1-based indices)
+# ---------------------------------------------------------------------------
+
+def _splice(lst: list, ui: int, ix: int, nc: int, new: list) -> list:
+    """Apply one CCUI/FSUI-style splice: 1=insert before index ix,
+    2=delete nc at ix, 3=replace nc starting at ix (all 1-based)."""
+    i = max(0, ix - 1)
+    if ui == 1:
+        return lst[:i] + new + lst[i:]
+    if ui == 2:
+        return lst[:i] + lst[i + nc:]
+    return lst[:i] + new + lst[i + nc:]
+
+
+def fold_updates(chain: list[dict]) -> dict | None:
+    """Fold a base record + its update records (ascending cell order)
+    into the final record, reference RUIN/RVER semantics; returns None
+    for a deleted record. A modify whose RVER is not current+1 is
+    skipped (the reference logs and refuses the update)."""
+    cur: dict | None = None
+    for r in chain:
+        ruin = r.get("ruin", 1)
+        if cur is None or ruin == 1:
+            cur = dict(r) if ruin != 2 else None
+            continue
+        if ruin == 2:
+            cur = None
+            continue
+        if r.get("rver", 0) != cur.get("rver", 0) + 1:
+            continue
+        cur = dict(cur)
+        cur["rver"] = r["rver"]
+        if r.get("attrs"):
+            a = dict(cur.get("attrs") or {})
+            a.update(r["attrs"])
+            cur["attrs"] = a
+        if r.get("sgcc") is not None:
+            ui, ix, nc = r["sgcc"]
+            pts_new = list(zip(r.get("xs", []), r.get("ys", [])))
+            pts = _splice(list(zip(cur.get("xs", []), cur.get("ys", []))),
+                          ui, ix, nc, pts_new)
+            cur["xs"] = [p[0] for p in pts]
+            cur["ys"] = [p[1] for p in pts]
+        elif r.get("xs"):
+            cur["xs"], cur["ys"] = list(r["xs"]), list(r["ys"])
+            if r.get("zs"):
+                cur["zs"] = list(r["zs"])
+        if r.get("fspc") is not None:
+            ui, ix, nc = r["fspc"]
+            cur["fspt"] = _splice(list(cur.get("fspt") or []), ui, ix, nc,
+                                  list(r.get("fspt") or []))
+        elif r.get("fspt"):
+            cur["fspt"] = list(r["fspt"])
+        if r.get("nodes"):
+            cur["nodes"] = list(r["nodes"])
+    return cur
+
+
+def update_paths(path: str) -> list[str]:
+    """base.000 -> [base.000, base.001, ...] in application order."""
+    import os
+    import re
+
+    base, ext = os.path.splitext(path)
+    if not re.fullmatch(r"\.\d{3}", ext):
+        return [path]
+    out = [path]
+    n = int(ext[1:]) + 1
+    while os.path.exists(f"{base}.{n:03d}"):
+        out.append(f"{base}.{n:03d}")
+        n += 1
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -197,54 +293,89 @@ _FEAT_SCHEMA = T.StructType([
 ])
 
 
-def parse_s57(spark: SparkSession, path: str):
+def parse_s57(spark: SparkSession, path: str, apply_updates: bool = True):
     """-> (features, vectors) DataFrames + (comf, somf). The driver reads
-    only the record table of contents; parsing fans out by byte range."""
-    toc = scan_record_table(path)
-    # COMF/SOMF live in the single DSPM record — find it cheaply up front
+    only each cell's record table of contents; parsing fans out by byte
+    range. With apply_updates, sibling .001+ update cells are parsed the
+    same way and resolved DISTRIBUTEDLY: records shuffle once on their
+    (RCNM, RCID) key and each group folds its base + update chain with
+    the reference's RUIN/RVER semantics (fold_updates) — the driver
+    never sees a record."""
+    import json
+
+    paths = update_paths(path) if apply_updates else [path]
     comf, somf = 10 ** 7, 10
-    with open(path, "rb") as f:
-        for off, ln in toc[:8]:
+    with open(paths[0], "rb") as f:
+        for off, ln in scan_record_table(paths[0])[:8]:
             f.seek(off)
             r = _parse_record(f.read(ln))
             if r["kind"] == "dspm":
                 comf, somf = max(1, r["comf"]), max(1, r["somf"])
                 break
-    rows = [(off, ln) for off, ln in toc[1:]]
-    rdf = spark.createDataFrame(rows, "off long, ln int") \
+    rows = [(ui, off, ln)
+            for ui, pth in enumerate(paths)
+            for off, ln in scan_record_table(pth)[1:]]
+    rdf = spark.createDataFrame(rows, "upd int, off long, ln int") \
         .repartition(max(1, min(32, len(rows) // 64 + 1)))
 
-    def run(kind, schema):
+    raw_schema = T.StructType([
+        T.StructField("rcnm", T.IntegerType()),
+        T.StructField("rcid", T.LongType()),
+        T.StructField("upd", T.IntegerType()),
+        T.StructField("blob", T.StringType()),
+    ])
+
+    def parse_kind(kind):
         def gen(batches):
             for pdf in batches:
                 out = []
-                with open(path, "rb") as f:
-                    for off, ln in zip(pdf["off"], pdf["ln"]):
-                        f.seek(int(off))
-                        r = _parse_record(f.read(int(ln)))
-                        if r["kind"] != kind:
-                            continue
-                        if kind == "vec":
-                            ns = r["nodes"]
-                            out.append((r["rcnm"], r["rcid"],
-                                        [x / comf for x in r["xs"]],
-                                        [y / comf for y in r["ys"]],
-                                        [z / somf for z in r["zs"]],
-                                        ns[0] if ns else -1,
-                                        ns[1] if len(ns) > 1 else -1))
-                        else:
-                            sp = r["fspt"]
-                            out.append((r["rcid"], r["prim"], r["objl"],
-                                        r["agen"], r["fidn"], r["fids"],
-                                        r["attrs"],
-                                        [s[0] for s in sp],
-                                        [s[1] for s in sp],
-                                        [s[2] for s in sp],
-                                        [s[3] for s in sp]))
-                yield pd.DataFrame(out, columns=[f.name for f in schema])
-        return rdf.mapInPandas(gen, schema)
+                handles = {}
+                for ui, off, ln in zip(pdf["upd"], pdf["off"], pdf["ln"]):
+                    ui = int(ui)
+                    if ui not in handles:
+                        handles[ui] = open(paths[ui], "rb")
+                    f = handles[ui]
+                    f.seek(int(off))
+                    r = _parse_record(f.read(int(ln)))
+                    if r["kind"] != kind:
+                        continue
+                    out.append((r.get("rcnm", RCNM_FE), r["rcid"], ui,
+                                json.dumps(r)))
+                for f in handles.values():
+                    f.close()
+                yield pd.DataFrame(
+                    out, columns=["rcnm", "rcid", "upd", "blob"])
+        return rdf.mapInPandas(gen, raw_schema)
 
-    return run("feat", _FEAT_SCHEMA), run("vec", _VEC_SCHEMA), comf, somf
+    def resolve(df, kind, schema):
+        def fold(key, pdf):
+            chain = [json.loads(b) for b in
+                     pdf.sort_values("upd")["blob"]]
+            r = fold_updates(chain)
+            if r is None:
+                return pd.DataFrame(columns=[f.name for f in schema])
+            if kind == "vec":
+                ns = r.get("nodes") or []
+                row = (r["rcnm"], r["rcid"],
+                       [x / comf for x in r.get("xs", [])],
+                       [y / comf for y in r.get("ys", [])],
+                       [z / somf for z in r.get("zs", [])],
+                       ns[0] if ns else -1,
+                       ns[1] if len(ns) > 1 else -1)
+            else:
+                sp = [tuple(t) for t in (r.get("fspt") or [])]
+                attrs = {int(k): v
+                         for k, v in (r.get("attrs") or {}).items()}
+                row = (r["rcid"], r["prim"], r["objl"], r["agen"],
+                       r["fidn"], r["fids"], attrs,
+                       [t[0] for t in sp], [t[1] for t in sp],
+                       [t[2] for t in sp], [t[3] for t in sp])
+            return pd.DataFrame([row], columns=[f.name for f in schema])
+        return df.groupBy("rcnm", "rcid").applyInPandas(fold, schema)
+
+    feats = resolve(parse_kind("feat"), "feat", _FEAT_SCHEMA)
+    vecs = resolve(parse_kind("vec"), "vec", _VEC_SCHEMA)
+    return feats, vecs, comf, somf
 
 
 _GEOM_SCHEMA = T.StructType([
@@ -473,6 +604,64 @@ def write_s57(path: str, nodes, edges, features,
             ents.append(("FSPT", b"".join(
                 _nm(rn, rc) + bytes([o, u, 255])
                 for rn, rc, o, u in fspt)))
+        recs.append(_record(ents, b"D"))
+        rid += 1
+    with open(path, "wb") as f:
+        f.write(b"".join(recs))
+
+
+def write_s57_update(path: str, vec_updates=(), feat_updates=(),
+                     comf: int = 10 ** 7, somf: int = 10) -> None:
+    """Fixture encoder for an ENC update cell (.001+).
+    vec_updates: dicts {rcnm:'VI'|'VC'|'VE', rcid, rver, ruin,
+                        pts: [(x,y)]?, sgcc: (ui, ix, nc)?,
+                        nodes: (n0, n1)?}
+    feat_updates: dicts {rcid, rver, ruin, prim?, objl?, foid?,
+                         attrs?, fspt: [(rcnm,rcid,ornt,usag)]?,
+                         fspc: (ui, ix, nc)?}"""
+    kinds = {"VI": RCNM_VI, "VC": RCNM_VC, "VE": RCNM_VE}
+    recs = [_ddr()]
+    rid = 1
+
+    def sc(v):
+        return int(round(v * comf))
+
+    for u in vec_updates:
+        vrid = (bytes([kinds[u["rcnm"]]])
+                + struct.pack("<IH", u["rcid"], u.get("rver", 1))
+                + bytes([u.get("ruin", 3)]))
+        ents = [("0001", struct.pack("<I", rid)), ("VRID", vrid)]
+        if u.get("sgcc") is not None:
+            ui, ix, nc = u["sgcc"]
+            ents.append(("SGCC", bytes([ui]) + struct.pack("<HH", ix, nc)))
+        if u.get("nodes") is not None:
+            n0, n1 = u["nodes"]
+            ents.append(("VRPT", _nm(RCNM_VC, n0) + bytes([1, 1, 1, 255])
+                         + _nm(RCNM_VC, n1) + bytes([1, 1, 2, 255])))
+        if u.get("pts"):
+            ents.append(("SG2D", b"".join(
+                struct.pack("<ii", sc(y), sc(x)) for x, y in u["pts"])))
+        recs.append(_record(ents, b"D"))
+        rid += 1
+    for u in feat_updates:
+        frid = (bytes([RCNM_FE]) + struct.pack("<I", u["rcid"])
+                + bytes([u.get("prim", 1), 1])
+                + struct.pack("<HH", u.get("objl", 0), u.get("rver", 1))
+                + bytes([u.get("ruin", 3)]))
+        ents = [("0001", struct.pack("<I", rid)), ("FRID", frid)]
+        if u.get("foid") is not None:
+            ents.append(("FOID", struct.pack("<HIH", *u["foid"])))
+        if u.get("attrs"):
+            ents.append(("ATTF", b"".join(
+                struct.pack("<H", k) + v.encode("latin-1") + UT
+                for k, v in sorted(u["attrs"].items()))))
+        if u.get("fspc") is not None:
+            ui, ix, nc = u["fspc"]
+            ents.append(("FSPC", bytes([ui]) + struct.pack("<HH", ix, nc)))
+        if u.get("fspt"):
+            ents.append(("FSPT", b"".join(
+                _nm(rn, rc) + bytes([o, g, 255])
+                for rn, rc, o, g in u["fspt"])))
         recs.append(_record(ents, b"D"))
         rid += 1
     with open(path, "wb") as f:

@@ -113,3 +113,76 @@ def test_comf_precision_roundtrip(cell, spark):
     light = [r for r in df.collect() if r.rcid == 100][0]
     g = W.decode(light.geom)
     assert g.rings[0][0, 0] == pytest.approx(4.5, abs=5e-8)
+
+
+def test_update_cells_apply(cell, spark, tmp_path):
+    """ENC .001 update application (s57reader.cpp ApplyUpdates /
+    ApplyRecordUpdate): RUIN insert/delete/modify with the strict RVER+1
+    check, ATTF attribute merge, and SGCC coordinate splices — resolved
+    through the distributed (RCNM, RCID) group fold."""
+    import shutil
+
+    base = str(tmp_path / "chart.000")
+    shutil.copyfile(cell, base)
+    upd = str(tmp_path / "chart.001")
+    S.write_s57_update(
+        upd,
+        vec_updates=[
+            # move the lighthouse node (modify, whole-SG2D replace)
+            {"rcnm": "VI", "rcid": 1, "rver": 2, "ruin": 3,
+             "pts": [(4.75, 52.75)]},
+            # splice: REPLACE the 2 sag vertices of edge 20 with one
+            {"rcnm": "VE", "rcid": 20, "rver": 2, "ruin": 3,
+             "sgcc": (3, 1, 2), "pts": [(4.5, 51.8)]},
+        ],
+        feat_updates=[
+            # delete the soundings feature
+            {"rcid": 101, "rver": 2, "ruin": 2},
+            # merge an attribute into the DEPARE area
+            {"rcid": 103, "rver": 2, "ruin": 3, "attrs": {87: "5",
+                                                          90: "x"}},
+            # stale RVER (should be current+1=2, sends 4): REFUSED
+            {"rcid": 100, "rver": 4, "ruin": 3, "attrs": {113: "red"}},
+            # brand-new point feature on the moved node
+            {"rcid": 200, "rver": 1, "ruin": 1, "prim": 1, "objl": 75,
+             "foid": (540, 9001, 1),
+             "fspt": [(S.RCNM_VI, 1, 255, 255)]},
+        ])
+    df = S.read_s57(spark, base)
+    rows = {r.rcid: r for r in df.collect()}
+    assert set(rows) == {100, 102, 103, 200}      # 101 deleted, 200 added
+    # lighthouse (100) unchanged attrs (stale update refused), new coords
+    assert rows[100].attrs == {113: "white"}
+    np.testing.assert_allclose(W.decode(rows[100].geom).rings[0],
+                               [[4.75, 52.75]], atol=1e-7)
+    # new feature rides the same (moved) node
+    np.testing.assert_allclose(W.decode(rows[200].geom).rings[0],
+                               [[4.75, 52.75]], atol=1e-7)
+    # area attrs merged (87 overwritten, 90 added)
+    assert rows[103].attrs == {87: "5", 90: "x"}
+    # the spliced edge: line 102 = edge 24 fwd + edge 20 REVERSED, whose
+    # sag is now the single vertex (4.5, 51.8)
+    g = W.decode(rows[102].geom)
+    got = np.vstack(g.rings if g.rings else [p.rings[0] for p in g.parts])
+    want = [[4.0, 52.0], [4.5, 52.4], [5.0, 53.0],
+            [5.0, 52.0], [4.5, 51.8], [4.0, 52.0]]
+    np.testing.assert_allclose(got, want, atol=1e-7)
+
+
+def test_fold_updates_unit():
+    """fold_updates is a pure function: exercises insert-after-delete
+    and splice insert/delete paths without Spark."""
+    base = {"rcid": 1, "rver": 1, "ruin": 1,
+            "xs": [1.0, 2.0, 3.0], "ys": [9.0, 8.0, 7.0]}
+    dele = {"rcid": 1, "rver": 2, "ruin": 2}
+    re_ins = {"rcid": 1, "rver": 1, "ruin": 1, "xs": [5.0], "ys": [5.0]}
+    assert S.fold_updates([base, dele]) is None
+    assert S.fold_updates([base, dele, re_ins])["xs"] == [5.0]
+    ins = {"rcid": 1, "rver": 2, "ruin": 3, "sgcc": (1, 2, 0),
+           "xs": [1.5], "ys": [8.5]}
+    out = S.fold_updates([base, ins])
+    assert out["xs"] == [1.0, 1.5, 2.0, 3.0]
+    assert out["ys"] == [9.0, 8.5, 8.0, 7.0]
+    rm = {"rcid": 1, "rver": 3, "ruin": 3, "sgcc": (2, 1, 2)}
+    out = S.fold_updates([base, ins, rm])
+    assert out["xs"] == [2.0, 3.0]
