@@ -451,3 +451,31 @@ def doc_audio(spark: SparkSession, sf_dir: str,
                                                      dtype="object")})
 
     return d.mapInPandas(gen, schema="doc_id long, payload binary")
+
+
+def doc_mp4s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, payload) — real ISO-BMFF MP4 (ftyp/mdat/moov) of
+    3 + doc_id%4 PNG frames at 10 fps, frame pixels
+    (doc_id*7 + 11*f + 13*x + 31*y) % 256 at 8x8 gray."""
+    import pandas as pd
+
+    d = documents(spark, sf_dir).select("doc_id")
+
+    def gen(batches):
+        from .operators.multimodal import write_mp4
+        from .sources.png import encode_png
+        y, x = np.mgrid[0:VID_H, 0:VID_W]
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 3 + did % 4
+                frames = [encode_png(((did * 7 + 11 * f + 13 * x + 31 * y)
+                                      % 256).astype(np.uint8))
+                          for f in range(n)]
+                payloads.append(write_mp4(frames, fps=10,
+                                          width=VID_W, height=VID_H))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"),
+                                "payload": payloads})
+
+    return d.mapInPandas(gen, "doc_id long, payload binary")

@@ -523,3 +523,224 @@ def audio_window_energy(df: DataFrame, payload_col: str = "payload",
                                               "energy"])
 
     return df.select(key_col, payload_col).mapInPandas(gen, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# ISO-BMFF (MP4) video metadata + byte-range frame sampling
+# (ISO/IEC 14496-12 box structure; the reference exposes the same
+#  metadata surface through its frmts/ sidecars. Parsing and the
+#  stsz/stco byte-range frame extraction are REAL; only the per-frame
+#  payload codec is the engine's PNG stand-in — no ffmpeg in any
+#  container this runs in.)
+# ---------------------------------------------------------------------------
+
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+
+def _walk_boxes(b: bytes, start: int, end: int):
+    """Yield (type, payload_start, payload_end) for the box sequence in
+    [start, end); recursion is the caller's choice via _MP4_CONTAINERS."""
+    o = start
+    while o + 8 <= end:
+        (size,) = struct.unpack_from(">I", b, o)
+        btype = b[o + 4:o + 8]
+        if size == 1:                       # 64-bit largesize
+            (size,) = struct.unpack_from(">Q", b, o + 8)
+            yield btype, o + 16, o + size
+        elif size == 0:                     # to end of file
+            yield btype, o + 8, end
+            size = end - o
+        else:
+            yield btype, o + 8, o + size
+        if size < 8:
+            break
+        o += size
+
+
+def parse_mp4(b: bytes) -> dict:
+    """Minimal ISO-BMFF reader: mvhd movie timescale/duration plus one
+    entry per track (tkhd id + 16.16 fixed width/height, mdhd timescale/
+    duration, hdlr handler, stsz sample sizes, stco chunk offsets,
+    stsc samples-per-chunk)."""
+    out: dict = {"timescale": 0, "duration": 0, "tracks": []}
+
+    def walk(start, end, depth=0):
+        for btype, ps, pe in _walk_boxes(b, start, end):
+            if btype == b"mvhd":
+                ver = b[ps]
+                if ver == 1:
+                    out["timescale"], out["duration"] = struct.unpack_from(
+                        ">IQ", b, ps + 4 + 16)
+                else:
+                    _c, _m, ts, du = struct.unpack_from(">IIII", b, ps + 4)
+                    out["timescale"], out["duration"] = ts, du
+            elif btype == b"trak":
+                out["tracks"].append({})
+                walk(ps, pe, depth + 1)
+            elif btype == b"tkhd":
+                t = out["tracks"][-1]
+                t["track_id"] = struct.unpack_from(">I", b, ps + 12)[0]
+                t["width"] = struct.unpack_from(">I", b, pe - 8)[0] / 65536.0
+                t["height"] = struct.unpack_from(">I", b, pe - 4)[0] / 65536.0
+            elif btype == b"mdhd":
+                t = out["tracks"][-1]
+                _c, _m, ts, du = struct.unpack_from(">IIII", b, ps + 4)
+                t["timescale"], t["duration"] = ts, du
+            elif btype == b"hdlr":
+                out["tracks"][-1]["handler"] = b[ps + 8:ps + 12].decode(
+                    "latin-1")
+            elif btype == b"stsz":
+                t = out["tracks"][-1]
+                fixed, n = struct.unpack_from(">II", b, ps + 4)
+                t["sizes"] = [fixed] * n if fixed else list(
+                    struct.unpack_from(f">{n}I", b, ps + 12))
+            elif btype == b"stco":
+                (n,) = struct.unpack_from(">I", b, ps + 4)
+                out["tracks"][-1]["chunk_offsets"] = list(
+                    struct.unpack_from(f">{n}I", b, ps + 8))
+            elif btype == b"stsc":
+                (n,) = struct.unpack_from(">I", b, ps + 4)
+                out["tracks"][-1]["stsc"] = [
+                    struct.unpack_from(">III", b, ps + 8 + 12 * i)
+                    for i in range(n)]
+            elif btype in _MP4_CONTAINERS:
+                walk(ps, pe, depth + 1)
+
+    walk(0, len(b))
+    return out
+
+
+def mp4_frame_ranges(meta: dict, track: dict) -> list[tuple[int, int]]:
+    """(offset, size) of every sample, resolved through stsc/stco/stsz —
+    the byte ranges a seeking reader fetches (frame extraction without
+    decoding)."""
+    sizes = track.get("sizes") or []
+    offs = track.get("chunk_offsets") or []
+    stsc = track.get("stsc") or [(1, 1, 1)]
+    ranges = []
+    si = 0
+    for ci, base in enumerate(offs):
+        per = 1
+        for first, n_per, _d in stsc:
+            if ci + 1 >= first:
+                per = n_per
+        o = base
+        for _ in range(per):
+            if si >= len(sizes):
+                break
+            ranges.append((o, sizes[si]))
+            o += sizes[si]
+            si += 1
+    return ranges
+
+
+def write_mp4(frames: list[bytes], fps: int = 10, width: int = 8,
+              height: int = 8) -> bytes:
+    """Deterministic minimal MP4: ftyp + mdat (concatenated frame
+    payloads) + moov/trak/stbl with correct stts/stsc/stsz/stco. The
+    sample-entry fourcc is 'png ' — each sample payload is one of the
+    engine's PNG frames (codec stand-in, documented)."""
+    def box(t, payload):
+        return struct.pack(">I", 8 + len(payload)) + t + payload
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    mdat_payload = b"".join(frames)
+    mdat_off = len(ftyp) + 8
+    mdat = box(b"mdat", mdat_payload)
+    n = len(frames)
+    ts = fps
+    dur = n
+    mvhd = box(b"mvhd", struct.pack(">IIIII", 0, 0, 0, ts, dur)
+               + struct.pack(">I", 0x00010000) + struct.pack(">H", 0x0100)
+               + b"\x00" * 10
+               + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                             0x40000000)
+               + b"\x00" * 24 + struct.pack(">I", 2))
+    tkhd = box(b"tkhd", struct.pack(">IIIIII", 0x7, 0, 0, 1, 0, dur)
+               + b"\x00" * 8 + struct.pack(">HHHH", 0, 0, 0, 0)
+               + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                             0x40000000)
+               + struct.pack(">II", width << 16, height << 16))
+    mdhd = box(b"mdhd", struct.pack(">IIIII", 0, 0, 0, ts, dur)
+               + struct.pack(">HH", 0x55c4, 0))
+    hdlr = box(b"hdlr", struct.pack(">II", 0, 0) + b"vide"
+               + b"\x00" * 12 + b"gdal_spark\x00")
+    entry = box(b"png ", b"\x00" * 6 + struct.pack(">H", 1)
+                + b"\x00" * 16
+                + struct.pack(">HH", width, height) + b"\x00" * 50)
+    stsd = box(b"stsd", struct.pack(">II", 0, 1) + entry)
+    stts = box(b"stts", struct.pack(">IIII", 0, 1, n, 1))
+    stsc = box(b"stsc", struct.pack(">IIIII", 0, 1, 1, n, 1))
+    stsz = box(b"stsz", struct.pack(">III", 0, 0, n)
+               + b"".join(struct.pack(">I", len(f)) for f in frames))
+    stco = box(b"stco", struct.pack(">II", 0, 1)
+               + struct.pack(">I", mdat_off))
+    stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = box(b"minf", stbl)
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    trak = box(b"trak", tkhd + mdia)
+    moov = box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+def mp4_metadata(df: DataFrame, payload_col: str = "payload",
+                 key_col: str = "doc_id") -> DataFrame:
+    """Per MP4 payload: movie duration, track count, first video track's
+    dimensions and frame count. Map-only Arrow batches."""
+    schema = (f"{key_col} long, duration_s double, n_tracks int, "
+              f"width int, height int, n_frames int")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for k, b in zip(pdf[key_col], pdf[payload_col]):
+                m = parse_mp4(bytes(b))
+                vid = next((t for t in m["tracks"]
+                            if t.get("handler") == "vide"), None)
+                rows.append((
+                    int(k),
+                    m["duration"] / m["timescale"] if m["timescale"] else 0.0,
+                    len(m["tracks"]),
+                    int(vid["width"]) if vid else 0,
+                    int(vid["height"]) if vid else 0,
+                    len(vid.get("sizes") or []) if vid else 0))
+            yield pd.DataFrame(rows, columns=[
+                key_col, "duration_s", "n_tracks", "width", "height",
+                "n_frames"])
+
+    return df.select(key_col, payload_col).mapInPandas(gen, schema=schema)
+
+
+def mp4_frame_sample(df: DataFrame, payload_col: str = "payload",
+                     key_col: str = "doc_id", every: int = 2,
+                     max_frames: int = 8) -> DataFrame:
+    """Sample every k-th frame of the first video track by stsz/stco
+    BYTE RANGE (no transcode) and decode the sampled payloads: the
+    1->N explode + bounded selection shape of an ffmpeg-backed sampler,
+    executor-side, no shuffle."""
+    schema = (f"{key_col} long, frame_idx int, frame binary, "
+              f"width int, height int, px_sum long")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for k, b in zip(pdf[key_col], pdf[payload_col]):
+                raw = bytes(b)
+                m = parse_mp4(raw)
+                vid = next((t for t in m["tracks"]
+                            if t.get("handler") == "vide"), None)
+                if vid is None:
+                    continue
+                ranges = mp4_frame_ranges(m, vid)
+                idxs = list(range(0, len(ranges), every))[:max_frames]
+                for i in idxs:
+                    o, sz = ranges[i]
+                    fr = raw[o:o + sz]
+                    arr, _fmt = decode_image_bytes(fr)
+                    rows.append((int(k), i, fr, arr.shape[1], arr.shape[0],
+                                 int(arr.astype(np.int64).sum())))
+            yield pd.DataFrame(rows, columns=[
+                key_col, "frame_idx", "frame", "width", "height",
+                "px_sum"])
+
+    return df.select(key_col, payload_col).mapInPandas(gen, schema=schema)

@@ -7371,3 +7371,49 @@ def q_ccnet_buckets(spark, sf_dir):
     plan."""
     docs = _t(spark, sf_dir, "documents")
     return textops.ccnet_buckets(docs)
+
+
+@_reg("mp4_video_meta", """
+SELECT doc_id,
+       ROUND((3 + doc_id % 4) / 10.0, 6) AS duration_s,
+       1 AS n_tracks, 8 AS width, 8 AS height,
+       CAST(3 + doc_id % 4 AS INT) AS n_frames
+FROM documents
+""")
+def q_mp4_video_meta(spark, sf_dir):
+    """ISO-BMFF video metadata pass (ISO/IEC 14496-12 box walk: mvhd
+    movie timescale/duration, tkhd 16.16 dimensions, hdlr handler, stsz
+    sample table): each doc carries a real MP4 of 3+doc_id%4 PNG frames;
+    the parse is a map-only Arrow stage and the oracle recomputes the
+    closed-form metadata."""
+    from .operators import multimodal
+    vids = datagen.doc_mp4s(spark, sf_dir)
+    m = multimodal.mp4_metadata(vids, payload_col="payload",
+                                key_col="doc_id")
+    return m.select("doc_id", F.round("duration_s", 6).alias("duration_s"),
+                    "n_tracks", "width", "height", "n_frames")
+
+
+@_reg("mp4_frame_sample", """
+WITH n AS (SELECT doc_id, 3 + doc_id % 4 AS nf FROM documents),
+fr AS (SELECT doc_id, f
+       FROM n, range(8) t(f) WHERE f < nf AND f % 2 = 0),
+px AS (SELECT d.doc_id, fr.f,
+              ((d.doc_id*7 + 11*fr.f + 13*x.x + 31*y.y) % 256) AS v
+       FROM documents d JOIN fr ON d.doc_id = fr.doc_id,
+            range(8) x(x), range(8) y(y))
+SELECT doc_id, CAST(f AS INT) AS frame_idx, 8 AS width, 8 AS height,
+       CAST(SUM(v) AS BIGINT) AS px_sum
+FROM px GROUP BY doc_id, f
+""")
+def q_mp4_frame_sample(spark, sf_dir):
+    """Every-2nd-frame sampling straight off the MP4 sample table:
+    frames resolve to stsz/stco byte ranges (no transcode), the sampled
+    payloads decode executor-side; oracle recomputes each sampled
+    frame's pixel checksum."""
+    from .operators import multimodal
+    vids = datagen.doc_mp4s(spark, sf_dir)
+    fr = multimodal.mp4_frame_sample(vids, payload_col="payload",
+                                     key_col="doc_id", every=2,
+                                     max_frames=8)
+    return fr.select("doc_id", "frame_idx", "width", "height", "px_sum")

@@ -150,3 +150,52 @@ def test_wav_codec_roundtrip_and_errors():
                       b"fmt ", 16, 1, 1, 8000, 8000, 1, 8, b"data", 4)
     a3, _ = mm.decode_wav(hdr + bytes([0, 128, 255, 64]))
     assert a3.tolist() == [-128, 0, 127, -64]
+
+
+def test_mp4_box_walk_and_frame_ranges():
+    """ISO-BMFF fixture: box sizes/types parse, mvhd/tkhd/mdhd/hdlr
+    metadata is recovered, and every stsz/stco frame byte range slices
+    the exact PNG payload back out of mdat."""
+    import numpy as np
+
+    from gdal_spark.operators import multimodal as M
+    from gdal_spark.sources.png import encode_png
+
+    frames = [encode_png(((np.arange(64).reshape(8, 8) * (i + 1)) % 256)
+                         .astype(np.uint8)) for i in range(5)]
+    mp4 = M.write_mp4(frames, fps=10, width=8, height=8)
+    assert mp4[4:8] == b"ftyp"
+    meta = M.parse_mp4(mp4)
+    assert (meta["timescale"], meta["duration"]) == (10, 5)
+    t = meta["tracks"][0]
+    assert t["handler"] == "vide"
+    assert (t["width"], t["height"]) == (8.0, 8.0)
+    assert len(t["sizes"]) == 5
+    for i, (o, sz) in enumerate(M.mp4_frame_ranges(meta, t)):
+        assert mp4[o:o + sz] == frames[i]
+
+
+def test_mp4_metadata_and_sampling(spark):
+    import numpy as np
+    import pandas as pd
+
+    from gdal_spark.operators import multimodal as M
+    from gdal_spark.sources.png import encode_png
+
+    def payload(did, n):
+        y, x = np.mgrid[0:8, 0:8]
+        return M.write_mp4([encode_png(((did + 3 * f + x + y) % 256)
+                                       .astype(np.uint8))
+                            for f in range(n)], fps=5)
+
+    df = spark.createDataFrame(
+        [(1, bytearray(payload(1, 4))), (2, bytearray(payload(2, 7)))],
+        "doc_id long, payload binary")
+    m = {r.doc_id: r for r in M.mp4_metadata(df).collect()}
+    assert (m[1].n_frames, m[2].n_frames) == (4, 7)
+    assert m[2].duration_s == 1.4           # 7 frames at 5 fps
+    s = M.mp4_frame_sample(df, every=3, max_frames=8).collect()
+    got = sorted((r.doc_id, r.frame_idx) for r in s)
+    assert got == [(1, 0), (1, 3), (2, 0), (2, 3), (2, 6)]
+    for r in s:
+        assert (r.width, r.height) == (8, 8) and r.px_sum > 0
