@@ -1052,3 +1052,88 @@ def ccnet_buckets(docs: DataFrame) -> DataFrame:
               .otherwise(F.lit("tail")))
     return (d.join(F.broadcast(th), "lang")
             .select("doc_id", "lang", "ppl_r", bucket.alias("bucket")))
+
+
+def _bpe_merge_round_arrays(v: DataFrame, x: str, y: str) -> DataFrame:
+    """Apply ONE learned merge (x, y) to every word's symbol array with
+    BPE's greedy left-to-right non-overlapping semantics, as pure
+    relational ops: the recurrence applied[i] = match[i] AND NOT
+    applied[i-1] collapses to 'position inside a consecutive-match run
+    is even' (gaps-and-islands), so one pos-explode + three windows +
+    one ordered re-collect replaces the sequential scan. All windows
+    partition by word — the vocabulary table, never the corpus."""
+    from pyspark.sql import Window
+
+    e = v.select("w", "cnt",
+                 F.posexplode("s").alias("i", "sym"))
+    win = Window.partitionBy("w").orderBy("i")
+    e = e.withColumn("nxt", F.lead("sym").over(win))
+    e = e.withColumn("m", (F.col("sym") == x) & (F.col("nxt") == y))
+    mrun = F.sum(F.col("m").cast("int")).over(
+        win.rowsBetween(Window.unboundedPreceding, 0))
+    e = e.withColumn("isl", F.col("i") - mrun)
+    rs = F.min("i").over(Window.partitionBy("w", "isl", "m"))
+    e = e.withColumn("applied",
+                     F.col("m") & (((F.col("i") - rs) % 2) == 0))
+    e = e.withColumn("consumed",
+                     F.coalesce(F.lag("applied").over(win),
+                                F.lit(False)))
+    out = (e.where(~F.col("consumed"))
+           .select("w", "cnt", "i",
+                   F.when(F.col("applied"),
+                          F.concat("sym", "nxt")).otherwise(F.col("sym"))
+                   .alias("sym")))
+    return (out.groupBy("w").agg(
+        F.first("cnt").alias("cnt"),
+        F.transform(F.array_sort(F.collect_list(F.struct("i", "sym"))),
+                    lambda t: t["sym"]).alias("s")))
+
+
+def bpe_train(docs: DataFrame, n_merges: int = 3):
+    """Train n_merges greedy BPE rounds on the corpus (Sennrich et al.
+    2016, full multi-character merges): -> (vocab DataFrame
+    (w, cnt, s final symbol array), [merge pairs]). Each round is one
+    vocabulary-sized aggregation + one scalar collect (the winning
+    pair); the corpus itself is scanned exactly once, for word counts."""
+    chars = F.expr("transform(sequence(1, length(w)), "
+                   "i -> substring(w, i, 1))")
+    v = _word_counts(docs).select("w", "cnt", chars.alias("s"))
+    merges = []
+    for _ in range(n_merges):
+        v = v.persist()
+        pairs = (v.select("cnt", F.posexplode("s").alias("i", "x"),
+                          F.col("s").alias("s_"))
+                 .where(F.col("i") < F.size("s_") - 1)
+                 .select("cnt", "x",
+                         F.element_at("s_", F.col("i") + 2).alias("y"))
+                 .groupBy("x", "y")
+                 .agg(F.sum("cnt").alias("n")))
+        top = pairs.orderBy(F.col("n").desc(), F.col("x").asc(),
+                            F.col("y").asc()).limit(1).collect()
+        if not top:
+            break
+        x, y = top[0].x, top[0].y
+        merges.append((x, y))
+        v = _bpe_merge_round_arrays(v, x, y)
+    return v, merges
+
+
+def bpe_token_counts(docs: DataFrame, n_merges: int = 3) -> DataFrame:
+    """Per doc: whitespace tokens, characters, and BPE tokens after
+    n_merges trained merge rounds. The doc->vocab join is an equi-join
+    on the word (broadcastable when the vocabulary fits)."""
+    v, _merges = bpe_train(docs, n_merges)
+    sizes = v.select("w", F.size("s").cast("long").alias("n_sym"))
+    d = (docs.select("doc_id", F.explode(words_col()).alias("w"))
+         .where(F.length("w") > 0)
+         .join(sizes, "w"))
+    base = docs.select(
+        "doc_id",
+        F.size(F.filter(words_col(), lambda t: F.length(t) > 0))
+        .cast("long").alias("n_ws"))
+    agg = d.groupBy("doc_id").agg(F.sum("n_sym").cast("long")
+                                  .alias("n_bpe"))
+    return (base.join(agg, "doc_id", "left")
+            .select("doc_id", "n_ws",
+                    F.coalesce("n_bpe", F.lit(0)).cast("long")
+                    .alias("n_bpe")))

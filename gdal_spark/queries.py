@@ -7417,3 +7417,72 @@ def q_mp4_frame_sample(spark, sf_dir):
                                      key_col="doc_id", every=2,
                                      max_frames=8)
     return fr.select("doc_id", "frame_idx", "width", "height", "px_sum")
+
+
+def _bpe_sql(n_merges: int) -> str:
+    """N BPE training rounds replayed in SQL: per round a scalar
+    best-pair subquery and the same gaps-and-islands window formulation
+    of the greedy left-to-right merge the Spark side uses."""
+    parts = ["""
+WITH w0 AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+wc AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt
+       FROM w0 WHERE len(w) > 0 GROUP BY w),
+v0 AS (SELECT w, cnt,
+              list_transform(generate_series(1, len(w)),
+                             i -> substr(w, i, 1)) AS s
+       FROM wc)"""]
+    for k in range(n_merges):
+        parts.append(f""",
+p{k} AS (SELECT s[i] AS x, s[i+1] AS y, sum(cnt) AS n
+         FROM v{k}, unnest(generate_series(1, len(s) - 1)) t(i)
+         GROUP BY 1, 2),
+b{k} AS (SELECT x, y FROM p{k} ORDER BY n DESC, x ASC, y ASC LIMIT 1),
+e{k} AS (SELECT w, cnt, i, s[i] AS sym,
+                CASE WHEN i < len(s) THEN s[i+1] END AS nxt
+         FROM v{k}, unnest(generate_series(1, len(s))) t(i)),
+m{k} AS (SELECT w, cnt, i, sym, nxt,
+                (sym = (SELECT x FROM b{k})
+                 AND nxt = (SELECT y FROM b{k})) AS m
+         FROM e{k}),
+g{k} AS (SELECT *, i - sum(CASE WHEN m THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY w ORDER BY i) AS isl
+         FROM m{k}),
+a{k} AS (SELECT *,
+                (m AND (i - min(i) OVER (PARTITION BY w, isl, m)) % 2 = 0)
+                  AS applied
+         FROM g{k}),
+c{k} AS (SELECT *, coalesce(lag(applied)
+                            OVER (PARTITION BY w ORDER BY i), false)
+                     AS consumed
+         FROM a{k}),
+v{k + 1} AS (SELECT w, cnt,
+                    list(CASE WHEN applied THEN sym || nxt ELSE sym END
+                         ORDER BY i) AS s
+             FROM c{k} WHERE NOT consumed GROUP BY w, cnt)""")
+    parts.append(f""",
+sz AS (SELECT w, CAST(len(s) AS BIGINT) AS n_sym FROM v{n_merges}),
+dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       FROM documents),
+nb AS (SELECT doc_id, CAST(sum(n_sym) AS BIGINT) AS n_bpe
+       FROM dw JOIN sz USING (w) WHERE len(w) > 0 GROUP BY doc_id),
+nw AS (SELECT doc_id,
+              CAST(len(list_filter(string_split(text, ' '),
+                                   t -> len(t) > 0)) AS BIGINT) AS n_ws
+       FROM documents)
+SELECT nw.doc_id, n_ws, CAST(coalesce(n_bpe, 0) AS BIGINT) AS n_bpe
+FROM nw LEFT JOIN nb ON nw.doc_id = nb.doc_id""")
+    return "".join(parts)
+
+
+@_reg("bpe_tokenize", _bpe_sql(3))
+def q_bpe_tokenize(spark, sf_dir):
+    """FULL multi-round BPE training + corpus tokenization (Sennrich et
+    al. 2016 with real multi-character merges, not just the round-1
+    statistics): 3 greedy rounds trained on the corpus, then per-doc
+    whitespace vs BPE token counts. The sequential left-to-right merge
+    rule collapses to a gaps-and-islands window over each word's symbol
+    positions (applied[i] = match[i] AND run-offset even), so every
+    round is vocabulary-sized relational work — one scalar (the winning
+    pair) crosses the driver per round, and the corpus scans once."""
+    docs = _t(spark, sf_dir, "documents")
+    return textops.bpe_token_counts(docs, n_merges=3)

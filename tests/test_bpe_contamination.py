@@ -97,3 +97,18 @@ def test_tfidf_topk_ranks_rare_terms(spark):
     assert top == {0: "x", 1: "y", 2: "z"}
     r0 = [r for r in out if r.doc_id == 0][0]
     assert (r0.tf, r0.df_cnt) == (2, 1)
+
+
+def test_bpe_train_multichar_merges(spark):
+    # hand-verified: round 1 (a,a):7 wins; round 2 (a,n):5; round 3
+    # (b,an):3 — merged symbols participate in later rounds, and the
+    # greedy left-to-right rule leaves the odd 'a' of "aaab" unmerged
+    docs = _docs(spark, [(0, "aaab aaab banana"), (1, "aaaa banana band")])
+    v, merges = textops.bpe_train(docs, n_merges=3)
+    assert merges == [("a", "a"), ("a", "n"), ("b", "an")]
+    syms = {r.w: list(r.s) for r in v.collect()}
+    assert syms == {"aaab": ["aa", "a", "b"], "aaaa": ["aa", "aa"],
+                    "banana": ["ban", "an", "a"], "band": ["ban", "d"]}
+    out = {r.doc_id: (r.n_ws, r.n_bpe) for r in
+           textops.bpe_token_counts(docs, 3).collect()}
+    assert out == {0: (3, 9), 1: (3, 7)}
