@@ -15,8 +15,9 @@ Spark-first: the driver scans only the element table of contents (one
 4-byte header per element); element parsing fans out to executors by
 byte range like the S-57/SpatiaLite readers. v1 scope: 2-D files, LINE /
 LINE_STRING / SHAPE / TEXT elements (the types ogr2ogr users hit);
-complex chains, cells, arcs and 3-D files are skipped with a counted
-column, not an error.
+complex chains and shapes (types 12/14) assemble from their
+complex-bit components; cells, arcs and 3-D files are skipped, not an
+error.
 """
 
 from __future__ import annotations
@@ -26,6 +27,7 @@ import struct
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 import numpy as np
@@ -37,6 +39,8 @@ DGNT_LINE = 3
 DGNT_LINE_STRING = 4
 DGNT_SHAPE = 6
 DGNT_TEXT = 17
+DGNT_CPLX_CHAIN = 12
+DGNT_CPLX_SHAPE = 14
 
 
 # ---------------------------------------------------------------------------
@@ -93,9 +97,11 @@ def double_to_vax(v: float) -> bytes:
 # element stream
 # ---------------------------------------------------------------------------
 
-def scan_elements(path: str) -> list[tuple[int, int]]:
-    """[(offset, byte length)] of every element; stops at the 0xffff
-    end-of-file marker (dgnread.cpp DGNLoadRawElement)."""
+def scan_elements(path: str) -> list[tuple[int, int, int, int]]:
+    """[(offset, byte length, byte0, byte1)] of every element; stops at
+    the 0xffff end-of-file marker (dgnread.cpp DGNLoadRawElement).
+    Bytes 0/1 carry level|complex and type|deleted — enough for the
+    driver to group complex chains without reading bodies."""
     out = []
     with open(path, "rb") as f:
         off = 0
@@ -107,7 +113,7 @@ def scan_elements(path: str) -> list[tuple[int, int]]:
                 break
             n_words = head[2] + head[3] * 256
             ln = n_words * 2 + 4
-            out.append((off, ln))
+            out.append((off, ln, head[0], head[1]))
             f.seek(off + ln)
             off += ln
     return out
@@ -125,10 +131,13 @@ def parse_tcb(rec: bytes) -> tuple[float, float, float, int]:
     return 1.0 / denom, ox, oy, dim
 
 
-def _parse_element(rec: bytes, scale: float, ox: float, oy: float):
+def _parse_element(rec: bytes, scale: float, ox: float, oy: float,
+                   allow_complex: bool = False):
     level = rec[0] & 0x3f
     etype = rec[1] & 0x7f
-    if rec[1] & 0x80 or rec[0] & 0x80:      # deleted or complex component
+    if rec[1] & 0x80:                        # deleted
+        return None
+    if (rec[0] & 0x80) and not allow_complex:  # complex component
         return None
     gg = rec[28] + rec[29] * 256 if len(rec) >= 36 else 0
     style = rec[34] & 0x7 if len(rec) >= 36 else 0
@@ -183,37 +192,97 @@ _SCHEMA = T.StructType([
 
 
 def read_dgn(spark: SparkSession, path: str) -> DataFrame:
-    """DGN v7 -> feature DataFrame (ogrdgnlayer.cpp field mapping)."""
+    """DGN v7 -> feature DataFrame (ogrdgnlayer.cpp field mapping).
+    Complex chains/shapes (types 12/14): the driver assigns group ids
+    from the TOC's complex bits alone (ogrdgnlayer.cpp bInComplexShape
+    walk — a header starts a group, following complex-bit elements
+    continue it); components parse wherever they land and stitch back
+    per group, chain -> LineString, shape -> closed Polygon."""
     toc = scan_elements(path)
     scale, ox, oy, dim = 1.0, 0.0, 0.0, 2
     with open(path, "rb") as f:
-        for off, ln in toc[:4]:
-            f.seek(off)
-            rec = f.read(ln)
-            if (rec[1] & 0x7f) == DGNT_TCB:
-                scale, ox, oy, dim = parse_tcb(rec)
+        for off, ln, _b0, b1 in toc[:4]:
+            if (b1 & 0x7f) == DGNT_TCB:
+                f.seek(off)
+                scale, ox, oy, dim = parse_tcb(f.read(ln))
                 break
     if dim != 2:
         raise NotImplementedError("3-D DGN files not supported (v1)")
-    rows = toc
-    rdf = spark.createDataFrame(rows, "off long, ln int") \
+    rows = []
+    grp, gkind = -1, 0
+    for off, ln, b0, b1 in toc:
+        t = b1 & 0x7f
+        if t in (DGNT_CPLX_CHAIN, DGNT_CPLX_SHAPE) and not (b0 & 0x80):
+            grp, gkind = off, t
+            continue
+        if grp >= 0 and (b0 & 0x80) and not (b1 & 0x80):
+            rows.append((off, ln, grp, gkind))
+        else:
+            grp = -1
+            rows.append((off, ln, -1, 0))
+    rdf = spark.createDataFrame(rows, "off long, ln int, grp long, gk int") \
         .repartition(max(1, min(32, len(rows) // 128 + 1)))
 
     def gen(batches):
         for pdf in batches:
             out = []
             with open(path, "rb") as f:
-                for off, ln in zip(pdf["off"], pdf["ln"]):
+                for off, ln, grp, gk in zip(pdf["off"], pdf["ln"],
+                                            pdf["grp"], pdf["gk"]):
                     f.seek(int(off))
                     rec = f.read(int(ln))
                     if (rec[1] & 0x7f) in (DGNT_LINE, DGNT_LINE_STRING,
                                            DGNT_SHAPE, DGNT_TEXT):
-                        r = _parse_element(rec, scale, ox, oy)
+                        r = _parse_element(rec, scale, ox, oy,
+                                           allow_complex=int(grp) >= 0)
                         if r is not None:
-                            out.append(r)
-            yield pd.DataFrame(out, columns=[f_.name for f_ in _SCHEMA])
+                            out.append((int(off), int(grp), int(gk)) + r)
+            yield pd.DataFrame(out, columns=["off", "grp", "gk"]
+                               + [f_.name for f_ in _SCHEMA])
 
-    return rdf.mapInPandas(gen, _SCHEMA)
+    parsed = rdf.mapInPandas(gen, "off long, grp long, gk int, "
+                             + ", ".join(f"{f_.name} {f_.dataType.simpleString()}"
+                                         for f_ in _SCHEMA))
+    simple = parsed.where(F.col("grp") < 0) \
+        .select(*[f_.name for f_ in _SCHEMA])
+
+    comp = parsed.where(F.col("grp") >= 0)
+    stitched = comp.groupBy("grp", "gk").applyInPandas(
+        _stitch_group, _SCHEMA)
+    return simple.unionByName(stitched)
+
+
+def _stitch_group(key, pdf):
+    """Concatenate a complex group's component linework in element order
+    (shared endpoints dedup); chain (12) -> LineString, shape (14) ->
+    closed Polygon (ogrdgnlayer.cpp ConsiderBrush/complex assembly)."""
+    import pandas as pd
+
+    pdf = pdf.sort_values("off")
+    pts: list[tuple[float, float]] = []
+    first = None
+    for r in pdf.itertuples(index=False):
+        g = W.decode(bytes(r.geom))
+        if first is None:
+            first = r
+        for ring in (g.rings or [p.rings[0] for p in g.parts]):
+            seq = [tuple(p) for p in ring]
+            if pts and pts[-1] == seq[0]:
+                pts.extend(seq[1:])
+            else:
+                pts.extend(seq)
+    if len(pts) < 2 or first is None:
+        return pd.DataFrame(columns=[f_.name for f_ in _SCHEMA])
+    gk = int(key[1])
+    if gk == DGNT_CPLX_SHAPE:
+        if pts[0] != pts[-1]:
+            pts.append(pts[0])
+        g = W.Geom(W.POLYGON, [np.array(pts)])
+    else:
+        g = W.Geom(W.LINESTRING, [np.array(pts)])
+    row = (gk, first.level, first.graphic_group, first.color,
+           first.weight, first.style, None, None, W.encode(g))
+    return pd.DataFrame([row], columns=[f_.name for f_ in _SCHEMA])
 
 
 # ---------------------------------------------------------------------------
@@ -275,6 +344,21 @@ def write_dgn(path: str, elements, uor_per_sub: int = 1000,
                 for x, y in pts)
             et = DGNT_SHAPE if kind == "shape" else DGNT_LINE_STRING
             recs.append(_elem(et, 2, body))
+        elif kind in ("complex_chain", "complex_shape"):
+            parts = spec[1]          # list of vertex lists (LINE_STRINGs)
+            comp = []
+            for pts in parts:
+                body = struct.pack("<H", len(pts)) + b"".join(
+                    enc_int32(u(x, origin[0])) + enc_int32(u(y, origin[1]))
+                    for x, y in pts)
+                comp.append(_elem(DGNT_LINE_STRING, 2, body))
+            tot_words = sum(len(c) // 2 - 2 for c in comp)
+            hdr = struct.pack("<HH", tot_words, len(comp))
+            et = DGNT_CPLX_SHAPE if kind == "complex_shape" \
+                else DGNT_CPLX_CHAIN
+            recs.append(_elem(et, 2, hdr))
+            for c in comp:
+                recs.append(bytes([c[0] | 0x80]) + c[1:])  # complex bit
         elif kind == "text":
             (x, y), txt, rot = spec[1], spec[2], spec[3]
             body = (bytes([0, 0]) + enc_int32(1) + enc_int32(1)

@@ -75,3 +75,31 @@ def test_read_dgn_features(design, spark):
 def test_open_dispatch(design, spark):
     from gdal_spark.sources import open_vector
     assert open_vector(spark, design).count() == 4
+
+
+def test_complex_chain_and_shape(spark, tmp_path):
+    """Complex chain (type 12) stitches its complex-bit components into
+    one LineString in element order; complex shape (type 14) closes to a
+    Polygon — the driver groups from TOC complex bits alone
+    (ogrdgnlayer.cpp bInComplexShape walk)."""
+    path = str(tmp_path / "cplx.dgn")
+    D.write_dgn(path, [
+        ("complex_chain", [[(0.0, 0.0), (1.0, 0.0)],
+                           [(1.0, 0.0), (1.0, 1.0), (2.0, 1.0)]]),
+        ("line", [(9.0, 9.0), (10.0, 10.0)]),      # group terminator
+        ("complex_shape", [[(0.0, 0.0), (4.0, 0.0), (4.0, 3.0)],
+                           [(4.0, 3.0), (0.0, 3.0)]]),
+    ])
+    df = D.read_dgn(spark, path)
+    rows = sorted(df.collect(), key=lambda r: r.etype)
+    assert [r.etype for r in rows] == [3, 12, 14]
+    chain = W.decode(rows[1].geom)
+    np.testing.assert_allclose(
+        chain.rings[0], [[0, 0], [1, 0], [1, 1], [2, 1]], atol=1e-9)
+    shape = W.decode(rows[2].geom)
+    assert shape.gtype == W.POLYGON
+    ring = shape.rings[0]
+    assert np.allclose(ring[0], ring[-1])
+    x, y = ring[:-1, 0], ring[:-1, 1]
+    area = 0.5 * abs(np.dot(x, np.roll(y, -1)) - np.dot(np.roll(x, -1), y))
+    assert area == pytest.approx(12.0)             # 4 x 3 rectangle
