@@ -658,6 +658,44 @@ def _cmd_gdal_pansharpen(argv) -> int:
     return 0
 
 
+def _cmd_gdal_viewshed(argv) -> int:
+    """gdal_viewshed twin (apps/gdal_viewshed.cpp): observer viewshed
+    over a DEM raster via the shuffle-by-ray R2 job; writes a 0/255
+    visibility raster."""
+    ap = argparse.ArgumentParser(prog="gdal_viewshed")
+    ap.add_argument("src")
+    ap.add_argument("dst")
+    ap.add_argument("-ox", type=float, required=True,
+                    help="observer X (global pixel col)")
+    ap.add_argument("-oy", type=float, required=True,
+                    help="observer Y (global pixel row)")
+    ap.add_argument("-oz", type=float, default=2.0,
+                    help="observer height above the DEM")
+    ap.add_argument("-vv", type=float, default=255.0,
+                    help="visible value")
+    ap.add_argument("-iv", type=float, default=0.0,
+                    help="invisible value")
+    ap.add_argument("-rays", type=int, default=720)
+    ap.add_argument("-tile", type=int, default=256)
+    a = ap.parse_args(argv)
+    from pyspark.sql import functions as F
+    from .raster.dem import viewshed
+    from .raster.tiles import pixels_to_tiles
+    from .sources import open_raster, save_raster
+    spark = _spark()
+    t = open_raster(spark, a.src, tile=a.tile)
+    ext = t.agg(F.max("tile_x").alias("mx"),
+                F.max("tile_y").alias("my")).collect()[0]
+    w, h = (int(ext.mx) + 1) * a.tile, (int(ext.my) + 1) * a.tile
+    vs = viewshed(t, a.ox, a.oy, a.oz, tile=a.tile, n_rays=a.rays)
+    px = vs.select(F.col("gpx").alias("i"), F.col("gpy").alias("j"),
+                   F.when(F.col("visible") == 1, F.lit(a.vv))
+                   .otherwise(F.lit(a.iv)).alias("value"))
+    out = pixels_to_tiles(px, tile=a.tile, fill=a.iv)
+    save_raster(out, a.dst, tile=a.tile, width=w, height=h)
+    return 0
+
+
 _COMMANDS = {"ogr2ogr": _cmd_ogr2ogr, "ogrinfo": _cmd_ogrinfo,
              "gdalinfo": _cmd_gdalinfo, "gdalsrsinfo": _cmd_gdalsrsinfo,
              "gdaltransform": _cmd_gdaltransform,
@@ -677,7 +715,8 @@ _COMMANDS = {"ogr2ogr": _cmd_ogr2ogr, "ogrinfo": _cmd_ogrinfo,
              "gdal_merge": _cmd_gdal_merge,
              "gdal_proximity": _cmd_gdal_proximity,
              "nearblack": _cmd_nearblack,
-             "gdal_pansharpen": _cmd_gdal_pansharpen}
+             "gdal_pansharpen": _cmd_gdal_pansharpen,
+             "gdal_viewshed": _cmd_gdal_viewshed}
 
 
 def main(argv=None) -> int:

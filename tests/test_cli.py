@@ -430,3 +430,29 @@ def test_cli_ogr2ogr_converts_s57_and_dgn(spark, tmp_path):
     out2 = str(tmp_path / "plan.geojsonl")
     assert main(["ogr2ogr", out2, dsn]) == 0
     assert open_vector(spark, out2).count() == 2
+
+
+def test_cli_gdal_viewshed(spark, tmp_path):
+    """gdal_viewshed twin: a single wall on a flat DEM shadows the cells
+    behind it along the observer ray."""
+    import numpy as np
+
+    from gdal_spark.cli import main
+    from gdal_spark.raster.tiles import raster_to_tiles
+    from gdal_spark.sources import open_raster, save_raster
+
+    arr = np.zeros((16, 16), dtype=np.float64)
+    arr[8, 10] = 50.0                      # wall east of the observer
+    src = str(tmp_path / "dem.asc")
+    save_raster(raster_to_tiles(spark, arr, tile=16), src,
+                tile=16, width=16, height=16)
+    dst = str(tmp_path / "vis.asc")
+    assert main(["gdal_viewshed", src, dst, "-ox", "8.0", "-oy", "8.0",
+                 "-oz", "2.0", "-tile", "16"]) == 0
+    out = open_raster(spark, dst, tile=16)
+    from gdal_spark.raster.tiles import tiles_to_raster
+    vis = tiles_to_raster(out, tile=16)[:16, :16]
+    assert vis[8, 9] == 255.0              # before the wall: visible
+    assert vis[8, 10] == 255.0             # the wall itself: visible
+    assert vis[8, 14] == 0.0               # behind the wall: shadowed
+    assert vis[2, 8] == 255.0              # other direction: visible
