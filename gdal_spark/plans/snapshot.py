@@ -87,6 +87,45 @@ class SnapshotTable:
         new_files = self._write_data(df)
         return self._publish(new_files, "overwrite", self.current_version())
 
+    def merge(self, updates: DataFrame, key: str) -> int:
+        """MERGE INTO (upsert): WHEN MATCHED THEN UPDATE (whole row) /
+        WHEN NOT MATCHED THEN INSERT — Iceberg copy-on-write at FILE
+        granularity: only data files that contain a matched key are
+        rewritten (their unmatched rows survive into replacement files);
+        every untouched file carries into the new snapshot verbatim, so
+        merge cost tracks the number of touched files, not table size.
+        Readers on older snapshots still see the pre-merge rows."""
+        from pyspark.sql import functions as F
+
+        parent = self.current_version()
+        if parent is None:
+            return self.commit_append(updates)
+        files = self._load_snapshot(parent)["files"]
+        cols = None
+        touched: list[str] = []
+        if files:
+            cur = self.spark.read.parquet(*files) \
+                .withColumn("_f", F.input_file_name())
+            cols = [c for c in cur.columns if c != "_f"]
+            keys = updates.select(key).distinct()
+            hit = (cur.join(F.broadcast(keys), key, "left_semi")
+                   .select("_f").distinct().collect())
+            hit_suffix = {r._f.removeprefix("file:") for r in hit}
+            touched = [f for f in files
+                       if f in hit_suffix
+                       or any(h.endswith(f) for h in hit_suffix)]
+        untouched = [f for f in files if f not in set(touched)]
+        up = updates.select(*cols) if cols else updates
+        if touched:
+            tdf = self.spark.read.parquet(*touched)
+            survivors = tdf.join(updates.select(key).distinct(),
+                                 key, "left_anti")
+            new_data = survivors.unionByName(up)
+        else:
+            new_data = up
+        new_files = self._write_data(new_data)
+        return self._publish(untouched + new_files, "merge", parent)
+
     def rollback(self, version: int) -> int:
         """Publish a new snapshot with an old snapshot's file set."""
         files = self._load_snapshot(version)["files"]

@@ -200,3 +200,39 @@ def test_snapshot_compact_incremental_expire(spark, tmp_path):
                for r, _d, fs in os.walk(str(tmp_path / "tbl" / "data"))
                for f in fs if f.endswith(".parquet")}
     assert on_disk == live
+
+
+def test_snapshot_merge_copy_on_write(spark, tmp_path):
+    """MERGE INTO semantics: matched keys update, new keys insert, the
+    rewrite touches only files containing matched keys (file-granular
+    copy-on-write), and time travel still reads the pre-merge state."""
+    from gdal_spark.plans.snapshot import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    # two appends -> two disjoint file sets
+    t.commit_append(spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k long, v string").repartition(1))
+    v1 = t.commit_append(spark.createDataFrame(
+        [(10, "x"), (11, "y")], "k long, v string").repartition(1))
+    files_before = set(t._load_snapshot(v1)["files"])
+    # upsert: update k=2, insert k=99 — only the FIRST append's file
+    # contains a matched key
+    v2 = t.merge(spark.createDataFrame(
+        [(2, "B"), (99, "z")], "k long, v string"), key="k")
+    got = {r.k: r.v for r in t.read().collect()}
+    assert got == {1: "a", 2: "B", 10: "x", 11: "y", 99: "z"}
+    # time travel: pre-merge snapshot unchanged
+    old = {r.k: r.v for r in t.read(v1).collect()}
+    assert old == {1: "a", 2: "b", 10: "x", 11: "y"}
+    # copy-on-write at file granularity: the untouched second-append
+    # file carries over verbatim
+    files_after = set(t._load_snapshot(v2)["files"])
+    carried = files_before & files_after
+    assert carried, "untouched files must carry into the merge snapshot"
+    rows_carried = spark.read.parquet(*sorted(carried)).collect()
+    assert {r.k for r in rows_carried} >= {10, 11}
+    # merge of only-new keys touches nothing
+    v3 = t.merge(spark.createDataFrame([(100, "q")], "k long, v string"),
+                 key="k")
+    assert files_after <= set(t._load_snapshot(v3)["files"])
+    assert t.history()[-1]["operation"] == "merge"
