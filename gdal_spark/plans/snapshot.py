@@ -126,6 +126,31 @@ class SnapshotTable:
         new_files = self._write_data(new_data)
         return self._publish(untouched + new_files, "merge", parent)
 
+    def delete_where(self, condition: str) -> int:
+        """DELETE FROM ... WHERE (copy-on-write): files containing any
+        matching row rewrite without those rows; untouched files carry
+        verbatim (same file-granular contract as merge)."""
+        from pyspark.sql import functions as F
+
+        parent = self.current_version()
+        if parent is None:
+            raise ValueError("table has no snapshots yet")
+        files = self._load_snapshot(parent)["files"]
+        cur = self.spark.read.parquet(*files) \
+            .withColumn("_f", F.input_file_name())
+        hit = (cur.where(condition).select("_f").distinct().collect())
+        hit_suffix = {r._f.removeprefix("file:") for r in hit}
+        touched = [f for f in files
+                   if f in hit_suffix or any(h.endswith(f)
+                                             for h in hit_suffix)]
+        untouched = [f for f in files if f not in set(touched)]
+        new_files: list[str] = []
+        if touched:
+            survivors = self.spark.read.parquet(*touched) \
+                .where(f"NOT ({condition})")
+            new_files = self._write_data(survivors)
+        return self._publish(untouched + new_files, "delete", parent)
+
     def rollback(self, version: int) -> int:
         """Publish a new snapshot with an old snapshot's file set."""
         files = self._load_snapshot(version)["files"]

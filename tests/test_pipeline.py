@@ -236,3 +236,20 @@ def test_snapshot_merge_copy_on_write(spark, tmp_path):
                  key="k")
     assert files_after <= set(t._load_snapshot(v3)["files"])
     assert t.history()[-1]["operation"] == "merge"
+
+
+def test_snapshot_delete_where_copy_on_write(spark, tmp_path):
+    from gdal_spark.plans.snapshot import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "tbl2"))
+    t.commit_append(spark.createDataFrame(
+        [(1, 5), (2, 50)], "k long, v long").repartition(1))
+    v1 = t.commit_append(spark.createDataFrame(
+        [(3, 7), (4, 9)], "k long, v long").repartition(1))
+    keep = set(t._load_snapshot(v1)["files"])
+    v2 = t.delete_where("v >= 50")
+    assert {r.k for r in t.read().collect()} == {1, 3, 4}
+    assert {r.k for r in t.read(v1).collect()} == {1, 2, 3, 4}
+    # second file had no matches: carried verbatim
+    assert keep & set(t._load_snapshot(v2)["files"])
+    assert t.history()[-1]["operation"] == "delete"
