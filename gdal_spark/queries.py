@@ -7491,3 +7491,42 @@ def q_bpe_tokenize(spark, sf_dir):
     pair) crosses the driver per round, and the corpus scans once."""
     docs = _t(spark, sf_dir, "documents")
     return textops.bpe_token_counts(docs, n_merges=3)
+
+
+@_reg("snapshot_merge_delete", """
+WITH base AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+              FROM documents WHERE doc_id % 3 <> 0),
+up AS (SELECT doc_id, CAST(-1 AS BIGINT) AS n_chars
+       FROM documents WHERE doc_id % 5 = 0),
+merged AS (
+  SELECT COALESCE(up.doc_id, base.doc_id) AS doc_id,
+         COALESCE(up.n_chars, base.n_chars) AS n_chars
+  FROM base FULL OUTER JOIN up ON base.doc_id = up.doc_id)
+SELECT doc_id, n_chars FROM merged WHERE doc_id % 7 <> 0
+""")
+def q_snapshot_merge_delete(spark, sf_dir):
+    """MERGE INTO + DELETE WHERE on the snapshot table (file-granular
+    copy-on-write, plans/snapshot.py): base = docs not divisible by 3,
+    merge upserts every 5th doc with n_chars = -1 (updates the matched,
+    inserts the rest), then DELETE WHERE removes every 7th doc. The
+    oracle recomputes the surviving set relationally (FULL OUTER JOIN +
+    filter); correctness covers update, insert, delete, and the carry of
+    untouched files in one pass."""
+    import os
+    import shutil
+    import tempfile
+
+    from .plans.snapshot import SnapshotTable
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_chars"))
+    path = os.path.join(tempfile.gettempdir(),
+                        f"gdal_spark_snapmd_{os.getpid()}")
+    shutil.rmtree(path, ignore_errors=True)
+    t = SnapshotTable(spark, path)
+    t.commit_append(d.where(F.col("doc_id") % 3 != 0).repartition(8))
+    t.merge(d.where(F.col("doc_id") % 5 == 0)
+            .select("doc_id", F.lit(-1).cast("long").alias("n_chars")),
+            key="doc_id")
+    t.delete_where("doc_id % 7 = 0")
+    return t.read().select("doc_id", "n_chars")
