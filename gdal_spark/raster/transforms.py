@@ -290,6 +290,7 @@ ELLIPSOIDS: dict[str, tuple[float, float]] = {
     "clrk66":   (6378206.4, 1.0 - 6356583.8 / 6378206.4),
     "krass":    (6378245.0, 1.0 / 298.3),
     "evrstSS":  (6377298.556, 1.0 / 300.8017),   # Everest (Sabah/Sarawak)
+    "GRS67":    (6378160.0, 1.0 / 298.247167427),
 }
 
 # +datum= shorthand -> (ellps_name, towgs84 7-tuple) — the classic PROJ
@@ -1322,6 +1323,12 @@ def _parse_crs(crs: str):
                  30.0 + 17.0 / 60 + 17.3031 / 3600, 78.5, 0.9999,
                  0.0, 0.0),
                 ELLIPSOIDS["bessel"], (589.0, 76.0, 480.0))
+    if crs == "EPSG:23700":      # HD72 / EOV (Hungarian national grid)
+        return ("datum",
+                ("omerc", 19.0 + 2.0 / 60 + 54.8584 / 3600,
+                 47.0 + 8.0 / 60 + 39.8174 / 3600, 90.0, 90.0, 0.99993,
+                 650000.0, 200000.0, True),
+                ELLIPSOIDS["GRS67"], (52.17, -71.82, -14.9))
     if crs == "EPSG:29873":       # Timbalai 1948 / RSO Borneo (m)
         return ("datum",
                 ("omerc", 115.0, 4.0, 53.0 + 18.0 / 60 + 56.9537 / 3600,

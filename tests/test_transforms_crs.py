@@ -928,3 +928,28 @@ def test_warp_through_rd_new_matches_single_array_oracle(spark):
     want = warp._sample_point(arr, np.ones_like(arr, dtype=bool), 0, 0,
                               sx, sy, "bilinear", -1.0, use_mask=False)
     np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+
+
+def test_eov_hungarian_grid():
+    """HD72 / EOV (EPSG:23700): the Hungarian national grid is the same
+    Swiss-style alpha=90 Hotine variant B on GRS67 behind a 3-parameter
+    shift. The projection centre maps to the false origin (sub-decimetre
+    — the alpha=90 centre is a float singularity of the asin-clip in
+    lambda_0; real points are exact, cf. the swisstopo Rigi pin), and
+    the full WGS84 chain round-trips."""
+    bes = T.ELLIPSOIDS["GRS67"]
+    lat0 = 47.0 + 8.0 / 60 + 39.8174 / 3600
+    lon0 = 19.0 + 2.0 / 60 + 54.8584 / 3600
+    x, y = T.omerc_forward(lon0, lat0, lon0, lat0, 90.0, 90.0, 0.99993,
+                           650000.0, 200000.0, True, bes)
+    assert abs(float(x) - 650000.0) < 0.1
+    assert abs(float(y) - 200000.0) < 0.1
+    xs, ys = T.transform("EPSG:4326", "EPSG:23700",
+                         np.array([16.2, 19.05, 22.8]),
+                         np.array([45.8, 47.5, 48.5]))
+    lo, la = T.transform("EPSG:23700", "EPSG:4326", xs, ys)
+    np.testing.assert_allclose(lo, [16.2, 19.05, 22.8], atol=1e-8)
+    np.testing.assert_allclose(la, [45.8, 47.5, 48.5], atol=1e-8)
+    # Budapest lands in the EOV numeric range (E ~650km, N ~240km)
+    xb, yb = T.transform("EPSG:4326", "EPSG:23700", 19.0458, 47.5070)
+    assert 600000 < float(xb) < 700000 and 200000 < float(yb) < 300000
