@@ -7530,3 +7530,38 @@ def q_snapshot_merge_delete(spark, sf_dir):
             key="doc_id")
     t.delete_where("doc_id % 7 = 0")
     return t.read().select("doc_id", "n_chars")
+
+
+@_reg("topojson_roundtrip", f"""
+{_pts_cte()}
+SELECT doc_id,
+       ROUND(floor(lon * 10000000.0 + 0.5) / 10000000.0, 9) AS x_r,
+       ROUND(floor(lat * 10000000.0 + 0.5) / 10000000.0, 9) AS y_r
+FROM pts WHERE doc_id % 19 = 0
+""")
+def q_topojson_roundtrip(spark, sf_dir):
+    """TopoJSON driver round-trip (ogrtopojsonreader.cpp: quantized
+    positions decode as v*scale + translate; arcs delta-decode with a
+    running sum): every 19th page writes as a quantized Point into a
+    Topology and reads back through the broadcast-arc executor decode;
+    the oracle recomputes the 1e-7 grid snap."""
+    import os
+    import tempfile
+
+    from .core import wkb as _wkb
+    from .sources.topojson import read_topojson, write_topojson
+
+    rows = (datagen.points(spark, sf_dir).where(F.col("doc_id") % 19 == 0)
+            .select("doc_id", "lon", "lat").orderBy("doc_id").collect())
+    path = os.path.join(tempfile.gettempdir(),
+                        f"gdal_spark_tj_{os.getpid()}.topojson")
+    import numpy as np
+    feats = [(int(r.doc_id), {},
+              _wkb.Geom(_wkb.POINT, [np.array([[r.lon, r.lat]])]))
+             for r in rows]
+    write_topojson(path, {"pages": feats}, quantum=1e-7)
+    df = read_topojson(spark, path)
+    px, py = _pxy_udfs()
+    return df.select(F.col("fid").alias("doc_id"),
+                     F.round(px("geom"), 9).alias("x_r"),
+                     F.round(py("geom"), 9).alias("y_r"))

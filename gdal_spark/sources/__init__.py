@@ -122,6 +122,9 @@ def open_vector(spark, path: str, **kwargs):
     if low.endswith(".dgn"):
         from .dgn import read_dgn
         return read_dgn(spark, path)
+    if low.endswith(".topojson"):
+        from .topojson import read_topojson
+        return read_topojson(spark, path)
     if low.endswith(".gmt"):
         from .gmt import read_gmt
         return read_gmt(spark, path)
