@@ -436,3 +436,51 @@ def pca_whiten(emb: DataFrame, k: int, dim: int = EMBED_DIM,
         return pd.Series(list(out))
 
     return emb.select("vec_id", proj(F.col(vec_col)).alias("proj"))
+
+
+def _cos_to_seed(vec: Column, seed: np.ndarray) -> Column:
+    """cos(v, seed) as a JVM fold against a broadcast literal array."""
+    lit = F.array(*[F.lit(float(x)) for x in seed])
+    return cosine(vec, lit)
+
+
+def semdedup(emb: DataFrame, n_clusters: int = 8,
+             threshold: float = 0.35) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication that bounds the quadratic pair search inside k-means
+    cells. Here the cells come from deterministic seeds (the n_clusters
+    lowest vec_ids, the same convention as kmeans_centroids init) so the
+    assignment is exactly reproducible: cluster = argmax cosine to seed,
+    ties -> lowest seed index. A row is a duplicate when a LOWER-id row
+    in the SAME cluster has cosine >= threshold (SemDeDup's keep-one
+    rule with the deterministic "keep lowest id" tiebreak).
+    -> (vec_id, cluster, is_dup).
+
+    Scale shape: seed table is K x dim literals (broadcast, map-only
+    assignment in whole-stage codegen); the pair join shuffles once on
+    the cluster key and compares only within-cluster pairs — at corpus
+    scale K grows with N so cluster sizes stay bounded and the O(n^2)
+    term never materializes globally (the paper's point). A hot cluster
+    is the classic skew case: salt it with the triangle scheme of
+    neardup_lsh if one cell dominates.
+    """
+    e = emb.select("vec_id", as_double("embedding").alias("v"))
+    seeds = np.array([r.v for r in
+                      e.orderBy("vec_id").limit(n_clusters).collect()])
+    coses = F.array(*[_cos_to_seed(F.col("v"), s) for s in seeds])
+    a = e.withColumn(
+        "cluster",
+        (F.array_position(coses, F.array_max(coses)) - 1).cast("int"))
+    left = a.select(F.col("vec_id").alias("a_id"),
+                    F.col("cluster").alias("cl"), F.col("v").alias("va"))
+    right = a.select(F.col("vec_id").alias("b_id"),
+                     F.col("cluster").alias("cl"), F.col("v").alias("vb"))
+    dups = (left.join(right, "cl")
+            .where(F.col("a_id") < F.col("b_id"))
+            .where(cosine(F.col("va"), F.col("vb")) >= F.lit(threshold))
+            .select(F.col("b_id").alias("vec_id")).distinct()
+            .withColumn("is_dup", F.lit(1)))
+    return (a.join(dups, "vec_id", "left")
+            .select("vec_id", "cluster",
+                    F.coalesce(F.col("is_dup"), F.lit(0)).cast("int")
+                    .alias("is_dup")))

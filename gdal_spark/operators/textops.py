@@ -1137,3 +1137,84 @@ def bpe_token_counts(docs: DataFrame, n_merges: int = 3) -> DataFrame:
             .select("doc_id", "n_ws",
                     F.coalesce("n_bpe", F.lit(0)).cast("long")
                     .alias("n_bpe")))
+
+
+def bm25_topk(docs: DataFrame, terms=("spark", "hash", "merge"),
+              k1: float = 1.2, b: float = 0.75, k: int = 20) -> DataFrame:
+    """Okapi BM25 ranking of the corpus against a fixed term set
+    (Robertson & Zaragoza 2009): idf = ln(1 + (N - df + .5)/(df + .5)),
+    score = sum_t idf_t * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)).
+    -> (doc_id, rank, score_r), top-k by (score desc, doc_id asc).
+
+    Scale shape: ONE corpus scan builds the per-doc term-count table
+    (persisted, vocabulary x docs shaped after map-side combine);
+    doc length, query-term tf, and df all derive from it — no second
+    pass over the corpus. df joins back broadcast; N and avgdl are
+    one-row aggregates. The final top-k is TakeOrderedAndProject."""
+    from pyspark.sql import Window
+
+    cnts = (docs.select("doc_id", F.explode(words_col()).alias("term"))
+            .where(F.length("term") > 0)
+            .groupBy("doc_id", "term")
+            .agg(F.count("*").cast("long").alias("c")))
+    cnts = cnts.persist()
+    dl = cnts.groupBy("doc_id").agg(F.sum("c").cast("long").alias("dl"))
+    n_docs = docs.count()
+    avgdl = (dl.agg(F.sum("dl")).collect()[0][0] or 0) / float(n_docs)
+    tf = (cnts.where(F.col("term").isin(*terms))
+          .select("doc_id", "term", F.col("c").alias("tf")))
+    df_t = tf.groupBy("term").agg(F.count("*").cast("long")
+                                  .alias("df_cnt"))
+    idf = F.log(1.0 + (F.lit(float(n_docs)) - F.col("df_cnt") + 0.5)
+                / (F.col("df_cnt") + 0.5))
+    denom = (F.col("tf") + k1 * (1.0 - b + b * F.col("dl")
+                                 / F.lit(float(avgdl))))
+    part = idf * (F.col("tf") * (k1 + 1.0)) / denom
+    scored = (tf.join(F.broadcast(df_t), "term").join(dl, "doc_id")
+              .groupBy("doc_id").agg(F.sum(part).alias("score")))
+    # distributed top-k (TakeOrderedAndProject: per-partition partial
+    # top-k, never a single-partition window over the corpus); the rank
+    # window then runs over only k rows
+    top = scored.orderBy(F.col("score").desc(),
+                         F.col("doc_id").asc()).limit(k)
+    win = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (top.withColumn("rank", F.row_number().over(win))
+            .select("doc_id", F.col("rank").cast("int").alias("rank"),
+                    F.round("score", 6).alias("score_r")))
+
+
+def dsir_weights(docs: DataFrame, target_lang: str = "de") -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169) with
+    unigram features: log w(d) = sum_tok [ln p_target(tok) - ln p_raw(tok)]
+    where both distributions are add-0.5-smoothed over the raw vocabulary
+    (p(w) = (c_w + .5)/(T + .5*|V|)). The target slice here is one
+    language of the corpus; at production scale it is the high-quality
+    reference corpus. -> (doc_id, logw_r).
+
+    Scale shape: ONE corpus scan builds the doc-term count table; the
+    raw and target unigram tables both aggregate from it (no second
+    scan); the per-term log-ratio table is vocabulary-sized and joins
+    back broadcast, so the final per-doc weight is a map-side-combined
+    groupBy."""
+    tf = (docs.select("doc_id", "lang",
+                      F.explode(words_col()).alias("term"))
+          .where(F.length("term") > 0)
+          .groupBy("doc_id", "lang", "term")
+          .agg(F.count("*").cast("long").alias("c")))
+    tf = tf.persist()
+    raw = tf.groupBy("term").agg(F.sum("c").alias("cr"))
+    tgt = (tf.where(F.col("lang") == target_lang)
+           .groupBy("term").agg(F.sum("c").alias("ct")))
+    r_tot, v_size = raw.agg(F.sum("cr"), F.count("*")).collect()[0]
+    t_tot = tgt.agg(F.sum("ct")).collect()[0][0] or 0
+    lograt = (raw.join(tgt, "term", "left")
+              .select("term",
+                      (F.log((F.coalesce(F.col("ct"), F.lit(0)) + 0.5)
+                             / F.lit(float(t_tot) + 0.5 * v_size))
+                       - F.log((F.col("cr") + 0.5)
+                               / F.lit(float(r_tot) + 0.5 * v_size))
+                       ).alias("lr")))
+    return (tf.join(F.broadcast(lograt), "term")
+            .groupBy("doc_id")
+            .agg(F.round(F.sum(F.col("c") * F.col("lr")), 6)
+                 .alias("logw_r")))

@@ -7565,3 +7565,104 @@ def q_topojson_roundtrip(spark, sf_dir):
     return df.select(F.col("fid").alias("doc_id"),
                      F.round(px("geom"), 9).alias("x_r"),
                      F.round(py("geom"), 9).alias("y_r"))
+
+
+@_reg("bm25_topk", """
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+           FROM documents),
+w2 AS (SELECT doc_id, term FROM w WHERE len(term) > 0),
+dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+       FROM w2 GROUP BY doc_id),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+ad AS (SELECT CAST(SUM(dl) AS DOUBLE) / (SELECT n_docs FROM n) AS avgdl
+       FROM dl),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM w2
+       WHERE term IN ('spark', 'hash', 'merge') GROUP BY doc_id, term),
+dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df_cnt
+        FROM tf GROUP BY term),
+s AS (SELECT tf.doc_id,
+             ln(1.0 + (CAST((SELECT n_docs FROM n) AS DOUBLE)
+                       - dft.df_cnt + 0.5) / (dft.df_cnt + 0.5))
+             * (tf.tf * (1.2 + 1.0))
+             / (tf.tf + 1.2 * (1.0 - 0.75
+                + 0.75 * dl.dl / (SELECT avgdl FROM ad))) AS part
+      FROM tf JOIN dft USING (term) JOIN dl USING (doc_id)),
+sc AS (SELECT doc_id, SUM(part) AS score FROM s GROUP BY doc_id)
+SELECT doc_id, rank, score_r FROM (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+           AS INTEGER) AS rank,
+         ROUND(score, 6) AS score_r
+  FROM sc) WHERE rank <= 20
+""")
+def q_bm25_topk(spark, sf_dir):
+    """Okapi BM25 top-20 for a fixed 3-term query (k1=1.2, b=0.75) —
+    the ranking primitive of retrieval-based curation (e.g. selecting
+    pages matching a seed query set)."""
+    docs = _t(spark, sf_dir, "documents")
+    return textops.bm25_topk(docs)
+
+
+@_reg("dsir_weights", """
+WITH w AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+           FROM documents),
+tf AS (SELECT doc_id, lang, term, CAST(count(*) AS BIGINT) AS c
+       FROM w WHERE len(term) > 0 GROUP BY doc_id, lang, term),
+raw AS (SELECT term, SUM(c) AS cr FROM tf GROUP BY term),
+tgt AS (SELECT term, SUM(c) AS ct FROM tf WHERE lang = 'de'
+        GROUP BY term),
+tot AS (SELECT (SELECT CAST(SUM(cr) AS DOUBLE) FROM raw) AS r_tot,
+               (SELECT CAST(count(*) AS BIGINT) FROM raw) AS v_size,
+               (SELECT CAST(COALESCE(SUM(ct), 0) AS DOUBLE) FROM tgt)
+                 AS t_tot),
+lr AS (SELECT raw.term,
+              ln((COALESCE(tgt.ct, 0) + 0.5)
+                 / (tot.t_tot + 0.5 * tot.v_size))
+            - ln((raw.cr + 0.5) / (tot.r_tot + 0.5 * tot.v_size)) AS lr
+       FROM raw LEFT JOIN tgt USING (term), tot)
+SELECT tf.doc_id, ROUND(SUM(tf.c * lr.lr), 6) AS logw_r
+FROM tf JOIN lr USING (term) GROUP BY tf.doc_id
+""")
+def q_dsir_weights(spark, sf_dir):
+    """DSIR unigram importance log-weights against the 'de' slice as
+    the target distribution (Xie et al. 2023): the data-selection
+    reweighting step of a pretraining pipeline."""
+    docs = _t(spark, sf_dir, "documents")
+    return textops.dsir_weights(docs, target_lang="de")
+
+
+_SEMDEDUP_COS = ("list_dot_product(x.v, y.v)"
+                 " / (sqrt(list_dot_product(x.v, x.v))"
+                 " * sqrt(list_dot_product(y.v, y.v)))")
+
+@_reg("semdedup", f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (SELECT vec_id AS seed_id, v AS sv FROM e ORDER BY vec_id LIMIT 8),
+si AS (SELECT CAST(row_number() OVER (ORDER BY seed_id) - 1 AS INTEGER)
+         AS seed, sv FROM s),
+cs AS (SELECT e.vec_id, si.seed,
+              list_dot_product(e.v, si.sv)
+               / (sqrt(list_dot_product(e.v, e.v))
+                  * sqrt(list_dot_product(si.sv, si.sv))) AS cos
+       FROM e, si),
+a AS (SELECT vec_id, seed AS cluster FROM (
+        SELECT vec_id, seed,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, seed ASC) AS rk
+        FROM cs) WHERE rk = 1),
+av AS (SELECT a.vec_id, a.cluster, e.v FROM a JOIN e USING (vec_id)),
+dups AS (SELECT DISTINCT y.vec_id
+         FROM av x JOIN av y
+           ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+         WHERE {_SEMDEDUP_COS} >= 0.35)
+SELECT av.vec_id, av.cluster,
+       CAST(CASE WHEN dups.vec_id IS NULL THEN 0 ELSE 1 END AS INTEGER)
+         AS is_dup
+FROM av LEFT JOIN dups USING (vec_id)
+""")
+def q_semdedup(spark, sf_dir):
+    """SemDeDup over the embeddings table: deterministic-seed cluster
+    assignment bounds the pairwise cosine search, keep-lowest-id rule
+    flags duplicates."""
+    return simsearch.semdedup(_t(spark, sf_dir, "embeddings"),
+                              n_clusters=8, threshold=0.35)
