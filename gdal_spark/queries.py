@@ -7666,3 +7666,28 @@ def q_semdedup(spark, sf_dir):
     flags duplicates."""
     return simsearch.semdedup(_t(spark, sf_dir, "embeddings"),
                               n_clusters=8, threshold=0.35)
+
+
+@_reg("cog_overviews", _DENSITY_XY_SQL + """
+SELECT CAST(x // 2 AS BIGINT) AS x, CAST(y // 2 AS BIGINT) AS y,
+       SUM(v) / 4.0 AS val_r
+FROM vals GROUP BY 1, 2
+""")
+def q_cog_overviews(spark, sf_dir):
+    """Cloud Optimized GeoTIFF sink (frmts/gtiff/cogdriver.cpp): the
+    64x64 density raster writes as a COG (IFD chain up front, overview
+    pyramid built as bounded parent-tile groupBys, data
+    smallest-overview-first), then the level-1 overview reads back
+    through the next-IFD chain and every pixel must equal the
+    SQL-recomputed 2x2 average of the full-res grid."""
+    import os
+    import tempfile
+
+    from .sources.geotiff import read_gtiff, write_cog
+
+    t = _density_tiles_full(spark, sf_dir)
+    path = os.path.join(tempfile.gettempdir(),
+                        f"gdal_spark_cog_{os.getpid()}.tif")
+    write_cog(t, path, 64, 64, tile=8, dtype="float64",
+              geotransform=(-180.0, 5.625, 0.0, 90.0, 0.0, -2.8125))
+    return _px_rows(read_gtiff(spark, path, tile=8, ifd=1), tile=8)

@@ -285,6 +285,11 @@ def save_raster(tiles, path: str, tile: int = 256, **kwargs):
                         F.max("tile_y").alias("my")).collect()[0]
         w = (int(ext.mx) + 1) * tile
         h = (int(ext.my) + 1) * tile
+    want_cog = kwargs.pop("cog", False)
+    if want_cog or low.endswith((".cog.tif", ".cog.tiff")):
+        from .geotiff import write_cog
+        return write_cog(tiles, path, width=w, height=h, tile=tile,
+                         **kwargs)
     if low.endswith((".tif", ".tiff")):
         from .geotiff import write_gtiff_tiles
         return write_gtiff_tiles(tiles, path, width=w, height=h,

@@ -52,7 +52,9 @@ _DTYPES = {  # (bits, sample_format) -> numpy dtype
 # IFD parse
 # ---------------------------------------------------------------------------
 
-def read_ifd(path: str) -> dict:
+def read_ifd(path: str, ifd: int = 0) -> dict:
+    """Parse the `ifd`-th IFD (0 = full resolution; COG overview IFDs
+    follow on the next-IFD chain, smallest last)."""
     with open(path, "rb") as f:
         head = f.read(8)
         if head[:4] == b"II*\x00":
@@ -62,6 +64,13 @@ def read_ifd(path: str) -> dict:
         else:
             raise ValueError("not a classic TIFF")
         ifd_off = struct.unpack(e + "I", head[4:])[0]
+        for _ in range(ifd):
+            f.seek(ifd_off)
+            n0 = struct.unpack(e + "H", f.read(2))[0]
+            f.seek(ifd_off + 2 + 12 * n0)
+            ifd_off = struct.unpack(e + "I", f.read(4))[0]
+            if ifd_off == 0:
+                raise ValueError(f"TIFF has no IFD #{ifd}")
         f.seek(ifd_off)
         n = struct.unpack(e + "H", f.read(2))[0]
         entries = f.read(12 * n)
@@ -307,14 +316,27 @@ def _decode_block(raw: bytes, info: dict, h: int, w: int,
 # distributed reader -> engine tile table
 # ---------------------------------------------------------------------------
 
+def count_ifds(path: str) -> int:
+    """Number of IFDs on the chain (1 + overview count for a COG)."""
+    n = 0
+    while True:
+        try:
+            read_ifd(path, n)
+        except ValueError:
+            return n
+        n += 1
+
+
 def read_gtiff(spark: SparkSession, path: str, tile: int = 256,
-               band: int = 1, nodata: float | None = None) -> DataFrame:
+               band: int = 1, nodata: float | None = None,
+               ifd: int = 0) -> DataFrame:
     """-> engine tile table (band, zoom=0, tile_x, tile_y, dtype, nodata,
     px). Each task decodes the TIFF blocks overlapping one engine tile-row
     and slices/pads them into `tile`-sized tiles. Multi-sample chunky
     (PlanarConfiguration=1) files emit one tile row per sample, numbered
-    band 1..N; `band` offsets the numbering for single-sample files."""
-    info = read_ifd(path)
+    band 1..N; `band` offsets the numbering for single-sample files.
+    `ifd` selects an overview level for COG files (0 = full res)."""
+    info = read_ifd(path, ifd)
     width, height = info["width"], info["height"]
     nsamp = info["samples"]
     planar2 = info.get("planar", 1) == 2 and nsamp > 1
@@ -665,3 +687,191 @@ def tile_index(spark: SparkSession, paths: list[str]) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
     return pdf.mapInPandas(index, schema)
+
+
+# ---------------------------------------------------------------------------
+# Cloud Optimized GeoTIFF sink: IFD-first layout + distributed overviews
+# ---------------------------------------------------------------------------
+
+NEW_SUBFILE_TYPE = 254
+
+
+def cog_levels(width: int, height: int, tile: int) -> list:
+    """COG overview plan (frmts/gtiff/cogdriver.cpp GDALCOGCreator:
+    halve until the level fits one block): [(w, h), ...], level 0 first."""
+    lv = [(width, height)]
+    while max(lv[-1]) > tile:
+        lv.append(((lv[-1][0] + 1) // 2, (lv[-1][1] + 1) // 2))
+    return lv
+
+
+def overview_tiles(tiles_df: DataFrame, tile: int, dtype: str,
+                   fill: float = 0.0) -> DataFrame:
+    """One overview level: child tile (tx, ty) average-pools 2x2 into
+    quadrant (tx&1, ty&1) of parent (tx>>1, ty>>1). A single groupBy on
+    the parent key (<=4 rows per group) — the pyramid is log2(n) such
+    bounded shuffles, never a driver-side mosaic. Average is the exact
+    mean of the 4 children's pixels in float64 (GDAL's AVERAGE
+    resampling); absent children contribute `fill` implicitly by
+    staying at `fill` in the parent."""
+    dt = np.dtype(dtype)
+    half = tile // 2
+    cols = ["tile_x", "tile_y", "dtype", "px"]
+
+    def agg(key, pdf):
+        out = np.full((tile, tile), fill, np.float64)
+        for r in pdf.itertuples():
+            a = np.frombuffer(r.px, np.dtype(r.dtype)) \
+                .reshape(tile, tile).astype(np.float64)
+            q = a.reshape(half, 2, half, 2).mean(axis=(1, 3))
+            qy, qx = int(r.tile_y) & 1, int(r.tile_x) & 1
+            out[qy * half:(qy + 1) * half,
+                qx * half:(qx + 1) * half] = q
+        return pd.DataFrame(
+            [(int(key[0]), int(key[1]), str(dt),
+              out.astype(dt).tobytes())], columns=cols)
+
+    src = tiles_df.select(
+        (tiles_df.tile_x.cast("long") / 2).cast("long").alias("ptx"),
+        (tiles_df.tile_y.cast("long") / 2).cast("long").alias("pty"),
+        "tile_x", "tile_y", "dtype", "px")
+    schema = T.StructType([
+        T.StructField("tile_x", T.LongType()),
+        T.StructField("tile_y", T.LongType()),
+        T.StructField("dtype", T.StringType()),
+        T.StructField("px", T.BinaryType())])
+    return src.groupBy("ptx", "pty").applyInPandas(agg, schema)
+
+
+def _cog_entries(w: int, h: int, tile: int, dt: np.dtype, offs: list,
+                 block_bytes: int, geotransform, overview: bool) -> list:
+    entries = []
+    if overview:
+        entries.append((NEW_SUBFILE_TYPE, 4, [1]))
+    entries += [(W, 4, [w]), (H, 4, [h]), (BITS, 3, [dt.itemsize * 8]),
+                (COMP, 3, [1]), (PHOTO, 3, [1]), (SPP, 3, [1]),
+                (TILE_W, 3, [tile]), (TILE_L, 3, [tile]),
+                (TILE_OFF, 4, offs),
+                (TILE_CNT, 4, [block_bytes] * len(offs)),
+                (SAMPLE_FORMAT, 3, [_SF_OF_KIND[dt.kind]])]
+    if geotransform is not None and not overview:
+        gx0, dx, _r1, gy0, _r2, dy = geotransform
+        entries += [(MODEL_SCALE, 12, [dx, -dy, 0.0]),
+                    (MODEL_TIEPOINT, 12, [0.0, 0.0, 0.0, gx0, gy0, 0.0])]
+    entries.sort(key=lambda e: e[0])
+    return entries
+
+
+def _ifd_blob(entries: list, ifd_off: int, next_off: int) -> bytes:
+    n = len(entries)
+    tail_off = ifd_off + 2 + 12 * n + 4
+    ifd = struct.pack("<H", n)
+    tail = b""
+    for tg, typ, vals in entries:
+        fmt = _TYPE_FMT[typ]
+        payload = b"".join(struct.pack(fmt, v) for v in vals)
+        if len(payload) <= 4:
+            ifd += struct.pack("<HHI", tg, typ, len(vals)) \
+                + payload.ljust(4, b"\x00")
+        else:
+            ifd += struct.pack("<HHII", tg, typ, len(vals),
+                               tail_off + len(tail))
+            tail += payload
+    ifd += struct.pack("<I", next_off)
+    return ifd + tail
+
+
+def _ifd_size(n_entries: int, n_blocks: int, geo: bool,
+              overview: bool) -> int:
+    """Byte size of one composed IFD + its oversize-value tail."""
+    n = n_entries
+    tail = 0
+    if n_blocks > 1:
+        tail += 2 * 4 * n_blocks          # TILE_OFF + TILE_CNT arrays
+    if geo and not overview:
+        tail += 24 + 48                   # ModelPixelScale + Tiepoint
+    return 2 + 12 * n + 4 + tail
+
+
+def write_cog(tiles_df: DataFrame, path: str, width: int, height: int,
+              tile: int = 256, dtype: str = "float64",
+              fill: float = 0.0, geotransform=None) -> None:
+    """Engine tile table -> Cloud Optimized GeoTIFF, fully distributed:
+    the complete IFD chain (full res + every overview, overview IFDs
+    flagged NewSubfileType=1) sits at the FRONT of the file so a range
+    reader learns the whole layout from one header fetch, and tile data
+    follows smallest-overview-first with full resolution last — the COG
+    layout of the reference's COG driver (frmts/gtiff/cogdriver.cpp).
+
+    Scale shape: with fixed-size uncompressed blocks every byte range is
+    known up front, so the driver writes only header + IFDs + fill
+    preallocation; each overview level is ONE bounded groupBy of the
+    level below (overview_tiles), and every level's tasks pwrite their
+    own disjoint ranges — no driver-side pixel traffic at any level."""
+    if tile % 2:
+        raise ValueError("COG tile size must be even")
+    dt = np.dtype(dtype)
+    block_bytes = tile * tile * dt.itemsize
+    levels = cog_levels(width, height, tile)
+    n_lv = len(levels)
+    grids = [((w + tile - 1) // tile, (h + tile - 1) // tile)
+             for w, h in levels]
+    geo = geotransform is not None
+
+    # IFD region: level-0 IFD first, then overviews in resolution order
+    n_entries = [11 + (1 if lv > 0 else 0) + (2 if geo and lv == 0 else 0)
+                 for lv in range(n_lv)]
+    ifd_offs, pos = [], 8
+    for lv in range(n_lv):
+        ifd_offs.append(pos)
+        pos += _ifd_size(n_entries[lv], grids[lv][0] * grids[lv][1],
+                         geo, lv > 0)
+
+    # data region: smallest overview first, full res last
+    data_off = {}
+    for lv in range(n_lv - 1, -1, -1):
+        data_off[lv] = pos
+        pos += grids[lv][0] * grids[lv][1] * block_bytes
+
+    blobs = []
+    for lv, (w, h) in enumerate(levels):
+        nx, ny = grids[lv]
+        offs = [data_off[lv] + k * block_bytes for k in range(nx * ny)]
+        nxt = ifd_offs[lv + 1] if lv + 1 < n_lv else 0
+        entries = _cog_entries(w, h, tile, dt, offs, block_bytes,
+                               geotransform, lv > 0)
+        blobs.append(_ifd_blob(entries, ifd_offs[lv], nxt))
+
+    fill_block = np.full((tile, tile), fill, dt).tobytes()
+    with open(path, "wb") as f:
+        f.write(b"II*\x00" + struct.pack("<I", ifd_offs[0]))
+        for b in blobs:
+            f.write(b)
+        for lv in range(n_lv - 1, -1, -1):
+            for _ in range(grids[lv][0] * grids[lv][1]):
+                f.write(fill_block)
+
+    def writer(lv):
+        nx, ny = grids[lv]
+        start = data_off[lv]
+
+        def emit(batches):
+            with open(path, "r+b") as f:
+                for pdf in batches:
+                    for r in pdf.itertuples():
+                        tx, ty = int(r.tile_x), int(r.tile_y)
+                        if not (0 <= tx < nx and 0 <= ty < ny):
+                            continue
+                        arr = np.frombuffer(r.px, np.dtype(r.dtype)) \
+                            .reshape(tile, tile).astype(dt)
+                        f.seek(start + (ty * nx + tx) * block_bytes)
+                        f.write(arr.tobytes())
+                yield pd.DataFrame({"n": [1]})
+        return emit
+
+    out_schema = T.StructType([T.StructField("n", T.IntegerType())])
+    cur = tiles_df.select("tile_x", "tile_y", "dtype", "px")
+    for lv in range(n_lv):
+        if lv > 0:
+            cur = overview_tiles(cur, tile, dtype, fill).persist()
+        cur.mapInPandas(writer(lv), out_schema).count()
