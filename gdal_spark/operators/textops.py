@@ -1218,3 +1218,61 @@ def dsir_weights(docs: DataFrame, target_lang: str = "de") -> DataFrame:
             .groupBy("doc_id")
             .agg(F.round(F.sum(F.col("c") * F.col("lr")), 6)
                  .alias("logw_r")))
+
+
+def hashed_ngram_scores(docs: DataFrame, pos_lang: str = "en",
+                        bits: int = 16) -> DataFrame:
+    """fastText-style hashing-trick classifier scores (Joulin et al.
+    2016, arXiv:1607.01759) with naive-Bayes log-count-ratio weights
+    (Wang & Manning 2012, NBSVM): unigram + bigram features hash into
+    2^bits buckets via md5, each bucket's weight is the smoothed
+    log-ratio of class-conditional frequencies, and a document scores
+    bias + sum_f c_f * w_f with pred = score > 0 — the cheap quality /
+    domain classifier used by CCNet- and GPT-3-style curation filters.
+    -> (doc_id, score_r, pred).
+
+    Why hashing survives scale: the weight table is FIXED at 2^bits
+    rows regardless of corpus size, so it broadcasts at 100 TB exactly
+    as at 1 GB (a raw-vocabulary weight table grows with the corpus and
+    eventually can't). One corpus scan builds the per-doc bucket-count
+    table; class totals, bucket weights and doc scores all derive from
+    it — counts are map-side-combined groupBys, scoring is a broadcast
+    join."""
+    import math
+
+    B = 1 << bits
+    ws = words_col()
+    n = F.size(ws)
+    uni = docs.select("doc_id", "lang", F.explode(ws).alias("g"))
+    big = docs.select(
+        "doc_id", "lang",
+        F.explode(F.arrays_zip(F.slice(ws, 1, n - 1),
+                               F.slice(ws, 2, n - 1))).alias("p")) \
+        .select("doc_id", "lang",
+                F.concat_ws(" ", "p.0", "p.1").alias("g"))
+    feats = uni.unionByName(big).select(
+        "doc_id", "lang",
+        (F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("long")
+         % B).alias("f"))
+    cnt = (feats.groupBy("doc_id", "lang", "f")
+           .agg(F.count("*").cast("long").alias("c")))
+    cnt = cnt.persist()
+    pos = F.col("lang") == pos_lang
+    agg = cnt.groupBy("f").agg(
+        F.sum(F.when(pos, F.col("c")).otherwise(0)).alias("cp"),
+        F.sum(F.when(~pos, F.col("c")).otherwise(0)).alias("cn"))
+    tp, tn = [float(x) for x in
+              agg.agg(F.sum("cp"), F.sum("cn")).collect()[0]]
+    n_pos = docs.where(pos).count()
+    n_neg = docs.count() - n_pos
+    bias = math.log(n_pos / n_neg)
+    w = agg.select("f", (F.log((F.col("cp") + 0.5)
+                               / F.lit(tp + 0.5 * B))
+                         - F.log((F.col("cn") + 0.5)
+                                 / F.lit(tn + 0.5 * B))).alias("w"))
+    return (cnt.join(F.broadcast(w), "f")
+            .groupBy("doc_id")
+            .agg((F.lit(bias) + F.sum(F.col("c") * F.col("w")))
+                 .alias("score"))
+            .select("doc_id", F.round("score", 6).alias("score_r"),
+                    (F.col("score") > 0).cast("int").alias("pred")))

@@ -7691,3 +7691,38 @@ def q_cog_overviews(spark, sf_dir):
     write_cog(t, path, 64, 64, tile=8, dtype="float64",
               geotransform=(-180.0, 5.625, 0.0, 90.0, 0.0, -2.8125))
     return _px_rows(read_gtiff(spark, path, tile=8, ifd=1), tile=8)
+
+
+@_reg("hashed_ngram_classifier", """
+WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS ws
+           FROM documents),
+u AS (SELECT doc_id, lang, unnest(ws) AS g FROM d),
+b2 AS (SELECT doc_id, lang, ws[i] || ' ' || ws[i + 1] AS g
+       FROM d, unnest(generate_series(1, len(ws) - 1)) t(i)),
+f AS (SELECT doc_id, lang,
+             ('0x' || substr(md5(g), 1, 8))::BIGINT % 65536 AS f
+      FROM (SELECT * FROM u UNION ALL SELECT * FROM b2)),
+cnt AS (SELECT doc_id, lang, f, CAST(count(*) AS BIGINT) AS c
+        FROM f GROUP BY 1, 2, 3),
+agg AS (SELECT f, SUM(CASE WHEN lang = 'en' THEN c ELSE 0 END) AS cp,
+               SUM(CASE WHEN lang != 'en' THEN c ELSE 0 END) AS cn
+        FROM cnt GROUP BY f),
+tot AS (SELECT CAST(SUM(cp) AS DOUBLE) AS tp,
+               CAST(SUM(cn) AS DOUBLE) AS tn FROM agg),
+pri AS (SELECT ln(CAST((SELECT count(*) FROM documents
+                        WHERE lang = 'en') AS DOUBLE)
+                 / (SELECT count(*) FROM documents WHERE lang != 'en'))
+          AS bias),
+w AS (SELECT f, ln((cp + 0.5) / (tot.tp + 0.5 * 65536))
+              - ln((cn + 0.5) / (tot.tn + 0.5 * 65536)) AS w
+      FROM agg, tot)
+SELECT cnt.doc_id, ROUND(pri.bias + SUM(cnt.c * w.w), 6) AS score_r,
+       CAST((pri.bias + SUM(cnt.c * w.w)) > 0 AS INTEGER) AS pred
+FROM cnt JOIN w USING (f), pri GROUP BY cnt.doc_id, pri.bias
+""")
+def q_hashed_ngram_classifier(spark, sf_dir):
+    """fastText-style hashed unigram+bigram classifier with NB
+    log-count-ratio weights: the fixed-2^16-bucket weight table is the
+    point — it broadcasts at any corpus size."""
+    docs = _t(spark, sf_dir, "documents")
+    return textops.hashed_ngram_scores(docs, pos_lang="en", bits=16)

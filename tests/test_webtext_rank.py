@@ -65,11 +65,9 @@ def test_dsir_weights_prefer_target_language(spark):
     # doc0 is pure target vocabulary -> highest importance weight;
     # doc1 is pure raw-only vocabulary -> lowest
     assert out[0] > out[2] > out[1]
-    # hand-check doc1: terms the(x2), of(x1); ct=0 for both;
-    # raw: the cr=3, of cr=1; T=3 (der x3... wait: der appears 3x in
-    # doc0 + 1x in doc2 = 4? doc0 'der und der' -> der 2, und 1;
-    # doc2 'der the' -> der 1. target slice = doc0 only: T = 3.
-    # V = |{der, und, the, of}| = 4; R = 8 tokens total.
+    # hand-check doc1: terms the(x2), of(x1), both absent from the
+    # target slice (ct=0); raw counts: the=3, of=1. Target slice is
+    # doc0 only -> T=3 tokens; V=|{der,und,the,of}|=4; R=8 tokens.
     T, V, R = 3.0, 4, 8.0
     def lr(ct, cr):
         return (math.log((ct + 0.5) / (T + 0.5 * V))
@@ -104,3 +102,24 @@ def test_semdedup_dup_rule_is_lowest_id_wins(spark):
            simsearch.semdedup(_emb(spark, vecs), n_clusters=1,
                               threshold=0.9).collect()}
     assert out == {0: 0, 1: 1, 2: 1}
+
+
+def test_hashed_ngram_classifier_separates_classes(spark):
+    # positive docs share vocabulary; negatives share a different one
+    rows = [(0, "good fine nice"), (1, "good nice fine"),
+            (2, "bad awful poor"), (3, "awful poor bad")]
+    docs = _docs(spark, rows, lang=["en", "en", "de", "de"])
+    out = {r.doc_id: r for r in
+           textops.hashed_ngram_scores(docs, "en").collect()}
+    assert [out[i].pred for i in range(4)] == [1, 1, 0, 0]
+    assert out[0].score_r > 0 > out[2].score_r
+
+
+def test_hashed_ngram_weight_table_is_bounded(spark):
+    """The hashing trick caps the weight table at 2^bits rows no matter
+    the vocabulary — the property that keeps the broadcast legal at
+    100 TB."""
+    rows = [(i, f"w{i}a w{i}b w{i}c") for i in range(20)]
+    docs = _docs(spark, rows, lang=["en", "de"] * 10)
+    out = textops.hashed_ngram_scores(docs, "en", bits=4).collect()
+    assert len(out) == 20  # every doc scored even with 16 buckets
