@@ -268,6 +268,9 @@ def _cmd_gdal_translate(argv) -> int:
     ap.add_argument("-srcwin", nargs=4, type=int, default=None)
     ap.add_argument("-outsize", nargs=2, type=int, default=None)
     ap.add_argument("-scale", nargs=4, type=float, default=None)
+    ap.add_argument("-of", default=None,
+                    help="output format override (COG writes the "
+                         "cloud-optimized layout with overviews)")
     a = ap.parse_args(argv)
     from pyspark.sql import functions as F
     from .raster.rtranslate import GridSpec, translate_raster
@@ -287,7 +290,8 @@ def _cmd_gdal_translate(argv) -> int:
     if a.scale:
         kw["scale"] = tuple(a.scale)
     out = translate_raster(t, grid, **kw) if kw else t
-    save_raster(out, a.dst, tile=a.tile)
+    skw = {"cog": True} if (a.of or "").upper() == "COG" else {}
+    save_raster(out, a.dst, tile=a.tile, **skw)
     return 0
 
 

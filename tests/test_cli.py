@@ -220,6 +220,15 @@ def test_raster_cli_twins(spark, tmp_path):
     np.testing.assert_array_equal(got_t[:16, :16].astype("f8"),
                                   arr[4:20, 4:20])
 
+    # gdal_translate -of COG -> cloud-optimized layout with overviews
+    dst_g = str(tmp_path / "out.tif")
+    assert cli.main(["gdal_translate", src, dst_g, "-tile", "16",
+                     "-of", "COG"]) == 0
+    from gdal_spark.sources.geotiff import count_ifds, read_gtiff
+    assert count_ifds(dst_g) == 2
+    got_g = tiles_to_raster(read_gtiff(spark, dst_g, tile=16), tile=16)
+    np.testing.assert_array_equal(got_g[:32, :32], arr)
+
 
 def test_gdal2tiles_cli(spark, tmp_path):
     import json as _json
