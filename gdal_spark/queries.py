@@ -7726,3 +7726,30 @@ def q_hashed_ngram_classifier(spark, sf_dir):
     point — it broadcasts at any corpus size."""
     docs = _t(spark, sf_dir, "documents")
     return textops.hashed_ngram_scores(docs, pos_lang="en", bits=16)
+
+
+@_reg("warc_roundtrip", f"""
+WITH pg AS ({datagen.PAGES_SQL})
+SELECT url,
+       strftime(TIMESTAMP '2024-01-01 00:00:00' + to_seconds(doc_id),
+                '%Y-%m-%dT%H:%M:%SZ') AS warc_date,
+       md5(html) AS payload_md5
+FROM pg
+""")
+def q_warc_roundtrip(spark, sf_dir):
+    """WARC (ISO 28500) round trip — the Common Crawl container: pages
+    write as WARC response records via the two-pass prefix-sum executor
+    sink, the driver re-indexes headers only, and executors read the
+    payload ranges back; url, date and payload bytes must survive."""
+    import os
+    import tempfile
+
+    from .sources.warc import read_warc, write_warc
+
+    pg = datagen.pages(spark, sf_dir)
+    path = os.path.join(tempfile.gettempdir(),
+                        f"gdal_spark_warc_{os.getpid()}.warc")
+    write_warc(pg, path)
+    w = read_warc(spark, path)
+    return w.select("url", "warc_date",
+                    F.md5("payload").alias("payload_md5"))

@@ -80,6 +80,9 @@ def open_vector(spark, path: str, **kwargs):
     low = path.lower()
     if low.endswith(".parquet"):
         return spark.read.parquet(path)
+    if low.endswith(".warc"):
+        from .warc import read_warc
+        return read_warc(spark, path, **kwargs)
     if low.endswith((".geojsonl", ".geojsons", ".ndjson")):
         return read_geojson_seq(spark, path)
     if low.endswith((".geojson", ".json")):
