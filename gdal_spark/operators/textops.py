@@ -1276,3 +1276,50 @@ def hashed_ngram_scores(docs: DataFrame, pos_lang: str = "en",
                  .alias("score"))
             .select("doc_id", F.round("score", 6).alias("score_r"),
                     (F.col("score") > 0).cast("int").alias("pred")))
+
+
+def substring_dedup(docs: DataFrame, k: int = 40,
+                    min_count: int = 2) -> DataFrame:
+    """Exact duplicated-substring spans, char-level (the fixed-k
+    relational form of Lee et al. 2021, arXiv:2107.06499 'Deduplicating
+    Training Data Makes Language Models Better': their suffix array
+    finds maximal repeats >= k; marking every duplicated k-gram start
+    and merging overlaps yields the same byte spans): a char k-gram
+    occurring >= min_count times corpus-wide marks positions, and per
+    doc the marked [i, i+k) intervals merge into maximal spans.
+    -> (doc_id, span_lo, span_hi, span_len), 1-based inclusive.
+
+    Scale shape: the position explode is length-bounded per doc; the
+    only corpus-wide shuffle is the k-gram groupBy (at production scale
+    hash each gram to a 64-bit key first to shrink shuffle bytes — the
+    string key here keeps the oracle byte-exact); the interval merge is
+    a per-doc window over only the DUPLICATED positions (gaps-and-
+    islands: break where i > running-max(end) + 1)."""
+    from pyspark.sql import Window
+
+    n = F.length("text")
+    pos = docs.select(
+        "doc_id", "text",
+        F.explode(F.when(n >= k, F.sequence(F.lit(1), n - (k - 1)))
+                  .otherwise(F.array().cast("array<int>"))).alias("i"))
+    grams = pos.select(
+        "doc_id", "i",
+        F.col("text").substr(F.col("i"), F.lit(k)).alias("g"))
+    grams = grams.persist()
+    dup = (grams.groupBy("g").agg(F.count("*").alias("c"))
+           .where(F.col("c") >= min_count).select("g"))
+    hits = grams.join(dup, "g").select("doc_id", "i")
+    w = Window.partitionBy("doc_id").orderBy("i")
+    prev_end = F.max(F.col("i") + (k - 1)) \
+        .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    brk = F.when(F.col("i") > F.coalesce(prev_end, F.lit(-k)) + 1, 1) \
+        .otherwise(0)
+    isl = hits.withColumn("brk", brk).withColumn(
+        "island", F.sum("brk").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (isl.groupBy("doc_id", "island")
+            .agg(F.min("i").cast("long").alias("span_lo"),
+                 (F.max("i") + (k - 1)).cast("long").alias("span_hi"))
+            .select("doc_id", "span_lo", "span_hi",
+                    (F.col("span_hi") - F.col("span_lo") + 1)
+                    .alias("span_len")))

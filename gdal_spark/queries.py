@@ -7753,3 +7753,34 @@ def q_warc_roundtrip(spark, sf_dir):
     w = read_warc(spark, path)
     return w.select("url", "warc_date",
                     F.md5("payload").alias("payload_md5"))
+
+
+@_reg("substring_dedup", """
+WITH d AS (SELECT doc_id, text, len(text) AS n FROM documents),
+pos AS (SELECT doc_id, text, i
+        FROM d, unnest(generate_series(1, n - 39)) t(i)),
+grams AS (SELECT doc_id, i, substr(text, i, 40) AS g FROM pos),
+dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+hits AS (SELECT doc_id, i FROM grams JOIN dup USING (g)),
+m AS (SELECT doc_id, i,
+             CASE WHEN i > COALESCE(max(i + 39) OVER (
+                    PARTITION BY doc_id ORDER BY i
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  -40) + 1 THEN 1 ELSE 0 END AS brk
+      FROM hits),
+isl AS (SELECT doc_id, i,
+               SUM(brk) OVER (PARTITION BY doc_id ORDER BY i
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS island
+        FROM m)
+SELECT doc_id, CAST(min(i) AS BIGINT) AS span_lo,
+       CAST(max(i) + 39 AS BIGINT) AS span_hi,
+       CAST(max(i) + 39 - min(i) + 1 AS BIGINT) AS span_len
+FROM isl GROUP BY doc_id, island
+""")
+def q_substring_dedup(spark, sf_dir):
+    """Char-level exact duplicated-substring spans (k=40): the
+    suffix-array dedup of Lee et al. 2021 in relational form —
+    duplicated k-gram starts merge into maximal byte spans."""
+    docs = _t(spark, sf_dir, "documents")
+    return textops.substring_dedup(docs, k=40, min_count=2)

@@ -123,3 +123,31 @@ def test_hashed_ngram_weight_table_is_bounded(spark):
     docs = _docs(spark, rows, lang=["en", "de"] * 10)
     out = textops.hashed_ngram_scores(docs, "en", bits=4).collect()
     assert len(out) == 20  # every doc scored even with 16 buckets
+
+
+def test_substring_dedup_merges_overlaps(spark):
+    # doc0 and doc1 share the 12-char block 'ABCDEFGHIJKL'; with k=8
+    # the duplicated 8-gram starts {1..5} merge into ONE span [1, 12]
+    docs = _docs(spark, [(0, "ABCDEFGHIJKLxxxx"), (1, "ABCDEFGHIJKLyyyy")])
+    out = {(r.doc_id, r.span_lo, r.span_hi, r.span_len)
+           for r in textops.substring_dedup(docs, k=8).collect()}
+    assert out == {(0, 1, 12, 12), (1, 1, 12, 12)}
+
+
+def test_substring_dedup_separate_islands(spark):
+    # shared prefix and shared suffix with unique middles -> two spans
+    docs = _docs(spark, [(0, "SHAREDPREFIX-aaaa-SHAREDSUFFIX"),
+                         (1, "SHAREDPREFIX-bbbb-SHAREDSUFFIX")])
+    rows = textops.substring_dedup(docs, k=8).collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append((r.span_lo, r.span_hi))
+    assert len(per_doc[0]) == 2 and len(per_doc[1]) == 2
+    (a_lo, a_hi), (b_lo, b_hi) = sorted(per_doc[0])
+    assert (a_lo, a_hi) == (1, 13)       # 'SHAREDPREFIX-'
+    assert (b_lo, b_hi) == (18, 30)      # '-SHAREDSUFFIX'
+
+
+def test_substring_dedup_short_docs_no_rows(spark):
+    docs = _docs(spark, [(0, "tiny"), (1, "tiny")])
+    assert textops.substring_dedup(docs, k=8).count() == 0
