@@ -7784,3 +7784,30 @@ def q_substring_dedup(spark, sf_dir):
     duplicated k-gram starts merge into maximal byte spans."""
     docs = _t(spark, sf_dir, "documents")
     return textops.substring_dedup(docs, k=40, min_count=2)
+
+
+@_reg("warc_gz_roundtrip", f"""
+WITH pg AS ({datagen.PAGES_SQL})
+SELECT url,
+       strftime(TIMESTAMP '2024-01-01 00:00:00' + to_seconds(doc_id),
+                '%Y-%m-%dT%H:%M:%SZ') AS warc_date,
+       md5(html) AS payload_md5
+FROM pg
+""")
+def q_warc_gz_roundtrip(spark, sf_dir):
+    """Common Crawl's .warc.gz layout — one gzip member per record +
+    columnar CDX index: pages compress-and-pwrite from executors (with
+    the zlib-skew layout guard), then read back by byte range through
+    the returned index DataFrame; url/date/payload must survive."""
+    import os
+    import tempfile
+
+    from .sources.warc import read_warc_gz, write_warc_gz
+
+    pg = datagen.pages(spark, sf_dir)
+    path = os.path.join(tempfile.gettempdir(),
+                        f"gdal_spark_warcgz_{os.getpid()}.warc.gz")
+    idx = write_warc_gz(pg, path)
+    w = read_warc_gz(spark, path, idx)
+    return w.select("url", "warc_date",
+                    F.md5("payload").alias("payload_md5"))

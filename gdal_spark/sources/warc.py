@@ -169,3 +169,135 @@ def read_warc(spark: SparkSession, path: str,
                 yield pd.DataFrame(recs, columns=cols)
 
     return rdf.mapInPandas(fetch, READ_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# .warc.gz: one gzip member per record (the Common Crawl layout) + index
+# ---------------------------------------------------------------------------
+
+INDEX_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("warc_date", T.StringType()),
+    T.StructField("off", T.LongType()),
+    T.StructField("len", T.LongType())])
+
+
+def _gzip_member(data: bytes) -> bytes:
+    """Deterministic gzip (no filename, mtime=0): zlib stream with the
+    gzip16 wrapper — the same bytes from every executor."""
+    import zlib
+    c = zlib.compressobj(9, zlib.DEFLATED, 16 + 15)
+    return c.compress(data) + c.flush()
+
+
+def write_warc_gz(pages: DataFrame, path: str, url_col: str = "url",
+                  ts_col: str = "warc_ts",
+                  payload_col: str = "html") -> DataFrame:
+    """pages -> .warc.gz with ONE GZIP MEMBER PER RECORD (Common
+    Crawl's layout: any record is randomly accessible by byte range)
+    plus a RETURNED index DataFrame (url, warc_date, off, len) — the
+    columnar CDX: persist it as parquet next to the archive and
+    read_warc_gz never touches a byte it doesn't need.
+
+    Phase 2 recompresses and VERIFIES each member's length against the
+    phase-1 layout before pwriting — a zlib version skew on a
+    heterogeneous cluster raises instead of silently corrupting the
+    archive (same safeguard as the PMTiles sink)."""
+    d = pages.select(
+        F.col(url_col).alias("u"),
+        F.date_format(F.col(ts_col), _DATE_FMT).alias("ds"),
+        F.col(payload_col).alias("p"))
+    d = d.persist()
+    pid_df = d.withColumn("__pid", F.spark_partition_id())
+
+    stat_schema = T.StructType([T.StructField("pid", T.IntegerType()),
+                                T.StructField("nbytes", T.LongType())])
+
+    def _member(u, ds, body):
+        return _gzip_member(_header(u, ds, len(body)) + body
+                            + b"\r\n\r\n")
+
+    def stats(batches):
+        pid, nbytes = -1, 0
+        for pdf in batches:
+            if len(pdf):
+                pid = int(pdf["__pid"].iloc[0])
+            for r in pdf.itertuples():
+                nbytes += len(_member(r.u, r.ds, bytes(r.p)))
+        yield pd.DataFrame([(pid, nbytes)], columns=["pid", "nbytes"])
+
+    parts = [r for r in pid_df.mapInPandas(stats, stat_schema).collect()
+             if r.pid >= 0]
+    parts.sort(key=lambda r: r.pid)
+    base, off = {}, 0
+    for r in parts:
+        base[int(r.pid)] = (off, int(r.nbytes))
+        off += int(r.nbytes)
+    with open(path, "wb") as f:
+        f.truncate(off)
+    bb = d.sparkSession.sparkContext.broadcast(base)
+
+    def emit(batches):
+        fh, pos, limit = open(path, "r+b"), None, None
+        rows = []
+        for pdf in batches:
+            if len(pdf) and pos is None:
+                pos, nb = bb.value[int(pdf["__pid"].iloc[0])]
+                limit = pos + nb
+            for r in pdf.itertuples():
+                blob = _member(r.u, r.ds, bytes(r.p))
+                # zlib skew between phase 1 and phase 2 would shift
+                # every following member: never write past this
+                # partition's laid-out range, and fail loudly
+                if pos + len(blob) > limit:
+                    raise IOError(
+                        "warc.gz member length drifted from layout "
+                        "(zlib version skew across executors?)")
+                fh.seek(pos)
+                fh.write(blob)
+                rows.append((r.u, r.ds, pos, len(blob)))
+                pos += len(blob)
+        if pos is not None and pos != limit:
+            raise IOError("warc.gz partition underfilled its range "
+                          "(zlib version skew across executors?)")
+        fh.close()
+        yield pd.DataFrame(rows, columns=["url", "warc_date", "off",
+                                          "len"])
+
+    idx = pid_df.mapInPandas(emit, INDEX_SCHEMA)
+    # the index materializes the write; cache so re-reads don't rewrite
+    idx = idx.persist()
+    idx.count()
+    d.unpersist()
+    return idx
+
+
+def read_warc_gz(spark: SparkSession, path: str,
+                 index: DataFrame) -> DataFrame:
+    """(index as written by write_warc_gz, or loaded from its parquet)
+    -> (url, warc_date, warc_type, payload): each task inflates only
+    its own records' gzip members by byte range."""
+    import zlib
+
+    cols = [f.name for f in READ_SCHEMA.fields]
+
+    def fetch(batches):
+        with open(path, "rb") as fh:
+            for pdf in batches:
+                recs = []
+                for r in pdf.itertuples():
+                    fh.seek(int(r.off))
+                    raw = zlib.decompress(fh.read(int(r.len)), 16 + 15)
+                    end = raw.find(b"\r\n\r\n")
+                    fields = {}
+                    for ln in raw[:end].decode().split("\r\n")[1:]:
+                        k, _, v = ln.partition(":")
+                        fields[k.strip().lower()] = v.strip()
+                    clen = int(fields["content-length"])
+                    recs.append((fields.get("warc-target-uri", ""),
+                                 fields.get("warc-date", ""),
+                                 fields.get("warc-type", ""),
+                                 raw[end + 4:end + 4 + clen]))
+                yield pd.DataFrame(recs, columns=cols)
+
+    return index.select("off", "len").mapInPandas(fetch, READ_SCHEMA)

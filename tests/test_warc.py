@@ -64,3 +64,23 @@ def test_warc_external_index_overrides_walk(spark, tmp_path):
     idx = index_warc(path)[:2]         # CDX-style partial index
     got = read_warc(spark, path, index=idx).collect()
     assert len(got) == 2
+
+
+def test_warc_gz_member_per_record_roundtrip(spark, tmp_path):
+    import zlib
+    path = str(tmp_path / "d.warc.gz")
+    from gdal_spark.sources.warc import read_warc_gz, write_warc_gz
+    idx = write_warc_gz(_pages(spark, 12, parts=3), path)
+    rows = idx.collect()
+    assert len(rows) == 12
+    # members tile the file exactly, and each is independently gzip
+    import os
+    assert sum(r.len for r in rows) == os.path.getsize(path)
+    with open(path, "rb") as f:
+        r0 = sorted(rows, key=lambda r: r.off)[0]
+        f.seek(r0.off)
+        raw = zlib.decompress(f.read(r0.len), 16 + 15)
+        assert raw.startswith(b"WARC/1.0\r\n")
+    out = {r.url: bytes(r.payload)
+           for r in read_warc_gz(spark, path, idx).collect()}
+    assert out["https://ex.com/p/7"] == b"<p>body 7</p>"
