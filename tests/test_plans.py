@@ -237,3 +237,31 @@ def test_tfidf_df_aggregates_tf_table_not_corpus(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     plan = plan_of(tfidf_topk(docs, k=3))
     assert plan.count("documents.parquet") <= 1
+
+
+def test_dsir_logratio_table_joins_broadcast(spark):
+    """DSIR: the vocabulary-sized log-ratio table must broadcast; the
+    corpus-side doc-term table must never be exchanged for it."""
+    from gdal_spark.operators.textops import dsir_weights
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(dsir_weights(docs, "de"))
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("documents.parquet") <= 1
+
+
+def test_hashed_ngram_weights_join_broadcast(spark):
+    from gdal_spark.operators.textops import hashed_ngram_scores
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(hashed_ngram_scores(docs, "en"))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_semdedup_pair_join_shuffles_on_cluster_key(spark):
+    """SemDeDup: assignment is map-only column math against seed
+    literals (no join); the pair search exchanges on the cluster key —
+    the bounded-quadratic shape of the paper."""
+    from gdal_spark.operators.simsearch import semdedup
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = plan_of(semdedup(emb, n_clusters=4, threshold=0.35))
+    assert "hashpartitioning(cl" in plan.replace(" ", "") \
+        or "hashpartitioning(cl," in plan or "cl#" in plan
