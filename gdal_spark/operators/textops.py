@@ -1261,11 +1261,13 @@ def hashed_ngram_scores(docs: DataFrame, pos_lang: str = "en",
     agg = cnt.groupBy("f").agg(
         F.sum(F.when(pos, F.col("c")).otherwise(0)).alias("cp"),
         F.sum(F.when(~pos, F.col("c")).otherwise(0)).alias("cn"))
-    tp, tn = [float(x) for x in
+    tp, tn = [float(x or 0) for x in
               agg.agg(F.sum("cp"), F.sum("cn")).collect()[0]]
     n_pos = docs.where(pos).count()
     n_neg = docs.count() - n_pos
-    bias = math.log(n_pos / n_neg)
+    # +0.5-smoothed prior: defined even when one class is absent (e.g.
+    # a heavily filtered slice), matching the feature smoothing
+    bias = math.log((n_pos + 0.5) / (n_neg + 0.5))
     w = agg.select("f", (F.log((F.col("cp") + 0.5)
                                / F.lit(tp + 0.5 * B))
                          - F.log((F.col("cn") + 0.5)

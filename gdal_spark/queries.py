@@ -7709,10 +7709,10 @@ agg AS (SELECT f, SUM(CASE WHEN lang = 'en' THEN c ELSE 0 END) AS cp,
         FROM cnt GROUP BY f),
 tot AS (SELECT CAST(SUM(cp) AS DOUBLE) AS tp,
                CAST(SUM(cn) AS DOUBLE) AS tn FROM agg),
-pri AS (SELECT ln(CAST((SELECT count(*) FROM documents
-                        WHERE lang = 'en') AS DOUBLE)
-                 / (SELECT count(*) FROM documents WHERE lang != 'en'))
-          AS bias),
+pri AS (SELECT ln((CAST((SELECT count(*) FROM documents
+                         WHERE lang = 'en') AS DOUBLE) + 0.5)
+                 / ((SELECT count(*) FROM documents
+                     WHERE lang != 'en') + 0.5)) AS bias),
 w AS (SELECT f, ln((cp + 0.5) / (tot.tp + 0.5 * 65536))
               - ln((cn + 0.5) / (tot.tn + 0.5 * 65536)) AS w
       FROM agg, tot)

@@ -47,6 +47,10 @@ def main(argv=None) -> int:
     ap.add_argument("--sample-rate", type=float, default=1.0)
     ap.add_argument("--ppl-max", type=float, default=None,
                     help="drop docs above this bigram perplexity")
+    ap.add_argument("--classifier-pos-lang", default=None,
+                    help="add a hashed-ngram classifier stage: keep "
+                         "docs the fastText-style NB-weighted "
+                         "classifier scores positive for this lang")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -102,13 +106,26 @@ def main(argv=None) -> int:
 
     runner.stage("quality", quality, upstream=["dedup"])
 
+    pre_sample = "quality"
+    if args.classifier_pos_lang is not None:
+
+        def classify(r):
+            d = r.load("quality")
+            sc = textops.hashed_ngram_scores(
+                d, pos_lang=args.classifier_pos_lang)
+            return d.join(sc.where(F.col("pred") == 1)
+                          .select("doc_id"), "doc_id")
+
+        runner.stage("classify", classify, upstream=["quality"])
+        pre_sample = "classify"
+
     def sample(r):
-        d = r.load("quality")
+        d = r.load(pre_sample)
         if args.sample_rate >= 1.0:
             return d
         return textops.hash_sample(d, args.sample_rate)
 
-    runner.stage("sample", sample, upstream=["quality"])
+    runner.stage("sample", sample, upstream=[pre_sample])
 
     table = SnapshotTable(spark, f"{args.workdir}/published")
     version = table.commit_append(runner.load("sample"))
