@@ -1325,3 +1325,59 @@ def substring_dedup(docs: DataFrame, k: int = 40,
             .select("doc_id", "span_lo", "span_hi",
                     (F.col("span_hi") - F.col("span_lo") + 1)
                     .alias("span_len")))
+
+
+def training_shuffle(docs: DataFrame, n_shards: int = 4,
+                     seed: str = "s0") -> DataFrame:
+    """Deterministic global training-order shuffle: every document gets
+    a (shard, pos) placement from the md5 of (seed, doc_id) — the
+    'shuffle the corpus before training' step, reproducible across
+    engines and cluster sizes (no partitioning-dependent randomness).
+    shard = hash % n_shards; pos = rank of hash within the shard.
+    -> (doc_id, shard, pos).
+
+    Scale shape: the hash is map-only column math; the only shuffle is
+    the per-shard rank window, which partitions BY SHARD — each shard
+    sorts independently (corpus_size/n_shards rows), so n_shards scales
+    with the corpus and no global sort ever happens."""
+    from pyspark.sql import Window
+
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.lit(seed), F.lit(":"),
+                       F.col("doc_id").cast("string"))), 1, 12),
+        16, 10).cast("long")
+    d = docs.select("doc_id", h.alias("h"),
+                    (h % n_shards).cast("int").alias("shard"))
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (d.withColumn("pos", F.row_number().over(w).cast("long"))
+            .select("doc_id", "shard", "pos"))
+
+
+def temperature_sample(docs: DataFrame, tau: float = 2.0,
+                       base_rate: float = 0.5) -> DataFrame:
+    """Temperature-based source mixture sampling (the multilingual
+    rebalancing rule of mT5/XLM-R, arXiv:1910.10683 §3.4.2 applied to
+    sources): sampling weight per source s is share_s^(1/tau)
+    renormalized; a source's per-doc keep rate is
+    base_rate * weight_s / share_s (capped at 1), applied with the
+    deterministic md5 threshold of hash_sample. tau>1 upsamples the
+    tail, tau=1 keeps natural proportions. -> sampled (doc_id, source).
+
+    Scale shape: the share table is #sources rows (one groupBy), rates
+    compute driver-side on that tiny table and broadcast back; the keep
+    decision is map-only hash math."""
+    n = docs.count()
+    shares = [(r["source"], r["c"] / n) for r in
+              docs.groupBy("source").agg(F.count("*").alias("c"))
+              .collect()]
+    z = sum(s ** (1.0 / tau) for _, s in shares)
+    rates = [(src, min(1.0, base_rate * ((s ** (1.0 / tau)) / z) / s))
+             for src, s in shares]
+    rt = docs.sparkSession.createDataFrame(rates, "source string,"
+                                           " rate double")
+    h = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
+                            1, 6), 16, 10).cast("long") % 1000000) \
+        / 1000000.0
+    return (docs.join(F.broadcast(rt), "source")
+            .where(h < F.col("rate"))
+            .select("doc_id", "source"))

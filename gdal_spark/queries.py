@@ -7811,3 +7811,43 @@ def q_warc_gz_roundtrip(spark, sf_dir):
     w = read_warc_gz(spark, path, idx)
     return w.select("url", "warc_date",
                     F.md5("payload").alias("payload_md5"))
+
+
+@_reg("training_shuffle", """
+WITH d AS (SELECT doc_id,
+             ('0x' || substr(md5('s0:' || CAST(doc_id AS VARCHAR)),
+                             1, 12))::BIGINT AS h
+           FROM documents),
+s AS (SELECT doc_id, h, CAST(h % 4 AS INTEGER) AS shard FROM d)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+         AS BIGINT) AS pos
+FROM s
+""")
+def q_training_shuffle(spark, sf_dir):
+    """Deterministic global training-order shuffle: md5-derived
+    (shard, pos) placement, reproducible at any cluster size — per-
+    shard rank windows, never a global sort."""
+    docs = _t(spark, sf_dir, "documents")
+    return textops.training_shuffle(docs, n_shards=4, seed="s0")
+
+
+@_reg("temperature_sample", """
+WITH n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+sh AS (SELECT source, count(*) / (SELECT n FROM n) AS s
+       FROM documents GROUP BY source),
+z AS (SELECT SUM(s ^ (1.0 / 2.0)) AS z FROM sh),
+rt AS (SELECT source,
+              LEAST(1.0, 0.5 * ((s ^ (1.0 / 2.0)) / (SELECT z FROM z))
+                         / s) AS rate
+       FROM sh)
+SELECT d.doc_id, d.source
+FROM documents d JOIN rt USING (source)
+WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+       % 1000000) / 1000000.0 < rt.rate
+""")
+def q_temperature_sample(spark, sf_dir):
+    """mT5/XLM-R temperature rebalancing over sources (tau=2): rates
+    from the tiny share table, deterministic md5-threshold keep."""
+    docs = _t(spark, sf_dir, "documents")
+    return textops.temperature_sample(docs, tau=2.0, base_rate=0.5)

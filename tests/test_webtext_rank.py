@@ -151,3 +151,36 @@ def test_substring_dedup_separate_islands(spark):
 def test_substring_dedup_short_docs_no_rows(spark):
     docs = _docs(spark, [(0, "tiny"), (1, "tiny")])
     assert textops.substring_dedup(docs, k=8).count() == 0
+
+
+def test_training_shuffle_is_deterministic_partition(spark):
+    rows = [(i, f"doc {i}") for i in range(30)]
+    docs = _docs(spark, rows)
+    a = sorted(map(tuple, textops.training_shuffle(docs, 4).collect()))
+    b = sorted(map(tuple, textops.training_shuffle(
+        docs.repartition(7), 4).collect()))
+    assert a == b                       # placement ignores partitioning
+    shards = {s for _, s, _ in a}
+    assert shards <= {0, 1, 2, 3}
+    # positions are 1..n_s contiguous within each shard
+    for s in shards:
+        ps = sorted(p for _, sh, p in a if sh == s)
+        assert ps == list(range(1, len(ps) + 1))
+    c = sorted(map(tuple, textops.training_shuffle(docs, 4,
+                                                   seed="s1").collect()))
+    assert a != c                       # the seed changes the order
+
+
+def test_temperature_sample_upsamples_tail(spark):
+    # 90/10 head/tail split; tau=2 boosts the tail's keep rate
+    rows = [(i, f"doc {i}") for i in range(200)]
+    data = [(i, t, "en", "head" if i < 180 else "tail", len(t))
+            for i, t in rows]
+    docs = spark.createDataFrame(
+        data, "doc_id long, text string, lang string, source string,"
+              " n_chars long")
+    out = textops.temperature_sample(docs, tau=2.0, base_rate=0.5)
+    got = out.groupBy("source").count().collect()
+    kept = {r.source: r["count"] for r in got}
+    # tail keep fraction must exceed head keep fraction
+    assert kept.get("tail", 0) / 20 > kept.get("head", 0) / 180
