@@ -871,7 +871,15 @@ def write_cog(tiles_df: DataFrame, path: str, width: int, height: int,
 
     out_schema = T.StructType([T.StructField("n", T.IntegerType())])
     cur = tiles_df.select("tile_x", "tile_y", "dtype", "px")
+    prev = None
     for lv in range(n_lv):
         if lv > 0:
             cur = overview_tiles(cur, tile, dtype, fill).persist()
         cur.mapInPandas(writer(lv), out_schema).count()
+        # the write materialized this level's cache; the level below is
+        # no longer an input to anything — release it
+        if prev is not None:
+            prev.unpersist()
+        prev = cur if lv > 0 else None
+    if prev is not None:
+        prev.unpersist()
