@@ -409,9 +409,11 @@ def _cmd_gdaladdo(argv) -> int:
     in executors."""
     ap = argparse.ArgumentParser(prog="gdaladdo")
     ap.add_argument("src")
-    ap.add_argument("dst", help="output .mbtiles pyramid")
-    ap.add_argument("-z", "--zoom", type=int, required=True,
-                    help="zoom of the base raster")
+    ap.add_argument("dst", nargs="?", default=None,
+                    help="output .mbtiles pyramid; omit to write the "
+                         "classic external-overview sidecar <src>.ovr")
+    ap.add_argument("-z", "--zoom", type=int, default=None,
+                    help="zoom of the base raster (mbtiles mode)")
     ap.add_argument("-r", default="average", dest="resampling")
     ap.add_argument("-tile", type=int, default=256)
     a = ap.parse_args(argv)
@@ -420,6 +422,23 @@ def _cmd_gdaladdo(argv) -> int:
     from .sources import open_raster
     from .sources.gpkg import write_mbtiles
     spark = _spark()
+    if a.dst is None:
+        from .sources.geotiff import read_ifd, write_ovr
+        t = open_raster(spark, a.src, tile=a.tile)
+        try:
+            info = read_ifd(a.src)
+            w, h = info["width"], info["height"]
+        except Exception:
+            ext = t.agg(F.max("tile_x").alias("mx"),
+                        F.max("tile_y").alias("my")).collect()[0]
+            w = (int(ext.mx) + 1) * a.tile
+            h = (int(ext.my) + 1) * a.tile
+        n = write_ovr(t, a.src + ".ovr", width=w, height=h,
+                      tile=a.tile)
+        print(json.dumps({"ovr_levels": n, "path": a.src + ".ovr"}))
+        return 0
+    if a.zoom is None:
+        ap.error("-z is required for mbtiles pyramid mode")
     t = open_raster(spark, a.src, tile=a.tile) \
         .withColumn("zoom", F.lit(a.zoom))
     pyr = build_pyramid(t, levels=a.zoom, resampling=a.resampling,
@@ -700,6 +719,28 @@ def _cmd_gdal_viewshed(argv) -> int:
     return 0
 
 
+def _cmd_gdal_footprint(argv) -> int:
+    """gdal_footprint twin (apps/gdal_footprint_lib.cpp): connected
+    valid-data regions of a raster -> footprint polygons with pixel
+    counts, through save_vector. Component labeling and the cross-tile
+    merge run distributed (raster/mosaic.footprint)."""
+    ap = argparse.ArgumentParser(prog="gdal_footprint")
+    ap.add_argument("src")
+    ap.add_argument("dst")
+    ap.add_argument("-tile", type=int, default=256)
+    ap.add_argument("-srcnodata", type=float, default=None)
+    a = ap.parse_args(argv)
+    from .raster.mosaic import footprint
+    from .sources import open_raster, save_vector
+    spark = _spark()
+    kw = {"nodata": a.srcnodata} if a.srcnodata is not None else {}
+    t = open_raster(spark, a.src, tile=a.tile, **kw)
+    fp = footprint(t, tile=a.tile)
+    save_vector(fp, a.dst, geom_col="geom")
+    print(json.dumps({"components": fp.count()}))
+    return 0
+
+
 _COMMANDS = {"ogr2ogr": _cmd_ogr2ogr, "ogrinfo": _cmd_ogrinfo,
              "gdalinfo": _cmd_gdalinfo, "gdalsrsinfo": _cmd_gdalsrsinfo,
              "gdaltransform": _cmd_gdaltransform,
@@ -710,6 +751,7 @@ _COMMANDS = {"ogr2ogr": _cmd_ogr2ogr, "ogrinfo": _cmd_ogrinfo,
              "gdaldem": _cmd_gdaldem,
              "gdal_calc": _cmd_gdal_calc,
              "gdal_translate": _cmd_gdal_translate,
+             "gdal_footprint": _cmd_gdal_footprint,
              "gdal2tiles": _cmd_gdal2tiles,
              "gdalwarp": _cmd_gdalwarp,
              "gdaladdo": _cmd_gdaladdo,

@@ -883,3 +883,82 @@ def write_cog(tiles_df: DataFrame, path: str, width: int, height: int,
         prev = cur if lv > 0 else None
     if prev is not None:
         prev.unpersist()
+
+
+def write_ovr(tiles_df: DataFrame, path: str, width: int, height: int,
+              tile: int = 256, dtype: str = "float64",
+              fill: float = 0.0) -> int:
+    """Classic gdaladdo external-overview sidecar (<raster>.ovr,
+    gcore/gdaldefaultoverviews.cpp): a TIFF whose IFD chain holds ONLY
+    the reduced-resolution levels, every IFD flagged NewSubfileType=1.
+    Same distribution contract as write_cog — bounded parent-tile
+    groupBys per level, per-task pwrite of known byte ranges. Returns
+    the number of overview levels written."""
+    if tile % 2:
+        raise ValueError("overview tile size must be even")
+    dt = np.dtype(dtype)
+    block_bytes = tile * tile * dt.itemsize
+    levels = cog_levels(width, height, tile)[1:]
+    if not levels:
+        raise ValueError("raster already fits one tile; no overviews")
+    n_lv = len(levels)
+    grids = [((w + tile - 1) // tile, (h + tile - 1) // tile)
+             for w, h in levels]
+
+    ifd_offs, pos = [], 8
+    for lv in range(n_lv):
+        ifd_offs.append(pos)
+        pos += _ifd_size(12, grids[lv][0] * grids[lv][1], False, True)
+    data_off = {}
+    for lv in range(n_lv):
+        data_off[lv] = pos
+        pos += grids[lv][0] * grids[lv][1] * block_bytes
+
+    blobs = []
+    for lv, (w, h) in enumerate(levels):
+        nx, ny = grids[lv]
+        offs = [data_off[lv] + k * block_bytes for k in range(nx * ny)]
+        nxt = ifd_offs[lv + 1] if lv + 1 < n_lv else 0
+        entries = _cog_entries(w, h, tile, dt, offs, block_bytes,
+                               None, True)
+        blobs.append(_ifd_blob(entries, ifd_offs[lv], nxt))
+
+    fill_block = np.full((tile, tile), fill, dt).tobytes()
+    with open(path, "wb") as f:
+        f.write(b"II*\x00" + struct.pack("<I", ifd_offs[0]))
+        for b in blobs:
+            f.write(b)
+        for lv in range(n_lv):
+            for _ in range(grids[lv][0] * grids[lv][1]):
+                f.write(fill_block)
+
+    def writer(lv):
+        nx, _ny = grids[lv]
+        start = data_off[lv]
+
+        def emit(batches):
+            with open(path, "r+b") as f:
+                for pdf in batches:
+                    for r in pdf.itertuples():
+                        tx, ty = int(r.tile_x), int(r.tile_y)
+                        if not (0 <= tx < nx and 0 <= ty < grids[lv][1]):
+                            continue
+                        arr = np.frombuffer(r.px, np.dtype(r.dtype)) \
+                            .reshape(tile, tile).astype(dt)
+                        f.seek(start + (ty * nx + tx) * block_bytes)
+                        f.write(arr.tobytes())
+                yield pd.DataFrame({"n": [1]})
+        return emit
+
+    out_schema = T.StructType([T.StructField("n", T.IntegerType())])
+    cur = tiles_df.select("tile_x", "tile_y", "dtype", "px")
+    prev = None
+    for lv in range(n_lv):
+        cur = overview_tiles(cur, tile, dtype, fill).persist()
+        cur.mapInPandas(writer(lv), out_schema).count()
+        if prev is not None:
+            prev.unpersist()
+        prev = cur
+    if prev is not None:
+        prev.unpersist()
+    return n_lv

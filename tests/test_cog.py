@@ -96,3 +96,58 @@ def test_save_raster_dispatches_cog(spark, tmp_path):
     save_raster(_tiles_df(spark, arr, 8), path, tile=8,
                 dtype="float64")
     assert count_ifds(path) == 2
+
+
+def test_write_ovr_sidecar_levels(spark, tmp_path):
+    from gdal_spark.sources.geotiff import write_ovr
+    rng = np.random.RandomState(3)
+    arr = rng.randint(0, 50, (32, 32)).astype(np.float64)
+    path = str(tmp_path / "r.tif.ovr")
+    n = write_ovr(_tiles_df(spark, arr, 8), path, 32, 32, tile=8)
+    assert n == 2                       # 16x16, 8x8
+    expect = _pool(arr)
+    for lv in range(2):
+        info = read_ifd(path, lv)
+        assert (info["width"], info["height"]) == (expect.shape[1],
+                                                   expect.shape[0])
+        tiles = read_gtiff(spark, path, tile=8, ifd=lv).collect()
+        got = np.zeros_like(expect)
+        for r in tiles:
+            px = decode_px(r.px, r.dtype, 8)
+            got[r.tile_y * 8:(r.tile_y + 1) * 8,
+                r.tile_x * 8:(r.tile_x + 1) * 8] = px
+        np.testing.assert_array_equal(got, expect)
+        expect = _pool(expect)
+
+
+def test_gdaladdo_ovr_mode(spark, tmp_path):
+    from gdal_spark import cli
+    from gdal_spark.sources.geotiff import count_ifds, write_gtiff
+    import os
+    arr = np.arange(1024, dtype=np.float64).reshape(32, 32)
+    src = str(tmp_path / "base.tif")
+    write_gtiff(arr, src, tile=None, compression="none")
+    assert cli.main(["gdaladdo", src, "-tile", "8"]) == 0
+    assert os.path.exists(src + ".ovr")
+    assert count_ifds(src + ".ovr") == 2
+
+
+def test_gdal_footprint_cli(spark, tmp_path):
+    from gdal_spark import cli
+    from gdal_spark.sources import open_vector
+    from gdal_spark.sources.geotiff import write_gtiff
+    # two data islands on a zero (nodata) background
+    arr = np.zeros((16, 16), np.float64)
+    arr[1:4, 1:4] = 7.0
+    arr[10:14, 9:15] = 3.0
+    src = str(tmp_path / "f.tif")
+    write_gtiff(arr, src, tile=None)
+    dst = str(tmp_path / "fp.geojsonl")
+    assert cli.main(["gdal_footprint", src, dst, "-tile", "16",
+                     "-srcnodata", "0"]) == 0
+    back = open_vector(spark, dst)
+    # background counts as a component too (value 0 = nodata-less read);
+    # the two islands must appear with their exact pixel counts
+    import json
+    counts = {json.loads(r.props)["n_pixels"] for r in back.collect()}
+    assert {9, 24} <= counts
