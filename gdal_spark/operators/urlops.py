@@ -92,3 +92,48 @@ def robots_filter(pages: DataFrame, rules: DataFrame,
     return withh.join(F.broadcast(hit),
                       withh[url_col] == F.col("__badurl"), "left_anti") \
         .drop("__host", "__path")
+
+
+def parse_robots(bodies: DataFrame, host_col_name: str = "host",
+                 body_col: str = "body") -> DataFrame:
+    """robots.txt parser -> (host, prefix) disallow rules for the `*`
+    agent, feeding robots_filter (RFC 9309 Robots Exclusion Protocol):
+    a GROUP is a maximal run of consecutive User-agent lines plus the
+    rules that follow it; a Disallow applies to us iff its group names
+    agent `*`. Empty Disallow values (allow-all) are dropped.
+
+    Relational shape: one posexplode of lines per host, two bounded
+    per-host windows (group id = running count of UA-run starts; the
+    group's agents summarize to one has-star flag joined back on
+    (host, group)); no UDF, no driver parsing. At crawl scale the
+    robots corpus is host-sized, tiny next to pages."""
+    from pyspark.sql import Window
+
+    lines = bodies.select(
+        F.col(host_col_name).alias("host"),
+        F.posexplode(F.split(F.col(body_col), "\n"))
+        .alias("pos", "line"))
+    t = lines.select(
+        "host", "pos",
+        F.trim(F.regexp_replace("line", r"#.*$", "")).alias("ln"))
+    t = t.select(
+        "host", "pos",
+        F.when(F.lower("ln").startswith("user-agent:"),
+               F.trim(F.expr("substring(ln, 12)"))).alias("ua"),
+        F.when(F.lower("ln").startswith("disallow:"),
+               F.trim(F.expr("substring(ln, 10)"))).alias("dis"))
+    w = Window.partitionBy("host").orderBy("pos")
+    prev_is_ua = F.lag(F.col("ua").isNotNull(), 1, False).over(w)
+    grp_start = (F.col("ua").isNotNull()
+                 & ~F.coalesce(prev_is_ua, F.lit(False)))
+    t = t.withColumn("grp", F.sum(grp_start.cast("int")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+    stars = (t.where(F.col("ua").isNotNull())
+             .groupBy("host", "grp")
+             .agg(F.max((F.col("ua") == "*").cast("int"))
+                  .alias("has_star")))
+    return (t.where(F.col("dis").isNotNull() & (F.col("dis") != ""))
+            .join(stars, ["host", "grp"])
+            .where(F.col("has_star") == 1)
+            .select("host", F.col("dis").alias("prefix"))
+            .distinct())

@@ -7851,3 +7851,59 @@ def q_temperature_sample(spark, sf_dir):
     from the tiny share table, deterministic md5-threshold keep."""
     docs = _t(spark, sf_dir, "documents")
     return textops.temperature_sample(docs, tau=2.0, base_rate=0.5)
+
+
+_ROBOTS_BODY_SQL = """CASE CAST(doc_id % 3 AS INTEGER)
+ WHEN 0 THEN 'User-agent: *' || chr(10) || 'Disallow: /a'
+             || chr(10) || 'Disallow:'
+ WHEN 1 THEN 'User-agent: bot' || chr(10) || 'User-agent: *'
+             || chr(10) || 'Disallow: /b' || chr(10) || chr(10)
+             || 'User-agent: x' || chr(10) || 'Disallow: /c'
+ ELSE 'User-agent: x' || chr(10) || 'Disallow: /d' END"""
+
+
+@_reg("robots_parse", f"""
+WITH b AS (SELECT 'h' || CAST(doc_id AS VARCHAR) AS host,
+                  string_split({_ROBOTS_BODY_SQL}, chr(10)) AS parts
+           FROM documents),
+l AS (SELECT host, i AS pos,
+             trim(regexp_replace(parts[i], '#.*$', '')) AS ln
+      FROM b, unnest(generate_series(1, len(parts))) t(i)),
+t AS (SELECT host, pos,
+             CASE WHEN lower(ln) LIKE 'user-agent:%'
+                  THEN trim(substr(ln, 12)) END AS ua,
+             CASE WHEN lower(ln) LIKE 'disallow:%'
+                  THEN trim(substr(ln, 10)) END AS dis
+      FROM l),
+p AS (SELECT *, COALESCE(lag(ua IS NOT NULL) OVER (
+          PARTITION BY host ORDER BY pos), FALSE) AS prev_ua
+      FROM t),
+g AS (SELECT *, SUM(CASE WHEN ua IS NOT NULL AND NOT prev_ua
+                         THEN 1 ELSE 0 END) OVER (
+          PARTITION BY host ORDER BY pos
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      FROM p),
+s AS (SELECT host, grp, max(CASE WHEN ua = '*' THEN 1 ELSE 0 END)
+        AS has_star
+      FROM g WHERE ua IS NOT NULL GROUP BY host, grp)
+SELECT DISTINCT g.host, g.dis AS prefix
+FROM g JOIN s ON g.host = s.host AND g.grp = s.grp
+WHERE g.dis IS NOT NULL AND g.dis != '' AND s.has_star = 1
+""")
+def q_robots_parse(spark, sf_dir):
+    """robots.txt parsing (RFC 9309 group semantics for the `*` agent)
+    as pure relational windows: synthesized per-host bodies with
+    multi-UA groups, empty Disallows and star-less groups; the rule
+    table must match the SQL replay exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    body = (F.when(F.col("doc_id") % 3 == 0,
+                   F.lit("User-agent: *\nDisallow: /a\nDisallow:"))
+            .when(F.col("doc_id") % 3 == 1,
+                  F.lit("User-agent: bot\nUser-agent: *\nDisallow: /b"
+                        "\n\nUser-agent: x\nDisallow: /c"))
+            .otherwise(F.lit("User-agent: x\nDisallow: /d")))
+    b = docs.select(
+        F.concat(F.lit("h"), F.col("doc_id").cast("string"))
+        .alias("host"), body.alias("body"))
+    from .operators import urlops
+    return urlops.parse_robots(b)

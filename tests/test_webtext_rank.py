@@ -184,3 +184,40 @@ def test_temperature_sample_upsamples_tail(spark):
     kept = {r.source: r["count"] for r in got}
     # tail keep fraction must exceed head keep fraction
     assert kept.get("tail", 0) / 20 > kept.get("head", 0) / 180
+
+
+def test_parse_robots_group_semantics(spark):
+    from gdal_spark.operators import urlops
+    body = "\n".join([
+        "User-agent: gptbot",
+        "User-agent: *",          # same group as gptbot -> applies
+        "Disallow: /private",
+        "Disallow:",              # empty = allow-all, dropped
+        "",
+        "User-agent: otherbot",   # new group, no star
+        "Disallow: /only-other",
+        "# comment",
+        "User-agent: *",
+        "Disallow: /tmp  ",
+    ])
+    df = spark.createDataFrame([("a.com", body),
+                                ("b.com", "Disallow: /orphan")],
+                               "host string, body string")
+    rules = {(r.host, r.prefix)
+             for r in urlops.parse_robots(df).collect()}
+    # orphan Disallow (no UA group) never applies
+    assert rules == {("a.com", "/private"), ("a.com", "/tmp")}
+
+
+def test_parse_robots_feeds_robots_filter(spark):
+    from gdal_spark.operators import urlops
+    rob = spark.createDataFrame(
+        [("site1.example", "User-agent: *\nDisallow: /p/")],
+        "host string, body string")
+    pages = spark.createDataFrame(
+        [("https://site1.example/p/1",), ("https://site1.example/q/2",),
+         ("https://site2.example/p/3",)], "url string")
+    kept = {r.url for r in urlops.robots_filter(
+        pages, urlops.parse_robots(rob)).collect()}
+    assert kept == {"https://site1.example/q/2",
+                    "https://site2.example/p/3"}
