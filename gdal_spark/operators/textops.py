@@ -168,13 +168,14 @@ def quality_score(docs: DataFrame) -> DataFrame:
         keep.alias("keep"))
 
 
-def langid_pred(docs: DataFrame) -> DataFrame:
-    """(doc_id, lang, pred) — per-document marker-word language prediction
-    (alphabetical-first deterministic tie-break), all JVM column math."""
+def langid_col(text: str = "text"):
+    """Marker-word language prediction as ONE Column expression
+    (alphabetical-first deterministic tie-break), all JVM column math —
+    usable on unlabeled text (e.g. fresh WARC ingest)."""
     def _score(markers):
         # NB: the filter lambda must be unary — PySpark treats a second
         # parameter as the element index.
-        return F.size(F.filter(words_col(), lambda w: w.isin(*markers)))
+        return F.size(F.filter(words_col(text), lambda w: w.isin(*markers)))
 
     scores = {lang: _score(markers) for lang, markers in LANG_MARKERS.items()}
     langs = sorted(LANG_MARKERS)  # deterministic tie-break: alphabetical
@@ -183,7 +184,13 @@ def langid_pred(docs: DataFrame) -> DataFrame:
     for lang in langs[1:]:
         pred = F.when(scores[lang] > best, F.lit(lang)).otherwise(pred)
         best = F.when(scores[lang] > best, scores[lang]).otherwise(best)
-    return docs.select("doc_id", "lang", pred.alias("pred"))
+    return pred
+
+
+def langid_pred(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, pred) — per-document marker-word language
+    prediction against the labeled column."""
+    return docs.select("doc_id", "lang", langid_col().alias("pred"))
 
 
 def langid(docs: DataFrame) -> DataFrame:

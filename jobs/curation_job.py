@@ -69,7 +69,27 @@ def main(argv=None) -> int:
     runner = StageRunner(spark, args.workdir)
     t0 = time.time()
 
-    runner.stage("ingest", lambda r: spark.read.parquet(args.input))
+    def ingest(r):
+        if args.input.endswith(".warc"):
+            # crawl-container ingest: WARC records -> byte-exact text
+            # extraction -> marker-word langid -> documents schema;
+            # doc_id derives from md5(url) so it is partition- and
+            # cluster-size-independent
+            from gdal_spark.sources.warc import read_warc
+            w = read_warc(spark, args.input)
+            text = F.regexp_extract(F.decode("payload", "UTF-8"),
+                                    "<p>(.*)</p>", 1)
+            d = w.select(
+                F.conv(F.substring(F.md5("url"), 1, 15), 16, 10)
+                .cast("long").alias("doc_id"),
+                "url", text.alias("text"))
+            return (d.withColumn("lang", textops.langid_col())
+                    .withColumn("source", F.regexp_extract(
+                        "url", "://([^/]+)/", 1))
+                    .withColumn("n_chars", F.length("text")))
+        return spark.read.parquet(args.input)
+
+    runner.stage("ingest", ingest)
 
     def clean(r):
         d = r.load("ingest")

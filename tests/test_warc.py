@@ -84,3 +84,37 @@ def test_warc_gz_member_per_record_roundtrip(spark, tmp_path):
     out = {r.url: bytes(r.payload)
            for r in read_warc_gz(spark, path, idx).collect()}
     assert out["https://ex.com/p/7"] == b"<p>body 7</p>"
+
+
+def test_curation_job_ingests_warc(spark, tmp_path):
+    """End-to-end: pages -> WARC archive -> curation job ingest stage
+    recovers text byte-identically (the input_hint invariant) and the
+    pipeline runs to publish."""
+    import json as _json
+    import subprocess
+    import sys
+
+    from gdal_spark import datagen
+    from gdal_spark.sources.warc import write_warc
+
+    sf = "/root/testdata/sf0.001"
+    warc = str(tmp_path / "pages.warc")
+    write_warc(datagen.pages(spark, sf), warc)
+
+    out = subprocess.run(
+        [sys.executable, "jobs/curation_job.py", "--input", warc,
+         "--workdir", str(tmp_path / "wd")],
+        capture_output=True, text=True, cwd="/root/repo", timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    stats = _json.loads(out.stdout.strip().splitlines()[-1])
+    n_docs = spark.read.parquet(f"{sf}/documents.parquet").count()
+    assert stats["stages"]["ingest"]["rows"] == n_docs
+
+    # byte-identical text per url vs the source documents table
+    from gdal_spark.sources.warc import read_warc
+    from pyspark.sql import functions as F
+    got = read_warc(spark, warc).select(
+        "url", F.regexp_extract(F.decode("payload", "UTF-8"),
+                                "<p>(.*)</p>", 1).alias("text"))
+    want = datagen.pages(spark, sf).select("url", "text")
+    assert got.join(want, ["url", "text"]).count() == n_docs
