@@ -445,7 +445,8 @@ def _cos_to_seed(vec: Column, seed: np.ndarray) -> Column:
 
 
 def semdedup(emb: DataFrame, n_clusters: int = 8,
-             threshold: float = 0.35) -> DataFrame:
+             threshold: float = 0.35,
+             centroids: np.ndarray | None = None) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication that bounds the quadratic pair search inside k-means
     cells. Here the cells come from deterministic seeds (the n_clusters
@@ -465,8 +466,15 @@ def semdedup(emb: DataFrame, n_clusters: int = 8,
     neardup_lsh if one cell dominates.
     """
     e = emb.select("vec_id", as_double("embedding").alias("v"))
-    seeds = np.array([r.v for r in
-                      e.orderBy("vec_id").limit(n_clusters).collect()])
+    if centroids is not None:
+        # production path: pass kmeans_centroids(emb) for Lloyd-trained
+        # cells (tighter clusters -> fewer cross-cell duplicate misses);
+        # the seed default keeps the oracle exactly replayable
+        seeds = np.asarray(centroids, dtype=np.float64)
+    else:
+        seeds = np.array([r.v for r in
+                          e.orderBy("vec_id").limit(n_clusters)
+                          .collect()])
     coses = F.array(*[_cos_to_seed(F.col("v"), s) for s in seeds])
     a = e.withColumn(
         "cluster",

@@ -221,3 +221,13 @@ def test_parse_robots_feeds_robots_filter(spark):
         pages, urlops.parse_robots(rob)).collect()}
     assert kept == {"https://site1.example/q/2",
                     "https://site2.example/p/3"}
+
+
+def test_semdedup_accepts_trained_centroids(spark):
+    import numpy as np
+    vecs = [[1, 0], [0, 1], [0.99, 0.01], [0.02, 0.98]]
+    cent = np.array([[1.0, 0.0], [0.0, 1.0]])
+    out = {r.vec_id: r.cluster for r in
+           simsearch.semdedup(_emb(spark, vecs), threshold=0.99,
+                              centroids=cent).collect()}
+    assert out == {0: 0, 1: 1, 2: 0, 3: 1}
