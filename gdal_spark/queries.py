@@ -5689,12 +5689,15 @@ def q_osm_ways_assembly(spark, sf_dir):
 
     @F.pandas_udf("long")
     def npts(geom):
+        # per-row: ragged LINESTRING decode (no fixed-stride batch lane;
+        # bounded fixture-sized input, not a corpus path)
         return pd.Series([len(_wkb.decode(bytes(b)).rings[0])
                           for b in geom])
 
     @F.pandas_udf("double")
     def plen(geom):
         out = []
+        # per-row: ragged LINESTRING decode (see npts)
         for b in geom:
             a = _wkb.decode(bytes(b)).rings[0]
             out.append(float(np.sqrt(((a[1:] - a[:-1]) ** 2)
@@ -6533,12 +6536,15 @@ def q_osm_pbf_ways(spark, sf_dir):
 
     @F.pandas_udf("long")
     def npts(geom):
+        # per-row: ragged LINESTRING decode (no fixed-stride batch lane;
+        # bounded fixture-sized input, not a corpus path)
         return pd.Series([len(_wkb.decode(bytes(b)).rings[0])
                           for b in geom])
 
     @F.pandas_udf("double")
     def plen(geom):
         out = []
+        # per-row: ragged LINESTRING decode (see npts)
         for b in geom:
             a = _wkb.decode(bytes(b)).rings[0]
             out.append(float(np.sqrt(((a[1:] - a[:-1]) ** 2)
