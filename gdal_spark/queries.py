@@ -3398,6 +3398,204 @@ def q_st_transform_stere(spark, sf_dir):
         "FROM t_stere_pts")
 
 
+def _merid_sql(phi: str = "phi", a: str = "6378137.0") -> str:
+    """DuckDB meridian-arc M(phi) (Snyder 3-21) with the coefficients
+    inlined from the same merid_coeffs() the numpy kernels use."""
+    from .raster import transforms as _tr
+    c0, c2, c4, c6 = _tr.merid_coeffs(_tr._E2)
+    return (f"{a} * ({_crs_lit(c0)} * {phi}"
+            f" - {_crs_lit(c2)} * sin(2 * {phi})"
+            f" + {_crs_lit(c4)} * sin(4 * {phi})"
+            f" - {_crs_lit(c6)} * sin(6 * {phi}))")
+
+
+def _worldgrid_sql():
+    from .raster import transforms as _tr
+    import numpy as _np
+    d2r = _CONIC_D2R
+    p30 = _np.radians(30.0)
+    k0v = float(_np.cos(p30) / _np.sqrt(1 - _tr._E2 * _np.sin(p30) ** 2))
+    ak0 = _crs_lit(6378137.0 * k0v)       # fold a*k0 (numpy is left-assoc)
+    two_k0 = _crs_lit(2.0 * k0v)
+    e = _CONIC_E
+    e2 = _crs_lit(_tr._E2)
+    one_m_e2 = _crs_lit(1.0 - _tr._E2)
+    two_e = _crs_lit(2.0 * _tr._E)
+    q_of = (f"{one_m_e2} * (sin(phi) / (1 - {e2} * sin(phi) * sin(phi))"
+            f" - ln((1 - {e} * sin(phi)) / (1 + {e} * sin(phi)))"
+            f" / {two_e})")
+    return f"""
+t AS (SELECT doc_id, CAST(lon AS DOUBLE) * {d2r} AS lam,
+             CAST(lat AS DOUBLE) * {d2r} AS phi
+      FROM pts WHERE doc_id % 11 = 0)
+SELECT doc_id,
+       ROUND(6378137.0 * lam, 4) AS eqc_x,
+       ROUND({_merid_sql()}, 4) AS eqc_y,
+       ROUND({ak0} * lam, 4) AS cea_x,
+       ROUND(6378137.0 * ({q_of}) / {two_k0}, 4) AS cea_y,
+       ROUND(6371007.181 * lam * cos(phi), 4) AS sinu_x,
+       ROUND(6371007.181 * phi, 4) AS sinu_y
+FROM t"""
+
+
+_SINU_MODIS = "+proj=sinu +R=6371007.181 +nadgrids=@null +units=m +no_defs"
+
+
+@_reg("st_transform_world_grids", f"""
+{_pts_cte()},{_worldgrid_sql()}
+""")
+def q_st_transform_world_grids(spark, sf_dir):
+    """ST_Transform into the three global analysis grids: EPSG:4087
+    (WGS84 equidistant cylindrical, EPSG method 1028), EPSG:6933 (NSIDC
+    EASE-Grid 2.0 Global, Lambert cylindrical equal-area EPSG 9835) and
+    the MODIS sinusoidal sphere (+proj=sinu +R=6371007.181
+    +nadgrids=@null). Reference resolves these through the PROJ method
+    table (ogr/ogrct.cpp:919-948); the oracle replays the identical
+    meridian-arc series / authalic-q / spherical-sinusoidal arithmetic
+    with the kernel constants inlined."""
+    st.register_all(spark)
+    p = datagen.points(spark, sf_dir).where(F.col("doc_id") % 11 == 0)
+    p.createOrReplaceTempView("t_wg_pts")
+    return spark.sql(f"""
+        SELECT doc_id,
+          ROUND(ST_X(ST_Transform(ST_MakePoint(lon, lat), 'EPSG:4326',
+            'EPSG:4087')), 4) AS eqc_x,
+          ROUND(ST_Y(ST_Transform(ST_MakePoint(lon, lat), 'EPSG:4326',
+            'EPSG:4087')), 4) AS eqc_y,
+          ROUND(ST_X(ST_Transform(ST_MakePoint(lon, lat), 'EPSG:4326',
+            'EPSG:6933')), 4) AS cea_x,
+          ROUND(ST_Y(ST_Transform(ST_MakePoint(lon, lat), 'EPSG:4326',
+            'EPSG:6933')), 4) AS cea_y,
+          ROUND(ST_X(ST_Transform(ST_MakePoint(lon, lat), 'EPSG:4326',
+            '{_SINU_MODIS}')), 4) AS sinu_x,
+          ROUND(ST_Y(ST_Transform(ST_MakePoint(lon, lat), 'EPSG:4326',
+            '{_SINU_MODIS}')), 4) AS sinu_y
+        FROM t_wg_pts""")
+
+
+_CASS_LAT0 = 10.0 + 26.5 / 60.0
+_CASS_LON0 = -(61.0 + 20.0 / 60.0)
+
+
+def _cass_sql():
+    from .raster import transforms as _tr
+    import numpy as _np
+    d2r = _CONIC_D2R
+    e2 = _crs_lit(_tr._E2)
+    ep2 = _crs_lit(_tr._E2 / (1.0 - _tr._E2))
+    m0 = _crs_lit(float(_tr.merid_arc(_np.radians(_CASS_LAT0),
+                                      _tr.ELLIPSOIDS["WGS84"])))
+    return f"""
+t AS (SELECT doc_id,
+             (CAST(lon AS DOUBLE) - {_crs_lit(_CASS_LON0)}) * {d2r} AS lam,
+             CAST(lat AS DOUBLE) * {d2r} AS phi
+      FROM pts WHERE lon >= -66.34 AND lon <= -56.33),
+c AS (SELECT doc_id, lam * cos(phi) AS aa,
+             tan(phi) * tan(phi) AS tt,
+             {ep2} * cos(phi) * cos(phi) AS cc,
+             6378137.0 / sqrt(1 - {e2} * sin(phi) * sin(phi)) AS nu,
+             tan(phi) AS tphi, {_merid_sql()} AS m
+      FROM t)
+SELECT doc_id,
+       ROUND(430000.0 + nu * (aa - tt * power(aa, 3) / 6
+             - (8 - tt + 8 * cc) * tt * power(aa, 5) / 120), 4) AS x_r,
+       ROUND(325000.0 + m - {m0} + nu * tphi * (power(aa, 2) / 2
+             + (5 - tt + 6 * cc) * power(aa, 4) / 24), 4) AS y_r
+FROM c"""
+
+
+_CASS_CRS = (f"+proj=cass +lat_0={_CASS_LAT0!r} +lon_0={_CASS_LON0!r} "
+             "+x_0=430000 +y_0=325000 +datum=WGS84")
+
+
+@_reg("st_transform_cassini", f"""
+{_pts_cte()},{_cass_sql()}
+""")
+def q_st_transform_cassini(spark, sf_dir):
+    """ST_Transform through Cassini-Soldner (EPSG method 9806, Snyder
+    13-7..13-10) with the Trinidad-grid natural origin on WGS84 —
+    restricted to the projection's validity band (+-5 deg of the central
+    meridian, like the reference grids that use it). The oracle replays
+    the full series (A, T, C, nu, M) with kernel constants inlined; the
+    kernel's EPSG GN 7-2 worked-example pin (Clarke 1858 links) lives in
+    tests/test_transforms_crs.py."""
+    st.register_all(spark)
+    p = datagen.points(spark, sf_dir).where(
+        (F.col("lon") >= -66.34) & (F.col("lon") <= -56.33))
+    p.createOrReplaceTempView("t_cass_pts")
+    return spark.sql(f"""
+        SELECT doc_id,
+          ROUND(ST_X(ST_Transform(ST_MakePoint(lon, lat), 'EPSG:4326',
+            '{_CASS_CRS}')), 4) AS x_r,
+          ROUND(ST_Y(ST_Transform(ST_MakePoint(lon, lat), 'EPSG:4326',
+            '{_CASS_CRS}')), 4) AS y_r
+        FROM t_cass_pts""")
+
+
+def _poly_eqdc_sql():
+    from .raster import transforms as _tr
+    import numpy as _np
+    d2r = _CONIC_D2R
+    e2 = _crs_lit(_tr._E2)
+    m0p = _crs_lit(float(_tr.merid_arc(_np.radians(30.0),
+                                       _tr.ELLIPSOIDS["WGS84"])))
+    n, g, rho0 = _tr.eqdc_constants(40.0, 34.0, 45.0)
+    ag = _crs_lit(6378137.0 * g)
+    n, rho0 = _crs_lit(n), _crs_lit(rho0)
+    wrap_p = _CONIC_WRAP.replace("lam", "lamp")
+    wrap_e = _CONIC_WRAP.replace("lam", "lame")
+    return f"""
+t AS (SELECT doc_id, (CAST(lon AS DOUBLE) - -96.0) * {d2r} AS lamp,
+             (CAST(lon AS DOUBLE) - -100.0) * {d2r} AS lame,
+             CAST(lat AS DOUBLE) * {d2r} AS phi
+      FROM pts WHERE doc_id % 13 = 0),
+w AS (SELECT doc_id, phi, {wrap_p} AS lp, {wrap_e} AS le,
+             6378137.0 / sqrt(1 - {e2} * sin(phi) * sin(phi)) AS nu,
+             {_merid_sql()} AS m
+      FROM t)
+SELECT doc_id,
+       ROUND(CASE WHEN abs(phi) < 1e-12 THEN 6378137.0 * lp
+             ELSE nu * (cos(phi) / sin(phi)) * sin(lp * sin(phi)) END,
+             4) AS poly_x,
+       ROUND(CASE WHEN abs(phi) < 1e-12 THEN -{m0p}
+             ELSE m - {m0p} + nu * (cos(phi) / sin(phi))
+                  * (1 - cos(lp * sin(phi))) END, 4) AS poly_y,
+       ROUND(({ag} - m) * sin({n} * le), 4) AS eqdc_x,
+       ROUND({rho0} - ({ag} - m) * cos({n} * le), 4) AS eqdc_y
+FROM w"""
+
+
+_POLY_CRS = "+proj=poly +lat_0=30 +lon_0=-96 +datum=WGS84"
+_EQDC_CRS = ("+proj=eqdc +lat_0=40 +lat_1=34 +lat_2=45 +lon_0=-100 "
+             "+datum=WGS84")
+
+
+@_reg("st_transform_poly_eqdc", f"""
+{_pts_cte()},{_poly_eqdc_sql()}
+""")
+def q_st_transform_poly_eqdc(spark, sf_dir):
+    """ST_Transform through the American Polyconic (EPSG 9818, Snyder
+    18-12..18-14; the kernel pins Snyder's own p.304 numeric example)
+    and the Equidistant Conic (Snyder 16-1..16-6, whose meridian
+    distances are exact). The oracle replays cot(phi)-form polyconic and
+    the inlined eqdc (n, aG, rho0) constants, sharing one meridian-arc
+    CTE."""
+    st.register_all(spark)
+    p = datagen.points(spark, sf_dir).where(F.col("doc_id") % 13 == 0)
+    p.createOrReplaceTempView("t_pe_pts")
+    return spark.sql(f"""
+        SELECT doc_id,
+          ROUND(ST_X(ST_Transform(ST_MakePoint(lon, lat), 'EPSG:4326',
+            '{_POLY_CRS}')), 4) AS poly_x,
+          ROUND(ST_Y(ST_Transform(ST_MakePoint(lon, lat), 'EPSG:4326',
+            '{_POLY_CRS}')), 4) AS poly_y,
+          ROUND(ST_X(ST_Transform(ST_MakePoint(lon, lat), 'EPSG:4326',
+            '{_EQDC_CRS}')), 4) AS eqdc_x,
+          ROUND(ST_Y(ST_Transform(ST_MakePoint(lon, lat), 'EPSG:4326',
+            '{_EQDC_CRS}')), 4) AS eqdc_y
+        FROM t_pe_pts""")
+
+
 def _aea_inverse_sql():
     """DuckDB replay of aea_inverse for EPSG:5070: expects columns
     (mx, my), yields (lon, lat). Inlines the same scalar constants the

@@ -376,7 +376,8 @@ def helmert_from_wgs84(x, y, z, p: tuple[float, ...]):
 def _is_wgs84_ellps(a: float, f: float) -> bool:
     """WGS84 and GRS80 are treated as identical (flattening differs at
     1e-10 — sub-0.1mm; the repo's NAD83/ETRS89 kernels already do so)."""
-    return abs(a - 6378137.0) < 1e-6 and abs(1.0 / f - 298.2572) < 1e-3
+    return abs(a - 6378137.0) < 1e-6 and f != 0.0 \
+        and abs(1.0 / f - 298.2572) < 1e-3
 
 
 def _datum_identity(ellps: tuple[float, float],
@@ -889,6 +890,328 @@ def krovak_inverse(x, y, lon0: float, latc: float, alpha: float,
     return _wrap_rad(lam) / _D2R, phi / _D2R
 
 
+# ---------------------------------------------------------------------------
+# "World grid" long-tail families (Snyder 1987; the reference resolves all
+# of these through the PROJ method table, ogr/ogrct.cpp:919-948): the
+# equidistant cylindrical (EPSG 1028, Plate Carree), Lambert cylindrical
+# equal-area (EPSG 9835 — the EASE-Grid 2.0 projection, EPSG:6933),
+# sinusoidal (the MODIS land grid, +proj=sinu +R=6371007.181),
+# Cassini-Soldner (EPSG 9806), American Polyconic (EPSG 9818) and the
+# equidistant conic (+proj=eqdc). Every kernel is ellipsoid-parameterized
+# (a, f) so spherical +R grids and legacy ellipsoids work; the meridian-arc
+# series and its rectifying-latitude inverse are shared.
+# ---------------------------------------------------------------------------
+
+def merid_coeffs(e2: float):
+    """Meridian-arc series coefficients (Snyder 3-21):
+    M = a*(c0*phi - c2*sin 2phi + c4*sin 4phi - c6*sin 6phi)."""
+    e4, e6 = e2 * e2, e2 * e2 * e2
+    return (1 - e2 / 4 - 3 * e4 / 64 - 5 * e6 / 256,
+            3 * e2 / 8 + 3 * e4 / 32 + 45 * e6 / 1024,
+            15 * e4 / 256 + 45 * e6 / 1024,
+            35 * e6 / 3072)
+
+
+def merid_arc(phi, ellps: tuple[float, float]):
+    """Meridian arc length M(phi) from the equator, phi in radians."""
+    a, f = ellps
+    c0, c2, c4, c6 = merid_coeffs(f * (2.0 - f))
+    phi = np.asarray(phi, np.float64)
+    return a * (c0 * phi - c2 * np.sin(2 * phi) + c4 * np.sin(4 * phi)
+                - c6 * np.sin(6 * phi))
+
+
+def phi_from_m(m, ellps: tuple[float, float]):
+    """Footpoint latitude from a meridian arc (Snyder 3-26/7-19:
+    rectifying-latitude series), radians."""
+    a, f = ellps
+    e2 = f * (2.0 - f)
+    c0, _, _, _ = merid_coeffs(e2)
+    mu = np.asarray(m, np.float64) / (a * c0)
+    e1 = (1 - np.sqrt(1 - e2)) / (1 + np.sqrt(1 - e2))
+    return mu + (3 * e1 / 2 - 27 * e1 ** 3 / 32) * np.sin(2 * mu) \
+        + (21 * e1 ** 2 / 16 - 55 * e1 ** 4 / 32) * np.sin(4 * mu) \
+        + (151 * e1 ** 3 / 96) * np.sin(6 * mu) \
+        + (1097 * e1 ** 4 / 512) * np.sin(8 * mu)
+
+
+def _q_e(sphi, e: float):
+    """Authalic q(phi) for an arbitrary eccentricity (Snyder 3-12);
+    e -> 0 limit is 2*sin(phi) (the sphere)."""
+    if e < 1e-12:
+        return 2.0 * np.asarray(sphi, np.float64)
+    e2 = e * e
+    return (1 - e2) * (sphi / (1 - e2 * sphi * sphi)
+                       - np.log((1 - e * sphi) / (1 + e * sphi)) / (2 * e))
+
+
+def _nu_e(sphi, a: float, e2: float):
+    """Prime-vertical radius of curvature nu(phi) (Snyder 4-20)."""
+    return a / np.sqrt(1 - e2 * sphi * sphi)
+
+
+def eqc_forward(lon, lat, lon0: float, lat1: float = 0.0,
+                fe: float = 0.0, fn: float = 0.0,
+                ellps: tuple[float, float] = ELLIPSOIDS["WGS84"]):
+    """Equidistant Cylindrical forward (EPSG 1028 / Snyder ch. 12):
+    x = nu(lat1) cos(lat1) lam, y = M(phi). lat1 = 0 is Plate Carree."""
+    a, f = ellps
+    e2 = f * (2.0 - f)
+    p1 = lat1 * _D2R
+    r1 = _nu_e(np.sin(p1), a, e2) * np.cos(p1)
+    lam = _wrap_rad((np.asarray(lon, np.float64) - lon0) * _D2R)
+    phi = np.asarray(lat, np.float64) * _D2R
+    return fe + r1 * lam, fn + merid_arc(phi, ellps)
+
+
+def eqc_inverse(x, y, lon0: float, lat1: float = 0.0,
+                fe: float = 0.0, fn: float = 0.0,
+                ellps: tuple[float, float] = ELLIPSOIDS["WGS84"]):
+    a, f = ellps
+    e2 = f * (2.0 - f)
+    p1 = lat1 * _D2R
+    r1 = _nu_e(np.sin(p1), a, e2) * np.cos(p1)
+    lam = (np.asarray(x, np.float64) - fe) / r1
+    phi = phi_from_m(np.asarray(y, np.float64) - fn, ellps)
+    return _wrap_rad(lon0 * _D2R + lam) / _D2R, phi / _D2R
+
+
+def cea_forward(lon, lat, lon0: float, lat_ts: float = 0.0,
+                fe: float = 0.0, fn: float = 0.0,
+                ellps: tuple[float, float] = ELLIPSOIDS["WGS84"]):
+    """Lambert Cylindrical Equal-Area forward (EPSG 9835 / Snyder
+    10-1..10-2): k0 = m(lat_ts); x = a k0 lam, y = a q(phi) / (2 k0).
+    EPSG:6933 (NSIDC EASE-Grid 2.0 Global) is lat_ts = 30 on WGS84."""
+    a, f = ellps
+    e2 = f * (2.0 - f)
+    e = np.sqrt(e2)
+    pts = lat_ts * _D2R
+    k0 = np.cos(pts) / np.sqrt(1 - e2 * np.sin(pts) ** 2)
+    lam = _wrap_rad((np.asarray(lon, np.float64) - lon0) * _D2R)
+    phi = np.asarray(lat, np.float64) * _D2R
+    q = _q_e(np.sin(phi), e)
+    return fe + a * k0 * lam, fn + a * q / (2 * k0)
+
+
+def cea_inverse(x, y, lon0: float, lat_ts: float = 0.0,
+                fe: float = 0.0, fn: float = 0.0,
+                ellps: tuple[float, float] = ELLIPSOIDS["WGS84"]):
+    a, f = ellps
+    e2 = f * (2.0 - f)
+    e = np.sqrt(e2)
+    pts = lat_ts * _D2R
+    k0 = np.cos(pts) / np.sqrt(1 - e2 * np.sin(pts) ** 2)
+    lam = (np.asarray(x, np.float64) - fe) / (a * k0)
+    q = 2 * k0 * (np.asarray(y, np.float64) - fn) / a
+    if e < 1e-12:
+        phi = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
+    else:
+        qp = _q_e(np.float64(1.0), e)
+        beta = np.arcsin(np.clip(q / qp, -1.0, 1.0))
+        e4, e6 = e2 ** 2, e2 ** 3
+        phi = beta + (e2 / 3 + 31 * e4 / 180 + 517 * e6 / 5040) \
+            * np.sin(2 * beta) \
+            + (23 * e4 / 360 + 251 * e6 / 3780) * np.sin(4 * beta) \
+            + (761 * e6 / 45360) * np.sin(6 * beta)
+    return _wrap_rad(lon0 * _D2R + lam) / _D2R, phi / _D2R
+
+
+def sinu_forward(lon, lat, lon0: float = 0.0,
+                 fe: float = 0.0, fn: float = 0.0,
+                 ellps: tuple[float, float] = ELLIPSOIDS["WGS84"]):
+    """Sinusoidal forward (Snyder 25-1..25-2, ellipsoidal):
+    x = a lam cos(phi) / sqrt(1 - e2 sin^2 phi), y = M(phi). The MODIS
+    land grid is the spherical case (f = 0, a = 6371007.181)."""
+    a, f = ellps
+    e2 = f * (2.0 - f)
+    lam = _wrap_rad((np.asarray(lon, np.float64) - lon0) * _D2R)
+    phi = np.asarray(lat, np.float64) * _D2R
+    sphi = np.sin(phi)
+    return (fe + a * lam * np.cos(phi) / np.sqrt(1 - e2 * sphi * sphi),
+            fn + merid_arc(phi, ellps))
+
+
+def sinu_inverse(x, y, lon0: float = 0.0,
+                 fe: float = 0.0, fn: float = 0.0,
+                 ellps: tuple[float, float] = ELLIPSOIDS["WGS84"]):
+    a, f = ellps
+    e2 = f * (2.0 - f)
+    phi = phi_from_m(np.asarray(y, np.float64) - fn, ellps)
+    sphi = np.sin(phi)
+    cphi = np.cos(phi)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        lam = np.where(
+            np.abs(cphi) > 1e-12,
+            (np.asarray(x, np.float64) - fe)
+            * np.sqrt(1 - e2 * sphi * sphi) / (a * cphi), 0.0)
+    return _wrap_rad(lon0 * _D2R + lam) / _D2R, phi / _D2R
+
+
+def cass_forward(lon, lat, lon0: float, lat0: float = 0.0,
+                 fe: float = 0.0, fn: float = 0.0,
+                 ellps: tuple[float, float] = ELLIPSOIDS["WGS84"]):
+    """Cassini-Soldner forward (EPSG 9806 / Snyder 13-7..13-10)."""
+    a, f = ellps
+    e2 = f * (2.0 - f)
+    ep2 = e2 / (1 - e2)
+    lam = _wrap_rad((np.asarray(lon, np.float64) - lon0) * _D2R)
+    phi = np.asarray(lat, np.float64) * _D2R
+    sphi, cphi = np.sin(phi), np.cos(phi)
+    nu = _nu_e(sphi, a, e2)
+    big_t = np.tan(phi) ** 2
+    big_a = lam * cphi
+    big_c = ep2 * cphi * cphi
+    m = merid_arc(phi, ellps)
+    m0 = merid_arc(np.float64(lat0 * _D2R), ellps)
+    x = nu * (big_a - big_t * big_a ** 3 / 6
+              - (8 - big_t + 8 * big_c) * big_t * big_a ** 5 / 120)
+    y = m - m0 + nu * np.tan(phi) * (big_a ** 2 / 2
+                                     + (5 - big_t + 6 * big_c)
+                                     * big_a ** 4 / 24)
+    return fe + x, fn + y
+
+
+def cass_inverse(x, y, lon0: float, lat0: float = 0.0,
+                 fe: float = 0.0, fn: float = 0.0,
+                 ellps: tuple[float, float] = ELLIPSOIDS["WGS84"]):
+    """Cassini-Soldner inverse (Snyder 13-11..13-17)."""
+    a, f = ellps
+    e2 = f * (2.0 - f)
+    m0 = merid_arc(np.float64(lat0 * _D2R), ellps)
+    m1 = m0 + (np.asarray(y, np.float64) - fn)
+    phi1 = phi_from_m(m1, ellps)
+    sp1 = np.sin(phi1)
+    t1 = np.tan(phi1) ** 2
+    nu1 = _nu_e(sp1, a, e2)
+    rho1 = a * (1 - e2) / (1 - e2 * sp1 * sp1) ** 1.5
+    big_d = (np.asarray(x, np.float64) - fe) / nu1
+    phi = phi1 - (nu1 * np.tan(phi1) / rho1) \
+        * (big_d ** 2 / 2 - (1 + 3 * t1) * big_d ** 4 / 24)
+    lam = (big_d - t1 * big_d ** 3 / 3
+           + (1 + 3 * t1) * t1 * big_d ** 5 / 15) / np.cos(phi1)
+    return _wrap_rad(lon0 * _D2R + lam) / _D2R, phi / _D2R
+
+
+def poly_forward(lon, lat, lon0: float, lat0: float = 0.0,
+                 fe: float = 0.0, fn: float = 0.0,
+                 ellps: tuple[float, float] = ELLIPSOIDS["WGS84"]):
+    """American Polyconic forward (EPSG 9818 / Snyder 18-12..18-14)."""
+    a, f = ellps
+    e2 = f * (2.0 - f)
+    lam = _wrap_rad((np.asarray(lon, np.float64) - lon0) * _D2R)
+    phi = np.asarray(lat, np.float64) * _D2R
+    m0 = merid_arc(np.float64(lat0 * _D2R), ellps)
+    sphi = np.sin(phi)
+    nu = _nu_e(sphi, a, e2)
+    m = merid_arc(phi, ellps)
+    big_e = lam * sphi
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cot = np.cos(phi) / np.where(np.abs(sphi) < 1e-12, 1.0, sphi)
+        x = np.where(np.abs(phi) < 1e-12, a * lam,
+                     nu * cot * np.sin(big_e))
+        y = np.where(np.abs(phi) < 1e-12, -m0,
+                     m - m0 + nu * cot * (1 - np.cos(big_e)))
+    return fe + x, fn + y
+
+
+def poly_inverse(x, y, lon0: float, lat0: float = 0.0,
+                 fe: float = 0.0, fn: float = 0.0,
+                 ellps: tuple[float, float] = ELLIPSOIDS["WGS84"],
+                 iters: int = 12):
+    """Polyconic inverse (Snyder 18-18..18-21, Newton on phi)."""
+    a, f = ellps
+    e2 = f * (2.0 - f)
+    c0, c2, c4, c6 = merid_coeffs(e2)
+    xx = np.asarray(x, np.float64) - fe
+    yy = np.asarray(y, np.float64) - fn
+    m0 = merid_arc(np.float64(lat0 * _D2R), ellps)
+    big_a = (m0 + yy) / a
+    big_b = xx * xx / (a * a) + big_a * big_a
+    phi = np.asarray(big_a, np.float64).copy()
+    for _ in range(iters):
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sphi = np.sin(phi)
+            big_c = np.sqrt(1 - e2 * sphi * sphi) * np.tan(phi)
+            ma = merid_arc(phi, ellps) / a
+            # dM/dphi / a (Snyder 18-17)
+            mnp = c0 - 2 * c2 * np.cos(2 * phi) + 4 * c4 * np.cos(4 * phi) \
+                - 6 * c6 * np.cos(6 * phi)
+            # Newton step (Snyder 18-21); NaNs from the phi = 0 poles of
+            # C and 1/sin(2 phi) zero the step (equator rows are exact)
+            num = big_a * (big_c * ma + 1) - ma \
+                - 0.5 * (ma * ma + big_b) * big_c
+            den = e2 * np.sin(2 * phi) \
+                * (ma * ma + big_b - 2 * big_a * ma) / (4 * big_c) \
+                + (big_a - ma) * (big_c * mnp - 2 / np.sin(2 * phi)) - mnp
+            step = num / den
+        phi = phi - np.where(np.isfinite(step), step, 0.0)
+    sphi = np.sin(phi)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        lam = np.where(
+            np.abs(phi) < 1e-12, xx / a,
+            np.arcsin(np.clip(xx * np.sqrt(1 - e2 * sphi * sphi)
+                              * np.tan(phi) / a, -1, 1)) / sphi)
+    # equator rows: phi stays 0, lam = x/a (Snyder 18-22)
+    return _wrap_rad(lon0 * _D2R + lam) / _D2R, phi / _D2R
+
+
+def eqdc_constants(lat0: float, lat1: float, lat2: float,
+                   ellps: tuple[float, float] = ELLIPSOIDS["WGS84"]):
+    """-> (n, G, rho0) for the Equidistant Conic (Snyder 16-1..16-4)."""
+    a, f = ellps
+    e2 = f * (2.0 - f)
+    p0, p1, p2 = (np.float64(v) * _D2R for v in (lat0, lat1, lat2))
+    m1 = np.cos(p1) / np.sqrt(1 - e2 * np.sin(p1) ** 2)
+    mm0, mm1, mm2 = (merid_arc(p, ellps) for p in (p0, p1, p2))
+    if abs(lat1 - lat2) < 1e-12:
+        n = float(np.sin(p1))
+    else:
+        m2 = np.cos(p2) / np.sqrt(1 - e2 * np.sin(p2) ** 2)
+        n = float(a * (m1 - m2) / (mm2 - mm1))
+    g = float(m1 / n + mm1 / a)
+    rho0 = float(a * g - mm0)
+    return n, g, rho0
+
+
+def eqdc_forward(lon, lat, lon0: float, lat0: float, lat1: float,
+                 lat2: float, fe: float = 0.0, fn: float = 0.0,
+                 ellps: tuple[float, float] = ELLIPSOIDS["WGS84"]):
+    """Equidistant Conic forward (Snyder 16-1..16-6): meridian distances
+    are exact (rho differences equal meridian-arc differences)."""
+    a, _ = ellps
+    n, g, rho0 = eqdc_constants(lat0, lat1, lat2, ellps)
+    phi = np.asarray(lat, np.float64) * _D2R
+    th = n * _wrap_rad((np.asarray(lon, np.float64) - lon0) * _D2R)
+    rho = a * g - merid_arc(phi, ellps)
+    return fe + rho * np.sin(th), fn + rho0 - rho * np.cos(th)
+
+
+def eqdc_inverse(x, y, lon0: float, lat0: float, lat1: float,
+                 lat2: float, fe: float = 0.0, fn: float = 0.0,
+                 ellps: tuple[float, float] = ELLIPSOIDS["WGS84"]):
+    a, _ = ellps
+    n, g, rho0 = eqdc_constants(lat0, lat1, lat2, ellps)
+    xx = np.asarray(x, np.float64) - fe
+    yy = rho0 - (np.asarray(y, np.float64) - fn)
+    rho = np.sign(n) * np.sqrt(xx * xx + yy * yy)
+    th = np.arctan2(np.sign(n) * xx, np.sign(n) * yy)
+    phi = phi_from_m(a * g - rho, ellps)
+    return _wrap_rad(lon0 * _D2R + th / n) / _D2R, phi / _D2R
+
+
+# kind-tuple tails align positionally with the kernel signatures, so the
+# dispatch below is table-driven: ("eqc", lon0, lat1, fe, fn), ("cea",
+# lon0, lat_ts, fe, fn), ("sinu", lon0, fe, fn), ("cass"/"poly", lon0,
+# lat0, fe, fn), ("eqdc", lon0, lat0, lat1, lat2, fe, fn)
+_LONGTAIL_FWD = {"eqc": eqc_forward, "cea": cea_forward,
+                 "sinu": sinu_forward, "cass": cass_forward,
+                 "poly": poly_forward, "eqdc": eqdc_forward}
+_LONGTAIL_INV = {"eqc": eqc_inverse, "cea": cea_inverse,
+                 "sinu": sinu_inverse, "cass": cass_inverse,
+                 "poly": poly_inverse, "eqdc": eqdc_inverse}
+_LONGTAIL_FAMS = tuple(_LONGTAIL_FWD)
+
+
 def _parse_proj_string(crs: str):
     """'+proj=... +key=val [+flag]' -> parameterized kind tuple.
 
@@ -929,9 +1252,18 @@ def _parse_proj_string(crs: str):
         rf = float(kv["rf"]) if "rf" in kv else (
             1.0 / ellps[1] if ellps[1] else 0.0)
         ellps = (a_val, 1.0 / rf if rf else 0.0)
+    if "R" in kv:                       # perfect sphere (+R=radius)
+        ellps = (float(kv["R"]), 0.0)
 
     inner = _proj_inner_kind(kv)
     nad = kv.get("nadgrids")
+    if nad == "@null" and inner is not None and isinstance(inner, tuple) \
+            and inner[0] in _LONGTAIL_FAMS and not _is_wgs84_ellps(*ellps):
+        # PROJ's "+nadgrids=@null": NO datum shift — the projected
+        # coordinates reinterpret directly as WGS84 lon/lat after the
+        # inverse projection (the MODIS sinusoidal convention,
+        # +proj=sinu +R=6371007.181 +nadgrids=@null)
+        return ("datum", inner, ellps, None)
     if nad and nad != "@null":
         # NTv2 grid-shift datum (raster/ntv2.py; PROJ hgridshift) —
         # takes precedence over +towgs84, like PROJ
@@ -963,9 +1295,9 @@ def _wrap_datum(inner, ellps: tuple[float, float],
         return None
     if inner == "4326":
         inner = "geog"
-    elif isinstance(inner, tuple) and inner[0] in ("tmerc", "utm",
-                                                   "sterea", "omerc",
-                                                   "krovak"):
+    elif isinstance(inner, tuple) and inner[0] in (
+            ("tmerc", "utm", "sterea", "omerc", "krovak")
+            + _LONGTAIL_FAMS):
         pass            # these kernels are ellipsoid-parameterized
     elif not _is_wgs84_ellps(*ellps):
         return None     # e.g. LCC on Bessel: kernel not ellipsoid-ported
@@ -1021,6 +1353,24 @@ def _proj_inner_kind(kv: dict):
         # alpha = gamma = 90 deg (EPSG 9815 parameterization of CH1903)
         return ("omerc", f("lon_0", 0.0), f("lat_0", 0.0), 90.0, 90.0,
                 k0, f("x_0", 0.0), f("y_0", 0.0), True)
+    if proj == "eqc":
+        return ("eqc", f("lon_0", 0.0), f("lat_ts", 0.0),
+                f("x_0", 0.0), f("y_0", 0.0))
+    if proj == "cea":
+        return ("cea", f("lon_0", 0.0), f("lat_ts", 0.0),
+                f("x_0", 0.0), f("y_0", 0.0))
+    if proj == "sinu":
+        return ("sinu", f("lon_0", 0.0), f("x_0", 0.0), f("y_0", 0.0))
+    if proj == "cass":
+        return ("cass", f("lon_0", 0.0), f("lat_0", 0.0),
+                f("x_0", 0.0), f("y_0", 0.0))
+    if proj == "poly":
+        return ("poly", f("lon_0", 0.0), f("lat_0", 0.0),
+                f("x_0", 0.0), f("y_0", 0.0))
+    if proj == "eqdc":
+        lat1 = f("lat_1", 0.0)
+        return ("eqdc", f("lon_0", 0.0), f("lat_0", 0.0), lat1,
+                f("lat_2", lat1), f("x_0", 0.0), f("y_0", 0.0))
     if proj == "krovak":
         lon0 = f("lon_0", 24.0 + 50.0 / 60)
         if kv.get("pm") == "ferro":        # Ferro = 17d40' W of Greenwich
@@ -1096,6 +1446,18 @@ _WKT_METHODS = {
     "SWISS_OBLIQUE_MERCATOR": "somerc",
     "KROVAK": "krovak",
     "KROVAK_(EAST_NORTH_ORIENTATED)": "krovak",
+    "EQUIRECTANGULAR": "eqc",
+    "EQUIDISTANT_CYLINDRICAL": "eqc",
+    "PLATE_CARREE": "eqc",
+    "CYLINDRICAL_EQUAL_AREA": "cea",
+    "LAMBERT_CYLINDRICAL_EQUAL_AREA": "cea",
+    "LAMBERT_CYLINDRICAL_EQUAL_AREA_(SPHERICAL)": "cea",
+    "SINUSOIDAL": "sinu",
+    "CASSINI_SOLDNER": "cass",
+    "CASSINI-SOLDNER": "cass",
+    "POLYCONIC": "poly",
+    "AMERICAN_POLYCONIC": "poly",
+    "EQUIDISTANT_CONIC": "eqdc",
 }
 
 
@@ -1254,6 +1616,28 @@ def _parse_wkt_kind(crs: str):
         k0 = g(("scale_factor",
                 "scale_factor_on_pseudo_standard_parallel"), 0.9999)
         return ("krovak", lonc, latc, al, lp, k0, fe, fn)
+    if fam == "eqc":
+        lat1 = g(("standard_parallel_1",
+                  "latitude_of_1st_standard_parallel",
+                  "latitude_of_origin"))
+        return ("eqc", lon0, lat1, fe, fn)
+    if fam == "cea":
+        lat_ts = g(("standard_parallel_1",
+                    "latitude_of_1st_standard_parallel"))
+        return ("cea", lon0, lat_ts, fe, fn)
+    if fam == "sinu":
+        return ("sinu", lon0, fe, fn)
+    if fam in ("cass", "poly"):
+        lat0 = g(("latitude_of_origin", "latitude_of_natural_origin"))
+        return (fam, lon0, lat0, fe, fn)
+    if fam == "eqdc":
+        lat0 = g(("latitude_of_origin", "latitude_of_center",
+                  "latitude_of_natural_origin"))
+        lat1 = g(("standard_parallel_1",
+                  "latitude_of_1st_standard_parallel"), lat0)
+        lat2 = g(("standard_parallel_2",
+                  "latitude_of_2nd_standard_parallel"), lat1)
+        return ("eqdc", lon0, lat0, lat1, lat2, fe, fn)
     if fam == "tmerc":
         lat0 = g(("latitude_of_origin", "latitude_of_natural_origin"))
         if lat0 != 0.0:
@@ -1351,6 +1735,12 @@ def _parse_crs(crs: str):
             return ("datum", ("utm", -183.0 + 6.0 * zone, False),
                     ELLIPSOIDS["intl"],
                     (-87.0, -98.0, -121.0, 0.0, 0.0, 0.0, 0.0))
+    if crs == "EPSG:6933":        # WGS84 / NSIDC EASE-Grid 2.0 Global
+        return ("cea", 0.0, 30.0, 0.0, 0.0)
+    if crs in ("EPSG:4087", "EPSG:32662"):
+        # WGS84 / World Equidistant Cylindrical (and the deprecated
+        # Plate Carree code 32662): lat_ts = 0
+        return ("eqc", 0.0, 0.0, 0.0, 0.0)
     if crs.startswith("LAEA:"):   # generic: LAEA:lon0,lat0
         lon0, lat0 = (float(v) for v in crs[5:].split(","))
         return ("laea", lon0, lat0, 0.0, 0.0)
@@ -1393,8 +1783,15 @@ def _kind_to_4326(kind, x, y, crs="?"):
             _k, lon0, latc, al, lp, k0, fe, fn = inner
             lon, lat = krovak_inverse(x, y, lon0, latc, al, lp, k0, fe, fn,
                                       ellps=ellps)
+        elif isinstance(inner, tuple) and inner[0] in _LONGTAIL_INV:
+            lon, lat = _LONGTAIL_INV[inner[0]](x, y, *inner[1:],
+                                               ellps=ellps)
         else:
             lon, lat = _kind_to_4326(inner, x, y, crs)
+        if p is None:
+            # ballpark (+nadgrids=@null): no geocentric hop — the
+            # geographic coordinates pass through as WGS84
+            return lon, lat
         gx, gy, gz = geodetic_to_geocentric(lon, lat, *ellps)
         gx, gy, gz = helmert_to_wgs84(gx, gy, gz, p)
         return geocentric_to_geodetic(gx, gy, gz, *ELLIPSOIDS["WGS84"])
@@ -1464,6 +1861,8 @@ def _kind_to_4326(kind, x, y, crs="?"):
     if isinstance(kind, tuple) and kind[0] == "krovak":
         _, lon0, latc, al, lp, k0, fe, fn = kind
         return krovak_inverse(x, y, lon0, latc, al, lp, k0, fe, fn)
+    if isinstance(kind, tuple) and kind[0] in _LONGTAIL_INV:
+        return _LONGTAIL_INV[kind[0]](x, y, *kind[1:])
     raise ValueError(f"unsupported CRS {crs}")
 
 
@@ -1474,10 +1873,14 @@ def _from_4326(crs, lon, lat):
 def _kind_from_4326(kind, lon, lat, crs="?"):
     if isinstance(kind, tuple) and kind[0] == "datum":
         _, inner, ellps, p = kind
-        gx, gy, gz = geodetic_to_geocentric(lon, lat,
-                                            *ELLIPSOIDS["WGS84"])
-        gx, gy, gz = helmert_from_wgs84(gx, gy, gz, p)
-        lon2, lat2 = geocentric_to_geodetic(gx, gy, gz, *ellps)
+        if p is None:       # ballpark (+nadgrids=@null): no datum hop
+            lon2 = np.asarray(lon, np.float64)
+            lat2 = np.asarray(lat, np.float64)
+        else:
+            gx, gy, gz = geodetic_to_geocentric(lon, lat,
+                                                *ELLIPSOIDS["WGS84"])
+            gx, gy, gz = helmert_from_wgs84(gx, gy, gz, p)
+            lon2, lat2 = geocentric_to_geodetic(gx, gy, gz, *ellps)
         if inner == "geog":
             return lon2, lat2
         if isinstance(inner, tuple) and inner[0] == "utm" \
@@ -1503,6 +1906,9 @@ def _kind_from_4326(kind, lon, lat, crs="?"):
             _k, lon0, latc, al, lp, k0, fe, fn = inner
             return krovak_forward(lon2, lat2, lon0, latc, al, lp, k0,
                                   fe, fn, ellps=ellps)
+        if isinstance(inner, tuple) and inner[0] in _LONGTAIL_FWD:
+            return _LONGTAIL_FWD[inner[0]](lon2, lat2, *inner[1:],
+                                           ellps=ellps)
         return _kind_from_4326(inner, lon2, lat2, crs)
     if isinstance(kind, tuple) and kind[0] == "grid":
         from .ntv2 import apply_gridshift
@@ -1564,6 +1970,8 @@ def _kind_from_4326(kind, lon, lat, crs="?"):
     if isinstance(kind, tuple) and kind[0] == "krovak":
         _, lon0, latc, al, lp, k0, fe, fn = kind
         return krovak_forward(lon, lat, lon0, latc, al, lp, k0, fe, fn)
+    if isinstance(kind, tuple) and kind[0] in _LONGTAIL_FWD:
+        return _LONGTAIL_FWD[kind[0]](lon, lat, *kind[1:])
     raise ValueError(f"unsupported CRS {crs}")
 
 
@@ -1835,14 +2243,41 @@ def format_proj4_kind(kind) -> str:
         return (f"+proj=krovak +lat_0={latc:.12g} +lon_0={lon0:.12g} "
                 f"+alpha={al:.12g} +k={k0:.10g} "
                 f"+x_0={fe:.10g} +y_0={fn:.10g} +datum=WGS84 +units=m +no_defs")
+    if fam == "eqc":
+        _, lon0, lat1, fe, fn = kind
+        return (f"+proj=eqc +lat_ts={lat1:.10g} +lon_0={lon0:.10g} "
+                f"+x_0={fe:.10g} +y_0={fn:.10g} +datum=WGS84 +units=m +no_defs")
+    if fam == "cea":
+        _, lon0, lat_ts, fe, fn = kind
+        return (f"+proj=cea +lat_ts={lat_ts:.10g} +lon_0={lon0:.10g} "
+                f"+x_0={fe:.10g} +y_0={fn:.10g} +datum=WGS84 +units=m +no_defs")
+    if fam == "sinu":
+        _, lon0, fe, fn = kind
+        return (f"+proj=sinu +lon_0={lon0:.10g} "
+                f"+x_0={fe:.10g} +y_0={fn:.10g} +datum=WGS84 +units=m +no_defs")
+    if fam in ("cass", "poly"):
+        _, lon0, lat0, fe, fn = kind
+        return (f"+proj={fam} +lat_0={lat0:.10g} +lon_0={lon0:.10g} "
+                f"+x_0={fe:.10g} +y_0={fn:.10g} +datum=WGS84 +units=m +no_defs")
+    if fam == "eqdc":
+        _, lon0, lat0, lat1, lat2, fe, fn = kind
+        return (f"+proj=eqdc +lat_1={lat1:.10g} +lat_2={lat2:.10g} "
+                f"+lat_0={lat0:.10g} +lon_0={lon0:.10g} "
+                f"+x_0={fe:.10g} +y_0={fn:.10g} +datum=WGS84 +units=m +no_defs")
     if fam == "datum":
         _, inner, ellps, p = kind
         base = ("+proj=longlat" if inner == "geog"
                 else format_proj4_kind(inner).rsplit(" +datum=", 1)[0])
         en = next((nm for nm, ab in ELLIPSOIDS.items()
                    if ab == tuple(ellps)), None)
-        ell = f" +ellps={en}" if en else \
-            f" +a={ellps[0]:.10g} +rf={1.0 / ellps[1]:.10g}"
+        if ellps[1] == 0.0:
+            ell = f" +R={ellps[0]:.10g}"
+        elif en:
+            ell = f" +ellps={en}"
+        else:
+            ell = f" +a={ellps[0]:.10g} +rf={1.0 / ellps[1]:.10g}"
+        if p is None:       # ballpark: no datum shift
+            return f"{base}{ell} +nadgrids=@null +units=m +no_defs"
         tow = ",".join(f"{v:.10g}" for v in p)
         return f"{base}{ell} +towgs84={tow} +units=m +no_defs"
     _, lon0, k0, fe, fn = kind[:5]

@@ -953,3 +953,199 @@ def test_eov_hungarian_grid():
     # Budapest lands in the EOV numeric range (E ~650km, N ~240km)
     xb, yb = T.transform("EPSG:4326", "EPSG:23700", 19.0458, 47.5070)
     assert 600000 < float(xb) < 700000 and 200000 < float(yb) < 300000
+
+
+# ---------------------------------------------------------------------------
+# "World grid" long-tail families (round 4): equidistant cylindrical,
+# cylindrical equal-area (EASE-Grid 2.0), sinusoidal (MODIS), Cassini-
+# Soldner, American Polyconic, equidistant conic. Reference resolves all
+# through the PROJ method table (ogr/ogrct.cpp:919-948); pins below are
+# the EPSG GN 7-2 worked example (Cassini, Trinidad 1903), Snyder (1987)
+# numeric examples, and the projections' defining differential invariants.
+# ---------------------------------------------------------------------------
+
+def test_eqc_world_grid_anchors_and_roundtrip():
+    # EPSG:4087: x is linear in longitude, y is the meridian arc
+    x, y = T.transform("EPSG:4326", "EPSG:4087",
+                       np.array([90.0, 0.0]), np.array([0.0, 90.0]))
+    assert x[0] == pytest.approx(A * np.pi / 2, rel=1e-12)
+    assert y[1] == pytest.approx(10001965.7293, abs=1e-3)  # quadrant
+    lon = np.linspace(-179, 179, 41)
+    lat = np.linspace(-89, 89, 41)
+    x, y = T.transform("EPSG:4326", "EPSG:4087", lon, lat)
+    lo, la = T.transform("EPSG:4087", "EPSG:4326", x, y)
+    np.testing.assert_allclose(lo, lon, atol=1e-8)
+    np.testing.assert_allclose(la, lat, atol=1e-8)
+    # deprecated Plate Carree code parses to the same kind
+    assert T._parse_crs("EPSG:32662") == T._parse_crs("EPSG:4087")
+
+
+def test_cea_ease_grid2_anchor_and_equal_area():
+    # NSIDC EASE-Grid 2.0 Global (EPSG:6933): the published x half-extent
+    x, y = T.transform("EPSG:4326", "EPSG:6933",
+                       np.array([180.0 - 1e-9]), np.array([0.0]))
+    assert abs(x[0]) == pytest.approx(17367530.4451615, abs=1e-3)
+    # global equal-area identity: (x extent) * (y extent) = 4 pi Rq^2,
+    # the ellipsoid's authalic-sphere surface area
+    _, ytop = T.transform("EPSG:4326", "EPSG:6933",
+                          np.array([0.0]), np.array([90.0]))
+    qp = T._authalic_q(np.float64(1.0))
+    rq2 = A * A * qp / 2
+    p30 = np.radians(30.0)
+    k0 = np.cos(p30) / np.sqrt(1 - E2 * np.sin(p30) ** 2)
+    assert (2 * np.pi * A * k0) * (2 * ytop[0]) == \
+        pytest.approx(4 * np.pi * rq2, rel=1e-12)
+    lon = np.linspace(-179, 179, 31)
+    lat = np.linspace(-85, 85, 31)
+    x, y = T.transform("EPSG:4326", "EPSG:6933", lon, lat)
+    lo, la = T.transform("EPSG:6933", "EPSG:4326", x, y)
+    np.testing.assert_allclose(lo, lon, atol=1e-8)
+    np.testing.assert_allclose(la, lat, atol=1e-8)
+
+
+def test_sinu_modis_sphere_ballpark():
+    # the MODIS land-grid CRS: spherical sinusoidal, no datum shift
+    crs = "+proj=sinu +R=6371007.181 +nadgrids=@null +units=m +no_defs"
+    x, y = T.transform("EPSG:4326", crs,
+                       np.array([180.0, 0.0]), np.array([0.0, 50.0]))
+    assert abs(x[0]) == pytest.approx(20015109.354, abs=5e-3)
+    assert y[1] == pytest.approx(6371007.181 * np.radians(50.0), rel=1e-14)
+    # +nadgrids=@null means ballpark: latitude passes through unchanged
+    lo, la = T.transform(crs, "EPSG:4326", np.array([0.0]),
+                         np.array([6371007.181 * np.radians(50.0)]))
+    assert la[0] == pytest.approx(50.0, abs=1e-12)
+    # equal-area Jacobian on the sphere: dA = R^2 cos(phi) dlam dphi
+    r = 6371007.181
+    h = 1e-6
+    for phi0 in (-60.0, 0.0, 47.3):
+        x1, y1 = T.transform("EPSG:4326", crs, np.array([10.0]),
+                             np.array([phi0]))
+        x2, _ = T.transform("EPSG:4326", crs, np.array([10.0 + h]),
+                            np.array([phi0]))
+        _, y3 = T.transform("EPSG:4326", crs, np.array([10.0]),
+                            np.array([phi0 + h]))
+        jac = (x2[0] - x1[0]) * (y3[0] - y1[0]) / np.radians(h) ** 2
+        assert jac == pytest.approx(r * r * np.cos(np.radians(phi0)),
+                                    rel=1e-5)
+
+
+def test_cassini_trinidad_gn72_worked_example():
+    """EPSG Guidance Note 7-2 §3.2.2 (Cassini-Soldner, Trinidad 1903 /
+    Trinidad Grid, Clarke 1858 in Clarke's links): phi=10N lam=62W ->
+    E=66644.94, N=82536.22 links."""
+    a = 20926348.0 / 0.66           # 31706587.88 links
+    b = 20855233.0 / 0.66
+    rf = a / (a - b)
+    crs = (f"+proj=cass +lat_0={10 + 26.5 / 60} "
+           f"+lon_0={-(61 + 20.0 / 60)} +x_0=430000 +y_0=325000 "
+           f"+a={a} +rf={rf} +nadgrids=@null")
+    x, y = T.transform("EPSG:4326", crs, np.array([-62.0]),
+                       np.array([10.0]))
+    assert x[0] == pytest.approx(66644.94, abs=0.01)
+    assert y[0] == pytest.approx(82536.22, abs=0.01)
+    # inverse round-trips within the projection's validity band
+    lon = np.linspace(-64.5, -58.5, 25)
+    lat = np.linspace(5.0, 15.0, 25)
+    xx, yy = T.transform("EPSG:4326", crs, lon, lat)
+    lo, la = T.transform(crs, "EPSG:4326", xx, yy)
+    np.testing.assert_allclose(lo, lon, atol=1e-7)
+    np.testing.assert_allclose(la, lat, atol=1e-7)
+
+
+def test_polyconic_snyder_numeric_example():
+    """Snyder (1987) p.304: American Polyconic on Clarke 1866,
+    lat0=30N lon0=96W, point 40N 75W -> x=1776774.5, y=1319657.8 m."""
+    crs = ("+proj=poly +lat_0=30 +lon_0=-96 +a=6378206.4 "
+           "+rf=294.9786982 +nadgrids=@null")
+    x, y = T.transform("EPSG:4326", crs, np.array([-75.0]),
+                       np.array([40.0]))
+    assert x[0] == pytest.approx(1776774.5, abs=0.5)
+    assert y[0] == pytest.approx(1319657.8, abs=0.5)
+    # central-meridian invariant: x = 0 and y = M(phi) - M(phi0) exactly
+    crs84 = "+proj=poly +lat_0=30 +lon_0=-96 +datum=WGS84"
+    xs, ys = T.transform("EPSG:4326", crs84,
+                         np.array([-96.0, -96.0]), np.array([45.0, 10.0]))
+    ell = T.ELLIPSOIDS["WGS84"]
+    m = T.merid_arc(np.radians(np.array([45.0, 10.0])), ell)
+    m0 = T.merid_arc(np.radians(30.0), ell)
+    np.testing.assert_allclose(xs, [0.0, 0.0], atol=1e-9)
+    np.testing.assert_allclose(ys, m - m0, atol=1e-6)
+    # Newton inverse round-trips, including equator rows
+    lon = np.concatenate([np.linspace(-110, -82, 27), [-96.0, -90.0]])
+    lat = np.concatenate([np.linspace(-55, 55, 27), [0.0, 0.0]])
+    xx, yy = T.transform("EPSG:4326", crs84, lon, lat)
+    lo, la = T.transform(crs84, "EPSG:4326", xx, yy)
+    np.testing.assert_allclose(lo, lon, atol=1e-8)
+    np.testing.assert_allclose(la, lat, atol=1e-8)
+
+
+def test_eqdc_meridian_and_parallel_invariants():
+    crs = "+proj=eqdc +lat_0=40 +lat_1=34 +lat_2=45 +lon_0=-100 +datum=WGS84"
+    # equidistant along meridians: northing differences on the central
+    # meridian equal meridian-arc differences EXACTLY
+    lats = np.array([20.0, 34.0, 40.0, 45.0, 60.0])
+    _, y = T.transform("EPSG:4326", crs, np.full(5, -100.0), lats)
+    m = T.merid_arc(np.radians(lats), T.ELLIPSOIDS["WGS84"])
+    np.testing.assert_allclose(np.diff(y), np.diff(m), atol=1e-9)
+    # standard parallels are true to scale: arc length along lat1 equals
+    # the ellipsoidal parallel arc a*m(lat1)*dlam
+    n, g, rho0 = T.eqdc_constants(40.0, 34.0, 45.0)
+    p1 = np.radians(34.0)
+    m1 = np.cos(p1) / np.sqrt(1 - E2 * np.sin(p1) ** 2)
+    rho1 = A * g - float(T.merid_arc(p1, T.ELLIPSOIDS["WGS84"]))
+    dlam = np.radians(1.0)
+    assert rho1 * n * dlam == pytest.approx(A * m1 * dlam, rel=1e-12)
+    lon = np.linspace(-130, -70, 25)
+    lat = np.linspace(-20, 75, 25)
+    xx, yy = T.transform("EPSG:4326", crs, lon, lat)
+    lo, la = T.transform(crs, "EPSG:4326", xx, yy)
+    np.testing.assert_allclose(lo, lon, atol=1e-8)
+    np.testing.assert_allclose(la, lat, atol=1e-8)
+
+
+def test_longtail_spellings_agree_and_proj4_roundtrip():
+    """EPSG code, proj string and WKT1 spell the same kernels; and
+    format_proj4 round-trips every new family through _parse_crs."""
+    pts = (np.array([-40.0, 25.0, 140.0]), np.array([-35.0, 12.0, 55.0]))
+    wkt_cea = (
+        'PROJCS["WGS 84 / NSIDC EASE-Grid 2.0 Global",'
+        'GEOGCS["WGS 84",DATUM["WGS_1984",'
+        'SPHEROID["WGS 84",6378137,298.257223563]],'
+        'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],'
+        'PROJECTION["Cylindrical_Equal_Area"],'
+        'PARAMETER["standard_parallel_1",30],'
+        'PARAMETER["central_meridian",0],'
+        'PARAMETER["false_easting",0],PARAMETER["false_northing",0],'
+        'UNIT["metre",1]]')
+    x1, y1 = T.transform("EPSG:4326", "EPSG:6933", *pts)
+    x2, y2 = T.transform("EPSG:4326",
+                         "+proj=cea +lat_ts=30 +lon_0=0 +datum=WGS84", *pts)
+    x3, y3 = T.transform("EPSG:4326", wkt_cea, *pts)
+    np.testing.assert_allclose(x2, x1, atol=1e-9)
+    np.testing.assert_allclose(y2, y1, atol=1e-9)
+    np.testing.assert_allclose(x3, x1, atol=1e-9)
+    np.testing.assert_allclose(y3, y1, atol=1e-9)
+    wkt_sinu = (
+        'PROJCS["World Sinusoidal",GEOGCS["WGS 84",DATUM["WGS_1984",'
+        'SPHEROID["WGS 84",6378137,298.257223563]],'
+        'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],'
+        'PROJECTION["Sinusoidal"],PARAMETER["central_meridian",10],'
+        'PARAMETER["false_easting",3],PARAMETER["false_northing",4],'
+        'UNIT["metre",1]]')
+    x4, y4 = T.transform("EPSG:4326", wkt_sinu, *pts)
+    x5, y5 = T.transform(
+        "EPSG:4326", "+proj=sinu +lon_0=10 +x_0=3 +y_0=4 +datum=WGS84",
+        *pts)
+    np.testing.assert_allclose(x4, x5, atol=1e-9)
+    np.testing.assert_allclose(y4, y5, atol=1e-9)
+    for crs in ("EPSG:6933", "EPSG:4087",
+                "+proj=sinu +lon_0=10 +x_0=3 +y_0=4 +datum=WGS84",
+                "+proj=cass +lat_0=10 +lon_0=-61 +x_0=1 +y_0=2 +datum=WGS84",
+                "+proj=poly +lat_0=30 +lon_0=-96 +datum=WGS84",
+                "+proj=eqdc +lat_0=40 +lat_1=34 +lat_2=45 +lon_0=-100 "
+                "+datum=WGS84",
+                "+proj=sinu +R=6371007.181 +nadgrids=@null"):
+        kind = T._parse_crs(crs)
+        assert kind is not None, crs
+        p4 = T.format_proj4_kind(kind)
+        assert T._parse_crs(p4) == kind, (crs, p4)
