@@ -2390,6 +2390,42 @@ def format_wkt1(crs: str) -> str:
                   f'PARAMETER["scale_factor",{k0:.10g}],'
                   f'PARAMETER["false_easting",{fe:.10g}],'
                   f'PARAMETER["false_northing",{fn:.10g}],UNIT["metre",1]]')
+    if fam in ("eqc", "cea"):
+        _, lon0, lat1, fe, fn = kind
+        method = "Equirectangular" if fam == "eqc" \
+            else "Cylindrical_Equal_Area"
+        return ('PROJCS["unnamed",' + _WGS84_GEOGCS
+                + f',PROJECTION["{method}"],'
+                  f'PARAMETER["standard_parallel_1",{lat1:.10g}],'
+                  f'PARAMETER["central_meridian",{lon0:.10g}],'
+                  f'PARAMETER["false_easting",{fe:.10g}],'
+                  f'PARAMETER["false_northing",{fn:.10g}],UNIT["metre",1]]')
+    if fam == "sinu":
+        _, lon0, fe, fn = kind
+        return ('PROJCS["unnamed",' + _WGS84_GEOGCS
+                + ',PROJECTION["Sinusoidal"],'
+                  f'PARAMETER["central_meridian",{lon0:.10g}],'
+                  f'PARAMETER["false_easting",{fe:.10g}],'
+                  f'PARAMETER["false_northing",{fn:.10g}],UNIT["metre",1]]')
+    if fam in ("cass", "poly"):
+        _, lon0, lat0, fe, fn = kind
+        method = "Cassini_Soldner" if fam == "cass" else "Polyconic"
+        return ('PROJCS["unnamed",' + _WGS84_GEOGCS
+                + f',PROJECTION["{method}"],'
+                  f'PARAMETER["latitude_of_origin",{lat0:.10g}],'
+                  f'PARAMETER["central_meridian",{lon0:.10g}],'
+                  f'PARAMETER["false_easting",{fe:.10g}],'
+                  f'PARAMETER["false_northing",{fn:.10g}],UNIT["metre",1]]')
+    if fam == "eqdc":
+        _, lon0, lat0, lat1, lat2, fe, fn = kind
+        return ('PROJCS["unnamed",' + _WGS84_GEOGCS
+                + ',PROJECTION["Equidistant_Conic"],'
+                  f'PARAMETER["standard_parallel_1",{lat1:.10g}],'
+                  f'PARAMETER["standard_parallel_2",{lat2:.10g}],'
+                  f'PARAMETER["latitude_of_origin",{lat0:.10g}],'
+                  f'PARAMETER["central_meridian",{lon0:.10g}],'
+                  f'PARAMETER["false_easting",{fe:.10g}],'
+                  f'PARAMETER["false_northing",{fn:.10g}],UNIT["metre",1]]')
     _, lon0, k0, fe, fn = kind
     return ('PROJCS["unnamed",' + _WGS84_GEOGCS
             + f',PROJECTION["{_WKT_FAM_METHOD[fam]}"],'

@@ -1149,3 +1149,12 @@ def test_longtail_spellings_agree_and_proj4_roundtrip():
         assert kind is not None, crs
         p4 = T.format_proj4_kind(kind)
         assert T._parse_crs(p4) == kind, (crs, p4)
+    # srs_info's WKT1 spelling re-parses to the same kernels too
+    for crs in ("EPSG:6933", "EPSG:4087",
+                "+proj=sinu +lon_0=10 +datum=WGS84",
+                "+proj=cass +lat_0=10 +lon_0=-61 +x_0=1 +y_0=2 +datum=WGS84",
+                "+proj=poly +lat_0=30 +lon_0=-96 +datum=WGS84",
+                "+proj=eqdc +lat_0=40 +lat_1=34 +lat_2=45 +lon_0=-100 "
+                "+datum=WGS84"):
+        s = T.srs_info(crs)
+        assert T._parse_crs(s["wkt"]) == T._parse_crs(crs), crs
