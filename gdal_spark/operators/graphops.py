@@ -1,0 +1,116 @@
+"""Web link-graph operators: PageRank power iteration over the document
+hyperlink graph.
+
+The webtext side of this engine treats the corpus as a crawled web graph
+(the same shape PageRank was defined on — Page et al. 1999, "The PageRank
+citation ranking"). GDAL has no graph surface; this module is part of the
+training-data-pipeline extension set, like operators/textops.py.
+
+Scale design: each power iteration is one shuffle join of the rank vector
+against the edge list on src (the same key the out-degree table aggregated
+on) followed by a map-side-combined groupBy(dst) sum — the canonical
+PageRank-on-a-cluster plan. The dangling-node mass is a single scalar
+aggregate broadcast back into the update, never a row-wise blowup. At
+10^12 edges the rank vector must be checkpointed every round anyway — it
+feeds two consumers per iteration (dangling mass + contributions), so an
+unbounded lazy chain doubles the plan each round. pagerank() therefore
+localCheckpoints the vector once per iteration, and the oracle replays
+the unrolled iterations CTE-for-CTE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# deterministic synthetic hyperlink topology over contiguous doc_ids
+# (TESTDATA.md documents table): every 17th page is a sink (no outlinks,
+# exercising the dangling-mass redistribution); every other page links to
+# three targets via a fixed affine map, self-loops dropped.
+LINK_FANOUT = (1, 2, 3)
+LINK_MULT = 31
+LINK_STEP = 97
+SINK_MOD = 17
+
+
+def link_edges(docs: DataFrame, n_docs: int) -> DataFrame:
+    """(src, dst) hyperlink edges derived deterministically from doc_id."""
+    d = docs.select(F.col("doc_id").alias("src")) \
+        .where(F.col("src") % SINK_MOD != 0)
+    e = d.select(
+        "src",
+        F.explode(F.array(*[F.lit(j) for j in LINK_FANOUT])).alias("j"))
+    e = e.select(
+        "src",
+        ((F.col("src") * LINK_MULT + F.col("j") * LINK_STEP) % n_docs)
+        .alias("dst"))
+    return e.where(F.col("dst") != F.col("src"))
+
+
+def pagerank(docs: DataFrame, iters: int = 8,
+             alpha: float = 0.85) -> DataFrame:
+    """-> (doc_id, rank_r): damped PageRank after ``iters`` synchronous
+    power iterations from the uniform vector, with dangling mass
+    redistributed uniformly each round:
+
+        r'(v) = (1-alpha)/n + alpha * (sum_{u->v} r(u)/deg(u) + D/n)
+
+    where D is the total rank held by pages with no outlinks. Every
+    iteration is (rank join edges on src) -> groupBy(dst) partial-agg
+    sum, plus one scalar dangling aggregate broadcast into the update;
+    ranks are rounded to 8 decimals at the end only.
+    """
+    n = docs.count()
+    edges = link_edges(docs, n)
+    outdeg = edges.groupBy("src").agg(F.count("*").cast("long")
+                                      .alias("deg"))
+    # the edge list, degree table and node set are loop-invariant: pin
+    # them once instead of re-deriving from the source scan every round
+    outdeg = outdeg.localCheckpoint(eager=True)
+    linked = edges.join(outdeg, "src").localCheckpoint(eager=True)
+    nodes = docs.select(F.col("doc_id").alias("v")) \
+        .localCheckpoint(eager=True)
+    ranks = nodes.select("v", F.lit(1.0 / n).alias("r"))
+    tele = (1.0 - alpha) / n
+    for it in range(iters):
+        # the rank vector feeds BOTH the dangling aggregate and the
+        # contribution join; without truncation the lazy plan doubles
+        # every iteration (2^iters analysis blowup). localCheckpoint
+        # every second round bounds the plan at 4x while halving the
+        # materialization actions — the same lineage-truncation cadence
+        # a 10^12-edge run needs.
+        ranks = ranks.localCheckpoint(eager=True)
+        dm = (ranks.join(outdeg.select(F.col("src").alias("v")),
+                         "v", "left_anti")
+              .agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("dm")))
+        contrib = (linked.join(ranks, linked["src"] == ranks["v"])
+                   .select(F.col("dst").alias("v"),
+                           (F.col("r") / F.col("deg")).alias("c"))
+                   .groupBy("v").agg(F.sum("c").alias("c")))
+        ranks = (nodes.join(contrib, "v", "left")
+                 .crossJoin(F.broadcast(dm))
+                 .select("v",
+                         (F.lit(tele)
+                          + F.lit(alpha)
+                          * (F.coalesce(F.col("c"), F.lit(0.0))
+                             + F.col("dm") / n)).alias("r")))
+    return ranks.select(F.col("v").alias("doc_id"),
+                        F.round("r", 8).alias("rank_r"))
+
+
+def degree_stats(docs: DataFrame) -> DataFrame:
+    """-> (doc_id, out_deg, in_deg, is_sink): per-page degree summary of
+    the link graph — two map-side-combined groupBys joined back to the
+    page table (no row-wise blowup beyond the edge explode)."""
+    n = docs.count()
+    edges = link_edges(docs, n)
+    outd = edges.groupBy("src").agg(F.count("*").cast("long")
+                                    .alias("out_deg"))
+    ind = edges.groupBy("dst").agg(F.count("*").cast("long")
+                                   .alias("in_deg"))
+    return (docs.select(F.col("doc_id"))
+            .join(outd, docs["doc_id"] == outd["src"], "left")
+            .join(ind, docs["doc_id"] == ind["dst"], "left")
+            .select("doc_id",
+                    F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+                    F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+                    (F.col("doc_id") % SINK_MOD == 0).alias("is_sink")))

@@ -781,6 +781,58 @@ def bigram_lm_scores(docs: DataFrame, k_smooth: float = 0.5) -> DataFrame:
                           F.round(F.exp("xent"), 4).alias("ppl_r"))
 
 
+def kneser_ney_scores(docs: DataFrame,
+                      discount: float = 0.75) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM (Kneser & Ney 1995; the
+    smoothing KenLM uses, here at bigram order so every probability is
+    an exact corpus statistic): absolute discount d on the bigram MLE,
+    with the stolen mass backed off to the CONTINUATION unigram — how
+    many distinct contexts a word follows, not how often it occurs:
+
+        p(b|a) = max(c(a,b) - d, 0)/c(a.) + d*N1+(a.)/c(a.) * pc(b)
+        pc(b)  = N1+(.b) / N1+(..)
+
+    -> (doc_id, n_bigrams, kn_xent_r, kn_ppl_r) per-document
+    cross-entropy/perplexity under the corpus-trained model.
+
+    Distribution: c(a,b) is a map-side-combined groupBy; c(a.), N1+(a.)
+    and N1+(.b) are second-stage aggregates OF that table (unique-pair
+    input, not token instances). The context/continuation tables are
+    vocabulary-sized and broadcast; the bigram-count table is
+    unique-pair-sized and joins via a shuffle equi-join on (a, b) — the
+    same key it aggregated on. Trained on the corpus itself, every
+    scored bigram exists in the table, so no zero-probability path."""
+    ws = words_col()
+    n = F.size(ws)
+    pairs = docs.select(
+        "doc_id",
+        F.explode(F.arrays_zip(F.slice(ws, 1, n - 1),
+                               F.slice(ws, 2, n - 1))).alias("p")) \
+        .select("doc_id", F.col("p.0").alias("a"), F.col("p.1").alias("b"))
+    bi = pairs.groupBy("a", "b") \
+        .agg(F.count("*").cast("double").alias("n_ab"))
+    ctx = bi.groupBy("a").agg(
+        F.sum("n_ab").alias("c_a"),
+        F.count("*").cast("double").alias("fwd_types"))
+    cont = bi.groupBy("b").agg(
+        F.count("*").cast("double").alias("rev_types"))
+    total_types = bi.count()
+    scored = (pairs.join(bi, ["a", "b"])
+              .join(F.broadcast(ctx), "a")
+              .join(F.broadcast(cont), "b")
+              .withColumn("logp", F.log(
+                  F.greatest(F.col("n_ab") - discount, F.lit(0.0))
+                  / F.col("c_a")
+                  + discount * F.col("fwd_types") / F.col("c_a")
+                  * (F.col("rev_types") / total_types))))
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        (-F.avg("logp")).alias("xent"))
+    return per_doc.select("doc_id", "n_bigrams",
+                          F.round("xent", 6).alias("kn_xent_r"),
+                          F.round(F.exp("xent"), 4).alias("kn_ppl_r"))
+
+
 def minhash_band_keys_stateless(docs: DataFrame,
                                 perms: int = MINHASH128_PERMS,
                                 bands: int = MINHASH_BANDS,

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from . import datagen
 from .core import tilemath
 from .functions import st
-from .operators import simsearch, spatial_join, textops
+from .operators import graphops, simsearch, spatial_join, textops
 
 Q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
@@ -6034,6 +6034,109 @@ def q_lm_perplexity(spark, sf_dir):
     broadcast count tables; value-hashed against the identical
     arithmetic in DuckDB."""
     return textops.bigram_lm_scores(_t(spark, sf_dir, "documents"))
+
+
+@_reg("kneser_ney_ppl", """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+pr AS (SELECT doc_id, ws[i] AS a, ws[i + 1] AS b
+       FROM d, unnest(generate_series(1, len(ws) - 1)) t(i)),
+bi AS (SELECT a, b, CAST(count(*) AS DOUBLE) AS n_ab FROM pr GROUP BY a, b),
+ctx AS (SELECT a, sum(n_ab) AS c_a, CAST(count(*) AS DOUBLE) AS fwd
+        FROM bi GROUP BY a),
+cont AS (SELECT b, CAST(count(*) AS DOUBLE) AS rev FROM bi GROUP BY b),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM bi),
+sc AS (SELECT doc_id,
+              ln(greatest(n_ab - 0.75, 0.0) / c_a
+                 + 0.75 * fwd / c_a * (rev / t)) AS logp
+       FROM pr JOIN bi USING (a, b) JOIN ctx USING (a)
+            JOIN cont USING (b), tot)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       ROUND(-avg(logp), 6) AS kn_xent_r,
+       ROUND(exp(-avg(logp)), 4) AS kn_ppl_r
+FROM sc GROUP BY doc_id
+""")
+def q_kneser_ney_ppl(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram perplexity (Kneser & Ney 1995 —
+    the smoothing KenLM uses, at bigram order so every probability is an
+    exact corpus statistic): absolute discount 0.75, stolen mass backed
+    off to the CONTINUATION unigram (distinct left-contexts, not token
+    frequency). Count tables are map-side-combined groupBys; scoring
+    shuffles once on the bigram key; the oracle replays the identical
+    discount/backoff arithmetic."""
+    return textops.kneser_ney_scores(_t(spark, sf_dir, "documents"))
+
+
+def _pagerank_sql(iters: int = 8) -> str:
+    """DuckDB replay of graphops.pagerank: the same edge derivation and
+    one CTE pair (dangling mass, contributions) per unrolled power
+    iteration, with the teleport literal inlined at the exact double the
+    Spark side computes ((1-0.85) in IEEE binary64)."""
+    tele = _crs_lit(1.0 - 0.85)
+    head = """
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS nd, count(*) AS nb
+       FROM documents),
+e0 AS (SELECT doc_id AS src,
+              (doc_id * 31 + j * 97) % (SELECT nb FROM nn) AS dst
+       FROM documents, unnest([1, 2, 3]) t(j)
+       WHERE doc_id % 17 <> 0),
+e2 AS MATERIALIZED (SELECT src, dst FROM e0 WHERE dst <> src),
+deg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS deg
+        FROM e2 GROUP BY src),
+r0 AS MATERIALIZED (SELECT doc_id AS v, 1.0e0 / (SELECT nd FROM nn) AS r
+       FROM documents)"""
+    parts = [head]
+    for i in range(iters):
+        parts.append(f"""
+dm{i} AS MATERIALIZED (SELECT coalesce(sum(r), 0.0e0) AS dm FROM r{i}
+          WHERE v NOT IN (SELECT src FROM deg)),
+c{i} AS MATERIALIZED (SELECT e2.dst AS v, sum(r{i}.r / deg.deg) AS c
+         FROM e2 JOIN deg USING (src) JOIN r{i} ON r{i}.v = e2.src
+         GROUP BY e2.dst),
+r{i + 1} AS MATERIALIZED (SELECT d.doc_id AS v,
+             CAST({tele} AS DOUBLE) / (SELECT nd FROM nn)
+             + CAST(0.85 AS DOUBLE)
+               * (coalesce(c{i}.c, 0.0e0)
+                  + dm{i}.dm / (SELECT nd FROM nn)) AS r
+             FROM documents d LEFT JOIN c{i} ON c{i}.v = d.doc_id,
+                  dm{i})""")
+    return ("WITH " + ",".join(parts)
+            + f"\nSELECT v AS doc_id, ROUND(r, 8) AS rank_r FROM r{iters}")
+
+
+@_reg("pagerank_power", _pagerank_sql())
+def q_pagerank_power(spark, sf_dir):
+    """Damped PageRank (Page et al. 1999) after 8 synchronous power
+    iterations over the deterministic document hyperlink graph (every
+    17th page is a dangling sink; its mass redistributes uniformly).
+    Each iteration is one shuffle join of the rank vector against the
+    edge list plus a scalar dangling aggregate — the canonical
+    cluster-scale PageRank plan. The oracle unrolls the identical 8
+    iterations as CTE pairs."""
+    return graphops.pagerank(_t(spark, sf_dir, "documents"), iters=8)
+
+
+@_reg("link_degree_stats", """
+WITH nn AS (SELECT count(*) AS nb FROM documents),
+e0 AS (SELECT doc_id AS src,
+              (doc_id * 31 + j * 97) % (SELECT nb FROM nn) AS dst
+       FROM documents, unnest([1, 2, 3]) t(j)
+       WHERE doc_id % 17 <> 0),
+e2 AS (SELECT src, dst FROM e0 WHERE dst <> src),
+outd AS (SELECT src, CAST(count(*) AS BIGINT) AS od FROM e2 GROUP BY src),
+ind AS (SELECT dst, CAST(count(*) AS BIGINT) AS idg FROM e2 GROUP BY dst)
+SELECT d.doc_id,
+       CAST(coalesce(outd.od, 0) AS BIGINT) AS out_deg,
+       CAST(coalesce(ind.idg, 0) AS BIGINT) AS in_deg,
+       d.doc_id % 17 = 0 AS is_sink
+FROM documents d
+LEFT JOIN outd ON outd.src = d.doc_id
+LEFT JOIN ind ON ind.dst = d.doc_id
+""")
+def q_link_degree_stats(spark, sf_dir):
+    """Per-page in/out degree + sink flag of the link graph — two
+    map-side-combined groupBys joined back to the page table (the
+    crawl-frontier bookkeeping view)."""
+    return graphops.degree_stats(_t(spark, sf_dir, "documents"))
 
 
 @_reg("gpkg_tiles_roundtrip", _DENSITY_VALS_SQL.replace(

@@ -1,0 +1,145 @@
+"""Web link-graph operators (PageRank power iteration, degree stats) and
+the Kneser-Ney bigram LM — each checked against an independent in-process
+numpy/pure-Python oracle plus the algorithms' defining invariants."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from tests.conftest import SF_DIR
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def _numpy_pagerank(n, iters=8, alpha=0.85):
+    """Dense replay of graphops.pagerank on the same deterministic graph."""
+    from gdal_spark.operators.graphops import (LINK_FANOUT, LINK_MULT,
+                                               LINK_STEP, SINK_MOD)
+    adj = [[] for _ in range(n)]
+    for src in range(n):
+        if src % SINK_MOD == 0:
+            continue
+        for j in LINK_FANOUT:
+            dst = (src * LINK_MULT + j * LINK_STEP) % n
+            if dst != src:
+                adj[src].append(dst)
+    deg = np.array([len(a) for a in adj], dtype=float)
+    r = np.full(n, 1.0 / n)
+    tele = (1.0 - alpha) / n
+    for _ in range(iters):
+        dm = r[deg == 0].sum()
+        c = np.zeros(n)
+        for src, targets in enumerate(adj):
+            if targets:
+                share = r[src] / deg[src]
+                for dst in targets:
+                    c[dst] += share
+        r = tele + alpha * (c + dm / n)
+    return r
+
+
+def test_pagerank_matches_numpy_oracle(spark):
+    from gdal_spark.operators.graphops import pagerank
+    docs = _docs(spark)
+    n = docs.count()
+    got = {row.doc_id: row.rank_r for row in pagerank(docs).collect()}
+    want = _numpy_pagerank(n)
+    assert len(got) == n
+    for v in range(n):
+        assert got[v] == pytest.approx(want[v], abs=1e-8)
+
+
+def test_pagerank_mass_and_floor_invariants(spark):
+    from gdal_spark.operators.graphops import pagerank
+    docs = _docs(spark)
+    n = docs.count()
+    rows = pagerank(docs).collect()
+    total = sum(r.rank_r for r in rows)
+    # probability mass is conserved every iteration
+    assert total == pytest.approx(1.0, abs=1e-6)
+    # every page keeps at least the teleport floor
+    floor = (1.0 - 0.85) / n
+    assert min(r.rank_r for r in rows) >= floor - 1e-9
+
+
+def test_degree_stats_sink_and_fanout(spark):
+    from gdal_spark.operators.graphops import degree_stats, SINK_MOD
+    rows = degree_stats(_docs(spark)).collect()
+    for r in rows:
+        if r.doc_id % SINK_MOD == 0:
+            assert r.is_sink and r.out_deg == 0
+        else:
+            assert not r.is_sink and 1 <= r.out_deg <= 3
+    assert sum(r.out_deg for r in rows) == sum(r.in_deg for r in rows)
+
+
+def _py_kneser_ney(texts, d=0.75):
+    """Pure-Python KN bigram replay: {doc_id: (n_bigrams, xent)}."""
+    from collections import Counter, defaultdict
+    bi = Counter()
+    docs_pairs = {}
+    for doc_id, text in texts:
+        ws = text.split(" ")
+        pairs = list(zip(ws[:-1], ws[1:]))
+        docs_pairs[doc_id] = pairs
+        bi.update(pairs)
+    c_a = defaultdict(float)
+    fwd = defaultdict(int)
+    rev = defaultdict(int)
+    for (a, b), c in bi.items():
+        c_a[a] += c
+        fwd[a] += 1
+        rev[b] += 1
+    total = len(bi)
+    out = {}
+    for doc_id, pairs in docs_pairs.items():
+        if not pairs:
+            continue
+        lps = [np.log(max(bi[(a, b)] - d, 0.0) / c_a[a]
+                      + d * fwd[a] / c_a[a] * (rev[b] / total))
+               for a, b in pairs]
+        out[doc_id] = (len(lps), -float(np.mean(lps)))
+    return out
+
+
+def test_kneser_ney_matches_python_oracle(spark):
+    from gdal_spark.operators.textops import kneser_ney_scores
+    docs = _docs(spark).limit(200)
+    texts = [(r.doc_id, r.text) for r in docs.collect()]
+    want = _py_kneser_ney(texts)
+    got = {r.doc_id: (r.n_bigrams, r.kn_xent_r)
+           for r in kneser_ney_scores(docs).collect()}
+    assert set(got) == set(want)
+    for k, (nb, xent) in want.items():
+        assert got[k][0] == nb
+        assert got[k][1] == pytest.approx(xent, abs=1e-5)
+
+
+def test_kneser_ney_distribution_normalizes(spark):
+    """The defining KN property: for any observed context a, the model
+    distribution over the WHOLE vocabulary sums to exactly 1."""
+    from collections import Counter, defaultdict
+    texts = [(r.doc_id, r.text)
+             for r in _docs(spark).limit(100).collect()]
+    d = 0.75
+    bi = Counter()
+    for _, text in texts:
+        ws = text.split(" ")
+        bi.update(zip(ws[:-1], ws[1:]))
+    c_a = defaultdict(float)
+    fwd = defaultdict(int)
+    rev = defaultdict(int)
+    for (a, b), c in bi.items():
+        c_a[a] += c
+        fwd[a] += 1
+        rev[b] += 1
+    total = len(bi)
+    vocab_b = list(rev)
+    for a in list(c_a)[:5]:
+        s = sum(max(bi.get((a, b), 0) - d, 0.0) / c_a[a]
+                + d * fwd[a] / c_a[a] * (rev[b] / total)
+                for b in vocab_b)
+        assert s == pytest.approx(1.0, abs=1e-9)
