@@ -97,6 +97,47 @@ def pagerank(docs: DataFrame, iters: int = 8,
                         F.round("r", 8).alias("rank_r"))
 
 
+def hits(docs: DataFrame, iters: int = 8) -> DataFrame:
+    """-> (doc_id, auth_r, hub_r): Kleinberg's HITS (1999, "Authoritative
+    sources in a hyperlinked environment") after ``iters`` rounds of the
+    classic mutual update from the all-ones hub vector:
+
+        a' = normalize2(E^T h)        h' = normalize2(E a')
+
+    (authorities first from the old hubs, hubs from the NEW authorities).
+    Each half-step is one shuffle join of a score vector against the edge
+    list plus a scalar L2-norm aggregate broadcast into the division;
+    vectors are localCheckpoint-ed per half-step for the same
+    two-consumers lineage reason as pagerank()."""
+    n = docs.count()
+    edges = link_edges(docs, n).localCheckpoint(eager=True)
+    nodes = docs.select(F.col("doc_id").alias("v")) \
+        .localCheckpoint(eager=True)
+
+    def _half(vec: DataFrame, col: str, join_on: str, group_to: str,
+              out: str) -> DataFrame:
+        raw = (edges.join(vec, edges[join_on] == vec["v"])
+               .groupBy(group_to).agg(F.sum(col).alias("s")))
+        full = (nodes.join(raw, nodes["v"] == raw[group_to], "left")
+                .select(nodes["v"],
+                        F.coalesce(F.col("s"), F.lit(0.0)).alias("s")))
+        nz = full.agg(F.sqrt(F.sum(F.col("s") * F.col("s"))).alias("nz"))
+        return (full.crossJoin(F.broadcast(nz))
+                .select("v", (F.col("s") / F.col("nz")).alias(out))
+                .localCheckpoint(eager=True))
+
+    hub = nodes.select("v", F.lit(1.0).alias("h")) \
+        .localCheckpoint(eager=True)
+    auth = None
+    for _ in range(iters):
+        auth = _half(hub, "h", "src", "dst", "a")
+        hub = _half(auth, "a", "dst", "src", "h")
+    return (auth.join(hub, "v")
+            .select(F.col("v").alias("doc_id"),
+                    F.round("a", 8).alias("auth_r"),
+                    F.round("h", 8).alias("hub_r")))
+
+
 def degree_stats(docs: DataFrame) -> DataFrame:
     """-> (doc_id, out_deg, in_deg, is_sink): per-page degree summary of
     the link graph — two map-side-combined groupBys joined back to the

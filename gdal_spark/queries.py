@@ -6115,6 +6115,53 @@ def q_pagerank_power(spark, sf_dir):
     return graphops.pagerank(_t(spark, sf_dir, "documents"), iters=8)
 
 
+def _hits_sql(iters: int = 8) -> str:
+    """DuckDB replay of graphops.hits: per iteration one (raw-sum,
+    re-keyed full vector, L2 norm, normalized vector) CTE quad per
+    half-step, MATERIALIZED so DuckDB doesn't inline the doubly-consumed
+    vectors into an exponential tree."""
+    head = """
+nn AS (SELECT count(*) AS nb FROM documents),
+e0 AS (SELECT doc_id AS src,
+              (doc_id * 31 + j * 97) % (SELECT nb FROM nn) AS dst
+       FROM documents, unnest([1, 2, 3]) t(j)
+       WHERE doc_id % 17 <> 0),
+e2 AS MATERIALIZED (SELECT src, dst FROM e0 WHERE dst <> src),
+nodes AS MATERIALIZED (SELECT doc_id AS v FROM documents),
+h0 AS MATERIALIZED (SELECT v, 1.0e0 AS h FROM nodes)"""
+    parts = [head]
+    for i in range(iters):
+        parts.append(f"""
+ra{i} AS (SELECT e2.dst AS g, sum(h{i}.h) AS s
+          FROM e2 JOIN h{i} ON h{i}.v = e2.src GROUP BY e2.dst),
+fa{i} AS MATERIALIZED (SELECT nodes.v, coalesce(ra{i}.s, 0.0e0) AS s
+          FROM nodes LEFT JOIN ra{i} ON ra{i}.g = nodes.v),
+na{i} AS MATERIALIZED (SELECT sqrt(sum(s * s)) AS nz FROM fa{i}),
+a{i} AS MATERIALIZED (SELECT v, s / nz AS a FROM fa{i}, na{i}),
+rh{i} AS (SELECT e2.src AS g, sum(a{i}.a) AS s
+          FROM e2 JOIN a{i} ON a{i}.v = e2.dst GROUP BY e2.src),
+fh{i} AS MATERIALIZED (SELECT nodes.v, coalesce(rh{i}.s, 0.0e0) AS s
+          FROM nodes LEFT JOIN rh{i} ON rh{i}.g = nodes.v),
+nh{i} AS MATERIALIZED (SELECT sqrt(sum(s * s)) AS nz FROM fh{i}),
+h{i + 1} AS MATERIALIZED (SELECT v, s / nz AS h FROM fh{i}, nh{i})""")
+    last = iters - 1
+    return ("WITH " + ",".join(parts)
+            + f"""
+SELECT a{last}.v AS doc_id, ROUND(a{last}.a, 8) AS auth_r,
+       ROUND(h{iters}.h, 8) AS hub_r
+FROM a{last} JOIN h{iters} ON h{iters}.v = a{last}.v""")
+
+
+@_reg("hits_scores", _hits_sql())
+def q_hits_scores(spark, sf_dir):
+    """Kleinberg's HITS hub/authority scores (1999) after 8 mutual-update
+    rounds over the same link graph as pagerank_power: authorities from
+    old hubs, hubs from NEW authorities, L2-normalized each half-step.
+    Each half-step is a shuffle join + scalar norm broadcast; the oracle
+    unrolls the identical half-steps as MATERIALIZED CTE quads."""
+    return graphops.hits(_t(spark, sf_dir, "documents"), iters=8)
+
+
 @_reg("link_degree_stats", """
 WITH nn AS (SELECT count(*) AS nb FROM documents),
 e0 AS (SELECT doc_id AS src,

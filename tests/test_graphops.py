@@ -143,3 +143,46 @@ def test_kneser_ney_distribution_normalizes(spark):
                 + d * fwd[a] / c_a[a] * (rev[b] / total)
                 for b in vocab_b)
         assert s == pytest.approx(1.0, abs=1e-9)
+
+
+def _numpy_hits(n, iters=8):
+    from gdal_spark.operators.graphops import (LINK_FANOUT, LINK_MULT,
+                                               LINK_STEP, SINK_MOD)
+    E = []
+    for src in range(n):
+        if src % SINK_MOD == 0:
+            continue
+        for j in LINK_FANOUT:
+            dst = (src * LINK_MULT + j * LINK_STEP) % n
+            if dst != src:
+                E.append((src, dst))
+    h = np.ones(n)
+    for _ in range(iters):
+        a = np.zeros(n)
+        for s, d in E:
+            a[d] += h[s]
+        a /= np.sqrt((a * a).sum())
+        h = np.zeros(n)
+        for s, d in E:
+            h[s] += a[d]
+        h /= np.sqrt((h * h).sum())
+    return a, h
+
+
+def test_hits_matches_numpy_oracle_and_normalizes(spark):
+    from gdal_spark.operators.graphops import hits
+    docs = _docs(spark)
+    n = docs.count()
+    rows = hits(docs, iters=8).collect()
+    a_want, h_want = _numpy_hits(n)
+    assert len(rows) == n
+    for r in rows:
+        assert r.auth_r == pytest.approx(a_want[r.doc_id], abs=1e-7)
+        assert r.hub_r == pytest.approx(h_want[r.doc_id], abs=1e-7)
+    # both vectors are unit L2 after the final half-steps
+    assert sum(r.auth_r ** 2 for r in rows) == pytest.approx(1.0, abs=1e-6)
+    assert sum(r.hub_r ** 2 for r in rows) == pytest.approx(1.0, abs=1e-6)
+    # sinks have zero hub score; every page a sink links FROM it (none)
+    for r in rows:
+        if r.doc_id % 17 == 0:
+            assert r.hub_r == 0.0
