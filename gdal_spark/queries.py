@@ -3710,6 +3710,119 @@ def q_warp_albers_conus(spark, sf_dir):
     return out.mapInPandas(to_rows, px_schema)
 
 
+def _cea_inverse_sql():
+    """DuckDB replay of cea_inverse for EPSG:6933 (EASE-Grid 2.0
+    Global): expects columns (mx, my), yields (lon, lat). Inlines the
+    same k0 / qp scalars the numpy kernel computes plus the Snyder 3-18
+    authalic series."""
+    from .raster import transforms as _tr
+    import numpy as _np
+    e = float(_np.sqrt(_tr._E2))
+    p30 = _np.radians(30.0)
+    k0 = float(_np.cos(p30) / _np.sqrt(1 - _tr._E2 * _np.sin(p30) ** 2))
+    qp = float(_tr._q_e(_np.float64(1.0), e))
+    e2, e4, e6 = _tr._E2, _tr._E2 ** 2, _tr._E2 ** 3
+    c1 = _crs_lit(e2 / 3 + 31 * e4 / 180 + 517 * e6 / 5040)
+    c2 = _crs_lit(23 * e4 / 360 + 251 * e6 / 3780)
+    c3 = _crs_lit(761 * e6 / 45360)
+    d2r = _CONIC_D2R
+    pi = _crs_lit(float(_np.pi))
+    two_pi = _crs_lit(float(2 * _np.pi))
+    ak0 = _crs_lit(6378137.0 * k0)
+    two_k0 = _crs_lit(2.0 * k0)
+    return f"""
+inv1 AS (SELECT i, j, mx / {ak0} AS lam2,
+                ({two_k0} * my) / 6378137.0 AS q FROM d),
+inv2 AS (SELECT i, j, lam2,
+                asin(greatest(least(q / {_crs_lit(qp)}, 1.0), -1.0))
+                  AS beta FROM inv1),
+inv3 AS (SELECT i, j, lam2,
+                beta + {c1} * sin(2 * beta) + {c2} * sin(4 * beta)
+                     + {c3} * sin(6 * beta) AS phi
+         FROM inv2),
+ll AS (SELECT i, j,
+              (lam2 - {two_pi} * floor((lam2 + {pi}) / {two_pi}))
+                / {d2r} AS lon,
+              phi / {d2r} AS lat
+       FROM inv3)"""
+
+
+@_reg("warp_ease_grid", f"""
+{_pts_cte()},
+c AS (SELECT CAST(floor((lon + 180.0) / 5.625) AS BIGINT) AS x,
+             CAST(floor((90.0 - lat) / 2.8125) AS BIGINT) AS y,
+             count(*) AS v
+      FROM pts GROUP BY 1, 2),
+d AS (SELECT gi.range AS i, gj.range AS j,
+             -17367530.0 + (gi.range + 0.5) * 542735.3125 AS mx,
+             7300000.0 - (gj.range + 0.5) * 228125.0 AS my
+      FROM range(64) gi, range(64) gj),{_cea_inverse_sql()},
+px AS (SELECT i, j, CAST(floor((lon + 180.0) / 5.625) AS BIGINT) AS sx,
+              CAST(floor((90.0 - lat) / 2.8125) AS BIGINT) AS sy
+       FROM ll)
+SELECT px.i, px.j, CAST(c.v AS DOUBLE) AS val_r
+FROM px JOIN c ON c.x = px.sx AND c.y = px.sy
+""")
+def q_warp_ease_grid(spark, sf_dir):
+    """gdalwarp onto the NSIDC EASE-Grid 2.0 Global (EPSG:6933,
+    cylindrical equal-area): the 64x64 lon/lat density raster warps onto
+    a full-extent EASE meters grid with the near kernel. The oracle
+    replays the FULL ellipsoidal CEA inverse (lam = x/(a k0), the
+    authalic q from y, Snyder 3-18 series) with the kernel's own inlined
+    scalars — pinning the distributed warp path through the round-4
+    cylindrical family end to end."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+    from .raster.tiles import TILE_SCHEMA, decode_px, encode_px
+    from .raster.warp import WarpSpec, warp as warp_run
+    from .raster.rasterize import GridSpec
+
+    p = datagen.points(spark, sf_dir)
+    x = F.floor((F.col("lon") + 180.0) / 5.625).cast("long")
+    y = F.floor((90.0 - F.col("lat")) / 2.8125).cast("long")
+    cnt = (p.select(x.alias("x"), y.alias("y"))
+           .groupBy("x", "y").agg(F.count("*").cast("double").alias("v"))
+           .withColumn("tile_x", F.shiftright("x", 3))
+           .withColumn("tile_y", F.shiftright("y", 3)))
+
+    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        arr = np.zeros((8, 8), np.float64)
+        arr[pdf["y"].values & 7, pdf["x"].values & 7] = pdf["v"].values
+        return pd.DataFrame([(1, 0, int(key[0]), int(key[1]), "float64",
+                              None, encode_px(arr))],
+                            columns=[f.name for f in TILE_SCHEMA.fields])
+
+    tiles8 = cnt.groupBy("tile_x", "tile_y").applyInPandas(build,
+                                                           TILE_SCHEMA)
+    src = GridSpec(x0=-180.0, y0=90.0, dx=5.625, dy=-2.8125,
+                   width=64, height=64, tile=8)
+    dst = GridSpec(x0=-17367530.0, y0=7300000.0, dx=542735.3125,
+                   dy=-228125.0, width=64, height=64, tile=8)
+    out = warp_run(tiles8, WarpSpec(src, "EPSG:4326", dst, "EPSG:6933",
+                                    "near", fill=0.0))
+
+    px_schema = T.StructType([T.StructField("i", T.LongType()),
+                              T.StructField("j", T.LongType()),
+                              T.StructField("val_r", T.DoubleType())])
+
+    def to_rows(batches):
+        jj, ii = np.meshgrid(np.arange(8), np.arange(8), indexing="ij")
+        for pdf in batches:
+            frames = []
+            for r in pdf.itertuples():
+                arr = decode_px(r.px, "float64", 8)
+                m = arr != 0
+                frames.append(pd.DataFrame({
+                    "i": int(r.tile_x) * 8 + ii[m],
+                    "j": int(r.tile_y) * 8 + jj[m],
+                    "val_r": arr[m]}))
+            yield pd.concat(frames) if frames else \
+                pd.DataFrame(columns=["i", "j", "val_r"])
+
+    return out.mapInPandas(to_rows, px_schema)
+
+
 @_reg("warp_gcp_affine", _DENSITY_XY_SQL + """
 SELECT CAST((x - 1) / 2 AS BIGINT) AS x, CAST((y - 1) / 2 AS BIGINT) AS y,
        v AS val_r
