@@ -210,6 +210,49 @@ def rolling_fingerprint(docs: DataFrame) -> DataFrame:
             .groupBy("doc_id").agg((F.sum("t") % P).alias("fp")))
 
 
+def winnowing_fingerprints(docs: DataFrame, k: int = 3,
+                           w: int = 4) -> DataFrame:
+    """Robust winnowing document fingerprints (Schleimer, Wilkerson &
+    Aiken 2003 — the MOSS local fingerprinting algorithm): hash every
+    word k-gram, slide a window of w consecutive gram hashes, select
+    each window's minimum (rightmost position on ties), and dedupe the
+    selections. -> distinct (doc_id, pos, fp_h). Guarantees: any shared
+    substring of at least w+k-1 tokens yields at least one shared
+    fingerprint, and within-document gaps between selections are at
+    most w.
+
+    Distribution: grams explode 1->m per doc; each gram replicates to at
+    most w windows (bounded fan-out, no per-doc collect); the rightmost-
+    min selection is two map-side-combined groupBys (min h per window,
+    then max pos among rows equal to it) — the identical two-step runs
+    in the SQL oracle. Documents shorter than w+k-1 tokens have no full
+    window and are excluded (the paper's guarantee needs one)."""
+    ws = words_col()
+    n = F.size(ws)
+    m = n - (k - 1)
+    d = docs.where(n >= w + k - 1).select("doc_id", m.alias("m"), ws.alias("ws"))
+    grams = d.select(
+        "doc_id", "m",
+        F.posexplode(F.transform(
+            F.sequence(F.lit(1), F.col("m")),
+            lambda i: F.concat_ws(" ", F.slice(F.col("ws"), i, k))))
+        .alias("p0", "gram"))
+    h = F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("long") \
+        % 1000000007
+    grams = grams.select("doc_id", "m", (F.col("p0") + 1).alias("pos"),
+                         h.alias("h"))
+    wins = grams.select(
+        "doc_id", "pos", "h",
+        F.explode(F.sequence(
+            F.greatest(F.lit(1), F.col("pos") - (w - 1)),
+            F.least(F.col("pos"), F.col("m") - (w - 1)))).alias("q"))
+    mins = wins.groupBy("doc_id", "q").agg(F.min("h").alias("mh"))
+    sel = (wins.join(mins, ["doc_id", "q"])
+           .where(F.col("h") == F.col("mh"))
+           .groupBy("doc_id", "q", "mh").agg(F.max("pos").alias("pos")))
+    return sel.select("doc_id", "pos", F.col("mh").alias("fp_h")).distinct()
+
+
 # ---------------------------------------------------------------------------
 # production-parameterized MinHash: 128 perms, 16 bands x 8 rows, CC merge
 # ---------------------------------------------------------------------------

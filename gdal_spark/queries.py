@@ -1318,6 +1318,32 @@ def q_langid(spark, sf_dir):
     return textops.langid(_t(spark, sf_dir, "documents"))
 
 
+@_reg("winnowing", """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+           WHERE len(string_split(text, ' ')) >= 6),
+g AS (SELECT doc_id, len(ws) - 2 AS m, i AS pos,
+             ('0x' || substr(md5(ws[i] || ' ' || ws[i + 1] || ' '
+                                 || ws[i + 2]), 1, 8))::BIGINT
+               % 1000000007 AS h
+      FROM d, unnest(generate_series(1, len(ws) - 2)) t(i)),
+wins AS (SELECT doc_id, pos, h, q
+         FROM g, unnest(generate_series(greatest(1, pos - 3),
+                                        least(pos, m - 3))) tq(q)),
+mins AS (SELECT doc_id, q, min(h) AS mh FROM wins GROUP BY doc_id, q),
+sel AS (SELECT wins.doc_id, wins.q, mh, max(pos) AS pos
+        FROM wins JOIN mins USING (doc_id, q)
+        WHERE h = mh GROUP BY wins.doc_id, wins.q, mh)
+SELECT DISTINCT doc_id, pos, mh AS fp_h FROM sel
+""")
+def q_winnowing(spark, sf_dir):
+    """Robust winnowing fingerprints (Schleimer et al. 2003, the MOSS
+    algorithm): 3-gram md5 hashes, window w=4, rightmost-minimum
+    selection, distinct (pos, hash) fingerprint set per document. The
+    oracle replays the identical two-step rightmost-min selection."""
+    return textops.winnowing_fingerprints(_t(spark, sf_dir, "documents"),
+                                          k=3, w=4)
+
+
 @_reg("doc_fingerprint", """
 WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
                   generate_subscripts(string_split(text, ' '), 1) AS pos

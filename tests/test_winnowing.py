@@ -1,0 +1,70 @@
+"""Robust winnowing (Schleimer et al. 2003): the paper's two guarantees —
+every window selects (max gap w), and any shared substring of at least
+w+k-1 tokens yields a shared fingerprint — plus a pure-Python replay."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+K, W = 3, 4
+
+
+def _h(gram: str) -> int:
+    return int(hashlib.md5(gram.encode()).hexdigest()[:8], 16) % 1000000007
+
+
+def _py_winnow(text: str, k: int = K, w: int = W):
+    ws = text.split(" ")
+    m = len(ws) - (k - 1)
+    if m < w:
+        return set()
+    hs = [_h(" ".join(ws[i:i + k])) for i in range(m)]
+    sel = set()
+    for q in range(m - w + 1):
+        window = hs[q:q + w]
+        mh = min(window)
+        pos = max(i for i, v in enumerate(window) if v == mh) + q
+        sel.add((pos + 1, mh))        # 1-based positions
+    return sel
+
+
+def _spark_winnow(spark, rows):
+    from gdal_spark.operators.textops import winnowing_fingerprints
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return winnowing_fingerprints(df, k=K, w=W)
+
+
+def test_matches_python_replay_and_gap_bound(spark):
+    texts = [
+        (0, "the quick brown fox jumps over the lazy dog again and again"),
+        (1, "a b c d e f g h i j k l m n o p"),
+        (2, "x x x x x x x x x x"),              # all-tie degenerate
+        (3, "one two three four five six"),       # exactly one window
+        (4, "too short"),                         # below w+k-1: excluded
+    ]
+    got = {}
+    for r in _spark_winnow(spark, texts).collect():
+        got.setdefault(r.doc_id, set()).add((r.pos, r.fp_h))
+    for doc_id, text in texts:
+        assert got.get(doc_id, set()) == _py_winnow(text), doc_id
+    # max-gap guarantee: consecutive selected positions differ by <= w
+    for doc_id, sel in got.items():
+        ps = sorted(p for p, _ in sel)
+        assert all(b - a <= W for a, b in zip(ps, ps[1:])), doc_id
+
+
+def test_shared_substring_shares_a_fingerprint(spark):
+    shared = "alpha beta gamma delta epsilon zeta"   # w+k-1 = 6 tokens
+    rows = [(0, "intro words here " + shared + " tail one"),
+            (1, shared + " totally different ending words")]
+    got = {0: set(), 1: set()}
+    for r in _spark_winnow(spark, rows).collect():
+        got[r.doc_id].add(r.fp_h)
+    assert got[0] & got[1], "shared 6-token substring must share a print"
+
+
+def test_short_doc_excluded(spark):
+    rows = [(0, "five words is not enough")]       # 5 < w+k-1
+    assert _spark_winnow(spark, rows).count() == 0
