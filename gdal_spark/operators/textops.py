@@ -210,6 +210,49 @@ def rolling_fingerprint(docs: DataFrame) -> DataFrame:
             .groupBy("doc_id").agg((F.sum("t") % P).alias("fp")))
 
 
+def cms_heavy_hitters(docs: DataFrame, width: int = 1024,
+                      depth: int = 4, k: int = 20) -> DataFrame:
+    """Count-Min sketch heavy hitters (Cormode & Muthukrishnan 2005):
+    build a depth x width CMS over the token stream (row j hashes token
+    w to bucket md5(j || '|' || w) % width), then report the exact top-k
+    tokens with their sketch estimates min_j sketch[j][bucket_j(w)].
+    -> (w, n_exact, cms_est), deterministic tiebreak (count desc, token
+    asc). The CMS one-sided guarantee cms_est >= n_exact always holds;
+    the overestimate is bounded by colliding mass.
+
+    Distribution: the sketch is depth map-side-combined groupBys over
+    the exploded token stream (depth*width cells total — broadcastable
+    at any corpus size, the whole point of the sketch); the top-k probe
+    joins k*depth rows against those cells. Deterministic md5 bucket
+    arithmetic replays verbatim in SQL."""
+    toks = docs.select(F.explode(words_col()).alias("w"))
+    exact = toks.groupBy("w").agg(F.count("*").cast("long")
+                                  .alias("n_exact"))
+    top = exact.orderBy(F.desc("n_exact"), F.asc("w")).limit(k)
+
+    def bucket(j: int, col):
+        return F.conv(F.substring(
+            F.md5(F.concat(F.lit(str(j) + "|"), col)), 1, 8),
+            16, 10).cast("long") % width
+
+    js = list(range(depth))
+    cells = None
+    for j in js:
+        c = (toks.select(bucket(j, F.col("w")).alias("b"))
+             .groupBy("b").agg(F.count("*").cast("long").alias("s"))
+             .select(F.lit(j).alias("j"), "b", "s"))
+        cells = c if cells is None else cells.unionByName(c)
+    probes = top.select(
+        "w", "n_exact",
+        F.explode(F.array(*[
+            F.struct(F.lit(j).alias("j"),
+                     bucket(j, F.col("w")).alias("b")) for j in js]))
+        .alias("p")).select("w", "n_exact", "p.j", "p.b")
+    est = (probes.join(F.broadcast(cells), ["j", "b"])
+           .groupBy("w", "n_exact").agg(F.min("s").alias("cms_est")))
+    return est.select("w", "n_exact", "cms_est")
+
+
 def winnowing_fingerprints(docs: DataFrame, k: int = 3,
                            w: int = 4) -> DataFrame:
     """Robust winnowing document fingerprints (Schleimer, Wilkerson &

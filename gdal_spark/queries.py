@@ -1318,6 +1318,36 @@ def q_langid(spark, sf_dir):
     return textops.langid(_t(spark, sf_dir, "documents"))
 
 
+@_reg("cms_heavy_hitters", """
+WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+exact AS (SELECT w, CAST(count(*) AS BIGINT) AS n_exact
+          FROM toks GROUP BY w),
+top AS (SELECT w, n_exact FROM exact
+        ORDER BY n_exact DESC, w ASC LIMIT 20),
+cells AS (
+  SELECT j, ('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || w), 1, 8))
+              ::BIGINT % 1024 AS b,
+         CAST(count(*) AS BIGINT) AS s
+  FROM toks, unnest([0, 1, 2, 3]) t(j) GROUP BY 1, 2),
+probes AS (
+  SELECT w, n_exact, j,
+         ('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || w), 1, 8))
+           ::BIGINT % 1024 AS b
+  FROM top, unnest([0, 1, 2, 3]) t(j))
+SELECT probes.w, probes.n_exact,
+       CAST(min(cells.s) AS BIGINT) AS cms_est
+FROM probes JOIN cells USING (j, b)
+GROUP BY probes.w, probes.n_exact
+""")
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Count-Min sketch heavy hitters (Cormode & Muthukrishnan 2005):
+    4x1024 sketch over the token stream as four map-side-combined
+    groupBys, exact top-20 probe with min-over-rows estimates. The
+    oracle replays the identical md5 bucket arithmetic; the one-sided
+    cms_est >= n_exact guarantee is pinned in tests."""
+    return textops.cms_heavy_hitters(_t(spark, sf_dir, "documents"))
+
+
 @_reg("winnowing", """
 WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
            WHERE len(string_split(text, ' ')) >= 6),

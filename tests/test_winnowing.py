@@ -68,3 +68,34 @@ def test_shared_substring_shares_a_fingerprint(spark):
 def test_short_doc_excluded(spark):
     rows = [(0, "five words is not enough")]       # 5 < w+k-1
     assert _spark_winnow(spark, rows).count() == 0
+
+
+def test_cms_one_sided_guarantee_and_python_replay(spark):
+    """CMS estimates never undercount, and the whole sketch matches a
+    pure-Python replay of the same md5 bucket arithmetic."""
+    import hashlib
+    from collections import Counter
+    from gdal_spark.operators.textops import cms_heavy_hitters
+    rows = [(i, f"tok{i % 7} tok{i % 3} common common tok{i % 11}")
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.w: (r.n_exact, r.cms_est)
+           for r in cms_heavy_hitters(df, k=10).collect()}
+
+    toks = [w for _, t in rows for w in t.split(" ")]
+    exact = Counter(toks)
+
+    def bucket(j, w):
+        return int(hashlib.md5(f"{j}|{w}".encode()).hexdigest()[:8],
+                   16) % 1024
+
+    cells = Counter()
+    for w, c in exact.items():
+        for j in range(4):
+            cells[(j, bucket(j, w))] += c
+    top = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert set(got) == {w for w, _ in top}
+    for w, c in top:
+        est = min(cells[(j, bucket(j, w))] for j in range(4))
+        assert got[w] == (c, est)
+        assert got[w][1] >= got[w][0]          # one-sided guarantee
