@@ -253,6 +253,53 @@ def cms_heavy_hitters(docs: DataFrame, width: int = 1024,
     return est.select("w", "n_exact", "cms_est")
 
 
+def hll_distinct(docs: DataFrame) -> DataFrame:
+    """HyperLogLog distinct-token estimate (Flajolet et al. 2007) with
+    m = 256 registers over a 60-bit md5 hash: bucket = h mod 256, rank =
+    1 + leading zeros of the remaining 52 bits, register = max rank.
+    -> one row (n_exact, v_zero, hll_est_r, rel_err_r) with the exact
+    distinct count alongside for calibration.
+
+    Determinism across engines: the harmonic-mean denominator sum
+    2^-M[b] is computed as the EXACT integer sum of 2^(53-M[b]) (BIGINT,
+    <= 2^61 for 256 registers) so no float-accumulation order can differ
+    between Spark and the SQL oracle; the single final division and the
+    small-range linear-counting branch are replayed with identical
+    arithmetic. Scale: the sketch is one map-side-combined groupBy to
+    256 rows — the mergeable-summary shape that makes distinct counting
+    feasible on a 10^12-token stream."""
+    m = 256
+    alpha = 0.7213 / (1 + 1.079 / m)
+    amm = alpha * m * m * float(1 << 53)
+    spark = docs.sparkSession
+    t = docs.select(F.explode(words_col()).alias("w"))
+    hh = t.select(F.conv(F.substring(F.md5("w"), 1, 15), 16, 10)
+                  .cast("long").alias("h"))
+    s2 = hh.select((F.col("h") % m).alias("b"),
+                   F.expr("h DIV 256").alias("rest"))
+    rank = F.when(F.col("rest") == 0, F.lit(53)) \
+        .otherwise(F.lit(53) - F.length(F.bin("rest")))
+    regs = s2.select("b", rank.alias("r")).groupBy("b") \
+        .agg(F.max("r").alias("m"))
+    allb = spark.range(m).select(F.col("id").alias("b"))
+    full = allb.join(regs, "b", "left") \
+        .select(F.coalesce("m", F.lit(0)).alias("m"))
+    agg = full.agg(
+        F.sum(F.expr("CAST(1 AS BIGINT) << CAST(53 - m AS INT)"))
+        .alias("s"),
+        F.sum(F.when(F.col("m") == 0, 1).otherwise(0)).cast("long")
+        .alias("v"))
+    ex = t.agg(F.count_distinct("w").alias("n_exact"))
+    est = F.when((F.lit(amm) / F.col("s") <= 2.5 * m) & (F.col("v") > 0),
+                 F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v"))) \
+        .otherwise(F.lit(amm) / F.col("s"))
+    return (agg.crossJoin(ex)
+            .select("n_exact", F.col("v").alias("v_zero"),
+                    F.round(est, 4).alias("hll_est_r"),
+                    F.round(est / F.col("n_exact") - 1, 4)
+                    .alias("rel_err_r")))
+
+
 def winnowing_fingerprints(docs: DataFrame, k: int = 3,
                            w: int = 4) -> DataFrame:
     """Robust winnowing document fingerprints (Schleimer, Wilkerson &

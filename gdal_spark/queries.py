@@ -1318,6 +1318,38 @@ def q_langid(spark, sf_dir):
     return textops.langid(_t(spark, sf_dir, "documents"))
 
 
+@_reg("hll_distinct", """
+WITH t AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+hh AS (SELECT ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM t),
+s2 AS (SELECT h % 256 AS b, h // 256 AS rest FROM hh),
+rk AS (SELECT b, CASE WHEN rest = 0 THEN 53
+                      ELSE 53 - length(bin(rest)) END AS r FROM s2),
+regs AS (SELECT b, max(r) AS m FROM rk GROUP BY b),
+f AS (SELECT gb.range AS b, coalesce(regs.m, 0) AS m
+      FROM range(256) gb LEFT JOIN regs ON regs.b = gb.range),
+agg AS (SELECT sum(CAST(1 AS BIGINT) << CAST(53 - m AS INT)) AS s,
+               CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS v
+        FROM f),
+ex AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS n_exact FROM t),
+e AS (SELECT n_exact, v,
+             CASE WHEN 4.2399330249068963e+20 / s <= 640.0 AND v > 0
+                  THEN 256.0 * ln(256.0 / v)
+                  ELSE 4.2399330249068963e+20 / s END AS est
+      FROM agg, ex)
+SELECT n_exact, v AS v_zero, ROUND(est, 4) AS hll_est_r,
+       ROUND(est / n_exact - 1, 4) AS rel_err_r
+FROM e
+""")
+def q_hll_distinct(spark, sf_dir):
+    """HyperLogLog distinct-token estimate (Flajolet et al. 2007, m=256)
+    beside the exact count: the harmonic-mean denominator is an EXACT
+    integer sum of 2^(53-M[b]) so the estimate is bit-deterministic
+    across engines; one map-side-combined groupBy to 256 mergeable
+    registers — the sketch shape a 10^12-token stream needs."""
+    return textops.hll_distinct(_t(spark, sf_dir, "documents"))
+
+
 @_reg("cms_heavy_hitters", """
 WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
 exact AS (SELECT w, CAST(count(*) AS BIGINT) AS n_exact

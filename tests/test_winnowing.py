@@ -99,3 +99,27 @@ def test_cms_one_sided_guarantee_and_python_replay(spark):
         est = min(cells[(j, bucket(j, w))] for j in range(4))
         assert got[w] == (c, est)
         assert got[w][1] >= got[w][0]          # one-sided guarantee
+
+
+def test_hll_branches_and_accuracy(spark):
+    """Linear-counting branch on a tiny vocabulary; raw-HLL branch on a
+    20k-word vocabulary with the expected ~1.04/sqrt(256) error."""
+    import math
+    from pyspark.sql import functions as F
+    from gdal_spark.operators.textops import hll_distinct
+    tiny = spark.createDataFrame([(0, "a b c a b"), (1, "c d e")],
+                                 "doc_id long, text string")
+    r = hll_distinct(tiny).collect()[0]
+    assert r.n_exact == 5
+    # small range: estimate comes from linear counting m*ln(m/V)
+    assert r.hll_est_r == pytest.approx(
+        256.0 * math.log(256.0 / r.v_zero), abs=1e-3)
+    big = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", *[
+            (F.col("id") * 10 + i).cast("string") for i in range(10)])
+        .alias("text"))
+    r2 = hll_distinct(big).collect()[0]
+    assert r2.n_exact == 20000
+    assert r2.v_zero == 0                     # every register hit
+    assert abs(r2.rel_err_r) < 0.25           # ~4 sigma at m=256
