@@ -253,6 +253,69 @@ def cms_heavy_hitters(docs: DataFrame, width: int = 1024,
     return est.select("w", "n_exact", "cms_est")
 
 
+def jaccard_prefix_join(docs: DataFrame, num: int = 3,
+                        den: int = 5) -> DataFrame:
+    """EXACT all-pairs Jaccard similarity join at threshold tau=num/den
+    via prefix filtering (Chaudhuri et al. 2006; Bayardo et al. 2007
+    "Scaling up all pairs similarity search") — the exact counterpart to
+    the MinHash-LSH family: -> (a, b, inter, union_, jacc_r) for every
+    pair with J(a, b) >= tau.
+
+    Plan: distinct token sets, global token order by ascending document
+    frequency (rarest first), per-doc prefix of length len - t + 1 with
+    t = ceil(tau*len) computed in EXACT integer arithmetic ((num*len +
+    den - 1) div den — no float ceil off-by-one at the boundary), an
+    equi-join on prefix tokens for candidates (plus the length-ratio
+    filter tau*la <= lb), then exact verification by rank-array
+    intersection. The threshold test is the integer comparison
+    inter * den >= num * union, so Spark and the brute-force SQL oracle
+    agree exactly. The candidate join never enumerates all pairs — only
+    pairs sharing a rare prefix token; the frequency-ranked vocab table
+    is vocabulary-sized and broadcast (its one-partition row_number sort
+    is vocab-bounded, not corpus-bounded)."""
+    from pyspark.sql import Window
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(words_col())).alias("w"))
+    dfreq = toks.groupBy("w").agg(F.count("*").alias("df"))
+    ranked = dfreq.select(
+        "w", F.row_number().over(Window.orderBy("df", "w")).alias("rk"))
+    tr = toks.join(F.broadcast(ranked), "w").select("doc_id", "rk")
+    sets = tr.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("rk")).alias("rks"))
+    sets = sets.select("doc_id", "rks", F.size("rks").alias("len"))
+    # t = ceil(tau*len) in exact integer arithmetic; prefix = len - t + 1
+    t_of = F.expr(f"({num} * len + {den - 1}) DIV {den}")
+    sets = sets.select("doc_id", "rks", "len",
+                       (F.col("len") - t_of + 1).cast("int").alias("plen"))
+    pref = sets.select(
+        "doc_id", "len",
+        F.explode(F.slice("rks", 1, F.col("plen"))).alias("rk"))
+    la, lb = pref.alias("la"), pref.alias("lb")
+    cand = (la.join(lb, "rk")
+            .where(F.col("la.doc_id") < F.col("lb.doc_id"))
+            .where(F.col("lb.len") * den >= num * F.col("la.len"))
+            .where(F.col("la.len") * den >= num * F.col("lb.len"))
+            .select(F.col("la.doc_id").alias("a"),
+                    F.col("lb.doc_id").alias("b"))
+            .distinct())
+    sa = sets.select(F.col("doc_id").alias("a"),
+                     F.col("rks").alias("ra"), F.col("len").alias("na"))
+    sb = sets.select(F.col("doc_id").alias("b"),
+                     F.col("rks").alias("rb"), F.col("len").alias("nb"))
+    v = (cand.join(sa, "a").join(sb, "b")
+         .select("a", "b",
+                 F.size(F.array_intersect("ra", "rb")).alias("inter"),
+                 (F.col("na") + F.col("nb")).alias("lab")))
+    v = v.select("a", "b", "inter",
+                 (F.col("lab") - F.col("inter")).alias("union_"))
+    out = v.where(F.col("inter") * den >= num * F.col("union_"))
+    return out.select(
+        "a", "b", F.col("inter").cast("long").alias("inter"),
+        F.col("union_").cast("long").alias("union_"),
+        F.round(F.col("inter") / F.col("union_"), 6).alias("jacc_r"))
+
+
 def hll_distinct(docs: DataFrame) -> DataFrame:
     """HyperLogLog distinct-token estimate (Flajolet et al. 2007) with
     m = 256 registers over a 60-bit md5 hash: bucket = h mod 256, rank =

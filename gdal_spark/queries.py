@@ -1318,6 +1318,30 @@ def q_langid(spark, sf_dir):
     return textops.langid(_t(spark, sf_dir, "documents"))
 
 
+@_reg("jaccard_exact_join", """
+WITH d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS s
+           FROM documents),
+p AS (SELECT a.doc_id AS a, b.doc_id AS b,
+             len(list_intersect(a.s, b.s)) AS inter,
+             len(a.s) AS la, len(b.s) AS lb
+      FROM d a JOIN d b ON a.doc_id < b.doc_id)
+SELECT a, b, CAST(inter AS BIGINT) AS inter,
+       CAST(la + lb - inter AS BIGINT) AS union_,
+       ROUND(CAST(inter AS DOUBLE) / (la + lb - inter), 6) AS jacc_r
+FROM p WHERE inter * 10 >= 9 * (la + lb - inter)
+""")
+def q_jaccard_exact_join(spark, sf_dir):
+    """EXACT all-pairs Jaccard join at tau=0.9 via prefix filtering
+    (Bayardo et al. 2007) — the exact counterpart to the MinHash family:
+    rarest-first global token order, integer-exact prefix lengths,
+    candidate equi-join on prefix tokens + length-ratio filter, exact
+    verification. The oracle brute-forces every pair (feasible at oracle
+    scale) with the identical integer threshold test, so the lossless-
+    ness of the prefix filter is itself what's being value-hashed."""
+    return textops.jaccard_prefix_join(_t(spark, sf_dir, "documents"),
+                                       num=9, den=10)
+
+
 @_reg("hll_distinct", """
 WITH t AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
 hh AS (SELECT ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM t),

@@ -123,3 +123,29 @@ def test_hll_branches_and_accuracy(spark):
     assert r2.n_exact == 20000
     assert r2.v_zero == 0                     # every register hit
     assert abs(r2.rel_err_r) < 0.25           # ~4 sigma at m=256
+
+
+def test_jaccard_prefix_join_exact_and_boundary(spark):
+    """Prefix filtering is lossless: results equal the brute-force pair
+    set, including a pair at EXACTLY tau (integer threshold math)."""
+    from itertools import combinations
+    from gdal_spark.operators.textops import jaccard_prefix_join
+    rows = [(0, "a b c"),            # J(0,1) = 3/5 = tau exactly
+            (1, "a b c d e"),
+            (2, "a b c"),            # J(0,2) = 1
+            (3, "x y z w"),
+            (4, "x y z"),            # J(3,4) = 3/4 >= 0.6
+            (5, "p q"),
+            (6, "a q")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.a, r.b): (r.inter, r.union_)
+           for r in jaccard_prefix_join(df, num=3, den=5).collect()}
+    sets = {i: set(t.split(" ")) for i, t in rows}
+    want = {}
+    for i, j in combinations(sorted(sets), 2):
+        inter = len(sets[i] & sets[j])
+        union = len(sets[i] | sets[j])
+        if inter * 5 >= 3 * union:
+            want[(i, j)] = (inter, union)
+    assert got == want
+    assert (0, 1) in got            # the exact-boundary pair survived
