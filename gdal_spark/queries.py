@@ -3708,6 +3708,160 @@ def q_st_transform_poly_eqdc(spark, sf_dir):
         FROM t_pe_pts""")
 
 
+_AEQD_SPH = ("+proj=aeqd +R=6371000 +lat_0=20 +lon_0=10 "
+             "+nadgrids=@null +units=m +no_defs")
+
+
+def _aeqd_sql():
+    """DuckDB replay of the spherical azimuthal-equidistant forward
+    (Snyder 25-2, k' = c/sin c) with the kernel's sin/cos(lat_0)
+    folded to literals; rows within 0.95 of the antipode are excluded
+    in BOTH engines (k' grows unboundedly there and amplifies ULP
+    noise past the 0.1 mm rounding quantum)."""
+    import numpy as _np
+    from .raster import transforms as _tr
+    p0 = 20.0 * _tr._D2R
+    sp0 = _crs_lit(float(_np.sin(p0)))
+    cp0 = _crs_lit(float(_np.cos(p0)))
+    return f"""
+az1 AS (SELECT doc_id, {_CONIC_WRAP} AS lamw, phi
+        FROM (SELECT doc_id, (lon - 10.0) * {_CONIC_D2R} AS lam,
+                     lat * {_CONIC_D2R} AS phi
+              FROM pts WHERE doc_id % 5 = 2)),
+az2 AS (SELECT doc_id, lamw, phi,
+               {sp0} * sin(phi) + {cp0} * cos(phi) * cos(lamw) AS cc
+        FROM az1),
+az3 AS (SELECT doc_id, lamw, phi, acos(cc) AS c
+        FROM az2 WHERE cc > -0.95),
+az4 AS (SELECT doc_id, lamw, phi, c / sin(c) AS k FROM az3)
+SELECT doc_id,
+       ROUND(6371000.0 * k * cos(phi) * sin(lamw), 4) AS x_r,
+       ROUND(6371000.0 * k * ({cp0} * sin(phi)
+             - {sp0} * cos(phi) * cos(lamw)), 4) AS y_r
+FROM az4"""
+
+
+@_reg("st_transform_aeqd", f"""
+{_pts_cte()},{_aeqd_sql()}
+""")
+def q_st_transform_aeqd(spark, sf_dir):
+    """ST_Transform into a spherical Azimuthal Equidistant grid
+    (+proj=aeqd +R, Snyder 25-2; the reference resolves aeqd through
+    the PROJ method table, ogr/ogrct.cpp:919-948 — the ellipsoidal
+    kernel runs true Vincenty geodesics, pinned by the Geoscience
+    Australia Flinders Peak worked example in tests). The oracle
+    replays the spherical closed form with identical arithmetic; both
+    engines drop rows within 0.95 of the antipode."""
+    import numpy as _mod_np
+    st.register_all(spark)
+    p = datagen.points(spark, sf_dir).where(F.col("doc_id") % 5 == 2)
+    p.createOrReplaceTempView("t_aeqd_pts")
+    d2r = repr(float(_mod_np.pi / 180.0))
+    sp0 = repr(float(_mod_np.sin(20.0 * _mod_np.pi / 180.0)))
+    cp0 = repr(float(_mod_np.cos(20.0 * _mod_np.pi / 180.0)))
+    pi = repr(float(_mod_np.pi))
+    two_pi = repr(float(2 * _mod_np.pi))
+    lam = f"(lon - 10.0) * {d2r}"
+    lamw = f"({lam}) - {two_pi} * floor((({lam}) + {pi}) / {two_pi})"
+    vis = (f"{sp0} * sin(lat * {d2r}) + {cp0} * cos(lat * {d2r})"
+           f" * cos({lamw}) > -0.95")
+    return spark.sql(f"""
+        SELECT doc_id,
+          ROUND(ST_X(ST_Transform(ST_MakePoint(lon, lat), 'EPSG:4326',
+            '{_AEQD_SPH}')), 4) AS x_r,
+          ROUND(ST_Y(ST_Transform(ST_MakePoint(lon, lat), 'EPSG:4326',
+            '{_AEQD_SPH}')), 4) AS y_r
+        FROM t_aeqd_pts WHERE {vis}""")
+
+
+_ORTHO_WGS = "+proj=ortho +lat_0=40 +lon_0=5 +datum=WGS84 +units=m +no_defs"
+_GNOM_SPH = "+proj=gnom +lat_0=45 +lon_0=15 +datum=WGS84 +units=m +no_defs"
+
+
+def _ortho_gnom_sql():
+    """DuckDB replay of the ellipsoidal orthographic forward (EPSG
+    9840 closed form) and the spherical gnomonic (Snyder 22-4/22-5 on
+    radius a). Hemisphere guards (cos c > 0.05 for ortho, > 0.35 for
+    gnom) run in both engines on identical arithmetic."""
+    import numpy as _np
+    from .raster import transforms as _tr
+    d2r = _CONIC_D2R
+    e2 = _crs_lit(_tr._E2)
+    po = 40.0 * _tr._D2R
+    spo = _crs_lit(float(_np.sin(po)))
+    cpo = _crs_lit(float(_np.cos(po)))
+    nu0sp0 = _crs_lit(float(
+        _tr._nu_e(_np.sin(po), 6378137.0, _tr._E2) * _np.sin(po)))
+    pg = 45.0 * _tr._D2R
+    spg = _crs_lit(float(_np.sin(pg)))
+    cpg = _crs_lit(float(_np.cos(pg)))
+    return f"""
+og1 AS (SELECT doc_id,
+               {_CONIC_WRAP.replace('lam', 'lamo')} AS lamow,
+               {_CONIC_WRAP.replace('lam', 'lamg')} AS lamgw, phi
+        FROM (SELECT doc_id, (lon - 5.0) * {d2r} AS lamo,
+                     (lon - 15.0) * {d2r} AS lamg,
+                     lat * {d2r} AS phi
+              FROM pts WHERE doc_id % 3 = 1)),
+og2 AS (SELECT doc_id, lamow, lamgw, phi,
+               {spo} * sin(phi) + {cpo} * cos(phi) * cos(lamow) AS cco,
+               {spg} * sin(phi) + {cpg} * cos(phi) * cos(lamgw) AS ccg,
+               6378137.0 / sqrt(1 - {e2} * sin(phi) * sin(phi)) AS nu
+        FROM og1),
+og3 AS (SELECT * FROM og2 WHERE cco > 0.05 AND ccg > 0.35)
+SELECT doc_id,
+       ROUND(nu * cos(phi) * sin(lamow), 4) AS ox_r,
+       ROUND(nu * (sin(phi) * {cpo} - cos(phi) * {spo} * cos(lamow))
+             + {e2} * ({nu0sp0} - nu * sin(phi)) * {cpo}, 4) AS oy_r,
+       ROUND(6378137.0 * cos(phi) * sin(lamgw) / ccg, 4) AS gx_r,
+       ROUND(6378137.0 * ({cpg} * sin(phi)
+             - {spg} * cos(phi) * cos(lamgw)) / ccg, 4) AS gy_r
+FROM og3"""
+
+
+@_reg("st_transform_ortho_gnom", f"""
+{_pts_cte()},{_ortho_gnom_sql()}
+""")
+def q_st_transform_ortho_gnom(spark, sf_dir):
+    """ST_Transform through the ellipsoidal Orthographic (EPSG method
+    9840: E = nu cos(phi) sin(lam), N = nu [sin(phi) cos(phi0) -
+    cos(phi) sin(phi0) cos(lam)] + e2 (nu0 sin(phi0) - nu sin(phi))
+    cos(phi0)) and the spherical Gnomonic (Snyder 22-4/22-5 — great
+    circles project to straight lines; collinearity pinned in tests).
+    The oracle replays both closed forms; hemisphere guards match."""
+    import numpy as _mod_np
+    st.register_all(spark)
+    p = datagen.points(spark, sf_dir).where(F.col("doc_id") % 3 == 1)
+    p.createOrReplaceTempView("t_og_pts")
+    d2r = repr(float(_mod_np.pi / 180.0))
+    pi = repr(float(_mod_np.pi))
+    two_pi = repr(float(2 * _mod_np.pi))
+    spo = repr(float(_mod_np.sin(40.0 * _mod_np.pi / 180.0)))
+    cpo = repr(float(_mod_np.cos(40.0 * _mod_np.pi / 180.0)))
+    spg = repr(float(_mod_np.sin(45.0 * _mod_np.pi / 180.0)))
+    cpg = repr(float(_mod_np.cos(45.0 * _mod_np.pi / 180.0)))
+
+    def wrapped(lon0):
+        lam = f"(lon - {lon0}) * {d2r}"
+        return f"(({lam}) - {two_pi} * floor((({lam}) + {pi}) / {two_pi}))"
+
+    viso = (f"{spo} * sin(lat * {d2r}) + {cpo} * cos(lat * {d2r})"
+            f" * cos({wrapped('5.0')}) > 0.05")
+    visg = (f"{spg} * sin(lat * {d2r}) + {cpg} * cos(lat * {d2r})"
+            f" * cos({wrapped('15.0')}) > 0.35")
+    return spark.sql(f"""
+        SELECT doc_id,
+          ROUND(ST_X(ST_Transform(ST_MakePoint(lon, lat), 'EPSG:4326',
+            '{_ORTHO_WGS}')), 4) AS ox_r,
+          ROUND(ST_Y(ST_Transform(ST_MakePoint(lon, lat), 'EPSG:4326',
+            '{_ORTHO_WGS}')), 4) AS oy_r,
+          ROUND(ST_X(ST_Transform(ST_MakePoint(lon, lat), 'EPSG:4326',
+            '{_GNOM_SPH}')), 4) AS gx_r,
+          ROUND(ST_Y(ST_Transform(ST_MakePoint(lon, lat), 'EPSG:4326',
+            '{_GNOM_SPH}')), 4) AS gy_r
+        FROM t_og_pts WHERE {viso} AND {visg}""")
+
+
 def _aea_inverse_sql():
     """DuckDB replay of aea_inverse for EPSG:5070: expects columns
     (mx, my), yields (lon, lat). Inlines the same scalar constants the

@@ -1199,16 +1199,316 @@ def eqdc_inverse(x, y, lon0: float, lat0: float, lat1: float,
     return _wrap_rad(lon0 * _D2R + th / n) / _D2R, phi / _D2R
 
 
+# ---------------------------------------------------------------------------
+# Azimuthal family (Snyder ch. 20/22/25; the reference resolves these via
+# the PROJ method table, ogr/ogrct.cpp:919-948): azimuthal equidistant
+# (EPSG 9832 semantics — built here on true Vincenty geodesics so the
+# defining property "planar distance from the origin == ellipsoidal
+# geodesic distance, planar azimuth == forward geodesic azimuth" holds
+# exactly), orthographic (EPSG 9840 ellipsoidal closed form) and the
+# gnomonic (spherical, as PROJ's +proj=gnom — great circles map to
+# straight lines).
+# ---------------------------------------------------------------------------
+
+def geodesic_inverse(lon1, lat1, lon2, lat2,
+                     ellps: tuple[float, float] = ELLIPSOIDS["WGS84"],
+                     iters: int = 32):
+    """Vincenty (1975) inverse problem, vectorized: geodesic distance s
+    (m) and forward/reverse azimuths (degrees clockwise from north)
+    between two points. f = 0 collapses to the exact great-circle
+    solution (C = 0, one fixed-point step). Near-antipodal pairs are the
+    classic Vincenty non-convergence zone (~0.5 deg around the antipode)
+    — iteration is capped, results there are approximate."""
+    a, f = ellps
+    b = a * (1.0 - f)
+    phi1 = np.asarray(lat1, np.float64) * _D2R
+    phi2 = np.asarray(lat2, np.float64) * _D2R
+    ll = _wrap_rad((np.asarray(lon2, np.float64)
+                    - np.asarray(lon1, np.float64)) * _D2R)
+    u1 = np.arctan((1.0 - f) * np.tan(phi1))
+    u2_ = np.arctan((1.0 - f) * np.tan(phi2))
+    su1, cu1 = np.sin(u1), np.cos(u1)
+    su2, cu2 = np.sin(u2_), np.cos(u2_)
+    lam = np.array(ll, np.float64, copy=True, ndmin=0) + 0.0
+    sin_sig = cos_sig = sig = sin_al = cos2_al = c2sm = 0.0
+    for _ in range(iters):
+        sl, cl = np.sin(lam), np.cos(lam)
+        sin_sig = np.hypot(cu2 * sl, cu1 * su2 - su1 * cu2 * cl)
+        cos_sig = su1 * su2 + cu1 * cu2 * cl
+        sig = np.arctan2(sin_sig, cos_sig)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sin_al = np.where(sin_sig == 0.0, 0.0,
+                              cu1 * cu2 * sl
+                              / np.where(sin_sig == 0.0, 1.0, sin_sig))
+        cos2_al = 1.0 - sin_al * sin_al
+        # equatorial lines: cos^2 alpha = 0 -> cos(2 sigma_m) = 0
+        c2sm = np.where(cos2_al == 0.0, 0.0,
+                        cos_sig - 2.0 * su1 * su2
+                        / np.where(cos2_al == 0.0, 1.0, cos2_al))
+        cc = f / 16.0 * cos2_al * (4.0 + f * (4.0 - 3.0 * cos2_al))
+        lam = ll + (1.0 - cc) * f * sin_al * (
+            sig + cc * sin_sig * (c2sm + cc * cos_sig
+                                  * (-1.0 + 2.0 * c2sm * c2sm)))
+    usq = cos2_al * (a * a - b * b) / (b * b)
+    aa = 1.0 + usq / 16384.0 * (4096.0 + usq * (-768.0 + usq
+                                                * (320.0 - 175.0 * usq)))
+    bb = usq / 1024.0 * (256.0 + usq * (-128.0 + usq
+                                        * (74.0 - 47.0 * usq)))
+    dsig = bb * sin_sig * (c2sm + bb / 4.0 * (
+        cos_sig * (-1.0 + 2.0 * c2sm * c2sm)
+        - bb / 6.0 * c2sm * (-3.0 + 4.0 * sin_sig * sin_sig)
+        * (-3.0 + 4.0 * c2sm * c2sm)))
+    s = b * aa * (sig - dsig)
+    sl, cl = np.sin(lam), np.cos(lam)
+    az1 = np.arctan2(cu2 * sl, cu1 * su2 - su1 * cu2 * cl) / _D2R
+    az2 = np.arctan2(cu1 * sl, -su1 * cu2 + cu1 * su2 * cl) / _D2R
+    return s, az1, az2
+
+
+def geodesic_direct(lon1, lat1, az1, s,
+                    ellps: tuple[float, float] = ELLIPSOIDS["WGS84"],
+                    iters: int = 32):
+    """Vincenty (1975) direct problem, vectorized: destination
+    (lon2, lat2) and reverse azimuth from a start point, initial azimuth
+    (degrees) and geodesic distance (m)."""
+    a, f = ellps
+    b = a * (1.0 - f)
+    phi1 = np.asarray(lat1, np.float64) * _D2R
+    al1 = np.asarray(az1, np.float64) * _D2R
+    s = np.asarray(s, np.float64)
+    u1 = np.arctan((1.0 - f) * np.tan(phi1))
+    su1, cu1 = np.sin(u1), np.cos(u1)
+    sa1, ca1 = np.sin(al1), np.cos(al1)
+    sig1 = np.arctan2(np.tan(u1), ca1)
+    sin_al = cu1 * sa1
+    cos2_al = 1.0 - sin_al * sin_al
+    usq = cos2_al * (a * a - b * b) / (b * b)
+    aa = 1.0 + usq / 16384.0 * (4096.0 + usq * (-768.0 + usq
+                                                * (320.0 - 175.0 * usq)))
+    bb = usq / 1024.0 * (256.0 + usq * (-128.0 + usq
+                                        * (74.0 - 47.0 * usq)))
+    sig = s / (b * aa)
+    c2sm = np.cos(2.0 * sig1 + sig)
+    for _ in range(iters):
+        c2sm = np.cos(2.0 * sig1 + sig)
+        ssig, csig = np.sin(sig), np.cos(sig)
+        dsig = bb * ssig * (c2sm + bb / 4.0 * (
+            csig * (-1.0 + 2.0 * c2sm * c2sm)
+            - bb / 6.0 * c2sm * (-3.0 + 4.0 * ssig * ssig)
+            * (-3.0 + 4.0 * c2sm * c2sm)))
+        sig = s / (b * aa) + dsig
+    ssig, csig = np.sin(sig), np.cos(sig)
+    phi2 = np.arctan2(
+        su1 * csig + cu1 * ssig * ca1,
+        (1.0 - f) * np.hypot(sin_al,
+                             su1 * ssig - cu1 * csig * ca1))
+    lam = np.arctan2(ssig * sa1, cu1 * csig - su1 * ssig * ca1)
+    cc = f / 16.0 * cos2_al * (4.0 + f * (4.0 - 3.0 * cos2_al))
+    ll = lam - (1.0 - cc) * f * sin_al * (
+        sig + cc * ssig * (c2sm + cc * csig
+                           * (-1.0 + 2.0 * c2sm * c2sm)))
+    lon2 = _wrap_rad(np.asarray(lon1, np.float64) * _D2R + ll) / _D2R
+    az2 = np.arctan2(sin_al, -(su1 * ssig - cu1 * csig * ca1)) / _D2R
+    return lon2, phi2 / _D2R, az2
+
+
+def _aeqd_sphere_fwd(lon, lat, lon0, lat0, r):
+    """Spherical azimuthal equidistant (Snyder 25-2, k' = c / sin c)."""
+    lam = _wrap_rad((np.asarray(lon, np.float64) - lon0) * _D2R)
+    phi = np.asarray(lat, np.float64) * _D2R
+    p0 = lat0 * _D2R
+    cos_c = np.clip(np.sin(p0) * np.sin(phi)
+                    + np.cos(p0) * np.cos(phi) * np.cos(lam), -1.0, 1.0)
+    c = np.arccos(cos_c)
+    sin_c = np.sin(c)
+    k = np.where(sin_c < 1e-14, 1.0, c / np.where(sin_c < 1e-14, 1.0,
+                                                  sin_c))
+    x = r * k * np.cos(phi) * np.sin(lam)
+    y = r * k * (np.cos(p0) * np.sin(phi)
+                 - np.sin(p0) * np.cos(phi) * np.cos(lam))
+    return x, y
+
+
+def aeqd_forward(lon, lat, lon0: float, lat0: float = 0.0,
+                 fe: float = 0.0, fn: float = 0.0,
+                 ellps: tuple[float, float] = ELLIPSOIDS["WGS84"]):
+    """Azimuthal Equidistant forward. Sphere (f = 0): Snyder 25-2
+    closed form. Ellipsoid: true geodesic polar coordinates — x = s
+    sin(az), y = s cos(az) from the Vincenty inverse (PROJ's +proj=aeqd
+    does the same via Karney geodesics; EPSG 9832's series is the
+    near-field approximation of this)."""
+    a, f = ellps
+    if f == 0.0:
+        x, y = _aeqd_sphere_fwd(lon, lat, lon0, lat0, a)
+        return fe + x, fn + y
+    s, az1, _ = geodesic_inverse(np.full_like(np.asarray(lon, np.float64),
+                                              lon0),
+                                 np.full_like(np.asarray(lat, np.float64),
+                                              lat0),
+                                 lon, lat, ellps)
+    al = np.asarray(az1, np.float64) * _D2R
+    return fe + s * np.sin(al), fn + s * np.cos(al)
+
+
+def aeqd_inverse(x, y, lon0: float, lat0: float = 0.0,
+                 fe: float = 0.0, fn: float = 0.0,
+                 ellps: tuple[float, float] = ELLIPSOIDS["WGS84"]):
+    a, f = ellps
+    xx = np.asarray(x, np.float64) - fe
+    yy = np.asarray(y, np.float64) - fn
+    if f == 0.0:
+        rho = np.hypot(xx, yy)
+        c = rho / a
+        p0 = lat0 * _D2R
+        sin_c, cos_c = np.sin(c), np.cos(c)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            phi = np.arcsin(np.clip(
+                cos_c * np.sin(p0)
+                + np.where(rho < 1e-12, 0.0,
+                           yy * sin_c * np.cos(p0)
+                           / np.where(rho < 1e-12, 1.0, rho)), -1.0, 1.0))
+            lam = np.arctan2(xx * sin_c,
+                             rho * np.cos(p0) * cos_c
+                             - yy * np.sin(p0) * sin_c)
+        lam = np.where(rho < 1e-12, 0.0, lam)
+        phi = np.where(rho < 1e-12, p0, phi)
+        return _wrap_rad(lon0 * _D2R + lam) / _D2R, phi / _D2R
+    s = np.hypot(xx, yy)
+    az = np.arctan2(xx, yy) / _D2R
+    lon0a = np.full_like(s, lon0)
+    lat0a = np.full_like(s, lat0)
+    lon2, lat2, _ = geodesic_direct(lon0a, lat0a, az, s, ellps)
+    lon2 = np.where(s < 1e-9, lon0, lon2)
+    lat2 = np.where(s < 1e-9, lat0, lat2)
+    return lon2, lat2
+
+
+def ortho_forward(lon, lat, lon0: float, lat0: float = 0.0,
+                  fe: float = 0.0, fn: float = 0.0,
+                  ellps: tuple[float, float] = ELLIPSOIDS["WGS84"]):
+    """Orthographic forward (EPSG 9840 ellipsoidal closed form; reduces
+    to Snyder 20-3..20-5 for f = 0):
+    E = FE + nu cos(phi) sin(lam), N = FN + nu [sin(phi) cos(phi0) -
+    cos(phi) sin(phi0) cos(lam)] + e2 (nu0 sin(phi0) - nu sin(phi))
+    cos(phi0). Only the near hemisphere is meaningful."""
+    a, f = ellps
+    e2 = f * (2.0 - f)
+    lam = _wrap_rad((np.asarray(lon, np.float64) - lon0) * _D2R)
+    phi = np.asarray(lat, np.float64) * _D2R
+    p0 = lat0 * _D2R
+    sphi, cphi = np.sin(phi), np.cos(phi)
+    nu = _nu_e(sphi, a, e2)
+    nu0 = _nu_e(np.sin(p0), a, e2)
+    x = nu * cphi * np.sin(lam)
+    y = nu * (sphi * np.cos(p0) - cphi * np.sin(p0) * np.cos(lam)) \
+        + e2 * (nu0 * np.sin(p0) - nu * sphi) * np.cos(p0)
+    return fe + x, fn + y
+
+
+def ortho_inverse(x, y, lon0: float, lat0: float = 0.0,
+                  fe: float = 0.0, fn: float = 0.0,
+                  ellps: tuple[float, float] = ELLIPSOIDS["WGS84"],
+                  iters: int = 10):
+    """Orthographic inverse: spherical closed form (Snyder 20-14..20-17)
+    as the seed, then damped Newton on the ellipsoidal forward with a
+    finite-difference Jacobian (the GN7-2 iteration, made generic)."""
+    a, f = ellps
+    xx = np.asarray(x, np.float64) - fe
+    yy = np.asarray(y, np.float64) - fn
+    p0 = lat0 * _D2R
+    rho = np.hypot(xx, yy)
+    c = np.arcsin(np.clip(rho / a, -1.0, 1.0))
+    sin_c, cos_c = np.sin(c), np.cos(c)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        phi = np.arcsin(np.clip(
+            cos_c * np.sin(p0)
+            + np.where(rho < 1e-12, 0.0,
+                       yy * sin_c * np.cos(p0)
+                       / np.where(rho < 1e-12, 1.0, rho)), -1.0, 1.0))
+        lam = np.arctan2(xx * sin_c,
+                         rho * np.cos(p0) * cos_c
+                         - yy * np.sin(p0) * sin_c)
+    lam = np.where(rho < 1e-12, 0.0, lam)
+    phi = np.where(rho < 1e-12, p0, phi)
+    if f != 0.0:
+        h = 1e-7            # radians; ~0.6 m FD step
+        for _ in range(iters):
+            lon_d = _wrap_rad(lam) / _D2R + lon0
+            lat_d = phi / _D2R
+            fx, fy = ortho_forward(lon_d, lat_d, lon0, lat0, 0.0, 0.0,
+                                   ellps)
+            fx1, fy1 = ortho_forward(lon_d + h / _D2R, lat_d, lon0, lat0,
+                                     0.0, 0.0, ellps)
+            fx2, fy2 = ortho_forward(lon_d, lat_d + h / _D2R, lon0, lat0,
+                                     0.0, 0.0, ellps)
+            j11, j21 = (fx1 - fx) / h, (fy1 - fy) / h
+            j12, j22 = (fx2 - fx) / h, (fy2 - fy) / h
+            det = j11 * j22 - j12 * j21
+            with np.errstate(divide="ignore", invalid="ignore"):
+                dl = (j22 * (xx - fx) - j12 * (yy - fy)) / det
+                dp = (-j21 * (xx - fx) + j11 * (yy - fy)) / det
+            lam = lam + np.where(np.isfinite(dl), dl, 0.0)
+            phi = phi + np.where(np.isfinite(dp), dp, 0.0)
+    return _wrap_rad(lon0 * _D2R + lam) / _D2R, phi / _D2R
+
+
+def gnom_forward(lon, lat, lon0: float, lat0: float = 0.0,
+                 fe: float = 0.0, fn: float = 0.0,
+                 ellps: tuple[float, float] = ELLIPSOIDS["WGS84"]):
+    """Gnomonic forward (Snyder 22-4..22-5, spherical on radius a, as
+    PROJ's +proj=gnom): great circles project to straight lines."""
+    a, _f = ellps
+    lam = _wrap_rad((np.asarray(lon, np.float64) - lon0) * _D2R)
+    phi = np.asarray(lat, np.float64) * _D2R
+    p0 = lat0 * _D2R
+    cos_c = np.sin(p0) * np.sin(phi) \
+        + np.cos(p0) * np.cos(phi) * np.cos(lam)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        x = a * np.cos(phi) * np.sin(lam) / cos_c
+        y = a * (np.cos(p0) * np.sin(phi)
+                 - np.sin(p0) * np.cos(phi) * np.cos(lam)) / cos_c
+    return fe + x, fn + y
+
+
+def gnom_inverse(x, y, lon0: float, lat0: float = 0.0,
+                 fe: float = 0.0, fn: float = 0.0,
+                 ellps: tuple[float, float] = ELLIPSOIDS["WGS84"]):
+    a, _f = ellps
+    xx = np.asarray(x, np.float64) - fe
+    yy = np.asarray(y, np.float64) - fn
+    p0 = lat0 * _D2R
+    rho = np.hypot(xx, yy)
+    c = np.arctan2(rho, a)
+    sin_c, cos_c = np.sin(c), np.cos(c)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        phi = np.arcsin(np.clip(
+            cos_c * np.sin(p0)
+            + np.where(rho < 1e-12, 0.0,
+                       yy * sin_c * np.cos(p0)
+                       / np.where(rho < 1e-12, 1.0, rho)), -1.0, 1.0))
+        lam = np.arctan2(xx * sin_c,
+                         rho * np.cos(p0) * cos_c
+                         - yy * np.sin(p0) * sin_c)
+    lam = np.where(rho < 1e-12, 0.0, lam)
+    phi = np.where(rho < 1e-12, p0, phi)
+    return _wrap_rad(lon0 * _D2R + lam) / _D2R, phi / _D2R
+
+
 # kind-tuple tails align positionally with the kernel signatures, so the
 # dispatch below is table-driven: ("eqc", lon0, lat1, fe, fn), ("cea",
-# lon0, lat_ts, fe, fn), ("sinu", lon0, fe, fn), ("cass"/"poly", lon0,
-# lat0, fe, fn), ("eqdc", lon0, lat0, lat1, lat2, fe, fn)
+# lon0, lat_ts, fe, fn), ("sinu", lon0, fe, fn), ("cass"/"poly"/"aeqd"/
+# "ortho"/"gnom", lon0, lat0, fe, fn), ("eqdc", lon0, lat0, lat1, lat2,
+# fe, fn)
 _LONGTAIL_FWD = {"eqc": eqc_forward, "cea": cea_forward,
                  "sinu": sinu_forward, "cass": cass_forward,
-                 "poly": poly_forward, "eqdc": eqdc_forward}
+                 "poly": poly_forward, "eqdc": eqdc_forward,
+                 "aeqd": aeqd_forward, "ortho": ortho_forward,
+                 "gnom": gnom_forward}
 _LONGTAIL_INV = {"eqc": eqc_inverse, "cea": cea_inverse,
                  "sinu": sinu_inverse, "cass": cass_inverse,
-                 "poly": poly_inverse, "eqdc": eqdc_inverse}
+                 "poly": poly_inverse, "eqdc": eqdc_inverse,
+                 "aeqd": aeqd_inverse, "ortho": ortho_inverse,
+                 "gnom": gnom_inverse}
 _LONGTAIL_FAMS = tuple(_LONGTAIL_FWD)
 
 
@@ -1361,8 +1661,8 @@ def _proj_inner_kind(kv: dict):
                 f("x_0", 0.0), f("y_0", 0.0))
     if proj == "sinu":
         return ("sinu", f("lon_0", 0.0), f("x_0", 0.0), f("y_0", 0.0))
-    if proj == "cass":
-        return ("cass", f("lon_0", 0.0), f("lat_0", 0.0),
+    if proj in ("cass", "aeqd", "ortho", "gnom"):
+        return (proj, f("lon_0", 0.0), f("lat_0", 0.0),
                 f("x_0", 0.0), f("y_0", 0.0))
     if proj == "poly":
         return ("poly", f("lon_0", 0.0), f("lat_0", 0.0),
@@ -1458,6 +1758,11 @@ _WKT_METHODS = {
     "POLYCONIC": "poly",
     "AMERICAN_POLYCONIC": "poly",
     "EQUIDISTANT_CONIC": "eqdc",
+    "AZIMUTHAL_EQUIDISTANT": "aeqd",
+    "MODIFIED_AZIMUTHAL_EQUIDISTANT": "aeqd",
+    "ORTHOGRAPHIC": "ortho",
+    "ORTHOGRAPHIC_(SPHERICAL)": "ortho",
+    "GNOMONIC": "gnom",
 }
 
 
@@ -1627,9 +1932,13 @@ def _parse_wkt_kind(crs: str):
         return ("cea", lon0, lat_ts, fe, fn)
     if fam == "sinu":
         return ("sinu", lon0, fe, fn)
-    if fam in ("cass", "poly"):
-        lat0 = g(("latitude_of_origin", "latitude_of_natural_origin"))
-        return (fam, lon0, lat0, fe, fn)
+    if fam in ("cass", "poly", "aeqd", "ortho", "gnom"):
+        lat0 = g(("latitude_of_origin", "latitude_of_natural_origin",
+                  "latitude_of_center"))
+        lon0c = g(("central_meridian", "longitude_of_center",
+                   "longitude_of_origin",
+                   "longitude_of_natural_origin"), lon0)
+        return (fam, lon0c, lat0, fe, fn)
     if fam == "eqdc":
         lat0 = g(("latitude_of_origin", "latitude_of_center",
                   "latitude_of_natural_origin"))
@@ -2255,7 +2564,7 @@ def format_proj4_kind(kind) -> str:
         _, lon0, fe, fn = kind
         return (f"+proj=sinu +lon_0={lon0:.10g} "
                 f"+x_0={fe:.10g} +y_0={fn:.10g} +datum=WGS84 +units=m +no_defs")
-    if fam in ("cass", "poly"):
+    if fam in ("cass", "poly", "aeqd", "ortho", "gnom"):
         _, lon0, lat0, fe, fn = kind
         return (f"+proj={fam} +lat_0={lat0:.10g} +lon_0={lon0:.10g} "
                 f"+x_0={fe:.10g} +y_0={fn:.10g} +datum=WGS84 +units=m +no_defs")
@@ -2407,9 +2716,11 @@ def format_wkt1(crs: str) -> str:
                   f'PARAMETER["central_meridian",{lon0:.10g}],'
                   f'PARAMETER["false_easting",{fe:.10g}],'
                   f'PARAMETER["false_northing",{fn:.10g}],UNIT["metre",1]]')
-    if fam in ("cass", "poly"):
+    if fam in ("cass", "poly", "aeqd", "ortho", "gnom"):
         _, lon0, lat0, fe, fn = kind
-        method = "Cassini_Soldner" if fam == "cass" else "Polyconic"
+        method = {"cass": "Cassini_Soldner", "poly": "Polyconic",
+                  "aeqd": "Azimuthal_Equidistant",
+                  "ortho": "Orthographic", "gnom": "Gnomonic"}[fam]
         return ('PROJCS["unnamed",' + _WGS84_GEOGCS
                 + f',PROJECTION["{method}"],'
                   f'PARAMETER["latitude_of_origin",{lat0:.10g}],'

@@ -1158,3 +1158,193 @@ def test_longtail_spellings_agree_and_proj4_roundtrip():
                 "+datum=WGS84"):
         s = T.srs_info(crs)
         assert T._parse_crs(s["wkt"]) == T._parse_crs(crs), crs
+
+
+# ---------------------------------------------------------------------------
+# Azimuthal family: Vincenty geodesics + aeqd / ortho / gnom
+# ---------------------------------------------------------------------------
+
+def _dms(d, m, s):
+    sign = -1.0 if d < 0 else 1.0
+    return sign * (abs(d) + m / 60.0 + s / 3600.0)
+
+
+def test_vincenty_flinders_buninyong_worked_example():
+    """The Geoscience Australia GDA worked example (GRS80): Flinders
+    Peak -> Buninyong, s = 54 972.271 m, forward azimuth
+    306d52'05.37", azimuth of the geodesic at Buninyong =
+    127d10'25.07" + 180."""
+    grs80 = T.ELLIPSOIDS["GRS80"]
+    lat1 = _dms(-37, 57, 3.72030)
+    lon1 = _dms(144, 25, 29.52440)
+    lat2 = _dms(-37, 39, 10.15610)
+    lon2 = _dms(143, 55, 35.38390)
+    s, az1, az2 = T.geodesic_inverse(lon1, lat1, lon2, lat2, grs80)
+    assert float(s) == pytest.approx(54972.271, abs=2e-3)
+    assert float(az1) % 360 == pytest.approx(_dms(306, 52, 5.37),
+                                             abs=1e-4)
+    assert float(az2) % 360 == pytest.approx(_dms(127, 10, 25.07) + 180,
+                                             abs=1e-4)
+    # direct problem reproduces the destination
+    lon2b, lat2b, _ = T.geodesic_direct(lon1, lat1, float(az1), float(s),
+                                        grs80)
+    assert float(lon2b) == pytest.approx(lon2, abs=1e-9)
+    assert float(lat2b) == pytest.approx(lat2, abs=1e-9)
+
+
+def test_vincenty_sphere_equals_great_circle():
+    r = 6371000.0
+    rng = np.random.default_rng(7)
+    lon1 = rng.uniform(-180, 180, 40)
+    lat1 = rng.uniform(-80, 80, 40)
+    lon2 = rng.uniform(-180, 180, 40)
+    lat2 = rng.uniform(-80, 80, 40)
+    s, _, _ = T.geodesic_inverse(lon1, lat1, lon2, lat2, (r, 0.0))
+    d2r = np.pi / 180
+    cosc = (np.sin(lat1 * d2r) * np.sin(lat2 * d2r)
+            + np.cos(lat1 * d2r) * np.cos(lat2 * d2r)
+            * np.cos((lon2 - lon1) * d2r))
+    np.testing.assert_allclose(s, r * np.arccos(np.clip(cosc, -1, 1)),
+                               rtol=1e-12, atol=1e-6)
+
+
+def test_aeqd_ellipsoidal_equidistance_and_roundtrip():
+    """Defining property: planar distance from the projection origin
+    equals the geodesic distance, planar azimuth equals the forward
+    geodesic azimuth (exact by construction; this pins the plumbing)."""
+    lon0, lat0 = 10.0, 20.0
+    rng = np.random.default_rng(11)
+    lon = rng.uniform(-60, 80, 60)
+    lat = rng.uniform(-45, 70, 60)
+    x, y = T.aeqd_forward(lon, lat, lon0, lat0)
+    s, az1, _ = T.geodesic_inverse(np.full_like(lon, lon0),
+                                   np.full_like(lat, lat0), lon, lat)
+    np.testing.assert_allclose(np.hypot(x, y), s, rtol=1e-12)
+    np.testing.assert_allclose(np.arctan2(x, y) * 180 / np.pi % 360,
+                               np.asarray(az1) % 360, atol=1e-9)
+    lon2, lat2 = T.aeqd_inverse(x, y, lon0, lat0)
+    np.testing.assert_allclose(lon2, lon, atol=1e-8)
+    np.testing.assert_allclose(lat2, lat, atol=1e-8)
+
+
+def test_aeqd_sphere_closed_form_and_proj_string():
+    crs = "+proj=aeqd +R=6371000 +lat_0=20 +lon_0=10 +nadgrids=@null"
+    lon = np.array([30.0, -40.0, 10.0, 110.0])
+    lat = np.array([-10.0, 55.0, 20.0, -60.0])
+    x, y = T.transform("EPSG:4326", crs, lon, lat)
+    d2r = np.pi / 180
+    r = 6371000.0
+    lam = (lon - 10.0) * d2r
+    p0 = 20.0 * d2r
+    phi = lat * d2r
+    cosc = np.clip(np.sin(p0) * np.sin(phi)
+                   + np.cos(p0) * np.cos(phi) * np.cos(lam), -1, 1)
+    c = np.arccos(cosc)
+    k = np.where(c < 1e-14, 1.0, c / np.where(c < 1e-14, 1.0, np.sin(c)))
+    np.testing.assert_allclose(x, r * k * np.cos(phi) * np.sin(lam),
+                               atol=1e-6)
+    np.testing.assert_allclose(
+        y, r * k * (np.cos(p0) * np.sin(phi)
+                    - np.sin(p0) * np.cos(phi) * np.cos(lam)), atol=1e-6)
+    # distance from origin == great-circle distance (equidistance)
+    np.testing.assert_allclose(np.hypot(x, y), r * c, rtol=1e-12)
+    lon2, lat2 = T.transform(crs, "EPSG:4326", x, y)
+    np.testing.assert_allclose(lon2, lon, atol=1e-9)
+    np.testing.assert_allclose(lat2, lat, atol=1e-9)
+
+
+def test_ortho_ellipsoidal_origin_scale_and_roundtrip():
+    lon0, lat0 = 5.0, 40.0
+    # origin maps to (FE, FN)
+    x, y = T.ortho_forward(np.array([lon0]), np.array([lat0]), lon0, lat0,
+                           100.0, 200.0)
+    assert float(x[0]) == pytest.approx(100.0, abs=1e-9)
+    assert float(y[0]) == pytest.approx(200.0, abs=1e-9)
+    # meridional scale at the origin is 1: dN = rho(phi0) dphi
+    d = 1e-6
+    _, yp = T.ortho_forward(np.array([lon0]), np.array([lat0 + d]),
+                            lon0, lat0)
+    _, ym = T.ortho_forward(np.array([lon0]), np.array([lat0 - d]),
+                            lon0, lat0)
+    d2r = np.pi / 180
+    s0 = np.sin(lat0 * d2r)
+    rho0 = A * (1 - E2) / (1 - E2 * s0 * s0) ** 1.5
+    assert float((yp[0] - ym[0]) / (2 * d * d2r)) \
+        == pytest.approx(rho0, rel=1e-6)
+    # near-hemisphere round trip (ellipsoidal Newton inverse)
+    rng = np.random.default_rng(3)
+    lon = lon0 + rng.uniform(-60, 60, 50)
+    lat = lat0 + rng.uniform(-45, 40, 50)
+    x, y = T.ortho_forward(lon, lat, lon0, lat0)
+    lon2, lat2 = T.ortho_inverse(x, y, lon0, lat0)
+    np.testing.assert_allclose(lon2, lon, atol=1e-9)
+    np.testing.assert_allclose(lat2, lat, atol=1e-9)
+
+
+def test_ortho_sphere_matches_snyder():
+    lon0, lat0 = -100.0, -35.0
+    r = 6370997.0
+    lon = np.array([-80.0, -120.0, -100.0])
+    lat = np.array([-20.0, -55.0, -35.0])
+    x, y = T.ortho_forward(lon, lat, lon0, lat0, ellps=(r, 0.0))
+    d2r = np.pi / 180
+    lam = (lon - lon0) * d2r
+    phi = lat * d2r
+    p0 = lat0 * d2r
+    np.testing.assert_allclose(x, r * np.cos(phi) * np.sin(lam),
+                               atol=1e-6)
+    np.testing.assert_allclose(
+        y, r * (np.cos(p0) * np.sin(phi)
+                - np.sin(p0) * np.cos(phi) * np.cos(lam)), atol=1e-6)
+
+
+def test_gnom_great_circles_are_straight_lines():
+    """Three points of one great circle must be collinear in the
+    projection — the gnomonic's defining property."""
+    lon0, lat0 = 15.0, 45.0
+    # great circle through two anchor points: interpolate on the sphere
+    d2r = np.pi / 180
+    p1 = np.array([np.cos(30 * d2r) * np.cos(-20 * d2r),
+                   np.sin(30 * d2r) * np.cos(-20 * d2r),
+                   np.sin(-20 * d2r)])
+    p2 = np.array([np.cos(-10 * d2r) * np.cos(60 * d2r),
+                   np.sin(-10 * d2r) * np.cos(60 * d2r),
+                   np.sin(60 * d2r)])
+    pts = []
+    for t in (0.15, 0.5, 0.85):
+        v = (1 - t) * p1 + t * p2
+        v = v / np.linalg.norm(v)
+        pts.append((np.arctan2(v[1], v[0]) / d2r,
+                    np.arcsin(v[2]) / d2r))
+    lon = np.array([p[0] for p in pts])
+    lat = np.array([p[1] for p in pts])
+    x, y = T.gnom_forward(lon, lat, lon0, lat0)
+    cross = (x[1] - x[0]) * (y[2] - y[0]) - (x[2] - x[0]) * (y[1] - y[0])
+    span2 = max(np.hypot(x[2] - x[0], y[2] - y[0]) ** 2, 1.0)
+    assert abs(cross) / span2 < 1e-9
+    lon2, lat2 = T.gnom_inverse(x, y, lon0, lat0)
+    np.testing.assert_allclose(lon2, lon, atol=1e-9)
+    np.testing.assert_allclose(lat2, lat, atol=1e-9)
+
+
+def test_azimuthal_spellings_agree_and_proj4_roundtrip():
+    lon = np.array([12.0, -30.0, 55.0])
+    lat = np.array([48.0, 10.0, -25.0])
+    for proj4, method in [
+        ("+proj=aeqd +lat_0=20 +lon_0=10 +x_0=3 +y_0=4 +datum=WGS84",
+         "Azimuthal_Equidistant"),
+        ("+proj=ortho +lat_0=40 +lon_0=5 +x_0=0 +y_0=0 +datum=WGS84",
+         "Orthographic"),
+        ("+proj=gnom +lat_0=45 +lon_0=15 +x_0=0 +y_0=0 +datum=WGS84",
+         "Gnomonic"),
+    ]:
+        x1, y1 = T.transform("EPSG:4326", proj4, lon, lat)
+        wkt = T.format_wkt1(proj4)
+        assert method in wkt
+        x2, y2 = T.transform("EPSG:4326", wkt, lon, lat)
+        np.testing.assert_allclose(x2, x1, rtol=1e-12)
+        np.testing.assert_allclose(y2, y1, rtol=1e-12)
+        p4 = T.format_proj4(proj4)
+        x3, y3 = T.transform("EPSG:4326", p4, lon, lat)
+        np.testing.assert_allclose(x3, x1, rtol=1e-12)
+        np.testing.assert_allclose(y3, y1, rtol=1e-12)
