@@ -3862,6 +3862,107 @@ def q_st_transform_ortho_gnom(spark, sf_dir):
         FROM t_og_pts WHERE {viso} AND {visg}""")
 
 
+_MOLL_CRS = "+proj=moll +lon_0=0 +datum=WGS84 +units=m +no_defs"
+_ECK4_CRS = "+proj=eck4 +lon_0=0 +datum=WGS84 +units=m +no_defs"
+_MILL_CRS = "+proj=mill +lon_0=0 +datum=WGS84 +units=m +no_defs"
+_ROBIN_CRS = "+proj=robin +lon_0=0 +datum=WGS84 +units=m +no_defs"
+
+
+def _worldmap_sql():
+    """DuckDB replay of the four world-map kernels: Mollweide and
+    Eckert IV via the identical 8-step unrolled Newton iteration the
+    numpy kernel runs (quadratic convergence makes the fixed count
+    bit-stable), Miller's closed form, and Robinson's natural-spline
+    segment coefficients inlined as an 18-branch CASE (Horner order
+    matches _robin_eval)."""
+    import numpy as _np
+    from .raster import transforms as _tr
+    d2r = _CONIC_D2R
+    pi = _crs_lit(_np.pi)
+    a = 6378137.0
+    cs_k = _crs_lit(2.0 + _np.pi / 2.0)
+    moll_x = _crs_lit(2.0 * _np.sqrt(2.0) / _np.pi * a)
+    moll_y = _crs_lit(float(_np.sqrt(2.0) * a))
+    eck_x = _crs_lit(float(2.0 / _np.sqrt(4.0 * _np.pi
+                                          + _np.pi * _np.pi) * a))
+    eck_y = _crs_lit(float(2.0 * _np.sqrt(_np.pi / (4.0 + _np.pi)) * a))
+
+    rob_x = _crs_lit(float(0.8487 * a))
+    rob_y = _crs_lit(float(1.3523 * a))
+
+    def robin_case(coeffs):
+        br = []
+        for i in range(18):
+            c0, c1, c2, c3 = (float(v) for v in coeffs[i])
+            br.append(f"WHEN seg = {float(i)!r} THEN (({c3!r} * t "
+                      f"+ {c2!r}) * t + {c1!r}) * t + {c0!r}")
+        return "CASE " + " ".join(br) + " END"
+
+    moll_step = ("th - (2.0 * th + sin(2.0 * th) - ps)"
+                 " / (2.0 + 2.0 * cos(2.0 * th))")
+    eck_step = ("te - (te + sin(te) * cos(te) + 2.0 * sin(te) - cs)"
+                " / (1.0 + cos(te) * cos(te) - sin(te) * sin(te)"
+                " + 2.0 * cos(te))")
+    newtons = "".join(
+        f"wm{i + 1} AS (SELECT doc_id, lamw, phi, ps, cs, alat,\n"
+        f"       {moll_step} AS th, {eck_step} AS te FROM wm{i}),\n"
+        for i in range(8))
+    return f"""
+wm0 AS (SELECT doc_id, {_CONIC_WRAP} AS lamw, phi,
+               {pi} * sin(phi) AS ps, phi AS th,
+               {cs_k} * sin(phi) AS cs, phi / 2.0 AS te,
+               abs(lat) AS alat
+        FROM (SELECT doc_id, lat, lon * {d2r} AS lam,
+                     lat * {d2r} AS phi
+              FROM pts WHERE doc_id % 7 = 3)),
+{newtons}wmr AS (SELECT doc_id, lamw, phi, th, te, alat,
+              least(floor(alat / 5.0), 17.0) AS seg,
+              alat - 5.0 * least(floor(alat / 5.0), 17.0) AS t
+       FROM wm8)
+SELECT doc_id,
+       ROUND({moll_x} * lamw * cos(th), 4) AS moll_x,
+       ROUND({moll_y} * sin(th), 4) AS moll_y,
+       ROUND({eck_x} * lamw * (1.0 + cos(te)), 4) AS eck4_x,
+       ROUND({eck_y} * sin(te), 4) AS eck4_y,
+       ROUND(6378137.0 * lamw, 4) AS mill_x,
+       ROUND(6378137.0 * ln(tan({_crs_lit(_np.pi / 4.0)} + 0.4 * phi))
+             * 1.25, 4) AS mill_y,
+       ROUND({rob_x} * ({robin_case(_tr._ROBIN_CX)}) * lamw, 4)
+         AS rob_x,
+       ROUND({rob_y} * ({robin_case(_tr._ROBIN_CY)}) * sign(phi), 4)
+         AS rob_y
+FROM wmr"""
+
+
+@_reg("st_transform_worldmap", f"""
+{_pts_cte()},{_worldmap_sql()}
+""")
+def q_st_transform_worldmap(spark, sf_dir):
+    """ST_Transform through the world-map pseudo-cylindrical family:
+    Mollweide (Snyder 31-1..31-3), Eckert IV (Snyder 32-1..32-4),
+    Miller cylindrical (Snyder 33-1..33-2) and Robinson (the published
+    1974 5-degree table through a natural cubic spline). The reference
+    resolves these through the PROJ method table (ogr/ogrct.cpp:
+    919-948). The oracle replays the exact fixed-count Newton
+    iterations and the spline segment coefficients in SQL."""
+    st.register_all(spark)
+    p = datagen.points(spark, sf_dir).where(F.col("doc_id") % 7 == 3)
+    p.createOrReplaceTempView("t_wm_pts")
+
+    def cols(crs, px, py):
+        return (f"ROUND(ST_X(ST_Transform(ST_MakePoint(lon, lat), "
+                f"'EPSG:4326', '{crs}')), 4) AS {px}, "
+                f"ROUND(ST_Y(ST_Transform(ST_MakePoint(lon, lat), "
+                f"'EPSG:4326', '{crs}')), 4) AS {py}")
+    return spark.sql(f"""
+        SELECT doc_id,
+          {cols(_MOLL_CRS, 'moll_x', 'moll_y')},
+          {cols(_ECK4_CRS, 'eck4_x', 'eck4_y')},
+          {cols(_MILL_CRS, 'mill_x', 'mill_y')},
+          {cols(_ROBIN_CRS, 'rob_x', 'rob_y')}
+        FROM t_wm_pts""")
+
+
 def _aea_inverse_sql():
     """DuckDB replay of aea_inverse for EPSG:5070: expects columns
     (mx, my), yields (lon, lat). Inlines the same scalar constants the

@@ -1200,6 +1200,222 @@ def eqdc_inverse(x, y, lon0: float, lat0: float, lat1: float,
 
 
 # ---------------------------------------------------------------------------
+# World-map pseudo-cylindrical family (Snyder ch. 31/32 + Robinson 1974;
+# PROJ treats all four as spherical projections on radius a): Mollweide,
+# Eckert IV, Miller cylindrical and Robinson. Mollweide/Eckert solve
+# their parametric angle with a fixed-count Newton iteration (quadratic
+# convergence — 8 steps from theta0 = phi reach double precision; the
+# SQL oracles replay the identical unrolled iteration). Robinson is
+# Robinson's published 5-degree table evaluated through a natural cubic
+# spline fitted at import time (PROJ ships precomputed spline
+# coefficients for the same table; agreement is to the table's own
+# precision, ~1e-4 of R).
+# ---------------------------------------------------------------------------
+
+_MOLL_ITERS = 8
+
+
+def _moll_theta(phi):
+    """Newton for 2 theta + sin 2 theta = pi sin phi (Snyder 31-3).
+    The poles are the (removable) Newton singularity — patched to
+    theta = +-pi/2 exactly; non-pole rows keep the plain iteration so
+    SQL oracles can replay it verbatim."""
+    phi = np.asarray(phi, np.float64)
+    at_pole = np.abs(phi) >= np.pi / 2.0 - 1e-12
+    th = np.where(at_pole, 0.0, phi)
+    ps = np.pi * np.sin(phi)
+    for _ in range(_MOLL_ITERS):
+        th = th - (2.0 * th + np.sin(2.0 * th) - ps) \
+            / (2.0 + 2.0 * np.cos(2.0 * th))
+    return np.where(at_pole, np.sign(phi) * np.pi / 2.0, th)
+
+
+def moll_forward(lon, lat, lon0: float = 0.0,
+                 fe: float = 0.0, fn: float = 0.0,
+                 ellps: tuple[float, float] = ELLIPSOIDS["WGS84"]):
+    """Mollweide forward (Snyder 31-1..31-3, equal-area sphere)."""
+    a, _f = ellps
+    lam = _wrap_rad((np.asarray(lon, np.float64) - lon0) * _D2R)
+    phi = np.asarray(lat, np.float64) * _D2R
+    th = _moll_theta(phi)
+    sq2 = np.sqrt(2.0)
+    return (fe + 2.0 * sq2 / np.pi * a * lam * np.cos(th),
+            fn + sq2 * a * np.sin(th))
+
+
+def moll_inverse(x, y, lon0: float = 0.0,
+                 fe: float = 0.0, fn: float = 0.0,
+                 ellps: tuple[float, float] = ELLIPSOIDS["WGS84"]):
+    a, _f = ellps
+    sq2 = np.sqrt(2.0)
+    th = np.arcsin(np.clip((np.asarray(y, np.float64) - fn)
+                           / (sq2 * a), -1.0, 1.0))
+    phi = np.arcsin(np.clip((2.0 * th + np.sin(2.0 * th)) / np.pi,
+                            -1.0, 1.0))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        lam = np.where(np.abs(np.cos(th)) < 1e-12, 0.0,
+                       np.pi * (np.asarray(x, np.float64) - fe)
+                       / (2.0 * sq2 * a * np.cos(th)))
+    return _wrap_rad(lon0 * _D2R + lam) / _D2R, phi / _D2R
+
+
+def _eck4_theta(phi):
+    """Newton for theta + sin th cos th + 2 sin th = (2 + pi/2) sin phi
+    (Snyder 32-4); poles patched like _moll_theta."""
+    phi = np.asarray(phi, np.float64)
+    at_pole = np.abs(phi) >= np.pi / 2.0 - 1e-12
+    th = np.where(at_pole, 0.0, phi / 2.0)
+    cs = (2.0 + np.pi / 2.0) * np.sin(phi)
+    for _ in range(_MOLL_ITERS):
+        th = th - (th + np.sin(th) * np.cos(th) + 2.0 * np.sin(th) - cs) \
+            / (1.0 + np.cos(th) * np.cos(th) - np.sin(th) * np.sin(th)
+               + 2.0 * np.cos(th))
+    return np.where(at_pole, np.sign(phi) * np.pi / 2.0, th)
+
+
+def eck4_forward(lon, lat, lon0: float = 0.0,
+                 fe: float = 0.0, fn: float = 0.0,
+                 ellps: tuple[float, float] = ELLIPSOIDS["WGS84"]):
+    """Eckert IV forward (Snyder 32-1..32-4, equal-area sphere)."""
+    a, _f = ellps
+    lam = _wrap_rad((np.asarray(lon, np.float64) - lon0) * _D2R)
+    phi = np.asarray(lat, np.float64) * _D2R
+    th = _eck4_theta(phi)
+    cx = 2.0 / np.sqrt(4.0 * np.pi + np.pi * np.pi)
+    cy = 2.0 * np.sqrt(np.pi / (4.0 + np.pi))
+    return (fe + cx * a * lam * (1.0 + np.cos(th)),
+            fn + cy * a * np.sin(th))
+
+
+def eck4_inverse(x, y, lon0: float = 0.0,
+                 fe: float = 0.0, fn: float = 0.0,
+                 ellps: tuple[float, float] = ELLIPSOIDS["WGS84"]):
+    a, _f = ellps
+    cx = 2.0 / np.sqrt(4.0 * np.pi + np.pi * np.pi)
+    cy = 2.0 * np.sqrt(np.pi / (4.0 + np.pi))
+    th = np.arcsin(np.clip((np.asarray(y, np.float64) - fn) / (cy * a),
+                           -1.0, 1.0))
+    phi = np.arcsin(np.clip(
+        (th + np.sin(th) * np.cos(th) + 2.0 * np.sin(th))
+        / (2.0 + np.pi / 2.0), -1.0, 1.0))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        lam = (np.asarray(x, np.float64) - fe) \
+            / (cx * a * (1.0 + np.cos(th)))
+    return _wrap_rad(lon0 * _D2R + lam) / _D2R, phi / _D2R
+
+
+def mill_forward(lon, lat, lon0: float = 0.0,
+                 fe: float = 0.0, fn: float = 0.0,
+                 ellps: tuple[float, float] = ELLIPSOIDS["WGS84"]):
+    """Miller Cylindrical forward (Snyder 33-1..33-2, sphere)."""
+    a, _f = ellps
+    lam = _wrap_rad((np.asarray(lon, np.float64) - lon0) * _D2R)
+    phi = np.asarray(lat, np.float64) * _D2R
+    return (fe + a * lam,
+            fn + a * np.log(np.tan(np.pi / 4.0 + 0.4 * phi)) * 1.25)
+
+
+def mill_inverse(x, y, lon0: float = 0.0,
+                 fe: float = 0.0, fn: float = 0.0,
+                 ellps: tuple[float, float] = ELLIPSOIDS["WGS84"]):
+    a, _f = ellps
+    lam = (np.asarray(x, np.float64) - fe) / a
+    phi = 2.5 * (np.arctan(np.exp(0.8 * (np.asarray(y, np.float64) - fn)
+                                  / a)) - np.pi / 4.0)
+    return _wrap_rad(lon0 * _D2R + lam) / _D2R, phi / _D2R
+
+
+# Robinson's published table (Robinson 1974; Snyder "Flattening the
+# Earth" table; also the table PROJ's robin.cpp spline is fitted to):
+# X = parallel length multiplier, Y = parallel distance multiplier, at
+# 5-degree latitude steps 0..90.
+_ROBIN_X = np.array([
+    1.0000, 0.9986, 0.9954, 0.9900, 0.9822, 0.9730, 0.9600, 0.9427,
+    0.9216, 0.8962, 0.8679, 0.8350, 0.7986, 0.7597, 0.7186, 0.6732,
+    0.6213, 0.5722, 0.5322])
+_ROBIN_Y = np.array([
+    0.0000, 0.0620, 0.1240, 0.1860, 0.2480, 0.3100, 0.3720, 0.4340,
+    0.4958, 0.5571, 0.6176, 0.6769, 0.7346, 0.7903, 0.8435, 0.8936,
+    0.9394, 0.9761, 1.0000])
+
+
+def _natural_spline_coeffs(ys: np.ndarray):
+    """Natural cubic spline through (i*5, ys[i]) -> per-segment
+    (c0, c1, c2, c3) for y = c0 + c1 t + c2 t^2 + c3 t^3, t in [0, 5]
+    degrees past the segment start."""
+    n = len(ys)
+    h = 5.0
+    # tridiagonal solve for second derivatives m[1..n-2]; m[0]=m[n-1]=0
+    rhs = np.zeros(n)
+    rhs[1:-1] = 6.0 * (ys[2:] - 2 * ys[1:-1] + ys[:-2]) / h
+    m = np.zeros(n)
+    # Thomas algorithm on the interior (diag 4h, off-diag h)
+    cp = np.zeros(n)
+    dp = np.zeros(n)
+    for i in range(1, n - 1):
+        denom = 4.0 * h - h * cp[i - 1]
+        cp[i] = h / denom
+        dp[i] = (rhs[i] - h * dp[i - 1]) / denom
+    for i in range(n - 2, 0, -1):
+        m[i] = dp[i] - cp[i] * m[i + 1]
+    c0 = ys[:-1]
+    c1 = (ys[1:] - ys[:-1]) / h - h * (2 * m[:-1] + m[1:]) / 6.0
+    c2 = m[:-1] / 2.0
+    c3 = (m[1:] - m[:-1]) / (6.0 * h)
+    return np.stack([c0, c1, c2, c3], axis=1)
+
+
+_ROBIN_CX = _natural_spline_coeffs(_ROBIN_X)
+_ROBIN_CY = _natural_spline_coeffs(_ROBIN_Y)
+
+
+def _robin_eval(coeffs: np.ndarray, alat):
+    seg = np.minimum(np.floor(alat / 5.0), 17.0).astype(np.int64)
+    t = alat - 5.0 * seg
+    c = coeffs[seg]
+    return ((c[..., 3] * t + c[..., 2]) * t + c[..., 1]) * t + c[..., 0]
+
+
+def robin_forward(lon, lat, lon0: float = 0.0,
+                  fe: float = 0.0, fn: float = 0.0,
+                  ellps: tuple[float, float] = ELLIPSOIDS["WGS84"]):
+    """Robinson forward: x = 0.8487 R X(|phi|) lam,
+    y = 1.3523 R Y(|phi|) sign(phi) over the published 5-degree table."""
+    a, _f = ellps
+    lam = _wrap_rad((np.asarray(lon, np.float64) - lon0) * _D2R)
+    latv = np.asarray(lat, np.float64)
+    alat = np.abs(latv)
+    xm = _robin_eval(_ROBIN_CX, alat)
+    ym = _robin_eval(_ROBIN_CY, alat)
+    return (fe + 0.8487 * a * xm * lam,
+            fn + 1.3523 * a * ym * np.sign(latv))
+
+
+def robin_inverse(x, y, lon0: float = 0.0,
+                  fe: float = 0.0, fn: float = 0.0,
+                  ellps: tuple[float, float] = ELLIPSOIDS["WGS84"],
+                  iters: int = 20):
+    a, _f = ellps
+    yy = (np.asarray(y, np.float64) - fn) / (1.3523 * a)
+    sgn = np.where(yy < 0, -1.0, 1.0)
+    ay = np.abs(yy)
+    # Newton on the Y spline (monotone): seed by linear table lookup
+    alat = np.interp(ay, _ROBIN_Y, np.arange(19) * 5.0)
+    for _ in range(iters):
+        f0 = _robin_eval(_ROBIN_CY, alat) - ay
+        h = 1e-6
+        f1 = _robin_eval(_ROBIN_CY, np.minimum(alat + h, 90.0)) - ay
+        d = (f1 - f0) / h
+        step = np.where(np.abs(d) > 1e-12, f0 / np.where(
+            np.abs(d) > 1e-12, d, 1.0), 0.0)
+        alat = np.clip(alat - step, 0.0, 90.0)
+    xm = _robin_eval(_ROBIN_CX, alat)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        lam = (np.asarray(x, np.float64) - fe) / (0.8487 * a * xm)
+    return _wrap_rad(lon0 * _D2R + lam) / _D2R, sgn * alat
+
+
+# ---------------------------------------------------------------------------
 # Azimuthal family (Snyder ch. 20/22/25; the reference resolves these via
 # the PROJ method table, ogr/ogrct.cpp:919-948): azimuthal equidistant
 # (EPSG 9832 semantics — built here on true Vincenty geodesics so the
@@ -1503,12 +1719,16 @@ _LONGTAIL_FWD = {"eqc": eqc_forward, "cea": cea_forward,
                  "sinu": sinu_forward, "cass": cass_forward,
                  "poly": poly_forward, "eqdc": eqdc_forward,
                  "aeqd": aeqd_forward, "ortho": ortho_forward,
-                 "gnom": gnom_forward}
+                 "gnom": gnom_forward, "moll": moll_forward,
+                 "eck4": eck4_forward, "mill": mill_forward,
+                 "robin": robin_forward}
 _LONGTAIL_INV = {"eqc": eqc_inverse, "cea": cea_inverse,
                  "sinu": sinu_inverse, "cass": cass_inverse,
                  "poly": poly_inverse, "eqdc": eqdc_inverse,
                  "aeqd": aeqd_inverse, "ortho": ortho_inverse,
-                 "gnom": gnom_inverse}
+                 "gnom": gnom_inverse, "moll": moll_inverse,
+                 "eck4": eck4_inverse, "mill": mill_inverse,
+                 "robin": robin_inverse}
 _LONGTAIL_FAMS = tuple(_LONGTAIL_FWD)
 
 
@@ -1659,8 +1879,8 @@ def _proj_inner_kind(kv: dict):
     if proj == "cea":
         return ("cea", f("lon_0", 0.0), f("lat_ts", 0.0),
                 f("x_0", 0.0), f("y_0", 0.0))
-    if proj == "sinu":
-        return ("sinu", f("lon_0", 0.0), f("x_0", 0.0), f("y_0", 0.0))
+    if proj in ("sinu", "moll", "eck4", "mill", "robin"):
+        return (proj, f("lon_0", 0.0), f("x_0", 0.0), f("y_0", 0.0))
     if proj in ("cass", "aeqd", "ortho", "gnom"):
         return (proj, f("lon_0", 0.0), f("lat_0", 0.0),
                 f("x_0", 0.0), f("y_0", 0.0))
@@ -1763,6 +1983,10 @@ _WKT_METHODS = {
     "ORTHOGRAPHIC": "ortho",
     "ORTHOGRAPHIC_(SPHERICAL)": "ortho",
     "GNOMONIC": "gnom",
+    "MOLLWEIDE": "moll",
+    "ECKERT_IV": "eck4",
+    "MILLER_CYLINDRICAL": "mill",
+    "ROBINSON": "robin",
 }
 
 
@@ -1930,8 +2154,8 @@ def _parse_wkt_kind(crs: str):
         lat_ts = g(("standard_parallel_1",
                     "latitude_of_1st_standard_parallel"))
         return ("cea", lon0, lat_ts, fe, fn)
-    if fam == "sinu":
-        return ("sinu", lon0, fe, fn)
+    if fam in ("sinu", "moll", "eck4", "mill", "robin"):
+        return (fam, lon0, fe, fn)
     if fam in ("cass", "poly", "aeqd", "ortho", "gnom"):
         lat0 = g(("latitude_of_origin", "latitude_of_natural_origin",
                   "latitude_of_center"))
@@ -2560,9 +2784,9 @@ def format_proj4_kind(kind) -> str:
         _, lon0, lat_ts, fe, fn = kind
         return (f"+proj=cea +lat_ts={lat_ts:.10g} +lon_0={lon0:.10g} "
                 f"+x_0={fe:.10g} +y_0={fn:.10g} +datum=WGS84 +units=m +no_defs")
-    if fam == "sinu":
+    if fam in ("sinu", "moll", "eck4", "mill", "robin"):
         _, lon0, fe, fn = kind
-        return (f"+proj=sinu +lon_0={lon0:.10g} "
+        return (f"+proj={fam} +lon_0={lon0:.10g} "
                 f"+x_0={fe:.10g} +y_0={fn:.10g} +datum=WGS84 +units=m +no_defs")
     if fam in ("cass", "poly", "aeqd", "ortho", "gnom"):
         _, lon0, lat0, fe, fn = kind
@@ -2709,10 +2933,13 @@ def format_wkt1(crs: str) -> str:
                   f'PARAMETER["central_meridian",{lon0:.10g}],'
                   f'PARAMETER["false_easting",{fe:.10g}],'
                   f'PARAMETER["false_northing",{fn:.10g}],UNIT["metre",1]]')
-    if fam == "sinu":
+    if fam in ("sinu", "moll", "eck4", "mill", "robin"):
         _, lon0, fe, fn = kind
+        method = {"sinu": "Sinusoidal", "moll": "Mollweide",
+                  "eck4": "Eckert_IV", "mill": "Miller_Cylindrical",
+                  "robin": "Robinson"}[fam]
         return ('PROJCS["unnamed",' + _WGS84_GEOGCS
-                + ',PROJECTION["Sinusoidal"],'
+                + f',PROJECTION["{method}"],'
                   f'PARAMETER["central_meridian",{lon0:.10g}],'
                   f'PARAMETER["false_easting",{fe:.10g}],'
                   f'PARAMETER["false_northing",{fn:.10g}],UNIT["metre",1]]')

@@ -1348,3 +1348,116 @@ def test_azimuthal_spellings_agree_and_proj4_roundtrip():
         x3, y3 = T.transform("EPSG:4326", p4, lon, lat)
         np.testing.assert_allclose(x3, x1, rtol=1e-12)
         np.testing.assert_allclose(y3, y1, rtol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# World-map pseudo-cylindrical family: moll / eck4 / mill / robin
+# ---------------------------------------------------------------------------
+
+def test_mollweide_anchors_and_equal_area():
+    # poles map to (0, +-sqrt(2) R); equator edge x = +-2 sqrt(2) R
+    x, y = T.moll_forward(np.array([0.0, 0.0, 180.0 - 1e-9]),
+                          np.array([90.0, -90.0, 0.0]), 0.0,
+                          ellps=(A, 0.0))
+    assert float(y[0]) == pytest.approx(np.sqrt(2) * A, rel=1e-9)
+    assert float(y[1]) == pytest.approx(-np.sqrt(2) * A, rel=1e-9)
+    assert float(x[2]) == pytest.approx(2 * np.sqrt(2) * A, rel=1e-9)
+    # equal-area: the Jacobian of (x, y) wrt (lam, phi) is R^2 cos(phi)
+    d = 1e-6
+    for lat in (10.0, 47.0, -63.0):
+        x0, y0 = T.moll_forward(20.0, lat, 0.0)
+        x1, y1 = T.moll_forward(20.0 + d, lat, 0.0)
+        x2, y2 = T.moll_forward(20.0, lat + d, 0.0)
+        d2r = np.pi / 180
+        jac = ((x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)) \
+            / (d * d2r) ** 2
+        assert float(jac) == pytest.approx(
+            A * A * np.cos(lat * d2r), rel=1e-5)
+    # roundtrip
+    rng = np.random.default_rng(5)
+    lon = rng.uniform(-179, 179, 50)
+    lat = rng.uniform(-88, 88, 50)
+    x, y = T.moll_forward(lon, lat, 0.0)
+    lon2, lat2 = T.moll_inverse(x, y, 0.0)
+    np.testing.assert_allclose(lon2, lon, atol=1e-9)
+    np.testing.assert_allclose(lat2, lat, atol=1e-9)
+
+
+def test_eckert4_anchors_and_equal_area():
+    # poles: y = +-2 sqrt(pi/(4+pi)) R, x halves to pole-line length
+    x, y = T.eck4_forward(np.array([0.0]), np.array([90.0]), 0.0)
+    assert float(y[0]) == pytest.approx(
+        2 * np.sqrt(np.pi / (4 + np.pi)) * A, rel=1e-9)
+    d = 1e-6
+    d2r = np.pi / 180
+    for lat in (5.0, 38.0, -71.0):
+        x0, y0 = T.eck4_forward(20.0, lat, 0.0)
+        x1, y1 = T.eck4_forward(20.0 + d, lat, 0.0)
+        x2, y2 = T.eck4_forward(20.0, lat + d, 0.0)
+        jac = ((x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)) \
+            / (d * d2r) ** 2
+        assert float(jac) == pytest.approx(
+            A * A * np.cos(lat * d2r), rel=1e-5)
+    rng = np.random.default_rng(6)
+    lon = rng.uniform(-179, 179, 50)
+    lat = rng.uniform(-88, 88, 50)
+    x, y = T.eck4_forward(lon, lat, 0.0)
+    lon2, lat2 = T.eck4_inverse(x, y, 0.0)
+    np.testing.assert_allclose(lon2, lon, atol=1e-9)
+    np.testing.assert_allclose(lat2, lat, atol=1e-9)
+
+
+def test_miller_closed_form_and_roundtrip():
+    lon = np.array([-120.0, 0.0, 66.0])
+    lat = np.array([-50.0, 0.0, 80.0])
+    x, y = T.mill_forward(lon, lat, 0.0)
+    d2r = np.pi / 180
+    np.testing.assert_allclose(x, A * lon * d2r, rtol=1e-12)
+    np.testing.assert_allclose(
+        y, A * 1.25 * np.log(np.tan(np.pi / 4 + 0.4 * lat * d2r)),
+        rtol=1e-12)
+    lon2, lat2 = T.mill_inverse(x, y, 0.0)
+    np.testing.assert_allclose(lon2, lon, atol=1e-9)
+    np.testing.assert_allclose(lat2, lat, atol=1e-9)
+
+
+def test_robinson_table_knots_and_roundtrip():
+    # at the exact 5-degree knots the spline reproduces Robinson's
+    # published multipliers
+    for i, latk in enumerate(range(0, 95, 5)):
+        x, y = T.robin_forward(np.array([30.0]), np.array([float(latk)]),
+                               0.0)
+        d2r = np.pi / 180
+        assert float(x[0]) == pytest.approx(
+            0.8487 * A * T._ROBIN_X[i] * 30 * d2r, rel=1e-12)
+        assert float(y[0]) == pytest.approx(
+            1.3523 * A * T._ROBIN_Y[i], rel=1e-12, abs=1e-9)
+    rng = np.random.default_rng(9)
+    lon = rng.uniform(-179, 179, 60)
+    lat = rng.uniform(-89, 89, 60)
+    x, y = T.robin_forward(lon, lat, 0.0)
+    lon2, lat2 = T.robin_inverse(x, y, 0.0)
+    np.testing.assert_allclose(lat2, lat, atol=1e-6)
+    np.testing.assert_allclose(lon2, lon, atol=1e-6)
+
+
+def test_worldmap_spellings_agree_and_proj4_roundtrip():
+    lon = np.array([12.0, -130.0, 55.0])
+    lat = np.array([48.0, 10.0, -65.0])
+    for proj4, method in [
+        ("+proj=moll +lon_0=10 +x_0=1 +y_0=2 +datum=WGS84", "Mollweide"),
+        ("+proj=eck4 +lon_0=0 +x_0=0 +y_0=0 +datum=WGS84", "Eckert_IV"),
+        ("+proj=mill +lon_0=-20 +x_0=0 +y_0=0 +datum=WGS84",
+         "Miller_Cylindrical"),
+        ("+proj=robin +lon_0=0 +x_0=0 +y_0=0 +datum=WGS84", "Robinson"),
+    ]:
+        x1, y1 = T.transform("EPSG:4326", proj4, lon, lat)
+        wkt = T.format_wkt1(proj4)
+        assert method in wkt
+        x2, y2 = T.transform("EPSG:4326", wkt, lon, lat)
+        np.testing.assert_allclose(x2, x1, rtol=1e-12)
+        np.testing.assert_allclose(y2, y1, rtol=1e-12)
+        p4 = T.format_proj4(proj4)
+        x3, y3 = T.transform("EPSG:4326", p4, lon, lat)
+        np.testing.assert_allclose(x3, x1, rtol=1e-12)
+        np.testing.assert_allclose(y3, y1, rtol=1e-12)
