@@ -3963,6 +3963,80 @@ def q_st_transform_worldmap(spark, sf_dir):
         FROM t_wm_pts""")
 
 
+_GEOS_X = ("+proj=geos +h=35785831 +lon_0=0 +sweep=x "
+           "+datum=WGS84 +units=m +no_defs")
+_GEOS_Y = ("+proj=geos +h=35785831 +lon_0=0 +sweep=y "
+           "+datum=WGS84 +units=m +no_defs")
+
+
+def _geos_sql():
+    """DuckDB replay of the geostationary forward (CGMS normalized
+    geostationary projection) for both sweep axes: geocentric polar
+    form (phi_c, r), view vector from the satellite at height h, and
+    h * atan scan angles. Rows are kept to the |lon| <= 60,
+    |lat| <= 60 box — comfortably inside the visible disc in both
+    engines (the limb is at ~81 deg great-circle angle)."""
+    import numpy as _np
+    from .raster import transforms as _tr
+    d2r = _CONIC_D2R
+    _a, _f = _tr.ELLIPSOIDS["WGS84"]
+    b_a = _crs_lit(1.0 - _f)
+    rp2 = _crs_lit((1.0 - _f) * (1.0 - _f))
+    rg = _crs_lit(1.0 + 35785831.0 / _a)
+    h = "35785831.0"
+    return f"""
+ge1 AS (SELECT doc_id, lam, atan({rp2} * tan(phi)) AS phic
+        FROM (SELECT doc_id, lon * {d2r} AS lam, lat * {d2r} AS phi
+              FROM pts
+              WHERE doc_id % 2 = 1 AND abs(lon) <= 60.0
+                AND abs(lat) <= 60.0)),
+ge2 AS (SELECT doc_id, lam, phic,
+               {b_a} / sqrt(({b_a} * cos(phic)) * ({b_a} * cos(phic))
+                            + sin(phic) * sin(phic)) AS r
+        FROM ge1),
+ge3 AS (SELECT doc_id,
+               r * cos(lam) * cos(phic) AS vx,
+               r * sin(lam) * cos(phic) AS vy,
+               r * sin(phic) AS vz
+        FROM ge2),
+ge4 AS (SELECT doc_id, vy, vz, {rg} - vx AS tmp FROM ge3)
+SELECT doc_id,
+       ROUND({h} * atan(vy / sqrt(vz * vz + tmp * tmp)), 4) AS gx,
+       ROUND({h} * atan(vz / tmp), 4) AS gy,
+       ROUND({h} * atan(vy / tmp), 4) AS my,
+       ROUND({h} * atan(vz / sqrt(vy * vy + tmp * tmp)), 4) AS mz
+FROM ge4"""
+
+
+@_reg("st_transform_geos", f"""
+{_pts_cte()},{_geos_sql()}
+""")
+def q_st_transform_geos(spark, sf_dir):
+    """ST_Transform through the geostationary satellite view
+    (+proj=geos) in BOTH sweep-axis conventions — sweep=x (GOES-R
+    fixed grid) and sweep=y (Meteosat SEVIRI) — at the 0 deg
+    sub-satellite point, h = 35 785 831 m. The oracle replays the
+    geocentric polar form and the h*atan scan angles; both engines
+    keep only the |lon|,|lat| <= 60 box (inside the visible disc)."""
+    st.register_all(spark)
+    p = (datagen.points(spark, sf_dir)
+         .where((F.col("doc_id") % 2 == 1)
+                & (F.abs(F.col("lon")) <= 60.0)
+                & (F.abs(F.col("lat")) <= 60.0)))
+    p.createOrReplaceTempView("t_geos_pts")
+    return spark.sql(f"""
+        SELECT doc_id,
+          ROUND(ST_X(ST_Transform(ST_MakePoint(lon, lat), 'EPSG:4326',
+            '{_GEOS_X}')), 4) AS gx,
+          ROUND(ST_Y(ST_Transform(ST_MakePoint(lon, lat), 'EPSG:4326',
+            '{_GEOS_X}')), 4) AS gy,
+          ROUND(ST_X(ST_Transform(ST_MakePoint(lon, lat), 'EPSG:4326',
+            '{_GEOS_Y}')), 4) AS my,
+          ROUND(ST_Y(ST_Transform(ST_MakePoint(lon, lat), 'EPSG:4326',
+            '{_GEOS_Y}')), 4) AS mz
+        FROM t_geos_pts""")
+
+
 def _aea_inverse_sql():
     """DuckDB replay of aea_inverse for EPSG:5070: expects columns
     (mx, my), yields (lon, lat). Inlines the same scalar constants the

@@ -1416,6 +1416,87 @@ def robin_inverse(x, y, lon0: float = 0.0,
 
 
 # ---------------------------------------------------------------------------
+# Geostationary satellite view (+proj=geos; the CGMS LRIT/HRIT normalized
+# geostationary projection used by GOES-R fixed grids, sweep axis x, and
+# Meteosat SEVIRI grids, sweep axis y). Planar coordinates are
+# h * scan_angle (meters). Points beyond the visible disc map to NaN.
+# ---------------------------------------------------------------------------
+
+def geos_forward(lon, lat, lon0: float, h: float = 35785831.0,
+                 sweep_x: bool = False, fe: float = 0.0, fn: float = 0.0,
+                 ellps: tuple[float, float] = ELLIPSOIDS["WGS84"]):
+    """Geostationary forward: geodetic -> geocentric surface vector
+    (normalized by a) -> view angles from the satellite at
+    (lon0, 0, a + h). x = h atan(.), y = h atan(.) with the sweep axis
+    picking which scan angle is measured against the full off-axis
+    distance."""
+    a, f = ellps
+    b_a = 1.0 - f
+    rp2 = b_a * b_a
+    lam = _wrap_rad((np.asarray(lon, np.float64) - lon0) * _D2R)
+    phi = np.asarray(lat, np.float64) * _D2R
+    phi_c = np.arctan(rp2 * np.tan(phi))
+    # sqrt form (not hypot) so SQL oracles replay bit-identical math
+    r = b_a / np.sqrt((b_a * np.cos(phi_c)) * (b_a * np.cos(phi_c))
+                      + np.sin(phi_c) * np.sin(phi_c))
+    vx = r * np.cos(lam) * np.cos(phi_c)
+    vy = r * np.sin(lam) * np.cos(phi_c)
+    vz = r * np.sin(phi_c)
+    rg = 1.0 + h / a
+    tmp = rg - vx
+    visible = (tmp * vx - vy * vy - vz * vz / rp2) >= 0.0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        if sweep_x:
+            x = h * np.arctan(vy / np.sqrt(vz * vz + tmp * tmp))
+            y = h * np.arctan(vz / tmp)
+        else:
+            x = h * np.arctan(vy / tmp)
+            y = h * np.arctan(vz / np.sqrt(vy * vy + tmp * tmp))
+    nan = np.float64("nan")
+    return (fe + np.where(visible, x, nan),
+            fn + np.where(visible, y, nan))
+
+
+def geos_inverse(x, y, lon0: float, h: float = 35785831.0,
+                 sweep_x: bool = False, fe: float = 0.0, fn: float = 0.0,
+                 ellps: tuple[float, float] = ELLIPSOIDS["WGS84"]):
+    """Geostationary inverse: ray from the satellite through the scan
+    angles intersected with the ellipsoid (quadratic in the ray
+    parameter; the near root is the visible surface)."""
+    a, f = ellps
+    b_a = 1.0 - f
+    rp2 = b_a * b_a
+    xx = (np.asarray(x, np.float64) - fe) / h
+    yy = (np.asarray(y, np.float64) - fn) / h
+    rg = 1.0 + h / a
+    # unit-free direction: start at satellite (rg, 0, 0), direction
+    # components from the scan angles (inverse of the forward's atan
+    # pairs)
+    if sweep_x:
+        vz = np.tan(yy)
+        vy = np.tan(xx) * np.hypot(1.0, vz)
+    else:
+        vy = np.tan(xx)
+        vz = np.tan(yy) * np.hypot(1.0, vy)
+    # ray: P(t) = (rg - t, t*vy', t*vz') with vy' = vy, vz' = vz scaled
+    # so that t is the along-boresight distance: solve
+    # (rg - t)^2 + (t vy)^2 + (t vz)^2 / rp2 = 1
+    qa = 1.0 + vy * vy + vz * vz / rp2
+    qb = -2.0 * rg
+    qc = rg * rg - 1.0
+    disc = qb * qb - 4.0 * qa * qc
+    with np.errstate(invalid="ignore"):
+        t = (-qb - np.sqrt(disc)) / (2.0 * qa)
+    px = rg - t
+    py = t * vy
+    pz = t * vz
+    phi_c = np.arctan2(pz, np.hypot(px, py))
+    phi = np.arctan(np.tan(phi_c) / rp2)
+    lam = np.arctan2(py, px)
+    return (_wrap_rad(lon0 * _D2R + lam) / _D2R, phi / _D2R)
+
+
+# ---------------------------------------------------------------------------
 # Azimuthal family (Snyder ch. 20/22/25; the reference resolves these via
 # the PROJ method table, ogr/ogrct.cpp:919-948): azimuthal equidistant
 # (EPSG 9832 semantics — built here on true Vincenty geodesics so the
@@ -1721,14 +1802,14 @@ _LONGTAIL_FWD = {"eqc": eqc_forward, "cea": cea_forward,
                  "aeqd": aeqd_forward, "ortho": ortho_forward,
                  "gnom": gnom_forward, "moll": moll_forward,
                  "eck4": eck4_forward, "mill": mill_forward,
-                 "robin": robin_forward}
+                 "robin": robin_forward, "geos": geos_forward}
 _LONGTAIL_INV = {"eqc": eqc_inverse, "cea": cea_inverse,
                  "sinu": sinu_inverse, "cass": cass_inverse,
                  "poly": poly_inverse, "eqdc": eqdc_inverse,
                  "aeqd": aeqd_inverse, "ortho": ortho_inverse,
                  "gnom": gnom_inverse, "moll": moll_inverse,
                  "eck4": eck4_inverse, "mill": mill_inverse,
-                 "robin": robin_inverse}
+                 "robin": robin_inverse, "geos": geos_inverse}
 _LONGTAIL_FAMS = tuple(_LONGTAIL_FWD)
 
 
@@ -1881,6 +1962,9 @@ def _proj_inner_kind(kv: dict):
                 f("x_0", 0.0), f("y_0", 0.0))
     if proj in ("sinu", "moll", "eck4", "mill", "robin"):
         return (proj, f("lon_0", 0.0), f("x_0", 0.0), f("y_0", 0.0))
+    if proj == "geos":
+        return ("geos", f("lon_0", 0.0), f("h", 35785831.0),
+                kv.get("sweep", "y") == "x", f("x_0", 0.0), f("y_0", 0.0))
     if proj in ("cass", "aeqd", "ortho", "gnom"):
         return (proj, f("lon_0", 0.0), f("lat_0", 0.0),
                 f("x_0", 0.0), f("y_0", 0.0))
@@ -1987,6 +2071,9 @@ _WKT_METHODS = {
     "ECKERT_IV": "eck4",
     "MILLER_CYLINDRICAL": "mill",
     "ROBINSON": "robin",
+    "GEOSTATIONARY_SATELLITE": "geos",
+    "GEOSTATIONARY_SATELLITE_(SWEEP_X)": "geosx",
+    "GEOSTATIONARY_SATELLITE_(SWEEP_Y)": "geos",
 }
 
 
@@ -2156,6 +2243,9 @@ def _parse_wkt_kind(crs: str):
         return ("cea", lon0, lat_ts, fe, fn)
     if fam in ("sinu", "moll", "eck4", "mill", "robin"):
         return (fam, lon0, fe, fn)
+    if fam in ("geos", "geosx"):
+        hh = g(("satellite_height",), 35785831.0)
+        return ("geos", lon0, hh, fam == "geosx", fe, fn)
     if fam in ("cass", "poly", "aeqd", "ortho", "gnom"):
         lat0 = g(("latitude_of_origin", "latitude_of_natural_origin",
                   "latitude_of_center"))
@@ -2788,6 +2878,11 @@ def format_proj4_kind(kind) -> str:
         _, lon0, fe, fn = kind
         return (f"+proj={fam} +lon_0={lon0:.10g} "
                 f"+x_0={fe:.10g} +y_0={fn:.10g} +datum=WGS84 +units=m +no_defs")
+    if fam == "geos":
+        _, lon0, hh, sx, fe, fn = kind
+        return (f"+proj=geos +h={hh:.10g} +lon_0={lon0:.10g} "
+                f"+sweep={'x' if sx else 'y'} "
+                f"+x_0={fe:.10g} +y_0={fn:.10g} +datum=WGS84 +units=m +no_defs")
     if fam in ("cass", "poly", "aeqd", "ortho", "gnom"):
         _, lon0, lat0, fe, fn = kind
         return (f"+proj={fam} +lat_0={lat0:.10g} +lon_0={lon0:.10g} "
@@ -2931,6 +3026,16 @@ def format_wkt1(crs: str) -> str:
                 + f',PROJECTION["{method}"],'
                   f'PARAMETER["standard_parallel_1",{lat1:.10g}],'
                   f'PARAMETER["central_meridian",{lon0:.10g}],'
+                  f'PARAMETER["false_easting",{fe:.10g}],'
+                  f'PARAMETER["false_northing",{fn:.10g}],UNIT["metre",1]]')
+    if fam == "geos":
+        _, lon0, hh, sx, fe, fn = kind
+        method = ("Geostationary_Satellite_(Sweep_X)" if sx
+                  else "Geostationary_Satellite")
+        return ('PROJCS["unnamed",' + _WGS84_GEOGCS
+                + f',PROJECTION["{method}"],'
+                  f'PARAMETER["central_meridian",{lon0:.10g}],'
+                  f'PARAMETER["satellite_height",{hh:.10g}],'
                   f'PARAMETER["false_easting",{fe:.10g}],'
                   f'PARAMETER["false_northing",{fn:.10g}],UNIT["metre",1]]')
     if fam in ("sinu", "moll", "eck4", "mill", "robin"):

@@ -1461,3 +1461,67 @@ def test_worldmap_spellings_agree_and_proj4_roundtrip():
         x3, y3 = T.transform("EPSG:4326", p4, lon, lat)
         np.testing.assert_allclose(x3, x1, rtol=1e-12)
         np.testing.assert_allclose(y3, y1, rtol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Geostationary satellite view (+proj=geos)
+# ---------------------------------------------------------------------------
+
+def test_geos_roundtrip_both_sweeps_and_anchors():
+    rng = np.random.default_rng(2)
+    lon = rng.uniform(-60, 60, 120) - 75.0
+    lat = rng.uniform(-60, 60, 120)
+    for sweep in (True, False):
+        x, y = T.geos_forward(lon, lat, -75.0, sweep_x=sweep)
+        assert np.isfinite(x).all()
+        lon2, lat2 = T.geos_inverse(x, y, -75.0, sweep_x=sweep)
+        np.testing.assert_allclose(lon2, lon, atol=1e-9)
+        np.testing.assert_allclose(lat2, lat, atol=1e-9)
+    # sub-satellite point maps to the origin
+    x, y = T.geos_forward(np.array([-75.0]), np.array([0.0]), -75.0)
+    assert float(x[0]) == 0.0 and float(y[0]) == 0.0
+    # near nadir the planar coordinate approaches ground distance a*lam
+    d2r = np.pi / 180
+    x, y = T.geos_forward(np.array([-75.0 + 1e-4]), np.array([0.0]),
+                          -75.0)
+    assert float(x[0]) == pytest.approx(A * 1e-4 * d2r, rel=1e-8)
+    # beyond the limb -> NaN
+    x, y = T.geos_forward(np.array([105.0]), np.array([0.0]), -75.0)
+    assert not np.isfinite(x[0])
+
+
+def test_geos_geocentric_identity():
+    """The kernel's (r, phi_c) polar form must equal the classic
+    N-based geocentric coordinates of the surface point — two
+    independent formulations of the same ellipsoid point."""
+    a, f = T.ELLIPSOIDS["WGS84"]
+    e2 = f * (2 - f)
+    b_a = 1 - f
+    rp2 = b_a * b_a
+    phi = np.radians(np.array([-70.0, -33.0, 0.0, 12.0, 45.0, 88.0]))
+    nn = a / np.sqrt(1 - e2 * np.sin(phi) ** 2)
+    phic = np.arctan(rp2 * np.tan(phi))
+    r = b_a / np.hypot(b_a * np.cos(phic), np.sin(phic))
+    np.testing.assert_allclose(r * np.cos(phic), nn * np.cos(phi) / a,
+                               rtol=1e-14)
+    np.testing.assert_allclose(r * np.sin(phic),
+                               nn * (1 - e2) * np.sin(phi) / a,
+                               rtol=1e-13, atol=1e-16)
+
+
+def test_geos_spellings_agree():
+    lon = np.array([-70.0, -100.0, -50.0])
+    lat = np.array([30.0, -15.0, 5.0])
+    crs = ("+proj=geos +h=35785831 +lon_0=-75 +sweep=x "
+           "+datum=WGS84 +units=m +no_defs")
+    x1, y1 = T.transform("EPSG:4326", crs, lon, lat)
+    wkt = T.format_wkt1(crs)
+    assert "Sweep_X" in wkt and "satellite_height" in wkt
+    x2, y2 = T.transform("EPSG:4326", wkt, lon, lat)
+    np.testing.assert_allclose(x2, x1, rtol=0)
+    x3, y3 = T.transform("EPSG:4326", T.format_proj4(crs), lon, lat)
+    np.testing.assert_allclose(x3, x1, rtol=0)
+    # sweep axes really differ (and swap roles off-axis)
+    crs_y = crs.replace("+sweep=x", "+sweep=y")
+    xy, yy = T.transform("EPSG:4326", crs_y, lon, lat)
+    assert not np.allclose(xy, x1)
