@@ -6952,6 +6952,58 @@ def q_netcdf_roundtrip(spark, sf_dir):
                        F.col("value").cast("double").alias("v"))
 
 
+@_reg("dem_formats_roundtrip", _DENSITY_VALS_SQL.replace(
+    "vals AS (SELECT", "vals AS (SELECT g.x, g.y,") + """
+SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+       v AS v_hgt, v AS v_bt, v AS v_ers, v AS v_rst, v AS v_saga
+FROM vals
+""")
+def q_dem_formats_roundtrip(spark, sf_dir):
+    """Five raw-DEM container roundtrips in one query: SRTMHGT
+    (frmts/srtmhgt, big-endian i2), BT 1.3 (frmts/raw/btdataset.cpp,
+    column-major south->north), ERMapper ERS (frmts/ers, BIL + nested
+    ASCII header), IDRISI RST (frmts/idrisi) and SAGA (frmts/saga,
+    bottom-up rows). The 64x64 density raster goes out through each
+    sink (per-strip pwrite, no driver pixel collect) and back through
+    each byte-range reader; counts are small integers so every
+    container holds them exactly and the oracle recomputes the same
+    value five times."""
+    import os
+    import tempfile
+
+    from .raster.tiles import gdal2xyz
+    from .sources import demraw
+
+    t = _density_tiles_full(spark, sf_dir)
+    base = os.path.join(tempfile.gettempdir(),
+                        f"gdal_spark_demraw_{os.getpid()}")
+    os.makedirs(base, exist_ok=True)
+    hgt = os.path.join(base, "N00E000.hgt")
+    demraw.write_srtmhgt(t, hgt, n=64, tile=8)
+    bt = os.path.join(base, "d.bt")
+    demraw.write_bt(t, bt, width=64, height=64, dtype="f4", tile=8)
+    ers = os.path.join(base, "d.ers")
+    demraw.write_ers(t, ers, samples=64, lines=64, dtype="f4", tile=8)
+    rst = os.path.join(base, "d.rst")
+    demraw.write_idrisi(t, rst, samples=64, lines=64, dtype="i2", tile=8)
+    sgrd = os.path.join(base, "d.sgrd")
+    demraw.write_saga(t, sgrd, samples=64, lines=64, dtype="f4", tile=8)
+
+    def vals(df, name):
+        rows = gdal2xyz(df, tile=8)
+        return rows.select(F.col("x").cast("long").alias("x"),
+                           F.col("y").cast("long").alias("y"),
+                           F.col("value").cast("double").alias(name))
+    out = vals(demraw.read_srtmhgt(spark, hgt, tile=8)[0], "v_hgt")
+    for df, name in [(demraw.read_bt(spark, bt, tile=8)[0], "v_bt"),
+                     (demraw.read_ers(spark, ers, tile=8)[0], "v_ers"),
+                     (demraw.read_idrisi(spark, rst, tile=8)[0], "v_rst"),
+                     (demraw.read_saga(spark, sgrd, tile=8)[0],
+                      "v_saga")]:
+        out = out.join(vals(df, name), ["x", "y"])
+    return out
+
+
 @_reg("jpeg_roundtrip", f"""
 {_pts_cte()},
 c AS (SELECT CAST(floor((lon + 180.0) / 45.0) AS BIGINT) AS bx,

@@ -207,6 +207,21 @@ def open_raster(spark, path: str, tile: int = 256, **kwargs):
     if low.endswith((".bil", ".flt")) or low.endswith(".hdr"):
         from .rawraster import read_ehdr
         return read_ehdr(spark, path, tile=tile, **kwargs)[0]
+    if low.endswith(".hgt"):
+        from .demraw import read_srtmhgt
+        return read_srtmhgt(spark, path, tile=tile, **kwargs)[0]
+    if low.endswith(".bt"):
+        from .demraw import read_bt
+        return read_bt(spark, path, tile=tile, **kwargs)[0]
+    if low.endswith(".ers"):
+        from .demraw import read_ers
+        return read_ers(spark, path, tile=tile, **kwargs)[0]
+    if low.endswith((".rst", ".rdc")):
+        from .demraw import read_idrisi
+        return read_idrisi(spark, path, tile=tile, **kwargs)[0]
+    if low.endswith((".sgrd", ".sdat")):
+        from .demraw import read_saga
+        return read_saga(spark, path, tile=tile, **kwargs)[0]
     raise ValueError(f"no raster driver recognizes {path!r}")
 
 
