@@ -6740,6 +6740,46 @@ def q_link_degree_stats(spark, sf_dir):
     return graphops.degree_stats(_t(spark, sf_dir, "documents"))
 
 
+@_reg("link_triangles", """
+WITH nn AS (SELECT count(*) AS nb FROM documents),
+e0 AS (SELECT doc_id AS src,
+              (doc_id * 31 + j * 97) % (SELECT nb FROM nn) AS dst
+       FROM documents, unnest([1, 2, 3]) t(j)
+       WHERE doc_id % 17 <> 0),
+und AS MATERIALIZED (
+    SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+    FROM e0 WHERE src <> dst),
+deg AS (SELECT n, CAST(count(*) AS BIGINT) AS deg FROM (
+            SELECT u AS n FROM und UNION ALL SELECT v AS n FROM und)
+        GROUP BY n),
+tri_abc AS (SELECT w.a, w.b, w.c
+            FROM (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+                  FROM und e1 JOIN und e2 ON e2.u = e1.v) w
+            JOIN und e3 ON e3.u = w.a AND e3.v = w.c),
+tcnt AS (SELECT n, CAST(count(*) AS BIGINT) AS tri FROM (
+             SELECT a AS n FROM tri_abc UNION ALL
+             SELECT b AS n FROM tri_abc UNION ALL
+             SELECT c AS n FROM tri_abc)
+         GROUP BY n)
+SELECT deg.n AS doc_id, deg.deg,
+       CAST(coalesce(tcnt.tri, 0) AS BIGINT) AS tri,
+       ROUND(CASE WHEN deg.deg >= 2
+                  THEN 2.0 * coalesce(tcnt.tri, 0)
+                       / (deg.deg * (deg.deg - 1))
+                  ELSE 0.0 END, 8) AS lcc_r
+FROM deg LEFT JOIN tcnt ON tcnt.n = deg.n
+""")
+def q_link_triangles(spark, sf_dir):
+    """Per-page triangle count + local clustering coefficient of the
+    undirected link graph — the ordered node-iterator plan (Suri &
+    Vassilvitskii 2011): orient low->high, dedupe, one self-join on
+    the wedge middle, one closing equi-join. Each triangle counts
+    once; both joins are single-key shuffle joins that need no
+    broadcast at any scale. The oracle replays the identical ordered
+    3-way join in SQL."""
+    return graphops.triangles(_t(spark, sf_dir, "documents"))
+
+
 @_reg("gpkg_tiles_roundtrip", _DENSITY_VALS_SQL.replace(
     "vals AS (SELECT", "vals AS (SELECT g.x, g.y,") + """
 SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,

@@ -186,3 +186,31 @@ def test_hits_matches_numpy_oracle_and_normalizes(spark):
     for r in rows:
         if r.doc_id % 17 == 0:
             assert r.hub_r == 0.0
+
+
+def test_triangle_stats_k4_and_path(spark):
+    from gdal_spark.operators.graphops import triangle_stats
+    # K4: every vertex has deg 3, 3 triangles, lcc 1; edges given in
+    # mixed orientation with duplicates to exercise the dedupe
+    k4 = spark.createDataFrame(
+        [(0, 1), (1, 0), (0, 2), (0, 3), (1, 2), (2, 1), (1, 3), (2, 3)],
+        "src long, dst long")
+    rows = {r.n: r for r in triangle_stats(k4).collect()}
+    assert set(rows) == {0, 1, 2, 3}
+    for n in rows:
+        assert rows[n].deg == 3 and rows[n].tri == 3
+        assert rows[n].lcc_r == 1.0
+    # path 0-1-2-3: no triangles; middle nodes deg 2 lcc 0
+    path = spark.createDataFrame([(0, 1), (1, 2), (2, 3)],
+                                 "src long, dst long")
+    rows = {r.n: r for r in triangle_stats(path).collect()}
+    assert all(r.tri == 0 for r in rows.values())
+    assert rows[1].deg == 2 and rows[1].lcc_r == 0.0
+    assert rows[0].deg == 1 and rows[0].lcc_r == 0.0
+    # triangle with a pendant: node 0 in {0,1,2} triangle + edge 0-9
+    g = spark.createDataFrame([(0, 1), (1, 2), (2, 0), (0, 9)],
+                              "src long, dst long")
+    rows = {r.n: r for r in triangle_stats(g).collect()}
+    assert rows[0].tri == 1 and rows[0].deg == 3
+    assert rows[0].lcc_r == round(2 * 1 / (3 * 2), 8)
+    assert rows[9].tri == 0
