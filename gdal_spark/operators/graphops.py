@@ -204,3 +204,32 @@ def triangles(docs: DataFrame) -> DataFrame:
     n = docs.count()
     return (triangle_stats(link_edges(docs, n))
             .withColumnRenamed("n", "doc_id"))
+
+
+def bfs_levels(docs: DataFrame, rounds: int = 6,
+               seed_mod: int = 101) -> DataFrame:
+    """-> (doc_id, hop): shortest link distance from the seed set
+    (doc_id % seed_mod == 0) after ``rounds`` synchronous BFS rounds;
+    pages not reached within ``rounds`` hops are absent (the crawl-depth
+    question "what does a depth-k crawl from the seeds cover?").
+
+    Plan: the frontier-join BFS — each round joins the CURRENT frontier
+    (not the full visited set) against the edge list on src, anti-joins
+    the visited set, and unions the new frontier in. At cluster scale
+    both sides shuffle on one key; the visited set stays partitioned by
+    doc_id across rounds so the anti-join co-locates. Rounds are
+    synchronous barriers, exactly like the Pregel superstep model."""
+    n = docs.count()
+    edges = link_edges(docs, n).localCheckpoint(eager=True)
+    visited = (docs.select("doc_id").where(F.col("doc_id") % seed_mod == 0)
+               .select("doc_id", F.lit(0).alias("hop")))
+    frontier = visited
+    for k in range(1, rounds + 1):
+        nxt = (frontier.join(edges, frontier["doc_id"] == edges["src"])
+               .select(F.col("dst").alias("doc_id")).distinct()
+               .join(visited.select("doc_id"), "doc_id", "left_anti")
+               .select("doc_id", F.lit(k).alias("hop")))
+        nxt = nxt.localCheckpoint(eager=True)   # cut the lineage per round
+        visited = visited.unionAll(nxt)
+        frontier = nxt
+    return visited.select("doc_id", F.col("hop").cast("integer"))

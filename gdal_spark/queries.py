@@ -6740,6 +6740,45 @@ def q_link_degree_stats(spark, sf_dir):
     return graphops.degree_stats(_t(spark, sf_dir, "documents"))
 
 
+def _bfs_sql(rounds: int = 6) -> str:
+    """DuckDB replay of graphops.bfs_levels: one (frontier-join,
+    anti-join visited, union) CTE pair per unrolled synchronous round."""
+    head = """
+nn AS (SELECT count(*) AS nb FROM documents),
+e0 AS (SELECT doc_id AS src,
+              (doc_id * 31 + j * 97) % (SELECT nb FROM nn) AS dst
+       FROM documents, unnest([1, 2, 3]) t(j)
+       WHERE doc_id % 17 <> 0),
+e2 AS MATERIALIZED (SELECT src, dst FROM e0 WHERE dst <> src),
+f0 AS MATERIALIZED (SELECT doc_id FROM documents WHERE doc_id % 101 = 0),
+v0 AS MATERIALIZED (SELECT doc_id, 0 AS hop FROM f0)"""
+    parts = [head]
+    for k in range(1, rounds + 1):
+        parts.append(f"""
+f{k} AS MATERIALIZED (
+    SELECT DISTINCT e2.dst AS doc_id
+    FROM f{k - 1} JOIN e2 ON e2.src = f{k - 1}.doc_id
+    WHERE e2.dst NOT IN (SELECT doc_id FROM v{k - 1})),
+v{k} AS MATERIALIZED (
+    SELECT doc_id, hop FROM v{k - 1}
+    UNION ALL SELECT doc_id, {k} AS hop FROM f{k})""")
+    return ("WITH " + ",".join(parts)
+            + f"\nSELECT doc_id, CAST(hop AS INTEGER) AS hop"
+              f" FROM v{rounds}")
+
+
+@_reg("link_bfs_levels", _bfs_sql())
+def q_link_bfs_levels(spark, sf_dir):
+    """Crawl-depth BFS: shortest link distance from the seed pages
+    (doc_id % 101 == 0) after 6 synchronous frontier rounds — the
+    Pregel-superstep frontier join (current frontier only, anti-join
+    against the visited set, which stays hash-partitioned by doc_id so
+    the anti-join co-locates round over round). Answers "what does a
+    depth-6 crawl from these seeds reach". The oracle unrolls the six
+    identical rounds as CTE pairs."""
+    return graphops.bfs_levels(_t(spark, sf_dir, "documents"), rounds=6)
+
+
 @_reg("link_triangles", """
 WITH nn AS (SELECT count(*) AS nb FROM documents),
 e0 AS (SELECT doc_id AS src,

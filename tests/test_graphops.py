@@ -214,3 +214,25 @@ def test_triangle_stats_k4_and_path(spark):
     assert rows[0].tri == 1 and rows[0].deg == 3
     assert rows[0].lcc_r == round(2 * 1 / (3 * 2), 8)
     assert rows[9].tri == 0
+
+
+def test_bfs_levels_invariants(spark):
+    from gdal_spark.operators.graphops import bfs_levels, link_edges
+    docs = spark.range(300).withColumnRenamed("id", "doc_id")
+    out = bfs_levels(docs, rounds=4, seed_mod=50).collect()
+    hops = {r.doc_id: r.hop for r in out}
+    # seeds are hop 0, exactly the doc_id % 50 == 0 set
+    assert {d for d, h in hops.items() if h == 0} \
+        == {d for d in range(300) if d % 50 == 0}
+    # every hop-k>0 node has an in-edge from some hop k-1 node, and
+    # none from a strictly smaller hop (shortest distance property)
+    edges = [(r.src, r.dst) for r in
+             link_edges(docs, 300).collect()]
+    preds = {}
+    for s, d in edges:
+        preds.setdefault(d, set()).add(s)
+    for d, h in hops.items():
+        if h == 0:
+            continue
+        in_hops = {hops[p] for p in preds.get(d, set()) if p in hops}
+        assert min(in_hops) == h - 1
