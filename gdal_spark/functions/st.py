@@ -349,6 +349,81 @@ def st_distance(a: pd.Series, b: pd.Series) -> pd.Series:
                       for x, y in zip(ga, gb)], dtype="float64")
 
 
+def _point_pair(a: pd.Series, b: pd.Series):
+    """Vectorized decode of two point columns; falls back to the generic
+    decoder for non-point/mixed input."""
+    pa = wkb.points_batch(list(a))
+    pb = wkb.points_batch(list(b))
+    if pa is not None and pb is not None:
+        return pa, pb
+    def cen(s):
+        out = np.full((len(s), 2), np.nan)
+        for i, g in enumerate(_decode_series(s)):
+            if g is not None:
+                out[i] = geomops.centroid(g)
+        return out
+    return cen(a), cen(b)
+
+
+@pandas_udf(DoubleType())
+def st_distance_spheroid(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Ellipsoidal (WGS84 Vincenty) geodesic distance in meters between
+    two lon/lat points — PostGIS ST_DistanceSpheroid semantics; the
+    kernel is pinned to the Geoscience Australia worked example in
+    tests/test_transforms_crs.py."""
+    from ..raster import transforms as tr
+    pa, pb = _point_pair(a, b)
+    s, _, _ = tr.geodesic_inverse(pa[:, 0], pa[:, 1], pb[:, 0], pb[:, 1])
+    return pd.Series(np.asarray(s, np.float64))
+
+
+@pandas_udf(DoubleType())
+def st_distance_sphere(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Great-circle distance on the authalic-radius sphere R=6371000 m
+    (PostGIS ST_DistanceSphere's classic constant)."""
+    pa, pb = _point_pair(a, b)
+    d2r = np.pi / 180.0
+    la1, la2 = pa[:, 1] * d2r, pb[:, 1] * d2r
+    dl = (pb[:, 0] - pa[:, 0]) * d2r
+    cc = np.clip(np.sin(la1) * np.sin(la2)
+                 + np.cos(la1) * np.cos(la2) * np.cos(dl), -1.0, 1.0)
+    return pd.Series(6371000.0 * np.arccos(cc))
+
+
+@pandas_udf(DoubleType())
+def st_azimuth(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Forward geodesic azimuth a -> b in radians, [0, 2*pi), WGS84
+    Vincenty (PostGIS ST_Azimuth is planar; this is the spheroidal
+    variant, matching PostGIS ST_Azimuth(geography))."""
+    from ..raster import transforms as tr
+    pa, pb = _point_pair(a, b)
+    _, az1, _ = tr.geodesic_inverse(pa[:, 0], pa[:, 1],
+                                    pb[:, 0], pb[:, 1])
+    d2r = np.pi / 180.0
+    return pd.Series(np.asarray(az1, np.float64) * d2r % (2.0 * np.pi))
+
+
+@pandas_udf(BinaryType())
+def st_project(geom: pd.Series, dist: pd.Series,
+               azimuth: pd.Series) -> pd.Series:
+    """Destination point at geodesic distance (m) and azimuth (radians
+    clockwise from north) from a lon/lat point — PostGIS
+    ST_Project(geography); WGS84 Vincenty direct problem."""
+    from ..raster import transforms as tr
+    p = wkb.points_batch(list(geom))
+    if p is None:
+        out = np.full((len(geom), 2), np.nan)
+        for i, g in enumerate(_decode_series(geom)):
+            if g is not None:
+                out[i] = geomops.centroid(g)
+        p = out
+    az_deg = np.asarray(azimuth, np.float64) / (np.pi / 180.0)
+    lon2, lat2, _ = tr.geodesic_direct(p[:, 0], p[:, 1], az_deg,
+                                       np.asarray(dist, np.float64))
+    return pd.Series(wkb.encode_points_batch(
+        np.stack([lon2, lat2], axis=1)))
+
+
 @pandas_udf(BinaryType())
 def st_convexhull(geom: pd.Series) -> pd.Series:
     out = []
@@ -707,6 +782,9 @@ _REGISTRY = {
     "ST_IsSimple": st_issimple, "ST_IsRing": st_isring,
     "ST_GeodesicArea": st_geodesic_area,
     "ST_GeodesicLength": st_geodesic_length,
+    "ST_DistanceSpheroid": st_distance_spheroid,
+    "ST_DistanceSphere": st_distance_sphere,
+    "ST_Azimuth": st_azimuth, "ST_Project": st_project,
     "ST_DelaunayTriangulation": st_delaunay,
     "ST_MakePoint": st_makepoint, "ST_AsBinary": st_asbinary,
     "ST_GeomFromWKB": st_geomfromwkb, "ST_SetPrecision": st_setprecision,

@@ -6740,6 +6740,163 @@ def q_link_degree_stats(spark, sf_dir):
     return graphops.degree_stats(_t(spark, sf_dir, "documents"))
 
 
+def _vincenty_sql(iters: int = 32) -> str:
+    """DuckDB replay of transforms.geodesic_inverse (Vincenty 1975) with
+    the kernel's fixed 32-pass iteration unrolled as MATERIALIZED CTEs —
+    the same arithmetic sequence, so non-converged (near-antipodal)
+    inputs would also match bit-for-bit; those rows are filtered out in
+    both engines anyway. Expects CTE ``gp`` with (doc_id, lon1, lat1,
+    lon2, lat2)."""
+    import numpy as _np
+    from .raster import transforms as _tr
+    a_, f_ = _tr.ELLIPSOIDS["WGS84"]
+    b_ = a_ * (1.0 - f_)
+    d2r = _CONIC_D2R
+    pi = _crs_lit(_np.pi)
+    two_pi = _crs_lit(2 * _np.pi)
+    one_m_f = _crs_lit(1.0 - f_)
+    f = _crs_lit(f_)
+    f16 = _crs_lit(f_ / 16.0)
+    k_ab = _crs_lit(a_ * a_ - b_ * b_)
+    k_b2 = _crs_lit(b_ * b_)
+    b_lit = _crs_lit(b_)
+    inv_d2r = _crs_lit(1.0 / (_np.pi / 180.0))
+    sin_sig = ("sqrt((cu2 * sl) * (cu2 * sl) + (cu1 * su2 - su1 * cu2 * cl)"
+               " * (cu1 * su2 - su1 * cu2 * cl))")
+    head = f"""
+g0 AS MATERIALIZED (
+  SELECT doc_id, lon1,
+         sin(atan({one_m_f} * tan(lat1 * {d2r}))) AS su1,
+         cos(atan({one_m_f} * tan(lat1 * {d2r}))) AS cu1,
+         sin(atan({one_m_f} * tan(lat2 * {d2r}))) AS su2,
+         cos(atan({one_m_f} * tan(lat2 * {d2r}))) AS cu2,
+         lam - {two_pi} * floor((lam + {pi}) / {two_pi}) AS ll
+  FROM (SELECT doc_id, lon1, lat1, lat2,
+               (lon2 - lon1) * {d2r} AS lam FROM gp)),
+g1 AS MATERIALIZED (SELECT *, ll AS lam FROM g0)"""
+    parts = [head]
+    for i in range(1, iters + 1):
+        parts.append(f"""
+h{i} AS MATERIALIZED (
+  SELECT doc_id, lon1, su1, cu1, su2, cu2, ll, lam,
+         sin(lam) AS sl, cos(lam) AS cl FROM g{i}),
+t{i} AS MATERIALIZED (
+  SELECT *, {sin_sig} AS sin_sig,
+         su1 * su2 + cu1 * cu2 * cl AS cos_sig FROM h{i}),
+u{i} AS MATERIALIZED (
+  SELECT *, atan2(sin_sig, cos_sig) AS sig,
+         CASE WHEN sin_sig = 0.0 THEN 0.0
+              ELSE cu1 * cu2 * sl / sin_sig END AS sin_al FROM t{i}),
+v{i} AS MATERIALIZED (
+  SELECT *, 1.0 - sin_al * sin_al AS cos2_al FROM u{i}),
+w{i} AS MATERIALIZED (
+  SELECT *, CASE WHEN cos2_al = 0.0 THEN 0.0
+                 ELSE cos_sig - 2.0 * su1 * su2 / cos2_al END AS c2sm,
+         {f16} * cos2_al * (4.0 + {f} * (4.0 - 3.0 * cos2_al)) AS cc
+  FROM v{i}),
+g{i + 1} AS MATERIALIZED (
+  SELECT doc_id, lon1, su1, cu1, su2, cu2, ll,
+         sin_sig, cos_sig, sig, sin_al, cos2_al, c2sm,
+         ll + (1.0 - cc) * {f} * sin_al * (sig + cc * sin_sig
+             * (c2sm + cc * cos_sig * (-1.0 + 2.0 * c2sm * c2sm)))
+           AS lam
+  FROM w{i})""")
+    parts.append(f"""
+fin1 AS MATERIALIZED (
+  SELECT *, cos2_al * {k_ab} / {k_b2} AS usq,
+         sin(lam) AS sl, cos(lam) AS cl FROM g{iters + 1}),
+fin2 AS MATERIALIZED (
+  SELECT *,
+         1.0 + usq / 16384.0 * (4096.0 + usq * (-768.0 + usq
+             * (320.0 - 175.0 * usq))) AS aa,
+         usq / 1024.0 * (256.0 + usq * (-128.0 + usq
+             * (74.0 - 47.0 * usq))) AS bb
+  FROM fin1),
+fin3 AS MATERIALIZED (
+  SELECT *, bb * sin_sig * (c2sm + bb / 4.0 * (
+             cos_sig * (-1.0 + 2.0 * c2sm * c2sm)
+             - bb / 6.0 * c2sm * (-3.0 + 4.0 * sin_sig * sin_sig)
+             * (-3.0 + 4.0 * c2sm * c2sm))) AS dsig
+  FROM fin2),
+vinc AS (
+  SELECT doc_id, {b_lit} * aa * (sig - dsig) AS s,
+         atan2(cu2 * sl, cu1 * su2 - su1 * cu2 * cl) AS az_rad
+  FROM fin3)""")
+    return ",".join(parts), inv_d2r
+
+
+def _geodesic_sql():
+    """Pairs (doc_id, doc_id+3) of page points; columns: great-circle
+    sphere distance (closed form), WGS84 Vincenty distance (unrolled),
+    azimuth in [0, 2 pi), and the ST_Project closure error (constant
+    0.0). Near-antipodal pairs (cos gc < -0.99) are excluded in both
+    engines — Vincenty's documented non-convergence zone."""
+    import numpy as _np
+    d2r = _CONIC_D2R
+    two_pi = _crs_lit(2 * _np.pi)
+    vinc, _inv = _vincenty_sql()
+    gc = ("sin(a.lat * {d}) * sin(b.lat * {d}) + cos(a.lat * {d})"
+          " * cos(b.lat * {d}) * cos((b.lon - a.lon) * {d})"
+          ).format(d=d2r)
+    return f"""
+gp AS (SELECT a.doc_id, a.lon AS lon1, a.lat AS lat1,
+              b.lon AS lon2, b.lat AS lat2
+       FROM pts a JOIN pts b ON b.doc_id = a.doc_id + 3
+       WHERE a.doc_id % 9 = 1 AND ({gc}) > -0.99),{vinc}
+SELECT gp.doc_id,
+       ROUND(6371000.0 * acos(greatest(least(
+           sin(lat1 * {d2r}) * sin(lat2 * {d2r}) + cos(lat1 * {d2r})
+           * cos(lat2 * {d2r}) * cos((lon2 - lon1) * {d2r}), 1.0), -1.0)),
+           4) AS d_sphere,
+       ROUND(vinc.s, 4) AS d_spheroid,
+       ROUND(CASE WHEN vinc.az_rad < 0.0
+                  THEN vinc.az_rad + {two_pi}
+                  ELSE vinc.az_rad END, 9) AS az_r,
+       0.0 AS proj_err
+FROM gp JOIN vinc USING (doc_id)"""
+
+
+@_reg("st_geodesic_surface", f"""
+{_pts_cte()},{_geodesic_sql()}
+""")
+def q_st_geodesic_surface(spark, sf_dir):
+    """The geodesic SQL surface: ST_DistanceSphere (great-circle,
+    R=6371000), ST_DistanceSpheroid + ST_Azimuth (WGS84 Vincenty
+    inverse, pinned to the Geoscience Australia Flinders Peak worked
+    example in tests), and ST_Project (Vincenty direct) closing the
+    loop — projecting point A by (distance, azimuth) must land on B,
+    reported as a 0.000-meter closure error. The oracle replays the
+    full fixed-32-pass Vincenty iteration as unrolled MATERIALIZED
+    CTEs — the same arithmetic sequence the numpy kernel runs."""
+    st.register_all(spark)
+    p = datagen.points(spark, sf_dir)
+    p.createOrReplaceTempView("t_geo_pts")
+    import numpy as _mod_np
+    d2r = repr(float(_mod_np.pi / 180.0))
+    two_pi = repr(float(2 * _mod_np.pi))
+    gc = (f"sin(a.lat * {d2r}) * sin(b.lat * {d2r}) + cos(a.lat * {d2r})"
+          f" * cos(b.lat * {d2r}) * cos((b.lon - a.lon) * {d2r})")
+    return spark.sql(f"""
+        SELECT a.doc_id,
+          ROUND(ST_DistanceSphere(ST_MakePoint(a.lon, a.lat),
+                                  ST_MakePoint(b.lon, b.lat)), 4)
+            AS d_sphere,
+          ROUND(ST_DistanceSpheroid(ST_MakePoint(a.lon, a.lat),
+                                    ST_MakePoint(b.lon, b.lat)), 4)
+            AS d_spheroid,
+          ROUND(ST_Azimuth(ST_MakePoint(a.lon, a.lat),
+                           ST_MakePoint(b.lon, b.lat)), 9) AS az_r,
+          ROUND(ST_DistanceSpheroid(
+              ST_Project(ST_MakePoint(a.lon, a.lat),
+                  ST_DistanceSpheroid(ST_MakePoint(a.lon, a.lat),
+                                      ST_MakePoint(b.lon, b.lat)),
+                  ST_Azimuth(ST_MakePoint(a.lon, a.lat),
+                             ST_MakePoint(b.lon, b.lat))),
+              ST_MakePoint(b.lon, b.lat)), 3) AS proj_err
+        FROM t_geo_pts a JOIN t_geo_pts b ON b.doc_id = a.doc_id + 3
+        WHERE a.doc_id % 9 = 1 AND ({gc}) > -0.99""")
+
+
 def _bfs_sql(rounds: int = 6) -> str:
     """DuckDB replay of graphops.bfs_levels: one (frontier-join,
     anti-join visited, union) CTE pair per unrolled synchronous round."""

@@ -1525,3 +1525,31 @@ def test_geos_spellings_agree():
     crs_y = crs.replace("+sweep=x", "+sweep=y")
     xy, yy = T.transform("EPSG:4326", crs_y, lon, lat)
     assert not np.allclose(xy, x1)
+
+
+def test_st_geodesic_functions_sql(spark):
+    from gdal_spark.functions import st
+    st.register_all(spark)
+    row = spark.sql("""
+        SELECT ST_DistanceSpheroid(ST_MakePoint(144.42486788888888,
+                                                -37.95103341666667),
+                                   ST_MakePoint(143.92649552777777,
+                                                -37.65282113888889))
+                 AS d,
+               ST_Azimuth(ST_MakePoint(0.0, 0.0),
+                          ST_MakePoint(1.0, 0.0)) AS az_e,
+               ST_Azimuth(ST_MakePoint(0.0, 0.0),
+                          ST_MakePoint(0.0, 1.0)) AS az_n,
+               ST_DistanceSphere(ST_MakePoint(0.0, 0.0),
+                                 ST_MakePoint(0.0, 90.0)) AS quarter,
+               ST_DistanceSpheroid(
+                   ST_Project(ST_MakePoint(5.0, 45.0), 100000.0,
+                              radians(30.0)),
+                   ST_MakePoint(5.0, 45.0)) AS back
+        """).collect()[0]
+    # GA worked example is on GRS80; WGS84 differs at the 0.1 mm level
+    assert row.d == pytest.approx(54972.271, abs=0.01)
+    assert row.az_e == pytest.approx(np.pi / 2, abs=1e-12)
+    assert row.az_n == pytest.approx(0.0, abs=1e-12)
+    assert row.quarter == pytest.approx(6371000 * np.pi / 2, rel=1e-12)
+    assert row.back == pytest.approx(100000.0, abs=1e-3)
