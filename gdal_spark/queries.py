@@ -6740,6 +6740,74 @@ def q_link_degree_stats(spark, sf_dir):
     return graphops.degree_stats(_t(spark, sf_dir, "documents"))
 
 
+def _rpc_dem_sql():
+    """DuckDB replay of the RPC_DEM ground->image evaluation over the
+    plane DEM the query writes: bilinear interpolation of a plane IS
+    the plane, so H reduces to a closed form in (lon, lat); the affine
+    RPC (samp = L + 0.5 H, line = P, unit denominators) then evaluates
+    directly. Rows clamp-free inside the DEM interior only."""
+    return """
+rd AS (SELECT doc_id, lon, lat,
+              (80.0 + 2.0 * ((lon - -182.5) / 5.0 - 0.5)
+               + -1.5 * ((lat - 87.5) / -5.0 - 0.5)) / 100.0 AS hh
+       FROM pts
+       WHERE doc_id % 4 = 1 AND abs(lon) <= 170.0 AND abs(lat) <= 80.0)
+SELECT doc_id,
+       ROUND(((lon - 74.0) / 64.0 + 0.5 * hh) * 32.0 + 32.0, 6) AS samp_r,
+       ROUND((lat - 84.0) / 64.0 * 32.0 + 32.0, 6) AS line_r
+FROM rd"""
+
+
+@_reg("rpc_dem_points", f"""
+{_pts_cte()},{_rpc_dem_sql()}
+""")
+def q_rpc_dem_points(spark, sf_dir):
+    """RPC transformer with per-point DEM heights (alg/gdal_rpc.cpp
+    RPC_DEM, bilinear RPCDEMINTERPOLATION): the query writes a plane
+    AAIGrid DEM, builds an affine RPC00B model whose sample coordinate
+    carries a 0.5*H height term, and evaluates ground->image through
+    ST_Transform with the RPCDEM@ fitted-CRS string (the DEM path ships
+    in the CRS like GCP control points; workers lru_cache the load).
+    Bilinear interpolation of a plane is the plane, so the oracle
+    replays the whole evaluation in closed form."""
+    import os
+    import tempfile
+
+    from .raster.transforms import rpc_dem_crs
+
+    dem = os.path.join(tempfile.gettempdir(),
+                       f"gdal_spark_rpcdem_{os.getpid()}.asc")
+    w, h = 73, 35
+    lines = [f"ncols {w}", f"nrows {h}", "xllcorner -182.5",
+             "yllcorner -87.5", "cellsize 5", "NODATA_value -9999"]
+    for j in range(h):
+        lines.append(" ".join(
+            repr(80.0 + 2.0 * i + -1.5 * j) for i in range(w)))
+    with open(dem, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    meta = dict(LINE_OFF=32.0, SAMP_OFF=32.0, LAT_OFF=84.0, LONG_OFF=74.0,
+                HEIGHT_OFF=0.0, LINE_SCALE=32.0, SAMP_SCALE=32.0,
+                LAT_SCALE=64.0, LONG_SCALE=64.0, HEIGHT_SCALE=100.0)
+    z = [0.0] * 20
+    sn = z.copy(); sn[1] = 1.0; sn[3] = 0.5
+    ln = z.copy(); ln[2] = 1.0
+    den = z.copy(); den[0] = 1.0
+    crs = rpc_dem_crs(meta, ln, den, sn, den, dem)
+    st.register_all(spark)
+    p = (datagen.points(spark, sf_dir)
+         .where((F.col("doc_id") % 4 == 1)
+                & (F.abs(F.col("lon")) <= 170.0)
+                & (F.abs(F.col("lat")) <= 80.0)))
+    p.createOrReplaceTempView("t_rpcdem_pts")
+    return spark.sql(f"""
+        SELECT doc_id,
+          ROUND(ST_X(ST_Transform(ST_MakePoint(lon, lat), 'EPSG:4326',
+            '{crs}')), 6) AS samp_r,
+          ROUND(ST_Y(ST_Transform(ST_MakePoint(lon, lat), 'EPSG:4326',
+            '{crs}')), 6) AS line_r
+        FROM t_rpcdem_pts""")
+
+
 def _vincenty_sql(iters: int = 32) -> str:
     """DuckDB replay of transforms.geodesic_inverse (Vincenty 1975) with
     the kernel's fixed 32-pass iteration unrolled as MATERIALIZED CTEs —

@@ -12,6 +12,7 @@ exact where the interpolation error exceeds the tolerance (0.125 px default).
 
 from __future__ import annotations
 
+import os
 import re
 
 import numpy as np
@@ -2628,7 +2629,7 @@ def tps_crs(gcps, crs: str = "EPSG:4326") -> str:
 
 def _is_fitted_crs(crs: str) -> bool:
     return crs.startswith("GCP") or crs.startswith("TPS@") \
-        or crs.startswith("RPC@")
+        or crs.startswith("RPC@") or crs.startswith("RPCDEM@")
 
 
 def _poly_terms(x, y, order: int):
@@ -2696,6 +2697,10 @@ def _fitted(crs: str, forward: bool):
         if forward:
             return target, lambda x, y: _rpc_image_to_ground(crs, x, y)
         return target, lambda x, y: _rpc_ground_to_image(crs, x, y)
+    if kind == "RPCDEM":
+        if forward:
+            return target, lambda x, y: _rpc_dem_image_to_ground(crs, x, y)
+        return target, lambda x, y: _rpc_dem_ground_to_image(crs, x, y)
     pts = np.array([[float(v) for v in row.split(",")]
                     for row in body.split(";")], np.float64)
     src, dst = pts[:, :2], pts[:, 2:]
@@ -2768,6 +2773,128 @@ def _rpc_ground_to_image(crs: str, lon, lat):
     samp = (t @ sn) / (t @ sd) * samp_sc + samp_off
     line = (t @ ln) / (t @ ld) * line_sc + line_off
     return samp, line
+
+
+def rpc_dem_crs(meta: dict, line_num, line_den, samp_num, samp_den,
+                dem_path: str, crs: str = "EPSG:4326") -> str:
+    """RPC transformer with per-point heights sampled from a DEM file
+    (alg/gdal_rpc.cpp RPC_DEM + RPCDEMINTERPOLATION=bilinear). The DEM
+    path ships inside the CRS string like the GCP/TPS control points;
+    each worker loads it once (lru_cache) — the scale contract is a
+    single-file DEM readable from every executor (local/NFS), same as
+    the reference's per-process DEM dataset handle."""
+    if ";" in dem_path or "|" in dem_path:
+        raise ValueError("DEM path must not contain ';' or '|'")
+    keys = ("LINE_OFF", "SAMP_OFF", "LAT_OFF", "LONG_OFF", "HEIGHT_OFF",
+            "LINE_SCALE", "SAMP_SCALE", "LAT_SCALE", "LONG_SCALE",
+            "HEIGHT_SCALE")
+    m = ",".join(repr(float(meta[k])) for k in keys)
+    cs = ";".join(",".join(repr(float(v)) for v in c)
+                  for c in (line_num, line_den, samp_num, samp_den))
+    return f"RPCDEM@{crs}|{dem_path};{m};{cs}"
+
+
+@_lru_cache(maxsize=16)
+def _load_dem_local(path: str):
+    """Plain local DEM load for transformer workers (NO SparkSession —
+    this runs inside executor tasks): AAIGrid .asc or SRTM .hgt.
+    -> (array float64 rows top-down, geotransform 6-tuple)."""
+    low = path.lower()
+    if low.endswith(".hgt"):
+        import math as _m
+        size = os.path.getsize(path)
+        n = int(_m.isqrt(size // 2))
+        arr = np.fromfile(path, dtype=">i2").reshape(n, n).astype(
+            np.float64)
+        return arr, (0.0, 1.0, 0.0, float(n), 0.0, -1.0)
+    hdr, vals = {}, []
+    with open(path) as f:
+        for line in f:
+            tok = line.split()
+            if not tok:
+                continue
+            if tok[0].lower() in ("ncols", "nrows", "xllcorner",
+                                  "yllcorner", "cellsize",
+                                  "nodata_value"):
+                hdr[tok[0].lower()] = float(tok[1])
+            else:
+                vals.extend(float(v) for v in tok)
+    w, h = int(hdr["ncols"]), int(hdr["nrows"])
+    arr = np.array(vals, np.float64).reshape(h, w)
+    cs = hdr["cellsize"]
+    gt = (hdr["xllcorner"], cs, 0.0,
+          hdr["yllcorner"] + h * cs, 0.0, -cs)
+    return arr, gt
+
+
+def _dem_sample(path: str, lon, lat):
+    """Bilinear DEM sample at ground coordinates, edge-clamped (the
+    reference's GDALRPCGetHeightAtLongLat bilinear path)."""
+    arr, gt = _load_dem_local(path)
+    h, w = arr.shape
+    gx = (np.asarray(lon, np.float64) - gt[0]) / gt[1] - 0.5
+    gy = (np.asarray(lat, np.float64) - gt[3]) / gt[5] - 0.5
+    gx = np.clip(gx, 0.0, w - 1.0)
+    gy = np.clip(gy, 0.0, h - 1.0)
+    i0 = np.minimum(np.floor(gx).astype(np.int64), w - 2)
+    j0 = np.minimum(np.floor(gy).astype(np.int64), h - 2)
+    fx = gx - i0
+    fy = gy - j0
+    return ((1 - fx) * (1 - fy) * arr[j0, i0]
+            + fx * (1 - fy) * arr[j0, i0 + 1]
+            + (1 - fx) * fy * arr[j0 + 1, i0]
+            + fx * fy * arr[j0 + 1, i0 + 1])
+
+
+def _parse_rpc_dem(crs: str):
+    body = crs.split("|", 1)[1]
+    parts = body.split(";")
+    dem_path = parts[0]
+    meta = [float(v) for v in parts[1].split(",")]
+    coefs = [np.array([float(v) for v in p.split(",")], np.float64)
+             for p in parts[2:6]]
+    return dem_path, meta, coefs
+
+
+def _rpc_dem_ground_to_image(crs: str, lon, lat):
+    dem_path, meta, (ln, ld, sn, sd) = _parse_rpc_dem(crs)
+    (line_off, samp_off, lat_off, long_off, h_off,
+     line_sc, samp_sc, lat_sc, long_sc, h_sc) = meta
+    lon = np.asarray(lon, np.float64)
+    lat = np.asarray(lat, np.float64)
+    L = (lon - long_off) / long_sc
+    P = (lat - lat_off) / lat_sc
+    H = (_dem_sample(dem_path, lon, lat) - h_off) / h_sc
+    t = _rpc_terms(L, P, H)
+    samp = (t @ sn) / (t @ sd) * samp_sc + samp_off
+    line = (t @ ln) / (t @ ld) * line_sc + line_off
+    return samp, line
+
+
+def _rpc_dem_image_to_ground(crs: str, samp, line, iters: int = 12):
+    """Iterative inversion with the DEM height refreshed at the current
+    ground estimate every round (gdal_rpc.cpp RPCInverseTransformPoint
+    with RPC_DEM)."""
+    _dem, meta, _ = _parse_rpc_dem(crs)
+    (_lo, _so, lat_off, long_off, _ho,
+     _ls, _ss, lat_sc, long_sc, _hs) = meta
+    lon = np.full_like(np.asarray(samp, np.float64), long_off)
+    lat = np.full_like(np.asarray(line, np.float64), lat_off)
+    eps_lon, eps_lat = 1e-7 * long_sc, 1e-7 * lat_sc
+    for _ in range(iters):
+        s0, l0 = _rpc_dem_ground_to_image(crs, lon, lat)
+        fx, fy = s0 - samp, l0 - line
+        s1, l1 = _rpc_dem_ground_to_image(crs, lon + eps_lon, lat)
+        s2, l2 = _rpc_dem_ground_to_image(crs, lon, lat + eps_lat)
+        a = (s1 - s0) / eps_lon
+        b = (s2 - s0) / eps_lat
+        c = (l1 - l0) / eps_lon
+        d = (l2 - l0) / eps_lat
+        det = a * d - b * c
+        det = np.where(np.abs(det) < 1e-30, 1e-30, det)
+        lon = lon - (d * fx - b * fy) / det
+        lat = lat - (-c * fx + a * fy) / det
+    return lon, lat
 
 
 def _rpc_image_to_ground(crs: str, samp, line, iters: int = 12):

@@ -1553,3 +1553,106 @@ def test_st_geodesic_functions_sql(spark):
     assert row.az_n == pytest.approx(0.0, abs=1e-12)
     assert row.quarter == pytest.approx(6371000 * np.pi / 2, rel=1e-12)
     assert row.back == pytest.approx(100000.0, abs=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# RPC_DEM transformer (alg/gdal_rpc.cpp RPC_DEM)
+# ---------------------------------------------------------------------------
+
+def _write_plane_asc(path, h0=80.0, gx=2.0, gy=-1.5):
+    """5x5-degree AAIGrid whose value is a plane in cell indices."""
+    w, h = 73, 35
+    lines = [f"ncols {w}", f"nrows {h}", "xllcorner -182.5",
+             "yllcorner -87.5", "cellsize 5", "NODATA_value -9999"]
+    for j in range(h):
+        lines.append(" ".join(
+            repr(h0 + gx * i + gy * j) for i in range(w)))
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return path
+
+
+def _affine_rpc_dem(dem):
+    # samp = L + 0.5 H, line = P (normalized), den = 1
+    meta = dict(LINE_OFF=32.0, SAMP_OFF=32.0, LAT_OFF=84.0, LONG_OFF=74.0,
+                HEIGHT_OFF=0.0, LINE_SCALE=32.0, SAMP_SCALE=32.0,
+                LAT_SCALE=64.0, LONG_SCALE=64.0, HEIGHT_SCALE=100.0)
+    z = [0.0] * 20
+    sn = z.copy(); sn[1] = 1.0; sn[3] = 0.5
+    ln = z.copy(); ln[2] = 1.0
+    den = z.copy(); den[0] = 1.0
+    return T.rpc_dem_crs(meta, ln, den, sn, den, dem)
+
+
+def test_rpc_dem_plane_matches_analytic(tmp_path):
+    dem = _write_plane_asc(str(tmp_path / "plane.asc"))
+    crs = _affine_rpc_dem(dem)
+    rng = np.random.default_rng(4)
+    lon = rng.uniform(-170, 170, 40)
+    lat = rng.uniform(-80, 80, 40)
+    samp, line = T._rpc_dem_ground_to_image(crs, lon, lat)
+    # bilinear interp of a plane == the plane: value at (lon, lat) is
+    # h0 + gx*(px_x) + gy*(px_y) with px = (coord - ll)/5 - 0.5
+    hx = (lon - (-182.5)) / 5.0 - 0.5
+    hy = (lat - 87.5) / (-5.0) - 0.5
+    hgt = 80.0 + 2.0 * hx + (-1.5) * hy
+    want_s = ((lon - 74.0) / 64.0 + 0.5 * (hgt / 100.0)) * 32.0 + 32.0
+    want_l = (lat - 84.0) / 64.0 * 32.0 + 32.0
+    np.testing.assert_allclose(samp, want_s, rtol=1e-10)
+    np.testing.assert_allclose(line, want_l, rtol=1e-10)
+    # iterative inverse closes the loop (DEM height refreshed per round)
+    lon2, lat2 = T._rpc_dem_image_to_ground(crs, samp, line)
+    np.testing.assert_allclose(lon2, lon, atol=1e-7)
+    np.testing.assert_allclose(lat2, lat, atol=1e-7)
+
+
+def test_rpc_dem_constant_dem_equals_fixed_height(tmp_path):
+    """An RPC_DEM transform over a constant-100m DEM must agree exactly
+    with the fixed-height RPC transformer at height=100."""
+    dem = str(tmp_path / "flat.asc")
+    _write_plane_asc(dem, h0=100.0, gx=0.0, gy=0.0)
+    meta = dict(LINE_OFF=32.0, SAMP_OFF=32.0, LAT_OFF=84.0, LONG_OFF=74.0,
+                HEIGHT_OFF=0.0, LINE_SCALE=32.0, SAMP_SCALE=32.0,
+                LAT_SCALE=64.0, LONG_SCALE=64.0, HEIGHT_SCALE=100.0)
+    z = [0.0] * 20
+    sn = z.copy(); sn[1] = 1.0; sn[3] = 0.5
+    ln = z.copy(); ln[2] = 1.0; ln[9] = 0.25   # quadratic H term too
+    den = z.copy(); den[0] = 1.0
+    crs_dem = T.rpc_dem_crs(meta, ln, den, sn, den, dem)
+    crs_h = T.rpc_crs(meta, ln, den, sn, den, height=100.0)
+    lon = np.array([10.0, -50.0, 120.0])
+    lat = np.array([20.0, -33.0, 71.0])
+    s1, l1 = T._rpc_dem_ground_to_image(crs_dem, lon, lat)
+    s2, l2 = T._rpc_ground_to_image(crs_h, lon, lat)
+    np.testing.assert_allclose(s1, s2, rtol=0)
+    np.testing.assert_allclose(l1, l2, rtol=0)
+
+
+def test_rpc_dem_bilinear_nonplane(tmp_path):
+    """On a non-plane DEM the sample must be the true bilinear blend of
+    the four surrounding cells."""
+    path = str(tmp_path / "bumpy.asc")
+    w, h = 10, 8
+    rng = np.random.default_rng(8)
+    vals = rng.uniform(0, 500, (h, w))
+    lines = [f"ncols {w}", f"nrows {h}", "xllcorner 0",
+             "yllcorner 0", "cellsize 1", "NODATA_value -9999"]
+    for j in range(h):
+        lines.append(" ".join(repr(v) for v in vals[j]))
+    open(path, "w").write("\n".join(lines) + "\n")
+    lon, lat = np.array([3.7]), np.array([5.2])
+    got = T._dem_sample(path, lon, lat)
+    gx = 3.7 - 0.5
+    gy = (5.2 - 8.0) / (-1.0) - 0.5   # rows top-down from yll+h
+    i0, j0 = int(gx), int(gy)
+    fx, fy = gx - i0, gy - j0
+    want = ((1 - fx) * (1 - fy) * vals[j0, i0]
+            + fx * (1 - fy) * vals[j0, i0 + 1]
+            + (1 - fx) * fy * vals[j0 + 1, i0]
+            + fx * fy * vals[j0 + 1, i0 + 1])
+    assert float(got[0]) == pytest.approx(want, rel=1e-12)
+    # transform() end-to-end through the fitted-CRS dispatch
+    crs = _affine_rpc_dem(path)
+    s, li = T.transform("EPSG:4326", crs, np.array([3.7]),
+                        np.array([5.2]))
+    assert np.isfinite(s[0]) and np.isfinite(li[0])
