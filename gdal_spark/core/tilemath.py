@@ -464,3 +464,142 @@ def cell_id_col(tx_col, ty_col, zoom):
 
     m = spread(tx_col).bitwiseOR(F.shiftleft(spread(ty_col), 1))
     return F.lit(zoom << 58).bitwiseOR(m)
+
+
+# ---------------------------------------------------------------------------
+# Geohash (public base-32 cell encoding; Niemeyer 2008) — the third cell
+# scheme next to XYZ quadkeys and Morton ids. Geohash interleaving IS a
+# Morton code with longitude on the even bit positions (counting from the
+# LSB of the packed integer), so the same magic-number spread used by
+# cell_id_col applies — no per-bit expression blowup, one codegen method.
+# ---------------------------------------------------------------------------
+
+GEOHASH_B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+_SPREAD_STEPS = ((16, 0x0000FFFF0000FFFF), (8, 0x00FF00FF00FF00FF),
+                 (4, 0x0F0F0F0F0F0F0F0F), (2, 0x3333333333333333),
+                 (1, 0x5555555555555555))
+
+
+def _spread_np(v: np.ndarray) -> np.ndarray:
+    v = v.astype(np.int64)
+    for sh, mask in _SPREAD_STEPS:
+        v = (v | (v << np.int64(sh))) & np.int64(mask)
+    return v
+
+
+def geohash_np(lon, lat, precision: int = 9) -> np.ndarray:
+    """Vectorized geohash strings. precision in [1, 12] (<= 60 bits).
+
+    lon gets ceil(5p/2) bits, lat floor(5p/2); the packed integer holds
+    lon bits at even positions from the LSB, so its MSB (bit 5p-1) is the
+    longitude MSB — the geohash bit order."""
+    nbits = 5 * precision
+    nlon = (nbits + 1) // 2
+    nlat = nbits // 2
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    lon_i = np.clip(np.floor((lon + 180.0) / 360.0 * (1 << nlon)),
+                    0, (1 << nlon) - 1).astype(np.int64)
+    lat_i = np.clip(np.floor((lat + 90.0) / 180.0 * (1 << nlat)),
+                    0, (1 << nlat) - 1).astype(np.int64)
+    packed = _spread_np(lon_i) | (_spread_np(lat_i) << np.int64(1))
+    chars = np.empty((precision, lon_i.size), dtype="U1")
+    alph = np.array(list(GEOHASH_B32))
+    for c in range(precision):
+        idx = (packed >> np.int64(5 * (precision - 1 - c))) & np.int64(31)
+        chars[c] = alph[idx]
+    out = chars[0]
+    for c in range(1, precision):
+        out = np.char.add(out, chars[c])
+    return out
+
+
+def geohash_decode_np(ghs) -> tuple[np.ndarray, ...]:
+    """(lon_lo, lat_lo, lon_hi, lat_hi) cell bounds of geohash strings
+    (all the same length)."""
+    ghs = np.asarray(ghs)
+    precision = len(str(ghs.flat[0]))
+    nbits = 5 * precision
+    nlon = (nbits + 1) // 2
+    nlat = nbits // 2
+    lut = {ch: i for i, ch in enumerate(GEOHASH_B32)}
+    packed = np.zeros(ghs.shape, dtype=np.int64)
+    for c in range(precision):
+        vals = np.array([lut[str(g)[c]] for g in ghs.flat],
+                        dtype=np.int64).reshape(ghs.shape)
+        packed = (packed << np.int64(5)) | vals
+    # un-interleave: even bits (from LSB) -> lon, odd -> lat
+    lon_i = np.zeros_like(packed)
+    lat_i = np.zeros_like(packed)
+    for b in range(nlon):
+        lon_i |= ((packed >> np.int64(2 * b)) & np.int64(1)) << np.int64(b)
+    for b in range(nlat):
+        lat_i |= ((packed >> np.int64(2 * b + 1)) & np.int64(1)) << np.int64(b)
+    lon_lo = lon_i / float(1 << nlon) * 360.0 - 180.0
+    lat_lo = lat_i / float(1 << nlat) * 180.0 - 90.0
+    return (lon_lo, lat_lo,
+            lon_lo + 360.0 / (1 << nlon), lat_lo + 180.0 / (1 << nlat))
+
+
+def _spread_col(col):
+    from pyspark.sql import functions as F
+    v = col.cast("long")
+    for sh, mask in _SPREAD_STEPS:
+        v = (v.bitwiseOR(F.shiftleft(v, sh))).bitwiseAND(F.lit(mask))
+    return v
+
+
+def geohash_col(lon_col, lat_col, precision: int = 9):
+    """Column twin of geohash_np — pure JVM bit math + a 32-way array
+    lookup per character; stays inside whole-stage codegen (the same
+    spread chain as cell_id_col, measured safe for the JIT)."""
+    from pyspark.sql import functions as F
+    nbits = 5 * precision
+    nlon = (nbits + 1) // 2
+    nlat = nbits // 2
+    lon_i = F.least(
+        F.greatest(F.floor((lon_col + F.lit(180.0)) / F.lit(360.0)
+                           * F.lit(float(1 << nlon))).cast("long"),
+                   F.lit(0)), F.lit((1 << nlon) - 1))
+    lat_i = F.least(
+        F.greatest(F.floor((lat_col + F.lit(90.0)) / F.lit(180.0)
+                           * F.lit(float(1 << nlat))).cast("long"),
+                   F.lit(0)), F.lit((1 << nlat) - 1))
+    packed = _spread_col(lon_i).bitwiseOR(
+        F.shiftleft(_spread_col(lat_i), 1))
+    alph = F.array(*[F.lit(ch) for ch in GEOHASH_B32])
+    chars = []
+    for c in range(precision):
+        idx = F.shiftright(packed, 5 * (precision - 1 - c)) \
+            .bitwiseAND(F.lit(31))
+        chars.append(F.element_at(alph, (idx + F.lit(1)).cast("int")))
+    return F.concat(*chars)
+
+
+def geohash_sql_ctes(pts_sql: str, precision: int = 9,
+                     lon: str = "lon", lat: str = "lat",
+                     keep: str = "doc_id") -> str:
+    """DuckDB twin of geohash_col as a CTE chain ending in view ``gh``
+    with columns (<keep>, gh). The spread steps become one CTE each so
+    the SQL stays linear-sized (no exponential textual expansion)."""
+    nbits = 5 * precision
+    nlon = (nbits + 1) // 2
+    nlat = nbits // 2
+    s = [f"g0 AS (SELECT {keep}, "
+         f" least(greatest(CAST(floor(({lon} + 180.0) / 360.0 * {float(1 << nlon)}) AS BIGINT), 0), {(1 << nlon) - 1}) AS li, "
+         f" least(greatest(CAST(floor(({lat} + 90.0) / 180.0 * {float(1 << nlat)}) AS BIGINT), 0), {(1 << nlat) - 1}) AS ti "
+         f" FROM ({pts_sql}))"]
+    prev = "g0"
+    for i, (sh, mask) in enumerate(_SPREAD_STEPS, 1):
+        s.append(f"g{i} AS (SELECT {keep}, "
+                 f"(li | (li << {sh})) & {mask} AS li, "
+                 f"(ti | (ti << {sh})) & {mask} AS ti FROM {prev})")
+        prev = f"g{i}"
+    chars = " || ".join(
+        f"substr('{GEOHASH_B32}', "
+        f"CAST(((p >> {5 * (precision - 1 - c)}) & 31) + 1 AS INTEGER), 1)"
+        for c in range(precision))
+    s.append(f"gp AS (SELECT {keep}, (li | (ti << 1)) AS p FROM {prev})")
+    s.append(f"gh AS (SELECT {keep}, {chars} AS gh FROM gp)")
+    return ",\n".join(s)

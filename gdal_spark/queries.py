@@ -9171,3 +9171,28 @@ def q_robots_parse(spark, sf_dir):
         .alias("host"), body.alias("body"))
     from .operators import urlops
     return urlops.parse_robots(b)
+
+
+@_reg("geohash_cells", f"""
+{_pts_cte()},
+{tilemath.geohash_sql_ctes("SELECT doc_id, lon, lat FROM pts", 9)}
+SELECT substr(gh, 1, 4) AS gh4,
+       COUNT(*) AS n_pages,
+       MIN(gh) AS min_gh,
+       MIN(doc_id) AS min_doc
+FROM gh GROUP BY 1
+""")
+def q_geohash_cells(spark, sf_dir):
+    """Geohash cell assignment (Niemeyer base-32; the third cell scheme
+    next to XYZ quadkeys and Morton ids) — pure JVM bit math via the same
+    magic-number Morton spread as cell_id_col, rolled up by 4-char prefix.
+    min(gh) pins the full 9-char hash per group against the CTE-chain SQL
+    twin; agreement validates the whole interleave + base-32 path."""
+    p = datagen.points(spark, sf_dir)
+    g = p.select(
+        tilemath.geohash_col(F.col("lon"), F.col("lat"), 9).alias("gh"),
+        "doc_id")
+    return g.groupBy(F.substring("gh", 1, 4).alias("gh4")).agg(
+        F.count("*").alias("n_pages"),
+        F.min("gh").alias("min_gh"),
+        F.min("doc_id").alias("min_doc"))
