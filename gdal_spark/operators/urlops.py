@@ -137,3 +137,95 @@ def parse_robots(bodies: DataFrame, host_col_name: str = "host",
             .where(F.col("has_star") == 1)
             .select("host", F.col("dis").alias("prefix"))
             .distinct())
+
+
+def surt_key_col(url: Column) -> Column:
+    """SURT (Sort-friendly URI Reordering Transform) key — the CDX index
+    key Common Crawl / the Wayback Machine sort captures by:
+    ``com,example)/path?query`` (host labels reversed and comma-joined,
+    leading www stripped, everything lowercased, fragment dropped). Pure
+    JVM regexp/array math, map-only."""
+    h = host_col(url)
+    h = F.regexp_replace(h, r"^www\d*\.", "")
+    rev = F.array_join(F.reverse(F.split(h, r"\.")), ",")
+    rest = F.regexp_extract(
+        url, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]+([^#]*)", 1)
+    return F.concat(rev, F.lit(")"), F.lower(rest))
+
+
+def surt_host_rollup(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """(domain, n_pages, n_hosts, min_surt) — per registered-domain
+    rollup in SURT form (domain = first two reversed labels, the CDX
+    prefix a crawl operator ranges over). One map-side-combined groupBy;
+    at crawl scale the group count is domain-sized, tiny next to pages."""
+    k = pages.select(
+        surt_key_col(F.col(url_col)).alias("surt"),
+        host_col(F.col(url_col)).alias("host"))
+    dom = F.array_join(
+        F.slice(F.reverse(F.split(F.col("host"), r"\.")), 1, 2), ",")
+    return (k.withColumn("domain", dom)
+            .groupBy("domain")
+            .agg(F.count("*").alias("n_pages"),
+                 F.countDistinct("host").alias("n_hosts"),
+                 F.min("surt").alias("min_surt")))
+
+
+def parse_sitemaps(bodies: DataFrame, host_col_name: str = "host",
+                   body_col: str = "body") -> DataFrame:
+    """sitemaps.org XML parser -> (host, kind, loc, lastmod, priority):
+    one row per <url> entry of a urlset (kind='url') or per <sitemap>
+    entry of a sitemapindex (kind='sitemap'). Relational shape: one
+    regexp_extract_all per entry kind, explode, then per-field extracts
+    inside the entry block (absent optional fields -> NULL). No UDF —
+    JVM regexp only, so the parse fuses into the scan."""
+    def entries(kind):
+        blocks = F.expr(
+            f"regexp_extract_all({body_col}, '(?s)<{kind}>(.*?)</{kind}>', 1)")
+        e = bodies.select(F.col(host_col_name).alias("host"),
+                          F.explode(blocks).alias("b"))
+        return e.select(
+            "host", F.lit(kind).alias("kind"),
+            F.nullif(F.regexp_extract("b", r"<loc>([^<]*)</loc>", 1),
+                     F.lit("")).alias("loc"),
+            F.nullif(F.regexp_extract("b", r"<lastmod>([^<]*)</lastmod>", 1),
+                     F.lit("")).alias("lastmod"),
+            F.nullif(F.regexp_extract("b", r"<priority>([^<]*)</priority>", 1),
+                     F.lit("")).cast("double").alias("priority"))
+    return entries("url").unionByName(entries("sitemap"))
+
+
+def anchor_text_rollup(pages: DataFrame, html_col: str = "html_txt",
+                       url_col: str = "url") -> DataFrame:
+    """Incoming anchor-text aggregation per link target — the classic
+    web-search relevance signal (anchor text describes the TARGET, not
+    the source; Brin & Page 1998 §2.2). -> (target, n_links, n_sources,
+    top_anchor): link count, distinct linking pages, and the most
+    frequent anchor string (ties broken lexicographically).
+
+    Relational shape: aligned regexp_extract_all over group 1 (href) and
+    group 2 (text) zipped positionally — same match order, no UDF — then
+    two map-side-combined groupBys and one per-target window for the
+    argmax. Shuffles are target-keyed; anchor cardinality per target is
+    bounded by the vocabulary, not the corpus."""
+    pat = '<a href="([^"]*)"[^>]*>([^<]*)</a>'
+    hrefs = F.expr(f"regexp_extract_all({html_col}, '{pat}', 1)")
+    texts = F.expr(f"regexp_extract_all({html_col}, '{pat}', 2)")
+    e = pages.select(F.col(url_col).alias("src"),
+                     hrefs.alias("hs"), texts.alias("ts"))
+    z = e.select("src", F.posexplode("hs").alias("i", "target"), "ts")
+    links = z.select(
+        "src", "target",
+        F.trim(F.lower(F.element_at("ts", F.col("i") + 1))).alias("anchor"))
+    per_anchor = links.groupBy("target", "anchor").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("src").alias("n_src"))
+    from pyspark.sql import Window
+    w = Window.partitionBy("target").orderBy(
+        F.col("n").desc(), F.col("anchor").asc())
+    top = (per_anchor.withColumn("rk", F.row_number().over(w))
+           .where(F.col("rk") == 1)
+           .select("target", F.col("anchor").alias("top_anchor")))
+    tot = links.groupBy("target").agg(
+        F.count("*").alias("n_links"),
+        F.countDistinct("src").alias("n_sources"))
+    return tot.join(top, "target")

@@ -9196,3 +9196,169 @@ def q_geohash_cells(spark, sf_dir):
         F.count("*").alias("n_pages"),
         F.min("gh").alias("min_gh"),
         F.min("doc_id").alias("min_doc"))
+
+
+_SURT_URL_SQL = """(CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END)
+ || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+ || 'h' || CAST(doc_id % 7 AS VARCHAR) || '.site'
+ || CAST(doc_id % 97 AS VARCHAR) || '.org'
+ || '/P' || CAST(doc_id % 11 AS VARCHAR)
+ || (CASE WHEN doc_id % 5 = 0 THEN '?b=2&a=1' ELSE '' END)"""
+
+
+@_reg("surt_rollup", f"""
+WITH u AS (SELECT doc_id, {_SURT_URL_SQL} AS url FROM documents),
+h AS (SELECT url,
+  regexp_replace(lower(regexp_extract(url,
+     '^[a-zA-Z][a-zA-Z0-9+.\\-]*://([^/?#]+)', 1)), ':[0-9]+$', '') AS host,
+  lower(regexp_extract(url,
+     '^[a-zA-Z][a-zA-Z0-9+.\\-]*://[^/?#]+([^#]*)', 1)) AS rest
+  FROM u),
+s AS (SELECT host,
+  array_to_string(list_reverse(string_split(
+      regexp_replace(host, '^www[0-9]*\\.', ''), '.')), ',')
+    || ')' || rest AS surt
+  FROM h)
+SELECT array_to_string(list_slice(list_reverse(string_split(host, '.')),
+                                  1, 2), ',') AS domain,
+       COUNT(*) AS n_pages,
+       COUNT(DISTINCT host) AS n_hosts,
+       MIN(surt) AS min_surt
+FROM s GROUP BY 1
+""")
+def q_surt_rollup(spark, sf_dir):
+    """SURT canonical keys (the CDX sort order Common Crawl indexes by)
+    + per-registered-domain rollup: reversed-label host keys, www strip,
+    lowercasing — all JVM regexp/array math; the oracle rebuilds the
+    same keys from scratch in DuckDB string functions."""
+    from .operators import urlops
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("https://"))
+        .otherwise(F.lit("http://")),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.lit("h"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".site"), (F.col("doc_id") % 97).cast("string"),
+        F.lit(".org"), F.lit("/P"), (F.col("doc_id") % 11).cast("string"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("?b=2&a=1"))
+        .otherwise(F.lit("")))
+    return urlops.surt_host_rollup(d.select(url.alias("url")))
+
+
+_SITEMAP_BODY_SQL = """CASE CAST(doc_id % 4 AS INTEGER)
+ WHEN 0 THEN '<urlset><url><loc>https://s' || CAST(doc_id AS VARCHAR)
+   || '/a</loc><lastmod>2024-01-0' || CAST(doc_id % 9 + 1 AS VARCHAR)
+   || '</lastmod><priority>0.' || CAST(doc_id % 10 AS VARCHAR)
+   || '</priority></url><url><loc>https://s' || CAST(doc_id AS VARCHAR)
+   || '/b</loc></url></urlset>'
+ WHEN 1 THEN '<urlset><url><loc>https://s' || CAST(doc_id AS VARCHAR)
+   || '/c</loc></url></urlset>'
+ WHEN 2 THEN '<sitemapindex><sitemap><loc>https://s' || CAST(doc_id AS VARCHAR)
+   || '/m1.xml</loc><lastmod>2024-02-0' || CAST(doc_id % 9 + 1 AS VARCHAR)
+   || '</lastmod></sitemap><sitemap><loc>https://s' || CAST(doc_id AS VARCHAR)
+   || '/m2.xml</loc></sitemap></sitemapindex>'
+ ELSE '<urlset></urlset>' END"""
+
+
+@_reg("sitemap_parse", f"""
+WITH b AS (SELECT 'h' || CAST(doc_id AS VARCHAR) AS host,
+                  {_SITEMAP_BODY_SQL} AS body FROM documents),
+eu AS (SELECT host, 'url' AS kind,
+              unnest(regexp_extract_all(body, '(?s)<url>(.*?)</url>', 1)) AS blk
+       FROM b),
+es AS (SELECT host, 'sitemap' AS kind,
+              unnest(regexp_extract_all(body, '(?s)<sitemap>(.*?)</sitemap>', 1)) AS blk
+       FROM b),
+e AS (SELECT * FROM eu UNION ALL SELECT * FROM es)
+SELECT host, kind,
+       nullif(regexp_extract(blk, '<loc>([^<]*)</loc>', 1), '') AS loc,
+       nullif(regexp_extract(blk, '<lastmod>([^<]*)</lastmod>', 1), '')
+         AS lastmod,
+       CAST(nullif(regexp_extract(blk, '<priority>([^<]*)</priority>', 1),
+                   '') AS DOUBLE) AS priority
+FROM e
+""")
+def q_sitemap_parse(spark, sf_dir):
+    """sitemaps.org urlset + sitemapindex parsing (the crawl-frontier
+    feed): per-host XML bodies with optional lastmod/priority fields and
+    empty sets; block explode + in-block field extraction, all JVM
+    regexp. The oracle parses the same XML independently in DuckDB."""
+    from .operators import urlops
+    d = _t(spark, sf_dir, "documents")
+    n = lambda m: (F.col("doc_id") % m).cast("string")  # noqa: E731
+    sid = F.col("doc_id").cast("string")
+    day1 = (F.col("doc_id") % 9 + 1).cast("string")
+    body = (F.when(F.col("doc_id") % 4 == 0, F.concat(
+                F.lit("<urlset><url><loc>https://s"), sid, F.lit("/a</loc>"),
+                F.lit("<lastmod>2024-01-0"), day1, F.lit("</lastmod>"),
+                F.lit("<priority>0."), n(10), F.lit("</priority></url>"),
+                F.lit("<url><loc>https://s"), sid,
+                F.lit("/b</loc></url></urlset>")))
+            .when(F.col("doc_id") % 4 == 1, F.concat(
+                F.lit("<urlset><url><loc>https://s"), sid,
+                F.lit("/c</loc></url></urlset>")))
+            .when(F.col("doc_id") % 4 == 2, F.concat(
+                F.lit("<sitemapindex><sitemap><loc>https://s"), sid,
+                F.lit("/m1.xml</loc><lastmod>2024-02-0"), day1,
+                F.lit("</lastmod></sitemap><sitemap><loc>https://s"), sid,
+                F.lit("/m2.xml</loc></sitemap></sitemapindex>")))
+            .otherwise(F.lit("<urlset></urlset>")))
+    bodies = d.select(
+        F.concat(F.lit("h"), sid).alias("host"), body.alias("body"))
+    return urlops.parse_sitemaps(bodies)
+
+
+_ANCHOR_WORDS = ("alpha", "beta", "gamma", "delta", "epsilon")
+_ANCHOR_HTML_SQL = (
+    "'<a href=\"d' || CAST((doc_id * 31 + 97) % 1000 AS VARCHAR) || '\" x>' ||"
+    " (['alpha','beta','gamma','delta','epsilon'])"
+    "[CAST((doc_id + 1) % 5 AS INTEGER) + 1] || '</a> <a href=\"d' ||"
+    " CAST((doc_id * 31 + 194) % 1000 AS VARCHAR) || '\" x>' ||"
+    " (['alpha','beta','gamma','delta','epsilon'])"
+    "[CAST((doc_id + 2) % 5 AS INTEGER) + 1] || '</a> <a href=\"d' ||"
+    " CAST((doc_id * 31 + 291) % 1000 AS VARCHAR) || '\" x>' ||"
+    " (['alpha','beta','gamma','delta','epsilon'])"
+    "[CAST((doc_id + 3) % 5 AS INTEGER) + 1] || '</a>'")
+
+
+@_reg("anchor_texts", f"""
+WITH p AS (SELECT 'u' || CAST(doc_id AS VARCHAR) AS src,
+                  {_ANCHOR_HTML_SQL} AS h FROM documents),
+z AS (SELECT src, unnest(list_zip(
+        regexp_extract_all(h, '<a href="([^"]*)"[^>]*>([^<]*)</a>', 1),
+        regexp_extract_all(h, '<a href="([^"]*)"[^>]*>([^<]*)</a>', 2)))
+        AS zz FROM p),
+l AS (SELECT src, zz[1] AS target, trim(lower(zz[2])) AS anchor FROM z),
+pa AS (SELECT target, anchor, COUNT(*) AS n FROM l GROUP BY 1, 2),
+top AS (SELECT target, anchor AS top_anchor FROM (
+          SELECT target, anchor,
+                 row_number() OVER (PARTITION BY target
+                                    ORDER BY n DESC, anchor ASC) AS rk
+          FROM pa) WHERE rk = 1),
+tot AS (SELECT target, COUNT(*) AS n_links,
+               COUNT(DISTINCT src) AS n_sources FROM l GROUP BY 1)
+SELECT tot.target, n_links, n_sources, top_anchor
+FROM tot JOIN top ON tot.target = top.target
+""")
+def q_anchor_texts(spark, sf_dir):
+    """Incoming anchor-text aggregation per link target (Brin & Page
+    1998 §2.2: anchor text describes the TARGET page) — aligned regexp
+    group extraction, positional explode, two map-side-combined groupBys
+    and one bounded per-target window for the argmax anchor."""
+    from .operators import urlops
+    d = _t(spark, sf_dir, "documents")
+    word = F.array(*[F.lit(w) for w in _ANCHOR_WORDS])
+    parts = []
+    for j in (1, 2, 3):
+        parts += [
+            F.lit('<a href="d'),
+            ((F.col("doc_id") * 31 + 97 * j) % 1000).cast("string"),
+            F.lit('" x>'),
+            F.element_at(word, ((F.col("doc_id") + j) % 5).cast("int") + 1),
+            F.lit("</a>")]
+        if j < 3:
+            parts.append(F.lit(" "))
+    pages = d.select(
+        F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("url"),
+        F.concat(*parts).alias("html_txt"))
+    return urlops.anchor_text_rollup(pages)
