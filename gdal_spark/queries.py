@@ -9362,3 +9362,42 @@ def q_anchor_texts(spark, sf_dir):
         F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("url"),
         F.concat(*parts).alias("html_txt"))
     return urlops.anchor_text_rollup(pages)
+
+
+@_reg("spreadsheet_roundtrip", """
+SELECT doc_id, lang, n_chars, lang AS lang_ods, n_chars AS n_chars_ods
+FROM documents WHERE doc_id % 37 = 0
+""")
+def q_spreadsheet_roundtrip(spark, sf_dir):
+    """XLSX + ODS spreadsheet layers (ogr/ogrsf_frmts/xlsx
+    ogrxlsxdatasource.cpp, ogr/ogrsf_frmts/ods): every 37th document's
+    attributes write through both zip sinks (sharedStrings/inline typed
+    cells; content.xml value-types) and read back through both
+    binaryFile-distributed parsers; values from BOTH formats must match
+    the parquet-derived oracle — typed cells survive the trip exactly."""
+    import os
+    import tempfile
+
+    from .sources.xlsx import read_ods, read_xlsx, write_ods, write_xlsx
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 37 == 0) \
+        .select("doc_id", "lang", "n_chars").orderBy("doc_id")
+    rows = [{"doc_id": int(r.doc_id), "lang": r.lang,
+             "n_chars": int(r.n_chars)} for r in d.collect()]
+    xp = os.path.join(tempfile.gettempdir(),
+                      f"gdal_spark_ss_{os.getpid()}.xlsx")
+    op = os.path.join(tempfile.gettempdir(),
+                      f"gdal_spark_ss_{os.getpid()}.ods")
+    write_xlsx(rows, xp)
+    write_ods(rows, op)
+    gx = read_xlsx(spark, xp).select(
+        F.get_json_object("props", "$.doc_id").cast("long").alias("doc_id"),
+        F.get_json_object("props", "$.lang").alias("lang"),
+        F.get_json_object("props", "$.n_chars").cast("long")
+        .alias("n_chars"))
+    go = read_ods(spark, op).select(
+        F.get_json_object("props", "$.doc_id").cast("long").alias("doc_id"),
+        F.get_json_object("props", "$.lang").alias("lang_ods"),
+        F.get_json_object("props", "$.n_chars").cast("long")
+        .alias("n_chars_ods"))
+    return gx.join(go, "doc_id")

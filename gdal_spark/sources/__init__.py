@@ -131,6 +131,12 @@ def open_vector(spark, path: str, **kwargs):
     if low.endswith(".gmt"):
         from .gmt import read_gmt
         return read_gmt(spark, path)
+    if low.endswith(".xlsx"):
+        from .xlsx import read_xlsx
+        return read_xlsx(spark, path)
+    if low.endswith(".ods"):
+        from .xlsx import read_ods
+        return read_ods(spark, path)
     if low.endswith((".rss", ".atom")):
         from .georss import read_georss
         return read_georss(spark, path)
