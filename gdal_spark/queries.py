@@ -9401,3 +9401,33 @@ def q_spreadsheet_roundtrip(spark, sf_dir):
         F.get_json_object("props", "$.n_chars").cast("long")
         .alias("n_chars_ods"))
     return gx.join(go, "doc_id")
+
+
+@_reg("gif_roundtrip", _DENSITY_VALS_SQL.replace(
+    "vals AS (SELECT", "vals AS (SELECT g.x, g.y,") + """
+SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+       CAST(least(v, 255) AS DOUBLE) AS v
+FROM vals
+""")
+def q_gif_roundtrip(spark, sf_dir):
+    """GIF driver round trip (frmts/gif, GIF89a): the density raster
+    writes to ONE .gif through the distributed strip-LZW writer (CLEAR
+    codes pad each strip to a byte boundary so independently-encoded
+    strips concatenate bit-exactly; sub-block framing at closed-form
+    offsets) and re-reads through the giflib-semantics variable-width
+    decoder (pinned to the reference autotest checksums 57921/4672 in
+    tests); the oracle recomputes every cell with the Byte clamp."""
+    import os
+    import tempfile
+    from .raster.tiles import gdal2xyz
+    from .sources.gif import read_gif, write_gif
+
+    t = _density_tiles_full(spark, sf_dir)
+    path = os.path.join(tempfile.gettempdir(),
+                        f"gdal_spark_gif_{os.getpid()}.gif")
+    write_gif(t, path, width=64, height=64, tile=8)
+    back, _ = read_gif(spark, path, tile=8)
+    rows = gdal2xyz(back, tile=8)
+    return rows.select(F.col("x").cast("long").alias("x"),
+                       F.col("y").cast("long").alias("y"),
+                       F.col("value").alias("v"))

@@ -182,6 +182,9 @@ def open_raster(spark, path: str, tile: int = 256, **kwargs):
     if low.endswith((".jpg", ".jpeg")):
         from .jpeg import read_jpeg
         return read_jpeg(spark, path, tile=tile, **kwargs)[0]
+    if low.endswith(".gif"):
+        from .gif import read_gif
+        return read_gif(spark, path, tile=tile, **kwargs)[0]
     if low.endswith((".asc", ".grd")):
         from .aaigrid import read_aaigrid
         return read_aaigrid(spark, path, tile=tile, **kwargs)
@@ -326,6 +329,10 @@ def save_raster(tiles, path: str, tile: int = 256, **kwargs):
         from .jpeg import write_jpeg
         return write_jpeg(tiles, path, width_px=w, height_px=h,
                           tile=tile, **kwargs)
+    if low.endswith(".gif"):
+        from .gif import write_gif
+        return write_gif(tiles, path, width=w, height=h, tile=tile,
+                         **kwargs)
     if low.endswith((".asc", ".grd")):
         from .aaigrid import write_aaigrid
         return write_aaigrid(tiles, path, width_px=w, height_px=h,
