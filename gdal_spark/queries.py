@@ -9431,3 +9431,56 @@ def q_gif_roundtrip(spark, sf_dir):
     return rows.select(F.col("x").cast("long").alias("x"),
                        F.col("y").cast("long").alias("y"),
                        F.col("value").alias("v"))
+
+
+@_reg("pgdump_sink", f"""
+{_pts_cte()}
+SELECT doc_id, round(lon, 9) AS lon_r, round(lat, 9) AS lat_r,
+       lang FROM pts JOIN documents USING (doc_id)
+WHERE doc_id % 41 = 0
+""")
+def q_pgdump_sink(spark, sf_dir):
+    """PGDump SQL sink (ogr/ogrsf_frmts/pgdump ogrpgdumplayer.cpp):
+    every 41st page writes through the two-phase distributed COPY
+    renderer (hex EWKB geometry like OGRGeometryToHexEWKB, COPY-escaped
+    attrs) into ONE replayable .sql file; the verification re-reads the
+    file as text, strips the SRID flag/bytes back off the EWKB in pure
+    column ops, and decodes coordinates through the vectorized WKB lane
+    — values must match the parquet-derived oracle."""
+    import os
+    import tempfile
+
+    import numpy as np
+    from .core import wkb as _wkb
+    from .sources.pgdump import write_pgdump
+
+    p = datagen.points(spark, sf_dir).where(F.col("doc_id") % 41 == 0)
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    lay = p.join(d, "doc_id")
+
+    @F.pandas_udf("binary")
+    def enc(lon, lat):
+        import pandas as pd
+        pts = np.stack([lon.to_numpy(), lat.to_numpy()], axis=1)
+        return pd.Series(_wkb.encode_points_batch(pts))
+
+    path = os.path.join(tempfile.gettempdir(),
+                        f"gdal_spark_pgdump_{os.getpid()}.sql")
+    write_pgdump(
+        lay.select(enc("lon", "lat").alias("geom"), "doc_id", "lang"),
+        path, table="pages", srid=4326, geom_type="POINT")
+
+    txt = spark.read.text(path)
+    rows = txt.where(F.col("value").contains("\t")) \
+        .select(F.split("value", "\t").alias("c"))
+    # EWKB hex -> plain WKB: zero the 0x20 flag byte (LE type, chars
+    # 9-10) and drop the 4 SRID bytes (chars 11-18)
+    plain = F.unhex(F.concat(F.substring(F.col("c")[0], 1, 8),
+                             F.lit("00"),
+                             F.expr("substring(c[0], 19)")))
+    gx, gy = _pxy_udfs()
+    return rows.select(
+        F.col("c")[1].cast("long").alias("doc_id"),
+        F.round(gx(plain), 9).alias("lon_r"),
+        F.round(gy(plain), 9).alias("lat_r"),
+        F.col("c")[2].alias("lang"))
