@@ -233,3 +233,44 @@ def bfs_levels(docs: DataFrame, rounds: int = 6,
         visited = visited.unionAll(nxt)
         frontier = nxt
     return visited.select("doc_id", F.col("hop").cast("integer"))
+
+
+def label_propagation(docs: DataFrame, rounds: int = 4) -> DataFrame:
+    """-> (doc_id, label): synchronous label propagation communities
+    (Raghavan, Albert & Kumara 2007) on the UNDIRECTED link graph after
+    ``rounds`` supersteps. Deterministic variant: every node starts as
+    its own label; each round a node adopts the most frequent label
+    among its neighbors, ties broken by the SMALLEST label (the async
+    random tie-break of the paper is not reproducible on a cluster —
+    smallest-label is the standard deterministic choice); isolated
+    nodes keep their own label.
+
+    Plan per round: labels shuffle-join the symmetrized edge list on
+    src (the same key every round — AQE keeps the exchange reused), a
+    map-side-combined groupBy(dst, label) counts votes, and one bounded
+    per-node window picks the argmax. The label vector localCheckpoints
+    per round like pagerank (two consumers + unbounded lineage
+    otherwise)."""
+    from pyspark.sql import Window
+
+    n = docs.count()
+    e = link_edges(docs, n)
+    edges = (e.unionAll(e.select(F.col("dst").alias("src"),
+                                 F.col("src").alias("dst")))
+             .distinct().localCheckpoint(eager=True))
+    labels = docs.select("doc_id", F.col("doc_id").alias("label"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("votes").desc(), F.col("label").asc())
+    for _ in range(rounds):
+        votes = (labels.join(edges, labels["doc_id"] == edges["src"])
+                 .groupBy(F.col("dst").alias("doc_id"), "label")
+                 .agg(F.count("*").alias("votes")))
+        new = (votes.withColumn("rk", F.row_number().over(w))
+               .where(F.col("rk") == 1).select("doc_id", "label"))
+        labels = (docs.select("doc_id")
+                  .join(new, "doc_id", "left")
+                  .select("doc_id",
+                          F.coalesce("label", F.col("doc_id"))
+                          .alias("label"))
+                  .localCheckpoint(eager=True))
+    return labels

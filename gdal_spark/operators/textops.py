@@ -1636,3 +1636,44 @@ def temperature_sample(docs: DataFrame, tau: float = 2.0,
     return (docs.join(F.broadcast(rt), "source")
             .where(h < F.col("rate"))
             .select("doc_id", "source"))
+
+
+def doremi_weights(docs: DataFrame, eta: float = 0.5,
+                   rounds: int = 3) -> DataFrame:
+    """-> (source, loss, weight): DoReMi-style domain mixture weights
+    (Xie et al. 2023 "DoReMi: Optimizing Data Mixtures") in the cheap
+    proxy form: per-domain excess loss drives a multiplicative-weights
+    update  alpha' ∝ alpha * exp(eta * (loss_d - <alpha, loss>)),
+    renormalized each round. The per-doc loss proxy is the
+    length-normalized surprisal stand-in ln(1 + chars/tokens) (a real
+    run plugs in reference-model log-loss; the UPDATE is the operator).
+
+    Determinism contract: the per-doc loss rounds to 9 decimals and
+    sums as DECIMAL (exact, association-free); every per-round
+    intermediate rounds to 12 decimals before its exact decimal sum, so
+    the oracle replays bit-for-bit. One corpus-wide aggregation total;
+    the iteration runs on the domain-sized table (broadcast-tiny, the
+    whole-table window below is over #domains rows, not docs)."""
+    from pyspark.sql import Window
+
+    whole = Window.partitionBy()
+    per_doc = docs.select(
+        "source",
+        F.round(F.log(1.0 + F.col("n_chars").cast("double")
+                      / F.size(words_col())), 9).alias("l"))
+    dom = per_doc.groupBy("source").agg(
+        (F.sum(F.col("l").cast("decimal(28,9)")).cast("double")
+         / F.count("*")).alias("loss"))
+    dom = dom.withColumn(
+        "weight", F.round(1.0 / F.count("*").over(whole), 12))
+    for _ in range(rounds):
+        mean_l = (F.sum(F.round(F.col("weight") * F.col("loss"), 12)
+                        .cast("decimal(28,12)")).over(whole)
+                  .cast("double"))
+        dom = dom.withColumn(
+            "u", F.round(F.col("weight")
+                         * F.exp(eta * (F.col("loss") - mean_l)), 12))
+        s = F.sum(F.col("u").cast("decimal(28,12)")).over(whole)             .cast("double")
+        dom = dom.withColumn("weight", F.round(F.col("u") / s, 12))             .drop("u")
+    return dom.select("source", F.round("loss", 9).alias("loss"),
+                      "weight")

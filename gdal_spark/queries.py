@@ -9484,3 +9484,85 @@ def q_pgdump_sink(spark, sf_dir):
         F.round(gx(plain), 9).alias("lon_r"),
         F.round(gy(plain), 9).alias("lat_r"),
         F.col("c")[2].alias("lang"))
+
+
+def _labelprop_sql(rounds: int = 4) -> str:
+    """DuckDB replay of graphops.label_propagation: same edge derivation,
+    symmetrized + distinct, one votes/argmax CTE pair per round."""
+    head = """
+WITH nn AS (SELECT count(*) AS nb FROM documents),
+e0 AS (SELECT doc_id AS src,
+              (doc_id * 31 + j * 97) % (SELECT nb FROM nn) AS dst
+       FROM documents, unnest([1, 2, 3]) t(j)
+       WHERE doc_id % 17 <> 0),
+e1 AS (SELECT src, dst FROM e0 WHERE dst <> src),
+e2 AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM e1
+        UNION ALL SELECT dst AS src, src AS dst FROM e1)),
+l0 AS (SELECT doc_id, doc_id AS label FROM documents)"""
+    parts = [head]
+    for i in range(rounds):
+        parts.append(f"""
+v{i} AS (SELECT e2.dst AS doc_id, l{i}.label, count(*) AS votes
+         FROM e2 JOIN l{i} ON l{i}.doc_id = e2.src
+         GROUP BY e2.dst, l{i}.label),
+a{i} AS (SELECT doc_id, label FROM (
+           SELECT doc_id, label,
+                  row_number() OVER (PARTITION BY doc_id
+                      ORDER BY votes DESC, label ASC) AS rk
+           FROM v{i}) WHERE rk = 1),
+l{i + 1} AS MATERIALIZED (SELECT d.doc_id,
+           coalesce(a{i}.label, d.doc_id) AS label
+         FROM documents d LEFT JOIN a{i} USING (doc_id))""")
+    parts.append(f"""
+SELECT doc_id, label FROM l{rounds}""")
+    return ",".join(parts[:1] + [p for p in parts[1:-1]]) + parts[-1]
+
+
+@_reg("label_propagation", _labelprop_sql())
+def q_label_propagation(spark, sf_dir):
+    """Deterministic synchronous label propagation (Raghavan et al.
+    2007, smallest-label tie-break) over the symmetrized link graph —
+    4 supersteps, per-node labels pinned against the unrolled SQL."""
+    d = _t(spark, sf_dir, "documents")
+    return graphops.label_propagation(d, rounds=4)
+
+
+def _doremi_sql(eta: float = 0.5, rounds: int = 3) -> str:
+    parts = ["""
+WITH d0 AS (SELECT source,
+              ROUND(ln(1.0 + CAST(n_chars AS DOUBLE)
+                       / len(string_split(text, ' '))), 9) AS l
+            FROM documents),
+dm AS (SELECT source,
+              CAST(SUM(CAST(l AS DECIMAL(28,9))) AS DOUBLE) / count(*)
+                AS loss
+       FROM d0 GROUP BY source),
+w0 AS (SELECT source, loss,
+              ROUND(1.0 / (SELECT count(*) FROM dm), 12) AS weight
+       FROM dm)"""]
+    for i in range(rounds):
+        parts.append(f"""
+m{i} AS (SELECT CAST(SUM(CAST(ROUND(weight * loss, 12)
+                   AS DECIMAL(28,12))) AS DOUBLE) AS ml FROM w{i}),
+u{i} AS (SELECT source, loss,
+                ROUND(weight * exp({eta!r} * (loss - (SELECT ml FROM m{i}))),
+                      12) AS u
+         FROM w{i}),
+s{i} AS (SELECT CAST(SUM(CAST(u AS DECIMAL(28,12))) AS DOUBLE) AS s
+         FROM u{i}),
+w{i + 1} AS (SELECT source, loss,
+                ROUND(u / (SELECT s FROM s{i}), 12) AS weight
+             FROM u{i})""")
+    parts.append(f"""
+SELECT source, ROUND(loss, 9) AS loss, weight FROM w{rounds}""")
+    return ",".join(parts[:-1]) + parts[-1]
+
+
+@_reg("doremi_weights", _doremi_sql())
+def q_doremi_weights(spark, sf_dir):
+    """DoReMi-style domain mixture reweighting (Xie et al. 2023):
+    multiplicative-weights update on per-domain excess loss, 3 rounds,
+    decimal-exact intermediate sums so the unrolled SQL replays
+    bit-for-bit."""
+    return textops.doremi_weights(_t(spark, sf_dir, "documents"))
