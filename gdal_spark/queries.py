@@ -9566,3 +9566,33 @@ def q_doremi_weights(spark, sf_dir):
     decimal-exact intermediate sums so the unrolled SQL replays
     bit-for-bit."""
     return textops.doremi_weights(_t(spark, sf_dir, "documents"))
+
+
+@_reg("ogrvrt_view", f"""
+{_pts_cte()}
+SELECT doc_id AS fid, round(lon, 9) AS px, round(lat, 9) AS py
+FROM pts WHERE doc_id % 29 = 0
+""")
+def q_ogrvrt_view(spark, sf_dir):
+    """OGR VRT virtual layer (ogr/ogrsf_frmts/vrt ogrvrtlayer.cpp):
+    an XML view over documents.parquet — SrcSQL filter, PointFromColumns
+    geometry built from attribute columns in the vectorized batch lane,
+    Field rename+retype — stays one lazy Catalyst plan (no
+    materialization; pruning reaches the parquet scan). Coordinates
+    decode back through the WKB lane against the analytic oracle."""
+    from .sources.ogrvrt import read_ogrvrt
+
+    xml = f"""<OGRVRTDataSource>
+  <OGRVRTLayer name="pages">
+    <SrcDataSource>{sf_dir}/documents.parquet</SrcDataSource>
+    <SrcSQL>SELECT doc_id, (doc_id * {datagen.LON_MULT}) % {datagen.LON_MOD} AS mx, (doc_id * {datagen.LAT_MULT}) % {datagen.LAT_MOD} AS my FROM pages WHERE doc_id % 29 = 0</SrcSQL>
+    <GeometryField encoding="PointFromColumns" x="mx" y="my"/>
+    <Field name="fid" src="doc_id" type="Integer64"/>
+  </OGRVRTLayer>
+</OGRVRTDataSource>"""
+    df = read_ogrvrt(spark, xml)
+    gx, gy = _pxy_udfs()
+    return df.select(
+        "fid",
+        F.round(gx("geom") / 100.0 - 180.0 + 0.005, 9).alias("px"),
+        F.round(gy("geom") / 100.0 - 85.0 + 0.005, 9).alias("py"))

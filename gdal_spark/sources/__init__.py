@@ -131,6 +131,9 @@ def open_vector(spark, path: str, **kwargs):
     if low.endswith(".gmt"):
         from .gmt import read_gmt
         return read_gmt(spark, path)
+    if low.endswith(".vrt"):
+        from .ogrvrt import read_ogrvrt
+        return read_ogrvrt(spark, path, **kwargs)
     if low.endswith(".xlsx"):
         from .xlsx import read_xlsx
         return read_xlsx(spark, path)
