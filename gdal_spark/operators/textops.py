@@ -1677,3 +1677,75 @@ def doremi_weights(docs: DataFrame, eta: float = 0.5,
         dom = dom.withColumn("weight", F.round(F.col("u") / s, 12))             .drop("u")
     return dom.select("source", F.round("loss", 9).alias("loss"),
                       "weight")
+
+
+def weighted_sample_topk(docs: DataFrame, k: int = 5,
+                         group_col: str = "lang",
+                         weight_col: str = "n_chars") -> DataFrame:
+    """-> (group, doc_id, key_r): deterministic weighted reservoir
+    sampling WITHOUT replacement, k per group (Efraimidis & Spirakis
+    2006 A-Res: each item draws u ~ U(0,1), its key is u^(1/w); the
+    top-k keys ARE a weighted sample). The uniform comes from md5 so
+    any engine replays it bit-for-bit; one bounded per-group window —
+    at corpus scale this is the one-pass distributed weighted sampler
+    (no rejection loop, no global sort).
+    """
+    from pyspark.sql import Window
+
+    u = ((F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                 16, 10).cast("double") + 1.0) / 4294967297.0)
+    key = F.pow(u, 1.0 / F.col(weight_col).cast("double"))
+    return (docs.select(F.col(group_col).alias("grp"), "doc_id",
+                        key.alias("key"))
+            .withColumn("rk", F.row_number().over(
+                Window.partitionBy("grp").orderBy(F.desc("key"),
+                                                  F.asc("doc_id"))))
+            .where(F.col("rk") <= k)
+            .select("grp", "doc_id", F.round("key", 12).alias("key_r"),
+                    "rk"))
+
+
+def pmi_cooccurrence(docs: DataFrame, window: int = 2,
+                     min_pairs: int = 5, top: int = 200) -> DataFrame:
+    """-> (w1, w2, n_pair, pmi_r): pointwise mutual information of
+    token pairs co-occurring within ``window`` positions (Church &
+    Hanks 1990) — the classic corpus-association statistic
+    (collocations, phrase mining, embedding evaluation).
+
+    Relational shape: tokens posexplode once; the pair table is a
+    self-equi-join on doc_id restricted to 1 <= j-i <= window (bounded
+    fan-out: window * corpus tokens, NOT quadratic); unigram and pair
+    counts are map-side-combined groupBys; PMI joins the two tiny
+    vocab-sized count tables back. Ordered pairs (w1 before w2) keep
+    the statistic direction-aware. Top-N by (n_pair, pmi) bounds the
+    result for inspection."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id", F.posexplode(words_col()).alias("i", "w"))
+    total = toks.count()
+    uni = toks.groupBy("w").agg(F.count("*").alias("nw"))
+    a = toks.select("doc_id", F.col("i").alias("i1"),
+                    F.col("w").alias("w1"))
+    b = toks.select("doc_id", F.col("i").alias("i2"),
+                    F.col("w").alias("w2"))
+    pairs = (a.join(b, "doc_id")
+             .where((F.col("i2") - F.col("i1") >= 1)
+                    & (F.col("i2") - F.col("i1") <= window))
+             .groupBy("w1", "w2").agg(F.count("*").alias("n_pair"))
+             .where(F.col("n_pair") >= min_pairs))
+    tot_pairs = F.lit(float(total))          # normalizer: token count
+    scored = (pairs
+              .join(uni.select(F.col("w").alias("w1"),
+                               F.col("nw").alias("n1")), "w1")
+              .join(uni.select(F.col("w").alias("w2"),
+                               F.col("nw").alias("n2")), "w2")
+              .select("w1", "w2", "n_pair",
+                      F.round(F.log(
+                          (F.col("n_pair").cast("double") * tot_pairs)
+                          / (F.col("n1").cast("double")
+                             * F.col("n2").cast("double"))), 9)
+                      .alias("pmi_r")))
+    wnd = Window.orderBy(F.desc("n_pair"), F.asc("w1"), F.asc("w2"))
+    return (scored.withColumn("rnk", F.row_number().over(wnd))
+            .where(F.col("rnk") <= top).drop("rnk"))

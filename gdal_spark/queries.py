@@ -9596,3 +9596,49 @@ def q_ogrvrt_view(spark, sf_dir):
         "fid",
         F.round(gx("geom") / 100.0 - 180.0 + 0.005, 9).alias("px"),
         F.round(gy("geom") / 100.0 - 85.0 + 0.005, 9).alias("py"))
+
+
+@_reg("weighted_sample", """
+WITH s AS (SELECT lang AS grp, doc_id,
+    pow(((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT)
+          + 1.0) / 4294967297.0,
+        1.0 / CAST(n_chars AS DOUBLE)) AS key
+  FROM documents),
+r AS (SELECT grp, doc_id, key,
+             row_number() OVER (PARTITION BY grp
+                 ORDER BY key DESC, doc_id ASC) AS rk
+      FROM s)
+SELECT grp, doc_id, ROUND(key, 12) AS key_r, rk FROM r WHERE rk <= 5
+""")
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic weighted reservoir sampling without replacement
+    (Efraimidis & Spirakis 2006 A-Res, md5-derived uniforms): top-5
+    per language by key u^(1/n_chars) — one bounded window, engine-
+    replayable bit-for-bit."""
+    return textops.weighted_sample_topk(_t(spark, sf_dir, "documents"))
+
+
+@_reg("pmi_pairs", """
+WITH t AS (SELECT doc_id, i, ws[i] AS w
+           FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                 FROM documents),
+                unnest(generate_series(1, len(ws))) g(i)),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM t),
+uni AS (SELECT w, count(*) AS nw FROM t GROUP BY w),
+p AS (SELECT a.w AS w1, b.w AS w2, count(*) AS n_pair
+      FROM t a JOIN t b ON a.doc_id = b.doc_id
+      WHERE b.i - a.i >= 1 AND b.i - a.i <= 2
+      GROUP BY a.w, b.w HAVING count(*) >= 5),
+s AS (SELECT w1, w2, n_pair,
+             ROUND(ln(CAST(n_pair AS DOUBLE) * (SELECT total FROM n)
+                      / (CAST(u1.nw AS DOUBLE) * u2.nw)), 9) AS pmi_r
+      FROM p JOIN uni u1 ON u1.w = p.w1 JOIN uni u2 ON u2.w = p.w2),
+r AS (SELECT *, row_number() OVER (ORDER BY n_pair DESC, w1 ASC, w2 ASC)
+        AS rnk FROM s)
+SELECT w1, w2, n_pair, pmi_r FROM r WHERE rnk <= 200
+""")
+def q_pmi_pairs(spark, sf_dir):
+    """PMI co-occurrence collocations (Church & Hanks 1990) within a
+    2-token window: bounded self-join fan-out, map-side-combined
+    counts, vocab-sized association join; top-200 by support."""
+    return textops.pmi_cooccurrence(_t(spark, sf_dir, "documents"))

@@ -43,3 +43,31 @@ def test_label_propagation_converges_on_cliques(spark):
     lonely = [i for i in range(n) if i not in targets]
     if lonely:
         assert all(rows[i] == i for i in lonely)
+
+
+def test_weighted_sample_bias(spark):
+    # heavier docs must be sampled more often across md5 seeds: vary
+    # doc_id, two weight classes, check top-k composition is weight-
+    # biased in aggregate
+    from gdal_spark.operators import textops
+    rows = [(i, "t", "en", "s", 1000 if i % 2 == 0 else 10)
+            for i in range(400)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    out = textops.weighted_sample_topk(docs, k=40).collect()
+    heavy = sum(1 for r in out if r.doc_id % 2 == 0)
+    assert heavy >= 30  # 1000:10 weights -> heavy class dominates
+
+
+def test_pmi_direction_aware(spark):
+    from gdal_spark.operators import textops
+    docs = spark.createDataFrame(
+        [(i, "a b c a b", "en", "s", 9) for i in range(10)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+    out = {(r.w1, r.w2): r for r in
+           textops.pmi_cooccurrence(docs, min_pairs=2, top=50).collect()}
+    # 'a b' occurs 2x/doc, 'b a' occurs 1x/doc at distance 2
+    assert out[("a", "b")].n_pair == 20
+    assert out[("b", "a")].n_pair == 10
