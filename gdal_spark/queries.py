@@ -9642,3 +9642,32 @@ def q_pmi_pairs(spark, sf_dir):
     2-token window: bounded self-join fan-out, map-side-combined
     counts, vocab-sized association join; top-200 by support."""
     return textops.pmi_cooccurrence(_t(spark, sf_dir, "documents"))
+
+
+@_reg("pds_roundtrip", _DENSITY_VALS_SQL.replace(
+    "vals AS (SELECT", "vals AS (SELECT g.x, g.y,") + """
+SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+       CAST(v AS DOUBLE) AS v
+FROM vals
+""")
+def q_pds_roundtrip(spark, sf_dir):
+    """PDS3 planetary label round trip (frmts/pds pdsdataset.cpp): the
+    density raster writes as a detached .LBL + raw LSB_INTEGER .IMG
+    (parallel strip sink) and re-reads through the ODL-label reader
+    (pointer resolution + SAMPLE_TYPE dtype mapping, reader pinned to
+    the reference autotest LDEM_4 checksum in tests); the oracle
+    recomputes every cell."""
+    import os
+    import tempfile
+    from .raster.tiles import gdal2xyz
+    from .sources.pds import read_pds, write_pds
+
+    t = _density_tiles_full(spark, sf_dir)
+    stem = os.path.join(tempfile.gettempdir(),
+                        f"gdal_spark_pds_{os.getpid()}")
+    write_pds(t, stem + ".LBL", samples=64, lines=64, dtype="i2", tile=8)
+    back, meta = read_pds(spark, stem + ".LBL", tile=8)
+    rows = gdal2xyz(back, tile=8)
+    return rows.select(F.col("x").cast("long").alias("x"),
+                       F.col("y").cast("long").alias("y"),
+                       F.col("value").alias("v"))

@@ -96,6 +96,10 @@ def _plan_and_read(spark: SparkSession, raw_path: str, *, samples: int,
                     with open(raw_path, "rb") as f:
                         f.seek(s.b0)
                         raw = f.read(n * item)
+                    if len(raw) < n * item:   # truncated input: zero-fill
+                        raw = raw[:len(raw) - len(raw) % item] \
+                            + b"\0" * (n * item - len(raw)
+                                        + len(raw) % item)
                     arr = np.frombuffer(raw, dtype=dtype)
                     if swap:
                         arr = arr.byteswap()
@@ -106,6 +110,10 @@ def _plan_and_read(spark: SparkSession, raw_path: str, *, samples: int,
                     with open(raw_path, "rb") as f:
                         f.seek(s.b0)
                         raw = f.read(n * item)
+                    if len(raw) < n * item:   # truncated input: zero-fill
+                        raw = raw[:len(raw) - len(raw) % item] \
+                            + b"\0" * (n * item - len(raw)
+                                        + len(raw) % item)
                     arr = np.frombuffer(raw, dtype=dtype)
                     if swap:
                         arr = arr.byteswap()
