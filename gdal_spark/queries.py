@@ -9671,3 +9671,32 @@ def q_pds_roundtrip(spark, sf_dir):
     return rows.select(F.col("x").cast("long").alias("x"),
                        F.col("y").cast("long").alias("y"),
                        F.col("value").alias("v"))
+
+
+@_reg("vicar_roundtrip", _DENSITY_VALS_SQL.replace(
+    "vals AS (SELECT", "vals AS (SELECT g.x, g.y,") + """
+SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+       CAST(v AS DOUBLE) AS v
+FROM vals
+""")
+def q_vicar_roundtrip(spark, sf_dir):
+    """VICAR round trip (frmts/vicar vicardataset.cpp): the density
+    raster writes as a HALF BSQ .vic (label padded to the RECSIZE
+    multiple invariant, parallel strip payload) and re-reads through the
+    label-driven reader (pinned to the full reference autotest checksum
+    table incl. VAX floats + BIP sample-records in tests); oracle
+    recomputes every cell."""
+    import os
+    import tempfile
+    from .raster.tiles import gdal2xyz
+    from .sources.vicar import read_vicar, write_vicar
+
+    t = _density_tiles_full(spark, sf_dir)
+    path = os.path.join(tempfile.gettempdir(),
+                        f"gdal_spark_vic_{os.getpid()}.vic")
+    write_vicar(t, path, samples=64, lines=64, dtype="i2", tile=8)
+    back, _ = read_vicar(spark, path, tile=8)
+    rows = gdal2xyz(back, tile=8)
+    return rows.select(F.col("x").cast("long").alias("x"),
+                       F.col("y").cast("long").alias("y"),
+                       F.col("value").alias("v"))
