@@ -9700,3 +9700,32 @@ def q_vicar_roundtrip(spark, sf_dir):
     return rows.select(F.col("x").cast("long").alias("x"),
                        F.col("y").cast("long").alias("y"),
                        F.col("value").alias("v"))
+
+
+@_reg("isis3_roundtrip", _DENSITY_VALS_SQL.replace(
+    "vals AS (SELECT", "vals AS (SELECT g.x, g.y,") + """
+SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+       CAST(v AS DOUBLE) AS v
+FROM vals
+""")
+def q_isis3_roundtrip(spark, sf_dir):
+    """ISIS3 cube round trip (frmts/pds isis3dataset.cpp): the density
+    raster writes as a Format=Tile .cub — the engine tile table IS the
+    ISIS3 tile layout, so each task pwrites its tile verbatim at a
+    closed-form offset (zero re-striping) — and re-reads through the
+    PVL reader (pinned to autotest checksums 42403/9978 in tests);
+    oracle recomputes every cell."""
+    import os
+    import tempfile
+    from .raster.tiles import gdal2xyz
+    from .sources.isis3 import read_isis3, write_isis3
+
+    t = _density_tiles_full(spark, sf_dir)
+    path = os.path.join(tempfile.gettempdir(),
+                        f"gdal_spark_isis_{os.getpid()}.cub")
+    write_isis3(t, path, samples=64, lines=64, dtype="i2", tile=8)
+    back, _ = read_isis3(spark, path)
+    rows = gdal2xyz(back, tile=8)
+    return rows.select(F.col("x").cast("long").alias("x"),
+                       F.col("y").cast("long").alias("y"),
+                       F.col("value").alias("v"))

@@ -194,6 +194,9 @@ def open_raster(spark, path: str, tile: int = 256, **kwargs):
     if low.endswith(".vic"):
         from .vicar import read_vicar
         return read_vicar(spark, path, tile=tile, **kwargs)[0]
+    if low.endswith(".cub"):
+        from .isis3 import read_isis3
+        return read_isis3(spark, path, **kwargs)[0]
     if low.endswith((".asc", ".grd")):
         from .aaigrid import read_aaigrid
         return read_aaigrid(spark, path, tile=tile, **kwargs)
