@@ -9729,3 +9729,45 @@ def q_isis3_roundtrip(spark, sf_dir):
     return rows.select(F.col("x").cast("long").alias("x"),
                        F.col("y").cast("long").alias("y"),
                        F.col("value").alias("v"))
+
+
+@_reg("nitf_roundtrip", _DENSITY_VALS_SQL.replace(
+    "vals AS (SELECT", "vals AS (SELECT g.x, g.y,") + """
+SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+       CAST(least(v, 255) AS DOUBLE) AS v
+FROM vals
+""")
+def q_nitf_roundtrip(spark, sf_dir):
+    """NITF 2.1 round trip (frmts/nitf, MIL-STD-2500C): the density
+    raster writes as an IC=NC IMODE=B blocked .ntf (per-block parallel
+    pwrite at closed-form offsets, exact FL/HL/LISH lengths) and
+    re-reads through the fixed-width header walk (reader pinned to the
+    autotest rgb.ntf checksum 21349 in tests); Byte clamp like
+    GDALCopyWords; oracle recomputes every cell."""
+    import os
+    import tempfile
+    import numpy as np
+    import pandas as pd
+    from .raster.tiles import TILE_SCHEMA, decode_px, encode_px, gdal2xyz
+    from .sources.nitf import read_nitf, write_nitf
+
+    t0 = _density_tiles_full(spark, sf_dir)
+    # clamp f8 -> u1 before the sink (GDALCopyWords semantics)
+    def clamp(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                arr = np.clip(decode_px(r.px, r.dtype, 8), 0, 255)
+                out.append((r.band, r.zoom, r.tile_x, r.tile_y, "u1",
+                            r.nodata, encode_px(arr.astype("u1"))))
+            yield pd.DataFrame(out, columns=[f.name for f in
+                                             TILE_SCHEMA.fields])
+    t = t0.mapInPandas(clamp, TILE_SCHEMA)
+    path = os.path.join(tempfile.gettempdir(),
+                        f"gdal_spark_nitf_{os.getpid()}.ntf")
+    write_nitf(t, path, width=64, height=64, tile=8, dtype="u1")
+    back, _ = read_nitf(spark, path)
+    rows = gdal2xyz(back, tile=8)
+    return rows.select(F.col("x").cast("long").alias("x"),
+                       F.col("y").cast("long").alias("y"),
+                       F.col("value").alias("v"))

@@ -197,6 +197,9 @@ def open_raster(spark, path: str, tile: int = 256, **kwargs):
     if low.endswith(".cub"):
         from .isis3 import read_isis3
         return read_isis3(spark, path, **kwargs)[0]
+    if low.endswith((".ntf", ".nitf")):
+        from .nitf import read_nitf
+        return read_nitf(spark, path, **kwargs)[0]
     if low.endswith((".asc", ".grd")):
         from .aaigrid import read_aaigrid
         return read_aaigrid(spark, path, tile=tile, **kwargs)
