@@ -235,3 +235,49 @@ def write_pds(tiles, path: str, *, samples: int, lines: int,
     hdr_side = os.path.splitext(img_path)[0] + ".hdr"
     if os.path.exists(hdr_side):
         os.remove(hdr_side)
+
+
+def read_isis2(spark: SparkSession, path: str, tile: int = 256):
+    """ISIS2 cube (frmts/pds/isis2dataset.cpp): ODL label with a ^QUBE
+    record pointer; CORE_ITEMS = (samples, lines, bands) in AXIS_NAME
+    order (SAMPLE,LINE,BAND -> BSQ; SAMPLE,BAND,LINE -> BIL),
+    CORE_ITEM_TYPE SUN_*/PC_* x CORE_ITEM_BYTES -> dtype. Pinned to the
+    autotest arvidson_original_truncated.cub checksum 382 (truncated
+    payload zero-fills, like the reference's partial read)."""
+    with open(path, "rb") as f:
+        head = f.read(1 << 20)
+    label = parse_odl(head.decode("ascii", errors="replace"))
+    qube = label.get("QUBE")
+    if qube is None:
+        raise ValueError("not an ISIS2 cube (no QUBE object)")
+    record_bytes = int(label.get("RECORD_BYTES", 512))
+    ptr = label.get("^QUBE", 1)
+    data_path, offset = _resolve_pointer(ptr, path, record_bytes)
+
+    items = [int(x) for x in re.findall(
+        r"\d+", str(qube["CORE_ITEMS"]))]
+    axes = re.findall(r"[A-Z]+", str(qube.get(
+        "AXIS_NAME", "(SAMPLE,LINE,BAND)")).upper())
+    dims = dict(zip(axes, items))
+    ns, nl, nb = dims.get("SAMPLE", 1), dims.get("LINE", 1), \
+        dims.get("BAND", 1)
+    inter = "bil" if axes[:3] == ["SAMPLE", "BAND", "LINE"] else "bsq"
+    nbytes = int(qube.get("CORE_ITEM_BYTES", 1))
+    ctype = str(qube.get("CORE_ITEM_TYPE", "UNSIGNED_INTEGER")).upper()
+    big = ctype.startswith(("SUN", "MSB"))
+    kind = "f" if "REAL" in ctype else (
+        "u" if "UNSIGNED" in ctype or nbytes == 1 else "i")
+    suffix = [int(x) for x in re.findall(
+        r"\d+", str(qube.get("SUFFIX_ITEMS", "(0,0,0)")))]
+    if any(suffix):
+        raise ValueError("ISIS2 suffix planes unsupported")
+    tiles = _plan_and_read(
+        spark, data_path, samples=ns, lines=nl, bands=nb,
+        dtype=f"{kind}{nbytes}", interleave=inter, offset=offset,
+        byte_order=1 if big else 0, nodata=None, tile=tile)
+    meta = {"width": ns, "height": nl, "bands": nb,
+            "dtype": f"{kind}{nbytes}",
+            "scale": float(qube.get("CORE_MULTIPLIER", 1.0)),
+            "add_offset": float(qube.get("CORE_BASE", 0.0)),
+            "label": label}
+    return tiles, meta

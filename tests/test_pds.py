@@ -82,3 +82,19 @@ def test_write_read_roundtrip(spark, tmp_path):
         got[r.tile_y * 16:(r.tile_y + 1) * 16,
             r.tile_x * 16:(r.tile_x + 1) * 16] = arr
     assert np.array_equal(got, img.astype(np.int16))
+
+
+def test_isis2_fixture_checksum(spark):
+    # autotest/gdrivers/isis2.py:27 — checksum 382 (truncated payload)
+    from gdal_spark.core.checksum import gdal_checksum
+    from gdal_spark.raster.tiles import decode_px
+    t, m = P.read_isis2(
+        spark, "/root/reference/autotest/gdrivers/data/isis2/"
+               "arvidson_original_truncated.cub", tile=64)
+    assert (m["width"], m["height"]) == (43, 1)
+    assert m["dtype"] == "f4"
+    img = np.zeros((1, 43))
+    for r in t.where("band = 1").collect():
+        arr = decode_px(r.px, r.dtype, 64)
+        img[:1, :43] = arr[:1, :43]
+    assert gdal_checksum(img) == 382
