@@ -198,6 +198,8 @@ def _cmd_gdal_sieve(argv) -> int:
     ap.add_argument("-connect", type=int, choices=(4, 8), default=4)
     a = ap.parse_args(argv)
     from .raster.sieve import sieve
+    from pyspark.sql import functions as F
+
     from .sources import open_raster, save_raster
     spark = _spark()
     t = open_raster(spark, a.src, tile=a.tile)
@@ -741,6 +743,47 @@ def _cmd_gdal_footprint(argv) -> int:
     return 0
 
 
+
+
+def _cmd_gdal_retile(argv) -> int:
+    """gdal_retile.py twin (swig/python/gdal-utils/osgeo_utils/
+    gdal_retile.py): cut one raster into a directory of fixed-size
+    tiles named <base>_<row>_<col>.<ext>. Each output tile writes
+    independently from the engine tile table (the groupBy(tile_x,
+    tile_y) already IS the retile plan — no driver pixels)."""
+    import os
+
+    ap = argparse.ArgumentParser(prog="gdal_retile")
+    ap.add_argument("-ps", nargs=2, type=int, default=[256, 256],
+                    metavar=("W", "H"))
+    ap.add_argument("-targetDir", required=True)
+    ap.add_argument("-of", default="GTiff")
+    ap.add_argument("src")
+    a = ap.parse_args(argv)
+    if a.ps[0] != a.ps[1]:
+        ap.error("square tiles only (-ps N N)")
+    ps = a.ps[0]
+    ext = {"GTiff": ".tif", "PNG": ".png", "BMP": ".bmp",
+           "GIF": ".gif"}.get(a.of, ".tif")
+    from pyspark.sql import functions as F
+
+    from .sources import open_raster, save_raster
+    spark = _spark()
+    t = open_raster(spark, a.src, tile=ps)
+    os.makedirs(a.targetDir, exist_ok=True)
+    base = os.path.splitext(os.path.basename(a.src))[0]
+    keys = sorted({(r.tile_x, r.tile_y) for r in
+                   t.select("tile_x", "tile_y").distinct().collect()})
+    for tx, ty in keys:
+        sub = t.where((F.col("tile_x") == tx) & (F.col("tile_y") == ty)) \
+            .select("band", "zoom", F.lit(0).alias("tile_x"),
+                    F.lit(0).alias("tile_y"), "dtype", "nodata", "px")
+        out = os.path.join(a.targetDir, f"{base}_{ty + 1}_{tx + 1}{ext}")
+        save_raster(sub, out, tile=ps, width=ps, height=ps)
+        print(out)
+    return 0
+
+
 _COMMANDS = {"ogr2ogr": _cmd_ogr2ogr, "ogrinfo": _cmd_ogrinfo,
              "gdalinfo": _cmd_gdalinfo, "gdalsrsinfo": _cmd_gdalsrsinfo,
              "gdaltransform": _cmd_gdaltransform,
@@ -762,7 +805,8 @@ _COMMANDS = {"ogr2ogr": _cmd_ogr2ogr, "ogrinfo": _cmd_ogrinfo,
              "gdal_proximity": _cmd_gdal_proximity,
              "nearblack": _cmd_nearblack,
              "gdal_pansharpen": _cmd_gdal_pansharpen,
-             "gdal_viewshed": _cmd_gdal_viewshed}
+             "gdal_viewshed": _cmd_gdal_viewshed,
+             "gdal_retile": _cmd_gdal_retile}
 
 
 def main(argv=None) -> int:

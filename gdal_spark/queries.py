@@ -9771,3 +9771,41 @@ def q_nitf_roundtrip(spark, sf_dir):
     return rows.select(F.col("x").cast("long").alias("x"),
                        F.col("y").cast("long").alias("y"),
                        F.col("value").alias("v"))
+
+
+@_reg("corpus_report", """
+WITH d AS (SELECT source, lang, n_chars,
+                  len(string_split(text, ' ')) AS n_tokens,
+                  md5(text) AS fp
+           FROM documents)
+SELECT source,
+       COUNT(*) AS n_docs,
+       SUM(CAST(n_tokens AS BIGINT)) AS n_tokens,
+       SUM(CAST(n_chars AS BIGINT)) AS n_chars,
+       COUNT(DISTINCT lang) AS n_langs,
+       ROUND(1.0 - CAST(COUNT(DISTINCT fp) AS DOUBLE) / COUNT(*), 9)
+         AS dup_rate,
+       ROUND(CAST(SUM(CAST(n_chars AS BIGINT)) AS DOUBLE) / COUNT(*), 6)
+         AS mean_chars
+FROM d GROUP BY source
+""")
+def q_corpus_report(spark, sf_dir):
+    """Dataset-card corpus report (the summary table every released
+    training corpus ships — per-source doc/token/char counts, language
+    spread, exact-dup rate, mean length): ONE map-side-combined
+    groupBy over a single corpus scan; every statistic is
+    integer-exact or explicitly rounded so any engine replays it."""
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        "source", "lang", "n_chars",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.md5("text").alias("fp"))
+    return base.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("n_tokens").cast("long")).alias("n_tokens"),
+        F.sum(F.col("n_chars").cast("long")).alias("n_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.round(1.0 - F.countDistinct("fp").cast("double")
+                / F.count("*"), 9).alias("dup_rate"),
+        F.round(F.sum(F.col("n_chars").cast("long")).cast("double")
+                / F.count("*"), 6).alias("mean_chars"))

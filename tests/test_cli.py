@@ -465,3 +465,33 @@ def test_cli_gdal_viewshed(spark, tmp_path):
     assert vis[8, 10] == 255.0             # the wall itself: visible
     assert vis[8, 14] == 0.0               # behind the wall: shadowed
     assert vis[2, 8] == 255.0              # other direction: visible
+
+
+def test_gdal_retile(spark, tmp_path):
+    import numpy as np
+    from gdal_spark.cli import main
+    from gdal_spark.raster.tiles import TILE_SCHEMA, encode_px
+    from gdal_spark.sources.geotiff import read_gtiff, write_gtiff_tiles
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 255, (32, 32)).astype(np.float64)
+    rows = []
+    for ty in range(2):
+        for tx in range(2):
+            blk = img[ty * 16:(ty + 1) * 16, tx * 16:(tx + 1) * 16]
+            rows.append((1, 0, tx, ty, "f8", None, bytes(encode_px(blk))))
+    t = spark.createDataFrame(rows, TILE_SCHEMA)
+    src = str(tmp_path / "src.tif")
+    write_gtiff_tiles(t, src, width=32, height=32, tile=16, dtype="u1")
+    out = str(tmp_path / "tiles")
+    assert main(["gdal_retile", "-ps", "16", "16",
+                 "-targetDir", out, src]) == 0
+    import os
+    names = sorted(os.listdir(out))
+    assert names == ["src_1_1.tif", "src_1_2.tif",
+                     "src_2_1.tif", "src_2_2.tif"]
+    back = read_gtiff(spark, os.path.join(out, "src_2_2.tif"), tile=16)
+    from gdal_spark.raster.tiles import decode_px
+    r = back.collect()[0]
+    arr = decode_px(r.px, r.dtype, 16)
+    assert np.array_equal(arr.astype(np.uint8),
+                          img[16:, 16:].astype(np.uint8))
