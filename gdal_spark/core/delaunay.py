@@ -139,6 +139,75 @@ def interpolate_linear(points: np.ndarray, values: np.ndarray,
     return of.reshape(qx.shape)
 
 
+def voronoi_cells(sites: np.ndarray,
+                  bounds: tuple[float, float, float, float]
+                  ) -> list[np.ndarray]:
+    """Voronoi polygons of ``sites`` (n,2) clipped to the rectangle
+    ``bounds`` = (xmin, ymin, xmax, ymax) -> list of closed CCW rings,
+    one per site (in input order).
+
+    Construction: the Voronoi cell of a site is exactly the intersection
+    of the half-planes bounded by the perpendicular bisectors toward its
+    DELAUNAY neighbors (the classical duality — Aurenhammer 1991, §2.2),
+    so each cell is cut from the clip rectangle by Sutherland–Hodgman
+    clipping against those bisectors. Co-circular degeneracies are safe:
+    whichever diagonal the triangulation picked, the missing bisector is
+    redundant for the closed cell. Collinear inputs (no triangles) fall
+    back to all-pairs bisectors. The reference exposes this surface as
+    ST_VoronojDiagram through its SQLite/Spatialite dialect
+    (ogr/ogrsf_frmts/sqlite/ogrsqlitesqlfunctions.cpp delegates to
+    GEOSVoronoiDiagram); GDAL itself ships the Delaunay half
+    (ogrgeometry.cpp:6704)."""
+    sites = np.asarray(sites, dtype=np.float64)
+    n = len(sites)
+    xmin, ymin, xmax, ymax = (float(v) for v in bounds)
+    rect = np.array([[xmin, ymin], [xmax, ymin],
+                     [xmax, ymax], [xmin, ymax]])
+    tris = delaunay(sites)
+    nbrs: list[set] = [set() for _ in range(n)]
+    if len(tris):
+        for a, b, c in tris:
+            nbrs[a].update((b, c))
+            nbrs[b].update((a, c))
+            nbrs[c].update((a, b))
+    else:
+        for i in range(n):
+            nbrs[i] = set(range(n)) - {i}
+
+    def _clip_halfplane(poly: np.ndarray, si: np.ndarray,
+                        sj: np.ndarray) -> np.ndarray:
+        """Keep the side of bisector(si, sj) closer to si."""
+        d = sj - si
+        m = 0.5 * (si + sj)
+        # inside: (p - m) . d <= 0
+        val = (poly - m) @ d
+        out = []
+        k = len(poly)
+        for t in range(k):
+            a, b = poly[t], poly[(t + 1) % k]
+            va, vb = val[t], val[(t + 1) % k]
+            if va <= 0.0:
+                out.append(a)
+            if (va < 0.0) != (vb < 0.0) and va != vb:
+                s = va / (va - vb)
+                out.append(a + s * (b - a))
+        return np.asarray(out) if out else np.empty((0, 2))
+
+    cells = []
+    for i in range(n):
+        poly = rect
+        for j in sorted(nbrs[i]):
+            poly = _clip_halfplane(poly, sites[i], sites[j])
+            if not len(poly):
+                break
+        if len(poly) >= 3:
+            ring = np.vstack([poly, poly[:1]])
+        else:
+            ring = np.empty((0, 2))
+        cells.append(ring)
+    return cells
+
+
 def concave_hull(points: np.ndarray, max_edge: float) -> np.ndarray:
     """Chi-shape concave hull (the classic Delaunay-carving construction
     behind OGRGeometry::ConcaveHull, ogrgeometry.cpp:4305): start from the

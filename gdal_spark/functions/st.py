@@ -593,6 +593,33 @@ def st_delaunay(geom: pd.Series) -> pd.Series:
 
 
 @pandas_udf(BinaryType())
+def st_voronoi(geom: pd.Series, xmin: pd.Series, ymin: pd.Series,
+               xmax: pd.Series, ymax: pd.Series) -> pd.Series:
+    """ST_VoronoiDiagram(geom, xmin, ymin, xmax, ymax) — Voronoi polygons
+    of the geometry's vertices clipped to the given rectangle, returned as
+    a MULTIPOLYGON whose parts follow vertex order. The reference exposes
+    this surface through its SQLite dialect (ogrsqlitesqlfunctions.cpp
+    registers Spatialite's ST_VoronojDiagram, which delegates to
+    GEOSVoronoiDiagram); the construction here is the Delaunay dual
+    (core/delaunay.voronoi_cells), clipped to an EXPLICIT envelope instead
+    of GEOS's automatic extent expansion so results are deterministic."""
+    from ..core.delaunay import voronoi_cells
+    out = []
+    for g, x0, y0, x1, y1 in zip(_decode_series(geom), xmin, ymin,
+                                 xmax, ymax):
+        if g is None:
+            out.append(None)
+            continue
+        pts = geomops._all_vertices(g)
+        cells = voronoi_cells(pts, (float(x0), float(y0),
+                                    float(x1), float(y1)))
+        parts = [wkb.Geom(wkb.POLYGON, [r]) for r in cells if len(r)]
+        out.append(wkb.encode(wkb.Geom(wkb.MULTIPOLYGON, parts=parts))
+                   if parts else None)
+    return pd.Series(out, dtype="object")
+
+
+@pandas_udf(BinaryType())
 def st_makepoint(x: pd.Series, y: pd.Series) -> pd.Series:
     return pd.Series([wkb.point(float(a), float(b))
                       if a is not None and b is not None else None
@@ -810,6 +837,7 @@ _REGISTRY = {
     "ST_DistanceSphere": st_distance_sphere,
     "ST_Azimuth": st_azimuth, "ST_Project": st_project,
     "ST_DelaunayTriangulation": st_delaunay,
+    "ST_VoronoiDiagram": st_voronoi,
     "ST_MakePoint": st_makepoint, "ST_AsBinary": st_asbinary,
     "ST_GeomFromWKB": st_geomfromwkb, "ST_SetPrecision": st_setprecision,
     "ST_Transform": st_transform, "ST_SRID": st_srid,

@@ -9809,3 +9809,54 @@ def q_corpus_report(spark, sf_dir):
                 / F.count("*"), 9).alias("dup_rate"),
         F.round(F.sum(F.col("n_chars").cast("long")).cast("double")
                 / F.count("*"), 6).alias("mean_chars"))
+
+
+# =============================================================================
+# Voronoi diagram (Delaunay dual) — nearest-site assignment oracle
+# =============================================================================
+
+@_reg("voronoi_assign", f"""
+{_pts_cte()},
+d AS (SELECT doc_id,
+             CAST(c.region_id AS BIGINT) AS region_id,
+             (lon - cx) * (lon - cx) + (lat - cy) * (lat - cy) AS d2
+      FROM pts, {datagen.convex_centroids_values_sql()}),
+r AS (SELECT doc_id, region_id,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY d2 ASC, region_id ASC) AS rk
+      FROM d)
+SELECT doc_id, region_id FROM r WHERE rk = 1
+""")
+def q_voronoi_assign(spark, sf_dir):
+    """Voronoi partition of the convex-region centroids (Delaunay dual,
+    core/delaunay.voronoi_cells — the reference exposes the same surface
+    as Spatialite's ST_VoronojDiagram via ogrsqlitesqlfunctions.cpp),
+    then assignment of every page to its containing cell through the
+    ENGINE PIP path (cell-cover broadcast join + bitmask accept/reject +
+    exact ray-cast). The oracle is the defining property of the diagram
+    — nearest site by Euclidean distance — computed as a cross-join
+    argmin, so agreement validates the geometric construction, the
+    clipping, the cover and the join end-to-end. Scale shape: sites are
+    a broadcast-sized dim (cells built once on the driver, like the
+    gazetteer); pages stream map-only through the broadcast PIP join."""
+    import pandas as pd
+    from .core import wkb as _wkb
+    from .core.delaunay import voronoi_cells
+
+    cpdf = datagen.convex_centroids_pdf()
+    sites = cpdf[["cx", "cy"]].to_numpy()
+    rings = voronoi_cells(sites, (-180.0, -90.0, 180.0, 90.0))
+    zoom = 4                     # coarse cover: cells are continent-sized
+    rows = []
+    for rid, ring in zip(cpdf["region_id"], rings):
+        g = _wkb.encode(_wkb.Geom(_wkb.POLYGON, [ring]))
+        cells, im, om = datagen._cover_with_masks(g, zoom)
+        rows.append((int(rid), bytearray(g), cells, im, om))
+    rdf = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["region_id", "geom", "cells",
+                                    "in_masks", "out_masks"]),
+        "region_id long, geom binary, cells array<long>, "
+        "in_masks array<long>, out_masks array<long>")
+    p = datagen.points(spark, sf_dir)
+    hits = spatial_join.pip_join(p, rdf, zoom=zoom)
+    return hits.select("doc_id", "region_id")
