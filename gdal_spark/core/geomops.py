@@ -1257,3 +1257,127 @@ def geom_length_geodesic(g: Geom) -> float:
             total += float(vincenty_distance(r[:-1, 0], r[:-1, 1],
                                              r[1:, 0], r[1:, 1]).sum())
     return total
+
+
+# ---------------------------------------------------------------------------
+# edge assembly: OGRBuildPolygonFromEdges / GEOS LineMerger twins
+# ---------------------------------------------------------------------------
+
+def _edge_key(pt: np.ndarray, tolerance: float):
+    if tolerance > 0.0:
+        return (round(float(pt[0]) / tolerance), round(float(pt[1]) / tolerance))
+    return (float(pt[0]), float(pt[1]))
+
+
+def chain_edges(lines: "List[np.ndarray]",
+                tolerance: float = 0.0) -> "List[np.ndarray]":
+    """Link line segments end-to-end into closed rings —
+    OGRBuildPolygonFromEdges (ogr/ogrgeometryfactory.cpp:446, the S-57 /
+    AVC ring assembler): edges may arrive in any order and either
+    direction; endpoints match exactly or within ``tolerance``
+    (autoreversing like bAutoClose). Deterministic output: each ring is
+    rotated to start at its lexicographically smallest vertex and rings
+    sort by that start; input order never matters.
+
+    Returns a list of closed (n,2) rings; unclosable chains raise
+    ValueError (the reference returns OGRERR_FAILURE)."""
+    segs = [np.asarray(ln, np.float64) for ln in lines if len(ln) >= 2]
+    unused = set(range(len(segs)))
+    by_end: dict = {}
+    for i, s in enumerate(segs):
+        for pt in (s[0], s[-1]):
+            by_end.setdefault(_edge_key(pt, tolerance), []).append(i)
+    rings = []
+    while unused:
+        i = min(unused)           # deterministic seed
+        unused.discard(i)
+        chain = [segs[i]]
+        start_k = _edge_key(segs[i][0], tolerance)
+        cur_k = _edge_key(segs[i][-1], tolerance)
+        while cur_k != start_k:
+            nxts = [j for j in by_end.get(cur_k, []) if j in unused]
+            if not nxts:
+                raise ValueError("unclosable edge chain")
+            j = min(nxts)
+            unused.discard(j)
+            s = segs[j]
+            if _edge_key(s[0], tolerance) != cur_k:
+                s = s[::-1]
+            chain.append(s[1:])
+            cur_k = _edge_key(s[-1], tolerance)
+        ring = np.vstack(chain)
+        if not np.array_equal(ring[0], ring[-1]):
+            ring = np.vstack([ring, ring[:1]])
+        # canonical form: CCW winding, start at the lexicographically
+        # smallest vertex — output is invariant to input edge order AND
+        # edge direction
+        body = ring[:-1]
+        if ring_area(ring) < 0:
+            body = body[::-1]
+        k = int(np.lexsort((body[:, 1], body[:, 0]))[0])
+        body = np.roll(body, -k, axis=0)
+        rings.append(np.vstack([body, body[:1]]))
+    rings.sort(key=lambda r: (r[0, 0], r[0, 1]))
+    return rings
+
+
+def build_polygon_from_edges(lines: "List[np.ndarray]",
+                             tolerance: float = 0.0) -> Geom:
+    """OGRBuildPolygonFromEdges semantics: assemble all closed rings, make
+    the largest-|area| ring the exterior shell and the rest holes; shell
+    oriented CCW, holes CW (OGRPolygon ring convention)."""
+    rings = chain_edges(lines, tolerance)
+    if not rings:
+        return Geom(wkb.POLYGON, [np.empty((0, 2))])
+    rings.sort(key=lambda r: -abs(ring_area(r)))
+    out = []
+    for n, r in enumerate(rings):
+        a = ring_area(r)
+        want_ccw = n == 0
+        if (a > 0) != want_ccw and a != 0:
+            r = r[::-1]
+        out.append(r)
+    return Geom(wkb.POLYGON, out)
+
+
+def line_merge(lines: "List[np.ndarray]") -> "List[np.ndarray]":
+    """GEOS LineMerger twin (exposed by the reference's SQLite dialect as
+    ST_LineMerge): sew lines together at endpoints where exactly two line
+    ends meet (node degree 2); nodes of degree 1 or >= 3 stay breaks.
+    Deterministic: each merged line is oriented to start at its
+    lexicographically smaller terminus and results sort by start vertex."""
+    segs = [np.asarray(ln, np.float64) for ln in lines if len(ln) >= 2]
+    by_end: dict = {}
+    for i, s in enumerate(segs):
+        for pt in (s[0], s[-1]):
+            by_end.setdefault(_edge_key(pt, 0.0), []).append(i)
+    deg2 = {k for k, v in by_end.items() if len(v) == 2}
+    unused = set(range(len(segs)))
+    out = []
+    while unused:
+        i = min(unused)
+        unused.discard(i)
+        cur = segs[i]
+        # extend forward then backward through degree-2 nodes
+        for direction in (1, 0):
+            while True:
+                endpt = cur[-1] if direction else cur[0]
+                k = _edge_key(endpt, 0.0)
+                if k not in deg2:
+                    break
+                nxts = [j for j in by_end[k] if j in unused]
+                if not nxts:
+                    break
+                j = nxts[0]
+                unused.discard(j)
+                s = segs[j]
+                if _edge_key(s[0] if direction else s[-1], 0.0) != k:
+                    s = s[::-1]
+                cur = (np.vstack([cur, s[1:]]) if direction
+                       else np.vstack([s[:-1], cur]))
+        a, b = cur[0], cur[-1]
+        if (b[0], b[1]) < (a[0], a[1]):
+            cur = cur[::-1]
+        out.append(cur)
+    out.sort(key=lambda r: (r[0, 0], r[0, 1], len(r)))
+    return out

@@ -593,6 +593,48 @@ def st_delaunay(geom: pd.Series) -> pd.Series:
 
 
 @pandas_udf(BinaryType())
+def st_linemerge(geom: pd.Series) -> pd.Series:
+    """ST_LineMerge — sew a (multi)linestring's parts together at
+    endpoints where exactly two line ends meet (GEOS LineMerger, exposed
+    by the reference's SQLite dialect). Single merged line -> LINESTRING,
+    else MULTILINESTRING with deterministic part order."""
+    out = []
+    for g in _decode_series(geom):
+        if g is None:
+            out.append(None)
+            continue
+        merged = geomops.line_merge(geomops._all_line_rings(g))
+        if len(merged) == 1:
+            out.append(wkb.encode(wkb.Geom(wkb.LINESTRING, [merged[0]])))
+        else:
+            out.append(wkb.encode(wkb.Geom(
+                wkb.MULTILINESTRING,
+                parts=[wkb.Geom(wkb.LINESTRING, [m]) for m in merged])))
+    return pd.Series(out, dtype="object")
+
+
+@pandas_udf(BinaryType())
+def st_polygonize(geom: pd.Series) -> pd.Series:
+    """ST_Polygonize / OGRBuildPolygonFromEdges
+    (ogr/ogrgeometryfactory.cpp:446): link the input's line segments
+    end-to-end into closed rings and return a POLYGON whose largest ring
+    is the shell (CCW) and the rest holes (CW). NULL when any chain
+    cannot close (the reference returns OGRERR_FAILURE)."""
+    out = []
+    for g in _decode_series(geom):
+        if g is None:
+            out.append(None)
+            continue
+        try:
+            poly = geomops.build_polygon_from_edges(
+                geomops._all_line_rings(g))
+            out.append(wkb.encode(poly))
+        except ValueError:
+            out.append(None)
+    return pd.Series(out, dtype="object")
+
+
+@pandas_udf(BinaryType())
 def st_voronoi(geom: pd.Series, xmin: pd.Series, ymin: pd.Series,
                xmax: pd.Series, ymax: pd.Series) -> pd.Series:
     """ST_VoronoiDiagram(geom, xmin, ymin, xmax, ymax) — Voronoi polygons
@@ -838,6 +880,7 @@ _REGISTRY = {
     "ST_Azimuth": st_azimuth, "ST_Project": st_project,
     "ST_DelaunayTriangulation": st_delaunay,
     "ST_VoronoiDiagram": st_voronoi,
+    "ST_LineMerge": st_linemerge, "ST_Polygonize": st_polygonize,
     "ST_MakePoint": st_makepoint, "ST_AsBinary": st_asbinary,
     "ST_GeomFromWKB": st_geomfromwkb, "ST_SetPrecision": st_setprecision,
     "ST_Transform": st_transform, "ST_SRID": st_srid,

@@ -9860,3 +9860,76 @@ def q_voronoi_assign(spark, sf_dir):
     p = datagen.points(spark, sf_dir)
     hits = spatial_join.pip_join(p, rdf, zoom=zoom)
     return hits.select("doc_id", "region_id")
+
+
+# =============================================================================
+# edge assembly: ST_Polygonize / OGRBuildPolygonFromEdges + ST_LineMerge
+# =============================================================================
+
+def _convex_vertices_values_sql():
+    """DuckDB VALUES of (region_id, k, x, y) — the convex rings' vertices
+    (closing vertex excluded), float64 repr round-trips exactly."""
+    rows = []
+    for rid, ring in datagen._convex_rings():
+        for k, (x, y) in enumerate(ring[:-1]):
+            rows.append(f"({rid}, {k}, {float(x)!r}, {float(y)!r})")
+    return "(VALUES " + ", ".join(rows) + ") AS v(region_id, k, x, y)"
+
+
+@_reg("polygonize_edges", f"""
+WITH v2 AS (SELECT region_id, k, x, y,
+                   count(*) OVER (PARTITION BY region_id) AS n
+            FROM {_convex_vertices_values_sql()}),
+e AS (SELECT a.region_id, a.x * b.y - b.x * a.y AS cr, a.n
+      FROM v2 a JOIN v2 b
+        ON a.region_id = b.region_id AND b.k = (a.k + 1) % a.n)
+SELECT CAST(region_id AS BIGINT) AS region_id,
+       CAST(ROUND(0.5 * abs(sum(cr)), 6) AS DOUBLE) AS area_r,
+       CAST(max(n) + 1 AS INTEGER) AS npts
+FROM e GROUP BY region_id
+""")
+def q_polygonize_edges(spark, sf_dir):
+    """OGRBuildPolygonFromEdges (ogr/ogrgeometryfactory.cpp:446 — the
+    S-57/AVC ring assembler, exposed here as ST_Polygonize): each convex
+    region's boundary arrives as individual edges in scrambled order and
+    alternating direction; the engine links them back into a closed ring
+    per region and measures it. The oracle computes the same area by the
+    shoelace formula straight off the vertex list — it never runs the
+    assembly — so agreement pins ordering, autoreversal and closure."""
+    import pandas as pd
+    from .core import wkb as _wkb
+    st.register_all(spark)
+
+    rows = []
+    for rid, ring in datagen._convex_rings():
+        n = len(ring) - 1
+        for k in range(n):
+            a, b = ring[k], ring[k + 1]
+            if (rid + k) % 3 == 1:          # scramble direction
+                a, b = b, a
+            rows.append((int(rid), int((k * 7919 + rid) % 104729),
+                         float(a[0]), float(a[1]),
+                         float(b[0]), float(b[1])))
+    edges = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["region_id", "shuf",
+                                    "x0", "y0", "x1", "y1"]),
+        "region_id long, shuf long, x0 double, y0 double, "
+        "x1 double, y1 double").orderBy("shuf")      # destroy edge order
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        parts = [_wkb.Geom(_wkb.LINESTRING,
+                           [np.array([[r.x0, r.y0], [r.x1, r.y1]])])
+                 for r in pdf.itertuples()]
+        ml = _wkb.encode(_wkb.Geom(_wkb.MULTILINESTRING, parts=parts))
+        return pd.DataFrame({"region_id": [pdf["region_id"].iloc[0]],
+                             "geom": [ml]})
+
+    import numpy as np
+    ml = edges.groupBy("region_id").applyInPandas(
+        pack, "region_id long, geom binary")
+    ml.createOrReplaceTempView("t_polyz_edges")
+    return spark.sql("""
+        SELECT region_id,
+               ROUND(ST_Area(ST_Polygonize(geom)), 6) AS area_r,
+               ST_NPoints(ST_Polygonize(geom)) AS npts
+        FROM t_polyz_edges""")
