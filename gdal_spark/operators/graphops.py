@@ -274,3 +274,81 @@ def label_propagation(docs: DataFrame, rounds: int = 4) -> DataFrame:
                           .alias("label"))
                   .localCheckpoint(eager=True))
     return labels
+
+
+def hyperball_registers(docs: DataFrame) -> DataFrame:
+    """Initial HyperLogLog registers, one sparse row per node: each node
+    hashes ITSELF into one of m=16 registers (b=4). The 64-bit hash is
+    the engine-standard md5-prefix integer (60 bits); register index =
+    low 4 bits, rho = 1 + number of trailing zeros of the remaining 56
+    bits (computed exactly as bit_count(lsb - 1) + 1 — no float log2,
+    so Spark and any SQL replay agree bit-for-bit)."""
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+               16, 10).cast("long")
+    d = docs.select(F.col("doc_id").alias("v"), h.alias("h"))
+    y = F.shiftrightunsigned("h", 4)
+    lsb = y.bitwiseAND(-y)
+    rho = F.when(y == 0, F.lit(57)) \
+        .otherwise(F.bit_count(lsb - 1) + 1).cast("int")
+    return d.select("v", (F.col("h").bitwiseAND(F.lit(15)))
+                    .cast("int").alias("j"), rho.alias("r"))
+
+
+_HB_ALPHA16 = 0.673                 # Flajolet et al. 2007, m = 16
+_HB_POW57 = float(1 << 57)
+
+
+def _hb_estimate(regs: DataFrame) -> DataFrame:
+    """-> (v, est): HLL cardinality estimate from sparse registers.
+    The register sum is EXACT 64-bit integer math — sum_j 2^(57 - M_j)
+    with absent registers contributing 2^57 — so both engines derive the
+    same double before the one shared division; the small-range
+    correction (V > 0 and raw <= 2.5 m -> m ln(m / V)) matches the
+    original HLL paper."""
+    s = regs.groupBy("v").agg(
+        (F.sum(F.expr("shiftleft(cast(1 as bigint), 57 - r)"))
+         + (16 - F.count("*")) * F.lit(1 << 57).cast("long")).alias("s"),
+        (16 - F.count("*")).cast("int").alias("zeros"))
+    raw = F.lit(_HB_ALPHA16 * 256.0 * _HB_POW57) / F.col("s").cast("double")
+    small = F.lit(16.0) * F.log(F.lit(16.0) / F.col("zeros"))
+    return s.select(
+        "v", F.when((F.col("zeros") > 0) & (raw <= 40.0), small)
+        .otherwise(raw).alias("est"))
+
+
+def hyperball_harmonic(docs: DataFrame, rounds: int = 4) -> DataFrame:
+    """-> (doc_id, b1_r..b{rounds}_r, harm_r): HyperBall (Boldi & Vigna
+    2013, "In-core computation of geometric centralities with
+    HyperBall") over the deterministic link graph — per-node HLL
+    counters of the out-ball B(v, t), grown by one synchronous
+    max-merge round per radius, with harmonic centrality estimated as
+    sum_t (|B(v,t)| - |B(v,t-1)|) / t.
+
+    Scale shape: registers are SPARSE (v, j, rho) rows — 16 per node at
+    most — and every round is one shuffle join of the register table
+    against the edge list on dst followed by a map-side-combined
+    groupBy(v, j) max: the same plan PageRank runs, with a 16x key
+    fan-out instead of a double vector. No per-node state ever exceeds
+    16 rows, so a 10^12-node graph shards by v with no skew beyond the
+    in-degree distribution; the register table localCheckpoints per
+    round (two consumers: merge + estimate)."""
+    n = docs.count()
+    edges = link_edges(docs, n).localCheckpoint(eager=True)
+    regs = hyperball_registers(docs).localCheckpoint(eager=True)
+    ests = [_hb_estimate(regs).withColumnRenamed("est", "e0")]
+    for t in range(1, rounds + 1):
+        succ = (edges.join(regs, edges["dst"] == regs["v"])
+                .select(F.col("src").alias("v"), "j", "r"))
+        regs = (regs.unionAll(succ).groupBy("v", "j")
+                .agg(F.max("r").alias("r"))
+                .localCheckpoint(eager=True))
+        ests.append(_hb_estimate(regs).withColumnRenamed("est", f"e{t}"))
+    out = ests[0]
+    for t in range(1, rounds + 1):
+        out = out.join(ests[t], "v")
+    harm = sum((F.col(f"e{t}") - F.col(f"e{t-1}")) / float(t)
+               for t in range(1, rounds + 1))
+    cols = [F.round(F.col(f"e{t}"), 6).alias(f"b{t}_r")
+            for t in range(1, rounds + 1)]
+    return out.select(F.col("v").alias("doc_id"), *cols,
+                      F.round(harm, 6).alias("harm_r"))

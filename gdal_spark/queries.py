@@ -9933,3 +9933,71 @@ def q_polygonize_edges(spark, sf_dir):
                ROUND(ST_Area(ST_Polygonize(geom)), 6) AS area_r,
                ST_NPoints(ST_Polygonize(geom)) AS npts
         FROM t_polyz_edges""")
+
+
+# =============================================================================
+# HyperBall harmonic centrality (HLL registers, max-merge rounds)
+# =============================================================================
+
+def _hb_oracle_sql(rounds: int = 4) -> str:
+    """DuckDB replay of HyperBall: register init (md5-prefix hash, exact
+    bit_count rho), ``rounds`` unrolled max-merge CTEs over the link
+    edges, the integer-exact register sum, and the same estimate +
+    harmonic arithmetic (one shared double division per estimate)."""
+    from .operators.graphops import _HB_ALPHA16, _HB_POW57
+    knum = repr(_HB_ALPHA16 * 256.0 * _HB_POW57)
+    parts = [f"""
+h0 AS (SELECT doc_id AS v,
+              ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                AS h
+       FROM documents),
+r0 AS (SELECT v, CAST(h & 15 AS INTEGER) AS j,
+              CASE WHEN (h >> 4) = 0 THEN 57
+                   ELSE CAST(bit_count(((h >> 4) & (-(h >> 4))) - 1)
+                             AS INTEGER) + 1 END AS r
+       FROM h0),
+nn AS (SELECT count(*) AS n FROM documents),
+e AS (SELECT src, (src * 31 + j * 97) % n AS dst
+      FROM (SELECT doc_id AS src FROM documents WHERE doc_id % 17 <> 0),
+           (VALUES (1), (2), (3)) AS jj(j), nn
+      WHERE (src * 31 + j * 97) % n <> src)"""]
+    for t in range(1, rounds + 1):
+        parts.append(f"""
+r{t} AS (SELECT v, j, MAX(r) AS r FROM (
+          SELECT * FROM r{t - 1}
+          UNION ALL
+          SELECT e.src AS v, p.j, p.r FROM e JOIN r{t - 1} p ON e.dst = p.v)
+        GROUP BY v, j)""")
+    for t in range(rounds + 1):
+        parts.append(f"""
+est{t} AS (SELECT v, CASE WHEN zeros > 0 AND raw <= 40.0
+                          THEN 16.0 * ln(16.0 / zeros)
+                          ELSE raw END AS e{t}
+           FROM (SELECT v, 16 - count(*) AS zeros,
+                        {knum} / CAST(sum((1::BIGINT) << (57 - r))
+                                      + (16 - count(*))
+                                        * ((1::BIGINT) << 57) AS DOUBLE)
+                          AS raw
+                 FROM r{t} GROUP BY v))""")
+    deltas = " + ".join(f"(e{t} - e{t - 1}) / {float(t)!r}"
+                        for t in range(1, rounds + 1))
+    joins = " ".join(f"JOIN est{t} USING (v)" for t in range(1, rounds + 1))
+    sel = ", ".join(f"ROUND(e{t}, 6) AS b{t}_r" for t in range(1, rounds + 1))
+    return ("WITH " + ",".join(parts)
+            + f" SELECT v AS doc_id, {sel}, ROUND({deltas}, 6) AS harm_r "
+            f"FROM est0 {joins}")
+
+
+@_reg("hyperball_harmonic", _hb_oracle_sql(4))
+def q_hyperball_harmonic(spark, sf_dir):
+    """HyperBall (Boldi & Vigna 2013) harmonic centrality over the link
+    graph: per-node 16-register HLL counters of the out-ball, grown by 4
+    synchronous max-merge rounds (one shuffle join + groupBy(v, j) max
+    per radius — the PageRank plan with a 16x key fan-out), harmonic
+    centrality from the estimated ball growth. The oracle replays
+    register init, every merge round and the integer-exact estimate
+    arithmetic CTE-for-CTE. This is the centrality family the reference
+    has no analog for — it's the standard way to rank 10^12-page crawl
+    graphs where exact all-pairs BFS is impossible."""
+    d = datagen.documents(spark, sf_dir)
+    return graphops.hyperball_harmonic(d, rounds=4)

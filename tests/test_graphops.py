@@ -236,3 +236,54 @@ def test_bfs_levels_invariants(spark):
             continue
         in_hops = {hops[p] for p in preds.get(d, set()) if p in hops}
         assert min(in_hops) == h - 1
+
+
+def test_hyperball_registers_match_numpy(spark):
+    """Register init (hash -> (j, rho)) has an exact numpy twin."""
+    import hashlib
+
+    import numpy as np
+
+    from gdal_spark.operators.graphops import hyperball_registers
+    docs = spark.range(64).withColumnRenamed("id", "doc_id")
+    rows = {r.v: (r.j, r.r) for r in hyperball_registers(docs).collect()}
+    for v in range(64):
+        h = int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+        y = h >> 4
+        rho = 57 if y == 0 else int(np.log2(y & -y)) + 1
+        assert rows[v] == (h & 15, rho)
+
+
+def test_hyperball_harmonic_invariants(spark):
+    from gdal_spark.operators.graphops import hyperball_harmonic
+    docs = spark.range(200).withColumnRenamed("id", "doc_id")
+    out = {r.doc_id: r for r in hyperball_harmonic(docs, rounds=3).collect()}
+    assert len(out) == 200
+    for v, r in out.items():
+        if v % 17 == 0:          # sink: ball never grows past itself
+            assert r.harm_r == 0.0
+            assert r.b1_r == r.b3_r
+        else:                    # registers only grow -> raw estimate too
+            assert r.b3_r >= r.b1_r - 1e-6
+            assert r.harm_r >= 0.0
+
+
+def test_hyperball_estimates_track_exact_balls(spark):
+    """HLL(m=16) estimates the true out-ball within its design error on
+    average (|rel err| mean < 0.3); exactness is pinned by the oracle."""
+    from gdal_spark.operators.graphops import hyperball_harmonic, link_edges
+    docs = spark.range(200).withColumnRenamed("id", "doc_id")
+    est = {r.doc_id: r.b3_r
+           for r in hyperball_harmonic(docs, rounds=3).collect()}
+    adj = {}
+    for r in link_edges(docs, 200).collect():
+        adj.setdefault(r.src, []).append(r.dst)
+    errs = []
+    for v in range(200):
+        ball = {v}
+        frontier = {v}
+        for _ in range(3):
+            frontier = {w for u in frontier for w in adj.get(u, [])} - ball
+            ball |= frontier
+        errs.append(abs(est[v] - len(ball)) / len(ball))
+    assert sum(errs) / len(errs) < 0.3
