@@ -10001,3 +10001,181 @@ def q_hyperball_harmonic(spark, sf_dir):
     graphs where exact all-pairs BFS is impossible."""
     d = datagen.documents(spark, sf_dir)
     return graphops.hyperball_harmonic(d, rounds=4)
+
+
+# =============================================================================
+# ST_Transform — Equal Earth / Van der Grinten / Bonne / Goode homolosine
+# =============================================================================
+
+_VANDG_CRS = "+proj=vandg +lon_0=0 +datum=WGS84 +units=m +no_defs"
+_BONNE_CRS = "+proj=bonne +lat_1=45 +lon_0=2 +datum=WGS84 +units=m +no_defs"
+_IGH_CRS = "+proj=igh +lon_0=0 +datum=WGS84 +units=m +no_defs"
+
+
+def _worldmap2_sql():
+    """DuckDB replay of the round-4 world-map additions: Equal Earth via
+    the authalic-latitude closed form (Savric et al. 2018 A1..A4
+    polynomial), Van der Grinten's Snyder 29-6..29-17 general branch,
+    ellipsoidal Bonne with the kernel's folded scalar constants, and
+    Goode homolosine as the piecewise sinu/moll composite with the
+    8-step unrolled Mollweide Newton and the published lobe layout."""
+    import numpy as _np
+    from .raster import transforms as _tr
+    d2r = _CONIC_D2R
+    pi = _crs_lit(_np.pi)
+    a = 6378137.0
+    e = _crs_lit(_tr._E)
+    e2 = _crs_lit(_tr._E2)
+    one_m_e2 = _crs_lit(1.0 - _tr._E2)
+    two_e = _crs_lit(2.0 * _tr._E)
+    qp = _crs_lit(_tr._QP)
+    rq = _crs_lit(_tr._RQ)
+    m_c = _crs_lit(_tr._EE_M)
+    a1, a2, a3, a4 = (_crs_lit(v) for v in
+                      (_tr._EE_A1, _tr._EE_A2, _tr._EE_A3, _tr._EE_A4))
+    c3a2 = _crs_lit(3.0 * _tr._EE_A2)
+    c7a3 = _crs_lit(7.0 * _tr._EE_A3)
+    c9a4 = _crs_lit(9.0 * _tr._EE_A4)
+    # bonne folded scalars (lat_1 = 45, lon_0 = 2)
+    p1 = 45.0 * _np.pi / 180.0
+    m1 = float(_np.cos(p1) / _np.sqrt(1 - _tr._E2 * _np.sin(p1) ** 2))
+    am1 = float(a * m1 / _np.sin(p1))
+    bigm1 = float(_tr.merid_arc(_np.float64(p1),
+                            _tr.ELLIPSOIDS['WGS84']))
+    am1_l = _crs_lit(am1)
+    am1m1 = _crs_lit(am1 + bigm1)
+    # igh constants
+    phib = _crs_lit(_tr._IGH_PHI_B)
+    dy0 = _crs_lit(_tr._IGH_DY0)
+    moll_cx = _crs_lit(2.0 * _np.sqrt(2.0) / _np.pi)
+    sq2 = _crs_lit(float(_np.sqrt(2.0)))
+    cm_case = f"""CASE WHEN lat < 0.0 THEN
+          (CASE WHEN lon <= -100.0 THEN -160.0 WHEN lon <= -20.0 THEN -60.0
+                WHEN lon <= 80.0 THEN 20.0 ELSE 140.0 END)
+        ELSE (CASE WHEN lon <= -40.0 THEN -100.0 ELSE 30.0 END)
+        END * {d2r}"""
+    moll_step = ("th - (2.0 * th + sin(2.0 * th) - ps)"
+                 " / (2.0 + 2.0 * cos(2.0 * th))")
+    newtons = "".join(
+        f"g{i + 1} AS (SELECT doc_id, lamw, phi, sphi, lamz, ps,\n"
+        f"       {moll_step} AS th FROM g{i}),\n"
+        for i in range(8))
+    return f"""
+w0 AS (SELECT doc_id, lon, lat, lam, phi, sin(phi) AS sphi,
+              lam - {_crs_lit(2 * _np.pi)}
+                * floor((lam + {pi}) / {_crs_lit(2 * _np.pi)}) AS lamw
+       FROM (SELECT doc_id, lon, lat, lon * {d2r} AS lam,
+                    lat * {d2r} AS phi
+             FROM pts WHERE doc_id % 5 = 2)),
+-- Equal Earth: authalic beta -> theta -> polynomial
+ee1 AS (SELECT doc_id, lamw,
+               asin(greatest(least(
+                 {one_m_e2} * (sphi / (1 - {e2} * sphi * sphi)
+                   - ln((1 - {e} * sphi) / (1 + {e} * sphi)) / {two_e})
+                 / {qp}, 1.0), -1.0)) AS beta
+        FROM w0),
+ee2 AS (SELECT doc_id, lamw,
+               asin(greatest(least({m_c} * sin(beta), 1.0), -1.0)) AS th
+        FROM ee1),
+ee3 AS (SELECT doc_id,
+               {rq} * lamw * cos(th)
+                 / ({m_c} * ({a1} + {c3a2} * (th * th)
+                    + (th * th) * (th * th) * (th * th)
+                      * ({c7a3} + {c9a4} * (th * th)))) AS ee_x,
+               {rq} * (th * ({a1} + {a2} * (th * th)
+                    + (th * th) * (th * th) * (th * th)
+                      * ({a3} + {a4} * (th * th)))) AS ee_y
+        FROM ee2),
+-- Van der Grinten: Snyder 29 general branch
+v1 AS (SELECT doc_id, lamw, phi,
+              asin(greatest(least(abs(2.0 * phi / {pi}), 1.0), 0.0)) AS th
+       FROM w0),
+v2 AS (SELECT doc_id, lamw, phi, th,
+              0.5 * abs({pi} / lamw - lamw / {pi}) AS ba,
+              cos(th) / (sin(th) + cos(th) - 1.0) AS g
+       FROM v1),
+v3 AS (SELECT doc_id, lamw, phi, ba, g,
+              g * (2.0 / sin(th) - 1.0) AS p
+       FROM v2),
+v4 AS (SELECT doc_id, lamw, phi, ba, g, p,
+              ba * ba + g AS q, p * p AS p2, ba * ba AS ba2,
+              p * p + ba * ba AS den
+       FROM v3),
+v5 AS (SELECT doc_id,
+              sign(lamw) * {_crs_lit(float(_np.pi) * a)}
+                * (ba * (g - p2)
+                   + sqrt(greatest(ba2 * (g - p2) * (g - p2)
+                                   - den * (g * g - p2), 0.0))) / den
+                AS vdg_x,
+              sign(phi) * {_crs_lit(float(_np.pi) * a)}
+                * (p * q - ba
+                   * sqrt(greatest((ba2 + 1.0) * den - q * q, 0.0)))
+                / den AS vdg_y
+       FROM v4),
+-- Bonne lat_1=45 lon_0=2 (lamw re-derived about lon_0)
+b1 AS (SELECT doc_id, phi, sphi,
+              (lon - 2.0) * {d2r} - {_crs_lit(2 * _np.pi)}
+                * floor(((lon - 2.0) * {d2r} + {pi})
+                        / {_crs_lit(2 * _np.pi)}) AS lamb
+       FROM w0),
+b2 AS (SELECT doc_id, lamb,
+              cos(phi) / sqrt(1 - {e2} * sphi * sphi) AS m,
+              {am1m1} - {_merid_sql()} AS rho
+       FROM b1),
+b3 AS (SELECT doc_id, rho,
+              {_crs_lit(a)} * m * lamb / rho AS ea
+       FROM b2),
+bon AS (SELECT doc_id, rho * sin(ea) AS bon_x,
+               {am1_l} - rho * cos(ea) AS bon_y
+        FROM b3),
+-- Goode homolosine: lobe cm, sinu band, 8-step moll Newton outside
+g0 AS (SELECT doc_id, lamw, phi, sphi,
+              lamw - {cm_case} AS lamz, {cm_case} AS cm,
+              {pi} * sin(phi) AS ps, phi AS th
+       FROM w0),
+{newtons}gh AS (SELECT g8.doc_id,
+              {_crs_lit(a)} * ((CASE WHEN abs(g8.phi) > {phib}
+                 THEN {moll_cx} * g8.lamz * cos(g8.th)
+                 ELSE g8.lamz * cos(g8.phi) END) + g0.cm) AS igh_x,
+              {_crs_lit(a)} * (CASE WHEN abs(g8.phi) > {phib}
+                 THEN {sq2} * sin(g8.th) - sign(g8.phi) * {dy0}
+                 ELSE g8.phi END) AS igh_y
+       FROM g8 JOIN g0 USING (doc_id))
+SELECT doc_id,
+       ROUND(ee_x, 4) AS ee_x, ROUND(ee_y, 4) AS ee_y,
+       ROUND(vdg_x, 4) AS vdg_x, ROUND(vdg_y, 4) AS vdg_y,
+       ROUND(bon_x, 4) AS bon_x, ROUND(bon_y, 4) AS bon_y,
+       ROUND(igh_x, 4) AS igh_x, ROUND(igh_y, 4) AS igh_y
+FROM ee3 JOIN v5 USING (doc_id) JOIN bon USING (doc_id)
+         JOIN gh USING (doc_id)"""
+
+
+@_reg("st_transform_worldmap2", f"""
+{_pts_cte()},{_worldmap2_sql()}
+""")
+def q_st_transform_worldmap2(spark, sf_dir):
+    """ST_Transform through the round-4 world-map additions: Equal Earth
+    (EPSG:8857 — the modern equal-area web map default), Van der
+    Grinten I (the classic NatGeo circular world map), ellipsoidal
+    Bonne (EPSG 9827), and the interrupted Goode homolosine (the USGS /
+    NASA land-cover projection). The reference resolves all four
+    through the PROJ method table (ogr/ogrct.cpp:919-948); the oracle
+    replays each kernel closed-form in SQL (authalic series, Snyder 29
+    closed form, folded Bonne scalars, piecewise lobes + unrolled
+    Mollweide Newton)."""
+    st.register_all(spark)
+    p = datagen.points(spark, sf_dir).where(F.col("doc_id") % 5 == 2)
+    p.createOrReplaceTempView("t_wm2_pts")
+
+    def cols(crs, px, py):
+        return (f"ROUND(ST_X(ST_Transform(ST_MakePoint(lon, lat), "
+                f"'EPSG:4326', '{crs}')), 4) AS {px}, "
+                f"ROUND(ST_Y(ST_Transform(ST_MakePoint(lon, lat), "
+                f"'EPSG:4326', '{crs}')), 4) AS {py}")
+    return spark.sql(f"""
+        SELECT doc_id,
+          {cols('EPSG:8857', 'ee_x', 'ee_y')},
+          {cols(_VANDG_CRS, 'vdg_x', 'vdg_y')},
+          {cols(_BONNE_CRS, 'bon_x', 'bon_y')},
+          {cols(_IGH_CRS, 'igh_x', 'igh_y')}
+        FROM t_wm2_pts""")

@@ -1416,6 +1416,258 @@ def robin_inverse(x, y, lon0: float = 0.0,
     return _wrap_rad(lon0 * _D2R + lam) / _D2R, sgn * alat
 
 
+# Equal Earth (Savric, Patterson & Jenny 2018; EPSG:8857, PROJ +proj=eqearth).
+# Polynomial pseudo-cylindrical on the AUTHALIC sphere: theta = asin(M sin
+# beta) with M = sqrt(3)/2, x/y from the published A1..A4 polynomial, scaled
+# by the authalic radius Rq = a sqrt(qp/2) (exactly equal-area on WGS84).
+_EE_A1, _EE_A2, _EE_A3, _EE_A4 = 1.340264, -0.081106, 0.000893, 0.003796
+_EE_M = float(np.sqrt(3.0) / 2.0)
+_EE_ITERS = 10
+
+
+def _ee_poly(th):
+    t2 = th * th
+    t6 = t2 * t2 * t2
+    return th * (_EE_A1 + _EE_A2 * t2 + t6 * (_EE_A3 + _EE_A4 * t2))
+
+
+def _ee_dpoly(th):
+    t2 = th * th
+    t6 = t2 * t2 * t2
+    return _EE_A1 + 3.0 * _EE_A2 * t2 + t6 * (7.0 * _EE_A3
+                                              + 9.0 * _EE_A4 * t2)
+
+
+def eqearth_forward(lon, lat, lon0: float = 0.0,
+                    fe: float = 0.0, fn: float = 0.0,
+                    ellps: tuple[float, float] = ELLIPSOIDS["WGS84"]):
+    a, f = ellps
+    lam = _wrap_rad((np.asarray(lon, np.float64) - lon0) * _D2R)
+    phi = np.asarray(lat, np.float64) * _D2R
+    if f == 0.0:
+        beta, rq = phi, a
+    else:
+        beta = np.arcsin(np.clip(_authalic_q(np.sin(phi)) / _QP,
+                                 -1.0, 1.0))
+        rq = _RQ
+    th = np.arcsin(np.clip(_EE_M * np.sin(beta), -1.0, 1.0))
+    return (fe + rq * lam * np.cos(th) / (_EE_M * _ee_dpoly(th)),
+            fn + rq * _ee_poly(th))
+
+
+def eqearth_inverse(x, y, lon0: float = 0.0,
+                    fe: float = 0.0, fn: float = 0.0,
+                    ellps: tuple[float, float] = ELLIPSOIDS["WGS84"]):
+    a, f = ellps
+    rq = a if f == 0.0 else _RQ
+    yc = (np.asarray(y, np.float64) - fn) / rq
+    th = np.copy(yc)
+    for _ in range(_EE_ITERS):           # fixed count: SQL-replayable
+        th = th - (_ee_poly(th) - yc) / _ee_dpoly(th)
+    beta = np.arcsin(np.clip(np.sin(th) / _EE_M, -1.0, 1.0))
+    if f == 0.0:
+        phi = beta
+    else:
+        e2, e4, e6 = _E2, _E2 ** 2, _E2 ** 3
+        phi = beta + (e2 / 3 + 31 * e4 / 180 + 517 * e6 / 5040) \
+            * np.sin(2 * beta) \
+            + (23 * e4 / 360 + 251 * e6 / 3780) * np.sin(4 * beta) \
+            + (761 * e6 / 45360) * np.sin(6 * beta)
+    lam = (np.asarray(x, np.float64) - fe) * _EE_M * _ee_dpoly(th) \
+        / (rq * np.cos(th))
+    return _wrap_rad(lon0 * _D2R + lam) / _D2R, phi / _D2R
+
+
+def vandg_forward(lon, lat, lon0: float = 0.0,
+                  fe: float = 0.0, fn: float = 0.0,
+                  ellps: tuple[float, float] = ELLIPSOIDS["WGS84"]):
+    """Van der Grinten I forward (Snyder 29-6..29-17, sphere) — the
+    classic circular world map (the old NatGeo reference map)."""
+    a, _f = ellps
+    lam = _wrap_rad((np.asarray(lon, np.float64) - lon0) * _D2R)
+    phi = np.asarray(lat, np.float64) * _D2R
+    th = np.arcsin(np.clip(np.abs(2.0 * phi / np.pi), 0.0, 1.0))
+    sth, cth = np.sin(th), np.cos(th)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        big_a = 0.5 * np.abs(np.pi / lam - lam / np.pi)
+        g = cth / (sth + cth - 1.0)
+        p = g * (2.0 / sth - 1.0)
+        q = big_a * big_a + g
+        p2 = p * p
+        a2 = big_a * big_a
+        den = p2 + a2
+        x = (np.sign(lam) * np.pi * a
+             * (big_a * (g - p2)
+                + np.sqrt(np.maximum(a2 * (g - p2) ** 2
+                                     - den * (g * g - p2), 0.0))) / den)
+        y = (np.sign(phi) * np.pi * a
+             * (p * q - big_a
+                * np.sqrt(np.maximum((a2 + 1.0) * den - q * q, 0.0)))
+             / den)
+    # special rows: equator -> (R lam, 0); central meridian / poles ->
+    # (0, +-pi R tan(theta/2))
+    on_eq = np.abs(phi) < 1e-12
+    on_cm = (np.abs(lam) < 1e-12) | (np.abs(np.abs(phi) - np.pi / 2)
+                                     < 1e-12)
+    x = np.where(on_eq, a * lam, np.where(on_cm, 0.0, x))
+    y = np.where(on_eq, 0.0,
+                 np.where(on_cm, np.sign(phi) * np.pi * a
+                          * np.tan(0.5 * th), y))
+    return fe + x, fn + y
+
+
+def vandg_inverse(x, y, lon0: float = 0.0,
+                  fe: float = 0.0, fn: float = 0.0,
+                  ellps: tuple[float, float] = ELLIPSOIDS["WGS84"]):
+    """Van der Grinten I inverse — Snyder's closed cubic solution
+    (29-18..29-25)."""
+    a, _f = ellps
+    bx = (np.asarray(x, np.float64) - fe) / (np.pi * a)
+    by = (np.asarray(y, np.float64) - fn) / (np.pi * a)
+    x2 = bx * bx
+    y2 = by * by
+    c1 = -np.abs(by) * (1.0 + x2 + y2)
+    c2 = c1 - 2.0 * y2 + x2
+    c3 = -2.0 * c1 + 1.0 + 2.0 * y2 + (x2 + y2) ** 2
+    with np.errstate(divide="ignore", invalid="ignore"):
+        d = y2 / c3 + (2.0 * c2 ** 3 / c3 ** 3
+                       - 9.0 * c1 * c2 / (c3 * c3)) / 27.0
+        a1 = (c1 - c2 * c2 / (3.0 * c3)) / c3
+        m1 = 2.0 * np.sqrt(np.maximum(-a1 / 3.0, 0.0))
+        th1 = np.arccos(np.clip(3.0 * d / (a1 * m1), -1.0, 1.0)) / 3.0
+        phi = np.sign(by) * np.pi * (-m1 * np.cos(th1 + np.pi / 3.0)
+                                     - c2 / (3.0 * c3))
+        lam = np.where(
+            np.abs(bx) < 1e-12, 0.0,
+            np.pi * (x2 + y2 - 1.0
+                     + np.sqrt(1.0 + 2.0 * (x2 - y2)
+                               + (x2 + y2) ** 2)) / (2.0 * bx))
+    phi = np.where(np.abs(by) < 1e-12, 0.0, phi)
+    return _wrap_rad(lon0 * _D2R + lam) / _D2R, phi / _D2R
+
+
+def bonne_forward(lon, lat, lat1: float, lon0: float = 0.0,
+                  fe: float = 0.0, fn: float = 0.0,
+                  ellps: tuple[float, float] = ELLIPSOIDS["WGS84"]):
+    """Bonne forward (EPSG 9827 / Snyder 14-1..14-5, ellipsoidal) — the
+    equal-area heart-shaped projection of classic national atlases
+    (France pre-Lambert, Switzerland pre-omerc)."""
+    a, f = ellps
+    e2 = f * (2.0 - f)
+    lam = _wrap_rad((np.asarray(lon, np.float64) - lon0) * _D2R)
+    phi = np.asarray(lat, np.float64) * _D2R
+    p1 = lat1 * _D2R
+    m1 = np.cos(p1) / np.sqrt(1 - e2 * np.sin(p1) ** 2)
+    am1 = a * m1 / np.sin(p1)
+    big_m1 = merid_arc(np.float64(p1), ellps)
+    sphi = np.sin(phi)
+    m = np.cos(phi) / np.sqrt(1 - e2 * sphi * sphi)
+    rho = am1 + big_m1 - merid_arc(phi, ellps)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        e_ang = np.where(np.abs(rho) > 1e-9, a * m * lam / rho, 0.0)
+    return (fe + rho * np.sin(e_ang),
+            fn + am1 - rho * np.cos(e_ang))
+
+
+def bonne_inverse(x, y, lat1: float, lon0: float = 0.0,
+                  fe: float = 0.0, fn: float = 0.0,
+                  ellps: tuple[float, float] = ELLIPSOIDS["WGS84"]):
+    """Bonne inverse (Snyder 14-6..14-9)."""
+    a, f = ellps
+    e2 = f * (2.0 - f)
+    p1 = lat1 * _D2R
+    m1 = np.cos(p1) / np.sqrt(1 - e2 * np.sin(p1) ** 2)
+    am1 = a * m1 / np.sin(p1)
+    big_m1 = merid_arc(np.float64(p1), ellps)
+    xx = np.asarray(x, np.float64) - fe
+    yy = am1 - (np.asarray(y, np.float64) - fn)
+    rho = np.sign(p1) * np.sqrt(xx * xx + yy * yy)
+    big_m = am1 + big_m1 - rho
+    phi = phi_from_m(big_m, ellps)
+    sphi = np.sin(phi)
+    m = np.cos(phi) / np.sqrt(1 - e2 * sphi * sphi)
+    sgn = np.sign(p1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        lam = np.where(np.abs(m) > 1e-12,
+                       rho * np.arctan2(sgn * xx, sgn * yy) / (a * m),
+                       0.0)
+    return _wrap_rad(lon0 * _D2R + lam) / _D2R, phi / _D2R
+
+
+# Goode homolosine (interrupted; PROJ +proj=igh) — sinusoidal inside
+# +-40d44'11.8" (where sinu and moll scale match), Mollweide lobes outside,
+# 2 northern / 4 southern lobes at the standard interruptions. Spherical
+# (PROJ forces es = 0 for igh).
+_IGH_PHI_B = (40.0 + 44.0 / 60.0 + 11.8 / 3600.0) * np.pi / 180.0
+# moll y(phi_b) - sinu y(phi_b) on the unit sphere (continuity offset)
+_IGH_DY0 = float(np.sqrt(2.0)
+                 * np.sin(_moll_theta(np.float64(_IGH_PHI_B)))
+                 - _IGH_PHI_B)
+_IGH_CM_N = (-100.0, 30.0)                     # lobe central meridians (deg)
+_IGH_CM_S = (-160.0, -60.0, 20.0, 140.0)
+_IGH_SPLIT_N = (-40.0,)                        # interruptions (deg)
+_IGH_SPLIT_S = (-100.0, -20.0, 80.0)
+
+
+def _igh_zone_cm(val_deg: np.ndarray, south: np.ndarray) -> np.ndarray:
+    """Lobe central meridian (radians) for a longitude-like value."""
+    cm_n = np.where(val_deg <= _IGH_SPLIT_N[0],
+                    _IGH_CM_N[0], _IGH_CM_N[1])
+    cm_s = np.select(
+        [val_deg <= _IGH_SPLIT_S[0], val_deg <= _IGH_SPLIT_S[1],
+         val_deg <= _IGH_SPLIT_S[2]],
+        [_IGH_CM_S[0], _IGH_CM_S[1], _IGH_CM_S[2]], _IGH_CM_S[3])
+    return np.where(south, cm_s, cm_n) * _D2R
+
+
+def igh_forward(lon, lat, lon0: float = 0.0,
+                fe: float = 0.0, fn: float = 0.0,
+                ellps: tuple[float, float] = ELLIPSOIDS["WGS84"]):
+    a, _f = ellps
+    lam = _wrap_rad((np.asarray(lon, np.float64) - lon0) * _D2R)
+    phi = np.asarray(lat, np.float64) * _D2R
+    cm = _igh_zone_cm(lam / _D2R, phi < 0.0)
+    lamz = lam - cm
+    # sinusoidal band
+    xs = lamz * np.cos(phi)
+    ys = phi
+    # mollweide lobes, shifted for continuity at the band edge
+    th = _moll_theta(phi)
+    xm = 2.0 * np.sqrt(2.0) / np.pi * lamz * np.cos(th)
+    ym = np.sqrt(2.0) * np.sin(th) - np.sign(phi) * _IGH_DY0
+    moll = np.abs(phi) > _IGH_PHI_B
+    return (fe + a * (np.where(moll, xm, xs) + cm),
+            fn + a * np.where(moll, ym, ys))
+
+
+def igh_inverse(x, y, lon0: float = 0.0,
+                fe: float = 0.0, fn: float = 0.0,
+                ellps: tuple[float, float] = ELLIPSOIDS["WGS84"]):
+    a, _f = ellps
+    xx = (np.asarray(x, np.float64) - fe) / a
+    yy = (np.asarray(y, np.float64) - fn) / a
+    cm = _igh_zone_cm(xx / _D2R, yy < 0.0)
+    xz = xx - cm
+    moll = np.abs(yy) > _IGH_PHI_B
+    # sinusoidal band
+    phs = yy
+    with np.errstate(divide="ignore", invalid="ignore"):
+        lms = np.where(np.abs(np.cos(phs)) > 1e-12,
+                       xz / np.cos(phs), 0.0)
+    # mollweide lobes (undo the continuity shift)
+    ym = yy + np.sign(yy) * _IGH_DY0
+    th = np.arcsin(np.clip(ym / np.sqrt(2.0), -1.0, 1.0))
+    phm = np.arcsin(np.clip((2.0 * th + np.sin(2.0 * th)) / np.pi,
+                            -1.0, 1.0))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        lmm = np.where(np.abs(np.cos(th)) > 1e-12,
+                       np.pi * xz / (2.0 * np.sqrt(2.0) * np.cos(th)),
+                       0.0)
+    phi = np.where(moll, phm, phs)
+    lam = np.where(moll, lmm, lms) + cm
+    return _wrap_rad(lon0 * _D2R + lam) / _D2R, phi / _D2R
+
+
 # ---------------------------------------------------------------------------
 # Geostationary satellite view (+proj=geos; the CGMS LRIT/HRIT normalized
 # geostationary projection used by GOES-R fixed grids, sweep axis x, and
@@ -1803,14 +2055,18 @@ _LONGTAIL_FWD = {"eqc": eqc_forward, "cea": cea_forward,
                  "aeqd": aeqd_forward, "ortho": ortho_forward,
                  "gnom": gnom_forward, "moll": moll_forward,
                  "eck4": eck4_forward, "mill": mill_forward,
-                 "robin": robin_forward, "geos": geos_forward}
+                 "robin": robin_forward, "geos": geos_forward,
+                 "eqearth": eqearth_forward, "vandg": vandg_forward,
+                 "igh": igh_forward, "bonne": bonne_forward}
 _LONGTAIL_INV = {"eqc": eqc_inverse, "cea": cea_inverse,
                  "sinu": sinu_inverse, "cass": cass_inverse,
                  "poly": poly_inverse, "eqdc": eqdc_inverse,
                  "aeqd": aeqd_inverse, "ortho": ortho_inverse,
                  "gnom": gnom_inverse, "moll": moll_inverse,
                  "eck4": eck4_inverse, "mill": mill_inverse,
-                 "robin": robin_inverse, "geos": geos_inverse}
+                 "robin": robin_inverse, "geos": geos_inverse,
+                 "eqearth": eqearth_inverse, "vandg": vandg_inverse,
+                 "igh": igh_inverse, "bonne": bonne_inverse}
 _LONGTAIL_FAMS = tuple(_LONGTAIL_FWD)
 
 
@@ -1961,8 +2217,12 @@ def _proj_inner_kind(kv: dict):
     if proj == "cea":
         return ("cea", f("lon_0", 0.0), f("lat_ts", 0.0),
                 f("x_0", 0.0), f("y_0", 0.0))
-    if proj in ("sinu", "moll", "eck4", "mill", "robin"):
+    if proj in ("sinu", "moll", "eck4", "mill", "robin", "eqearth",
+                "vandg", "igh"):
         return (proj, f("lon_0", 0.0), f("x_0", 0.0), f("y_0", 0.0))
+    if proj == "bonne":
+        return ("bonne", f("lat_1", 0.0), f("lon_0", 0.0),
+                f("x_0", 0.0), f("y_0", 0.0))
     if proj == "geos":
         return ("geos", f("lon_0", 0.0), f("h", 35785831.0),
                 kv.get("sweep", "y") == "x", f("x_0", 0.0), f("y_0", 0.0))
@@ -2069,6 +2329,12 @@ _WKT_METHODS = {
     "ORTHOGRAPHIC_(SPHERICAL)": "ortho",
     "GNOMONIC": "gnom",
     "MOLLWEIDE": "moll",
+    "EQUAL_EARTH": "eqearth",
+    "VANDERGRINTEN": "vandg",
+    "VAN_DER_GRINTEN_I": "vandg",
+    "BONNE": "bonne",
+    "GOODE_HOMOLOSINE": "igh",
+    "INTERRUPTED_GOODE_HOMOLOSINE": "igh",
     "ECKERT_IV": "eck4",
     "MILLER_CYLINDRICAL": "mill",
     "ROBINSON": "robin",
@@ -2242,8 +2508,13 @@ def _parse_wkt_kind(crs: str):
         lat_ts = g(("standard_parallel_1",
                     "latitude_of_1st_standard_parallel"))
         return ("cea", lon0, lat_ts, fe, fn)
-    if fam in ("sinu", "moll", "eck4", "mill", "robin"):
+    if fam in ("sinu", "moll", "eck4", "mill", "robin", "eqearth",
+               "vandg", "igh"):
         return (fam, lon0, fe, fn)
+    if fam == "bonne":
+        lat1 = g(("standard_parallel_1",
+                  "latitude_of_1st_standard_parallel"))
+        return ("bonne", lat1, lon0, fe, fn)
     if fam in ("geos", "geosx"):
         hh = g(("satellite_height",), 35785831.0)
         return ("geos", lon0, hh, fam == "geosx", fe, fn)
@@ -2292,6 +2563,8 @@ def _parse_crs(crs: str):
         zone = int(crs[8:])
         if 1 <= zone <= 60:
             return ("utm", -183.0 + 6.0 * zone, True)
+    if crs == "EPSG:8857":       # WGS84 / Equal Earth Greenwich
+        return ("eqearth", 0.0, 0.0, 0.0)
     if crs == "EPSG:3035":        # ETRS89-extended / LAEA Europe
         return ("laea", 10.0, 52.0, 4321000.0, 3210000.0)
     if crs == "EPSG:2154":        # RGF93 / Lambert-93 (LCC 2SP)
@@ -3001,7 +3274,12 @@ def format_proj4_kind(kind) -> str:
         _, lon0, lat_ts, fe, fn = kind
         return (f"+proj=cea +lat_ts={lat_ts:.10g} +lon_0={lon0:.10g} "
                 f"+x_0={fe:.10g} +y_0={fn:.10g} +datum=WGS84 +units=m +no_defs")
-    if fam in ("sinu", "moll", "eck4", "mill", "robin"):
+    if fam == "bonne":
+        _, lat1, lon0, fe, fn = kind
+        return (f"+proj=bonne +lat_1={lat1:.10g} +lon_0={lon0:.10g} "
+                f"+x_0={fe:.10g} +y_0={fn:.10g} +datum=WGS84 +units=m +no_defs")
+    if fam in ("sinu", "moll", "eck4", "mill", "robin", "eqearth",
+               "vandg", "igh"):
         _, lon0, fe, fn = kind
         return (f"+proj={fam} +lon_0={lon0:.10g} "
                 f"+x_0={fe:.10g} +y_0={fn:.10g} +datum=WGS84 +units=m +no_defs")
@@ -3165,11 +3443,22 @@ def format_wkt1(crs: str) -> str:
                   f'PARAMETER["satellite_height",{hh:.10g}],'
                   f'PARAMETER["false_easting",{fe:.10g}],'
                   f'PARAMETER["false_northing",{fn:.10g}],UNIT["metre",1]]')
-    if fam in ("sinu", "moll", "eck4", "mill", "robin"):
+    if fam == "bonne":
+        _, lat1, lon0, fe, fn = kind
+        return ('PROJCS["unnamed",' + _WGS84_GEOGCS
+                + ',PROJECTION["Bonne"],'
+                  f'PARAMETER["standard_parallel_1",{lat1:.10g}],'
+                  f'PARAMETER["central_meridian",{lon0:.10g}],'
+                  f'PARAMETER["false_easting",{fe:.10g}],'
+                  f'PARAMETER["false_northing",{fn:.10g}],UNIT["metre",1]]')
+    if fam in ("sinu", "moll", "eck4", "mill", "robin", "eqearth",
+               "vandg", "igh"):
         _, lon0, fe, fn = kind
         method = {"sinu": "Sinusoidal", "moll": "Mollweide",
                   "eck4": "Eckert_IV", "mill": "Miller_Cylindrical",
-                  "robin": "Robinson"}[fam]
+                  "robin": "Robinson", "eqearth": "Equal_Earth",
+                  "vandg": "VanDerGrinten",
+                  "igh": "Interrupted_Goode_Homolosine"}[fam]
         return ('PROJCS["unnamed",' + _WGS84_GEOGCS
                 + f',PROJECTION["{method}"],'
                   f'PARAMETER["central_meridian",{lon0:.10g}],'
