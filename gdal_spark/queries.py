@@ -10179,3 +10179,48 @@ def q_st_transform_worldmap2(spark, sf_dir):
           {cols(_BONNE_CRS, 'bon_x', 'bon_y')},
           {cols(_IGH_CRS, 'igh_x', 'igh_y')}
         FROM t_wm2_pts""")
+
+
+@_reg("usgsdem_roundtrip", _DENSITY_VALS_SQL.replace(
+    "vals AS (SELECT", "vals AS (SELECT g.x, g.y,") + """
+SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+       CAST(CAST(v AS BIGINT) - 8 AS DOUBLE) AS v
+FROM vals
+""")
+def q_usgsdem_roundtrip(spark, sf_dir):
+    """USGS ASCII DEM round trip (frmts/usgsdem/usgsdemdataset.cpp):
+    the density raster, shifted by -8 to exercise negative I6
+    elevations, writes as new-format 1024-byte-record profiles (one
+    pwrite per tile column, 146/170 value packing) and reads back
+    through per-profile byte-range tasks with the reference's token
+    semantics; the oracle recomputes every cell. The same reader passes
+    the reference autotest golden checksums (tests/test_usgsdem.py:
+    1583 / 53864 / 61424)."""
+    import os
+    import tempfile
+    from .raster.tiles import decode_px, gdal2xyz
+    from .sources.usgsdem import read_usgsdem, write_usgsdem
+    import pandas as pd
+
+    t = _density_tiles_full(spark, sf_dir)
+
+    def shift(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                arr = decode_px(r.px, r.dtype, 8) - 8.0
+                out.append((r.band, r.zoom, r.tile_x, r.tile_y,
+                            "f8", r.nodata, arr.tobytes()))
+            yield pd.DataFrame(out, columns=list(pdf.columns))
+
+    t8 = t.mapInPandas(shift, t.schema)
+    path = os.path.join(tempfile.gettempdir(),
+                        f"gdal_spark_usgsdem_{os.getpid()}.dem")
+    write_usgsdem(t8, path, width_px=64, height_px=64, tile=8,
+                  x0=-180.0, y_top=90.0, dx=5.625, dy=2.8125,
+                  geographic=True)
+    back = read_usgsdem(spark, path, tile=8)
+    rows = gdal2xyz(back, tile=8)
+    return rows.select(F.col("x").cast("long").alias("x"),
+                       F.col("y").cast("long").alias("y"),
+                       F.col("value").cast("double").alias("v"))

@@ -218,6 +218,9 @@ def open_raster(spark, path: str, tile: int = 256, **kwargs):
     if low.endswith((".dt0", ".dt1", ".dt2")):
         from .dted import read_dted
         return read_dted(spark, path, tile=tile, **kwargs)[0]
+    if low.endswith(".dem"):
+        from .usgsdem import read_usgsdem
+        return read_usgsdem(spark, path, tile=tile, **kwargs)
     if low.endswith((".grib", ".grb", ".grb1")):
         from .grib import read_grib
         return read_grib(spark, path, tile=tile, **kwargs)[0]
@@ -375,6 +378,10 @@ def save_raster(tiles, path: str, tile: int = 256, **kwargs):
         from .dted import write_dted
         return write_dted(tiles, path, ncols=w, nrows=h, tile=tile,
                           **kwargs)
+    if low.endswith(".dem"):
+        from .usgsdem import write_usgsdem
+        return write_usgsdem(tiles, path, width_px=w, height_px=h,
+                             tile=tile, **kwargs)
     if low.endswith(".zarr") or low.rstrip("/").endswith(".zarr"):
         from .zarr import write_zarr
         return write_zarr(tiles, path, width=w, height=h, tile=tile,
