@@ -10224,3 +10224,67 @@ def q_usgsdem_roundtrip(spark, sf_dir):
     return rows.select(F.col("x").cast("long").alias("x"),
                        F.col("y").cast("long").alias("y"),
                        F.col("value").cast("double").alias("v"))
+
+
+@_reg("grib2_ingest", """
+WITH m AS (SELECT * FROM (VALUES (1), (2), (3)) t(band)),
+px AS (
+  SELECT band, x.x, y.y,
+         ((band * 17 + x.x * 3 + y.y * 7) % 400) + 20000 AS cs
+  FROM m, range(41) x(x), range(37) y(y)
+)
+SELECT band, 41 AS ni, 37 AS nj,
+       CAST(count(*) AS BIGINT) AS n_valid,
+       CAST(SUM(cs) AS BIGINT) AS sum_cs
+FROM px
+WHERE band < 3 OR (x + y) % 5 <> 0
+GROUP BY band
+""")
+def q_grib2_ingest(spark, sf_dir):
+    """GRIB2 ingest (frmts/grib via degrib/g2clib): three edition-2
+    simple-packing fields — the third under a section-6 bitmap — with
+    centi-exact values so 12-bit packing round-trips bit-exactly;
+    decoded executor-side (the same parser that matches all six
+    reference autotest golden checksums incl. complex packing +
+    spatial differencing, tests/test_grib2.py), masked cells read as
+    the reference's 9999 nodata and are excluded from the aggregate.
+    The oracle recomputes the masked integer sums closed-form."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from .raster.tiles import decode_px
+    from .sources.grib2 import read_grib2, write_grib2
+
+    path = os.path.join(tempfile.gettempdir(),
+                        f"gdal_spark_grib2_{os.getpid()}.grb2")
+    if not os.path.exists(path):
+        y, x = np.mgrid[0:37, 0:41]
+        arrays = [(((b * 17 + x * 3 + y * 7) % 400) + 20000) / 100.0
+                  for b in (1, 2, 3)]
+        bm = (x + y) % 5 != 0
+        write_grib2(arrays, path, bitmaps=[None, None, bm])
+    tiles, metas = read_grib2(spark, path, tile=64)
+
+    import pandas as pd
+
+    def agg(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                arr = decode_px(r.px, r.dtype, 64)[:37, :41]
+                valid = arr != 9999.0
+                rows.append((int(r.band), int(valid.sum()),
+                             int(np.rint(arr[valid] * 100.0).sum())))
+            yield pd.DataFrame(rows, columns=["band", "n_valid",
+                                              "sum_cs"])
+
+    per_tile = tiles.mapInPandas(
+        agg, "band int, n_valid long, sum_cs long")
+    return (per_tile.groupBy("band")
+            .agg(F.lit(41).alias("ni"), F.lit(37).alias("nj"),
+                 F.sum("n_valid").alias("n_valid"),
+                 F.sum("sum_cs").alias("sum_cs"))
+            .select(F.col("band").cast("int").alias("band"),
+                    "ni", "nj", "n_valid", "sum_cs"))

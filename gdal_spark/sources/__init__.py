@@ -221,7 +221,15 @@ def open_raster(spark, path: str, tile: int = 256, **kwargs):
     if low.endswith(".dem"):
         from .usgsdem import read_usgsdem
         return read_usgsdem(spark, path, tile=tile, **kwargs)
+    if low.endswith((".grib2", ".grb2")):
+        from .grib2 import read_grib2
+        return read_grib2(spark, path, tile=tile, **kwargs)[0]
     if low.endswith((".grib", ".grb", ".grb1")):
+        with open(path, "rb") as fh:        # mixed extensions: sniff edition
+            ed = (fh.read(8) + b"\0" * 8)[7]
+        if ed == 2:
+            from .grib2 import read_grib2
+            return read_grib2(spark, path, tile=tile, **kwargs)[0]
         from .grib import read_grib
         return read_grib(spark, path, tile=tile, **kwargs)[0]
     if low.endswith(".nc"):
