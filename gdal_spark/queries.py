@@ -10288,3 +10288,48 @@ def q_grib2_ingest(spark, sf_dir):
                  F.sum("sum_cs").alias("sum_cs"))
             .select(F.col("band").cast("int").alias("band"),
                     "ni", "nj", "n_valid", "sum_cs"))
+
+
+@_reg("hfa_roundtrip", _DENSITY_VALS_SQL.replace(
+    "vals AS (SELECT", "vals AS (SELECT g.x, g.y,") + """
+SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+       CAST(CAST(v AS BIGINT) - 8 AS DOUBLE) AS v
+FROM vals
+""")
+def q_hfa_roundtrip(spark, sf_dir):
+    """Erdas Imagine HFA round trip (frmts/hfa/): the density raster
+    (shifted -8 for negative s32 samples) writes as a single-layer
+    uncompressed .img — node tree, embedded data dictionary,
+    Edms_State virtual-block table, per-block parallel pwrite — and
+    reads back through the dictionary-driven reader whose decode path
+    (incl. ESRI GRID RLE and spill .ige files) matches the reference
+    autotest golden checksums 6691 / 23529 / 1631
+    (tests/test_hfa.py). The oracle recomputes every cell."""
+    import os
+    import tempfile
+    from .raster.tiles import decode_px, gdal2xyz
+    from .sources.hfa import read_hfa, write_hfa
+    import pandas as pd
+
+    t = _density_tiles_full(spark, sf_dir)
+
+    def shift(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                arr = decode_px(r.px, r.dtype, 8) - 8.0
+                out.append((r.band, r.zoom, r.tile_x, r.tile_y,
+                            "f8", r.nodata, arr.tobytes()))
+            yield pd.DataFrame(out, columns=list(pdf.columns))
+
+    t8 = t.mapInPandas(shift, t.schema)
+    path = os.path.join(tempfile.gettempdir(),
+                        f"gdal_spark_hfa_{os.getpid()}.img")
+    write_hfa(t8, path, width_px=64, height_px=64, tile=8,
+              pixel_type=8,
+              gt=(-180.0, 5.625, 0.0, 90.0, 0.0, -2.8125))
+    back, _ = read_hfa(spark, path)
+    rows = gdal2xyz(back, tile=8)
+    return rows.select(F.col("x").cast("long").alias("x"),
+                       F.col("y").cast("long").alias("y"),
+                       F.col("value").cast("double").alias("v"))

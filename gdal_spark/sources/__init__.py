@@ -235,6 +235,12 @@ def open_raster(spark, path: str, tile: int = 256, **kwargs):
     if low.endswith(".nc"):
         from .netcdf import read_netcdf
         return read_netcdf(spark, path, tile=tile, **kwargs)[0]
+    if low.endswith(".img"):
+        with open(path, "rb") as fh:        # Imagine vs ENVI .img: magic
+            magic = fh.read(15)
+        if magic == b"EHFA_HEADER_TAG":
+            from .hfa import read_hfa
+            return read_hfa(spark, path, **kwargs)[0]
     if low.endswith((".dat", ".img", ".bsq", ".bip")) or (
             low.endswith(".hdr") and _is_envi_hdr(path)):
         from .rawraster import read_envi
