@@ -10333,3 +10333,68 @@ def q_hfa_roundtrip(spark, sf_dir):
     return rows.select(F.col("x").cast("long").alias("x"),
                        F.col("y").cast("long").alias("y"),
                        F.col("value").cast("double").alias("v"))
+
+
+def _nzmg_sql():
+    """DuckDB replay of the NZMG forward: the psi Horner chain and the
+    complex-Horner B series as six real mult-add CTE steps (numpy's
+    complex multiply formula term-for-term)."""
+    from .raster import transforms as _tr
+    d2r = _CONIC_D2R
+    a_horner = "0.0"
+    for k in range(9, -1, -1):
+        a_horner = f"(({a_horner}) + {_crs_lit(_tr._NZMG_A[k])}) * dphi"
+    steps = []
+    cur_r, cur_i = "0.0", "0.0"
+    for i, k in enumerate(range(5, -1, -1)):
+        br = _crs_lit(float(_tr._NZMG_B[k].real))
+        bi = _crs_lit(float(_tr._NZMG_B[k].imag))
+        steps.append(
+            f"h{i} AS (SELECT doc_id, zr, zi,\n"
+            f"  (({cur_r}) + {br}) * zr - (({cur_i}) + {bi}) * zi AS wr,\n"
+            f"  (({cur_r}) + {br}) * zi + (({cur_i}) + {bi}) * zr AS wi\n"
+            f"  FROM {'h' + str(i - 1) if i else 'nz1'})")
+        cur_r, cur_i = "wr", "wi"
+    a0 = _crs_lit(_tr._NZMG_A0)
+    return f"""
+nz0 AS (SELECT doc_id,
+               165.0 + ((doc_id * 7919) % 1500) / 100.0 AS lon,
+               -47.9 + ((doc_id * 104729) % 1400) / 100.0 AS lat
+        FROM documents WHERE doc_id % 3 = 1),
+nz1 AS (SELECT doc_id, {a_horner.replace('dphi',
+                         '((lat + 41.0) * 0.036)')} AS zr,
+               (lon - 173.0) * {d2r} AS zi
+        FROM nz0),
+{','.join(steps)}
+SELECT doc_id,
+       ROUND(2510000.0 + {a0} * wi, 4) AS e_r,
+       ROUND(6023150.0 + {a0} * wr, 4) AS n_r
+FROM h5"""
+
+
+@_reg("st_transform_nzmg", f"WITH {_nzmg_sql()}")
+def q_st_transform_nzmg(spark, sf_dir):
+    """ST_Transform through the New Zealand Map Grid (EPSG 9811 /
+    +proj=nzmg) — the Reeves 1978 sixth-order complex-polynomial
+    conformal projection, the one national grid no standard projection
+    family expresses. Synthetic NZ-box points (derived from doc_id)
+    project through the numpy complex-Horner kernel; the oracle replays
+    the psi series and all six complex multiply-add steps in SQL.
+    Constants pinned by the projection's defining property in
+    tests/test_nzmg.py (land scale within 2.6e-4, exact conformality,
+    known city coordinates)."""
+    st.register_all(spark)
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 1)
+    p = d.select(
+        "doc_id",
+        (165.0 + (F.col("doc_id") * 7919 % 1500) / 100.0).alias("lon"),
+        (-47.9 + (F.col("doc_id") * 104729 % 1400) / 100.0).alias("lat"))
+    p.createOrReplaceTempView("t_nzmg_pts")
+    crs = "+proj=nzmg +x_0=2510000 +y_0=6023150 +units=m +no_defs"
+    return spark.sql(f"""
+        SELECT doc_id,
+          ROUND(ST_X(ST_Transform(ST_MakePoint(lon, lat), 'EPSG:4326',
+            '{crs}')), 4) AS e_r,
+          ROUND(ST_Y(ST_Transform(ST_MakePoint(lon, lat), 'EPSG:4326',
+            '{crs}')), 4) AS n_r
+        FROM t_nzmg_pts""")

@@ -1668,6 +1668,66 @@ def igh_inverse(x, y, lon0: float = 0.0,
     return _wrap_rad(lon0 * _D2R + lam) / _D2R, phi / _D2R
 
 
+
+# New Zealand Map Grid (EPSG 9811, +proj=nzmg; EPSG:27200) — the Reeves
+# (1978) / DOSLI sixth-order complex-polynomial conformal projection on
+# International 1924 (the projection DEFINITION fixes the ellipsoid, like
+# PROJ's nzmg which forces a = 6378388). Published series: psi(dphi) with
+# dphi in 1e-5 arcsec, then w = sum B_k z^k over z = psi + i dlam.
+# Constants verified here by NZMG's defining fit property: point scale
+# within 2.6e-4 of 1 over the NZ land extent (tests/test_nzmg.py) and
+# exact conformality of the analytic series.
+_NZMG_A = np.array([0.6399175073, -0.1358797613, 0.063294409,
+                    -0.02526853, 0.0117879, -0.0055161, 0.0026906,
+                    -0.001333, 0.00067, -0.00034])
+_NZMG_B = np.array([0.7557853228 + 0j, 0.249204646 + 0.003371507j,
+                    -0.001541739 + 0.041058560j,
+                    -0.10162907 + 0.01727609j,
+                    -0.26623489 - 0.36249218j, -0.6870983 - 1.1651967j])
+_NZMG_A0 = 6378388.0
+_NZMG_LAT0, _NZMG_LON0 = -41.0, 173.0
+
+
+def nzmg_forward(lon, lat, fe: float = 0.0, fn: float = 0.0,
+                 ellps: tuple[float, float] = ELLIPSOIDS["intl"]):
+    dphi = (np.asarray(lat, np.float64) - _NZMG_LAT0) * 0.036
+    psi = np.zeros_like(dphi)
+    for k in range(9, -1, -1):             # Horner over the psi series
+        psi = (psi + _NZMG_A[k]) * dphi
+    lam = _wrap_rad((np.asarray(lon, np.float64) - _NZMG_LON0) * _D2R)
+    z = psi + 1j * lam
+    w = np.zeros_like(z)
+    for k in range(5, -1, -1):
+        w = (w + _NZMG_B[k]) * z
+    return fe + _NZMG_A0 * w.imag, fn + _NZMG_A0 * w.real
+
+
+def nzmg_inverse(x, y, fe: float = 0.0, fn: float = 0.0,
+                 ellps: tuple[float, float] = ELLIPSOIDS["intl"],
+                 iters: int = 10):
+    w = ((np.asarray(y, np.float64) - fn)
+         + 1j * (np.asarray(x, np.float64) - fe)) / _NZMG_A0
+    z = w / _NZMG_B[0]
+    for _ in range(iters):                 # complex Newton on the series
+        f = np.zeros_like(z)
+        df = np.zeros_like(z)
+        for k in range(5, -1, -1):
+            f = (f + _NZMG_B[k]) * z
+            df = df * z + (k + 1) * _NZMG_B[k]
+        z = z - (f - w) / df
+    psi = z.real
+    dphi = psi / _NZMG_A[0]
+    for _ in range(iters):                 # scalar Newton psi -> dphi
+        f = np.zeros_like(dphi)
+        df = np.zeros_like(dphi)
+        for k in range(9, -1, -1):
+            f = (f + _NZMG_A[k]) * dphi
+            df = df * dphi + (k + 1) * _NZMG_A[k]
+        dphi = dphi - (f - psi) / df
+    return (_wrap_rad(_NZMG_LON0 * _D2R + z.imag) / _D2R,
+            _NZMG_LAT0 + dphi / 0.036)
+
+
 # ---------------------------------------------------------------------------
 # Geostationary satellite view (+proj=geos; the CGMS LRIT/HRIT normalized
 # geostationary projection used by GOES-R fixed grids, sweep axis x, and
@@ -2057,7 +2117,8 @@ _LONGTAIL_FWD = {"eqc": eqc_forward, "cea": cea_forward,
                  "eck4": eck4_forward, "mill": mill_forward,
                  "robin": robin_forward, "geos": geos_forward,
                  "eqearth": eqearth_forward, "vandg": vandg_forward,
-                 "igh": igh_forward, "bonne": bonne_forward}
+                 "igh": igh_forward, "bonne": bonne_forward,
+                 "nzmg": nzmg_forward}
 _LONGTAIL_INV = {"eqc": eqc_inverse, "cea": cea_inverse,
                  "sinu": sinu_inverse, "cass": cass_inverse,
                  "poly": poly_inverse, "eqdc": eqdc_inverse,
@@ -2066,7 +2127,8 @@ _LONGTAIL_INV = {"eqc": eqc_inverse, "cea": cea_inverse,
                  "eck4": eck4_inverse, "mill": mill_inverse,
                  "robin": robin_inverse, "geos": geos_inverse,
                  "eqearth": eqearth_inverse, "vandg": vandg_inverse,
-                 "igh": igh_inverse, "bonne": bonne_inverse}
+                 "igh": igh_inverse, "bonne": bonne_inverse,
+                 "nzmg": nzmg_inverse}
 _LONGTAIL_FAMS = tuple(_LONGTAIL_FWD)
 
 
@@ -2223,6 +2285,8 @@ def _proj_inner_kind(kv: dict):
     if proj == "bonne":
         return ("bonne", f("lat_1", 0.0), f("lon_0", 0.0),
                 f("x_0", 0.0), f("y_0", 0.0))
+    if proj == "nzmg":
+        return ("nzmg", f("x_0", 2510000.0), f("y_0", 6023150.0))
     if proj == "geos":
         return ("geos", f("lon_0", 0.0), f("h", 35785831.0),
                 kv.get("sweep", "y") == "x", f("x_0", 0.0), f("y_0", 0.0))
@@ -2333,6 +2397,7 @@ _WKT_METHODS = {
     "VANDERGRINTEN": "vandg",
     "VAN_DER_GRINTEN_I": "vandg",
     "BONNE": "bonne",
+    "NEW_ZEALAND_MAP_GRID": "nzmg",
     "GOODE_HOMOLOSINE": "igh",
     "INTERRUPTED_GOODE_HOMOLOSINE": "igh",
     "ECKERT_IV": "eck4",
@@ -2515,6 +2580,8 @@ def _parse_wkt_kind(crs: str):
         lat1 = g(("standard_parallel_1",
                   "latitude_of_1st_standard_parallel"))
         return ("bonne", lat1, lon0, fe, fn)
+    if fam == "nzmg":
+        return ("nzmg", fe, fn)
     if fam in ("geos", "geosx"):
         hh = g(("satellite_height",), 35785831.0)
         return ("geos", lon0, hh, fam == "geosx", fe, fn)
@@ -3278,6 +3345,10 @@ def format_proj4_kind(kind) -> str:
         _, lat1, lon0, fe, fn = kind
         return (f"+proj=bonne +lat_1={lat1:.10g} +lon_0={lon0:.10g} "
                 f"+x_0={fe:.10g} +y_0={fn:.10g} +datum=WGS84 +units=m +no_defs")
+    if fam == "nzmg":
+        _, fe, fn = kind
+        return (f"+proj=nzmg +x_0={fe:.10g} +y_0={fn:.10g} "
+                f"+units=m +no_defs")
     if fam in ("sinu", "moll", "eck4", "mill", "robin", "eqearth",
                "vandg", "igh"):
         _, lon0, fe, fn = kind
@@ -3441,6 +3512,14 @@ def format_wkt1(crs: str) -> str:
                 + f',PROJECTION["{method}"],'
                   f'PARAMETER["central_meridian",{lon0:.10g}],'
                   f'PARAMETER["satellite_height",{hh:.10g}],'
+                  f'PARAMETER["false_easting",{fe:.10g}],'
+                  f'PARAMETER["false_northing",{fn:.10g}],UNIT["metre",1]]')
+    if fam == "nzmg":
+        _, fe, fn = kind
+        return ('PROJCS["unnamed",' + _WGS84_GEOGCS
+                + ',PROJECTION["New_Zealand_Map_Grid"],'
+                  'PARAMETER["latitude_of_origin",-41],'
+                  'PARAMETER["central_meridian",173],'
                   f'PARAMETER["false_easting",{fe:.10g}],'
                   f'PARAMETER["false_northing",{fn:.10g}],UNIT["metre",1]]')
     if fam == "bonne":
