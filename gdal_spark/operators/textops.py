@@ -16,6 +16,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -1749,3 +1750,68 @@ def pmi_cooccurrence(docs: DataFrame, window: int = 2,
     wnd = Window.orderBy(F.desc("n_pair"), F.asc("w1"), F.asc("w2"))
     return (scored.withColumn("rnk", F.row_number().over(wnd))
             .where(F.col("rnk") <= top).drop("rnk"))
+
+
+def unigram_viterbi(docs: DataFrame, max_word_len: int = 10,
+                    max_piece: int = 4) -> DataFrame:
+    """-> (word, n_docs, best_score, pieces): unigram-LM subword
+    segmentation (the SentencePiece / Kudo 2018 inference step) of every
+    distinct corpus word, by Viterbi DP over all substrings of length
+    1..max_piece. Piece scores are the closed-form
+
+        score(p) = 10 * len(p)^2 + md5_prefix(p) % 7
+
+    (longer pieces win, with a deterministic per-piece jitter standing in
+    for a trained log-probability table); ties between equal-score
+    segmentations break on the lexicographically smallest 'a|bc' path
+    string — a prefix-monotone rule, so the DP stays exact.
+
+    Scale shape: SentencePiece's own trick — segment the DISTINCT word
+    vocabulary (groupBy word, a map-side-combined shuffle), never the
+    corpus stream; per-word DP is O(len * max_piece) inside one Arrow
+    batch. The oracle takes the opposite route and ENUMERATES every
+    segmentation of every word with a recursive CTE, then argmaxes —
+    two independent formulations meeting on the same table."""
+    import hashlib
+
+    words = (docs.select(F.explode(F.split(F.lower("text"),
+                                           "[^a-z]+")).alias("word"),
+                         F.col("doc_id"))
+             .where((F.length("word") >= 1)
+                    & (F.length("word") <= max_word_len))
+             .groupBy("word")
+             .agg(F.countDistinct("doc_id").alias("n_docs")))
+
+    def seg(batch):
+        scores, paths = [], []
+        for w in batch:
+            n = len(w)
+            best = [(0, "")] + [None] * n        # (score, path)
+            for i in range(1, n + 1):
+                cand = None
+                for k in range(1, min(max_piece, i) + 1):
+                    piece = w[i - k:i]
+                    sc = 10 * k * k + int(hashlib.md5(
+                        piece.encode()).hexdigest()[:2], 16) % 7
+                    prev = best[i - k]
+                    path = (prev[1] + "|" + piece) if prev[1] else piece
+                    c = (prev[0] + sc, path)
+                    if cand is None or c[0] > cand[0] \
+                            or (c[0] == cand[0] and c[1] < cand[1]):
+                        cand = c
+                best[i] = cand
+            scores.append(best[n][0])
+            paths.append(best[n][1])
+        return pd.Series([f"{sc}:{p}"
+                          for sc, p in zip(scores, paths)])
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def f(batch: pd.Series) -> pd.Series:
+        return seg(batch)
+    out = words.withColumn("_r", f("word"))
+    return out.select(
+        "word", "n_docs",
+        F.split("_r", ":").getItem(0).cast("long").alias("best_score"),
+        F.split("_r", ":").getItem(1).alias("pieces"))

@@ -10398,3 +10398,46 @@ def q_st_transform_nzmg(spark, sf_dir):
           ROUND(ST_Y(ST_Transform(ST_MakePoint(lon, lat), 'EPSG:4326',
             '{crs}')), 4) AS n_r
         FROM t_nzmg_pts""")
+
+
+@_reg("unigram_viterbi", """
+WITH wd AS (
+  SELECT word, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM (SELECT doc_id,
+               unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+        FROM documents)
+  WHERE strlen(word) BETWEEN 1 AND 10
+  GROUP BY word),
+segs AS (
+  WITH RECURSIVE s AS (
+    SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS score,
+           CAST('' AS VARCHAR) AS path
+    FROM wd
+    UNION ALL
+    SELECT s.word, s.pos + k.kk,
+           s.score + 10 * k.kk * k.kk
+             + ('0x' || substr(md5(substr(s.word, s.pos + 1, k.kk)),
+                               1, 2))::BIGINT % 7,
+           CASE WHEN s.path = '' THEN substr(s.word, s.pos + 1, k.kk)
+                ELSE s.path || '|' || substr(s.word, s.pos + 1, k.kk)
+           END
+    FROM s JOIN (VALUES (1), (2), (3), (4)) k(kk)
+      ON s.pos + k.kk <= strlen(s.word))
+  SELECT * FROM s),
+best AS (
+  SELECT word, score, path,
+         row_number() OVER (PARTITION BY word
+                            ORDER BY score DESC, path ASC) AS rn
+  FROM segs WHERE pos = strlen(word))
+SELECT b.word, wd.n_docs, b.score AS best_score, b.path AS pieces
+FROM best b JOIN wd USING (word) WHERE b.rn = 1
+""")
+def q_unigram_viterbi(spark, sf_dir):
+    """Unigram-LM subword segmentation (SentencePiece / Kudo 2018
+    inference) of the distinct corpus vocabulary: Viterbi DP per word
+    with closed-form piece scores and a prefix-monotone lexicographic
+    tie-break. The oracle takes the OPPOSITE formulation — a recursive
+    CTE enumerating every segmentation of every word (tetranacci-many
+    paths) and argmaxing — so agreement proves the DP exactly."""
+    d = _t(spark, sf_dir, "documents")
+    return textops.unigram_viterbi(d, max_word_len=10, max_piece=4)

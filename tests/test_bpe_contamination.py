@@ -112,3 +112,38 @@ def test_bpe_train_multichar_merges(spark):
     out = {r.doc_id: (r.n_ws, r.n_bpe) for r in
            textops.bpe_token_counts(docs, 3).collect()}
     assert out == {0: (3, 9), 1: (3, 7)}
+
+
+def test_unigram_viterbi_dp_matches_bruteforce(spark):
+    """DP result == brute-force max over all segmentations, including
+    the lexicographic tie-break."""
+    import hashlib
+    from itertools import product
+
+    from gdal_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [(0, "banana apple zzz a segmentation"),
+         (1, "banana test abcd")],
+        "doc_id long, text string")
+    out = {r.word: (r.best_score, r.pieces)
+           for r in textops.unigram_viterbi(docs).collect()}
+
+    def score(piece):
+        return 10 * len(piece) ** 2 + int(hashlib.md5(
+            piece.encode()).hexdigest()[:2], 16) % 7
+
+    def all_segs(w):
+        if not w:
+            yield []
+            return
+        for k in range(1, min(4, len(w)) + 1):
+            for rest in all_segs(w[k:]):
+                yield [w[:k]] + rest
+
+    for w, (got_s, got_p) in out.items():
+        cand = [(sum(score(p) for p in segs), "|".join(segs))
+                for segs in all_segs(w)]
+        cand.sort(key=lambda t: (-t[0], t[1]))
+        assert (got_s, got_p) == cand[0], w
+    assert out["banana"][0] >= 0 and "|" not in out["a"][1]
