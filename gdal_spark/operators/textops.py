@@ -1815,3 +1815,80 @@ def unigram_viterbi(docs: DataFrame, max_word_len: int = 10,
         "word", "n_docs",
         F.split("_r", ":").getItem(0).cast("long").alias("best_score"),
         F.split("_r", ":").getItem(1).alias("pieces"))
+
+
+def cdc_chunks(docs: DataFrame, mask_bits: int = 6) -> DataFrame:
+    """-> (doc_id, chunk_idx, start, length, chunk_hash): content-defined
+    chunking by a 32-char cyclic-polynomial (buzhash) rolling hash — the
+    LBFS/rsync family primitive (Muthitacharoen et al. 2001) that makes
+    byte-level dedup robust to insertions: a chunk boundary falls after
+    position i when
+
+        H_i = XOR_{j=0..31} ROTL32(gear(c_{i-j}), j)
+
+    has its low ``mask_bits`` bits zero. gear(c) is a closed-form md5
+    constant per character, so boundaries depend only on a 32-char
+    context window — an insertion shifts chunk starts locally but every
+    other chunk HASH survives, which fixed-size blocking cannot do.
+
+    Spark shape: the rotation factors through the anchor —
+    ROTL(g, i-j mod 32) = ROTL(ROTR(g, j mod 32), i mod 32) — so each
+    char contributes ONE anchor-independent term ROTR32(gear, i mod 32)
+    and H is a windowed bit_xor followed by a per-row rotation: char
+    explode, window XOR, boundary flag, running chunk id and substring
+    re-assembly are ALL whole-stage-codegen JVM column math (no Python
+    on the hot path; the same pipeline replays verbatim in the DuckDB
+    oracle). The min/max clamps of production FastCDC are deliberately
+    omitted: they chain each boundary to the previous ACCEPTED one,
+    where the pure gear form stays one stateless window."""
+    mask32 = (1 << 32) - 1
+    gear = F.pmod(F.conv(F.substring(F.md5(F.col("ch")), 1, 8), 16, 10)
+                  .cast("long"), F.lit(1 << 32))
+    chars = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", "(?!^)")).alias("i", "ch")) \
+        .where(F.col("ch") != "")      # split keeps a trailing ''
+    # per-row term: ROTR32(gear, i mod 32)
+    chars = chars.withColumn("g", gear).withColumn(
+        "pre", F.expr(f"""CASE WHEN i % 32 = 0 THEN g ELSE
+            (shiftrightunsigned(g, cast(i % 32 as int))
+             | shiftleft(g, 32 - cast(i % 32 as int))) & {mask32}
+            END"""))
+    chars = chars.withColumn(
+        "x", F.expr("""bit_xor(pre) OVER (PARTITION BY doc_id ORDER BY i
+             ROWS BETWEEN 31 PRECEDING AND CURRENT ROW)"""))
+    # H = ROTL32(x, i mod 32)
+    h = F.expr(f"""CASE WHEN i % 32 = 0 THEN x ELSE
+        (shiftleft(x, cast(i % 32 as int))
+         | shiftrightunsigned(x, 32 - cast(i % 32 as int))) & {mask32}
+        END""")
+    flagged = chars.withColumn("h", h).withColumn(
+        "b", ((F.col("h") % (1 << mask_bits)) == 0).cast("int"))
+    cid = F.coalesce(F.expr(
+        """sum(b) OVER (PARTITION BY doc_id ORDER BY i
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"""),
+        F.lit(0))
+    starts = (flagged.withColumn("cid", cid)
+              .groupBy("doc_id", "cid")
+              .agg(F.min("i").alias("start"),
+                   (F.max("i") - F.min("i") + 1).alias("length")))
+    return (starts.join(docs.select("doc_id", "text"), "doc_id")
+            .select("doc_id", F.col("cid").cast("long").alias("chunk_idx"),
+                    F.col("start").cast("long").alias("start"),
+                    F.col("length").cast("long").alias("length"),
+                    F.md5(F.expr("substring(text, start + 1, length)"))
+                    .alias("chunk_hash")))
+
+
+def cdc_dedup_stats(docs: DataFrame, mask_bits: int = 6) -> DataFrame:
+    """-> (chunk_hash, n_copies, length, saved_bytes) for every chunk
+    appearing more than once — corpus-wide groupBy(chunk_hash), the same
+    map-side-combined shape as exact dedup."""
+    ch = cdc_chunks(docs, mask_bits)
+    return (ch.groupBy("chunk_hash")
+            .agg(F.count("*").cast("long").alias("n_copies"),
+                 F.max("length").alias("length"))
+            .where(F.col("n_copies") > 1)
+            .select("chunk_hash", "n_copies", "length",
+                    ((F.col("n_copies") - 1) * F.col("length"))
+                    .cast("long").alias("saved_bytes")))

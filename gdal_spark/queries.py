@@ -10441,3 +10441,62 @@ def q_unigram_viterbi(spark, sf_dir):
     paths) and argmaxing — so agreement proves the DP exactly."""
     d = _t(spark, sf_dir, "documents")
     return textops.unigram_viterbi(d, max_word_len=10, max_piece=4)
+
+
+@_reg("cdc_dedup", """
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+chars AS (
+  SELECT doc_id, i.range AS i,
+         substr(text, CAST(i.range AS INTEGER) + 1, 1) AS ch
+  FROM d, range(8192) i
+  WHERE i.range < strlen(text)),
+g AS (SELECT doc_id, i,
+             ('0x' || substr(md5(ch), 1, 8))::BIGINT % 4294967296 AS g
+      FROM chars),
+pre AS (SELECT doc_id, i,
+               CASE WHEN i % 32 = 0 THEN g ELSE
+                 ((g >> CAST(i % 32 AS INTEGER))
+                  | (g << (32 - CAST(i % 32 AS INTEGER)))) & 4294967295
+               END AS pre
+        FROM g),
+xw AS (SELECT doc_id, i,
+              bit_xor(pre) OVER (PARTITION BY doc_id ORDER BY i
+                ROWS BETWEEN 31 PRECEDING AND CURRENT ROW) AS x
+       FROM pre),
+hb AS (SELECT doc_id, i,
+              CASE WHEN i % 32 = 0 THEN x ELSE
+                ((x << CAST(i % 32 AS INTEGER))
+                 | (x >> (32 - CAST(i % 32 AS INTEGER)))) & 4294967295
+              END AS h
+       FROM xw),
+fl AS (SELECT doc_id, i,
+              CASE WHEN h % 64 = 0 THEN 1 ELSE 0 END AS b
+       FROM hb),
+cid AS (SELECT doc_id, i,
+               COALESCE(sum(b) OVER (PARTITION BY doc_id ORDER BY i
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS cid
+        FROM fl),
+chunks AS (SELECT doc_id, cid, min(i) AS start,
+                  max(i) - min(i) + 1 AS length
+           FROM cid GROUP BY doc_id, cid),
+hashes AS (SELECT c.doc_id, c.cid, c.length,
+                  md5(substr(d.text, CAST(c.start AS INTEGER) + 1,
+                             CAST(c.length AS INTEGER))) AS chunk_hash
+           FROM chunks c JOIN d USING (doc_id))
+SELECT chunk_hash, CAST(count(*) AS BIGINT) AS n_copies,
+       CAST(max(length) AS BIGINT) AS length,
+       CAST((count(*) - 1) * max(length) AS BIGINT) AS saved_bytes
+FROM hashes GROUP BY chunk_hash HAVING count(*) > 1
+""")
+def q_cdc_dedup(spark, sf_dir):
+    """Content-defined-chunking dedup (LBFS/FastCDC family, Muthitacharoen
+    et al. 2001) over the crawl corpus: a 32-char cyclic-polynomial
+    (buzhash) rolling hash picks boundaries wherever its low 6 bits
+    vanish, chunks re-sync across insertions, and duplicated chunks
+    aggregate corpus-wide. Every stage — char explode, per-row rotation,
+    windowed bit_xor, running chunk id, substring hash, dedup groupBy —
+    is JVM column math, and the oracle replays the identical pipeline in
+    DuckDB window functions."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
+    return textops.cdc_dedup_stats(d, mask_bits=6)

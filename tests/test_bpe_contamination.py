@@ -147,3 +147,37 @@ def test_unigram_viterbi_dp_matches_bruteforce(spark):
         cand.sort(key=lambda t: (-t[0], t[1]))
         assert (got_s, got_p) == cand[0], w
     assert out["banana"][0] >= 0 and "|" not in out["a"][1]
+
+
+def test_cdc_chunks_insertion_robust(spark):
+    """The CDC property: a prefix insertion shifts chunk starts but
+    preserves most chunk hashes; fixed-size blocking would lose all."""
+    from gdal_spark.operators import textops
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "some more text about engines. ") * 6
+    docs = spark.createDataFrame(
+        [(0, base), (1, "XYZ INSERTED " + base)],
+        "doc_id long, text string")
+    c = textops.cdc_chunks(docs).collect()
+    h0 = {r.chunk_hash for r in c if r.doc_id == 0}
+    h1 = {r.chunk_hash for r in c if r.doc_id == 1}
+    assert len(h0 & h1) >= len(h0) // 2
+    # chunks tile the text exactly
+    for did, txt in ((0, base), (1, "XYZ INSERTED " + base)):
+        rows = sorted((r for r in c if r.doc_id == did),
+                      key=lambda r: r.start)
+        assert rows[0].start == 0
+        assert sum(r.length for r in rows) == len(txt)
+        for a, b in zip(rows, rows[1:]):
+            assert b.start == a.start + a.length
+
+
+def test_cdc_dedup_stats_counts(spark):
+    from gdal_spark.operators import textops
+    docs = spark.createDataFrame(
+        [(0, "abcdef " * 30), (1, "abcdef " * 30)],
+        "doc_id long, text string")
+    out = textops.cdc_dedup_stats(docs).collect()
+    assert out                      # identical docs share every chunk
+    assert all(r.n_copies >= 2 for r in out)
+    assert all(r.saved_bytes == (r.n_copies - 1) * r.length for r in out)
