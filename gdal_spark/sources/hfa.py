@@ -566,3 +566,41 @@ def write_hfa(tiles: DataFrame, path: str, width_px: int, height_px: int,
 
     tiles.groupBy("tile_x", "tile_y").applyInPandas(
         emit, out_schema).collect()
+
+
+def read_rat(path: str, layer: int = 0) -> dict:
+    """Raster attribute table (GDALDefaultRasterAttributeTable twin —
+    hfadataset.cpp reads Edsc_Table/Edsc_Column nodes): -> {column name:
+    numpy array} for every Edsc_Column under the layer's
+    Descriptor_Table, plus '__bins__' metadata from the bin function.
+    Column payloads live at absolute columnDataPtr offsets: integer ->
+    i4 LE, real -> f8 LE, string -> maxNumChars fixed-width."""
+    hfa = HFAFile(path)
+    lay = hfa.layers[layer]
+    lidx = hfa.entries.index(lay)
+    tbl = hfa.named_child(lidx, "Descriptor_Table")
+    if tbl is None:
+        return {}
+    tidx = hfa.entries.index(tbl)
+    out = {}
+    with open(path, "rb") as f:
+        for col in hfa.children_of(tidx):
+            if col["type"] == "Edsc_Column":
+                d = col["data"]
+                n = int(d["numRows"])
+                f.seek(int(d["columnDataPtr"]))
+                if d["dataType"] == "integer":
+                    out[col["name"]] = np.frombuffer(
+                        f.read(4 * n), "<i4").copy()
+                elif d["dataType"] == "real":
+                    out[col["name"]] = np.frombuffer(
+                        f.read(8 * n), "<f8").copy()
+                elif d["dataType"] == "string":
+                    w = int(d["maxNumChars"])
+                    raw = f.read(w * n)
+                    out[col["name"]] = np.array(
+                        [raw[i * w:(i + 1) * w].split(b"\x00")[0]
+                         .decode("latin-1") for i in range(n)])
+            elif col["type"] == "Edsc_BinFunction":
+                out["__bins__"] = col["data"]
+    return out

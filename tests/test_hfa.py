@@ -110,3 +110,30 @@ def test_write_read_roundtrip_exact(spark, tmp_path):
         hh, ww = min(t, H - y0), min(t, W - x0)
         back[y0:y0 + hh, x0:x0 + ww] = arr[:hh, :ww]
     assert np.array_equal(back.astype(np.int32), full)
+
+
+def test_raster_attribute_table_histogram():
+    from gdal_spark.sources.hfa import read_rat
+    rat = read_rat(os.path.join(FIXDIR, "int.img"))
+    assert "Histogram" in rat
+    h = rat["Histogram"]
+    assert len(h) == 217
+    assert h[:5].tolist() == [1.0, 5.0, 9.0, 10.0, 14.0]
+    bins = rat["__bins__"]
+    assert bins["numBins"] == 217
+    assert bins["minLimit"] == 40918.0 and bins["maxLimit"] == 41134.0
+
+
+def test_rat_histogram_matches_decoded_pixels(spark):
+    """The stored descriptor-table histogram of utmsmall.img equals the
+    histogram of the decoded pixels in every bin except bin 0 (Imagine
+    excluded the two 0-valued pixels when it computed statistics)."""
+    from gdal_spark.sources.hfa import read_rat
+    path = "/root/reference/autotest/gcore/data/utmsmall.img"
+    if not os.path.exists(path):
+        pytest.skip("gcore fixture absent")
+    _h, full = _assemble(spark, path)
+    mine = np.bincount(full.astype(int).ravel(), minlength=256)
+    rat = read_rat(path)["Histogram"]
+    assert np.array_equal(mine[1:], rat[1:].astype(int))
+    assert rat[0] == 0 and mine[0] == 2
