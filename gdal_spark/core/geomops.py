@@ -1381,3 +1381,112 @@ def line_merge(lines: "List[np.ndarray]") -> "List[np.ndarray]":
         out.append(cur)
     out.sort(key=lambda r: (r[0, 0], r[0, 1], len(r)))
     return out
+
+
+# ---------------------------------------------------------------------------
+# closest point / shortest line / snapping (GEOS surface exposed by the
+# reference's SQLite dialect: ST_ClosestPoint, ST_ShortestLine, ST_Snap)
+# ---------------------------------------------------------------------------
+
+def closest_pair(a: Geom, b: Geom):
+    """((ax, ay), (bx, by)): the closest pair of points with the first on
+    ``a`` and the second on ``b`` — candidate set = every vertex of one
+    geometry projected onto every segment of the other plus the vertex
+    pairs, exactly the set the minimum distance is attained on for
+    piecewise-linear geometries. Deterministic: among equal distances the
+    lexicographically smallest (ax, ay, bx, by) wins."""
+    av = _all_vertices(a)
+    bv = _all_vertices(b)
+    a1, a2 = _segments(_all_line_rings(a))
+    b1, b2 = _segments(_all_line_rings(b))
+    cands = []          # (dist, ax, ay, bx, by)
+
+    def _proj(pts, s1, s2):
+        """Project pts (n,2) on segments (m,2) -> (n, m, 2) foot points."""
+        ab = s2 - s1
+        ap = pts[:, None, :] - s1[None, :, :]
+        denom = (ab * ab).sum(1)
+        denom = np.where(denom == 0.0, 1.0, denom)
+        t = np.clip((ap * ab[None, :, :]).sum(2) / denom[None, :],
+                    0.0, 1.0)
+        return s1[None, :, :] + t[..., None] * ab[None, :, :]
+
+    if len(av) and len(b1):
+        foot = _proj(av, b1, b2)                 # a-vertex -> b-segment
+        d = np.sqrt(((av[:, None, :] - foot) ** 2).sum(2))
+        i, j = np.unravel_index(np.argmin(d), d.shape)
+        for ii in range(d.shape[0]):
+            jj = int(np.argmin(d[ii]))
+            cands.append((float(d[ii, jj]), float(av[ii, 0]),
+                          float(av[ii, 1]), float(foot[ii, jj, 0]),
+                          float(foot[ii, jj, 1])))
+    if len(bv) and len(a1):
+        foot = _proj(bv, a1, a2)                 # b-vertex -> a-segment
+        d = np.sqrt(((bv[:, None, :] - foot) ** 2).sum(2))
+        for ii in range(d.shape[0]):
+            jj = int(np.argmin(d[ii]))
+            cands.append((float(d[ii, jj]), float(foot[ii, jj, 0]),
+                          float(foot[ii, jj, 1]), float(bv[ii, 0]),
+                          float(bv[ii, 1])))
+    if len(av) and len(bv):
+        d = np.sqrt(((av[:, None, :] - bv[None, :, :]) ** 2).sum(2))
+        ii, jj = np.unravel_index(int(np.argmin(d)), d.shape)
+        cands.append((float(d[ii, jj]), float(av[ii, 0]),
+                      float(av[ii, 1]), float(bv[jj, 0]),
+                      float(bv[jj, 1])))
+    if not cands:
+        raise ValueError("empty geometry")
+    cands.sort()
+    return ((cands[0][1], cands[0][2]), (cands[0][3], cands[0][4]))
+
+
+def geom_snap(a: Geom, b: Geom, tolerance: float) -> Geom:
+    """GEOS-style snapping (ST_Snap(a, b, tol)): every vertex of ``a``
+    within ``tolerance`` of a vertex of ``b`` moves onto that vertex
+    (vertex snap wins); then every vertex of ``b`` within ``tolerance``
+    of an ``a`` segment interior is INSERTED into that segment (segment
+    snap), so shared boundaries become topologically identical."""
+    bv = _all_vertices(b)
+
+    def snap_ring(r: np.ndarray) -> np.ndarray:
+        if not len(r) or not len(bv):
+            return r
+        closed = len(r) > 1 and np.array_equal(r[0], r[-1])
+        body = r[:-1] if closed else r
+        d = np.sqrt(((body[:, None, :] - bv[None, :, :]) ** 2).sum(2))
+        j = d.argmin(1)
+        hit = d[np.arange(len(body)), j] <= tolerance
+        body = np.where(hit[:, None], bv[j], body)
+        # segment snap: insert b vertices near segment interiors
+        out = []
+        n = len(body)
+        for k in range(n):
+            p0 = body[k]
+            out.append(p0)
+            if n < 2 or (not closed and k == n - 1):
+                continue
+            p1 = body[(k + 1) % n]
+            ab = p1 - p0
+            L2 = float(ab @ ab)
+            if L2 == 0.0:
+                continue
+            t = ((bv - p0) @ ab) / L2
+            inside = (t > 1e-9) & (t < 1 - 1e-9)
+            foot = p0 + t[:, None] * ab
+            dd = np.sqrt(((bv - foot) ** 2).sum(1))
+            near = inside & (dd <= tolerance) \
+                & ~(np.abs(bv - p0) <= 1e-12).all(1) \
+                & ~(np.abs(bv - p1) <= 1e-12).all(1)
+            if near.any():
+                order = np.argsort(t[near])
+                for v in bv[near][order]:
+                    if not out or not np.array_equal(out[-1], v):
+                        out.append(v)
+        body = np.array(out)
+        return np.vstack([body, body[:1]]) if closed else body
+
+    def walk(g: Geom) -> Geom:
+        return Geom(g.gtype, [snap_ring(r) for r in g.rings],
+                    [walk(p) for p in g.parts])
+
+    return walk(a)

@@ -593,6 +593,50 @@ def st_delaunay(geom: pd.Series) -> pd.Series:
 
 
 @pandas_udf(BinaryType())
+def st_closestpoint(a: pd.Series, b: pd.Series) -> pd.Series:
+    """ST_ClosestPoint(a, b) — the point ON ``a`` closest to ``b``
+    (GEOS nearestPoints[0], exposed by the reference's SQLite
+    dialect)."""
+    out = []
+    for ga, gb in zip(_decode_series(a), _decode_series(b)):
+        if ga is None or gb is None:
+            out.append(None)
+            continue
+        (ax, ay), _ = geomops.closest_pair(ga, gb)
+        out.append(wkb.point(ax, ay))
+    return pd.Series(out, dtype="object")
+
+
+@pandas_udf(BinaryType())
+def st_shortestline(a: pd.Series, b: pd.Series) -> pd.Series:
+    """ST_ShortestLine(a, b) — LINESTRING between the closest pair of
+    points (GEOS nearestPoints)."""
+    out = []
+    for ga, gb in zip(_decode_series(a), _decode_series(b)):
+        if ga is None or gb is None:
+            out.append(None)
+            continue
+        (ax, ay), (bx, by) = geomops.closest_pair(ga, gb)
+        out.append(wkb.encode(wkb.Geom(
+            wkb.LINESTRING, [np.array([[ax, ay], [bx, by]])])))
+    return pd.Series(out, dtype="object")
+
+
+@pandas_udf(BinaryType())
+def st_snap(a: pd.Series, b: pd.Series, tol: pd.Series) -> pd.Series:
+    """ST_Snap(a, b, tolerance) — GEOS GeometrySnapper semantics:
+    vertices of ``a`` snap onto ``b`` vertices within tolerance, then
+    ``b`` vertices near ``a`` segment interiors are inserted."""
+    out = []
+    for ga, gb, t in zip(_decode_series(a), _decode_series(b), tol):
+        if ga is None or gb is None:
+            out.append(None)
+            continue
+        out.append(wkb.encode(geomops.geom_snap(ga, gb, float(t))))
+    return pd.Series(out, dtype="object")
+
+
+@pandas_udf(BinaryType())
 def st_linemerge(geom: pd.Series) -> pd.Series:
     """ST_LineMerge — sew a (multi)linestring's parts together at
     endpoints where exactly two line ends meet (GEOS LineMerger, exposed
@@ -881,6 +925,8 @@ _REGISTRY = {
     "ST_DelaunayTriangulation": st_delaunay,
     "ST_VoronoiDiagram": st_voronoi,
     "ST_LineMerge": st_linemerge, "ST_Polygonize": st_polygonize,
+    "ST_ClosestPoint": st_closestpoint,
+    "ST_ShortestLine": st_shortestline, "ST_Snap": st_snap,
     "ST_MakePoint": st_makepoint, "ST_AsBinary": st_asbinary,
     "ST_GeomFromWKB": st_geomfromwkb, "ST_SetPrecision": st_setprecision,
     "ST_Transform": st_transform, "ST_SRID": st_srid,

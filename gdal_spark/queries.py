@@ -10500,3 +10500,72 @@ def q_cdc_dedup(spark, sf_dir):
     DuckDB window functions."""
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
     return textops.cdc_dedup_stats(d, mask_bits=6)
+
+
+@_reg("st_snap_closest", f"""
+{_pts_cte()},
+p AS (SELECT doc_id, lon, lat,
+             floor((lon + 180.0) / 10.0) * 10.0 - 180.0 AS gx0,
+             floor((lat + 90.0) / 5.0) * 5.0 - 90.0 AS gy0
+      FROM pts WHERE doc_id % 4 = 1 AND lon < 150.0),
+-- target rect: two grid cells east of the containing cell
+t AS (SELECT doc_id, lon, lat, gx0, gy0,
+             gx0 + 20.0 AS rx0, gy0 AS ry0,
+             gx0 + 30.0 AS rx1, gy0 + 5.0 AS ry1
+      FROM p),
+cp AS (SELECT doc_id, lon, lat, gx0, gy0,
+              greatest(rx0, least(lon, rx1)) AS cx,
+              greatest(ry0, least(lat, ry1)) AS cy
+       FROM t),
+sn AS (SELECT doc_id, lon, lat, cx, cy,
+              gx0 + CASE WHEN lon - gx0 < 5.0 THEN 0.0 ELSE 10.0 END AS nx,
+              gy0 + CASE WHEN lat - gy0 < 2.5 THEN 0.0 ELSE 5.0 END AS ny
+       FROM cp)
+SELECT doc_id,
+       ROUND(cx, 9) AS cp_x, ROUND(cy, 9) AS cp_y,
+       ROUND(sqrt((lon - cx) * (lon - cx)
+                  + (lat - cy) * (lat - cy)), 9) AS short_len,
+       ROUND(CASE WHEN sqrt((lon - nx) * (lon - nx)
+                            + (lat - ny) * (lat - ny)) <= 1.5
+                  THEN nx ELSE lon END, 9) AS snap_x,
+       ROUND(CASE WHEN sqrt((lon - nx) * (lon - nx)
+                            + (lat - ny) * (lat - ny)) <= 1.5
+                  THEN ny ELSE lat END, 9) AS snap_y
+FROM sn
+""")
+def q_st_snap_closest(spark, sf_dir):
+    """ST_ClosestPoint / ST_ShortestLine / ST_Snap (the GEOS nearest-
+    point and GeometrySnapper surface the reference exposes through its
+    SQLite dialect): each page point measures against the grid cell two
+    tiles east (closest point = per-axis clamp, closed form in the
+    oracle) and snaps to its own cell's corner lattice at tolerance
+    1.5. The Spark side runs the real geometry kernels over WKB; the
+    oracle is pure arithmetic."""
+    st.register_all(spark)
+    p = (datagen.points(spark, sf_dir)
+         .where((F.col("doc_id") % 4 == 1) & (F.col("lon") < 150.0)))
+    gx0 = F.floor((F.col("lon") + 180.0) / 10.0) * 10.0 - 180.0
+    gy0 = F.floor((F.col("lat") + 90.0) / 5.0) * 5.0 - 90.0
+    p = (p.withColumn("gx0", gx0).withColumn("gy0", gy0)
+         .withColumn("rx0", F.col("gx0") + 20.0)
+         .withColumn("ry0", F.col("gy0")))
+    p.createOrReplaceTempView("t_snap_pts")
+    rect = ("ST_GeomFromText(concat('POLYGON((', rx0, ' ', ry0, ',', "
+            "rx0 + 10.0, ' ', ry0, ',', rx0 + 10.0, ' ', ry0 + 5.0, ',', "
+            "rx0, ' ', ry0 + 5.0, ',', rx0, ' ', ry0, '))'))")
+    own = ("ST_GeomFromText(concat('POLYGON((', gx0, ' ', gy0, ',', "
+           "gx0 + 10.0, ' ', gy0, ',', gx0 + 10.0, ' ', gy0 + 5.0, ',', "
+           "gx0, ' ', gy0 + 5.0, ',', gx0, ' ', gy0, '))'))")
+    return spark.sql(f"""
+        SELECT doc_id,
+          ROUND(ST_X(ST_ClosestPoint({rect},
+                ST_MakePoint(lon, lat))), 9) AS cp_x,
+          ROUND(ST_Y(ST_ClosestPoint({rect},
+                ST_MakePoint(lon, lat))), 9) AS cp_y,
+          ROUND(ST_Length(ST_ShortestLine(ST_MakePoint(lon, lat),
+                {rect})), 9) AS short_len,
+          ROUND(ST_X(ST_Snap(ST_MakePoint(lon, lat), {own}, 1.5D)), 9)
+            AS snap_x,
+          ROUND(ST_Y(ST_Snap(ST_MakePoint(lon, lat), {own}, 1.5D)), 9)
+            AS snap_y
+        FROM t_snap_pts""")

@@ -317,3 +317,50 @@ def test_envelope_accessor_sql_surface(spark):
     assert got[2].np == 5 and got[2].ng == 2
     assert got[3].a is None and got[3].np is None and got[3].env is None
     assert got[1].env == wkb.to_wkt(wkb.box(-3.0, -1.0, 5.0, 7.0))
+
+
+def test_closest_pair_and_shortest_line():
+    import numpy as np
+
+    from gdal_spark.core import wkb
+    from gdal_spark.core.geomops import closest_pair, geom_distance
+    sq = wkb.Geom(wkb.POLYGON, [np.array(
+        [[0., 0.], [4., 0.], [4., 4.], [0., 4.], [0., 0.]])])
+    pt = wkb.Geom(wkb.POINT, [np.array([[6.0, 2.0]])])
+    pa, pb = closest_pair(pt, sq)
+    assert pa == (6.0, 2.0) and pb == (4.0, 2.0)
+    # symmetric call gives the mirrored pair, same distance
+    qa, qb = closest_pair(sq, pt)
+    assert qa == (4.0, 2.0) and qb == (6.0, 2.0)
+    d = np.hypot(pa[0] - pb[0], pa[1] - pb[1])
+    assert abs(d - geom_distance(pt, sq)) < 1e-12
+    # two segments crossing region: closest via segment-segment feet
+    l1 = wkb.Geom(wkb.LINESTRING, [np.array([[0., 10.], [10., 10.]])])
+    l2 = wkb.Geom(wkb.LINESTRING, [np.array([[5., 0.], [5., 8.]])])
+    pa, pb = closest_pair(l1, l2)
+    assert pa == (5.0, 10.0) and pb == (5.0, 8.0)
+
+
+def test_geom_snap_semantics():
+    import numpy as np
+
+    from gdal_spark.core import wkb
+    from gdal_spark.core.geomops import geom_snap
+    sq = wkb.Geom(wkb.POLYGON, [np.array(
+        [[0., 0.], [4., 0.], [4., 4.], [0., 4.], [0., 0.]])])
+    # vertex snap: near-corner vertex moves onto the corner
+    line = wkb.Geom(wkb.LINESTRING,
+                    [np.array([[0.05, -0.02], [3.0, 0.04], [5.0, 1.0]])])
+    r = geom_snap(line, sq, 0.2).rings[0]
+    assert r[0].tolist() == [0.0, 0.0]
+    assert r[1].tolist() == [3.0, 0.04]      # no vertex within tol
+    assert r[2].tolist() == [5.0, 1.0]
+    # segment snap: b vertex near an a-edge interior is inserted
+    sq2 = wkb.Geom(wkb.POLYGON, [np.array(
+        [[0., 0.], [2., 0.05], [4., 0.], [4., 4.], [0., 4.], [0., 0.]])])
+    r = geom_snap(sq, sq2, 0.1).rings[0]
+    assert [2.0, 0.05] in r.tolist()
+    assert len(r) == 6
+    # out of tolerance: unchanged
+    r = geom_snap(sq, sq2, 0.01).rings[0]
+    assert len(r) == 5
