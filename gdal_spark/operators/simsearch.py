@@ -492,3 +492,63 @@ def semdedup(emb: DataFrame, n_clusters: int = 8,
             .select("vec_id", "cluster",
                     F.coalesce(F.col("is_dup"), F.lit(0)).cast("int")
                     .alias("is_dup")))
+
+
+def rrf_fusion(rankings, k: int = 60, topk: int = 15) -> "DataFrame":
+    """Reciprocal Rank Fusion (Cormack, Clarke & Buettcher 2009) of any
+    number of (doc_id, rank) ranking DataFrames:
+
+        rrf(d) = sum over rankings containing d of 1 / (k + rank_d)
+
+    — the standard zero-tuning way to combine lexical (BM25) and dense
+    (embedding-cosine) retrieval for curation queries. Absent documents
+    simply contribute nothing (no imputed rank). Scale shape: each
+    ranking is already top-N-sized, so the union + groupBy is a
+    broadcast-scale aggregation regardless of corpus size; the final
+    top-k is TakeOrderedAndProject."""
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    parts = [r.select("doc_id",
+                      (1.0 / (k + F.col("rank").cast("double")))
+                      .alias("c")) for r in rankings]
+    u = reduce(lambda a, b: a.unionAll(b), parts)
+    fused = (u.groupBy("doc_id")
+             .agg(F.sum("c").alias("s"),
+                  F.count("*").cast("int").alias("n_lists")))
+    top = fused.orderBy(F.col("s").desc(), F.col("doc_id").asc()) \
+        .limit(topk)
+    win = Window.orderBy(F.col("s").desc(), F.col("doc_id").asc())
+    return (top.withColumn("fused_rank", F.row_number().over(win))
+            .select("doc_id", F.col("fused_rank").cast("int")
+                    .alias("fused_rank"), "n_lists",
+                    F.round("s", 9).alias("rrf_r")))
+
+
+def cosine_rank_to_query(emb: "DataFrame", q_id: int = 0,
+                         topn: int = 50) -> "DataFrame":
+    """(doc_id, rank): corpus ranked by exact cosine to one query
+    embedding — the dense half of a fusion retrieval. The query vector
+    broadcasts; one scan scores everything; top-N never leaves
+    TakeOrderedAndProject."""
+    from pyspark.sql import Window
+
+    q = emb.where(F.col("vec_id") == q_id) \
+        .select(F.col("embedding").alias("qv"))
+    dot = F.aggregate(F.zip_with("embedding", "qv",
+                                 lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    nrm = F.sqrt(F.aggregate(F.transform("embedding", lambda a: a * a),
+                             F.lit(0.0), lambda acc, x: acc + x))
+    qn = F.sqrt(F.aggregate(F.transform("qv", lambda a: a * a),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    scored = (emb.where(F.col("vec_id") != q_id)
+              .crossJoin(F.broadcast(q))
+              .select(F.col("vec_id").alias("doc_id"),
+                      (dot / (nrm * qn)).alias("cos")))
+    top = scored.orderBy(F.col("cos").desc(), F.col("doc_id").asc()) \
+        .limit(topn)
+    win = Window.orderBy(F.col("cos").desc(), F.col("doc_id").asc())
+    return top.withColumn("rank", F.row_number().over(win)) \
+        .select("doc_id", F.col("rank").cast("int").alias("rank"))

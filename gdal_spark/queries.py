@@ -10569,3 +10569,63 @@ def q_st_snap_closest(spark, sf_dir):
           ROUND(ST_Y(ST_Snap(ST_MakePoint(lon, lat), {own}, 1.5D)), 9)
             AS snap_y
         FROM t_snap_pts""")
+
+
+@_reg("rrf_fusion", """
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+           FROM documents),
+w2 AS (SELECT doc_id, term FROM w WHERE len(term) > 0),
+dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+       FROM w2 GROUP BY doc_id),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+ad AS (SELECT CAST(SUM(dl) AS DOUBLE) / (SELECT n_docs FROM n) AS avgdl
+       FROM dl),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM w2
+       WHERE term IN ('spark', 'hash', 'merge') GROUP BY doc_id, term),
+dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df_cnt
+        FROM tf GROUP BY term),
+s AS (SELECT tf.doc_id,
+             ln(1.0 + (CAST((SELECT n_docs FROM n) AS DOUBLE)
+                       - dft.df_cnt + 0.5) / (dft.df_cnt + 0.5))
+             * (tf.tf * (1.2 + 1.0))
+             / (tf.tf + 1.2 * (1.0 - 0.75
+                + 0.75 * dl.dl / (SELECT avgdl FROM ad))) AS part
+      FROM tf JOIN dft USING (term) JOIN dl USING (doc_id)),
+bm AS (SELECT doc_id,
+              CAST(row_number() OVER (ORDER BY SUM(part) DESC,
+                   doc_id ASC) AS INTEGER) AS rank
+       FROM s GROUP BY doc_id
+       ORDER BY 2 LIMIT 50),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+co AS (SELECT e.vec_id AS doc_id,
+              CAST(row_number() OVER (ORDER BY
+                   list_dot_product(q.v, e.v)
+                   / (sqrt(list_dot_product(e.v, e.v))
+                      * sqrt(list_dot_product(q.v, q.v))) DESC,
+                   e.vec_id ASC) AS INTEGER) AS rank
+      FROM e, (SELECT v FROM e WHERE vec_id = 0) q
+      WHERE e.vec_id != 0
+      ORDER BY 2 LIMIT 50),
+u AS (SELECT doc_id, 1.0 / (60 + rank) AS c FROM bm
+      UNION ALL SELECT doc_id, 1.0 / (60 + rank) AS c FROM co),
+f AS (SELECT doc_id, SUM(c) AS s, CAST(count(*) AS INTEGER) AS n_lists
+      FROM u GROUP BY doc_id)
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY s DESC, doc_id ASC)
+         AS INTEGER) AS fused_rank,
+       n_lists, ROUND(s, 9) AS rrf_r
+FROM f ORDER BY fused_rank LIMIT 15
+""")
+def q_rrf_fusion(spark, sf_dir):
+    """Reciprocal Rank Fusion (Cormack et al. 2009) of lexical and
+    dense retrieval: Okapi BM25 top-50 for a fixed term query fuses
+    with the exact-cosine top-50 against one query embedding via
+    sum 1/(60 + rank) — the zero-tuning hybrid-retrieval combiner a
+    curation pipeline uses to select pages for a topic. Both component
+    rankings reuse already-oracled machinery; the oracle replays the
+    whole fusion."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    bm = textops.bm25_topk(docs, k=50).select("doc_id", "rank")
+    co = simsearch.cosine_rank_to_query(emb, q_id=0, topn=50)
+    return simsearch.rrf_fusion([bm, co], k=60, topk=15)
