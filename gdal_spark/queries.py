@@ -10629,3 +10629,44 @@ def q_rrf_fusion(spark, sf_dir):
     bm = textops.bm25_topk(docs, k=50).select("doc_id", "rank")
     co = simsearch.cosine_rank_to_query(emb, q_id=0, topn=50)
     return simsearch.rrf_fusion([bm, co], k=60, topk=15)
+
+
+@_reg("lan_roundtrip", _DENSITY_VALS_SQL.replace(
+    "vals AS (SELECT", "vals AS (SELECT g.x, g.y,") + """
+SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+       CAST(CAST(v AS BIGINT) - 8 AS DOUBLE) AS v
+FROM vals
+""")
+def q_lan_roundtrip(spark, sf_dir):
+    """Erdas 7.x LAN round trip (frmts/raw/landataset.cpp): the density
+    raster (shifted -8 for signed 16-bit samples) writes as HEAD74
+    band-interleaved-by-line records (per tile-row parallel pwrite) and
+    reads back through line-strip byte tasks; the same reader passes
+    both reference autotest fixtures at their golden checksum
+    (tests/test_lan.py). The oracle recomputes every cell."""
+    import os
+    import tempfile
+    from .raster.tiles import decode_px, gdal2xyz
+    from .sources.lan import read_lan, write_lan
+    import pandas as pd
+
+    t = _density_tiles_full(spark, sf_dir)
+
+    def shift(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                arr = decode_px(r.px, r.dtype, 8) - 8.0
+                out.append((r.band, r.zoom, r.tile_x, r.tile_y,
+                            "f8", r.nodata, arr.tobytes()))
+            yield pd.DataFrame(out, columns=list(pdf.columns))
+
+    t8 = t.mapInPandas(shift, t.schema)
+    path = os.path.join(tempfile.gettempdir(),
+                        f"gdal_spark_lan_{os.getpid()}.lan")
+    write_lan(t8, path, width_px=64, height_px=64, tile=8, pix=2)
+    back, _ = read_lan(spark, path, tile=8)
+    rows = gdal2xyz(back, tile=8)
+    return rows.select(F.col("x").cast("long").alias("x"),
+                       F.col("y").cast("long").alias("y"),
+                       F.col("value").cast("double").alias("v"))

@@ -221,6 +221,9 @@ def open_raster(spark, path: str, tile: int = 256, **kwargs):
     if low.endswith(".dem"):
         from .usgsdem import read_usgsdem
         return read_usgsdem(spark, path, tile=tile, **kwargs)
+    if low.endswith((".lan", ".gis")):
+        from .lan import read_lan
+        return read_lan(spark, path, tile=tile, **kwargs)[0]
     if low.endswith((".grib2", ".grb2")):
         from .grib2 import read_grib2
         return read_grib2(spark, path, tile=tile, **kwargs)[0]
@@ -396,6 +399,10 @@ def save_raster(tiles, path: str, tile: int = 256, **kwargs):
         from .usgsdem import write_usgsdem
         return write_usgsdem(tiles, path, width_px=w, height_px=h,
                              tile=tile, **kwargs)
+    if low.endswith((".lan", ".gis")):
+        from .lan import write_lan
+        return write_lan(tiles, path, width_px=w, height_px=h,
+                         tile=tile, **kwargs)
     if low.endswith(".zarr") or low.rstrip("/").endswith(".zarr"):
         from .zarr import write_zarr
         return write_zarr(tiles, path, width=w, height=h, tile=tile,

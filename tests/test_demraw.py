@@ -144,3 +144,66 @@ def test_saga_byte_and_int_formats(spark, tmp_path):
         back, _ = demraw.read_saga(spark, path, tile=16)
         np.testing.assert_array_equal(
             tiles_to_raster(back, 16)[:18, :21], a)
+
+
+def test_lan_reference_golden_checksums(spark):
+    """Erdas LAN: both reference autotest fixtures (8-bit + 4-bit) at
+    their golden checksum 10 (autotest/gdrivers/lan.py)."""
+    import os
+
+    import numpy as np
+
+    from gdal_spark.core.checksum import gdal_checksum
+    from gdal_spark.raster.tiles import decode_px
+    from gdal_spark.sources.lan import parse_header, read_lan
+    d = "/root/reference/autotest/gdrivers/data/lan/"
+    if not os.path.isdir(d):
+        import pytest
+        pytest.skip("reference fixtures absent")
+    for name in ("fakelan.lan", "fakelan4bit.lan"):
+        meta = parse_header(d + name)
+        tiles, _ = read_lan(spark, d + name)
+        W, H = meta["width"], meta["height"]
+        full = np.zeros((H, W))
+        for r in tiles.where("band = 1").collect():
+            arr = decode_px(r.px, r.dtype, 256)
+            full[:H, :W] = arr[:H, :W]
+        assert gdal_checksum(full) == 10
+
+
+def test_lan_write_read_roundtrip(spark):
+    import numpy as np
+    import pandas as pd
+
+    from gdal_spark.raster.tiles import TILE_SCHEMA, decode_px, encode_px
+    from gdal_spark.sources.lan import parse_header, read_lan, write_lan
+    import tempfile
+    import os
+    W = H = 70
+    t = 32
+    rng = np.random.RandomState(3)
+    full = rng.randint(-3000, 3000, size=(H, W)).astype(np.int16)
+    rows = []
+    for ty in range(-(-H // t)):
+        for tx in range(-(-W // t)):
+            blk = np.zeros((t, t), np.int16)
+            sub = full[ty * t:(ty + 1) * t, tx * t:(tx + 1) * t]
+            blk[:sub.shape[0], :sub.shape[1]] = sub
+            rows.append((1, 0, tx, ty, "i2", None, encode_px(blk)))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=[f.name for f in TILE_SCHEMA.fields]),
+        TILE_SCHEMA)
+    path = os.path.join(tempfile.gettempdir(),
+                        f"lan_rt_{os.getpid()}.lan")
+    write_lan(df, path, W, H, tile=t, pix=2,
+              ulx=100.5, uly=-200.5, pw=30.0, ph=30.0)
+    meta = parse_header(path)
+    assert (meta["width"], meta["height"], meta["pix"]) == (W, H, 2)
+    back = np.zeros((H, W))
+    for r in read_lan(spark, path, tile=t)[0].collect():
+        arr = decode_px(r.px, r.dtype, t)
+        y0, x0 = r.tile_y * t, r.tile_x * t
+        hh, ww = min(t, H - y0), min(t, W - x0)
+        back[y0:y0 + hh, x0:x0 + ww] = arr[:hh, :ww]
+    assert np.array_equal(back.astype(np.int16), full)
+    os.unlink(path)
