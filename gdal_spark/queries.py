@@ -10670,3 +10670,52 @@ def q_lan_roundtrip(spark, sf_dir):
     return rows.select(F.col("x").cast("long").alias("x"),
                        F.col("y").cast("long").alias("y"),
                        F.col("value").cast("double").alias("v"))
+
+
+def _zonal_oracle_sql():
+    """Per-convex-region aggregation of the density raster's pixel
+    centers via independent half-plane containment tests."""
+    parts = []
+    for rid, ring in datagen._convex_rings():
+        conds = []
+        for k in range(len(ring) - 1):
+            x0, y0 = ring[k]
+            x1, y1 = ring[k + 1]
+            conds.append(
+                f"(({x1!r} - {x0!r}) * (cy - {y0!r})"
+                f" - ({y1!r} - {y0!r}) * (cx - {x0!r})) >= 0.0")
+        parts.append(
+            f"SELECT {rid} AS region_id,"
+            " CAST(count(*) AS BIGINT) AS n_cells,"
+            " CAST(ROUND(SUM(CAST(v AS DECIMAL(28,6))), 6) AS DOUBLE)"
+            "   AS sum_v,"
+            " ROUND(CAST(SUM(CAST(v AS DECIMAL(28,6))) AS DOUBLE)"
+            "       / count(*), 9) AS mean_v,"
+            " min(v) AS min_v, max(v) AS max_v"
+            f" FROM centers WHERE {' AND '.join(conds)}")
+    return " UNION ALL ".join(parts)
+
+
+@_reg("zonal_stats", _DENSITY_VALS_SQL.replace(
+    "vals AS (SELECT", "vals AS (SELECT g.x, g.y,") + f""",
+centers AS (SELECT v,
+                   -180.0 + (x + 0.5) * 5.625 AS cx,
+                   -90.0 + (y + 0.5) * 2.8125 AS cy
+            FROM vals)
+SELECT * FROM ({_zonal_oracle_sql()}) u WHERE n_cells > 0
+""")
+def q_zonal_stats(spark, sf_dir):
+    """Zonal statistics of the page-density raster over the convex
+    admin regions: pixel centers stream through the engine PIP join
+    (cover + bitmask + exact ray-cast) and fold per-zone
+    count/sum/mean/min/max. The oracle recomputes the density grid
+    closed-form and tests containment with half-plane conjunctions —
+    the raster, the join and the aggregation all cross-checked by
+    independent formulations."""
+    t = _density_tiles_full(spark, sf_dir)
+    r = datagen.regions(spark).where(F.col("kind") == "convex") \
+        .select("region_id", "geom", "cells", "in_masks", "out_masks")
+    from .raster.stats import zonal_statistics
+    return zonal_statistics(t, r, x0=-180.0, y0=-90.0,
+                            dx=5.625, dy=2.8125, tile=8,
+                            zoom=datagen.PIP_ZOOM)

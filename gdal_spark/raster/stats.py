@@ -175,3 +175,38 @@ def band_calc(tiles_df: DataFrame, expr: str, tile: int = 256,
 
     return tiles_df.groupBy("zoom", "tile_x", "tile_y") \
         .applyInPandas(combine, TILE_SCHEMA)
+
+
+def zonal_statistics(tiles_df: DataFrame, regions: DataFrame,
+                     x0: float, y0: float, dx: float, dy: float,
+                     tile: int = 256, zoom: int = 4) -> DataFrame:
+    """Zonal statistics — the classic raster x vector aggregation (the
+    reference composes it from gdal_rasterize + ComputeStatistics; GIS
+    suites ship it as 'zonal stats'): per polygon zone, the
+    count/sum/mean/min/max of the raster cells whose CENTER falls
+    inside the zone.
+
+    Spark shape: tiles explode to pixel-center points (pure column math
+    off the tile ids — one map stage fused into the tile scan), then the
+    ENGINE point-in-polygon path (cell-cover broadcast join + bitmask
+    accept/reject + exact ray-cast) assigns zones, and one map-side-
+    combined groupBy(zone) folds the statistics. At 100 TB the pixel
+    stream never materializes: it is a projection of the tile table that
+    flows straight into the broadcast hash join."""
+    from ..operators import spatial_join
+    from .tiles import gdal2xyz
+
+    px = gdal2xyz(tiles_df, tile=tile)
+    pts = px.select(
+        "value",
+        (x0 + (F.col("x") + 0.5) * dx).alias("lon"),
+        (y0 + (F.col("y") + 0.5) * dy).alias("lat"))
+    hits = spatial_join.pip_join(pts, regions, zoom=zoom)
+    vd = F.col("value").cast("decimal(28,6)")
+    return (hits.groupBy("region_id")
+            .agg(F.count("*").cast("long").alias("n_cells"),
+                 F.round(F.sum(vd), 6).cast("double").alias("sum_v"),
+                 F.round(F.sum(vd).cast("double") / F.count("*"), 9)
+                 .alias("mean_v"),
+                 F.min("value").alias("min_v"),
+                 F.max("value").alias("max_v")))
