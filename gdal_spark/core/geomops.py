@@ -1490,3 +1490,27 @@ def geom_snap(a: Geom, b: Geom, tolerance: float) -> Geom:
                     [walk(p) for p in g.parts])
 
     return walk(a)
+
+
+def hausdorff_distance(a: Geom, b: Geom) -> float:
+    """Discrete Hausdorff distance (GEOS DiscreteHausdorffDistance, the
+    ST_HausdorffDistance the reference's SQLite dialect exposes):
+    max over the VERTICES of each geometry of the true distance to the
+    other geometry's linework (vertex-to-nearest-segment; GEOS's
+    discrete form samples vertices only, which this matches exactly)."""
+    av = _all_vertices(a)
+    bv = _all_vertices(b)
+    a1, a2 = _segments(_all_line_rings(a))
+    b1, b2 = _segments(_all_line_rings(b))
+
+    def _one_sided(pts, s1, s2, other_pts):
+        if not len(pts):
+            return 0.0
+        if len(s1):
+            d = point_segment_distance(pts[:, 0], pts[:, 1], s1, s2)
+            return float(d.min(axis=1).max())
+        d = np.sqrt(((pts[:, None, :]
+                      - other_pts[None, :, :]) ** 2).sum(2))
+        return float(d.min(axis=1).max())
+
+    return max(_one_sided(av, b1, b2, bv), _one_sided(bv, a1, a2, av))

@@ -592,6 +592,17 @@ def st_delaunay(geom: pd.Series) -> pd.Series:
     return pd.Series(out, dtype="object")
 
 
+@pandas_udf(DoubleType())
+def st_hausdorffdistance(a: pd.Series, b: pd.Series) -> pd.Series:
+    """ST_HausdorffDistance — GEOS discrete Hausdorff (vertices of each
+    side against the other side's linework)."""
+    out = []
+    for ga, gb in zip(_decode_series(a), _decode_series(b)):
+        out.append(geomops.hausdorff_distance(ga, gb)
+                   if ga is not None and gb is not None else None)
+    return pd.Series(out, dtype="float64")
+
+
 @pandas_udf(BinaryType())
 def st_closestpoint(a: pd.Series, b: pd.Series) -> pd.Series:
     """ST_ClosestPoint(a, b) — the point ON ``a`` closest to ``b``
@@ -926,6 +937,7 @@ _REGISTRY = {
     "ST_VoronoiDiagram": st_voronoi,
     "ST_LineMerge": st_linemerge, "ST_Polygonize": st_polygonize,
     "ST_ClosestPoint": st_closestpoint,
+    "ST_HausdorffDistance": st_hausdorffdistance,
     "ST_ShortestLine": st_shortestline, "ST_Snap": st_snap,
     "ST_MakePoint": st_makepoint, "ST_AsBinary": st_asbinary,
     "ST_GeomFromWKB": st_geomfromwkb, "ST_SetPrecision": st_setprecision,

@@ -10719,3 +10719,47 @@ def q_zonal_stats(spark, sf_dir):
     return zonal_statistics(t, r, x0=-180.0, y0=-90.0,
                             dx=5.625, dy=2.8125, tile=8,
                             zoom=datagen.PIP_ZOOM)
+
+
+@_reg("st_hausdorff", f"""
+{_pts_cte()},
+p AS (SELECT doc_id, lon, lat,
+             floor((lon + 180.0) / 10.0) * 10.0 - 180.0 AS gx0,
+             floor((lat + 90.0) / 5.0) * 5.0 - 90.0 AS gy0
+      FROM pts WHERE doc_id % 6 = 2),
+-- discrete Hausdorff point vs its grid-cell rect: max over the rect's
+-- 4 corners of the distance to the point (the point side contributes
+-- its distance to the rect boundary, always smaller for an interior
+-- point; for exterior points the corner max still dominates)
+d AS (SELECT doc_id,
+             greatest(
+               sqrt((lon - gx0) * (lon - gx0) + (lat - gy0) * (lat - gy0)),
+               sqrt((lon - gx0 - 10.0) * (lon - gx0 - 10.0)
+                    + (lat - gy0) * (lat - gy0)),
+               sqrt((lon - gx0) * (lon - gx0)
+                    + (lat - gy0 - 5.0) * (lat - gy0 - 5.0)),
+               sqrt((lon - gx0 - 10.0) * (lon - gx0 - 10.0)
+                    + (lat - gy0 - 5.0) * (lat - gy0 - 5.0))) AS hd
+      FROM p)
+SELECT doc_id, ROUND(hd, 9) AS hd_r FROM d
+""")
+def q_st_hausdorff(spark, sf_dir):
+    """ST_HausdorffDistance (GEOS discrete Hausdorff, exposed by the
+    reference's SQLite dialect) between each page point and its
+    containing admin grid cell. For a point inside a rectangle the
+    discrete Hausdorff is the farthest rect VERTEX — closed form in the
+    oracle; the Spark side runs the real vertex-vs-linework kernel."""
+    st.register_all(spark)
+    p = datagen.points(spark, sf_dir).where(F.col("doc_id") % 6 == 2)
+    gx0 = F.floor((F.col("lon") + 180.0) / 10.0) * 10.0 - 180.0
+    gy0 = F.floor((F.col("lat") + 90.0) / 5.0) * 5.0 - 90.0
+    p = p.withColumn("gx0", gx0).withColumn("gy0", gy0)
+    p.createOrReplaceTempView("t_hd_pts")
+    own = ("ST_GeomFromText(concat('POLYGON((', gx0, ' ', gy0, ',', "
+           "gx0 + 10.0, ' ', gy0, ',', gx0 + 10.0, ' ', gy0 + 5.0, ',', "
+           "gx0, ' ', gy0 + 5.0, ',', gx0, ' ', gy0, '))'))")
+    return spark.sql(f"""
+        SELECT doc_id,
+          ROUND(ST_HausdorffDistance(ST_MakePoint(lon, lat), {own}), 9)
+            AS hd_r
+        FROM t_hd_pts""")

@@ -364,3 +364,19 @@ def test_geom_snap_semantics():
     # out of tolerance: unchanged
     r = geom_snap(sq, sq2, 0.01).rings[0]
     assert len(r) == 5
+
+
+def test_hausdorff_distance():
+    import numpy as np
+
+    from gdal_spark.core import wkb
+    from gdal_spark.core.geomops import hausdorff_distance
+    a = wkb.Geom(wkb.LINESTRING, [np.array([[0., 0.], [10., 0.]])])
+    b = wkb.Geom(wkb.LINESTRING, [np.array([[0., 1.], [10., 3.]])])
+    assert hausdorff_distance(a, b) == 3.0
+    assert hausdorff_distance(b, a) == 3.0    # symmetric
+    assert hausdorff_distance(a, a) == 0.0
+    sq = wkb.Geom(wkb.POLYGON, [np.array(
+        [[0., 0.], [4., 0.], [4., 4.], [0., 4.], [0., 0.]])])
+    pt = wkb.Geom(wkb.POINT, [np.array([[6., 2.]])])
+    assert abs(hausdorff_distance(pt, sq) - np.sqrt(40.0)) < 1e-12
