@@ -10763,3 +10763,47 @@ def q_st_hausdorff(spark, sf_dir):
           ROUND(ST_HausdorffDistance(ST_MakePoint(lon, lat), {own}), 9)
             AS hd_r
         FROM t_hd_pts""")
+
+
+@_reg("bsb_roundtrip", _DENSITY_VALS_SQL.replace(
+    "vals AS (SELECT", "vals AS (SELECT g.x, g.y,") + """
+SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+       CAST(CAST(v AS BIGINT) % 120 AS DOUBLE) AS v
+FROM vals
+""")
+def q_bsb_roundtrip(spark, sf_dir):
+    """BSB/KAP nautical chart round trip (frmts/bsb): the density
+    raster (mod 120 to fit the 7-bit palette range) writes as RLE
+    scanlines with a two-phase distributed encoder (sizes -> prefix-sum
+    -> parallel pwrite + big-endian index table) and reads back through
+    index-table byte-range tasks with the reference's decode quirks
+    (1-based palette indices, row continuation records, one-short
+    repair) — the same reader passes the autotest golden checksum
+    30321 on all three rgbsmall variants (tests/test_bsb.py). The
+    oracle recomputes every cell."""
+    import os
+    import tempfile
+    from .raster.tiles import decode_px, gdal2xyz
+    from .sources.bsb import read_bsb, write_bsb
+    import pandas as pd
+
+    t = _density_tiles_full(spark, sf_dir)
+
+    def mod(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                arr = decode_px(r.px, r.dtype, 8) % 120.0
+                out.append((r.band, r.zoom, r.tile_x, r.tile_y,
+                            "f8", r.nodata, arr.tobytes()))
+            yield pd.DataFrame(out, columns=list(pdf.columns))
+
+    t8 = t.mapInPandas(mod, t.schema)
+    path = os.path.join(tempfile.gettempdir(),
+                        f"gdal_spark_bsb_{os.getpid()}.kap")
+    write_bsb(t8, path, width_px=64, height_px=64, tile=8, depth=7)
+    back, _ = read_bsb(spark, path, tile=8)
+    rows = gdal2xyz(back, tile=8)
+    return rows.select(F.col("x").cast("long").alias("x"),
+                       F.col("y").cast("long").alias("y"),
+                       F.col("value").cast("double").alias("v"))

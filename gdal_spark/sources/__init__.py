@@ -224,6 +224,9 @@ def open_raster(spark, path: str, tile: int = 256, **kwargs):
     if low.endswith((".lan", ".gis")):
         from .lan import read_lan
         return read_lan(spark, path, tile=tile, **kwargs)[0]
+    if low.endswith(".kap"):
+        from .bsb import read_bsb
+        return read_bsb(spark, path, tile=tile, **kwargs)[0]
     if low.endswith((".grib2", ".grb2")):
         from .grib2 import read_grib2
         return read_grib2(spark, path, tile=tile, **kwargs)[0]
@@ -402,6 +405,10 @@ def save_raster(tiles, path: str, tile: int = 256, **kwargs):
     if low.endswith((".lan", ".gis")):
         from .lan import write_lan
         return write_lan(tiles, path, width_px=w, height_px=h,
+                         tile=tile, **kwargs)
+    if low.endswith(".kap"):
+        from .bsb import write_bsb
+        return write_bsb(tiles, path, width_px=w, height_px=h,
                          tile=tile, **kwargs)
     if low.endswith(".zarr") or low.rstrip("/").endswith(".zarr"):
         from .zarr import write_zarr
