@@ -1892,3 +1892,55 @@ def cdc_dedup_stats(docs: DataFrame, mask_bits: int = 6) -> DataFrame:
             .select("chunk_hash", "n_copies", "length",
                     ((F.col("n_copies") - 1) * F.col("length"))
                     .cast("long").alias("saved_bytes")))
+
+
+def platt_scaling(docs: DataFrame, iters: int = 6) -> DataFrame:
+    """-> one row (a_r, b_r, loss_r, n): Platt scaling (Platt 1999) — fit
+    sigma(a*x + b) to binary labels by Newton/IRLS, the standard
+    calibration step after a quality classifier. Here x is each page's
+    'e'-frequency and y = 1 when the text mentions 'spark' (a
+    deterministic stand-in for classifier score and gold label).
+
+    Determinism across engines: every Newton iteration needs three
+    gradient/Hessian sums over the corpus; floating sums are
+    order-dependent, so each per-row term is cast to DECIMAL(38,20)
+    first — the sums are then EXACT integers in fixed-point and both
+    Spark and any SQL replay produce bit-identical iterates. Each
+    iteration is one map-side-combined aggregate (6 numbers cross the
+    shuffle); the 2x2 Newton solve is closed-form driver math — the
+    same shape a 10^12-page calibration runs."""
+    base = docs.select(
+        ((F.length("text")
+          - F.length(F.regexp_replace("text", "e", "")))
+         .cast("double") / F.length("text")).alias("x"),
+        F.when(F.col("text").contains("spark"), 1.0).otherwise(0.0)
+        .alias("y"))
+    base = base.persist()
+    a, b = 0.0, 0.0
+    dec = "decimal(38,20)"
+    loss = None
+    n = base.count()
+    for _ in range(iters):
+        z = F.lit(a) * F.col("x") + F.lit(b)
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        w = p * (F.lit(1.0) - p)
+        row = base.agg(
+            F.sum(((p - F.col("y")) * F.col("x")).cast(dec)).alias("g1"),
+            F.sum((p - F.col("y")).cast(dec)).alias("g2"),
+            F.sum((w * F.col("x") * F.col("x")).cast(dec)).alias("h11"),
+            F.sum((w * F.col("x")).cast(dec)).alias("h12"),
+            F.sum(w.cast(dec)).alias("h22"),
+            F.sum((-(F.col("y") * F.log(p)
+                     + (F.lit(1.0) - F.col("y"))
+                     * F.log(F.lit(1.0) - p))).cast(dec)).alias("ll"),
+        ).collect()[0]
+        g1, g2 = float(row.g1), float(row.g2)
+        h11, h12, h22 = float(row.h11), float(row.h12), float(row.h22)
+        loss = float(row.ll)
+        det = h11 * h22 - h12 * h12
+        a = a - (h22 * g1 - h12 * g2) / det
+        b = b - (h11 * g2 - h12 * g1) / det
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        [(round(a, 9), round(b, 9), round(loss / n, 9), n)],
+        "a_r double, b_r double, loss_r double, n long")

@@ -10807,3 +10807,67 @@ def q_bsb_roundtrip(spark, sf_dir):
     return rows.select(F.col("x").cast("long").alias("x"),
                        F.col("y").cast("long").alias("y"),
                        F.col("value").cast("double").alias("v"))
+
+
+def _platt_oracle_sql(iters: int = 6) -> str:
+    """DuckDB replay of platt_scaling: per-iteration exact DECIMAL(38,20)
+    gradient/Hessian sums (order-independent fixed point, so both
+    engines iterate on bit-identical scalars) chained through 1-row
+    iterate CTEs and the closed-form 2x2 Newton solve."""
+    parts = ["""
+base AS (SELECT CAST(strlen(text) - strlen(replace(text, 'e', ''))
+                     AS DOUBLE) / strlen(text) AS x,
+                CASE WHEN text LIKE '%spark%' THEN 1.0 ELSE 0.0 END AS y
+         FROM documents),
+it0 AS (SELECT 0.0::DOUBLE AS a, 0.0::DOUBLE AS b)"""]
+    for t in range(iters):
+        parts.append(f"""
+ag{t} AS (SELECT
+    SUM(CAST((1.0 / (1.0 + exp(-(it{t}.a * x + it{t}.b))) - y) * x
+             AS DECIMAL(38,20))) AS g1,
+    SUM(CAST((1.0 / (1.0 + exp(-(it{t}.a * x + it{t}.b))) - y)
+             AS DECIMAL(38,20))) AS g2,
+    SUM(CAST((1.0 / (1.0 + exp(-(it{t}.a * x + it{t}.b))))
+             * (1.0 - 1.0 / (1.0 + exp(-(it{t}.a * x + it{t}.b))))
+             * x * x AS DECIMAL(38,20))) AS h11,
+    SUM(CAST((1.0 / (1.0 + exp(-(it{t}.a * x + it{t}.b))))
+             * (1.0 - 1.0 / (1.0 + exp(-(it{t}.a * x + it{t}.b))))
+             * x AS DECIMAL(38,20))) AS h12,
+    SUM(CAST((1.0 / (1.0 + exp(-(it{t}.a * x + it{t}.b))))
+             * (1.0 - 1.0 / (1.0 + exp(-(it{t}.a * x + it{t}.b))))
+             AS DECIMAL(38,20))) AS h22,
+    SUM(CAST(-(y * ln(1.0 / (1.0 + exp(-(it{t}.a * x + it{t}.b))))
+               + (1.0 - y)
+                 * ln(1.0 - 1.0 / (1.0 + exp(-(it{t}.a * x
+                                               + it{t}.b)))))
+             AS DECIMAL(38,20))) AS ll
+  FROM base, it{t}),
+it{t + 1} AS (SELECT
+    it{t}.a - (CAST(h22 AS DOUBLE) * CAST(g1 AS DOUBLE)
+               - CAST(h12 AS DOUBLE) * CAST(g2 AS DOUBLE))
+              / (CAST(h11 AS DOUBLE) * CAST(h22 AS DOUBLE)
+                 - CAST(h12 AS DOUBLE) * CAST(h12 AS DOUBLE)) AS a,
+    it{t}.b - (CAST(h11 AS DOUBLE) * CAST(g2 AS DOUBLE)
+               - CAST(h12 AS DOUBLE) * CAST(g1 AS DOUBLE))
+              / (CAST(h11 AS DOUBLE) * CAST(h22 AS DOUBLE)
+                 - CAST(h12 AS DOUBLE) * CAST(h12 AS DOUBLE)) AS b,
+    CAST(ag{t}.ll AS DOUBLE) AS ll
+  FROM ag{t}, it{t})""")
+    last = iters
+    return ("WITH " + ",".join(parts) + f"""
+SELECT ROUND(a, 9) AS a_r, ROUND(b, 9) AS b_r,
+       ROUND(ll / (SELECT count(*) FROM documents), 9) AS loss_r,
+       (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n
+FROM it{last}""")
+
+
+@_reg("platt_calibration", _platt_oracle_sql(6))
+def q_platt_calibration(spark, sf_dir):
+    """Platt scaling (Platt 1999): Newton/IRLS fit of a two-parameter
+    sigmoid calibrator over the corpus — the post-hoc calibration step
+    of a quality classifier. Each iteration moves six exact-decimal
+    sums through one map-side-combined aggregate; the oracle replays
+    all six iterations CTE-for-CTE on bit-identical fixed-point
+    iterates."""
+    d = _t(spark, sf_dir, "documents")
+    return textops.platt_scaling(d, iters=6)

@@ -181,3 +181,24 @@ def test_cdc_dedup_stats_counts(spark):
     assert out                      # identical docs share every chunk
     assert all(r.n_copies >= 2 for r in out)
     assert all(r.saved_bytes == (r.n_copies - 1) * r.length for r in out)
+
+
+def test_platt_scaling_learns_separator(spark):
+    """Newton converges and the fitted sigmoid separates a synthetic
+    perfectly-correlated feature (positive a for positive correlation;
+    loss well below the ln(2) of an uninformed fit)."""
+    import numpy as np
+
+    from gdal_spark.operators import textops
+    rows = []
+    rng = np.random.RandomState(2)
+    for i in range(200):
+        y = i % 2
+        # 'e' frequency high for y=1 docs; 'spark' is the label token
+        body = ("beekeeper " * 12 if y else "of mud sun " * 10)
+        rows.append((i, body + ("spark" if y else "plain")))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    r = textops.platt_scaling(docs, iters=6).collect()[0]
+    assert r.n == 200
+    assert r.a_r > 0                  # higher e-freq -> higher p(spark)
+    assert r.loss_r < 0.5             # better than the 0.693 coin flip
