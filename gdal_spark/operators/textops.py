@@ -16,6 +16,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -1944,3 +1945,57 @@ def platt_scaling(docs: DataFrame, iters: int = 6) -> DataFrame:
     return spark.createDataFrame(
         [(round(a, 9), round(b, 9), round(loss / n, 9), n)],
         "a_r double, b_r double, loss_r double, n long")
+
+
+def length_percentiles(docs: DataFrame,
+                       qs=(0.5, 0.9, 0.99)) -> DataFrame:
+    """-> one row of EXACT token-length percentiles (nearest-rank, the
+    SQL PERCENTILE_DISC definition) — the corpus length profile every
+    dataset card reports. Exact at any scale: lengths are small ints,
+    so one map-side-combined groupBy(length) histogram + a cumulative
+    window over the (tiny) distinct-length table replaces a full sort
+    of the corpus."""
+    from pyspark.sql import Window
+
+    ln = docs.select(F.size(F.split("text", " ")).alias("len"))
+    hist = ln.groupBy("len").agg(F.count("*").alias("c"))
+    n = ln.count()
+    w = Window.orderBy("len").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("cum", F.sum("c").over(w))
+    cols = []
+    for q in qs:
+        rank = int(np.ceil(q * n))
+        v = (cum.where(F.col("cum") >= rank)
+             .orderBy("len").limit(1)
+             .select("len").collect()[0][0])
+        cols.append((f"p{int(q * 100)}", int(v)))
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        [tuple(v for _, v in cols) + (n,)],
+        ", ".join(f"{k} int" for k, _ in cols) + ", n long")
+
+
+def readability(docs: DataFrame) -> DataFrame:
+    """-> (doc_id, n_words, n_sents, n_syll, fk_grade_r, fre_r):
+    Flesch-Kincaid grade and Flesch reading ease (Kincaid et al. 1975)
+    — the classic readability gate in curation filters. Syllables use
+    the standard vowel-group heuristic (maximal [aeiouy]+ runs), and
+    sentences count terminal punctuation runs; every count is one
+    regexp over the text, so the whole operator is JVM column math."""
+    words = F.size(F.split(F.trim("text"), "\\s+"))
+    sents = F.greatest(
+        F.size(F.split("text", "[.!?]+")) - 1, F.lit(1))
+    lower = F.lower("text")
+    syll = F.greatest(
+        F.size(F.split(F.regexp_replace(lower, "[^a-z]+", " "),
+                       "[^aeiouy]+")) - 1, F.lit(1))
+    fk = (F.lit(0.39) * words / sents
+          + F.lit(11.8) * syll / words - F.lit(15.59))
+    fre = (F.lit(206.835) - F.lit(1.015) * words / sents
+           - F.lit(84.6) * syll / words)
+    return docs.select(
+        "doc_id", words.cast("long").alias("n_words"),
+        sents.cast("long").alias("n_sents"),
+        syll.cast("long").alias("n_syll"),
+        F.round(fk, 6).alias("fk_grade_r"),
+        F.round(fre, 6).alias("fre_r"))

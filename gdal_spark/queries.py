@@ -10871,3 +10871,46 @@ def q_platt_calibration(spark, sf_dir):
     iterates."""
     d = _t(spark, sf_dir, "documents")
     return textops.platt_scaling(d, iters=6)
+
+
+@_reg("length_percentiles", """
+WITH ln AS (SELECT len(string_split(text, ' ')) AS l FROM documents),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ln)
+SELECT CAST(quantile_disc(l, 0.5) AS INTEGER) AS p50,
+       CAST(quantile_disc(l, 0.9) AS INTEGER) AS p90,
+       CAST(quantile_disc(l, 0.99) AS INTEGER) AS p99,
+       (SELECT n FROM n) AS n
+FROM ln
+""")
+def q_length_percentiles(spark, sf_dir):
+    """Exact nearest-rank token-length percentiles (the dataset-card
+    length profile) — computed WITHOUT sorting the corpus: one
+    histogram groupBy(length) + a cumulative window over the tiny
+    distinct-length table. The oracle uses DuckDB's quantile_disc,
+    an entirely different formulation of the same definition."""
+    d = _t(spark, sf_dir, "documents")
+    return textops.length_percentiles(d)
+
+
+@_reg("readability", """
+WITH t AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(text), '\\s+')) AS w,
+         greatest(len(string_split_regex(text, '[.!?]+')) - 1, 1) AS s,
+         greatest(len(string_split_regex(
+             regexp_replace(lower(text), '[^a-z]+', ' ', 'g'),
+             '[^aeiouy]+')) - 1, 1) AS y
+  FROM documents)
+SELECT doc_id, CAST(w AS BIGINT) AS n_words, CAST(s AS BIGINT) AS n_sents,
+       CAST(y AS BIGINT) AS n_syll,
+       ROUND(0.39 * w / s + 11.8 * y / w - 15.59, 6) AS fk_grade_r,
+       ROUND(206.835 - 1.015 * w / s - 84.6 * y / w, 6) AS fre_r
+FROM t
+""")
+def q_readability(spark, sf_dir):
+    """Flesch-Kincaid grade + Flesch reading ease per page (Kincaid et
+    al. 1975) — the classic readability gate in web-corpus quality
+    filters; vowel-group syllable heuristic, terminal-punctuation
+    sentence counting, all JVM column math replayed in SQL."""
+    d = _t(spark, sf_dir, "documents")
+    return textops.readability(d)

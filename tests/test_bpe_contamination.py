@@ -202,3 +202,27 @@ def test_platt_scaling_learns_separator(spark):
     assert r.n == 200
     assert r.a_r > 0                  # higher e-freq -> higher p(spark)
     assert r.loss_r < 0.5             # better than the 0.693 coin flip
+
+
+def test_length_percentiles_nearest_rank(spark):
+    import numpy as np
+
+    from gdal_spark.operators import textops
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (i + 1))) for i in range(100)],
+        "doc_id long, text string")
+    r = textops.length_percentiles(docs).collect()[0]
+    lens = np.arange(1, 101)
+    assert r.p50 == int(np.sort(lens)[int(np.ceil(0.5 * 100)) - 1])
+    assert r.p90 == 90 and r.p99 == 99
+    assert r.n == 100
+
+
+def test_readability_known_sentence(spark):
+    from gdal_spark.operators import textops
+    docs = spark.createDataFrame(
+        [(0, "the cat sat on the mat.")], "doc_id long, text string")
+    r = textops.readability(docs).collect()[0]
+    assert r.n_words == 6 and r.n_sents == 1 and r.n_syll == 6
+    # FK grade: 0.39*6 + 11.8*1 - 15.59 = -1.45
+    assert abs(r.fk_grade_r - (-1.45)) < 1e-9
