@@ -1986,9 +1986,13 @@ def readability(docs: DataFrame) -> DataFrame:
     sents = F.greatest(
         F.size(F.split("text", "[.!?]+")) - 1, F.lit(1))
     lower = F.lower("text")
+    # each maximal vowel run -> one marker char; digits can't collide
+    # because non-letters are stripped first
+    marked = F.regexp_replace(
+        F.regexp_replace(lower, "[^a-z]+", " "), "[aeiouy]+", "1")
     syll = F.greatest(
-        F.size(F.split(F.regexp_replace(lower, "[^a-z]+", " "),
-                       "[^aeiouy]+")) - 1, F.lit(1))
+        F.length(marked)
+        - F.length(F.regexp_replace(marked, "1", "")), F.lit(1))
     fk = (F.lit(0.39) * words / sents
           + F.lit(11.8) * syll / words - F.lit(15.59))
     fre = (F.lit(206.835) - F.lit(1.015) * words / sents

@@ -10897,9 +10897,12 @@ WITH t AS (
   SELECT doc_id,
          len(string_split_regex(trim(text), '\\s+')) AS w,
          greatest(len(string_split_regex(text, '[.!?]+')) - 1, 1) AS s,
-         greatest(len(string_split_regex(
-             regexp_replace(lower(text), '[^a-z]+', ' ', 'g'),
-             '[^aeiouy]+')) - 1, 1) AS y
+         greatest(
+             strlen(regexp_replace(regexp_replace(lower(text),
+                    '[^a-z]+', ' ', 'g'), '[aeiouy]+', '1', 'g'))
+             - strlen(replace(regexp_replace(regexp_replace(lower(text),
+                    '[^a-z]+', ' ', 'g'), '[aeiouy]+', '1', 'g'),
+                    '1', '')), 1) AS y
   FROM documents)
 SELECT doc_id, CAST(w AS BIGINT) AS n_words, CAST(s AS BIGINT) AS n_sents,
        CAST(y AS BIGINT) AS n_syll,
