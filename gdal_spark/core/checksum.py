@@ -35,8 +35,16 @@ def _to_int(arr: np.ndarray) -> np.ndarray:
 
 def gdal_checksum(arr: np.ndarray) -> int:
     """Checksum of a full 2-D (or 1-D) array, row-major — matches
-    GDALChecksumImage(band, 0, 0, xsize, ysize)."""
-    flat = _to_int(np.asarray(arr)).ravel()
+    GDALChecksumImage(band, 0, 0, xsize, ysize). Complex bands follow
+    the reference's nValsPerIter=2 rule: real/imag parts interleave in
+    the prime-weighted stream (gdalchecksum.cpp:131)."""
+    a = np.asarray(arr)
+    if np.iscomplexobj(a):
+        inter = np.empty(a.shape + (2,), np.float64)
+        inter[..., 0] = a.real
+        inter[..., 1] = a.imag
+        a = inter
+    flat = _to_int(a).ravel()
     idx = np.arange(flat.size, dtype=np.int64) % 11
     rem = np.fmod(flat, _PRIMES[idx])  # C-style: sign follows dividend
     return int(rem.sum() & 0xFFFF)

@@ -10917,3 +10917,63 @@ def q_readability(spark, sf_dir):
     sentence counting, all JVM column math replayed in SQL."""
     d = _t(spark, sf_dir, "documents")
     return textops.readability(d)
+
+
+@_reg("hdf5_roundtrip", _DENSITY_VALS_SQL.replace(
+    "vals AS (SELECT", "vals AS (SELECT g.x, g.y,") + """
+SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+       CAST(CAST(v AS BIGINT) - 8 AS DOUBLE) AS v
+FROM vals
+""")
+def q_hdf5_roundtrip(spark, sf_dir):
+    """HDF5 round trip (frmts/hdf5, classic file format): the density
+    raster (shifted -8 for signed samples) writes as a single
+    contiguous dataset — superblock v0, symbol-table root group, v1
+    object headers, per-strip parallel pwrite — and reads back through
+    the from-scratch HDF5 reader whose decode path (group B-trees,
+    chunk B-trees, deflate/shuffle/fletcher32 filters, big-endian and
+    compound/complex datatypes, netCDF-4 containers) matches five
+    reference autotest golden checksums (tests/test_hdf5.py: 135, 18,
+    231, 523, 511 — and byte.tif's 4672 through a flipped netCDF-4
+    Band1). The oracle recomputes every cell."""
+    import os
+    import tempfile
+    from .raster.tiles import decode_px, gdal2xyz
+    from .sources.hdf5 import read_hdf5, write_hdf5
+    import pandas as pd
+
+    t = _density_tiles_full(spark, sf_dir)
+
+    def shift(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                arr = decode_px(r.px, r.dtype, 8) - 8.0
+                out.append((r.band, r.zoom, r.tile_x, r.tile_y,
+                            "f8", r.nodata, arr.tobytes()))
+            yield pd.DataFrame(out, columns=list(pdf.columns))
+
+    t8 = t.mapInPandas(shift, t.schema)
+    path = os.path.join(tempfile.gettempdir(),
+                        f"gdal_spark_h5_{os.getpid()}.h5")
+    write_hdf5(t8, path, width_px=64, height_px=64, tile=8)
+    back, _ = read_hdf5(spark, path, "/Band1", tile=256)
+
+    def retile(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                arr = decode_px(r.px, r.dtype, 256)[:64, :64]
+                for ty in range(8):
+                    for tx in range(8):
+                        blk = arr[ty * 8:(ty + 1) * 8,
+                                  tx * 8:(tx + 1) * 8]
+                        out.append((1, 0, tx, ty, "f8", None,
+                                    blk.astype("f8").tobytes()))
+            yield pd.DataFrame(out, columns=list(pdf.columns))
+
+    small = back.mapInPandas(retile, back.schema)
+    rows = gdal2xyz(small, tile=8)
+    return rows.select(F.col("x").cast("long").alias("x"),
+                       F.col("y").cast("long").alias("y"),
+                       F.col("value").cast("double").alias("v"))

@@ -238,7 +238,15 @@ def open_raster(spark, path: str, tile: int = 256, **kwargs):
             return read_grib2(spark, path, tile=tile, **kwargs)[0]
         from .grib import read_grib
         return read_grib(spark, path, tile=tile, **kwargs)[0]
+    if low.endswith((".h5", ".hdf5")):
+        from .hdf5 import read_hdf5
+        return read_hdf5(spark, path, tile=tile, **kwargs)[0]
     if low.endswith(".nc"):
+        with open(path, "rb") as fh:        # netCDF-4 files ARE HDF5
+            magic = fh.read(8)
+        if magic == b"\x89HDF\r\n\x1a\n":
+            from .hdf5 import read_hdf5
+            return read_hdf5(spark, path, tile=tile, **kwargs)[0]
         from .netcdf import read_netcdf
         return read_netcdf(spark, path, tile=tile, **kwargs)[0]
     if low.endswith(".img"):
@@ -410,6 +418,10 @@ def save_raster(tiles, path: str, tile: int = 256, **kwargs):
         from .bsb import write_bsb
         return write_bsb(tiles, path, width_px=w, height_px=h,
                          tile=tile, **kwargs)
+    if low.endswith((".h5", ".hdf5")):
+        from .hdf5 import write_hdf5
+        return write_hdf5(tiles, path, width_px=w, height_px=h,
+                          tile=tile, **kwargs)
     if low.endswith(".zarr") or low.rstrip("/").endswith(".zarr"):
         from .zarr import write_zarr
         return write_zarr(tiles, path, width=w, height=h, tile=tile,
