@@ -10977,3 +10977,47 @@ def q_hdf5_roundtrip(spark, sf_dir):
     return rows.select(F.col("x").cast("long").alias("x"),
                        F.col("y").cast("long").alias("y"),
                        F.col("value").cast("double").alias("v"))
+
+
+@_reg("sdts_roundtrip", _DENSITY_VALS_SQL.replace(
+    "vals AS (SELECT", "vals AS (SELECT g.x, g.y,") + """
+SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+       CAST(CAST(v AS BIGINT) - 8 AS DOUBLE) AS v
+FROM vals
+""")
+def q_sdts_roundtrip(spark, sf_dir):
+    """SDTS DEM round trip (frmts/sdts over ISO 8211): the density
+    raster (shifted -8 for signed B(16) samples) writes as a
+    five-module transfer — CATD catalog, IDEN/IREF/LDEF/RSDF metadata,
+    fixed-size CEL0 row records pwritten in parallel — and reads back
+    through the generic DDF engine (core/iso8211: DDR format controls,
+    reused-'R' leaders) whose decode matches the reference autotest
+    golden checksum 61672 + exact geotransform + TITLE on the
+    truncated ALANSON quad (tests/test_sdts.py). The oracle recomputes
+    every cell."""
+    import os
+    import tempfile
+    from .raster.tiles import decode_px, gdal2xyz
+    from .sources.sdts import read_sdts, write_sdts
+    import pandas as pd
+
+    t = _density_tiles_full(spark, sf_dir)
+
+    def shift(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                arr = decode_px(r.px, r.dtype, 8) - 8.0
+                out.append((r.band, r.zoom, r.tile_x, r.tile_y,
+                            "f8", r.nodata, arr.tobytes()))
+            yield pd.DataFrame(out, columns=list(pdf.columns))
+
+    t8 = t.mapInPandas(shift, t.schema)
+    d = os.path.join(tempfile.gettempdir(),
+                     f"gdal_spark_sdts_{os.getpid()}")
+    catd = write_sdts(t8, d, width_px=64, height_px=64, tile=8)
+    back, _ = read_sdts(spark, catd, tile=8)
+    rows = gdal2xyz(back, tile=8)
+    return rows.select(F.col("x").cast("long").alias("x"),
+                       F.col("y").cast("long").alias("y"),
+                       F.col("value").cast("double").alias("v"))

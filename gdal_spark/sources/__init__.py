@@ -227,6 +227,9 @@ def open_raster(spark, path: str, tile: int = 256, **kwargs):
     if low.endswith(".kap"):
         from .bsb import read_bsb
         return read_bsb(spark, path, tile=tile, **kwargs)[0]
+    if low.endswith("catd.ddf"):
+        from .sdts import read_sdts
+        return read_sdts(spark, path, tile=tile, **kwargs)[0]
     if low.endswith((".grib2", ".grb2")):
         from .grib2 import read_grib2
         return read_grib2(spark, path, tile=tile, **kwargs)[0]
