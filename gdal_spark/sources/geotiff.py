@@ -38,8 +38,10 @@ PREDICTOR, TILE_W, TILE_L, TILE_OFF, TILE_CNT = 317, 322, 323, 324, 325
 SAMPLE_FORMAT = 339
 MODEL_SCALE, MODEL_TIEPOINT = 33550, 33922
 
-_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 12: 8}
-_TYPE_FMT = {3: "<H", 4: "<I", 12: "<d"}
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 12: 8,
+              16: 8, 17: 8, 18: 8}
+_TYPE_FMT = {3: "<H", 4: "<I", 12: "<d",
+             16: "<Q", 17: "<q", 18: "<Q"}
 
 _DTYPES = {  # (bits, sample_format) -> numpy dtype
     (8, 1): "uint8", (16, 1): "uint16", (16, 2): "int16",
@@ -56,33 +58,54 @@ def read_ifd(path: str, ifd: int = 0) -> dict:
     """Parse the `ifd`-th IFD (0 = full resolution; COG overview IFDs
     follow on the next-IFD chain, smallest last)."""
     with open(path, "rb") as f:
-        head = f.read(8)
+        head = f.read(16)
+        big = False
         if head[:4] == b"II*\x00":
             e = "<"
         elif head[:4] == b"MM\x00*":
             e = ">"
+        elif head[:4] in (b"II+\x00", b"MM\x00+"):
+            # BigTIFF (version 43): 8-byte offsets everywhere
+            e = "<" if head[:2] == b"II" else ">"
+            big = True
+            if struct.unpack(e + "H", head[4:6])[0] != 8:
+                raise ValueError("BigTIFF offset size != 8")
         else:
-            raise ValueError("not a classic TIFF")
-        ifd_off = struct.unpack(e + "I", head[4:])[0]
+            raise ValueError("not a TIFF")
+        entry_sz = 20 if big else 12
+        cnt_fmt = e + ("Q" if big else "H")
+        off_fmt = e + ("Q" if big else "I")
+        cnt_sz = 8 if big else 2
+        off_sz = 8 if big else 4
+        ifd_off = struct.unpack_from(off_fmt, head, 8 if big else 4)[0]
         for _ in range(ifd):
             f.seek(ifd_off)
-            n0 = struct.unpack(e + "H", f.read(2))[0]
-            f.seek(ifd_off + 2 + 12 * n0)
-            ifd_off = struct.unpack(e + "I", f.read(4))[0]
+            n0 = struct.unpack(cnt_fmt, f.read(cnt_sz))[0]
+            f.seek(ifd_off + cnt_sz + entry_sz * n0)
+            ifd_off = struct.unpack(off_fmt, f.read(off_sz))[0]
             if ifd_off == 0:
                 raise ValueError(f"TIFF has no IFD #{ifd}")
         f.seek(ifd_off)
-        n = struct.unpack(e + "H", f.read(2))[0]
-        entries = f.read(12 * n)
+        n = struct.unpack(cnt_fmt, f.read(cnt_sz))[0]
+        entries = f.read(entry_sz * n)
+        inline_max = 8 if big else 4
         tags: dict[int, list] = {}
         for i in range(n):
-            tag, typ, cnt = struct.unpack_from(e + "HHI", entries, 12 * i)
-            raw = entries[12 * i + 8:12 * i + 12]
+            if big:
+                tag, typ = struct.unpack_from(e + "HH", entries,
+                                              entry_sz * i)
+                cnt = struct.unpack_from(e + "Q", entries,
+                                         entry_sz * i + 4)[0]
+                raw = entries[entry_sz * i + 12:entry_sz * i + 20]
+            else:
+                tag, typ, cnt = struct.unpack_from(
+                    e + "HHI", entries, entry_sz * i)
+                raw = entries[entry_sz * i + 8:entry_sz * i + 12]
             size = _TYPE_SIZE.get(typ, 1) * cnt
-            if size <= 4:
+            if size <= inline_max:
                 data = raw[:size]
             else:
-                off = struct.unpack(e + "I", raw)[0]
+                off = struct.unpack(off_fmt, raw)[0]
                 f.seek(off)
                 data = f.read(size)
             if typ in _TYPE_FMT:

@@ -226,3 +226,33 @@ def test_tile_index_footprints(spark, tmp_path):
     assert rb[1].tolist() == [10.0, 0.0]              # TR: 8*gt1
     assert rb[3].tolist() == [0.0, -6.0]              # BL: 8*gt5
     assert b.xmax == 10.0 and b.ymin == -6.0
+
+
+def test_bigtiff_read(spark):
+    """BigTIFF (version 43, 8-byte offsets): golden checksum 4672 on
+    byte_bigtiff_strip5lines.tif and the autotest strip-offset layouts."""
+    import os
+
+    import numpy as np
+    import pytest as _pytest
+
+    from gdal_spark.core.checksum import gdal_checksum
+    from gdal_spark.raster.tiles import decode_px
+    from gdal_spark.sources.geotiff import read_gtiff, read_ifd
+    d = "/root/reference/autotest/gcore/data/"
+    if not os.path.exists(d + "byte_bigtiff_strip5lines.tif"):
+        _pytest.skip("reference fixtures absent")
+    out = read_gtiff(spark, d + "byte_bigtiff_strip5lines.tif")
+    t = out[0] if isinstance(out, tuple) else out
+    full = np.zeros((20, 20))
+    for r in t.collect():
+        arr = decode_px(r.px, r.dtype, 256)
+        full[:20, :20] = arr[:20, :20]
+    assert gdal_checksum(full) == 4672
+    # tiff_read.py pinned strip/tile offsets
+    assert read_ifd(d + "bigtiff_four_strip_be_short.tif")["offsets"] \
+        == [316, 317, 318, 319]
+    assert read_ifd(d + "bigtiff_one_block_long8.tif")["offsets"] \
+        == [272]
+    assert read_ifd(d + "bigtiff_one_block_be_long8.tif")["offsets"] \
+        == [272]
