@@ -552,3 +552,42 @@ def cosine_rank_to_query(emb: "DataFrame", q_id: int = 0,
     win = Window.orderBy(F.col("cos").desc(), F.col("doc_id").asc())
     return top.withColumn("rank", F.row_number().over(win)) \
         .select("doc_id", F.col("rank").cast("int").alias("rank"))
+
+
+def clustering_ari(emb: "DataFrame") -> "DataFrame":
+    """-> one row (n, n_clusters, n_labels, ari_r): Adjusted Rand Index
+    (Hubert & Arabie 1985) between the LSH-bucket partition of the
+    embeddings and the ground-truth `label` column — the standard
+    external metric for validating a clustering/dedup pipeline against
+    annotations.
+
+    Every pair count is EXACT integer math off one contingency
+    groupBy(bucket, label) plus its two marginals (three map-side-
+    combined aggregates over a table the size of the partition cross
+    product, never the corpus): with sum_ij = sum C(n_ij,2),
+    a = sum C(row,2), b = sum C(col,2), E = a*b/C(n,2),
+    ARI = (sum_ij - E) / ((a+b)/2 - E) — one double division at the
+    end, so any SQL engine replays it bit-for-bit."""
+    planes = hyperplanes()
+    e = emb.select(lsh_bucket_col(F.col("embedding"), planes)
+                   .alias("c"), F.col("label").alias("l"))
+    cont = e.groupBy("c", "l").agg(F.count("*").cast("long").alias("n"))
+    cont = cont.persist()
+    pair = (F.col("n") * (F.col("n") - 1) / 2).cast("long")
+    sum_ij = cont.agg(F.sum(pair).alias("s")).collect()[0].s or 0
+    rows = (cont.groupBy("c").agg(F.sum("n").alias("n"))
+            .agg(F.sum(pair).alias("s")).collect()[0].s or 0)
+    cols = (cont.groupBy("l").agg(F.sum("n").alias("n"))
+            .agg(F.sum(pair).alias("s")).collect()[0].s or 0)
+    n = e.count()
+    nc = cont.select("c").distinct().count()
+    nl = cont.select("l").distinct().count()
+    total_pairs = n * (n - 1) // 2
+    expected = rows * cols / total_pairs
+    maxi = (rows + cols) / 2.0
+    ari = (sum_ij - expected) / (maxi - expected) if maxi != expected \
+        else 1.0
+    spark = emb.sparkSession
+    return spark.createDataFrame(
+        [(n, nc, nl, round(float(ari), 9))],
+        "n long, n_clusters long, n_labels long, ari_r double")

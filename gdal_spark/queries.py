@@ -11021,3 +11021,46 @@ def q_sdts_roundtrip(spark, sf_dir):
     return rows.select(F.col("x").cast("long").alias("x"),
                        F.col("y").cast("long").alias("y"),
                        F.col("value").cast("double").alias("v"))
+
+
+def _ari_sql():
+    planes = simsearch.hyperplanes()
+    terms = []
+    for i, p in enumerate(planes):
+        lit = "[" + ", ".join(repr(float(x)) for x in p) + "]"
+        terms.append(f"(CASE WHEN list_dot_product(v, {lit}) > 0"
+                     f" THEN {1 << i} ELSE 0 END)")
+    bucket = " + ".join(terms)
+    return f"""
+WITH e AS (SELECT embedding::DOUBLE[] AS v, label AS l FROM embeddings),
+b AS (SELECT CAST({bucket} AS INTEGER) AS c, l FROM e),
+cont AS (SELECT c, l, CAST(count(*) AS BIGINT) AS n
+         FROM b GROUP BY c, l),
+s AS (SELECT CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS sij FROM cont),
+r AS (SELECT CAST(SUM(m * (m - 1) // 2) AS BIGINT) AS a
+      FROM (SELECT SUM(n) AS m FROM cont GROUP BY c)),
+cc AS (SELECT CAST(SUM(m * (m - 1) // 2) AS BIGINT) AS bb
+       FROM (SELECT SUM(n) AS m FROM cont GROUP BY l)),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(count(*) * (count(*) - 1) // 2 AS BIGINT) AS tp
+        FROM b),
+k AS (SELECT (SELECT CAST(count(DISTINCT c) AS BIGINT) FROM cont)
+        AS n_clusters,
+             (SELECT CAST(count(DISTINCT l) AS BIGINT) FROM cont)
+        AS n_labels)
+SELECT tot.n, k.n_clusters, k.n_labels,
+       ROUND((s.sij - r.a * cc.bb / CAST(tot.tp AS DOUBLE))
+             / ((r.a + cc.bb) / 2.0
+                - r.a * cc.bb / CAST(tot.tp AS DOUBLE)), 9) AS ari_r
+FROM s, r, cc, tot, k"""
+
+
+@_reg("clustering_ari", _ari_sql())
+def q_clustering_ari(spark, sf_dir):
+    """Adjusted Rand Index (Hubert & Arabie 1985) between the LSH-bucket
+    partition of the corpus embeddings and the ground-truth labels —
+    the external validation metric a clustering/dedup pipeline reports.
+    Exact integer pair counts from one contingency groupBy; the oracle
+    replays bucket assignment and the ARI closed form."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return simsearch.clustering_ari(emb)

