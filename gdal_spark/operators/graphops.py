@@ -352,3 +352,36 @@ def hyperball_harmonic(docs: DataFrame, rounds: int = 4) -> DataFrame:
             for t in range(1, rounds + 1)]
     return out.select(F.col("v").alias("doc_id"), *cols,
                       F.round(harm, 6).alias("harm_r"))
+
+
+def link_components(docs: DataFrame, max_rounds: int = 16) -> DataFrame:
+    """-> (component, n_pages): weakly connected components of the link
+    graph by iterative min-label propagation over the SYMMETRIZED edge
+    list (the standard O(log diameter) hash-join loop — each round one
+    shuffle join labels x edges + a map-side-combined min per node,
+    localCheckpointed; converges when no label changes). component =
+    min doc_id of the component; isolated pages form singletons."""
+    n = docs.count()
+    e = link_edges(docs, n)
+    edges = (e.unionAll(e.select(F.col("dst").alias("src"),
+                                 F.col("src").alias("dst")))
+             .distinct().localCheckpoint(eager=True))
+    lbl = docs.select(F.col("doc_id"),
+                      F.col("doc_id").alias("cluster"))
+    for _ in range(max_rounds):
+        lbl = lbl.localCheckpoint(eager=True)
+        nxt = (edges.join(lbl, edges["src"] == lbl["doc_id"])
+               .groupBy("dst").agg(F.min("cluster").alias("nmin")))
+        new = (lbl.withColumnRenamed("cluster", "old")
+               .join(nxt, lbl["doc_id"] == nxt["dst"], "left")
+               .select("doc_id", "old",
+                       F.least("old", F.coalesce(
+                           "nmin", F.lit(1 << 62))).alias("cluster")))
+        changed = new.where(F.col("old") != F.col("cluster")) \
+            .limit(1).count()
+        lbl = new.select("doc_id", "cluster")
+        if changed == 0:
+            break
+    return (lbl.groupBy("cluster").agg(F.count("*").cast("long")
+                                       .alias("n_pages"))
+            .select(F.col("cluster").alias("component"), "n_pages"))

@@ -11064,3 +11064,28 @@ def q_clustering_ari(spark, sf_dir):
     replays bucket assignment and the ARI closed form."""
     emb = _t(spark, sf_dir, "embeddings")
     return simsearch.clustering_ari(emb)
+
+
+@_reg("link_components", """
+WITH RECURSIVE
+nn AS (SELECT count(*) AS n FROM documents),
+e0 AS (SELECT src, (src * 31 + j * 97) % n AS dst
+       FROM (SELECT doc_id AS src FROM documents WHERE doc_id % 17 <> 0),
+            (VALUES (1), (2), (3)) AS jj(j), nn
+       WHERE (src * 31 + j * 97) % n <> src),
+e AS (SELECT src, dst FROM e0
+      UNION SELECT dst AS src, src AS dst FROM e0),
+reach AS (SELECT doc_id AS s, doc_id AS d FROM documents
+          UNION
+          SELECT r.s, e.dst AS d FROM reach r JOIN e ON r.d = e.src),
+comp AS (SELECT s, min(d) AS component FROM reach GROUP BY s)
+SELECT component, CAST(count(*) AS BIGINT) AS n_pages
+FROM comp GROUP BY component
+""")
+def q_link_components(spark, sf_dir):
+    """Weakly connected components of the page link graph — the crawl
+    analytics primitive behind 'how fragmented is this snapshot'.
+    Spark side: distributed min-label propagation (one shuffle join per
+    round, O(log diameter) rounds); oracle: an independent
+    recursive-CTE transitive closure."""
+    return graphops.link_components(_t(spark, sf_dir, "documents"))

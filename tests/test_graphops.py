@@ -287,3 +287,26 @@ def test_hyperball_estimates_track_exact_balls(spark):
             ball |= frontier
         errs.append(abs(est[v] - len(ball)) / len(ball))
     assert sum(errs) / len(errs) < 0.3
+
+
+def test_link_components_vs_bruteforce(spark):
+    from gdal_spark.operators.graphops import link_components, link_edges
+    docs = spark.range(120).withColumnRenamed("id", "doc_id")
+    got = {r.component: r.n_pages
+           for r in link_components(docs).collect()}
+    # brute-force union-find
+    parent = list(range(120))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in link_edges(docs, 120).collect():
+        a, b = find(r.src), find(r.dst)
+        if a != b:
+            parent[max(a, b)] = min(a, b)
+    from collections import Counter
+    want = Counter(find(i) for i in range(120))
+    assert got == dict(want)
