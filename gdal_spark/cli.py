@@ -774,14 +774,52 @@ def _cmd_gdal_retile(argv) -> int:
     base = os.path.splitext(os.path.basename(a.src))[0]
     keys = sorted({(r.tile_x, r.tile_y) for r in
                    t.select("tile_x", "tile_y").distinct().collect()})
+    # Actual raster dims so right/bottom edge tiles write TRUNCATED, not
+    # padded with the tile table's 0/nodata fill — gdal_retile.py's
+    # createTile writes (remaining_w, remaining_h) edge tiles.
+    src_w, src_h = _raster_dims(a.src)
+    if src_w is None:
+        src_w = (max(k[0] for k in keys) + 1) * ps
+        src_h = (max(k[1] for k in keys) + 1) * ps
     for tx, ty in keys:
+        ew = min(ps, src_w - tx * ps)
+        eh = min(ps, src_h - ty * ps)
+        if ew <= 0 or eh <= 0:
+            continue
         sub = t.where((F.col("tile_x") == tx) & (F.col("tile_y") == ty)) \
             .select("band", "zoom", F.lit(0).alias("tile_x"),
                     F.lit(0).alias("tile_y"), "dtype", "nodata", "px")
         out = os.path.join(a.targetDir, f"{base}_{ty + 1}_{tx + 1}{ext}")
-        save_raster(sub, out, tile=ps, width=ps, height=ps)
+        save_raster(sub, out, tile=ps, width=ew, height=eh)
         print(out)
     return 0
+
+
+def _raster_dims(path: str):
+    """Header-only (width, height) for the common retile inputs; (None,
+    None) when the format has no cheap header probe (caller falls back
+    to the padded tile extent)."""
+    import struct
+
+    low = path.lower()
+    try:
+        if low.endswith((".tif", ".tiff")):
+            from .sources.geotiff import read_ifd
+            info = read_ifd(path)
+            return info["width"], info["height"]
+        if low.endswith(".png"):
+            with open(path, "rb") as fh:
+                hdr = fh.read(33)
+            if hdr[:8] == b"\x89PNG\r\n\x1a\n" and hdr[12:16] == b"IHDR":
+                w, h = struct.unpack(">II", hdr[16:24])
+                return w, h
+        if low.endswith(".bmp"):
+            from .sources.bmp import parse_bmp_header
+            info = parse_bmp_header(path)
+            return info["width"], abs(info["height"])
+    except Exception:
+        pass
+    return None, None
 
 
 _COMMANDS = {"ogr2ogr": _cmd_ogr2ogr, "ogrinfo": _cmd_ogrinfo,

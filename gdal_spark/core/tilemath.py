@@ -491,9 +491,12 @@ def _spread_np(v: np.ndarray) -> np.ndarray:
 def geohash_np(lon, lat, precision: int = 9) -> np.ndarray:
     """Vectorized geohash strings. precision in [1, 12] (<= 60 bits).
 
-    lon gets ceil(5p/2) bits, lat floor(5p/2); the packed integer holds
-    lon bits at even positions from the LSB, so its MSB (bit 5p-1) is the
-    longitude MSB — the geohash bit order."""
+    lon gets ceil(5p/2) bits, lat floor(5p/2); the geohash bit order puts
+    the longitude MSB at the packed integer's MSB (bit 5p-1). When 5p is
+    odd that MSB sits on an EVEN position counted from the LSB (lon on
+    even positions); when 5p is even it sits on an ODD position, so the
+    lon/lat spread lanes must swap — packing lon on even positions for
+    even precisions yields wrong hashes ('mzs8' instead of 'ezs4')."""
     nbits = 5 * precision
     nlon = (nbits + 1) // 2
     nlat = nbits // 2
@@ -503,7 +506,10 @@ def geohash_np(lon, lat, precision: int = 9) -> np.ndarray:
                     0, (1 << nlon) - 1).astype(np.int64)
     lat_i = np.clip(np.floor((lat + 90.0) / 180.0 * (1 << nlat)),
                     0, (1 << nlat) - 1).astype(np.int64)
-    packed = _spread_np(lon_i) | (_spread_np(lat_i) << np.int64(1))
+    if nbits % 2:
+        packed = _spread_np(lon_i) | (_spread_np(lat_i) << np.int64(1))
+    else:
+        packed = _spread_np(lat_i) | (_spread_np(lon_i) << np.int64(1))
     chars = np.empty((precision, lon_i.size), dtype="U1")
     alph = np.array(list(GEOHASH_B32))
     for c in range(precision):
@@ -529,13 +535,14 @@ def geohash_decode_np(ghs) -> tuple[np.ndarray, ...]:
         vals = np.array([lut[str(g)[c]] for g in ghs.flat],
                         dtype=np.int64).reshape(ghs.shape)
         packed = (packed << np.int64(5)) | vals
-    # un-interleave: even bits (from LSB) -> lon, odd -> lat
+    # un-interleave; lon sits on even LSB positions for odd 5p, odd for even
+    lon_off, lat_off = (0, 1) if nbits % 2 else (1, 0)
     lon_i = np.zeros_like(packed)
     lat_i = np.zeros_like(packed)
     for b in range(nlon):
-        lon_i |= ((packed >> np.int64(2 * b)) & np.int64(1)) << np.int64(b)
+        lon_i |= ((packed >> np.int64(2 * b + lon_off)) & np.int64(1)) << np.int64(b)
     for b in range(nlat):
-        lat_i |= ((packed >> np.int64(2 * b + 1)) & np.int64(1)) << np.int64(b)
+        lat_i |= ((packed >> np.int64(2 * b + lat_off)) & np.int64(1)) << np.int64(b)
     lon_lo = lon_i / float(1 << nlon) * 360.0 - 180.0
     lat_lo = lat_i / float(1 << nlat) * 180.0 - 90.0
     return (lon_lo, lat_lo,
@@ -566,8 +573,12 @@ def geohash_col(lon_col, lat_col, precision: int = 9):
         F.greatest(F.floor((lat_col + F.lit(90.0)) / F.lit(180.0)
                            * F.lit(float(1 << nlat))).cast("long"),
                    F.lit(0)), F.lit((1 << nlat) - 1))
-    packed = _spread_col(lon_i).bitwiseOR(
-        F.shiftleft(_spread_col(lat_i), 1))
+    if nbits % 2:
+        packed = _spread_col(lon_i).bitwiseOR(
+            F.shiftleft(_spread_col(lat_i), 1))
+    else:
+        packed = _spread_col(lat_i).bitwiseOR(
+            F.shiftleft(_spread_col(lon_i), 1))
     alph = F.array(*[F.lit(ch) for ch in GEOHASH_B32])
     chars = []
     for c in range(precision):
@@ -600,6 +611,7 @@ def geohash_sql_ctes(pts_sql: str, precision: int = 9,
         f"substr('{GEOHASH_B32}', "
         f"CAST(((p >> {5 * (precision - 1 - c)}) & 31) + 1 AS INTEGER), 1)"
         for c in range(precision))
-    s.append(f"gp AS (SELECT {keep}, (li | (ti << 1)) AS p FROM {prev})")
+    pack = "(li | (ti << 1))" if nbits % 2 else "(ti | (li << 1))"
+    s.append(f"gp AS (SELECT {keep}, {pack} AS p FROM {prev})")
     s.append(f"gh AS (SELECT {keep}, {chars} AS gh FROM gp)")
     return ",\n".join(s)

@@ -357,10 +357,14 @@ def hyperball_harmonic(docs: DataFrame, rounds: int = 4) -> DataFrame:
 def link_components(docs: DataFrame, max_rounds: int = 16) -> DataFrame:
     """-> (component, n_pages): weakly connected components of the link
     graph by iterative min-label propagation over the SYMMETRIZED edge
-    list (the standard O(log diameter) hash-join loop — each round one
-    shuffle join labels x edges + a map-side-combined min per node,
-    localCheckpointed; converges when no label changes). component =
-    min doc_id of the component; isolated pages form singletons."""
+    list — each round one shuffle join labels x edges + a
+    map-side-combined min per node, localCheckpointed; converges when no
+    label changes. Plain min-label propagation needs ~diameter rounds
+    (NOT O(log diameter) — that requires star-contraction variants), so
+    a graph whose propagation distance exceeds max_rounds would return
+    split components: the loop RAISES rather than return wrong output.
+    component = min doc_id of the component; isolated pages form
+    singletons."""
     n = docs.count()
     e = link_edges(docs, n)
     edges = (e.unionAll(e.select(F.col("dst").alias("src"),
@@ -368,6 +372,7 @@ def link_components(docs: DataFrame, max_rounds: int = 16) -> DataFrame:
              .distinct().localCheckpoint(eager=True))
     lbl = docs.select(F.col("doc_id"),
                       F.col("doc_id").alias("cluster"))
+    changed = 1
     for _ in range(max_rounds):
         lbl = lbl.localCheckpoint(eager=True)
         nxt = (edges.join(lbl, edges["src"] == lbl["doc_id"])
@@ -382,6 +387,11 @@ def link_components(docs: DataFrame, max_rounds: int = 16) -> DataFrame:
         lbl = new.select("doc_id", "cluster")
         if changed == 0:
             break
+    if changed:
+        raise RuntimeError(
+            f"link_components: labels still changing after {max_rounds} "
+            "rounds (graph propagation distance exceeds max_rounds); "
+            "raise max_rounds — returning now would split components")
     return (lbl.groupBy("cluster").agg(F.count("*").cast("long")
                                        .alias("n_pages"))
             .select(F.col("cluster").alias("component"), "n_pages"))

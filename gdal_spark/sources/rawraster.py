@@ -96,10 +96,11 @@ def _plan_and_read(spark: SparkSession, raw_path: str, *, samples: int,
                     with open(raw_path, "rb") as f:
                         f.seek(s.b0)
                         raw = f.read(n * item)
-                    if len(raw) < n * item:   # truncated input: zero-fill
-                        raw = raw[:len(raw) - len(raw) % item] \
-                            + b"\0" * (n * item - len(raw)
-                                        + len(raw) % item)
+                    if len(raw) < n * item:
+                        # truncated input: keep the partial item's read
+                        # bytes, zero-fill only the remainder (GDAL
+                        # RawRasterBand memsets past the short read)
+                        raw = raw + b"\0" * (n * item - len(raw))
                     arr = np.frombuffer(raw, dtype=dtype)
                     if swap:
                         arr = arr.byteswap()
@@ -110,10 +111,11 @@ def _plan_and_read(spark: SparkSession, raw_path: str, *, samples: int,
                     with open(raw_path, "rb") as f:
                         f.seek(s.b0)
                         raw = f.read(n * item)
-                    if len(raw) < n * item:   # truncated input: zero-fill
-                        raw = raw[:len(raw) - len(raw) % item] \
-                            + b"\0" * (n * item - len(raw)
-                                        + len(raw) % item)
+                    if len(raw) < n * item:
+                        # truncated input: keep the partial item's read
+                        # bytes, zero-fill only the remainder (GDAL
+                        # RawRasterBand memsets past the short read)
+                        raw = raw + b"\0" * (n * item - len(raw))
                     arr = np.frombuffer(raw, dtype=dtype)
                     if swap:
                         arr = arr.byteswap()

@@ -495,3 +495,41 @@ def test_gdal_retile(spark, tmp_path):
     arr = decode_px(r.px, r.dtype, 16)
     assert np.array_equal(arr.astype(np.uint8),
                           img[16:, 16:].astype(np.uint8))
+
+
+def test_gdal_retile_truncated_edges(spark, tmp_path):
+    """Edge tiles of a raster not divisible by ps must be TRUNCATED
+    (gdal_retile.py createTile uses the remaining width/height), never
+    padded with the tile table's 0/nodata fill."""
+    import os
+
+    import numpy as np
+    from gdal_spark.cli import main
+    from gdal_spark.raster.tiles import TILE_SCHEMA, decode_px, encode_px
+    from gdal_spark.sources.geotiff import read_gtiff, read_ifd, \
+        write_gtiff_tiles
+    rng = np.random.RandomState(5)
+    img = rng.randint(1, 255, (20, 24)).astype(np.float64)   # h=20, w=24
+    rows = []
+    for ty in range(2):
+        for tx in range(2):
+            blk = np.zeros((16, 16))
+            sub = img[ty * 16:min((ty + 1) * 16, 20),
+                      tx * 16:min((tx + 1) * 16, 24)]
+            blk[:sub.shape[0], :sub.shape[1]] = sub
+            rows.append((1, 0, tx, ty, "f8", None, bytes(encode_px(blk))))
+    t = spark.createDataFrame(rows, TILE_SCHEMA)
+    src = str(tmp_path / "src.tif")
+    write_gtiff_tiles(t, src, width=24, height=20, tile=16, dtype="u1")
+    out = str(tmp_path / "tiles")
+    assert main(["gdal_retile", "-ps", "16", "16",
+                 "-targetDir", out, src]) == 0
+    dims = {n: read_ifd(os.path.join(out, n)) for n in os.listdir(out)}
+    assert {(n, d["width"], d["height"]) for n, d in dims.items()} == {
+        ("src_1_1.tif", 16, 16), ("src_1_2.tif", 8, 16),
+        ("src_2_1.tif", 16, 4), ("src_2_2.tif", 8, 4)}
+    back = read_gtiff(spark, os.path.join(out, "src_2_2.tif"), tile=16)
+    r = back.collect()[0]
+    arr = decode_px(r.px, r.dtype, 16)[:4, :8]
+    assert np.array_equal(arr.astype(np.uint8),
+                          img[16:, 16:].astype(np.uint8))

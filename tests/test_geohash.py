@@ -12,9 +12,23 @@ def test_public_vectors():
     # the two canonical published examples (Niemeyer / Wikipedia)
     assert tm.geohash_np([-5.6], [42.6], 5)[0] == "ezs42"
     assert tm.geohash_np([10.40744], [57.64911], 11)[0] == "u4pruydqqvj"
-    # prefix property: shorter precision is a strict prefix
-    g9 = tm.geohash_np([10.40744], [57.64911], 9)[0]
-    assert "u4pruydqqvj".startswith(g9[:5]) and g9[:5] == "u4pru"
+    # EVEN precisions (5p even swaps the interleave lanes): pin publicly
+    # known values, not a self-consistent roundtrip
+    assert tm.geohash_np([-5.6], [42.6], 4)[0] == "ezs4"
+    assert tm.geohash_np([10.40744], [57.64911], 12)[0] == "u4pruydqqvj8"
+    assert tm.geohash_np([10.40744], [57.64911], 2)[0] == "u4"
+    # prefix property across ALL precisions 1..12 against the p=12 hash
+    g12 = tm.geohash_np([10.40744], [57.64911], 12)[0]
+    for p in range(1, 13):
+        assert tm.geohash_np([10.40744], [57.64911], p)[0] == g12[:p]
+    # prefix property on random points too
+    rng = np.random.RandomState(3)
+    lon = rng.uniform(-180, 180, 50)
+    lat = rng.uniform(-90, 90, 50)
+    full = tm.geohash_np(lon, lat, 12)
+    for p in range(1, 12):
+        assert (tm.geohash_np(lon, lat, p)
+                == np.array([g[:p] for g in full])).all()
 
 
 def test_decode_bounds_contain_input():
@@ -36,22 +50,24 @@ def test_column_matches_numpy(spark):
     lat = rng.uniform(-90, 90, 500)
     df = spark.createDataFrame(
         [(float(x), float(y)) for x, y in zip(lon, lat)], "lon double, lat double")
-    got = [r.gh for r in
-           df.select(tm.geohash_col(F.col("lon"), F.col("lat"), 9)
-                     .alias("gh")).collect()]
-    want = tm.geohash_np(lon, lat, 9)
-    assert got == list(want)
+    for p in (8, 9):  # one even, one odd precision
+        got = [r.gh for r in
+               df.select(tm.geohash_col(F.col("lon"), F.col("lat"), p)
+                         .alias("gh")).collect()]
+        want = tm.geohash_np(lon, lat, p)
+        assert got == list(want)
 
 
 def test_st_geohash_sql(spark):
     from gdal_spark.core import wkb as wkbmod
     from gdal_spark.functions import st
     st.register_all(spark)
-    pts = [(-5.6, 42.6, 5), (10.40744, 57.64911, 11)]
+    pts = [(-5.6, 42.6, 5), (10.40744, 57.64911, 11),
+           (-5.6, 42.6, 4), (10.40744, 57.64911, 12)]
     rows = [(bytes(wkbmod.encode_points_batch(
         np.array([[x, y]]))[0]), p) for x, y, p in pts]
     df = spark.createDataFrame(rows, "g binary, p int")
     df.createOrReplaceTempView("ghpts")
     out = [r.h for r in
            spark.sql("SELECT ST_GeoHash(g, p) AS h FROM ghpts").collect()]
-    assert out == ["ezs42", "u4pruydqqvj"]
+    assert out == ["ezs42", "u4pruydqqvj", "ezs4", "u4pruydqqvj8"]

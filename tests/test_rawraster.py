@@ -207,3 +207,20 @@ def test_dted_record_byte_layout_matches_dted_api(spark, tmp_path):
         np.testing.assert_array_equal(vals, arr[::-1, col].astype("i4"))
         csum = int.from_bytes(r[-4:], "big")
         assert csum == sum(r[:-4]) & 0xFFFFFFFF
+
+
+def test_truncated_raw_keeps_partial_item_bytes(spark, tmp_path):
+    """A raw file cut mid-item decodes the partial last sample from its
+    already-read bytes zero-filled to item width (GDAL RawRasterBand
+    keeps the short read and memsets only the remainder), not as 0."""
+    path = str(tmp_path / "cut.img")
+    arr = np.arange(16, dtype="<i2").reshape(4, 4) + 1000
+    write_envi(raster_to_tiles(spark, arr, tile=4), path,
+               samples=4, lines=4, dtype="i2", tile=4)
+    with open(path, "r+b") as f:
+        f.truncate(16 * 2 - 1)            # drop the LAST byte (high byte)
+    back, _ = read_envi(spark, path, tile=4)
+    got = tiles_to_raster(back, tile=4)[:4, :4]
+    np.testing.assert_array_equal(got.ravel()[:15], arr.ravel()[:15])
+    # little-endian i2 with high byte zero-filled = low byte value
+    assert got[3, 3] == (1015 & 0xFF)
