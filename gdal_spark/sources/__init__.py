@@ -10,6 +10,7 @@ the ND formats -> fully distributed; whole-file for FeatureCollection ->
 one task per file, the same granularity OGR's driver gets).
 """
 
+from ..core import vsi
 from .csv_wkt import read_csv_wkt, write_csv_wkt      # noqa: F401
 from .geojson import (read_geojson, read_geojson_seq,  # noqa: F401
                       write_geojson_seq)
@@ -234,7 +235,7 @@ def open_raster(spark, path: str, tile: int = 256, **kwargs):
         from .grib2 import read_grib2
         return read_grib2(spark, path, tile=tile, **kwargs)[0]
     if low.endswith((".grib", ".grb", ".grb1")):
-        with open(path, "rb") as fh:        # mixed extensions: sniff edition
+        with vsi.open_seekable(path) as fh:        # mixed extensions: sniff edition
             ed = (fh.read(8) + b"\0" * 8)[7]
         if ed == 2:
             from .grib2 import read_grib2
@@ -245,7 +246,7 @@ def open_raster(spark, path: str, tile: int = 256, **kwargs):
         from .hdf5 import read_hdf5
         return read_hdf5(spark, path, tile=tile, **kwargs)[0]
     if low.endswith(".nc"):
-        with open(path, "rb") as fh:        # netCDF-4 files ARE HDF5
+        with vsi.open_seekable(path) as fh:        # netCDF-4 files ARE HDF5
             magic = fh.read(8)
         if magic == b"\x89HDF\r\n\x1a\n":
             from .hdf5 import read_hdf5
@@ -253,7 +254,7 @@ def open_raster(spark, path: str, tile: int = 256, **kwargs):
         from .netcdf import read_netcdf
         return read_netcdf(spark, path, tile=tile, **kwargs)[0]
     if low.endswith(".img"):
-        with open(path, "rb") as fh:        # Imagine vs ENVI .img: magic
+        with vsi.open_seekable(path) as fh:        # Imagine vs ENVI .img: magic
             magic = fh.read(15)
         if magic == b"EHFA_HEADER_TAG":
             from .hfa import read_hfa
@@ -284,7 +285,7 @@ def open_raster(spark, path: str, tile: int = 256, **kwargs):
 
 
 def _is_envi_hdr(path: str) -> bool:
-    with open(path, "rb") as f:
+    with vsi.open_seekable(path) as f:
         return f.read(4) == b"ENVI"
 
 

@@ -29,11 +29,12 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
+from ..core import vsi
 from ..raster.tiles import TILE_SCHEMA, decode_px, encode_px
 
 
 def parse_header(path: str) -> dict:
-    with open(path, "rb") as f:
+    with vsi.open_seekable(path) as f:
         raw = f.read()
     # locate 0x1A 0x00 header terminator
     end = raw.find(b"\x1a\x00")
@@ -181,7 +182,7 @@ def read_bsb(spark: SparkSession, path: str, tile: int = 256):
     offs = meta["offsets"]
     if offs is None:
         # no valid index: one sequential scan discovers the offsets
-        with open(path, "rb") as f:
+        with vsi.open_seekable(path) as f:
             buf = f.read()
         offs = []
         pos = meta["first_line"]
@@ -200,7 +201,7 @@ def read_bsb(spark: SparkSession, path: str, tile: int = 256):
         cols = [f.name for f in TILE_SCHEMA.fields]
         for pdf in batches:
             out = []
-            with open(path, "rb") as f:
+            with vsi.open_seekable(path) as f:
                 for s in pdf.itertuples(index=False):
                     f.seek(int(s.b0))
                     buf = f.read(int(s.b1 - s.b0))

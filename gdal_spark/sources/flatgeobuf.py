@@ -33,6 +33,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
+from ..core import vsi
 from ..core import wkb
 
 MAGIC = b"fgb\x03fgb\x00"
@@ -741,7 +742,7 @@ def write_fgb_dist(df, path: str, name: str = "layer",
 
 def _read_header(path: str):
     """-> dict(header fields) + byte positions of index/features."""
-    with open(path, "rb") as f:
+    with vsi.open_seekable(path) as f:
         head = f.read(1 << 20)
     if head[:8] != MAGIC[:8]:
         raise ValueError("not a FlatGeobuf file")
@@ -785,7 +786,7 @@ def read_fgb(spark: SparkSession, path: str,
     # O(runs) entries — never one entry per feature (the run scans
     # sequentially through the size-prefixed stream, no per-feature seeks)
     if bbox is not None and hdr["index_len"]:
-        with open(path, "rb") as f:
+        with vsi.open_seekable(path) as f:
             f.seek(hdr["index_pos"])
             nodes = np.frombuffer(f.read(hdr["index_len"]), _NODE)
         cands = sorted(_rtree_search(nodes, hdr["count"],
@@ -801,7 +802,7 @@ def read_fgb(spark: SparkSession, path: str,
     else:
         # full scan: leaves carry every feature offset in file order
         if hdr["index_len"]:
-            with open(path, "rb") as f:
+            with vsi.open_seekable(path) as f:
                 f.seek(hdr["index_pos"])
                 nodes = np.frombuffer(f.read(hdr["index_len"]), _NODE)
             bounds, total = _level_bounds(hdr["count"], hdr["node_size"])
@@ -845,7 +846,7 @@ def read_fgb(spark: SparkSession, path: str,
     if work is None:
         def parse_all(batches):
             for _pdf in batches:
-                with open(path, "rb") as fh:
+                with vsi.open_seekable(path) as fh:
                     rows = parse_span(fh, hdr["features_pos"], 0,
                                       1 << 62)
                 yield pd.DataFrame(rows, columns=cols) if rows else \
@@ -893,7 +894,7 @@ def read_fgb(spark: SparkSession, path: str,
         rg = bc.value
         for pdf in batches:
             frames = []
-            with open(path, "rb") as fh:
+            with vsi.open_seekable(path) as fh:
                 for t in pdf["task"]:
                     rows = []
                     for off, fid0, n in rg[int(t)]:

@@ -28,6 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
+from ..core import vsi
 from ..raster.tiles import TILE_SCHEMA, encode_px
 
 # TIFF tag ids
@@ -57,7 +58,7 @@ _DTYPES = {  # (bits, sample_format) -> numpy dtype
 def read_ifd(path: str, ifd: int = 0) -> dict:
     """Parse the `ifd`-th IFD (0 = full resolution; COG overview IFDs
     follow on the next-IFD chain, smallest last)."""
-    with open(path, "rb") as f:
+    with vsi.open_seekable(path) as f:
         head = f.read(16)
         big = False
         if head[:4] == b"II*\x00":
@@ -403,7 +404,7 @@ def read_gtiff(spark: SparkSession, path: str, tile: int = 256,
         pl = bc.value
         for pdf in batches:
             frames = []
-            with open(path, "rb") as fh:
+            with vsi.open_seekable(path) as fh:
                 for r in pdf["row"]:
                     r = int(r)
                     ry0 = r * tile

@@ -30,6 +30,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
+from ..core import vsi
 from ..raster.tiles import TILE_SCHEMA, decode_px, encode_px
 
 _COLS = [f.name for f in TILE_SCHEMA.fields]
@@ -177,7 +178,7 @@ def lzw_encode_strip(pixels: np.ndarray, min_code: int,
 # ---------------------------------------------------------------------------
 
 def parse_gif(path: str) -> dict:
-    with open(path, "rb") as f:
+    with vsi.open_seekable(path) as f:
         data = f.read()
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF file")

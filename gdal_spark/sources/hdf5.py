@@ -13,9 +13,14 @@ This is also the netCDF-4 container, so `.nc` files written by
 netCDF-4 open through the same path.
 
 Distribution: the superblock/group/B-tree walk is driver-side metadata
-(KBs); chunk decode fans out one Spark task batch per chunk list —
-each task preads only its chunk byte ranges, inflates, unshuffles and
-lands engine tiles, the same access pattern as the GeoTIFF/HFA readers.
+and stays metadata-SIZED — the walk goes through core.vsi.PagedReader,
+which pages in only the superblock / object-header / B-tree / heap
+pages it touches (LRU-bounded), so a multi-GB .h5 opens with a few
+hundred KB resident (test_hdf5 pins bytes_fetched on a 4 GB file).
+Chunk decode fans out one Spark task batch per chunk list — each task
+preads only its chunk byte ranges via the same vsi seam, inflates,
+unshuffles and lands engine tiles, the same access pattern as the
+GeoTIFF/HFA readers.
 """
 
 from __future__ import annotations
@@ -28,6 +33,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
+from ..core import vsi
 from ..raster.tiles import TILE_SCHEMA, encode_px
 
 _SIG = b"\x89HDF\r\n\x1a\n"
@@ -39,8 +45,7 @@ class HDF5File:
 
     def __init__(self, path: str):
         self.path = path
-        with open(path, "rb") as f:
-            self.buf = f.read()
+        self.buf = vsi.PagedReader(path)
         b = self.buf
         # signature may sit at 0 or 512 * 2^n
         base = 0
@@ -107,7 +112,7 @@ class HDF5File:
                 p, e = blocks.pop()
                 while p + 4 <= e:
                     mtype = b[p]
-                    msize = struct.unpack_from("<H", b, p + 1)[0]
+                    msize = b.unpack("<H", p + 1)[0]
                     p += 4
                     if creation_order:
                         p += 2
@@ -120,14 +125,14 @@ class HDF5File:
                     p += msize
             return out
         # version 1
-        nmsgs = struct.unpack_from("<H", b, addr + 2)[0]
-        hdr_size = struct.unpack_from("<I", b, addr + 8)[0]
+        nmsgs = b.unpack("<H", addr + 2)[0]
+        hdr_size = b.unpack("<I", addr + 8)[0]
         blocks = [(addr + 16, addr + 16 + hdr_size)]
         got = 0
         while blocks and got < nmsgs:
             p, e = blocks.pop(0)
             while p + 8 <= e and got < nmsgs:
-                mtype, msize = struct.unpack_from("<HH", b, p)
+                mtype, msize = b.unpack("<HH", p)
                 body = p + 8
                 got += 1
                 if mtype == 0x10:                        # continuation
@@ -174,7 +179,7 @@ class HDF5File:
                     walk_snod(addr)
                 return
             level = b[addr + 5]
-            n = struct.unpack_from("<H", b, addr + 6)[0]
+            n = b.unpack("<H", addr + 6)[0]
             pos = addr + 8 + 2 * self.off_size
             pos += self.len_size                         # key 0
             for _ in range(n):
@@ -186,7 +191,7 @@ class HDF5File:
                     walk_snod(child)
 
         def walk_snod(addr):
-            n = struct.unpack_from("<H", b, addr + 6)[0]
+            n = b.unpack("<H", addr + 6)[0]
             pos = addr + 8
             esize = 2 * self.off_size + 8 + 16
             for _ in range(n):
@@ -247,12 +252,11 @@ class HDF5File:
                     elif cls == 2:                       # chunked
                         nd1 = b[p + 2]
                         bt = self._off(p + 3)
-                        cd = [struct.unpack_from(
-                            "<I", b, p + 3 + self.off_size + 4 * i)[0]
+                        cd = [b.unpack("<I", p + 3 + self.off_size + 4 * i)[0]
                             for i in range(nd1)]
                         info["layout"] = ("chunked", bt, cd)
                     elif cls == 0:                       # compact
-                        sz = struct.unpack_from("<H", b, p + 2)[0]
+                        sz = b.unpack("<H", p + 2)[0]
                         info["layout"] = ("compact", p + 4, sz)
                 else:                                    # v1/v2
                     nd = b[p + 1]
@@ -262,20 +266,18 @@ class HDF5File:
                     if cls != 0:
                         addr = self._off(pos)
                         pos += self.off_size
-                    dims = [struct.unpack_from("<I", b, pos + 4 * i)[0]
+                    dims = [b.unpack("<I", pos + 4 * i)[0]
                             for i in range(nd)]
                     if cls == 1:
                         info["layout"] = ("contiguous", addr, -1)
                     elif cls == 2:
-                        esz = struct.unpack_from(
-                            "<I", b, pos + 4 * nd)[0]
+                        esz = b.unpack("<I", pos + 4 * nd)[0]
                         info["layout"] = ("chunked", addr, dims + [esz])
             elif t == 0x000B:                            # filter pipeline
                 nf = b[p + 1]
                 pos = p + (8 if b[p] == 1 else 2)
                 for _ in range(nf):
-                    fid, nlen, _fl, ncd = struct.unpack_from(
-                        "<HHHH", b, pos)
+                    fid, nlen, _fl, ncd = b.unpack("<HHHH", pos)
                     pos += 8
                     if b[p] == 1 or nlen:
                         nm = nlen + (7 - (nlen - 1) % 8 if nlen else 0)
@@ -290,7 +292,7 @@ class HDF5File:
         b = self.buf
         cls = b[p] & 0x0F
         bits0 = b[p + 1]
-        size = struct.unpack_from("<I", b, p + 4)[0]
+        size = b.unpack("<I", p + 4)[0]
         order = ">" if bits0 & 1 else "<"
         if cls == 0:                                     # fixed point
             signed = "i" if bits0 & 0x08 else "u"
@@ -319,11 +321,11 @@ class HDF5File:
             if addr == UNDEF or b[addr:addr + 4] != b"TREE":
                 return
             level = b[addr + 5]
-            n = struct.unpack_from("<H", b, addr + 6)[0]
+            n = b.unpack("<H", addr + 6)[0]
             pos = addr + 8 + 2 * self.off_size
             ksize = 8 + 8 * nd1
             for _ in range(n):
-                csize, fmask = struct.unpack_from("<II", b, pos)
+                csize, fmask = b.unpack("<II", pos)
                 offs = [int.from_bytes(
                     b[pos + 8 + 8 * i:pos + 16 + 8 * i], "little")
                     for i in range(nd1)]
@@ -371,13 +373,13 @@ def read_dataset(hdf: HDF5File, name: str) -> np.ndarray:
     kind, a, c = info["layout"]
     if kind in ("contiguous", "compact"):
         n = int(np.prod(shape))
-        raw = hdf.buf[a:a + n * dt.itemsize]
+        raw = vsi.pread(hdf.path, a, n * dt.itemsize)
         arr = np.frombuffer(raw, dt, count=n).reshape(shape)
     else:
         cd = c[:-1]
         arr = np.zeros(shape, dt)
         for offs, addr, csize, fmask in hdf.chunks(info):
-            raw = _apply_filters(hdf.buf[addr:addr + csize],
+            raw = _apply_filters(vsi.pread(hdf.path, addr, csize),
                                  info["filters"], fmask, dt.itemsize,
                                  int(np.prod(cd)))
             blk = np.frombuffer(raw, dt,
@@ -451,44 +453,43 @@ def read_hdf5(spark: SparkSession, path: str, dataset: str | None = None,
         dt = np.dtype(dts)
         for pdf in batches:
             out = []
-            with open(path, "rb") as f:
-                for s in pdf.itertuples(index=False):
-                    ty = int(s.ty)
-                    r0 = ty * tile
-                    rows_here = min(h - r0, tile)
-                    strip = np.zeros((rows_here, w), np.float64)
-                    if chunked:
-                        for addr, csize, fmask, oy, ox in zip(
-                                s.addr, s.csize, s.fmask, s.oy, s.ox):
-                            f.seek(int(addr))
-                            raw = _apply_filters(
-                                f.read(int(csize)), filters,
-                                int(fmask), dt.itemsize,
-                                int(np.prod(cd2)))
-                            blk = np.frombuffer(
-                                raw, dt,
-                                count=cd2[0] * cd2[1]).reshape(cd2)
-                            # intersect chunk rows with this strip
-                            y0 = max(int(oy), r0)
-                            y1 = min(int(oy) + cd2[0], r0 + rows_here,
-                                     h)
-                            x0 = int(ox)
-                            x1 = min(x0 + cd2[1], w)
-                            strip[y0 - r0:y1 - r0, x0:x1] = \
-                                blk[y0 - int(oy):y1 - int(oy),
-                                    :x1 - x0]
-                    else:
-                        f.seek(cont_addr + r0 * w * dt.itemsize)
-                        raw = f.read(rows_here * w * dt.itemsize)
-                        strip[:, :] = np.frombuffer(
+            for s in pdf.itertuples(index=False):
+                ty = int(s.ty)
+                r0 = ty * tile
+                rows_here = min(h - r0, tile)
+                strip = np.zeros((rows_here, w), np.float64)
+                if chunked:
+                    for addr, csize, fmask, oy, ox in zip(
+                            s.addr, s.csize, s.fmask, s.oy, s.ox):
+                        raw = _apply_filters(
+                            vsi.pread(path, int(addr), int(csize)),
+                            filters, int(fmask), dt.itemsize,
+                            int(np.prod(cd2)))
+                        blk = np.frombuffer(
                             raw, dt,
-                            count=rows_here * w).reshape(rows_here, w)
-                    for tx in range(-(-w // tile)):
-                        blk = np.zeros((tile, tile), np.float64)
-                        sub = strip[:, tx * tile:(tx + 1) * tile]
-                        blk[:sub.shape[0], :sub.shape[1]] = sub
-                        out.append((1, 0, tx, ty, "float64", None,
-                                    encode_px(blk)))
+                            count=cd2[0] * cd2[1]).reshape(cd2)
+                        # intersect chunk rows with this strip
+                        y0 = max(int(oy), r0)
+                        y1 = min(int(oy) + cd2[0], r0 + rows_here,
+                                 h)
+                        x0 = int(ox)
+                        x1 = min(x0 + cd2[1], w)
+                        strip[y0 - r0:y1 - r0, x0:x1] = \
+                            blk[y0 - int(oy):y1 - int(oy),
+                                :x1 - x0]
+                else:
+                    raw = vsi.pread(path,
+                                    cont_addr + r0 * w * dt.itemsize,
+                                    rows_here * w * dt.itemsize)
+                    strip[:, :] = np.frombuffer(
+                        raw, dt,
+                        count=rows_here * w).reshape(rows_here, w)
+                for tx in range(-(-w // tile)):
+                    blk = np.zeros((tile, tile), np.float64)
+                    sub = strip[:, tx * tile:(tx + 1) * tile]
+                    blk[:sub.shape[0], :sub.shape[1]] = sub
+                    out.append((1, 0, tx, ty, "float64", None,
+                                encode_px(blk)))
             yield (pd.DataFrame(out, columns=cols) if out
                    else pd.DataFrame(columns=cols))
 

@@ -14,11 +14,15 @@ precision and run-length forms exactly as HFABand::UncompressBlock
 (hfaband.cpp:556) decodes them, including the int-bits reinterpretation
 for f32 blocks.
 
-Distribution: the node tree and block tables are header-sized (driver
-parse); pixel blocks decode in parallel — each Spark task takes a batch
-of (band, block) entries with absolute offsets and pread's only its
-blocks, the same access pattern the GeoTIFF/NITF readers use. A 100 TB
-corpus of .img scenes parallelizes file x block.
+Distribution: the node tree and block tables are header-sized driver
+work and the walk is pread-BOUNDED — it goes through
+core.vsi.PagedReader, touching only the header/entry/dictionary pages
+(a multi-GB .img opens with ~the node tree resident; test_hfa pins
+bytes_fetched on a 4 GB file). Pixel blocks decode in parallel — each
+Spark task takes a batch of (band, block) entries with absolute
+offsets and preads only its blocks via the same vsi seam, the same
+access pattern the GeoTIFF/NITF readers use. A 100 TB corpus of .img
+scenes parallelizes file x block.
 """
 
 from __future__ import annotations
@@ -30,6 +34,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
+from ..core import vsi
 from ..raster.tiles import TILE_SCHEMA, encode_px
 
 # pixelType enum order (Eimg_Layer e13) -> (numpy dtype or None, bits)
@@ -184,25 +189,28 @@ class HFAFile:
 
     def __init__(self, path: str):
         self.path = path
-        with open(path, "rb") as f:
-            buf = f.read()
-        if not buf.startswith(b"EHFA_HEADER_TAG"):
+        buf = vsi.PagedReader(path)
+        if buf[0:15] != b"EHFA_HEADER_TAG":
             raise ValueError("not an Erdas Imagine (HFA) file")
-        hdr_pos = struct.unpack_from("<I", buf, 16)[0]
+        hdr_pos = buf.unpack("<I", 16)[0]
         (self.version, _free, root_ptr, _ehl,
-         dict_ptr) = struct.unpack_from("<iIIhI", buf, hdr_pos)
+         dict_ptr) = buf.unpack("<iIIhI", hdr_pos)
+        dict_end = buf.find(b".", dict_ptr)
+        if dict_end < 0:
+            dict_end = len(buf)
         self.types = parse_dictionary(
-            buf[dict_ptr:].split(b".", 1)[0].decode("latin-1"))
+            buf[dict_ptr:dict_end].decode("latin-1"))
         self.entries = []                  # (name, type, data dict, depth,
         self._children = {}                # parent idx -> [idx]
+        self.buf = buf                     # PagedReader (bytes_fetched)
         self._walk(buf, root_ptr, None)
         self.layers = [e for e in self.entries
                        if e["type"] == "Eimg_Layer"]
 
-    def _walk(self, buf: bytes, pos: int, parent):
+    def _walk(self, buf, pos: int, parent):
         while pos:
             nxt, _prev, _par, child, data, dsize = \
-                struct.unpack_from("<6I", buf, pos)
+                buf.unpack("<6I", pos)
             name = buf[pos + 24:pos + 88].split(b"\x00")[0] \
                 .decode("latin-1")
             typ = buf[pos + 88:pos + 120].split(b"\x00")[0] \
@@ -210,9 +218,11 @@ class HFAFile:
             fields = self.types.get(typ)
             inst = {}
             if fields and data and dsize:
+                # node data is dsize bytes (HFAEntry::LoadData reads
+                # exactly nDataSize) — pull just that window
                 try:
-                    inst, _ = _decode_inst(self.types, fields, buf,
-                                           data)
+                    inst, _ = _decode_inst(self.types, fields,
+                                           buf[data:data + dsize], 0)
                 except (struct.error, IndexError, KeyError):
                     inst = {}
             idx = len(self.entries)
@@ -282,9 +292,7 @@ class HFAFile:
             index = int(e["layerStackIndex"])
             vstart = big(e["layerStackValidFlagsOffset"])
             bsize = (bw * bh * _EPT_BITS[pt] + 7) // 8
-            with open(spill, "rb") as f:
-                f.seek(vstart)
-                bm = f.read((nbx + 7) // 8 * nby + 20)
+            bm = vsi.pread(spill, vstart, (nbx + 7) // 8 * nby + 20)
             blocks = []
             for i in range(nbx * nby):
                 col, row = i % nbx, i // nbx
@@ -414,13 +422,8 @@ def read_hfa(spark: SparkSession, path: str, tile: int = 256):
     def gen(batches):
         for pdf in batches:
             out = []
-            handles = {}
             for r in pdf.itertuples(index=False):
-                fh = handles.get(r.file)
-                if fh is None:
-                    fh = handles[r.file] = open(r.file, "rb")
-                fh.seek(int(r.off))
-                raw = fh.read(int(r.size))
+                raw = vsi.pread(r.file, int(r.off), int(r.size))
                 info = {"bw": int(r.bw), "bh": int(r.bh),
                         "pt": int(r.pt)}
                 arr = _decode_block(raw, info, bool(r.comp),
@@ -435,8 +438,6 @@ def read_hfa(spark: SparkSession, path: str, tile: int = 256):
                 blk[:hh, :ww] = arr[:hh, :ww]
                 out.append((int(r.band), 0, int(r.bx), int(r.by),
                             "float64", None, encode_px(blk)))
-            for fh in handles.values():
-                fh.close()
             yield (pd.DataFrame(out, columns=cols) if out
                    else pd.DataFrame(columns=cols))
 
@@ -583,24 +584,23 @@ def read_rat(path: str, layer: int = 0) -> dict:
         return {}
     tidx = hfa.entries.index(tbl)
     out = {}
-    with open(path, "rb") as f:
-        for col in hfa.children_of(tidx):
-            if col["type"] == "Edsc_Column":
-                d = col["data"]
-                n = int(d["numRows"])
-                f.seek(int(d["columnDataPtr"]))
-                if d["dataType"] == "integer":
-                    out[col["name"]] = np.frombuffer(
-                        f.read(4 * n), "<i4").copy()
-                elif d["dataType"] == "real":
-                    out[col["name"]] = np.frombuffer(
-                        f.read(8 * n), "<f8").copy()
-                elif d["dataType"] == "string":
-                    w = int(d["maxNumChars"])
-                    raw = f.read(w * n)
-                    out[col["name"]] = np.array(
-                        [raw[i * w:(i + 1) * w].split(b"\x00")[0]
-                         .decode("latin-1") for i in range(n)])
-            elif col["type"] == "Edsc_BinFunction":
-                out["__bins__"] = col["data"]
+    for col in hfa.children_of(tidx):
+        if col["type"] == "Edsc_Column":
+            d = col["data"]
+            n = int(d["numRows"])
+            at = int(d["columnDataPtr"])
+            if d["dataType"] == "integer":
+                out[col["name"]] = np.frombuffer(
+                    vsi.pread(path, at, 4 * n), "<i4").copy()
+            elif d["dataType"] == "real":
+                out[col["name"]] = np.frombuffer(
+                    vsi.pread(path, at, 8 * n), "<f8").copy()
+            elif d["dataType"] == "string":
+                w = int(d["maxNumChars"])
+                raw = vsi.pread(path, at, w * n)
+                out[col["name"]] = np.array(
+                    [raw[i * w:(i + 1) * w].split(b"\x00")[0]
+                     .decode("latin-1") for i in range(n)])
+        elif col["type"] == "Edsc_BinFunction":
+            out["__bins__"] = col["data"]
     return out

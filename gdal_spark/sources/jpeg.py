@@ -24,6 +24,7 @@ from __future__ import annotations
 import struct
 
 import numpy as np
+from ..core import vsi
 
 # ---------------------------------------------------------------------------
 # tables
@@ -810,7 +811,7 @@ def read_jpeg(spark, path: str, tile: int = 256):
     from ..raster.tiles import TILE_SCHEMA, encode_px
 
     meta = {}
-    with open(path, "rb") as f:
+    with vsi.open_seekable(path) as f:
         data = f.read()
     arr, meta = decode_jpeg(data)
     h, w = arr.shape[:2]

@@ -29,6 +29,7 @@ import struct
 import zlib
 
 import pandas as pd
+from ..core import vsi
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
@@ -297,7 +298,7 @@ def write_pmtiles(tiles: DataFrame, path: str, *,
 def _all_entries(path: str, hdr: dict):
     """Root + leaf directories -> [(tile_id, offset, length)] with runs
     expanded. Directories are KB-scale; parsed driver-side."""
-    with open(path, "rb") as f:
+    with vsi.open_seekable(path) as f:
         f.seek(hdr["root_off"])
         root = deserialize_directory(_gunzip(f.read(hdr["root_len"])))
         out = []
@@ -319,7 +320,7 @@ def read_pmtiles(spark: SparkSession, path: str,
     """.pmtiles -> (DataFrame(z, x, y, layer, fid, gtype, geom
     WKB-in-mercator, props), header dict) — same row shape as
     mvt.read_mvt, so the two front doors are interchangeable."""
-    with open(path, "rb") as f:
+    with vsi.open_seekable(path) as f:
         hdr = parse_header(f.read(HEADER_LEN))
     entries = _all_entries(path, hdr)
     data_off = hdr["data_off"]
@@ -348,7 +349,7 @@ def read_pmtiles(spark: SparkSession, path: str,
     def parse(batches):
         for pdf in batches:
             rows = []
-            with open(path, "rb") as f:
+            with vsi.open_seekable(path) as f:
                 for tids, offs, lens in zip(pdf["tids"], pdf["offs"],
                                             pdf["lens"]):
                     for tid, off, ln in zip(tids, offs, lens):

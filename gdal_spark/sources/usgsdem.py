@@ -32,6 +32,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
+from ..core import vsi
 from ..raster.tiles import TILE_SCHEMA, decode_px, encode_px
 
 NODATA = -32767
@@ -92,9 +93,9 @@ def _int_at(buf: bytes, off: int) -> int:
 def parse_header(path: str) -> dict:
     """A-record -> meta dict (format detection, geotransform, size) —
     LoadFromFile (usgsdemdataset.cpp:582) twin."""
-    with open(path, "rb") as f:
+    with vsi.open_seekable(path) as f:
         head = f.read(4096)
-        size = os.fstat(f.fileno()).st_size
+        size = vsi.fsize(path)
     t = _Tok(head, 864)
     try:
         r864 = t.read_int()
@@ -146,7 +147,7 @@ def parse_header(path: str) -> dict:
     if coordsys in (1, 2, -9999):         # UTM / state plane / unknown
         ymin = np.floor(ymin / dy) * dy
         ymax = np.ceil(ymax / dy) * dy
-        with open(path, "rb") as f:
+        with vsi.open_seekable(path) as f:
             f.seek(start)
             t = _Tok(f.read(256))
         try:
@@ -178,7 +179,7 @@ def _plan_profiles(path: str, meta: dict) -> list[int] | None:
         return None
     offs = []
     pos = 1024
-    with open(path, "rb") as f:
+    with vsi.open_seekable(path) as f:
         for i in range(meta["nx"]):
             if pos >= meta["size"]:
                 break                      # truncated file: rest nodata
@@ -204,7 +205,7 @@ def _scan_profiles(path: str, meta: dict) -> list[int]:
     """Sequential token scan (the reference's only strategy) recovering
     each profile's byte start; one driver pass, values parsed later in
     parallel."""
-    with open(path, "rb") as f:
+    with vsi.open_seekable(path) as f:
         buf = f.read()
     t = _Tok(buf, meta["start"])
     offs = []
@@ -307,7 +308,7 @@ def read_usgsdem(spark: SparkSession, path: str,
             for s in pdf.itertuples(index=False):
                 arr = np.full((ny, int(s.c1 - s.c0)), NODATA, npdt)
                 if len(s.rel):
-                    with open(path, "rb") as f:
+                    with vsi.open_seekable(path) as f:
                         f.seek(int(s.b0))
                         raw = f.read(int(s.b1 - s.b0))
                     for rel, ci in zip(s.rel, s.ci):

@@ -86,3 +86,22 @@ def test_write_read_roundtrip_exact(spark, tmp_path):
     h = HDF5File(path)
     assert h.datasets["/Band1"]["shape"] == [H, W]
     assert np.array_equal(read_dataset(h, "/Band1"), full)
+
+
+def test_multi_gb_file_opens_with_bounded_metadata_reads(spark, tmp_path):
+    """Round-5 scale contract: a 4 GiB HDF5 opens driver-side through
+    the vsi.PagedReader seam touching only superblock/node pages —
+    bytes_fetched stays header-sized, never f.read()-the-world."""
+    path = str(tmp_path / "big.h5")
+    w, h = 32768, 65536                     # 32768*65536*2 B = 4 GiB
+    tiles = spark.createDataFrame(
+        pd.DataFrame([(1, 0, 0, 0, "float64", None,
+                       encode_px(np.ones((256, 256))))],
+                     columns=[f.name for f in TILE_SCHEMA.fields]),
+        TILE_SCHEMA)
+    write_hdf5(tiles, path, w, h, name="big", np_dtype="<i2")
+    assert os.path.getsize(path) >= 4 * 1024 ** 3
+    hd = HDF5File(path)
+    assert "/big" in hd.datasets
+    assert hd.datasets["/big"]["shape"] == [h, w]
+    assert hd.buf.bytes_fetched < 1 * 1024 * 1024

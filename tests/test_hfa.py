@@ -137,3 +137,30 @@ def test_rat_histogram_matches_decoded_pixels(spark):
     rat = read_rat(path)["Histogram"]
     assert np.array_equal(mine[1:], rat[1:].astype(int))
     assert rat[0] == 0 and mine[0] == 2
+
+
+def test_multi_gb_img_opens_with_bounded_metadata_reads(spark, tmp_path):
+    """Round-5 scale contract: a >4 GiB .img opens driver-side through
+    vsi.PagedReader — the node tree + dictionary + block table walk is
+    pread-bounded (header + block-table pages only)."""
+    import pandas as pd
+    from gdal_spark.raster.tiles import TILE_SCHEMA, encode_px
+    path = str(tmp_path / "big.img")
+    # 28672 x 16384 f64 = 3.5 GiB of pixel blocks (sparse on disk) —
+    # classic HFA offsets are u32, so a single .img caps at 4 GiB
+    # (bigger rasters spill to .ige, same pread path)
+    tiles = spark.createDataFrame(
+        pd.DataFrame([(1, 0, 0, 0, "float64", None,
+                       encode_px(np.full((64, 64), 7.0)))],
+                     columns=[f.name for f in TILE_SCHEMA.fields]),
+        TILE_SCHEMA)
+    write_hfa(tiles, path, 28672, 16384, tile=64, pixel_type=10)
+    assert os.path.getsize(path) >= 3.5 * 1024 ** 3
+    hfa = HFAFile(path)
+    assert len(hfa.layers) == 1
+    info = hfa.layer_info(hfa.layers[0])
+    assert (info["width"], info["height"]) == (28672, 16384)
+    assert len(info["blocks"]) == 448 * 256
+    # block table is ~7 MB of node data; the walk must stay in that
+    # order of magnitude, never the 4 GiB file
+    assert hfa.buf.bytes_fetched < 32 * 1024 * 1024
