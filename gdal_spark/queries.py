@@ -11089,3 +11089,55 @@ def q_link_components(spark, sf_dir):
     round, O(log diameter) rounds); oracle: an independent
     recursive-CTE transitive closure."""
     return graphops.link_components(_t(spark, sf_dir, "documents"))
+
+
+@_reg("openfilegdb_roundtrip", f"""
+{_pts_cte()}
+SELECT doc_id,
+       ROUND(floor(lon * 10000000.0 + 0.5) / 10000000.0, 8) AS x_r,
+       ROUND(floor(lat * 10000000.0 + 0.5) / 10000000.0, 8) AS y_r
+FROM pts WHERE doc_id % 19 = 0
+""")
+def q_openfilegdb_roundtrip(spark, sf_dir):
+    """ESRI File Geodatabase driver round-trip
+    (ogr/ogrsf_frmts/openfilegdb/filegdbtable.cpp): every 19th page
+    writes a point feature into a .gdb directory — system catalog +
+    .gdbtable/.gdbtablx pair, varuint-quantized extended shape buffers
+    at the standard GCS grid (origin -400, scale ~1e9) — and reads back
+    through the block-parallel distributed reader.  Coordinates are
+    pre-quantized to 1e-7 so the ~5e-10 shape-grid quantization noise
+    cannot move an 8-decimal rounding; the oracle replays the same
+    1e-7 quantization from the source table."""
+    import math
+    import os
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from .core import wkb as W
+    from .sources.openfilegdb import (
+        FGFT_GEOMETRY, FGFT_INT32, read_openfilegdb, write_openfilegdb)
+
+    rows = (datagen.points(spark, sf_dir).where(F.col("doc_id") % 19 == 0)
+            .select("doc_id", "lon", "lat").orderBy("doc_id").collect())
+    path = os.path.join(tempfile.gettempdir(),
+                        f"gdal_spark_ofgdb_{os.getpid()}.gdb")
+    shutil.rmtree(path, ignore_errors=True)
+    q = 10000000.0
+
+    def qz(v):
+        return math.floor(v * q + 0.5) / q
+
+    feats = [(int(r.doc_id),
+              W.Geom(W.POINT, [np.array([[qz(r.lon), qz(r.lat)]])]))
+             for r in rows]
+    write_openfilegdb(path, "pages",
+                      [("doc_id", FGFT_INT32, True),
+                       ("SHAPE", FGFT_GEOMETRY, True)],
+                      feats, geom_code=1)
+    df = read_openfilegdb(spark, path)
+    px, py = _pxy_udfs()
+    return df.select(F.col("doc_id").cast("long").alias("doc_id"),
+                     F.round(px("geom"), 8).alias("x_r"),
+                     F.round(py("geom"), 8).alias("y_r"))

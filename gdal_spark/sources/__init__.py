@@ -120,6 +120,9 @@ def open_vector(spark, path: str, **kwargs):
     if low.endswith(".jsonfg"):
         from .jsonfg import read_jsonfg
         return read_jsonfg(spark, path)
+    if low.rstrip("/").endswith(".gdb") or low.endswith(".gdbtable"):
+        from .openfilegdb import read_openfilegdb
+        return read_openfilegdb(spark, path, **kwargs)
     if low.endswith(".000") or low.endswith(".s57"):
         from .s57 import read_s57
         return read_s57(spark, path)
