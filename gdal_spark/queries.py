@@ -11141,3 +11141,63 @@ def q_openfilegdb_roundtrip(spark, sf_dir):
     return df.select(F.col("doc_id").cast("long").alias("doc_id"),
                      F.round(px("geom"), 8).alias("x_r"),
                      F.round(py("geom"), 8).alias("y_r"))
+
+
+@_reg("grib2_jpeg2000", """
+WITH m AS (SELECT * FROM (VALUES (1), (2)) t(band)),
+px AS (
+  SELECT band, x.x, y.y,
+         ((band * 17 + x.x * 3 + y.y * 7) % 400) + 20000 AS cs
+  FROM m, range(41) x(x), range(37) y(y)
+)
+SELECT band, 41 AS ni, 37 AS nj,
+       CAST(count(*) AS BIGINT) AS n_valid,
+       CAST(SUM(cs) AS BIGINT) AS sum_cs
+FROM px GROUP BY band
+""")
+def q_grib2_jpeg2000(spark, sf_dir):
+    """GRIB2 data-representation template 5.40 (JPEG 2000, lossless):
+    two simple fields pack through the from-scratch reversible T.800
+    encoder (raster/j2k.py — MQ coder + EBCOT tier-1 + 5/3 lifting,
+    decoder pinned against nine reference autotest golden checksums in
+    tests/test_j2k.py) and read back through the grib2 driver's
+    template-40 path; the oracle recomputes the centi-exact integer
+    sums closed-form.  Closes the reference's frmts/openjpeg
+    dependency for GRIB2 (grib2.py template-40, was 'unsupported' in
+    rounds 1-4)."""
+    import os
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+
+    from .raster.tiles import decode_px
+    from .sources.grib2 import read_grib2, write_grib2
+
+    path = os.path.join(tempfile.gettempdir(),
+                        f"gdal_spark_grib2j2k_{os.getpid()}.grb2")
+    if not os.path.exists(path):
+        y, x = np.mgrid[0:37, 0:41]
+        arrays = [(((b * 17 + x * 3 + y * 7) % 400) + 20000) / 100.0
+                  for b in (1, 2)]
+        write_grib2(arrays, path, drt=40)
+    tiles, metas = read_grib2(spark, path, tile=64)
+
+    def agg(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                arr = decode_px(r.px, r.dtype, 64)[:37, :41]
+                rows.append((int(r.band), int(arr.size),
+                             int(np.rint(arr * 100.0).sum())))
+            yield pd.DataFrame(rows, columns=["band", "n_valid",
+                                              "sum_cs"])
+
+    per_tile = tiles.mapInPandas(
+        agg, "band int, n_valid long, sum_cs long")
+    return (per_tile.groupBy("band")
+            .agg(F.lit(41).alias("ni"), F.lit(37).alias("nj"),
+                 F.sum("n_valid").alias("n_valid"),
+                 F.sum("sum_cs").alias("sum_cs"))
+            .select(F.col("band").cast("int").alias("band"),
+                    "ni", "nj", "n_valid", "sum_cs"))

@@ -266,7 +266,7 @@ def parse_fields(buf: bytes):
             meta["gt"] = (lon1 - di / 2.0, di, 0.0,
                           max(lat1, lat2) + dj / 2.0, 0.0, -dj)
         data = s7[5:]
-        if drt in (0, 41):                     # simple / PNG packing
+        if drt in (0, 40, 41):                 # simple / JPEG2000 / PNG
             r = struct.unpack(">f", s5[11:15])[0]
             e = _s(s5, 15, 2)
             d = _s(s5, 17, 2)
@@ -278,6 +278,13 @@ def parse_fields(buf: bytes):
                 from .png import decode_png
                 img = decode_png(bytes(data))[0]
                 x = np.asarray(img).ravel().astype(np.int64)[:nvals]
+            elif drt == 40:
+                # template 5.40: section 7 is a raw J2K codestream of
+                # one unsigned component (reversible for compression
+                # type 0 — the from-scratch T.800 decoder in raster/j2k)
+                from ..raster.j2k import decode_j2k, extract_codestream
+                img = decode_j2k(extract_codestream(bytes(data)))
+                x = img[0].ravel().astype(np.int64)[:nvals]
             else:
                 x = _unpack_simple(data, nvals, nbits)
             vals = (r + x.astype(np.float64) * 2.0 ** e) / 10.0 ** d
@@ -305,7 +312,7 @@ def parse_fields(buf: bytes):
                 .astype(np.float64)
         else:
             raise ValueError(f"data representation template {drt} "
-                             "unsupported (no JPEG2000/AEC codec)")
+                             "unsupported (no CCSDS/AEC codec)")
         # bitmap expansion
         full = vals
         if s6 is not None:
@@ -401,12 +408,14 @@ def write_grib2(arrays, path: str, *, lat1: float = 60.0,
                 lon1: float = 0.0, di: float = 0.5, dj: float = 0.5,
                 discipline: int = 0, category: int = 2, number: int = 2,
                 nbits: int = 12, d_scale: int = 2,
-                bitmaps=None) -> None:
+                bitmaps=None, drt: int = 0) -> None:
     """[(Nj, Ni) float arrays] -> one GRIB2 message each: section
     0/1/3/4/5/6/7/8 with lat/lon grid template 3.0, product template
     4.0, simple packing 5.0 (binary scale chosen to fit nbits), and an
     optional per-array bool bitmap (section 6 indicator 0). Scanning
-    mode 0 (+i, -j from the north-west corner)."""
+    mode 0 (+i, -j from the north-west corner).  drt=40 packs the
+    quantized integers as a lossless JPEG 2000 codestream instead
+    (template 5.40 type-0, raster/j2k encode_j2k)."""
     out = bytearray()
     for ai, arr in enumerate(arrays):
         a = np.asarray(arr, np.float64)
@@ -468,16 +477,19 @@ def write_grib2(arrays, path: str, *, lat1: float = 60.0,
         s4[22] = 1                             # surface
         s4[23] = 0xFF
 
-        s5 = bytearray(21)
-        s5[0:4] = (21).to_bytes(4, "big")
+        s5 = bytearray(23 if drt == 40 else 21)
+        s5[0:4] = len(s5).to_bytes(4, "big")
         s5[4] = 5
         s5[5:9] = len(vals).to_bytes(4, "big")
-        s5[9:11] = (0).to_bytes(2, "big")      # template 5.0
+        s5[9:11] = drt.to_bytes(2, "big")      # template 5.0 / 5.40
         s5[11:15] = struct.pack(">f", ref32)
         s5[15:17] = sm(e, 2)
         s5[17:19] = sm(d_scale, 2)
         s5[19] = nbits
         s5[20] = 0
+        if drt == 40:
+            s5[21] = 0                         # lossless compression
+            s5[22] = 255                       # target ratio n/a
 
         if bm is None:
             s6 = bytearray(6)
@@ -491,9 +503,16 @@ def write_grib2(arrays, path: str, *, lat1: float = 60.0,
             s6[4] = 6
             s6[5] = 0
 
-        bits = ((x.reshape(-1, 1)
-                 >> np.arange(nbits - 1, -1, -1)) & 1).astype(np.uint8)
-        data = np.packbits(bits.ravel()).tobytes()
+        if drt == 40:
+            if bm is not None:
+                raise ValueError("drt=40 with bitmap not supported")
+            from ..raster.j2k import encode_j2k
+            data = encode_j2k(x.reshape(nj, ni), depth=max(nbits, 1),
+                              nl=5)
+        else:
+            bits = ((x.reshape(-1, 1)
+                     >> np.arange(nbits - 1, -1, -1)) & 1).astype(np.uint8)
+            data = np.packbits(bits.ravel()).tobytes()
         s7 = bytearray(5) + data
         s7[0:4] = len(s7).to_bytes(4, "big")
         s7[4] = 7

@@ -1,0 +1,121 @@
+"""JPEG 2000 decoder/encoder vs the reference autotest golden files.
+
+Every expected checksum below is asserted by the reference's own test
+suite (autotest/gdrivers/jp2openjpeg.py, jp2kak.py, ecw.py) for the
+same fixture through OpenJPEG/Kakadu/ECW — three independent codecs
+agreeing on the value."""
+import os
+
+import numpy as np
+import pytest
+
+from gdal_spark.core.checksum import gdal_checksum
+from gdal_spark.raster.j2k import decode_j2k, encode_j2k, extract_codestream
+
+FIX = "/root/reference/autotest/gdrivers/data/jpeg2000"
+
+
+def _decode(name):
+    with open(os.path.join(FIX, name), "rb") as f:
+        return decode_j2k(extract_codestream(f.read()))
+
+
+@pytest.mark.parametrize("name,checksum", [
+    # jp2openjpeg.py golden write test source (byte.tif == 4672)
+    ("byte_lossless_openjp2_golden.jp2", 4672),
+    # jp2openjpeg.py test 2: NL=5, PCRL, 12 quality layers
+    ("byte.jp2", 50054),
+    # jp2openjpeg.py test 48: truncated (lossy) stream, midpoint
+    # reconstruction + Byte clamp
+    ("byte_tile_2048.jp2", 4610),
+    # multi-tile with non-zero image origin
+    ("byte_image_origin_not_zero.jp2", 4672),
+    # RLCP, 2 layers, TLM/PLT markers, tile smaller than image
+    ("byte_tlm_plt.jp2", 4672),
+    # signed 16-bit lossless
+    ("int16_lossless.jp2", 4672),
+    # POC marker present but redundant
+    ("byte_one_poc.j2k", 4672),
+])
+def test_golden_checksums(name, checksum):
+    img = _decode(name)
+    assert gdal_checksum(img[0]) == checksum
+
+
+def test_kakadu_rgb():
+    """jp2kak.py test 2: Kakadu-encoded 3-band RGB, band 2 = 32141."""
+    img = _decode("rgbwcmyk01_YeGeo_kakadu.jp2")
+    assert img.shape == (3, 100, 800)
+    assert gdal_checksum(img[1]) == 32141
+
+
+def test_uint32_20bit_exact():
+    """ecw.py test_ecw_read_uint32_jpeg2000 exact pixel values."""
+    img = _decode("uint32_2x2_lossless_nbits_20.j2k")
+    assert img.ravel().tolist() == [0, 1048575, 1048574, 524288]
+
+
+def test_lossy_rejected():
+    """9/7 irreversible streams are rejected, not mis-decoded."""
+    with open(os.path.join(FIX, "ll.jp2"), "rb") as f:
+        data = f.read()
+    with pytest.raises(ValueError):
+        decode_j2k(extract_codestream(data))
+
+
+@pytest.mark.parametrize("shape,depth,nl,signed", [
+    ((20, 20), 8, 0, False),
+    ((100, 100), 8, 5, False),
+    ((37, 53), 8, 3, False),
+    ((64, 64), 16, 2, False),
+    ((33, 1), 8, 2, False),
+    ((1, 33), 8, 2, False),
+    ((50, 60), 12, 4, False),
+    ((21, 19), 16, 3, True),
+    ((5, 5), 20, 2, False),
+])
+def test_encoder_lossless_roundtrip(shape, depth, nl, signed):
+    rng = np.random.RandomState(sum(shape) + depth + nl)
+    if signed:
+        a = rng.randint(-(1 << (depth - 1)), 1 << (depth - 1), shape)
+    else:
+        a = rng.randint(0, 1 << depth, shape)
+    out = decode_j2k(encode_j2k(a, depth=depth, nl=nl, signed=signed))
+    assert np.array_equal(out[0], a)
+
+
+def test_encoder_constant_and_sparse():
+    a = np.zeros((40, 40), np.int64)
+    out = decode_j2k(encode_j2k(a, depth=8, nl=2))
+    assert np.array_equal(out[0], a)
+    a[13, 29] = 200
+    out = decode_j2k(encode_j2k(a, depth=8, nl=2))
+    assert np.array_equal(out[0], a)
+
+
+def test_grib2_template40_roundtrip(tmp_path, spark):
+    from gdal_spark.raster.tiles import decode_px
+    from gdal_spark.sources.grib2 import read_grib2, write_grib2
+    y, x = np.mgrid[0:37, 0:41]
+    arr = (((x * 3 + y * 7) % 400) + 20000) / 100.0
+    p = str(tmp_path / "t40.grb2")
+    write_grib2([arr], p, drt=40)
+    tiles, metas = read_grib2(spark, p, tile=64)
+    row = tiles.collect()[0]
+    got = decode_px(row.px, row.dtype, 64)[:37, :41]
+    assert np.allclose(got, arr, atol=5e-3)
+    assert np.array_equal(np.rint(got * 100), np.rint(arr * 100))
+
+
+def test_grib2_template40_nbits_zero(spark):
+    """The reference's own template-40 autotest fixture (nbits=0
+    constant field, grib.py:593: checksum 5 == single pixel 250)."""
+    from gdal_spark.raster.tiles import decode_px
+    from gdal_spark.sources.grib2 import read_grib2
+    p = ("/root/reference/autotest/gdrivers/data/grib/"
+         "jpeg2000_nbits_zero_decimal_scaled.grb2")
+    tiles, metas = read_grib2(spark, p, tile=64)
+    row = tiles.collect()[0]
+    got = decode_px(row.px, row.dtype, 64)
+    assert got[0, 0] == 250.0
+    assert gdal_checksum(np.array([[250]], np.int64)) == 5
