@@ -183,6 +183,9 @@ def open_raster(spark, path: str, tile: int = 256, **kwargs):
     if low.endswith(".zarr") or low.rstrip("/").endswith(".zarr"):
         from .zarr import read_zarr
         return read_zarr(spark, path, **kwargs)[0]
+    if low.endswith((".jp2", ".j2k", ".jpc")):
+        from .jp2 import read_jp2
+        return read_jp2(spark, path, tile=tile, **kwargs)[0]
     if low.endswith(".png"):
         from .png import read_png
         return read_png(spark, path, tile=tile, **kwargs)

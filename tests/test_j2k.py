@@ -119,3 +119,38 @@ def test_grib2_template40_nbits_zero(spark):
     got = decode_px(row.px, row.dtype, 64)
     assert got[0, 0] == 250.0
     assert gdal_checksum(np.array([[250]], np.int64)) == 5
+
+
+def test_read_jp2_source(spark):
+    """Tile-parallel JP2 source matches the whole-image decode and
+    recovers GeoJP2 georeferencing (byte.jp2 = byte.tif grid)."""
+    from gdal_spark.raster.tiles import decode_px
+    from gdal_spark.sources.jp2 import read_jp2
+    p = os.path.join(FIX, "byte.jp2")
+    tiles, meta = read_jp2(spark, p, tile=256)
+    assert meta["gt"] == (440720.0, 60.0, 0.0, 3751320.0, 0.0, -60.0)
+    rows = tiles.collect()
+    img = np.zeros((meta["height"], meta["width"]), np.int64)
+    for r in rows:
+        if r.band != 1:
+            continue
+        a = decode_px(r.px, r.dtype, 256)
+        ys, xs = r.tile_y * 256, r.tile_x * 256
+        img[ys:ys + 256, xs:xs + 256] = a[:meta["height"] - ys,
+                                          :meta["width"] - xs]
+    assert gdal_checksum(img) == 50054
+
+
+def test_write_jp2_roundtrip(spark, tmp_path):
+    from gdal_spark.raster.tiles import decode_px
+    from gdal_spark.sources.jp2 import read_jp2, write_jp2
+    rng = np.random.RandomState(3)
+    a = rng.randint(0, 4096, (70, 90))
+    p = str(tmp_path / "w.jp2")
+    gt = (100.0, 0.5, 0.0, 200.0, 0.0, -0.5)
+    write_jp2(a, p, depth=12, nl=3, gt=gt)
+    tiles, meta = read_jp2(spark, p, tile=256)
+    assert meta["gt"] == gt
+    r = [x for x in tiles.collect() if x.band == 1][0]
+    got = decode_px(r.px, r.dtype, 256)[:70, :90]
+    assert np.array_equal(got, a)
