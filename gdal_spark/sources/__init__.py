@@ -300,8 +300,10 @@ def save_vector(df, path: str, geom_col: str = "geom", **kwargs):
     the sink the extension names (the reference's GetDriverByName +
     CreateLayer + CreateFeature loop as one call). Parquet/GeoParquet/
     GeoJSONSeq/CSV/KML/GML/Arrow sinks are distributed (one part per
-    partition); SHP/FGB/GPKG are single-file formats, so they collect —
-    bounded extracts only, the distributed sink remains parquet."""
+    partition); SHP and FGB route unconditionally through the two-phase
+    preallocated-pwrite DISTRIBUTED writers (no driver collect of
+    features); GPKG remains a bounded-extract collect (sqlite is
+    single-writer by design)."""
     low = path.lower()
     if low.endswith(".parquet"):
         return df.write.mode("overwrite").parquet(path)

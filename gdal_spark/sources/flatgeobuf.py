@@ -453,7 +453,10 @@ def infer_columns(attrs: dict):
 def write_fgb(rows, path: str, name: str = "layer",
               node_size: int = 16, hilbert_sort: bool = True) -> None:
     """rows: [(geom_wkb, {attr: value})] -> a spec-complete .fgb with
-    header, packed Hilbert R-tree and size-prefixed features."""
+    header, packed Hilbert R-tree and size-prefixed features.
+    Single-threaded FIXTURE helper — DataFrame layers go through
+    write_fgb_dist (per-task pwrite, no driver collect), which is what
+    save_vector routes to unconditionally."""
     rows = list(rows)
     if not rows:
         raise ValueError("FlatGeobuf requires at least one feature")

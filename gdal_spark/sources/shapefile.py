@@ -555,10 +555,7 @@ def write_shapefile_dist(df: DataFrame, path_base: str,
 
 def write_shapefile_df(df: DataFrame, path_base: str,
                        geom_col: str = "geom") -> None:
-    """Collect-and-write sink for bounded layers (fixtures, small extracts
-    — the distributed sink remains parquet)."""
-    attrs = [c for c in df.columns if c != geom_col]
-    rows = [(bytes(r[geom_col]) if r[geom_col] is not None else None,
-             {a: r[a] for a in attrs})
-            for r in df.collect()]
-    write_shapefile(rows, path_base)
+    """DataFrame sink — delegates unconditionally to the distributed
+    two-phase pwrite writer (no driver collect; write_shapefile_dist).
+    The rows-list write_shapefile above remains a fixture helper only."""
+    write_shapefile_dist(df, path_base, geom_col=geom_col)
