@@ -348,6 +348,116 @@ def geom_length(g: Geom) -> float:
     return total
 
 
+def arc_params(p0, p1, p2):
+    """Circle through three arc points -> (R, signed_sweep) with
+    positive sweep = counter-clockwise traversal p0 -> p1 -> p2, or
+    None when collinear (a degenerate straight segment).  A closed
+    triple (p0 == p2) is a full circle through p1 (OGRCircularString
+    semantics, ogr/ogrcircularstring.cpp)."""
+    import math
+    ax, ay = float(p0[0]), float(p0[1])
+    bx, by = float(p1[0]), float(p1[1])
+    cx, cy = float(p2[0]), float(p2[1])
+    d = 2.0 * (ax * (by - cy) + bx * (cy - ay) + cx * (ay - by))
+    scale = max(abs(ax), abs(ay), abs(bx), abs(by), abs(cx), abs(cy), 1.0)
+    if abs(d) < 1e-11 * scale * scale:
+        return None
+    a2 = ax * ax + ay * ay
+    b2 = bx * bx + by * by
+    c2 = cx * cx + cy * cy
+    ux = (a2 * (by - cy) + b2 * (cy - ay) + c2 * (ay - by)) / d
+    uy = (a2 * (cx - bx) + b2 * (ax - cx) + c2 * (bx - ax)) / d
+    r = math.hypot(ax - ux, ay - uy)
+    t0 = math.atan2(ay - uy, ax - ux)
+    t1 = math.atan2(by - uy, bx - ux)
+    t2 = math.atan2(cy - uy, cx - ux)
+    two_pi = 2.0 * math.pi
+    if ax == cx and ay == cy:
+        # full circle; direction taken counter-clockwise
+        return r, two_pi
+    ccw = (t2 - t0) % two_pi
+    mid = (t1 - t0) % two_pi
+    if mid <= ccw:
+        return r, ccw
+    return r, ccw - two_pi
+
+
+def _arc_triples(pts: np.ndarray):
+    for i in range(0, len(pts) - 2, 2):
+        yield pts[i], pts[i + 1], pts[i + 2]
+
+
+def _curve_ring_measures(g: Geom):
+    """One curve ring/string -> (length, signed_area_contribution,
+    endpoint chain).  The area of a closed curve ring is the shoelace
+    of the arc ENDPOINTS plus one signed circular-segment term
+    (R^2/2)(sweep - sin sweep) per arc (exact, not stroked)."""
+    import math
+    if g.gtype == wkb.COMPOUNDCURVE:
+        total_len = 0.0
+        seg_area = 0.0
+        chain = []
+        for p in g.parts:
+            ln, sa, ch = _curve_ring_measures(p)
+            total_len += ln
+            seg_area += sa
+            chain.extend(ch if not chain else ch[1:])
+        return total_len, seg_area, chain
+    pts = g.rings[0]
+    if g.gtype == wkb.CIRCULARSTRING:
+        total_len = 0.0
+        seg_area = 0.0
+        chain = [tuple(pts[0])]
+        for p0, p1, p2 in _arc_triples(pts):
+            ap = arc_params(p0, p1, p2)
+            if ap is None:
+                total_len += float(np.hypot(*(np.asarray(p2)
+                                              - np.asarray(p0))))
+            else:
+                r, sweep = ap
+                total_len += r * abs(sweep)
+                seg_area += 0.5 * r * r * (sweep - math.sin(sweep))
+            chain.append(tuple(p2))
+        return total_len, seg_area, chain
+    # plain linestring piece
+    d = np.diff(pts, axis=0)
+    return (float(np.hypot(d[:, 0], d[:, 1]).sum()), 0.0,
+            [tuple(p) for p in pts])
+
+
+def curve_length(g: Geom) -> float:
+    """Exact arc length for the ISO curve types (CIRCULARSTRING /
+    COMPOUNDCURVE / CURVEPOLYGON / MULTICURVE / MULTISURFACE) decoded
+    with curves=True — closed-form R*sweep per arc, no stroking.
+    Non-curve geometries fall through to geom_length."""
+    if g.gtype in (wkb.CIRCULARSTRING, wkb.COMPOUNDCURVE):
+        ln, _, _ = _curve_ring_measures(g)
+        return ln
+    if g.gtype in (wkb.CURVEPOLYGON, wkb.MULTICURVE, wkb.MULTISURFACE,
+                   wkb.GEOMETRYCOLLECTION):
+        return float(sum(curve_length(p) for p in g.parts))
+    return geom_length(g)
+
+
+def curve_area(g: Geom) -> float:
+    """Exact planar area for CURVEPOLYGON (and MULTISURFACE): shoelace
+    of arc endpoints + signed circular-segment corrections; holes
+    subtract.  Non-curve geometries fall through to geom_area."""
+    if g.gtype == wkb.CURVEPOLYGON:
+        total = 0.0
+        for k, ring in enumerate(g.parts):
+            _, seg, chain = _curve_ring_measures(ring)
+            ch = np.asarray(chain, np.float64)
+            if len(ch) and not np.array_equal(ch[0], ch[-1]):
+                ch = np.vstack([ch, ch[:1]])
+            a = abs(ring_area(ch) + seg) if len(ch) >= 2 else abs(seg)
+            total += a if k == 0 else -a
+        return total
+    if g.gtype in (wkb.MULTISURFACE, wkb.GEOMETRYCOLLECTION):
+        return float(sum(curve_area(p) for p in g.parts))
+    return geom_area(g)
+
+
 def geom_centroid(g: Geom):
     """Area-weighted centroid for polygons; vertex mean for points/lines."""
     polys = g.polygons()

@@ -62,6 +62,26 @@ def st_length(geom: pd.Series) -> pd.Series:
 
 
 @pandas_udf(DoubleType())
+def st_curve_length(geom: pd.Series) -> pd.Series:
+    """Exact curve length: CIRCULARSTRING/COMPOUNDCURVE/CURVEPOLYGON
+    WKB decodes with curves=True and each arc contributes R*sweep in
+    closed form (geomops.arc_params) — no stroking, unlike the ingest
+    path's ST_Length which measures the linearized geometry."""
+    return pd.Series(
+        [geomops.curve_length(wkb.decode(bytes(b), curves=True))
+         if b is not None else None for b in geom], dtype="float64")
+
+
+@pandas_udf(DoubleType())
+def st_curve_area(geom: pd.Series) -> pd.Series:
+    """Exact CURVEPOLYGON area: arc-endpoint shoelace plus signed
+    circular-segment terms (R^2/2)(sweep - sin sweep) per arc."""
+    return pd.Series(
+        [geomops.curve_area(wkb.decode(bytes(b), curves=True))
+         if b is not None else None for b in geom], dtype="float64")
+
+
+@pandas_udf(DoubleType())
 def st_x(geom: pd.Series) -> pd.Series:
     pts = wkb.points_batch(list(geom))
     if pts is not None:
@@ -926,6 +946,7 @@ _REGISTRY = {
     "ST_Distance": st_distance, "ST_ConvexHull": st_convexhull,
     "ST_MakeValid": st_makevalid, "ST_PointOnSurface": st_pointonsurface,
     "ST_CurveToLine": st_curvetoline,
+    "ST_CurveLength": st_curve_length, "ST_CurveArea": st_curve_area,
     "ST_Buffer": st_buffer, "ST_IsValid": st_isvalid,
     "ST_IsSimple": st_issimple, "ST_IsRing": st_isring,
     "ST_GeodesicArea": st_geodesic_area,

@@ -11201,3 +11201,74 @@ def q_grib2_jpeg2000(spark, sf_dir):
                  F.sum("sum_cs").alias("sum_cs"))
             .select(F.col("band").cast("int").alias("band"),
                     "ni", "nj", "n_valid", "sum_cs"))
+
+
+@_reg("st_curve_measures", f"""
+{_pts_cte()},
+k AS (SELECT doc_id,
+             CAST(1.0 + (doc_id % 7) * 0.25 AS DOUBLE) AS r,
+             CAST(0.3 AS DOUBLE) * ((doc_id % 5) + 1) AS half_sweep
+      FROM pts WHERE doc_id % 23 = 0)
+SELECT doc_id,
+       ROUND(2 * half_sweep * r, 6) AS arc_len_r,
+       ROUND(PI() * r * r, 6)       AS circ_area_r,
+       ROUND(2 * PI() * r, 6)       AS circ_perim_r
+FROM k
+""")
+def q_st_curve_measures(spark, sf_dir):
+    """Curve-geometry measures on native ISO curve WKB (OGR curve model,
+    ogr/ogr_geometry.h OGRCircularString/OGRCurvePolygon): every 23rd
+    page builds a CIRCULARSTRING arc (3 points on an exact circle,
+    total sweep 2*half_sweep) and a CURVEPOLYGON full circle (two
+    semicircular arcs); ST_CurveLength/ST_CurveArea recover R and the
+    sweep from the control points in closed form (no stroking) — the
+    oracle replays R*sweep / pi*R^2 / 2*pi*R arithmetic directly."""
+    import math
+    import struct
+
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    st.register_all(spark)
+    src = (datagen.points(spark, sf_dir).where(F.col("doc_id") % 23 == 0)
+           .select("doc_id", "lon", "lat"))
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("arc", T.BinaryType()),
+        T.StructField("circle", T.BinaryType()),
+    ])
+
+    def build(batches):
+        def cs(pts):
+            out = struct.pack("<BII", 1, 8, len(pts))
+            for x, y in pts:
+                out += struct.pack("<2d", x, y)
+            return out
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                did = int(r.doc_id)
+                cx, cy = float(r.lon), float(r.lat)
+                rad = 1.0 + (did % 7) * 0.25
+                half = 0.3 * ((did % 5) + 1)
+                a0 = 0.1 * (did % 9)
+                p = lambda a: (cx + rad * math.cos(a),
+                               cy + rad * math.sin(a))
+                arc = cs([p(a0), p(a0 + half), p(a0 + 2 * half)])
+                ring = cs([p(0), p(math.pi / 2), p(math.pi),
+                           p(3 * math.pi / 2), p(2 * math.pi)])
+                circle = struct.pack("<BII", 1, 10, 1) + ring
+                rows.append((did, arc, circle))
+            yield pd.DataFrame(rows, columns=["doc_id", "arc", "circle"])
+
+    curves = src.mapInPandas(build, schema)
+    curves.createOrReplaceTempView("t_curves")
+    return spark.sql(
+        "SELECT doc_id, "
+        " ROUND(ST_CurveLength(arc), 6) AS arc_len_r, "
+        " ROUND(ST_CurveArea(circle), 6) AS circ_area_r, "
+        " ROUND(ST_CurveLength(circle), 6) AS circ_perim_r "
+        "FROM t_curves")

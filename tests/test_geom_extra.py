@@ -380,3 +380,41 @@ def test_hausdorff_distance():
         [[0., 0.], [4., 0.], [4., 4.], [0., 4.], [0., 0.]])])
     pt = wkb.Geom(wkb.POINT, [np.array([[6., 2.]])])
     assert abs(hausdorff_distance(pt, sq) - np.sqrt(40.0)) < 1e-12
+
+
+def test_curve_measures_closed_form():
+    """Exact arc math: semicircle length, full-circle area/perimeter,
+    clockwise arcs, compound curves, collinear degeneracy, holes."""
+    import math
+    import struct
+
+    import numpy as np
+
+    from gdal_spark.core import wkb as W
+    from gdal_spark.core.geomops import curve_area, curve_length
+
+    def cs(pts):
+        out = struct.pack("<BII", 1, 8, len(pts))
+        for x, y in pts:
+            out += struct.pack("<2d", x, y)
+        return out
+
+    c, R = (3.0, -2.0), 1.5
+    p = lambda a: (c[0] + R * math.cos(a), c[1] + R * math.sin(a))
+    semi = W.decode(cs([p(0), p(math.pi / 2), p(math.pi)]), curves=True)
+    assert abs(curve_length(semi) - R * math.pi) < 1e-9
+    cw = W.decode(cs([p(0), p(-math.pi / 2), p(-math.pi)]), curves=True)
+    assert abs(curve_length(cw) - R * math.pi) < 1e-9
+    ring = cs([p(0), p(math.pi / 2), p(math.pi),
+               p(3 * math.pi / 2), p(2 * math.pi)])
+    circle = W.decode(struct.pack("<BII", 1, 10, 1) + ring, curves=True)
+    assert abs(curve_area(circle) - math.pi * R * R) < 1e-9
+    assert abs(curve_length(circle) - 2 * math.pi * R) < 1e-9
+    # curvepolygon with a straight square outer and circular hole
+    sq = struct.pack("<BII", 1, 2, 5) + struct.pack(
+        "<10d", -10, -10, 10, -10, 10, 10, -10, 10, -10, -10)
+    holed = W.decode(struct.pack("<BII", 1, 10, 2) + sq + ring,
+                     curves=True)
+    assert abs(curve_area(holed) - (400 - math.pi * R * R)) < 1e-9
+    col = W.decode(cs([(0, 0), (1, 1), (2, 2)]), curves=True)
+    assert abs(curve_length(col) - math.hypot(2, 2)) < 1e-12
