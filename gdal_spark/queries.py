@@ -11272,3 +11272,169 @@ def q_st_curve_measures(spark, sf_dir):
         " ROUND(ST_CurveArea(circle), 6) AS circ_area_r, "
         " ROUND(ST_CurveLength(circle), 6) AS circ_perim_r "
         "FROM t_curves")
+
+
+@_reg("ogr_sql_battery2", f"""
+{_pts_cte()},{_SQL_BATTERY_PAGES}
+SELECT 'where_arith' AS cid, CAST(count(*) AS DOUBLE) AS vnum,
+       NULL::VARCHAR AS vstr FROM pages WHERE 160+7 > pfid
+UNION ALL SELECT 'where_concat', CAST(pfid AS DOUBLE), NULL
+  FROM pages WHERE 'x' || url = (SELECT 'x' || url FROM pages
+                                 WHERE pfid = 35)
+UNION ALL SELECT 'plus_strings', CAST(pfid AS DOUBLE), NULL
+  FROM pages WHERE url || 'z' = (SELECT url || 'z' FROM pages
+                                 WHERE pfid = 42)
+UNION ALL SELECT 'mod_op', CAST(count(*) AS DOUBLE), NULL
+  FROM pages WHERE pfid % 5 = 1 AND pfid < 350
+UNION ALL SELECT 'distinguished', CAST(pfid AS DOUBLE), NULL
+  FROM pages WHERE pfid = 91
+UNION ALL SELECT 'const_fields', NULL, 'constant string' || '|' ||
+  'other' FROM pages WHERE pfid = 28
+UNION ALL SELECT 'substr_where', CAST(count(*) AS DOUBLE), NULL
+  FROM pages WHERE substr(url, 13, 2) = (SELECT substr(url, 13, 2)
+                                         FROM pages WHERE pfid = 7)
+UNION ALL SELECT 'neg_numbers', -1 + (3- -1) + (3*-1) + 0.2
+  + (3-1), NULL
+UNION ALL SELECT 'div_family', CAST(5//2 AS DOUBLE) + 5.0/2.0
+  + 5/2.0 + 5.0/2, NULL
+UNION ALL SELECT 'count_distinct', CAST(count(DISTINCT cls) AS DOUBLE),
+  NULL FROM pages WHERE pfid < 350
+UNION ALL SELECT 'not_in', CAST(count(*) AS DOUBLE), NULL
+  FROM pages WHERE pfid NOT IN (14, 35) AND pfid < 350
+UNION ALL SELECT 'precedence', CAST(-(7) + 1 + 2*3 + 5 - 3*2
+  AS DOUBLE), NULL
+UNION ALL SELECT 'not_between', CAST(count(*) AS DOUBLE), NULL
+  FROM pages WHERE pfid NOT BETWEEN 100 AND 200 AND pfid < 350
+UNION ALL SELECT 'not_like', CAST(count(*) AS DOUBLE), NULL
+  FROM pages WHERE url NOT LIKE '%site3%' AND pfid < 350
+UNION ALL SELECT 'null_fields', CAST(count(*) AS DOUBLE), NULL
+  FROM pages WHERE NULL IS NULL AND pfid < 350
+UNION ALL SELECT 'like_escape', CAST(count(*) AS DOUBLE), NULL
+  FROM pages WHERE url LIKE '%x_x%' ESCAPE 'x' AND pfid < 3500
+UNION ALL SELECT 'substr_neg', NULL, substr(url, length(url) - 1, 2)
+  FROM pages WHERE pfid = 56
+UNION ALL SELECT 'float_literal', CAST(count(*) AS DOUBLE), NULL
+  FROM pages WHERE 4000000000.0 > 2000000000.0 AND pfid < 350
+UNION ALL SELECT 'arith64', CAST(3000000000000 + 3 AS DOUBLE)
+  + 3.0 * 3000000000000 + CAST(3000000000000 / 3 AS DOUBLE), NULL
+UNION ALL SELECT 'literal_preds', CAST(count(*) AS DOUBLE), NULL
+  FROM pages WHERE 'b' BETWEEN 'b' AND 'd' AND 3 IN (3, 5)
+  AND NULL IS NULL AND 'a' < 'b' AND 6 >= 3.0 AND pfid < 350
+UNION ALL SELECT 'null_binop', CAST(count(*) AS DOUBLE), NULL
+  FROM pages WHERE (pfid + NULL) IS NOT NULL OR pfid = 170 + NULL
+UNION ALL SELECT 'union3_and', CAST(count(*) AS DOUBLE), NULL FROM (
+  SELECT pfid FROM pages WHERE pfid < 100 AND pfid % 5 = 0
+    AND cls IS NOT NULL
+  UNION ALL SELECT pfid FROM pages WHERE pfid >= 100 AND pfid < 350
+    AND pfid % 5 = 0 AND cls IS NOT NULL)
+UNION ALL SELECT 'star_prefix', CAST(count(*) AS DOUBLE), NULL
+  FROM pages WHERE pfid = 63
+UNION ALL SELECT 'int64_lits', CAST(1000000000000 AS DOUBLE)
+  + CAST(100000000000 AS DOUBLE), NULL
+UNION ALL SELECT 'dt_minmax', NULL,
+  (SELECT min(url) FROM pages WHERE pfid < 350) || '|' ||
+  (SELECT max(url) FROM pages WHERE pfid < 350)
+""")
+def q_ogr_sql_battery2(spark, sf_dir):
+    """RFC 28 battery #2 — 25 cases ported from autotest/ogr/
+    ogr_sql_rfc28.py through engine.sql: WHERE-clause arithmetic (t1),
+    CONCAT and '+'-on-strings (t2/t3), '%' (t4), distinguished
+    \"table.field\" quoting (t7), constant select-list fields (t12),
+    SUBSTR in WHERE and with negative offsets (t13/26), double
+    negatives and 2e-1 literals (t16), the 5/2 division family (t17),
+    COUNT(DISTINCT) aliasing (t18), NOT IN/BETWEEN/LIKE (t19/22/23),
+    operator precedence with unary minus (t20), NULL select fields and
+    NULL-operand binops (t24/29), LIKE-ESCAPE folding (t25), float
+    literals > int32 (t27), int64 arithmetic promotion (t28/43),
+    literal predicate battery (t28), three-branch UNION ALL AND (t32+),
+    l.* prefixed stars (t41), MIN/MAX over strings (t40 shape)."""
+    from .sql import OgrSqlEngine
+
+    eng = OgrSqlEngine(spark)
+    pages = datagen.points(spark, sf_dir).where(F.col("doc_id") % 7 == 0) \
+        .select(F.col("doc_id").alias("pfid"), "url", "lon", "lat",
+                F.when(F.col("doc_id") % 70 == 0, F.lit(None))
+                 .otherwise((F.col("doc_id") % 5).cast("string"))
+                 .alias("cls"))
+    eng.register("pages", pages, fid_col="pfid")
+
+    def num(cid, sql, col=None):
+        d = eng.sql(sql)
+        c = col or d.columns[0]
+        return d.select(F.lit(cid).alias("cid"),
+                        d[c].cast("double").alias("vnum"),
+                        F.lit(None).cast("string").alias("vstr"))
+
+    def txt(cid, sql, col=None):
+        d = eng.sql(sql)
+        c = col or d.columns[0]
+        return d.select(F.lit(cid).alias("cid"),
+                        F.lit(None).cast("double").alias("vnum"),
+                        d[c].cast("string").alias("vstr"))
+
+    cases = [
+        num("where_arith",
+            "SELECT COUNT(*) FROM pages WHERE 160+7 > FID"),
+        num("where_concat", "SELECT FID FROM pages WHERE "
+            "CONCAT('x', url) = CONCAT('x', (SELECT url FROM pages "
+            "WHERE FID = 35))"),
+        num("plus_strings", "SELECT FID FROM pages WHERE "
+            "url + 'z' = (SELECT url FROM pages WHERE FID = 42) + 'z'"),
+        num("mod_op", "SELECT COUNT(*) FROM pages "
+                      "WHERE FID % 5 = 1 AND FID < 350"),
+        num("distinguished",
+            'SELECT FID FROM pages WHERE "pages.FID" = 91'),
+        txt("const_fields", "SELECT CONCAT('constant string', '|', abc) "
+            "FROM (SELECT 'other' AS abc, FID FROM pages WHERE FID = 28)"),
+        num("substr_where", "SELECT COUNT(*) FROM pages WHERE "
+            "SUBSTR(url, 13, 2) = SUBSTR((SELECT url FROM pages "
+            "WHERE FID = 7), 13, 2)"),
+        num("neg_numbers",
+            "SELECT -1 + (3--1) + (3*-1) + 2e-1 + (3-1) AS r FROM pages "
+            "LIMIT 1", col="r"),
+        num("div_family", "SELECT CAST(5/2 AS FLOAT) + 5.0/2.0 + 5/2.0 "
+                          "+ 5.0/2 AS r FROM pages LIMIT 1", col="r"),
+        num("count_distinct", "SELECT COUNT(DISTINCT cls) AS xx "
+                              "FROM pages WHERE FID < 350", col="xx"),
+        num("not_in", "SELECT COUNT(*) FROM pages "
+                      "WHERE FID NOT IN (14, 35) AND FID < 350"),
+        num("precedence",
+            "SELECT -(7) + 1 + 2 * 3 + 5 - 3 * 2 AS r FROM pages LIMIT 1", col="r"),
+        num("not_between", "SELECT COUNT(*) FROM pages WHERE FID NOT "
+                           "BETWEEN 100 AND 200 AND FID < 350"),
+        num("not_like", "SELECT COUNT(*) FROM pages WHERE url NOT LIKE "
+                        "'%site3%' AND FID < 350"),
+        num("null_fields", "SELECT COUNT(*) FROM pages "
+                           "WHERE NULL IS NULL AND FID < 350"),
+        num("like_escape", "SELECT COUNT(*) FROM pages WHERE url LIKE "
+                           "'%x_x%' ESCAPE 'x' AND FID < 3500"),
+        txt("substr_neg",
+            "SELECT SUBSTR(url, -2) AS r FROM pages WHERE FID = 56", col="r"),
+        num("float_literal", "SELECT COUNT(*) FROM pages WHERE "
+                             "4000000000. > 2000000000. AND FID < 350"),
+        num("arith64", "SELECT (3000000000000 + 3) + 3. * 3000000000000 "
+                       "+ (3000000000000 / 3) AS r FROM pages LIMIT 1", col="r"),
+        num("literal_preds", "SELECT COUNT(*) FROM pages WHERE "
+            "'b' BETWEEN 'b' AND 'd' AND 3 IN (3, 5) AND NULL IS NULL "
+            "AND 'a' < 'b' AND 6 >= 3.0 AND FID < 350"),
+        num("null_binop", "SELECT COUNT(*) FROM pages WHERE "
+            "(FID + CAST(NULL AS integer)) IS NOT NULL "
+            "OR FID = 170 + CAST(NULL AS integer)"),
+        num("union3_and", "SELECT COUNT(*) FROM ("
+            "SELECT FID FROM pages WHERE FID < 100 AND FID % 5 = 0 "
+            "AND cls IS NOT NULL "
+            "UNION ALL SELECT FID FROM pages WHERE FID >= 100 AND "
+            "FID < 350 AND FID % 5 = 0 AND cls IS NOT NULL)"),
+        num("star_prefix",
+            "SELECT COUNT(*) FROM (SELECT l.* FROM pages l "
+            "WHERE l.pfid = 63)"),
+        num("int64_lits",
+            "SELECT 1000000000000 + CAST(100000000000 AS bigint) AS r "
+            "FROM pages LIMIT 1", col="r"),
+        txt("dt_minmax", "SELECT CONCAT(MIN(url), '|', MAX(url)) "
+                         "FROM pages WHERE FID < 350"),
+    ]
+    out = cases[0]
+    for c in cases[1:]:
+        out = out.unionAll(c)
+    return out

@@ -133,6 +133,12 @@ class OgrSqlEngine:
 
     def _translate_one(self, query: str) -> str:
         parts = _split_literals(query)
+        # OGRSQL has no '--' comments: '3--1' is minus(minus 1)
+        # (swq parser unary minus; autotest ogr_sql_rfc28 test 16)
+        parts = [(il, seg if il else seg.replace("--", "- -"))
+                 for il, seg in parts]
+        parts = _fold_like_escape(parts)
+        parts = self._string_plus_concat(parts)
         # resolve the unqualified-special-field table from the whole
         # de-literaled text (a literal between SELECT and FROM must not
         # hide the FROM clause from earlier segments)
@@ -145,6 +151,16 @@ class OgrSqlEngine:
                 out.append((True, seg))
                 continue
             seg = _DQUOTE.sub(lambda m: "`%s`" % m.group(1), seg)
+            # "table.field" distinguished names (RFC 28: a quoted
+            # dotted identifier whose prefix names a layer resolves as
+            # table.field, autotest ogr_sql_rfc28 test 7)
+            tbls = {k.lower() for k in self._cols} | \
+                   {k.lower() for k in self._fid}
+            seg = re.sub(
+                r"`(\w+)\.(\w+)`",
+                lambda m: (f"{m.group(1)}.`{m.group(2)}`"
+                           if m.group(1).lower() in tbls
+                           else m.group(0)), seg)
             seg = self._rewrite_special_fields(seg, default_tbl)
             seg = _rewrite_cast_types(seg)
             seg = _rewrite_float_literals(seg)
@@ -154,6 +170,35 @@ class OgrSqlEngine:
             seg = self._rewrite_joins(seg)
             out.append((False, seg))
         return "".join(self._promote_string_constants(out, default_tbl))
+
+    def _string_plus_concat(self, parts):
+        """OGR's '+' concatenates when an operand is a string
+        (swq_op_general.cpp SWQ_ADD on SWQ_STRING): a '+' directly
+        adjacent to a string LITERAL rewrites to '||' unless the other
+        side is provably numeric (then the literal auto-converts,
+        SWQAutoConvertStringToNumeric)."""
+        out = list(parts)
+        for k, (il, seg) in enumerate(out):
+            if il:
+                continue
+            if k > 0 and out[k - 1][0]:
+                m = re.match(r"(\s*)\+", seg)
+                if m:
+                    rhs = seg[m.end():].strip()
+                    mo = re.match(r"[\w.`]+|\d*\.?\d+", rhs)
+                    kind = self._operand_kind(mo.group(0), None) \
+                        if mo else ""
+                    if kind not in ("int", "float"):
+                        seg = seg[:m.end() - 1] + "||" + seg[m.end():]
+            if k + 1 < len(out) and out[k + 1][0]:
+                m = re.search(r"\+(\s*)$", seg)
+                if m:
+                    lhs, _ = _scan_operand_back(seg, m.start())
+                    kind = self._operand_kind(lhs, None) if lhs else ""
+                    if kind not in ("int", "float"):
+                        seg = seg[:m.start()] + "||" + seg[m.start() + 1:]
+            out[k] = (False, seg)
+        return out
 
     # -- OGR type-promotion rewrites ----------------------------------------
 
@@ -412,6 +457,39 @@ def _scan_operand_fwd(s: str, i: int):
     if m:
         return s[start:j + m.end()], j + m.end()
     return None, i
+
+
+def _fold_like_escape(parts):
+    """LIKE 'pattern' ESCAPE 'c' -> LIKE 'folded' (swq_op_general.cpp
+    swq_like ESCAPE handling): the OGR escape char makes the next char
+    literal regardless of what it is; Spark only allows escaping
+    wildcards, so the pattern folds to backslash-escaped form here."""
+    out = list(parts)
+    i = 0
+    while i + 3 < len(out):
+        (l0, s0), (l1, s1), (l2, s2), (l3, s3) = out[i:i + 4]
+        if (not l0 and re.search(r"(?i)\bI?LIKE\s*$", s0)
+                and l1 and not l2
+                and re.fullmatch(r"(?is)\s*ESCAPE\s*", s2) and l3):
+            esc = s3[1:-1].replace("''", "'")
+            pat = s1[1:-1].replace("''", "'")
+            folded = []
+            k = 0
+            while k < len(pat):
+                ch = pat[k]
+                if esc and ch == esc and k + 1 < len(pat):
+                    nxt = pat[k + 1]
+                    folded.append("\\" + nxt if nxt in "%_\\" else nxt)
+                    k += 2
+                    continue
+                folded.append("\\\\" if ch == "\\" else ch)
+                k += 1
+            lit = "'" + "".join(folded).replace("'", "''") + "'"
+            out[i + 1] = (True, lit)
+            out[i + 2] = (False, " ")
+            out[i + 3] = (False, "")
+        i += 1
+    return out
 
 
 def _split_literals(query: str):
