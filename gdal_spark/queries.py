@@ -11438,3 +11438,62 @@ def q_ogr_sql_battery2(spark, sf_dir):
     for c in cases[1:]:
         out = out.unionAll(c)
     return out
+
+
+@_reg("multidim_slice", """
+WITH cells AS (
+  SELECT t.t, z.z, y.y, x.x,
+         (t.t * 1000 + z.z * 500 + y.y * 41 + x.x) % 997 AS v
+  FROM range(3) t(t), range(2) z(z), range(37) y(y), range(41) x(x)
+)
+SELECT t AS d0, z AS d1,
+       CAST(count(*) AS BIGINT) AS n_px,
+       CAST(SUM(v) AS BIGINT) AS sum_v,
+       CAST(MAX(v) AS BIGINT) AS max_v
+FROM cells GROUP BY t, z
+""")
+def q_multidim_slice(spark, sf_dir):
+    """Multidim (GDALMDArray, gcore/gdalmultidim.cpp) long-format API:
+    a 4-D (time, level, y, x) HDF5 variable reads as one engine tile
+    grid PER (d0, d1) slice — (array, d0, d1, tile_x, tile_y, px) —
+    instead of the 2-D flattening; per-slice aggregates verify every
+    cell against the closed-form oracle.  Chunked layouts pinned
+    separately against the HDFEOS autotest fixture in
+    tests/test_hdf5.py."""
+    import os
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+
+    from .raster.tiles import decode_px
+    from .sources.hdf5 import read_hdf5_multidim, write_hdf5_nd
+
+    path = os.path.join(tempfile.gettempdir(),
+                        f"gdal_spark_md4_{os.getpid()}.h5")
+    if not os.path.exists(path):
+        t, z, h, w = 3, 2, 37, 41
+        tt, zz, yy, xx = np.meshgrid(
+            np.arange(t), np.arange(z), np.arange(h), np.arange(w),
+            indexing="ij")
+        arr = ((tt * 1000 + zz * 500 + yy * 41 + xx) % 997) \
+            .astype("<i4")
+        write_hdf5_nd(arr, path, "temp")
+    tiles, hdf = read_hdf5_multidim(spark, path, tile=64)
+
+    def agg(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                a = decode_px(r.px, r.dtype, 64)[:37, :41]
+                rows.append((int(r.d0), int(r.d1), int(a.size),
+                             int(a.sum()), int(a.max())))
+            yield pd.DataFrame(rows, columns=["d0", "d1", "n_px",
+                                              "sum_v", "max_v"])
+
+    per = tiles.mapInPandas(
+        agg, "d0 long, d1 long, n_px long, sum_v long, max_v long")
+    return (per.groupBy("d0", "d1")
+            .agg(F.sum("n_px").alias("n_px"),
+                 F.sum("sum_v").alias("sum_v"),
+                 F.max("max_v").alias("max_v")))

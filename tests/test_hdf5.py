@@ -105,3 +105,55 @@ def test_multi_gb_file_opens_with_bounded_metadata_reads(spark, tmp_path):
     assert "/big" in hd.datasets
     assert hd.datasets["/big"]["shape"] == [h, w]
     assert hd.buf.bytes_fetched < 1 * 1024 * 1024
+
+
+def test_multidim_long_format(spark, tmp_path):
+    """4-D contiguous fixture: every (d0, d1) slice exact."""
+    import numpy as np
+    from gdal_spark.raster.tiles import decode_px
+    from gdal_spark.sources.hdf5 import read_hdf5_multidim, write_hdf5_nd
+    t, z, h, w = 3, 2, 37, 41
+    tt, zz, yy, xx = np.meshgrid(np.arange(t), np.arange(z),
+                                 np.arange(h), np.arange(w),
+                                 indexing="ij")
+    arr = ((tt * 1000 + zz * 500 + yy * 41 + xx) % 997).astype("<i4")
+    p = str(tmp_path / "md4.h5")
+    write_hdf5_nd(arr, p, "temp")
+    tiles, hdf = read_hdf5_multidim(spark, p, tile=64)
+    rows = tiles.collect()
+    assert len(rows) == t * z
+    for r in rows:
+        a = decode_px(r.px, r.dtype, 64)[:h, :w]
+        assert np.array_equal(a, arr[r.d0, r.d1])
+
+
+def test_multidim_chunked_hdfeos(spark):
+    """3-D chunked (deflate) HDFEOS autotest fixture: multidim slices
+    match the whole-array driver decode."""
+    import numpy as np
+    from gdal_spark.raster.tiles import decode_px
+    from gdal_spark.sources.hdf5 import (HDF5File, read_dataset,
+                                         read_hdf5_multidim)
+    f = os.path.join(FIXDIR, "hdf5/dummy_HDFEOS_swath_chunked.h5")
+    ds = "/HDFEOS/SWATHS/MySwath/Data Fields/MyDataField"
+    full = read_dataset(HDF5File(f), ds)
+    tiles, _ = read_hdf5_multidim(spark, f, ds, tile=64)
+    rows = tiles.collect()
+    assert {r.d0 for r in rows} == set(range(full.shape[0]))
+    for r in rows:
+        assert r.d1 is None
+        a = decode_px(r.px, r.dtype, 64)
+        es = full[r.d0][r.tile_y * 64:(r.tile_y + 1) * 64,
+                        r.tile_x * 64:(r.tile_x + 1) * 64]
+        assert np.array_equal(a[:es.shape[0], :es.shape[1]], es)
+
+
+def test_unallocated_dataset_reads_fill(spark):
+    """UNDEF-address contiguous dataset (fwhm.h5) = fill value 0."""
+    import numpy as np
+    from gdal_spark.raster.tiles import decode_px
+    from gdal_spark.sources.hdf5 import read_hdf5_multidim
+    f = os.path.join(FIXDIR, "hdf5/fwhm.h5")
+    tiles, _ = read_hdf5_multidim(spark, f, "/MyDataField", tile=64)
+    for r in tiles.collect():
+        assert decode_px(r.px, r.dtype, 64).sum() == 0
