@@ -470,22 +470,43 @@ def minhash_components(docs: DataFrame, perms: int = MINHASH128_PERMS,
                                       "key").alias("bkey")) \
         .localCheckpoint()
     lbl = bk.select("doc_id").distinct() \
-        .withColumn("cluster", F.col("doc_id"))
-    for _ in range(max_rounds):
-        lbl = lbl.localCheckpoint()
-        bmin = (bk.join(lbl, "doc_id")
+        .withColumn("cluster", F.col("doc_id")) \
+        .localCheckpoint()
+
+    def hop(cur):
+        bmin = (bk.join(cur, "doc_id")
                 .groupBy("bkey").agg(F.min("cluster").alias("bmin")))
         nxt = (bk.join(bmin, "bkey")
                .groupBy("doc_id").agg(F.min("bmin").alias("nmin")))
+        return (cur.join(nxt, "doc_id", "left")
+                .select("doc_id",
+                        F.least("cluster",
+                                F.coalesce("nmin", F.lit(1 << 62)))
+                        .alias("cluster")))
+
+    # two propagation hops per materialized round: halves the number of
+    # checkpoint+convergence jobs, whose fixed per-job cost is what
+    # keeps small-cluster scaling efficiency down (CURATION_SCALING);
+    # the label lattice is monotone, so extra hops are always safe
+    rounds = 0
+    while rounds < max_rounds:
+        new = hop(hop(lbl))
+        rounds += 2
         new = (lbl.withColumnRenamed("cluster", "old")
-               .join(nxt, "doc_id", "left")
-               .select("doc_id", "old",
-                       F.least("old", F.coalesce("nmin", F.lit(1 << 62)))
-                       .alias("cluster")))
-        changed = new.where(F.col("old") != F.col("cluster")).limit(1).count()
+               .join(new, "doc_id")
+               .select("doc_id", "old", "cluster")
+               .localCheckpoint())        # materialize ONCE, then the
+        # convergence probe below scans the checkpointed blocks instead
+        # of re-executing the round's joins a second time
+        changed = new.where(F.col("old") != F.col("cluster")) \
+            .limit(1).count()
         lbl = new.select("doc_id", "cluster")
         if changed == 0:
             break
+    else:
+        import warnings
+        warnings.warn("minhash_components: max_rounds exhausted before "
+                      "convergence; components may be split")
     return lbl
 
 
