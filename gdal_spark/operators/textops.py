@@ -465,10 +465,21 @@ def minhash_components(docs: DataFrame, perms: int = MINHASH128_PERMS,
     (cross-band cluster merge): iterative min-label propagation
     doc -> band-key -> doc, the same O(log diameter) loop the polygonize
     cross-tile merge uses. cluster = min doc_id of the component."""
-    bk = minhash_band_keys(docs, perms, bands) \
+    bk_all = minhash_band_keys(docs, perms, bands) \
         .select("doc_id", F.concat_ws(":", F.col("band").cast("string"),
                                       "key").alias("bkey")) \
-        .localCheckpoint()
+        .localCheckpoint()       # hash once; three consumers below
+    # iterate ONLY the collision subgraph: a band key held by a single
+    # document can never change a label, and near-dup collisions are a
+    # tiny fraction of the corpus — so the propagation loop shuffles
+    # the collision rows, not all n_docs x bands keys (the fix for the
+    # 0.58 dedup-stage scaling efficiency in CURATION_SCALING r04)
+    collide = (bk_all.groupBy("bkey")
+               .agg(F.count("*").alias("_n"))
+               .where(F.col("_n") >= 2).select("bkey"))
+    bk = bk_all.join(collide, "bkey") \
+        .select("doc_id", "bkey").localCheckpoint()
+    all_docs = bk_all.select("doc_id").distinct().localCheckpoint()
     lbl = bk.select("doc_id").distinct() \
         .withColumn("cluster", F.col("doc_id")) \
         .localCheckpoint()
@@ -507,7 +518,11 @@ def minhash_components(docs: DataFrame, perms: int = MINHASH128_PERMS,
         import warnings
         warnings.warn("minhash_components: max_rounds exhausted before "
                       "convergence; components may be split")
-    return lbl
+    # non-colliding documents are their own (singleton) cluster
+    return (all_docs.join(lbl, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("cluster", F.col("doc_id"))
+                    .alias("cluster")))
 
 
 def minhash_cc_clusters(docs: DataFrame) -> DataFrame:
