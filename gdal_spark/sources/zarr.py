@@ -121,3 +121,110 @@ def read_zarr(spark: SparkSession, path: str, band: int = 1) -> DataFrame:
 
     n_parts = max(1, min(len(work), 64))
     return wdf.repartition(n_parts).mapInPandas(read_task, TILE_SCHEMA), meta
+
+
+def read_zarr_multidim(spark: SparkSession, path: str):
+    """Rank-3/4 zarr v2 array -> the long-format multidim table
+    (array, d0, d1, tile_x, tile_y, dtype, px) — the GDALMDArray view
+    (gcore/gdalmultidim.cpp) also exposed for HDF5: one engine tile
+    grid per leading-index slice, engine tile = the zarr chunk's
+    trailing 2-D footprint (chunks ARE the parallel unit; absent
+    chunk files materialize as fill_value).  Chunk lead dims > 1 slice
+    one decode across their combos."""
+    from .hdf5 import MD_SCHEMA
+
+    meta = read_zarr_metadata(path)
+    shape = [int(s) for s in meta["shape"]]
+    if not 3 <= len(shape) <= 4:
+        raise ValueError("read_zarr_multidim expects rank 3 or 4")
+    cd = [int(c) for c in meta["chunks"]]
+    if cd[-1] != cd[-2]:
+        raise ValueError("non-square trailing chunks unsupported")
+    sep = meta.get("dimension_separator", ".")
+    comp = meta.get("compressor")
+    if comp is not None and comp.get("id") != "zlib":
+        raise ValueError(f"unsupported compressor {comp.get('id')!r}")
+    np_dtype = np.dtype(meta["dtype"])
+    fill = meta.get("fill_value", 0.0)
+    order = meta.get("order", "C")
+    if order != "C":
+        raise ValueError("F-order zarr unsupported")
+    grid = [-(-s // c) for s, c in zip(shape, cd)]
+    name = os.path.basename(path.rstrip("/"))
+    work = []
+    idxs = [()]
+    for g in grid:
+        idxs = [i + (k,) for i in idxs for k in range(g)]
+    for ci in idxs:
+        work.append((list(ci), os.path.join(
+            path, sep.join(str(k) for k in ci))))
+    wdf = spark.createDataFrame(
+        pd.DataFrame(work, columns=["ci", "file"]))
+    nlead = len(shape) - 2
+    ct = cd[-1]
+    cols = [f.name for f in MD_SCHEMA.fields]
+
+    def read_task(batches):
+        for pdf in batches:
+            out = []
+            for ci, file in pdf.itertuples(index=False):
+                ci = [int(k) for k in ci]
+                if os.path.exists(file):
+                    with open(file, "rb") as f:
+                        buf = f.read()
+                    if comp is not None:
+                        buf = zlib.decompress(buf)
+                    blk = np.frombuffer(buf, dtype=np_dtype) \
+                        .reshape(cd).astype(np.float64)
+                else:
+                    blk = np.full(cd, fill, np.float64)
+                # each lead combo inside this chunk emits one tile
+                lead_ranges = [range(ci[a] * cd[a],
+                                     min((ci[a] + 1) * cd[a],
+                                         shape[a]))
+                               for a in range(nlead)]
+                combos = [()]
+                for rg in lead_ranges:
+                    combos = [c + (i,) for c in combos for i in rg]
+                for combo in combos:
+                    sl = blk
+                    for a, gi in enumerate(combo):
+                        sl = np.take(sl, gi - ci[a] * cd[a], axis=0)
+                    d0 = combo[0] if nlead >= 1 else None
+                    d1 = combo[1] if nlead >= 2 else None
+                    out.append((name, d0, d1, ci[-1], ci[-2],
+                                "float64",
+                                encode_px(np.ascontiguousarray(sl))))
+            yield (pd.DataFrame(out, columns=cols) if out
+                   else pd.DataFrame(columns=cols))
+
+    n_parts = max(1, min(len(work), 64))
+    return wdf.repartition(n_parts).mapInPandas(read_task, MD_SCHEMA), meta
+
+
+def write_zarr_nd(arr, path: str, chunks=None) -> None:
+    """N-D fixture writer (zarr v2, zlib, C order)."""
+    arr = np.ascontiguousarray(arr)
+    cd = list(chunks) if chunks else [1] * (arr.ndim - 2) + \
+        [arr.shape[-2], arr.shape[-1]]
+    os.makedirs(path, exist_ok=True)
+    meta = {"zarr_format": 2, "shape": list(arr.shape), "chunks": cd,
+            "dtype": arr.dtype.str, "compressor": {"id": "zlib",
+                                                   "level": 6},
+            "fill_value": 0, "order": "C", "filters": None}
+    with open(os.path.join(path, ".zarray"), "w") as f:
+        json.dump(meta, f)
+    grid = [-(-s // c) for s, c in zip(arr.shape, cd)]
+    idxs = [()]
+    for g in grid:
+        idxs = [i + (k,) for i in idxs for k in range(g)]
+    for ci in idxs:
+        blk = np.zeros(cd, arr.dtype)
+        sl = tuple(slice(ci[a] * cd[a], min((ci[a] + 1) * cd[a],
+                                            arr.shape[a]))
+                   for a in range(arr.ndim))
+        sub = arr[sl]
+        blk[tuple(slice(0, s) for s in sub.shape)] = sub
+        with open(os.path.join(path,
+                               ".".join(str(k) for k in ci)), "wb") as f:
+            f.write(zlib.compress(blk.tobytes()))
