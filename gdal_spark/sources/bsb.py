@@ -34,8 +34,9 @@ from ..raster.tiles import TILE_SCHEMA, decode_px, encode_px
 
 
 def parse_header(path: str) -> dict:
-    with vsi.open_seekable(path) as f:
-        raw = f.read()
+    # paged driver-side walk: only the ASCII header pages + the trailing
+    # index table are fetched, never the RLE pixel stream
+    raw = vsi.PagedReader(path)
     # locate 0x1A 0x00 header terminator
     end = raw.find(b"\x1a\x00")
     if end < 0:

@@ -177,12 +177,14 @@ def lzw_encode_strip(pixels: np.ndarray, min_code: int,
 # container parse / read
 # ---------------------------------------------------------------------------
 
-def parse_gif(path: str) -> dict:
-    with vsi.open_seekable(path) as f:
-        data = f.read()
+def parse_gif(path: str, meta_only: bool = False) -> dict:
+    """Container walk over a paged view — with ``meta_only`` (the
+    driver-side call) only screen/palette/GCE pages are fetched and
+    the LZW sub-block chain is left on disk for the executor task."""
+    data = vsi.PagedReader(path)
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF file")
-    w, h, packed, _bg, _aspect = struct.unpack_from("<HHBBB", data, 6)
+    w, h, packed, _bg, _aspect = data.unpack("<HHBBB", 6)
     pos = 13
     palette = None
     if packed & 0x80:
@@ -205,8 +207,7 @@ def parse_gif(path: str) -> dict:
                     transparent = data[sub0 + 4]
             pos += 1
         elif b == 0x2C:                     # image descriptor
-            left, top, iw, ih, ipk = struct.unpack_from("<HHHHB", data,
-                                                        pos + 1)
+            left, top, iw, ih, ipk = data.unpack("<HHHHB", pos + 1)
             pos += 10
             if ipk & 0x80:
                 n = 2 << (ipk & 7)
@@ -215,6 +216,12 @@ def parse_gif(path: str) -> dict:
                 pos += 3 * n
             min_code = data[pos]
             pos += 1
+            if meta_only:
+                return {"width": iw, "height": ih, "screen_w": w,
+                        "screen_h": h, "interlace": bool(ipk & 0x40),
+                        "palette": palette, "transparent": transparent,
+                        "min_code": min_code, "lzw": None,
+                        "bytes_fetched": data.bytes_fetched}
             chunks = []
             while data[pos] != 0:
                 ln = data[pos]
@@ -241,7 +248,7 @@ def deinterlace_order(h: int) -> np.ndarray:
 
 def read_gif(spark: SparkSession, path: str, tile: int = 256):
     """GIF -> (tile table, meta incl. palette + transparent->nodata)."""
-    m = parse_gif(path)
+    m = parse_gif(path, meta_only=True)
     w, h = m["width"], m["height"]
     nodata = float(m["transparent"]) if m["transparent"] is not None \
         else None

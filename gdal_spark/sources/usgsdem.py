@@ -203,32 +203,65 @@ def _plan_profiles(path: str, meta: dict) -> list[int] | None:
 
 def _scan_profiles(path: str, meta: dict) -> list[int]:
     """Sequential token scan (the reference's only strategy) recovering
-    each profile's byte start; one driver pass, values parsed later in
-    parallel."""
-    with vsi.open_seekable(path) as f:
-        buf = f.read()
-    t = _Tok(buf, meta["start"])
-    offs = []
-    for _ in range(meta["nx"]):
-        # skip leading whitespace to the true record start
-        while t.pos < len(buf) and buf[t.pos:t.pos + 1].isspace():
-            t.pos += 1
-        if t.pos >= len(buf):
-            break
-        offs.append(t.pos)
-        try:
-            t.read_int()                  # row
-            t.read_int()                  # col
-            m = t.read_int()
+    each profile's byte start; one driver pass over a SLIDING pread
+    window (a profile is at most ~100 KB of ASCII, so a 1 MiB window
+    always covers it — driver RSS stays bounded on arbitrarily large
+    files), values parsed later in parallel."""
+    size = vsi.fsize(path)
+    win = 1 << 20
+    margin = 256 << 10                    # > any real profile record
+
+    def _parse_record(buf: bytes, rel: int) -> int:
+        t = _Tok(buf, rel)
+        t.read_int()                      # row
+        t.read_int()                      # col
+        m = t.read_int()
+        t.read_int()
+        for _ in range(5):
+            t.read_double(24)
+        for _ in range(m):
             t.read_int()
-            for _ in range(5):
-                t.read_double(24)
-            for _ in range(m):
-                t.read_int()
-        except (EOFError, ValueError):
+        return t.pos
+
+    offs = []
+    pos = meta["start"]                   # absolute file offset
+    wbase, buf = -1, b""
+    for _ in range(meta["nx"]):
+        if wbase < 0 or pos < wbase or (
+                pos - wbase > len(buf) - margin
+                and wbase + len(buf) < size):
+            wbase, buf = pos, vsi.pread(path, pos, win)
+        rel = pos - wbase
+        # skip leading whitespace to the true record start
+        while rel < len(buf) and buf[rel:rel + 1].isspace():
+            rel += 1
+        if wbase + rel >= size:
             break
+        start = wbase + rel
+        offs.append(start)
+        try:
+            end_rel = _parse_record(buf, rel)
+        except EOFError:
+            if wbase + len(buf) >= size:
+                break
+            # record crossed the window end: re-anchor and retry once
+            wbase, buf = start, vsi.pread(path, start, win)
+            try:
+                end_rel = _parse_record(buf, 0)
+            except EOFError:
+                if start + len(buf) >= size:
+                    break
+                raise ValueError(
+                    f"USGS DEM profile at {start} exceeds {win} bytes")
+            except ValueError:
+                break
+        except ValueError:
+            break
+        pos = wbase + end_rel
         if meta["start"] == 1024:
-            t.align1024()
+            # records are 1024-aligned and pos starts aligned, so the
+            # absolute round-up matches the reference's in-buffer one
+            pos = (pos + 1023) // 1024 * 1024
     return offs
 
 
