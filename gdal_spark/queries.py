@@ -9433,6 +9433,86 @@ def q_gif_roundtrip(spark, sf_dir):
                        F.col("value").alias("v"))
 
 
+@_reg("tileservice_roundtrip", _DENSITY_VALS_SQL.replace(
+    "vals AS (SELECT", "vals AS (SELECT g.x, g.y,") + """
+SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+       CAST(least(v, 255) AS DOUBLE) AS v_tms,
+       CAST(least(v, 255) AS DOUBLE) AS v_wmts
+FROM vals
+""")
+def q_tileservice_roundtrip(spark, sf_dir):
+    """Web-map tile services (frmts/wms minidriver_tms.cpp + the WMTS
+    capabilities driver, frmts/wmts/wmtsdataset.cpp): the density
+    raster publishes as a z/x/y.png pyramid through the distributed
+    per-task writer, then reads back through BOTH client paths — a
+    <GDAL_WMS> TMS service description and a WMTS GetCapabilities
+    document whose ResourceURL template points at the same pyramid.
+    Tile URLs are pure JVM column expressions over a range scan (no
+    driver enumeration); fetch+decode fan out through the core.vsi
+    seam.  Both reads must agree with the clamped oracle cell-for-cell
+    (PNG is lossless; the Byte clamp matches the GIF sink's)."""
+    import os
+    import tempfile
+    from .raster.tiles import gdal2xyz
+    from .sources.tileservice import read_tileservice, read_wmts
+
+    t = _density_tiles_full(spark, sf_dir)
+    d = os.path.join(tempfile.gettempdir(),
+                     f"gdal_spark_tiles_{os.getpid()}")
+    from .sources.tileservice import write_xyz_pyramid
+    write_xyz_pyramid(t, d, tile=8)
+    tms_xml = f"""<GDAL_WMS>
+  <Service name="TMS">
+    <ServerUrl>file://{d}/${{z}}/${{x}}/${{y}}.png</ServerUrl>
+  </Service>
+  <DataWindow>
+    <UpperLeftX>0</UpperLeftX><UpperLeftY>64</UpperLeftY>
+    <LowerRightX>64</LowerRightX><LowerRightY>0</LowerRightY>
+    <TileLevel>0</TileLevel>
+    <TileCountX>8</TileCountX><TileCountY>8</TileCountY>
+    <YOrigin>top</YOrigin>
+  </DataWindow>
+  <BlockSizeX>8</BlockSizeX><BlockSizeY>8</BlockSizeY>
+  <BandsCount>1</BandsCount>
+</GDAL_WMS>"""
+    sd = 1.0 / 0.28e-3                    # 1 unit/px resolution
+    caps_xml = f"""<Capabilities xmlns="http://www.opengis.net/wmts/1.0"
+      xmlns:ows="http://www.opengis.net/ows/1.1">
+  <Contents>
+    <Layer>
+      <ows:Identifier>density</ows:Identifier>
+      <Style><ows:Identifier>default</ows:Identifier></Style>
+      <Format>image/png</Format>
+      <TileMatrixSetLink><TileMatrixSet>grid</TileMatrixSet>
+      </TileMatrixSetLink>
+      <ResourceURL resourceType="tile" format="image/png"
+        template="file://{d}/{{TileMatrix}}/{{TileCol}}/{{TileRow}}.png"/>
+    </Layer>
+    <TileMatrixSet>
+      <ows:Identifier>grid</ows:Identifier>
+      <TileMatrix>
+        <ows:Identifier>0</ows:Identifier>
+        <ScaleDenominator>{sd}</ScaleDenominator>
+        <TopLeftCorner>0 64</TopLeftCorner>
+        <TileWidth>8</TileWidth><TileHeight>8</TileHeight>
+        <MatrixWidth>8</MatrixWidth><MatrixHeight>8</MatrixHeight>
+      </TileMatrix>
+    </TileMatrixSet>
+  </Contents>
+</Capabilities>"""
+    tms_df, _ = read_tileservice(spark, tms_xml, level=0)
+    wmts_df, _ = read_wmts(spark, caps_xml, bands=1)
+    a = gdal2xyz(tms_df, tile=8).select(
+        F.col("x").cast("long").alias("x"),
+        F.col("y").cast("long").alias("y"),
+        F.col("value").alias("v_tms"))
+    b = gdal2xyz(wmts_df, tile=8).select(
+        F.col("x").cast("long").alias("x"),
+        F.col("y").cast("long").alias("y"),
+        F.col("value").alias("v_wmts"))
+    return a.join(b, ["x", "y"])
+
+
 @_reg("pgdump_sink", f"""
 {_pts_cte()}
 SELECT doc_id, round(lon, 9) AS lon_r, round(lat, 9) AS lat_r,

@@ -174,6 +174,18 @@ def open_vector(spark, path: str, **kwargs):
 def open_raster(spark, path: str, tile: int = 256, **kwargs):
     """Raster front door: GeoTIFF / VRT / Zarr -> the engine tile table."""
     low = path.lower()
+    if low.endswith(".xml") or (isinstance(path, str)
+                                and path.lstrip()[:9] == "<GDAL_WMS"):
+        # WMS-client service description (frmts/wms) — sniff like the
+        # reference's WMSDriverIdentify
+        head = path if "<" in path else \
+            vsi.pread(path, 0, 1024).decode("utf-8", "replace")
+        if "<GDAL_WMS" in head:
+            from .tileservice import read_tileservice
+            return read_tileservice(spark, path, **kwargs)[0]
+        if "/wmts/1.0" in head and "<Capabilities" in head:
+            from .tileservice import read_wmts
+            return read_wmts(spark, path, **kwargs)[0]
     if low.endswith((".tif", ".tiff")):
         from .geotiff import read_gtiff
         return read_gtiff(spark, path, tile=tile, **kwargs)
