@@ -509,14 +509,39 @@ def _parse_cod(body):
 
 
 def _parse_qcd(body, nl):
+    """QCD/QCC body -> quantization record (A.6.4): style 0 = no
+    quantization (reversible, 8-bit exponents), style 1 = scalar
+    derived (ONE 16-bit (eps<<11|mu), per-band eps via eq E-5),
+    style 2 = scalar expounded (16 bits per subband)."""
     sqcd = body[0]
     style = sqcd & 0x1F
     guard = sqcd >> 5
-    if style != 0:
-        raise ValueError("quantized (lossy) codestream: only the "
-                         "reversible no-quantization path is supported")
-    exps = [b >> 3 for b in body[1:]]
-    return {"guard": guard, "exps": exps}
+    if style == 0:
+        exps = [b >> 3 for b in body[1:]]
+        return {"style": 0, "guard": guard, "exps": exps,
+                "mants": [0] * len(exps)}
+    if style == 1:
+        v, = struct.unpack_from(">H", body, 1)
+        return {"style": 1, "guard": guard, "exps": [v >> 11],
+                "mants": [v & 0x7FF]}
+    if style == 2:
+        n = (len(body) - 1) // 2
+        vals = struct.unpack_from(f">{n}H", body, 1)
+        return {"style": 2, "guard": guard,
+                "exps": [v >> 11 for v in vals],
+                "mants": [v & 0x7FF for v in vals]}
+    raise ValueError(f"unknown quantization style {style}")
+
+
+def _band_quant(qcd, nl, r, orient):
+    """(eps_b, mu_b) for the band at resolution r / orient (E.1)."""
+    if qcd["style"] == 1:                 # scalar derived, eq E-5
+        nb = nl if r == 0 else nl - r + 1
+        return qcd["exps"][0] - nl + nb, qcd["mants"][0]
+    idx = 0 if r == 0 else 3 * (r - 1) + orient
+    if idx >= len(qcd["exps"]):
+        idx = len(qcd["exps"]) - 1
+    return qcd["exps"][idx], qcd["mants"][idx]
 
 
 def decode_j2k(data: bytes) -> np.ndarray:
@@ -565,16 +590,15 @@ def decode_j2k(data: bytes) -> np.ndarray:
         i += 2 + ln
     if siz is None or cod is None or qcd is None:
         raise ValueError("missing SIZ/COD/QCD")
-    if cod["transform"] != 1:
-        raise ValueError("9/7 irreversible transform not supported "
-                         "(reversible 5/3 decoder)")
+    irreversible = cod["transform"] == 0
     for c in siz["comps"]:
         if c["xr"] != 1 or c["yr"] != 1:
             raise ValueError("component subsampling not supported")
     ncomp = siz["csiz"]
     W = siz["xsiz"] - siz["xosiz"]
     H = siz["ysiz"] - siz["yosiz"]
-    out = np.zeros((ncomp, H, W), np.int64)
+    out = np.zeros((ncomp, H, W),
+                   np.float64 if irreversible else np.int64)
     ntx = _ceil_div(siz["xsiz"] - siz["xtosiz"], siz["xtsiz"])
     nty = _ceil_div(siz["ysiz"] - siz["ytosiz"], siz["ytsiz"])
     for tidx, parts in tiles.items():
@@ -589,13 +613,22 @@ def decode_j2k(data: bytes) -> np.ndarray:
         for c in range(ncomp):
             out[c, ty0 - siz["yosiz"]:ty1 - siz["yosiz"],
                 tx0 - siz["xosiz"]:tx1 - siz["xosiz"]] = comps[c]
-    # inverse RCT (reversible multi-component transform, G.2)
     if cod["mct"] == 1 and ncomp >= 3:
-        y0, y1, y2 = out[0], out[1], out[2]
-        g = y0 - ((y1 + y2) >> 2)
-        r = y2 + g
-        b = y1 + g
-        out[0], out[1], out[2] = r, g, b
+        if irreversible:
+            # inverse ICT (irreversible YCbCr, G.3 eq G-7)
+            y, cb, cr = out[0], out[1], out[2]
+            out[0] = y + 1.402 * cr
+            out[1] = y - 0.344136 * cb - 0.714136 * cr
+            out[2] = y + 1.772 * cb
+        else:
+            # inverse RCT (reversible multi-component transform, G.2)
+            y0, y1, y2 = out[0], out[1], out[2]
+            g = y0 - ((y1 + y2) >> 2)
+            r = y2 + g
+            b = y1 + g
+            out[0], out[1], out[2] = r, g, b
+    if irreversible:
+        out = np.rint(out).astype(np.int64)
     for c in range(ncomp):
         depth = siz["comps"][c]["depth"]
         if not siz["comps"][c]["signed"]:
@@ -809,22 +842,21 @@ def _decode_tile(tdata, siz, cod, qcd, tx0, ty0, tx1, ty1):
                             segs.append(s)
                     cb.segments = segs
     # tier-1 decode + assemble subbands
-    guard = qcd["guard"]
-    exps = qcd["exps"]
+    idwt = _idwt53 if cod["transform"] == 1 else _idwt97
     comps = []
     for c in range(ncomp):
         # LL progressive reconstruction
         ll = _band_array(structs, c, 0, 0, precincts, nl,
-                         tx0, ty0, tx1, ty1, guard, exps, cod)
+                         tx0, ty0, tx1, ty1, qcd, siz, cod)
         for r in range(1, nl + 1):
             hl = _band_array(structs, c, r, 1, precincts, nl,
-                             tx0, ty0, tx1, ty1, guard, exps, cod)
+                             tx0, ty0, tx1, ty1, qcd, siz, cod)
             lh = _band_array(structs, c, r, 2, precincts, nl,
-                             tx0, ty0, tx1, ty1, guard, exps, cod)
+                             tx0, ty0, tx1, ty1, qcd, siz, cod)
             hh = _band_array(structs, c, r, 3, precincts, nl,
-                             tx0, ty0, tx1, ty1, guard, exps, cod)
+                             tx0, ty0, tx1, ty1, qcd, siz, cod)
             rx0, ry0, rx1, ry1 = [*_res_coords(tx0, ty0, tx1, ty1, nl, r)]
-            ll = _idwt53(ll, hl, lh, hh, rx0, ry0, rx1, ry1)
+            ll = idwt(ll, hl, lh, hh, rx0, ry0, rx1, ry1)
         comps.append(ll)
     return comps
 
@@ -836,17 +868,16 @@ def _res_coords(tx0, ty0, tx1, ty1, nl, r):
 
 
 def _band_array(structs, c, r, orient, precincts, nl,
-                tx0, ty0, tx1, ty1, guard, exps, cod):
+                tx0, ty0, tx1, ty1, qcd, siz, cod):
     bx0, by0, bx1, by1 = _band_rect(tx0, ty0, tx1, ty1, nl, r, orient)
-    arr = np.zeros((max(by1 - by0, 0), max(bx1 - bx0, 0)), np.int32)
+    irreversible = cod["transform"] == 0
+    dt = np.float64 if irreversible else np.int32
+    arr = np.zeros((max(by1 - by0, 0), max(bx1 - bx0, 0)), dt)
     if arr.size == 0:
         return arr
-    # Mb = guard + exp - 1 (E.2 eq E-2, reversible)
-    if r == 0:
-        exp = exps[0]
-    else:
-        exp = exps[3 * (r - 1) + orient] if len(exps) > 1 else exps[0]
-    mb = guard + exp - 1
+    exp, mu = _band_quant(qcd, nl, r, orient)
+    # Mb = guard + exp - 1 (E.2 eq E-2)
+    mb = qcd["guard"] + exp - 1
     npx, npy, _, _ = precincts[r]
     for p in range(max(npx * npy, 1)):
         st = structs.get((c, r, orient, p))
@@ -858,6 +889,12 @@ def _band_array(structs, c, r, orient, precincts, nl,
             blk = decode_block(cb, mb, cod["cbstyle"])
             arr[cb.y0 - by0:cb.y0 - by0 + cb.h,
                 cb.x0 - bx0:cb.x0 - bx0 + cb.w] = blk
+    if irreversible:
+        # dequantize (E.1 eq E-3): delta_b = 2^(Rb-eps)(1 + mu/2^11),
+        # Rb = component depth + band log2 gain (0/1/1/2)
+        gain = (0, 1, 1, 2)[orient]
+        rb = siz["comps"][c]["depth"] + gain
+        arr *= 2.0 ** (rb - exp) * (1.0 + mu / 2048.0)
     return arr
 
 
@@ -913,6 +950,66 @@ def _idwt53(ll, hl, lh, hh, rx0, ry0, rx1, ry1):
     a[np.ix_(~ys_even, ~xs_even)] = hh
     a = _sr1d_vec(a, rx0, rx1, axis=1)
     a = _sr1d_vec(a, ry0, ry1, axis=0)
+    return a
+
+
+# -- inverse 9/7 irreversible DWT (Annex F.4.8.2) -------------------------------
+
+_A97 = -1.586134342059924
+_B97 = -0.052980118572961
+_G97 = 0.882911075530934
+_D97 = 0.443506852043971
+_K97 = 1.230174104914001
+
+
+def _sr1d97_vec(arr2d, i0, i1, axis):
+    """Vectorized inverse irreversible 9/7 along `axis` of a float
+    interleaved array with absolute start index i0: unscale (low *K,
+    high *1/K — pinned to the T.800 Table F.4 synthesis taps: a unit
+    high-band impulse reproduces g1 center 0.602949018236 exactly),
+    then the four lifting steps in reverse with negated alpha..delta.
+    Whole-sample symmetric extension by 4 keeps every inner update
+    exact."""
+    a = arr2d if axis == 1 else arr2d.T
+    n = i1 - i0
+    if n == 1:
+        if i0 % 2 == 1:
+            return arr2d / 2.0
+        return arr2d
+    m = 4
+    # whole-sample symmetric extension, reflected with period 2n-2 so
+    # short signals (n <= margin) mirror back and forth correctly
+    idx = np.arange(-m, n + m)
+    per = 2 * n - 2
+    mod = np.mod(idx, per)
+    mod = np.where(mod >= n, per - mod, mod)
+    ext = np.ascontiguousarray(a[:, mod], np.float64)
+    pos = np.arange(i0 - m, i1 + m)
+    ev = np.nonzero((pos % 2 == 0)[1:-1])[0] + 1
+    od = np.nonzero((pos % 2 == 1)[1:-1])[0] + 1
+    ext[:, ev] *= _K97
+    ext[:, od] *= 1.0 / _K97
+    ext[:, ev] -= _D97 * (ext[:, ev - 1] + ext[:, ev + 1])
+    ext[:, od] -= _G97 * (ext[:, od - 1] + ext[:, od + 1])
+    ext[:, ev] -= _B97 * (ext[:, ev - 1] + ext[:, ev + 1])
+    ext[:, od] -= _A97 * (ext[:, od - 1] + ext[:, od + 1])
+    res = ext[:, m:m + n]
+    return res if axis == 1 else res.T
+
+
+def _idwt97(ll, hl, lh, hh, rx0, ry0, rx1, ry1):
+    """One inverse 9/7 level — same 2D interleave as _idwt53, float
+    lifting instead of integer."""
+    h, w = ry1 - ry0, rx1 - rx0
+    a = np.zeros((h, w), np.float64)
+    xs_even = np.arange(rx0, rx1) % 2 == 0
+    ys_even = np.arange(ry0, ry1) % 2 == 0
+    a[np.ix_(ys_even, xs_even)] = ll
+    a[np.ix_(ys_even, ~xs_even)] = hl
+    a[np.ix_(~ys_even, xs_even)] = lh
+    a[np.ix_(~ys_even, ~xs_even)] = hh
+    a = _sr1d97_vec(a, rx0, rx1, axis=1)
+    a = _sr1d97_vec(a, ry0, ry1, axis=0)
     return a
 
 
