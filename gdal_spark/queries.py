@@ -11354,6 +11354,80 @@ def q_st_curve_measures(spark, sf_dir):
         "FROM t_curves")
 
 
+@_reg("st_curve_predicates", f"""
+{_pts_cte()},
+k AS (SELECT doc_id,
+             0.4 * (doc_id % 7)        AS dx,
+             1.05 + 0.5 * (doc_id % 5) AS r
+      FROM pts WHERE doc_id % 19 = 0)
+SELECT doc_id,
+       CAST(dx < r AS INTEGER) AS inside,
+       ROUND(184.0 * r * sin(PI() / 92.0), 6) AS perim_lin_r
+FROM k
+""")
+def q_st_curve_predicates(spark, sf_dir):
+    """Spatial predicates on native ISO curve WKB: CURVEPOLYGON circles
+    stroke on decode at the reference's 4-degree OGR_ARC_STEPSIZE
+    (OGRGeometryFactory::curveToLineString — GDAL itself linearizes
+    before every GEOS predicate, so this IS the reference semantics),
+    then ST_Contains runs the standard kernel.  Every 19th page tests a
+    point at closed-form distance dx from a radius-r circle center
+    (geometry margins keep |dx - r| >= 0.05, far above the 90-gon's
+    r*(1-cos 2deg) <= 0.002 under-coverage, so stroked and exact
+    containment agree row-for-row); ST_Length(ST_CurveToLine(circle))
+    pins the stroking itself: four quarter arcs of 23 equal chords
+    -> 184*r*sin(pi/92)."""
+    import math
+    import struct
+
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    st.register_all(spark)
+    src = (datagen.points(spark, sf_dir).where(F.col("doc_id") % 19 == 0)
+           .select("doc_id", "lon", "lat"))
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("pt", T.BinaryType()),
+        T.StructField("circle", T.BinaryType()),
+    ])
+
+    def build(batches):
+        def cs(pts):
+            out = struct.pack("<BII", 1, 8, len(pts))
+            for x, y in pts:
+                out += struct.pack("<2d", x, y)
+            return out
+
+        for pdf in batches:
+            rows = []
+            for rr in pdf.itertuples(index=False):
+                did = int(rr.doc_id)
+                px, py = float(rr.lon), float(rr.lat)
+                dx = 0.4 * (did % 7)
+                rad = 1.05 + 0.5 * (did % 5)
+                ux, uy = px + dx, py       # circle center dx east
+                p = lambda a: (ux + rad * math.cos(a),
+                               uy + rad * math.sin(a))
+                # four QUARTER arcs: ceil(22.5 deg-steps) = 23 chords
+                # each, immune to the fp noise a half-circle sweep puts
+                # on the ceil(45.000..) boundary
+                ring = cs([p(i * math.pi / 4) for i in range(9)])
+                circle = struct.pack("<BII", 1, 10, 1) + ring
+                pt = struct.pack("<BI2d", 1, 1, px, py)
+                rows.append((did, pt, circle))
+            yield pd.DataFrame(rows, columns=["doc_id", "pt", "circle"])
+
+    src.mapInPandas(build, schema).createOrReplaceTempView("t_curvepred")
+    return spark.sql(
+        "SELECT doc_id, "
+        " CAST(ST_Contains(circle, pt) AS INT) AS inside, "
+        " ROUND(ST_Length(ST_CurveToLine(circle)), 6) AS perim_lin_r "
+        "FROM t_curvepred")
+
+
 @_reg("ogr_sql_battery2", f"""
 {_pts_cte()},{_SQL_BATTERY_PAGES}
 SELECT 'where_arith' AS cid, CAST(count(*) AS DOUBLE) AS vnum,
