@@ -822,6 +822,47 @@ def _raster_dims(path: str):
     return None, None
 
 
+def _cmd_gdalbuildvrt(argv):
+    """gdalbuildvrt twin (apps/gdalbuildvrt_lib.cpp): union-extent
+    mosaic VRT over georeferenced inputs, header-only reads (no pixel
+    IO, no Spark job — the VRT is a plan, not a materialization)."""
+    ap = argparse.ArgumentParser(prog="gdalbuildvrt")
+    ap.add_argument("-vrtnodata", type=float, default=None)
+    ap.add_argument("out")
+    ap.add_argument("srcs", nargs="+")
+    a = ap.parse_args(argv)
+    from .raster.vrt import build_vrt
+    build_vrt(a.srcs, a.out, nodata=a.vrtnodata)
+    print(a.out)
+    return 0
+
+
+def _cmd_gdalcompare(argv):
+    """gdalcompare twin (osgeo_utils/gdalcompare.py): per-band pixel
+    diff + bit-exact checksum verdict between two rasters; exit code =
+    number of differing bands (the reference's found-differences
+    contract)."""
+    ap = argparse.ArgumentParser(prog="gdalcompare")
+    ap.add_argument("golden")
+    ap.add_argument("new")
+    a = ap.parse_args(argv)
+    from .raster.tiles import raster_compare
+    from .sources import open_raster
+    spark = _spark()
+    rows = raster_compare(open_raster(spark, a.golden),
+                          open_raster(spark, a.new)).orderBy("band") \
+        .collect()
+    ndiff = 0
+    for r in rows:
+        ok = bool(r.checksum_equal) and int(r.n_pixels_diff) == 0
+        ndiff += 0 if ok else 1
+        print(f"band {r.band}: pixels_differing={r.n_pixels_diff} "
+              f"max_abs_diff={r.max_abs_diff} "
+              f"checksum {'OK' if r.checksum_equal else 'DIFFER'}")
+    print(f"differences found: {ndiff}")
+    return ndiff
+
+
 _COMMANDS = {"ogr2ogr": _cmd_ogr2ogr, "ogrinfo": _cmd_ogrinfo,
              "gdalinfo": _cmd_gdalinfo, "gdalsrsinfo": _cmd_gdalsrsinfo,
              "gdaltransform": _cmd_gdaltransform,
@@ -844,7 +885,9 @@ _COMMANDS = {"ogr2ogr": _cmd_ogr2ogr, "ogrinfo": _cmd_ogrinfo,
              "nearblack": _cmd_nearblack,
              "gdal_pansharpen": _cmd_gdal_pansharpen,
              "gdal_viewshed": _cmd_gdal_viewshed,
-             "gdal_retile": _cmd_gdal_retile}
+             "gdal_retile": _cmd_gdal_retile,
+             "gdalbuildvrt": _cmd_gdalbuildvrt,
+             "gdalcompare": _cmd_gdalcompare}
 
 
 def main(argv=None) -> int:

@@ -533,3 +533,31 @@ def test_gdal_retile_truncated_edges(spark, tmp_path):
     arr = decode_px(r.px, r.dtype, 16)[:4, :8]
     assert np.array_equal(arr.astype(np.uint8),
                           img[16:, 16:].astype(np.uint8))
+
+
+def test_cli_gdalbuildvrt_and_gdalcompare(spark, tmp_path, capsys):
+    """gdalbuildvrt writes a union VRT readable by read_vrt; gdalcompare
+    returns 0 for identical rasters and >0 when pixels differ."""
+    import numpy as np
+
+    from gdal_spark.raster.tiles import tiles_to_raster
+    from gdal_spark.sources.geotiff import write_gtiff
+
+    rng = np.random.RandomState(8)
+    a = rng.randint(0, 255, (16, 16)).astype(np.uint8)
+    b = rng.randint(0, 255, (16, 16)).astype(np.uint8)
+    pa, pb = str(tmp_path / "a.tif"), str(tmp_path / "b.tif")
+    write_gtiff(a, pa, geotransform=(0.0, 1.0, 0.0, 16.0, 0.0, -1.0))
+    write_gtiff(b, pb, geotransform=(16.0, 1.0, 0.0, 16.0, 0.0, -1.0))
+
+    vrt = str(tmp_path / "m.vrt")
+    assert cli.main(["gdalbuildvrt", vrt, pa, pb]) == 0
+    from gdal_spark.raster.vrt import read_vrt
+    got = tiles_to_raster(read_vrt(spark, vrt, tile=16), tile=16)
+    assert np.array_equal(got[:16, :16], a)
+    assert np.array_equal(got[:16, 16:32], b)
+
+    assert cli.main(["gdalcompare", pa, pa]) == 0
+    rc = cli.main(["gdalcompare", pa, pb])
+    out = capsys.readouterr().out
+    assert rc >= 1 and "checksum DIFFER" in out
