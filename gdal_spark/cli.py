@@ -863,6 +863,44 @@ def _cmd_gdalcompare(argv):
     return ndiff
 
 
+def _cmd_gdalmdiminfo(argv):
+    """gdalmdiminfo twin (apps/gdalmdiminfo_lib.cpp): JSON structure
+    dump of a multidim container — HDF5/netCDF-4 (bounded driver-side
+    B-tree walk) or a Zarr store (.zarray JSON per array). No pixel IO,
+    no Spark job."""
+    ap = argparse.ArgumentParser(prog="gdalmdiminfo")
+    ap.add_argument("src")
+    a = ap.parse_args(argv)
+    import json
+    arrays = {}
+    if os.path.isdir(a.src):
+        for root, _dirs, files in os.walk(a.src):
+            if ".zarray" in files:
+                with open(os.path.join(root, ".zarray")) as f:
+                    za = json.load(f)
+                name = os.path.relpath(root, a.src)
+                arrays["/" if name == "." else name.replace(os.sep, "/")] \
+                    = {"datatype": za.get("dtype"),
+                       "dimension_size": za.get("shape"),
+                       "block_size": za.get("chunks")}
+        driver = "Zarr"
+    else:
+        from .sources.hdf5 import HDF5File
+        hdf = HDF5File(a.src)
+        for name, info in sorted(hdf.datasets.items()):
+            layout = info.get("layout") or ("unknown",)
+            arrays[name] = {
+                "datatype": str(info.get("dtype")),
+                "dimension_size": [int(d) for d in
+                                   info.get("shape", [])],
+                "block_size": ([int(c) for c in layout[2]]
+                               if layout[0] == "chunked" else None)}
+        driver = "HDF5"
+    print(json.dumps({"type": "group", "driver": driver, "name": "/",
+                      "arrays": arrays}, indent=2))
+    return 0
+
+
 _COMMANDS = {"ogr2ogr": _cmd_ogr2ogr, "ogrinfo": _cmd_ogrinfo,
              "gdalinfo": _cmd_gdalinfo, "gdalsrsinfo": _cmd_gdalsrsinfo,
              "gdaltransform": _cmd_gdaltransform,
@@ -887,7 +925,8 @@ _COMMANDS = {"ogr2ogr": _cmd_ogr2ogr, "ogrinfo": _cmd_ogrinfo,
              "gdal_viewshed": _cmd_gdal_viewshed,
              "gdal_retile": _cmd_gdal_retile,
              "gdalbuildvrt": _cmd_gdalbuildvrt,
-             "gdalcompare": _cmd_gdalcompare}
+             "gdalcompare": _cmd_gdalcompare,
+             "gdalmdiminfo": _cmd_gdalmdiminfo}
 
 
 def main(argv=None) -> int:

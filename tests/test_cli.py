@@ -561,3 +561,32 @@ def test_cli_gdalbuildvrt_and_gdalcompare(spark, tmp_path, capsys):
     rc = cli.main(["gdalcompare", pa, pb])
     out = capsys.readouterr().out
     assert rc >= 1 and "checksum DIFFER" in out
+
+
+def test_cli_gdalmdiminfo(tmp_path, capsys):
+    """gdalmdiminfo dumps array structure for HDF5 and Zarr containers
+    from bounded driver metadata only."""
+    import json
+
+    import numpy as np
+
+    from gdal_spark.sources.hdf5 import write_hdf5_nd
+    from gdal_spark.sources.zarr import write_zarr_nd
+
+    arr = np.arange(2 * 3 * 8 * 8, dtype=np.float32).reshape(2, 3, 8, 8)
+    hp = str(tmp_path / "nd.h5")
+    write_hdf5_nd(arr, hp, name="temp")
+    assert cli.main(["gdalmdiminfo", hp]) == 0
+    info = json.loads(capsys.readouterr().out)
+    assert info["driver"] == "HDF5"
+    (name, meta), = [kv for kv in info["arrays"].items()
+                     if "temp" in kv[0]]
+    assert meta["dimension_size"] == [2, 3, 8, 8]
+
+    zp = str(tmp_path / "nd.zarr")
+    write_zarr_nd(arr, zp)
+    assert cli.main(["gdalmdiminfo", zp]) == 0
+    zinfo = json.loads(capsys.readouterr().out)
+    assert zinfo["driver"] == "Zarr"
+    assert list(zinfo["arrays"].values())[0]["dimension_size"] == \
+        [2, 3, 8, 8]
