@@ -901,6 +901,59 @@ def _cmd_gdalmdiminfo(argv):
     return 0
 
 
+def _cmd_gdalmdimtranslate(argv):
+    """gdalmdimtranslate twin (apps/gdalmdimtranslate_lib.cpp, the
+    slice-extraction subset): one leading-index slice of an N-D
+    HDF5/Zarr array -> a classic 2-D raster via save_raster.  The
+    slice is a FILTER on the long-format multidim table — only the
+    chunks intersecting it are preaded."""
+    ap = argparse.ArgumentParser(prog="gdalmdimtranslate")
+    ap.add_argument("-array", default=None)
+    ap.add_argument("-slice", dest="sl", default="",
+                    help="comma-separated leading indices, e.g. 1,2")
+    ap.add_argument("-tile", type=int, default=256)
+    ap.add_argument("src")
+    ap.add_argument("dst")
+    a = ap.parse_args(argv)
+    from pyspark.sql import functions as F
+
+    from .sources import save_raster
+    spark = _spark()
+    if os.path.isdir(a.src):
+        from .sources.zarr import read_zarr_metadata, read_zarr_multidim
+        meta = read_zarr_metadata(a.src)
+        shape = [int(s) for s in meta["shape"]]
+        df, _meta = read_zarr_multidim(spark, a.src)
+        tile = int(meta["chunks"][-1])
+    else:
+        from .sources.hdf5 import read_hdf5_multidim
+        df, hdf = read_hdf5_multidim(spark, a.src, dataset=a.array,
+                                     tile=a.tile)
+        dataset = a.array
+        if dataset is None:
+            nd = [k for k, v in hdf.datasets.items()
+                  if len(v["shape"]) >= 3]
+            dataset = sorted(nd or hdf.datasets)[0]
+        shape = [int(s) for s in hdf.datasets[dataset]["shape"]]
+        tile = a.tile
+    idxs = [int(x) for x in a.sl.split(",") if x != ""]
+    nlead = max(0, len(shape) - 2)
+    if nlead >= 1:
+        df = df.where(F.col("d0") == (idxs[0] if idxs else 0))
+    if nlead >= 2:
+        df = df.where(F.col("d1")
+                      == (idxs[1] if len(idxs) > 1 else 0))
+    tiles = df.select(
+        F.lit(1).alias("band"), F.lit(0).alias("zoom"),
+        F.col("tile_x").cast("long").alias("tile_x"),
+        F.col("tile_y").cast("long").alias("tile_y"),
+        "dtype", F.lit(None).cast("double").alias("nodata"), "px")
+    save_raster(tiles, a.dst, tile=tile,
+                width=shape[-1], height=shape[-2])
+    print(a.dst)
+    return 0
+
+
 _COMMANDS = {"ogr2ogr": _cmd_ogr2ogr, "ogrinfo": _cmd_ogrinfo,
              "gdalinfo": _cmd_gdalinfo, "gdalsrsinfo": _cmd_gdalsrsinfo,
              "gdaltransform": _cmd_gdaltransform,
@@ -926,7 +979,8 @@ _COMMANDS = {"ogr2ogr": _cmd_ogr2ogr, "ogrinfo": _cmd_ogrinfo,
              "gdal_retile": _cmd_gdal_retile,
              "gdalbuildvrt": _cmd_gdalbuildvrt,
              "gdalcompare": _cmd_gdalcompare,
-             "gdalmdiminfo": _cmd_gdalmdiminfo}
+             "gdalmdiminfo": _cmd_gdalmdiminfo,
+             "gdalmdimtranslate": _cmd_gdalmdimtranslate}
 
 
 def main(argv=None) -> int:

@@ -590,3 +590,34 @@ def test_cli_gdalmdiminfo(tmp_path, capsys):
     assert zinfo["driver"] == "Zarr"
     assert list(zinfo["arrays"].values())[0]["dimension_size"] == \
         [2, 3, 8, 8]
+
+
+def test_cli_gdalmdimtranslate_slice(spark, tmp_path):
+    """gdalmdimtranslate extracts one (d0, d1) slice of a 4-D array to
+    a 2-D GeoTIFF that matches the source slice exactly."""
+    import numpy as np
+
+    from gdal_spark.raster.tiles import tiles_to_raster
+    from gdal_spark.sources.geotiff import read_gtiff
+    from gdal_spark.sources.hdf5 import write_hdf5_nd
+    from gdal_spark.sources.zarr import write_zarr_nd
+
+    arr = np.arange(2 * 3 * 12 * 10, dtype=np.float32) \
+        .reshape(2, 3, 12, 10)
+    hp = str(tmp_path / "nd.h5")
+    write_hdf5_nd(arr, hp, name="temp")
+    dst = str(tmp_path / "slice.tif")
+    assert cli.main(["gdalmdimtranslate", "-slice", "1,2",
+                     "-tile", "8", hp, dst]) == 0
+    got = tiles_to_raster(read_gtiff(spark, dst, tile=8), tile=8)
+    np.testing.assert_array_equal(got[:12, :10].astype(np.float32),
+                                  arr[1, 2])
+
+    zp = str(tmp_path / "nd.zarr")
+    write_zarr_nd(arr, zp, chunks=(1, 1, 8, 8))
+    dstz = str(tmp_path / "slice_z.tif")
+    assert cli.main(["gdalmdimtranslate", "-slice", "0,1",
+                     zp, dstz]) == 0
+    gotz = tiles_to_raster(read_gtiff(spark, dstz, tile=8), tile=8)
+    np.testing.assert_array_equal(gotz[:12, :10].astype(np.float32),
+                                  arr[0, 1])
