@@ -954,6 +954,77 @@ def _cmd_gdalmdimtranslate(argv):
     return 0
 
 
+def _cmd_gdaltindex(argv):
+    """gdaltindex twin (apps/gdaltindex_lib.cpp): one polygon feature
+    per input raster (its geotransform extent) with the `location`
+    attribute, written through the distributed vector sinks.  Inputs
+    are probed header-only (IFD / VRT XML), never scanned."""
+    ap = argparse.ArgumentParser(prog="gdaltindex")
+    ap.add_argument("-tileindex", default="location")
+    ap.add_argument("dst")
+    ap.add_argument("srcs", nargs="+")
+    a = ap.parse_args(argv)
+    import struct as _struct
+
+    from .sources import save_vector
+
+    def extent(path):
+        low = path.lower()
+        if low.endswith((".tif", ".tiff")):
+            from .sources.geotiff import read_ifd
+            info = read_ifd(path)
+            gt, w, h = info.get("geotransform"), info["width"], \
+                info["height"]
+        elif low.endswith(".vrt"):
+            from .raster.vrt import parse_vrt
+            v = parse_vrt(path)
+            gt, w, h = v["geotransform"], v["width"], v["height"]
+        else:
+            raise ValueError(f"gdaltindex: unsupported input {path}")
+        if gt is None:
+            raise ValueError(f"gdaltindex: {path} not georeferenced")
+        cs = [(gt[0] + c * gt[1] + r * gt[2],
+               gt[3] + c * gt[4] + r * gt[5])
+              for c, r in ((0, 0), (w, 0), (w, h), (0, h), (0, 0))]
+        wkb = _struct.pack("<BIII", 1, 3, 1, 5)
+        for x, y in cs:
+            wkb += _struct.pack("<2d", x, y)
+        return wkb
+
+    spark = _spark()
+    rows = [(i + 1, p, extent(p)) for i, p in enumerate(a.srcs)]
+    df = spark.createDataFrame(
+        rows, f"fid long, {a.tileindex} string, geom binary")
+    save_vector(df, a.dst)
+    print(f"{len(rows)} features in {a.dst}")
+    return 0
+
+
+def _cmd_ogrmerge(argv):
+    """ogrmerge.py twin (-single): union N vector sources into one
+    layer, schema-merged by name (missing attributes null-fill), with
+    the reference's source tracking via a `source_ds` field."""
+    ap = argparse.ArgumentParser(prog="ogrmerge")
+    ap.add_argument("-o", dest="dst", required=True)
+    ap.add_argument("-single", action="store_true")
+    ap.add_argument("-src_layer_field_name", default="source_ds")
+    ap.add_argument("srcs", nargs="+")
+    a = ap.parse_args(argv)
+    from pyspark.sql import functions as F
+
+    from .sources import open_vector, save_vector
+    spark = _spark()
+    merged = None
+    for p in a.srcs:
+        df = open_vector(spark, p).withColumn(
+            a.src_layer_field_name, F.lit(os.path.basename(p)))
+        merged = df if merged is None else \
+            merged.unionByName(df, allowMissingColumns=True)
+    save_vector(merged, a.dst)
+    print(a.dst)
+    return 0
+
+
 _COMMANDS = {"ogr2ogr": _cmd_ogr2ogr, "ogrinfo": _cmd_ogrinfo,
              "gdalinfo": _cmd_gdalinfo, "gdalsrsinfo": _cmd_gdalsrsinfo,
              "gdaltransform": _cmd_gdaltransform,
@@ -980,7 +1051,9 @@ _COMMANDS = {"ogr2ogr": _cmd_ogr2ogr, "ogrinfo": _cmd_ogrinfo,
              "gdalbuildvrt": _cmd_gdalbuildvrt,
              "gdalcompare": _cmd_gdalcompare,
              "gdalmdiminfo": _cmd_gdalmdiminfo,
-             "gdalmdimtranslate": _cmd_gdalmdimtranslate}
+             "gdalmdimtranslate": _cmd_gdalmdimtranslate,
+             "gdaltindex": _cmd_gdaltindex,
+             "ogrmerge": _cmd_ogrmerge}
 
 
 def main(argv=None) -> int:

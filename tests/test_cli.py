@@ -621,3 +621,43 @@ def test_cli_gdalmdimtranslate_slice(spark, tmp_path):
     gotz = tiles_to_raster(read_gtiff(spark, dstz, tile=8), tile=8)
     np.testing.assert_array_equal(gotz[:12, :10].astype(np.float32),
                                   arr[0, 1])
+
+
+def test_cli_gdaltindex_and_ogrmerge(spark, tmp_path):
+    """gdaltindex emits one extent polygon per raster; ogrmerge -single
+    unions vector sources with schema merge + source tracking."""
+    import numpy as np
+
+    from gdal_spark.core import wkb as W
+    from gdal_spark.sources.geojson import read_geojson_seq
+    from gdal_spark.sources.geotiff import write_gtiff
+
+    a = np.zeros((8, 8), np.uint8)
+    pa, pb = str(tmp_path / "a.tif"), str(tmp_path / "b.tif")
+    write_gtiff(a, pa, geotransform=(0.0, 1.0, 0.0, 8.0, 0.0, -1.0))
+    write_gtiff(a, pb, geotransform=(8.0, 1.0, 0.0, 8.0, 0.0, -1.0))
+    idx = str(tmp_path / "index.geojsonl")
+    assert cli.main(["gdaltindex", idx, pa, pb]) == 0
+    feats = read_geojson_seq(spark, idx)
+    assert feats.count() == 2
+    # extent polygon of b.tif covers x in [8, 16]
+    rows = {r.location if hasattr(r, "location") else None: r
+            for r in feats.collect()}
+
+    # ogrmerge over two single-feature sources with differing schemas
+    import json
+    s1, s2 = str(tmp_path / "s1.geojsonl"), str(tmp_path / "s2.geojsonl")
+    with open(s1, "w") as f:
+        f.write(json.dumps({"type": "Feature", "properties":
+                            {"name": "x"}, "geometry":
+                            {"type": "Point", "coordinates": [1, 2]}})
+                + "\n")
+    with open(s2, "w") as f:
+        f.write(json.dumps({"type": "Feature", "properties":
+                            {"grade": 7}, "geometry":
+                            {"type": "Point", "coordinates": [3, 4]}})
+                + "\n")
+    out = str(tmp_path / "merged.geojsonl")
+    assert cli.main(["ogrmerge", "-o", out, "-single", s1, s2]) == 0
+    m = read_geojson_seq(spark, out)
+    assert m.count() == 2
