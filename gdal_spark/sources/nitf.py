@@ -91,9 +91,9 @@ def parse_image_subheader(data: bytes, pos: int) -> dict:
     for _ in range(nicom):
         r.take(80)
     ic = r.take(2)
-    if ic not in ("NC", "NM"):
-        raise ValueError(f"only uncompressed NITF supported (IC={ic})")
-    if ic == "NM":
+    if ic not in ("NC", "NM", "C8", "M8"):
+        raise ValueError(f"unsupported NITF compression (IC={ic})")
+    if ic != "NC":
         r.take(4)                            # COMRAT
     nbands = r.num(1)
     if nbands == 0:
@@ -133,6 +133,43 @@ def parse_image_subheader(data: bytes, pos: int) -> dict:
             "igeolo": igeolo, "subheader_end": r.p, "mask": ic == "NM"}
 
 
+def _read_nitf_jp2(spark, path, hdr, sub, data0):
+    """IC=C8/M8 image segment -> tile table via the J2K decoder."""
+    li = hdr["segments"][0][1]
+    nb = sub["nbands"]
+    tile = 256
+    dst = np.dtype(sub["dtype"]).str.lstrip("<>=|")
+    sdf = spark.createDataFrame([(0,)], "i long")
+
+    def parse(batches):
+        from ..core import vsi
+        from ..raster.j2k import decode_j2k, extract_codestream
+        for pdf in batches:
+            out = []
+            for _ in pdf.itertuples(index=False):
+                raw = vsi.pread(path, data0, li)
+                arr = decode_j2k(extract_codestream(raw))
+                for b in range(arr.shape[0]):
+                    plane = arr[b].astype(dst)
+                    h, w = plane.shape
+                    for ty in range(-(-h // tile)):
+                        for tx in range(-(-w // tile)):
+                            blk = np.zeros((tile, tile), plane.dtype)
+                            s = plane[ty * tile:(ty + 1) * tile,
+                                      tx * tile:(tx + 1) * tile]
+                            blk[:s.shape[0], :s.shape[1]] = s
+                            out.append((b + 1, 0, tx, ty,
+                                        blk.dtype.str[1:], None,
+                                        encode_px(blk)))
+            yield pd.DataFrame(out, columns=_COLS)
+
+    meta = {"width": sub["ncols"], "height": sub["nrows"],
+            "bands": nb, "tile": tile, "imode": sub["imode"],
+            "dtype": sub["dtype"], "igeolo": sub["igeolo"],
+            "ic": sub["ic"]}
+    return sdf.mapInPandas(parse, TILE_SCHEMA), meta
+
+
 def read_nitf(spark: SparkSession, path: str):
     """.ntf (first image segment, IC=NC) -> (tile table, meta); one
     task per stored block, engine tile size = NPPBH (blocks must be
@@ -146,10 +183,17 @@ def read_nitf(spark: SparkSession, path: str):
     # exactly like the reference (nitflib segment table) — writers pad
     # subheaders, so the parsed field walk is metadata-only
     data0 = seg_off + hdr["segments"][0][0]
-    if sub["mask"]:
-        # NM: a block-mask table precedes the data (IMDATOFF u32 first)
+    if sub["mask"] or sub["ic"] == "M8":
+        # NM/M8: a block-mask table precedes the data (IMDATOFF u32)
         imdatoff = int.from_bytes(head[data0:data0 + 4], "big")
         data0 += imdatoff
+    if sub["ic"] in ("C8", "M8"):
+        # JP2-in-NITF (the reference's JPEG2000 codestream segment,
+        # nitfdataset.cpp IC=C8): the whole segment is one JP2/J2K
+        # codestream — decode through the from-scratch T.800 decoder
+        # (5/3 AND 9/7) in one executor task; multi-tile codestreams
+        # could fan out by SOT chain like sources/jp2.py.
+        return _read_nitf_jp2(spark, path, hdr, sub, data0)
     if sub["nppbh"] != sub["nppbv"]:
         raise ValueError("non-square NITF blocks unsupported")
     tile = sub["nppbh"]

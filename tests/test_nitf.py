@@ -58,3 +58,28 @@ def test_roundtrip_multiblock(spark, tmp_path):
     assert m["imode"] == "B" and m["tile"] == 16
     got = _assemble(back, m, 1)
     assert np.array_equal(got, img)
+
+
+def test_jp2_in_nitf_golden_checksums(spark):
+    """IC=C8 (JPEG 2000 codestream segment): the three band checksums
+    pinned by the reference across JP2MrSID/JP2KAK/JP2OpenJPEG
+    (autotest/gdrivers/nitf.py nitf_check_created_file for
+    test_jp2_ecw33.ntf: 32398/42502/38882) — bit-exact through the
+    from-scratch T.800 decoder."""
+    t, m = N.read_nitf(
+        spark,
+        "/root/reference/autotest/gdrivers/data/nitf/test_jp2_ecw33.ntf")
+    assert m["ic"] == "C8"
+    assert (m["width"], m["height"], m["bands"]) == (200, 100, 3)
+    rows = t.collect()
+    for band, want in ((1, 32398), (2, 42502), (3, 38882)):
+        img = np.zeros((m["height"], m["width"]))
+        for r in rows:
+            if r.band != band:
+                continue
+            arr = decode_px(r.px, r.dtype, m["tile"])
+            y0, x0 = r.tile_y * m["tile"], r.tile_x * m["tile"]
+            h = min(m["tile"], m["height"] - y0)
+            w = min(m["tile"], m["width"] - x0)
+            img[y0:y0 + h, x0:x0 + w] = arr[:h, :w]
+        assert gdal_checksum(img) == want, f"band {band}"
