@@ -355,10 +355,16 @@ def read_gpkg_tiles(spark: SparkSession, path: str,
         from .jpeg import decode_jpeg
 
         def decode_blob(b):
-            # MBTiles/GPKG tile blobs may be PNG or JPEG (frmts/mbtiles
-            # sniffs the same two magics)
+            # tile blobs may be PNG, JPEG, or (GPKG extension) JPEG
+            # 2000 — frmts/gpkg & frmts/mbtiles sniff the same magics
             if b[:2] == b"\xff\xd8":
                 return decode_jpeg(b)
+            if b[:4] in (b"\x00\x00\x00\x0c", b"\xff\x4f\xff\x51") or \
+                    b[:2] == b"\xff\x4f":
+                from ..raster.j2k import decode_j2k, extract_codestream
+                arr = decode_j2k(extract_codestream(bytes(b)))
+                return (arr[0] if arr.shape[0] == 1
+                        else np.moveaxis(arr, 0, 2)), {}
             return decode_png(b)
 
         for pdf in batches:
@@ -515,10 +521,16 @@ def read_mbtiles(spark: SparkSession, path: str, tile: int = 256,
         from .jpeg import decode_jpeg
 
         def decode_blob(b):
-            # MBTiles/GPKG tile blobs may be PNG or JPEG (frmts/mbtiles
-            # sniffs the same two magics)
+            # tile blobs may be PNG, JPEG, or (GPKG extension) JPEG
+            # 2000 — frmts/gpkg & frmts/mbtiles sniff the same magics
             if b[:2] == b"\xff\xd8":
                 return decode_jpeg(b)
+            if b[:4] in (b"\x00\x00\x00\x0c", b"\xff\x4f\xff\x51") or \
+                    b[:2] == b"\xff\x4f":
+                from ..raster.j2k import decode_j2k, extract_codestream
+                arr = decode_j2k(extract_codestream(bytes(b)))
+                return (arr[0] if arr.shape[0] == 1
+                        else np.moveaxis(arr, 0, 2)), {}
             return decode_png(b)
 
         for pdf in batches:

@@ -251,3 +251,35 @@ def test_mbtiles_jpg_tiles(spark, tmp_path):
     got = tiles_to_raster(back, tile=16)[:64, :64]
     # default quality 75: constant blocks quantize near-exactly
     assert np.abs(got - vals).max() <= 3.0
+
+
+def test_gpkg_jp2_tiles_decode(spark, tmp_path):
+    """GPKG tile blobs in JPEG 2000 (the gpkg_zoom_other/jp2 extension
+    case): write a PNG archive, swap one blob for a lossless JP2 of the
+    same pixels, and the reader must sniff + decode it identically."""
+    import sqlite3
+
+    from gdal_spark.raster.j2k import encode_j2k
+    from gdal_spark.raster.tiles import decode_px, raster_to_tiles
+    from gdal_spark.sources.gpkg import read_gpkg_tiles, write_gpkg_tiles
+
+    rng = np.random.RandomState(9)
+    arr = rng.randint(0, 255, (32, 32)).astype("u1")
+    path = str(tmp_path / "j.gpkg")
+    write_gpkg_tiles(raster_to_tiles(spark, arr.astype("f8"), tile=16),
+                     path, tile=16, zoom=1)
+    jp2 = encode_j2k(arr[:16, 16:32], depth=8)
+    con = sqlite3.connect(path)
+    table = con.execute("SELECT table_name FROM gpkg_contents "
+                        "WHERE data_type='tiles'").fetchone()[0]
+    con.execute(f'UPDATE "{table}" SET tile_data=? WHERE '
+                "tile_column=1 AND tile_row=0", (jp2,))
+    con.commit()
+    con.close()
+    back, _ = read_gpkg_tiles(spark, path, tile=16)
+    got = {(r.tile_x, r.tile_y): decode_px(r.px, r.dtype, 16)
+           for r in back.where("band=1 AND zoom=1").collect()}
+    np.testing.assert_array_equal(got[(1, 0)].astype("u1"),
+                                  arr[:16, 16:32])
+    np.testing.assert_array_equal(got[(0, 0)].astype("u1"),
+                                  arr[:16, :16])
