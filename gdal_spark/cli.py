@@ -364,10 +364,15 @@ def _cmd_gdalwarp(argv) -> int:
     from .sources import open_raster, save_raster
     spark = _spark()
     t = open_raster(spark, a.src, tile=a.tile)
-    ext = t.agg(F.max("tile_x").alias("mx"),
-                F.max("tile_y").alias("my")).collect()[0]
-    w = (int(ext.mx) + 1) * a.tile
-    h = (int(ext.my) + 1) * a.tile
+    # real dims from the header probe — the padded tile extent would
+    # inflate the warp window (and sample invalid latitudes) whenever
+    # the raster isn't a tile-size multiple
+    w, h = _raster_dims(a.src)
+    if w is None:
+        ext = t.agg(F.max("tile_x").alias("mx"),
+                    F.max("tile_y").alias("my")).collect()[0]
+        w = (int(ext.mx) + 1) * a.tile
+        h = (int(ext.my) + 1) * a.tile
     if a.gt:
         x0, dx, _r1, y0, _r2, dy = a.gt
     elif a.src.lower().endswith((".tif", ".tiff")):
@@ -1025,6 +1030,147 @@ def _cmd_ogrmerge(argv):
     return 0
 
 
+_VECTOR_EXTS = (".shp", ".fgb", ".geojson", ".geojsonl", ".json",
+                ".gml", ".kml", ".gpx", ".csv", ".gdb", ".tab",
+                ".mif", ".dxf", ".parquet", ".sqlite", ".vrt.xml")
+
+
+def _is_vector_path(path: str) -> bool:
+    low = path.lower().rstrip("/")
+    return low.endswith(_VECTOR_EXTS)
+
+
+def _gdal_split_steps(args):
+    steps = [[]]
+    for a in args:
+        if a in ("!", "|"):
+            steps.append([])
+        else:
+            steps[-1].append(a)
+    return [s for s in steps if s]
+
+
+def _gdal_opts(tokens):
+    """--name=value / --name value token list -> dict + positionals."""
+    opts, pos = {}, []
+    i = 0
+    while i < len(tokens):
+        t = tokens[i]
+        if t.startswith("--"):
+            if "=" in t:
+                k, v = t[2:].split("=", 1)
+                opts[k] = v
+            elif i + 1 < len(tokens) and \
+                    not tokens[i + 1].startswith("--"):
+                opts[t[2:]] = tokens[i + 1]
+                i += 1
+            else:
+                opts[t[2:]] = True
+        else:
+            pos.append(t)
+        i += 1
+    return opts, pos
+
+
+def _gdal_run_pipeline(steps, kind=None):
+    """'read SRC ! step ... ! write DST' -> classic-utility argv (the
+    reference's own step implementations build gdalwarp/ogr2ogr option
+    strings the same way — gdalalg_raster_reproject.cpp:96-105)."""
+    if not steps or steps[0][0] != "read" or steps[-1][0] != "write":
+        print("gdal pipeline: expected 'read SRC ! ... ! write DST'",
+              file=sys.stderr)
+        return 2
+    src = steps[0][1]
+    dst = steps[-1][-1]
+    if kind is None:
+        kind = "vector" if _is_vector_path(src) else "raster"
+    if kind == "vector":
+        argv = [dst, src]
+        wheres = []
+        for st in steps[1:-1]:
+            opts, _ = _gdal_opts(st[1:])
+            if st[0] == "filter":
+                if "where" in opts:
+                    wheres.append(f"({opts['where']})")
+                if "bbox" in opts:
+                    argv += ["-clipsrc"] + opts["bbox"].split(",")
+            elif st[0] == "reproject":
+                if "src-crs" in opts:
+                    argv += ["-s_srs", opts["src-crs"]]
+                argv += ["-t_srs", opts["dst-crs"]]
+            else:
+                print(f"gdal vector pipeline: unknown step {st[0]!r}",
+                      file=sys.stderr)
+                return 2
+        if wheres:
+            argv += ["-where", " AND ".join(wheres)]
+        return _cmd_ogr2ogr(argv)
+    argv = [src, dst]
+    for st in steps[1:-1]:
+        opts, _ = _gdal_opts(st[1:])
+        if st[0] == "reproject":
+            if "src-crs" in opts:
+                argv += ["-s_srs", opts["src-crs"]]
+            argv += ["-t_srs", opts["dst-crs"],
+                     "-r", opts.get("resampling", "near")]
+            if "resolution" in opts:
+                argv += ["-tr"] + opts["resolution"].split(",")
+        else:
+            print(f"gdal raster pipeline: unknown step {st[0]!r}",
+                  file=sys.stderr)
+            return 2
+    return _cmd_gdalwarp(argv)
+
+
+def _cmd_gdal(argv):
+    """Unified `gdal` entry point (apps/gdalalg_main.cpp, the GDAL 3.11
+    subcommand CLI): info / convert / pipeline plus `raster` / `vector`
+    namespaces, dispatching onto the classic utility twins exactly as
+    the reference's algorithm classes wrap the *_lib.cpp options.
+    Shortcuts: `gdal FILE` = `gdal info FILE`; `gdal read ... ! ...` =
+    `gdal pipeline ...`."""
+    if not argv:
+        print("usage: gdal <info|convert|pipeline|raster|vector> ...",
+              file=sys.stderr)
+        return 2
+    if len(argv) == 1 and os.path.exists(argv[0]):
+        argv = ["info", argv[0]]
+    if argv[0] == "read":
+        argv = ["pipeline"] + argv
+    sub, rest = argv[0], argv[1:]
+    kind = None
+    if sub in ("raster", "vector"):
+        kind = sub
+        if not rest:
+            print(f"usage: gdal {sub} "
+                  "<info|convert|reproject|filter|pipeline> ...",
+                  file=sys.stderr)
+            return 2
+        sub, rest = rest[0], rest[1:]
+    if sub == "info":
+        opts, pos = _gdal_opts(rest)
+        f = pos[-1]
+        if kind == "vector" or (kind is None and _is_vector_path(f)):
+            return _cmd_ogrinfo([f])
+        return _cmd_gdalinfo([f])
+    if sub == "convert":
+        opts, pos = _gdal_opts(rest)
+        src, dst = pos[0], pos[1]
+        if kind == "vector" or (kind is None and _is_vector_path(src)):
+            return _cmd_ogr2ogr([dst, src])
+        return _cmd_gdal_translate([src, dst])
+    if sub in ("reproject", "filter"):
+        opts, pos = _gdal_opts(rest)
+        src, dst = pos[0], pos[1]
+        step_tokens = [t for t in rest if t not in (src, dst)]
+        return _gdal_run_pipeline(
+            [["read", src], [sub] + step_tokens, ["write", dst]], kind)
+    if sub == "pipeline":
+        return _gdal_run_pipeline(_gdal_split_steps(rest), kind)
+    print(f"gdal: unknown subcommand {sub!r}", file=sys.stderr)
+    return 2
+
+
 _COMMANDS = {"ogr2ogr": _cmd_ogr2ogr, "ogrinfo": _cmd_ogrinfo,
              "gdalinfo": _cmd_gdalinfo, "gdalsrsinfo": _cmd_gdalsrsinfo,
              "gdaltransform": _cmd_gdaltransform,
@@ -1053,7 +1199,8 @@ _COMMANDS = {"ogr2ogr": _cmd_ogr2ogr, "ogrinfo": _cmd_ogrinfo,
              "gdalmdiminfo": _cmd_gdalmdiminfo,
              "gdalmdimtranslate": _cmd_gdalmdimtranslate,
              "gdaltindex": _cmd_gdaltindex,
-             "ogrmerge": _cmd_ogrmerge}
+             "ogrmerge": _cmd_ogrmerge,
+             "gdal": _cmd_gdal}
 
 
 def main(argv=None) -> int:

