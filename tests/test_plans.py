@@ -285,3 +285,45 @@ def test_no_unmarked_per_row_wkb_decode_in_queries():
             if "# per-row" not in ctx and "points_batch" not in ctx:
                 bad.append(i + 1)
     assert not bad, f"unmarked per-row WKB decode at lines {bad}"
+
+
+def test_tileservice_url_plan_is_jvm_only(spark):
+    """The tile-URL plan (sources/tileservice.tile_plan) must be a pure
+    range-scan projection — no Python evaluation anywhere, so a
+    billion-tile level enumerates JVM-side."""
+    from gdal_spark.sources.tileservice import parse_wms_config, tile_plan
+
+    xml = """<GDAL_WMS>
+      <Service name="TMS">
+        <ServerUrl>file:///srv/${z}/${x}/${y}.png</ServerUrl>
+      </Service>
+      <DataWindow>
+        <UpperLeftX>0</UpperLeftX><UpperLeftY>256</UpperLeftY>
+        <LowerRightX>256</LowerRightX><LowerRightY>0</LowerRightY>
+        <TileLevel>10</TileLevel>
+        <TileCountX>1</TileCountX><TileCountY>1</TileCountY>
+      </DataWindow>
+    </GDAL_WMS>"""
+    plan = plan_of(tile_plan(spark, parse_wms_config(xml), 10))
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF",
+                   "MapInPandas"):
+        assert marker not in plan
+    assert "Range" in plan
+
+    # WMS GetMap bbox URLs: same contract
+    wms = """<GDAL_WMS>
+      <Service name="WMS">
+        <ServerUrl>file:///srv/wms</ServerUrl>
+        <Version>1.1.1</Version><Layers>l</Layers>
+        <ImageFormat>image/png</ImageFormat><SRS>EPSG:3857</SRS>
+        <BBoxOrder>xyXY</BBoxOrder>
+      </Service>
+      <DataWindow>
+        <UpperLeftX>0</UpperLeftX><UpperLeftY>256</UpperLeftY>
+        <LowerRightX>256</LowerRightX><LowerRightY>0</LowerRightY>
+        <TileLevel>10</TileLevel>
+        <TileCountX>1</TileCountX><TileCountY>1</TileCountY>
+      </DataWindow>
+    </GDAL_WMS>"""
+    plan2 = plan_of(tile_plan(spark, parse_wms_config(wms), 10))
+    assert "BatchEvalPython" not in plan2 and "Range" in plan2
