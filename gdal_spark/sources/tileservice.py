@@ -435,11 +435,12 @@ def write_xyz_pyramid(tiles: DataFrame, out_dir: str, *,
 
     def emit(batches):
         import collections
+
+        from ..raster.tiles import decode_px
         for pdf in batches:
             n = 0
             groups = collections.defaultdict(dict)
             for r in pdf.itertuples(index=False):
-                from ..raster.tiles import decode_px
                 groups[(int(r.zoom), int(r.tile_x),
                         int(r.tile_y))][int(r.band)] = \
                     np.clip(decode_px(r.px, r.dtype, tile),
