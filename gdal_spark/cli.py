@@ -104,7 +104,12 @@ def _cmd_gdalinfo(argv) -> int:
     spark = _spark()
     t = open_raster(spark, a.src, tile=a.tile)
     rows = [r.asDict() for r in raster_info(t, tile=a.tile).collect()]
-    print(json.dumps(rows, default=str))
+    out = {"bands": rows}
+    from .sources.pam import read_pam
+    pam = read_pam(a.src)
+    if pam:                                  # PAM sidecar overlays
+        out["pam"] = {k: v for k, v in pam.items() if v}
+    print(json.dumps(out, default=str))
     return 0
 
 

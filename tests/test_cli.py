@@ -53,7 +53,7 @@ def test_gdalinfo_reports_bands(spark, tmp_path, capsys):
     write_gtiff(arr, p)
     rc = cli.main(["gdalinfo", p, "-tile", "8"])
     assert rc == 0
-    bands = json.loads(capsys.readouterr().out)
+    bands = json.loads(capsys.readouterr().out)["bands"]
     assert bands[0]["width"] == 8 and bands[0]["max"] == 63.0
 
 

@@ -1,0 +1,84 @@
+"""PAM (.aux.xml) sidecar metadata — gcore/gdalpamdataset.cpp twin:
+parse the reference's own autotest sidecars, overlay precedence,
+writer/reader roundtrip, gdalinfo surfacing."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from gdal_spark.sources.pam import apply_pam, read_pam, write_pam
+
+GCORE = "/root/reference/autotest/gcore/data"
+
+pytestmark = pytest.mark.skipif(not os.path.isdir(GCORE),
+                                reason="reference fixtures absent")
+
+
+def test_reads_reference_georef_sidecar():
+    # byte_nogeoref.tif.aux.xml: SRS LOCAL_CS["PAM"], GT 1..6
+    pam = read_pam(os.path.join(GCORE, "byte_nogeoref.tif"))
+    assert pam["srs"] == 'LOCAL_CS["PAM"]'
+    assert pam["geotransform"] == (1.0, 2.0, 3.0, 4.0, 5.0, 6.0)
+
+
+def test_reads_reference_metadata_domains():
+    pam = read_pam(os.path.join(GCORE, "byte.pnm"))
+    assert pam["metadata"][""] == {"other": "red", "key": "value"}
+    assert "TestXML" in pam["metadata"]["xml:test"]
+
+
+def test_reads_reference_gcp_list():
+    pam = read_pam(os.path.join(GCORE, "byte_gcp.tif"))
+    assert pam["gcp_projection"] == 'LOCAL_CS["PAM"]'
+    assert pam["gcps"] == [{"id": "1", "pixel": 0.0, "line": 0.0,
+                            "x": 0.0, "y": 0.0, "z": 0.0}]
+
+
+def test_apply_pam_overrides_driver_georef():
+    """The reference's TryLoadXML order: PAM replaces the format's own
+    geotransform/SRS."""
+    meta = {"geotransform": (0, 1, 0, 0, 0, -1), "srs": "EPSG:4326",
+            "nodata": None}
+    pam = read_pam(os.path.join(GCORE, "byte_nogeoref.tif"))
+    apply_pam(meta, pam)
+    assert meta["geotransform"] == (1.0, 2.0, 3.0, 4.0, 5.0, 6.0)
+    assert meta["srs"] == 'LOCAL_CS["PAM"]'
+
+
+def test_write_read_roundtrip(tmp_path):
+    p = str(tmp_path / "x.bin")
+    open(p, "wb").write(b"\0")
+    aux = write_pam(
+        p, geotransform=(10.0, 0.5, 0.0, 20.0, 0.0, -0.5),
+        srs="EPSG:32633",
+        metadata={"": {"AREA_OR_POINT": "Area"},
+                  "IMAGERY": {"CLOUDCOVER": "12"}},
+        band_stats={1: {"minimum": 0.0, "maximum": 255.0,
+                        "mean": 127.1, "stddev": 73.9}},
+        band_nodata={1: -9999.0})
+    assert os.path.exists(aux)
+    back = read_pam(p)
+    assert back["geotransform"] == (10.0, 0.5, 0.0, 20.0, 0.0, -0.5)
+    assert back["srs"] == "EPSG:32633"
+    assert back["metadata"]["IMAGERY"]["CLOUDCOVER"] == "12"
+    assert back["bands"][1]["nodata"] == -9999.0
+    assert back["bands"][1]["metadata"][""]["STATISTICS_MEAN"] == "127.1"
+    meta = {"nodata": None}
+    apply_pam(meta, back)
+    assert meta["nodata"] == -9999.0 and meta["band_nodata"][1] == -9999.0
+
+
+def test_gdalinfo_surfaces_pam(spark, tmp_path, capsys):
+    from gdal_spark import cli
+    from gdal_spark.sources.geotiff import write_gtiff
+
+    p = str(tmp_path / "r.tif")
+    write_gtiff(np.zeros((8, 8), np.uint8), p)
+    write_pam(p, geotransform=(5.0, 1.0, 0.0, 5.0, 0.0, -1.0),
+              band_nodata={1: 0.0})
+    assert cli.main(["gdalinfo", p, "-tile", "8"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["pam"]["geotransform"] == [5.0, 1.0, 0.0, 5.0, 0.0, -1.0]
+    assert out["pam"]["bands"]["1"]["nodata"] == 0.0
