@@ -98,6 +98,9 @@ def _cmd_gdalinfo(argv) -> int:
     ap = argparse.ArgumentParser(prog="gdalinfo")
     ap.add_argument("src")
     ap.add_argument("-tile", type=int, default=256)
+    ap.add_argument("-stats", action="store_true",
+                    help="persist band statistics to <src>.aux.xml "
+                         "(the reference's PAM SetStatistics)")
     a = ap.parse_args(argv)
     from .operators.info import raster_info
     from .sources import open_raster
@@ -105,7 +108,12 @@ def _cmd_gdalinfo(argv) -> int:
     t = open_raster(spark, a.src, tile=a.tile)
     rows = [r.asDict() for r in raster_info(t, tile=a.tile).collect()]
     out = {"bands": rows}
-    from .sources.pam import read_pam
+    from .sources.pam import read_pam, write_pam
+    if a.stats:
+        stats = {int(r["band"]): {
+            "minimum": r["min"], "maximum": r["max"],
+            "mean": r["mean"], "stddev": r["stddev"]} for r in rows}
+        out["pam_written"] = write_pam(a.src, band_stats=stats)
     pam = read_pam(a.src)
     if pam:                                  # PAM sidecar overlays
         out["pam"] = {k: v for k, v in pam.items() if v}

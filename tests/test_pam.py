@@ -82,3 +82,19 @@ def test_gdalinfo_surfaces_pam(spark, tmp_path, capsys):
     out = json.loads(capsys.readouterr().out)
     assert out["pam"]["geotransform"] == [5.0, 1.0, 0.0, 5.0, 0.0, -1.0]
     assert out["pam"]["bands"]["1"]["nodata"] == 0.0
+
+
+def test_gdalinfo_stats_persists_pam(spark, tmp_path, capsys):
+    """`gdalinfo -stats` writes STATISTICS_* to the sidecar (the
+    reference's GDALPamRasterBand::SetStatistics path)."""
+    from gdal_spark import cli
+    from gdal_spark.sources.geotiff import write_gtiff
+
+    p = str(tmp_path / "s.tif")
+    write_gtiff(np.arange(64, dtype=np.uint8).reshape(8, 8), p)
+    assert cli.main(["gdalinfo", p, "-tile", "8", "-stats"]) == 0
+    capsys.readouterr()
+    pam = read_pam(p)
+    md = pam["bands"][1]["metadata"][""]
+    assert md["STATISTICS_MINIMUM"] == "0.0"
+    assert md["STATISTICS_MAXIMUM"] == "63.0"
