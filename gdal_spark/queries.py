@@ -10752,6 +10752,37 @@ def q_lan_roundtrip(spark, sf_dir):
                        F.col("value").cast("double").alias("v"))
 
 
+@_reg("pcraster_roundtrip", _DENSITY_VALS_SQL.replace(
+    "vals AS (SELECT", "vals AS (SELECT g.x, g.y,") + """
+SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y, v
+FROM vals
+""")
+def q_pcraster_roundtrip(spark, sf_dir):
+    """PCRaster CSF 2.0 round trip (frmts/pcraster over libcsf): the
+    density raster writes as a VS_SCALAR REAL4 .map (256-byte header
+    from one distributed min/max pass, per-tile-row parallel pwrite at
+    closed-form offsets) and reads back through strip pread tasks; the
+    same reader passes the reference autotest ldd.map golden checksum
+    4528 + geotransform + nodata pins (tests/test_pcraster.py). Counts
+    are exact in REAL4, so the oracle recomputes every cell verbatim."""
+    import os
+    import tempfile
+
+    from .raster.tiles import gdal2xyz
+    from .sources.pcraster import read_pcraster, write_pcraster
+
+    t = _density_tiles_full(spark, sf_dir)
+    path = os.path.join(tempfile.gettempdir(),
+                        f"gdal_spark_pcr_{os.getpid()}.map")
+    write_pcraster(t, path, width_px=64, height_px=64, tile=8,
+                   cell_repr="f4")
+    back, _ = read_pcraster(spark, path, tile=8)
+    rows = gdal2xyz(back, tile=8)
+    return rows.select(F.col("x").cast("long").alias("x"),
+                       F.col("y").cast("long").alias("y"),
+                       F.col("value").cast("double").alias("v"))
+
+
 def _zonal_oracle_sql():
     """Per-convex-region aggregation of the density raster's pixel
     centers via independent half-plane containment tests."""

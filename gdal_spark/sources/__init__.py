@@ -246,6 +246,10 @@ def open_raster(spark, path: str, tile: int = 256, **kwargs):
     if low.endswith(".kap"):
         from .bsb import read_bsb
         return read_bsb(spark, path, tile=tile, **kwargs)[0]
+    if low.endswith(".map"):
+        from .pcraster import SIG, read_pcraster
+        if vsi.pread(path, 0, len(SIG)) == SIG:
+            return read_pcraster(spark, path, tile=tile, **kwargs)[0]
     if low.endswith("catd.ddf"):
         from .sdts import read_sdts
         return read_sdts(spark, path, tile=tile, **kwargs)[0]
