@@ -142,6 +142,41 @@ def read_jp2(spark: SparkSession, path: str, tile: int = 256):
     by_tile: dict[int, list] = {}
     for isot, off, ln in parts:
         by_tile.setdefault(isot, []).append((off, ln))
+    # engine tiles anchor per J2K tile — exact only when the codestream
+    # tile grid aligns to `tile` (512/1024/2048 tilings) or there is a
+    # single tile.  Misaligned multi-tile grids (e.g. 16-px tiles)
+    # decode the whole codestream in ONE executor task instead.
+    aligned = (len(by_tile) <= 1
+               or (siz["xtsiz"] % tile == 0 and siz["ytsiz"] % tile == 0
+                   and (siz["xtosiz"] - siz["xosiz"]) % tile == 0
+                   and (siz["ytosiz"] - siz["yosiz"]) % tile == 0))
+    if not aligned:
+        one = spark.createDataFrame([(0,)], "i long")
+
+        def gen_whole(batches):
+            for chunk in batches:
+                out = []
+                for _ in chunk.itertuples(index=False):
+                    raw = vsi.pread(path, cs_off, cs_len)
+                    arr = j2k.decode_j2k(raw)
+                    dt = ("i4" if siz["comps"][0]["signed"]
+                          else ("u2" if meta["depth"] > 8 else "u1"))
+                    for c in range(arr.shape[0]):
+                        plane = arr[c].astype(np.dtype(dt))
+                        h, w = plane.shape
+                        for by in range(-(-h // tile)):
+                            for bx in range(-(-w // tile)):
+                                blk = np.zeros((tile, tile),
+                                               plane.dtype)
+                                sub = plane[by * tile:(by + 1) * tile,
+                                            bx * tile:(bx + 1) * tile]
+                                blk[:sub.shape[0], :sub.shape[1]] = sub
+                                out.append((c + 1, 0, bx, by, dt, None,
+                                            encode_px(blk)))
+                yield pd.DataFrame(
+                    out, columns=[f.name for f in TILE_SCHEMA.fields])
+
+        return one.mapInPandas(gen_whole, TILE_SCHEMA), meta
     rows = [(tidx, [list(t) for t in spans])
             for tidx, spans in sorted(by_tile.items())]
     pdf = spark.createDataFrame(
@@ -173,11 +208,22 @@ def read_jp2(spark: SparkSession, path: str, tile: int = 256):
                           siz["ysiz"])
                 comps = j2k._decode_tile(tdata, siz, cod, qcd,
                                          tx0, ty0, tx1, ty1)
-                comps = [c.astype(np.int64) for c in comps]
-                if mct == 1 and ncomp >= 3:
-                    y0, y1c, y2 = comps[0], comps[1], comps[2]
-                    g = y0 - ((y1c + y2) >> 2)
-                    comps[0], comps[1], comps[2] = y2 + g, g, y1c + g
+                if cod["transform"] == 0:
+                    # irreversible: stay float through the ICT, round
+                    # once (mirrors decode_j2k's lossy tail)
+                    comps = [c.astype(np.float64) for c in comps]
+                    if mct == 1 and ncomp >= 3:
+                        y, cb, cr = comps[0], comps[1], comps[2]
+                        comps[0] = y + 1.402 * cr
+                        comps[1] = y - 0.344136 * cb - 0.714136 * cr
+                        comps[2] = y + 1.772 * cb
+                    comps = [np.rint(c).astype(np.int64) for c in comps]
+                else:
+                    comps = [c.astype(np.int64) for c in comps]
+                    if mct == 1 and ncomp >= 3:
+                        y0, y1c, y2 = comps[0], comps[1], comps[2]
+                        g = y0 - ((y1c + y2) >> 2)
+                        comps[0], comps[1], comps[2] = y2 + g, g, y1c + g
                 for c in range(ncomp):
                     depth = siz["comps"][c]["depth"]
                     if not siz["comps"][c]["signed"]:

@@ -212,3 +212,26 @@ def test_write_jp2_roundtrip(spark, tmp_path):
     r = [x for x in tiles.collect() if x.band == 1][0]
     got = decode_px(r.px, r.dtype, 256)[:70, :90]
     assert np.array_equal(got, a)
+
+
+def test_spark_reader_matches_codestream_decode(spark):
+    """read_jp2 (tile-parallel + misaligned-grid fallback) must produce
+    the same pixels as the whole-codestream decoder: multi-tile 16-px
+    grid (fallback path), lossy single-tile RGBA (ICT float path), and
+    the classic byte.jp2 (lossless)."""
+    from gdal_spark.core.checksum import gdal_checksum
+    from gdal_spark.raster.tiles import decode_px
+    from gdal_spark.sources.jp2 import read_jp2
+
+    for name, want in (("tile_size_16.jp2", 43723),
+                       ("stefan_full_rgba.jp2", 13644),
+                       ("byte.jp2", 50054)):
+        df, meta = read_jp2(spark, os.path.join(FIX, name))
+        H, W = meta["height"], meta["width"]
+        full = np.zeros((H, W))
+        for r in df.where("band = 1").collect():
+            a = decode_px(r.px, r.dtype, 256)
+            y0, x0 = r.tile_y * 256, r.tile_x * 256
+            h, w = min(256, H - y0), min(256, W - x0)
+            full[y0:y0 + h, x0:x0 + w] = a[:h, :w]
+        assert gdal_checksum(full) == want, name
