@@ -1172,6 +1172,34 @@ def _cmd_gdal(argv):
         if kind == "vector" or (kind is None and _is_vector_path(src)):
             return _cmd_ogr2ogr([dst, src])
         return _cmd_gdal_translate([src, dst])
+    if sub == "edit" and kind in (None, "raster"):
+        # gdalalg_raster_edit: in-place metadata edit — CRS override
+        # (no reprojection), bbox -> geotransform, metadata items.
+        # Persisted through the PAM sidecar (the reference writes to
+        # the dataset; formats without in-file georef use PAM too).
+        opts, pos = _gdal_opts(rest)
+        src = pos[0]
+        gt = None
+        if "bbox" in opts:
+            xmin, ymin, xmax, ymax = [float(v) for v in
+                                      opts["bbox"].split(",")]
+            w, h = _raster_dims(src)
+            if w is None:
+                print("gdal raster edit: cannot probe raster dims",
+                      file=sys.stderr)
+                return 2
+            gt = (xmin, (xmax - xmin) / w, 0.0,
+                  ymax, 0.0, -(ymax - ymin) / h)
+        md = {}
+        if "metadata" in opts:
+            for kv in opts["metadata"].split(","):
+                k, _, v = kv.partition("=")
+                md.setdefault("", {})[k] = v
+        from .sources.pam import write_pam
+        write_pam(src, geotransform=gt, srs=opts.get("crs"),
+                  metadata=md or None)
+        print(src + ".aux.xml")
+        return 0
     if sub in ("reproject", "filter"):
         opts, pos = _gdal_opts(rest)
         src, dst = pos[0], pos[1]

@@ -98,3 +98,22 @@ def test_gdalinfo_stats_persists_pam(spark, tmp_path, capsys):
     md = pam["bands"][1]["metadata"][""]
     assert md["STATISTICS_MINIMUM"] == "0.0"
     assert md["STATISTICS_MAXIMUM"] == "63.0"
+
+
+def test_gdal_raster_edit_writes_pam(spark, tmp_path, capsys):
+    """`gdal raster edit --bbox/--crs/--metadata` persists through the
+    PAM sidecar (gdalalg_raster_edit semantics)."""
+    from gdal_spark import cli
+    from gdal_spark.sources.geotiff import write_gtiff
+
+    p = str(tmp_path / "e.tif")
+    write_gtiff(np.zeros((10, 20), np.uint8), p)
+    assert cli.main(["gdal", "raster", "edit",
+                     "--crs", "EPSG:32633",
+                     "--bbox", "0,0,200,100",
+                     "--metadata", "SENSOR=alpha,CLOUDS=3", p]) == 0
+    capsys.readouterr()
+    pam = read_pam(p)
+    assert pam["srs"] == "EPSG:32633"
+    assert pam["geotransform"] == (0.0, 10.0, 0.0, 100.0, 0.0, -10.0)
+    assert pam["metadata"][""] == {"SENSOR": "alpha", "CLOUDS": "3"}
