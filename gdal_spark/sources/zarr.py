@@ -75,9 +75,214 @@ def read_zarr_metadata(path: str) -> dict:
         return json.load(f)
 
 
-def read_zarr(spark: SparkSession, path: str, band: int = 1) -> DataFrame:
+# -- Zarr v3 (frmts/zarr/zarrv3array.cpp: zarr.json metadata, "c/"
+# -- default chunk-key prefix, named codecs) ---------------------------------
+
+def read_zarr3_metadata(array_dir: str) -> dict:
+    """One v3 array node's zarr.json -> normalized dict (shape, chunks,
+    dtype incl. the bytes-codec endian, fill_value, compressor name,
+    chunk key encoding)."""
+    with open(os.path.join(array_dir, "zarr.json")) as f:
+        zj = json.load(f)
+    if zj.get("zarr_format") != 3 or zj.get("node_type") != "array":
+        raise ValueError(f"{array_dir}: not a zarr v3 array node")
+    endian = "<"
+    comp = None
+    for codec in zj.get("codecs", []):
+        name = codec.get("name")
+        cfg = codec.get("configuration", {})
+        if name == "bytes":
+            endian = "<" if cfg.get("endian", "little") == "little" \
+                else ">"
+        elif name in ("gzip", "zlib"):
+            comp = name
+        else:
+            raise ValueError(f"unsupported zarr v3 codec {name!r}")
+    cke = zj.get("chunk_key_encoding", {"name": "default"})
+    return {"shape": [int(s) for s in zj["shape"]],
+            "chunks": [int(c) for c in
+                       zj["chunk_grid"]["configuration"]["chunk_shape"]],
+            "dtype": np.dtype(zj["data_type"]).newbyteorder(endian),
+            "fill_value": zj.get("fill_value", 0),
+            "compressor": comp,
+            "key_name": cke.get("name", "default"),
+            "key_sep": cke.get("configuration", {}).get(
+                "separator", "/" if cke.get("name", "default")
+                == "default" else "."),
+            "dimension_names": zj.get("dimension_names"),
+            "attributes": zj.get("attributes", {})}
+
+
+def _read_zarr3_coord(group_dir: str, name: str):
+    """1-D coordinate array values (tiny, driver-side) or None."""
+    try:
+        adir = os.path.join(group_dir, name)
+        m = read_zarr3_metadata(adir)
+        if len(m["shape"]) != 1:
+            return None
+        buf = open(zarr3_chunk_path(adir, m["key_name"], m["key_sep"],
+                                    (0,)), "rb").read()
+        if m["compressor"] == "gzip":
+            import gzip as _gz
+            buf = _gz.decompress(buf)
+        elif m["compressor"] == "zlib":
+            buf = zlib.decompress(buf)
+        return np.frombuffer(buf, m["dtype"])[:m["shape"][0]]
+    except (OSError, ValueError, KeyError):
+        return None
+
+
+def zarr3_chunk_path(array_dir: str, key_name: str, sep: str,
+                     idx: tuple) -> str:
+    """v3 chunk key -> file path ("c/0/0" default, "0.0" v2 style)."""
+    if key_name == "default":
+        return os.path.join(array_dir, "c" + sep
+                            + sep.join(str(i) for i in idx)) \
+            if sep != "/" else os.path.join(array_dir, "c",
+                                            *[str(i) for i in idx])
+    return os.path.join(array_dir, sep.join(str(i) for i in idx))
+
+
+def list_zarr3_arrays(store: str) -> dict:
+    """Walk a v3 group store -> {'/full/name': array_dir}."""
+    out = {}
+    for root, _dirs, files in os.walk(store):
+        if "zarr.json" not in files:
+            continue
+        with open(os.path.join(root, "zarr.json")) as f:
+            if json.load(f).get("node_type") != "array":
+                continue
+        rel = os.path.relpath(root, store)
+        out["/" + ("" if rel == "." else rel.replace(os.sep, "/"))
+            .strip("/")] = root
+    return out
+
+
+def _read_zarr3(spark: SparkSession, path: str, band: int = 1,
+                array: str | None = None):
+    """v3 store or array dir -> (tile table, meta). Group stores pick
+    the named array (or the largest rank>=2 one, the reference's
+    classic-open subdataset heuristic)."""
+    if not os.path.exists(os.path.join(path, "zarr.json")):
+        raise ValueError(f"{path}: no zarr.json")
+    with open(os.path.join(path, "zarr.json")) as f:
+        node = json.load(f)
+    adir = path
+    if node.get("node_type") == "group":
+        arrays = list_zarr3_arrays(path)
+        if array is not None:
+            adir = arrays[array if array.startswith("/")
+                          else "/" + array]
+        else:
+            two_d = {k: v for k, v in arrays.items()
+                     if len(read_zarr3_metadata(v)["shape"]) >= 2}
+            pick = two_d or arrays
+            if not pick:
+                raise ValueError(f"{path}: no arrays in store")
+            adir = max(pick.values(), key=lambda d: int(np.prod(
+                read_zarr3_metadata(d)["shape"])))
+    m = read_zarr3_metadata(adir)
+    shape, chunks = m["shape"], m["chunks"]
+    if len(shape) == 1:                      # 1-D arrays -> (1, n)
+        shape = [1] + shape
+        chunks = [1] + chunks
+        pad1d = True
+    else:
+        pad1d = False
+    if len(shape) != 2:
+        raise ValueError("2-D (or 1-D) v3 arrays only in the classic "
+                         "read; use the multidim API for rank > 2")
+    h, w = shape
+    ch, cw = chunks
+    single_chunk = ch >= h and cw >= w
+    if ch != cw and not (pad1d or single_chunk):
+        raise ValueError("non-square chunks unsupported")
+    ct = max(ch, cw)
+    # CF row order: when the store's y coordinate ascends (bottom-up
+    # grid), the reference flips rows on read (zarr_array.cpp's CF
+    # handling); geotransform comes from the x/y coordinate spacing
+    flip = False
+    gt = None
+    dims = m.get("dimension_names")
+    if adir != path and dims and len(dims) >= 2:
+        yv = _read_zarr3_coord(path, dims[-2])
+        xv = _read_zarr3_coord(path, dims[-1])
+        if yv is not None and len(yv) >= 2:
+            flip = bool(yv[1] > yv[0])
+            if flip and h % ch:
+                raise ValueError("CF bottom-up store with non-aligned "
+                                 "chunk rows unsupported")
+        if yv is not None and xv is not None and len(yv) >= 2 \
+                and len(xv) >= 2:
+            dx = float(xv[1] - xv[0])
+            dy = float(abs(yv[1] - yv[0]))
+            ytop = float(max(yv[0], yv[-1]))
+            gt = (float(xv[0]) - dx / 2.0, dx, 0.0,
+                  ytop + dy / 2.0, 0.0, -dy)
+    nty = -(-h // ch)
+    np_dtype = m["dtype"]
+    fill = m["fill_value"]
+    if fill in ("NaN", None):
+        fill = float("nan") if np_dtype.kind == "f" else 0
+    comp = m["compressor"]
+    key_name, sep = m["key_name"], m["key_sep"]
+    work = []
+    for ty in range(-(-h // ch)):
+        for tx in range(-(-w // cw)):
+            idx = (tx,) if pad1d else (ty, tx)
+            work.append((ty, tx, zarr3_chunk_path(adir, key_name, sep,
+                                                  idx)))
+    wdf = spark.createDataFrame(
+        pd.DataFrame(work, columns=["ty", "tx", "file"]))
+    dtype_name = np_dtype.newbyteorder("=").name
+
+    def read_task(batches):
+        import gzip as _gz
+        for pdf in batches:
+            out = []
+            for ty, tx, file in pdf.itertuples(index=False):
+                if os.path.exists(file):
+                    with open(file, "rb") as f:
+                        buf = f.read()
+                    if comp == "gzip":
+                        buf = _gz.decompress(buf)
+                    elif comp == "zlib":
+                        buf = zlib.decompress(buf)
+                    arr = np.frombuffer(buf, dtype=np_dtype) \
+                        .reshape(ch, cw) \
+                        .astype(np_dtype.newbyteorder("="))
+                else:
+                    arr = np.full((ch, cw), fill,
+                                  dtype=np_dtype.newbyteorder("="))
+                oy = int(ty)
+                if flip:
+                    arr = arr[::-1]
+                    oy = nty - 1 - oy
+                blk = np.zeros((ct, ct), arr.dtype)
+                blk[:ch, :cw] = arr
+                out.append((band, 0, int(tx), oy, dtype_name,
+                            None, encode_px(np.ascontiguousarray(blk))))
+            cols = [f.name for f in TILE_SCHEMA.fields]
+            yield (pd.DataFrame(out, columns=cols) if out
+                   else pd.DataFrame(columns=cols))
+
+    n_parts = max(1, min(len(work), 64))
+    meta = {"shape": [h, w], "chunks": [ct, ct], "zarr_format": 3,
+            "dtype": str(np_dtype), "fill_value": m["fill_value"],
+            "attributes": m["attributes"], "flipped_y": flip,
+            "geotransform": gt}
+    return wdf.repartition(n_parts).mapInPandas(read_task,
+                                                TILE_SCHEMA), meta
+
+
+def read_zarr(spark: SparkSession, path: str, band: int = 1,
+              array: str | None = None) -> DataFrame:
     """-> (tile table, metadata). One task batch per chunk; chunks absent
-    on disk materialize as fill_value tiles (sparse-store reads)."""
+    on disk materialize as fill_value tiles (sparse-store reads).
+    Dispatches on store version: .zarray = v2, zarr.json = v3."""
+    if not os.path.exists(os.path.join(path, ".zarray")) and \
+            os.path.exists(os.path.join(path, "zarr.json")):
+        return _read_zarr3(spark, path, band=band, array=array)
     meta = read_zarr_metadata(path)
     h, w = meta["shape"]
     ct, ctx = meta["chunks"]

@@ -8,6 +8,7 @@ import os
 import zlib
 
 import numpy as np
+import pytest
 
 from gdal_spark.raster.tiles import raster_to_tiles, tiles_to_raster
 from gdal_spark.sources.zarr import read_zarr, write_zarr
@@ -48,3 +49,45 @@ def test_uncompressed_and_sparse_fill(spark, tmp_path):
     np.testing.assert_array_equal(got[:8, :], arr[:8, :])
     np.testing.assert_array_equal(got[8:, 8:], np.full((8, 8), -5.0,
                                                        np.float32))
+
+
+ZFIX = "/root/reference/autotest/gdrivers/data/zarr"
+
+
+@pytest.mark.skipif(not os.path.isdir(ZFIX),
+                    reason="reference fixtures absent")
+def test_zarr_v3_cf1_golden(spark):
+    """Zarr v3 (frmts/zarr/zarrv3array.cpp): the CF-convention
+    byte_cf1.zr3 store decodes to the classic byte raster (checksum
+    4672) with rows flipped per its ascending y coordinate, and the
+    geotransform recovered from the x/y coordinate arrays equals
+    byte.tif's."""
+    from gdal_spark.core.checksum import gdal_checksum
+    from gdal_spark.sources.zarr import read_zarr
+
+    df, m = read_zarr(spark, os.path.join(ZFIX, "byte_cf1.zr3"))
+    assert m["zarr_format"] == 3 and m["flipped_y"]
+    assert m["geotransform"] == (440720.0, 60.0, 0.0, 3751320.0, 0.0,
+                                 -60.0)
+    full = tiles_to_raster(df, tile=m["chunks"][0])[:20, :20]
+    assert gdal_checksum(full) == 4672
+
+
+@pytest.mark.skipif(not os.path.isdir(ZFIX),
+                    reason="reference fixtures absent")
+def test_zarr_v3_group_store_arrays(spark):
+    """test.zr3 (autotest test_zarr_read_v3): /ar reads [1, 2]; the
+    v2-key-encoded /marvin/android reads its 5x4 chunk."""
+    from gdal_spark.raster.tiles import decode_px
+    from gdal_spark.sources.zarr import list_zarr3_arrays, read_zarr
+
+    store = os.path.join(ZFIX, "v3", "test.zr3")
+    assert set(list_zarr3_arrays(store)) == {"/ar", "/marvin/android"}
+    df, m = read_zarr(spark, store, array="/ar")
+    r = df.collect()[0]
+    assert decode_px(r.px, r.dtype, m["chunks"][0])[0, :2].tolist() \
+        == [1, 2]
+    df2, m2 = read_zarr(spark, store, array="/marvin/android")
+    assert m2["shape"] == [5, 4]
+    r2 = df2.collect()[0]
+    assert decode_px(r2.px, r2.dtype, m2["chunks"][0])[:5, :4].min() == 1
